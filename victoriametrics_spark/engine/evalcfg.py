@@ -1,0 +1,44 @@
+"""Evaluation context for a range query.
+
+Mirrors the reference's EvalConfig (app/vmselect/promql/eval.go:115-165):
+a query is always evaluated on the inclusive grid
+``[start, start+step, ..., end]`` (end is pre-aligned up to a step
+multiple); an instant query is simply ``start == end`` (eval.go:115-118).
+All times are unix milliseconds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    start: int  # unix ms, first grid point
+    end: int  # unix ms, last grid point (aligned up to start + k*step)
+    step: int  # ms, > 0
+    # Extra lookback applied when a selector has no explicit [window]:
+    # default_rollup looks back up to max(step, max_lookback) for the most
+    # recent sample (VM: maxSilenceInterval + step default, rollup.go:738-757).
+    max_lookback: int = 300_000
+    # `@` modifier / offset support adjusts these per-subtree.
+    at: int | None = None
+
+    def __post_init__(self):
+        if self.step <= 0:
+            raise ValueError("step must be positive")
+        if self.end < self.start:
+            raise ValueError("end < start")
+        # align end up so (end - start) is a whole number of steps
+        n = -((self.end - self.start) // -self.step)  # ceil div
+        object.__setattr__(self, "end", self.start + n * self.step)
+
+    @property
+    def num_points(self) -> int:
+        return (self.end - self.start) // self.step + 1
+
+    def grid(self) -> list[int]:
+        return list(range(self.start, self.end + 1, self.step))
+
+    def with_range(self, start: int, end: int, step: int | None = None) -> EvalConfig:
+        return replace(self, start=start, end=end, step=step or self.step)

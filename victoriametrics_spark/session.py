@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Pinned decisions (see SURVEY.md §1.4, §4):
+- UTC session timezone — the reference stores int64 unix-ms timestamps and
+  evaluates all date functions in UTC (lib/storage/raw_row.go:34); DuckDB
+  oracle comparison also requires UTC.
+- AQE on — runtime re-planning stands in for the reference's adaptive
+  search/merge machinery at 100TB scale (skew joins, coalesced shuffles).
+- Arrow on — every Python-side escape hatch is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster the master/deploy settings come from spark-submit;
+    everything configured here is cluster-size independent except
+    ``shuffle.partitions``, which AQE coalesces downward at runtime anyway.
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # MapType/timestamp-safe Arrow fallback instead of hard error.
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(
+        "MASTER", ""
+    ):
+        builder = builder.master(f"local[{n}]")
+    return builder.getOrCreate()
