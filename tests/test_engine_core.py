@@ -1,0 +1,224 @@
+"""Engine-core tests on tiny hand-built sample DataFrames.
+
+Grid mirrors the reference's golden harness (exec_test.go:53-56):
+start=1000e3, end=2000e3, step=200e3 → 6 points.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from victoriametrics_spark import EvalConfig, evaluate
+from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+CFG = EvalConfig(start=1_000_000, end=2_000_000, step=200_000)
+GRID = CFG.grid()
+
+
+def mk_samples(spark, rows):
+    return spark.createDataFrame(rows, SAMPLE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def counter_df(spark):
+    # one counter series, 100s interval, +10 per sample, reset at t=1_500_000
+    rows = []
+    v = 0.0
+    for i, ts in enumerate(range(0, 2_100_000, 100_000)):
+        if ts == 1_500_000:
+            v = 5.0  # counter reset
+        else:
+            v += 10.0
+        rows.append(("http_requests_total", {"job": "api"}, ts, v, False))
+    return mk_samples(spark, rows)
+
+
+@pytest.fixture(scope="module")
+def gauges_df(spark):
+    # two gauge series, samples exactly at grid points
+    rows = []
+    for ts in range(0, 2_100_000, 200_000):
+        rows.append(("temp", {"room": "a"}, ts, float(ts) / 1e5, False))
+        rows.append(("temp", {"room": "b"}, ts, 2.0 * ts / 1e5, False))
+    return mk_samples(spark, rows)
+
+
+def as_map(df):
+    out = {}
+    for row in df.collect():
+        key = (row["name"], tuple(sorted((row["labels"] or {}).items())))
+        out.setdefault(key, {})[row["ts"]] = row["value"]
+    return out
+
+
+def test_last_over_time(spark, gauges_df):
+    res = evaluate(spark, "last_over_time(temp[200s])", gauges_df, CFG)
+    m = as_map(res)
+    key_a = ("temp", (("room", "a"),))
+    assert key_a in m
+    assert m[key_a][1_000_000] == 10.0
+    assert m[key_a][2_000_000] == 20.0
+
+
+def test_default_rollup_selector(spark, gauges_df):
+    res = evaluate(spark, 'temp{room="a"}', gauges_df, CFG)
+    m = as_map(res)
+    assert len(m) == 1
+    ((_, labels),) = m.keys()
+    assert labels == (("room", "a"),)
+
+
+def test_avg_over_time(spark, gauges_df):
+    res = evaluate(spark, "avg_over_time(temp[400s])", gauges_df, CFG)
+    m = as_map(res)
+    # window (600e3, 1000e3]: samples at 800e3 (8.0) and 1000e3 (10.0)
+    assert m[("temp", (("room", "a"),))][1_000_000] == pytest.approx(9.0)
+
+
+def test_rate_counter_with_reset(spark, counter_df):
+    res = evaluate(spark, "rate(http_requests_total[500s])", counter_df, CFG)
+    m = as_map(res)
+    vals = m[("", (("job", "api"),))]
+    # steady +10/100s = 0.1/s away from the reset
+    assert vals[1_000_000] == pytest.approx(0.1)
+    # window (1500e3,2000e3]: deltas at 1.6..2.0 all +10 → 50/500 = 0.1;
+    # reset at 1.5 not in window
+    assert vals[2_000_000] == pytest.approx(0.1)
+    # window (900e3,1400e3]: includes reset sample at 1_500_000? no —
+    # at 1_400_000 grid: samples 1.0..1.4, no reset → 0.1
+    assert vals[1_400_000] == pytest.approx(0.1)
+    # grid 1_600_000, window (1100e3,1600e3]: deltas 1.2,1.3,1.4 = +10 each,
+    # reset sample at 1.5 contributes +5 (value after reset), 1.6 contributes +10
+    assert vals[1_600_000] == pytest.approx((10 * 4 + 5) / 500.0)
+
+
+def test_increase(spark, counter_df):
+    res = evaluate(spark, "increase(http_requests_total[500s])", counter_df, CFG)
+    m = as_map(res)
+    vals = m[("", (("job", "api"),))]
+    assert vals[1_000_000] == pytest.approx(50.0)
+
+
+def test_sum_rate_by(spark, gauges_df):
+    res = evaluate(
+        spark, "sum(last_over_time(temp[200s])) by (room)", gauges_df, CFG
+    )
+    m = as_map(res)
+    assert m[("", (("room", "a"),))][1_000_000] == 10.0
+    assert m[("", (("room", "b"),))][1_000_000] == 20.0
+
+
+def test_sum_all(spark, gauges_df):
+    res = evaluate(spark, "sum(last_over_time(temp[200s]))", gauges_df, CFG)
+    m = as_map(res)
+    assert m[("", ())][1_000_000] == 30.0
+    assert m[("", ())][2_000_000] == 60.0
+
+
+def test_binop_series_scalar(spark, gauges_df):
+    res = evaluate(spark, 'temp{room="a"} * 2', gauges_df, CFG)
+    m = as_map(res)
+    assert m[("", (("room", "a"),))][1_000_000] == 20.0
+
+
+def test_binop_series_series(spark, gauges_df):
+    res = evaluate(
+        spark,
+        'temp{room="a"} + on() temp{room="b"}',
+        gauges_df,
+        CFG,
+    )
+    m = as_map(res)
+    assert m[("", ())][1_000_000] == 30.0
+
+
+def test_comparison_filter(spark, gauges_df):
+    res = evaluate(spark, "temp > 25", gauges_df, CFG)
+    m = as_map(res)
+    # only room=b values above 25 (28 at 1.4e6 … 40 at 2e6)
+    key_b = ("temp", (("room", "b"),))
+    assert key_b in m
+    assert all(v > 25 for v in m[key_b].values())
+    assert ("temp", (("room", "a"),)) not in m
+
+
+def test_comparison_bool(spark, gauges_df):
+    res = evaluate(spark, 'temp{room="a"} >bool 15', gauges_df, CFG)
+    m = as_map(res)
+    vals = m[("", (("room", "a"),))]
+    assert vals[1_000_000] == 0.0
+    assert vals[2_000_000] == 1.0
+
+
+def test_scalar_expr(spark, gauges_df):
+    res = evaluate(spark, "2 + 3 * 4", gauges_df, CFG)
+    rows = res.collect()
+    assert len(rows) == 6
+    assert all(r["value"] == 14.0 for r in rows)
+
+
+def test_time_func(spark, gauges_df):
+    res = evaluate(spark, "time()", gauges_df, CFG)
+    m = {r["ts"]: r["value"] for r in res.collect()}
+    assert m[1_000_000] == 1000.0
+    assert m[2_000_000] == 2000.0
+
+
+def test_abs_transform(spark, gauges_df):
+    res = evaluate(spark, 'abs(temp{room="a"} - 15)', gauges_df, CFG)
+    m = as_map(res)
+    vals = m[("", (("room", "a"),))]
+    assert vals[1_000_000] == 5.0
+    assert vals[2_000_000] == 5.0
+
+
+def test_quantile_over_time(spark, gauges_df):
+    res = evaluate(
+        spark, "quantile_over_time(0.5, temp[400s])", gauges_df, CFG
+    )
+    m = as_map(res)
+    assert m[("temp", (("room", "a"),))][1_000_000] == pytest.approx(9.0)
+
+
+def test_count_and_changes(spark, counter_df):
+    res = evaluate(spark, "changes(http_requests_total[500s])", counter_df, CFG)
+    m = as_map(res)
+    vals = m[("", (("job", "api"),))]
+    assert vals[1_000_000] == 5.0  # 5 in-window samples, all changed
+
+
+def test_topk(spark, gauges_df):
+    res = evaluate(spark, "topk(1, temp)", gauges_df, CFG)
+    m = as_map(res)
+    assert ("temp", (("room", "b"),)) in m
+    assert ("temp", (("room", "a"),)) not in m
+
+
+def test_or_union(spark, gauges_df):
+    res = evaluate(
+        spark, 'temp{room="a"} or temp{room="b"}', gauges_df, CFG
+    )
+    m = as_map(res)
+    assert len(m) == 2
+
+
+def test_absent(spark, gauges_df):
+    res = evaluate(spark, "absent(no_such_metric)", gauges_df, CFG)
+    rows = res.collect()
+    assert len(rows) == 6
+    assert all(r["value"] == 1.0 for r in rows)
+
+
+def test_subquery_max_of_rate(spark, counter_df):
+    res = evaluate(
+        spark,
+        "max_over_time(rate(http_requests_total[200s])[400s:200s])",
+        counter_df,
+        CFG,
+    )
+    m = as_map(res)
+    vals = m[("", (("job", "api"),))]
+    assert vals[1_000_000] == pytest.approx(0.1)

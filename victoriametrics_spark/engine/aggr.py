@@ -1,0 +1,365 @@
+"""Cross-series aggregate functions (SURVEY.md §2.5) — 37 functions from
+vendor/.../metricsql/aggr.go:7-45, executed per grid timestamp within
+``by/without`` label groups as Catalyst hash aggregations (Spark's
+partial/final agg is exactly VM's incremental path,
+app/vmselect/promql/aggr_incremental.go:18-168).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.metricsql.ast import AggrFuncExpr, StringExpr
+from victoriametrics_spark.schema import canonical_labels_str, series_key
+
+if TYPE_CHECKING:
+    from victoriametrics_spark.engine.planner import Plan, Planner
+
+def V() -> Column:
+    # lazy: PySpark needs an active session to construct Columns
+    return F.col("value")
+
+# simple grouped aggregates: name → agg Column
+_SIMPLE: dict[str, Callable[[], Column]] = {
+    "sum": lambda: F.sum(V()),
+    "min": lambda: F.min(V()),
+    "max": lambda: F.max(V()),
+    "avg": lambda: F.avg(V()),
+    "count": lambda: F.count(V()).cast("double"),
+    "stddev": lambda: F.stddev_pop(V()),
+    "stdvar": lambda: F.var_pop(V()),
+    "sum2": lambda: F.sum(V() * V()),
+    "geomean": lambda: F.exp(F.avg(F.log(V()))),
+    "distinct": lambda: F.count_distinct(V()).cast("double"),
+    "mode": lambda: F.mode(V()),
+    "median": lambda: F.percentile(V(), F.lit(0.5)),
+    "group": lambda: F.lit(1.0),
+    "any": lambda: F.min_by(V(), F.col("__sk")),
+    "mad": lambda: None,  # handled specially (two-stage median)
+}
+
+# per-series ranking metric for topk_*/bottomk_* (rank series, then keep
+# whole series — VM newAggrFuncRangeTopK)
+_SERIES_RANK: dict[str, Callable[[], Column]] = {
+    "max": lambda: F.max(V()),
+    "min": lambda: F.min(V()),
+    "avg": lambda: F.avg(V()),
+    "median": lambda: F.percentile(V(), F.lit(0.5)),
+    "last": lambda: F.max_by(V(), F.col("ts")),
+}
+
+
+def group_labels_col(modifier) -> Column:
+    """New label map after by/without grouping (name always dropped)."""
+    labels = F.col("labels")
+    if modifier is None:
+        return F.create_map().cast("map<string,string>")
+    keys = [str(k) for k in modifier.args]
+    if modifier.op == "by":
+        if not keys:
+            return F.create_map().cast("map<string,string>")
+        return F.map_filter(labels, lambda k, v: k.isin(*keys))
+    # without
+    if not keys:
+        return labels
+    return F.map_filter(labels, lambda k, v: ~k.isin(*keys))
+
+
+def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
+    from victoriametrics_spark.engine.planner import PlanError
+
+    name = ae.name
+    series_arg_idx = {
+        "quantile": 1,
+        "quantiles": -1,
+        "topk": 1,
+        "bottomk": 1,
+        "topk_max": 1, "topk_min": 1, "topk_avg": 1, "topk_median": 1, "topk_last": 1,
+        "bottomk_max": 1, "bottomk_min": 1, "bottomk_avg": 1, "bottomk_median": 1,
+        "bottomk_last": 1,
+        "limitk": 1,
+        "outliersk": 1,
+        "outliers_mad": 1,
+        "count_values": 1,
+        "share": 0,
+        "zscore": 0,
+    }.get(name, 0)
+    if series_arg_idx == -1:
+        series_arg_idx = len(ae.args) - 1
+    if series_arg_idx >= len(ae.args):
+        raise PlanError(f"{name}: missing argument")
+
+    df = planner.materialize(planner.plan(ae.args[series_arg_idx], cfg), cfg)
+    glabels = group_labels_col(ae.modifier)
+    df = df.withColumn("__glabels", glabels).withColumn(
+        "__gkey", canonical_labels_str(F.col("__glabels"))
+    )
+
+    if name in _SIMPLE and name not in ("mad", "any"):
+        agg = _SIMPLE[name]()
+        out = (
+            df.groupBy("__gkey", "ts")
+            .agg(F.first("__glabels").alias("labels"), agg.cast("double").alias("value"))
+        )
+        return _shape(out)
+
+    if name == "any":
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        out = (
+            df.groupBy("__gkey", "ts")
+            .agg(
+                F.first("__glabels").alias("labels"),
+                F.min_by(V(), F.col("__sk")).cast("double").alias("value"),
+            )
+        )
+        return _shape(out)
+
+    if name == "mad":
+        # median(|v - median(v)|) per group/ts, via sorted-array expression
+        med = F.percentile(V(), F.lit(0.5))
+        grouped = df.groupBy("__gkey", "ts").agg(
+            F.first("__glabels").alias("labels"),
+            F.collect_list(V()).alias("__vals"),
+            med.alias("__med"),
+        )
+        dev = F.array_sort(
+            F.transform(F.col("__vals"), lambda v: F.abs(v - F.col("__med")))
+        )
+        n = F.size(dev)
+        lo = F.element_at(dev, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(dev, ((n + 2) / 2).cast("int"))
+        out = grouped.withColumn("value", ((lo + hi) / 2.0).cast("double")).drop(
+            "__vals", "__med"
+        )
+        return _shape(out)
+
+    if name == "quantile":
+        phi = planner.const_value(ae.args[0], cfg)
+        out = df.groupBy("__gkey", "ts").agg(
+            F.first("__glabels").alias("labels"),
+            F.percentile(V(), F.lit(phi)).cast("double").alias("value"),
+        )
+        return _shape(out)
+
+    if name == "quantiles":
+        # quantiles("label", phi1, ..., q) — one output series per phi
+        if not isinstance(ae.args[0], StringExpr):
+            raise PlanError('quantiles needs a label name first arg')
+        label = ae.args[0].value
+        phis = [planner.const_value(a, cfg) for a in ae.args[1:-1]]
+        grouped = df.groupBy("__gkey", "ts").agg(
+            F.first("__glabels").alias("labels"),
+            *[
+                F.percentile(V(), F.lit(phi)).alias(f"__q{i}")
+                for i, phi in enumerate(phis)
+            ],
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(str(phi)).alias("phi"), F.col(f"__q{i}").alias("v")
+                )
+                for i, phi in enumerate(phis)
+            ]
+        )
+        exploded = grouped.select(
+            "__gkey", "ts", "labels", F.explode(pairs).alias("__p")
+        )
+        out = exploded.select(
+            "__gkey",
+            "ts",
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, v: k != F.lit(label)),
+                F.create_map(F.lit(label), F.col("__p.phi")),
+            ).alias("labels"),
+            F.col("__p.v").cast("double").alias("value"),
+        )
+        return _shape(out)
+
+    if name in ("topk", "bottomk"):
+        k = int(planner.const_value(ae.args[0], cfg))
+        desc = name == "topk"
+        order = [V().desc(), F.col("__sk").asc()] if desc else [V().asc(), F.col("__sk").asc()]
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        w = Window.partitionBy("__gkey", "ts").orderBy(*order)
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        out = ranked.filter(F.col("__rn") <= k)
+        return out.select("name", "labels", "ts", "value")
+
+    if name.startswith(("topk_", "bottomk_")):
+        base, metric = name.split("_", 1)
+        k = int(planner.const_value(ae.args[0], cfg))
+        rank_agg = _SERIES_RANK[metric]()
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        series_stats = df.groupBy("__gkey", "__sk").agg(rank_agg.alias("__rank"))
+        order = (
+            [F.col("__rank").desc(), F.col("__sk").asc()]
+            if base == "topk"
+            else [F.col("__rank").asc(), F.col("__sk").asc()]
+        )
+        w = Window.partitionBy("__gkey").orderBy(*order)
+        keep = series_stats.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+        out = df.join(
+            F.broadcast(keep.select("__gkey", "__sk")), ["__gkey", "__sk"], "left_semi"
+        )
+        return out.select("name", "labels", "ts", "value")
+
+    if name == "limitk":
+        # first k series per group, hash-stable (aggr.go aggrFuncLimitK)
+        k = int(planner.const_value(ae.args[0], cfg))
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        series = df.select("__gkey", "__sk").distinct()
+        w = Window.partitionBy("__gkey").orderBy(
+            F.xxhash64(F.col("__sk")).asc(), F.col("__sk").asc()
+        )
+        keep = series.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+        out = df.join(
+            F.broadcast(keep.select("__gkey", "__sk")), ["__gkey", "__sk"], "left_semi"
+        )
+        return out.select("name", "labels", "ts", "value")
+
+    if name == "share":
+        # per-series share of the group total at each ts (keeps series)
+        w = Window.partitionBy("__gkey", "ts")
+        out = df.withColumn("value", (V() / F.sum(V()).over(w)).cast("double"))
+        return out.select(
+            F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+        ).filter(F.col("value").isNotNull())
+
+    if name == "zscore":
+        w = Window.partitionBy("__gkey", "ts")
+        out = df.withColumn(
+            "value",
+            ((V() - F.avg(V()).over(w)) / F.stddev_pop(V()).over(w)).cast("double"),
+        )
+        return out.select(
+            F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+        ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+    if name == "outliersk":
+        # k series with max deviation from the group median (per series
+        # aggregate deviation; aggr.go aggrFuncOutliersK)
+        k = int(planner.const_value(ae.args[0], cfg))
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        wts = Window.partitionBy("__gkey", "ts")
+        with_med = df.withColumn("__med", F.percentile(V(), F.lit(0.5)).over(wts))
+        dev = with_med.groupBy("__gkey", "__sk").agg(
+            F.sum(F.pow(V() - F.col("__med"), 2)).alias("__dev")
+        )
+        w = Window.partitionBy("__gkey").orderBy(
+            F.col("__dev").desc(), F.col("__sk").asc()
+        )
+        keep = dev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+        out = df.join(
+            F.broadcast(keep.select("__gkey", "__sk")), ["__gkey", "__sk"], "left_semi"
+        )
+        return out.select("name", "labels", "ts", "value")
+
+    if name in ("outliers_mad", "outliers_iqr"):
+        df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        wts = Window.partitionBy("__gkey", "ts")
+        if name == "outliers_mad":
+            tol = planner.const_value(ae.args[0], cfg) if len(ae.args) == 2 else 3.0
+            med = F.percentile(V(), F.lit(0.5)).over(wts)
+            df2 = df.withColumn("__med", med)
+            mad = F.percentile(F.abs(V() - F.col("__med")), F.lit(0.5)).over(wts)
+            keep_cond = F.abs(V() - F.col("__med")) > F.lit(tol) * mad
+            out = df2.withColumn("__keep", keep_cond)
+        else:
+            q25 = F.percentile(V(), F.lit(0.25)).over(wts)
+            q75 = F.percentile(V(), F.lit(0.75)).over(wts)
+            df2 = df.withColumn("__q25", q25).withColumn("__q75", q75)
+            iqr = F.col("__q75") - F.col("__q25")
+            keep_cond = (V() < F.col("__q25") - 1.5 * iqr) | (
+                V() > F.col("__q75") + 1.5 * iqr
+            )
+            out = df2.withColumn("__keep", keep_cond)
+        # keep whole series that have at least one outlier point
+        outlier_series = (
+            out.filter("__keep").select("__gkey", "__sk").distinct()
+        )
+        res = df.join(
+            F.broadcast(outlier_series), ["__gkey", "__sk"], "left_semi"
+        )
+        return res.select("name", "labels", "ts", "value")
+
+    if name == "count_values":
+        if not isinstance(ae.args[0], StringExpr):
+            raise PlanError("count_values needs a label name first arg")
+        label = ae.args[0].value
+        # VM formats values compactly; use minimal float formatting
+        vstr = F.when(
+            V() == F.floor(V()), F.col("value").cast("bigint").cast("string")
+        ).otherwise(F.col("value").cast("string"))
+        out = (
+            df.withColumn("__vstr", vstr)
+            .groupBy("__gkey", "ts", "__vstr")
+            .agg(
+                F.first("__glabels").alias("__gl"),
+                F.count("*").cast("double").alias("value"),
+            )
+            .select(
+                F.lit("").alias("name"),
+                F.map_concat(
+                    F.map_filter(F.col("__gl"), lambda k, v: k != F.lit(label)),
+                    F.create_map(F.lit(label), F.col("__vstr")),
+                ).alias("labels"),
+                F.col("ts"),
+                F.col("value"),
+            )
+        )
+        return out
+
+    if name == "histogram":
+        return _vm_histogram(df)
+
+    raise PlanError(f"aggregate function {name!r} not implemented yet")
+
+
+def _shape(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+    ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
+def _vm_histogram(df: DataFrame) -> DataFrame:
+    """Cross-series VM log-bucket histogram per group/ts → ``vmrange``
+    series (lib/streamaggr/histogram_bucket.go semantics: 18 buckets per
+    decade, v ∈ (lo, hi]).
+
+    Bucket index for v>0: ceil(log10(v) * 18) with vmrange bounds
+    10^((i-1)/18) .. 10^(i/18).
+    """
+    pos = df.filter(V() > 0)
+    idx = F.ceil(F.log10(V()) * 18).cast("long")
+    lo = F.pow(F.lit(10.0), (idx - 1).cast("double") / 18.0)
+    hi = F.pow(F.lit(10.0), idx.cast("double") / 18.0)
+    vmrange = F.concat(
+        F.format_number(lo, 3), F.lit("..."), F.format_number(hi, 3)
+    )
+    out = (
+        pos.withColumn("__vmrange", vmrange)
+        .groupBy("__gkey", "ts", "__vmrange")
+        .agg(
+            F.first("__glabels").alias("__gl"),
+            F.count("*").cast("double").alias("value"),
+        )
+        .select(
+            F.lit("").alias("name"),
+            F.map_concat(
+                F.col("__gl"), F.create_map(F.lit("vmrange"), F.col("__vmrange"))
+            ).alias("labels"),
+            F.col("ts"),
+            F.col("value"),
+        )
+    )
+    return out

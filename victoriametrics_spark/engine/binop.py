@@ -1,0 +1,328 @@
+"""Binary operators & vector matching (SURVEY.md §2.4) — the join layer.
+
+Semantics from app/vmselect/promql/binary_op.go: both sides share the
+timestamp grid, so the join key is the canonical label match-key + grid
+ts; arithmetic is then columnar. Hash join ≡ VM's
+createTimeseriesMapByTagSet (binary_op.go:762-796).
+
+Decisions (documented for oracle parity):
+- "no sample at ts" is an absent row; comparison-without-bool filters rows
+  (VM: non-matching → NaN, binary_op.go:136-154).
+- Division/modulo by zero produce NULL in non-ANSI Spark SQL → the row is
+  dropped (VM yields ±Inf/NaN; we document the delta and keep NULL=gap).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.metricsql.ast import BinaryOpExpr
+from victoriametrics_spark.schema import canonical_labels_str
+
+if TYPE_CHECKING:
+    from victoriametrics_spark.engine.planner import Plan, Planner
+
+ARITH_OPS: dict[str, Callable[[Column, Column], Column]] = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+    "^": lambda l, r: F.pow(l, r),
+    "atan2": lambda l, r: F.atan2(l, r),
+}
+
+CMP_OPS: dict[str, Callable[[Column, Column], Column]] = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+SET_OPS = {"and", "or", "unless", "if", "ifnot", "default"}
+
+
+def match_key_col(group_modifier) -> Column:
+    """Canonical match key from the label map, honoring on()/ignoring()
+    (adjustBinaryOpTags, binary_op.go:271-373). Default: all labels
+    (metric name excluded — it lives outside the map)."""
+    labels = F.col("labels")
+    if group_modifier is None:
+        restricted = labels
+    elif group_modifier.op == "on":
+        keys = [str(k) for k in group_modifier.args]
+        restricted = (
+            F.map_filter(labels, lambda k, v: k.isin(*keys))
+            if keys
+            else F.create_map().cast("map<string,string>")
+        )
+    else:  # ignoring
+        keys = [str(k) for k in group_modifier.args]
+        restricted = (
+            F.map_filter(labels, lambda k, v: ~k.isin(*keys)) if keys else labels
+        )
+    return canonical_labels_str(restricted)
+
+
+def result_labels_one_to_one(group_modifier) -> Column:
+    """One-to-one result labels: on() keeps only the on-labels; ignoring()
+    drops the ignored; default keeps all (name dropped separately)."""
+    labels = F.col("labels")
+    if group_modifier is None:
+        return labels
+    keys = [str(k) for k in group_modifier.args]
+    if group_modifier.op == "on":
+        if not keys:
+            return F.create_map().cast("map<string,string>")
+        return F.map_filter(labels, lambda k, v: k.isin(*keys))
+    if not keys:
+        return labels
+    return F.map_filter(labels, lambda k, v: ~k.isin(*keys))
+
+
+def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
+    from victoriametrics_spark.engine.planner import PlanError, Scalar
+
+    op = be.op
+    left = planner.plan(be.left, cfg)
+    right = planner.plan(be.right, cfg)
+
+    l_scalar = isinstance(left, Scalar)
+    r_scalar = isinstance(right, Scalar)
+
+    # ---------------- scalar ∘ scalar ----------------
+    if l_scalar and r_scalar:
+        if op in SET_OPS:
+            if op == "default":
+                lf, rf = left.fn, right.fn
+                return Scalar(fn=lambda ts: F.coalesce(lf(ts), rf(ts)))
+            if op == "if":
+                lf, rf = left.fn, right.fn
+                return Scalar(fn=lambda ts: F.when(rf(ts).isNotNull(), lf(ts)))
+            raise PlanError(f"set op {op!r} undefined for two scalars")
+        lf, rf = left.fn, right.fn
+        if op in CMP_OPS:
+            cmp = CMP_OPS[op]
+            if be.bool_modifier:
+                return Scalar(fn=lambda ts: cmp(lf(ts), rf(ts)).cast("double"))
+            # scalar cmp scalar without bool: keep left value when true
+            return Scalar(fn=lambda ts: F.when(cmp(lf(ts), rf(ts)), lf(ts)))
+        f = ARITH_OPS[op]
+        const = None
+        if left.const is not None and right.const is not None and op in ARITH_OPS:
+            try:
+                import math
+
+                pyops = {
+                    "+": lambda a, b: a + b,
+                    "-": lambda a, b: a - b,
+                    "*": lambda a, b: a * b,
+                    "/": lambda a, b: a / b if b != 0 else math.nan,
+                    "%": lambda a, b: math.fmod(a, b) if b != 0 else math.nan,
+                    "^": lambda a, b: a**b,
+                    "atan2": math.atan2,
+                }
+                const = pyops[op](left.const, right.const)
+            except Exception:
+                const = None
+        return Scalar(fn=lambda ts: f(lf(ts), rf(ts)), const=const)
+
+    # ---------------- series ∘ scalar / scalar ∘ series ----------------
+    if l_scalar != r_scalar:
+        df = right if l_scalar else left
+        sc = left if l_scalar else right
+        sc_fn = sc.fn
+        vcol = F.col("value")
+        scol = sc_fn(F.col("ts")).cast("double")
+        lv, rv = (scol, vcol) if l_scalar else (vcol, scol)
+        if op in CMP_OPS:
+            cmp = CMP_OPS[op](lv, rv)
+            if be.bool_modifier:
+                out = df.withColumn("value", cmp.cast("double")).withColumn(
+                    "name", F.lit("")
+                )
+            else:
+                out = df.filter(cmp)  # keep original values & name
+            return out
+        if op in SET_OPS:
+            if op == "default":
+                if l_scalar:
+                    raise PlanError("scalar default series is undefined")
+                return _fill_missing_with_scalar(planner, df, sc, cfg)
+            if op == "if" and not l_scalar:
+                # series if scalar: keep series when scalar is defined
+                return df.filter(scol.isNotNull())
+            if op == "ifnot" and not l_scalar:
+                return df.filter(scol.isNull())
+            if op in ("and", "or", "unless"):
+                # scalar is always present at every ts
+                if op == "and":
+                    return df.filter(scol.isNotNull())
+                if op == "unless":
+                    return df.filter(scol.isNull())
+                return df  # or: left wins everywhere
+            raise PlanError(f"set op {op!r} with scalar not supported")
+        f = ARITH_OPS[op]
+        out = df.withColumn("value", f(lv, rv).cast("double"))
+        if not be.keep_metric_names:
+            out = out.withColumn("name", F.lit(""))
+        return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+    # ---------------- series ∘ series ----------------
+    ldf: DataFrame = left
+    rdf: DataFrame = right
+    mk = match_key_col(be.group_modifier)
+    l = ldf.withColumn("__mk", mk)
+    r = rdf.withColumn("__mk", mk)
+
+    if op in ("and", "if"):
+        # left points with a matching right point at the same ts
+        # (binary_op.go:535-547 and :521-533 — same join, if also masks)
+        return (
+            l.join(r.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_semi")
+            .select("name", "labels", "ts", "value")
+        )
+    if op in ("unless", "ifnot"):
+        return (
+            l.join(r.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti")
+            .select("name", "labels", "ts", "value")
+        )
+    if op in ("or", "default"):
+        # or: left series plus right points at (key,ts) cells left lacks
+        # (binary_op.go:588-645); default: left values, right fills gaps
+        # (binary_op.go:568-586) — same cell-level coalesce shape
+        extra = r.join(
+            l.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti"
+        )
+        if op == "or":
+            return l.select("name", "labels", "ts", "value").unionByName(
+                extra.select("name", "labels", "ts", "value")
+            )
+        # default: fill left's missing grid cells from right, but only for
+        # (match-key, ts) cells; keep left's identity
+        lkeys = l.select("__mk", "name", "labels").distinct()
+        fill = extra.select("__mk", "ts", "value").join(lkeys, "__mk", "inner")
+        return l.select("name", "labels", "ts", "value").unionByName(
+            fill.select("name", "labels", "ts", "value")
+        )
+
+    # arithmetic / comparison joins
+    join_mod = be.join_modifier.op if be.join_modifier else None
+    l_sel = l.select(
+        F.col("__mk"),
+        F.col("ts"),
+        F.col("name").alias("__lname"),
+        F.col("labels").alias("__llabels"),
+        F.col("value").alias("__lv"),
+    )
+    r_sel = r.select(
+        F.col("__mk"),
+        F.col("ts"),
+        F.col("name").alias("__rname"),
+        F.col("labels").alias("__rlabels"),
+        F.col("value").alias("__rv"),
+    )
+    joined = l_sel.join(r_sel, ["__mk", "ts"], "inner")
+
+    lv, rv = F.col("__lv"), F.col("__rv")
+
+    # result identity
+    if join_mod == "group_right":
+        base_labels = F.col("__rlabels")
+        base_name = F.col("__rname")
+        import_from = F.col("__llabels")
+    else:
+        base_labels = F.col("__llabels")
+        base_name = F.col("__lname")
+        import_from = F.col("__rlabels")
+
+    if join_mod is None:
+        labels_out = _restrict_labels(base_labels, be.group_modifier)
+    else:
+        labels_out = base_labels
+        extra_keys = [str(k) for k in (be.join_modifier.args or [])]
+        if extra_keys:
+            prefix = be.join_modifier_prefix or ""
+            imported = F.map_from_entries(
+                F.filter(
+                    F.map_entries(import_from),
+                    lambda e: e["key"].isin(*extra_keys),
+                )
+            )
+            if prefix:
+                imported = F.transform_keys(
+                    imported, lambda k, v: F.concat(F.lit(prefix), k)
+                )
+            labels_out = F.map_concat(
+                F.map_filter(
+                    labels_out,
+                    lambda k, v: ~k.isin(
+                        *[((be.join_modifier_prefix or "") + e) for e in extra_keys]
+                    ),
+                ),
+                imported,
+            )
+
+    if op in CMP_OPS:
+        cmp = CMP_OPS[op](lv, rv)
+        keep_val = rv if join_mod == "group_right" else lv
+        if be.bool_modifier:
+            value = cmp.cast("double")
+            name_out = F.lit("")
+        else:
+            value = F.when(cmp, keep_val)
+            name_out = base_name  # comparison filter keeps the series as-is
+        out = joined.select(
+            name_out.alias("name"),
+            labels_out.alias("labels"),
+            F.col("ts"),
+            value.cast("double").alias("value"),
+        )
+        return out.filter(F.col("value").isNotNull())
+
+    f = ARITH_OPS[op]
+    name_out = base_name if be.keep_metric_names else F.lit("")
+    out = joined.select(
+        name_out.alias("name"),
+        labels_out.alias("labels"),
+        F.col("ts"),
+        f(lv, rv).cast("double").alias("value"),
+    )
+    return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
+def _restrict_labels(labels: Column, group_modifier) -> Column:
+    if group_modifier is None:
+        return labels
+    keys = [str(k) for k in group_modifier.args]
+    if group_modifier.op == "on":
+        if not keys:
+            return F.create_map().cast("map<string,string>")
+        return F.map_filter(labels, lambda k, v: k.isin(*keys))
+    if not keys:
+        return labels
+    return F.map_filter(labels, lambda k, v: ~k.isin(*keys))
+
+
+def _fill_missing_with_scalar(planner, df: DataFrame, sc, cfg) -> DataFrame:
+    """``q default N`` with scalar N: fill each series' missing grid points
+    (binary_op.go:568-586)."""
+    from victoriametrics_spark.engine.grid import grid_df
+    from victoriametrics_spark.schema import series_key
+
+    sk = series_key(F.col("name"), F.col("labels"))
+    series = df.select(sk.alias("__sk"), "name", "labels").distinct()
+    g = grid_df(planner.spark, cfg)
+    dense = series.crossJoin(g)
+    vals = df.select(sk.alias("__sk"), "ts", "value")
+    dense = dense.join(vals, ["__sk", "ts"], "left")
+    filled = F.coalesce(F.col("value"), sc.fn(F.col("ts")).cast("double"))
+    return dense.select(
+        "name", "labels", "ts", filled.alias("value")
+    ).filter(F.col("value").isNotNull())

@@ -1,0 +1,144 @@
+"""Grid rollup machinery — the one pattern that carries all 80 rollup
+functions (SURVEY.md §2.0).
+
+The reference evaluates every rollup on a shared timestamp grid: for each
+grid point ``g`` in ``[start..end] step step``, aggregate the samples in
+the lookbehind window ``(g - W, g]`` (rollupConfig.doInternal,
+app/vmselect/promql/rollup.go:701-820).
+
+Spark-first formulation — **contribution explode, no join**: each sample
+at ``ts`` contributes to exactly the grid indices
+``i ∈ [ceil((ts-start)/step), floor((ts+W-1-start)/step)]``. We generate
+that index range per sample with ``sequence()`` + ``explode`` (purely
+computed, no shuffle), then hash-aggregate by (series, i). Catalyst gives
+partial/final aggregation, so this scales the same way the reference's
+incremental per-worker aggregation does (aggr_incremental.go:18-168) but
+with W/step output amplification instead of a nested-loop range join.
+Exactness is guaranteed by a final window-membership filter; the explode
+bounds only need to be a superset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.schema import series_key
+
+# Columns prepared for rollup aggregation (pre-groupBy):
+#   value, ts, gts (grid point ms), plus when requested:
+#   prev_value, prev_ts  — previous sample of the same series (series order,
+#                          may lie before the window start: VM's prevValue,
+#                          rollup.go:780-805)
+#   dv, dt               — value/ts delta vs previous sample
+#   pos_dv               — counter-reset-adjusted delta: v - prev if v>=prev
+#                          else v (reset ⇒ counter restarted from ~0;
+#                          mirrors removeCounterResets, rollup.go:223)
+
+
+@dataclass
+class PreparedSamples:
+    df: DataFrame  # exploded: one row per (sample, contributed grid index)
+    cfg: EvalConfig
+
+
+def prepare_rollup_input(
+    samples: DataFrame,
+    cfg: EvalConfig,
+    window_ms: int,
+    offset_ms: int = 0,
+    needs_prev: bool = False,
+) -> DataFrame:
+    """Explode samples to (series, grid-index) contribution rows.
+
+    Returns a DataFrame with columns:
+      __series_key, name, labels, i (grid index), gts, value, ts
+      [+ prev_value, prev_ts, dv, dt, pos_dv when needs_prev]
+    """
+    if window_ms <= 0:
+        raise ValueError("window must be positive")
+    start, end, step = cfg.start, cfg.end, cfg.step
+    npts = cfg.num_points
+
+    df = samples
+    if "is_stale" in df.columns:
+        # staleness markers terminate a series; they never surface as values
+        # (apptest/tests/metricsql_test.go:32 behavior)
+        df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+    df = df.withColumn("__series_key", series_key(F.col("name"), F.col("labels")))
+
+    # shift for `offset`: sample effectively evaluated offset later
+    shifted = (F.col("ts") + F.lit(offset_ms)).alias("__sts")
+    df = df.withColumn("__sts", shifted)
+
+    if needs_prev:
+        w = Window.partitionBy("__series_key").orderBy("ts")
+        df = (
+            df.withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("dv", F.col("value") - F.col("prev_value"))
+            .withColumn("dt", F.col("ts") - F.col("prev_ts"))
+            .withColumn(
+                "pos_dv",
+                F.when(F.col("prev_value").isNull(), F.lit(None).cast("double"))
+                .when(F.col("value") >= F.col("prev_value"), F.col("dv"))
+                .otherwise(F.col("value")),
+            )
+        )
+
+    # prune samples that cannot contribute to any grid point (parquet-pushable)
+    df = df.filter(
+        (F.col("__sts") <= F.lit(end)) & (F.col("__sts") + F.lit(window_ms) > F.lit(start))
+    )
+
+    # contribution range; trunc-div bounds are a superset for negative
+    # dividends, the exact membership filter below makes it precise
+    i_lo_raw = (F.col("__sts") - F.lit(start) + F.lit(step - 1)) / F.lit(step)
+    i_hi_raw = (F.col("__sts") + F.lit(window_ms - 1) - F.lit(start)) / F.lit(step)
+    i_lo = F.greatest(F.lit(0), i_lo_raw.cast("long"))
+    i_hi = F.least(F.lit(npts - 1), i_hi_raw.cast("long"))
+    df = df.withColumn(
+        "i",
+        F.explode(
+            F.when(i_lo <= i_hi, F.sequence(i_lo, i_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    gts = (F.lit(start) + F.col("i") * F.lit(step)).alias("gts")
+    df = df.withColumn("gts", gts)
+    # exact lookbehind-window membership: __sts in (gts - W, gts]
+    df = df.filter(
+        (F.col("__sts") > F.col("gts") - F.lit(window_ms))
+        & (F.col("__sts") <= F.col("gts"))
+    )
+    return df
+
+
+def grid_df(spark, cfg: EvalConfig) -> DataFrame:
+    """The bare evaluation grid as a DataFrame(ts BIGINT ms)."""
+    return spark.range(cfg.num_points).select(
+        (F.lit(cfg.start) + F.col("id") * F.lit(cfg.step)).alias("ts")
+    )
+
+
+def finalize_rollup(
+    grouped: DataFrame,
+    value_col: Column,
+    cfg: EvalConfig,
+    keep_name: bool,
+) -> DataFrame:
+    """Shared post-aggregation shaping: reconstruct grid ts, drop empty
+    values, erase metric name unless the function keeps it
+    (rollupFuncsKeepMetricName, rollup.go:267)."""
+    out = grouped.select(
+        (F.col("name") if keep_name else F.lit("")).alias("name"),
+        F.col("labels").alias("labels"),
+        (F.lit(cfg.start) + F.col("i") * F.lit(cfg.step)).alias("ts"),
+        value_col.alias("value"),
+    )
+    return out.filter(F.col("value").isNotNull())

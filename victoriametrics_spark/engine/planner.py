@@ -1,7 +1,313 @@
-"""AST → Spark DataFrame planner (filled in engine core milestone)."""
+"""AST → Spark DataFrame planner.
+
+Recursive evaluation mirroring the reference's evalExprInternal dispatch
+(app/vmselect/promql/eval.go:279-346): selectors become implicit
+``default_rollup``; rollup funcs ride the contribution-exploded grid
+(engine/grid.py); transforms are pointwise Catalyst expressions;
+aggregates are grouped hash-aggs; binary ops are hash joins on the
+canonical match key.
+
+Plan values are either a ``Scalar`` (value depends only on the grid
+timestamp — literals, time(), scalar()) kept as a *column expression* so
+it never costs a join, or a series DataFrame with the fixed shape
+``(name STRING, labels MAP<STRING,STRING>, ts BIGINT-ms, value DOUBLE)``
+holding one row per (series, grid point) that has a value — absence of a
+row is the NaN/gap analog (NULL/NaN never stored; SURVEY.md §1.4).
+"""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable, Union
 
-def evaluate(spark, query, samples, cfg):  # pragma: no cover - stub
-    raise NotImplementedError
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from victoriametrics_spark.engine import aggr as aggr_mod
+from victoriametrics_spark.engine import binop as binop_mod
+from victoriametrics_spark.engine import transform as transform_mod
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.engine.grid import grid_df, prepare_rollup_input
+from victoriametrics_spark.engine.rollup import (
+    PLANNER_LEVEL_ROLLUPS,
+    ROLLUP_ARG_IDX,
+    ROLLUPS,
+    RollupArgs,
+)
+from victoriametrics_spark.metricsql import parse
+from victoriametrics_spark.metricsql.ast import (
+    AggrFuncExpr,
+    BinaryOpExpr,
+    DurationExpr,
+    Expr,
+    FuncExpr,
+    MetricExpr,
+    NumberExpr,
+    RollupExpr,
+    StringExpr,
+)
+from victoriametrics_spark.metricsql.funcs import is_rollup_func
+
+SERIES_COLS = ["name", "labels", "ts", "value"]
+
+
+def EMPTY_LABELS() -> Column:
+    # lazy: PySpark needs an active session to construct Columns
+    return F.create_map().cast("map<string,string>")
+
+
+class PlanError(ValueError):
+    pass
+
+
+@dataclass
+class Scalar:
+    """Grid-dependent scalar: a column expression over the grid ts (ms)."""
+
+    fn: Callable[[Column], Column]
+    const: float | None = None
+
+    @staticmethod
+    def of(v: float) -> "Scalar":
+        return Scalar(fn=lambda ts, v=v: F.lit(float(v)), const=float(v))
+
+
+Plan = Union[Scalar, DataFrame]
+
+
+def anchored_regex(pattern: str) -> str:
+    """VM label regexes are fully anchored RE2 (lib/storage/tag_filters.go:160)."""
+    return f"^(?:{pattern})$"
+
+
+def selector_predicate(me: MetricExpr) -> Column:
+    """OR-of-AND label filter groups → one boolean Column
+    (SearchQuery.TagFilterss semantics, lib/storage/search.go:327-352)."""
+    group_preds: list[Column] = []
+    for group in me.label_filterss:
+        preds: list[Column] = []
+        for f in group:
+            if f.label == "__name__":
+                col = F.col("name")
+            else:
+                col = F.col("labels").getItem(f.label)
+            lv = F.coalesce(col, F.lit(""))  # missing label ≡ empty value
+            if f.op == "=":
+                preds.append(lv == F.lit(f.value))
+            elif f.op == "!=":
+                preds.append(lv != F.lit(f.value))
+            elif f.op == "=~":
+                preds.append(lv.rlike(anchored_regex(f.value)))
+            else:  # !~
+                preds.append(~lv.rlike(anchored_regex(f.value)))
+        if preds:
+            p = preds[0]
+            for q in preds[1:]:
+                p = p & q
+            group_preds.append(p)
+    if not group_preds:
+        return F.lit(True)
+    out = group_preds[0]
+    for q in group_preds[1:]:
+        out = out | q
+    return out
+
+
+class Planner:
+    def __init__(self, spark: SparkSession, samples: DataFrame, cfg: EvalConfig):
+        self.spark = spark
+        self.samples = samples
+        self.cfg = cfg
+        self._cse: dict[tuple[str, int, int, int], DataFrame] = {}
+
+    # ------------------------------------------------------------- public
+    def plan_query(self, query: str | Expr) -> DataFrame:
+        e = parse(query) if isinstance(query, str) else query
+        return self.materialize(self.plan(e, self.cfg), self.cfg)
+
+    # ------------------------------------------------------------ helpers
+    def materialize(self, p: Plan, cfg: EvalConfig) -> DataFrame:
+        if isinstance(p, Scalar):
+            g = grid_df(self.spark, cfg)
+            return g.select(
+                F.lit("").alias("name"),
+                EMPTY_LABELS().alias("labels"),
+                F.col("ts"),
+                p.fn(F.col("ts")).cast("double").alias("value"),
+            ).filter(F.col("value").isNotNull())
+        return p
+
+    def const_value(self, e: Expr, cfg: EvalConfig) -> float:
+        p = self.plan(e, cfg)
+        if isinstance(p, Scalar) and p.const is not None:
+            return p.const
+        raise PlanError(f"expected a constant scalar argument, got {e!r}")
+
+    # ------------------------------------------------------------ dispatch
+    def plan(self, e: Expr, cfg: EvalConfig) -> Plan:
+        if isinstance(e, NumberExpr):
+            return Scalar.of(e.value)
+        if isinstance(e, DurationExpr):
+            # duration used in scalar context = seconds (MetricsQL)
+            return Scalar.of(e.ms(cfg.step) / 1000.0)
+        if isinstance(e, StringExpr):
+            raise PlanError("string literal is not a valid query result")
+        if isinstance(e, MetricExpr):
+            return self.plan(
+                FuncExpr(name="default_rollup", args=[RollupExpr(expr=e)]), cfg
+            )
+        if isinstance(e, RollupExpr):
+            # bare m[5m] at top level → default_rollup over it
+            return self.plan(FuncExpr(name="default_rollup", args=[e]), cfg)
+        if isinstance(e, FuncExpr):
+            if is_rollup_func(e.name):
+                return self.plan_rollup_func(e, cfg)
+            return transform_mod.plan_transform(self, e, cfg)
+        if isinstance(e, AggrFuncExpr):
+            return aggr_mod.plan_aggr(self, e, cfg)
+        if isinstance(e, BinaryOpExpr):
+            return binop_mod.plan_binop(self, e, cfg)
+        raise PlanError(f"cannot plan {e!r}")
+
+    # ------------------------------------------------------------- leaves
+    def scan(self, me: MetricExpr) -> DataFrame:
+        """Selector → filtered raw samples (predicate pushdown to parquet)."""
+        return self.samples.filter(selector_predicate(me))
+
+    # ------------------------------------------------------------- rollups
+    def plan_rollup_func(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
+        name = fe.name
+        if name in PLANNER_LEVEL_ROLLUPS:
+            return self.plan_special_rollup(fe, cfg)
+        spec = ROLLUPS.get(name)
+        if spec is None:
+            raise PlanError(f"rollup function {name!r} not implemented")
+        idx = ROLLUP_ARG_IDX.get(name, 0)
+        if idx >= len(fe.args):
+            raise PlanError(f"{name}: missing series argument")
+        series_arg = fe.args[idx]
+        scalars = [
+            self.const_value(a, cfg)
+            for j, a in enumerate(fe.args)
+            if j != idx and not isinstance(a, StringExpr)
+        ]
+        re_ = (
+            series_arg
+            if isinstance(series_arg, RollupExpr)
+            else RollupExpr(expr=series_arg)
+        )
+        if re_.at is not None:
+            raise PlanError("@ modifier not supported yet")
+        offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
+        window_ms = re_.window.ms(cfg.step) if re_.window else None
+        raw, window_ms = self.rollup_input(re_, window_ms, offset_ms, cfg, name)
+        a = RollupArgs(window_ms=window_ms, step_ms=cfg.step, scalars=scalars)
+        prepared = prepare_rollup_input(
+            raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
+        )
+        grouped = (
+            prepared.groupBy("__series_key", "i")
+            .agg(
+                F.first("name").alias("name"),
+                F.first("labels").alias("labels"),
+                *spec.aggs(a),
+            )
+            .withColumn("gts", F.lit(cfg.start) + F.col("i") * F.lit(cfg.step))
+        )
+        keep = spec.keep_name or fe.keep_metric_names or re_.keep_metric_names
+        out = grouped.select(
+            (F.col("name") if keep else F.lit("")).alias("name"),
+            F.col("labels"),
+            F.col("gts").alias("ts"),
+            spec.post(a).cast("double").alias("value"),
+        )
+        return out.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+
+    def rollup_input(
+        self,
+        re_: RollupExpr,
+        window_ms: int | None,
+        offset_ms: int,
+        cfg: EvalConfig,
+        func_name: str,
+    ) -> tuple[DataFrame, int]:
+        """Resolve the raw input samples for a rollup: either a selector scan
+        or a recursively-evaluated subquery (eval.go:1033-1104)."""
+        inner = re_.expr
+        if isinstance(inner, MetricExpr):
+            if window_ms is None:
+                # window-default rules (rollup.go:738-757): no-window rollup
+                # looks back one step; default_rollup additionally applies
+                # the staleness lookback so sparse series keep reporting.
+                if func_name == "default_rollup":
+                    window_ms = max(cfg.step, cfg.max_lookback)
+                else:
+                    window_ms = cfg.step
+            return self.scan(inner), window_ms
+        # subquery: evaluate inner expr on a finer child grid, then roll up
+        sub_step = re_.step.ms(cfg.step) if re_.step else cfg.step
+        if window_ms is None:
+            window_ms = cfg.step
+        child_cfg = EvalConfig(
+            start=cfg.start - offset_ms - window_ms + sub_step,
+            end=cfg.end - offset_ms,
+            step=sub_step,
+            max_lookback=cfg.max_lookback,
+        )
+        inner_df = self.materialize(self.plan(inner, child_cfg), child_cfg)
+        # the rollup's own offset shift happens in prepare_rollup_input; the
+        # child range above is already shifted, so the shift maps it back
+        return inner_df, window_ms
+
+    # -------------------------------------------------- special rollups
+    def plan_special_rollup(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
+        name = fe.name
+        if name == "absent_over_time":
+            return self.plan_absent_over_time(fe, cfg)
+        raise PlanError(f"rollup function {name!r} not implemented yet")
+
+    def plan_absent_over_time(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
+        """1 at grid points where no sample exists in the window
+        (emits label set from equality filters of the selector, like VM)."""
+        re_ = fe.args[0]
+        if not isinstance(re_, RollupExpr):
+            re_ = RollupExpr(expr=re_)
+        window_ms = re_.window.ms(cfg.step) if re_.window else cfg.step
+        offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
+        raw, window_ms = self.rollup_input(re_, window_ms, offset_ms, cfg, fe.name)
+        prepared = prepare_rollup_input(raw, cfg, window_ms, offset_ms)
+        covered = prepared.select("i").distinct()
+        g = self.spark.range(cfg.num_points).select(F.col("id").alias("i"))
+        missing = g.join(covered, "i", "left_anti")
+        labels = EMPTY_LABELS()
+        if isinstance(re_.expr, MetricExpr) and re_.expr.label_filterss:
+            eq = [
+                (f.label, f.value)
+                for f in re_.expr.label_filterss[0]
+                if f.op == "=" and f.label != "__name__"
+            ]
+            if eq:
+                pairs = []
+                for k, v in eq:
+                    pairs += [F.lit(k), F.lit(v)]
+                labels = F.create_map(*pairs)
+        return missing.select(
+            F.lit("").alias("name"),
+            labels.alias("labels"),
+            (F.lit(cfg.start) + F.col("i") * F.lit(cfg.step)).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+
+
+def evaluate(
+    spark: SparkSession,
+    query: str | Expr,
+    samples: DataFrame,
+    cfg: EvalConfig,
+) -> DataFrame:
+    """Evaluate a MetricsQL range query over a sample DataFrame.
+
+    Returns DataFrame(name, labels, ts, value) on the grid
+    [cfg.start..cfg.end] step cfg.step.
+    """
+    return Planner(spark, samples, cfg).plan_query(query)

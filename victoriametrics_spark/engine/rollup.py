@@ -1,0 +1,455 @@
+"""Rollup function implementations (SURVEY.md §2.3) — 80 functions from
+vendor/.../metricsql/rollup.go:7-98, realized as Catalyst aggregate
+expressions over the contribution-exploded grid (engine/grid.py).
+
+Each spec declares:
+  needs_prev — requires per-sample lag columns (prev_value/prev_ts/dv/dt/
+               pos_dv), computed once per series before the explode
+               (VM's prevValue machinery, rollup.go:780-805)
+  keep_name  — function keeps the metric name (rollupFuncsKeepMetricName,
+               rollup.go:267)
+  aggs(a)    — list of aliased aggregate Columns evaluated per
+               (series, grid-point) group
+  post(a)    — final value expression over the agg aliases; NULL ⇒ no point
+
+All column expressions are built lazily (PySpark requires an active
+session to construct Columns, so nothing is created at import time).
+
+Semantics notes (documented decisions, chosen for SQL-oracle parity):
+- Counter functions (rate/increase/…) use per-sample reset-adjusted deltas
+  (pos_dv). A sample's delta refers to its previous sample even when that
+  sample lies before the window start — VM's prevValue behavior; the
+  ``*_prometheus`` variants restrict to strictly in-window pairs.
+- stddev/stdvar are population moments, like the reference.
+- quantile_over_time is exact linear-interpolated (VM sorts window
+  samples; Spark `percentile` matches).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RollupArgs:
+    window_ms: int
+    step_ms: int
+    scalars: list[float] = field(default_factory=list)  # non-series args
+
+    @property
+    def window_s(self) -> float:
+        return self.window_ms / 1000.0
+
+
+@dataclass
+class RollupSpec:
+    aggs: Callable[[RollupArgs], list[Column]]
+    post: Callable[[RollupArgs], Column]
+    needs_prev: bool = False
+    keep_name: bool = False
+
+
+ROLLUPS: dict[str, RollupSpec] = {}
+
+
+def _reg(name: str, spec: RollupSpec) -> None:
+    ROLLUPS[name] = spec
+
+
+def _simple(
+    name: str,
+    agg: Callable[[RollupArgs], Column],
+    *,
+    needs_prev: bool = False,
+    keep_name: bool = False,
+) -> None:
+    _reg(
+        name,
+        RollupSpec(
+            aggs=lambda a, agg=agg: [agg(a).alias("__v")],
+            post=lambda a: F.col("__v"),
+            needs_prev=needs_prev,
+            keep_name=keep_name,
+        ),
+    )
+
+
+# lazy column helpers (safe to call only at plan time)
+def V() -> Column:
+    return F.col("value")
+
+
+def TS() -> Column:
+    return F.col("ts")
+
+
+def PV() -> Column:  # previous sample's value (series order)
+    return F.col("prev_value")
+
+
+def PTS() -> Column:
+    return F.col("prev_ts")
+
+
+def DV() -> Column:
+    return F.col("dv")
+
+
+def DT() -> Column:
+    return F.col("dt")
+
+
+def POS_DV() -> Column:  # counter-reset-adjusted delta
+    return F.col("pos_dv")
+
+
+def GTS() -> Column:
+    return F.col("gts")
+
+
+def _first_v() -> Column:
+    return F.min_by(V(), TS())
+
+
+def _last_v() -> Column:
+    return F.max_by(V(), TS())
+
+
+def _first_ts() -> Column:
+    return F.min(TS())
+
+
+def _last_ts() -> Column:
+    return F.max(TS())
+
+
+# ---------------------------------------------------------------- simple
+_simple("sum_over_time", lambda a: F.sum(V()))
+_simple("avg_over_time", lambda a: F.avg(V()), keep_name=True)
+_simple("min_over_time", lambda a: F.min(V()), keep_name=True)
+_simple("max_over_time", lambda a: F.max(V()), keep_name=True)
+_simple("count_over_time", lambda a: F.count(V()).cast("double"))
+_simple("sum2_over_time", lambda a: F.sum(V() * V()))
+_simple("last_over_time", lambda a: _last_v(), keep_name=True)
+_simple("default_rollup", lambda a: _last_v(), keep_name=True)
+_simple("first_over_time", lambda a: _first_v(), keep_name=True)
+_simple("stddev_over_time", lambda a: F.stddev_pop(V()))
+_simple("stdvar_over_time", lambda a: F.var_pop(V()))
+_simple("distinct_over_time", lambda a: F.count_distinct(V()).cast("double"))
+_simple("geomean_over_time", lambda a: F.exp(F.avg(F.log(V()))), keep_name=True)
+_simple("median_over_time", lambda a: F.percentile(V(), F.lit(0.5)), keep_name=True)
+_simple("tmin_over_time", lambda a: F.min_by(TS(), V()) / 1000.0)
+_simple("tmax_over_time", lambda a: F.max_by(TS(), V()) / 1000.0)
+_simple("tfirst_over_time", lambda a: _first_ts() / 1000.0)
+_simple("tlast_over_time", lambda a: _last_ts() / 1000.0)
+_simple("timestamp", lambda a: _last_ts() / 1000.0)
+_simple("timestamp_with_name", lambda a: _last_ts() / 1000.0, keep_name=True)
+_simple("present_over_time", lambda a: F.lit(1.0))
+_simple("range_over_time", lambda a: F.max(V()) - F.min(V()))
+_simple("mode_over_time", lambda a: F.mode(V()), keep_name=True)
+_simple(
+    "zscore_over_time",
+    lambda a: (_last_v() - F.avg(V())) / F.stddev_pop(V()),
+)
+
+# integrate: left-Riemann sum(v_prev * dt) over in-window consecutive pairs
+# (rollup.go rollupIntegrate integrates value over sample intervals)
+_reg(
+    "integrate",
+    RollupSpec(
+        needs_prev=True,
+        aggs=lambda a: [
+            F.sum(
+                F.when(
+                    PTS().isNotNull() & (PTS() > GTS() - a.window_ms),
+                    PV() * DT() / 1000.0,
+                )
+            ).alias("__v")
+        ],
+        post=lambda a: F.col("__v"),
+    ),
+)
+
+
+# --------------------------------------------------- conditional families
+def _cond(op: str, a: RollupArgs) -> Column:
+    phi = F.lit(a.scalars[0])
+    if op == "eq":
+        return V() == phi
+    if op == "ne":
+        return V() != phi
+    if op == "gt":
+        return V() > phi
+    return V() <= phi
+
+
+def _make_cond(kind: str, op: str):
+    if kind == "count":
+        return lambda a: F.sum(F.when(_cond(op, a), 1).otherwise(0)).cast("double")
+    if kind == "sum":
+        return lambda a: F.sum(F.when(_cond(op, a), V()).otherwise(F.lit(0.0)))
+    return lambda a: (
+        F.sum(F.when(_cond(op, a), 1).otherwise(0)) / F.count(V())
+    ).cast("double")
+
+
+for _op in ("eq", "ne", "gt", "le"):
+    _simple(f"count_{_op}_over_time", _make_cond("count", _op))
+for _op in ("eq", "gt", "le"):
+    _simple(f"sum_{_op}_over_time", _make_cond("sum", _op))
+    _simple(f"share_{_op}_over_time", _make_cond("share", _op))
+
+
+# ------------------------------------------------------- counter semantics
+def _inc() -> Column:
+    return F.sum(POS_DV())
+
+
+_simple("increase", lambda a: _inc(), needs_prev=True)
+_simple("increase_pure", lambda a: _inc(), needs_prev=True)
+_simple("rate", lambda a: _inc() / F.lit(a.window_s), needs_prev=True)
+_simple("rollup_increase", lambda a: _inc(), needs_prev=True)
+
+
+def _inc_prom(a: RollupArgs) -> Column:
+    in_win = PTS().isNotNull() & (PTS() > GTS() - F.lit(a.window_ms))
+    return F.sum(F.when(in_win, POS_DV()))
+
+
+_simple("increase_prometheus", _inc_prom, needs_prev=True)
+_simple(
+    "rate_prometheus", lambda a: _inc_prom(a) / F.lit(a.window_s), needs_prev=True
+)
+_simple("delta_prometheus", lambda a: _last_v() - _first_v())
+
+# delta (VM flavor): last - first, using prev-of-first as base when present
+_reg(
+    "delta",
+    RollupSpec(
+        needs_prev=True,
+        aggs=lambda a: [
+            _last_v().alias("__last"),
+            _first_v().alias("__first"),
+            F.min_by(PV(), TS()).alias("__pfirst"),
+        ],
+        post=lambda a: F.col("__last")
+        - F.coalesce(F.col("__pfirst"), F.col("__first")),
+    ),
+)
+
+_simple(
+    "irate",
+    lambda a: F.max_by(
+        F.when(DT() > 0, POS_DV() / DT() * 1000.0), F.when(DT().isNotNull(), TS())
+    ),
+    needs_prev=True,
+)
+_simple(
+    "ideriv",
+    lambda a: F.max_by(
+        F.when(DT() > 0, DV() / DT() * 1000.0), F.when(DT().isNotNull(), TS())
+    ),
+    needs_prev=True,
+)
+_simple(
+    "idelta",
+    lambda a: F.max_by(DV(), F.when(DV().isNotNull(), TS())),
+    needs_prev=True,
+)
+_simple(
+    "deriv_fast",
+    lambda a: (_last_v() - _first_v()) / (_last_ts() - _first_ts()) * 1000.0,
+)
+
+# deriv: least-squares slope per second (VM linearRegression)
+_simple("deriv", lambda a: F.regr_slope(V(), TS() / 1000.0))
+
+_reg(
+    "predict_linear",
+    RollupSpec(
+        aggs=lambda a: [
+            F.regr_slope(V(), TS() / 1000.0).alias("__k"),
+            F.regr_intercept(V(), TS() / 1000.0).alias("__b"),
+        ],
+        # value at grid ts + horizon (VM: value at tEnd + k*secs)
+        post=lambda a: F.col("__b")
+        + F.col("__k") * (F.col("gts") / 1000.0 + F.lit(a.scalars[0])),
+        keep_name=True,
+    ),
+)
+
+_simple(
+    "resets",
+    lambda a: F.sum(F.when(PV().isNotNull() & (V() < PV()), 1).otherwise(0)).cast(
+        "double"
+    ),
+    needs_prev=True,
+)
+
+# ------------------------------------------------------- change detection
+_simple(
+    "changes",
+    lambda a: F.sum(F.when(PV().isNotNull() & (V() != PV()), 1).otherwise(0)).cast(
+        "double"
+    ),
+    needs_prev=True,
+)
+
+
+def _changes_prom(a: RollupArgs) -> Column:
+    in_win = PTS().isNotNull() & (PTS() > GTS() - F.lit(a.window_ms))
+    return F.sum(F.when(in_win & (V() != PV()), 1).otherwise(0)).cast("double")
+
+
+_simple("changes_prometheus", _changes_prom, needs_prev=True)
+_simple(
+    "increases_over_time",
+    lambda a: F.sum(F.when(PV().isNotNull() & (V() > PV()), 1).otherwise(0)).cast(
+        "double"
+    ),
+    needs_prev=True,
+)
+_simple(
+    "decreases_over_time",
+    lambda a: F.sum(F.when(PV().isNotNull() & (V() < PV()), 1).otherwise(0)).cast(
+        "double"
+    ),
+    needs_prev=True,
+)
+_simple(
+    "ascent_over_time",
+    lambda a: F.sum(F.when(PV().isNotNull() & (DV() > 0), DV())),
+    needs_prev=True,
+)
+_simple(
+    "descent_over_time",
+    lambda a: F.sum(F.when(PV().isNotNull() & (DV() < 0), -DV())),
+    needs_prev=True,
+)
+_simple(
+    "tlast_change_over_time",
+    lambda a: F.max(F.when(PV().isNotNull() & (V() != PV()), TS())) / 1000.0,
+    needs_prev=True,
+)
+
+# ------------------------------------------------------------ distribution
+_reg(
+    "quantile_over_time",
+    RollupSpec(
+        aggs=lambda a: [F.percentile(V(), F.lit(a.scalars[0])).alias("__v")],
+        post=lambda a: F.col("__v"),
+        keep_name=True,
+    ),
+)
+
+
+def _median_of_array(arr: Column) -> Column:
+    """Exact linear-interpolated median of an array column."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(s, ((n + 2) / 2).cast("int"))
+    return F.when(n > 0, (lo + hi) / 2.0)
+
+
+_reg(
+    "mad_over_time",
+    RollupSpec(
+        aggs=lambda a: [
+            F.collect_list(V()).alias("__vals"),
+            F.percentile(V(), F.lit(0.5)).alias("__med"),
+        ],
+        post=lambda a: _median_of_array(
+            F.transform(F.col("__vals"), lambda v: F.abs(v - F.col("__med")))
+        ),
+    ),
+)
+
+_reg(
+    "outlier_iqr_over_time",
+    RollupSpec(
+        # last value if outside [q25-1.5*iqr, q75+1.5*iqr], else no point
+        aggs=lambda a: [
+            F.percentile(V(), F.lit(0.25)).alias("__q25"),
+            F.percentile(V(), F.lit(0.75)).alias("__q75"),
+            _last_v().alias("__last"),
+        ],
+        post=lambda a: F.when(
+            (
+                F.col("__last")
+                < F.col("__q25") - 1.5 * (F.col("__q75") - F.col("__q25"))
+            )
+            | (
+                F.col("__last")
+                > F.col("__q75") + 1.5 * (F.col("__q75") - F.col("__q25"))
+            ),
+            F.col("__last"),
+        ),
+    ),
+)
+
+
+def _hoeffding(a: RollupArgs, upper: bool) -> Column:
+    # avg ± range*sqrt(ln(1/(1-phi)) / (2n))  (rollup.go rollupHoeffdingBound*)
+    phi = a.scalars[0]
+    bound = (
+        (F.max(V()) - F.min(V()))
+        * F.lit(math.sqrt(math.log(1.0 / max(1e-300, 1.0 - phi)) / 2.0))
+        / F.sqrt(F.count(V()))
+    )
+    return F.avg(V()) + bound if upper else F.avg(V()) - bound
+
+
+_simple("hoeffding_bound_upper", lambda a: _hoeffding(a, True), keep_name=True)
+_simple("hoeffding_bound_lower", lambda a: _hoeffding(a, False), keep_name=True)
+
+# ------------------------------------------------------------- timing/meta
+_simple("lag", lambda a: (GTS() - _last_ts()) / 1000.0)
+_simple("lifetime", lambda a: (_last_ts() - _first_ts()) / 1000.0)
+_simple(
+    "scrape_interval",
+    lambda a: ((_last_ts() - _first_ts()) / 1000.0) / (F.count(V()) - 1),
+)
+_simple("rate_over_sum", lambda a: F.sum(V()) / F.lit(a.window_s))
+
+
+def _duration_over_time(a: RollupArgs) -> Column:
+    # total time the series existed within the window, counting only gaps
+    # shorter than max_interval (scalar arg, seconds)
+    max_gap_ms = (a.scalars[0] if a.scalars else a.window_s) * 1000.0
+    return F.sum(F.when(DT().isNotNull() & (DT() <= F.lit(max_gap_ms)), DT())) / 1000.0
+
+
+_simple("duration_over_time", _duration_over_time, needs_prev=True)
+
+# absent_over_time handled by the planner (needs anti-grid semantics);
+# multi-output and stateful rollups are planner-level too.
+
+PLANNER_LEVEL_ROLLUPS = {
+    "absent_over_time",
+    "stale_samples_over_time",
+    "aggr_over_time",
+    "rollup",
+    "rollup_candlestick",
+    "rollup_delta",
+    "rollup_deriv",
+    "rollup_rate",
+    "rollup_scrape_interval",
+    "histogram_over_time",
+    "count_values_over_time",
+    "quantiles_over_time",
+    "holt_winters",
+    "smooth_exponential",
+}
+
+# rollup arg position when not 0 (VM getRollupArgIdx)
+ROLLUP_ARG_IDX = {
+    "quantile_over_time": 1,
+    "hoeffding_bound_lower": 1,
+    "hoeffding_bound_upper": 1,
+}

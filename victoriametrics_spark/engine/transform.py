@@ -1,0 +1,554 @@
+"""Transform functions (SURVEY.md §2.7) — pointwise / label / time
+transforms from vendor/.../metricsql/transform.go:7-121, realized as
+Catalyst column expressions (no shuffle for the pointwise group).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.metricsql.ast import Expr, FuncExpr, StringExpr
+from victoriametrics_spark.schema import series_key
+
+if TYPE_CHECKING:
+    from victoriametrics_spark.engine.planner import Plan, Planner
+
+
+# ------------------------------------------------------------ registries
+# pointwise math: value → value (names match pyspark.sql.functions where
+# they exist; VM semantics from transform.go)
+_MATH: dict[str, Callable[[Column], Column]] = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "sgn": F.signum,
+    "deg": F.degrees,
+    "rad": F.radians,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+}
+
+# time-component funcs over the sample value interpreted as unix seconds
+# (or over time() when no arg) — all UTC (transform.go, tzdata.go)
+_TIME_PARTS: dict[str, Callable[[Column], Column]] = {
+    "hour": lambda t: F.hour(t),
+    "minute": lambda t: F.minute(t),
+    "month": lambda t: F.month(t),
+    "year": lambda t: F.year(t),
+    "day_of_month": lambda t: F.dayofmonth(t),
+    "day_of_week": lambda t: F.dayofweek(t) - 1,  # VM: 0=Sunday
+    "day_of_year": lambda t: F.dayofyear(t),
+    "days_in_month": lambda t: F.dayofmonth(F.last_day(t)),
+}
+
+
+def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
+    from victoriametrics_spark.engine.planner import PlanError, Scalar
+
+    name = fe.name
+
+    # ---- pointwise math -------------------------------------------------
+    if name in _MATH:
+        f = _MATH[name]
+        return _pointwise(planner, fe, cfg, lambda v, ts: f(v))
+
+    if name == "round":
+        if len(fe.args) >= 2:
+            nearest = planner.const_value(fe.args[1], cfg)
+            return _pointwise(
+                planner, fe, cfg,
+                lambda v, ts: F.round(v / F.lit(nearest)) * F.lit(nearest),
+            )
+        return _pointwise(planner, fe, cfg, lambda v, ts: F.round(v))
+
+    if name in ("clamp", "clamp_min", "clamp_max"):
+        if name == "clamp":
+            lo = planner.const_value(fe.args[1], cfg)
+            hi = planner.const_value(fe.args[2], cfg)
+            fn = lambda v, ts: F.least(F.greatest(v, F.lit(lo)), F.lit(hi))  # noqa: E731
+        elif name == "clamp_min":
+            lo = planner.const_value(fe.args[1], cfg)
+            fn = lambda v, ts: F.greatest(v, F.lit(lo))  # noqa: E731
+        else:
+            hi = planner.const_value(fe.args[1], cfg)
+            fn = lambda v, ts: F.least(v, F.lit(hi))  # noqa: E731
+        return _pointwise(planner, fe, cfg, fn, keep_name=True)
+
+    if name == "pi":
+        return Scalar.of(math.pi)
+
+    # ---- query-context scalars ------------------------------------------
+    if name == "time":
+        return Scalar(fn=lambda ts: ts / 1000.0)
+    if name == "now":
+        import time as _t
+
+        return Scalar.of(_t.time())
+    if name == "start":
+        return Scalar.of(cfg.start / 1000.0)
+    if name == "end":
+        return Scalar.of(cfg.end / 1000.0)
+    if name == "step":
+        return Scalar.of(cfg.step / 1000.0)
+
+    if name in _TIME_PARTS:
+        part = _TIME_PARTS[name]
+        tcol = lambda v: part(F.timestamp_seconds(v)).cast("double")  # noqa: E731
+        if not fe.args:
+            return Scalar(fn=lambda ts: tcol(ts / 1000.0))
+        return _pointwise(planner, fe, cfg, lambda v, ts: tcol(v))
+
+    if name == "timezone_offset":
+        if not fe.args or not isinstance(fe.args[0], StringExpr):
+            raise PlanError("timezone_offset needs a timezone string")
+        tz = fe.args[0].value
+        # offset seconds of tz at each grid timestamp
+        return Scalar(
+            fn=lambda ts: (
+                F.unix_timestamp(
+                    F.to_utc_timestamp(F.timestamp_seconds(ts / 1000.0), tz)
+                )
+                - ts / 1000.0
+            )
+            * -1.0
+        )
+
+    # ---- scalar/vector conversion ---------------------------------------
+    if name == "scalar":
+        p = planner.plan(fe.args[0], cfg)
+        if isinstance(p, Scalar):
+            return p
+        # series → scalar: value when exactly one series exists at a ts
+        w = Window.partitionBy("ts")
+        df = p.withColumn("__n", F.count("*").over(w))
+        df = df.filter(F.col("__n") == 1).drop("__n")
+        return df.select(
+            F.lit("").alias("name"), F.lit(None).cast("map<string,string>").alias("labels"),
+            "ts", "value",
+        )
+
+    if name == "vector":
+        p = planner.plan(fe.args[0], cfg)
+        return planner.materialize(p, cfg)
+
+    if name == "union" or name == "":
+        dfs = [planner.materialize(planner.plan(a, cfg), cfg) for a in fe.args]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    if name == "absent":
+        p = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        covered = p.select("ts").distinct()
+        from victoriametrics_spark.engine.grid import grid_df
+        from victoriametrics_spark.engine.planner import EMPTY_LABELS
+
+        g = grid_df(planner.spark, cfg)
+        missing = g.join(covered, "ts", "left_anti")
+        return missing.select(
+            F.lit("").alias("name"),
+            EMPTY_LABELS().alias("labels"),
+            "ts",
+            F.lit(1.0).alias("value"),
+        )
+
+    # ---- gap filling ------------------------------------------------------
+    if name in ("keep_last_value", "keep_next_value", "interpolate"):
+        return _gap_fill(planner, fe, cfg, name)
+
+    # ---- running / range windows -----------------------------------------
+    if name.startswith("running_"):
+        return _running(planner, fe, cfg, name[len("running_") :])
+    if name.startswith("range_"):
+        return _range_fn(planner, fe, cfg, name[len("range_") :])
+
+    # ---- label manipulation ------------------------------------------------
+    if name.startswith("label_") or name in ("drop_common_labels", "labels_equal"):
+        return _label_fn(planner, fe, cfg, name)
+
+    # ---- sorting (presentation) -------------------------------------------
+    if name in ("sort", "sort_desc"):
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        return df  # ordering applied at result shaping; row set unchanged
+
+    if name == "limit_offset":
+        limit = int(planner.const_value(fe.args[0], cfg))
+        offset = int(planner.const_value(fe.args[1], cfg))
+        df = planner.materialize(planner.plan(fe.args[2], cfg), cfg)
+        key = series_key(F.col("name"), F.col("labels"))
+        w = Window.orderBy(key)
+        ranked = df.withColumn("__rank", F.dense_rank().over(w))
+        return ranked.filter(
+            (F.col("__rank") > offset) & (F.col("__rank") <= offset + limit)
+        ).drop("__rank")
+
+    if name == "drop_empty_series":
+        return planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+
+    raise PlanError(f"transform function {name!r} not implemented yet")
+
+
+# ---------------------------------------------------------------- helpers
+def _pointwise(planner, fe, cfg, fn, keep_name: bool = False):
+    from victoriametrics_spark.engine.planner import Scalar
+
+    p = planner.plan(fe.args[0] if fe.args else None, cfg) if fe.args else None
+    if p is None:
+        raise ValueError(f"{fe.name} needs an argument")
+    if isinstance(p, Scalar):
+        inner = p.fn
+        return Scalar(
+            fn=lambda ts: fn(inner(ts), ts),
+            const=None,
+        )
+    keep = keep_name or fe.keep_metric_names
+    out = p.withColumn("value", fn(F.col("value"), F.col("ts")).cast("double"))
+    if not keep:
+        out = out.withColumn("name", F.lit(""))
+    return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
+
+def _series_window(df: DataFrame):
+    key = series_key(F.col("name"), F.col("labels"))
+    return df.withColumn("__sk", key), Window.partitionBy("__sk").orderBy("ts")
+
+
+def _gap_fill(planner, fe, cfg, name):
+    """Fill grid gaps per series: forward / backward / linear
+    (transform.go keep_last_value / keep_next_value / interpolate)."""
+    from victoriametrics_spark.engine.grid import grid_df
+
+    df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+    # densify: every (series, grid ts) cell
+    sk = series_key(F.col("name"), F.col("labels"))
+    series = df.select(
+        sk.alias("__sk"), F.col("name"), F.col("labels")
+    ).distinct()
+    g = grid_df(planner.spark, cfg)
+    dense = series.crossJoin(g)
+    vals = df.select(sk.alias("__sk"), F.col("ts"), F.col("value"))
+    dense = dense.join(vals, ["__sk", "ts"], "left")
+    w = Window.partitionBy("__sk").orderBy("ts")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    wb = w.rowsBetween(0, Window.unboundedFollowing)
+    if name == "keep_last_value":
+        filled = F.coalesce(F.col("value"), F.last("value", ignorenulls=True).over(wf))
+    elif name == "keep_next_value":
+        filled = F.coalesce(F.col("value"), F.first("value", ignorenulls=True).over(wb))
+    else:  # interpolate — linear between neighbors, edges extend flat
+        prev_v = F.last("value", ignorenulls=True).over(wf)
+        next_v = F.first("value", ignorenulls=True).over(wb)
+        prev_t = F.last(F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True).over(wf)
+        next_t = F.first(F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True).over(wb)
+        frac = (F.col("ts") - prev_t) / (next_t - prev_t)
+        interp = prev_v + (next_v - prev_v) * frac
+        filled = F.coalesce(
+            F.col("value"),
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp),
+            prev_v,
+            next_v,
+        )
+    out = dense.withColumn("value", filled).filter(F.col("value").isNotNull())
+    return out.select("name", "labels", "ts", "value")
+
+
+_RUNNING_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def _running(planner, fe, cfg, agg_name):
+    """running_sum/avg/min/max — cumulative from query start per series."""
+    df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+    agg = _RUNNING_AGGS.get(agg_name)
+    if agg is None:
+        from victoriametrics_spark.engine.planner import PlanError
+
+        raise PlanError(f"running_{agg_name} not implemented")
+    dfk, w = _series_window(df)
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = dfk.withColumn("value", agg("value").over(wf).cast("double"))
+    return out.select("name", "labels", "ts", "value").withColumn(
+        "name", F.lit("")
+    )
+
+
+_RANGE_AGGS: dict[str, Callable] = {
+    "sum": lambda df, w: F.sum("value").over(w),
+    "avg": lambda df, w: F.avg("value").over(w),
+    "min": lambda df, w: F.min("value").over(w),
+    "max": lambda df, w: F.max("value").over(w),
+    "first": lambda df, w: F.first("value").over(w),
+    "last": lambda df, w: F.last("value").over(w),
+    "stddev": lambda df, w: F.stddev_pop("value").over(w),
+    "stdvar": lambda df, w: F.var_pop("value").over(w),
+}
+
+
+def _range_fn(planner, fe, cfg, agg_name):
+    """range_* — whole-query-range stat broadcast back to every point."""
+    from victoriametrics_spark.engine.planner import PlanError
+
+    df = planner.materialize(planner.plan(fe.args[-1], cfg), cfg)
+    dfk, w = _series_window(df)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    if agg_name in _RANGE_AGGS:
+        val = _RANGE_AGGS[agg_name](dfk, wfull)
+    elif agg_name == "quantile":
+        phi = planner.const_value(fe.args[0], cfg)
+        val = F.percentile("value", F.lit(phi)).over(wfull)
+    elif agg_name == "median":
+        val = F.percentile("value", F.lit(0.5)).over(wfull)
+    elif agg_name == "normalize":
+        mn = F.min("value").over(wfull)
+        mx = F.max("value").over(wfull)
+        val = (F.col("value") - mn) / (mx - mn)
+    elif agg_name == "zscore":
+        val = (F.col("value") - F.avg("value").over(wfull)) / F.stddev_pop(
+            "value"
+        ).over(wfull)
+    elif agg_name == "linear_regression":
+        # per-series least squares over the whole range
+        k = F.regr_slope(F.col("value"), F.col("ts") / 1000.0).over(wfull)
+        b = F.regr_intercept(F.col("value"), F.col("ts") / 1000.0).over(wfull)
+        val = b + k * (F.col("ts") / 1000.0)
+    elif agg_name == "trim_outliers":
+        k = planner.const_value(fe.args[0], cfg)
+        med = F.percentile("value", F.lit(0.5)).over(wfull)
+        dev = F.abs(F.col("value") - med)
+        mad = F.percentile(dev, F.lit(0.5)).over(wfull)
+        out = dfk.withColumn("__keep", dev <= F.lit(k) * mad)
+        return (
+            out.filter("__keep")
+            .select("name", "labels", "ts", "value")
+            .withColumn("name", F.lit(""))
+        )
+    elif agg_name == "trim_zscore":
+        z = planner.const_value(fe.args[0], cfg)
+        mean = F.avg("value").over(wfull)
+        sd = F.stddev_pop("value").over(wfull)
+        out = dfk.withColumn("__keep", F.abs((F.col("value") - mean) / sd) <= F.lit(abs(z)))
+        return (
+            out.filter("__keep")
+            .select("name", "labels", "ts", "value")
+            .withColumn("name", F.lit(""))
+        )
+    else:
+        raise PlanError(f"range_{agg_name} not implemented yet")
+    out = dfk.withColumn("value", val.cast("double"))
+    return (
+        out.select("name", "labels", "ts", "value")
+        .withColumn("name", F.lit(""))
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+
+
+def _str_args(fe: FuncExpr, frm: int = 1) -> list[str]:
+    out = []
+    for a in fe.args[frm:]:
+        if not isinstance(a, StringExpr):
+            raise ValueError(f"{fe.name}: expected string argument, got {a!r}")
+        out.append(a.value)
+    return out
+
+
+def _label_fn(planner, fe, cfg, name):
+    """Label-map edits via map_* higher-order functions (no shuffle)."""
+    from victoriametrics_spark.engine.planner import PlanError
+
+    if name == "labels_equal":
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        keys = _str_args(fe)
+        if len(keys) < 2:
+            raise PlanError("labels_equal needs at least 2 label names")
+        cond = F.lit(True)
+        base = F.coalesce(F.col("labels").getItem(keys[0]), F.lit(""))
+        for k in keys[1:]:
+            cond = cond & (
+                F.coalesce(F.col("labels").getItem(k), F.lit("")) == base
+            )
+        return df.filter(cond)
+
+    df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+    labels = F.col("labels")
+
+    if name == "label_set":
+        # label_set(q, "k1","v1", ...) — NB: __name__ settable
+        kvs = _str_args(fe)
+        out = df
+        for k, v in zip(kvs[0::2], kvs[1::2]):
+            if k == "__name__":
+                out = out.withColumn("name", F.lit(v))
+            elif v == "":
+                out = out.withColumn(
+                    "labels", F.map_filter(F.col("labels"), lambda mk, mv, k=k: mk != F.lit(k))
+                )
+            else:
+                out = out.withColumn(
+                    "labels",
+                    F.map_concat(
+                        F.map_filter(F.col("labels"), lambda mk, mv, k=k: mk != F.lit(k)),
+                        F.create_map(F.lit(k), F.lit(v)),
+                    ),
+                )
+        return out
+
+    if name == "label_del":
+        ks = _str_args(fe)
+        return df.withColumn(
+            "labels",
+            F.map_filter(labels, lambda k, v: ~k.isin(*[str(x) for x in ks])),
+        )
+
+    if name == "label_keep":
+        ks = _str_args(fe)
+        return df.withColumn(
+            "labels",
+            F.map_filter(labels, lambda k, v: k.isin(*[str(x) for x in ks])),
+        )
+
+    if name in ("label_lowercase", "label_uppercase"):
+        ks = _str_args(fe)
+        f = F.lower if name == "label_lowercase" else F.upper
+        return df.withColumn(
+            "labels",
+            F.transform_values(
+                labels, lambda k, v: F.when(k.isin(*ks), f(v)).otherwise(v)
+            ),
+        )
+
+    if name in ("label_copy", "label_move"):
+        kvs = _str_args(fe)
+        out = df
+        for src, dst in zip(kvs[0::2], kvs[1::2]):
+            src_v = F.col("labels").getItem(src)
+            out = out.withColumn(
+                "labels",
+                F.when(
+                    src_v.isNotNull(),
+                    F.map_concat(
+                        F.map_filter(F.col("labels"), lambda k, v, dst=dst: k != F.lit(dst)),
+                        F.create_map(F.lit(dst), src_v),
+                    ),
+                ).otherwise(F.col("labels")),
+            )
+            if name == "label_move":
+                out = out.withColumn(
+                    "labels",
+                    F.when(
+                        src_v.isNotNull(),
+                        F.map_filter(F.col("labels"), lambda k, v, src=src: k != F.lit(src)),
+                    ).otherwise(F.col("labels")),
+                )
+        return out
+
+    if name == "label_join":
+        # label_join(q, dst, sep, src1, src2, ...)
+        args = _str_args(fe)
+        dst, sep, srcs = args[0], args[1], args[2:]
+        joined = F.concat_ws(
+            sep, *[F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
+        )
+        return df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst)),
+                F.create_map(F.lit(dst), joined),
+            ),
+        )
+
+    if name == "label_replace":
+        # label_replace(q, dst, replacement, src, regex) — PromQL-compat:
+        # applies only when regex matches the full src value
+        args = _str_args(fe)
+        dst, repl, src, regex = args[0], args[1], args[2], args[3]
+        src_v = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+        matches = src_v.rlike(f"^(?:{regex})$")
+        # Java regex replacement uses $1 syntax; PromQL uses $1 too
+        new_v = F.regexp_replace(src_v, f"^(?:{regex})$", repl)
+        set_map = F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst)),
+            F.create_map(F.lit(dst), new_v),
+        )
+        del_map = F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst))
+        return df.withColumn(
+            "labels",
+            F.when(matches & (new_v != ""), set_map)
+            .when(matches & (new_v == ""), del_map)
+            .otherwise(F.col("labels")),
+        )
+
+    if name == "label_value":
+        k = _str_args(fe)[0]
+        out = df.withColumn("value", F.col("labels").getItem(k).cast("double"))
+        return out.filter(F.col("value").isNotNull())
+
+    if name in ("label_match", "label_mismatch"):
+        args = _str_args(fe)
+        k, regex = args[0], args[1]
+        lv = F.coalesce(F.col("labels").getItem(k), F.lit(""))
+        cond = lv.rlike(f"^(?:{regex})$")
+        return df.filter(cond if name == "label_match" else ~cond)
+
+    if name == "label_transform":
+        args = _str_args(fe)
+        k, regex, repl = args[0], args[1], args[2]
+        return df.withColumn(
+            "labels",
+            F.transform_values(
+                labels,
+                lambda mk, mv, k=k: F.when(
+                    mk == F.lit(k), F.regexp_replace(mv, regex, repl)
+                ).otherwise(mv),
+            ),
+        )
+
+    if name == "drop_common_labels":
+        # drop labels whose (k,v) is identical across every series
+        sk = series_key(F.col("name"), F.col("labels"))
+        series = df.select(sk.alias("__sk"), "labels").distinct()
+        n = series.count()
+        kv = series.select(F.explode("labels").alias("k", "v"))
+        common = (
+            kv.groupBy("k", "v")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") == n)
+            .select("k")
+            .collect()
+        )
+        common_keys = [r["k"] for r in common]
+        if not common_keys:
+            return df
+        return df.withColumn(
+            "labels", F.map_filter(labels, lambda k, v: ~k.isin(*common_keys))
+        )
+
+    from victoriametrics_spark.engine.planner import PlanError
+
+    raise PlanError(f"label function {name!r} not implemented yet")

@@ -41,6 +41,9 @@ def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata uses TIMESTAMP(NANOS) which vanilla Spark rejects;
+        # read as long (ns) and convert in the table loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # MapType/timestamp-safe Arrow fallback instead of hard error.
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")

@@ -12,13 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from victoriametrics_spark.schema import samples_from_columns
+from victoriametrics_spark.sources.tables import load_table
 
 METRIC_NAME = "events_value"
 N_USER_BUCKETS = 10
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return load_table(spark, sf_dir, "events")
 
 
 def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

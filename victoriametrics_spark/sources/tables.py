@@ -1,0 +1,47 @@
+"""Loader for the driver-generated TPC-H-ish testdata tables.
+
+The parquet files store TIMESTAMP(NANOS), which Spark reads only with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) — the
+loader converts those long-nanos columns back to proper timestamps so
+query code sees the same schema DuckDB does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        if isinstance(df.schema[c].dataType, LongType):
+            # long nanos → microseconds → timestamp (UTC session)
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql()."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
