@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each query.
+
+MetricsQL gate queries run over the ``events`` table mapped to the
+canonical sample schema (metric ``events_value``, labels
+{event_type, user_bucket=user_id%10} — see
+victoriametrics_spark/sources/events.py). Both sides evaluate on the
+same grid (Jan 2024, 6h step) with the same documented semantics
+(lookbehind window (g-W, g], per-series lag for counter functions),
+and round values to 6 decimals so independent float summation orders
+cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +19,495 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- grid
+GRID_START = 1704067200000  # 2024-01-01T00:00:00Z
+GRID_END = 1706659200000  # 2024-01-31T00:00:00Z
+GRID_STEP = 21600000  # 6h → 121 points
+W1D = 86400000
+W6H = 21600000
+
+_SAMPLES_SQL = """
+    SELECT
+        event_type,
+        CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+        CAST(epoch_ms(ts) AS BIGINT) AS ts,
+        value
+    FROM events
+"""
+
+_GRID_SQL = (
+    f"SELECT CAST(r.range AS BIGINT) AS gts FROM "
+    f"range({GRID_START}, {GRID_END} + 1, {GRID_STEP}) r"
+)
+
+
+def _cfg():
+    from victoriametrics_spark import EvalConfig
+
+    return EvalConfig(start=GRID_START, end=GRID_END, step=GRID_STEP)
+
+
+def _mq(metricsql: str, labels: tuple[str, ...], scale: float = 1.0) -> Callable:
+    """Run a MetricsQL query through the engine; flatten labels to columns.
+
+    ``scale`` multiplies the value before rounding — used to bring
+    rate-family outputs back to the inputs' natural decimal scale so the
+    6-decimal rounding never sits on a representation boundary (clean
+    2-decimal inputs divided by 86400 land exactly on x.xxxxxx5)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from victoriametrics_spark import evaluate
+        from victoriametrics_spark.sources.events import events_as_samples
+
+        samples = events_as_samples(spark, sf_dir)
+        df = evaluate(spark, metricsql, samples, _cfg())
+        cols = [
+            F.col("labels").getItem(lbl).alias(lbl) for lbl in labels
+        ]
+        return df.select(
+            *cols,
+            F.col("ts"),
+            F.round(F.col("value") * F.lit(scale), 6).alias("value"),
+        )
+
+    return run
+
+
+def _rollup_oracle(
+    agg: str,
+    window_ms: int,
+    *,
+    needs_prev: bool = False,
+    outer: str | None = None,
+    having: str = "value IS NOT NULL",
+    scale: float = 1.0,
+) -> str:
+    """DuckDB oracle for a per-series grid rollup, optionally with an outer
+    cross-series aggregate grouped by event_type."""
+    prev_cols = (
+        """,
+               lag(value) OVER w AS prev_value,
+               lag(ts)    OVER w AS prev_ts"""
+        if needs_prev
+        else ""
+    )
+    derived = (
+        """,
+               CASE WHEN prev_value IS NULL THEN NULL
+                    WHEN value >= prev_value THEN value - prev_value
+                    ELSE value END AS pos_dv,
+               value - prev_value AS dv,
+               ts - prev_ts AS dt"""
+        if needs_prev
+        else ""
+    )
+    sql = f"""
+WITH samples AS ({_SAMPLES_SQL}),
+wp AS (
+    SELECT samples.*{prev_cols}
+    FROM samples
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT wp.*{derived}, g.gts
+    FROM wp JOIN grid g
+      ON wp.ts > g.gts - {window_ms} AND wp.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, {agg} AS value
+    FROM j GROUP BY 1, 2, 3
+)"""
+    if outer is None:
+        return (
+            sql
+            + f"""
+SELECT event_type, user_bucket, gts AS ts, round(value * {scale!r}, 6) AS value
+FROM per_series WHERE {having}"""
+        )
+    return (
+        sql
+        + f"""
+SELECT event_type, gts AS ts, round(({outer}) * {scale!r}, 6) AS value
+FROM per_series WHERE {having} GROUP BY 1, 2"""
+    )
+
+
+# ------------------------------------------------------------ registry
+# name → (spark callable, oracle sql | None)
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {}
+
+
+def _reg(name: str, fn: Callable, sql: str | None) -> None:
+    _REGISTRY[name] = (fn, sql)
+
+
+PER_SERIES = ("event_type", "user_bucket")
+BY_TYPE = ("event_type",)
+
+# ---- simple *_over_time rollups (per series) --------------------------
+for _name, _mq_fn, _agg in [
+    ("mq_sum_over_time", "sum_over_time(events_value[1d])", "sum(value)"),
+    ("mq_avg_over_time", "avg_over_time(events_value[1d])", "avg(value)"),
+    ("mq_min_over_time", "min_over_time(events_value[1d])", "min(value)"),
+    ("mq_max_over_time", "max_over_time(events_value[1d])", "max(value)"),
+    (
+        "mq_count_over_time",
+        "count_over_time(events_value[1d])",
+        "CAST(count(value) AS DOUBLE)",
+    ),
+    (
+        "mq_distinct_over_time",
+        "distinct_over_time(events_value[1d])",
+        "CAST(count(DISTINCT value) AS DOUBLE)",
+    ),
+    ("mq_sum2_over_time", "sum2_over_time(events_value[1d])", "sum(value*value)"),
+    (
+        "mq_stddev_over_time",
+        "stddev_over_time(events_value[1d])",
+        "stddev_pop(value)",
+    ),
+    ("mq_stdvar_over_time", "stdvar_over_time(events_value[1d])", "var_pop(value)"),
+    (
+        "mq_range_over_time",
+        "range_over_time(events_value[1d])",
+        "max(value) - min(value)",
+    ),
+    (
+        "mq_geomean_over_time",
+        "geomean_over_time(events_value[1d])",
+        "exp(avg(ln(value)))",
+    ),
+    (
+        "mq_last_over_time",
+        "last_over_time(events_value[1d])",
+        "max_by(value, ts)",
+    ),
+    (
+        "mq_first_over_time",
+        "first_over_time(events_value[1d])",
+        "min_by(value, ts)",
+    ),
+    (
+        "mq_median_over_time",
+        "median_over_time(events_value[1d])",
+        "quantile_cont(value, 0.5)",
+    ),
+    (
+        "mq_quantile_over_time",
+        "quantile_over_time(0.9, events_value[1d])",
+        "quantile_cont(value, 0.9)",
+    ),
+    (
+        "mq_timestamp",
+        "timestamp(events_value[1d])",
+        "max(ts) / 1000.0",
+    ),
+    (
+        "mq_present_over_time",
+        "present_over_time(events_value[1d])",
+        "1.0",
+    ),
+    (
+        "mq_count_gt_over_time",
+        "count_gt_over_time(events_value[1d], 100)",
+        "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)",
+    ),
+    (
+        "mq_count_le_over_time",
+        "count_le_over_time(events_value[1d], 100)",
+        "CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE)",
+    ),
+    (
+        "mq_sum_gt_over_time",
+        "sum_gt_over_time(events_value[1d], 100)",
+        "sum(CASE WHEN value > 100 THEN value ELSE 0.0 END)",
+    ),
+    (
+        "mq_share_gt_over_time",
+        "share_gt_over_time(events_value[1d], 100)",
+        "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(value)",
+    ),
+
+    (
+        "mq_lifetime",
+        "lifetime(events_value[1d])",
+        "(max(ts) - min(ts)) / 1000.0",
+    ),
+    (
+        "mq_lag",
+        "lag(events_value[1d])",
+        "(gts - max(ts)) / 1000.0",
+    ),
+    (
+        "mq_scrape_interval",
+        "scrape_interval(events_value[1d])",
+        "((max(ts) - min(ts)) / 1000.0) / (count(value) - 1)",
+    ),
+    (
+        "mq_deriv_fast",
+        "deriv_fast(events_value[1d])",
+        "(max_by(value, ts) - min_by(value, ts)) / (max(ts) - min(ts)) * 1000.0",
+    ),
+    (
+        "mq_deriv",
+        "deriv(events_value[1d])",
+        "regr_slope(value, (ts - gts) / 1000.0)",
+    ),
+    (
+        "mq_zscore_over_time",
+        "zscore_over_time(events_value[1d])",
+        "(max_by(value, ts) - avg(value)) / stddev_pop(value)",
+    ),
+]:
+    _reg(_name, _mq(_mq_fn, PER_SERIES), _rollup_oracle(_agg, W1D))
+
+# ---- counter-semantics rollups (need lag) ----------------------------
+for _name, _mq_fn, _agg in [
+    ("mq_increase", "increase(events_value[1d])", "sum(pos_dv)"),
+    ("mq_delta", "delta(events_value[1d])",
+     "max_by(value, ts) - coalesce(min_by(prev_value, ts), min_by(value, ts))"),
+    ("mq_delta_prometheus", "delta_prometheus(events_value[1d])",
+     "max_by(value, ts) - min_by(value, ts)"),
+    ("mq_idelta", "idelta(events_value[1d])",
+     "max_by(dv, CASE WHEN dv IS NOT NULL THEN ts END)"),
+    (
+        "mq_resets",
+        "resets(events_value[1d])",
+        "CAST(sum(CASE WHEN prev_value IS NOT NULL AND value < prev_value"
+        " THEN 1 ELSE 0 END) AS DOUBLE)",
+    ),
+    (
+        "mq_changes",
+        "changes(events_value[1d])",
+        "CAST(sum(CASE WHEN prev_value IS NOT NULL AND value != prev_value"
+        " THEN 1 ELSE 0 END) AS DOUBLE)",
+    ),
+    (
+        "mq_increases_over_time",
+        "increases_over_time(events_value[1d])",
+        "CAST(sum(CASE WHEN prev_value IS NOT NULL AND value > prev_value"
+        " THEN 1 ELSE 0 END) AS DOUBLE)",
+    ),
+    (
+        "mq_ascent_over_time",
+        "ascent_over_time(events_value[1d])",
+        "sum(CASE WHEN prev_value IS NOT NULL AND dv > 0 THEN dv END)",
+    ),
+    (
+        "mq_descent_over_time",
+        "descent_over_time(events_value[1d])",
+        "sum(CASE WHEN prev_value IS NOT NULL AND dv < 0 THEN -dv END)",
+    ),
+    (
+        "mq_increase_prometheus",
+        "increase_prometheus(events_value[1d])",
+        f"sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > gts - {W1D}"
+        " THEN pos_dv END)",
+    ),
+    (
+        "mq_integrate",
+        "integrate(events_value[1d])",
+        f"sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > gts - {W1D}"
+        " THEN prev_value * dt / 1000.0 END)",
+    ),
+]:
+    _reg(_name, _mq(_mq_fn, PER_SERIES), _rollup_oracle(_agg, W1D, needs_prev=True))
+
+# rate-family (scaled back to natural decimal range: see _mq docstring)
+_reg(
+    "mq_rate",
+    _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0),
+    _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
+)
+_reg(
+    "mq_rate_over_sum",
+    _mq("rate_over_sum(events_value[1d])", PER_SERIES, scale=86400.0),
+    _rollup_oracle("sum(value) / 86400.0", W1D, scale=86400.0),
+)
+
+# ---- cross-series aggregates over rollups ----------------------------
+for _name, _mq_fn, _inner, _outer, _needs_prev in [
+    (
+        "mq_max_avgot_by",
+        "max(avg_over_time(events_value[1d])) by (event_type)",
+        "avg(value)",
+        "max(value)",
+        False,
+    ),
+    (
+        "mq_min_avgot_by",
+        "min(avg_over_time(events_value[1d])) by (event_type)",
+        "avg(value)",
+        "min(value)",
+        False,
+    ),
+    (
+        "mq_count_series_by",
+        "count(last_over_time(events_value[1d])) by (event_type)",
+        "max_by(value, ts)",
+        "CAST(count(value) AS DOUBLE)",
+        False,
+    ),
+    (
+        "mq_stddev_sumot_by",
+        "stddev(sum_over_time(events_value[1d])) by (event_type)",
+        "sum(value)",
+        "stddev_pop(value)",
+        False,
+    ),
+    (
+        "mq_quantile_sumot_by",
+        "quantile(0.75, sum_over_time(events_value[1d])) by (event_type)",
+        "sum(value)",
+        "quantile_cont(value, 0.75)",
+        False,
+    ),
+    (
+        "mq_median_cntot_by",
+        "median(count_over_time(events_value[1d])) by (event_type)",
+        "CAST(count(value) AS DOUBLE)",
+        "quantile_cont(value, 0.5)",
+        False,
+    ),
+]:
+    _reg(
+        _name,
+        _mq(_mq_fn, BY_TYPE),
+        _rollup_oracle(_inner, W1D, needs_prev=_needs_prev, outer=_outer),
+    )
+
+_reg(
+    "mq_sum_rate_by",
+    _mq("sum(rate(events_value[1d])) by (event_type)", BY_TYPE, scale=86400.0),
+    _rollup_oracle(
+        "sum(pos_dv) / 86400.0", W1D, needs_prev=True, outer="sum(value)",
+        scale=86400.0,
+    ),
+)
+_reg(
+    "mq_avg_rate_by",
+    _mq("avg(rate(events_value[1d])) by (event_type)", BY_TYPE, scale=86400.0),
+    _rollup_oracle(
+        "sum(pos_dv) / 86400.0", W1D, needs_prev=True, outer="avg(value)",
+        scale=86400.0,
+    ),
+)
+
+# total (no grouping labels): sum over every series
+_reg(
+    "mq_sum_rate_total",
+    _mq("sum(rate(events_value[1d]))", (), scale=86400.0),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+wp AS (
+    SELECT samples.*,
+           lag(value) OVER w AS prev_value
+    FROM samples
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT wp.*,
+           CASE WHEN prev_value IS NULL THEN NULL
+                WHEN value >= prev_value THEN value - prev_value
+                ELSE value END AS pos_dv,
+           g.gts
+    FROM wp JOIN grid g ON wp.ts > g.gts - {W1D} AND wp.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, sum(pos_dv) / 86400.0 AS value
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT gts AS ts, round(sum(value) * 86400.0, 6) AS value
+FROM per_series WHERE value IS NOT NULL GROUP BY 1""",
+)
+
+# ---- binary operation: ratio of two selector aggregates ---------------
+_reg(
+    "mq_binop_ratio",
+    _mq(
+        'sum(sum_over_time(events_value{event_type="purchase"}[1d]))'
+        ' / sum(sum_over_time(events_value{event_type="click"}[1d]))',
+        (),
+    ),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.user_bucket, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, sum(value) AS value
+    FROM j WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2, 3
+),
+sides AS (
+    SELECT gts,
+           sum(CASE WHEN event_type = 'purchase' THEN value END) AS l,
+           sum(CASE WHEN event_type = 'click' THEN value END) AS r
+    FROM per_series GROUP BY 1
+)
+SELECT gts AS ts, round(l / r, 6) AS value
+FROM sides WHERE l IS NOT NULL AND r IS NOT NULL AND r != 0""",
+)
+
+# ---- comparison filter ------------------------------------------------
+_reg(
+    "mq_cmp_filter",
+    _mq("sum_over_time(events_value[1d]) > 500", PER_SERIES),
+    _rollup_oracle("sum(value)", W1D, having="value IS NOT NULL AND value > 500"),
+)
+
+# ---- arithmetic on series + scalar ------------------------------------
+_reg(
+    "mq_scalar_arith",
+    _mq("avg_over_time(events_value[1d]) * 2 + 1", PER_SERIES),
+    _rollup_oracle("avg(value) * 2 + 1", W1D),
+)
+
+# ---- topk by series-level aggregate (deterministic two-phase) --------
+_reg(
+    "mq_topk_max",
+    _mq("topk_max(3, sum_over_time(events_value[1d]))", PER_SERIES),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.user_bucket, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, sum(value) AS value
+    FROM j GROUP BY 1, 2, 3
+),
+ranks AS (
+    SELECT event_type, user_bucket, max(value) AS r
+    FROM per_series GROUP BY 1, 2
+),
+keep AS (
+    SELECT event_type, user_bucket FROM ranks
+    ORDER BY r DESC, event_type || '|' || user_bucket ASC LIMIT 3
+)
+SELECT p.event_type, p.user_bucket, p.gts AS ts, round(p.value, 6) AS value
+FROM per_series p JOIN keep k
+  ON p.event_type = k.event_type AND p.user_bucket = k.user_bucket""",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    fn, _ = _REGISTRY["mq_sum_rate_by"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

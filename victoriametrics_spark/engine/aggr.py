@@ -230,7 +230,7 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
     if name == "share":
         # per-series share of the group total at each ts (keeps series)
         w = Window.partitionBy("__gkey", "ts")
-        out = df.withColumn("value", (V() / F.sum(V()).over(w)).cast("double"))
+        out = df.withColumn("value", F.try_divide(V(), F.sum(V()).over(w)).cast("double"))
         return out.select(
             F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
         ).filter(F.col("value").isNotNull())
@@ -239,7 +239,9 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         w = Window.partitionBy("__gkey", "ts")
         out = df.withColumn(
             "value",
-            ((V() - F.avg(V()).over(w)) / F.stddev_pop(V()).over(w)).cast("double"),
+            F.try_divide(V() - F.avg(V()).over(w), F.stddev_pop(V()).over(w)).cast(
+                "double"
+            ),
         )
         return out.select(
             F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")

@@ -30,8 +30,8 @@ ARITH_OPS: dict[str, Callable[[Column, Column], Column]] = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
-    "%": lambda l, r: l % r,
+    "/": lambda l, r: F.try_divide(l, r),
+    "%": lambda l, r: F.try_mod(l, r),
     "^": lambda l, r: F.pow(l, r),
     "atan2": lambda l, r: F.atan2(l, r),
 }

@@ -154,7 +154,7 @@ _simple("range_over_time", lambda a: F.max(V()) - F.min(V()))
 _simple("mode_over_time", lambda a: F.mode(V()), keep_name=True)
 _simple(
     "zscore_over_time",
-    lambda a: (_last_v() - F.avg(V())) / F.stddev_pop(V()),
+    lambda a: F.try_divide(_last_v() - F.avg(V()), F.stddev_pop(V())),
 )
 
 # integrate: left-Riemann sum(v_prev * dt) over in-window consecutive pairs
@@ -263,22 +263,29 @@ _simple(
 )
 _simple(
     "deriv_fast",
-    lambda a: (_last_v() - _first_v()) / (_last_ts() - _first_ts()) * 1000.0,
+    lambda a: F.try_divide(_last_v() - _first_v(), _last_ts() - _first_ts()) * 1000.0,
 )
 
-# deriv: least-squares slope per second (VM linearRegression)
-_simple("deriv", lambda a: F.regr_slope(V(), TS() / 1000.0))
+# deriv: least-squares slope per second (VM linearRegression). Timestamps
+# are centered on the grid point before the regression — mathematically
+# identical slope, numerically stable (raw unix-seconds x-values lose ~10
+# digits to cancellation in var(x)).
+def _xs() -> Column:
+    return (TS() - GTS()) / 1000.0
+
+
+_simple("deriv", lambda a: F.regr_slope(V(), _xs()))
 
 _reg(
     "predict_linear",
     RollupSpec(
         aggs=lambda a: [
-            F.regr_slope(V(), TS() / 1000.0).alias("__k"),
-            F.regr_intercept(V(), TS() / 1000.0).alias("__b"),
+            F.regr_slope(V(), _xs()).alias("__k"),
+            F.regr_intercept(V(), _xs()).alias("__b"),
         ],
-        # value at grid ts + horizon (VM: value at tEnd + k*secs)
-        post=lambda a: F.col("__b")
-        + F.col("__k") * (F.col("gts") / 1000.0 + F.lit(a.scalars[0])),
+        # x centered at the grid ts ⇒ prediction t secs ahead = b + k*t
+        # (VM: value at tEnd + k*secs)
+        post=lambda a: F.col("__b") + F.col("__k") * F.lit(a.scalars[0]),
         keep_name=True,
     ),
 )
@@ -409,11 +416,18 @@ _simple("hoeffding_bound_upper", lambda a: _hoeffding(a, True), keep_name=True)
 _simple("hoeffding_bound_lower", lambda a: _hoeffding(a, False), keep_name=True)
 
 # ------------------------------------------------------------- timing/meta
-_simple("lag", lambda a: (GTS() - _last_ts()) / 1000.0)
+# gts may only appear inside aggregate args or in post; lag needs it in post
+_reg(
+    "lag",
+    RollupSpec(
+        aggs=lambda a: [_last_ts().alias("__lts")],
+        post=lambda a: (F.col("gts") - F.col("__lts")) / 1000.0,
+    ),
+)
 _simple("lifetime", lambda a: (_last_ts() - _first_ts()) / 1000.0)
 _simple(
     "scrape_interval",
-    lambda a: ((_last_ts() - _first_ts()) / 1000.0) / (F.count(V()) - 1),
+    lambda a: F.try_divide((_last_ts() - _first_ts()) / 1000.0, F.count(V()) - 1),
 )
 _simple("rate_over_sum", lambda a: F.sum(V()) / F.lit(a.window_s))
 

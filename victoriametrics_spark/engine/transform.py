@@ -262,7 +262,7 @@ def _gap_fill(planner, fe, cfg, name):
         next_v = F.first("value", ignorenulls=True).over(wb)
         prev_t = F.last(F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True).over(wf)
         next_t = F.first(F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True).over(wb)
-        frac = (F.col("ts") - prev_t) / (next_t - prev_t)
+        frac = F.try_divide(F.col("ts") - prev_t, next_t - prev_t)
         interp = prev_v + (next_v - prev_v) * frac
         filled = F.coalesce(
             F.col("value"),
@@ -328,11 +328,12 @@ def _range_fn(planner, fe, cfg, agg_name):
     elif agg_name == "normalize":
         mn = F.min("value").over(wfull)
         mx = F.max("value").over(wfull)
-        val = (F.col("value") - mn) / (mx - mn)
+        val = F.try_divide(F.col("value") - mn, mx - mn)
     elif agg_name == "zscore":
-        val = (F.col("value") - F.avg("value").over(wfull)) / F.stddev_pop(
-            "value"
-        ).over(wfull)
+        val = F.try_divide(
+            F.col("value") - F.avg("value").over(wfull),
+            F.stddev_pop("value").over(wfull),
+        )
     elif agg_name == "linear_regression":
         # per-series least squares over the whole range
         k = F.regr_slope(F.col("value"), F.col("ts") / 1000.0).over(wfull)
@@ -353,7 +354,9 @@ def _range_fn(planner, fe, cfg, agg_name):
         z = planner.const_value(fe.args[0], cfg)
         mean = F.avg("value").over(wfull)
         sd = F.stddev_pop("value").over(wfull)
-        out = dfk.withColumn("__keep", F.abs((F.col("value") - mean) / sd) <= F.lit(abs(z)))
+        out = dfk.withColumn(
+            "__keep", F.abs(F.try_divide(F.col("value") - mean, sd)) <= F.lit(abs(z))
+        )
         return (
             out.filter("__keep")
             .select("name", "labels", "ts", "value")

@@ -103,8 +103,11 @@ def samples_from_columns(
     if isinstance(dtype, LongType):
         ts_ms = ts_col
     else:
-        # timestamp (or castable) → unix milliseconds
-        ts_ms = (ts_col.cast("timestamp").cast("double") * 1000).cast("long")
+        # timestamp → unix milliseconds, integer-exact (truncating micros,
+        # matching DuckDB's epoch_ms); a float round-trip could flip the
+        # truncation at exact-millisecond boundaries
+        micros = F.unix_micros(ts_col.cast("timestamp"))
+        ts_ms = ((micros - micros % 1000) / F.lit(1000)).cast("long")
 
     value_col = F.col(value) if isinstance(value, str) else value
     name_col = F.lit(name) if isinstance(name, str) else name

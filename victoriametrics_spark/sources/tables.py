@@ -33,11 +33,18 @@ _TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # driver-supplied sessions may lack this; it is runtime-settable
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, LongType):
-            # long nanos → microseconds → timestamp (UTC session)
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # long nanos → microseconds → timestamp (UTC session).
+            # MUST be integral `div`: nanos ~1.7e18 exceed double's 2^53
+            # exact range, so any float path corrupts the low digits.
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 
