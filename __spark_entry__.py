@@ -497,6 +497,322 @@ FROM per_series p JOIN keep k
 )
 
 
+# ======================================================================
+# Training-data-pipeline operators (beyond-reference scope): dedup,
+# similarity search, text analysis over documents/embeddings
+# ======================================================================
+
+_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+# 3-word shingles as a DuckDB list expression over tokens ``w``
+_SHINGLES_SQL = (
+    "list_transform(range(1, len({w}) - 1), i -> "
+    "{w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
+)
+
+
+def _op(fn):
+    """Adapter: operator(df) over a loaded table."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from victoriametrics_spark.sources.tables import load_table
+
+        return fn(spark, sf_dir, load_table)
+
+    return run
+
+
+def _doc_token_stats(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_token_stats",
+    _op(_doc_token_stats),
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS DOUBLE) AS n_tokens,
+       CAST(len(list_distinct(w)) AS DOUBLE) AS n_distinct,
+       round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6)
+           AS avg_token_len
+FROM t""",
+)
+
+
+def _doc_quality(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_quality",
+    _op(_doc_quality),
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents)
+SELECT doc_id,
+       round(0.4 * (len(list_distinct(w)) * 1.0 / len(w))
+           + 0.3 * least(1.0, len(w) / 200.0)
+           + 0.3 * (len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                    / len(text)), 6) AS quality
+FROM t""",
+)
+
+
+def _doc_fingerprint(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import fingerprint
+
+    df = fingerprint(load(spark, sf_dir, "documents"))
+    return df.groupBy().agg(
+        F.count_distinct("md5").cast("double").alias("distinct_md5"),
+        F.count_distinct("wordbag_md5").cast("double").alias("distinct_wordbag"),
+    )
+
+
+_reg(
+    "op_doc_fingerprint",
+    _op(_doc_fingerprint),
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents)
+SELECT CAST(count(DISTINCT md5(text)) AS DOUBLE) AS distinct_md5,
+       CAST(count(DISTINCT md5(array_to_string(list_sort(w), ' '))) AS DOUBLE)
+           AS distinct_wordbag
+FROM t""",
+)
+
+
+def _doc_exact_dedup(spark, sf_dir, load):
+    from victoriametrics_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return df.select("doc_id", "lang", "source")
+
+
+_reg(
+    "op_doc_exact_dedup",
+    _op(_doc_exact_dedup),
+    """
+WITH r AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rn = 1""",
+)
+
+
+def _doc_jaccard_pairs(spark, sf_dir, load):
+    from victoriametrics_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+_JACCARD_BASE = f"""
+WITH docs AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id AS id, unnest({_SHINGLES_SQL.format(w='w')}) AS s
+    FROM docs WHERE len(w) >= 3
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1)"""
+
+_reg(
+    "op_doc_jaccard_pairs",
+    _op(_doc_jaccard_pairs),
+    _JACCARD_BASE
+    + """,
+inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""",
+)
+
+
+def _doc_minhash_pairs(spark, sf_dir, load):
+    from victoriametrics_spark.operators.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id", "text", n=3, k=9, band_size=3, threshold=0.5,
+    )
+
+
+_reg(
+    "op_doc_minhash_lsh",
+    _op(_doc_minhash_pairs),
+    _JACCARD_BASE
+    + """,
+sig AS (
+    SELECT id, seed.range AS seed,
+           min(md5(s || '#' || CAST(seed.range AS VARCHAR))) AS mh
+    FROM sh, range(0, 9) seed
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT id, CAST(seed / 3 AS INT) AS band,
+           array_to_string(list_sort(list(mh)), '|') AS bkey
+    FROM sig GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cands c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""",
+)
+
+
+def _doc_lang_pred(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import language_id
+
+    df = load(spark, sf_dir, "documents")
+    pred = language_id(df)
+    return (
+        pred.join(df.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("double").alias("docs"))
+    )
+
+
+_LANG_CASES = []
+_LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+_score_exprs = ", ".join(
+    "len(list_filter(w, x -> x IN ("
+    + ", ".join(f"'{t}'" for t in toks)
+    + f"))) AS s_{lg}"
+    for lg, toks in _LANG_PROFILES.items()
+)
+_best = "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(_LANG_PROFILES)) + ")"
+_pred_case = "CASE "
+for _lg in sorted(_LANG_PROFILES):
+    _pred_case += f"WHEN s_{_lg} = {_best} THEN '{_lg}' "
+_pred_case += "END"
+
+_reg(
+    "op_doc_lang_id",
+    _op(_doc_lang_pred),
+    f"""
+WITH t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS w
+           FROM (SELECT doc_id, lang, lower(text) AS text FROM documents)),
+scored AS (SELECT doc_id, lang, {_score_exprs} FROM t),
+pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN {_best} > 0 THEN {_pred_case} ELSE 'unknown' END
+               AS predicted_lang
+    FROM scored
+)
+SELECT lang, predicted_lang, CAST(count(*) AS DOUBLE) AS docs
+FROM pred GROUP BY 1, 2""",
+)
+
+
+def _emb_knn(spark, sf_dir, load):
+    from victoriametrics_spark.operators.knn import knn_threshold
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = knn_threshold(df.filter(F.col("vec_id") != 0), list(q), 0.25)
+    return out
+
+
+_reg(
+    "op_emb_knn_threshold",
+    _op(_emb_knn),
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.25""",
+)
+
+
+def _emb_centroid(spark, sf_dir, load):
+    df = load(spark, sf_dir, "embeddings")
+    pos = df.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    )
+    cent = pos.groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+    )
+
+
+_reg(
+    "op_emb_centroid_norm",
+    _op(_emb_centroid),
+    """
+WITH pos AS (
+    SELECT label, u.i AS i, u.v AS v
+    FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(i := i, v := CAST(embedding[i] AS DOUBLE))))
+               AS u
+        FROM embeddings
+    )
+),
+cent AS (SELECT label, i, avg(v) AS c FROM pos GROUP BY 1, 2)
+SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM cent GROUP BY 1""",
+)
+
+
+# approximate paths (no exact SQL equivalent → rows-only driver check)
+def _emb_lsh_knn(spark, sf_dir, load):
+    from victoriametrics_spark.operators.knn import lsh_knn_threshold
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_knn_threshold(df.filter(F.col("vec_id") != 0), list(q), 0.2)
+
+
+_reg("op_emb_lsh_knn", _op(_emb_lsh_knn), None)
+
+
+def _doc_simhash(spark, sf_dir, load):
+    from victoriametrics_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=12
+    )
+
+
+_reg("op_doc_simhash_pairs", _op(_doc_simhash), None)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     fn, _ = _REGISTRY["mq_sum_rate_by"]

@@ -372,6 +372,12 @@ def _range_fn(planner, fe, cfg, agg_name):
     )
 
 
+def _key_neq(name: str):
+    """map_filter predicate factory — avoids default-arg lambdas, whose
+    arity PySpark misreads as extra lambda variables."""
+    return lambda k, v: k != F.lit(name)
+
+
 def _str_args(fe: FuncExpr, frm: int = 1) -> list[str]:
     out = []
     for a in fe.args[frm:]:
@@ -410,13 +416,13 @@ def _label_fn(planner, fe, cfg, name):
                 out = out.withColumn("name", F.lit(v))
             elif v == "":
                 out = out.withColumn(
-                    "labels", F.map_filter(F.col("labels"), lambda mk, mv, k=k: mk != F.lit(k))
+                    "labels", F.map_filter(F.col("labels"), _key_neq(k))
                 )
             else:
                 out = out.withColumn(
                     "labels",
                     F.map_concat(
-                        F.map_filter(F.col("labels"), lambda mk, mv, k=k: mk != F.lit(k)),
+                        F.map_filter(F.col("labels"), _key_neq(k)),
                         F.create_map(F.lit(k), F.lit(v)),
                     ),
                 )
@@ -456,7 +462,7 @@ def _label_fn(planner, fe, cfg, name):
                 F.when(
                     src_v.isNotNull(),
                     F.map_concat(
-                        F.map_filter(F.col("labels"), lambda k, v, dst=dst: k != F.lit(dst)),
+                        F.map_filter(F.col("labels"), _key_neq(dst)),
                         F.create_map(F.lit(dst), src_v),
                     ),
                 ).otherwise(F.col("labels")),
@@ -466,7 +472,7 @@ def _label_fn(planner, fe, cfg, name):
                     "labels",
                     F.when(
                         src_v.isNotNull(),
-                        F.map_filter(F.col("labels"), lambda k, v, src=src: k != F.lit(src)),
+                        F.map_filter(F.col("labels"), _key_neq(src)),
                     ).otherwise(F.col("labels")),
                 )
         return out
@@ -526,9 +532,9 @@ def _label_fn(planner, fe, cfg, name):
             "labels",
             F.transform_values(
                 labels,
-                lambda mk, mv, k=k: F.when(
-                    mk == F.lit(k), F.regexp_replace(mv, regex, repl)
-                ).otherwise(mv),
+                (lambda key: lambda mk, mv: F.when(
+                    mk == F.lit(key), F.regexp_replace(mv, regex, repl)
+                ).otherwise(mv))(k),
             ),
         )
 

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the whole point of these shapes at 100 TB):
+- exact dedup is one hash-shuffle on the content key;
+- all-pairs Jaccard is the *verification* primitive — quadratic, only ever
+  run on LSH candidate buckets (or small corpora);
+- MinHash+LSH is the scale path: shingle→K minhashes→band keys→bucket
+  join; cost is linear in corpus size plus bucket-local pair generation.
+  MinHash values are min(md5(shingle ∥ seed)) *strings* — fixed-length
+  lowercase hex compares identically to the numeric hash order, and md5
+  exists verbatim in the DuckDB oracle, so correctness is checkable
+  end-to-end.
+- SimHash (64-bit sign-aggregated token hashes) gives O(n) near-dup
+  clustering by hamming distance on one BIGINT column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.operators.text import tokens, word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content key (hash-groupBy)."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]).cast("binary"))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """One row per distinct (id, shingle)."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle (inverted-
+    index join). Quadratic in bucket size — the verification baseline."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 9,
+) -> DataFrame:
+    """(id, seed, minhash) — minhash = min(md5(shingle ∥ '#' ∥ seed))."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    expanded = sh.select("id", "s", seeds)
+    h = F.md5(F.concat(F.col("s"), F.lit("#"), F.col("seed").cast("string")).cast("binary"))
+    return (
+        expanded.withColumn("h", h)
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, band_size: int = 3
+) -> DataFrame:
+    """Band the signature, bucket-join: docs sharing any band key become
+    candidate pairs (distinct)."""
+    banded = (
+        sig.withColumn("band", (F.col("seed") / F.lit(band_size)).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 9,
+    band_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidates, then exact-Jaccard verification — the
+    standard scale pipeline (linear shuffle + bucket-local verify)."""
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    cands = lsh_candidate_pairs(sig, band_size)
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 bits vote ±1; sign → bit."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    h = F.xxhash64(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col("id"), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
+    (pigeonhole: distance ≤3 ⇒ at least one of 4 chunks identical)."""
+    sh = simhash(df, id_col, text_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    blocked = sh.select("id", "simhash", *chunks)
+    pairs = None
+    for i in range(4):
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.c{i}") == F.col(f"b.c{i}")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

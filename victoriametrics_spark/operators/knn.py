@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine: exact baseline, one scan, JVM-side fold (zip_with +
+  aggregate) — no Python boundary.
+- Random-hyperplane LSH: the scale path. Bucket = sign-bit string of dot
+  products with R fixed planes; candidate set = query's bucket (optionally
+  multi-probe). At 100 TB the bucket column is computed once at ingest and
+  used as a partition/bucketing key so a query touches one bucket's files.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_literal(vec_col: Column, q: list[float]) -> Column:
+    """Σ vec[i]·q[i] as a sequential fold (deterministic order)."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.lit(len(q))),
+        lambda i: F.element_at(vec_col, i).cast("double")
+        * F.element_at(F.array(*[F.lit(float(x)) for x in q]), i),
+    )
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(vec_col: Column) -> Column:
+    sq = F.aggregate(
+        vec_col,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return F.sqrt(sq)
+
+
+def cosine_to_query(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cosine) for every row vs a literal query vector."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    cos = F.try_divide(
+        _dot_with_literal(F.col(vec_col), query), _norm(F.col(vec_col)) * F.lit(qn)
+    )
+    return df.select(F.col(id_col), cos.alias("cosine"))
+
+
+def knn_threshold(
+    df: DataFrame,
+    query: list[float],
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All vectors with cosine ≥ tau (set-stable under float noise,
+    unlike top-k rank boundaries)."""
+    scored = cosine_to_query(df, query, vec_col, id_col)
+    return scored.filter(F.col("cosine") >= tau).select(
+        id_col, F.round("cosine", 6).alias("cosine")
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine (ties broken by id for determinism)."""
+    scored = cosine_to_query(df, query, vec_col, id_col)
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (public LSH construction)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (0..2^R-1) for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_with_literal(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("long"), i)
+    return bucket
+
+
+def lsh_knn_threshold(
+    df: DataFrame,
+    query: list[float],
+    tau: float,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate threshold search with multi-table hyperplane LSH:
+    candidate = same bucket as the query in ANY of the T independent
+    b-bit tables (OR-construction). One table is hopeless for moderate
+    similarity — P(match | cos θ) = (1-θ/π)^b per table; OR-ing T tables
+    lifts recall to 1-(1-p)^T while each probe still touches only
+    ~2^-b of the corpus. At scale each table's bucket id is a persisted
+    bucketing column."""
+    dim = len(query)
+    cand = None
+    for t in range(n_tables):
+        planes = random_planes(dim, bits_per_table, seed + 1000 * t)
+        qbits = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(p, query)) >= 0:
+                qbits |= 1 << i
+        hit = df.filter(
+            hyperplane_bucket(F.col(vec_col), planes) == F.lit(qbits)
+        ).select(id_col, vec_col)
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.dropDuplicates([id_col])
+    return knn_threshold(cand, query, tau, vec_col, id_col)
+
+
+def pairwise_cosine_within(
+    df: DataFrame,
+    group_col: str,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine ≥ tau *within a group* (e.g. an LSH bucket or
+    a label): the bucket-local verify step of embedding dedup."""
+    normed = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.try_divide(x.cast("double"), _norm(F.col(vec_col)))
+        ).alias("nv"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= tau)
+        .select(
+            F.col("a.g").alias(group_col),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
