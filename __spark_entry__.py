@@ -813,6 +813,292 @@ def _doc_simhash(spark, sf_dir, load):
 _reg("op_doc_simhash_pairs", _op(_doc_simhash), None)
 
 
+# ======================================================================
+# LogsQL-style relational pipes (SURVEY.md §2.9) over the TPC-H-ish tables
+# ======================================================================
+
+
+def _rel_stats_q1(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    out = pipes.stats(
+        li,
+        by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": F.round(F.sum("l_quantity"), 4),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 4),
+            "sum_disc_price": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ),
+            "avg_qty": F.round(F.avg("l_quantity"), 6),
+            "avg_price": F.round(F.avg("l_extendedprice"), 6),
+            "count_order": F.count("*").cast("double"),
+        },
+    )
+    return out
+
+
+_reg(
+    "rel_stats_q1",
+    _op(_rel_stats_q1),
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       CAST(count(*) AS DOUBLE) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2""",
+)
+
+
+def _rel_join_stats(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority")
+    )
+    joined = pipes.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders,
+        by=["o_orderkey"], how="inner",
+    )
+    return pipes.stats(
+        joined,
+        by=["o_orderpriority"],
+        aggs={
+            "revenue": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ),
+            "n_items": F.count("*").cast("double"),
+        },
+    )
+
+
+_reg(
+    "rel_join_stats",
+    _op(_rel_join_stats),
+    """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS DOUBLE) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1""",
+)
+
+
+def _rel_top_customers(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = pipes.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust,
+        by=["c_custkey"], how="inner",
+    )
+    by_cust = pipes.stats(
+        joined, by=["c_custkey", "c_name"],
+        aggs={"total": F.round(F.sum("o_totalprice"), 4)},
+    )
+    return pipes.sort(by_cust, [("total", True), ("c_custkey", False)], limit=5)
+
+
+_reg(
+    "rel_top_customers",
+    _op(_rel_top_customers),
+    """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY total DESC, c_custkey ASC
+LIMIT 5""",
+)
+
+
+def _rel_uniq(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    return pipes.uniq(load(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+_reg(
+    "rel_uniq",
+    _op(_rel_uniq),
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+
+def _rel_sort_limit(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return pipes.sort(orders, [("o_totalprice", True), ("o_orderkey", False)], limit=10)
+
+
+_reg(
+    "rel_sort_limit",
+    _op(_rel_sort_limit),
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+
+
+def _rel_unpack_json(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    ev = load(spark, sf_dir, "events")
+    unpacked = pipes.unpack_json(ev, "props", ["k"])
+    return pipes.stats(
+        unpacked.withColumn("k_num", F.col("k").cast("double")),
+        by=["event_type"],
+        aggs={
+            "n": F.count("*").cast("double"),
+            "avg_k": F.round(F.avg("k_num"), 6),
+            "max_k": F.max("k_num"),
+        },
+    )
+
+
+_reg(
+    "rel_unpack_json",
+    _op(_rel_unpack_json),
+    """
+SELECT event_type,
+       CAST(count(*) AS DOUBLE) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_k
+FROM events GROUP BY 1""",
+)
+
+
+def _rel_top_pipe(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    return pipes.top(load(spark, sf_dir, "events"), ["event_type"], 3).withColumn(
+        "hits", F.col("hits").cast("double")
+    )
+
+
+_reg(
+    "rel_top_pipe",
+    _op(_rel_top_pipe),
+    """
+SELECT event_type, CAST(count(*) AS DOUBLE) AS hits
+FROM events GROUP BY 1
+ORDER BY count(*) DESC, event_type ASC LIMIT 3""",
+)
+
+
+def _rel_facets(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    docs = load(spark, sf_dir, "documents")
+    return pipes.facets(docs, ["lang", "source"], k=3).withColumn(
+        "hits", F.col("hits").cast("double")
+    )
+
+
+_reg(
+    "rel_facets",
+    _op(_rel_facets),
+    """
+WITH f AS (
+    SELECT 'lang' AS field, lang AS value, CAST(count(*) AS DOUBLE) AS hits
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY field ORDER BY hits DESC, value ASC) AS rn
+    FROM f
+)
+SELECT field, value, hits FROM r WHERE rn <= 3""",
+)
+
+
+def _rel_first_per_group(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    orders = load(spark, sf_dir, "orders")
+    firsts = pipes.first(
+        orders, by=["o_custkey"], order=[("o_orderdate", False), ("o_orderkey", False)]
+    )
+    return firsts.select(
+        "o_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("first_date_us"),
+    )
+
+
+_reg(
+    "rel_first_per_group",
+    _op(_rel_first_per_group),
+    """
+WITH r AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS first_date_us
+FROM r WHERE rn = 1""",
+)
+
+
+def _rel_running_revenue(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+
+    orders = load(spark, sf_dir, "orders")
+    run = pipes.running_stats(
+        orders,
+        by=["o_orderpriority"],
+        order=[("o_orderdate", False), ("o_orderkey", False)],
+        aggs={"cum_total": F.sum("o_totalprice")},
+    )
+    return run.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("cum_total", 4).alias("cum_total"),
+    )
+
+
+_reg(
+    "rel_running_revenue",
+    _op(_rel_running_revenue),
+    """
+SELECT o_orderpriority, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_total
+FROM orders""",
+)
+
+
+def _rel_phrase_filter(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+    from victoriametrics_spark.logsql.pipes import phrase_filter
+
+    docs = load(spark, sf_dir, "documents")
+    hits = docs.filter(phrase_filter(F.col("text"), "hash value"))
+    return pipes.stats(hits, by=["lang"], aggs={"docs": F.count("*").cast("double")})
+
+
+_reg(
+    "rel_phrase_filter",
+    _op(_rel_phrase_filter),
+    """
+SELECT lang, CAST(count(*) AS DOUBLE) AS docs
+FROM documents WHERE position('hash value' IN text) > 0
+GROUP BY 1""",
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     fn, _ = _REGISTRY["mq_sum_rate_by"]

@@ -1,0 +1,223 @@
+"""LogsQL pipe operators as DataFrame combinators.
+
+Reference inventory (vendored VictoriaLogs, SURVEY.md §2.9):
+pipe_stats.go (stats by + 26 stats funcs), pipe_sort.go/sort_topk.go,
+pipe_join.go, pipe_top.go, pipe_uniq.go, pipe_limit/offset, pipe_math.go,
+pipe_extract[_regexp].go, pipe_unpack_json.go, pipe_unroll.go,
+pipe_first/last.go, pipe_running_stats.go, pipe_facets.go, pipe_filter
+family (filter_phrase.go etc.).
+
+Each pipe is a pure DataFrame→DataFrame function; chains compose with
+ordinary function composition so Catalyst sees one logical plan (column
+pruning and predicate pushdown cross pipe boundaries for free).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# stats-function registry (pipe_stats.go stats funcs → Catalyst aggs)
+STATS_FUNCS: dict[str, Callable[[Column], Column]] = {
+    "count": lambda c: F.count(c),
+    "count_uniq": lambda c: F.count_distinct(c),
+    "count_uniq_hash": lambda c: F.approx_count_distinct(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "stddev": lambda c: F.stddev_pop(c),
+    "uniq_values": lambda c: F.array_sort(F.collect_set(c)),
+    "values": lambda c: F.collect_list(c),
+    "any": lambda c: F.first(c),
+    "sum_len": lambda c: F.sum(F.length(c)),
+    "count_empty": lambda c: F.count_if(c.isNull() | (c.cast("string") == "")),
+}
+
+
+def stats(
+    df: DataFrame,
+    by: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """``| stats by (fields) f1(...) as a1, ...`` (pipe_stats.go)."""
+    agg_cols = [c.alias(name) for name, c in aggs.items()]
+    if by:
+        return df.groupBy(*by).agg(*agg_cols)
+    return df.groupBy().agg(*agg_cols)
+
+
+def quantile(c: Column, phi: float) -> Column:
+    return F.percentile(c, F.lit(phi))
+
+
+def sort(df: DataFrame, by: list[tuple[str, bool]], limit: int | None = None) -> DataFrame:
+    """``| sort by (f1 desc, f2) [limit N]`` (pipe_sort.go; limited sort =
+    sort_topk.go's top-N heap, which Spark's TakeOrderedAndProject is)."""
+    cols = [F.col(c).desc() if desc else F.col(c).asc() for c, desc in by]
+    out = df.orderBy(*cols)
+    return out.limit(limit) if limit is not None else out
+
+
+def join(
+    df: DataFrame,
+    sub: DataFrame,
+    by: list[str],
+    how: str = "left",
+    prefix: str = "",
+) -> DataFrame:
+    """``| join by (fields) (subquery) [inner] [prefix]`` —
+    LEFT by default, INNER optional (pipe_join.go:16-42)."""
+    if prefix:
+        renames = {c: prefix + c for c in sub.columns if c not in by}
+        for old, new in renames.items():
+            sub = sub.withColumnRenamed(old, new)
+    return df.join(sub, on=by, how=how)
+
+
+def top(df: DataFrame, fields: list[str], k: int) -> DataFrame:
+    """``| top N by (fields)`` — most frequent field values (pipe_top.go).
+    Deterministic: ties broken by field values ascending."""
+    counted = df.groupBy(*fields).agg(F.count("*").alias("hits"))
+    order = [F.col("hits").desc()] + [F.col(f).asc() for f in fields]
+    return counted.orderBy(*order).limit(k)
+
+
+def uniq(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``| uniq by (fields)`` (pipe_uniq.go)."""
+    return df.select(*fields).distinct()
+
+
+def limit_offset(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
+    """``| offset N | limit M`` — requires a prior sort for determinism."""
+    if offset:
+        w = Window.orderBy(F.monotonically_increasing_id())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            .drop("__rn")
+        )
+    return df.limit(limit)
+
+
+def math(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """``| math expr as field`` (pipe_math.go)."""
+    out = df
+    for name, c in exprs.items():
+        out = out.withColumn(name, c)
+    return out
+
+
+def extract_regexp(df: DataFrame, src: str, pattern: str, groups: dict[str, int]) -> DataFrame:
+    """``| extract_regexp "re" from field`` (pipe_extract_regexp.go)."""
+    out = df
+    for name, gidx in groups.items():
+        out = out.withColumn(name, F.regexp_extract(F.col(src), pattern, gidx))
+    return out
+
+
+def unpack_json(df: DataFrame, src: str, fields: list[str], prefix: str = "") -> DataFrame:
+    """``| unpack_json from field`` (pipe_unpack_json.go) — extracts the
+    listed keys as string columns."""
+    out = df
+    for f in fields:
+        out = out.withColumn(prefix + f, F.get_json_object(F.col(src), f"$.{f}"))
+    return out
+
+
+def unroll(df: DataFrame, field: str, out_field: str | None = None) -> DataFrame:
+    """``| unroll by (field)`` → explode (pipe_unroll.go)."""
+    return df.withColumn(out_field or field, F.explode(F.col(field)))
+
+
+def first(df: DataFrame, by: list[str], order: list[tuple[str, bool]]) -> DataFrame:
+    """``| first by (...)`` — first row per group in the given order
+    (pipe_first.go); deterministic via full-order tie-break."""
+    cols = [F.col(c).desc() if desc else F.col(c).asc() for c, desc in order]
+    w = Window.partitionBy(*by).orderBy(*cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def last(df: DataFrame, by: list[str], order: list[tuple[str, bool]]) -> DataFrame:
+    inv = [(c, not d) for c, d in order]
+    return first(df, by, inv)
+
+
+def running_stats(
+    df: DataFrame,
+    by: list[str],
+    order: list[tuple[str, bool]],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """``| running_stats`` — cumulative aggregates in row order
+    (pipe_running_stats.go)."""
+    cols = [F.col(c).desc() if desc else F.col(c).asc() for c, desc in order]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for name, c in aggs.items():
+        out = out.withColumn(name, c.over(w))
+    return out
+
+
+def facets(df: DataFrame, fields: list[str], k: int = 3) -> DataFrame:
+    """``| facets N`` — top-N values per field with hit counts
+    (pipe_facets.go). Output: (field, value, hits)."""
+    parts = []
+    for f in fields:
+        counted = (
+            df.select(F.col(f).cast("string").alias("value"))
+            .groupBy("value")
+            .agg(F.count("*").alias("hits"))
+            .withColumn("field", F.lit(f))
+        )
+        w = Window.partitionBy("field").orderBy(
+            F.col("hits").desc(), F.col("value").asc()
+        )
+        parts.append(
+            counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("field", "value", "hits")
+
+
+# ---- filter family (filter_phrase.go, filter_prefix.go, filter_regexp.go,
+# filter_range.go, filter_in.go, filter_sequence.go) --------------------
+def phrase_filter(col: Column, phrase: str) -> Column:
+    return col.contains(phrase)
+
+
+def prefix_filter(col: Column, prefix: str) -> Column:
+    return col.startswith(prefix)
+
+
+def regexp_filter(col: Column, pattern: str) -> Column:
+    return col.rlike(pattern)
+
+
+def range_filter(col: Column, lo, hi) -> Column:
+    return (col >= lo) & (col <= hi)
+
+
+def in_filter(col: Column, values: list) -> Column:
+    return col.isin(*values)
+
+
+def sequence_filter(col: Column, phrases: list[str]) -> Column:
+    """All phrases occur in order (filter_sequence.go) — realized as a
+    single regex with non-greedy gaps."""
+    import re as _re
+
+    pattern = ".*?".join(_re.escape(p) for p in phrases)
+    return col.rlike(pattern)
