@@ -246,15 +246,32 @@ for _name, _mq_fn, _agg in [
         "scrape_interval(events_value[1d])",
         "((max(ts) - min(ts)) / 1000.0) / (count(value) - 1)",
     ),
+    # deriv family: ts-sorted sequential fold on BOTH sides (bit-identical
+    # IEEE op order — see engine/rollup.py deriv notes)
     (
         "mq_deriv_fast",
         "deriv_fast(events_value[1d])",
-        "(max_by(value, ts) - min_by(value, ts)) / (max(ts) - min(ts)) * 1000.0",
+        """list_transform([list_sort(list(struct_pack(t := ts, v := value)))], l ->
+            CASE WHEN l[-1].t = l[1].t THEN NULL
+                 ELSE (l[-1].v - l[1].v) / (l[-1].t - l[1].t) * 1000.0 END)[1]""",
     ),
     (
         "mq_deriv",
         "deriv(events_value[1d])",
-        "regr_slope(value, (ts - gts) / 1000.0)",
+        """list_transform([list_sort(list(struct_pack(t := ts, v := value)))], l ->
+            list_transform([list_reduce(
+                list_transform(l, e -> struct_pack(
+                    sx := (e.t - gts) / 1000.0,
+                    sy := e.v,
+                    sxy := (e.t - gts) / 1000.0 * e.v,
+                    sxx := (e.t - gts) / 1000.0 * ((e.t - gts) / 1000.0))),
+                (a, b) -> struct_pack(
+                    sx := a.sx + b.sx, sy := a.sy + b.sy,
+                    sxy := a.sxy + b.sxy, sxx := a.sxx + b.sxx))], s ->
+              CASE WHEN CAST(len(l) AS DOUBLE) * s.sxx - s.sx * s.sx = 0 THEN NULL
+                   ELSE (CAST(len(l) AS DOUBLE) * s.sxy - s.sx * s.sy)
+                        / (CAST(len(l) AS DOUBLE) * s.sxx - s.sx * s.sx)
+              END)[1])[1]""",
     ),
     (
         "mq_zscore_over_time",
@@ -454,11 +471,12 @@ SELECT gts AS ts, round(l / r, 6) AS value
 FROM sides WHERE l IS NOT NULL AND r IS NOT NULL AND r != 0""",
 )
 
-# ---- comparison filter ------------------------------------------------
+# ---- comparison filter (threshold low enough that both branches are
+# exercised even at sf0.001 — a 0-row pass certifies nothing) ----------
 _reg(
     "mq_cmp_filter",
-    _mq("sum_over_time(events_value[1d]) > 500", PER_SERIES),
-    _rollup_oracle("sum(value)", W1D, having="value IS NOT NULL AND value > 500"),
+    _mq("sum_over_time(events_value[1d]) > 150", PER_SERIES),
+    _rollup_oracle("sum(value)", W1D, having="value IS NOT NULL AND value > 150"),
 )
 
 # ---- arithmetic on series + scalar ------------------------------------

@@ -222,3 +222,76 @@ def test_subquery_max_of_rate(spark, counter_df):
     m = as_map(res)
     vals = m[("", (("job", "api"),))]
     assert vals[1_000_000] == pytest.approx(0.1)
+
+
+def test_sort_and_sort_desc_order(spark, gauges_df):
+    res = evaluate(spark, "sort_desc(last_over_time(temp[200s]))", gauges_df, CFG)
+    rows = res.collect()
+    # room=b (2x values) must come before room=a in presentation order
+    first_room = rows[0]["labels"]["room"]
+    assert first_room == "b"
+    res_asc = evaluate(spark, "sort(last_over_time(temp[200s]))", gauges_df, CFG)
+    assert res_asc.collect()[0]["labels"]["room"] == "a"
+    # row SET unchanged
+    assert res.count() == res_asc.count() == 12
+
+
+def test_sort_by_label(spark, gauges_df):
+    res = evaluate(
+        spark, 'sort_by_label_desc(last_over_time(temp[200s]), "room")',
+        gauges_df, CFG,
+    )
+    assert res.collect()[0]["labels"]["room"] == "b"
+
+
+def test_aggr_limit_modifier(spark, gauges_df):
+    # two groups (room=a, room=b); limit 1 keeps only the first in
+    # canonical group-key order (room=a)
+    res = evaluate(
+        spark, "sum(last_over_time(temp[200s])) by (room) limit 1",
+        gauges_df, CFG,
+    )
+    rooms = {r["labels"]["room"] for r in res.collect()}
+    assert rooms == {"a"}
+
+
+def test_binop_duplicate_series_error(spark):
+    # two series collapse to the same match key via ignoring(room) → the
+    # one-to-one join must raise (VM ensureSingleTimeseries)
+    rows = []
+    for ts in range(0, 2_100_000, 200_000):
+        rows.append(("m", {"room": "a"}, ts, 1.0, False))
+        rows.append(("m", {"room": "b"}, ts, 2.0, False))
+        rows.append(("n", {}, ts, 5.0, False))
+    df = mk_samples(spark, rows)
+    q = (
+        "last_over_time(m[200s]) + ignoring(room) last_over_time(n[200s])"
+    )
+    with pytest.raises(Exception, match="duplicate time series"):
+        evaluate(spark, q, df, CFG).collect()
+
+
+def test_binop_group_left_ok(spark):
+    rows = []
+    for ts in range(0, 2_100_000, 200_000):
+        rows.append(("m", {"room": "a"}, ts, 1.0, False))
+        rows.append(("m", {"room": "b"}, ts, 2.0, False))
+        rows.append(("n", {}, ts, 5.0, False))
+    df = mk_samples(spark, rows)
+    q = (
+        "last_over_time(m[200s]) * on() group_left() last_over_time(n[200s])"
+    )
+    res = evaluate(spark, q, df, CFG)
+    vals = {r["value"] for r in res.collect()}
+    assert vals == {5.0, 10.0}
+
+
+def test_scalar_set_op_or(spark, gauges_df):
+    # vector or scalar: scalar materializes as an empty-label series, so it
+    # unions in (labels never collide with the vector's)
+    res = evaluate(spark, "last_over_time(temp[200s]) or 7", gauges_df, CFG)
+    m = as_map(res)
+    key_scalar = ("", ())
+    assert key_scalar in m
+    assert all(v == 7.0 for v in m[key_scalar].values())
+    assert len(m) == 3

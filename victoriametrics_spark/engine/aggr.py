@@ -100,6 +100,16 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         "__gkey", canonical_labels_str(F.col("__glabels"))
     )
 
+    if ae.limit and ae.limit > 0:
+        # MetricsQL `limit N` modifier caps the number of output GROUPS
+        # (aggr.go aggrPrepareSeries: skips new group keys once the map
+        # holds N). VM keeps first-seen map order; we keep the first N in
+        # canonical group-key order — deterministic under any partitioning.
+        keys = (
+            df.select("__gkey").distinct().orderBy("__gkey").limit(int(ae.limit))
+        )
+        df = df.join(F.broadcast(keys), "__gkey", "left_semi")
+
     if name in _SIMPLE and name not in ("mad", "any"):
         agg = _SIMPLE[name]()
         out = (

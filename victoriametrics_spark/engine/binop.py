@@ -151,23 +151,20 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
                 out = df.filter(cmp)  # keep original values & name
             return out
         if op in SET_OPS:
-            if op == "default":
-                if l_scalar:
-                    raise PlanError("scalar default series is undefined")
+            if op == "default" and r_scalar:
+                # q default N: fill each left series' missing grid points
                 return _fill_missing_with_scalar(planner, df, sc, cfg)
-            if op == "if" and not l_scalar:
-                # series if scalar: keep series when scalar is defined
-                return df.filter(scol.isNotNull())
-            if op == "ifnot" and not l_scalar:
-                return df.filter(scol.isNull())
-            if op in ("and", "or", "unless"):
-                # scalar is always present at every ts
-                if op == "and":
-                    return df.filter(scol.isNotNull())
-                if op == "unless":
-                    return df.filter(scol.isNull())
-                return df  # or: left wins everywhere
-            raise PlanError(f"set op {op!r} with scalar not supported")
+            # Other scalar set ops: materialize the scalar as an empty-label
+            # series and use the generic set-op join — VM materializes
+            # NumberExpr to a timeseries with empty MetricName, so e.g.
+            # `vector_with_labels and scalar` matches nothing (keys differ).
+            return _plan_series_setop(
+                planner,
+                op,
+                planner.materialize(left, cfg),
+                planner.materialize(right, cfg),
+                be,
+            )
         f = ARITH_OPS[op]
         out = df.withColumn("value", f(lv, rv).cast("double"))
         if not be.keep_metric_names:
@@ -175,8 +172,14 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
         return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
     # ---------------- series ∘ series ----------------
-    ldf: DataFrame = left
-    rdf: DataFrame = right
+    if op in SET_OPS:
+        return _plan_series_setop(planner, op, left, right, be)
+    return _plan_series_arith(planner, op, left, right, be)
+
+
+def _plan_series_setop(
+    planner, op: str, ldf: DataFrame, rdf: DataFrame, be: BinaryOpExpr
+) -> DataFrame:
     mk = match_key_col(be.group_modifier)
     l = ldf.withColumn("__mk", mk)
     r = rdf.withColumn("__mk", mk)
@@ -193,26 +196,35 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
             l.join(r.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti")
             .select("name", "labels", "ts", "value")
         )
-    if op in ("or", "default"):
-        # or: left series plus right points at (key,ts) cells left lacks
-        # (binary_op.go:588-645); default: left values, right fills gaps
-        # (binary_op.go:568-586) — same cell-level coalesce shape
-        extra = r.join(
-            l.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti"
-        )
-        if op == "or":
-            return l.select("name", "labels", "ts", "value").unionByName(
-                extra.select("name", "labels", "ts", "value")
-            )
-        # default: fill left's missing grid cells from right, but only for
-        # (match-key, ts) cells; keep left's identity
-        lkeys = l.select("__mk", "name", "labels").distinct()
-        fill = extra.select("__mk", "ts", "value").join(lkeys, "__mk", "inner")
+    # or / default
+    # or: left series plus right points at (key,ts) cells left lacks
+    # (binary_op.go:588-645); default: left values, right fills gaps
+    # (binary_op.go:568-586) — same cell-level coalesce shape
+    extra = r.join(
+        l.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti"
+    )
+    if op == "or":
         return l.select("name", "labels", "ts", "value").unionByName(
-            fill.select("name", "labels", "ts", "value")
+            extra.select("name", "labels", "ts", "value")
         )
+    # default: fill left's missing grid cells from right, but only for
+    # (match-key, ts) cells; keep left's identity
+    lkeys = l.select("__mk", "name", "labels").distinct()
+    fill = extra.select("__mk", "ts", "value").join(lkeys, "__mk", "inner")
+    return l.select("name", "labels", "ts", "value").unionByName(
+        fill.select("name", "labels", "ts", "value")
+    )
 
-    # arithmetic / comparison joins
+
+def _plan_series_arith(
+    planner, op: str, ldf: DataFrame, rdf: DataFrame, be: BinaryOpExpr
+) -> DataFrame:
+    """Arithmetic / comparison joins with VM's duplicate-series validation."""
+    from pyspark.sql.window import Window
+
+    mk = match_key_col(be.group_modifier)
+    l = ldf.withColumn("__mk", mk)
+    r = rdf.withColumn("__mk", mk)
     join_mod = be.join_modifier.op if be.join_modifier else None
     l_sel = l.select(
         F.col("__mk"),
@@ -229,6 +241,44 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
         F.col("value").alias("__rv"),
     )
     joined = l_sel.join(r_sel, ["__mk", "ts"], "inner")
+
+    # Duplicate-series validation (VM ensureSingleTimeseries,
+    # binary_op.go:395-407): errors only for keys that actually matched —
+    # computed post-join, where rows are already clustered by (__mk, ts) so
+    # the window adds no extra shuffle. Series duplicated on disjoint
+    # timestamps never collide at one (key, ts) cell, mirroring VM's
+    # mergeNonOverlappingTimeseries tolerance (binary_op.go:472-505).
+    if join_mod is None:
+        dup = (
+            F.count("*").over(Window.partitionBy("__mk", "ts")) > 1,
+            "duplicate time series found on the left or right side of a "
+            "one-to-one vector match; use group_left/group_right for "
+            "many-to-one matches",
+        )
+    elif join_mod == "group_left":
+        w1 = Window.partitionBy(
+            "__mk", "ts", F.col("__lname"), canonical_labels_str(F.col("__llabels"))
+        )
+        dup = (
+            F.count("*").over(w1) > 1,
+            "multiple time series match a single series on the right side "
+            "of group_left",
+        )
+    else:  # group_right
+        w1 = Window.partitionBy(
+            "__mk", "ts", F.col("__rname"), canonical_labels_str(F.col("__rlabels"))
+        )
+        dup = (
+            F.count("*").over(w1) > 1,
+            "multiple time series match a single series on the left side "
+            "of group_right",
+        )
+
+    def _guarded(value: Column) -> Column:
+        cond, msg = dup
+        return F.when(cond, F.raise_error(F.lit(msg)).cast("double")).otherwise(
+            value
+        )
 
     lv, rv = F.col("__lv"), F.col("__rv")
 
@@ -282,7 +332,7 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
             name_out.alias("name"),
             labels_out.alias("labels"),
             F.col("ts"),
-            value.cast("double").alias("value"),
+            _guarded(value.cast("double")).alias("value"),
         )
         return out.filter(F.col("value").isNotNull())
 
@@ -292,7 +342,7 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
         name_out.alias("name"),
         labels_out.alias("labels"),
         F.col("ts"),
-        f(lv, rv).cast("double").alias("value"),
+        _guarded(f(lv, rv).cast("double")).alias("value"),
     )
     return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 

@@ -261,10 +261,35 @@ _simple(
     lambda a: F.max_by(DV(), F.when(DV().isNotNull(), TS())),
     needs_prev=True,
 )
-_simple(
+# deriv / deriv_fast are computed over a ts-sorted array with a sequential
+# left fold so the result is BIT-DETERMINISTIC regardless of partition
+# count or scan order: Spark's partial-agg summation order (e.g. inside
+# regr_slope) can flip the 6th rounded decimal vs a single-threaded oracle
+# when the quotient lands on a representation boundary. The DuckDB oracle
+# mirrors the identical fold (list_sort + list_reduce), so both sides
+# perform the same IEEE operations in the same order.
+def _sorted_pairs() -> Column:
+    """Window samples as array<struct<t,v>> sorted by (ts, value)."""
+    return F.array_sort(F.collect_list(F.struct(TS().alias("t"), V().alias("v"))))
+
+
+def _deriv_fast_post(a: RollupArgs) -> Column:
+    sp = F.col("__sp")
+    first = F.element_at(sp, 1)
+    last = F.element_at(sp, -1)
+    return (
+        F.try_divide(last["v"] - first["v"], last["t"] - first["t"]) * F.lit(1000.0)
+    )
+
+
+_reg(
     "deriv_fast",
-    lambda a: F.try_divide(_last_v() - _first_v(), _last_ts() - _first_ts()) * 1000.0,
+    RollupSpec(
+        aggs=lambda a: [_sorted_pairs().alias("__sp")],
+        post=_deriv_fast_post,
+    ),
 )
+
 
 # deriv: least-squares slope per second (VM linearRegression). Timestamps
 # are centered on the grid point before the regression — mathematically
@@ -274,7 +299,41 @@ def _xs() -> Column:
     return (TS() - GTS()) / 1000.0
 
 
-_simple("deriv", lambda a: F.regr_slope(V(), _xs()))
+def _deriv_post(a: RollupArgs) -> Column:
+    sp = F.col("__sp")
+
+    def x(e: Column) -> Column:
+        return (e["t"] - F.col("gts")) / F.lit(1000.0)
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("sxx"),
+    )
+    s = F.aggregate(
+        sp,
+        acc0,
+        lambda acc, e: F.struct(
+            (acc["sx"] + x(e)).alias("sx"),
+            (acc["sy"] + e["v"]).alias("sy"),
+            (acc["sxy"] + x(e) * e["v"]).alias("sxy"),
+            (acc["sxx"] + x(e) * x(e)).alias("sxx"),
+        ),
+    )
+    n = F.size(sp).cast("double")
+    num = n * s["sxy"] - s["sx"] * s["sy"]
+    den = n * s["sxx"] - s["sx"] * s["sx"]
+    return F.try_divide(num, den)
+
+
+_reg(
+    "deriv",
+    RollupSpec(
+        aggs=lambda a: [_sorted_pairs().alias("__sp")],
+        post=_deriv_post,
+    ),
+)
 
 _reg(
     "predict_linear",

@@ -189,9 +189,44 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         return _label_fn(planner, fe, cfg, name)
 
     # ---- sorting (presentation) -------------------------------------------
+    # The row SET is unchanged; the returned DataFrame carries a global
+    # presentation ordering (result sets are final, user-facing and small —
+    # a global orderBy here is the documented presentation-only sort, the
+    # analog of VM sorting the response slice in exec.go:104-127).
     if name in ("sort", "sort_desc"):
+        # VM newTransformFuncSort orders series by comparing values from the
+        # last grid point backwards; we order by the last value each series
+        # has (the dominant rule; the backwards tie-walk is approximated by
+        # the deterministic series-key tiebreak).
+        desc = name == "sort_desc"
         df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
-        return df  # ordering applied at result shaping; row set unchanged
+        dfk, w = _series_window(df)
+        wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        dfk = dfk.withColumn("__sortv", F.max_by("value", "ts").over(wfull))
+        first = (
+            F.col("__sortv").desc_nulls_last()
+            if desc
+            else F.col("__sortv").asc_nulls_last()
+        )
+        return dfk.orderBy(first, F.col("__sk"), F.col("ts")).select(
+            "name", "labels", "ts", "value"
+        )
+
+    if name.startswith("sort_by_label"):
+        # sort_by_label / _desc / _numeric / _numeric_desc
+        # (transform.go newTransformFuncSortByLabel)
+        desc = name.endswith("_desc")
+        numeric = "_numeric" in name
+        keys = _str_args(fe)
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        order = []
+        for k in keys:
+            col = F.coalesce(F.col("labels").getItem(k), F.lit(""))
+            if numeric:
+                col = col.cast("double")
+            order.append(col.desc_nulls_last() if desc else col.asc_nulls_last())
+        sk = series_key(F.col("name"), F.col("labels"))
+        return df.orderBy(*order, sk, F.col("ts"))
 
     if name == "limit_offset":
         limit = int(planner.const_value(fe.args[0], cfg))
