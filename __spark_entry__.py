@@ -515,6 +515,78 @@ FROM per_series p JOIN keep k
 )
 
 
+# ---- histogram family -------------------------------------------------
+# le-bucketed input built in-engine (union + label_set + count_le rollups),
+# then histogram_quantile/share/avg interpolation; the oracle repeats the
+# identical cumulative-bucket walk in SQL (transform.go:991-1105 semantics).
+_HIST_BUCKETS_MQ = (
+    "union("
+    'label_set(sum(count_le_over_time(events_value[1d], 20)) by (event_type), "le", "20"), '
+    'label_set(sum(count_le_over_time(events_value[1d], 60)) by (event_type), "le", "60"), '
+    'label_set(sum(count_le_over_time(events_value[1d], 150)) by (event_type), "le", "150"), '
+    'label_set(sum(count_over_time(events_value[1d])) by (event_type), "le", "+Inf"))'
+)
+
+_HIST_CUM_SQL = f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+),
+cum AS (
+    SELECT event_type, gts,
+           CAST(sum(CASE WHEN value <= 20 THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+           CAST(sum(CASE WHEN value <= 60 THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+           CAST(sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+           CAST(count(*) AS DOUBLE) AS cinf
+    FROM j GROUP BY 1, 2
+)"""
+
+_reg(
+    "mq_histogram_quantile",
+    _mq(f"histogram_quantile(0.9, {_HIST_BUCKETS_MQ})", BY_TYPE),
+    _HIST_CUM_SQL
+    + """
+SELECT event_type, gts AS ts,
+       round(CASE
+           WHEN cinf <= 0 THEN NULL
+           WHEN c1 >= 0.9 * cinf AND c1 > 0
+               THEN 0.0 + (20.0 - 0.0) * (0.9 * cinf - 0.0) / (c1 - 0.0)
+           WHEN c2 >= 0.9 * cinf AND c2 > 0
+               THEN 20.0 + (60.0 - 20.0) * (0.9 * cinf - c1) / (c2 - c1)
+           WHEN c3 >= 0.9 * cinf AND c3 > 0
+               THEN 60.0 + (150.0 - 60.0) * (0.9 * cinf - c2) / (c3 - c2)
+           ELSE 150.0
+       END, 6) AS value
+FROM cum WHERE cinf > 0""",
+)
+
+_reg(
+    "mq_histogram_share",
+    _mq(f"histogram_share(100, {_HIST_BUCKETS_MQ})", BY_TYPE),
+    _HIST_CUM_SQL
+    + """
+SELECT event_type, gts AS ts,
+       round(c2 / cinf + (c3 - c2) / cinf * (100.0 - 60.0) / (150.0 - 60.0), 6)
+           AS value
+FROM cum WHERE cinf > 0""",
+)
+
+_reg(
+    "mq_histogram_avg",
+    _mq(f"histogram_avg({_HIST_BUCKETS_MQ})", BY_TYPE),
+    _HIST_CUM_SQL
+    + """
+SELECT event_type, gts AS ts,
+       round((0.0 + (20.0 + 0.0) / 2 * (c1 - 0.0)
+              + (60.0 + 20.0) / 2 * (c2 - c1)
+              + (150.0 + 60.0) / 2 * (c3 - c2))
+             / (0.0 + (c1 - 0.0) + (c2 - c1) + (c3 - c2)), 6) AS value
+FROM cum WHERE c3 != 0""",
+)
+
+
 # ======================================================================
 # Training-data-pipeline operators (beyond-reference scope): dedup,
 # similarity search, text analysis over documents/embeddings

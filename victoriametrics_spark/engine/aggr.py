@@ -355,8 +355,10 @@ def _vm_histogram(df: DataFrame) -> DataFrame:
     idx = F.ceil(F.log10(V()) * 18).cast("long")
     lo = F.pow(F.lit(10.0), (idx - 1).cast("double") / 18.0)
     hi = F.pow(F.lit(10.0), idx.cast("double") / 18.0)
+    # %.3e like the reference's metrics.Histogram bucket names — must stay
+    # parseable as a double for prometheus_buckets (no thousands separators)
     vmrange = F.concat(
-        F.format_number(lo, 3), F.lit("..."), F.format_number(hi, 3)
+        F.format_string("%.3e", lo), F.lit("..."), F.format_string("%.3e", hi)
     )
     out = (
         pos.withColumn("__vmrange", vmrange)

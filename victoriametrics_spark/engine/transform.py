@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from victoriametrics_spark.engine.evalcfg import EvalConfig
 from victoriametrics_spark.metricsql.ast import Expr, FuncExpr, StringExpr
-from victoriametrics_spark.schema import series_key
+from victoriametrics_spark.schema import canonical_labels_str, series_key
 
 if TYPE_CHECKING:
     from victoriametrics_spark.engine.planner import Plan, Planner
@@ -174,6 +174,20 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
             F.lit(1.0).alias("value"),
         )
 
+    # ---- histogram bucket math -------------------------------------------
+    if name in (
+        "histogram_quantile",
+        "histogram_quantiles",
+        "histogram_share",
+        "histogram_fraction",
+        "histogram_avg",
+        "histogram_stddev",
+        "histogram_stdvar",
+        "prometheus_buckets",
+        "buckets_limit",
+    ):
+        return _histogram_fn(planner, fe, cfg, name)
+
     # ---- gap filling ------------------------------------------------------
     if name in ("keep_last_value", "keep_next_value", "interpolate"):
         return _gap_fill(planner, fe, cfg, name)
@@ -242,10 +256,103 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name == "drop_empty_series":
         return planner.materialize(planner.plan(fe.args[0], cfg), cfg)
 
+    if name == "alias":
+        # alias(q, "name") — set the metric name (transform.go transformAlias)
+        if len(fe.args) != 2 or not isinstance(fe.args[1], StringExpr):
+            raise PlanError("alias(q, \"name\") needs a string second arg")
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        return df.withColumn("name", F.lit(fe.args[1].value))
+
     raise PlanError(f"transform function {name!r} not implemented yet")
 
 
 # ---------------------------------------------------------------- helpers
+def _histogram_fn(planner, fe, cfg, name):
+    """Dispatch the le/vmrange bucket transforms (engine/histogram.py)."""
+    from victoriametrics_spark.engine import histogram as H
+    from victoriametrics_spark.engine.planner import PlanError
+
+    if name == "prometheus_buckets":
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        return H.vmrange_to_le(df)
+
+    if name == "buckets_limit":
+        limit = int(planner.const_value(fe.args[0], cfg))
+        if limit <= 0:
+            raise PlanError("buckets_limit: limit must be greater than 0")
+        df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
+        return H.buckets_limit(df, limit)
+
+    if name in ("histogram_avg", "histogram_stddev", "histogram_stdvar"):
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        return H.histogram_moment(H.vmrange_to_le(df), name.split("_", 1)[1])
+
+    if name == "histogram_quantile":
+        phi = planner.const_value(fe.args[0], cfg)
+        df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
+        bounds = (
+            fe.args[2].value
+            if len(fe.args) > 2 and isinstance(fe.args[2], StringExpr)
+            else None
+        )
+        return H.histogram_quantile(H.vmrange_to_le(df), phi, bounds)
+
+    if name == "histogram_quantiles":
+        # histogram_quantiles("label", phi1, ..., q)
+        if not isinstance(fe.args[0], StringExpr):
+            raise PlanError("histogram_quantiles needs a label name first arg")
+        label = fe.args[0].value
+        phis = [planner.const_value(a, cfg) for a in fe.args[1:-1]]
+        df = H.vmrange_to_le(
+            planner.materialize(planner.plan(fe.args[-1], cfg), cfg)
+        )
+        out = None
+        for phi in phis:
+            q = H.histogram_quantile(df, phi)
+            phi_str = f"{phi:g}"
+            q = q.withColumn(
+                "labels",
+                F.map_concat(
+                    F.map_filter(F.col("labels"), _key_neq(label)),
+                    F.create_map(F.lit(label), F.lit(phi_str)),
+                ),
+            )
+            out = q if out is None else out.unionByName(q)
+        return out
+
+    if name == "histogram_share":
+        le_req = planner.const_value(fe.args[0], cfg)
+        df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
+        bounds = (
+            fe.args[2].value
+            if len(fe.args) > 2 and isinstance(fe.args[2], StringExpr)
+            else None
+        )
+        return H.histogram_share(H.vmrange_to_le(df), le_req, bounds)
+
+    # histogram_fraction(lower, upper, q) = share(upper) - share(lower)
+    lo = planner.const_value(fe.args[0], cfg)
+    hi = planner.const_value(fe.args[1], cfg)
+    if lo >= hi:
+        raise PlanError("histogram_fraction: lower le must be < upper le")
+    df = H.vmrange_to_le(planner.materialize(planner.plan(fe.args[2], cfg), cfg))
+    su = H.histogram_share(df, hi)
+    sl = H.histogram_share(df, lo)
+    key = canonical_labels_str(F.col("labels"))
+    su = su.select(key.alias("__k"), "labels", "ts", F.col("value").alias("__u"))
+    sl = sl.select(key.alias("__k"), F.col("ts"), F.col("value").alias("__l"))
+    return (
+        su.join(sl, ["__k", "ts"], "inner")
+        .select(
+            F.lit("").alias("name"),
+            F.col("labels"),
+            F.col("ts"),
+            (F.col("__u") - F.col("__l")).cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull())
+    )
+
+
 def _pointwise(planner, fe, cfg, fn, keep_name: bool = False):
     from victoriametrics_spark.engine.planner import Scalar
 
