@@ -515,6 +515,84 @@ FROM per_series p JOIN keep k
 )
 
 
+# ---- multi-output rollups --------------------------------------------
+# candle at gts covers ts ∈ [gts+step-W, gts+step) (VM's `offset -step`
+# candlestick trick, eval.go:970-979); open/close via the same ts-sorted
+# list on both sides for deterministic ties
+_reg(
+    "mq_rollup_candlestick",
+    _mq("rollup_candlestick(events_value[1d])", PER_SERIES + ("rollup",)),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.user_bucket, s.ts, s.value, g.gts
+    FROM samples s JOIN grid g
+      ON s.ts >= g.gts + {GRID_STEP} - {W1D} AND s.ts < g.gts + {GRID_STEP}
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts,
+           list_transform([list_sort(list(struct_pack(t := ts, v := value)))],
+               l -> l[1].v)[1] AS open,
+           list_transform([list_sort(list(struct_pack(t := ts, v := value)))],
+               l -> l[-1].v)[1] AS close,
+           min(value) AS low,
+           max(value) AS high
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT event_type, user_bucket, u.rollup, gts AS ts, round(u.v, 6) AS value
+FROM per_series, unnest([
+    struct_pack(rollup := 'open',  v := open),
+    struct_pack(rollup := 'close', v := close),
+    struct_pack(rollup := 'low',   v := low),
+    struct_pack(rollup := 'high',  v := high)]) AS t(u)""",
+)
+
+_reg(
+    "mq_quantiles_over_time",
+    _mq(
+        'quantiles_over_time("phi", 0.25, 0.75, events_value[1d])',
+        PER_SERIES + ("phi",),
+    ),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.user_bucket, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts,
+           quantile_cont(value, 0.25) AS q25,
+           quantile_cont(value, 0.75) AS q75
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT event_type, user_bucket, u.phi, gts AS ts, round(u.v, 6) AS value
+FROM per_series, unnest([
+    struct_pack(phi := '0.25', v := q25),
+    struct_pack(phi := '0.75', v := q75)]) AS t(u)""",
+)
+
+# ---- `@` modifier: evaluate at fixed ts, broadcast across the grid ----
+_AT_TS = GRID_START + 10 * 86400000  # 2024-01-11T00:00:00Z
+
+_reg(
+    "mq_at_modifier",
+    _mq(f"avg_over_time(events_value[1d] @ {_AT_TS // 1000})", PER_SERIES),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+at_point AS (
+    SELECT event_type, user_bucket, avg(value) AS value
+    FROM samples
+    WHERE ts > {_AT_TS} - {W1D} AND ts <= {_AT_TS}
+    GROUP BY 1, 2
+)
+SELECT a.event_type, a.user_bucket, g.gts AS ts, round(a.value, 6) AS value
+FROM at_point a CROSS JOIN grid g
+WHERE a.value IS NOT NULL""",
+)
+
 # ---- histogram family -------------------------------------------------
 # le-bucketed input built in-engine (union + label_set + count_le rollups),
 # then histogram_quantile/share/avg interpolation; the oracle repeats the

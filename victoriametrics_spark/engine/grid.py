@@ -52,12 +52,17 @@ def prepare_rollup_input(
     window_ms: int,
     offset_ms: int = 0,
     needs_prev: bool = False,
+    needs_fwd: bool = False,
+    keep_stale: bool = False,
 ) -> DataFrame:
     """Explode samples to (series, grid-index) contribution rows.
 
     Returns a DataFrame with columns:
       __series_key, name, labels, i (grid index), gts, value, ts
       [+ prev_value, prev_ts, dv, dt, pos_dv when needs_prev]
+      [+ next_value, next_ts, next_pos_dv when needs_fwd — VM's preFunc
+         family (deltaValues/derivValues, rollup.go:440-490) assigns each
+         sample the delta/deriv to its NEXT sample]
     """
     if window_ms <= 0:
         raise ValueError("window must be positive")
@@ -65,17 +70,19 @@ def prepare_rollup_input(
     npts = cfg.num_points
 
     df = samples
-    if "is_stale" in df.columns:
+    if "is_stale" in df.columns and not keep_stale:
         # staleness markers terminate a series; they never surface as values
         # (apptest/tests/metricsql_test.go:32 behavior)
         df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+    elif "is_stale" not in df.columns and keep_stale:
+        df = df.withColumn("is_stale", F.lit(False))
     df = df.withColumn("__series_key", series_key(F.col("name"), F.col("labels")))
 
     # shift for `offset`: sample effectively evaluated offset later
     shifted = (F.col("ts") + F.lit(offset_ms)).alias("__sts")
     df = df.withColumn("__sts", shifted)
 
-    if needs_prev:
+    if needs_prev or needs_fwd:
         w = Window.partitionBy("__series_key").orderBy("ts")
         df = (
             df.withColumn("prev_value", F.lag("value").over(w))
@@ -89,6 +96,14 @@ def prepare_rollup_input(
                 .otherwise(F.col("value")),
             )
         )
+        if needs_fwd:
+            # lead over the same window spec — Catalyst computes lag+lead
+            # in one sort pass, no extra shuffle
+            df = (
+                df.withColumn("next_value", F.lead("value").over(w))
+                .withColumn("next_ts", F.lead("ts").over(w))
+                .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
+            )
 
     # prune samples that cannot contribute to any grid point (parquet-pushable)
     df = df.filter(

@@ -161,6 +161,9 @@ class Planner:
             return self.plan(FuncExpr(name="default_rollup", args=[e]), cfg)
         if isinstance(e, FuncExpr):
             if is_rollup_func(e.name):
+                at_handled = self.plan_at_modifier(e, cfg)
+                if at_handled is not None:
+                    return at_handled
                 return self.plan_rollup_func(e, cfg)
             return transform_mod.plan_transform(self, e, cfg)
         if isinstance(e, AggrFuncExpr):
@@ -259,11 +262,61 @@ class Planner:
         # child range above is already shifted, so the shift maps it back
         return inner_df, window_ms
 
+    # ------------------------------------------------------ `@` modifier
+    def plan_at_modifier(self, fe: FuncExpr, cfg: EvalConfig) -> Plan | None:
+        """`expr @ ts` — evaluate the rollup at the fixed timestamp, then
+        broadcast the single-point result across the whole grid
+        (eval.go:903-952). Returns None when no `@` is present."""
+        from dataclasses import replace as _replace
+
+        for idx, a in enumerate(fe.args):
+            if isinstance(a, RollupExpr) and a.at is not None:
+                at_s = self.const_value(a.at, cfg)
+                at_ms = int(at_s * 1000)
+                sub_cfg = EvalConfig(
+                    start=at_ms,
+                    end=at_ms,
+                    step=cfg.step,
+                    max_lookback=cfg.max_lookback,
+                )
+                stripped = FuncExpr(
+                    name=fe.name,
+                    args=[
+                        _replace(x, at=None) if j == idx else x
+                        for j, x in enumerate(fe.args)
+                    ],
+                    keep_metric_names=fe.keep_metric_names,
+                )
+                point = self.materialize(self.plan(stripped, sub_cfg), sub_cfg)
+                g = grid_df(self.spark, cfg)
+                return (
+                    point.select("name", "labels", "value")
+                    .crossJoin(g)
+                    .select("name", "labels", "ts", "value")
+                )
+        return None
+
     # -------------------------------------------------- special rollups
     def plan_special_rollup(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
+        from victoriametrics_spark.engine import multirollup as MR
+
         name = fe.name
         if name == "absent_over_time":
             return self.plan_absent_over_time(fe, cfg)
+        if name in MR.MULTI_ROLLUPS:
+            return MR.plan_multi_rollup(self, fe, cfg)
+        if name == "quantiles_over_time":
+            return MR.plan_quantiles_over_time(self, fe, cfg)
+        if name == "count_values_over_time":
+            return MR.plan_count_values_over_time(self, fe, cfg)
+        if name == "histogram_over_time":
+            return MR.plan_histogram_over_time(self, fe, cfg)
+        if name == "aggr_over_time":
+            return MR.plan_aggr_over_time(self, fe, cfg)
+        if name == "holt_winters":
+            return MR.plan_holt_winters(self, fe, cfg)
+        if name == "stale_samples_over_time":
+            return MR.plan_stale_samples_over_time(self, fe, cfg)
         raise PlanError(f"rollup function {name!r} not implemented yet")
 
     def plan_absent_over_time(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:

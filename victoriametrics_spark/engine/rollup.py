@@ -213,7 +213,6 @@ def _inc() -> Column:
 _simple("increase", lambda a: _inc(), needs_prev=True)
 _simple("increase_pure", lambda a: _inc(), needs_prev=True)
 _simple("rate", lambda a: _inc() / F.lit(a.window_s), needs_prev=True)
-_simple("rollup_increase", lambda a: _inc(), needs_prev=True)
 
 
 def _inc_prom(a: RollupArgs) -> Column:
@@ -511,13 +510,13 @@ PLANNER_LEVEL_ROLLUPS = {
     "rollup_candlestick",
     "rollup_delta",
     "rollup_deriv",
+    "rollup_increase",
     "rollup_rate",
     "rollup_scrape_interval",
     "histogram_over_time",
     "count_values_over_time",
     "quantiles_over_time",
     "holt_winters",
-    "smooth_exponential",
 }
 
 # rollup arg position when not 0 (VM getRollupArgIdx)

@@ -192,6 +192,66 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name in ("keep_last_value", "keep_next_value", "interpolate"):
         return _gap_fill(planner, fe, cfg, name)
 
+    # ---- sequential per-series folds ---------------------------------------
+    if name == "smooth_exponential":
+        sf = planner.const_value(fe.args[1], cfg)
+        sf = min(1.0, max(0.0, sf))
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+
+        def ema(acc, e):
+            new_avg = F.when(
+                acc["avg"].isNull(), e["v"]
+            ).otherwise(acc["avg"] * F.lit(1.0 - sf) + e["v"] * F.lit(sf))
+            return F.struct(
+                new_avg.alias("avg"),
+                F.concat(
+                    acc["out"],
+                    F.array(F.struct(e["t"].alias("t"), new_avg.alias("v"))),
+                ).alias("out"),
+            )
+
+        return _series_fold(
+            planner, df, ema,
+            extra_acc=[F.lit(None).cast("double").alias("avg")],
+        )
+
+    if name == "remove_resets":
+        # removeCounterResetsMaybeNaNs (transform.go) incl. the partial-
+        # reset heuristic: drops < prev/8 are treated as partial resets
+        df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+
+        def unreset(acc, e):
+            d = e["v"] - acc["prev"]
+            corr = F.when(acc["prev"].isNull(), F.lit(0.0)).otherwise(
+                F.when(
+                    d < 0,
+                    acc["corr"]
+                    + F.when(-d * 8 < acc["prev"], acc["prev"] - e["v"]).otherwise(
+                        acc["prev"]
+                    ),
+                ).otherwise(acc["corr"])
+            )
+            return F.struct(
+                e["v"].alias("prev"),
+                corr.alias("corr"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(e["t"].alias("t"), (e["v"] + corr).alias("v"))
+                    ),
+                ).alias("out"),
+            )
+
+        return _series_fold(
+            planner,
+            df,
+            unreset,
+            extra_acc=[
+                F.lit(None).cast("double").alias("prev"),
+                F.lit(0.0).alias("corr"),
+            ],
+        )
+
     # ---- running / range windows -----------------------------------------
     if name.startswith("running_"):
         return _running(planner, fe, cfg, name[len("running_") :])
@@ -375,6 +435,38 @@ def _pointwise(planner, fe, cfg, fn, keep_name: bool = False):
 def _series_window(df: DataFrame):
     key = series_key(F.col("name"), F.col("labels"))
     return df.withColumn("__sk", key), Window.partitionBy("__sk").orderBy("ts")
+
+
+def _series_fold(planner, df: DataFrame, step_fn, extra_acc: list):
+    """Sequential per-series stateful transform: collect the series'
+    ts-sorted points, left-fold ``step_fn`` over them accumulating an
+    output array of (t, v), then explode back to rows. Series-length
+    arrays are bounded by the grid size (same order as every per-series
+    window in the engine); groups distribute across the cluster."""
+    pair = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    grouped = (
+        df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        .groupBy("__sk")
+        .agg(
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+            F.array_sort(F.collect_list(pair)).alias("__sp"),
+        )
+    )
+    out_t = "array<struct<t:bigint,v:double>>"
+    acc0 = F.struct(*extra_acc, F.array().cast(out_t).alias("out"))
+    folded = F.aggregate(F.col("__sp"), acc0, step_fn)
+    out = grouped.select(
+        F.lit("").alias("name"),
+        F.col("labels"),
+        F.explode(folded["out"]).alias("__e"),
+    ).select(
+        "name",
+        "labels",
+        F.col("__e.t").alias("ts"),
+        F.col("__e.v").alias("value"),
+    )
+    return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
 
 def _gap_fill(planner, fe, cfg, name):
