@@ -665,6 +665,200 @@ FROM cum WHERE c3 != 0""",
 )
 
 
+# ---- streamaggr (§2.8): tumbling aggregation + dedup + counter state --
+_SAMPLES_NAMED_SQL = """
+    SELECT 'events_value' AS name,
+           event_type,
+           CAST(user_id % 10 AS VARCHAR) AS user_bucket,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts,
+           value
+    FROM events
+"""
+
+
+def _streamaggr_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.streaming.streamaggr import (
+        StreamAggrConfig,
+        aggregate_batch,
+    )
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = StreamAggrConfig(
+        interval_ms=W1D,
+        outputs=["sum_samples", "count_samples", "count_series", "last", "max"],
+        by=["event_type"],
+    )
+    out = aggregate_batch(samples, cfg)
+    return out.select(
+        "name",
+        F.col("labels").getItem("event_type").alias("event_type"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_reg(
+    "op_streamaggr_outputs",
+    _streamaggr_stateless,
+    f"""
+WITH samples AS ({_SAMPLES_NAMED_SQL}),
+w AS (SELECT *, ts - ts % {W1D} AS wstart FROM samples),
+g AS (
+    SELECT event_type, wstart,
+           sum(value) AS sum_samples,
+           CAST(count(value) AS DOUBLE) AS count_samples,
+           CAST(count(DISTINCT event_type || '|' || user_bucket) AS DOUBLE)
+               AS count_series,
+           list_transform([list_sort(list(struct_pack(t := ts, v := value)))],
+               l -> l[-1].v)[1] AS last,
+           max(value) AS max
+    FROM w GROUP BY 1, 2
+)
+SELECT 'events_value:1d_by_event_type_' || u.o AS name,
+       event_type, wstart + {W1D} AS ts, round(u.v, 6) AS value
+FROM g, unnest([
+    struct_pack(o := 'sum_samples',  v := sum_samples),
+    struct_pack(o := 'count_samples', v := count_samples),
+    struct_pack(o := 'count_series', v := count_series),
+    struct_pack(o := 'last', v := last),
+    struct_pack(o := 'max', v := max)]) AS t(u)""",
+)
+
+
+def _streamaggr_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.streaming.streamaggr import (
+        StreamAggrConfig,
+        aggregate_batch,
+    )
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = StreamAggrConfig(
+        interval_ms=W1D, outputs=["total", "increase"], by=["event_type"]
+    )
+    out = aggregate_batch(samples, cfg)
+    return out.select(
+        "name",
+        F.col("labels").getItem("event_type").alias("event_type"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_reg(
+    "op_streamaggr_counters",
+    _streamaggr_counters,
+    f"""
+WITH samples AS ({_SAMPLES_NAMED_SQL}),
+wp AS (
+    SELECT samples.*,
+           lag(value) OVER (PARTITION BY event_type, user_bucket ORDER BY ts)
+               AS prev_value,
+           lag(ts) OVER (PARTITION BY event_type, user_bucket ORDER BY ts)
+               AS prev_ts
+    FROM samples
+),
+d AS (
+    SELECT *,
+           CASE WHEN prev_value IS NULL THEN NULL
+                WHEN value >= prev_value THEN value - prev_value
+                ELSE value END AS pos_dv,
+           ts - ts % {W1D} AS wstart
+    FROM wp
+),
+per_window AS (
+    SELECT event_type, wstart, sum(pos_dv) AS inc
+    FROM d GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, wstart, inc,
+           sum(coalesce(inc, 0.0)) OVER (
+               PARTITION BY event_type ORDER BY wstart
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total
+    FROM per_window
+)
+SELECT 'events_value:1d_by_event_type_' || u.o AS name,
+       event_type, wstart + {W1D} AS ts, round(u.v, 6) AS value
+FROM tot, unnest([
+    struct_pack(o := 'total', v := total),
+    struct_pack(o := 'increase', v := inc)]) AS t(u)
+WHERE u.v IS NOT NULL""",
+)
+
+
+def _streamaggr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+    samples = events_as_samples(spark, sf_dir)
+    deduped = dedup_samples(samples, W6H)
+    return deduped.groupBy(F.col("labels").getItem("event_type").alias("event_type")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_reg(
+    "op_streamaggr_dedup",
+    _streamaggr_dedup,
+    f"""
+WITH samples AS ({_SAMPLES_NAMED_SQL}),
+r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_type, user_bucket, ts - ts % {W6H}
+               ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+)
+SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+       round(sum(value), 4) AS sum_value
+FROM r WHERE rn = 1 GROUP BY 1""",
+)
+
+
+def _mq_dedup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-read wired through the query engine (EvalConfig knob)."""
+    from victoriametrics_spark import EvalConfig, evaluate
+    from victoriametrics_spark.sources.events import events_as_samples
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = EvalConfig(
+        start=GRID_START, end=GRID_END, step=GRID_STEP, dedup_interval_ms=W6H
+    )
+    df = evaluate(spark, "count_over_time(events_value[1d])", samples, cfg)
+    return df.select(
+        F.col("labels").getItem("event_type").alias("event_type"),
+        F.col("labels").getItem("user_bucket").alias("user_bucket"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_reg(
+    "mq_dedup_on_read",
+    _mq_dedup_read,
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_type, user_bucket, ts - ts % {W6H}
+               ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+),
+dd AS (SELECT * FROM r WHERE rn = 1),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT dd.event_type, dd.user_bucket, dd.value, g.gts
+    FROM dd JOIN grid g ON dd.ts > g.gts - {W1D} AND dd.ts <= g.gts
+)
+SELECT event_type, user_bucket, gts AS ts,
+       round(CAST(count(value) AS DOUBLE), 6) AS value
+FROM j GROUP BY 1, 2, 3""",
+)
+
+
 # ======================================================================
 # Training-data-pipeline operators (beyond-reference scope): dedup,
 # similarity search, text analysis over documents/embeddings

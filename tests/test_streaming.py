@@ -175,3 +175,133 @@ def test_relabel_drop_metrics(spark, sample_df):
     )
     out = relabel(renamed, [{"action": "drop_metrics", "regex": "up_db"}]).collect()
     assert [r["name"] for r in out] == ["up_api"]
+
+
+# ---------------------------------------------------------------- streamaggr
+from victoriametrics_spark.schema import SAMPLE_SCHEMA  # noqa: E402
+from victoriametrics_spark.streaming.streamaggr import (  # noqa: E402
+    StreamAggrConfig,
+    aggregate_batch,
+    aggregate_stream,
+    dedup_samples,
+)
+
+
+@pytest.fixture(scope="module")
+def sa_samples(spark):
+    rows = []
+    # two series, 2 windows of 100s; counter-ish values
+    for i, ts in enumerate(range(0, 200_000, 25_000)):
+        rows.append(("m", {"job": "a", "inst": "1"}, ts, float(10 * i), False))
+        rows.append(("m", {"job": "a", "inst": "2"}, ts, float(100 + i), False))
+    return spark.createDataFrame(rows, SAMPLE_SCHEMA)
+
+
+def _by_name(df):
+    out = {}
+    for r in df.collect():
+        key = (r["name"], tuple(sorted((r["labels"] or {}).items())), r["ts"])
+        out[key] = r["value"]
+    return out
+
+
+def test_streamaggr_stateless_outputs(sa_samples):
+    cfg = StreamAggrConfig(
+        interval_ms=100_000,
+        outputs=["sum_samples", "count_samples", "count_series", "last"],
+        by=["job"],
+    )
+    got = _by_name(aggregate_batch(sa_samples, cfg))
+    key = lambda o, ts: (f"m:100s_by_job_{o}", (("job", "a"),), ts)  # noqa: E731
+    # window [0,100k): i=0..3 → series1: 0,10,20,30; series2: 100..103
+    assert got[key("sum_samples", 100_000)] == 60.0 + 406.0
+    assert got[key("count_samples", 100_000)] == 8.0
+    assert got[key("count_series", 100_000)] == 2.0
+    # last = max (ts, value): ts=75k → series2 value 103 > series1 30
+    assert got[key("last", 100_000)] == 103.0
+
+
+def test_streamaggr_counters(sa_samples):
+    cfg = StreamAggrConfig(
+        interval_ms=100_000, outputs=["total", "increase"], by=["job"]
+    )
+    got = _by_name(aggregate_batch(sa_samples, cfg))
+    # series1 deltas +10 each sample (7 deltas over both windows), series2 +1
+    # window1 (ts 25k..75k): 3 deltas each → inc = 30 + 3 = 33
+    assert got[("m:100s_by_job_increase", (("job", "a"),), 100_000)] == 33.0
+    # window2 (ts 100k..175k): 4 deltas each → inc = 40 + 4; total = 77+0?
+    assert got[("m:100s_by_job_increase", (("job", "a"),), 200_000)] == 44.0
+    assert got[("m:100s_by_job_total", (("job", "a"),), 200_000)] == 77.0
+
+
+def test_streamaggr_quantiles_and_histogram(sa_samples):
+    cfg = StreamAggrConfig(
+        interval_ms=200_000,
+        outputs=["quantiles", "histogram_bucket"],
+        by=["job"],
+        quantiles=[0.5],
+    )
+    out = aggregate_batch(sa_samples, cfg)
+    names = {r["name"] for r in out.collect()}
+    assert "m:200s_by_job_quantiles" in names
+    assert "m:200s_by_job_histogram_bucket" in names
+    q = [
+        r
+        for r in out.collect()
+        if r["name"].endswith("quantiles") and r["labels"].get("quantile") == "0.5"
+    ]
+    assert len(q) == 1
+
+
+def test_streamaggr_staleness_reset(spark):
+    rows = [
+        ("c", {"j": "x"}, 0, 10.0, False),
+        ("c", {"j": "x"}, 10_000, 20.0, False),
+        # 5-minute gap → state reset, the +80 delta must NOT count
+        ("c", {"j": "x"}, 310_000, 100.0, False),
+        ("c", {"j": "x"}, 320_000, 110.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cfg = StreamAggrConfig(
+        interval_ms=400_000,
+        outputs=["total"],
+        staleness_interval_ms=120_000,
+    )
+    got = aggregate_batch(df, cfg).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == 20.0  # 10 + 10, gap delta dropped
+
+
+def test_dedup_last_wins(spark):
+    rows = [
+        ("m", {"j": "x"}, 1_000, 5.0, False),
+        ("m", {"j": "x"}, 9_000, 7.0, False),  # same 10s bucket → kept (last)
+        ("m", {"j": "x"}, 9_000, 9.0, False),  # tie ts → max value wins
+        ("m", {"j": "x"}, 12_000, 1.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = dedup_samples(df, 10_000).collect()
+    got = sorted((r["ts"], r["value"]) for r in out)
+    assert got == [(9_000, 9.0), (12_000, 1.0)]
+
+
+def test_streamaggr_structured_streaming(spark, sa_samples, tmp_path):
+    src = str(tmp_path / "stream_src")
+    sa_samples.write.parquet(src)
+    sdf = spark.readStream.schema(SAMPLE_SCHEMA).parquet(src)
+    cfg = StreamAggrConfig(
+        interval_ms=100_000, outputs=["sum_samples", "count_series"], by=["job"]
+    )
+    out = aggregate_stream(sdf, cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sa_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sa_test").collect()
+    got = {(r["name"], r["ts"]): r["value"] for r in rows}
+    assert got[("m:100s_by_job_sum_samples", 100_000)] == 466.0
+    assert got[("m:100s_by_job_count_series", 200_000)] == 2.0

@@ -23,6 +23,10 @@ class EvalConfig:
     max_lookback: int = 300_000
     # `@` modifier / offset support adjusts these per-subtree.
     at: int | None = None
+    # Dedup-on-read: -dedup.minScrapeInterval analog (lib/storage/dedup.go:
+    # 29-60) — every selector scan keeps only the last sample per aligned
+    # interval bucket per series. 0 disables.
+    dedup_interval_ms: int = 0
 
     def __post_init__(self):
         if self.step <= 0:

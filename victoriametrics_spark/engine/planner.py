@@ -174,8 +174,14 @@ class Planner:
 
     # ------------------------------------------------------------- leaves
     def scan(self, me: MetricExpr) -> DataFrame:
-        """Selector → filtered raw samples (predicate pushdown to parquet)."""
-        return self.samples.filter(selector_predicate(me))
+        """Selector → filtered raw samples (predicate pushdown to parquet),
+        with optional dedup-on-read (-dedup.minScrapeInterval analog)."""
+        out = self.samples.filter(selector_predicate(me))
+        if self.cfg.dedup_interval_ms > 0:
+            from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+            out = dedup_samples(out, self.cfg.dedup_interval_ms)
+        return out
 
     # ------------------------------------------------------------- rollups
     def plan_rollup_func(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:

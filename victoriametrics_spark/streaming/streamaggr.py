@@ -1,0 +1,337 @@
+"""Streaming aggregation (SURVEY.md §2.8) — the Spark rebuild of
+lib/streamaggr: tumbling-interval aggregation of the sample stream with
+VM's output set, last-wins deduplication, and counter state with a
+staleness TTL.
+
+Two execution modes share one config and one semantics definition:
+
+- ``aggregate_batch(df, cfg)`` — the batch formulation (micro-batch
+  backfill / oracle-checkable): tumbling windows are ``floor(ts/interval)``
+  buckets, flushed at the bucket end. Counter outputs (total/increase)
+  derive per-series reset-adjusted deltas with one lag window and
+  accumulate across buckets with a running-sum frame — no driver state.
+- ``aggregate_stream(sdf, cfg)`` — Structured Streaming: the same
+  aggregates over ``window(ts, interval)`` with a watermark for late
+  data (VM drops samples older than the current flush window,
+  streamaggr.go flush logic; the watermark is the compat knob).
+
+Output series naming follows the reference exactly
+(streamaggr.go:627-635):
+``input_name:<interval>[_by_<labels>][_without_<labels>]_<output>``.
+
+Dedup (``dedup_interval``) keeps the last sample per aligned interval
+bucket per series, ties broken by the maximum value
+(lib/storage/dedup.go:29-60 + issue #3333 rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.schema import canonical_labels_str, series_key
+
+STATELESS_OUTPUTS = {
+    "sum_samples",
+    "count_samples",
+    "count_series",
+    "last",
+    "min",
+    "max",
+    "avg",
+    "stddev",
+    "stdvar",
+    "unique_samples",
+}
+STATEFUL_OUTPUTS = {"total", "increase", "rate_sum", "rate_avg"}
+SPECIAL_OUTPUTS = {"quantiles", "histogram_bucket"}
+
+
+@dataclass
+class StreamAggrConfig:
+    interval_ms: int
+    outputs: list[str]
+    by: list[str] | None = None
+    without: list[str] | None = None
+    dedup_interval_ms: int = 0
+    staleness_interval_ms: int | None = None
+    quantiles: list[float] = field(default_factory=list)
+    keep_metric_names: bool = False
+
+    def suffix(self) -> str:
+        iv = _fmt_interval(self.interval_ms)
+        s = f":{iv}"
+        if self.by:
+            s += "_by_" + "_".join(sorted(self.by))
+        if self.without:
+            s += "_without_" + "_".join(sorted(self.without))
+        return s + "_"
+
+
+def _fmt_interval(ms: int) -> str:
+    for unit, div in (("d", 86_400_000), ("h", 3_600_000), ("m", 60_000), ("s", 1000)):
+        if ms % div == 0 and ms >= div:
+            return f"{ms // div}{unit}"
+    return f"{ms}ms"
+
+
+def _group_labels(cfg: StreamAggrConfig) -> Column:
+    labels = F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>"))
+    if cfg.by:
+        keys = [str(k) for k in cfg.by]
+        return F.map_filter(labels, lambda k, v: k.isin(*keys))
+    if cfg.without:
+        keys = [str(k) for k in cfg.without]
+        return F.map_filter(labels, lambda k, v: ~k.isin(*keys))
+    return labels
+
+
+def _out_name(cfg: StreamAggrConfig, output: str) -> Column:
+    if cfg.keep_metric_names:
+        return F.col("name")
+    return F.concat(F.col("name"), F.lit(cfg.suffix() + output))
+
+
+def dedup_samples(df: DataFrame, dedup_interval_ms: int) -> DataFrame:
+    """Last-wins dedup per aligned interval bucket per series
+    (lib/storage/dedup.go:29-60): keep the sample with the highest ts in
+    each ``floor(ts/interval)`` bucket; equal timestamps prefer the
+    maximum value (issue #3333), stale markers lose to real samples."""
+    if dedup_interval_ms <= 0:
+        return df
+    bucket = (F.col("ts") - F.col("ts") % F.lit(dedup_interval_ms)).alias("__bk")
+    sk = series_key(F.col("name"), F.col("labels"))
+    not_stale = (
+        ~F.coalesce(F.col("is_stale"), F.lit(False))
+        if "is_stale" in df.columns
+        else F.lit(True)
+    )
+    w = Window.partitionBy(sk, bucket).orderBy(
+        F.col("ts").desc(), not_stale.desc(), F.col("value").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _stateless_agg(output: str, streaming: bool = False) -> Column:
+    v = F.col("value")
+    if output == "sum_samples":
+        return F.sum(v)
+    if output == "count_samples":
+        return F.count(v).cast("double")
+    if output == "count_series":
+        # exact in batch; streaming aggregation cannot do exact distinct →
+        # HLL sketch (documented approximation, exact for small cardinality)
+        if streaming:
+            return F.approx_count_distinct(F.col("__sk"), rsd=0.005).cast("double")
+        return F.count_distinct(F.col("__sk")).cast("double")
+    if output == "last":
+        return F.max(F.struct(F.col("ts"), v))["value"]
+    if output == "min":
+        return F.min(v)
+    if output == "max":
+        return F.max(v)
+    if output == "avg":
+        return F.avg(v)
+    if output == "stddev":
+        return F.stddev_pop(v)
+    if output == "stdvar":
+        return F.var_pop(v)
+    if output == "unique_samples":
+        return F.count_distinct(v).cast("double")
+    raise ValueError(f"unknown stateless output {output!r}")
+
+
+def aggregate_batch(df: DataFrame, cfg: StreamAggrConfig) -> DataFrame:
+    """Tumbling-interval streamaggr over a batch of samples. Returns the
+    canonical sample shape (name, labels, ts, value), one series per
+    (input group, output)."""
+    if cfg.dedup_interval_ms:
+        df = dedup_samples(df, cfg.dedup_interval_ms)
+    iv = cfg.interval_ms
+    d = (
+        df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        .withColumn("__glabels", _group_labels(cfg))
+        .withColumn("__gkey", canonical_labels_str(F.col("__glabels")))
+        .withColumn("__w", F.col("ts") - F.col("ts") % F.lit(iv))
+    )
+    flush_ts = (F.col("__w") + F.lit(iv)).alias("ts")
+    outs: list[DataFrame] = []
+
+    stateless = [o for o in cfg.outputs if o in STATELESS_OUTPUTS]
+    if stateless:
+        grouped = d.groupBy("name", "__glabels", "__w").agg(
+            *[_stateless_agg(o).alias(f"__o_{o}") for o in stateless]
+        )
+        for o in stateless:
+            outs.append(
+                grouped.select(
+                    _out_name(cfg, o).alias("name"),
+                    F.col("__glabels").alias("labels"),
+                    flush_ts,
+                    F.col(f"__o_{o}").cast("double").alias("value"),
+                ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            )
+
+    if "quantiles" in cfg.outputs:
+        qs = cfg.quantiles or [0.5]
+        grouped = d.groupBy("name", "__glabels", "__w").agg(
+            *[
+                F.percentile(F.col("value"), F.lit(p)).alias(f"__q{i}")
+                for i, p in enumerate(qs)
+            ]
+        )
+        for i, p in enumerate(qs):
+            outs.append(
+                grouped.select(
+                    _out_name(cfg, "quantiles").alias("name"),
+                    F.map_concat(
+                        F.map_filter(
+                            F.col("__glabels"), lambda k, v: k != F.lit("quantile")
+                        ),
+                        F.create_map(F.lit("quantile"), F.lit(f"{p:g}")),
+                    ).alias("labels"),
+                    flush_ts,
+                    F.col(f"__q{i}").cast("double").alias("value"),
+                )
+            )
+
+    if "histogram_bucket" in cfg.outputs:
+        v = F.col("value")
+        pos = d.filter(v > 0)
+        idx = F.ceil(F.log10(v) * 18).cast("long")
+        lo = F.pow(F.lit(10.0), (idx - 1).cast("double") / 18.0)
+        hi = F.pow(F.lit(10.0), idx.cast("double") / 18.0)
+        vmrange = F.concat(
+            F.format_string("%.3e", lo), F.lit("..."), F.format_string("%.3e", hi)
+        )
+        outs.append(
+            pos.withColumn("__vmrange", vmrange)
+            .groupBy("name", "__glabels", "__w", "__vmrange")
+            .agg(F.count("*").cast("double").alias("value"))
+            .select(
+                _out_name(cfg, "histogram_bucket").alias("name"),
+                F.map_concat(
+                    F.col("__glabels"),
+                    F.create_map(F.lit("vmrange"), F.col("__vmrange")),
+                ).alias("labels"),
+                flush_ts,
+                F.col("value"),
+            )
+        )
+
+    stateful = [o for o in cfg.outputs if o in STATEFUL_OUTPUTS]
+    if stateful:
+        wser = Window.partitionBy("__sk").orderBy("ts")
+        dd = (
+            d.withColumn("__pv", F.lag("value").over(wser))
+            .withColumn("__pts", F.lag("ts").over(wser))
+            .withColumn(
+                "__pos_dv",
+                F.when(F.col("__pv").isNull(), F.lit(None).cast("double"))
+                .when(F.col("value") >= F.col("__pv"), F.col("value") - F.col("__pv"))
+                .otherwise(F.col("value")),
+            )
+        )
+        if cfg.staleness_interval_ms:
+            # state TTL: a gap longer than staleness resets the series
+            # (streamaggr.go:175-182) — the first delta after it is dropped
+            dd = dd.withColumn(
+                "__pos_dv",
+                F.when(
+                    F.col("ts") - F.col("__pts") > F.lit(cfg.staleness_interval_ms),
+                    F.lit(None).cast("double"),
+                ).otherwise(F.col("__pos_dv")),
+            )
+        per_window = dd.groupBy("name", "__gkey", "__w").agg(
+            F.first("__glabels").alias("__glabels"),
+            F.sum("__pos_dv").alias("__inc"),
+            F.sum(
+                F.try_divide(F.col("__pos_dv"), (F.col("ts") - F.col("__pts")) / 1000.0)
+            ).alias("__rate_sum_inner"),
+            F.count_distinct(
+                F.when(F.col("__pos_dv").isNotNull(), F.col("__sk"))
+            ).alias("__nser"),
+        )
+        wrun = (
+            Window.partitionBy("name", "__gkey")
+            .orderBy("__w")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for o in stateful:
+            if o == "total":
+                val = F.sum(F.coalesce(F.col("__inc"), F.lit(0.0))).over(wrun)
+            elif o == "increase":
+                val = F.col("__inc")
+            elif o == "rate_sum":
+                # per-sample rate dv/dt summed per group — batch analog of
+                # rate.go (per-series instantaneous rates)
+                val = F.col("__rate_sum_inner")
+            else:  # rate_avg
+                val = F.try_divide(F.col("__rate_sum_inner"), F.col("__nser"))
+            outs.append(
+                per_window.select(
+                    _out_name(cfg, o).alias("name"),
+                    F.col("__glabels").alias("labels"),
+                    flush_ts,
+                    val.cast("double").alias("value"),
+                ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def aggregate_stream(
+    sdf: DataFrame,
+    cfg: StreamAggrConfig,
+    ts_col: str = "ts",
+    allowed_lateness_ms: int = 0,
+) -> DataFrame:
+    """Structured Streaming formulation for the stateless outputs:
+    tumbling ``window(ts, interval)`` aggregation with a watermark.
+    VM drops samples older than the current flush window; a zero
+    ``allowed_lateness_ms`` reproduces that compat behavior, larger
+    values trade latency for late-data tolerance.
+
+    Counter outputs (total/increase/rate_*) need per-series state with a
+    staleness TTL → transformWithStateInPandas; the batch formulation in
+    ``aggregate_batch`` defines their semantics and serves micro-batch
+    (foreachBatch) deployments.
+    """
+    stateless = [o for o in cfg.outputs if o in STATELESS_OUTPUTS]
+    if not stateless:
+        raise ValueError("aggregate_stream supports stateless outputs only")
+    tcol = F.timestamp_millis(F.col(ts_col))
+    d = (
+        sdf.withColumn("__event_time", tcol)
+        .withWatermark("__event_time", f"{max(allowed_lateness_ms, 0)} milliseconds")
+        .withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        .withColumn("__glabels", _group_labels(cfg))
+    )
+    win = F.window("__event_time", f"{cfg.interval_ms} milliseconds")
+    grouped = d.groupBy(F.col("name"), F.col("__glabels"), win.alias("__win")).agg(
+        *[_stateless_agg(o, streaming=True).alias(f"__o_{o}") for o in stateless]
+    )
+    outs = []
+    for o in stateless:
+        outs.append(
+            grouped.select(
+                _out_name(cfg, o).alias("name"),
+                F.col("__glabels").alias("labels"),
+                F.unix_millis(F.col("__win.end")).alias("ts"),
+                F.col(f"__o_{o}").cast("double").alias("value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
