@@ -1,0 +1,103 @@
+"""Optimizer rewrites: cross-side filter pushdown (optimizer.go:16-96)
+and common-subexpression reuse in the planner."""
+
+from __future__ import annotations
+
+from victoriametrics_spark import EvalConfig, evaluate
+from victoriametrics_spark.metricsql import parse
+from victoriametrics_spark.metricsql.ast import BinaryOpExpr, MetricExpr, RollupExpr, FuncExpr
+from victoriametrics_spark.metricsql.optimizer import get_common_label_filters, optimize
+from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+CFG = EvalConfig(start=1_000_000, end=2_000_000, step=200_000)
+
+
+def _selector_filters(e):
+    """All (label, op, value) of the first selector group under e."""
+    from victoriametrics_spark.metricsql.ast import AggrFuncExpr
+
+    while not isinstance(e, MetricExpr):
+        if isinstance(e, RollupExpr):
+            e = e.expr
+        elif isinstance(e, (FuncExpr, AggrFuncExpr)):
+            e = e.args[0]
+        else:
+            raise AssertionError(f"no selector under {e!r}")
+    return {(f.label, f.op, f.value) for f in e.label_filterss[0]}
+
+
+def test_pushdown_binop_both_sides():
+    e = optimize(parse('foo{a="1"} * bar{b="2"}'))
+    assert isinstance(e, BinaryOpExpr)
+    assert ("a", "=", "1") in _selector_filters(e.right)
+    assert ("b", "=", "2") in _selector_filters(e.left)
+
+
+def test_pushdown_through_rollup_and_aggr():
+    e = optimize(parse('sum(rate(foo{job="x"}[5m])) by (job) / sum(rate(bar[5m])) by (job)'))
+    assert ("job", "=", "x") in _selector_filters(e.right)
+
+
+def test_pushdown_respects_on_modifier():
+    e = optimize(parse('foo{a="1", b="2"} * on(a) bar'))
+    rf = _selector_filters(e.right)
+    assert ("a", "=", "1") in rf
+    assert ("b", "=", "2") not in rf
+
+
+def test_no_pushdown_for_or():
+    e = optimize(parse('foo{a="1"} or bar{b="2"}'))
+    assert ("a", "=", "1") not in _selector_filters(e.right)
+
+
+def test_unless_pushes_left_filters_right_only():
+    e = optimize(parse('foo{a="1"} unless bar'))
+    assert ("a", "=", "1") in _selector_filters(e.right)
+    # left unchanged beyond its own filters
+    assert _selector_filters(e.left) == {("__name__", "=", "foo"), ("a", "=", "1")}
+
+
+def test_aggr_without_modifier_blocks_pushdown():
+    # sum() drops all labels → a filter from the other side must not reach
+    # below the aggregate
+    e = optimize(parse('sum(foo) / bar{a="1"}'))
+    assert ("a", "=", "1") not in _selector_filters(e.left.args[0])
+
+
+def test_common_filters_of_metric_or_groups():
+    e = parse('foo{a="1", c="3" or a="1", b="2"}')
+    lfs = {(f.label, f.op, f.value) for f in get_common_label_filters(e)}
+    assert lfs == {("a", "=", "1")}
+
+
+def test_pushdown_result_equivalence(spark):
+    rows = []
+    for ts in range(0, 2_100_000, 200_000):
+        for t in ("x", "y"):
+            rows.append(("foo", {"t": t}, ts, 1.0 if t == "x" else 5.0, False))
+            rows.append(("bar", {"t": t}, ts, 2.0, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = evaluate(
+        spark, 'last_over_time(foo{t="x"}[200s]) * last_over_time(bar[200s])',
+        df, CFG,
+    )
+    got = {(r["labels"]["t"], r["ts"]): r["value"] for r in out.collect()}
+    assert set(k[0] for k in got) == {"x"}
+    assert got[("x", 1_000_000)] == 2.0
+
+
+def test_cse_reused_exchange(spark):
+    rows = [
+        ("m", {"j": "a"}, ts, float(ts), False)
+        for ts in range(0, 2_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = evaluate(
+        spark,
+        "sum(sum_over_time(m[400s])) / sum(sum_over_time(m[400s]))",
+        df, CFG,
+    )
+    assert {r["value"] for r in out.collect()} == {1.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # identical subtrees must plan as one computation + ReusedExchange
+    assert "ReusedExchange" in plan

@@ -122,7 +122,10 @@ class Planner:
 
     # ------------------------------------------------------------- public
     def plan_query(self, query: str | Expr) -> DataFrame:
+        from victoriametrics_spark.metricsql.optimizer import optimize
+
         e = parse(query) if isinstance(query, str) else query
+        e = optimize(e)
         return self.materialize(self.plan(e, self.cfg), self.cfg)
 
     # ------------------------------------------------------------ helpers
@@ -145,6 +148,25 @@ class Planner:
 
     # ------------------------------------------------------------ dispatch
     def plan(self, e: Expr, cfg: EvalConfig) -> Plan:
+        """Common-subexpression cache around _plan_inner: repeated subtrees
+        (e.g. both sides of `q / q` shapes, eval.go:598-648
+        shouldOptimizeRepeatedBinaryOpSubexprs) return the SAME DataFrame
+        object, so Catalyst sees identical logical subtrees and can emit
+        ReusedExchange instead of recomputing."""
+        if isinstance(
+            e, (MetricExpr, RollupExpr, FuncExpr, AggrFuncExpr, BinaryOpExpr)
+        ):
+            key = (repr(e), cfg.start, cfg.end, cfg.step)
+            hit = self._cse.get(key)
+            if hit is not None:
+                return hit
+            result = self._plan_inner(e, cfg)
+            if isinstance(result, DataFrame):
+                self._cse[key] = result
+            return result
+        return self._plan_inner(e, cfg)
+
+    def _plan_inner(self, e: Expr, cfg: EvalConfig) -> Plan:
         if isinstance(e, NumberExpr):
             return Scalar.of(e.value)
         if isinstance(e, DurationExpr):
