@@ -96,6 +96,70 @@ def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def table_planes(
+    dim: int, n_tables: int, bits_per_table: int, seed: int
+) -> list[list[list[float]]]:
+    """The deterministic hyperplane set for every LSH table."""
+    return [
+        random_planes(dim, bits_per_table, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+
+
+def query_bucket(query: list[float], planes: list[list[float]]) -> int:
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query)) >= 0:
+            qbits |= 1 << i
+    return qbits
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the per-table bucket ids as columns ``lsh_b0..lsh_bT``.
+
+    This is the INGEST-side precompute: written once with the data (and at
+    scale used as a partitioning/bucketing key so a probe touches only the
+    matching bucket's files), it turns each query from T×planes dot
+    products over the full corpus into one scan filtering on T persisted
+    int columns — or a partition-pruned read when laid out by bucket."""
+    out = df
+    for t, planes in enumerate(table_planes(dim, n_tables, bits_per_table, seed)):
+        out = out.withColumn(
+            f"lsh_b{t}", hyperplane_bucket(F.col(vec_col), planes)
+        )
+    return out
+
+
+def lsh_knn_threshold_persisted(
+    df_with_buckets: DataFrame,
+    query: list[float],
+    tau: float,
+    n_tables: int = 8,
+    bits_per_table: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe pre-materialized bucket columns (see with_lsh_buckets):
+    candidates = rows matching the query's bucket in ANY table — a single
+    scan with an OR of integer-equality predicates — then exact cosine
+    verify on the (~T·2^-b) candidate fraction."""
+    planes = table_planes(len(query), n_tables, bits_per_table, seed)
+    pred = None
+    for t, p in enumerate(planes):
+        c = F.col(f"lsh_b{t}") == F.lit(query_bucket(query, p))
+        pred = c if pred is None else (pred | c)
+    cand = df_with_buckets.filter(pred)
+    return knn_threshold(cand, query, tau, vec_col, id_col)
+
+
 def lsh_knn_threshold(
     df: DataFrame,
     query: list[float],
@@ -111,22 +175,18 @@ def lsh_knn_threshold(
     b-bit tables (OR-construction). One table is hopeless for moderate
     similarity — P(match | cos θ) = (1-θ/π)^b per table; OR-ing T tables
     lifts recall to 1-(1-p)^T while each probe still touches only
-    ~2^-b of the corpus. At scale each table's bucket id is a persisted
-    bucketing column."""
+    ~2^-b of the corpus.
+
+    Without persisted buckets this computes them on the fly in ONE scan
+    (bucket columns + OR predicate); ingest-side, call with_lsh_buckets
+    once and probe via lsh_knn_threshold_persisted."""
     dim = len(query)
-    cand = None
-    for t in range(n_tables):
-        planes = random_planes(dim, bits_per_table, seed + 1000 * t)
-        qbits = 0
-        for i, p in enumerate(planes):
-            if sum(a * b for a, b in zip(p, query)) >= 0:
-                qbits |= 1 << i
-        hit = df.filter(
-            hyperplane_bucket(F.col(vec_col), planes) == F.lit(qbits)
-        ).select(id_col, vec_col)
-        cand = hit if cand is None else cand.unionByName(hit)
-    cand = cand.dropDuplicates([id_col])
-    return knn_threshold(cand, query, tau, vec_col, id_col)
+    bucketed = with_lsh_buckets(
+        df.select(id_col, vec_col), dim, n_tables, bits_per_table, seed, vec_col
+    )
+    return lsh_knn_threshold_persisted(
+        bucketed, query, tau, n_tables, bits_per_table, seed, vec_col, id_col
+    )
 
 
 def pairwise_cosine_within(
