@@ -69,7 +69,10 @@ def _mq(metricsql: str, labels: tuple[str, ...], scale: float = 1.0) -> Callable
         return df.select(
             *cols,
             F.col("ts"),
-            F.round(F.col("value") * F.lit(scale), 6).alias("value"),
+            # `+ 0.0` canonicalizes IEEE -0.0 → +0.0 after rounding, so a
+            # tiny negative slope rounded to zero hashes identically on the
+            # Spark and DuckDB sides (both engines: -0.0 + 0.0 == +0.0).
+            (F.round(F.col("value") * F.lit(scale), 6) + F.lit(0.0)).alias("value"),
         )
 
     return run
@@ -120,17 +123,19 @@ per_series AS (
     SELECT event_type, user_bucket, gts, {agg} AS value
     FROM j GROUP BY 1, 2, 3
 )"""
+    # `+ 0.0` canonicalizes -0.0 → +0.0 (same on the Spark side in _mq)
     if outer is None:
         return (
             sql
             + f"""
-SELECT event_type, user_bucket, gts AS ts, round(value * {scale!r}, 6) AS value
+SELECT event_type, user_bucket, gts AS ts,
+       round(value * {scale!r}, 6) + 0.0 AS value
 FROM per_series WHERE {having}"""
         )
     return (
         sql
         + f"""
-SELECT event_type, gts AS ts, round(({outer}) * {scale!r}, 6) AS value
+SELECT event_type, gts AS ts, round(({outer}) * {scale!r}, 6) + 0.0 AS value
 FROM per_series WHERE {having} GROUP BY 1, 2"""
     )
 
@@ -1459,6 +1464,84 @@ SELECT lang, CAST(count(*) AS DOUBLE) AS docs
 FROM documents WHERE position('hash value' IN text) > 0
 GROUP BY 1""",
 )
+
+
+# ---------------------------------------------------------------- order
+# The driver verifies the FIRST 50 registered gates. Order the registry
+# riskiest-first: gates with no driver verdict yet (histogram family,
+# candlestick, `@`, streamaggr, op_*/rel_*), then the two formerly-red
+# deriv gates, then one representative per already-green family. The
+# redundant simple *_over_time gates fill the tail.
+_DRIVER_PRIORITY = [
+    # formerly red — verify the -0.0 canonicalization fix
+    "mq_deriv",
+    "mq_deriv_fast",
+    # round-2 work with no driver verdict yet
+    "mq_cmp_filter",
+    "mq_scalar_arith",
+    "mq_topk_max",
+    "mq_rollup_candlestick",
+    "mq_quantiles_over_time",
+    "mq_at_modifier",
+    "mq_histogram_quantile",
+    "mq_histogram_share",
+    "mq_histogram_avg",
+    "op_streamaggr_outputs",
+    "op_streamaggr_counters",
+    "op_streamaggr_dedup",
+    "mq_dedup_on_read",
+    "op_doc_token_stats",
+    "op_doc_quality",
+    "op_doc_fingerprint",
+    "op_doc_exact_dedup",
+    "op_doc_jaccard_pairs",
+    "op_doc_minhash_lsh",
+    "op_doc_lang_id",
+    "op_doc_simhash_pairs",
+    "op_emb_knn_threshold",
+    "op_emb_centroid_norm",
+    "op_emb_lsh_knn",
+    "rel_stats_q1",
+    "rel_join_stats",
+    "rel_top_customers",
+    "rel_uniq",
+    "rel_sort_limit",
+    "rel_unpack_json",
+    "rel_top_pipe",
+    "rel_facets",
+    "rel_first_per_group",
+    "rel_running_revenue",
+    "rel_phrase_filter",
+    # representatives of already-green families (regression canaries)
+    "mq_binop_ratio",
+    "mq_sum_rate_by",
+    "mq_sum_rate_total",
+    "mq_rate",
+    "mq_increase",
+    "mq_delta",
+    "mq_changes",
+    "mq_sum_over_time",
+    "mq_quantile_over_time",
+    "mq_zscore_over_time",
+    "mq_scrape_interval",
+    "mq_geomean_over_time",
+    "mq_max_avgot_by",
+]
+
+
+def _reorder_registry() -> None:
+    ordered = {}
+    for name in _DRIVER_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, v in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = v
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_reorder_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:
