@@ -49,7 +49,40 @@ def _cfg():
     return EvalConfig(start=GRID_START, end=GRID_END, step=GRID_STEP)
 
 
-def _mq(metricsql: str, labels: tuple[str, ...], scale: float = 1.0) -> Callable:
+# bucketed-storage samples source: events written once per (process, sf)
+# into the date-partitioned / series-bucketed / ts-sorted layout
+# (victoriametrics_spark/storage/layout.py), then scanned back with
+# partition pruning. Queries over this path run their per-series windows
+# and grid aggregations with zero Exchange.
+_BUCKETED_DONE: set[str] = set()
+
+
+def _bucketed_events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.storage import (
+        read_samples_table,
+        write_samples_table,
+    )
+
+    table = "events_samples_" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    if table not in _BUCKETED_DONE:
+        write_samples_table(
+            events_as_samples(spark, sf_dir), table, n_buckets=16
+        )
+        _BUCKETED_DONE.add(table)
+    return read_samples_table(
+        spark, table, GRID_START, GRID_END, lookback_ms=W1D
+    )
+
+
+def _mq(
+    metricsql: str,
+    labels: tuple[str, ...],
+    scale: float = 1.0,
+    bucketed: bool = False,
+) -> Callable:
     """Run a MetricsQL query through the engine; flatten labels to columns.
 
     ``scale`` multiplies the value before rounding — used to bring
@@ -61,7 +94,10 @@ def _mq(metricsql: str, labels: tuple[str, ...], scale: float = 1.0) -> Callable
         from victoriametrics_spark import evaluate
         from victoriametrics_spark.sources.events import events_as_samples
 
-        samples = events_as_samples(spark, sf_dir)
+        if bucketed:
+            samples = _bucketed_events_samples(spark, sf_dir)
+        else:
+            samples = events_as_samples(spark, sf_dir)
         df = evaluate(spark, metricsql, samples, _cfg())
         cols = [
             F.col("labels").getItem(lbl).alias(lbl) for lbl in labels
@@ -342,6 +378,13 @@ for _name, _mq_fn, _agg in [
 _reg(
     "mq_rate",
     _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0),
+    _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
+)
+# same query + oracle as mq_rate, but served from the bucketed storage
+# layout — certifies write→scan→query round-trip correctness
+_reg(
+    "mq_rate_bucketed",
+    _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0, bucketed=True),
     _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
 )
 _reg(
@@ -1476,6 +1519,8 @@ _DRIVER_PRIORITY = [
     # formerly red — verify the -0.0 canonicalization fix
     "mq_deriv",
     "mq_deriv_fast",
+    # round-3 storage layout round-trip
+    "mq_rate_bucketed",
     # round-2 work with no driver verdict yet
     "mq_cmp_filter",
     "mq_scalar_arith",

@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "mq_topk_max",
     # join layer
     "mq_binop_ratio",
+    # storage layout: same rate() from flat scan vs bucketed table
+    "mq_rate",
+    "mq_rate_bucketed",
 ]
 
 
@@ -42,8 +45,11 @@ def main() -> int:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
-    # warm the JVM + parquet footer cache once (not counted)
+    # warm the JVM + parquet footer cache once (not counted); the bucketed
+    # gate's first call also materializes the bucketed table so the timed
+    # run below measures the scan path, not the one-time write
     qs["mq_sum_rate_by"](spark, sf_dir).count()
+    qs["mq_rate_bucketed"](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.time()

@@ -76,7 +76,14 @@ def prepare_rollup_input(
         df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
     elif "is_stale" not in df.columns and keep_stale:
         df = df.withColumn("is_stale", F.lit(False))
-    df = df.withColumn("__series_key", series_key(F.col("name"), F.col("labels")))
+    if "__series_key" not in df.columns:
+        df = df.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    # else: reuse the stored physical column — when the input is a bucketed
+    # samples table (storage/layout.py) the scan already reports
+    # HashPartitioning on it, so the lag window and the grid aggregation
+    # below run shuffle-free (the whole point of the layout)
 
     # shift for `offset`: sample effectively evaluated offset later
     shifted = (F.col("ts") + F.lit(offset_ms)).alias("__sts")

@@ -48,6 +48,12 @@ def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
         # MapType/timestamp-safe Arrow fallback instead of hard error.
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # bucketed sample tables (storage/layout.py) live here; on a real
+        # cluster this is an object-store path from spark-submit conf
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/vmspark_warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get(

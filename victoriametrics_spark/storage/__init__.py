@@ -1,0 +1,13 @@
+from victoriametrics_spark.storage.layout import (
+    append_samples,
+    compact_samples_table,
+    read_samples_table,
+    write_samples_table,
+)
+
+__all__ = [
+    "write_samples_table",
+    "append_samples",
+    "read_samples_table",
+    "compact_samples_table",
+]

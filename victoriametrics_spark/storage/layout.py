@@ -1,0 +1,162 @@
+"""Partitioned + bucketed sample storage — the 100 TB layout.
+
+The reference's storage engine keeps monthly LSM partitions
+(lib/storage/partition.go:98) plus a per-day inverted index
+(lib/storage/index_db.go:2713) so queries touch only the partitions in
+range and stream each series' blocks in timestamp order. On Spark the
+layout itself replaces both structures:
+
+- ``date`` partition directories  → time-range (partition) pruning, the
+  per-day index analog;
+- ``bucketBy(N, __series_key)``   → every executor owns whole series, so
+  the per-series lag window (``needs_prev`` in engine/grid.py) and the
+  (series, grid-index) hash aggregation both run with **zero Exchange**
+  — the bucketed scan already reports the HashPartitioning the plan
+  requires. This removes the full sort-shuffle every rate-family query
+  otherwise pays on the raw scan;
+- ``sortBy(__series_key, ts)``    → in-file timestamp order, so the
+  window sort is a cheap local merge, mirroring VM streaming each
+  series' blocks in ts order (lib/storage/partition_search.go).
+
+Compaction (the LSM merge analog, lib/storage/merge.go) rewrites a table
+back to one file per (date, bucket), optionally applying last-wins
+dedup exactly like VM dedups during part merges (lib/storage/dedup.go).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from victoriametrics_spark.schema import series_key
+
+DEFAULT_BUCKETS = 32
+
+
+def _with_layout_columns(samples: DataFrame) -> DataFrame:
+    df = samples
+    if "__series_key" not in df.columns:
+        df = df.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    return df.withColumn(
+        "date", F.to_date(F.timestamp_millis(F.col("ts")))
+    )
+
+
+def write_samples_table(
+    samples: DataFrame,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+    dedup_interval_ms: int = 0,
+) -> None:
+    """Write canonical samples as a date-partitioned, series-bucketed,
+    ts-sorted parquet table.
+
+    ``repartition(n_buckets, __series_key)`` uses the same Murmur3 hash
+    as the bucket spec, so each task owns exactly one bucket id and each
+    (date, bucket) pair lands in one file — the compacted invariant.
+    ``dedup_interval_ms`` applies last-wins dedup during the write, the
+    VM merge-time dedup analog (lib/storage/dedup.go:29-60).
+    """
+    df = samples
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # the default in-memory catalog forgets managed tables across
+        # sessions while their warehouse dirs persist; clear both so
+        # overwrite is idempotent (a Hive/Glue metastore wouldn't need this)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jsc = spark.sparkContext._jsc
+        jvm = spark.sparkContext._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+        )
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    if dedup_interval_ms > 0:
+        from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+        df = dedup_samples(df, dedup_interval_ms)
+    df = _with_layout_columns(df)
+    df = df.repartition(n_buckets, F.col("__series_key"))
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .partitionBy("date")
+        .bucketBy(n_buckets, "__series_key")
+        .sortBy("__series_key", "ts")
+        .saveAsTable(table)
+    )
+
+
+def append_samples(
+    samples: DataFrame, table: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Ingest-path append (the in-memory-part flush analog,
+    lib/storage/partition.go:42). Appends create extra files per bucket;
+    run :func:`compact_samples_table` periodically to restore the
+    one-file-per-(date, bucket) invariant."""
+    write_samples_table(samples, table, n_buckets=n_buckets, mode="append")
+
+
+def read_samples_table(
+    spark: SparkSession,
+    table: str,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    lookback_ms: int = 0,
+) -> DataFrame:
+    """Scan builder: partition-pruned, bucket-aware samples scan.
+
+    The ``date`` filters prune partition directories (the time-range
+    index); ``lookback_ms`` widens the range backwards for rollup
+    windows + the staleness lookback, exactly how VM extends
+    SearchQuery.MinTimestamp (eval.go:1803 window+maxSilenceInterval).
+    The returned frame keeps the physical ``__series_key`` so downstream
+    windows/aggregations inherit the bucket partitioning.
+
+    Pruning is DATE-granular only, on purpose: row-level ts filters here
+    would drop the boundary sample just before the window start that the
+    per-series ``lag()`` (prev_value, rollup.go:780-805) and ``lead()``
+    (next_value) stages still need — those stages run before the
+    engine's own exact range prune (engine/grid.py). Day granularity
+    bounds the prev/next lookback the same way VM's extended search
+    range does (eval.go:1803).
+    """
+    df = spark.table(table)
+    if start_ms is not None:
+        df = df.filter(
+            F.col("date")
+            >= F.to_date(F.timestamp_millis(F.lit(start_ms - lookback_ms)))
+        )
+    if end_ms is not None:
+        df = df.filter(
+            F.col("date") <= F.to_date(F.timestamp_millis(F.lit(end_ms)))
+        )
+    return df.drop("date")
+
+
+def compact_samples_table(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    dedup_interval_ms: int = 0,
+) -> None:
+    """LSM-merge analog: rewrite ``table`` to one file per (date, bucket),
+    optionally deduping (VM merges small parts into big ones and dedups
+    while merging, lib/storage/merge.go + dedup.go)."""
+    tmp = f"{table}__compacting"
+    write_samples_table(
+        spark.table(table).drop("date"),
+        tmp,
+        n_buckets=n_buckets,
+        dedup_interval_ms=dedup_interval_ms,
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # the rename moves the managed dir; refresh partition metadata to the
+    # moved locations
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.catalog.refreshTable(table)
