@@ -380,6 +380,58 @@ _reg(
     _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0),
     _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
 )
+# fine-step wide-window gate: 1d window at 15m step over a 2-day subrange
+# (window/step = 96 > cutover 16 → exercises the two-level plan); the
+# oracle is the same range-join form, blind to the plan choice
+_FINE_START = GRID_START + 5 * 86400000
+_FINE_END = GRID_START + 7 * 86400000
+_FINE_STEP = 900000  # 15m
+
+
+def _mq_rate_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from victoriametrics_spark import EvalConfig, evaluate
+    from victoriametrics_spark.sources.events import events_as_samples
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = EvalConfig(start=_FINE_START, end=_FINE_END, step=_FINE_STEP)
+    df = evaluate(spark, "rate(events_value[1d])", samples, cfg)
+    return df.select(
+        F.col("labels").getItem("event_type").alias("event_type"),
+        F.col("labels").getItem("user_bucket").alias("user_bucket"),
+        "ts",
+        (F.round(F.col("value") * F.lit(86400.0), 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+_reg(
+    "mq_rate_fine_step",
+    _mq_rate_fine,
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+wp AS (
+    SELECT samples.*, lag(value) OVER w AS prev_value
+    FROM samples
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+grid AS (SELECT CAST(r.range AS BIGINT) AS gts
+         FROM range({_FINE_START}, {_FINE_END} + 1, {_FINE_STEP}) r),
+j AS (
+    SELECT wp.event_type, wp.user_bucket,
+           CASE WHEN prev_value IS NULL THEN NULL
+                WHEN value >= prev_value THEN value - prev_value
+                ELSE value END AS pos_dv,
+           g.gts
+    FROM wp JOIN grid g ON wp.ts > g.gts - {W1D} AND wp.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, sum(pos_dv) / 86400.0 AS value
+    FROM j GROUP BY 1, 2, 3
+)
+SELECT event_type, user_bucket, gts AS ts,
+       round(value * 86400.0, 6) + 0.0 AS value
+FROM per_series WHERE value IS NOT NULL""",
+)
+
 # same query + oracle as mq_rate, but served from the bucketed storage
 # layout — certifies write→scan→query round-trip correctness
 _reg(
@@ -1519,8 +1571,9 @@ _DRIVER_PRIORITY = [
     # formerly red — verify the -0.0 canonicalization fix
     "mq_deriv",
     "mq_deriv_fast",
-    # round-3 storage layout round-trip
+    # round-3 storage layout round-trip + fine-step two-level cutover
     "mq_rate_bucketed",
+    "mq_rate_fine_step",
     # round-2 work with no driver verdict yet
     "mq_cmp_filter",
     "mq_scalar_arith",

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     # storage layout: same rate() from flat scan vs bucketed table
     "mq_rate",
     "mq_rate_bucketed",
+    # wide-window fine-step (1d window @ 15m step → two-level plan)
+    "mq_rate_fine_step",
 ]
 
 

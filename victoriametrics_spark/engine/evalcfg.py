@@ -27,6 +27,12 @@ class EvalConfig:
     # 29-60) — every selector scan keeps only the last sample per aligned
     # interval bucket per series. 0 disables.
     dedup_interval_ms: int = 0
+    # Wide-window/fine-step cutover: when window/step exceeds this ratio
+    # (and the window is a step multiple), decomposable rollups switch
+    # from the contribution-explode plan (amplification = window/step per
+    # SAMPLE) to step-bucket two-level aggregation (amplification =
+    # window/step per BUCKET PARTIAL — bounded by the grid, not the data).
+    two_level_cutover: int = 16
 
     def __post_init__(self):
         if self.step <= 0:

@@ -141,6 +141,87 @@ def prepare_rollup_input(
     return df
 
 
+def prepare_step_buckets(
+    samples: DataFrame,
+    cfg: EvalConfig,
+    window_ms: int,
+    offset_ms: int = 0,
+    needs_prev: bool = False,
+) -> DataFrame:
+    """Step-bucket form of :func:`prepare_rollup_input` — NO explode.
+
+    Valid only when ``window_ms`` is an exact multiple ``k`` of the step:
+    the lookbehind window of grid index ``i`` is then precisely the union
+    of the ``k`` step buckets ``(start+(b-1)*step, start+b*step]`` for
+    ``b ∈ [i-k+1, i]``, so a sample belongs to exactly ONE bucket
+    (``b = ceil((ts-start)/step)``) and bucket-level partial aggregates
+    can be merged per grid point. This turns the explode's
+    ``window/step × samples`` shuffle into ``window/step × bucket
+    partials`` — the partial count is bounded by series × grid size
+    regardless of sample density, which is what survives ``rate(m[1d])``
+    at step=15s (amplification 5760× per sample otherwise).
+
+    Output columns: __series_key, name, labels, b (bucket index, may be
+    < 0 for pre-start samples), value, ts [+ prev/dv/dt/pos_dv].
+    """
+    if window_ms <= 0 or window_ms % cfg.step != 0:
+        raise ValueError("two-level form requires window = k * step")
+    start, end, step = cfg.start, cfg.end, cfg.step
+
+    df = samples
+    if "is_stale" in df.columns:
+        df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+    if "__series_key" not in df.columns:
+        df = df.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    df = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms))
+
+    if needs_prev:
+        w = Window.partitionBy("__series_key").orderBy("ts")
+        df = (
+            df.withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("dv", F.col("value") - F.col("prev_value"))
+            .withColumn("dt", F.col("ts") - F.col("prev_ts"))
+            .withColumn(
+                "pos_dv",
+                F.when(F.col("prev_value").isNull(), F.lit(None).cast("double"))
+                .when(F.col("value") >= F.col("prev_value"), F.col("dv"))
+                .otherwise(F.col("value")),
+            )
+        )
+
+    df = df.filter(
+        (F.col("__sts") <= F.lit(end))
+        & (F.col("__sts") + F.lit(window_ms) > F.lit(start))
+    )
+    # bucket index: ceil((__sts - start) / step), sign-correct via the
+    # identity ceil(n/s) = -floorDiv(-n, s) (all integral — float division
+    # would lose exactness at unix-ms magnitudes)
+    num = F.col("__sts") - F.lit(start)
+    b = -F.floor(-num / F.lit(step)).cast("long")
+    return df.withColumn("b", b)
+
+
+def explode_bucket_partials(
+    partials: DataFrame, cfg: EvalConfig, k: int
+) -> DataFrame:
+    """Fan each bucket partial out to the ``k`` grid indices whose window
+    contains the bucket, clamped to the grid."""
+    npts = cfg.num_points
+    i_lo = F.greatest(F.lit(0), F.col("b"))
+    i_hi = F.least(F.lit(npts - 1), F.col("b") + F.lit(k - 1))
+    return partials.withColumn(
+        "i",
+        F.explode(
+            F.when(i_lo <= i_hi, F.sequence(i_lo, i_hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+
+
 def grid_df(spark, cfg: EvalConfig) -> DataFrame:
     """The bare evaluation grid as a DataFrame(ts BIGINT ms)."""
     return spark.range(cfg.num_points).select(

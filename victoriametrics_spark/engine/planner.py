@@ -27,7 +27,13 @@ from victoriametrics_spark.engine import aggr as aggr_mod
 from victoriametrics_spark.engine import binop as binop_mod
 from victoriametrics_spark.engine import transform as transform_mod
 from victoriametrics_spark.engine.evalcfg import EvalConfig
-from victoriametrics_spark.engine.grid import grid_df, prepare_rollup_input
+from victoriametrics_spark.engine.grid import (
+    explode_bucket_partials,
+    grid_df,
+    prepare_rollup_input,
+    prepare_step_buckets,
+)
+from victoriametrics_spark.engine.prefix import prefix_rollup
 from victoriametrics_spark.engine.rollup import (
     PLANNER_LEVEL_ROLLUPS,
     ROLLUP_ARG_IDX,
@@ -233,18 +239,72 @@ class Planner:
         window_ms = re_.window.ms(cfg.step) if re_.window else None
         raw, window_ms = self.rollup_input(re_, window_ms, offset_ms, cfg, name)
         a = RollupArgs(window_ms=window_ms, step_ms=cfg.step, scalars=scalars)
-        prepared = prepare_rollup_input(
-            raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
-        )
-        grouped = (
-            prepared.groupBy("__series_key", "i")
-            .agg(
+        k, rem = divmod(window_ms, cfg.step)
+        if (
+            spec.prefix is not None
+            and window_ms > cfg.two_level_cutover * cfg.step
+        ):
+            # prefix-sum marker plan (engine/prefix.py): rows bounded by
+            # samples + 2·grid — output-optimal at ANY window/step ratio,
+            # and no window-divisibility requirement
+            grouped = prefix_rollup(
+                raw,
+                cfg,
+                window_ms,
+                offset_ms,
+                spec.prefix.contribs(a),
+                needs_prev=spec.needs_prev,
+            ).select(
+                "__series_key",
+                "name",
+                "labels",
+                "i",
+                "gts",
+                *spec.prefix.finalize(a),
+            )
+        elif (
+            spec.two_level is not None
+            and rem == 0
+            and k > cfg.two_level_cutover
+        ):
+            # wide-window/fine-step cutover: bucket partials + merge —
+            # shuffle amplification drops from k× per sample to k× per
+            # (series, step-bucket) partial (grid.py prepare_step_buckets)
+            bucketed = prepare_step_buckets(
+                raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
+            )
+            partials = bucketed.groupBy("__series_key", "b").agg(
                 F.first("name").alias("name"),
                 F.first("labels").alias("labels"),
-                *spec.aggs(a),
+                *spec.two_level.partials(a),
             )
-            .withColumn("gts", F.lit(cfg.start) + F.col("i") * F.lit(cfg.step))
-        )
+            exploded = explode_bucket_partials(partials, cfg, k)
+            grouped = (
+                exploded.groupBy("__series_key", "i")
+                .agg(
+                    F.first("name").alias("name"),
+                    F.first("labels").alias("labels"),
+                    *spec.two_level.merges(a),
+                )
+                .withColumn(
+                    "gts", F.lit(cfg.start) + F.col("i") * F.lit(cfg.step)
+                )
+            )
+        else:
+            prepared = prepare_rollup_input(
+                raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
+            )
+            grouped = (
+                prepared.groupBy("__series_key", "i")
+                .agg(
+                    F.first("name").alias("name"),
+                    F.first("labels").alias("labels"),
+                    *spec.aggs(a),
+                )
+                .withColumn(
+                    "gts", F.lit(cfg.start) + F.col("i") * F.lit(cfg.step)
+                )
+            )
         keep = spec.keep_name or fe.keep_metric_names or re_.keep_metric_names
         out = grouped.select(
             (F.col("name") if keep else F.lit("")).alias("name"),

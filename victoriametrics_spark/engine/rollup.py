@@ -47,11 +47,38 @@ class RollupArgs:
 
 
 @dataclass
+class Decomposed:
+    """Two-level (step-bucket) form of a rollup for the wide-window/
+    fine-step cutover (engine/grid.py prepare_step_buckets): ``partials``
+    aggregates raw samples per (series, step bucket); ``merges``
+    aggregates those partial columns per (series, grid point), producing
+    the SAME aliases the spec's ``post`` expects. Only decomposable
+    (associative-mergeable) rollups declare one; everything else keeps
+    the exact contribution-explode plan."""
+
+    partials: Callable[[RollupArgs], list[Column]]
+    merges: Callable[[RollupArgs], list[Column]]
+
+
+@dataclass
+class PrefixForm:
+    """Prefix-sum (marker) form for SUM-shaped rollups (engine/prefix.py):
+    ``contribs`` lists (alias, per-sample contribution expression); the
+    machinery produces ``__d_<alias>`` window sums with exact SUM-NULL
+    semantics; ``finalize`` maps them onto the aliases ``post`` expects."""
+
+    contribs: Callable[[RollupArgs], list[tuple[str, Column]]]
+    finalize: Callable[[RollupArgs], list[Column]]
+
+
+@dataclass
 class RollupSpec:
     aggs: Callable[[RollupArgs], list[Column]]
     post: Callable[[RollupArgs], Column]
     needs_prev: bool = False
     keep_name: bool = False
+    two_level: Decomposed | None = None
+    prefix: PrefixForm | None = None
 
 
 ROLLUPS: dict[str, RollupSpec] = {}
@@ -67,6 +94,7 @@ def _simple(
     *,
     needs_prev: bool = False,
     keep_name: bool = False,
+    two_level: Decomposed | None = None,
 ) -> None:
     _reg(
         name,
@@ -75,7 +103,19 @@ def _simple(
             post=lambda a: F.col("__v"),
             needs_prev=needs_prev,
             keep_name=keep_name,
+            two_level=two_level,
         ),
+    )
+
+
+def _dec(
+    partial: Callable[[RollupArgs], Column],
+    merge: Callable[[RollupArgs], Column],
+) -> Decomposed:
+    """Single-column decomposition onto the ``__v`` alias."""
+    return Decomposed(
+        partials=lambda a: [partial(a).alias("__v")],
+        merges=lambda a: [merge(a).alias("__v")],
     )
 
 
@@ -498,6 +538,312 @@ def _duration_over_time(a: RollupArgs) -> Column:
 
 
 _simple("duration_over_time", _duration_over_time, needs_prev=True)
+
+# ------------------------------------------- two-level decompositions
+# Step-bucket partial/merge forms for the wide-window/fine-step cutover
+# (see Decomposed). Only registered where the merge is exactly
+# associative; order-sensitive float reductions (stddev, geomean, ...)
+# and per-grid-point-conditioned aggs (``*_prometheus``, integrate) keep
+# the one-level explode plan.
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+
+def _set_two_level(name: str, d: Decomposed) -> None:
+    ROLLUPS[name] = _dc_replace(ROLLUPS[name], two_level=d)
+
+
+def _last_pair() -> list[Column]:
+    return [_last_v().alias("__lv"), _last_ts().alias("__lt")]
+
+
+_set_two_level("sum_over_time", _dec(lambda a: F.sum(V()), lambda a: F.sum("__v")))
+_set_two_level(
+    "count_over_time",
+    _dec(lambda a: F.count(V()).cast("double"), lambda a: F.sum("__v")),
+)
+_set_two_level("sum2_over_time", _dec(lambda a: F.sum(V() * V()), lambda a: F.sum("__v")))
+_set_two_level("min_over_time", _dec(lambda a: F.min(V()), lambda a: F.min("__v")))
+_set_two_level("max_over_time", _dec(lambda a: F.max(V()), lambda a: F.max("__v")))
+_set_two_level(
+    "present_over_time", _dec(lambda a: F.max(F.lit(1.0)), lambda a: F.max("__v"))
+)
+_set_two_level(
+    "range_over_time",
+    Decomposed(
+        partials=lambda a: [F.min(V()).alias("__mn"), F.max(V()).alias("__mx")],
+        merges=lambda a: [(F.max("__mx") - F.min("__mn")).alias("__v")],
+    ),
+)
+_set_two_level(
+    "avg_over_time",
+    Decomposed(
+        partials=lambda a: [
+            F.sum(V()).alias("__s"),
+            F.count(V()).alias("__c"),
+        ],
+        merges=lambda a: [(F.sum("__s") / F.sum("__c")).alias("__v")],
+    ),
+)
+for _n in ("last_over_time", "default_rollup"):
+    _set_two_level(
+        _n,
+        Decomposed(
+            partials=lambda a: _last_pair(),
+            merges=lambda a: [F.max_by("__lv", "__lt").alias("__v")],
+        ),
+    )
+_set_two_level(
+    "first_over_time",
+    Decomposed(
+        partials=lambda a: [_first_v().alias("__fv"), _first_ts().alias("__ft")],
+        merges=lambda a: [F.min_by("__fv", "__ft").alias("__v")],
+    ),
+)
+for _n in ("timestamp", "timestamp_with_name", "tlast_over_time"):
+    _set_two_level(
+        _n,
+        _dec(lambda a: _last_ts(), lambda a: F.max("__v") / F.lit(1000.0)),
+    )
+_set_two_level(
+    "tfirst_over_time",
+    _dec(lambda a: _first_ts(), lambda a: F.min("__v") / F.lit(1000.0)),
+)
+_set_two_level(
+    "lifetime",
+    Decomposed(
+        partials=lambda a: [_first_ts().alias("__f"), _last_ts().alias("__l")],
+        merges=lambda a: [
+            ((F.max("__l") - F.min("__f")) / F.lit(1000.0)).alias("__v")
+        ],
+    ),
+)
+_set_two_level(
+    "lag",
+    Decomposed(
+        partials=lambda a: [_last_ts().alias("__lts")],
+        merges=lambda a: [F.max("__lts").alias("__lts")],
+    ),
+)
+_set_two_level(
+    "scrape_interval",
+    Decomposed(
+        partials=lambda a: [
+            F.min(TS()).alias("__f"),
+            F.max(TS()).alias("__l"),
+            F.count(V()).alias("__c"),
+        ],
+        merges=lambda a: [
+            F.try_divide(
+                (F.max("__l") - F.min("__f")) / F.lit(1000.0),
+                F.sum("__c") - F.lit(1),
+            ).alias("__v")
+        ],
+    ),
+)
+_set_two_level(
+    "rate_over_sum",
+    _dec(lambda a: F.sum(V()), lambda a: F.sum("__v") / F.lit(a.window_s)),
+)
+for _n in ("increase", "increase_pure"):
+    _set_two_level(_n, _dec(lambda a: F.sum(POS_DV()), lambda a: F.sum("__v")))
+_set_two_level(
+    "rate",
+    _dec(lambda a: F.sum(POS_DV()), lambda a: F.sum("__v") / F.lit(a.window_s)),
+)
+_set_two_level(
+    "resets",
+    _dec(
+        lambda a: F.sum(
+            F.when(PV().isNotNull() & (V() < PV()), 1).otherwise(0)
+        ).cast("double"),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "changes",
+    _dec(
+        lambda a: F.sum(
+            F.when(PV().isNotNull() & (V() != PV()), 1).otherwise(0)
+        ).cast("double"),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "increases_over_time",
+    _dec(
+        lambda a: F.sum(
+            F.when(PV().isNotNull() & (V() > PV()), 1).otherwise(0)
+        ).cast("double"),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "decreases_over_time",
+    _dec(
+        lambda a: F.sum(
+            F.when(PV().isNotNull() & (V() < PV()), 1).otherwise(0)
+        ).cast("double"),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "ascent_over_time",
+    _dec(
+        lambda a: F.sum(F.when(PV().isNotNull() & (DV() > 0), DV())),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "descent_over_time",
+    _dec(
+        lambda a: F.sum(F.when(PV().isNotNull() & (DV() < 0), -DV())),
+        lambda a: F.sum("__v"),
+    ),
+)
+_set_two_level(
+    "tlast_change_over_time",
+    _dec(
+        lambda a: F.max(F.when(PV().isNotNull() & (V() != PV()), TS())),
+        lambda a: F.max("__v") / F.lit(1000.0),
+    ),
+)
+for _op in ("eq", "ne", "gt", "le"):
+    _set_two_level(
+        f"count_{_op}_over_time",
+        _dec(
+            lambda a, op=_op: F.sum(F.when(_cond(op, a), 1).otherwise(0)).cast(
+                "double"
+            ),
+            lambda a: F.sum("__v"),
+        ),
+    )
+for _op in ("eq", "gt", "le"):
+    _set_two_level(
+        f"sum_{_op}_over_time",
+        _dec(
+            lambda a, op=_op: F.sum(
+                F.when(_cond(op, a), V()).otherwise(F.lit(0.0))
+            ),
+            lambda a: F.sum("__v"),
+        ),
+    )
+    _set_two_level(
+        f"share_{_op}_over_time",
+        Decomposed(
+            partials=lambda a, op=_op: [
+                F.sum(F.when(_cond(op, a), 1).otherwise(0)).alias("__m"),
+                F.count(V()).alias("__c"),
+            ],
+            merges=lambda a: [
+                (F.sum("__m") / F.sum("__c")).cast("double").alias("__v")
+            ],
+        ),
+    )
+_set_two_level(
+    "distinct_over_time",
+    Decomposed(
+        partials=lambda a: [F.collect_set(V()).alias("__set")],
+        merges=lambda a: [
+            F.size(F.array_distinct(F.flatten(F.collect_list("__set"))))
+            .cast("double")
+            .alias("__v")
+        ],
+    ),
+)
+
+# --------------------------------------------------- prefix-sum forms
+# Marker/prefix registrations for the strictly sum-shaped subset — the
+# output-optimal plan at any window/step ratio (engine/prefix.py). The
+# planner prefers these over the slice two-level when both exist.
+def _set_prefix(name: str, p: PrefixForm) -> None:
+    ROLLUPS[name] = _dc_replace(ROLLUPS[name], prefix=p)
+
+
+def _prefix1(
+    name: str,
+    contrib: Callable[[RollupArgs], Column],
+    final: Callable[[RollupArgs], Column] | None = None,
+) -> None:
+    """Single-contribution prefix form onto the ``__v`` alias."""
+    _set_prefix(
+        name,
+        PrefixForm(
+            contribs=lambda a, c=contrib: [("x", c(a))],
+            finalize=lambda a, f=final: [
+                (F.col("__d_x") if f is None else f(a)).alias("__v")
+            ],
+        ),
+    )
+
+
+_prefix1("sum_over_time", lambda a: V())
+_prefix1(
+    "count_over_time",
+    lambda a: F.lit(1.0),
+    lambda a: F.col("__d_x"),
+)
+_prefix1("sum2_over_time", lambda a: V() * V())
+_set_prefix(
+    "avg_over_time",
+    PrefixForm(
+        contribs=lambda a: [("s", V()), ("c", F.lit(1.0))],
+        finalize=lambda a: [
+            F.try_divide(F.col("__d_s"), F.col("__d_c")).alias("__v")
+        ],
+    ),
+)
+for _n in ("increase", "increase_pure"):
+    _prefix1(_n, lambda a: POS_DV())
+_prefix1("rate", lambda a: POS_DV(), lambda a: F.col("__d_x") / F.lit(a.window_s))
+_prefix1(
+    "rate_over_sum", lambda a: V(), lambda a: F.col("__d_x") / F.lit(a.window_s)
+)
+_prefix1(
+    "resets",
+    lambda a: F.when(PV().isNotNull() & (V() < PV()), 1.0).otherwise(0.0),
+)
+_prefix1(
+    "changes",
+    lambda a: F.when(PV().isNotNull() & (V() != PV()), 1.0).otherwise(0.0),
+)
+_prefix1(
+    "increases_over_time",
+    lambda a: F.when(PV().isNotNull() & (V() > PV()), 1.0).otherwise(0.0),
+)
+_prefix1(
+    "decreases_over_time",
+    lambda a: F.when(PV().isNotNull() & (V() < PV()), 1.0).otherwise(0.0),
+)
+_prefix1(
+    "ascent_over_time",
+    lambda a: F.when(PV().isNotNull() & (DV() > 0), DV()),
+)
+_prefix1(
+    "descent_over_time",
+    lambda a: F.when(PV().isNotNull() & (DV() < 0), -DV()),
+)
+for _op in ("eq", "ne", "gt", "le"):
+    _prefix1(
+        f"count_{_op}_over_time",
+        lambda a, op=_op: F.when(_cond(op, a), 1.0).otherwise(0.0),
+    )
+for _op in ("eq", "gt", "le"):
+    _prefix1(
+        f"sum_{_op}_over_time",
+        lambda a, op=_op: F.when(_cond(op, a), V()).otherwise(F.lit(0.0)),
+    )
+    _set_prefix(
+        f"share_{_op}_over_time",
+        PrefixForm(
+            contribs=lambda a, op=_op: [
+                ("m", F.when(_cond(op, a), 1.0).otherwise(0.0)),
+                ("c", F.lit(1.0)),
+            ],
+            finalize=lambda a: [
+                F.try_divide(F.col("__d_m"), F.col("__d_c")).alias("__v")
+            ],
+        ),
+    )
 
 # absent_over_time handled by the planner (needs anti-grid semantics);
 # multi-output and stateful rollups are planner-level too.
