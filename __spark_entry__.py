@@ -1275,6 +1275,53 @@ def _doc_simhash(spark, sf_dir, load):
 _reg("op_doc_simhash_pairs", _op(_doc_simhash), None)
 
 
+def _doc_simhash_oracle(spark, sf_dir, load):
+    """md5-hash simhash (DuckDB-reproducible) with sound blocking; the
+    oracle recomputes the identical simhash and brute-forces ALL pairs —
+    a recall proof for the chunk blocking, not just a smoke check."""
+    from victoriametrics_spark.operators.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=8,
+        bits=60,
+        hash_fn="md5",
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("double"))
+
+
+_reg(
+    "op_doc_simhash_oracle",
+    _op(_doc_simhash_oracle),
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tkn FROM t),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tkn), 1, 15)) AS BIGINT) AS hv
+    FROM tok
+),
+bits AS (
+    SELECT doc_id, CAST(b.range AS INT) AS b,
+           sum(CASE WHEN (hv >> CAST(b.range AS INT)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM h, range(0, 60) b GROUP BY 1, 2
+),
+sim AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS simhash
+    FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+)
+
+
 # ======================================================================
 # LogsQL-style relational pipes (SURVEY.md §2.9) over the TPC-H-ish tables
 # ======================================================================
@@ -1595,6 +1642,7 @@ _DRIVER_PRIORITY = [
     "op_doc_jaccard_pairs",
     "op_doc_minhash_lsh",
     "op_doc_lang_id",
+    "op_doc_simhash_oracle",
     "op_doc_simhash_pairs",
     "op_emb_knn_threshold",
     "op_emb_centroid_norm",

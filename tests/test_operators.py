@@ -94,6 +94,35 @@ def test_simhash_properties(spark):
     assert any((p["id_a"], p["id_b"]) == (1, 2) for p in pairs)
 
 
+def test_simhash_blocking_recall_equals_brute_force(spark):
+    """The chunk blocking must find EVERY pair within the radius — compare
+    against brute-force all-pairs hamming at several radii (the round-1/2
+    bug was silent recall loss above hamming 3)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for d in range(60):
+        toks = rng.sample(vocab, 40)
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashes = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+
+    for radius in (3, 8, 12):
+        brute = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(hashes), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= radius
+        }
+        got = {
+            (p["id_a"], p["id_b"])
+            for p in simhash_near_pairs(df, max_hamming=radius).collect()
+        }
+        assert got == brute, f"radius {radius}: {len(got)} vs {len(brute)}"
+
+
 def test_knn_topk_and_threshold(embs):
     q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     rest = embs.filter(F.col("vec_id") != 0)

@@ -156,13 +156,30 @@ def minhash_near_dup_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 bits vote ±1; sign → bit."""
+    """SimHash: per token, hash bits vote ±1; sign → bit.
+
+    ``hash_fn="xxhash64"`` (default, fastest JVM path, up to 64 bits) or
+    ``"md5"`` — top 15 hex chars of md5 parsed as a 60-bit integer, which
+    DuckDB reproduces verbatim (``('0x' || substr(md5(t),1,15))::BIGINT``),
+    making the whole pipeline oracle-checkable; use ``bits=60`` with it.
+    """
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
     )
-    h = F.xxhash64(F.col("t"))
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 mode supports at most 60 bits")
+        h = F.conv(
+            F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.col("t"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -183,17 +200,33 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ at least one of 4 chunks identical)."""
-    sh = simhash(df, id_col, text_col)
+    """Near-dup pairs by SimHash hamming distance with RECALL-SOUND
+    blocking: the hash is split into ``max_hamming + 1`` chunks, so by
+    pigeonhole any pair within the radius shares at least one identical
+    chunk and is found by one of the chunk-equality bucket joins. (The
+    round-1/2 version blocked on a fixed 4 chunks, silently dropping
+    pairs at distance > 3 — this generalization is the fix.)"""
+    n_chunks = min(bits, max_hamming + 1)
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets, off = [], 0
+    for w_ in widths:
+        offsets.append(off)
+        off += w_
+
+    sh = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-        for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .alias(f"c{i}")
+        for i in range(n_chunks)
     ]
     blocked = sh.select("id", "simhash", *chunks)
     pairs = None
-    for i in range(4):
+    for i in range(n_chunks):
         a = blocked.alias("a")
         b = blocked.alias("b")
         p = a.join(
