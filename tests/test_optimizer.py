@@ -101,3 +101,33 @@ def test_cse_reused_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # identical subtrees must plan as one computation + ReusedExchange
     assert "ReusedExchange" in plan
+
+
+def test_or_pushes_intersected_filters_both_sides():
+    # both branches carry x="1" → pushed into both; disjoint filters not
+    e = optimize(parse('foo{x="1",a="2"} or bar{x="1",b="3"}'))
+    assert isinstance(e, BinaryOpExpr)
+    assert ("x", "=", "1") in _selector_filters(e.left)
+    assert ("x", "=", "1") in _selector_filters(e.right)
+    assert ("a", "=", "2") not in _selector_filters(e.right)
+    assert ("b", "=", "3") not in _selector_filters(e.left)
+
+
+def test_count_values_label_not_propagated():
+    # count_values rewrites `lbl` with sample values; a filter on it must
+    # not be pushed into the sibling (would silently empty the join)
+    e = optimize(
+        parse('count_values("lbl", foo{lbl="x",j="a"}) by (lbl, j) * bar')
+    )
+    assert ("lbl", "=", "x") not in _selector_filters(e.right)
+    assert ("j", "=", "a") in _selector_filters(e.right)
+
+
+def test_count_values_pushdown_into_it_drops_its_label():
+    e = optimize(
+        parse('bar{lbl="q",k="1"} * count_values("lbl", foo) by (lbl, k)')
+    )
+    # k filter reaches foo; the stale lbl filter must not
+    inner = _selector_filters(e.right.args[1])
+    assert ("k", "=", "1") in inner
+    assert ("lbl", "=", "q") not in inner

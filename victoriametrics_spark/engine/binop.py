@@ -99,13 +99,17 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     # ---------------- scalar ∘ scalar ----------------
     if l_scalar and r_scalar:
         if op in SET_OPS:
-            if op == "default":
-                lf, rf = left.fn, right.fn
+            # both sides are empty-label series sharing the grid, so the
+            # match key always matches and set ops reduce to per-point
+            # NULL masks (binary_op.go scalar handling via timeseries
+            # with empty MetricName)
+            lf, rf = left.fn, right.fn
+            if op in ("default", "or"):
                 return Scalar(fn=lambda ts: F.coalesce(lf(ts), rf(ts)))
-            if op == "if":
-                lf, rf = left.fn, right.fn
+            if op in ("if", "and"):
                 return Scalar(fn=lambda ts: F.when(rf(ts).isNotNull(), lf(ts)))
-            raise PlanError(f"set op {op!r} undefined for two scalars")
+            # unless / ifnot
+            return Scalar(fn=lambda ts: F.when(rf(ts).isNull(), lf(ts)))
         lf, rf = left.fn, right.fn
         if op in CMP_OPS:
             cmp = CMP_OPS[op]
@@ -208,8 +212,12 @@ def _plan_series_setop(
             extra.select("name", "labels", "ts", "value")
         )
     # default: fill left's missing grid cells from right, but only for
-    # (match-key, ts) cells; keep left's identity
-    lkeys = l.select("__mk", "name", "labels").distinct()
+    # (match-key, ts) cells; keep left's identity. groupBy (not distinct)
+    # because Spark forbids set ops on MAP columns; one-to-one keys are
+    # guaranteed by VM semantics (duplicate keys error elsewhere).
+    lkeys = l.groupBy("__mk").agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
     fill = extra.select("__mk", "ts", "value").join(lkeys, "__mk", "inner")
     return l.select("name", "labels", "ts", "value").unionByName(
         fill.select("name", "labels", "ts", "value")
@@ -292,11 +300,19 @@ def _plan_series_arith(
         base_name = F.col("__lname")
         import_from = F.col("__rlabels")
 
+    import_name = None
     if join_mod is None:
         labels_out = _restrict_labels(base_labels, be.group_modifier)
     else:
         labels_out = base_labels
         extra_keys = [str(k) for k in (be.join_modifier.args or [])]
+        if "__name__" in extra_keys:
+            # group_left(__name__) imports the "one" side's metric name
+            # (binary_op.go groupJoin label import includes MetricGroup)
+            import_name = (
+                F.col("__lname") if join_mod == "group_right" else F.col("__rname")
+            )
+            extra_keys = [k for k in extra_keys if k != "__name__"]
         if extra_keys:
             prefix = be.join_modifier_prefix or ""
             imported = F.map_from_entries(
@@ -338,6 +354,8 @@ def _plan_series_arith(
 
     f = ARITH_OPS[op]
     name_out = base_name if be.keep_metric_names else F.lit("")
+    if import_name is not None:
+        name_out = import_name
     out = joined.select(
         name_out.alias("name"),
         labels_out.alias("labels"),

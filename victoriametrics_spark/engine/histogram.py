@@ -31,7 +31,7 @@ def le_value(labels: Column) -> Column:
     s = labels.getItem("le")
     return (
         F.when(s.isin("+Inf", "Inf", "inf", "+inf"), F.lit(INF))
-        .otherwise(s.cast("double"))
+        .otherwise(s.try_cast("double"))
     )
 
 
@@ -117,7 +117,7 @@ def histogram_quantile(
     le_prev = F.when(j > 1, F.element_at(b, j - 1)["le"]).otherwise(F.lit(0.0))
     v_prev = F.when(j > 1, F.element_at(f, j - 1)).otherwise(F.lit(0.0))
     finite_les = F.filter(b, lambda e: e["le"] != F.lit(INF))
-    last_finite = F.element_at(finite_les, -1)["le"]  # NULL when none
+    last_finite = F.try_element_at(finite_les, F.lit(-1))["le"]  # NULL when none
 
     interp = le_prev + (le_j - le_prev) * (vreq - v_prev) / (v_j - v_prev)
     if phi < 0:
@@ -178,13 +178,13 @@ def histogram_share(
     else:
         # j2 = last bucket with le <= leReq (0 → none)
         below = F.filter(F.sequence(F.lit(1), n), lambda i: F.element_at(b, i)["le"] <= F.lit(lr))
-        j2 = F.coalesce(F.element_at(below, -1), F.lit(0))
+        j2 = F.coalesce(F.try_element_at(below, F.lit(-1)), F.lit(0))
         v_prev = F.when(j2 > 0, F.element_at(f, j2)).otherwise(F.lit(0.0))
         le_prev = F.when(j2 > 0, F.element_at(b, j2)["le"]).otherwise(F.lit(0.0))
         lower_c = v_prev / vlast
         nxt = j2 + 1
-        le_n = F.element_at(b, nxt)["le"]
-        v_n = F.element_at(f, nxt)
+        le_n = F.try_element_at(b, nxt)["le"]
+        v_n = F.try_element_at(f, nxt)
         interp = lower_c + (v_n - v_prev) / vlast * (F.lit(lr) - le_prev) / (
             le_n - le_prev
         )

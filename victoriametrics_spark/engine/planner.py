@@ -335,13 +335,24 @@ class Planner:
                 else:
                     window_ms = cfg.step
             return self.scan(inner), window_ms
-        # subquery: evaluate inner expr on a finer child grid, then roll up
+        # subquery: evaluate inner expr on a finer child grid, then roll up.
+        # Child bounds mirror evalRollupFuncWithSubquery (eval.go:1033):
+        # start extended by window + child step + silence interval, and the
+        # child grid is UNCONDITIONALLY aligned to absolute multiples of
+        # the child step (alignStartEnd, eval.go:103-112) — this is what
+        # makes non-step-multiple offsets land on the documented VM values.
         sub_step = re_.step.ms(cfg.step) if re_.step else cfg.step
         if window_ms is None:
             window_ms = cfg.step
+        raw_start = (
+            cfg.start - offset_ms - window_ms - sub_step - cfg.max_lookback
+        )
+        raw_end = cfg.end - offset_ms + sub_step
+        start = raw_start - raw_start % sub_step  # floor to step multiple
+        end = raw_end + (sub_step - raw_end % sub_step) % sub_step  # ceil
         child_cfg = EvalConfig(
-            start=cfg.start - offset_ms - window_ms + sub_step,
-            end=cfg.end - offset_ms,
+            start=start,
+            end=end,
             step=sub_step,
             max_lookback=cfg.max_lookback,
         )

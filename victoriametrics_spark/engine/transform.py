@@ -64,7 +64,11 @@ _TIME_PARTS: dict[str, Callable[[Column], Column]] = {
 
 
 def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
-    from victoriametrics_spark.engine.planner import PlanError, Scalar
+    from victoriametrics_spark.engine.planner import (
+        EMPTY_LABELS,
+        PlanError,
+        Scalar,
+    )
 
     name = fe.name
 
@@ -136,6 +140,13 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
 
     # ---- scalar/vector conversion ---------------------------------------
     if name == "scalar":
+        if isinstance(fe.args[0], StringExpr):
+            # scalar("12.3") → number; non-numeric string → no points
+            # (transform.go transformScalar on string args)
+            try:
+                return Scalar.of(float(fe.args[0].value))
+            except ValueError:
+                return Scalar(fn=lambda ts: F.lit(None).cast("double"))
         p = planner.plan(fe.args[0], cfg)
         if isinstance(p, Scalar):
             return p
@@ -144,7 +155,7 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         df = p.withColumn("__n", F.count("*").over(w))
         df = df.filter(F.col("__n") == 1).drop("__n")
         return df.select(
-            F.lit("").alias("name"), F.lit(None).cast("map<string,string>").alias("labels"),
+            F.lit("").alias("name"), EMPTY_LABELS().alias("labels"),
             "ts", "value",
         )
 
@@ -297,7 +308,18 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         for k in keys:
             col = F.coalesce(F.col("labels").getItem(k), F.lit(""))
             if numeric:
-                col = col.cast("double")
+                # numericLess emulation (the reference's natural compare):
+                # order by (parsed numeric prefix, raw string) so values
+                # like "10Mi" / "9Mi" / "abc" sort numerically first and
+                # lexically as the tie-break instead of collapsing to NULL
+                num_prefix = F.regexp_extract(
+                    col, r"^[+-]?(\d+\.?\d*|\.\d+)", 0
+                ).try_cast("double")
+                order.append(
+                    num_prefix.desc_nulls_last()
+                    if desc
+                    else num_prefix.asc_nulls_last()
+                )
             order.append(col.desc_nulls_last() if desc else col.asc_nulls_last())
         sk = series_key(F.col("name"), F.col("labels"))
         return df.orderBy(*order, sk, F.col("ts"))
@@ -338,9 +360,11 @@ def _histogram_fn(planner, fe, cfg, name):
 
     if name == "buckets_limit":
         limit = int(planner.const_value(fe.args[0], cfg))
-        if limit <= 0:
-            raise PlanError("buckets_limit: limit must be greater than 0")
         df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
+        if limit <= 0:
+            # transformBucketsLimit returns an empty result for
+            # limit <= 0 (clamping to >= 3 happens only for positives)
+            return df.limit(0)
         return H.buckets_limit(df, limit)
 
     if name in ("histogram_avg", "histogram_stddev", "histogram_stdvar"):

@@ -47,7 +47,9 @@ _UNIT_MS = {
     "y": 365 * 86_400_000.0,
 }
 
-_DUR_PART = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y|i)")
+# units case-insensitive except bare `m` (minutes; `M` is the 1e6 number
+# suffix — see lexer._DUR_UNIT)
+_DUR_PART = re.compile(r"(\d+(?:\.\d+)?)([mM][sS]|[sShHdDwWyY]|m|i)")
 
 
 @dataclass
@@ -77,7 +79,7 @@ class DurationExpr(Expr):
         for m in _DUR_PART.finditer(s):
             if m.start() != pos:
                 raise ValueError(f"invalid duration {self.text!r}")
-            n, unit = float(m.group(1)), m.group(2)
+            n, unit = float(m.group(1)), m.group(2).lower()
             total += n * (step_ms if unit == "i" else _UNIT_MS[unit])
             pos = m.end()
         if pos != len(s):

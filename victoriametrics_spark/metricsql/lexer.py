@@ -44,17 +44,22 @@ _NUM_SUFFIX = {
     "tb": 1e12, "t": 1e12,
 }
 
+# duration units are case-insensitive EXCEPT bare `m` (minutes) — `M`
+# would collide with the 1e6 number suffix (lexer.go behavior; exec_test
+# `1h23m5S` relies on uppercase S)
+_DUR_UNIT = r"(?:[mM][sS]|[sShHdDwWyY]|m|i)"
 _DURATION_RE = re.compile(
-    r"\d+(?:\.\d+)?(?:ms|s|m|h|d|w|y|i)(?:\d+(?:\.\d+)?(?:ms|s|m|h|d|w|y|i))*"
+    rf"\d+(?:\.\d+)?{_DUR_UNIT}(?:\d+(?:\.\d+)?{_DUR_UNIT})*"
 )
+# underscores allowed between digits: 123_456_789, 1_2.3_456_789
 _NUMBER_RE = re.compile(
     r"(?:0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+"
-    r"|\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)"
+    r"|\d[\d_]*(?:\.[\d_]*)?(?:[eE][+-]?\d+)?|\.\d[\d_]*(?:[eE][+-]?\d+)?)"
 )
 
 
 def parse_number(text: str) -> float:
-    t = text.lower()
+    t = text.lower().replace("_", "")
     if t in ("inf", "+inf"):
         return float("inf")
     if t == "-inf":

@@ -137,6 +137,7 @@ def get_common_label_filters(e: Expr) -> list[LabelFilter]:
             if len(e.args) > 1 else 0
         ]
         lfs = get_common_label_filters(inner)
+        lfs = _drop_count_values_label(e, lfs)
         return _trim_by_aggr_modifier(lfs, e.modifier)
     if isinstance(e, BinaryOpExpr):
         lfs_l = get_common_label_filters(e.left)
@@ -153,6 +154,23 @@ def get_common_label_filters(e: Expr) -> list[LabelFilter]:
             return _union(_trim_by_group_modifier(lfs_l, e.group_modifier), lfs_r)
         return _trim_by_group_modifier(_union(lfs_l, lfs_r), e.group_modifier)
     return []
+
+
+def _drop_count_values_label(
+    e: AggrFuncExpr, lfs: list[LabelFilter]
+) -> list[LabelFilter]:
+    """count_values("lbl", q) rewrites `lbl` with stringified sample
+    values, so filters on it must not propagate (reference:
+    optimizer.go getCommonLabelFilters → dropLabelFiltersForLabelName);
+    a stale lbl filter pushed into a binop sibling silently empties it."""
+    from victoriametrics_spark.metricsql.ast import StringExpr
+
+    if e.name != "count_values" or not e.args or not isinstance(
+        e.args[0], StringExpr
+    ):
+        return lfs
+    label = e.args[0].value
+    return [f for f in lfs if f.label != label]
 
 
 def _pushdown(e: Expr, lfs: list[LabelFilter]) -> Expr:
@@ -182,6 +200,7 @@ def _pushdown(e: Expr, lfs: list[LabelFilter]) -> Expr:
         return replace(e, args=new_args)
     if isinstance(e, AggrFuncExpr):
         lfs2 = _trim_by_aggr_modifier(lfs, e.modifier) if e.modifier else []
+        lfs2 = _drop_count_values_label(e, lfs2)
         # only filters surviving the aggregation's label scope are valid
         # below it; when the aggregate drops all labels nothing pushes
         if e.modifier is None:
@@ -215,7 +234,14 @@ def optimize(e: Expr) -> Expr:
             return out
         op = out.op.lower()
         if op == "or":
-            return out
+            # the intersected common filters hold on BOTH branches of an
+            # `or`, so push them into both sides (optimizeInplace does the
+            # same) — scan pruning would otherwise be lost entirely here
+            return replace(
+                out,
+                left=_pushdown(out.left, lfs),
+                right=_pushdown(out.right, lfs),
+            )
         if op in ("unless", "ifnot"):
             # push left's filters into the right side only
             return replace(out, right=_pushdown(out.right, lfs))
