@@ -92,15 +92,33 @@ def test_cse_reused_exchange(spark):
         for ts in range(0, 2_100_000, 100_000)
     ]
     df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    # abs() makes the sides non-fusable (fusion handles aggregate-over-
+    # rollup shapes only), so this exercises the planner CSE cache path
     out = evaluate(
         spark,
-        "sum(sum_over_time(m[400s])) / sum(sum_over_time(m[400s]))",
+        "abs(sum_over_time(m[400s])) / abs(sum_over_time(m[400s]))",
         df, CFG,
     )
     assert {r["value"] for r in out.collect()} == {1.0}
     plan = out._jdf.queryExecution().executedPlan().toString()
     # identical subtrees must plan as one computation + ReusedExchange
     assert "ReusedExchange" in plan
+
+
+def test_fused_identical_sides_single_aggregation(spark):
+    # identical sides fuse into ONE aggregation (better than CSE+join)
+    rows = [
+        ("m", {"j": "a"}, ts, float(ts + 1), False)
+        for ts in range(0, 2_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = evaluate(
+        spark,
+        "sum(sum_over_time(m[400s])) / sum(sum_over_time(m[400s]))",
+        df, CFG,
+    )
+    assert {r["value"] for r in out.collect()} == {1.0}
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
 
 
 def test_or_pushes_intersected_filters_both_sides():
@@ -131,3 +149,75 @@ def test_count_values_pushdown_into_it_drops_its_label():
     inner = _selector_filters(e.right.args[1])
     assert ("k", "=", "1") in inner
     assert ("lbl", "=", "q") not in inner
+
+
+def _fused_rows(spark, df, q):
+    out = evaluate(spark, q, df, CFG)
+    return {
+        (tuple(sorted((r["labels"] or {}).items())), r["ts"]): round(r["value"], 9)
+        for r in out.collect()
+    }
+
+
+def test_fused_same_source_binop_values(spark):
+    rows = []
+    for ts in range(0, 2_100_000, 100_000):
+        rows.append(("m", {"s": "a", "g": "x"}, ts, 10.0, False))
+        rows.append(("m", {"s": "b", "g": "x"}, ts, 4.0, False))
+        if ts <= 1_200_000:  # side b missing later at g=y
+            rows.append(("m", {"s": "b", "g": "y"}, ts, 2.0, False))
+        rows.append(("m", {"s": "a", "g": "y"}, ts, 6.0, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    q = (
+        'sum(sum_over_time(m{s="a"}[200s])) by (g)'
+        ' / sum(sum_over_time(m{s="b"}[200s])) by (g)'
+    )
+    got = _fused_rows(spark, df, q)
+    # manual expectation from separately evaluated sides
+    la = _fused_rows(spark, df, 'sum(sum_over_time(m{s="a"}[200s])) by (g)')
+    lb = _fused_rows(spark, df, 'sum(sum_over_time(m{s="b"}[200s])) by (g)')
+    want = {
+        k: round(la[k] / lb[k], 9) for k in la if k in lb
+    }
+    assert got == want
+    # inner-join semantics: g=y cells where side b has no data are absent
+    assert ((("g", "y"),), 2_000_000) not in got
+    assert ((("g", "y"),), 1_000_000) in got
+
+
+def test_fused_binop_single_scan_plan(spark, sf_dir):
+    from victoriametrics_spark.sources.events import events_as_samples
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = EvalConfig(
+        start=1704067200000, end=1704240000000, step=21_600_000
+    )
+    out = evaluate(
+        spark,
+        'sum(sum_over_time(events_value{event_type="purchase"}[1d]))'
+        ' / sum(sum_over_time(events_value{event_type="click"}[1d]))',
+        samples, cfg,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+    assert out.count() > 0
+
+
+def test_fused_not_applied_on_mismatched_shapes(spark):
+    # different aggregate names must fall back to the join plan and still
+    # produce correct results
+    rows = [
+        ("m", {"s": t}, ts, float(i + 1), False)
+        for ts in range(0, 2_100_000, 100_000)
+        for i, t in enumerate(["a", "b"])
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = evaluate(
+        spark,
+        'sum(sum_over_time(m{s="a"}[200s])) / max(sum_over_time(m{s="b"}[200s]))',
+        df, CFG,
+    )
+    vals = {r["value"] for r in out.collect()}
+    assert vals == {0.5}

@@ -90,6 +90,9 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     from victoriametrics_spark.engine.planner import PlanError, Scalar
 
     op = be.op
+    fused = _try_fused_same_source(planner, be, cfg)
+    if fused is not None:
+        return fused
     left = planner.plan(be.left, cfg)
     right = planner.plan(be.right, cfg)
 
@@ -179,6 +182,201 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     if op in SET_OPS:
         return _plan_series_setop(planner, op, left, right, be)
     return _plan_series_arith(planner, op, left, right, be)
+
+
+# ------------------------------------------------ fused same-source binop
+# `agg(f(A{x="a"}[w])) op agg(f(A{x="b"}[w]))` shapes — both sides differ
+# only in selector label filters — plan as ONE scan + ONE per-series
+# rollup + ONE grouped aggregation with two side-conditional aggregates,
+# instead of two scans + two aggs + a hash join. This is the missing half
+# of the reference's sequential-evaluation trick (evalExprInternal +
+# cross-side pushdown, eval.go:422-596): at 100 TB it halves the dominant
+# scan cost of ratio-of-selectors queries and removes the join shuffle.
+_FUSABLE_AGGRS: dict[str, Callable[[Column], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c).cast("double"),
+    "sum2": lambda c: F.sum(c * c),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+    "geomean": lambda c: F.exp(F.avg(F.log(c))),
+}
+
+
+def _skeleton_and_selector(e):
+    """(repr-with-selector-replaced, MetricExpr) when `e` is a pure chain
+    of rollup funcs / rollup exprs over exactly one selector; else None."""
+    from victoriametrics_spark.metricsql.ast import (
+        DurationExpr,
+        FuncExpr,
+        MetricExpr,
+        NumberExpr,
+        RollupExpr,
+        StringExpr,
+    )
+    from victoriametrics_spark.metricsql.funcs import is_rollup_func
+
+    found: list = []
+
+    def walk(x) -> str | None:
+        if isinstance(x, MetricExpr):
+            found.append(x)
+            return "<SEL>"
+        if isinstance(x, RollupExpr):
+            inner = walk(x.expr)
+            if inner is None:
+                return None
+            return (
+                f"Rollup({inner},w={x.window!r},o={x.offset!r},"
+                f"s={x.step!r},at={x.at!r},k={x.keep_metric_names})"
+            )
+        if isinstance(x, FuncExpr):
+            # only rollup funcs are guaranteed label-preserving per-series
+            if not is_rollup_func(x.name):
+                return None
+            parts = []
+            for a in x.args:
+                if isinstance(a, (NumberExpr, StringExpr, DurationExpr)):
+                    parts.append(repr(a))
+                    continue
+                inner = walk(a)
+                if inner is None:
+                    return None
+                parts.append(inner)
+            return f"Fn:{x.name}({','.join(parts)},k={x.keep_metric_names})"
+        return None
+
+    skel = walk(e)
+    if skel is None or len(found) != 1:
+        return None
+    return skel, found[0]
+
+
+def _subst_selector(e, new_me):
+    """Rebuild `e` with its single MetricExpr replaced by `new_me`."""
+    from dataclasses import replace as _rp
+
+    from victoriametrics_spark.metricsql.ast import (
+        FuncExpr,
+        MetricExpr,
+        RollupExpr,
+    )
+
+    if isinstance(e, MetricExpr):
+        return new_me
+    if isinstance(e, RollupExpr):
+        return _rp(e, expr=_subst_selector(e.expr, new_me))
+    if isinstance(e, FuncExpr):
+        return _rp(
+            e,
+            args=[
+                _subst_selector(a, new_me)
+                if isinstance(a, (MetricExpr, RollupExpr, FuncExpr))
+                else a
+                for a in e.args
+            ],
+        )
+    return e
+
+
+def _label_membership_pred(me) -> Column:
+    """Selector predicate over the OUTPUT label map (name filters
+    excluded — callers verify both sides share identical name filters)."""
+    group_preds: list[Column] = []
+    for group in me.label_filterss:
+        preds = []
+        for f in group:
+            if f.label == "__name__":
+                continue
+            lv = F.coalesce(F.col("labels").getItem(f.label), F.lit(""))
+            if f.op == "=":
+                preds.append(lv == F.lit(f.value))
+            elif f.op == "!=":
+                preds.append(lv != F.lit(f.value))
+            elif f.op == "=~":
+                preds.append(lv.rlike(f"^(?:{f.value})$"))
+            else:
+                preds.append(~lv.rlike(f"^(?:{f.value})$"))
+        p = F.lit(True)
+        for q in preds:
+            p = p & q
+        group_preds.append(p)
+    out = group_preds[0] if group_preds else F.lit(True)
+    for q in group_preds[1:]:
+        out = out | q
+    return out
+
+
+def _name_filter_sig(me):
+    """The __name__ filter signature, identical across OR groups or None."""
+    sigs = {
+        tuple(sorted((f.op, f.value) for f in g if f.label == "__name__"))
+        for g in (me.label_filterss or [[]])
+    }
+    return sigs.pop() if len(sigs) == 1 else None
+
+
+def _try_fused_same_source(planner, be: BinaryOpExpr, cfg: EvalConfig):
+    from victoriametrics_spark.engine.aggr import group_labels_col
+    from victoriametrics_spark.metricsql.ast import AggrFuncExpr, MetricExpr
+
+    if (
+        be.op not in ARITH_OPS
+        or be.bool_modifier
+        or be.group_modifier is not None
+        or be.join_modifier is not None
+    ):
+        return None
+    l, r = be.left, be.right
+    if not (isinstance(l, AggrFuncExpr) and isinstance(r, AggrFuncExpr)):
+        return None
+    if l.name != r.name or l.name not in _FUSABLE_AGGRS:
+        return None
+    if (l.limit or 0) != 0 or (r.limit or 0) != 0:
+        return None
+    if repr(l.modifier) != repr(r.modifier):
+        return None
+    if l.modifier is not None and l.modifier.op != "by":
+        return None
+    if len(l.args) != 1 or len(r.args) != 1:
+        return None
+    sl = _skeleton_and_selector(l.args[0])
+    sr = _skeleton_and_selector(r.args[0])
+    if sl is None or sr is None or sl[0] != sr[0]:
+        return None
+    me_l, me_r = sl[1], sr[1]
+    nsig = _name_filter_sig(me_l)
+    if nsig is None or nsig != _name_filter_sig(me_r):
+        return None
+
+    union_me = MetricExpr(
+        label_filterss=[list(g) for g in (me_l.label_filterss or [[]])]
+        + [list(g) for g in (me_r.label_filterss or [[]])]
+    )
+    inner = _subst_selector(l.args[0], union_me)
+    df = planner.materialize(planner.plan(inner, cfg), cfg)
+
+    pred_l = _label_membership_pred(me_l)
+    pred_r = _label_membership_pred(me_r)
+    agg = _FUSABLE_AGGRS[l.name]
+    df = df.withColumn("__glabels", group_labels_col(l.modifier)).withColumn(
+        "__gkey", canonical_labels_str(F.col("__glabels"))
+    )
+    grouped = df.groupBy("__gkey", "ts").agg(
+        F.first("__glabels").alias("labels"),
+        agg(F.when(pred_l, F.col("value"))).cast("double").alias("__l"),
+        agg(F.when(pred_r, F.col("value"))).cast("double").alias("__r"),
+    )
+    value = ARITH_OPS[be.op](F.col("__l"), F.col("__r"))
+    out = grouped.select(
+        F.lit("").alias("name"),
+        F.col("labels"),
+        F.col("ts"),
+        value.cast("double").alias("value"),
+    )
+    return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
 
 def _plan_series_setop(
