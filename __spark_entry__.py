@@ -586,6 +586,38 @@ _reg(
     _rollup_oracle("avg(value) * 2 + 1", W1D),
 )
 
+# ---- list membership (== (list), binary_op.go:58-114): integral counts
+# mod 5 so the equality compare is exact at any sf ----------------------
+_reg(
+    "mq_list_membership",
+    _mq("(count_over_time(events_value[1d]) % 5) == (0, 1, 2)", PER_SERIES),
+    _rollup_oracle(
+        "CAST(count(value) AS DOUBLE)",
+        W1D,
+        having="value IS NOT NULL AND (value % 5) IN (0.0, 1.0, 2.0)",
+    ).replace("round(value * 1.0, 6)", "round((value % 5) * 1.0, 6)"),
+)
+
+# ---- fill_left modifier: empty left side + fill 0 → right passes through
+_reg(
+    "mq_binop_fill_left",
+    _mq(
+        'sum(sum_over_time(events_value{event_type="__none__"}[1d])) by (user_bucket)'
+        " + fill_left(0) "
+        "sum(sum_over_time(events_value[1d])) by (user_bucket)",
+        ("user_bucket",),
+    ),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.user_bucket, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+)
+SELECT user_bucket, gts AS ts, round(sum(value), 6) + 0.0 AS value
+FROM j GROUP BY 1, 2""",
+)
+
 # ---- topk by series-level aggregate (deterministic two-phase) --------
 _reg(
     "mq_topk_max",
@@ -1621,6 +1653,9 @@ _DRIVER_PRIORITY = [
     # round-3 storage layout round-trip + fine-step two-level cutover
     "mq_rate_bucketed",
     "mq_rate_fine_step",
+    # round-3 binop modifiers
+    "mq_list_membership",
+    "mq_binop_fill_left",
     # round-2 work with no driver verdict yet
     "mq_cmp_filter",
     "mq_scalar_arith",

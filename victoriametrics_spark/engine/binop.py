@@ -93,6 +93,10 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     fused = _try_fused_same_source(planner, be, cfg)
     if fused is not None:
         return fused
+    if op in ("==", "!="):
+        mem = _try_list_membership(planner, be, cfg)
+        if mem is not None:
+            return mem
     left = planner.plan(be.left, cfg)
     right = planner.plan(be.right, cfg)
 
@@ -182,6 +186,34 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     if op in SET_OPS:
         return _plan_series_setop(planner, op, left, right, be)
     return _plan_series_arith(planner, op, left, right, be)
+
+
+def _try_list_membership(planner, be: BinaryOpExpr, cfg: EvalConfig):
+    """`q == (1,2,3)` / `q != (1,2,3)` — list membership against a union
+    of number literals (binary_op.go:58-114): keep the series point when
+    its value equals any / none of the listed constants."""
+    from victoriametrics_spark.metricsql.ast import FuncExpr, NumberExpr
+
+    def union_values(e):
+        if (
+            isinstance(e, FuncExpr)
+            and e.name in ("", "union")
+            and len(e.args) >= 2
+            and all(isinstance(a, NumberExpr) for a in e.args)
+        ):
+            return [float(a.value) for a in e.args]
+        return None
+
+    lvals = union_values(be.left)
+    rvals = union_values(be.right)
+    if lvals is None and rvals is None:
+        return None
+    series_expr, vals = (
+        (be.right, lvals) if lvals is not None else (be.left, rvals)
+    )
+    df = planner.materialize(planner.plan(series_expr, cfg), cfg)
+    isin = F.col("value").isin(vals)
+    return df.filter(isin if be.op == "==" else ~isin)
 
 
 # ------------------------------------------------ fused same-source binop
@@ -327,6 +359,8 @@ def _try_fused_same_source(planner, be: BinaryOpExpr, cfg: EvalConfig):
         or be.bool_modifier
         or be.group_modifier is not None
         or be.join_modifier is not None
+        or be.fill_left is not None
+        or be.fill_right is not None
     ):
         return None
     l, r = be.left, be.right
@@ -446,7 +480,45 @@ def _plan_series_arith(
         F.col("labels").alias("__rlabels"),
         F.col("value").alias("__rv"),
     )
-    joined = l_sel.join(r_sel, ["__mk", "ts"], "inner")
+    # fill()/fill_left()/fill_right(): a missing side at a (key, ts) cell
+    # stops dropping the row and takes the fill value instead — VM
+    # synthesizes NaN-filled series then substitutes the fill number
+    # (binary_op.go:309-324, :224-229). Cell-level outer join + coalesce
+    # is the equivalent columnar form.
+    fill_l, fill_r = be.fill_left, be.fill_right
+    if fill_l is not None and fill_r is not None:
+        how = "full"
+    elif fill_l is not None:
+        how = "right"
+    elif fill_r is not None:
+        how = "left"
+    else:
+        how = "inner"
+    joined = l_sel.join(r_sel, ["__mk", "ts"], how)
+    if fill_l is not None:
+        joined = joined.withColumn(
+            "__lv", F.coalesce(F.col("__lv"), F.lit(float(fill_l)))
+        ).withColumn(
+            "__llabels", F.coalesce(F.col("__llabels"), F.col("__rlabels"))
+        ).withColumn(
+            "__lname",
+            F.coalesce(
+                F.col("__lname"),
+                F.col("__rname") if be.keep_metric_names else F.lit(""),
+            ),
+        )
+    if fill_r is not None:
+        joined = joined.withColumn(
+            "__rv", F.coalesce(F.col("__rv"), F.lit(float(fill_r)))
+        ).withColumn(
+            "__rlabels", F.coalesce(F.col("__rlabels"), F.col("__llabels"))
+        ).withColumn(
+            "__rname",
+            F.coalesce(
+                F.col("__rname"),
+                F.col("__lname") if be.keep_metric_names else F.lit(""),
+            ),
+        )
 
     # Duplicate-series validation (VM ensureSingleTimeseries,
     # binary_op.go:395-407): errors only for keys that actually matched —

@@ -220,12 +220,21 @@ class BinaryOpExpr(Expr):
     join_modifier: ModifierExpr | None = None  # group_left / group_right
     join_modifier_prefix: str | None = None
     keep_metric_names: bool = False
+    # fill()/fill_left()/fill_right() NaN-fill modifiers
+    # (vendor/.../metricsql/parser.go:1967-1971)
+    fill_left: float | None = None
+    fill_right: float | None = None
 
     def __repr__(self) -> str:
+        fills = (
+            f", fl={self.fill_left!r}, fr={self.fill_right!r}"
+            if self.fill_left is not None or self.fill_right is not None
+            else ""
+        )
         return (
             f"BinOp({self.op!r}, {self.left!r}, {self.right!r}, "
             f"bool={self.bool_modifier}, grp={self.group_modifier!r}, "
-            f"join={self.join_modifier!r})"
+            f"join={self.join_modifier!r}{fills})"
         )
 
 

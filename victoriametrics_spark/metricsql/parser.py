@@ -120,6 +120,31 @@ class Parser:
                         if tok.kind != "STRING":
                             raise ParseError(f"prefix needs a string at {tok.pos}")
                         be.join_modifier_prefix = tok.text
+            # fill()/fill_left()/fill_right() NaN-fill modifiers
+            # (parser.go:546-555)
+            while self.at_ident("fill", "fill_left", "fill_right"):
+                kind = self.cur.text.lower()
+                self.advance()
+                if not self.at_op("("):
+                    raise ParseError(f"{kind} needs (N) at {self.cur.pos}")
+                self.advance()
+                neg = False
+                if self.at_op("-"):
+                    neg = True
+                    self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ParseError(f"{kind} needs a number at {tok.pos}")
+                n = parse_number(tok.text)
+                if neg:
+                    n = -n
+                if not self.at_op(")"):
+                    raise ParseError(f"{kind}: expected ) at {self.cur.pos}")
+                self.advance()
+                if kind in ("fill", "fill_left"):
+                    be.fill_left = n
+                if kind in ("fill", "fill_right"):
+                    be.fill_right = n
             next_min = prec + 1 if op not in RIGHT_ASSOCIATIVE else prec
             right = self.parse_expr(next_min)
             be.left, be.right = left, right
