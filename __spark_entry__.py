@@ -618,6 +618,36 @@ SELECT user_bucket, gts AS ts, round(sum(value), 6) + 0.0 AS value
 FROM j GROUP BY 1, 2""",
 )
 
+# ---- range_mad: whole-range per-series MAD broadcast to every point ---
+_reg(
+    "mq_range_mad",
+    _mq("range_mad(sum_over_time(events_value[1d]))", PER_SERIES),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+grid AS ({_GRID_SQL}),
+j AS (
+    SELECT s.event_type, s.user_bucket, s.value, g.gts
+    FROM samples s JOIN grid g ON s.ts > g.gts - {W1D} AND s.ts <= g.gts
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, sum(value) AS value
+    FROM j GROUP BY 1, 2, 3
+),
+med AS (
+    SELECT event_type, user_bucket, quantile_cont(value, 0.5) AS m
+    FROM per_series GROUP BY 1, 2
+),
+madv AS (
+    SELECT p.event_type, p.user_bucket,
+           quantile_cont(abs(p.value - med.m), 0.5) AS mad
+    FROM per_series p JOIN med USING (event_type, user_bucket)
+    GROUP BY 1, 2
+)
+SELECT p.event_type, p.user_bucket, p.gts AS ts,
+       round(madv.mad, 6) + 0.0 AS value
+FROM per_series p JOIN madv USING (event_type, user_bucket)""",
+)
+
 # ---- topk by series-level aggregate (deterministic two-phase) --------
 _reg(
     "mq_topk_max",
@@ -1653,9 +1683,10 @@ _DRIVER_PRIORITY = [
     # round-3 storage layout round-trip + fine-step two-level cutover
     "mq_rate_bucketed",
     "mq_rate_fine_step",
-    # round-3 binop modifiers
+    # round-3 binop modifiers + transform tail
     "mq_list_membership",
     "mq_binop_fill_left",
+    "mq_range_mad",
     # round-2 work with no driver verdict yet
     "mq_cmp_filter",
     "mq_scalar_arith",

@@ -295,3 +295,74 @@ def test_scalar_set_op_or(spark, gauges_df):
     assert key_scalar in m
     assert all(v == 7.0 for v in m[key_scalar].values())
     assert len(m) == 3
+
+
+def test_rand_family_deterministic_and_distributed(spark, gauges_df):
+    for fn in ("rand(1)", "rand_normal(1)", "rand_exponential(1)"):
+        a = evaluate(spark, fn, gauges_df, CFG).collect()
+        b = evaluate(spark, fn, gauges_df, CFG).collect()
+        assert sorted(r["value"] for r in a) == sorted(r["value"] for r in b)
+        assert len(a) == 6
+    u = [r["value"] for r in evaluate(spark, "rand(7)", gauges_df, CFG).collect()]
+    assert all(0.0 <= v < 1.0 for v in u)
+    assert len(set(u)) > 1  # not constant
+    e = [
+        r["value"]
+        for r in evaluate(spark, "rand_exponential(7)", gauges_df, CFG).collect()
+    ]
+    assert all(v >= 0.0 for v in e)
+    # different seeds → different streams
+    u2 = [r["value"] for r in evaluate(spark, "rand(8)", gauges_df, CFG).collect()]
+    assert u != u2
+
+
+def test_label_map(spark):
+    rows = [
+        ("m", {"dc": "east"}, 1_000_000, 1.0, False),
+        ("m", {"dc": "west"}, 1_000_000, 2.0, False),
+        ("m", {"dc": "other"}, 1_000_000, 3.0, False),
+    ]
+    df = mk_samples(spark, rows)
+    cfg = EvalConfig(start=1_000_000, end=1_000_000, step=200_000)
+    out = evaluate(
+        spark,
+        'label_map(last_over_time(m[200s]), "dc", "east", "E", "west", "")',
+        df, cfg,
+    )
+    got = {r["value"]: dict(r["labels"] or {}) for r in out.collect()}
+    assert got[1.0] == {"dc": "E"}
+    assert got[2.0] == {}  # empty mapping removes the label
+    assert got[3.0] == {"dc": "other"}  # unmapped → unchanged
+
+
+def test_label_graphite_group(spark):
+    rows = [("a.b.c.d", {}, 1_000_000, 1.0, False)]
+    df = mk_samples(spark, rows)
+    cfg = EvalConfig(start=1_000_000, end=1_000_000, step=200_000)
+    out = evaluate(
+        spark,
+        "label_graphite_group(last_over_time({__name__='a.b.c.d'}[200s]), 0, 2)",
+        df, cfg,
+    )
+    assert [r["name"] for r in out.collect()] == ["a.c"]
+
+
+def test_range_mad_and_trim_spikes(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0, 5.0]
+    rows = [
+        ("m", {"s": "x"}, 1_000_000 + i * 200_000, v, False)
+        for i, v in enumerate(vals)
+    ]
+    df = mk_samples(spark, rows)
+    out = evaluate(spark, "range_mad(last_over_time(m[200s]))", df, CFG)
+    got = {r["value"] for r in out.collect()}
+    # median = 3.5; deviations |v-3.5| = [2.5,1.5,.5,.5,96.5,1.5] → median 1.5
+    assert got == {1.5}
+
+    trimmed = evaluate(
+        spark, "range_trim_spikes(0.4, last_over_time(m[200s]))", df, CFG
+    )
+    kept = sorted(r["value"] for r in trimmed.collect())
+    # phi/2 = 0.2 trimmed at each end: 100 (top) and 1 (bottom) dropped
+    assert 100.0 not in kept and 1.0 not in kept
+    assert len(kept) == 4

@@ -102,6 +102,51 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name == "pi":
         return Scalar.of(math.pi)
 
+    if name in ("rand", "rand_normal", "rand_exponential"):
+        # Seeded per-grid-point pseudo-random series. VM seeds Go's
+        # math/rand (newTransformRand, transform.go:2670); bit-identical
+        # Go-RNG output is not reproducible in SQL, so the documented
+        # delta is a hash-based generator: deterministic in (seed, ts),
+        # uniform in [0,1), same distribution transforms.
+        seed = (
+            int(planner.const_value(fe.args[0], cfg)) if fe.args else 0
+        )
+
+        def uniform(ts, salt):
+            h = F.xxhash64(ts.cast("long"), F.lit(seed), F.lit(salt))
+            return (F.pmod(h, F.lit(1 << 52)).cast("double")) / float(1 << 52)
+
+        if name == "rand":
+            return Scalar(fn=lambda ts: uniform(ts, 0))
+        if name == "rand_exponential":
+            return Scalar(
+                fn=lambda ts: -F.log(F.lit(1.0) - uniform(ts, 0))
+            )
+        # rand_normal: Box-Muller from two independent uniforms
+        return Scalar(
+            fn=lambda ts: F.sqrt(
+                F.lit(-2.0) * F.log(F.lit(1.0) - uniform(ts, 0))
+            )
+            * F.cos(F.lit(2.0 * math.pi) * uniform(ts, 1))
+        )
+
+    if name in ("bitmap_and", "bitmap_or", "bitmap_xor"):
+        # bitwise ops on the integer parts (transform.go bitmap funcs);
+        # non-integral/NaN inputs drop the point (NaN result in VM)
+        mask = planner.const_value(fe.args[1], cfg)
+        m = int(mask)
+        bop = {
+            "bitmap_and": lambda v: v.bitwiseAND(F.lit(m)),
+            "bitmap_or": lambda v: v.bitwiseOR(F.lit(m)),
+            "bitmap_xor": lambda v: v.bitwiseXOR(F.lit(m)),
+        }[name]
+        return _pointwise(
+            planner,
+            fe,
+            cfg,
+            lambda v, ts: bop(v.cast("long")).cast("double"),
+        )
+
     # ---- query-context scalars ------------------------------------------
     if name == "time":
         return Scalar(fn=lambda ts: ts / 1000.0)
@@ -608,6 +653,25 @@ def _range_fn(planner, fe, cfg, agg_name):
             .select("name", "labels", "ts", "value")
             .withColumn("name", F.lit(""))
         )
+    elif agg_name == "mad":
+        # value → whole-range median absolute deviation per series
+        # (transformRangeMAD, transform.go:1551-1565)
+        med = F.percentile("value", F.lit(0.5)).over(wfull)
+        val = F.percentile(F.abs(F.col("value") - med), F.lit(0.5)).over(wfull)
+    elif agg_name == "trim_spikes":
+        # drop phi/2 fraction of lowest + highest values per series
+        # (transformRangeTrimSpikes, transform.go:1482-1528)
+        phi = planner.const_value(fe.args[0], cfg) / 2.0
+        lo = F.percentile("value", F.lit(phi)).over(wfull)
+        hi = F.percentile("value", F.lit(1.0 - phi)).over(wfull)
+        out = dfk.withColumn(
+            "__keep", (F.col("value") >= lo) & (F.col("value") <= hi)
+        )
+        return (
+            out.filter("__keep")
+            .select("name", "labels", "ts", "value")
+            .withColumn("name", F.lit(""))
+        )
     elif agg_name == "trim_zscore":
         z = planner.const_value(fe.args[0], cfg)
         mean = F.avg("value").over(wfull)
@@ -775,6 +839,39 @@ def _label_fn(planner, fe, cfg, name):
         k = _str_args(fe)[0]
         out = df.withColumn("value", F.col("labels").getItem(k).cast("double"))
         return out.filter(F.col("value").isNotNull())
+
+    if name == "label_map":
+        # label_map(q, "label", src1, dst1, ...) — rewrite the label value
+        # through the lookup; empty result removes the label
+        # (transformLabelMap, transform.go:1887-1917)
+        args = _str_args(fe)
+        label, pairs = args[0], args[1:]
+        cur = F.coalesce(labels.getItem(label), F.lit(""))
+        mapped = cur
+        for src, dst in zip(pairs[0::2], pairs[1::2]):
+            mapped = F.when(cur == F.lit(src), F.lit(dst)).otherwise(mapped)
+        set_map = F.map_concat(
+            F.map_filter(labels, _key_neq(label)),
+            F.create_map(F.lit(label), mapped),
+        )
+        del_map = F.map_filter(labels, _key_neq(label))
+        return df.withColumn(
+            "labels", F.when(mapped == "", del_map).otherwise(set_map)
+        )
+
+    if name == "label_graphite_group":
+        # label_graphite_group(q, g1, g2, ...) — keep only the selected
+        # dot-separated groups of the metric name
+        # (transformLabelGraphiteGroup, transform.go:2259-2290)
+        ids = [int(planner.const_value(a, cfg)) for a in fe.args[1:]]
+        parts = F.split(F.col("name"), r"\.")
+        pieces = [
+            F.coalesce(F.try_element_at(parts, F.lit(i + 1)), F.lit(""))
+            if i >= 0
+            else F.lit("")
+            for i in ids
+        ]
+        return df.withColumn("name", F.concat_ws(".", *pieces))
 
     if name in ("label_match", "label_mismatch"):
         args = _str_args(fe)
