@@ -897,7 +897,15 @@ def _streamaggr_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     samples = events_as_samples(spark, sf_dir)
     cfg = StreamAggrConfig(
-        interval_ms=W1D, outputs=["total", "increase"], by=["event_type"]
+        interval_ms=W1D,
+        outputs=[
+            "total",
+            "increase",
+            "total_prometheus",
+            "increase_prometheus",
+            "sum_samples_total",
+        ],
+        by=["event_type"],
     )
     out = aggregate_batch(samples, cfg)
     return out.select(
@@ -926,25 +934,38 @@ d AS (
            CASE WHEN prev_value IS NULL THEN NULL
                 WHEN value >= prev_value THEN value - prev_value
                 ELSE value END AS pos_dv,
+           -- keep-first-sample flavor (total.go:49-51): a new series'
+           -- first value counts as an increase
+           CASE WHEN prev_value IS NULL THEN value
+                WHEN value >= prev_value THEN value - prev_value
+                ELSE value END AS contrib_keep,
            ts - ts % {W1D} AS wstart
     FROM wp
 ),
 per_window AS (
-    SELECT event_type, wstart, sum(pos_dv) AS inc
+    SELECT event_type, wstart,
+           sum(pos_dv) AS inc,
+           sum(contrib_keep) AS inc_keep,
+           sum(value) AS ss
     FROM d GROUP BY 1, 2
 ),
 tot AS (
-    SELECT event_type, wstart, inc,
-           sum(coalesce(inc, 0.0)) OVER (
-               PARTITION BY event_type ORDER BY wstart
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total
+    SELECT event_type, wstart, inc, inc_keep, ss,
+           sum(coalesce(inc_keep, 0.0)) OVER w AS total,
+           sum(coalesce(inc, 0.0)) OVER w AS total_prom,
+           sum(coalesce(ss, 0.0)) OVER w AS ss_total
     FROM per_window
+    WINDOW w AS (PARTITION BY event_type ORDER BY wstart
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT 'events_value:1d_by_event_type_' || u.o AS name,
        event_type, wstart + {W1D} AS ts, round(u.v, 6) AS value
 FROM tot, unnest([
     struct_pack(o := 'total', v := total),
-    struct_pack(o := 'increase', v := inc)]) AS t(u)
+    struct_pack(o := 'increase', v := inc_keep),
+    struct_pack(o := 'total_prometheus', v := total_prom),
+    struct_pack(o := 'increase_prometheus', v := inc),
+    struct_pack(o := 'sum_samples_total', v := ss_total)]) AS t(u)
 WHERE u.v IS NOT NULL""",
 )
 

@@ -223,15 +223,56 @@ def test_streamaggr_stateless_outputs(sa_samples):
 
 def test_streamaggr_counters(sa_samples):
     cfg = StreamAggrConfig(
-        interval_ms=100_000, outputs=["total", "increase"], by=["job"]
+        interval_ms=100_000,
+        outputs=[
+            "total",
+            "increase",
+            "total_prometheus",
+            "increase_prometheus",
+            "sum_samples_total",
+        ],
+        by=["job"],
     )
     got = _by_name(aggregate_batch(sa_samples, cfg))
-    # series1 deltas +10 each sample (7 deltas over both windows), series2 +1
-    # window1 (ts 25k..75k): 3 deltas each → inc = 30 + 3 = 33
-    assert got[("m:100s_by_job_increase", (("job", "a"),), 100_000)] == 33.0
-    # window2 (ts 100k..175k): 4 deltas each → inc = 40 + 4; total = 77+0?
-    assert got[("m:100s_by_job_increase", (("job", "a"),), 200_000)] == 44.0
-    assert got[("m:100s_by_job_total", (("job", "a"),), 200_000)] == 77.0
+
+    def k(o, ts):
+        return (f"m:100s_by_job_{o}", (("job", "a"),), ts)
+
+    # keep-first flavor (total.go:49-51): first samples count as increases
+    # window1: firsts 0 + 100, deltas 3*10 + 3*1 → 133; window2: 44
+    assert got[k("increase", 100_000)] == 133.0
+    assert got[k("increase", 200_000)] == 44.0
+    assert got[k("total", 200_000)] == 177.0
+    # prometheus flavor: first samples ignored
+    assert got[k("increase_prometheus", 100_000)] == 33.0
+    assert got[k("increase_prometheus", 200_000)] == 44.0
+    assert got[k("total_prometheus", 200_000)] == 77.0
+    # cumulative sum of raw samples: s1 0..70 = 280, s2 100..107 = 828
+    assert got[k("sum_samples_total", 200_000)] == 1108.0
+
+
+def test_streamaggr_ignore_first_sample_interval(spark):
+    rows = [
+        # series x starts at stream start → warmup: first value ignored
+        ("c", {"j": "x"}, 0, 50.0, False),
+        ("c", {"j": "x"}, 10_000, 60.0, False),
+        # series y appears after the warmup deadline → first value counts
+        ("c", {"j": "y"}, 150_000, 7.0, False),
+        ("c", {"j": "y"}, 160_000, 9.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cfg = StreamAggrConfig(
+        interval_ms=400_000,
+        outputs=["total"],
+        ignore_first_sample_interval_ms=100_000,
+    )
+    got = {
+        r["labels"]["j"]: r["value"] for r in aggregate_batch(df, cfg).collect()
+    }
+    # x: +10 delta only (first value fell in the warmup interval)
+    assert got["x"] == 10.0
+    # y appeared after the deadline: first value counts → 7 + 2
+    assert got["y"] == 9.0
 
 
 def test_streamaggr_quantiles_and_histogram(sa_samples):
@@ -264,12 +305,15 @@ def test_streamaggr_staleness_reset(spark):
     df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
     cfg = StreamAggrConfig(
         interval_ms=400_000,
-        outputs=["total"],
+        outputs=["total", "total_prometheus"],
         staleness_interval_ms=120_000,
     )
-    got = aggregate_batch(df, cfg).collect()
-    assert len(got) == 1
-    assert got[0]["value"] == 20.0  # 10 + 10, gap delta dropped
+    got = {r["name"]: r["value"] for r in aggregate_batch(df, cfg).collect()}
+    # prometheus flavor: only strict deltas, gap delta dropped → 10 + 10
+    assert got["c:400s_total_prometheus"] == 20.0
+    # keep-first flavor: first value 10 counts; after the staleness reset
+    # the reappearing sample acts as a new first (+100)
+    assert got["c:400s_total"] == 10.0 + 10.0 + 100.0 + 10.0
 
 
 def test_dedup_last_wins(spark):

@@ -370,15 +370,27 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         return df.orderBy(*order, sk, F.col("ts"))
 
     if name == "limit_offset":
+        # series-level offset/limit. Two-phase so only the per-series KEY
+        # set (small) passes through the single-task ranking window; the
+        # data itself is filtered by a broadcast semi-join.
         limit = int(planner.const_value(fe.args[0], cfg))
         offset = int(planner.const_value(fe.args[1], cfg))
         df = planner.materialize(planner.plan(fe.args[2], cfg), cfg)
         key = series_key(F.col("name"), F.col("labels"))
-        w = Window.orderBy(key)
-        ranked = df.withColumn("__rank", F.dense_rank().over(w))
-        return ranked.filter(
-            (F.col("__rank") > offset) & (F.col("__rank") <= offset + limit)
-        ).drop("__rank")
+        keys = df.select(key.alias("__sk")).distinct()
+        w = Window.orderBy("__sk")
+        keep = (
+            keys.withColumn("__rank", F.row_number().over(w))
+            .filter(
+                (F.col("__rank") > offset) & (F.col("__rank") <= offset + limit)
+            )
+            .select("__sk")
+        )
+        return (
+            df.withColumn("__sk", key)
+            .join(F.broadcast(keep), "__sk", "left_semi")
+            .drop("__sk")
+        )
 
     if name == "drop_empty_series":
         return planner.materialize(planner.plan(fe.args[0], cfg), cfg)
@@ -894,24 +906,32 @@ def _label_fn(planner, fe, cfg, name):
         )
 
     if name == "drop_common_labels":
-        # drop labels whose (k,v) is identical across every series
+        # drop labels whose (k,v) is identical across every series —
+        # fully LAZY: the common-key set is computed as a plan (exploded
+        # labels grouped and compared against the series count), folded
+        # into one broadcast array row and map_filter'ed out; no
+        # planning-time Spark jobs (round-2 advisor finding)
         sk = series_key(F.col("name"), F.col("labels"))
-        series = df.select(sk.alias("__sk"), "labels").distinct()
-        n = series.count()
+        series = df.groupBy(sk.alias("__sk")).agg(
+            F.first("labels").alias("labels")
+        )
         kv = series.select(F.explode("labels").alias("k", "v"))
-        common = (
+        n_series = series.agg(F.count("*").alias("__n"))
+        common_arr = (
             kv.groupBy("k", "v")
             .agg(F.count("*").alias("c"))
-            .filter(F.col("c") == n)
-            .select("k")
-            .collect()
+            .crossJoin(F.broadcast(n_series))
+            .filter(F.col("c") == F.col("__n"))
+            .agg(F.collect_list(F.col("k")).alias("__common"))
         )
-        common_keys = [r["k"] for r in common]
-        if not common_keys:
-            return df
-        return df.withColumn(
-            "labels", F.map_filter(labels, lambda k, v: ~k.isin(*common_keys))
-        )
+        out = df.crossJoin(F.broadcast(common_arr))
+        return out.withColumn(
+            "labels",
+            F.map_filter(
+                F.col("labels"),
+                lambda k, v: ~F.array_contains(F.col("__common"), k),
+            ),
+        ).drop("__common")
 
     from victoriametrics_spark.engine.planner import PlanError
 

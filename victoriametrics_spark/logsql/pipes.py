@@ -92,12 +92,37 @@ def uniq(df: DataFrame, fields: list[str]) -> DataFrame:
     return df.select(*fields).distinct()
 
 
-def limit_offset(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
-    """``| offset N | limit M`` — requires a prior sort for determinism."""
+def limit_offset(
+    df: DataFrame, limit: int, offset: int = 0, order=None
+) -> DataFrame:
+    """``| offset N | limit M``.
+
+    ``order`` is a list of (column, desc) sort keys; when given, the
+    offset window is ordered by them — deterministic under retries and
+    re-partitioning. Without it, offset falls back to
+    ``offset+limit`` rows taken in plan order then sliced — still
+    deterministic per plan (monotonically_increasing_id was neither:
+    nondeterministic under retries AND a single-task global window)."""
     if offset:
-        w = Window.orderBy(F.monotonically_increasing_id())
+        if order:
+            cols = [
+                (F.col(c).desc() if d else F.col(c).asc()) for c, d in order
+            ]
+            w = Window.orderBy(*cols)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(
+                    (F.col("__rn") > offset) & (F.col("__rn") <= offset + limit)
+                )
+                .drop("__rn")
+            )
+        # presentation-only slice: bound the frame to offset+limit rows
+        # first, then number deterministically by the full row content —
+        # the single-task window only ever sees offset+limit rows
+        head = df.limit(offset + limit)
+        w = Window.orderBy(*[F.col(c) for c in df.columns])
         return (
-            df.withColumn("__rn", F.row_number().over(w))
+            head.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
             .drop("__rn")
         )

@@ -88,22 +88,32 @@ def decode_media(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = bytes(r["content"]) if r["content"] is not None else b""
-                w, h, nf = _fake_decode(content)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "n_bytes": len(content),
-                        "content_sha": hashlib.sha256(content).hexdigest(),
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf if r["kind"] == "video" else 1,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            # vectorized over the Arrow batch: one pass of pandas `map`
+            # per derived column, no per-row iterrows loop. A real decoder
+            # would replace the digest maps with the PIL/libav call — the
+            # batch shape stays identical.
+            content = pdf["content"].map(
+                lambda c: bytes(c) if c is not None else b""
+            )
+            digests = content.map(lambda c: hashlib.sha256(c).digest())
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "content_sha": digests.map(bytes.hex),
+                    "width": digests.map(lambda d: 64 + d[0] % 192).astype(
+                        "int32"
+                    ),
+                    "height": digests.map(lambda d: 64 + d[1] % 192).astype(
+                        "int32"
+                    ),
+                    "n_frames": digests.map(lambda d: 1 + d[2] % 32)
+                    .where(pdf["kind"] == "video", 1)
+                    .astype("int32"),
+                }
+            )
+            yield out[[f.name for f in DECODED_SCHEMA.fields]]
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
 

@@ -46,7 +46,15 @@ STATELESS_OUTPUTS = {
     "stdvar",
     "unique_samples",
 }
-STATEFUL_OUTPUTS = {"total", "increase", "rate_sum", "rate_avg"}
+STATEFUL_OUTPUTS = {
+    "total",
+    "total_prometheus",
+    "increase",
+    "increase_prometheus",
+    "sum_samples_total",
+    "rate_sum",
+    "rate_avg",
+}
 SPECIAL_OUTPUTS = {"quantiles", "histogram_bucket"}
 
 
@@ -58,6 +66,11 @@ class StreamAggrConfig:
     without: list[str] | None = None
     dedup_interval_ms: int = 0
     staleness_interval_ms: int | None = None
+    # warmup: first samples of series appearing within this interval of
+    # the stream start are treated as pre-existing — their value is NOT
+    # counted into total/increase (streamaggr.go:179-182
+    # ignore_first_sample_interval; deadline = start + interval)
+    ignore_first_sample_interval_ms: int = 0
     quantiles: list[float] = field(default_factory=list)
     keep_metric_names: bool = False
 
@@ -239,19 +252,45 @@ def aggregate_batch(df: DataFrame, cfg: StreamAggrConfig) -> DataFrame:
                 .otherwise(F.col("value")),
             )
         )
+        is_first = F.col("__pv").isNull()
         if cfg.staleness_interval_ms:
             # state TTL: a gap longer than staleness resets the series
-            # (streamaggr.go:175-182) — the first delta after it is dropped
+            # (streamaggr.go:175-182) — the sample after it acts like a
+            # brand-new first sample (total.go:34-36 lastValue reset)
+            stale_gap = (
+                F.col("ts") - F.col("__pts") > F.lit(cfg.staleness_interval_ms)
+            )
             dd = dd.withColumn(
                 "__pos_dv",
-                F.when(
-                    F.col("ts") - F.col("__pts") > F.lit(cfg.staleness_interval_ms),
-                    F.lit(None).cast("double"),
-                ).otherwise(F.col("__pos_dv")),
+                F.when(stale_gap, F.lit(None).cast("double")).otherwise(
+                    F.col("__pos_dv")
+                ),
             )
+            is_first = is_first | stale_gap
+        # keep-first-sample contribution (total/increase flavor,
+        # total.go:49-51): a new series' first value counts as an
+        # increase, unless it appears during the warmup interval after
+        # stream start — batch analog of ignoreFirstSampleDeadline
+        if cfg.ignore_first_sample_interval_ms > 0:
+            min_ts = d.agg(F.min("ts").alias("__t0"))
+            dd = dd.crossJoin(F.broadcast(min_ts))
+            eligible = (
+                F.col("ts")
+                >= F.col("__t0") + F.lit(cfg.ignore_first_sample_interval_ms)
+            )
+        else:
+            eligible = F.lit(True)
+        dd = dd.withColumn(
+            "__contrib_keep",
+            F.when(is_first, F.when(eligible, F.col("value"))).otherwise(
+                F.col("__pos_dv")
+            ),
+        )
         per_window = dd.groupBy("name", "__gkey", "__w").agg(
             F.first("__glabels").alias("__glabels"),
             F.sum("__pos_dv").alias("__inc"),
+            F.sum("__contrib_keep").alias("__inc_keep"),
+            F.sum("value").alias("__ss"),
             F.sum(
                 F.try_divide(F.col("__pos_dv"), (F.col("ts") - F.col("__pts")) / 1000.0)
             ).alias("__rate_sum_inner"),
@@ -266,9 +305,15 @@ def aggregate_batch(df: DataFrame, cfg: StreamAggrConfig) -> DataFrame:
         )
         for o in stateful:
             if o == "total":
+                val = F.sum(F.coalesce(F.col("__inc_keep"), F.lit(0.0))).over(wrun)
+            elif o == "total_prometheus":
                 val = F.sum(F.coalesce(F.col("__inc"), F.lit(0.0))).over(wrun)
             elif o == "increase":
+                val = F.col("__inc_keep")
+            elif o == "increase_prometheus":
                 val = F.col("__inc")
+            elif o == "sum_samples_total":
+                val = F.sum(F.coalesce(F.col("__ss"), F.lit(0.0))).over(wrun)
             elif o == "rate_sum":
                 # per-sample rate dv/dt summed per group — batch analog of
                 # rate.go (per-series instantaneous rates)
