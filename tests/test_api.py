@@ -1,0 +1,113 @@
+"""HTTP API surface (victoriametrics_spark/api): Prometheus JSON shapes
+over the Spark engine (prometheus.go:767,925 analogs)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from victoriametrics_spark.api import PromAPI, serve
+from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+T0 = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    rows = []
+    for i, ts in enumerate(range(0, 2_100_000, 100_000)):
+        rows.append(("http_requests_total", {"job": "a", "code": "200"}, ts, float(10 * i), False))
+        rows.append(("http_requests_total", {"job": "b", "code": "500"}, ts, float(i), False))
+        rows.append(("temp", {"room": "x"}, ts, 20.0 + i, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    return PromAPI(spark, df)
+
+
+def test_query_range_matrix_shape(api):
+    out = api.query_range(
+        'sum(rate(http_requests_total[400s])) by (job)',
+        start="1000", end="2000", step="200",
+    )
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "matrix"
+    result = out["data"]["result"]
+    assert {tuple(sorted(r["metric"].items())) for r in result} == {
+        (("job", "a"),),
+        (("job", "b"),),
+    }
+    ts_list = [v[0] for v in result[0]["values"]]
+    assert ts_list == [1000.0, 1200.0, 1400.0, 1600.0, 1800.0, 2000.0]
+    # values serialized as strings
+    assert all(isinstance(v[1], str) for v in result[0]["values"])
+
+
+def test_instant_query_vector(api):
+    out = api.query("last_over_time(temp[400s])", time="1500")
+    assert out["data"]["resultType"] == "vector"
+    (r,) = out["data"]["result"]
+    assert r["metric"] == {"room": "x", "__name__": "temp"}
+    assert r["value"][0] == 1500.0
+    # value at/before 1500s → sample @1.5Ms = 20 + 15
+    assert float(r["value"][1]) == 35.0
+
+
+def test_series_and_labels(api):
+    out = api.series(['{__name__=~"http_requests_total"}'])
+    assert sorted(m["job"] for m in out["data"]) == ["a", "b"]
+    labs = api.labels()
+    assert {"__name__", "job", "code", "room"} <= set(labs["data"])
+    vals = api.label_values("job")
+    assert vals["data"] == ["a", "b"]
+    names = api.label_values("__name__")
+    assert names["data"] == ["http_requests_total", "temp"]
+
+
+def test_export_jsonl_round_trip(api):
+    lines = api.export_jsonl(["temp"])
+    assert len(lines) == 1
+    obj = json.loads(lines[0])
+    assert obj["metric"] == {"__name__": "temp", "room": "x"}
+    assert len(obj["values"]) == len(obj["timestamps"]) == 21
+    assert obj["timestamps"] == sorted(obj["timestamps"])
+
+
+def test_federate_latest_points(api):
+    lines = api.federate(["temp"])
+    assert len(lines) == 1
+    assert lines[0].startswith('temp{room="x"} 40 2000000')
+
+
+def test_http_server_round_trip(api):
+    srv = serve(api, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = (
+            f"http://127.0.0.1:{port}/api/v1/query_range"
+            "?query=last_over_time(temp%5B400s%5D)&start=1000&end=2000&step=500"
+        )
+        with urllib.request.urlopen(url) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "success"
+        assert body["data"]["result"][0]["metric"]["__name__"] == "temp"
+
+        bad = f"http://127.0.0.1:{port}/api/v1/query?query=nosuchfunc(1"
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 422
+            err = json.loads(e.read())
+            assert err["status"] == "error"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/labels"
+        ) as resp:
+            labs = json.loads(resp.read())
+        assert "__name__" in labs["data"]
+    finally:
+        srv.shutdown()

@@ -1,0 +1,333 @@
+"""Prometheus-compatible HTTP API (SURVEY.md §3) — the reference's
+primary user surface, rebuilt over the Spark engine.
+
+Endpoints mirror app/vmselect/prometheus/prometheus.go:
+  GET /api/v1/query          (QueryHandler, prometheus.go:767)
+  GET /api/v1/query_range    (QueryRangeHandler, prometheus.go:925)
+  GET /api/v1/series
+  GET /api/v1/labels
+  GET /api/v1/label/<name>/values
+  GET /api/v1/export         (VM JSONL, app/vmselect/main.go:255)
+  GET /federate              (latest points in exposition format)
+
+The handler layer is a plain library class (``PromAPI``) returning JSON-
+serializable dicts, so it can sit behind any server; ``serve()`` wraps it
+in a stdlib ThreadingHTTPServer for a dependency-free deployment. An
+instant query is a range query with ``start == end``
+(EvalConfig{Start==End}, eval.go:115-118).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.engine.planner import evaluate
+from victoriametrics_spark.metricsql.ast import DurationExpr
+
+DEFAULT_STEP_MS = 300_000  # 5m, prometheus.go:72
+
+
+def _parse_time(v: str | None, default_ms: int) -> int:
+    if v is None or v == "":
+        return default_ms
+    return int(float(v) * 1000)
+
+
+def _parse_step(v: str | None) -> int:
+    if v is None or v == "":
+        return DEFAULT_STEP_MS
+    try:
+        return int(float(v) * 1000)
+    except ValueError:
+        return DurationExpr(v).ms(DEFAULT_STEP_MS)
+
+
+def _fmt_value(x: float) -> str:
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "+Inf" if x > 0 else "-Inf"
+    return repr(x) if x != int(x) else str(int(x))
+
+
+def _metric_obj(name: str, labels) -> dict:
+    out = dict(labels or {})
+    if name:
+        out["__name__"] = name
+    return out
+
+
+class PromAPI:
+    """Query-side API over a samples DataFrame (or table provider)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        max_lookback_ms: int = 300_000,
+    ):
+        self.spark = spark
+        self.samples = samples
+        self.max_lookback_ms = max_lookback_ms
+
+    # ----------------------------------------------------------- queries
+    def _eval(self, query: str, start_ms: int, end_ms: int, step_ms: int):
+        cfg = EvalConfig(
+            start=start_ms,
+            end=end_ms,
+            step=step_ms,
+            max_lookback=self.max_lookback_ms,
+        )
+        df = evaluate(self.spark, query, self.samples, cfg)
+        rows = df.collect()
+        series: dict = {}
+        for r in rows:
+            key = (r["name"] or "", tuple(sorted((r["labels"] or {}).items())))
+            series.setdefault(key, []).append((r["ts"], r["value"]))
+        return series
+
+    def query_range(
+        self,
+        query: str,
+        start: str | None,
+        end: str | None,
+        step: str | None = None,
+    ) -> dict:
+        step_ms = _parse_step(step)
+        start_ms = _parse_time(start, 0)
+        end_ms = _parse_time(end, start_ms)
+        series = self._eval(query, start_ms, end_ms, step_ms)
+        result = [
+            {
+                "metric": _metric_obj(name, dict(labels)),
+                "values": [
+                    [ts / 1000.0, _fmt_value(v)] for ts, v in sorted(pts)
+                ],
+            }
+            for (name, labels), pts in sorted(series.items())
+        ]
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": result},
+        }
+
+    def query(self, query: str, time: str | None = None) -> dict:
+        t_ms = _parse_time(time, 0)
+        series = self._eval(query, t_ms, t_ms, DEFAULT_STEP_MS)
+        result = [
+            {
+                "metric": _metric_obj(name, dict(labels)),
+                "value": [pts[-1][0] / 1000.0, _fmt_value(pts[-1][1])],
+            }
+            for (name, labels), pts in sorted(series.items())
+            if pts
+        ]
+        return {
+            "status": "success",
+            "data": {"resultType": "vector", "result": result},
+        }
+
+    # ------------------------------------------------------ series scans
+    def _match_df(self, matches: list[str], start: str | None, end: str | None):
+        from victoriametrics_spark.engine.planner import selector_predicate
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import MetricExpr, RollupExpr
+
+        df = self.samples
+        if start:
+            df = df.filter(F.col("ts") >= _parse_time(start, 0))
+        if end:
+            df = df.filter(F.col("ts") <= _parse_time(end, 1 << 62))
+        preds = []
+        for m in matches or []:
+            e = parse(m)
+            if isinstance(e, RollupExpr):
+                e = e.expr
+            if not isinstance(e, MetricExpr):
+                raise ValueError(f"match[] must be a series selector: {m!r}")
+            preds.append(selector_predicate(e))
+        if preds:
+            p = preds[0]
+            for q in preds[1:]:
+                p = p | q
+            df = df.filter(p)
+        return df
+
+    def series(
+        self, matches: list[str], start: str | None = None, end: str | None = None
+    ) -> dict:
+        df = self._match_df(matches, start, end)
+        rows = (
+            df.groupBy("name", F.map_entries("labels").alias("__e"))
+            .agg(F.first(F.lit(1)))
+            .collect()
+        )
+        data = [
+            _metric_obj(r["name"], {e["key"]: e["value"] for e in (r["__e"] or [])})
+            for r in rows
+        ]
+        return {"status": "success", "data": data}
+
+    def labels(
+        self,
+        matches: list[str] | None = None,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> dict:
+        df = self._match_df(matches or [], start, end)
+        keys = (
+            df.select(F.explode(F.map_keys("labels")).alias("k"))
+            .distinct()
+            .collect()
+        )
+        names = sorted({r["k"] for r in keys} | {"__name__"})
+        return {"status": "success", "data": names}
+
+    def label_values(
+        self,
+        label: str,
+        matches: list[str] | None = None,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> dict:
+        df = self._match_df(matches or [], start, end)
+        if label == "__name__":
+            col = F.col("name")
+        else:
+            col = F.col("labels").getItem(label)
+        vals = (
+            df.select(col.alias("v"))
+            .filter(F.col("v").isNotNull() & (F.col("v") != ""))
+            .distinct()
+            .collect()
+        )
+        return {"status": "success", "data": sorted(r["v"] for r in vals)}
+
+    # --------------------------------------------------------- export
+    def export_jsonl(
+        self, matches: list[str], start: str | None = None, end: str | None = None
+    ) -> list[str]:
+        """VM JSONL export lines (/api/v1/export shape:
+        {"metric":{...},"values":[...],"timestamps":[...]})."""
+        df = self._match_df(matches, start, end)
+        rows = df.select("name", "labels", "ts", "value").collect()
+        series: dict = {}
+        for r in rows:
+            key = (r["name"] or "", tuple(sorted((r["labels"] or {}).items())))
+            series.setdefault(key, []).append((r["ts"], r["value"]))
+        lines = []
+        for (name, labels), pts in sorted(series.items()):
+            pts.sort()
+            lines.append(
+                json.dumps(
+                    {
+                        "metric": _metric_obj(name, dict(labels)),
+                        "values": [v for _, v in pts],
+                        "timestamps": [t for t, _ in pts],
+                    },
+                    separators=(",", ":"),
+                )
+            )
+        return lines
+
+    def federate(
+        self, matches: list[str], lookback_ms: int | None = None
+    ) -> list[str]:
+        """Latest point per matched series in Prometheus exposition format
+        (app/vmselect/prometheus/federate.qtpl)."""
+        df = self._match_df(matches, None, None)
+        rows = (
+            df.groupBy("name", F.map_entries("labels").alias("__e"))
+            .agg(F.max(F.struct("ts", "value")).alias("__last"))
+            .collect()
+        )
+        lines = []
+        for r in rows:
+            labels = {e["key"]: e["value"] for e in (r["__e"] or [])}
+            lbl = ",".join(
+                f'{k}="{v}"' for k, v in sorted(labels.items())
+            )
+            name = r["name"] or "unnamed"
+            last = r["__last"]
+            lines.append(
+                f"{name}{{{lbl}}} {_fmt_value(last['value'])} {last['ts']}"
+            )
+        return sorted(lines)
+
+
+# ---------------------------------------------------------------- server
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1"):
+    """Dependency-free HTTP server over PromAPI. Returns the server
+    object (call ``.serve_forever()`` or use it from a thread; tests use
+    ``.handle_request()``)."""
+
+    label_values_re = re.compile(r"^/api/v1/label/([^/]+)/values$")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: str, ctype="application/json"):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+
+            def p(name, default=None):
+                return q.get(name, [default])[0]
+
+            matches = q.get("match[]", [])
+            try:
+                if u.path == "/api/v1/query_range":
+                    out = api.query_range(
+                        p("query"), p("start"), p("end"), p("step")
+                    )
+                elif u.path == "/api/v1/query":
+                    out = api.query(p("query"), p("time"))
+                elif u.path == "/api/v1/series":
+                    out = api.series(matches, p("start"), p("end"))
+                elif u.path == "/api/v1/labels":
+                    out = api.labels(matches, p("start"), p("end"))
+                elif m := label_values_re.match(u.path):
+                    out = api.label_values(
+                        unquote(m.group(1)), matches, p("start"), p("end")
+                    )
+                elif u.path == "/api/v1/export":
+                    lines = api.export_jsonl(matches, p("start"), p("end"))
+                    self._send(200, "\n".join(lines), "application/stream+json")
+                    return
+                elif u.path == "/federate":
+                    lines = api.federate(matches)
+                    self._send(200, "\n".join(lines) + "\n", "text/plain")
+                    return
+                else:
+                    self._send(
+                        404,
+                        json.dumps({"status": "error", "error": "not found"}),
+                    )
+                    return
+            except Exception as e:  # query/parse errors → Prometheus shape
+                self._send(
+                    422,
+                    json.dumps(
+                        {"status": "error", "errorType": "bad_data", "error": str(e)}
+                    ),
+                )
+                return
+            self._send(200, json.dumps(out))
+
+    return ThreadingHTTPServer((host, port), Handler)
