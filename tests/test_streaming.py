@@ -349,3 +349,167 @@ def test_streamaggr_structured_streaming(spark, sa_samples, tmp_path):
     got = {(r["name"], r["ts"]): r["value"] for r in rows}
     assert got[("m:100s_by_job_sum_samples", 100_000)] == 466.0
     assert got[("m:100s_by_job_count_series", 200_000)] == 2.0
+
+
+# ---------------------------------------------------------------- round 3:
+# remaining ingestion dialects
+from victoriametrics_spark.streaming.parsers import (  # noqa: E402
+    parse_datadog_v1,
+    parse_datadog_v2,
+    parse_newrelic,
+    parse_opentsdb,
+    parse_opentsdb_http,
+    parse_otlp_json,
+    parse_zabbix,
+    samples_to_csv,
+)
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], ["value"])
+
+
+def _collect(df):
+    return sorted(
+        (r["name"], tuple(sorted((r["labels"] or {}).items())), r["ts"], r["value"])
+        for r in df.collect()
+    )
+
+
+def test_parse_opentsdb_telnet(spark):
+    out = _collect(
+        parse_opentsdb(
+            _lines(
+                spark,
+                [
+                    "put sys.cpu.user 1704067200 42.5 host=web01 cpu=0",
+                    "put sys.cpu.user 1704067260000 43.5 host=web01",
+                    "version",  # non-put lines ignored
+                ],
+            )
+        )
+    )
+    assert out == [
+        ("sys.cpu.user", (("cpu", "0"), ("host", "web01")), 1704067200000, 42.5),
+        ("sys.cpu.user", (("host", "web01"),), 1704067260000, 43.5),
+    ]
+
+
+def test_parse_opentsdb_http(spark):
+    single = '{"metric":"m1","timestamp":1704067200,"value":7,"tags":{"h":"a"}}'
+    arr = (
+        '[{"metric":"m2","timestamp":1704067200,"value":1,"tags":{}},'
+        '{"metric":"m3","timestamp":1704067201,"value":2,"tags":{"x":"y"}}]'
+    )
+    out = _collect(parse_opentsdb_http(_lines(spark, [single, arr])))
+    assert [o[0] for o in out] == ["m1", "m2", "m3"]
+    assert out[0] == ("m1", (("h", "a"),), 1704067200000, 7.0)
+
+
+def test_parse_datadog_v1_v2(spark):
+    v1 = (
+        '{"series":[{"metric":"dd.m","points":[[1704067200,5],[1704067260,6]],'
+        '"tags":["env:prod","dc:e"],"host":"h1"}]}'
+    )
+    out1 = _collect(parse_datadog_v1(_lines(spark, [v1])))
+    assert out1 == [
+        ("dd.m", (("dc", "e"), ("env", "prod"), ("host", "h1")), 1704067200000, 5.0),
+        ("dd.m", (("dc", "e"), ("env", "prod"), ("host", "h1")), 1704067260000, 6.0),
+    ]
+    v2 = (
+        '{"series":[{"metric":"dd2.m","points":[{"timestamp":1704067200,"value":9}],'
+        '"tags":["env:dev"],"resources":[{"name":"h2","type":"host"}]}]}'
+    )
+    out2 = _collect(parse_datadog_v2(_lines(spark, [v2])))
+    assert out2 == [
+        ("dd2.m", (("env", "dev"), ("host", "h2")), 1704067200000, 9.0)
+    ]
+
+
+def test_parse_newrelic(spark):
+    doc = (
+        '[{"Events":[{"eventType":"SystemSample","timestamp":1704067200,'
+        '"cpuPercent":1.5,"memoryUsedBytes":1024,"hostname":"web"}]}]'
+    )
+    out = _collect(parse_newrelic(_lines(spark, [doc])))
+    # numeric fields only, camelCase → snake_case
+    assert out == [
+        ("system_sample_cpu_percent", (), 1704067200000, 1.5),
+        ("system_sample_memory_used_bytes", (), 1704067200000, 1024.0),
+    ]
+
+
+def test_parse_otlp_json(spark):
+    doc = json.dumps(
+        {
+            "resourceMetrics": [
+                {
+                    "scopeMetrics": [
+                        {
+                            "metrics": [
+                                {
+                                    "name": "otlp.gauge",
+                                    "gauge": {
+                                        "dataPoints": [
+                                            {
+                                                "timeUnixNano": "1704067200000000000",
+                                                "asDouble": 3.5,
+                                                "attributes": [
+                                                    {
+                                                        "key": "svc",
+                                                        "value": {"stringValue": "api"},
+                                                    }
+                                                ],
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "name": "otlp.sum",
+                                    "sum": {
+                                        "dataPoints": [
+                                            {
+                                                "timeUnixNano": "1704067201000000000",
+                                                "asInt": "42",
+                                                "attributes": [],
+                                            }
+                                        ]
+                                    },
+                                },
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
+    )
+    out = _collect(parse_otlp_json(_lines(spark, [doc])))
+    assert out == [
+        ("otlp.gauge", (("svc", "api"),), 1704067200000, 3.5),
+        ("otlp.sum", (), 1704067201000, 42.0),
+    ]
+
+
+def test_parse_zabbix(spark):
+    doc = (
+        '{"request":"sender data","data":['
+        '{"host":"db1","key":"system.cpu.load[all,avg1]","value":"0.25","clock":1704067200,"ns":500000000},'
+        '{"host":"db1","key":"vm.memory.size","value":"notnum","clock":1704067200}]}'
+    )
+    out = _collect(parse_zabbix(_lines(spark, [doc])))
+    # non-numeric values dropped; key sanitized; ns → ms fraction
+    assert out == [
+        ("system.cpu.load_all_avg1", (("host", "db1"),), 1704067200500, 0.25)
+    ]
+
+
+def test_samples_to_csv(spark):
+    df = spark.createDataFrame(
+        [("m", {"a": "1"}, 1000, 2.0, False)], SAMPLE_SCHEMA
+    )
+    row = samples_to_csv(df).collect()[0]
+    assert row["metric"] == "m" and row["timestamp_ms"] == 1000
+    assert row["value"] == 2.0 and "a" in row["labels"]
+
+
+import json  # noqa: E402

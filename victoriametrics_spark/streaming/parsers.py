@@ -225,3 +225,265 @@ def parse_csv_import(
     for p in parts[1:]:
         out = out.unionByName(p)
     return _finish(out)
+
+
+# ------------------------------------------------------------------ round 3:
+# remaining ingestion dialects (SURVEY.md §2.1, app/vminsert/main.go:229-322).
+# All are from_json / regex column transforms — JVM-side, streaming-safe.
+
+
+def _sec_or_ms(ts: Column) -> Column:
+    """OpenTSDB/Datadog timestamps may be seconds or milliseconds; values
+    below ~1e12 are seconds (lib/protoparser timestamp normalization)."""
+    return F.when(ts < F.lit(1_000_000_000_000), ts * 1000).otherwise(ts)
+
+
+def parse_opentsdb(lines: DataFrame) -> DataFrame:
+    """OpenTSDB telnet put: ``put <metric> <ts> <value> [tag=v ...]``
+    (lib/protoparser/opentsdb/)."""
+    l = F.trim(F.col("value"))
+    data = lines.select(l.alias("value")).filter(l.startswith("put "))
+    name = F.split_part(l, F.lit(" "), F.lit(2))
+    ts = F.split_part(l, F.lit(" "), F.lit(3)).cast("long")
+    val = F.split_part(l, F.lit(" "), F.lit(4))
+    # tags: everything after the 4th space-separated token
+    tags_str = F.array_join(
+        F.slice(
+            F.split(l, r"\s+"),
+            5,
+            F.greatest(F.size(F.split(l, r"\s+")) - 4, F.lit(0)),
+        ),
+        ",",
+    )
+    return _finish(
+        data.select(
+            name.alias("name"),
+            _tags_to_map(tags_str, ",", "=").alias("labels"),
+            _sec_or_ms(ts).alias("ts"),
+            val.cast("double").alias("value"),
+        )
+    )
+
+
+def parse_opentsdb_http(docs: DataFrame) -> DataFrame:
+    """OpenTSDB HTTP JSON (/api/put, lib/protoparser/opentsdbhttp/): one
+    JSON document per row — a single datapoint object or an array."""
+    item = "STRUCT<metric: STRING, timestamp: BIGINT, value: DOUBLE, tags: MAP<STRING,STRING>>"
+    arr = F.from_json(F.col("value"), f"ARRAY<{item}>")
+    one = F.from_json(F.col("value"), item)
+    pts = F.coalesce(arr, F.array(one))
+    d = docs.select(F.explode(pts).alias("p")).filter(F.col("p.metric").isNotNull())
+    return _finish(
+        d.select(
+            F.col("p.metric").alias("name"),
+            F.col("p.tags").alias("labels"),
+            _sec_or_ms(F.col("p.timestamp")).alias("ts"),
+            F.col("p.value").alias("value"),
+        )
+    )
+
+
+def _dd_tags_to_map(tags: Column, extra: list[tuple[str, Column]]) -> Column:
+    """Datadog ``["k:v", ...]`` tag lists → label map (+ extra pairs)."""
+    pairs = F.transform(
+        F.filter(tags, lambda t: t.contains(":")),
+        lambda t: F.struct(
+            F.split_part(t, F.lit(":"), F.lit(1)).alias("key"),
+            F.regexp_replace(t, r"^[^:]*:", "").alias("value"),
+        ),
+    )
+    def _neq(name: str):
+        # closure, not a default-arg lambda: PySpark reads default args as
+        # extra lambda variables and mis-counts the arity
+        return lambda key, _val: key != F.lit(name)
+
+    m = F.map_from_entries(pairs)
+    for k, v in extra:
+        m = F.map_concat(
+            F.map_filter(m, _neq(k)),
+            F.when(v.isNotNull(), F.create_map(F.lit(k), v)).otherwise(
+                F.create_map().cast("map<string,string>")
+            ),
+        )
+    return m
+
+
+def parse_datadog_v1(docs: DataFrame) -> DataFrame:
+    """Datadog v1 /api/v1/series (lib/protoparser/datadogv1/):
+    {"series":[{"metric","points":[[ts_s,v],...],"tags":["k:v"],"host"}]}"""
+    schema = (
+        "series ARRAY<STRUCT<metric: STRING, points: ARRAY<ARRAY<DOUBLE>>, "
+        "tags: ARRAY<STRING>, host: STRING>>"
+    )
+    d = docs.select(F.explode(F.from_json(F.col("value"), schema)["series"]).alias("s"))
+    p = d.select(
+        F.col("s.metric").alias("name"),
+        _dd_tags_to_map(
+            F.coalesce(F.col("s.tags"), F.array().cast("array<string>")),
+            [("host", F.col("s.host"))],
+        ).alias("labels"),
+        F.explode(F.col("s.points")).alias("pt"),
+    )
+    return _finish(
+        p.select(
+            "name",
+            "labels",
+            _sec_or_ms(F.element_at(F.col("pt"), 1).cast("long")).alias("ts"),
+            F.element_at(F.col("pt"), 2).alias("value"),
+        )
+    )
+
+
+def parse_datadog_v2(docs: DataFrame) -> DataFrame:
+    """Datadog v2 /api/v2/series (lib/protoparser/datadogv2/): points are
+    {"timestamp","value"} structs; host comes from resources[]."""
+    schema = (
+        "series ARRAY<STRUCT<metric: STRING, "
+        "points: ARRAY<STRUCT<timestamp: BIGINT, value: DOUBLE>>, "
+        "tags: ARRAY<STRING>, "
+        "resources: ARRAY<STRUCT<name: STRING, type: STRING>>>>"
+    )
+    d = docs.select(F.explode(F.from_json(F.col("value"), schema)["series"]).alias("s"))
+    host = F.element_at(
+        F.filter(F.col("s.resources"), lambda r: r["type"] == "host"), 1
+    )["name"]
+    p = d.select(
+        F.col("s.metric").alias("name"),
+        _dd_tags_to_map(
+            F.coalesce(F.col("s.tags"), F.array().cast("array<string>")),
+            [("host", host)],
+        ).alias("labels"),
+        F.explode(F.col("s.points")).alias("pt"),
+    )
+    return _finish(
+        p.select(
+            "name",
+            "labels",
+            _sec_or_ms(F.col("pt.timestamp")).alias("ts"),
+            F.col("pt.value").alias("value"),
+        )
+    )
+
+
+def parse_newrelic(docs: DataFrame) -> DataFrame:
+    """NewRelic infra agent payload (lib/protoparser/newrelic/):
+    [{"Events":[{"eventType":"SystemSample","timestamp":ts_s,
+    <numeric fields>...}]}] — every numeric field becomes the metric
+    ``<eventType>_<field>`` (VM converts camelCase to snake_case; that
+    normalization is applied here too)."""
+    schema = "ARRAY<STRUCT<Events: ARRAY<MAP<STRING,STRING>>>>"
+    d = docs.select(F.explode(F.from_json(F.col("value"), schema)).alias("e"))
+    ev = d.select(F.explode(F.col("e.Events")).alias("m"))
+    ev = ev.withColumn("ts", F.element_at(F.col("m"), "timestamp").cast("long"))
+    ev = ev.withColumn("etype", F.element_at(F.col("m"), "eventType"))
+    kv = ev.select(
+        "ts", "etype", F.explode(F.col("m")).alias("k", "v")
+    ).filter(~F.col("k").isin("timestamp", "eventType"))
+    num = F.col("v").try_cast("double")
+    snake = lambda c: F.lower(  # noqa: E731  camelCase → snake_case
+        F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2")
+    )
+    return _finish(
+        kv.filter(num.isNotNull()).select(
+            F.concat(snake(F.col("etype")), F.lit("_"), snake(F.col("k"))).alias(
+                "name"
+            ),
+            F.create_map().cast("map<string,string>").alias("labels"),
+            _sec_or_ms(F.col("ts")).alias("ts"),
+            num.alias("value"),
+        )
+    )
+
+
+def parse_otlp_json(docs: DataFrame) -> DataFrame:
+    """OTLP metrics JSON (lib/protoparser/opentelemetry/): gauge and sum
+    datapoints; attributes become labels; timeUnixNano → ms."""
+    dp = (
+        "ARRAY<STRUCT<timeUnixNano: STRING, asDouble: DOUBLE, asInt: STRING, "
+        "attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<stringValue: STRING>>>>>"
+    )
+    schema = (
+        "resourceMetrics ARRAY<STRUCT<scopeMetrics: ARRAY<STRUCT<"
+        f"metrics: ARRAY<STRUCT<name: STRING, gauge: STRUCT<dataPoints: {dp}>, "
+        f"sum: STRUCT<dataPoints: {dp}>>>>>>>"
+    )
+    j = docs.select(F.from_json(F.col("value"), schema).alias("j"))
+    m = (
+        j.select(F.explode(F.col("j.resourceMetrics")).alias("rm"))
+        .select(F.explode(F.col("rm.scopeMetrics")).alias("sm"))
+        .select(F.explode(F.col("sm.metrics")).alias("m"))
+    )
+    pts = m.select(
+        F.col("m.name").alias("name"),
+        F.explode(
+            F.coalesce(
+                F.col("m.gauge.dataPoints"),
+                F.col("m.sum.dataPoints"),
+            )
+        ).alias("p"),
+    )
+    labels = F.map_from_entries(
+        F.transform(
+            F.coalesce(F.col("p.attributes"), F.expr("array()")),
+            lambda a: F.struct(
+                a["key"].alias("key"), a["value"]["stringValue"].alias("value")
+            ),
+        )
+    )
+    return _finish(
+        pts.select(
+            "name",
+            labels.alias("labels"),
+            (F.col("p.timeUnixNano").cast("long") / F.lit(1_000_000))
+            .cast("long")
+            .alias("ts"),
+            F.coalesce(
+                F.col("p.asDouble"), F.col("p.asInt").cast("double")
+            ).alias("value"),
+        )
+    )
+
+
+def parse_zabbix(docs: DataFrame) -> DataFrame:
+    """Zabbix sender protocol JSON (lib/protoparser/zabbixconnector/):
+    {"request":"sender data","data":[{"host","key","value","clock"}]} —
+    metric name = item key (dots/brackets sanitized), host → label."""
+    schema = (
+        'request STRING, data ARRAY<STRUCT<host: STRING, `key`: STRING, '
+        "value: STRING, clock: BIGINT, ns: BIGINT>>"
+    )
+    j = docs.select(F.from_json(F.col("value"), schema).alias("j")).filter(
+        F.col("j.request") == "sender data"
+    )
+    d = j.select(F.explode(F.col("j.data")).alias("d"))
+    name = F.regexp_replace(
+        F.regexp_replace(F.col("d.key"), r"[\[\]\",]+", "_"), r"[._]+$", ""
+    )
+    return _finish(
+        d.select(
+            name.alias("name"),
+            F.create_map(F.lit("host"), F.col("d.host")).alias("labels"),
+            (
+                F.col("d.clock") * 1000
+                + F.coalesce(F.col("d.ns"), F.lit(0)) / 1_000_000
+            )
+            .cast("long")
+            .alias("ts"),
+            F.col("d.value").try_cast("double").alias("value"),
+        )
+    )
+
+
+def samples_to_csv(samples: DataFrame) -> DataFrame:
+    """CSV export shape (/api/v1/export/csv): one row per sample with the
+    canonical label string; feed to ``df.write.csv``."""
+    from victoriametrics_spark.schema import canonical_labels_str
+
+    return samples.select(
+        F.col("name").alias("metric"),
+        canonical_labels_str(
+            F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>"))
+        ).alias("labels"),
+        F.col("ts").alias("timestamp_ms"),
+        F.col("value"),
+    )
