@@ -1,5 +1,6 @@
 from victoriametrics_spark.storage.layout import (
     append_samples,
+    drop_samples_table,
     compact_samples_table,
     read_samples_table,
     write_samples_table,
@@ -10,4 +11,5 @@ __all__ = [
     "append_samples",
     "read_samples_table",
     "compact_samples_table",
+    "drop_samples_table",
 ]

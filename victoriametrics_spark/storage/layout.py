@@ -44,6 +44,20 @@ def _with_layout_columns(samples: DataFrame) -> DataFrame:
     )
 
 
+def drop_samples_table(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry AND the warehouse dir (the in-memory
+    catalog forgets tables across sessions while dirs persist)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+    )
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_samples_table(
     samples: DataFrame,
     table: str,
@@ -63,18 +77,8 @@ def write_samples_table(
     df = samples
     spark = df.sparkSession
     if mode == "overwrite":
-        # the default in-memory catalog forgets managed tables across
-        # sessions while their warehouse dirs persist; clear both so
-        # overwrite is idempotent (a Hive/Glue metastore wouldn't need this)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        jsc = spark.sparkContext._jsc
-        jvm = spark.sparkContext._jvm
-        path = jvm.org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), table.lower()
-        )
-        fs = path.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(path):
-            fs.delete(path, True)
+        # idempotent overwrite (a Hive/Glue metastore wouldn't need this)
+        drop_samples_table(spark, table)
     if dedup_interval_ms > 0:
         from victoriametrics_spark.streaming.streamaggr import dedup_samples
 
