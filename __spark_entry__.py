@@ -1704,10 +1704,12 @@ _DRIVER_PRIORITY = [
     # round-3 storage layout round-trip + fine-step two-level cutover
     "mq_rate_bucketed",
     "mq_rate_fine_step",
-    # round-3 binop modifiers + transform tail
+    # round-3 binop modifiers + transform tail + logsql breadth
     "mq_list_membership",
     "mq_binop_fill_left",
     "mq_range_mad",
+    "rel_len_stats",
+    "rel_format_top",
     # round-2 work with no driver verdict yet
     "mq_cmp_filter",
     "mq_scalar_arith",
@@ -1775,6 +1777,56 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+
+def _rel_len_stats(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+    from victoriametrics_spark.logsql.pipes import STATS_FUNCS, len_pipe
+
+    docs = len_pipe(load(spark, sf_dir, "documents"), "text", "tlen")
+    return pipes.stats(
+        docs,
+        by=["lang"],
+        aggs={
+            "total_len": F.sum("tlen").cast("double"),
+            "max_len": F.max("tlen").cast("double"),
+            "n_sources": STATS_FUNCS["count_uniq"](F.col("source")),
+        },
+    )
+
+
+_reg(
+    "rel_len_stats",
+    _op(_rel_len_stats),
+    """
+SELECT lang,
+       CAST(sum(length(text)) AS DOUBLE) AS total_len,
+       CAST(max(length(text)) AS DOUBLE) AS max_len,
+       CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+FROM documents GROUP BY 1""",
+)
+
+
+def _rel_format_top(spark, sf_dir, load):
+    from victoriametrics_spark.logsql import pipes
+    from victoriametrics_spark.logsql.pipes import format_pipe
+
+    docs = format_pipe(
+        load(spark, sf_dir, "documents"), "<lang>/<source>", "bucket"
+    )
+    return pipes.top(docs, ["bucket"], 5).withColumn(
+        "hits", F.col("hits").cast("double")
+    )
+
+
+_reg(
+    "rel_format_top",
+    _op(_rel_format_top),
+    """
+SELECT lang || '/' || source AS bucket, CAST(count(*) AS DOUBLE) AS hits
+FROM documents GROUP BY 1
+ORDER BY count(*) DESC, bucket ASC LIMIT 5""",
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -246,3 +246,207 @@ def sequence_filter(col: Column, phrases: list[str]) -> Column:
 
     pattern = ".*?".join(_re.escape(p) for p in phrases)
     return col.rlike(pattern)
+
+
+# ------------------------------------------------------------------ round 3:
+# remaining pipes/stats/filters (vendor/.../logstorage pipe_*.go coverage)
+
+# additional stats functions (stats_*.go)
+STATS_FUNCS.update(
+    {
+        "count_uniq": lambda c: F.count_distinct(c).cast("double"),
+        "count_uniq_hash": lambda c: F.approx_count_distinct(c).cast("double"),
+        "field_min": lambda c: F.min(c),
+        "field_max": lambda c: F.max(c),
+        "stdvar": lambda c: F.var_pop(c),
+    }
+)
+
+
+def row_min(order_field: str, *fields: str) -> Column:
+    """stats_row_min.go: the listed fields of the row minimizing
+    ``order_field``."""
+    return F.min_by(F.struct(*[F.col(f) for f in fields]), F.col(order_field))
+
+
+def row_max(order_field: str, *fields: str) -> Column:
+    return F.max_by(F.struct(*[F.col(f) for f in fields]), F.col(order_field))
+
+
+def row_any(*fields: str) -> Column:
+    return F.first(F.struct(*[F.col(f) for f in fields]))
+
+
+def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """LogsQL extract pattern → anchored regex with one group per
+    ``<field>`` placeholder (pipe_extract.go pattern syntax: fields are
+    non-greedy up to the next literal run)."""
+    import re as _re
+
+    parts = _re.split(r"(<[a-zA-Z_][a-zA-Z0-9_]*>)", pattern)
+    regex, fields = "", []
+    for i, p in enumerate(parts):
+        if _re.fullmatch(r"<[a-zA-Z_][a-zA-Z0-9_]*>", p or ""):
+            fields.append(p[1:-1])
+            # non-greedy when a literal follows; greedy at the end
+            nxt = parts[i + 1] if i + 1 < len(parts) else ""
+            regex += "(.*?)" if nxt else "(.*)"
+        else:
+            regex += _re.escape(p)
+    return regex, fields
+
+
+def extract(df: DataFrame, src: str, pattern: str) -> DataFrame:
+    """``| extract "text<field1>more<field2>"`` (pipe_extract.go pattern
+    form) — one new column per placeholder."""
+    regex, fields = _pattern_to_regex(pattern)
+    out = df
+    for i, f_name in enumerate(fields, start=1):
+        out = out.withColumn(f_name, F.regexp_extract(F.col(src), regex, i))
+    return out
+
+
+def unpack_logfmt(df: DataFrame, src: str, fields: list[str]) -> DataFrame:
+    """``| unpack_logfmt`` (pipe_unpack_logfmt.go): key=value pairs,
+    values optionally double-quoted."""
+    out = df
+    for f_name in fields:
+        quoted = F.regexp_extract(F.col(src), f'{f_name}="([^"]*)"', 1)
+        bare = F.regexp_extract(F.col(src), f"{f_name}=([^\\s\"]+)", 1)
+        out = out.withColumn(
+            f_name, F.when(quoted != "", quoted).otherwise(bare)
+        )
+    return out
+
+
+def pack_json(df: DataFrame, fields: list[str], dst: str = "json") -> DataFrame:
+    """``| pack_json [fields]`` (pipe_pack_json.go)."""
+    return df.withColumn(dst, F.to_json(F.struct(*[F.col(f) for f in fields])))
+
+
+def split(df: DataFrame, src: str, sep: str, dst: str | None = None) -> DataFrame:
+    """``| split (sep)`` (pipe_split.go) — field → array of substrings."""
+    import re as _re
+
+    return df.withColumn(dst or src, F.split(F.col(src), _re.escape(sep)))
+
+
+def len_pipe(df: DataFrame, src: str, dst: str = "len") -> DataFrame:
+    """``| len(field)`` (pipe_len.go)."""
+    return df.withColumn(dst, F.length(F.col(src)).cast("long"))
+
+
+def hash_pipe(df: DataFrame, src: str, dst: str = "hash") -> DataFrame:
+    """``| hash(field)`` (pipe_hash.go — 64-bit hash of the value)."""
+    return df.withColumn(dst, F.xxhash64(F.col(src)))
+
+
+def format_pipe(df: DataFrame, fmt: str, dst: str) -> DataFrame:
+    """``| format "text<field>..." as dst`` (pipe_format.go)."""
+    import re as _re
+
+    parts = _re.split(r"(<[a-zA-Z_][a-zA-Z0-9_]*>)", fmt)
+    cols = []
+    for p in parts:
+        if _re.fullmatch(r"<[a-zA-Z_][a-zA-Z0-9_]*>", p or ""):
+            cols.append(F.coalesce(F.col(p[1:-1]).cast("string"), F.lit("")))
+        elif p:
+            cols.append(F.lit(p))
+    return df.withColumn(dst, F.concat(*cols) if cols else F.lit(""))
+
+
+def replace_pipe(
+    df: DataFrame, src: str, old: str, new: str, regex: bool = False
+) -> DataFrame:
+    """``| replace ("old", "new")`` / ``replace_regexp`` (pipe_replace*.go)."""
+    import re as _re
+
+    pat = old if regex else _re.escape(old)
+    return df.withColumn(src, F.regexp_replace(F.col(src), pat, new))
+
+
+def decolorize(df: DataFrame, src: str) -> DataFrame:
+    """``| decolorize`` (pipe_decolorize.go) — strip ANSI escapes."""
+    return df.withColumn(
+        src, F.regexp_replace(F.col(src), r"\x1b\[[0-9;]*[a-zA-Z]", "")
+    )
+
+
+def copy_fields(df: DataFrame, mapping: list[tuple[str, str]]) -> DataFrame:
+    """``| copy src as dst, ...`` (pipe_copy.go)."""
+    out = df
+    for src, dst in mapping:
+        out = out.withColumn(dst, F.col(src))
+    return out
+
+
+def rename_fields(df: DataFrame, mapping: list[tuple[str, str]]) -> DataFrame:
+    """``| rename src as dst, ...`` (pipe_rename.go)."""
+    out = df
+    for src, dst in mapping:
+        out = out.withColumnRenamed(src, dst)
+    return out
+
+
+def delete_fields(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``| delete f1, f2`` (pipe_delete.go)."""
+    return df.drop(*fields)
+
+
+def fields_pipe(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``| fields f1, f2`` (pipe_fields.go) — keep only the listed."""
+    return df.select(*fields)
+
+
+def sample(df: DataFrame, fraction: float, seed: int = 1) -> DataFrame:
+    """``| sample N`` (pipe_sample.go) — Bernoulli sample."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def total_stats(
+    df: DataFrame, order: list[tuple[str, bool]], aggs: dict[str, Column]
+) -> DataFrame:
+    """``| total_stats`` (pipe_total_stats.go) — running aggregates over
+    the WHOLE stream in sort order (no partitioning)."""
+    cols = [(F.col(c).desc() if d else F.col(c).asc()) for c, d in order]
+    w = (
+        Window.orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for name, c in aggs.items():
+        out = out.withColumn(name, c.over(w))
+    return out
+
+
+# -------------------------------------------------------------- filters
+def exact_filter(col: Column, value: str) -> Column:
+    """``exact("v")`` (filter_exact.go) — whole-value equality."""
+    return col == F.lit(value)
+
+
+def word_filter(col: Column, word: str) -> Column:
+    """bare-word filter (filter_word.go): the word bounded by
+    non-word characters."""
+    import re as _re
+
+    return col.rlike(rf"(?:^|\W){_re.escape(word)}(?:\W|$)")
+
+
+def ipv4_range_filter(col: Column, lo: str, hi: str) -> Column:
+    """``ipv4_range(lo, hi)`` (filter_ipv4_range.go) — dotted-quad
+    column within the inclusive numeric range."""
+
+    def ip_num(ip: str) -> int:
+        a, b, c, d = (int(x) for x in ip.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    parts = F.split(col, r"\.")
+    num = (
+        F.element_at(parts, 1).cast("long") * F.lit(1 << 24)
+        + F.element_at(parts, 2).cast("long") * F.lit(1 << 16)
+        + F.element_at(parts, 3).cast("long") * F.lit(1 << 8)
+        + F.element_at(parts, 4).cast("long")
+    )
+    valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    return valid & num.between(ip_num(lo), ip_num(hi))
