@@ -366,3 +366,44 @@ def test_range_mad_and_trim_spikes(spark):
     # phi/2 = 0.2 trimmed at each end: 100 (top) and 1 (bottom) dropped
     assert 100.0 not in kept and 1.0 not in kept
     assert len(kept) == 4
+
+
+def test_graphite_selector_glob(spark):
+    rows = [
+        ("web.srv1.cpu", {}, 1_000_000, 1.0, False),
+        ("web.srv2.cpu", {}, 1_000_000, 2.0, False),
+        ("web.srv1.mem", {}, 1_000_000, 3.0, False),
+        ("db.srv1.cpu", {}, 1_000_000, 4.0, False),
+    ]
+    df = mk_samples(spark, rows)
+    cfg = EvalConfig(start=1_000_000, end=1_000_000, step=200_000)
+
+    def names(q):
+        return sorted(
+            r["value"]
+            for r in evaluate(spark, q, df, cfg).collect()
+        )
+
+    assert names('last_over_time({__graphite__="web.*.cpu"}[200s])') == [1.0, 2.0]
+    assert names('last_over_time({__graphite__="web.srv?.{cpu,mem}"}[200s])') == [
+        1.0, 2.0, 3.0,
+    ]
+    # * must not cross dot groups
+    assert names('last_over_time({__graphite__="web.*"}[200s])') == []
+    assert names('last_over_time({__graphite__!="web.*.cpu"}[200s])') == [3.0, 4.0]
+
+
+def test_enforced_extra_filters(spark, gauges_df):
+    cfg = EvalConfig(
+        start=1_000_000,
+        end=2_000_000,
+        step=200_000,
+        enforced_filters=(("room", "=", "a"),),
+    )
+    out = evaluate(spark, "last_over_time(temp[200s])", gauges_df, cfg).collect()
+    assert out and all(r["labels"]["room"] == "a" for r in out)
+    # the enforced filter survives even a selector with its own filters
+    out2 = evaluate(
+        spark, 'last_over_time(temp{room=~".+"}[200s])', gauges_df, cfg
+    ).collect()
+    assert out2 and all(r["labels"]["room"] == "a" for r in out2)

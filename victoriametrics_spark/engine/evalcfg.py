@@ -27,6 +27,10 @@ class EvalConfig:
     # 29-60) — every selector scan keeps only the last sample per aligned
     # interval bucket per series. 0 disables.
     dedup_interval_ms: int = 0
+    # Enforced extra filters (multi-tenant safety): (label, op, value)
+    # triples ANDed into EVERY selector scan — the extra_label /
+    # extra_filters query args (eval.go:144-146 EnforcedTagFilterss).
+    enforced_filters: tuple[tuple[str, str, str], ...] = ()
     # Wide-window/fine-step cutover: when window/step exceeds this ratio
     # (and the window is a step multiple), decomposable rollups switch
     # from the contribution-explode plan (amplification = window/step per

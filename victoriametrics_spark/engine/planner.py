@@ -17,6 +17,7 @@ row is the NaN/gap analog (NULL/NaN never stored; SURVEY.md §1.4).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable, Union
 
@@ -86,13 +87,52 @@ def anchored_regex(pattern: str) -> str:
     return f"^(?:{pattern})$"
 
 
+def graphite_glob_to_regex(glob: str) -> str:
+    """Graphite glob → anchored regex (lib/storage/tag_filters.go:175 +
+    getRegexpForGraphiteQuery): ``*`` matches within one dot-group,
+    ``{a,b}`` alternates, ``[...]`` char-classes, ``?`` one char."""
+    out, i, n = [], 0, len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "*":
+            out.append("[^.]*")
+        elif c == "?":
+            out.append("[^.]")
+        elif c == "{":
+            j = glob.find("}", i)
+            if j < 0:
+                out.append(re.escape(c))
+            else:
+                alts = glob[i + 1 : j].split(",")
+                out.append("(?:" + "|".join(re.escape(a) for a in alts) + ")")
+                i = j
+        elif c == "[":
+            j = glob.find("]", i)
+            if j < 0:
+                out.append(re.escape(c))
+            else:
+                out.append(glob[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
 def selector_predicate(me: MetricExpr) -> Column:
     """OR-of-AND label filter groups → one boolean Column
-    (SearchQuery.TagFilterss semantics, lib/storage/search.go:327-352)."""
+    (SearchQuery.TagFilterss semantics, lib/storage/search.go:327-352).
+    ``__graphite__`` filters glob-match the metric name."""
     group_preds: list[Column] = []
     for group in me.label_filterss:
         preds: list[Column] = []
         for f in group:
+            if f.label == "__graphite__":
+                # glob over the metric name; = / != only (VM semantics)
+                rx = anchored_regex(graphite_glob_to_regex(f.value))
+                p = F.col("name").rlike(rx)
+                preds.append(p if f.op in ("=", "=~") else ~p)
+                continue
             if f.label == "__name__":
                 col = F.col("name")
             else:
@@ -203,8 +243,22 @@ class Planner:
     # ------------------------------------------------------------- leaves
     def scan(self, me: MetricExpr) -> DataFrame:
         """Selector → filtered raw samples (predicate pushdown to parquet),
-        with optional dedup-on-read (-dedup.minScrapeInterval analog)."""
+        with enforced extra filters (EnforcedTagFilterss,
+        eval.go:144-146) and optional dedup-on-read
+        (-dedup.minScrapeInterval analog)."""
         out = self.samples.filter(selector_predicate(me))
+        if self.cfg.enforced_filters:
+            from victoriametrics_spark.metricsql.ast import LabelFilter
+
+            enforced = MetricExpr(
+                label_filterss=[
+                    [
+                        LabelFilter(label=lb, op=op, value=v)
+                        for lb, op, v in self.cfg.enforced_filters
+                    ]
+                ]
+            )
+            out = out.filter(selector_predicate(enforced))
         if self.cfg.dedup_interval_ms > 0:
             from victoriametrics_spark.streaming.streamaggr import dedup_samples
 
