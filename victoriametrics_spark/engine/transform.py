@@ -556,11 +556,12 @@ def _gap_fill(planner, fe, cfg, name):
     from victoriametrics_spark.engine.grid import grid_df
 
     df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
-    # densify: every (series, grid ts) cell
+    # densify: every (series, grid ts) cell (groupBy, not distinct —
+    # Spark forbids set ops on MAP columns)
     sk = series_key(F.col("name"), F.col("labels"))
-    series = df.select(
-        sk.alias("__sk"), F.col("name"), F.col("labels")
-    ).distinct()
+    series = df.groupBy(sk.alias("__sk")).agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
     g = grid_df(planner.spark, cfg)
     dense = series.crossJoin(g)
     vals = df.select(sk.alias("__sk"), F.col("ts"), F.col("value"))
@@ -579,11 +580,11 @@ def _gap_fill(planner, fe, cfg, name):
         next_t = F.first(F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True).over(wb)
         frac = F.try_divide(F.col("ts") - prev_t, next_t - prev_t)
         interp = prev_v + (next_v - prev_v) * frac
+        # interpolation fills BETWEEN known points only — head/tail gaps
+        # stay empty (exec_test interpolate(head/tail) golden cases)
         filled = F.coalesce(
             F.col("value"),
             F.when(prev_v.isNotNull() & next_v.isNotNull(), interp),
-            prev_v,
-            next_v,
         )
     out = dense.withColumn("value", filled).filter(F.col("value").isNotNull())
     return out.select("name", "labels", "ts", "value")
@@ -598,49 +599,111 @@ _RUNNING_AGGS = {
 }
 
 
+def _dense_series_grid(planner, df, cfg):
+    """(series × grid) left-joined with the input values — the shared
+    densify step for running_*/range_*/gap-fill (VM's values arrays span
+    the whole grid with NaN holes; these functions write into the holes)."""
+    from victoriametrics_spark.engine.grid import grid_df
+
+    sk = series_key(F.col("name"), F.col("labels"))
+    series = df.groupBy(sk.alias("__sk")).agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
+    dense = series.crossJoin(grid_df(planner.spark, cfg))
+    vals = df.select(sk.alias("__sk"), F.col("ts"), F.col("value"))
+    return dense.join(vals, ["__sk", "ts"], "left")
+
+
 def _running(planner, fe, cfg, agg_name):
-    """running_sum/avg/min/max — cumulative from query start per series."""
+    """running_sum/avg/min/max — cumulative from query start per series.
+    The running value KEEPS reporting at grid points where the input has
+    a gap (transformRunning writes into every index from the first
+    non-NaN sample on; exec_test running_min golden cases)."""
     df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
     agg = _RUNNING_AGGS.get(agg_name)
     if agg is None:
         from victoriametrics_spark.engine.planner import PlanError
 
         raise PlanError(f"running_{agg_name} not implemented")
-    dfk, w = _series_window(df)
-    wf = w.rowsBetween(Window.unboundedPreceding, 0)
-    out = dfk.withColumn("value", agg("value").over(wf).cast("double"))
-    return out.select("name", "labels", "ts", "value").withColumn(
-        "name", F.lit("")
+    dense = _dense_series_grid(planner, df, cfg)
+    w = (
+        Window.partitionBy("__sk")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = dense.withColumn("value", agg("value").over(w).cast("double"))
+    return (
+        out.filter(F.col("value").isNotNull())
+        .select("name", "labels", "ts", "value")
+        .withColumn("name", F.lit(""))
     )
 
 
-_RANGE_AGGS: dict[str, Callable] = {
-    "sum": lambda df, w: F.sum("value").over(w),
-    "avg": lambda df, w: F.avg("value").over(w),
-    "min": lambda df, w: F.min("value").over(w),
-    "max": lambda df, w: F.max("value").over(w),
-    "first": lambda df, w: F.first("value").over(w),
-    "last": lambda df, w: F.last("value").over(w),
-    "stddev": lambda df, w: F.stddev_pop("value").over(w),
-    "stdvar": lambda df, w: F.var_pop("value").over(w),
+_RANGE_CONST: dict[str, Callable] = {
+    # per-series whole-range constants: emitted at EVERY grid point —
+    # transformRange* overwrite all indexes incl. former NaN holes
+    # (exec_test range_sum(filtered) golden case)
+    "sum": lambda a: F.sum("value"),
+    "avg": lambda a: F.avg("value"),
+    "min": lambda a: F.min("value"),
+    "max": lambda a: F.max("value"),
+    "first": lambda a: F.min_by(F.col("value"), F.col("ts")),
+    "last": lambda a: F.max_by(F.col("value"), F.col("ts")),
+    "stddev": lambda a: F.stddev_pop("value"),
+    "stdvar": lambda a: F.var_pop("value"),
+    "median": lambda a: F.percentile(F.col("value"), F.lit(0.5)),
 }
 
 
 def _range_fn(planner, fe, cfg, agg_name):
-    """range_* — whole-query-range stat broadcast back to every point."""
+    """range_* — whole-query-range stat per series."""
     from victoriametrics_spark.engine.planner import PlanError
 
     df = planner.materialize(planner.plan(fe.args[-1], cfg), cfg)
+    if agg_name in _RANGE_CONST or agg_name in ("quantile", "mad"):
+        if agg_name == "quantile":
+            phi = planner.const_value(fe.args[0], cfg)
+            stat = F.percentile(F.col("value"), F.lit(phi))
+        elif agg_name == "mad":
+            stat = None  # two-stage below
+        else:
+            stat = _RANGE_CONST[agg_name](None)
+        sk = series_key(F.col("name"), F.col("labels"))
+        if agg_name == "mad":
+            per = df.groupBy(sk.alias("__sk")).agg(
+                F.first("name").alias("name"),
+                F.first("labels").alias("labels"),
+                F.collect_list("value").alias("__vals"),
+                F.percentile(F.col("value"), F.lit(0.5)).alias("__med"),
+            )
+            devs = F.array_sort(
+                F.transform(F.col("__vals"), lambda v: F.abs(v - F.col("__med")))
+            )
+            n = F.size(devs)
+            lo = F.try_element_at(devs, ((n + 1) / 2).cast("int"))
+            hi = F.try_element_at(devs, ((n + 2) / 2).cast("int"))
+            per = per.select(
+                "__sk", "name", "labels", ((lo + hi) / 2.0).alias("__stat")
+            )
+        else:
+            per = df.groupBy(sk.alias("__sk")).agg(
+                F.first("name").alias("name"),
+                F.first("labels").alias("labels"),
+                stat.alias("__stat"),
+            )
+        from victoriametrics_spark.engine.grid import grid_df
+
+        out = per.crossJoin(grid_df(planner.spark, cfg)).select(
+            F.lit("").alias("name"),
+            F.col("labels"),
+            F.col("ts"),
+            F.col("__stat").cast("double").alias("value"),
+        )
+        return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+
     dfk, w = _series_window(df)
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    if agg_name in _RANGE_AGGS:
-        val = _RANGE_AGGS[agg_name](dfk, wfull)
-    elif agg_name == "quantile":
-        phi = planner.const_value(fe.args[0], cfg)
-        val = F.percentile("value", F.lit(phi)).over(wfull)
-    elif agg_name == "median":
-        val = F.percentile("value", F.lit(0.5)).over(wfull)
-    elif agg_name == "normalize":
+    if agg_name == "normalize":
         mn = F.min("value").over(wfull)
         mx = F.max("value").over(wfull)
         val = F.try_divide(F.col("value") - mn, mx - mn)
@@ -665,11 +728,6 @@ def _range_fn(planner, fe, cfg, agg_name):
             .select("name", "labels", "ts", "value")
             .withColumn("name", F.lit(""))
         )
-    elif agg_name == "mad":
-        # value → whole-range median absolute deviation per series
-        # (transformRangeMAD, transform.go:1551-1565)
-        med = F.percentile("value", F.lit(0.5)).over(wfull)
-        val = F.percentile(F.abs(F.col("value") - med), F.lit(0.5)).over(wfull)
     elif agg_name == "trim_spikes":
         # drop phi/2 fraction of lowest + highest values per series
         # (transformRangeTrimSpikes, transform.go:1482-1528)
@@ -828,13 +886,36 @@ def _label_fn(planner, fe, cfg, name):
 
     if name == "label_replace":
         # label_replace(q, dst, replacement, src, regex) — PromQL-compat:
-        # applies only when regex matches the full src value
+        # applies only when regex matches the full src value. src/dst may
+        # be __name__ (VM getDstValue handles MetricGroup).
+        import re as _re
+
         args = _str_args(fe)
         dst, repl, src, regex = args[0], args[1], args[2], args[3]
-        src_v = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+        # PromQL ${1} group refs → Java's $1 (Java reads ${...} as a
+        # group NAME, which cannot start with a digit); references to
+        # groups the regex does not define expand to "" (Go Expand
+        # semantics) where Java would throw
+        repl = _re.sub(r"\$\{(\d+)\}", r"$\1", repl)
+        try:
+            ngroups = _re.compile(regex).groups
+        except _re.error:
+            ngroups = 0
+        repl = _re.sub(
+            r"\$(\d+)",
+            lambda m: m.group(0) if int(m.group(1)) <= ngroups else "",
+            repl,
+        )
+        if src == "__name__":
+            src_v = F.coalesce(F.col("name"), F.lit(""))
+        else:
+            src_v = F.coalesce(F.col("labels").getItem(src), F.lit(""))
         matches = src_v.rlike(f"^(?:{regex})$")
-        # Java regex replacement uses $1 syntax; PromQL uses $1 too
         new_v = F.regexp_replace(src_v, f"^(?:{regex})$", repl)
+        if dst == "__name__":
+            return df.withColumn(
+                "name", F.when(matches, new_v).otherwise(F.col("name"))
+            )
         set_map = F.map_concat(
             F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst)),
             F.create_map(F.lit(dst), new_v),
