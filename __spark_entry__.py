@@ -643,9 +643,11 @@ madv AS (
     FROM per_series p JOIN med USING (event_type, user_bucket)
     GROUP BY 1, 2
 )
-SELECT p.event_type, p.user_bucket, p.gts AS ts,
+-- range_* constants are emitted at EVERY grid point per series
+-- (transformRangeMAD writes all indexes), hence the grid cross join
+SELECT madv.event_type, madv.user_bucket, g.gts AS ts,
        round(madv.mad, 6) + 0.0 AS value
-FROM per_series p JOIN madv USING (event_type, user_bucket)""",
+FROM madv CROSS JOIN grid g""",
 )
 
 # ---- topk by series-level aggregate (deterministic two-phase) --------
