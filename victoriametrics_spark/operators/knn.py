@@ -87,6 +87,23 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def md5_planes(dim: int, n_planes: int, seed: int = 42, table: int = 0) -> list[list[float]]:
+    """Hyperplanes with components derived from md5 — uniform in [-1, 1),
+    reproducible bit-for-bit in ANY engine with md5 (DuckDB:
+    ``('0x' || substr(md5(key),1,15))::BIGINT / 2^59 - 1.0``), which makes
+    the whole LSH bucket assignment oracle-checkable end-to-end. Division
+    by 2^59 is a power-of-two scaling, so the double is exact on both
+    sides. Sign-bucket LSH only needs symmetric component distributions,
+    so uniform works as well as Gaussian here."""
+    import hashlib
+
+    def comp(i: int, d: int) -> float:
+        key = f"lsh:{seed}:{table}:{i}:{d}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16) / 2**59 - 1.0
+
+    return [[comp(i, d) for d in range(dim)] for i in range(n_planes)]
+
+
 def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id (0..2^R-1) for a vector column."""
     bucket = F.lit(0).cast("long")
@@ -97,9 +114,17 @@ def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def table_planes(
-    dim: int, n_tables: int, bits_per_table: int, seed: int
+    dim: int, n_tables: int, bits_per_table: int, seed: int, plane_fn: str = "gauss"
 ) -> list[list[list[float]]]:
-    """The deterministic hyperplane set for every LSH table."""
+    """The deterministic hyperplane set for every LSH table.
+
+    ``plane_fn="gauss"`` (default) uses Python's seeded Gaussian;
+    ``"md5"`` derives every component from md5 so an external oracle
+    (DuckDB) can recompute the identical buckets — see md5_planes."""
+    if plane_fn == "md5":
+        return [
+            md5_planes(dim, bits_per_table, seed, table=t) for t in range(n_tables)
+        ]
     return [
         random_planes(dim, bits_per_table, seed + 1000 * t)
         for t in range(n_tables)
@@ -121,6 +146,7 @@ def with_lsh_buckets(
     bits_per_table: int = 3,
     seed: int = 42,
     vec_col: str = "embedding",
+    plane_fn: str = "gauss",
 ) -> DataFrame:
     """Materialize the per-table bucket ids as columns ``lsh_b0..lsh_bT``.
 
@@ -130,7 +156,9 @@ def with_lsh_buckets(
     products over the full corpus into one scan filtering on T persisted
     int columns — or a partition-pruned read when laid out by bucket."""
     out = df
-    for t, planes in enumerate(table_planes(dim, n_tables, bits_per_table, seed)):
+    for t, planes in enumerate(
+        table_planes(dim, n_tables, bits_per_table, seed, plane_fn)
+    ):
         out = out.withColumn(
             f"lsh_b{t}", hyperplane_bucket(F.col(vec_col), planes)
         )
@@ -146,12 +174,13 @@ def lsh_knn_threshold_persisted(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plane_fn: str = "gauss",
 ) -> DataFrame:
     """Probe pre-materialized bucket columns (see with_lsh_buckets):
     candidates = rows matching the query's bucket in ANY table — a single
     scan with an OR of integer-equality predicates — then exact cosine
     verify on the (~T·2^-b) candidate fraction."""
-    planes = table_planes(len(query), n_tables, bits_per_table, seed)
+    planes = table_planes(len(query), n_tables, bits_per_table, seed, plane_fn)
     pred = None
     for t, p in enumerate(planes):
         c = F.col(f"lsh_b{t}") == F.lit(query_bucket(query, p))
@@ -169,6 +198,7 @@ def lsh_knn_threshold(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    plane_fn: str = "gauss",
 ) -> DataFrame:
     """Approximate threshold search with multi-table hyperplane LSH:
     candidate = same bucket as the query in ANY of the T independent
@@ -182,10 +212,12 @@ def lsh_knn_threshold(
     once and probe via lsh_knn_threshold_persisted."""
     dim = len(query)
     bucketed = with_lsh_buckets(
-        df.select(id_col, vec_col), dim, n_tables, bits_per_table, seed, vec_col
+        df.select(id_col, vec_col), dim, n_tables, bits_per_table, seed, vec_col,
+        plane_fn,
     )
     return lsh_knn_threshold_persisted(
-        bucketed, query, tau, n_tables, bits_per_table, seed, vec_col, id_col
+        bucketed, query, tau, n_tables, bits_per_table, seed, vec_col, id_col,
+        plane_fn,
     )
 
 
