@@ -52,14 +52,21 @@ def main() -> int:
     # run below measures the scan path, not the one-time write
     qs["mq_sum_rate_by"](spark, sf_dir).count()
     qs["mq_rate_bucketed"](spark, sf_dir).count()
+    # n repeats per query, report the MIN: a single-shot number conflates
+    # the query with JIT/GC/CPU-contention noise (the r4→r5 "24% uniform
+    # regression" was exactly that); min-of-3 is the standard defensible
+    # estimator for a deterministic workload on a noisy host
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), -1
+        for _ in range(repeats):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s min/{repeats} ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

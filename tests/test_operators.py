@@ -144,6 +144,42 @@ def test_lsh_knn_subset_of_brute(embs):
         assert v == brute[k]
 
 
+def test_lsh_knn_md5_subset_of_brute(embs):
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    brute = {r["vec_id"]: r["cosine"] for r in knn_threshold(rest, list(q), 0.2).collect()}
+    approx = {
+        r["vec_id"]: r["cosine"]
+        for r in lsh_knn_threshold(rest, list(q), 0.2, plane_fn="md5").collect()
+    }
+    assert 0 < len(approx)
+    assert set(approx) <= set(brute)
+    for k, v in approx.items():
+        assert v == brute[k]
+
+
+def test_md5_planes_oracle_values():
+    """md5_planes must match an independent recomputation of its spec:
+    int(md5('lsh:{seed}:{table}:{i}:{d}')[:13 hex], 16) / 2^51 - 1 — and
+    every component must be exactly representable (13 hex = 52 bits fits
+    the 53-bit double mantissa; /2^51 is a power-of-two scale)."""
+    import hashlib
+
+    from victoriametrics_spark.operators.knn import md5_planes
+
+    planes = md5_planes(4, 2, seed=7, table=3)
+    for i in (0, 1):
+        for d in range(4):
+            raw = int(
+                hashlib.md5(f"lsh:7:3:{i}:{d}".encode()).hexdigest()[:13], 16
+            )
+            expect = raw / 2**51 - 1.0
+            assert planes[i][d] == expect
+            # exact representability: the int->double conversion is lossless
+            assert int((planes[i][d] + 1.0) * 2**51) == raw
+            assert -1.0 <= planes[i][d] < 1.0
+
+
 def test_pairwise_within_label(embs):
     out = pairwise_cosine_within(embs.limit(100), "label", 0.3)
     rows = out.collect()

@@ -90,16 +90,18 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def md5_planes(dim: int, n_planes: int, seed: int = 42, table: int = 0) -> list[list[float]]:
     """Hyperplanes with components derived from md5 — uniform in [-1, 1),
     reproducible bit-for-bit in ANY engine with md5 (DuckDB:
-    ``('0x' || substr(md5(key),1,15))::BIGINT / 2^59 - 1.0``), which makes
-    the whole LSH bucket assignment oracle-checkable end-to-end. Division
-    by 2^59 is a power-of-two scaling, so the double is exact on both
-    sides. Sign-bucket LSH only needs symmetric component distributions,
-    so uniform works as well as Gaussian here."""
+    ``('0x' || substr(md5(key),1,13))::BIGINT / 2251799813685248.0 - 1.0``),
+    which makes the whole LSH bucket assignment oracle-checkable
+    end-to-end. 13 hex chars = 52 bits ≤ the 53-bit double mantissa and
+    the divisor 2^51 is a power of two, so every component is EXACTLY
+    representable — no rounding on either engine. Sign-bucket LSH only
+    needs symmetric component distributions, so uniform works as well as
+    Gaussian here."""
     import hashlib
 
     def comp(i: int, d: int) -> float:
         key = f"lsh:{seed}:{table}:{i}:{d}".encode()
-        return int(hashlib.md5(key).hexdigest()[:15], 16) / 2**59 - 1.0
+        return int(hashlib.md5(key).hexdigest()[:13], 16) / 2**51 - 1.0
 
     return [[comp(i, d) for d in range(dim)] for i in range(n_planes)]
 
