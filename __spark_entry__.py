@@ -1786,6 +1786,290 @@ GROUP BY 1""",
 )
 
 
+# ------------------------------------------------- round-6 pipe tranche
+def _rel_replace_regexp(spark, sf_dir, load):
+    """replace_regexp in both flavors: limit=0 (every match, pure
+    Catalyst regexp_replace) and limit=1 (first match only, the
+    Arrow-batched re.sub path) — DuckDB's regexp_replace with/without
+    the 'g' flag is the exact oracle for each."""
+    from victoriametrics_spark.logsql import pipes
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("all_r"), F.col("text").alias("one_r")
+    )
+    out = pipes.replace_regexp_pipe(docs, "all_r", r"(table|value)", "<W>")
+    out = pipes.replace_regexp_pipe(out, "one_r", r"(table|value)", "<W>", limit=1)
+    return pipes.stats(
+        out,
+        by=["lang"],
+        aggs={
+            "len_all": F.sum(F.length("all_r")).cast("double"),
+            "len_one": F.sum(F.length("one_r")).cast("double"),
+        },
+    )
+
+
+_reg(
+    "rel_replace_regexp",
+    _op(_rel_replace_regexp),
+    """
+SELECT lang,
+       CAST(sum(length(regexp_replace(text, '(table|value)', '<W>', 'g')))
+           AS DOUBLE) AS len_all,
+       CAST(sum(length(regexp_replace(text, '(table|value)', '<W>')))
+           AS DOUBLE) AS len_one
+FROM documents GROUP BY 1""",
+)
+
+
+def _rel_unpack_syslog(spark, sf_dir, load):
+    """Round-trip: format events into RFC5424 syslog lines, parse them
+    back with unpack_syslog, aggregate on the parsed fields. The oracle
+    computes the same aggregate from the raw numbers — any parse bug
+    breaks the match."""
+    from victoriametrics_spark.logsql import pipes
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    line = F.concat(
+        F.lit("<"),
+        (F.col("event_id") % 192).cast("string"),
+        F.lit(">1 2024-01-01T00:00:00Z host-"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(" 101 ID1 - value="),
+        F.col("value").cast("string"),
+    )
+    parsed = pipes.unpack_syslog(ev.withColumn("msg", line), "msg")
+    return pipes.stats(
+        parsed,
+        by=["facility", "severity"],
+        aggs={
+            "n": F.count("*").cast("double"),
+            "hosts": F.count_distinct("hostname").cast("double"),
+            "apps": F.count_distinct("app_name").cast("double"),
+        },
+    ).withColumn("facility", F.col("facility").cast("long")).withColumn(
+        "severity", F.col("severity").cast("long")
+    )
+
+
+_reg(
+    "rel_unpack_syslog",
+    _op(_rel_unpack_syslog),
+    """
+SELECT (event_id % 192) // 8 AS facility,
+       (event_id % 192) % 8 AS severity,
+       CAST(count(*) AS DOUBLE) AS n,
+       CAST(count(DISTINCT 'host-' || (event_id % 7)) AS DOUBLE) AS hosts,
+       CAST(count(DISTINCT event_type) AS DOUBLE) AS apps
+FROM events GROUP BY 1, 2""",
+)
+
+
+def _rel_coalesce_json(spark, sf_dir, load):
+    """coalesce pipe over an absent JSON key + a present one, with
+    default fallback (pipe_coalesce.go empty-as-missing semantics)."""
+    from victoriametrics_spark.logsql import pipes
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "missing", F.coalesce(F.get_json_object("props", "$.absent"), F.lit(""))
+    ).withColumn("k", F.get_json_object("props", "$.k"))
+    out = pipes.coalesce_pipe(ev, ["missing", "k"], "kv", default="0")
+    return pipes.stats(
+        out,
+        by=["event_type"],
+        aggs={"sum_k": F.sum(F.col("kv").cast("double"))},
+    )
+
+
+_reg(
+    "rel_coalesce_json",
+    _op(_rel_coalesce_json),
+    """
+SELECT event_type,
+       sum(CAST(coalesce(nullif(props ->> '$.absent', ''),
+                         nullif(props ->> '$.k', ''), '0') AS DOUBLE)) AS sum_k
+FROM events GROUP BY 1""",
+)
+
+
+def _rel_field_names(spark, sf_dir, load):
+    """field_names pipe: one partial-aggregated pass, pivoted to rows
+    via stack on the 1-row aggregate (pipe_field_names.go)."""
+    from victoriametrics_spark.logsql import pipes
+
+    return pipes.field_names(load(spark, sf_dir, "documents")).withColumn(
+        "hits", F.col("hits").cast("double")
+    )
+
+
+_reg(
+    "rel_field_names",
+    _op(_rel_field_names),
+    """
+SELECT 'doc_id' AS name, CAST(count(CASE WHEN CAST(doc_id AS VARCHAR) != ''
+    THEN 1 END) AS DOUBLE) AS hits FROM documents
+UNION ALL SELECT 'text', CAST(count(CASE WHEN text != '' THEN 1 END)
+    AS DOUBLE) FROM documents
+UNION ALL SELECT 'lang', CAST(count(CASE WHEN lang != '' THEN 1 END)
+    AS DOUBLE) FROM documents
+UNION ALL SELECT 'source', CAST(count(CASE WHEN source != '' THEN 1 END)
+    AS DOUBLE) FROM documents
+UNION ALL SELECT 'n_chars', CAST(count(CASE WHEN CAST(n_chars AS VARCHAR) != ''
+    THEN 1 END) AS DOUBLE) FROM documents""",
+)
+
+
+def _rel_stats_rate(spark, sf_dir, load):
+    """stats rate() / rate_sum() (stats_rate.go, stats_rate_sum.go):
+    row count / field sum divided by the query step in seconds."""
+    from victoriametrics_spark.logsql import pipes
+
+    ev = load(spark, sf_dir, "events")
+    return pipes.stats(
+        ev,
+        by=["event_type"],
+        aggs={
+            "rate": pipes.rate_stats(3600.0)(F.lit(1)),
+            "rate_sum": pipes.rate_sum_stats(3600.0)(F.col("value")),
+        },
+    )
+
+
+_reg(
+    "rel_stats_rate",
+    _op(_rel_stats_rate),
+    """
+SELECT event_type,
+       count(*) / 3600.0 AS rate,
+       sum(value) / 3600.0 AS rate_sum
+FROM events GROUP BY 1""",
+)
+
+
+def _rel_unpack_words(spark, sf_dir, load):
+    """unpack_words + unroll: tokenize text, per-document distinct
+    words, then document frequency per word — top 10."""
+    from victoriametrics_spark.logsql import pipes
+
+    docs = pipes.unpack_words(
+        load(spark, sf_dir, "documents"), "text", "words", drop_duplicates=True
+    )
+    unrolled = pipes.unroll(docs, "words", "word")
+    counted = pipes.stats(
+        unrolled.select("doc_id", "word"),
+        by=["word"],
+        aggs={"docs": F.count("*").cast("double")},
+    )
+    return pipes.sort(counted, [("docs", True), ("word", False)], limit=10)
+
+
+_reg(
+    "rel_unpack_words",
+    _op(_rel_unpack_words),
+    """
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(text, '[^a-zA-Z0-9_]+'), x -> x != '')))
+           AS word
+    FROM documents
+)
+SELECT word, CAST(count(*) AS DOUBLE) AS docs
+FROM w GROUP BY 1 ORDER BY docs DESC, word ASC LIMIT 10""",
+)
+
+
+def _rel_time_filters(spark, sf_dir, load):
+    """time_add + day_range + week_range filters (pipe_time_add.go,
+    filter_day_range.go, filter_week_range.go): shift event times by
+    +90 minutes, keep weekday business hours."""
+    from victoriametrics_spark.logsql import pipes
+
+    ev = pipes.time_add(load(spark, sf_dir, "events"), "ts", 90 * 60000)
+    kept = ev.filter(
+        pipes.week_range_filter(F.col("ts"), 1, 5)
+        & pipes.day_range_filter(F.col("ts"), 9 * 3600000, 17 * 3600000 - 1)
+    )
+    return pipes.stats(
+        kept, by=["event_type"], aggs={"n": F.count("*").cast("double")}
+    )
+
+
+_reg(
+    "rel_time_filters",
+    _op(_rel_time_filters),
+    """
+WITH shifted AS (
+    SELECT event_type, ts + INTERVAL 90 MINUTE AS ts FROM events
+)
+SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+FROM shifted
+WHERE dayofweek(ts) BETWEEN 1 AND 5
+  AND (epoch_ms(ts) % 86400000) BETWEEN 9 * 3600000 AND 17 * 3600000 - 1
+GROUP BY 1""",
+)
+
+
+def _rel_histogram(spark, sf_dir, load):
+    """stats histogram(f) (stats_histogram.go over
+    VictoriaMetrics/metrics vmrange buckets: 18 log-spaced buckets per
+    decade, 1e-9..1e18)."""
+    from victoriametrics_spark.logsql import pipes
+
+    li = load(spark, sf_dir, "lineitem")
+    bucketed = li.withColumn(
+        "vmrange", pipes.vmrange_bucket(F.col("l_extendedprice"))
+    )
+    return pipes.stats(
+        bucketed.filter(F.col("vmrange").isNotNull()),
+        by=["l_returnflag", "vmrange"],
+        aggs={"hits": F.count("*").cast("double")},
+    )
+
+
+def _vmrange_values_sql() -> str:
+    from victoriametrics_spark.logsql.pipes import (
+        VMRANGE_LOWER,
+        VMRANGE_UPPER,
+        VMRANGES,
+    )
+
+    rows = [(-1, VMRANGE_LOWER)] + list(enumerate(VMRANGES)) + [
+        (len(VMRANGES), VMRANGE_UPPER)
+    ]
+    return ", ".join(f"({i}, '{s}')" for i, s in rows)
+
+
+_reg(
+    "rel_histogram",
+    _op(_rel_histogram),
+    f"""
+WITH ranges(idx, vmrange) AS (VALUES {_vmrange_values_sql()}),
+classified AS (
+    SELECT l_returnflag,
+           CASE
+             WHEN l_extendedprice < 0 OR isnan(l_extendedprice) THEN NULL
+             WHEN (log10(l_extendedprice) + 9) * 18 < 0 THEN -1
+             WHEN (log10(l_extendedprice) + 9) * 18 >= 486 THEN 486
+             WHEN floor((log10(l_extendedprice) + 9) * 18)
+                      = (log10(l_extendedprice) + 9) * 18
+                  AND floor((log10(l_extendedprice) + 9) * 18) > 0
+                 THEN CAST(floor((log10(l_extendedprice) + 9) * 18) AS INT) - 1
+             ELSE CAST(floor((log10(l_extendedprice) + 9) * 18) AS INT)
+           END AS idx
+    FROM lineitem
+)
+SELECT c.l_returnflag, r.vmrange, CAST(count(*) AS DOUBLE) AS hits
+FROM classified c JOIN ranges r ON c.idx = r.idx
+GROUP BY 1, 2""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates. Order the registry
 # riskiest-first: gates with no driver verdict yet (histogram family,
@@ -1799,13 +2083,19 @@ GROUP BY 1""",
 # this round are appended to section (a).
 _DRIVER_PRIORITY = [
     # (a) changed this round — first driver verdict for the md5 oracles
+    # and the round-6 pipe tranche
     "op_emb_lsh_knn",
     "op_doc_simhash_pairs",
+    "rel_replace_regexp",
+    "rel_unpack_syslog",
+    "rel_coalesce_json",
+    "rel_field_names",
+    "rel_stats_rate",
+    "rel_unpack_words",
+    "rel_time_filters",
+    "rel_histogram",
     # (b) stale verdicts (last checked r2/r3) — rollup long tail
     "mq_avg_over_time",
-    "mq_min_over_time",
-    "mq_max_over_time",
-    "mq_count_over_time",
     "mq_distinct_over_time",
     "mq_sum2_over_time",
     "mq_stddev_over_time",
@@ -1846,7 +2136,12 @@ _DRIVER_PRIORITY = [
     "mq_quantile_sumot_by",
     "mq_median_cntot_by",
     "mq_avg_rate_by",
-    # (c) canaries (green r5, representative code paths)
+    # (c) positions 51+ — outside this round's window, front of r7's:
+    # three *_over_time gates sharing the thrice-verified grid/rollup
+    # path with mq_avg/sum_over_time above, then r5-green canaries
+    "mq_min_over_time",
+    "mq_max_over_time",
+    "mq_count_over_time",
     "mq_rate_bucketed",
     "mq_rate_fine_step",
     "mq_topk_max",

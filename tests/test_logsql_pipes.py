@@ -204,3 +204,172 @@ def test_filters(spark, logs):
         ipv4_range_filter(F.col("ip"), "10.0.0.0", "10.0.255.255")
     ).count()
     assert got == 2
+
+
+# ------------------------------------------------------------------ round 6
+
+
+def test_filter_and_replace_regexp(spark):
+    df = spark.createDataFrame(
+        [("a=1 a=2 a=3", 1), ("b=9", 2)], ["msg", "id"]
+    )
+    out = pipes.filter_pipe(df, F.col("id") == 1)
+    assert out.count() == 1
+    rr = pipes.replace_regexp_pipe(out, "msg", r"a=\d", "a=X").collect()[0]
+    assert rr["msg"] == "a=X a=X a=X"
+    lim = pipes.replace_regexp_pipe(df, "msg", r"a=\d", "a=X", limit=2)
+    assert lim.filter(F.col("id") == 1).collect()[0]["msg"] == "a=X a=X a=3"
+
+
+def test_unpack_syslog(spark):
+    df = spark.createDataFrame(
+        [
+            ("<165>1 2024-01-01T12:00:00Z host1 app1 1234 ID47 - boom",),
+            ("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",),
+            ("not syslog at all",),
+        ],
+        ["msg"],
+    )
+    rows = pipes.unpack_syslog(df, "msg").collect()
+    r5424, r3164, bad = rows
+    assert (r5424["priority"], r5424["facility"], r5424["severity"]) == (165, 20, 5)
+    assert r5424["hostname"] == "host1" and r5424["app_name"] == "app1"
+    assert r5424["message"] == "boom"
+    assert (r3164["priority"], r3164["hostname"], r3164["app_name"]) == (
+        34, "mymachine", "su",
+    )
+    assert r3164["proc_id"] == "230" and r3164["message"] == "'su root' failed"
+    assert bad["priority"] is None
+
+
+def test_unpack_words_and_pack_logfmt(spark):
+    df = spark.createDataFrame([("foo bar, foo-baz bar",)], ["msg"])
+    out = pipes.unpack_words(df, "msg", "words").collect()[0]
+    assert out["words"] == ["foo", "bar", "foo", "baz", "bar"]
+    dd = pipes.unpack_words(df, "msg", "words", drop_duplicates=True).collect()[0]
+    assert dd["words"] == ["foo", "bar", "baz"]
+
+    df2 = spark.createDataFrame(
+        [("v1", 'say "hi"', None)], "a string, b string, c string"
+    )
+    lf = pipes.pack_logfmt(df2, ["a", "b", "c"]).collect()[0]
+    assert lf["logfmt"] == 'a=v1 b="say \\"hi\\"" c=""'
+
+
+def test_union_coalesce_dropempty(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b"])
+    u = pipes.union_pipe(a, b)
+    assert u.count() == 2 and set(u.columns) == {"id", "a", "b"}
+
+    df = spark.createDataFrame(
+        [("", "fb", "d"), ("top", "", ""), ("", "", "")], ["f1", "f2", "f3"]
+    )
+    co = pipes.coalesce_pipe(df, ["f1", "f2"], "out", default="dflt")
+    assert [r["out"] for r in co.collect()] == ["fb", "top", "dflt"]
+
+    de = pipes.drop_empty_fields(
+        spark.createDataFrame([("", "k"), ("", "")], ["dead", "alive"])
+    )
+    assert de.columns == ["alive"]
+    assert [r["alive"] for r in de.collect()] == ["k", None]
+
+
+def test_field_names_values_timeadd(spark):
+    df = spark.createDataFrame(
+        [("a", "", "2024-01-01 00:00:00"), ("b", "z", "2024-01-02 00:00:00")],
+        ["x", "y", "t"],
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    fn = {r["name"]: r["hits"] for r in pipes.field_names(df).collect()}
+    assert fn == {"x": 2, "y": 1, "t": 2}
+    fv = {r["value"]: r["hits"] for r in pipes.field_values(df, "x").collect()}
+    assert fv == {"a": 1, "b": 1}
+    ta = pipes.time_add(df, "t", 3600_000).collect()[0]
+    assert str(ta["t"]) == "2024-01-01 01:00:00"
+
+
+def test_collapse_json_seq(spark):
+    df = spark.createDataFrame(
+        [("req 0xdeadBEEF took 150ms id=42", '["a","b"]', '["c"]')],
+        ["msg", "j1", "j2"],
+    )
+    c = pipes.collapse_nums(df, "msg").collect()[0]
+    assert c["msg"] == "req <N> took <N>ms id=<N>"
+    jl = pipes.json_array_len(df, "j1", "n").collect()[0]
+    assert jl["n"] == 2
+    jc = pipes.json_array_concat(df, ["j1", "j2"], "j").collect()[0]
+    assert jc["j"] == '["a","b","c"]'
+    seq = pipes.generate_sequence(spark, 5)
+    assert [r["seq"] for r in seq.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_stats_rate_and_json_values(spark):
+    df = spark.createDataFrame([("g", 1.0), ("g", 3.0)], ["k", "v"])
+    out = pipes.stats(
+        df,
+        by=["k"],
+        aggs={
+            "r": pipes.rate_stats(10.0)(F.col("v")),
+            "rs": pipes.rate_sum_stats(2.0)(F.col("v")),
+        },
+    ).collect()[0]
+    assert out["r"] == 0.2 and out["rs"] == 2.0
+    jv = pipes.stats(
+        df, by=["k"], aggs={"j": pipes.json_values("v", sort_by="v", limit=1)}
+    ).collect()[0]
+    assert jv["j"] == '[{"v":1.0}]'
+
+
+def test_histogram_vmranges(spark):
+    # Go-identical bucket strings: spot-check the known first range
+    assert pipes.VMRANGE_LOWER == "0...1.000e-09"
+    assert pipes.VMRANGES[0] == "1.000e-09...1.136e-09"
+    df = spark.createDataFrame(
+        [("g", v) for v in [0.5, 0.75, 1e-12, 1e20, -3.0, float("nan")]],
+        ["k", "v"],
+    )
+    out = pipes.histogram_stats(df, ["k"], "v", "h").collect()[0]["h"]
+    import json
+
+    ents = json.loads(out)
+    # negative + NaN ignored; 1e-12 → lower; 1e20 → upper; 0.5/0.75 in range
+    assert ents[0] == {"vmrange": "0...1.000e-09", "hits": 1}
+    assert ents[-1] == {"vmrange": "1.000e+18...+Inf", "hits": 1}
+    assert sum(e["hits"] for e in ents) == 4
+    # the exact-power-of-10 edge case: 1.0 goes to the bucket ENDING at 1
+    one = pipes.histogram_stats(
+        spark.createDataFrame([("g", 1.0)], ["k", "v"]), ["k"], "v", "h"
+    ).collect()[0]["h"]
+    assert json.loads(one)[0]["vmrange"].endswith("...1.000e+00")
+
+
+def test_filter_tranche(spark):
+    df = spark.createDataFrame(
+        [
+            ("ERROR Failed", "ERROR Failed", "10", "0", "1.5",
+             "2024-01-01T06:30:00Z", "192.168.1.5"),
+            ("warn ok", "other", "-3", "9", "x",
+             "2024-01-06T23:00:00Z", "no-ip"),
+        ],
+        ["msg", "msg2", "num", "num2", "fl", "ts", "ip"],
+    ).withColumn("t", F.to_timestamp(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ssX"))
+    f = lambda c: [r["msg"] for r in df.filter(c).collect()]
+    assert f(pipes.any_case_phrase_filter(F.col("msg"), "error")) == ["ERROR Failed"]
+    assert f(pipes.any_case_prefix_filter(F.col("msg"), "ERR")) == ["ERROR Failed"]
+    assert f(pipes.exact_prefix_filter(F.col("msg"), "ERROR")) == ["ERROR Failed"]
+    assert f(pipes.substring_filter(F.col("msg"), "ail")) == ["ERROR Failed"]
+    assert f(pipes.contains_all_filter(F.col("msg"), ["ERROR", "Fail"])) == ["ERROR Failed"]
+    assert len(f(pipes.contains_any_filter(F.col("msg"), ["ERROR", "ok"]))) == 2
+    assert f(pipes.eq_field_filter(F.col("msg"), F.col("msg2"))) == ["ERROR Failed"]
+    assert f(pipes.le_field_filter(F.col("num"), F.col("num2"))) == ["warn ok"]
+    assert f(pipes.len_range_filter(F.col("msg"), 1, 8)) == ["warn ok"]
+    assert f(pipes.string_range_filter(F.col("msg"), "A", "F")) == ["ERROR Failed"]
+    assert f(pipes.value_type_filter(F.col("num"), "uint")) == ["ERROR Failed"]
+    assert f(pipes.value_type_filter(F.col("num"), "int")) == ["warn ok"]
+    assert f(pipes.value_type_filter(F.col("fl"), "float")) == ["ERROR Failed"]
+    assert f(pipes.value_type_filter(F.col("ip"), "ipv4")) == ["ERROR Failed"]
+    assert f(pipes.pattern_match_filter(F.col("msg"), "ERR*Fail*")) == ["ERROR Failed"]
+    # 2024-01-01 is a Monday (dow=1); 2024-01-06 a Saturday (dow=6)
+    assert f(pipes.week_range_filter(F.col("t"), 1, 5)) == ["ERROR Failed"]
+    # time-of-day 06:30 = 23400000ms
+    assert f(pipes.day_range_filter(F.col("t"), 6 * 3600000, 7 * 3600000)) == ["ERROR Failed"]

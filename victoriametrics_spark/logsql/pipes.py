@@ -450,3 +450,511 @@ def ipv4_range_filter(col: Column, lo: str, hi: str) -> Column:
     )
     valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     return valid & num.between(ip_num(lo), ip_num(hi))
+
+
+# ------------------------------------------------------------------ round 6:
+# pipe tranche (pipe_filter/replace_regexp/unpack_syslog/unpack_words/
+# pack_logfmt/union/coalesce/drop_empty_fields/field_names/field_values/
+# time_add/collapse_nums/json_array_*/generate_sequence) + stats
+# rate/rate_sum/histogram/json_values + the filter long tail.
+
+
+def filter_pipe(df: DataFrame, cond: Column) -> DataFrame:
+    """``| filter <cond>`` (pipe_filter.go) — any filter mid-pipe. Pure
+    pass-through to Catalyst so the predicate can still be pushed below
+    earlier narrow pipes."""
+    return df.filter(cond)
+
+
+def replace_regexp_pipe(
+    df: DataFrame, src: str, pattern: str, repl: str, limit: int = 0
+) -> DataFrame:
+    """``| replace_regexp ("re", "repl") [limit N]``
+    (pipe_replace_regexp.go). limit=0 replaces every match JVM-side;
+    limit>0 (replace only the first N matches) has no Catalyst builtin,
+    so it runs as an Arrow-batched pandas UDF of re.sub(count=N) —
+    the documented slow path, still vectorized per batch."""
+    if limit <= 0:
+        return df.withColumn(src, F.regexp_replace(F.col(src), pattern, repl))
+
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rx = _re.compile(pattern)
+    # Go's regexp replacement uses $1; Python's re.sub uses \1
+    py_repl = _re.sub(r"\$(\d+)", r"\\\1", repl)
+
+    def _sub(s):
+        return s.map(
+            lambda v: rx.sub(py_repl, v, count=limit) if v is not None else None
+        )
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # above would otherwise stringify the hints pandas_udf dispatches on
+    _sub.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(src, pandas_udf(_sub, "string")(F.col(src)))
+
+
+_SYSLOG_RFC5424 = (
+    r"^<(\d+)>(\d+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+"
+    r"(?:(-|\[.*?\])\s+)?(.*)$"
+)
+_SYSLOG_RFC3164 = (
+    r"^<(\d+)>([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s+(\S+)\s+"
+    r"([^:\s\[]+)(?:\[(\d+)\])?:\s*(.*)$"
+)
+
+
+def unpack_syslog(df: DataFrame, src: str, prefix: str = "") -> DataFrame:
+    """``| unpack_syslog`` (pipe_unpack_syslog.go): parse RFC5424
+    (``<pri>ver ts host app proc msgid [sd] msg``) with RFC3164
+    (``<pri>MMM dd hh:mm:ss host tag[pid]: msg``) fallback into typed
+    fields; priority decomposes into facility = pri >> 3 and
+    severity = pri & 7. One regexp_extract per output field — all
+    JVM-side, one pass over the column."""
+    c = F.col(src)
+    is5424 = c.rlike(_SYSLOG_RFC5424)
+    is3164 = ~is5424 & c.rlike(_SYSLOG_RFC3164)
+
+    def g5424(i: int) -> Column:
+        return F.regexp_extract(c, _SYSLOG_RFC5424, i)
+
+    def g3164(i: int) -> Column:
+        return F.regexp_extract(c, _SYSLOG_RFC3164, i)
+
+    pri = (
+        F.when(is5424, g5424(1)).when(is3164, g3164(1)).otherwise(F.lit(None))
+    ).cast("int")
+    out = (
+        df.withColumn(prefix + "priority", pri)
+        .withColumn(prefix + "facility", F.shiftright(pri, 3))
+        .withColumn(prefix + "severity", pri.bitwiseAND(F.lit(7)))
+        .withColumn(
+            prefix + "timestamp",
+            F.when(is5424, g5424(3)).when(is3164, g3164(2)),
+        )
+        .withColumn(
+            prefix + "hostname",
+            F.when(is5424, g5424(4)).when(is3164, g3164(3)),
+        )
+        .withColumn(
+            prefix + "app_name",
+            F.when(is5424, g5424(5)).when(is3164, g3164(4)),
+        )
+        .withColumn(
+            prefix + "proc_id",
+            F.when(is5424, g5424(6)).when(is3164, g3164(5)),
+        )
+        .withColumn(prefix + "msg_id", F.when(is5424, g5424(7)))
+        .withColumn(
+            prefix + "message",
+            F.when(is5424, g5424(9)).when(is3164, g3164(6)),
+        )
+    )
+    return out
+
+
+def unpack_words(
+    df: DataFrame, src: str, dst: str | None = None, drop_duplicates: bool = False
+) -> DataFrame:
+    """``| unpack_words`` (pipe_unpack_words.go): tokenize the field into
+    an array of word tokens ([A-Za-z0-9_]+ runs, the VictoriaLogs
+    tokenizer alphabet); ``drop_duplicates`` keeps the first occurrence
+    of each token (array_distinct preserves first-seen order)."""
+    words = F.filter(
+        F.split(F.col(src), r"[^a-zA-Z0-9_]+"), lambda w: w != ""
+    )
+    if drop_duplicates:
+        words = F.array_distinct(words)
+    return df.withColumn(dst or src, words)
+
+
+def _logfmt_value(c: Column) -> Column:
+    needs_quote = c.rlike('[ ="]') | (c == "")
+    escaped = F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
+    )
+    return F.when(
+        needs_quote, F.concat(F.lit('"'), escaped, F.lit('"'))
+    ).otherwise(c)
+
+
+def pack_logfmt(df: DataFrame, fields: list[str], dst: str = "logfmt") -> DataFrame:
+    """``| pack_logfmt [fields] as dst`` (pipe_pack_logfmt.go):
+    space-separated k=v pairs, values quoted/escaped when they contain
+    spaces, quotes or '='."""
+    pairs = [
+        F.concat(
+            F.lit(f + "="),
+            _logfmt_value(F.coalesce(F.col(f).cast("string"), F.lit(""))),
+        )
+        for f in fields
+    ]
+    return df.withColumn(dst, F.concat_ws(" ", *pairs))
+
+
+def union_pipe(df: DataFrame, other: DataFrame) -> DataFrame:
+    """``| union (<query>)`` (pipe_union.go) — rows of the other query
+    appended; mismatched columns become nulls (by-name resolution)."""
+    return df.unionByName(other, allowMissingColumns=True)
+
+
+def coalesce_pipe(
+    df: DataFrame, srcs: list[str], dst: str, default: str | None = None
+) -> DataFrame:
+    """``| coalesce(f1, f2, ...) [default d] as dst`` (pipe_coalesce.go):
+    first non-empty value among srcs; empty string counts as missing,
+    mirroring the log-row field model."""
+    cands = [
+        F.when(
+            F.col(s).isNotNull() & (F.col(s).cast("string") != ""), F.col(s)
+        )
+        for s in srcs
+    ]
+    if default is not None:
+        cands.append(F.lit(default))
+    return df.withColumn(dst, F.coalesce(*cands))
+
+
+def drop_empty_fields(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """``| drop_empty_fields`` (pipe_drop_empty_fields.go). In the log
+    row model an empty value IS an absent field; the DataFrame analog
+    nulls out empty strings (so downstream field-presence logic sees
+    them as missing) and drops listed columns that are empty on EVERY
+    row. The all-empty probe is one partial-aggregated count job —
+    metadata-sized output regardless of input size."""
+    targets = fields or [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    out = df
+    for f_name in targets:
+        out = out.withColumn(
+            f_name,
+            F.when(F.col(f_name).cast("string") != "", F.col(f_name)),
+        )
+    counts = out.agg(
+        *[F.count(F.col(f)).alias(f) for f in targets]
+    ).first()
+    dead = [f for f in targets if counts[f] == 0]
+    return out.drop(*dead)
+
+
+def field_names(df: DataFrame) -> DataFrame:
+    """``| field_names`` (pipe_field_names.go): one row per field with
+    the count of rows where it is non-empty. Single partial-aggregated
+    pass; the pivot to rows happens on the 1-row aggregate via stack —
+    no per-row Python, no second scan."""
+    cols = df.columns
+    agg = df.agg(
+        *[
+            F.count(
+                F.when(F.col(c).cast("string") != "", F.lit(1))
+            ).alias(c)
+            for c in cols
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (name, hits)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', `{c}`" for c in cols),
+    )
+    return agg.selectExpr(stack_expr)
+
+
+def field_values(df: DataFrame, field: str, limit: int = 0) -> DataFrame:
+    """``| field_values f`` (pipe_field_values.go): distinct values of
+    the field with per-value hit counts."""
+    out = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    if limit > 0:
+        out = out.orderBy(F.col("hits").desc(), F.col("value").asc()).limit(limit)
+    return out
+
+
+def time_add(df: DataFrame, field: str, offset_ms: int) -> DataFrame:
+    """``| time_add <offset>`` (pipe_time_add.go): shift a timestamp
+    field by a fixed duration (offset may be negative)."""
+    src = F.col(field).cast("timestamp")  # tolerate TIMESTAMP_NTZ inputs
+    return df.withColumn(
+        field,
+        F.timestamp_millis(F.unix_millis(src) + F.lit(int(offset_ms))),
+    )
+
+
+def collapse_nums(df: DataFrame, src: str, dst: str | None = None) -> DataFrame:
+    """``| collapse_nums`` (pipe_collapse_nums.go): replace decimal and
+    hex number runs with ``<N>`` so log lines with varying ids collapse
+    to one pattern."""
+    c = F.regexp_replace(F.col(src), r"0x[0-9a-fA-F]+", "<N>")
+    c = F.regexp_replace(c, r"\d+", "<N>")
+    return df.withColumn(dst or src, c)
+
+
+def json_array_len(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """``| json_array_len(field) as dst`` (pipe_json_array_len.go)."""
+    return df.withColumn(dst, F.json_array_length(F.col(src)).cast("long"))
+
+
+def json_array_concat(df: DataFrame, srcs: list[str], dst: str) -> DataFrame:
+    """``| json_array_concat`` (pipe_json_array_concat.go): concatenate
+    JSON array fields into one JSON array."""
+    arrs = [
+        F.coalesce(
+            F.from_json(F.col(s), "array<string>"), F.array()
+        )
+        for s in srcs
+    ]
+    return df.withColumn(dst, F.to_json(F.concat(*arrs)))
+
+
+def generate_sequence(spark, n: int) -> DataFrame:
+    """``| generate_sequence N`` (pipe_generate_sequence.go): rows
+    0..N-1 — spark.range IS the distributed generator."""
+    return spark.range(n).select(F.col("id").cast("long").alias("seq"))
+
+
+# stats funcs (stats_rate.go, stats_rate_sum.go, stats_json_values.go)
+def rate_stats(step_seconds: float) -> Callable[[Column], Column]:
+    """``rate()`` (stats_rate.go): matching-row count divided by the
+    query step in seconds."""
+    return lambda c: (F.count(c) / F.lit(float(step_seconds)))
+
+
+def rate_sum_stats(step_seconds: float) -> Callable[[Column], Column]:
+    """``rate_sum(f)`` (stats_rate_sum.go): sum(f) / step_seconds."""
+    return lambda c: (F.sum(c) / F.lit(float(step_seconds)))
+
+
+def json_values(*fields: str, sort_by: str | None = None, limit: int = 0) -> Column:
+    """``json_values(f1, f2)`` (stats_json_values.go): every selected
+    row marshalled as a JSON object, collected into one JSON array
+    (optionally sorted by a field and limited)."""
+    st = F.struct(*[F.col(f) for f in fields])
+    arr = F.collect_list(st)
+    if sort_by is not None:
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col(sort_by).alias("__k"), st.alias("__v")))
+        )
+        arr = F.transform(arr, lambda x: x["__v"])
+    if limit > 0:
+        arr = F.slice(arr, 1, limit)
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(arr, lambda x: F.to_json(x)), ","),
+        F.lit("]"),
+    )
+
+
+# VictoriaMetrics/metrics histogram.go vmrange buckets: 18 per decade,
+# 10^-9..10^18, bucket strings produced by the same cumulative
+# v *= 10^(1/18) float iteration (IEEE-identical in Python and Go).
+_H_E10MIN, _H_E10MAX, _H_PER_DEC = -9, 18, 18
+_H_BUCKETS = (_H_E10MAX - _H_E10MIN) * _H_PER_DEC
+
+
+def _vmrange_strings() -> list[str]:
+    out = []
+    v = 10.0 ** _H_E10MIN
+    start = f"{v:.3e}"
+    mult = 10.0 ** (1.0 / _H_PER_DEC)
+    for _ in range(_H_BUCKETS):
+        v *= mult
+        end = f"{v:.3e}"
+        out.append(start + "..." + end)
+        start = end
+    return out
+
+
+VMRANGES = _vmrange_strings()
+VMRANGE_LOWER = f"0...{10.0 ** _H_E10MIN:.3e}"
+VMRANGE_UPPER = f"{10.0 ** _H_E10MAX:.3e}...+Inf"
+
+
+def vmrange_bucket(c: Column) -> Column:
+    """The vmrange label a value falls into (metrics/histogram.go
+    Update(): NaN and negatives ignored → null; 10^n edge values go to
+    the lower bucket, Prometheus-`le` style)."""
+    v = c.cast("double")
+    idx_f = (F.log10(v) - F.lit(float(_H_E10MIN))) * F.lit(float(_H_PER_DEC))
+    idx = F.floor(idx_f).cast("long")
+    # exact power-of-10 edge → previous bucket
+    idx = F.when((idx_f == idx.cast("double")) & (idx > 0), idx - 1).otherwise(idx)
+    ranges = F.array(*[F.lit(s) for s in VMRANGES])
+    return (
+        F.when(v.isNull() | F.isnan(v) | (v < 0), F.lit(None))
+        .when(idx_f < 0, F.lit(VMRANGE_LOWER))
+        .when(idx_f >= _H_BUCKETS, F.lit(VMRANGE_UPPER))
+        .otherwise(F.element_at(ranges, (idx + 1).cast("int")))
+    )
+
+
+def histogram_stats(
+    df: DataFrame, by: list[str], field: str, alias: str = "histogram"
+) -> DataFrame:
+    """``histogram(f)`` (stats_histogram.go): vmrange bucket counts as a
+    JSON array of {"vmrange","hits"}, buckets in ascending-range order.
+    Two-level aggregation — bucket counts shuffle on (by, vmrange) with
+    map-side partials, then one small struct-collect per group — never a
+    per-group value list."""
+    bucketed = df.withColumn("__vmrange", vmrange_bucket(F.col(field)))
+    counts = (
+        bucketed.filter(F.col("__vmrange").isNotNull())
+        .groupBy(*by, "__vmrange")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    order = {VMRANGE_LOWER: -1, VMRANGE_UPPER: _H_BUCKETS}
+    order.update({s: i for i, s in enumerate(VMRANGES)})
+    order_arr = F.array(*[F.lit(s) for s in [VMRANGE_LOWER, *VMRANGES, VMRANGE_UPPER]])
+    idx = F.array_position(order_arr, F.col("__vmrange"))
+    ent = F.struct(
+        idx.alias("__i"),
+        F.to_json(
+            F.struct(
+                F.col("__vmrange").alias("vmrange"), F.col("__hits").alias("hits")
+            )
+        ).alias("__j"),
+    )
+    grouped = counts.groupBy(*by).agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(ent)), lambda x: x["__j"]),
+                ",",
+            ),
+            F.lit("]"),
+        ).alias(alias)
+    )
+    return grouped
+
+
+# -------------------------------------------------------- filter tranche
+def any_case_phrase_filter(col: Column, phrase: str) -> Column:
+    """``i("phrase")`` (filter_any_case_phrase.go)."""
+    return F.lower(col).contains(phrase.lower())
+
+
+def any_case_prefix_filter(col: Column, prefix: str) -> Column:
+    """``i("prefix*")`` (filter_any_case_prefix.go)."""
+    return F.lower(col).startswith(prefix.lower())
+
+
+def exact_prefix_filter(col: Column, prefix: str) -> Column:
+    """``exact("p"*)`` (filter_exact_prefix.go)."""
+    return col.startswith(prefix)
+
+
+def substring_filter(col: Column, s: str) -> Column:
+    """``contains("s")`` (filter_substring.go)."""
+    return col.contains(s)
+
+
+def contains_all_filter(col: Column, phrases: list[str]) -> Column:
+    """``contains_all(p1, p2)`` (filter_contains_all.go)."""
+    out = F.lit(True)
+    for p in phrases:
+        out = out & col.contains(p)
+    return out
+
+
+def contains_any_filter(col: Column, phrases: list[str]) -> Column:
+    """``contains_any(p1, p2)`` (filter_contains_any.go)."""
+    out = F.lit(False)
+    for p in phrases:
+        out = out | col.contains(p)
+    return out
+
+
+def eq_field_filter(col: Column, other: Column) -> Column:
+    """``eq_field(other)`` (filter_eq_field.go)."""
+    return col == other
+
+
+def le_field_filter(col: Column, other: Column) -> Column:
+    """``le_field(other)`` (filter_le_field.go)."""
+    return col <= other
+
+
+def len_range_filter(col: Column, lo: int, hi: int) -> Column:
+    """``len_range(lo, hi)`` (filter_len_range.go) — inclusive value
+    byte-length range."""
+    return F.octet_length(col.cast("string")).between(lo, hi)
+
+
+def string_range_filter(col: Column, lo: str, hi: str) -> Column:
+    """``string_range(lo, hi)`` (filter_string_range.go): lo <= v < hi
+    lexicographically."""
+    return (col >= F.lit(lo)) & (col < F.lit(hi))
+
+
+def day_range_filter(
+    ts: Column,
+    start_ms: int,
+    end_ms: int,
+    offset_ms: int = 0,
+    include_start: bool = True,
+    include_end: bool = True,
+) -> Column:
+    """``_time:day_range[start, end] offset d`` (filter_day_range.go):
+    the time-of-day of (ts - offset), in ms since midnight UTC, within
+    [start, end] (bracket type controls inclusivity)."""
+    tod = F.pmod(
+        F.unix_millis(ts.cast("timestamp")) - F.lit(int(offset_ms)),
+        F.lit(86400000),
+    )
+    lo = tod >= start_ms if include_start else tod > start_ms
+    hi = tod <= end_ms if include_end else tod < end_ms
+    return lo & hi
+
+
+def week_range_filter(
+    ts: Column,
+    start_day: int,
+    end_day: int,
+    offset_ms: int = 0,
+    include_start: bool = True,
+    include_end: bool = True,
+) -> Column:
+    """``_time:week_range[Mon, Fri]`` (filter_week_range.go): day of
+    week of (ts - offset); days numbered Sunday=0..Saturday=6 as in
+    time.Weekday."""
+    shifted = F.timestamp_millis(
+        F.unix_millis(ts.cast("timestamp")) - F.lit(int(offset_ms))
+    )
+    dow = F.dayofweek(shifted) - 1  # Spark: Sunday=1 → Go: Sunday=0
+    lo = dow >= start_day if include_start else dow > start_day
+    hi = dow <= end_day if include_end else dow < end_day
+    return lo & hi
+
+
+def value_type_filter(col: Column, type_name: str) -> Column:
+    """``value_type(t)`` (filter_value_type.go). The reference matches
+    the storage encoding of each block; the Spark analog classifies the
+    VALUE's inferred type — uint, int, float, ipv4, iso8601, or string —
+    which is the user-visible semantic of the filter."""
+    s = col.cast("string")
+    is_uint = s.rlike(r"^\d+$")
+    is_int = s.rlike(r"^-\d+$")
+    is_float = s.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$")
+    is_ipv4 = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    is_iso = s.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
+    inferred = (
+        F.when(s.isNull(), F.lit(None))
+        .when(is_ipv4, F.lit("ipv4"))
+        .when(is_uint, F.lit("uint"))
+        .when(is_int, F.lit("int"))
+        .when(is_float, F.lit("float"))
+        .when(is_iso, F.lit("iso8601"))
+        .otherwise(F.lit("string"))
+    )
+    return inferred == F.lit(type_name)
+
+
+def pattern_match_filter(col: Column, pattern: str) -> Column:
+    """``~"glob*pattern"`` (filter_pattern_match.go): glob with ``*``
+    wildcards over the whole value."""
+    import re as _re
+
+    regex = "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+    return col.rlike(regex)
