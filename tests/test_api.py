@@ -111,3 +111,13 @@ def test_http_server_round_trip(api):
         assert "__name__" in labs["data"]
     finally:
         srv.shutdown()
+
+
+def test_export_jsonl_plan_is_jvm_side(api):
+    """The export line must be fully built by a Spark aggregate (one
+    output row per series) — no per-sample driver collect."""
+    df = api.export_jsonl_df(["temp"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "StructsToJson" in plan and "Aggregate" in plan
+    rows = df.collect()
+    assert len(rows) == 1  # presentation-sized: one row per series

@@ -513,3 +513,80 @@ def test_samples_to_csv(spark):
 
 
 import json  # noqa: E402
+
+
+# ------------------------------------------------- remote-write protobuf
+def test_snappy_round_trip_and_copies():
+    from victoriametrics_spark.streaming.remotewrite import (
+        snappy_compress,
+        snappy_uncompress,
+    )
+
+    for payload in [b"", b"x", b"hello world" * 100, bytes(range(256)) * 300]:
+        assert snappy_uncompress(snappy_compress(payload)) == payload
+    # hand-built streams exercising every copy flavor (the literal-only
+    # compressor never emits them). copy1 tag = off_hi<<5 | (len-4)<<2 | 1;
+    # copy2 tag = (len-1)<<2 | 2; literal tag = (len-1)<<2.
+    # "abcdabcdabcd": literal "abcd" + copy(len 8, off 4)
+    stream = bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([(8 - 4) << 2 | 1, 4])
+    assert snappy_uncompress(stream) == b"abcdabcdabcd"
+    # overlapping RLE copy: "aaaaaaaa" = literal 'a' + copy(len 7, off 1)
+    rle = bytes([8, 0]) + b"a" + bytes([(7 - 4) << 2 | 1, 1])
+    assert snappy_uncompress(rle) == b"aaaaaaaa"
+    # 2-byte-offset copy: literal "abcd" + copy(len 4, off 4)
+    s2 = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([(4 - 1) << 2 | 2, 4, 0])
+    assert snappy_uncompress(s2) == b"abcdabcd"
+
+
+def test_write_request_codec_round_trip():
+    from victoriametrics_spark.streaming.remotewrite import (
+        decode_write_request,
+        encode_write_request,
+    )
+
+    series = [
+        (
+            {"__name__": "http_requests_total", "job": "api", "code": "200"},
+            [(1704067200000, 1.0), (1704067215000, 4.5)],
+        ),
+        ({"__name__": "temp", "room": "x"}, [(1704067200000, -2.25)]),
+    ]
+    blob = encode_write_request(series)
+    got = list(decode_write_request(blob))
+    assert got == [
+        ("http_requests_total", {"job": "api", "code": "200"}, 1704067200000, 1.0),
+        ("http_requests_total", {"job": "api", "code": "200"}, 1704067215000, 4.5),
+        ("temp", {"room": "x"}, 1704067200000, -2.25),
+    ]
+
+
+def test_remote_write_equals_text_ingest(spark):
+    """lib/protoparser/promremotewrite parity: the same samples ingested
+    via protobuf wire format and via text exposition must be
+    indistinguishable downstream (rate() over both matches)."""
+    from victoriametrics_spark import EvalConfig, evaluate
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+        remote_write_to_samples,
+    )
+
+    t0 = 1704067200000
+    pts = [(t0 + i * 15000, float(i * 3)) for i in range(40)]
+    series = [({"__name__": "rw_metric", "job": "j"}, pts)]
+    blob = encode_write_request(series)
+    payloads = spark.createDataFrame([(blob,)], "payload binary")
+    via_pb = remote_write_to_samples(payloads)
+
+    text_lines = [f'rw_metric{{job="j"}} {v} {ts}' for ts, v in pts]
+    from victoriametrics_spark.streaming.parsers import parse_prometheus_text
+
+    via_text = parse_prometheus_text(
+        spark.createDataFrame([(l,) for l in text_lines], "value string"), t0
+    )
+
+    cfg = EvalConfig(start=t0, end=t0 + 39 * 15000, step=60000)
+    r_pb = evaluate(spark, "rate(rw_metric[2m])", via_pb, cfg).collect()
+    r_text = evaluate(spark, "rate(rw_metric[2m])", via_text, cfg).collect()
+    key = lambda r: (r["ts"],)
+    assert sorted(r_pb, key=key) == sorted(r_text, key=key)
+    assert len(r_pb) > 0

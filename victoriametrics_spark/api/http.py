@@ -212,31 +212,52 @@ class PromAPI:
         return {"status": "success", "data": sorted(r["v"] for r in vals)}
 
     # --------------------------------------------------------- export
+    def export_jsonl_df(
+        self, matches: list[str], start: str | None = None, end: str | None = None
+    ):
+        """One finished JSONL export line per series, built entirely
+        JVM-side: groupBy the canonical series key, sort_array over the
+        collected (ts, value) structs, to_json — the driver only ever
+        touches one row per SERIES (presentation-sized), never one row
+        per sample. At 100 TB the per-series point lists are the export
+        payload itself; there is no smaller correct unit of transfer."""
+        df = self._match_df(matches, start, end)
+        # maps can't be groupBy keys — canonicalize to sorted entry array
+        entries = F.array_sort(
+            F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
+        )
+        pts = F.array_sort(F.collect_list(F.struct("ts", "value")))
+        grouped = (
+            df.select("name", entries.alias("__e"), "ts", "value")
+            .groupBy("name", "__e")
+            .agg(pts.alias("__pts"))
+        )
+        lbl = F.map_from_entries(F.col("__e"))
+        metric = F.when(
+            F.coalesce(F.col("name"), F.lit("")) != "",
+            F.map_concat(
+                lbl, F.create_map(F.lit("__name__"), F.col("name"))
+            ),
+        ).otherwise(lbl)
+        line = F.to_json(
+            F.struct(
+                metric.alias("metric"),
+                F.transform(F.col("__pts"), lambda p: p["value"]).alias("values"),
+                F.transform(F.col("__pts"), lambda p: p["ts"]).alias(
+                    "timestamps"
+                ),
+            )
+        )
+        return grouped.select(line.alias("line"))
+
     def export_jsonl(
         self, matches: list[str], start: str | None = None, end: str | None = None
     ) -> list[str]:
         """VM JSONL export lines (/api/v1/export shape:
         {"metric":{...},"values":[...],"timestamps":[...]})."""
-        df = self._match_df(matches, start, end)
-        rows = df.select("name", "labels", "ts", "value").collect()
-        series: dict = {}
-        for r in rows:
-            key = (r["name"] or "", tuple(sorted((r["labels"] or {}).items())))
-            series.setdefault(key, []).append((r["ts"], r["value"]))
-        lines = []
-        for (name, labels), pts in sorted(series.items()):
-            pts.sort()
-            lines.append(
-                json.dumps(
-                    {
-                        "metric": _metric_obj(name, dict(labels)),
-                        "values": [v for _, v in pts],
-                        "timestamps": [t for t, _ in pts],
-                    },
-                    separators=(",", ":"),
-                )
-            )
-        return lines
+        return sorted(
+            r["line"] for r in self.export_jsonl_df(matches, start, end).collect()
+        )
 
     def federate(
         self, matches: list[str], lookback_ms: int | None = None
