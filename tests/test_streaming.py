@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from victoriametrics_spark.streaming.parsers import (
     parse_csv_import,
@@ -590,3 +591,123 @@ def test_remote_write_equals_text_ingest(spark):
     key = lambda r: (r["ts"],)
     assert sorted(r_pb, key=key) == sorted(r_text, key=key)
     assert len(r_pb) > 0
+
+
+# --------------------------------------------- stateful streaming counters
+def _stateful_fixture_rows():
+    rows = []
+    for i, ts in enumerate(range(0, 300_000, 25_000)):
+        rows.append(("m", {"job": "a", "inst": "1"}, ts, float(10 * i), False))
+        # series with a counter reset at i==6
+        v = float(100 + i) if i < 6 else float(i - 6)
+        rows.append(("m", {"job": "a", "inst": "2"}, ts, v, False))
+    # a series that goes stale (gap > staleness) then comes back
+    rows.append(("m", {"job": "b", "inst": "3"}, 0, 5.0, False))
+    rows.append(("m", {"job": "b", "inst": "3"}, 280_000, 9.0, False))
+    return rows
+
+
+_STATEFUL_CFG_KW = dict(
+    interval_ms=100_000,
+    outputs=[
+        "total",
+        "total_prometheus",
+        "increase",
+        "increase_prometheus",
+        "sum_samples_total",
+        "rate_sum",
+        "rate_avg",
+    ],
+    by=["job"],
+    staleness_interval_ms=200_000,
+)
+
+
+def test_streamaggr_microbatch_replay_equals_batch(spark, tmp_path):
+    """The foreachBatch stateful engine replayed in 3 micro-batches must
+    reproduce aggregate_batch exactly — counter resets, staleness reset
+    and cross-window running totals included."""
+    from victoriametrics_spark.streaming.streamaggr import (
+        MicroBatchCounterAggregator,
+        StreamAggrConfig,
+        aggregate_batch,
+    )
+
+    rows = _stateful_fixture_rows()
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cfg = StreamAggrConfig(**_STATEFUL_CFG_KW)
+    want = _by_name(aggregate_batch(df, cfg))
+
+    agg = MicroBatchCounterAggregator(spark, cfg, str(tmp_path / "sa_state"))
+    got = {}
+    # replay in ts-ordered micro-batches (the streaming contract)
+    cuts = [(0, 100_000), (100_000, 200_000), (200_000, 10_000_000)]
+    for lo, hi in cuts:
+        b = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        got.update(_by_name(agg.process(b)))
+    got.update(_by_name(agg.flush_all()))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the google.protobuf runtime "
+    "(absent in this container; the microbatch engine above covers the "
+    "semantics)",
+)
+def test_streamaggr_stateful_streaming_replay_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas counters replayed over a file source
+    must reproduce aggregate_batch exactly."""
+    from victoriametrics_spark.streaming.streamaggr import (
+        StreamAggrConfig,
+        aggregate_batch,
+        aggregate_stream_stateful,
+    )
+
+    rows = _stateful_fixture_rows()
+    # watermark pusher: unrelated name far in the future so every real
+    # window's event-time timer fires during the availableNow replay
+    rows.append(("__wm__", {}, 10_000_000, 0.0, False))
+
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cfg = StreamAggrConfig(**_STATEFUL_CFG_KW)
+    want = {
+        k: v
+        for k, v in _by_name(aggregate_batch(df, cfg)).items()
+        if not k[0].startswith("__wm__")
+    }
+
+    src = str(tmp_path / "sa_stateful_src")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema(SAMPLE_SCHEMA).parquet(src)
+    out = aggregate_stream_stateful(sdf, cfg)
+    chk = str(tmp_path / "sa_stateful_chk")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sa_stateful")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.sql("select * from sa_stateful")
+    got = {
+        k: v
+        for k, v in _by_name(got_df).items()
+        if not k[0].startswith("__wm__")
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
