@@ -1,0 +1,156 @@
+"""Rollup result cache (app/vmselect/promql/rollup_result_cache.go).
+
+VM caches evaluated rollup results keyed by (query, step, filters); a
+later query over an overlapping range reuses the cached prefix and
+evaluates only the missing suffix (rollup_result_cache.go:283 Get /
+:606 Put — the "start = cached_end + step" handoff). The Spark rebuild
+keeps the same contract with results as parquet:
+
+- key = sha256 of (canonical expr, step, max_lookback, dedup interval,
+  enforced filters) — everything that changes grid values.
+- On a partial hit the suffix EvalConfig starts at cached_end + step;
+  the engine's contribution pruning (grid.py:115-118) bounds the sample
+  scan to ``ts > suffix_start - window``, so old partitions are never
+  read — the cached parquet supplies them instead.
+- Range-dependent constructs (``running_*``, ``range_*``) make grid
+  points depend on the WHOLE range, so those queries bypass the cache
+  (VM routes them through the non-cached path for the same reason).
+
+Every grid point of a cacheable query depends only on samples in
+``(gts - window, gts]``, which is what makes prefix reuse sound.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+
+_RANGE_DEPENDENT = re.compile(r"\b(running_\w+|range_\w+)\s*\(")
+
+_RESULT_SCHEMA = (
+    "name string, labels map<string,string>, ts long, value double"
+)
+
+
+class RollupResultCache:
+    """Parquet-backed result cache with prefix reuse.
+
+    ``stats`` after each ``evaluate``: ``mode`` in {"miss", "hit_full",
+    "hit_partial", "bypass"}, plus ``suffix_start`` on partial hits.
+    """
+
+    def __init__(self, spark: SparkSession, cache_dir: str):
+        self.spark = spark
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        self.stats: dict = {}
+
+    # ------------------------------------------------------------- key
+    @staticmethod
+    def cacheable(query: str) -> bool:
+        return not _RANGE_DEPENDENT.search(query)
+
+    def _key(self, query: str, cfg: EvalConfig) -> str:
+        ident = json.dumps(
+            [
+                query,
+                cfg.step,
+                cfg.max_lookback,
+                cfg.dedup_interval_ms,
+                list(cfg.enforced_filters),
+                cfg.two_level_cutover,
+            ]
+        )
+        return hashlib.sha256(ident.encode()).hexdigest()[:24]
+
+    def _meta_path(self, key: str) -> str:
+        return f"{self.cache_dir}/{key}.meta.json"
+
+    def _data_path(self, key: str, version: int) -> str:
+        return f"{self.cache_dir}/{key}.v{version}.parquet"
+
+    def _load_meta(self, key: str) -> dict | None:
+        try:
+            with open(self._meta_path(key)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _store(self, key: str, df: DataFrame, start: int, end: int) -> None:
+        meta = self._load_meta(key)
+        version = (meta["version"] + 1) if meta else 0
+        path = self._data_path(key, version)
+        df.write.mode("overwrite").parquet(path)
+        with open(self._meta_path(key), "w") as fh:
+            json.dump(
+                {"start": start, "end": end, "version": version, "path": path},
+                fh,
+            )
+        if meta:  # drop the superseded version
+            import shutil
+
+            shutil.rmtree(meta["path"], ignore_errors=True)
+
+    def _cached_df(self, meta: dict) -> DataFrame:
+        self.spark.catalog.refreshByPath(meta["path"])
+        return self.spark.read.schema(_RESULT_SCHEMA).parquet(meta["path"])
+
+    # -------------------------------------------------------- evaluate
+    def evaluate(
+        self, query: str, samples: DataFrame, cfg: EvalConfig
+    ) -> DataFrame:
+        from victoriametrics_spark.engine.planner import evaluate as _eval
+
+        if not self.cacheable(query):
+            self.stats = {"mode": "bypass"}
+            return _eval(self.spark, query, samples, cfg)
+
+        key = self._key(query, cfg)
+        meta = self._load_meta(key)
+        usable = (
+            meta is not None
+            and meta["start"] <= cfg.start
+            # cached grid must land exactly on the query grid
+            and (cfg.start - meta["start"]) % cfg.step == 0
+            and meta["end"] + cfg.step >= cfg.start
+        )
+        if usable:
+            ce = min(meta["end"], cfg.end)
+            cached = self._cached_df(meta)
+            prefix = cached.filter(
+                (F.col("ts") >= cfg.start) & (F.col("ts") <= ce)
+            )
+            if ce >= cfg.end:
+                self.stats = {"mode": "hit_full"}
+                return prefix
+            suffix_start = ce + cfg.step
+            suffix_cfg = replace(cfg, start=suffix_start)
+            suffix = _eval(self.spark, query, samples, suffix_cfg)
+            merged_range = cached.filter(F.col("ts") < cfg.start).unionByName(
+                prefix
+            ).unionByName(suffix)
+            self._store(key, merged_range, meta["start"], cfg.end)
+            meta2 = self._load_meta(key)
+            out = self._cached_df(meta2).filter(
+                (F.col("ts") >= cfg.start) & (F.col("ts") <= cfg.end)
+            )
+            self.stats = {"mode": "hit_partial", "suffix_start": suffix_start}
+            return out
+        result = _eval(self.spark, query, samples, cfg)
+        self._store(
+            key,
+            result.select("name", "labels", "ts", "value"),
+            cfg.start,
+            cfg.end,
+        )
+        meta2 = self._load_meta(key)
+        self.stats = {"mode": "miss"}
+        return self._cached_df(meta2)
