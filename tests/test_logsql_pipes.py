@@ -373,3 +373,59 @@ def test_filter_tranche(spark):
     assert f(pipes.week_range_filter(F.col("t"), 1, 5)) == ["ERROR Failed"]
     # time-of-day 06:30 = 23400000ms
     assert f(pipes.day_range_filter(F.col("t"), 6 * 3600000, 7 * 3600000)) == ["ERROR Failed"]
+
+
+def test_set_stream_fields_and_context(spark):
+    rows = [
+        ("app1", "h1", i * 1000, f"line{i}") for i in range(10)
+    ] + [("app2", "h2", i * 1000, f"other{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "app string, host string, ts long, msg string")
+    st = pipes.set_stream_fields(df, ["host", "app"])
+    assert st.select("_stream").first()[0] == '{app="app1",host="h1"}'
+
+    ctx = pipes.stream_context(
+        st, F.col("msg") == "line5", before=2, after=1
+    ).collect()
+    got = sorted(r["msg"] for r in ctx)
+    assert got == ["line3", "line4", "line5", "line6"]
+
+    # stream filter over the canonical string
+    flt = st.filter(
+        pipes.stream_filter(F.col("_stream"), {"app": "app2", "host": "~h.*"})
+    )
+    assert flt.count() == 5
+    # stream_id round-trips through the hash of the canonical string
+    sid = st.filter(F.col("app") == "app2").select(
+        F.xxhash64("_stream").alias("h")
+    ).first()["h"]
+    assert (
+        st.filter(pipes.stream_id_filter(F.col("_stream"), [sid])).count() == 5
+    )
+
+
+def test_filter_combinators_and_misc(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", '["x","y"]', "2001:0db8:0000:0000:0000:0000:0000:0001", 1000),
+            ("B", '["z"]', "2001:0db8:0000:0000:0000:0000:0000:ffff", 5000),
+        ],
+        "s string, j string, ip6 string, ts long",
+    ).withColumn("t", F.timestamp_millis(F.col("ts")))
+    f = lambda c: df.filter(c).count()
+    assert f(pipes.and_filter(pipes.noop_filter(), F.col("s") == "a")) == 1
+    assert f(pipes.or_filter(F.col("s") == "a", F.col("s") == "B")) == 2
+    assert f(pipes.not_filter(F.col("s") == "a")) == 1
+    assert f(pipes.time_filter(F.col("t"), 0, 2000)) == 1
+    assert f(pipes.json_array_contains_any_filter(F.col("j"), ["y", "q"])) == 1
+    assert f(pipes.contains_common_case_filter(F.col("s"), "b")) == 1
+    assert f(pipes.equals_common_case_filter(F.col("s"), "b")) == 1
+    assert (
+        f(
+            pipes.ipv6_range_filter(
+                F.col("ip6"),
+                "2001:db8::1",
+                "2001:db8::00ff",
+            )
+        )
+        == 1
+    )

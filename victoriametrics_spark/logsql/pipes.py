@@ -958,3 +958,177 @@ def pattern_match_filter(col: Column, pattern: str) -> Column:
 
     regex = "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
     return col.rlike(regex)
+
+
+# ------------------------------------------------------------------ round 6b:
+# stream pipes + filter completion (§2.9 long tail).
+
+
+def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``| set_stream_fields (f1, f2)`` (pipe_set_stream_fields.go):
+    declare which fields form the log-stream identity. The Spark analog
+    materializes the canonical ``_stream`` string ``{f1="v1",f2="v2"}``
+    (sorted by field name, the VictoriaLogs stream canonical form) so
+    downstream stream filters / stream_context can key on one column —
+    and so a writer can partition/bucket by it."""
+    ordered = sorted(fields)
+    parts = [
+        F.concat(
+            F.lit(f + '="'),
+            F.coalesce(F.col(f).cast("string"), F.lit("")),
+            F.lit('"'),
+        )
+        for f in ordered
+    ]
+    return df.withColumn(
+        "_stream", F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+    )
+
+
+def stream_context(
+    df: DataFrame,
+    cond: Column,
+    before: int = 0,
+    after: int = 0,
+    stream_col: str = "_stream",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``<filter> | stream_context before N after M``
+    (pipe_stream_context.go): every matching row plus the N rows before
+    and M rows after it WITHIN ITS STREAM, time-ordered. Realized as a
+    per-stream row_number + a range self-join on row numbers; both sides
+    shuffle on the stream key only, and the match side is pre-filtered,
+    so the join input is matches × (N+M+1), not rows²."""
+    w = Window.partitionBy(stream_col).orderBy(ts_col)
+    numbered = df.withColumn("__rn", F.row_number().over(w))
+    matches = numbered.filter(cond).select(
+        F.col(stream_col).alias("__ms"), F.col("__rn").alias("__mrn")
+    )
+    joined = numbered.join(
+        matches,
+        (F.col(stream_col) == F.col("__ms"))
+        & (F.col("__rn") >= F.col("__mrn") - before)
+        & (F.col("__rn") <= F.col("__mrn") + after),
+        "leftsemi",
+    )
+    return joined.drop("__rn")
+
+
+def blocks_count(df: DataFrame) -> DataFrame:
+    """``| blocks_count`` (pipe_blocks_count.go) counts storage blocks
+    scanned; the parquet analog is the number of distinct input files
+    feeding the scan (row-group stats are Spark-internal)."""
+    return df.select(F.input_file_name().alias("__f")).agg(
+        F.count_distinct("__f").alias("blocks_count")
+    )
+
+
+# -------------------------------------------------- filter combinators
+def and_filter(*conds: Column) -> Column:
+    """filter_and.go — conjunction."""
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
+def or_filter(*conds: Column) -> Column:
+    """filter_or.go — disjunction."""
+    out = F.lit(False)
+    for c in conds:
+        out = out | c
+    return out
+
+
+def not_filter(cond: Column) -> Column:
+    """filter_not.go — negation (null-safe: a null predicate is a
+    non-match, so NOT of it matches)."""
+    return ~F.coalesce(cond, F.lit(False))
+
+
+def noop_filter() -> Column:
+    """filter_noop.go — matches everything."""
+    return F.lit(True)
+
+
+def time_filter(ts: Column, start_ms: int, end_ms: int) -> Column:
+    """``_time:[start, end]`` (filter_time.go) — inclusive range."""
+    return F.unix_millis(ts.cast("timestamp")).between(start_ms, end_ms)
+
+
+def stream_filter(stream_col: Column, label_conds: dict[str, str]) -> Column:
+    """``_stream:{k1="v1",k2=~"re"}`` (filter_stream.go) over the
+    canonical _stream string built by set_stream_fields: each condition
+    matches its ``k="v"`` component (``~`` prefix on the value = regex)."""
+    out = F.lit(True)
+    for k, v in label_conds.items():
+        if v.startswith("~"):
+            out = out & stream_col.rlike(f'{k}="{v[1:]}"')
+        else:
+            c = F.lit(f'{k}="{v}"')
+            out = out & stream_col.contains(c)
+    return out
+
+
+def stream_id_filter(stream_col: Column, stream_ids: list[int]) -> Column:
+    """``_stream_id:in(...)`` (filter_stream_id.go): the numeric stream
+    identity here is the 64-bit hash of the canonical _stream string."""
+    return F.xxhash64(stream_col).isin(*[int(s) for s in stream_ids])
+
+
+def _ipv6_num(col: Column) -> Column:
+    """128-bit IPv6 as a (hi, lo) long pair — assumes the FULL 8-group
+    form (use expand first for ::-compressed input)."""
+    g = F.split(col, ":")
+
+    def quad(i0: int) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(i0, i0 + 4):
+            out = out * F.lit(65536) + F.conv(F.element_at(g, i + 1), 16, 10).cast(
+                "long"
+            )
+        return out
+
+    return F.struct(quad(0).alias("hi"), quad(4).alias("lo"))
+
+
+def ipv6_range_filter(col: Column, lo: str, hi: str) -> Column:
+    """``ipv6_range(lo, hi)`` (filter_ipv6_range.go) — inclusive range
+    over full-form IPv6 values."""
+
+    def parse(s: str) -> tuple[int, int]:
+        import ipaddress
+
+        n = int(ipaddress.IPv6Address(s))
+        return n >> 64, n & ((1 << 64) - 1)
+
+    lo_hi, lo_lo = parse(lo)
+    hi_hi, hi_lo = parse(hi)
+    num = _ipv6_num(col)
+    valid = col.rlike(r"^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$")
+    ge_lo = (num["hi"] > lo_hi) | ((num["hi"] == lo_hi) & (num["lo"] >= lo_lo))
+    le_hi = (num["hi"] < hi_hi) | ((num["hi"] == hi_hi) & (num["lo"] <= hi_lo))
+    return valid & ge_lo & le_hi
+
+
+def json_array_contains_any_filter(col: Column, values: list[str]) -> Column:
+    """``json_array_contains_any(f, v1, v2)``
+    (filter_json_array_contains_any.go): the field is a JSON array and
+    contains at least one of the values."""
+    arr = F.from_json(col, "array<string>")
+    return F.arrays_overlap(
+        F.coalesce(arr, F.array().cast("array<string>")),
+        F.array(*[F.lit(v) for v in values]),
+    )
+
+
+def contains_common_case_filter(col: Column, phrase: str) -> Column:
+    """filter_contains_common_case.go — case-insensitive contains
+    optimized in the reference for common-case data; semantically
+    identical to any_case here (Catalyst folds the lower())."""
+    return any_case_phrase_filter(col, phrase)
+
+
+def equals_common_case_filter(col: Column, value: str) -> Column:
+    """filter_equals_common_case.go — case-insensitive equality."""
+    return F.lower(col) == F.lit(value.lower())
