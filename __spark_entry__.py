@@ -1786,6 +1786,154 @@ GROUP BY 1""",
 )
 
 
+# ------------------------------------------------ round-6 ANN + dedup
+def _emb_ivf_knn(spark, sf_dir, load):
+    """IVF ANN (operators/knn.py:ivf_knn_threshold): centroids are the
+    k vectors with smallest md5(vec_id) — the oracle reselects them,
+    reassigns every vector to its nearest centroid, probes the 2 cells
+    nearest the query, and exact-cosine verifies, reproducing the whole
+    index."""
+    from victoriametrics_spark.operators.knn import ivf_knn_threshold
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_knn_threshold(
+        df.filter(F.col("vec_id") != 0), list(q), 0.2, k_cells=8, n_probe=2
+    )
+
+
+_reg(
+    "op_emb_ivf_knn",
+    _op(_emb_ivf_knn),
+    """
+WITH cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+dists AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+           AS d
+    FROM embeddings e, cents c
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+qprobe AS (
+    SELECT cid FROM dists WHERE vec_id = 0 ORDER BY d, cid LIMIT 2
+),
+cand AS (
+    SELECT a.vec_id FROM assign a JOIN qprobe p ON a.cell = p.cid
+    WHERE a.vec_id != 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.2""",
+)
+
+
+def _emb_cosine_dedup(spark, sf_dir, load):
+    """Embedding-cosine near-dup pairs within each label group
+    (operators/knn.py:pairwise_cosine_within) — the label plays the
+    blocking-bucket role an LSH bucket would at scale."""
+    from victoriametrics_spark.operators.knn import pairwise_cosine_within
+
+    df = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return pairwise_cosine_within(df, "label", 0.3)
+
+
+_reg(
+    "op_emb_cosine_dedup",
+    _op(_emb_cosine_dedup),
+    """
+WITH normed AS (
+    SELECT label AS g, vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt(list_sum(list_transform(embedding,
+                          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           AS nv
+    FROM embeddings WHERE vec_id != 0
+),
+pairs AS (
+    SELECT a.g, a.id AS id_a, b.id AS id_b,
+           list_sum(list_transform(range(1, len(a.nv) + 1),
+               i -> a.nv[i] * b.nv[i])) AS cosine
+    FROM normed a JOIN normed b ON a.g = b.g AND a.id < b.id
+)
+SELECT g AS label, id_a, id_b, round(cosine, 6) AS cosine
+FROM pairs WHERE cosine >= 0.3""",
+)
+
+
+def _rel_stream_context(spark, sf_dir, load):
+    """set_stream_fields + stream_context: events keyed by event_type
+    streams; every event with value > 99 plus its neighbors (1 before,
+    1 after) in the stream, aggregated per stream."""
+    from victoriametrics_spark.logsql import pipes
+
+    ev = pipes.set_stream_fields(
+        load(spark, sf_dir, "events"), ["event_type"]
+    )
+    ctx = pipes.stream_context(
+        ev,
+        F.col("value") > 99,
+        before=1,
+        after=1,
+        ts_col=["ts", "event_id"],
+    )
+    return pipes.stats(
+        ctx,
+        by=["event_type"],
+        aggs={
+            "n": F.count("*").cast("double"),
+            "sum_v": F.round(F.sum("value"), 6).cast("double"),
+        },
+    )
+
+
+_reg(
+    "rel_stream_context",
+    _op(_rel_stream_context),
+    """
+WITH numbered AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+matches AS (SELECT event_type, rn FROM numbered WHERE value > 99)
+SELECT n.event_type,
+       CAST(count(*) AS DOUBLE) AS n,
+       CAST(round(sum(n.value), 6) AS DOUBLE) AS sum_v
+FROM numbered n
+WHERE EXISTS (
+    SELECT 1 FROM matches m
+    WHERE m.event_type = n.event_type
+      AND n.rn BETWEEN m.rn - 1 AND m.rn + 1
+)
+GROUP BY 1""",
+)
+
+
 # ------------------------------------------------- round-6 pipe tranche
 def _rel_replace_regexp(spark, sf_dir, load):
     """replace_regexp in both flavors: limit=0 (every match, pure
@@ -2094,6 +2242,9 @@ _DRIVER_PRIORITY = [
     "rel_unpack_words",
     "rel_time_filters",
     "rel_histogram",
+    "op_emb_ivf_knn",
+    "op_emb_cosine_dedup",
+    "rel_stream_context",
     # (b) stale verdicts (last checked r2/r3) — rollup long tail
     "mq_avg_over_time",
     "mq_distinct_over_time",

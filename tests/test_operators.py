@@ -214,3 +214,31 @@ def test_multimodal_plumbing(spark):
     assert decoded == again
     plan = frame_sample_plan(df, every_n=5).collect()
     assert all(r["frame_idx"] % 5 == 0 for r in plan)
+
+
+def test_ivf_knn_subset_of_brute(embs):
+    from victoriametrics_spark.operators.knn import (
+        deterministic_centroids,
+        ivf_knn_threshold,
+    )
+
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    brute = {r["vec_id"]: r["cosine"] for r in knn_threshold(rest, list(q), 0.2).collect()}
+    approx = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_knn_threshold(rest, list(q), 0.2, k_cells=4, n_probe=2).collect()
+    }
+    assert 0 < len(approx)
+    assert set(approx) <= set(brute)
+    for k, v in approx.items():
+        assert v == brute[k]
+    # probing every cell = exact: recall proof of the cell partition
+    cents = deterministic_centroids(rest, 4)
+    full = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_knn_threshold(
+            rest, list(q), 0.2, k_cells=4, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert full == brute

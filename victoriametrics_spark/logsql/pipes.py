@@ -991,7 +991,7 @@ def stream_context(
     before: int = 0,
     after: int = 0,
     stream_col: str = "_stream",
-    ts_col: str = "ts",
+    ts_col: str | list[str] = "ts",
 ) -> DataFrame:
     """``<filter> | stream_context before N after M``
     (pipe_stream_context.go): every matching row plus the N rows before
@@ -999,7 +999,8 @@ def stream_context(
     per-stream row_number + a range self-join on row numbers; both sides
     shuffle on the stream key only, and the match side is pre-filtered,
     so the join input is matches × (N+M+1), not rows²."""
-    w = Window.partitionBy(stream_col).orderBy(ts_col)
+    order = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = Window.partitionBy(stream_col).orderBy(*order)
     numbered = df.withColumn("__rn", F.row_number().over(w))
     matches = numbered.filter(cond).select(
         F.col(stream_col).alias("__ms"), F.col("__rn").alias("__mrn")

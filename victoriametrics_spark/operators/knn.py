@@ -257,3 +257,87 @@ def pairwise_cosine_within(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------------------------ round 6:
+# IVF (inverted-file) ANN — the second scale path named in SURVEY.md
+# beside hyperplane LSH: partition the corpus into K cells around
+# centroids, probe only the n_probe cells nearest the query. At 100 TB
+# the cell id is computed once at ingest and used as the partition /
+# bucket key, so a probe touches n_probe/K of the files.
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """K centroid vectors chosen deterministically: the k corpus vectors
+    with the smallest md5(id) — a seeded uniform sample any engine can
+    reproduce (DuckDB: ``ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT k``).
+    Real deployments would k-means-refine these; selection-by-hash keeps
+    the whole index oracle-checkable, and one Lloyd iteration is a
+    deterministic DataFrame op away (groupBy cell -> avg)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    # centroid index = rank in the SAME hash order the oracle uses
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def _sqdist_to_literal(vec_col: Column, q: list[float]) -> Column:
+    """Σ (vec[i] - q[i])² as a sequential fold (zip_with keeps one
+    element visit per term — same order/rounding as the per-index
+    oracle recomputation)."""
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    diffs = F.zip_with(
+        vec_col, qarr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id (squared L2; ties → lowest cell id)."""
+    best_id = F.lit(None).cast("int")
+    best_d = F.lit(None).cast("double")
+    for cid, cvec in centroids:
+        d = _sqdist_to_literal(vec_col, cvec)
+        better = best_d.isNull() | (d < best_d)
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_d = F.when(better, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_knn_threshold(
+    df: DataFrame,
+    query: list[float],
+    tau: float,
+    k_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate cosine-threshold search: assign every vector to its
+    nearest centroid cell, probe the n_probe cells whose centroids are
+    nearest the query, exact-cosine verify inside them. One scan to
+    assign + filter (the cell expression collapses to a literal CASE
+    over k_cells distance folds), then knn_threshold on ~n_probe/k of
+    the corpus."""
+    if centroids is None:
+        centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probe]
+    cand = df.filter(ivf_cell(F.col(vec_col), centroids).isin(probe_ids))
+    return knn_threshold(cand, query, tau, vec_col, id_col)
