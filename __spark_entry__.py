@@ -290,31 +290,6 @@ for _name, _mq_fn, _agg in [
     # deriv family: ts-sorted sequential fold on BOTH sides (bit-identical
     # IEEE op order — see engine/rollup.py deriv notes)
     (
-        "mq_deriv_fast",
-        "deriv_fast(events_value[1d])",
-        """list_transform([list_sort(list(struct_pack(t := ts, v := value)))], l ->
-            CASE WHEN l[-1].t = l[1].t THEN NULL
-                 ELSE (l[-1].v - l[1].v) / (l[-1].t - l[1].t) * 1000.0 END)[1]""",
-    ),
-    (
-        "mq_deriv",
-        "deriv(events_value[1d])",
-        """list_transform([list_sort(list(struct_pack(t := ts, v := value)))], l ->
-            list_transform([list_reduce(
-                list_transform(l, e -> struct_pack(
-                    sx := (e.t - gts) / 1000.0,
-                    sy := e.v,
-                    sxy := (e.t - gts) / 1000.0 * e.v,
-                    sxx := (e.t - gts) / 1000.0 * ((e.t - gts) / 1000.0))),
-                (a, b) -> struct_pack(
-                    sx := a.sx + b.sx, sy := a.sy + b.sy,
-                    sxy := a.sxy + b.sxy, sxx := a.sxx + b.sxx))], s ->
-              CASE WHEN CAST(len(l) AS DOUBLE) * s.sxx - s.sx * s.sx = 0 THEN NULL
-                   ELSE (CAST(len(l) AS DOUBLE) * s.sxy - s.sx * s.sy)
-                        / (CAST(len(l) AS DOUBLE) * s.sxx - s.sx * s.sx)
-              END)[1])[1]""",
-    ),
-    (
         "mq_zscore_over_time",
         "zscore_over_time(events_value[1d])",
         "(max_by(value, ts) - avg(value)) / stddev_pop(value)",
@@ -325,6 +300,43 @@ for _name, _mq_fn, _agg in [
 # ---- counter-semantics rollups (need lag) ----------------------------
 for _name, _mq_fn, _agg in [
     ("mq_increase", "increase(events_value[1d])", "sum(pos_dv)"),
+    # deriv_fast bases on the sample BEFORE the window when present
+    # (rollupDerivFast rfa.prevValue, rollup.go:1954-1989)
+    (
+        "mq_deriv_fast",
+        "deriv_fast(events_value[1d])",
+        """list_transform([struct_pack(
+                l := list_sort(list(struct_pack(t := ts, v := value))),
+                pfv := min_by(prev_value, ts),
+                pft := min_by(prev_ts, ts))], s ->
+            CASE WHEN s.l[-1].t = coalesce(s.pft, s.l[1].t) THEN NULL
+                 ELSE (s.l[-1].v - coalesce(s.pfv, s.l[1].v))
+                      / (s.l[-1].t - coalesce(s.pft, s.l[1].t)) * 1000.0
+            END)[1]""",
+    ),
+    # deriv = linearRegression (rollup.go:1099-1133): const values -> 0,
+    # |tDiff| < 1e-6 -> 0
+    (
+        "mq_deriv",
+        "deriv(events_value[1d])",
+        """list_transform([list_sort(list(struct_pack(t := ts, v := value)))], l ->
+            CASE WHEN len(list_distinct(list_transform(l, e -> e.v))) = 1
+                 THEN 0.0
+            ELSE list_transform([list_reduce(
+                list_transform(l, e -> struct_pack(
+                    sx := (e.t - gts) / 1000.0,
+                    sy := e.v,
+                    sxy := (e.t - gts) / 1000.0 * e.v,
+                    sxx := (e.t - gts) / 1000.0 * ((e.t - gts) / 1000.0))),
+                (a, b) -> struct_pack(
+                    sx := a.sx + b.sx, sy := a.sy + b.sy,
+                    sxy := a.sxy + b.sxy, sxx := a.sxx + b.sxx))], s ->
+              list_transform([s.sxx - s.sx * s.sx / CAST(len(l) AS DOUBLE)], td ->
+                CASE WHEN abs(td) >= 1e-6
+                     THEN (s.sxy - s.sx * s.sy / CAST(len(l) AS DOUBLE)) / td
+                     ELSE 0.0 END)[1])[1]
+            END)[1]""",
+    ),
     ("mq_delta", "delta(events_value[1d])",
      "max_by(value, ts) - coalesce(min_by(prev_value, ts), min_by(value, ts))"),
     ("mq_delta_prometheus", "delta_prometheus(events_value[1d])",

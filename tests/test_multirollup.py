@@ -63,7 +63,9 @@ def test_rollup_delta_and_increase(spark, series_df):
 
 def test_rollup_single_tag(spark, series_df):
     got = at_ts(spark, 'rollup(m[200s], "avg")', series_df, 1_200_000)
-    assert list(got) == [(("job", "x"), ("rollup", "avg"))]
+    # explicit flavor selection returns the bare series — no rollup tag
+    # (appendRollupConfigs tagValue "", rollup.go:415-433)
+    assert list(got) == [(("job", "x"),)]
 
 
 def test_quantiles_over_time(spark, series_df):

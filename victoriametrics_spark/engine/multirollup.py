@@ -65,6 +65,7 @@ def _emit_tagged(
     tag_label: str,
     pairs: list[tuple[Column, Column]],
     keep_name: bool,
+    add_tag: bool = True,
 ) -> DataFrame:
     """Explode per-group aggregate columns into one series per tag:
     labels + {tag_label: tag} (VM rollupConfig.TagValue / timeseriesMap)."""
@@ -82,9 +83,13 @@ def _emit_tagged(
         F.explode(arr).alias("__e"),
     ).select(
         "name",
-        F.map_concat(
-            F.map_filter(F.col("labels"), lambda k, v: k != F.lit(tag_label)),
-            F.create_map(F.lit(tag_label), F.col("__e.t")),
+        (
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, v: k != F.lit(tag_label)),
+                F.create_map(F.lit(tag_label), F.col("__e.t")),
+            )
+            if add_tag
+            else F.col("labels")
         ).alias("labels"),
         "ts",
         F.col("__e.v").alias("value"),
@@ -177,7 +182,12 @@ def plan_multi_rollup(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> Data
         tags = {only_tag: tags[only_tag]}
     keep = name in _KEEP_NAME or fe.keep_metric_names or re_.keep_metric_names
     pairs = [(F.lit(t), c) for t, c in tags.items()]
-    return _emit_tagged(grouped, cfg, "rollup", pairs, keep)
+    # an explicit single-flavor second arg selects the series WITHOUT the
+    # `rollup` tag (appendRollupConfigs passes tagValue "" for explicit
+    # tags, rollup.go:415-433) — EXCEPT rollup_candlestick, which tags
+    # even explicit selections (rollup.go:455-470)
+    add_tag = only_tag is None or name == "rollup_candlestick"
+    return _emit_tagged(grouped, cfg, "rollup", pairs, keep, add_tag=add_tag)
 
 
 def plan_quantiles_over_time(

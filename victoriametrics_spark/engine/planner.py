@@ -188,8 +188,28 @@ class Planner:
 
     def const_value(self, e: Expr, cfg: EvalConfig) -> float:
         p = self.plan(e, cfg)
-        if isinstance(p, Scalar) and p.const is not None:
-            return p.const
+        if isinstance(p, Scalar):
+            if p.const is not None:
+                return p.const
+            # composed scalar (e.g. ttf's clamp_max(step()/300, 1)):
+            # evaluate the column at three grid points in one 1-row job;
+            # identical values ⇒ grid-independent constant
+            mid = cfg.start + ((cfg.end - cfg.start) // (2 * cfg.step)) * cfg.step
+            row = (
+                self.spark.range(1)
+                .select(
+                    *[
+                        p.fn(F.lit(t).cast("long")).cast("double").alias(f"v{i}")
+                        for i, t in enumerate((cfg.start, mid, cfg.end))
+                    ]
+                )
+                .first()
+            )
+            vals = {row[f"v{i}"] for i in range(3)}
+            if len(vals) == 1:
+                v = vals.pop()
+                if v is not None:
+                    return float(v)
         raise PlanError(f"expected a constant scalar argument, got {e!r}")
 
     # ------------------------------------------------------------ dispatch

@@ -313,18 +313,27 @@ def _sorted_pairs() -> Column:
 
 
 def _deriv_fast_post(a: RollupArgs) -> Column:
+    """rollupDerivFast (rollup.go:1954-1989): the base point is the
+    sample just BEFORE the window (rfa.prevValue) when one exists; only
+    without it does the first in-window sample serve, and then a
+    single-sample window is NaN (can't attribute a duration)."""
     sp = F.col("__sp")
     first = F.element_at(sp, 1)
     last = F.element_at(sp, -1)
-    return (
-        F.try_divide(last["v"] - first["v"], last["t"] - first["t"]) * F.lit(1000.0)
-    )
+    pv = F.coalesce(F.col("__pfv"), first["v"])
+    pt = F.coalesce(F.col("__pft"), first["t"])
+    return F.try_divide(last["v"] - pv, last["t"] - pt) * F.lit(1000.0)
 
 
 _reg(
     "deriv_fast",
     RollupSpec(
-        aggs=lambda a: [_sorted_pairs().alias("__sp")],
+        needs_prev=True,
+        aggs=lambda a: [
+            _sorted_pairs().alias("__sp"),
+            F.min_by(PV(), TS()).alias("__pfv"),
+            F.min_by(PTS(), TS()).alias("__pft"),
+        ],
         post=_deriv_fast_post,
     ),
 )
@@ -361,9 +370,16 @@ def _deriv_post(a: RollupArgs) -> Column:
         ),
     )
     n = F.size(sp).cast("double")
-    num = n * s["sxy"] - s["sx"] * s["sy"]
-    den = n * s["sxx"] - s["sx"] * s["sx"]
-    return F.try_divide(num, den)
+    # linearRegression (rollup.go:1099-1133): constant values (incl. a
+    # single sample) → slope 0; |tDiff| < 1e-6 → slope 0 (not NaN)
+    all_const = F.forall(sp, lambda e: e["v"] == F.element_at(sp, 1)["v"])
+    tdiff = s["sxx"] - s["sx"] * s["sx"] / n
+    k = s["sxy"] - s["sx"] * s["sy"] / n
+    return (
+        F.when(all_const, F.lit(0.0))
+        .when(F.abs(tdiff) >= 1e-6, k / tdiff)
+        .otherwise(F.lit(0.0))
+    )
 
 
 _reg(

@@ -75,16 +75,42 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     # ---- pointwise math -------------------------------------------------
     if name in _MATH:
         f = _MATH[name]
-        return _pointwise(planner, fe, cfg, lambda v, ts: f(v))
+        # ceil/floor keep metric names (transformFuncsKeepMetricName,
+        # transform.go:141-165); the rest of the math family resets
+        return _pointwise(
+            planner, fe, cfg, lambda v, ts: f(v),
+            keep_name=name in ("ceil", "floor"),
+        )
 
     if name == "round":
         if len(fe.args) >= 2:
             nearest = planner.const_value(fe.args[1], cfg)
-            return _pointwise(
-                planner, fe, cfg,
-                lambda v, ts: F.round(v / F.lit(nearest)) * F.lit(nearest),
-            )
-        return _pointwise(planner, fe, cfg, lambda v, ts: F.round(v))
+            # transformRound (transform.go:2354-2368) bit-for-bit:
+            # v += 0.5*copysign(n, v); v -= fmod(v, n); truncate to the
+            # decimal precision of n. A plain round(v/n)*n differs at
+            # representation boundaries (e.g. round(0.0625, 0.001) is
+            # 0.062 under VM's sequence, 0.063 under HALF_UP).
+            from decimal import Decimal
+
+            exp = Decimal(repr(nearest)).normalize().as_tuple().exponent
+            p10 = 10.0 ** (-int(exp))
+
+            def vm_round(v, ts):
+                sign = F.when(v < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+                vv = v + F.lit(0.5 * abs(nearest)) * sign
+                vv = vv - vv % F.lit(nearest)
+                scaled = vv * F.lit(p10)
+                trunc = (
+                    F.when(scaled >= 0, F.floor(scaled))
+                    .otherwise(F.ceil(scaled))
+                    .cast("double")
+                )
+                return trunc / F.lit(p10)
+
+            return _pointwise(planner, fe, cfg, vm_round, keep_name=True)
+        return _pointwise(
+            planner, fe, cfg, lambda v, ts: F.round(v), keep_name=True
+        )
 
     if name in ("clamp", "clamp_min", "clamp_max"):
         if name == "clamp":
@@ -269,6 +295,7 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         return _series_fold(
             planner, df, ema,
             extra_acc=[F.lit(None).cast("double").alias("avg")],
+            keep_name=True,
         )
 
     if name == "remove_resets":
@@ -518,7 +545,8 @@ def _series_window(df: DataFrame):
     return df.withColumn("__sk", key), Window.partitionBy("__sk").orderBy("ts")
 
 
-def _series_fold(planner, df: DataFrame, step_fn, extra_acc: list):
+def _series_fold(planner, df: DataFrame, step_fn, extra_acc: list,
+                 keep_name: bool = False):
     """Sequential per-series stateful transform: collect the series'
     ts-sorted points, left-fold ``step_fn`` over them accumulating an
     output array of (t, v), then explode back to rows. Series-length
@@ -538,7 +566,7 @@ def _series_fold(planner, df: DataFrame, step_fn, extra_acc: list):
     acc0 = F.struct(*extra_acc, F.array().cast(out_t).alias("out"))
     folded = F.aggregate(F.col("__sp"), acc0, step_fn)
     out = grouped.select(
-        F.lit("").alias("name"),
+        (F.col("name") if keep_name else F.lit("")).alias("name"),
         F.col("labels"),
         F.explode(folded["out"]).alias("__e"),
     ).select(
@@ -632,11 +660,14 @@ def _running(planner, fe, cfg, agg_name):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = dense.withColumn("value", agg("value").over(w).cast("double"))
-    return (
-        out.filter(F.col("value").isNotNull())
-        .select("name", "labels", "ts", "value")
-        .withColumn("name", F.lit(""))
+    out = out.filter(F.col("value").isNotNull()).select(
+        "name", "labels", "ts", "value"
     )
+    # running_avg/max/min keep metric names; running_sum resets
+    # (transformFuncsKeepMetricName, transform.go:161-163)
+    if agg_name not in ("avg", "min", "max"):
+        out = out.withColumn("name", F.lit(""))
+    return out
 
 
 _RANGE_CONST: dict[str, Callable] = {
@@ -693,8 +724,10 @@ def _range_fn(planner, fe, cfg, agg_name):
             )
         from victoriametrics_spark.engine.grid import grid_df
 
+        keep = agg_name in ("avg", "first", "last", "max", "min",
+                            "quantile", "stdvar")
         out = per.crossJoin(grid_df(planner.spark, cfg)).select(
-            F.lit("").alias("name"),
+            (F.col("name") if keep else F.lit("")).alias("name"),
             F.col("labels"),
             F.col("ts"),
             F.col("__stat").cast("double").alias("value"),
@@ -713,10 +746,30 @@ def _range_fn(planner, fe, cfg, agg_name):
             F.stddev_pop("value").over(wfull),
         )
     elif agg_name == "linear_regression":
-        # per-series least squares over the whole range
-        k = F.regr_slope(F.col("value"), F.col("ts") / 1000.0).over(wfull)
-        b = F.regr_intercept(F.col("value"), F.col("ts") / 1000.0).over(wfull)
-        val = b + k * (F.col("ts") / 1000.0)
+        # per-series least squares over the whole range, extrapolated to
+        # EVERY grid point — VM fills all timestamps from the fit, gaps
+        # included (transformRangeLinearRegression); a single-point /
+        # constant series degenerates to slope 0 at its mean
+        from victoriametrics_spark.engine.grid import grid_df
+
+        sk = series_key(F.col("name"), F.col("labels"))
+        per = df.groupBy(sk.alias("__sk")).agg(
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+            F.regr_slope(F.col("value"), F.col("ts") / 1000.0).alias("__k"),
+            F.regr_intercept(F.col("value"), F.col("ts") / 1000.0).alias("__b"),
+            F.avg("value").alias("__mean"),
+        )
+        fitted = per.crossJoin(grid_df(planner.spark, cfg)).select(
+            F.col("name"),
+            F.col("labels"),
+            F.col("ts"),
+            (
+                F.coalesce(F.col("__b"), F.col("__mean"))
+                + F.coalesce(F.col("__k"), F.lit(0.0)) * (F.col("ts") / 1000.0)
+            ).cast("double").alias("value"),
+        )
+        return fitted.filter(F.col("value").isNotNull() & ~F.isnan("value"))
     elif agg_name == "trim_outliers":
         k = planner.const_value(fe.args[0], cfg)
         med = F.percentile("value", F.lit(0.5)).over(wfull)
@@ -757,11 +810,10 @@ def _range_fn(planner, fe, cfg, agg_name):
     else:
         raise PlanError(f"range_{agg_name} not implemented yet")
     out = dfk.withColumn("value", val.cast("double"))
-    return (
-        out.select("name", "labels", "ts", "value")
-        .withColumn("name", F.lit(""))
-        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
-    )
+    out = out.select("name", "labels", "ts", "value")
+    if agg_name != "normalize":
+        out = out.withColumn("name", F.lit(""))
+    return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
 
 def _key_neq(name: str):
@@ -876,11 +928,15 @@ def _label_fn(planner, fe, cfg, name):
         joined = F.concat_ws(
             sep, *[F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
         )
+        # an empty joined value removes the tag (VM empty-tag semantics)
         return df.withColumn(
             "labels",
-            F.map_concat(
-                F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst)),
-                F.create_map(F.lit(dst), joined),
+            F.map_filter(
+                F.map_concat(
+                    F.map_filter(F.col("labels"), lambda k, v: k != F.lit(dst)),
+                    F.create_map(F.lit(dst), joined),
+                ),
+                lambda k, v: v != F.lit(""),
             ),
         )
 

@@ -524,6 +524,43 @@ def merge_label_filters(e: Expr, extra: list[LabelFilter]) -> Expr:
     raise ParseError("cannot apply label filters to a non-selector WITH template")
 
 
+# Default WITH templates, preloaded into every parse — the reference
+# ships ru/ttf/range_median as built-in WITH macros
+# (vendor/.../metricsql/parser.go:57-70 getDefaultWithArgExprs; alias is
+# a native transform here).
+_DEFAULT_WITH_SRC: list[tuple[str, list[str], str]] = [
+    ("ru", ["freev", "maxv"],
+     "clamp_min(maxv - clamp_min(freev, 0), 0) / clamp_min(maxv, 0) * 100"),
+    ("ttf", ["freev"],
+     "smooth_exponential(clamp_max(clamp_max(-freev, 0)"
+     " / clamp_max(deriv_fast(freev), 0), 365*24*3600),"
+     " clamp_max(step()/300, 1))"),
+    ("range_median", ["q"], "range_quantile(0.5, q)"),
+]
+_default_with_env: dict[str, _WithDef] | None = None
+
+
+def _get_default_with_env() -> dict[str, _WithDef]:
+    global _default_with_env
+    if _default_with_env is None:
+        env: dict[str, _WithDef] = {}
+        for name, params, src in _DEFAULT_WITH_SRC:
+            pr = Parser(tokenize(src))
+            pr.with_env.append(
+                {
+                    prm: _WithDef(
+                        [], MetricExpr([[LabelFilter("__name__", "=", prm)]])
+                    )
+                    for prm in params
+                }
+            )
+            env[name] = _WithDef(params, pr.parse_expr(-100))
+        _default_with_env = env
+    return _default_with_env
+
+
 def parse(query: str) -> Expr:
     """Parse a MetricsQL query string into an AST."""
-    return Parser(tokenize(query)).parse()
+    pr = Parser(tokenize(query))
+    pr.with_env.append(_get_default_with_env())
+    return pr.parse()
