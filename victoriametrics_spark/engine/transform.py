@@ -874,17 +874,26 @@ def _label_fn(planner, fe, cfg, name):
 
     if name == "label_del":
         ks = _str_args(fe)
-        return df.withColumn(
+        out = df.withColumn(
             "labels",
             F.map_filter(labels, lambda k, v: ~k.isin(*[str(x) for x in ks])),
         )
+        # __name__ is deletable like any label (transformLabelDel)
+        if "__name__" in ks:
+            out = out.withColumn("name", F.lit(""))
+        return out
 
     if name == "label_keep":
         ks = _str_args(fe)
-        return df.withColumn(
+        out = df.withColumn(
             "labels",
             F.map_filter(labels, lambda k, v: k.isin(*[str(x) for x in ks])),
         )
+        # the metric name survives only when "__name__" is listed
+        # (transformLabelKeep)
+        if "__name__" not in ks:
+            out = out.withColumn("name", F.lit(""))
+        return out
 
     if name in ("label_lowercase", "label_uppercase"):
         ks = _str_args(fe)
@@ -1049,10 +1058,24 @@ def _label_fn(planner, fe, cfg, name):
         # into one broadcast array row and map_filter'ed out; no
         # planning-time Spark jobs (round-2 advisor finding)
         sk = series_key(F.col("name"), F.col("labels"))
+        # __name__ participates in commonality like any label
+        # (transformDropCommonLabels iterates MetricGroup too) — model it
+        # as a pseudo-entry so a name shared by every series is dropped
         series = df.groupBy(sk.alias("__sk")).agg(
-            F.first("labels").alias("labels")
+            F.first("labels").alias("labels"),
+            F.first("name").alias("name"),
         )
-        kv = series.select(F.explode("labels").alias("k", "v"))
+        kv = series.select(
+            F.explode(
+                F.map_concat(
+                    F.coalesce(F.col("labels"), F.expr("map()")),
+                    F.create_map(
+                        F.lit("__name__"),
+                        F.coalesce(F.col("name"), F.lit("")),
+                    ),
+                )
+            ).alias("k", "v")
+        )
         n_series = series.agg(F.count("*").alias("__n"))
         common_arr = (
             kv.groupBy("k", "v")
@@ -1062,13 +1085,23 @@ def _label_fn(planner, fe, cfg, name):
             .agg(F.collect_list(F.col("k")).alias("__common"))
         )
         out = df.crossJoin(F.broadcast(common_arr))
-        return out.withColumn(
-            "labels",
-            F.map_filter(
-                F.col("labels"),
-                lambda k, v: ~F.array_contains(F.col("__common"), k),
-            ),
-        ).drop("__common")
+        return (
+            out.withColumn(
+                "labels",
+                F.map_filter(
+                    F.col("labels"),
+                    lambda k, v: ~F.array_contains(F.col("__common"), k),
+                ),
+            )
+            .withColumn(
+                "name",
+                F.when(
+                    F.array_contains(F.col("__common"), F.lit("__name__")),
+                    F.lit(""),
+                ).otherwise(F.col("name")),
+            )
+            .drop("__common")
+        )
 
     from victoriametrics_spark.engine.planner import PlanError
 

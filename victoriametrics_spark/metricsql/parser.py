@@ -148,6 +148,11 @@ class Parser:
             next_min = prec + 1 if op not in RIGHT_ASSOCIATIVE else prec
             right = self.parse_expr(next_min)
             be.left, be.right = left, right
+            # trailing keep_metric_names binds to the BINOP when the right
+            # operand didn't consume it (parser.go:419-424)
+            if self.at_ident("keep_metric_names"):
+                self.advance()
+                be.keep_metric_names = True
             left = self.parse_rollup_suffix(be)
         return left
 
@@ -167,8 +172,13 @@ class Parser:
 
     # --- primaries -----------------------------------------------------
     def parse_single(self) -> Expr:
+        was_parens = self.at_op("(")
         e = self.parse_primary()
-        return self.parse_rollup_suffix(e)
+        # a bare keep_metric_names after non-binop parens belongs to the
+        # ENCLOSING binary op (parser.go:419 vs :670 — parens only pass
+        # the modifier inward for a contained BinaryOpExpr)
+        allow_keep = not was_parens or isinstance(e, BinaryOpExpr)
+        return self.parse_rollup_suffix(e, allow_keep=allow_keep)
 
     def parse_primary(self) -> Expr:
         t = self.cur
@@ -332,26 +342,29 @@ class Parser:
         return MetricExpr([g for g in groups if g] or [[]])
 
     # --- rollup suffixes ----------------------------------------------
-    def parse_rollup_suffix(self, e: Expr) -> Expr:
+    def parse_rollup_suffix(self, e: Expr, allow_keep: bool = True) -> Expr:
         window = step = offset = None
         at = None
         inherit_step = False
         keep_metric_names = False
         saw = False
+        saw_rollup_part = False
         while True:
             if self.at_op("["):
-                saw = True
+                saw = saw_rollup_part = True
                 self.advance()
                 window, step, inherit_step = self.parse_window_and_step()
             elif self.at_ident("offset"):
-                saw = True
+                saw = saw_rollup_part = True
                 self.advance()
                 offset = self.parse_duration_operand()
             elif self.at_op("@"):
-                saw = True
+                saw = saw_rollup_part = True
                 self.advance()
                 at = self.parse_unary()
-            elif self.at_ident("keep_metric_names"):
+            elif (allow_keep or saw_rollup_part) and self.at_ident(
+                "keep_metric_names"
+            ):
                 self.advance()
                 keep_metric_names = True
                 saw = True
