@@ -239,7 +239,13 @@ class Planner:
             # duration used in scalar context = seconds (MetricsQL)
             return Scalar.of(e.ms(cfg.step) / 1000.0)
         if isinstance(e, StringExpr):
-            raise PlanError("string literal is not a valid query result")
+            # a string in series position: numeric → constant series,
+            # non-numeric → empty result (eval.go evalString semantics;
+            # exec_test `median_over_time("foo")` returns no series)
+            try:
+                return Scalar.of(float(e.value))
+            except ValueError:
+                return Scalar(fn=lambda ts: F.lit(None).cast("double"))
         if isinstance(e, MetricExpr):
             return self.plan(
                 FuncExpr(name="default_rollup", args=[RollupExpr(expr=e)]), cfg
