@@ -399,13 +399,44 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name == "limit_offset":
         # series-level offset/limit. Two-phase so only the per-series KEY
         # set (small) passes through the single-task ranking window; the
-        # data itself is filtered by a broadcast semi-join.
+        # data itself is filtered by a broadcast semi-join. The series
+        # RANKING follows the inner expression's sort when it is a sort
+        # function (VM applies limit_offset to the already-sorted series
+        # list, transform.go transformLimitOffset).
         limit = int(planner.const_value(fe.args[0], cfg))
         offset = int(planner.const_value(fe.args[1], cfg))
-        df = planner.materialize(planner.plan(fe.args[2], cfg), cfg)
+        inner = fe.args[2]
+        df = planner.materialize(planner.plan(inner, cfg), cfg)
         key = series_key(F.col("name"), F.col("labels"))
-        keys = df.select(key.alias("__sk")).distinct()
-        w = Window.orderBy("__sk")
+        order = []
+        if isinstance(inner, FuncExpr) and inner.name.startswith("sort_by_label"):
+            desc = inner.name.endswith("_desc")
+            numeric = "_numeric" in inner.name
+            keys = df.groupBy(key.alias("__sk")).agg(
+                F.first("labels").alias("__labels")
+            )
+            for k in _str_args(inner):
+                col = F.coalesce(F.col("__labels").getItem(k), F.lit(""))
+                if numeric:
+                    num_prefix = F.regexp_extract(
+                        col, r"^[+-]?(\d+\.?\d*|\.\d+)", 0
+                    ).try_cast("double")
+                    order.append(
+                        num_prefix.desc_nulls_last()
+                        if desc
+                        else num_prefix.asc_nulls_last()
+                    )
+                order.append(col.desc_nulls_last() if desc else col.asc_nulls_last())
+            keys = keys.select("__sk", *[F.col("__labels").alias("__labels")])
+        elif isinstance(inner, FuncExpr) and inner.name in ("sort", "sort_desc"):
+            last = F.max_by("value", "ts").alias("__last")
+            keys = df.groupBy(key.alias("__sk")).agg(last)
+            order.append(
+                F.col("__last").desc() if inner.name == "sort_desc" else F.col("__last").asc()
+            )
+        else:
+            keys = df.select(key.alias("__sk")).distinct()
+        w = Window.orderBy(*order, "__sk")
         keep = (
             keys.withColumn("__rank", F.row_number().over(w))
             .filter(
