@@ -63,6 +63,57 @@ _TIME_PARTS: dict[str, Callable[[Column], Column]] = {
 }
 
 
+# arity table (min, max) — VM rejects wrong argument counts at eval
+# time (exec_test.go TestExecError); None max = unbounded
+_ARITY: dict[str, tuple[int, int | None]] = {
+    **{n: (1, 1) for n in _MATH},
+    **{n: (0, 1) for n in _TIME_PARTS},
+    "round": (1, 2),
+    "clamp": (3, 3),
+    "clamp_min": (2, 2),
+    "clamp_max": (2, 2),
+    "time": (0, 0),
+    "now": (0, 0),
+    "start": (0, 0),
+    "end": (0, 0),
+    "step": (0, 0),
+    "pi": (0, 0),
+    "vector": (1, 1),
+    "scalar": (1, 1),
+    "timestamp": (1, 1),
+    "timestamp_with_name": (1, 1),
+    "sort": (1, 1),
+    "sort_desc": (1, 1),
+    "smooth_exponential": (2, 2),
+    "remove_resets": (1, 1),
+    "interpolate": (1, 1),
+    "keep_last_value": (1, 1),
+    "keep_next_value": (1, 1),
+    "range_quantile": (2, 2),
+    "range_trim_outliers": (2, 2),
+    "range_trim_spikes": (2, 2),
+    "range_trim_zscore": (2, 2),
+    **{f"range_{n}": (1, 1) for n in (
+        "sum", "avg", "min", "max", "first", "last", "median", "mad",
+        "stddev", "stdvar", "zscore", "normalize", "linear_regression",
+    )},
+    **{f"running_{n}": (1, 1) for n in ("sum", "avg", "min", "max")},
+    "histogram_quantile": (2, 3),
+    "histogram_share": (2, 3),
+    "histogram_avg": (1, 1),
+    "histogram_stddev": (1, 1),
+    "histogram_stdvar": (1, 1),
+    "label_set": (3, None),
+    "label_join": (3, None),
+    "label_replace": (5, 5),
+    "label_transform": (4, 4),
+    "label_map": (2, None),
+    "limit_offset": (3, 3),
+    "absent": (1, 1),
+    "sgn": (1, 1),
+}
+
+
 def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     from victoriametrics_spark.engine.planner import (
         EMPTY_LABELS,
@@ -71,6 +122,18 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     )
 
     name = fe.name
+    ar = _ARITY.get(name)
+    if ar is not None:
+        lo, hi = ar
+        n = len(fe.args)
+        if n < lo or (hi is not None and n > hi):
+            want = str(lo) if hi == lo else (f"{lo}..{hi}" if hi else f">={lo}")
+            raise PlanError(
+                f"{name}: unexpected number of args {n}; want {want}"
+            )
+    # label_set needs expr + complete (key, value) pairs
+    if name == "label_set" and len(fe.args) % 2 == 0:
+        raise PlanError("label_set: needs q plus (key, value) pairs")
 
     # ---- pointwise math -------------------------------------------------
     if name in _MATH:
