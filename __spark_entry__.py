@@ -119,6 +119,7 @@ def _rollup_oracle(
     window_ms: int,
     *,
     needs_prev: bool = False,
+    needs_next: bool = False,
     outer: str | None = None,
     having: str = "value IS NOT NULL",
     scale: float = 1.0,
@@ -132,6 +133,9 @@ def _rollup_oracle(
         if needs_prev
         else ""
     )
+    if needs_next:
+        prev_cols += """,
+               lead(ts) OVER w AS next_ts"""
     derived = (
         """,
                CASE WHEN prev_value IS NULL THEN NULL
@@ -377,14 +381,28 @@ for _name, _mq_fn, _agg in [
         f"sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > gts - {W1D}"
         " THEN pos_dv END)",
     ),
-    (
-        "mq_integrate",
-        "integrate(events_value[1d])",
-        f"sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > gts - {W1D}"
-        " THEN prev_value * dt / 1000.0 END)",
-    ),
 ]:
     _reg(_name, _mq(_mq_fn, PER_SERIES), _rollup_oracle(_agg, W1D, needs_prev=True))
+
+# integrate (rollupIntegrate): head segment from the WINDOW START at the
+# pre-window value, in-window pairwise areas, and a tail segment to the
+# grid point only when a sample exists after the window
+# min_by/max_by skip NULL arguments in DuckDB — wrap boundary fields in
+# structs so a NULL prev/next at the series edge survives the argmin
+_INTEGRATE_AGG = (
+    "coalesce(sum(CASE WHEN prev_ts IS NOT NULL AND prev_ts > gts - "
+    f"{W1D} THEN prev_value * dt / 1000.0 END), 0)"
+    " + CASE WHEN min_by(struct_pack(pv := prev_value), ts).pv IS NOT NULL"
+    " THEN min_by(struct_pack(pv := prev_value), ts).pv"
+    f" * (min(ts) - (gts - {W1D})) / 1000.0 ELSE 0 END"
+    " + CASE WHEN max_by(struct_pack(nt := next_ts), ts).nt IS NOT NULL"
+    " THEN max_by(value, ts) * (gts - max(ts)) / 1000.0 ELSE 0 END"
+)
+_reg(
+    "mq_integrate",
+    _mq("integrate(events_value[1d])", PER_SERIES),
+    _rollup_oracle(_INTEGRATE_AGG, W1D, needs_prev=True, needs_next=True),
+)
 
 # rate-family (scaled back to natural decimal range: see _mq docstring)
 _reg(

@@ -94,7 +94,17 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
     if series_arg_idx >= len(ae.args):
         raise PlanError(f"{name}: missing argument")
 
-    df = planner.materialize(planner.plan(ae.args[series_arg_idx], cfg), cfg)
+    if series_arg_idx == 0 and len(ae.args) > 1:
+        # plain aggregates with several args aggregate over their UNION
+        # (aggr.go: multi-arg aggregate = union of the evaluated args,
+        # exec_test `remove_resets(sum(alias(...), alias(...)))`)
+        df = planner.materialize(planner.plan(ae.args[0], cfg), cfg)
+        for extra in ae.args[1:]:
+            df = df.unionByName(
+                planner.materialize(planner.plan(extra, cfg), cfg)
+            )
+    else:
+        df = planner.materialize(planner.plan(ae.args[series_arg_idx], cfg), cfg)
     glabels = group_labels_col(ae.modifier)
     df = df.withColumn("__glabels", glabels).withColumn(
         "__gkey", canonical_labels_str(F.col("__glabels"))

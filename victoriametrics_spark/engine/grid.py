@@ -147,6 +147,7 @@ def prepare_step_buckets(
     window_ms: int,
     offset_ms: int = 0,
     needs_prev: bool = False,
+    needs_fwd: bool = False,
 ) -> DataFrame:
     """Step-bucket form of :func:`prepare_rollup_input` — NO explode.
 
@@ -177,7 +178,7 @@ def prepare_step_buckets(
         )
     df = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms))
 
-    if needs_prev:
+    if needs_prev or needs_fwd:
         w = Window.partitionBy("__series_key").orderBy("ts")
         df = (
             df.withColumn("prev_value", F.lag("value").over(w))
@@ -191,6 +192,12 @@ def prepare_step_buckets(
                 .otherwise(F.col("value")),
             )
         )
+        if needs_fwd:
+            df = (
+                df.withColumn("next_value", F.lead("value").over(w))
+                .withColumn("next_ts", F.lead("ts").over(w))
+                .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
+            )
 
     df = df.filter(
         (F.col("__sts") <= F.lit(end))

@@ -351,7 +351,8 @@ class Planner:
             # shuffle amplification drops from k× per sample to k× per
             # (series, step-bucket) partial (grid.py prepare_step_buckets)
             bucketed = prepare_step_buckets(
-                raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
+                raw, cfg, window_ms, offset_ms,
+                needs_prev=spec.needs_prev, needs_fwd=spec.needs_fwd,
             )
             partials = bucketed.groupBy("__series_key", "b").agg(
                 F.first("name").alias("name"),
@@ -372,7 +373,8 @@ class Planner:
             )
         else:
             prepared = prepare_rollup_input(
-                raw, cfg, window_ms, offset_ms, needs_prev=spec.needs_prev
+                raw, cfg, window_ms, offset_ms,
+                needs_prev=spec.needs_prev, needs_fwd=spec.needs_fwd,
             )
             grouped = (
                 prepared.groupBy("__series_key", "i")

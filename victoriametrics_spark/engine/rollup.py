@@ -76,6 +76,7 @@ class RollupSpec:
     aggs: Callable[[RollupArgs], list[Column]]
     post: Callable[[RollupArgs], Column]
     needs_prev: bool = False
+    needs_fwd: bool = False
     keep_name: bool = False
     two_level: Decomposed | None = None
     prefix: PrefixForm | None = None
@@ -197,21 +198,64 @@ _simple(
     lambda a: F.try_divide(_last_v() - F.avg(V()), F.stddev_pop(V())),
 )
 
-# integrate: left-Riemann sum(v_prev * dt) over in-window consecutive pairs
-# (rollup.go rollupIntegrate integrates value over sample intervals)
+# integrate (rollupIntegrate, rollup.go:2417-2451): left-Riemann area.
+# When a sample exists BEFORE the window, the first segment runs from the
+# WINDOW START at that prev value; without one, the first in-window
+# sample is only a base point. The final segment extends to the grid
+# timestamp only when the series has a sample after the window
+# (realNextValue guard, issue #9474).
+def _integrate_post(a: RollupArgs) -> Column:
+    sp = F.col("__sp")
+    first = F.element_at(sp, 1)
+    last = F.element_at(sp, -1)
+    has_prev = first["pv"].isNotNull()
+    win_start = F.col("gts") - F.lit(float(a.window_ms))
+    # pairwise in-window segments: each sample i>=2 contributes
+    # v[i-1] * (t[i] - t[i-1])
+    idx = F.sequence(F.lit(2), F.size(sp))
+    pair_sum = F.when(
+        F.size(sp) >= 2,
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(sp, (i - 1).cast("int"))["v"]
+            * (
+                F.element_at(sp, i.cast("int"))["t"]
+                - F.element_at(sp, (i - 1).cast("int"))["t"]
+            )
+            / F.lit(1000.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    head = F.when(
+        has_prev, first["pv"] * (first["t"] - win_start) / F.lit(1000.0)
+    ).otherwise(F.lit(0.0))
+    tail = F.when(
+        last["nt"].isNotNull(),
+        last["v"] * (F.col("gts") - last["t"]) / F.lit(1000.0),
+    ).otherwise(F.lit(0.0))
+    return head + pair_sum + tail
+
+
 _reg(
     "integrate",
     RollupSpec(
         needs_prev=True,
+        needs_fwd=True,
         aggs=lambda a: [
-            F.sum(
-                F.when(
-                    PTS().isNotNull() & (PTS() > GTS() - a.window_ms),
-                    PV() * DT() / 1000.0,
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        TS().alias("t"),
+                        V().alias("v"),
+                        PV().alias("pv"),
+                        PTS().alias("pt"),
+                        F.col("next_ts").alias("nt"),
+                    )
                 )
-            ).alias("__v")
+            ).alias("__sp")
         ],
-        post=lambda a: F.col("__v"),
+        post=_integrate_post,
     ),
 )
 

@@ -47,7 +47,9 @@ _NUM_SUFFIX = {
 # duration units are case-insensitive EXCEPT bare `m` (minutes) — `M`
 # would collide with the 1e6 number suffix (lexer.go behavior; exec_test
 # `1h23m5S` relies on uppercase S)
-_DUR_UNIT = r"(?:[mM][sS]|[sShHdDwWyY]|m|i)"
+# lowercase bare `m` is minutes ONLY when not followed by i/b (`5mib` is
+# a size suffix, lexer.go:701-718); uppercase `M` alone is 1e6
+_DUR_UNIT = r"(?:[mM][sS]|[sShHdDwWyY]|m(?![iIbB])|i)"
 _DURATION_RE = re.compile(
     rf"\d+(?:\.\d+)?{_DUR_UNIT}(?:\d+(?:\.\d+)?{_DUR_UNIT})*"
 )
@@ -136,13 +138,10 @@ def tokenize(q: str) -> list[Token]:
             m = _DURATION_RE.match(q, i)
             # duration must consume beyond a plain number (has a unit char)
             nm = _NUMBER_RE.match(q, i)
-            if m and nm and len(m.group(0)) > len(nm.group(0)):
-                toks.append(Token("DURATION", m.group(0), i))
-                i = m.end()
-                continue
+            num_end = None
             if nm:
                 end = nm.end()
-                # greedy size suffix: 1Ki, 5M, 2.5Gb ...
+                # greedy size suffix: 1Ki, 5M, 2.5Gb, 1.23mib ...
                 rest = q[end : end + 3].lower()
                 for suf in sorted(_NUM_SUFFIX, key=len, reverse=True):
                     if rest.startswith(suf):
@@ -150,8 +149,17 @@ def tokenize(q: str) -> list[Token]:
                         if nxt >= n or not _IDENT_CHAR.match(q[nxt]):
                             end = nxt
                             break
-                toks.append(Token("NUMBER", q[i:end], i))
-                i = end
+                num_end = end
+            # duration wins when it consumes more than the BARE number
+            # (`5m` = 5 minutes); the m-not-before-i/b lookahead in
+            # _DUR_UNIT already yields `1.23mib` to the size-suffix path
+            if m and nm and m.end() > nm.end():
+                toks.append(Token("DURATION", m.group(0), i))
+                i = m.end()
+                continue
+            if num_end is not None:
+                toks.append(Token("NUMBER", q[i:num_end], i))
+                i = num_end
                 continue
             raise LexError(f"bad number at {i}: {q[i:i+10]!r}")
         if _IDENT_START.match(c) or (c == "\\" and i + 1 < n):
