@@ -655,7 +655,10 @@ def _fill_missing_with_scalar(planner, df: DataFrame, sc, cfg) -> DataFrame:
     from victoriametrics_spark.schema import series_key
 
     sk = series_key(F.col("name"), F.col("labels"))
-    series = df.select(sk.alias("__sk"), "name", "labels").distinct()
+    # groupBy, not distinct — Spark forbids set ops on MAP columns
+    series = df.groupBy(sk.alias("__sk")).agg(
+        F.first("name").alias("name"), F.first("labels").alias("labels")
+    )
     g = grid_df(planner.spark, cfg)
     dense = series.crossJoin(g)
     vals = df.select(sk.alias("__sk"), "ts", "value")
