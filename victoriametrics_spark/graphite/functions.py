@@ -1,0 +1,2313 @@
+"""Graphite render function registry — Spark-first implementations.
+
+Reference: app/vmselect/graphite/transform.go (151 functions,
+functions.json) + aggr.go (the shared aggregate table). Semantics
+notes cite the reference file:line they mirror; all math runs as
+Catalyst Column expressions over the dense series frame
+``(name, ts, value)`` — no row-at-a-time Python.
+
+Graphite None ≡ SQL NULL. The shared aggregate set (aggr.go:12-31)
+ignores NULLs and yields NULL when every input is NULL, except
+``count`` (0) and ``avg_zero`` (sum/len). ``xFilesFactor`` gates every
+aggregate: non-null count must be ≥ len·xff (aggr.go:44-49).
+
+Order-sensitive aggregates (diff, pow, multiply, first, last) depend
+on series order, which a DataFrame doesn't have; we define it as
+(argument position, series name) — deterministic and documented, where
+the reference uses storage-arrival order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.graphite.evaluator import (
+    GraphiteEvalError,
+    RenderContext,
+    constant_series,
+    densify,
+    empty_series,
+    eval_series,
+    evaluate_target,
+    get_arg,
+    get_bool,
+    get_interval_or_points,
+    get_number,
+    get_string,
+    parse_interval,
+)
+from victoriametrics_spark.graphite.parser import Call, Literal, Node, Path
+
+FUNCTIONS: dict = {}
+
+
+def register(*names):
+    def deco(fn):
+        for n in names:
+            FUNCTIONS[n] = fn
+        return fn
+
+    return deco
+
+
+_ORD = "__ord"
+
+
+def _with_ord(df: DataFrame, ord_val: int = 0) -> DataFrame:
+    if _ORD in df.columns:
+        return df
+    return df.withColumn(_ORD, F.lit(ord_val))
+
+
+def _arg_text(call: Call, name: str, pos: int, default: str = "") -> str:
+    node = call.kwargs.get(name)
+    if node is None and pos < len(call.args):
+        node = call.args[pos]
+    return node.text if node is not None else default
+
+
+def _series_args(ctx: RenderContext, call: Call) -> DataFrame:
+    """Union every positional seriesList argument, tagged with its arg
+    index for order-sensitive aggregates (groupSeriesLists,
+    transform.go:300-338)."""
+    if not call.args:
+        raise GraphiteEvalError(f"{call.func}: missing seriesList")
+    out = None
+    for i, node in enumerate(call.args):
+        if isinstance(node, Literal) and not isinstance(node.value, str):
+            break  # numeric tail args (e.g. aggregate(..., func))
+        df = _with_ord(evaluate_target(ctx, node), i)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# ------------------------------------------------------- aggregate core
+
+_AGG_ALIASES = {
+    "average": "avg",
+    "total": "sum",
+    "current": "last",
+    "rangeOf": "range",
+}
+
+
+def _canon_agg(name: str) -> str:
+    n = name[: -len("Series")] if name.endswith("Series") else name
+    return _AGG_ALIASES.get(n, n)
+
+
+def _pct_index(n: Column, p: float) -> Column:
+    """1-based nearest-rank index per valyala/histogram quantile
+    (vendor/.../histogram.go:97-112): idx = ⌊phi·(n-1)+0.5⌋, clamped."""
+    idx0 = F.floor(F.lit(float(p)) * (n - 1).cast("double") + F.lit(0.5))
+    idx0 = F.least(idx0.cast("int"), n.cast("int") - 1)
+    return F.greatest(idx0, F.lit(0)) + 1
+
+
+def _agg_expr(agg: str, xff: float, p: float | None = None) -> Column:
+    """Aggregation Column for a groupBy context over (__ord, name,
+    value) rows. NULL handling per aggr.go; xff gate per aggr.go:44."""
+    agg = _canon_agg(agg)
+    v = F.col("value")
+    n_all = F.count(F.lit(1))
+    n = F.count(v)
+    gate = n >= n_all.cast("double") * F.lit(float(xff))
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(
+                v.isNotNull(), F.struct(F.col(_ORD), F.col("name"), v)
+            )
+        )
+    )
+    first = F.try_element_at(arr, F.lit(1))["value"]
+    if agg == "count":
+        return F.when(gate, n.cast("double"))
+    if agg == "avg_zero":
+        return F.when(
+            gate, F.coalesce(F.sum(v), F.lit(0.0)) / n_all.cast("double")
+        )
+    gate = gate & (n > 0)
+    if agg == "avg":
+        out = F.avg(v)
+    elif agg == "sum":
+        out = F.sum(v)
+    elif agg == "min":
+        out = F.min(v)
+    elif agg == "max":
+        out = F.max(v)
+    elif agg == "stddev":
+        out = F.sqrt(F.var_pop(v))
+    elif agg == "range":
+        out = F.max(v) - F.min(v)
+    elif agg == "median" or agg == "percentile":
+        vs = F.array_sort(F.transform(arr, lambda x: x["value"]))
+        out = F.try_element_at(vs, _pct_index(n, 0.5 if p is None else p))
+    elif agg == "diff":
+        out = F.lit(2.0) * first - F.sum(v)
+    elif agg == "multiply":
+        out = F.aggregate(arr, F.lit(1.0), lambda a, x: a * x["value"])
+    elif agg == "pow":
+        out = F.aggregate(
+            arr,
+            F.lit(None).cast("double"),
+            lambda a, x: F.when(a.isNull(), x["value"]).otherwise(
+                F.pow(a, x["value"])
+            ),
+        )
+    elif agg == "first":
+        out = first
+    elif agg == "last":
+        out = F.try_element_at(arr, F.lit(-1))["value"]
+    else:
+        raise GraphiteEvalError(f"unsupported aggregate function {agg!r}")
+    return F.when(gate, out)
+
+
+def _combine(
+    df: DataFrame, agg: str, out_name, xff: float, p: float | None = None
+) -> DataFrame:
+    """Cross-series pointwise aggregation → one series
+    (aggregateSeries, transform.go:339-420)."""
+    df = _with_ord(df)
+    out = df.groupBy("ts").agg(_agg_expr(agg, xff, p).alias("value"))
+    name_col = F.lit(out_name) if isinstance(out_name, str) else out_name
+    return out.select(name_col.alias("name"), "ts", "value")
+
+
+def _combine_by_key(
+    df: DataFrame, key: Column, agg: str, xff: float
+) -> DataFrame:
+    """Grouped pointwise aggregation; result name = group key
+    (groupByNodes, transform.go groupSeriesByNodes)."""
+    df = _with_ord(df)
+    return (
+        df.withColumn("__key", key)
+        .groupBy("__key", "ts")
+        .agg(_agg_expr(agg, xff).alias("value"))
+        .select(F.col("__key").alias("name"), "ts", "value")
+    )
+
+
+def _series_stats(df: DataFrame, agg: str, xff: float = 0.0) -> DataFrame:
+    """Per-series whole-range statistic (name, __stat) — the basis of
+    every filterSeries/highest/sort variant (transform.go:1645,1920)."""
+    df = _with_ord(df)
+    return df.groupBy("name").agg(_agg_expr(agg, xff).alias("__stat"))
+
+
+def _rename(df: DataFrame, name_col: Column) -> DataFrame:
+    return df.select(name_col.alias("name"), "ts", "value")
+
+
+def _wrap_name(df: DataFrame, prefix: str, suffix: str = ")") -> DataFrame:
+    return _rename(
+        df, F.concat(F.lit(prefix + "("), F.col("name"), F.lit(suffix))
+    )
+
+
+def _per_point(df: DataFrame, fn, prefix: str | None = None) -> DataFrame:
+    out = df.withColumn("value", fn(F.col("value")))
+    if prefix:
+        out = _wrap_name(out, prefix)
+    return out
+
+
+def _split_path(c: Column) -> Column:
+    return F.split(_path_of(c), r"\.")
+
+
+def _path_of(c: Column) -> Column:
+    """Extract the metric path from a (possibly function-wrapped)
+    series name — stands in for the reference's per-series
+    pathExpression tracking."""
+    rx = r"([A-Za-z0-9_\-*?:%#$~@{}\[\]]+(?:\.[A-Za-z0-9_\-*?:%#$~@{}\[\]]+)+)"
+    ex = F.regexp_extract(c, rx, 1)
+    return F.when(ex == "", c).otherwise(ex)
+
+
+def _node_col(name_col: Column, idx: int) -> Column:
+    nodes = _split_path(name_col)
+    pos = idx + 1 if idx >= 0 else idx
+    return F.coalesce(F.try_element_at(nodes, F.lit(pos)), F.lit(""))
+
+
+def _nodes_key(name_col: Column, idxs: list[int]) -> Column:
+    return F.concat_ws(".", *[_node_col(name_col, i) for i in idxs])
+
+
+def _series_window() -> Window:
+    return Window.partitionBy("name").orderBy("ts")
+
+
+# ---------------------------------------------------- combine functions
+
+
+def _aggregate_series(ctx, call, agg, name_fmt=None):
+    df = _series_args(ctx, call)
+    texts = ",".join(a.text for a in call.args)
+    out_name = name_fmt or f"{_canon_agg(agg)}Series({texts})"
+    return _combine(df, agg, out_name, ctx.xfiles_factor)
+
+
+@register("sumSeries", "sum")
+def _f_sum_series(ctx, call):
+    return _aggregate_series(ctx, call, "sum")
+
+
+@register("averageSeries", "avg")
+def _f_avg_series(ctx, call):
+    return _aggregate_series(ctx, call, "avg")
+
+
+@register("minSeries")
+def _f_min_series(ctx, call):
+    return _aggregate_series(ctx, call, "min")
+
+
+@register("maxSeries")
+def _f_max_series(ctx, call):
+    return _aggregate_series(ctx, call, "max")
+
+
+@register("stddevSeries")
+def _f_stddev_series(ctx, call):
+    return _aggregate_series(ctx, call, "stddev")
+
+
+@register("multiplySeries")
+def _f_multiply_series(ctx, call):
+    return _aggregate_series(ctx, call, "multiply")
+
+
+@register("diffSeries")
+def _f_diff_series(ctx, call):
+    return _aggregate_series(ctx, call, "diff")
+
+
+@register("rangeOfSeries")
+def _f_range_series(ctx, call):
+    return _aggregate_series(ctx, call, "range")
+
+
+@register("countSeries")
+def _f_count_series(ctx, call):
+    """Number of series in the list, as a constant line
+    (transform.go transformCountSeries: len of the list)."""
+    df = _series_args(ctx, call)
+    texts = ",".join(a.text for a in call.args)
+    out = df.groupBy("ts").agg(
+        F.count_distinct("name").cast("double").alias("value")
+    )
+    return out.select(
+        F.lit(f"countSeries({texts})").alias("name"), "ts", "value"
+    )
+
+
+@register("powSeries")
+def _f_pow_series(ctx, call):
+    return _aggregate_series(ctx, call, "pow")
+
+
+@register("aggregate")
+def _f_aggregate(ctx, call):
+    func = get_string(call, "func", 1)
+    xff = get_number(call, "xFilesFactor", 2, ctx.xfiles_factor)
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    text = _arg_text(call, "seriesList", 0)
+    return _combine(df, func, f"{_canon_agg(func)}Series({text})", xff)
+
+
+@register("percentileOfSeries")
+def _f_percentile_of_series(ctx, call):
+    n = get_number(call, "n", 1)
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    text = _arg_text(call, "seriesList", 0)
+    return _combine(
+        df,
+        "percentile",
+        f"percentileOfSeries({text},{n:g})",
+        ctx.xfiles_factor,
+        p=n / 100.0,
+    )
+
+
+@register("group")
+def _f_group(ctx, call):
+    return _series_args(ctx, call)
+
+
+@register("unique")
+def _f_unique(ctx, call):
+    """Keep the first occurrence of each name across the arg lists."""
+    df = _series_args(ctx, call)
+    w = Window.partitionBy("name", "ts").orderBy(_ORD)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("name", "ts", "value")
+    )
+
+
+# ------------------------------------------------------- grouped combine
+
+
+def _group_by_nodes(ctx, call, agg: str, idxs: list[int]):
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    return _combine_by_key(
+        df, _nodes_key(F.col("name"), idxs), agg, ctx.xfiles_factor
+    )
+
+
+@register("groupByNode")
+def _f_group_by_node(ctx, call):
+    idx = int(get_number(call, "nodeNum", 1))
+    cb = get_string(call, "callback", 2, "average")
+    return _group_by_nodes(ctx, call, cb, [idx])
+
+
+@register("groupByNodes")
+def _f_group_by_nodes(ctx, call):
+    cb = get_string(call, "callback", 1)
+    idxs = [int(get_number(call, f"node{i}", i + 2)) for i in
+            range(len(call.args) - 2)]
+    return _group_by_nodes(ctx, call, cb, idxs)
+
+
+def _with_wildcards(ctx, call, agg: str):
+    """Name with the given node positions dropped; aggregate within
+    each resulting name (aggregateSeriesWithWildcardsGeneric)."""
+    first_num = 2 if call.func == "aggregateWithWildcards" else 1
+    if call.func == "aggregateWithWildcards":
+        agg = get_string(call, "func", 1)
+    idxs = {
+        int(get_number(call, f"position{i}", i + first_num))
+        for i in range(len(call.args) - first_num)
+    }
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    nodes = _split_path(F.col("name"))
+    kept = F.filter(
+        F.transform(
+            nodes, lambda x, i: F.struct(i.alias("i"), x.alias("s"))
+        ),
+        (lambda st: ~st["i"].isin(*sorted(idxs)))
+        if idxs
+        else (lambda st: F.lit(True)),
+    )
+    key = F.array_join(F.transform(kept, lambda st: st["s"]), ".")
+    return _combine_by_key(df, key, agg, ctx.xfiles_factor)
+
+
+@register("aggregateWithWildcards")
+def _f_aggregate_with_wildcards(ctx, call):
+    return _with_wildcards(ctx, call, "")
+
+
+@register("sumSeriesWithWildcards")
+def _f_sum_with_wildcards(ctx, call):
+    return _with_wildcards(ctx, call, "sum")
+
+
+@register("averageSeriesWithWildcards")
+def _f_avg_with_wildcards(ctx, call):
+    return _with_wildcards(ctx, call, "avg")
+
+
+@register("multiplySeriesWithWildcards")
+def _f_multiply_with_wildcards(ctx, call):
+    return _with_wildcards(ctx, call, "multiply")
+
+
+# --------------------------------------------------- per-point transforms
+
+
+@register("absolute")
+def _f_absolute(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0), F.abs, "absolute"
+    )
+
+
+@register("offset", "add")
+def _f_offset(ctx, call):
+    factor = get_number(call, "factor" if call.func == "offset" else
+                        "constant", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn("value", F.col("value") + F.lit(float(factor)))
+    return _rename(
+        out,
+        F.concat(
+            F.lit(f"{call.func}("), F.col("name"), F.lit(f",{factor:g})")
+        ),
+    )
+
+
+@register("scale")
+def _f_scale(ctx, call):
+    factor = get_number(call, "factor", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn("value", F.col("value") * F.lit(float(factor)))
+    return _rename(
+        out,
+        F.concat(F.lit("scale("), F.col("name"), F.lit(f",{factor:g})")),
+    )
+
+
+@register("scaleToSeconds")
+def _f_scale_to_seconds(ctx, call):
+    """v · seconds/step_sec (transform.go transformScaleToSeconds)."""
+    seconds = get_number(call, "seconds", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    k = float(seconds) / (ctx.step / 1000.0)
+    out = df.withColumn("value", F.col("value") * F.lit(k))
+    return _rename(
+        out,
+        F.concat(
+            F.lit("scaleToSeconds("), F.col("name"), F.lit(f",{seconds:g})")
+        ),
+    )
+
+
+@register("invert")
+def _f_invert(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0),
+        lambda v: F.try_divide(F.lit(1.0), F.nullif(v, F.lit(0.0))),
+        "invert",
+    )
+
+
+@register("pow")
+def _f_pow(ctx, call):
+    factor = get_number(call, "factor", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn("value", F.pow(F.col("value"), F.lit(float(factor))))
+    return _rename(
+        out,
+        F.concat(F.lit("pow("), F.col("name"), F.lit(f",{factor:g})")),
+    )
+
+
+@register("squareRoot")
+def _f_square_root(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0),
+        lambda v: F.when(v >= 0, F.sqrt(v)),
+        "squareRoot",
+    )
+
+
+@register("exp")
+def _f_exp(ctx, call):
+    return _per_point(eval_series(ctx, call, "seriesList", 0), F.exp, "exp")
+
+
+@register("logarithm", "log")
+def _f_log(ctx, call):
+    base = get_number(call, "base", 1, 10.0)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn(
+        "value",
+        F.when(
+            F.col("value") > 0,
+            F.log(F.col("value")) / F.lit(float(__import__("math").log(base))),
+        ),
+    )
+    return _rename(
+        out,
+        F.concat(F.lit("log("), F.col("name"), F.lit(f",{base:g})")),
+    )
+
+
+@register("sigmoid")
+def _f_sigmoid(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0),
+        lambda v: F.lit(1.0) / (F.lit(1.0) + F.exp(-v)),
+        "sigmoid",
+    )
+
+
+@register("logit")
+def _f_logit(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0),
+        lambda v: F.when(
+            (v > 0) & (v < 1), F.log(v / (F.lit(1.0) - v))
+        ),
+        "logit",
+    )
+
+
+@register("round")
+def _f_round(ctx, call):
+    precision = int(get_number(call, "precision", 1, 0))
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn("value", F.round(F.col("value"), precision))
+    return _rename(
+        out,
+        F.concat(F.lit("round("), F.col("name"), F.lit(f",{precision})")),
+    )
+
+
+@register("isNonNull")
+def _f_is_non_null(ctx, call):
+    return _per_point(
+        eval_series(ctx, call, "seriesList", 0),
+        lambda v: F.when(v.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+        "isNonNull",
+    )
+
+
+@register("transformNull")
+def _f_transform_null(ctx, call):
+    default = get_number(call, "default", 1, 0.0)
+    ref_node = get_arg(call, "referenceSeries", 2, None)
+    df = eval_series(ctx, call, "seriesList", 0)
+    filled = F.coalesce(F.col("value"), F.lit(float(default)))
+    if ref_node is not None:
+        ref = evaluate_target(ctx, ref_node)
+        ref_ok = ref.filter(F.col("value").isNotNull()).select(
+            F.col("ts").alias("__rts")
+        ).distinct()
+        df = df.join(
+            F.broadcast(ref_ok), df["ts"] == F.col("__rts"), "left"
+        )
+        filled = F.when(
+            F.col("__rts").isNotNull(),
+            F.coalesce(F.col("value"), F.lit(float(default))),
+        ).otherwise(F.col("value"))
+    out = df.withColumn("value", filled).select("name", "ts", "value")
+    return _rename(
+        out,
+        F.concat(
+            F.lit(f"transformNull("), F.col("name"), F.lit(f",{default:g})")
+        ),
+    )
+
+
+@register("drawAsInfinite")
+def _f_draw_as_infinite(ctx, call):
+    return _wrap_name(
+        eval_series(ctx, call, "seriesList", 0), "drawAsInfinite"
+    )
+
+
+@register("minMax")
+def _f_min_max(ctx, call):
+    """(v - min)/(max - min) per series; NaN min/max → 0; ±Inf → 0
+    (transform.go:2593-2626)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    w = Window.partitionBy("name")
+    mn = F.coalesce(F.min("value").over(w), F.lit(0.0))
+    mx = F.coalesce(F.max("value").over(w), F.lit(0.0))
+    raw = (F.col("value") - mn) / (mx - mn)
+    v = F.when(
+        raw.isin(float("inf"), float("-inf")) | raw.isNull(),
+        F.when(F.col("value").isNull(), F.lit(None)).otherwise(F.lit(0.0)),
+    ).otherwise(raw)
+    out = df.withColumn("value", v)
+    return _wrap_name(out, "minMax")
+
+
+@register("offsetToZero")
+def _f_offset_to_zero(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    w = Window.partitionBy("name")
+    out = df.withColumn("value", F.col("value") - F.min("value").over(w))
+    return _wrap_name(out, "offsetToZero")
+
+
+# ------------------------------------------------- sequential transforms
+
+
+@register("derivative")
+def _f_derivative(ctx, call):
+    """v[i] - v[i-1]; NULL when either side is NULL
+    (transform.go:1245-1272)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    prev = F.lag("value").over(_series_window())
+    out = df.withColumn("value", F.col("value") - prev)
+    return _wrap_name(out, "derivative")
+
+
+def _non_negative_delta(max_v: float | None, min_v: float | None) -> Column:
+    """nonNegativeDelta (transform.go:4574-4595): counter delta with
+    optional wrap bounds. NULL gaps break the chain (prev := cur even
+    when cur is NULL)."""
+    cur = F.col("value")
+    prev = F.lag("value").over(_series_window())
+    out_of_bounds = F.lit(False)
+    if max_v is not None:
+        out_of_bounds = out_of_bounds | (cur > F.lit(float(max_v)))
+    if min_v is not None:
+        out_of_bounds = out_of_bounds | (cur < F.lit(float(min_v)))
+    inc = cur - prev
+    if max_v is not None:
+        wrap = (
+            F.lit(float(max_v))
+            + 1
+            + cur
+            - prev
+            - F.lit(float(min_v if min_v is not None else 0.0))
+        )
+    elif min_v is not None:
+        wrap = cur - F.lit(float(min_v))
+    else:
+        wrap = F.lit(None).cast("double")
+    return F.when(out_of_bounds, F.lit(None).cast("double")).otherwise(
+        F.when(
+            cur.isNull() | prev.isNull(), F.lit(None).cast("double")
+        ).otherwise(F.when(cur >= prev, inc).otherwise(wrap))
+    )
+
+
+def _opt_bound(call: Call, name: str, pos: int) -> float | None:
+    node = get_arg(call, name, pos, None)
+    if node is None or (isinstance(node, Literal) and node.value is None):
+        return None
+    return get_number(call, name, pos)
+
+
+@register("nonNegativeDerivative")
+def _f_non_negative_derivative(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    delta = _non_negative_delta(
+        _opt_bound(call, "maxValue", 1), _opt_bound(call, "minValue", 2)
+    )
+    return _wrap_name(
+        df.withColumn("value", delta), "nonNegativeDerivative"
+    )
+
+
+@register("perSecond")
+def _f_per_second(ctx, call):
+    """nonNegativeDelta / step-seconds (transform.go:4536-4572)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    delta = _non_negative_delta(
+        _opt_bound(call, "maxValue", 1), _opt_bound(call, "minValue", 2)
+    )
+    out = df.withColumn("value", delta / F.lit(ctx.step / 1000.0))
+    return _wrap_name(out, "perSecond")
+
+
+@register("integral")
+def _f_integral(ctx, call):
+    """Running sum; NULL points stay NULL but don't reset the sum
+    (transform.go:2160-2187)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    run = F.sum("value").over(w)
+    out = df.withColumn(
+        "value", F.when(F.col("value").isNotNull(), run)
+    )
+    return _wrap_name(out, "integral")
+
+
+@register("integralByInterval")
+def _f_integral_by_interval(ctx, call):
+    """Running sum resetting at each interval boundary
+    (transform.go:2189-2236: bucket = ts / interval)."""
+    unit = get_string(call, "intervalUnit", 1)
+    interval = parse_interval(unit)
+    df = eval_series(ctx, call, "seriesList", 0)
+    bucket = F.floor(F.col("ts") / F.lit(interval))
+    w = (
+        Window.partitionBy("name", bucket)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum("value").over(w)
+    out = df.withColumn(
+        "value", F.when(F.col("value").isNotNull(), run)
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("integralByInterval("),
+            F.col("name"),
+            F.lit(f",'{unit}')"),
+        ),
+    )
+
+
+@register("cumulative")
+def _f_cumulative(ctx, call):
+    """cumulative(seriesList) ≡ consolidateBy(seriesList, 'sum')."""
+    ctx2 = replace(ctx, consolidation="sum")
+    df = eval_series(ctx2, call, "seriesList", 0)
+    return _wrap_name(df, "cumulative")
+
+
+@register("delay")
+def _f_delay(ctx, call):
+    steps = int(get_number(call, "steps", 1))
+    w = ctx.step * abs(steps)
+    if steps >= 0:
+        inner = ctx.with_range(start=ctx.start - w)
+    else:
+        inner = ctx.with_range(end=ctx.end + w)
+    df = eval_series(inner, call, "seriesList", 0)
+    # shift by moving timestamps: value at ts comes from ts - steps·step
+    out = df.withColumn(
+        "ts", F.col("ts") + F.lit(steps * ctx.step)
+    ).filter((F.col("ts") >= ctx.start) & (F.col("ts") < ctx.end))
+    return _rename(
+        out,
+        F.concat(F.lit("delay("), F.col("name"), F.lit(f",{steps})")),
+    )
+
+
+@register("keepLastValue")
+def _f_keep_last_value(ctx, call):
+    """Forward-fill NULL runs of length ≤ limit
+    (transform.go:2298-2333)."""
+    limit = get_number(call, "limit", 1, float("inf"))
+    df = eval_series(ctx, call, "seriesList", 0)
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    last_v = F.last("value", ignorenulls=True).over(w)
+    last_ts = F.last(
+        F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap_pts = (F.col("ts") - last_ts) / F.lit(ctx.step)
+    fill = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(gap_pts <= F.lit(float(limit)), last_v)
+    )
+    return _wrap_name(df.withColumn("value", fill), "keepLastValue")
+
+
+@register("interpolate")
+def _f_interpolate(ctx, call):
+    """Linear fill across interior NULL runs of length ≤ limit
+    (transform.go:2238-2296)."""
+    limit = get_number(call, "limit", 1, float("inf"))
+    df = eval_series(ctx, call, "seriesList", 0)
+    wb = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    wf = _series_window().rowsBetween(0, Window.unboundedFollowing)
+    pv = F.last("value", ignorenulls=True).over(wb)
+    pt = F.last(
+        F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True
+    ).over(wb)
+    nv = F.first("value", ignorenulls=True).over(wf)
+    nt = F.first(
+        F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True
+    ).over(wf)
+    run_pts = (nt - pt) / F.lit(ctx.step) - 1
+    interp = pv + (nv - pv) * (F.col("ts") - pt) / (nt - pt)
+    fill = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(
+            pv.isNotNull()
+            & nv.isNotNull()
+            & (run_pts <= F.lit(float(limit))),
+            interp,
+        )
+    )
+    return _wrap_name(df.withColumn("value", fill), "interpolate")
+
+
+@register("changed")
+def _f_changed(ctx, call):
+    """1 when the value differs from the previous point, else 0
+    (graphite-web changed; NULL prev or cur → 0)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    prev = F.lag("value").over(_series_window())
+    v = F.when(
+        F.col("value").isNotNull()
+        & prev.isNotNull()
+        & (F.col("value") != prev),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    return _wrap_name(df.withColumn("value", v), "changed")
+
+
+# ------------------------------------------------------- moving windows
+
+
+def _window_points(ctx: RenderContext, call: Call, name: str, pos: int):
+    pts, interval = get_interval_or_points(call, name, pos)
+    if pts is None:
+        pts = max(1, interval // ctx.step)
+    return int(pts)
+
+
+def _agg_over_window(agg: str, xff: float, win) -> Column:
+    """Windowed flavor of _agg_expr: trailing-frame aggregate in TIME
+    order (movingWindow, transform.go:2758-2824: values in
+    [tsEnd-W, tsEnd), output at tsEnd)."""
+    agg = _canon_agg(agg)
+    v = F.col("value")
+    n_all = F.count(F.lit(1)).over(win)
+    n = F.count(v).over(win)
+    gate = n >= n_all.cast("double") * F.lit(float(xff))
+    arr = F.array_sort(
+        F.collect_list(
+            F.when(v.isNotNull(), F.struct(F.col("ts"), v))
+        ).over(win)
+    )
+    first = F.try_element_at(arr, F.lit(1))["value"]
+    if agg == "count":
+        return F.when(gate, n.cast("double"))
+    if agg == "avg_zero":
+        return F.when(
+            gate,
+            F.coalesce(F.sum(v).over(win), F.lit(0.0))
+            / n_all.cast("double"),
+        )
+    gate = gate & (n > 0)
+    if agg == "avg":
+        out = F.avg(v).over(win)
+    elif agg == "sum":
+        out = F.sum(v).over(win)
+    elif agg == "min":
+        out = F.min(v).over(win)
+    elif agg == "max":
+        out = F.max(v).over(win)
+    elif agg == "stddev":
+        out = F.sqrt(F.var_pop(v).over(win))
+    elif agg == "range":
+        out = F.max(v).over(win) - F.min(v).over(win)
+    elif agg == "median" or agg == "percentile":
+        vs = F.array_sort(F.transform(arr, lambda x: x["value"]))
+        out = F.try_element_at(vs, _pct_index(n, 0.5))
+    elif agg == "diff":
+        out = F.lit(2.0) * first - F.sum(v).over(win)
+    elif agg == "multiply":
+        out = F.aggregate(arr, F.lit(1.0), lambda a, x: a * x["value"])
+    elif agg == "first":
+        out = first
+    elif agg == "last":
+        out = F.try_element_at(arr, F.lit(-1))["value"]
+    else:
+        raise GraphiteEvalError(f"unsupported moving aggregate {agg!r}")
+    return F.when(gate, out)
+
+
+def _moving(ctx, call, agg: str, xff_pos: int = 2):
+    """movingWindow core: evaluate the inner expression on a range
+    extended back by the window, aggregate the k preceding grid points
+    (EXCLUDING the current one), drop the extension
+    (transform.go:2758-2824)."""
+    k = _window_points(ctx, call, "windowSize", 1)
+    xff = get_number(call, "xFilesFactor", xff_pos, ctx.xfiles_factor)
+    inner = ctx.with_range(start=ctx.start - k * ctx.step)
+    df = eval_series(inner, call, "seriesList", 0)
+    win = _series_window().rowsBetween(-k, -1)
+    out = df.withColumn("value", _agg_over_window(agg, xff, win)).filter(
+        F.col("ts") >= F.lit(ctx.start)
+    )
+    # reference: tagName = "moving" + strings.Title(funcName) of the
+    # name as passed (transform.go:2788)
+    tag = "moving" + agg[:1].upper() + agg[1:]
+    wtext = _arg_text(call, "windowSize", 1)
+    return _rename(
+        out,
+        F.concat(F.lit(f"{tag}("), F.col("name"), F.lit(f",{wtext})")),
+    )
+
+
+@register("movingAverage")
+def _f_moving_average(ctx, call):
+    return _moving(ctx, call, "average")
+
+
+@register("movingSum")
+def _f_moving_sum(ctx, call):
+    return _moving(ctx, call, "sum")
+
+
+@register("movingMin")
+def _f_moving_min(ctx, call):
+    return _moving(ctx, call, "min")
+
+
+@register("movingMax")
+def _f_moving_max(ctx, call):
+    return _moving(ctx, call, "max")
+
+
+@register("movingMedian")
+def _f_moving_median(ctx, call):
+    return _moving(ctx, call, "median")
+
+
+@register("movingWindow")
+def _f_moving_window(ctx, call):
+    func = get_string(call, "func", 2, "avg")
+    return _moving(ctx, call, func, xff_pos=3)
+
+
+@register("exponentialMovingAverage")
+def _f_ema(ctx, call):
+    """EMA with c = 2/(N+1), seeded by the average of the first window
+    (graphite-web exponentialMovingAverage; reference
+    transform.go transformExponentialMovingAverage). NULL points leave
+    the EMA unchanged and emit NULL. Catalyst fold over the per-series
+    point array — bounded by the render range, not corpus size."""
+    k = _window_points(ctx, call, "windowSize", 1)
+    c = 2.0 / (k + 1.0)
+    inner = ctx.with_range(start=ctx.start - k * ctx.step)
+    df = eval_series(inner, call, "seriesList", 0)
+    pts = df.groupBy("name").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("value")))
+        ).alias("__pts")
+    )
+    seed_slice = F.slice(F.col("__pts"), 1, k)
+    seed_vals = F.filter(
+        F.transform(seed_slice, lambda x: x["value"]),
+        lambda x: x.isNotNull(),
+    )
+    seed = F.when(
+        F.size(seed_vals) > 0,
+        F.aggregate(seed_vals, F.lit(0.0), lambda a, x: a + x)
+        / F.size(seed_vals).cast("double"),
+    )
+    rest = F.slice(
+        F.col("__pts"), k + 1, F.greatest(F.size("__pts") - k, F.lit(0))
+    )
+    folded = F.aggregate(
+        rest,
+        F.struct(
+            seed.alias("ema"),
+            F.array().cast(
+                "array<struct<ts:bigint,value:double>>"
+            ).alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                x["value"].isNotNull(),
+                F.when(
+                    acc["ema"].isNull(), x["value"]
+                ).otherwise(
+                    F.lit(c) * x["value"] + F.lit(1.0 - c) * acc["ema"]
+                ),
+            ).otherwise(acc["ema"]).alias("ema"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["ts"].alias("ts"),
+                        F.when(
+                            x["value"].isNotNull(),
+                            F.when(
+                                acc["ema"].isNull(), x["value"]
+                            ).otherwise(
+                                F.lit(c) * x["value"]
+                                + F.lit(1.0 - c) * acc["ema"]
+                            ),
+                        ).alias("value"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )["out"]
+    wtext = _arg_text(call, "windowSize", 1)
+    exploded = pts.select(
+        "name", F.explode(folded).alias("__p")
+    ).select(
+        F.concat(
+            F.lit("exponentialMovingAverage("),
+            F.col("name"),
+            F.lit(f",{wtext})"),
+        ).alias("name"),
+        F.col("__p.ts").alias("ts"),
+        F.col("__p.value").alias("value"),
+    )
+    return exploded.filter(F.col("ts") >= F.lit(ctx.start))
+
+
+@register("stdev")
+def _f_stdev(ctx, call):
+    """Trailing moving population stddev over `points` grid points
+    INCLUDING the current one; NULL when the missing fraction exceeds
+    windowTolerance (graphite-web stdev)."""
+    k = int(get_number(call, "points", 1))
+    tol = get_number(call, "windowTolerance", 2, 0.1)
+    inner = ctx.with_range(start=ctx.start - (k - 1) * ctx.step)
+    df = eval_series(inner, call, "seriesList", 0)
+    win = _series_window().rowsBetween(-(k - 1), 0)
+    n_all = F.count(F.lit(1)).over(win)
+    n = F.count("value").over(win)
+    ok = (n_all - n).cast("double") <= n_all.cast("double") * F.lit(tol)
+    sd = F.sqrt(F.var_pop("value").over(win))
+    out = df.withColumn(
+        "value", F.when(ok & (n > 0), sd)
+    ).filter(F.col("ts") >= F.lit(ctx.start))
+    return _rename(
+        out, F.concat(F.lit("stdev("), F.col("name"), F.lit(f",{k})"))
+    )
+
+
+# ------------------------------------------------- summarize / hitcount
+
+
+def _bucketize(
+    ctx, call, interval: int, anchor: int, end2: int, agg: str, name_fmt
+):
+    inner = ctx.with_range(start=min(anchor, ctx.start), end=end2)
+    df = _with_ord(eval_series(inner, call, "seriesList", 0))
+    df = df.filter(F.col("ts") >= F.lit(anchor))
+    bucket = F.floor((F.col("ts") - F.lit(anchor)) / F.lit(interval))
+    out = (
+        df.withColumn("__b", bucket)
+        .groupBy("name", "__b")
+        .agg(_agg_expr(agg, ctx.xfiles_factor).alias("value"))
+        .select(
+            "name",
+            (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
+            "value",
+        )
+    )
+    return _rename(out, name_fmt(F.col("name")))
+
+
+@register("summarize")
+def _f_summarize(ctx, call):
+    """Bucket aggregation at a coarser interval
+    (transform.go:3284-3337). Without alignToFrom the range is aligned
+    down/up to interval boundaries."""
+    interval_s = get_string(call, "intervalString", 1)
+    interval = parse_interval(interval_s)
+    if interval <= 0:
+        raise GraphiteEvalError("summarize: interval must be positive")
+    func = get_string(call, "func", 2, "sum")
+    align = get_bool(call, "alignToFrom", 3, False)
+    if align:
+        anchor, end2 = ctx.start, ctx.end
+    else:
+        anchor = ctx.start - ctx.start % interval
+        end2 = ctx.end + (interval - ctx.end % interval) % interval
+    suffix = (
+        f",'{interval_s}','{func}',true)" if align
+        else f",'{interval_s}','{func}')"
+    )
+    return _bucketize(
+        ctx, call, interval, anchor, end2, func,
+        lambda n: F.concat(F.lit("summarize("), n, F.lit(suffix)),
+    )
+
+
+@register("smartSummarize")
+def _f_smart_summarize(ctx, call):
+    """summarize aligned to the render start (graphite-web
+    smartSummarize with default alignTo)."""
+    interval_s = get_string(call, "intervalString", 1)
+    interval = parse_interval(interval_s)
+    func = get_string(call, "func", 2, "sum")
+    return _bucketize(
+        ctx, call, interval, ctx.start, ctx.end, func,
+        lambda n: F.concat(
+            F.lit("smartSummarize("),
+            n,
+            F.lit(f",'{interval_s}','{func}')"),
+        ),
+    )
+
+
+@register("hitcount")
+def _f_hitcount(ctx, call):
+    """Σ v·step_seconds per bucket — estimated hit count assuming
+    per-second rates (transform.go:2040-2120)."""
+    interval_s = get_string(call, "intervalString", 1)
+    interval = parse_interval(interval_s)
+    align = get_bool(call, "alignToInterval", 2, False)
+    anchor = ctx.start - (ctx.start % interval if align else 0)
+    df = eval_series(ctx, call, "seriesList", 0)
+    bucket = F.floor((F.col("ts") - F.lit(anchor)) / F.lit(interval))
+    out = (
+        df.withColumn("__b", bucket)
+        .groupBy("name", "__b")
+        .agg(
+            (F.sum("value") * F.lit(ctx.step / 1000.0)).alias("value")
+        )
+        .select(
+            "name",
+            (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
+            "value",
+        )
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("hitcount("), F.col("name"), F.lit(f",'{interval_s}')")
+        ),
+    )
+
+
+# ------------------------------------------- series filters / selection
+
+
+def _filter_by_stat(df: DataFrame, agg: str, op: str, threshold: float):
+    """filterSeriesGeneric (transform.go:1645-1665): keep series whose
+    whole-range statistic satisfies the comparison."""
+    stats = _series_stats(df, agg)
+    ops = {
+        ">": F.col("__stat") > threshold,
+        ">=": F.col("__stat") >= threshold,
+        "<": F.col("__stat") < threshold,
+        "<=": F.col("__stat") <= threshold,
+        "=": F.col("__stat") == threshold,
+        "!=": F.col("__stat") != threshold,
+    }
+    if op not in ops:
+        raise GraphiteEvalError(f"unsupported operator {op!r}")
+    keep = stats.filter(ops[op]).select("name")
+    return df.join(F.broadcast(keep), "name", "left_semi")
+
+
+def _make_stat_filter(agg: str, op: str):
+    def f(ctx, call):
+        n = get_number(call, "n", 1)
+        df = eval_series(ctx, call, "seriesList", 0)
+        return _filter_by_stat(df, agg, op, n)
+
+    return f
+
+
+register("averageAbove")(_make_stat_filter("average", ">"))
+register("averageBelow")(_make_stat_filter("average", "<"))
+register("currentAbove")(_make_stat_filter("last", ">"))
+register("currentBelow")(_make_stat_filter("last", "<"))
+register("maximumAbove")(_make_stat_filter("max", ">"))
+register("maximumBelow")(_make_stat_filter("max", "<"))
+register("minimumAbove")(_make_stat_filter("min", ">"))
+register("minimumBelow")(_make_stat_filter("min", "<"))
+
+
+@register("filterSeries")
+def _f_filter_series(ctx, call):
+    func = get_string(call, "func", 1)
+    op = get_string(call, "operator", 2)
+    threshold = get_number(call, "threshold", 3)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _filter_by_stat(df, func, op, threshold)
+
+
+def _top_by_stat(df: DataFrame, agg: str, n: int, lowest: bool):
+    """highestGeneric/lowestGeneric (transform.go:1920-1999) — two-phase
+    top-k: per-series stat, rank (ties broken by name for determinism
+    where the reference's heap order is arbitrary), broadcast semi-join
+    back. Scale-safe: the window ranks series-level rows, not samples."""
+    stats = _series_stats(df, agg)
+    order = (
+        [F.col("__stat").asc_nulls_last(), F.col("name")]
+        if lowest
+        else [F.col("__stat").desc_nulls_last(), F.col("name")]
+    )
+    w = Window.orderBy(*order)
+    keep = (
+        stats.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .select("name")
+    )
+    return df.join(F.broadcast(keep), "name", "left_semi")
+
+
+def _make_top(agg: str, lowest: bool):
+    def f(ctx, call):
+        n = int(get_number(call, "n", 1, 1))
+        df = eval_series(ctx, call, "seriesList", 0)
+        return _top_by_stat(df, agg, n, lowest)
+
+    return f
+
+
+register("highestAverage")(_make_top("average", False))
+register("highestCurrent")(_make_top("last", False))
+register("highestMax")(_make_top("max", False))
+register("lowestAverage")(_make_top("average", True))
+register("lowestCurrent")(_make_top("last", True))
+
+
+@register("highest")
+def _f_highest(ctx, call):
+    n = int(get_number(call, "n", 1, 1))
+    func = get_string(call, "func", 2, "average")
+    return _top_by_stat(
+        eval_series(ctx, call, "seriesList", 0), func, n, False
+    )
+
+
+@register("lowest")
+def _f_lowest(ctx, call):
+    n = int(get_number(call, "n", 1, 1))
+    func = get_string(call, "func", 2, "average")
+    return _top_by_stat(
+        eval_series(ctx, call, "seriesList", 0), func, n, True
+    )
+
+
+@register("mostDeviant")
+def _f_most_deviant(ctx, call):
+    n = int(get_number(call, "n", 1))
+    return _top_by_stat(
+        eval_series(ctx, call, "seriesList", 0), "stddev", n, False
+    )
+
+
+@register("limit")
+def _f_limit(ctx, call):
+    """First n series; series order is undefined in the reference
+    (storage arrival) — we define it as name order."""
+    n = int(get_number(call, "n", 1))
+    df = eval_series(ctx, call, "seriesList", 0)
+    w = Window.orderBy("name")
+    keep = (
+        df.select("name")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .select("name")
+    )
+    return df.join(F.broadcast(keep), "name", "left_semi")
+
+
+@register("exclude")
+def _f_exclude(ctx, call):
+    pat = get_string(call, "pattern", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return df.filter(~F.col("name").rlike(pat))
+
+
+@register("grep")
+def _f_grep(ctx, call):
+    pat = get_string(call, "pattern", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return df.filter(F.col("name").rlike(pat))
+
+
+@register("removeAboveValue")
+def _f_remove_above_value(ctx, call):
+    n = get_number(call, "n", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn(
+        "value", F.when(F.col("value") <= F.lit(float(n)), F.col("value"))
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("removeAboveValue("), F.col("name"), F.lit(f",{n:g})")
+        ),
+    )
+
+
+@register("removeBelowValue")
+def _f_remove_below_value(ctx, call):
+    n = get_number(call, "n", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df.withColumn(
+        "value", F.when(F.col("value") >= F.lit(float(n)), F.col("value"))
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("removeBelowValue("), F.col("name"), F.lit(f",{n:g})")
+        ),
+    )
+
+
+def _series_pct(df: DataFrame, p: float) -> DataFrame:
+    """(name, __p): per-series nearest-rank percentile of all points."""
+    return df.groupBy("name").agg(
+        F.try_element_at(
+            F.array_sort(F.collect_list("value")),
+            _pct_index(F.count("value"), p),
+        ).alias("__p")
+    )
+
+
+@register("removeAbovePercentile")
+def _f_remove_above_percentile(ctx, call):
+    n = get_number(call, "n", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    pcts = _series_pct(df, n / 100.0)
+    out = df.join(F.broadcast(pcts), "name").withColumn(
+        "value", F.when(F.col("value") <= F.col("__p"), F.col("value"))
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("removeAbovePercentile("), F.col("name"), F.lit(f",{n:g})")
+        ),
+    )
+
+
+@register("removeBelowPercentile")
+def _f_remove_below_percentile(ctx, call):
+    n = get_number(call, "n", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    pcts = _series_pct(df, n / 100.0)
+    out = df.join(F.broadcast(pcts), "name").withColumn(
+        "value", F.when(F.col("value") >= F.col("__p"), F.col("value"))
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("removeBelowPercentile("), F.col("name"), F.lit(f",{n:g})")
+        ),
+    )
+
+
+@register("removeBetweenPercentile")
+def _f_remove_between_percentile(ctx, call):
+    """Keep only series with at least one point OUTSIDE the
+    [n, 100-n] percentile band of the pointwise cross-series
+    distribution (graphite-web removeBetweenPercentile)."""
+    n = get_number(call, "n", 1)
+    lo, hi = min(n, 100 - n) / 100.0, max(n, 100 - n) / 100.0
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    vs = F.array_sort(F.collect_list("value"))
+    cnt = F.count("value")
+    bands = df.groupBy("ts").agg(
+        F.try_element_at(vs, _pct_index(cnt, lo)).alias("__lo"),
+        F.try_element_at(vs, _pct_index(cnt, hi)).alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bands), "ts")
+    outside = joined.filter(
+        (F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi"))
+    ).select("name").distinct()
+    return df.join(F.broadcast(outside), "name", "left_semi")
+
+
+@register("averageOutsidePercentile")
+def _f_average_outside_percentile(ctx, call):
+    """Keep series whose average lies outside the [n, 100-n]
+    percentiles of all series' averages (transform.go
+    transformAverageOutsidePercentile)."""
+    n = get_number(call, "n", 1)
+    lo, hi = min(n, 100 - n) / 100.0, max(n, 100 - n) / 100.0
+    df = eval_series(ctx, call, "seriesList", 0)
+    avgs = _series_stats(df, "average")
+    vs = F.array_sort(F.collect_list("__stat"))
+    cnt = F.count("__stat")
+    band = avgs.agg(
+        F.try_element_at(vs, _pct_index(cnt, lo)).alias("__lo"),
+        F.try_element_at(vs, _pct_index(cnt, hi)).alias("__hi"),
+    )
+    keep = (
+        avgs.crossJoin(F.broadcast(band))
+        .filter(
+            (F.col("__stat") < F.col("__lo"))
+            | (F.col("__stat") > F.col("__hi"))
+        )
+        .select("name")
+    )
+    return df.join(F.broadcast(keep), "name", "left_semi")
+
+
+@register("nPercentile")
+def _f_n_percentile(ctx, call):
+    """Constant per-series percentile line (graphite-web
+    nPercentile)."""
+    n = get_number(call, "n", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    pcts = _series_pct(df, n / 100.0)
+    out = df.join(F.broadcast(pcts), "name").withColumn(
+        "value", F.col("__p")
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("nPercentile("), F.col("name"), F.lit(f",{n:g})")
+        ),
+    )
+
+
+@register("removeEmptySeries")
+def _f_remove_empty_series(ctx, call):
+    xff_node = get_arg(call, "xFilesFactor", 1, None)
+    df = eval_series(ctx, call, "seriesList", 0)
+    counts = df.groupBy("name").agg(
+        F.count("value").alias("__n"), F.count(F.lit(1)).alias("__n_all")
+    )
+    if xff_node is None:
+        keep = counts.filter(F.col("__n") > 0)
+    else:
+        xff = get_number(call, "xFilesFactor", 1)
+        keep = counts.filter(
+            F.col("__n").cast("double")
+            >= F.col("__n_all").cast("double") * F.lit(float(xff))
+        )
+    return df.join(F.broadcast(keep.select("name")), "name", "left_semi")
+
+
+@register("fallbackSeries")
+def _f_fallback_series(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    if df.isEmpty():
+        return eval_series(ctx, call, "fallback", 1)
+    return df
+
+
+@register("useSeriesAbove")
+def _f_use_series_above(ctx, call):
+    """For series with max > value, fetch the series named
+    replace(name, search, replace) (graphite-web useSeriesAbove)."""
+    from victoriametrics_spark.graphite.evaluator import densify as _d
+
+    value = get_number(call, "value", 1)
+    search = get_string(call, "search", 2)
+    repl = get_string(call, "replace", 3)
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, "max")
+    names2 = stats.filter(F.col("__stat") > value).select(
+        F.regexp_replace("name", search, repl).alias("name")
+    )
+    raw = ctx.samples.join(F.broadcast(names2), "name").filter(
+        (F.col("ts") >= ctx.start) & (F.col("ts") < ctx.end)
+    )
+    i = F.floor((F.col("ts") - F.lit(ctx.start)) / F.lit(ctx.step)).cast(
+        "long"
+    )
+    cons = (
+        raw.withColumn("__i", i)
+        .groupBy("name", "__i")
+        .agg(F.avg("value").alias("value"))
+    )
+    return _d(ctx, cons)
+
+
+# ---------------------------------------------------------------- sorts
+
+
+@register("sortByName")
+def _f_sort_by_name(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    return df.orderBy("name", "ts")
+
+
+@register("sortByTotal")
+def _f_sort_by_total(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, "sum")
+    return (
+        df.join(F.broadcast(stats), "name")
+        .orderBy(F.col("__stat").desc_nulls_last(), "name", "ts")
+        .select("name", "ts", "value")
+    )
+
+
+@register("sortByMaxima")
+def _f_sort_by_maxima(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, "max")
+    return (
+        df.join(F.broadcast(stats), "name")
+        .orderBy(F.col("__stat").desc_nulls_last(), "name", "ts")
+        .select("name", "ts", "value")
+    )
+
+
+@register("sortByMinima")
+def _f_sort_by_minima(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, "min")
+    return (
+        df.join(F.broadcast(stats), "name")
+        .orderBy(F.col("__stat").asc_nulls_last(), "name", "ts")
+        .select("name", "ts", "value")
+    )
+
+
+@register("sortBy")
+def _f_sort_by(ctx, call):
+    func = get_string(call, "func", 1, "average")
+    reverse = get_bool(call, "reverse", 2, False)
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, func)
+    order = (
+        F.col("__stat").desc_nulls_last()
+        if reverse
+        else F.col("__stat").asc_nulls_last()
+    )
+    return (
+        df.join(F.broadcast(stats), "name")
+        .orderBy(order, "name", "ts")
+        .select("name", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------- alias
+
+
+@register("alias")
+def _f_alias(ctx, call):
+    new = get_string(call, "newName", 1)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename(df, F.lit(new))
+
+
+@register("aliasByMetric")
+def _f_alias_by_metric(ctx, call):
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename(df, _node_col(F.col("name"), -1))
+
+
+@register("aliasByNode", "aliasByTags")
+def _f_alias_by_node(ctx, call):
+    """Join the selected path nodes (ints) and/or tag values (strings)
+    with dots (transform.go transformAliasByNode; tags share the
+    implementation as in graphite-web)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    parts = []
+    for i, node in enumerate(call.args[1:]):
+        if isinstance(node, Literal) and isinstance(
+            node.value, (int, float)
+        ):
+            parts.append(_node_col(F.col("name"), int(node.value)))
+        else:
+            tag = (
+                node.value
+                if isinstance(node, Literal)
+                else node.pattern
+            )
+            parts.append(_tag_col(F.col("name"), tag))
+    if not parts:
+        return df
+    return _rename(df, F.concat_ws(".", *parts))
+
+
+@register("aliasSub")
+def _f_alias_sub(ctx, call):
+    r"""regex-substitute on names; graphite \1 backrefs → Spark $1."""
+    import re as _re
+
+    search = get_string(call, "search", 1)
+    repl = get_string(call, "replace", 2)
+    repl = _re.sub(r"\\(\d)", r"$\1", repl)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename(df, F.regexp_replace("name", search, repl))
+
+
+@register("substr")
+def _f_substr(ctx, call):
+    start = int(get_number(call, "start", 1, 0))
+    stop = int(get_number(call, "stop", 2, 0))
+    df = eval_series(ctx, call, "seriesList", 0)
+    nodes = _split_path(F.col("name"))
+    length = (
+        F.size(nodes) - F.lit(start)
+        if stop == 0
+        else F.lit(stop - start)
+    )
+    return _rename(
+        df, F.array_join(F.slice(nodes, start + 1, length), ".")
+    )
+
+
+# -------------------------------------------------------- binary combine
+
+
+@register("asPercent", "pct")
+def _f_as_percent(ctx, call):
+    """v / total · 100 (transform.go transformAsPercent). total may be
+    omitted (pointwise sum of the list), a constant, or a single
+    series."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    total_node = get_arg(call, "total", 1, None)
+    text = _arg_text(call, "seriesList", 0)
+    if total_node is None or (
+        isinstance(total_node, Literal) and total_node.value is None
+    ):
+        totals = _with_ord(df).groupBy("ts").agg(
+            F.sum("value").alias("__total")
+        )
+        out = df.join(F.broadcast(totals), "ts", "left")
+        ttext = f"sumSeries({text})"
+    elif isinstance(total_node, Literal) and isinstance(
+        total_node.value, (int, float)
+    ):
+        out = df.withColumn("__total", F.lit(float(total_node.value)))
+        ttext = total_node.text
+    else:
+        tot = evaluate_target(ctx, total_node).select(
+            F.col("ts").alias("__tts"), F.col("value").alias("__total")
+        )
+        out = df.join(
+            F.broadcast(tot), df["ts"] == F.col("__tts"), "left"
+        )
+        ttext = total_node.text
+    out = out.withColumn(
+        "value",
+        F.lit(100.0)
+        * F.try_divide(F.col("value"), F.nullif(F.col("__total"), F.lit(0.0))),
+    )
+    return _rename(
+        out,
+        F.concat(F.lit("asPercent("), F.col("name"), F.lit(f",{ttext})")),
+    )
+
+
+@register("divideSeries")
+def _f_divide_series(ctx, call):
+    """Pointwise division by a single divisor series
+    (transform.go:1276-1340); NULL where the divisor is NULL or 0."""
+    df = eval_series(ctx, call, "dividendSeriesList", 0)
+    divisor = eval_series(ctx, call, "divisorSeries", 1)
+    dnames = [r[0] for r in divisor.select("name").distinct().limit(2).collect()]
+    if len(dnames) != 1:
+        raise GraphiteEvalError(
+            "divideSeries: divisor must be exactly one series"
+        )
+    div = divisor.select(
+        F.col("ts").alias("__dts"), F.col("value").alias("__dv")
+    )
+    out = df.join(F.broadcast(div), df["ts"] == F.col("__dts"), "left")
+    out = out.withColumn(
+        "value", F.try_divide(F.col("value"), F.nullif(F.col("__dv"), F.lit(0.0)))
+    )
+    return _rename(
+        out,
+        F.concat(
+            F.lit("divideSeries("),
+            F.col("name"),
+            F.lit(f",{dnames[0]})"),
+        ),
+    )
+
+
+def _zip_lists(ctx, call, agg: str, fname: str):
+    """Pair the i-th series (name order) of two lists and combine
+    pointwise (aggregateSeriesLists, transform.go — pairing is
+    positional in the reference too)."""
+    a = eval_series(ctx, call, "seriesListFirstPos", 0)
+    b = eval_series(ctx, call, "seriesListSecondPos", 1)
+
+    def ranked(df, ord_val):
+        w = Window.orderBy("name")
+        names = (
+            df.select("name").distinct()
+            .withColumn("__rk", F.row_number().over(w))
+        )
+        return df.join(F.broadcast(names), "name").withColumn(
+            _ORD, F.lit(ord_val)
+        )
+
+    ra, rb = ranked(a, 0), ranked(b, 1)
+    names_a = ra.select("__rk", F.col("name").alias("__na")).distinct()
+    names_b = rb.select(
+        F.col("__rk").alias("__rkb"), F.col("name").alias("__nb")
+    ).distinct()
+    pairs = names_a.join(
+        F.broadcast(names_b), F.col("__rk") == F.col("__rkb")
+    )
+    both = ra.unionByName(rb)
+    out = (
+        both.groupBy("__rk", "ts")
+        .agg(_agg_expr(agg, ctx.xfiles_factor).alias("value"))
+        .join(F.broadcast(pairs), "__rk")
+        .select(
+            F.concat(
+                F.lit(f"{fname}("),
+                F.col("__na"),
+                F.lit(","),
+                F.col("__nb"),
+                F.lit(")"),
+            ).alias("name"),
+            "ts",
+            "value",
+        )
+    )
+    return out
+
+
+@register("sumSeriesLists")
+def _f_sum_series_lists(ctx, call):
+    return _zip_lists(ctx, call, "sum", "sumSeries")
+
+
+@register("diffSeriesLists")
+def _f_diff_series_lists(ctx, call):
+    return _zip_lists(ctx, call, "diff", "diffSeries")
+
+
+@register("multiplySeriesLists")
+def _f_multiply_series_lists(ctx, call):
+    return _zip_lists(ctx, call, "multiply", "multiplySeries")
+
+
+@register("divideSeriesLists")
+def _f_divide_series_lists(ctx, call):
+    a = eval_series(ctx, call, "dividendSeriesList", 0)
+    b = eval_series(ctx, call, "divisorSeriesList", 1)
+
+    def ranked(df):
+        w = Window.orderBy("name")
+        names = (
+            df.select("name").distinct()
+            .withColumn("__rk", F.row_number().over(w))
+        )
+        return df.join(F.broadcast(names), "name")
+
+    ra = ranked(a)
+    rb = ranked(b).select(
+        F.col("__rk").alias("__rkb"),
+        F.col("ts").alias("__tsb"),
+        F.col("name").alias("__nb"),
+        F.col("value").alias("__dv"),
+    )
+    out = ra.join(
+        rb,
+        (F.col("__rk") == F.col("__rkb")) & (F.col("ts") == F.col("__tsb")),
+    )
+    out = out.withColumn(
+        "value", F.try_divide(F.col("value"), F.nullif(F.col("__dv"), F.lit(0.0)))
+    )
+    return out.select(
+        F.concat(
+            F.lit("divideSeries("),
+            F.col("name"),
+            F.lit(","),
+            F.col("__nb"),
+            F.lit(")"),
+        ).alias("name"),
+        "ts",
+        "value",
+    )
+
+
+@register("aggregateSeriesLists")
+def _f_aggregate_series_lists(ctx, call):
+    func = get_string(call, "func", 2)
+    return _zip_lists(ctx, call, func, f"{_canon_agg(func)}Series")
+
+
+@register("weightedAverage")
+def _f_weighted_average(ctx, call):
+    """Σ_k avg_k·w_k / Σ_k w_k over node-matched pairs
+    (transform.go:3339-3430)."""
+    avg_df = eval_series(ctx, call, "seriesListAvg", 0)
+    w_df = eval_series(ctx, call, "seriesListWeight", 1)
+    idxs = [
+        int(get_number(call, f"node{i}", i + 2))
+        for i in range(len(call.args) - 2)
+    ]
+    key = _nodes_key(F.col("name"), idxs)
+    a = avg_df.select(
+        key.alias("__k"), "ts", F.col("value").alias("__a")
+    )
+    w = w_df.select(
+        key.alias("__k"),
+        F.col("ts").alias("__tsw"),
+        F.col("value").alias("__w"),
+    )
+    joined = a.join(
+        w, (a["__k"] == w["__k"]) & (a["ts"] == F.col("__tsw"))
+    )
+    texts = ",".join(x.text for x in call.args)
+    out = joined.groupBy("ts").agg(
+        F.try_divide(
+            F.sum(F.col("__a") * F.col("__w")), F.nullif(F.sum("__w"), F.lit(0.0))
+        ).alias("value")
+    )
+    return out.select(
+        F.lit(f"weightedAverage({texts})").alias("name"), "ts", "value"
+    )
+
+
+# ------------------------------------------------------------ time ops
+
+
+@register("timeShift")
+def _f_time_shift(ctx, call):
+    """Plot data from `interval` ago at today's positions. An unsigned
+    interval means the past (graphite-web parseTimeOffset default
+    sign '-')."""
+    s = get_string(call, "timeShift", 1)
+    d = parse_interval(s)
+    if not s.strip().startswith(("+", "-")):
+        d = -d
+    inner = ctx.with_range(start=ctx.start + d, end=ctx.end + d)
+    df = eval_series(inner, call, "seriesList", 0)
+    out = df.withColumn("ts", F.col("ts") - F.lit(d))
+    return _rename(
+        out,
+        F.concat(F.lit("timeShift("), F.col("name"), F.lit(f",'{s}')")),
+    )
+
+
+@register("timeSlice")
+def _f_time_slice(ctx, call):
+    """NULL outside [startSliceAt, endSliceAt]. Accepts epoch seconds
+    or signed intervals relative to the render start (documented
+    simplification of graphite's absolute-date parsing)."""
+
+    def bound(name, pos, default_ms):
+        node = get_arg(call, name, pos, None)
+        if node is None:
+            return default_ms
+        if isinstance(node, Literal) and isinstance(
+            node.value, (int, float)
+        ):
+            return int(node.value) * 1000
+        s = get_string(call, name, pos)
+        if s == "now":
+            return ctx.end
+        return ctx.start + parse_interval(s)
+
+    lo = bound("startSliceAt", 1, ctx.start)
+    hi = bound("endSliceAt", 2, ctx.end)
+    df = eval_series(ctx, call, "seriesList", 0)
+    v = F.when(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)),
+        F.col("value"),
+    )
+    out = df.withColumn("value", v)
+    return _rename(
+        out,
+        F.concat(
+            F.lit("timeSlice("),
+            F.col("name"),
+            F.lit(f",{(lo - ctx.start) // 1000},{(hi - ctx.start) // 1000})"),
+        ),
+    )
+
+
+@register("timeStack")
+def _f_time_stack(ctx, call):
+    """Union of timeShift evaluations i·unit for i in
+    [timeShiftStart, timeShiftEnd) (graphite-web timeStack)."""
+    unit_s = get_string(call, "timeShiftUnit", 1, "1d")
+    d = parse_interval(unit_s)
+    if not unit_s.strip().startswith(("+", "-")):
+        d = -d
+    i0 = int(get_number(call, "timeShiftStart", 2, 0))
+    i1 = int(get_number(call, "timeShiftEnd", 3, 7))
+    out = None
+    for i in range(i0, i1):
+        shift = d * i
+        inner = ctx.with_range(start=ctx.start + shift, end=ctx.end + shift)
+        df = eval_series(inner, call, "seriesList", 0)
+        df = df.withColumn("ts", F.col("ts") - F.lit(shift))
+        df = _rename(
+            df,
+            F.concat(
+                F.lit("timeShift("),
+                F.col("name"),
+                F.lit(f",{unit_s},{i})"),
+            ),
+        )
+        out = df if out is None else out.unionByName(df)
+    return out if out is not None else empty_series(ctx)
+
+
+# --------------------------------------------------- generated sources
+
+
+@register("constantLine")
+def _f_constant_line(ctx, call):
+    v = get_number(call, "value", 0)
+    return constant_series(ctx, f"{v:g}", v)
+
+
+@register("threshold")
+def _f_threshold(ctx, call):
+    v = get_number(call, "value", 0)
+    label = get_string(call, "label", 1, f"{v:g}")
+    return constant_series(ctx, label, v)
+
+
+@register("time", "timeFunction")
+def _f_time(ctx, call):
+    name = get_string(call, "name", 0)
+    grid = ctx.spark.range(ctx.npts)
+    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    return grid.select(
+        F.lit(name).alias("name"),
+        ts.alias("ts"),
+        (ts / F.lit(1000.0)).alias("value"),
+    )
+
+
+@register("sin", "sinFunction")
+def _f_sin(ctx, call):
+    name = get_string(call, "name", 0)
+    amp = get_number(call, "amplitude", 1, 1.0)
+    grid = ctx.spark.range(ctx.npts)
+    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    return grid.select(
+        F.lit(name).alias("name"),
+        ts.alias("ts"),
+        (F.lit(float(amp)) * F.sin(ts / F.lit(1000.0))).alias("value"),
+    )
+
+
+@register("identity")
+def _f_identity(ctx, call):
+    name = get_string(call, "name", 0)
+    grid = ctx.spark.range(ctx.npts)
+    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    return grid.select(
+        F.lit(f"identity('{name}')").alias("name"),
+        ts.alias("ts"),
+        (ts / F.lit(1000.0)).alias("value"),
+    )
+
+
+@register("randomWalk", "randomWalkFunction")
+def _f_random_walk(ctx, call):
+    """Deterministic random walk: md5-derived uniform steps in
+    [-0.5, 0.5) cumulated over the grid — unlike the reference's
+    rand(), reproducible by any engine with md5 (same trick as
+    operators/knn.py md5_planes)."""
+    name = get_string(call, "name", 0)
+    grid = ctx.spark.range(ctx.npts)
+    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(name + ":"), F.col("id"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**51))
+        - F.lit(1.0)
+    ) / F.lit(2.0)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        F.lit(name).alias("name"),
+        ts.alias("ts"),
+        F.sum(r).over(w).alias("value"),
+    )
+
+
+# ----------------------------------------------------------------- tags
+
+
+def _tag_col(name_col: Column, tag: str) -> Column:
+    """Graphite tagged-series format ``metric;tag=value;...``; the
+    ``name`` pseudo-tag is the part before the first ';'."""
+    if tag == "name":
+        return F.split(name_col, ";")[0]
+    return F.coalesce(
+        F.regexp_extract(name_col, f";{tag}=([^;]*)", 1), F.lit("")
+    )
+
+
+@register("seriesByTag")
+def _f_series_by_tag(ctx, call):
+    """Fetch series whose tags match every expression; supports
+    ``=``, ``!=``, ``=~``, ``!~`` (tags_api semantics)."""
+    import re as _re
+
+    pred = None
+    for node in call.args:
+        expr = (
+            node.value if isinstance(node, Literal) else node.pattern
+        )
+        m = _re.match(r"([^!=~]+)(=~|!~|!=|=)(.*)", expr)
+        if not m:
+            raise GraphiteEvalError(
+                f"seriesByTag: cannot parse {expr!r}"
+            )
+        tag, op, val = m.group(1), m.group(2), m.group(3)
+        col = _tag_col(F.col("name"), tag)
+        if op == "=":
+            p = col == val
+        elif op == "!=":
+            p = col != val
+        elif op == "=~":
+            p = col.rlike(f"^(?:{val})$")
+        else:
+            p = ~col.rlike(f"^(?:{val})$")
+        pred = p if pred is None else (pred & p)
+    raw = ctx.samples.filter(pred).filter(
+        (F.col("ts") >= ctx.start) & (F.col("ts") < ctx.end)
+    )
+    i = F.floor((F.col("ts") - F.lit(ctx.start)) / F.lit(ctx.step)).cast(
+        "long"
+    )
+    cons = (
+        raw.withColumn("__i", i)
+        .groupBy("name", "__i")
+        .agg(F.avg("value").alias("value"))
+    )
+    return densify(ctx, cons)
+
+
+@register("groupByTags")
+def _f_group_by_tags(ctx, call):
+    """Aggregate series sharing the given tag values; result name =
+    ``<name-tag>;tag1=v1;...`` (graphite-web groupByTags)."""
+    func = get_string(call, "callback", 1)
+    tags = []
+    for i in range(len(call.args) - 2):
+        tags.append(get_string(call, f"tag{i}", i + 2))
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    parts = [_tag_col(F.col("name"), "name")]
+    for t in tags:
+        parts.append(F.concat(F.lit(f";{t}="), _tag_col(F.col("name"), t)))
+    key = F.concat(*parts)
+    return _combine_by_key(df, key, func, ctx.xfiles_factor)
+
+
+# --------------------------------------------------------- ctx modifiers
+
+
+@register("consolidateBy")
+def _f_consolidate_by(ctx, call):
+    """Re-evaluate the inner expression with a different
+    storage-consolidation function (render_api consolidateBy)."""
+    func = get_string(call, "consolidationFunc", 1)
+    ctx2 = replace(ctx, consolidation=_canon_agg(func))
+    df = eval_series(ctx2, call, "seriesList", 0)
+    return _rename(
+        df,
+        F.concat(
+            F.lit("consolidateBy("), F.col("name"), F.lit(f",'{func}')")
+        ),
+    )
+
+
+@register("setXFilesFactor", "xFilesFactor")
+def _f_set_xff(ctx, call):
+    xff = get_number(call, "xFilesFactor", 1)
+    ctx2 = replace(ctx, xfiles_factor=float(xff))
+    return eval_series(ctx2, call, "seriesList", 0)
+
+
+# ------------------------------------------------------- line aggregates
+
+
+@register("aggregateLine")
+def _f_aggregate_line(ctx, call):
+    """Horizontal line at the per-series aggregate; keepStep=True keeps
+    the grid, else 3 points (transform.go:348-395)."""
+    func = get_string(call, "func", 1, "avg")
+    keep_step = get_bool(call, "keepStep", 2, False)
+    df = eval_series(ctx, call, "seriesList", 0)
+    stats = _series_stats(df, func)
+    named = stats.select(
+        F.concat(
+            F.lit("aggregateLine("), F.col("name"), F.lit(f",'{func}')")
+        ).alias("name"),
+        F.col("__stat").alias("value"),
+    )
+    if keep_step:
+        grid = ctx.spark.range(ctx.npts).select(
+            (F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)).alias("ts")
+        )
+    else:
+        grid = ctx.spark.createDataFrame(
+            [
+                (ctx.start,),
+                ((ctx.start + ctx.end) // 2,),
+                (ctx.end,),
+            ],
+            "ts long",
+        )
+    return named.crossJoin(F.broadcast(grid)).select(
+        "name", "ts", "value"
+    )
+
+
+@register("linearRegression")
+def _f_linear_regression(ctx, call):
+    """Per-series OLS fit over the render range, emitted at every grid
+    point (transform.go transformLinearRegression). Pure aggregate
+    algebra: slope = cov(t,v)/var(t)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    t = (F.col("ts") / F.lit(1000.0))
+    fit = (
+        df.filter(F.col("value").isNotNull())
+        .groupBy("name")
+        .agg(
+            F.covar_pop(t, F.col("value")).alias("__cov"),
+            F.var_pop(t).alias("__var"),
+            F.avg(t).alias("__mt"),
+            F.avg("value").alias("__mv"),
+        )
+        .withColumn(
+            "__slope",
+            F.when(F.col("__var") > 0, F.col("__cov") / F.col("__var"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "__icept", F.col("__mv") - F.col("__slope") * F.col("__mt")
+        )
+    )
+    out = df.join(F.broadcast(fit), "name").withColumn(
+        "value",
+        F.col("__icept") + F.col("__slope") * (F.col("ts") / F.lit(1000.0)),
+    )
+    return _rename(
+        out,
+        F.concat(F.lit("linearRegression("), F.col("name"), F.lit(")")),
+    )
+
+
+# ----------------------------------------------------- display no-ops
+
+
+def _make_display_passthrough(wrap: bool):
+    def f(ctx, call):
+        df = eval_series(ctx, call, "seriesList", 0)
+        if wrap:
+            return _wrap_name(df, call.func)
+        return df
+
+    return f
+
+
+for _disp in (
+    "alpha",
+    "color",
+    "dashed",
+    "lineWidth",
+    "secondYAxis",
+    "stacked",
+    "areaBetween",
+    "cactiStyle",
+):
+    register(_disp)(_make_display_passthrough(False))
+
+
+@register("legendValue")
+def _f_legend_value(ctx, call):
+    """Append aggregate values to the legend name
+    (graphite-web legendValue)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    out = df
+    suffix = F.lit("")
+    for i, node in enumerate(call.args[1:]):
+        vtype = (
+            node.value if isinstance(node, Literal) else node.pattern
+        )
+        stats = _series_stats(df, vtype).select(
+            "name", F.col("__stat").alias(f"__s{i}")
+        )
+        out = out.join(F.broadcast(stats), "name", "left")
+        suffix = F.concat(
+            suffix,
+            F.lit(f" ({vtype}: "),
+            F.coalesce(
+                F.format_number(F.col(f"__s{i}"), 6), F.lit("None")
+            ),
+            F.lit(")"),
+        )
+    return _rename(out, F.concat(F.col("name"), suffix))
+
+
+@register("verticalLine")
+def _f_vertical_line(ctx, call):
+    """Marker at the given epoch-seconds timestamp
+    (transform.go transformVerticalLine)."""
+    node = get_arg(call, "ts", 0)
+    if isinstance(node, Literal) and isinstance(node.value, (int, float)):
+        ts_ms = int(node.value) * 1000
+    else:
+        ts_ms = ctx.start + parse_interval(get_string(call, "ts", 0))
+    label = get_string(call, "label", 1, "")
+    return ctx.spark.createDataFrame(
+        [(label, ts_ms, 1.0), (label, ts_ms, 1.0)],
+        "name string, ts long, value double",
+    )
+
+
+# ----------------------------------------------------- map / reduce
+
+
+@register("mapSeries", "map")
+def _f_map_series(ctx, call):
+    """Pass-through: the map key is recomputed by reduceSeries from
+    the names (graphite-web mapSeries returns a list-of-lists; our
+    frame keeps the full names, which preserve the key)."""
+    return eval_series(ctx, call, "seriesList", 0)
+
+
+@register("reduceSeries", "reduce")
+def _f_reduce_series(ctx, call):
+    """For each group of series identical except at reduceNode, match
+    reduceMatchers to that node, apply reduceFunction in matcher
+    order; result name has node[reduceNode] := "reduce.<fn>"
+    (graphite-web reduceSeries)."""
+    fn = get_string(call, "reduceFunction", 1)
+    reduce_node = int(get_number(call, "reduceNode", 2))
+    matchers = [
+        get_string(call, f"m{i}", i + 3)
+        for i in range(len(call.args) - 3)
+    ]
+    df = eval_series(ctx, call, "seriesListLists", 0)
+    node_val = _node_col(F.col("name"), reduce_node)
+    ord_expr = F.lit(None).cast("int")
+    for i, m in reversed(list(enumerate(matchers))):
+        ord_expr = F.when(node_val == m, F.lit(i)).otherwise(ord_expr)
+    nodes = _split_path(F.col("name"))
+    key = F.array_join(
+        F.transform(
+            nodes,
+            lambda x, i: F.when(
+                i == reduce_node, F.lit(f"reduce.{fn}")
+            ).otherwise(x),
+        ),
+        ".",
+    )
+    tagged = (
+        df.withColumn(_ORD, ord_expr)
+        .filter(F.col(_ORD).isNotNull())
+        .withColumn("__key", key)
+    )
+    agg = _canon_agg(
+        fn[: -len("Series")] if fn.endswith("Series") else fn
+    )
+    if agg == "asPercent":
+        per = (
+            tagged.groupBy("__key", "ts")
+            .agg(F.min(F.when(F.col(_ORD) == 0, F.col("value"))).alias("__a"),
+                 F.min(F.when(F.col(_ORD) == 1, F.col("value"))).alias("__b"))
+            .withColumn(
+                "value",
+                F.lit(100.0)
+                * F.try_divide(
+                    F.col("__a"), F.nullif(F.col("__b"), F.lit(0.0))
+                ),
+            )
+        )
+        return per.select(F.col("__key").alias("name"), "ts", "value")
+    if agg == "divide":
+        per = (
+            tagged.groupBy("__key", "ts")
+            .agg(
+                F.min(F.when(F.col(_ORD) == 0, F.col("value"))).alias("__a"),
+                F.min(F.when(F.col(_ORD) == 1, F.col("value"))).alias("__b"),
+            )
+            .withColumn(
+                "value",
+                F.try_divide(
+                    F.col("__a"), F.nullif(F.col("__b"), F.lit(0.0))
+                ),
+            )
+        )
+        return per.select(F.col("__key").alias("name"), "ts", "value")
+    return _combine_by_key(tagged, F.col("__key"), agg, ctx.xfiles_factor)
+
+
+@register("applyByNode")
+def _f_apply_by_node(ctx, call):
+    """Evaluate templateFunction per node-prefix group: occurrences of
+    '%' in the template are replaced by the group prefix
+    (graphite-web applyByNode). The prefix set is discovered from the
+    fetched names (presentation-sized collect)."""
+    node_num = int(get_number(call, "nodeNum", 1))
+    template = get_string(call, "templateFunction", 2)
+    df = eval_series(ctx, call, "seriesList", 0)
+    prefixes = [
+        r[0]
+        for r in df.select(
+            F.array_join(
+                F.slice(_split_path(F.col("name")), 1, node_num + 1), "."
+            ).alias("__p")
+        )
+        .distinct()
+        .collect()
+    ]
+    out = None
+    for p in sorted(prefixes):
+        sub = evaluate_target(ctx, template.replace("%", p))
+        out = sub if out is None else out.unionByName(sub)
+    return out if out is not None else empty_series(ctx)
+
