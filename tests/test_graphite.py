@@ -357,6 +357,51 @@ def test_ema_seed_is_first_window_average(spark, samples):
     assert s[10_000] == pytest.approx(c * 1.0 + (1 - c) * 0.0)
 
 
+def test_holt_winters_forecast_shapes(spark, samples):
+    out = run(
+        spark, samples,
+        "holtWintersForecast(web.srv1.cpu, '30s', '20s')",
+    )
+    s = next(iter(out.values()))
+    assert len(s) == 10
+    # alpha=0.1 smoothing: prediction at i=1 is intercept+slope+seasonal
+    # from i=0 where intercept=v0=0, slope=0 → ~0
+    assert s[10_000] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_holt_winters_bands_and_aberration(spark, samples):
+    out = run(
+        spark, samples,
+        "holtWintersConfidenceBands(web.srv1.cpu, 3, '30s', '20s')",
+    )
+    names = set(out)
+    assert names == {
+        "holtWintersConfidenceUpper(web.srv1.cpu)",
+        "holtWintersConfidenceLower(web.srv1.cpu)",
+    }
+    ab = run(
+        spark, samples,
+        "holtWintersAberration(web.srv1.cpu, 3, '30s', '20s')",
+    )
+    s = next(iter(ab.values()))
+    assert len(s) == 10
+
+
+def test_events_placeholder(spark, samples):
+    out = run(spark, samples, "events('tag1')")
+    s = out["events('tag1')"]
+    assert len(s) == 10 and all(v is None for v in s.values())
+
+
+def test_alias_query(spark, samples):
+    out = run(
+        spark, samples,
+        "aliasQuery(web.srv1.cpu, 'srv1', 'srv2', 'last %d')",
+    )
+    # srv2's last value is 18
+    assert set(out) == {"last 18"}
+
+
 def test_unsupported_function_raises(spark, samples):
     from victoriametrics_spark.graphite.evaluator import GraphiteEvalError
 

@@ -2286,6 +2286,219 @@ def _f_reduce_series(ctx, call):
     return _combine_by_key(tagged, F.col("__key"), agg, ctx.xfiles_factor)
 
 
+# ------------------------------------------------------- holt-winters
+
+
+def _holt_winters_analysis(df: DataFrame, season_pts: int) -> DataFrame:
+    """Triple-exponential-smoothing analysis per series
+    (transform.go:5560-5646 holtWintersAnalysis: alpha=0.1,
+    gamma=alpha, beta=0.0035; seasonals/deviations recurse on the
+    value one season back). The recurrence is inherently sequential
+    per series, so it runs as an Arrow-batched grouped-map pandas UDF
+    — one small array per series (render range + bootstrap), full
+    parallelism ACROSS series.
+
+    Input dense (name, ts, value); output (name, ts, prediction,
+    deviation)."""
+    import math as _m
+
+    import pandas as pd
+
+    alpha, beta = 0.1, 0.0035
+    gamma = alpha
+
+    def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        vals = pdf["value"].tolist()
+        n = len(vals)
+        intercepts = [0.0] * n
+        slopes = [0.0] * n
+        seasonals = [0.0] * n
+        deviations = [0.0] * n
+        predictions = [float("nan")] * n
+        next_pred = float("nan")
+        for i in range(n):
+            v = vals[i]
+            if v is None or (isinstance(v, float) and _m.isnan(v)):
+                predictions[i] = next_pred
+                next_pred = float("nan")
+                continue
+            if i == 0:
+                last_intercept, last_slope, prediction = v, 0.0, v
+            else:
+                last_intercept = intercepts[i - 1]
+                last_slope = slopes[i - 1]
+                if _m.isnan(last_intercept):
+                    last_intercept = v
+                prediction = next_pred
+            last_seasonal = seasonals[i - season_pts] if i >= season_pts else 0.0
+            next_last_seasonal = (
+                seasonals[i + 1 - season_pts] if i + 1 >= season_pts else 0.0
+            )
+            last_dev = deviations[i - season_pts] if i >= season_pts else 0.0
+            intercept = alpha * (v - last_seasonal) + (1 - alpha) * (
+                last_intercept + last_slope
+            )
+            slope = beta * (intercept - last_intercept) + (1 - beta) * last_slope
+            seasonal = gamma * (v - intercept) + (1 - gamma) * last_seasonal
+            next_pred = intercept + slope + next_last_seasonal
+            pred_for_dev = 0.0 if _m.isnan(prediction) else prediction
+            deviation = gamma * abs(v - pred_for_dev) + (1 - gamma) * last_dev
+            intercepts[i] = intercept
+            slopes[i] = slope
+            seasonals[i] = seasonal
+            predictions[i] = prediction
+            deviations[i] = deviation
+        pdf["prediction"] = predictions
+        pdf["deviation"] = deviations
+        return pdf[["name", "ts", "prediction", "deviation"]]
+
+    return df.groupBy("name").applyInPandas(
+        analyze,
+        schema="name string, ts long, prediction double, deviation double",
+    )
+
+
+def _holt_winters_common(ctx, call, first_opt_pos: int):
+    """Shared bootstrap-extended evaluation: returns (trimmed analysis
+    frame, original-series frame, bootstrap ctx)."""
+    shift = 1 if first_opt_pos == 2 else 0
+    bootstrap_s = get_string(
+        call, "bootstrapInterval", first_opt_pos, "7d"
+    )
+    season_s = get_string(call, "seasonality", first_opt_pos + 1, "1d")
+    bootstrap = parse_interval(bootstrap_s)
+    season_pts = max(1, parse_interval(season_s) // ctx.step)
+    inner = ctx.with_range(start=ctx.start - bootstrap)
+    df = eval_series(inner, call, "seriesList", 0)
+    analysis = _holt_winters_analysis(df, season_pts).filter(
+        F.col("ts") >= F.lit(ctx.start)
+    )
+    return analysis, df
+
+
+@register("holtWintersForecast")
+def _f_hw_forecast(ctx, call):
+    analysis, _ = _holt_winters_common(ctx, call, 1)
+    out = analysis.select(
+        F.concat(
+            F.lit("holtWintersForecast("), F.col("name"), F.lit(")")
+        ).alias("name"),
+        "ts",
+        F.when(~F.isnan("prediction"), F.col("prediction")).alias("value"),
+    )
+    return out
+
+
+@register("holtWintersConfidenceBands")
+def _f_hw_bands(ctx, call):
+    """forecast ± delta·deviation (transform.go:5330-5400)."""
+    delta = get_number(call, "delta", 1, 3.0)
+    analysis, _ = _holt_winters_common(ctx, call, 2)
+    ok = (~F.isnan("prediction")) & (~F.isnan("deviation"))
+    upper = analysis.select(
+        F.concat(
+            F.lit("holtWintersConfidenceUpper("), F.col("name"), F.lit(")")
+        ).alias("name"),
+        "ts",
+        F.when(
+            ok, F.col("prediction") + F.lit(delta) * F.col("deviation")
+        ).alias("value"),
+    )
+    lower = analysis.select(
+        F.concat(
+            F.lit("holtWintersConfidenceLower("), F.col("name"), F.lit(")")
+        ).alias("name"),
+        "ts",
+        F.when(
+            ok, F.col("prediction") - F.lit(delta) * F.col("deviation")
+        ).alias("value"),
+    )
+    return upper.unionByName(lower)
+
+
+@register("holtWintersConfidenceArea")
+def _f_hw_area(ctx, call):
+    return _f_hw_bands(ctx, call)
+
+
+@register("holtWintersAberration")
+def _f_hw_aberration(ctx, call):
+    """Distance outside the confidence band, 0 inside
+    (graphite-web holtWintersAberration)."""
+    delta = get_number(call, "delta", 1, 3.0)
+    analysis, df = _holt_winters_common(ctx, call, 2)
+    cur = df.filter(F.col("ts") >= F.lit(ctx.start)).select(
+        "name", "ts", F.col("value").alias("__v")
+    )
+    joined = analysis.join(cur, ["name", "ts"])
+    ok = (~F.isnan("prediction")) & (~F.isnan("deviation"))
+    up = F.col("prediction") + F.lit(delta) * F.col("deviation")
+    lo = F.col("prediction") - F.lit(delta) * F.col("deviation")
+    v = F.when(
+        F.col("__v").isNull() | ~ok, F.lit(None).cast("double")
+    ).otherwise(
+        F.when(F.col("__v") > up, F.col("__v") - up).otherwise(
+            F.when(F.col("__v") < lo, F.col("__v") - lo).otherwise(F.lit(0.0))
+        )
+    )
+    return joined.select(
+        F.concat(
+            F.lit("holtWintersAberration("), F.col("name"), F.lit(")")
+        ).alias("name"),
+        "ts",
+        v.alias("value"),
+    )
+
+
+@register("events")
+def _f_events(ctx, call):
+    """All-NULL placeholder series, as in the reference
+    (transform.go:1452-1469: newNaNSeries)."""
+    tags = ",".join(f"'{get_string(call, f't{i}', i)}'"
+                    for i in range(len(call.args)))
+    grid = ctx.spark.range(ctx.npts)
+    return grid.select(
+        F.lit(f"events({tags})").alias("name"),
+        (F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+    )
+
+
+@register("aliasQuery")
+def _f_alias_query(ctx, call):
+    """For each series, evaluate the target derived by regex-replacing
+    its name and put that target's last value into the new name
+    (transform.go:500-560). Presentation-sized driver loop over the
+    series names."""
+    import re as _re
+
+    search = get_string(call, "search", 1)
+    repl = _re.sub(r"\\(\d)", r"\\\1", get_string(call, "replace", 2))
+    new_name = get_string(call, "newName", 3)
+    df = eval_series(ctx, call, "seriesList", 0)
+    names = [r[0] for r in df.select("name").distinct().collect()]
+    mapping = {}
+    for nm in sorted(names):
+        target = _re.sub(search, repl, nm)
+        sub = evaluate_target(ctx, target)
+        rows = (
+            sub.filter(F.col("value").isNotNull())
+            .orderBy(F.col("ts").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise GraphiteEvalError(
+                f"aliasQuery: no values for derived target {target!r}"
+            )
+        mapping[nm] = new_name % rows[0]["value"]
+    expr = F.col("name")
+    for nm, alias in mapping.items():
+        expr = F.when(F.col("name") == nm, F.lit(alias)).otherwise(expr)
+    return _rename(df, expr)
+
+
 @register("applyByNode")
 def _f_apply_by_node(ctx, call):
     """Evaluate templateFunction per node-prefix group: occurrences of
