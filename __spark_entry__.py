@@ -2248,6 +2248,159 @@ GROUP BY 1, 2""",
 )
 
 
+# ------------------------------------------------------------- graphite
+# Graphite Render API gates (victoriametrics_spark/graphite): events
+# mapped to graphite-style paths events.<event_type>.bucket<b>.value,
+# rendered on the same Jan-2024 6h grid. The oracle recomputes the
+# dense consolidated grid (avg per 6h bucket, NULL-padded) with a
+# DuckDB CTE, then mirrors each function's documented semantics.
+
+_GRID_NPTS = (GRID_END - GRID_START) // GRID_STEP  # 120
+
+
+def _graphite(target: str, digits: int = 6) -> Callable:
+    """``digits=5`` for results whose last step divides by a power of
+    two (movingAverage window/4): the quotient of a binary-exact sum
+    can land exactly on a 6-decimal rounding boundary, where the two
+    engines' different summation orders may round apart."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from victoriametrics_spark.graphite import render
+        from victoriametrics_spark.sources.events import events_as_samples
+
+        g = events_as_samples(spark, sf_dir).select(
+            F.concat(
+                F.lit("events."),
+                F.col("labels")["event_type"],
+                F.lit(".bucket"),
+                F.col("labels")["user_bucket"],
+                F.lit(".value"),
+            ).alias("name"),
+            "ts",
+            "value",
+        )
+        df = render(spark, target, g, GRID_START, GRID_END, GRID_STEP)
+        return df.select(
+            "name",
+            "ts",
+            (F.round("value", digits) + F.lit(0.0)).alias("value"),
+        )
+
+    return run
+
+
+_GR_DENSE_SQL = f"""
+WITH gsamples AS (
+    SELECT 'events.' || event_type || '.bucket'
+               || CAST(user_id % 10 AS VARCHAR) || '.value' AS name,
+           CAST(floor((epoch_ms(ts) - {GRID_START}) / {GRID_STEP})
+                AS BIGINT) AS i,
+           value
+    FROM events
+    WHERE epoch_ms(ts) >= {GRID_START} AND epoch_ms(ts) < {GRID_END}
+),
+cons AS (SELECT name, i, avg(value) AS v FROM gsamples GROUP BY 1, 2),
+grid AS (
+    SELECT CAST(r.range AS BIGINT) AS i FROM range(0, {_GRID_NPTS}) r
+),
+names AS (SELECT DISTINCT name FROM cons),
+dense AS (
+    SELECT n.name, g.i, c.v
+    FROM names n CROSS JOIN grid g
+    LEFT JOIN cons c ON c.name = n.name AND c.i = g.i
+)
+"""
+
+_reg(
+    "gr_sum_series",
+    _graphite("sumSeries(events.*.*.value)"),
+    _GR_DENSE_SQL
+    + f"""
+SELECT 'sumSeries(events.*.*.value)' AS name,
+       CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
+       round(sum(v), 6) + 0.0 AS value
+FROM dense GROUP BY i""",
+)
+
+_reg(
+    "gr_group_movingavg",
+    _graphite(
+        "movingAverage(groupByNode(events.*.*.value, 1, 'avg'), 4)",
+        digits=5,
+    ),
+    _GR_DENSE_SQL
+    + f"""
+, grouped AS (
+    SELECT split_part(name, '.', 2) AS name, i, avg(v) AS v
+    FROM dense GROUP BY 1, 2
+)
+SELECT 'movingAverage(' || name || ',4)' AS name,
+       CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
+       round(avg(v) OVER (PARTITION BY name ORDER BY i
+                          ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+             5) + 0.0 AS value
+FROM grouped""",
+)
+
+_reg(
+    "gr_highest_current",
+    _graphite("highestCurrent(events.*.*.value, 5)"),
+    _GR_DENSE_SQL
+    + f"""
+, stats AS (
+    SELECT name, max_by(v, i) AS lastv
+    FROM dense WHERE v IS NOT NULL GROUP BY name
+),
+keep AS (SELECT name FROM stats ORDER BY lastv DESC, name LIMIT 5)
+SELECT d.name,
+       CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
+       round(d.v, 6) + 0.0 AS value
+FROM dense d JOIN keep USING (name)""",
+)
+
+_reg(
+    "gr_summarize",
+    _graphite("summarize(events.*.*.value, '2d', 'sum')"),
+    _GR_DENSE_SQL
+    + f"""
+SELECT 'summarize(' || name || ',''2d'',''sum'')' AS name,
+       CAST({GRID_START - 86_400_000}
+            + floor((i * {GRID_STEP} + 86_400_000) / 172_800_000)
+              * 172_800_000 AS BIGINT) AS ts,
+       round(sum(v), 6) + 0.0 AS value
+FROM dense
+GROUP BY name, floor((i * {GRID_STEP} + 86_400_000) / 172_800_000)""",
+)
+
+_reg(
+    "gr_as_percent",
+    _graphite("asPercent(events.*.*.value)"),
+    _GR_DENSE_SQL
+    + f"""
+, totals AS (SELECT i, sum(v) AS total FROM dense GROUP BY i)
+SELECT 'asPercent(' || d.name || ',sumSeries(events.*.*.value))' AS name,
+       CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
+       round(100.0 * d.v / nullif(t.total, 0.0), 6) + 0.0 AS value
+FROM dense d JOIN totals t USING (i)""",
+)
+
+_reg(
+    "gr_derivative_grouped",
+    _graphite("derivative(groupByNode(events.*.*.value, 1, 'sum'))"),
+    _GR_DENSE_SQL
+    + f"""
+, grouped AS (
+    SELECT split_part(name, '.', 2) AS name, i, sum(v) AS v
+    FROM dense GROUP BY 1, 2
+)
+SELECT 'derivative(' || name || ')' AS name,
+       CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
+       round(v - lag(v) OVER (PARTITION BY name ORDER BY i), 6) + 0.0
+           AS value
+FROM grouped""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates. Order the registry
 # riskiest-first: gates with no driver verdict yet (histogram family,
@@ -2275,6 +2428,12 @@ _DRIVER_PRIORITY = [
     "op_emb_ivf_knn",
     "op_emb_cosine_dedup",
     "rel_stream_context",
+    "gr_sum_series",
+    "gr_group_movingavg",
+    "gr_highest_current",
+    "gr_summarize",
+    "gr_as_percent",
+    "gr_derivative_grouped",
     # (b) stale verdicts (last checked r2/r3) — rollup long tail
     "mq_avg_over_time",
     "mq_distinct_over_time",

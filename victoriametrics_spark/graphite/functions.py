@@ -108,20 +108,29 @@ def _pct_index(n: Column, p: float) -> Column:
     return F.greatest(idx0, F.lit(0)) + 1
 
 
-def _agg_expr(agg: str, xff: float, p: float | None = None) -> Column:
+def _agg_expr(
+    agg: str,
+    xff: float,
+    p: float | None = None,
+    time_order: bool = False,
+) -> Column:
     """Aggregation Column for a groupBy context over (__ord, name,
-    value) rows. NULL handling per aggr.go; xff gate per aggr.go:44."""
+    value) rows. NULL handling per aggr.go; xff gate per aggr.go:44.
+
+    Order-sensitive aggregates (first/last/diff/pow) use
+    (arg-position, name) order for cross-series combines; pass
+    ``time_order=True`` for whole-series statistics where "last" means
+    latest in time (filterSeries/highest*, transform.go:1645,1920)."""
     agg = _canon_agg(agg)
     v = F.col("value")
     n_all = F.count(F.lit(1))
     n = F.count(v)
     gate = n >= n_all.cast("double") * F.lit(float(xff))
+    order_key = (
+        (F.col("ts"),) if time_order else (F.col(_ORD), F.col("name"))
+    )
     arr = F.array_sort(
-        F.collect_list(
-            F.when(
-                v.isNotNull(), F.struct(F.col(_ORD), F.col("name"), v)
-            )
-        )
+        F.collect_list(F.when(v.isNotNull(), F.struct(*order_key, v)))
     )
     first = F.try_element_at(arr, F.lit(1))["value"]
     if agg == "count":
@@ -194,9 +203,13 @@ def _combine_by_key(
 
 def _series_stats(df: DataFrame, agg: str, xff: float = 0.0) -> DataFrame:
     """Per-series whole-range statistic (name, __stat) — the basis of
-    every filterSeries/highest/sort variant (transform.go:1645,1920)."""
+    every filterSeries/highest/sort variant (transform.go:1645,1920).
+    first/last here mean earliest/latest IN TIME (aggr.go:201-218
+    walks the value array, which is time-ordered)."""
     df = _with_ord(df)
-    return df.groupBy("name").agg(_agg_expr(agg, xff).alias("__stat"))
+    return df.groupBy("name").agg(
+        _agg_expr(agg, xff, time_order=True).alias("__stat")
+    )
 
 
 def _rename(df: DataFrame, name_col: Column) -> DataFrame:
