@@ -121,3 +121,26 @@ def test_export_jsonl_plan_is_jvm_side(api):
     assert "StructsToJson" in plan and "Aggregate" in plan
     rows = df.collect()
     assert len(rows) == 1  # presentation-sized: one row per series
+
+
+def test_graphite_render_endpoint(api):
+    out = api.render(
+        "sumSeries(seriesByTag('job=a'))",
+        start="0", end="2000", step="500",
+    )
+    assert len(out) == 1
+    s = out[0]
+    assert s["target"].startswith("sumSeries(")
+    assert s["tags"]["name"].startswith("sumSeries(")
+    # 4 grid points at 500s step over [0, 2000)
+    assert len(s["datapoints"]) == 4
+    ts_list = [p[1] for p in s["datapoints"]]
+    assert ts_list == [0, 500, 1000, 1500]
+    # job=a series: 10*i at i per 100s → avg of 5 samples per bucket
+    assert s["datapoints"][0][0] == pytest.approx(sum(10.0 * i for i in range(5)) / 5)
+
+
+def test_graphite_render_plain_name(api):
+    out = api.render("highestCurrent(temp;*, 1)", "0", "2000", "500")
+    assert len(out) == 1
+    assert out[0]["tags"]["room"] == "x"

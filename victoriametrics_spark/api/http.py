@@ -284,6 +284,78 @@ class PromAPI:
         return sorted(lines)
 
 
+    # ---------------------------------------------------- graphite render
+    def render(
+        self,
+        target: str | list[str],
+        start: str | None,
+        end: str | None,
+        step: str | None = None,
+    ) -> list[dict]:
+        """Graphite /render JSON (app/vmselect/graphite/render_api.go +
+        render_response.qtpl): one object per series with
+        ``datapoints: [[value|null, ts_seconds], ...]``. Labels are
+        folded into graphite tagged-series names (``name;k=v;...``), so
+        seriesByTag/groupByTags work over the same sample frame the
+        Prometheus endpoints query."""
+        from victoriametrics_spark.graphite import render as gr_render
+
+        step_ms = _parse_step(step)
+        start_ms = _parse_time(start, 0)
+        end_ms = _parse_time(end, start_ms)
+        gsamples = self.samples.select(
+            F.concat(
+                F.col("name"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.map_entries(
+                                F.coalesce(
+                                    F.col("labels"),
+                                    F.create_map().cast(
+                                        "map<string,string>"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda e: F.concat(
+                            F.lit(";"), e["key"], F.lit("="), e["value"]
+                        ),
+                    ),
+                ),
+            ).alias("name"),
+            "ts",
+            "value",
+        )
+        targets = target if isinstance(target, list) else [target]
+        df = gr_render(
+            self.spark, targets, gsamples, start_ms, end_ms, step_ms
+        )
+        series: dict = {}
+        for r in df.collect():
+            series.setdefault(r["name"], []).append((r["ts"], r["value"]))
+        out = []
+        for name in sorted(series):
+            pts = sorted(series[name])
+            base, _, tagstr = name.partition(";")
+            tags = {"name": base}
+            for kv in tagstr.split(";") if tagstr else []:
+                k, _, v = kv.partition("=")
+                if k:
+                    tags[k] = v
+            out.append(
+                {
+                    "target": name,
+                    "tags": tags,
+                    "datapoints": [
+                        [v, ts // 1000] for ts, v in pts
+                    ],
+                }
+            )
+        return out
+
+
 # ---------------------------------------------------------------- server
 def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1"):
     """Dependency-free HTTP server over PromAPI. Returns the server
@@ -335,6 +407,13 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1"):
                     lines = api.federate(matches)
                     self._send(200, "\n".join(lines) + "\n", "text/plain")
                     return
+                elif u.path in ("/render", "/render/"):
+                    out = api.render(
+                        q.get("target", []),
+                        p("from"),
+                        p("until"),
+                        p("step"),
+                    )
                 else:
                     self._send(
                         404,

@@ -46,7 +46,7 @@ class Call(Node):
 # ',' separates args (commas inside {} are handled by depth tracking).
 _PATH_CHARS = set(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    "_-.*?:%#/$~+@<>"
+    "_-.*?:%#/$~+@<>;="
 )
 
 _NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
