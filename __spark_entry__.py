@@ -2401,6 +2401,238 @@ FROM grouped""",
 )
 
 
+# ------------------------------------------- round-6b: textual LogsQL
+# (victoriametrics_spark/logsql/parser.py — the LogsQL string front-end
+# that vendored logstorage/parser.go + pipe.go provide for VictoriaLogs
+# users). Each gate runs a REAL LogsQL query string end-to-end:
+# lex → parse → compile onto logsql/pipes.py combinators → DataFrame.
+# The oracle re-states the same semantics in ANSI SQL over the shared
+# `logs` view of the events table (sources/logs.py:LOGS_ORACLE_VIEW).
+_LQL_VIEW = """
+WITH logs AS (
+  SELECT ts AS _time,
+         event_type || ' user=' || user_id || ' ' || props AS _msg,
+         event_type, user_id, value, props, event_id
+  FROM events
+)
+"""
+
+
+def _lql(query: str, post=None, now_ms=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from victoriametrics_spark.logsql.parser import run_logsql
+        from victoriametrics_spark.sources.logs import events_as_logs
+
+        out = run_logsql(events_as_logs(spark, sf_dir), query, now_ms=now_ms)
+        return post(out) if post else out
+
+    return run
+
+
+_reg(
+    "lql_word_stats",
+    _lql("error | stats by (user_id) count() as hits | sort by (user_id)"),
+    _LQL_VIEW
+    + r"""
+SELECT user_id, count(*) AS hits
+FROM logs
+WHERE regexp_matches(_msg, '(?:^|\W)error(?:\W|$)')
+GROUP BY user_id""",
+)
+
+_reg(
+    "lql_cmp_math",
+    _lql(
+        "value:>150 | math (value * 2) as v2, (value % 10) as r "
+        "| stats by (event_type) sum(v2) as s2, count() as n",
+        post=lambda df: df.withColumn("s2", F.round("s2", 4)),
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_type, round(sum(value * 2), 4) AS s2, count(*) AS n
+FROM logs WHERE value > 150
+GROUP BY event_type""",
+)
+
+_reg(
+    "lql_time_in",
+    _lql(
+        "_time:[2024-01-01T00:00:00Z, 2024-01-05T00:00:00Z) user_id:in(1, 2, 3) "
+        "| stats by (user_id) count() as n, sum(value) as s",
+        post=lambda df: df.withColumn("s", F.round("s", 4)),
+    ),
+    _LQL_VIEW
+    + """
+SELECT user_id, count(*) AS n, round(sum(value), 4) AS s
+FROM logs
+WHERE _time >= TIMESTAMP '2024-01-01 00:00:00'
+  AND _time < TIMESTAMP '2024-01-05 00:00:00'
+  AND user_id IN (1, 2, 3)
+GROUP BY user_id""",
+)
+
+_reg(
+    "lql_rel_time",
+    # relative `_time:24h` anchored at a pinned now_ms → deterministic
+    _lql(
+        "_time:24h | stats count() as n",
+        now_ms=1704153600000,  # 2024-01-02T00:00:00Z
+    ),
+    _LQL_VIEW
+    + """
+SELECT count(*) AS n FROM logs
+WHERE _time >= TIMESTAMP '2024-01-01 00:00:00'
+  AND _time <= TIMESTAMP '2024-01-02 00:00:00'""",
+)
+
+_reg(
+    "lql_extract_format",
+    _lql(
+        '* | extract "user=<uid> " from _msg '
+        '| format "u<uid>-<event_type>" as tag '
+        "| stats by (tag) count() as n | sort by (tag)",
+    ),
+    _LQL_VIEW
+    + """
+SELECT 'u' || regexp_extract(_msg, 'user\\=(.*?)\\ ', 1) || '-' || event_type
+           AS tag,
+       count(*) AS n
+FROM logs
+GROUP BY 1""",
+)
+
+_reg(
+    "lql_top",
+    _lql("* | top 3 by (event_type)"),
+    _LQL_VIEW
+    + """
+SELECT event_type, count(*) AS hits
+FROM logs
+GROUP BY event_type
+ORDER BY hits DESC, event_type ASC
+LIMIT 3""",
+)
+
+_reg(
+    "lql_first_partition",
+    _lql(
+        "* | first 2 by (_time, event_id) partition by (event_type) "
+        "| fields event_type, event_id"
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY _time, event_id) AS rn
+  FROM logs
+) WHERE rn <= 2""",
+)
+
+_reg(
+    "lql_unpack_replace",
+    _lql(
+        "* | unpack_json from props fields (k) "
+        "| copy event_type as t "
+        '| replace ("error", "err") at t '
+        "| len(t) as tl "
+        "| stats by (t, tl) sum(k) as ks, count() as n",
+    ),
+    _LQL_VIEW
+    + """
+SELECT replace(event_type, 'error', 'err') AS t,
+       length(replace(event_type, 'error', 'err')) AS tl,
+       sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS ks,
+       count(*) AS n
+FROM logs
+GROUP BY 1, 2""",
+)
+
+_reg(
+    "lql_sort_offset",
+    _lql(
+        '"user=1" | sort by (value desc, event_id) offset 2 limit 5 '
+        "| fields event_id, value"
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_id, value
+FROM logs
+WHERE position('user=1' IN _msg) > 0
+ORDER BY value DESC, event_id ASC
+LIMIT 5 OFFSET 2""",
+)
+
+_reg(
+    "lql_uniq_hits",
+    _lql("* | uniq by (event_type) with hits"),
+    _LQL_VIEW
+    + """
+SELECT event_type, count(*) AS hits FROM logs GROUP BY event_type""",
+)
+
+
+# ----------------------------------------- round-6b: multimodal gates
+# (operators/multimodal.py). The documents table stands in for a media
+# table: content = utf8 bytes of text, kind = doc_id % 3. The stub
+# decoder derives dimensions from sha256 bytes, which DuckDB recomputes
+# exactly — so the whole mapInPandas decode path is oracle-checked.
+def _mm_media(spark, sf_dir, load):
+    docs = load(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.lit("txt").alias("format"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+_MM_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def _mm_metadata(spark, sf_dir, load):
+    from victoriametrics_spark.operators.multimodal import extract_metadata
+
+    return extract_metadata(_mm_media(spark, sf_dir, load))
+
+
+_reg(
+    "op_mm_metadata",
+    _op(_mm_metadata),
+    f"""
+SELECT doc_id AS media_id, {_MM_KIND_SQL} AS kind, 'txt' AS format,
+       octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha
+FROM documents""",
+)
+
+
+def _mm_decode(spark, sf_dir, load):
+    from victoriametrics_spark.operators.multimodal import decode_media
+
+    return decode_media(_mm_media(spark, sf_dir, load))
+
+
+_reg(
+    "op_mm_decode",
+    _op(_mm_decode),
+    f"""
+SELECT doc_id AS media_id, {_MM_KIND_SQL} AS kind,
+       octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha,
+       CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS INT)
+           AS width,
+       CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS INT)
+           AS height,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN 1 + ('0x' || substr(sha256(text), 5, 2))::INT % 32
+                 ELSE 1 END AS INT) AS n_frames
+FROM documents""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates. Order the registry
 # riskiest-first: gates with no driver verdict yet (histogram family,
@@ -2413,6 +2645,19 @@ FROM grouped""",
 # few always-on canaries from thrice-green families. New gates added later
 # this round are appended to section (a).
 _DRIVER_PRIORITY = [
+    # (a0) newest code: the textual LogsQL front-end (logsql/parser.py)
+    "lql_word_stats",
+    "lql_cmp_math",
+    "lql_time_in",
+    "lql_rel_time",
+    "lql_extract_format",
+    "lql_top",
+    "lql_first_partition",
+    "lql_unpack_replace",
+    "lql_sort_offset",
+    "lql_uniq_hits",
+    "op_mm_metadata",
+    "op_mm_decode",
     # (a) changed this round — first driver verdict for the md5 oracles
     # and the round-6 pipe tranche
     "op_emb_lsh_knn",

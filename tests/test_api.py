@@ -144,3 +144,104 @@ def test_graphite_render_plain_name(api):
     out = api.render("highestCurrent(temp;*, 1)", "0", "2000", "500")
     assert len(out) == 1
     assert out[0]["tags"]["room"] == "x"
+
+
+# ------------------------------------------------------------- LogsAPI
+@pytest.fixture(scope="module")
+def logs_api(spark):
+    from datetime import datetime
+
+    from victoriametrics_spark.api import LogsAPI
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 5), "error user=1", "error", 1, 10.0),
+        (datetime(2024, 1, 1, 1, 0), "signup user=2", "signup", 2, 20.0),
+        (datetime(2024, 1, 2, 2, 0), "error user=2", "error", 2, 30.0),
+        (datetime(2024, 1, 2, 3, 0), "error user=3", "error", 3, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["_time", "_msg", "event_type", "user_id", "value"]
+    )
+    return LogsAPI(spark, df)
+
+
+def test_logsql_query_jsonl(logs_api):
+    lines = logs_api.query("error | fields event_type, user_id", limit=10)
+    assert len(lines) == 3
+    assert all(json.loads(x)["event_type"] == "error" for x in lines)
+
+
+def test_logsql_hits(logs_api):
+    out = logs_api.hits("error", step="1d")
+    assert len(out["hits"]) == 1
+    g = out["hits"][0]
+    assert g["values"] == [1, 2]
+    assert len(g["timestamps"]) == 2
+    by_field = logs_api.hits("*", step="1d", fields=["event_type"])
+    assert {h["fields"]["event_type"] for h in by_field["hits"]} == {
+        "error", "signup",
+    }
+
+
+def test_logsql_stats_query(logs_api):
+    out = logs_api.stats_query(
+        "* | stats by (event_type) count() as n, sum(value) as s"
+    )
+    assert out["data"]["resultType"] == "vector"
+    res = out["data"]["result"]
+    names = {(r["metric"]["__name__"], r["metric"]["event_type"]) for r in res}
+    assert ("n", "error") in names and ("s", "signup") in names
+    err_n = [
+        r for r in res
+        if r["metric"] == {"__name__": "n", "event_type": "error"}
+    ][0]
+    assert err_n["value"][1] == "3"
+    with pytest.raises(ValueError):
+        logs_api.stats_query("error | limit 5")
+
+
+def test_logsql_facets_fields(logs_api):
+    out = logs_api.facets("*")
+    by_name = {f["field_name"]: f["values"] for f in out["facets"]}
+    assert {"_msg", "event_type", "user_id", "value"} <= set(by_name)
+    ev = {v["field_value"]: v["hits"] for v in by_name["event_type"]}
+    assert ev == {"error": 3, "signup": 1}
+    names = logs_api.field_names("*")
+    assert {n["value"] for n in names["names"]} >= {"event_type", "user_id"}
+    vals = logs_api.field_values("*", "event_type")
+    assert {v["value"]: v["hits"] for v in vals["values"]} == {
+        "error": 3, "signup": 1,
+    }
+
+
+def test_logsql_http_endpoints(api, logs_api):
+    srv = serve(api, port=0, logs_api=logs_api)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = (
+            f"http://127.0.0.1:{port}/select/logsql/query"
+            "?query=error%20%7C%20fields%20user_id&limit=5"
+        )
+        with urllib.request.urlopen(url) as resp:
+            lines = resp.read().decode().splitlines()
+        assert len(lines) == 3
+
+        url = (
+            f"http://127.0.0.1:{port}/select/logsql/stats_query"
+            "?query=*%20%7C%20stats%20count()%20as%20n"
+        )
+        with urllib.request.urlopen(url) as resp:
+            body = json.loads(resp.read())
+        assert body["data"]["result"][0]["value"][1] == "4"
+
+        url = (
+            f"http://127.0.0.1:{port}/select/logsql/hits"
+            "?query=*&step=1d&field=event_type"
+        )
+        with urllib.request.urlopen(url) as resp:
+            body = json.loads(resp.read())
+        assert len(body["hits"]) == 2
+    finally:
+        srv.shutdown()

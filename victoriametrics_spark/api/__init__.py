@@ -1,3 +1,3 @@
-from victoriametrics_spark.api.http import PromAPI, serve
+from victoriametrics_spark.api.http import LogsAPI, PromAPI, serve
 
-__all__ = ["PromAPI", "serve"]
+__all__ = ["LogsAPI", "PromAPI", "serve"]

@@ -356,8 +356,137 @@ class PromAPI:
         return out
 
 
+class LogsAPI:
+    """VictoriaLogs-compatible query endpoints over a log DataFrame
+    (columns ``_time``/``_msg``/fields — sources/logs.py shape).
+
+    Mirrors the public /select/logsql/* HTTP surface that fronts the
+    vendored logstorage engine: ``query`` streams matching rows as JSONL,
+    ``hits`` buckets match counts by step, ``stats_query`` returns a
+    Prometheus-style vector from a trailing stats pipe, ``facets`` /
+    ``field_names`` / ``field_values`` expose the discovery endpoints.
+    All heavy work stays in Spark; the driver only collects the
+    presentation-sized result (rows are capped by ``limit``)."""
+
+    def __init__(self, spark: SparkSession, logs: DataFrame, now_ms=None):
+        self.spark = spark
+        self.logs = logs
+        self.now_ms = now_ms
+
+    def _run(self, query: str) -> DataFrame:
+        from victoriametrics_spark.logsql.parser import run_logsql
+
+        return run_logsql(self.logs, query, now_ms=self.now_ms)
+
+    def query(self, query: str, limit: int = 1000) -> list[str]:
+        """GET /select/logsql/query → JSONL lines."""
+        df = self._run(query)
+        if limit:
+            df = df.limit(int(limit))
+        out = []
+        for r in df.toJSON().collect():
+            out.append(r)
+        return out
+
+    def hits(
+        self,
+        query: str,
+        step: str = "1d",
+        fields: list[str] | None = None,
+    ) -> dict:
+        """GET /select/logsql/hits — match counts per time bucket,
+        optionally grouped by fields."""
+        from victoriametrics_spark.logsql.parser import parse_duration_ms
+
+        step_ms = int(parse_duration_ms(step))
+        df = self._run(query)
+        bucket = (
+            F.floor(
+                F.unix_millis(F.col("_time").cast("timestamp")) / step_ms
+            )
+            * step_ms
+        ).alias("__t")
+        keys = list(fields or [])
+        agg = (
+            df.groupBy(bucket, *keys)
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy("__t", *keys)
+        )
+        rows = agg.collect()
+        groups: dict = {}
+        for r in rows:
+            key = tuple((f, str(r[f])) for f in keys)
+            g = groups.setdefault(key, {"fields": dict(key), "timestamps": [], "values": []})
+            g["timestamps"].append(int(r["__t"]))
+            g["values"].append(int(r["hits"]))
+        return {"hits": list(groups.values())}
+
+    def stats_query(self, query: str) -> dict:
+        """GET /select/logsql/stats_query — the trailing ``stats`` pipe
+        becomes an instant vector: by-fields → labels, each stats result
+        column → one series with label ``__name__``."""
+        from victoriametrics_spark.logsql.parser import parse_query
+
+        q = parse_query(query)
+        if not q.pipes or q.pipes[-1][0] != "stats":
+            raise ValueError("stats_query requires the query to end with | stats")
+        by = q.pipes[-1][1]
+        value_cols = [fn[2] for fn in q.pipes[-1][2]]
+        df = self._run(query)
+        result = []
+        for r in df.collect():
+            labels = {f: str(r[f]) for f in by}
+            for vc in value_cols:
+                v = r[vc]
+                if v is None:
+                    continue
+                result.append(
+                    {
+                        "metric": {"__name__": vc, **labels},
+                        "value": [0, _fmt_value(float(v))],
+                    }
+                )
+        return {
+            "status": "success",
+            "data": {"resultType": "vector", "result": result},
+        }
+
+    def facets(self, query: str, limit: int = 10) -> dict:
+        from victoriametrics_spark.logsql import pipes as _pipes
+
+        df = self._run(query)
+        fields = [c for c in df.columns if c != "_time"]
+        rows = _pipes.facets(df, fields, int(limit)).collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["field"], []).append(
+                {"field_value": r["value"], "hits": int(r["hits"])}
+            )
+        return {"facets": [{"field_name": k, "values": v} for k, v in out.items()]}
+
+    def field_names(self, query: str) -> dict:
+        from victoriametrics_spark.logsql import pipes as _pipes
+
+        rows = _pipes.field_names(self._run(query)).collect()
+        return {
+            "names": [
+                {"value": r["name"], "hits": int(r["hits"])} for r in rows
+            ]
+        }
+
+    def field_values(self, query: str, field: str, limit: int = 10) -> dict:
+        from victoriametrics_spark.logsql import pipes as _pipes
+
+        rows = _pipes.field_values(self._run(query), field, int(limit)).collect()
+        return {
+            "values": [
+                {"value": str(r["value"]), "hits": int(r["hits"])} for r in rows
+            ]
+        }
+
+
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1"):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``)."""
@@ -414,6 +543,38 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1"):
                         p("until"),
                         p("step"),
                     )
+                elif u.path.startswith("/select/logsql/") and logs_api:
+                    ep = u.path[len("/select/logsql/") :]
+                    if ep == "query":
+                        lines = logs_api.query(
+                            p("query"), int(p("limit", "1000"))
+                        )
+                        self._send(
+                            200, "\n".join(lines), "application/stream+json"
+                        )
+                        return
+                    if ep == "hits":
+                        out = logs_api.hits(
+                            p("query"), p("step", "1d"), q.get("field", [])
+                        )
+                    elif ep == "stats_query":
+                        out = logs_api.stats_query(p("query"))
+                    elif ep == "facets":
+                        out = logs_api.facets(p("query"), int(p("limit", "10")))
+                    elif ep == "field_names":
+                        out = logs_api.field_names(p("query"))
+                    elif ep == "field_values":
+                        out = logs_api.field_values(
+                            p("query"), p("field"), int(p("limit", "10"))
+                        )
+                    else:
+                        self._send(
+                            404,
+                            json.dumps(
+                                {"status": "error", "error": "not found"}
+                            ),
+                        )
+                        return
                 else:
                     self._send(
                         404,
