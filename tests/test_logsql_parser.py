@@ -457,3 +457,120 @@ def test_stats_if_condition(logs):
     assert rows[1] == (1, 60.0, 2)
     assert rows[2] == (1, None, 2)
     assert rows[3] == (1, 40.0, 2)
+
+
+def test_options_prefix(logs):
+    out = run(
+        logs,
+        'options(concurrency=4, ignore_global_time_filter=true) error '
+        "| stats count() as n",
+    ).collect()
+    assert out[0]["n"] == 3
+    out = run(
+        logs, "options(global_filter=(user_id:in(1,2))) error | stats count() as n"
+    ).collect()
+    assert out[0]["n"] == 2
+    now_ms = int(
+        (datetime(2024, 1, 3, 1, 0) - datetime(1970, 1, 1)).total_seconds() * 1000
+    )
+    base = run(logs, "_time:1d | stats count() as n", now_ms=now_ms).collect()[0]["n"]
+    shifted = run(
+        logs, "options(time_offset=-1d) _time:1d | stats count() as n", now_ms=now_ms
+    ).collect()[0]["n"]
+    assert (base, shifted) == (2, 3)
+
+
+def test_stream_id_filter(logs):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(LogsQLError):
+        run(logs, "_stream_id:in(1, 2)").collect()
+    streamed = run(logs, "* | set_stream_fields (event_type)")
+    sid = streamed.filter(F.col("event_type") == "error").select(
+        F.xxhash64("_stream")
+    ).first()[0]
+    out = run_logsql(streamed, f"_stream_id:{sid}")
+    assert out.count() == 3
+
+
+PARSE_MATRIX = [
+    # filters
+    'foo bar',
+    '"exact phrase" AND other*',
+    'f1:v1 OR (f2:v2 f3:!~"re.*")',
+    '_time:[2024-01-01, 2024-02-01) _stream:{app="web",env=~"prod.*"}',
+    'ip:ipv4_range(127.0.0.1, 127.0.0.255) port:range[1000, 2000)',
+    'lvl:in(error, warn, "fatal error") msg:seq("a", "b")',
+    'f:i(CaseLess) g:exact("x")* h:len_range(1, 10)',
+    'a:>10 b:>=-5 c:<1.5 d:<=1e3 e:=exactv f:!=other',
+    'value:value_type("float") s:string_range(a, z)',
+    '_time:day_range[08:00, 18:00] OR _time:week_range[Mon, Fri]',
+    'msg:contains_all("x", "y") msg:contains_any("p", "q")',
+    'not (a:1 or b:2) -c:3 !d:4',
+    # pipes
+    '* | stats by (a, b) count() as c, sum(x) as s, quantile(0.99, y) as q',
+    '* | count_uniq(ip) as ips',
+    '* | stats count() if (a:error) as errs, avg(v) as m',
+    '* | sort by (a desc, b) limit 10 offset 5',
+    '* | order by (a) desc rank as r',
+    '* | first 5 by (ts) partition by (host)',
+    '* | last 3 by (v)',
+    '* | fields a, b | copy a as a2 | rename b as b2 | delete a2',
+    '* | filter a:>1 | where b:2',
+    '* | math (a + b * 2) as s, abs(a - b) as d, round(a / 3) as r',
+    '* | math (a ^ 2 + max(b, c)) as p',
+    '* | format "pre<f1>mid<f2>post" as out',
+    '* | extract "ip=<ip> port=<port>" from _msg',
+    '* | extract_regexp "(?P<year>[0-9]{4})" from _msg',
+    '* | unpack_json from j fields (k1, k2) result_prefix p_',
+    '* | unpack_logfmt from lf fields (a, b)',
+    '* | unpack_syslog from raw',
+    '* | unpack_words from txt as words drop_duplicates',
+    '* | uniq by (a, b) with hits limit 100',
+    '* | top 7 by (k) hits as freq',
+    '* | len(_msg) as l | hash(_msg) as h',
+    '* | unroll by (arr)',
+    '* | replace ("a", "b") at f limit 2 | replace_regexp ("x+", "y") at g',
+    '* | split (",") from csv as parts',
+    '* | sample 10',
+    '* | time_add 1h30m at _time',
+    '* | field_values k limit 5',
+    '* | facets 15',
+    '* | collapse_nums at m | decolorize m',
+    '* | pack_json fields (a, b) as j | pack_logfmt fields (c) as lf',
+    'error | union (warning | limit 10)',
+    '* | join by (id) (other:1 | stats by (id) count() as n) inner prefix sub_',
+    '* | drop_empty_fields | field_names',
+    '* | running_stats by (g) sum(v) as cum',
+    '* | total_stats count() as seen',
+    'error | stream_context before 3 after 2 time_window 1h',
+    '* | set_stream_fields (host, app) | stream_context after 1',
+    '* | offset 10 | head 5',
+    '* | json_array_len(arr) as n',
+    '* | generate_sequence 100',
+    '* | blocks_count',
+]
+
+
+def test_parse_matrix():
+    for q in PARSE_MATRIX:
+        parse_query(q)  # must not raise
+
+
+PARSE_ERRORS = [
+    '"unterminated',
+    'a:range(1',
+    '* | stats by (a count() as c',
+    '(a or b',
+    '* | sort by (a) limit x',
+    '* | math a + as b',
+    'f:>notanumber',
+    '* | stats unknown_func(x) as y',
+    'options(concurrency=4 error',
+]
+
+
+def test_parse_matrix_errors():
+    for q in PARSE_ERRORS:
+        with pytest.raises((LogsQLError, ValueError)):
+            parse_query(q)

@@ -132,3 +132,69 @@ def test_series_key_column_reused(spark, stored):
     cfg = EvalConfig(start=T0 + DAY, end=T0 + 2 * DAY, step=6 * H)
     df = evaluate(spark, "avg_over_time(m[1d])", bucketed, cfg)
     assert "Exchange" not in _physical_plan(df)
+
+
+# ----------------------------------------------------------------- logs
+@pytest.fixture(scope="module")
+def log_table(spark):
+    from datetime import datetime
+
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_logs_table,
+    )
+
+    drop_samples_table(spark, "t_logs")
+    rows = []
+    for d in range(1, 4):
+        for h in range(0, 24, 2):
+            for app in ("web", "db"):
+                rows.append(
+                    (
+                        datetime(2024, 1, d, h),
+                        f"req app={app} d={d} h={h}",
+                        app,
+                        float(d * 100 + h),
+                    )
+                )
+    df = spark.createDataFrame(rows, ["_time", "_msg", "app", "value"])
+    write_logs_table(df, "t_logs", stream_fields=["app"], n_buckets=4)
+    return rows
+
+
+def test_logs_round_trip_and_pruning(spark, log_table):
+    from victoriametrics_spark.storage.layout import read_logs_table
+
+    back = read_logs_table(spark, "t_logs")
+    assert back.count() == len(log_table)
+    assert "_stream" in back.columns
+    day2 = read_logs_table(
+        spark,
+        "t_logs",
+        start_ms=1704153600000,  # 2024-01-02
+        end_ms=1704239999999,
+    )
+    assert day2.count() == 24
+    assert "PartitionFilters" in _physical_plan(day2)
+
+
+def test_logsql_over_bucketed_logs(spark, log_table):
+    from victoriametrics_spark.logsql.parser import run_logsql
+    from victoriametrics_spark.storage.layout import read_logs_table
+
+    logs = read_logs_table(spark, "t_logs")
+    out = run_logsql(
+        logs,
+        '_stream:{app="web"} | stats by (app) count() as n',
+    ).collect()
+    assert out[0]["n"] == 36
+    # stream_context over the bucketed table: per-stream window needs no
+    # full-frame shuffle of a foreign partitioning — the plan's only
+    # exchanges are hash on _stream (already the bucket key) or the
+    # broadcast/semi-join of matches
+    ctx = run_logsql(
+        logs,
+        '_stream:{app="web"} value:=302.0 | stream_context before 1 after 1',
+    )
+    ids = sorted(r["value"] for r in ctx.collect())
+    assert ids == [300.0, 302.0, 304.0]

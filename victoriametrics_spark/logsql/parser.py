@@ -304,6 +304,8 @@ class Parser:
                     return self._filter_time()
                 if t.val == "_stream":
                     return self._filter_stream()
+                if t.val == "_stream_id":
+                    return self._filter_stream_id()
                 return self._filter_value(t.val)
             # bare word filter (maybe prefix)
             if self.peek().val == "*" and not self.peek().spaced:
@@ -532,6 +534,21 @@ class Parser:
         else:
             hi = ts + spans[unit]
         return FNode("time", "_time", (ts, hi, True, False))
+
+    def _filter_stream_id(self) -> FNode:
+        """``_stream_id:in(id1, id2)`` / ``_stream_id:id``
+        (filter_stream_id.go) — ids are xxhash64 of the canonical
+        _stream string (pipes.stream_id_filter)."""
+        t = self.peek()
+        if t.kind == "word" and t.val.lower() == "in" and self.peek(1).val == "(":
+            self.next()
+            self.expect("(")
+            args = self._func_args(stop=(")",))
+            self.expect(")")
+            return FNode("stream_id", "_stream", tuple(int(a) for a in args))
+        neg = self.eat("-")  # xxhash64 ids are signed longs
+        v = self._compound_word()
+        return FNode("stream_id", "_stream", (-int(v) if neg else int(v),))
 
     def _compound_word(self) -> str:
         """A word possibly containing lexer-split ':' (timestamps)."""
@@ -1180,13 +1197,49 @@ _PIPE_PARSERS: dict[str, Callable[[Parser], tuple]] = {
 class Query:
     filter: FNode
     pipes: list[tuple]
+    options: dict = _dfield(default_factory=dict)
+
+
+def _parse_options(p: Parser) -> dict:
+    """Leading ``options(key=value, ...)`` (parser.go:2010-2100).
+    Execution-tuning keys (concurrency, parallel_readers,
+    allow_partial_response) are recorded but have no effect — Spark's
+    scheduler owns parallelism; ``global_filter=(...)`` and
+    ``time_offset`` are honored."""
+    opts: dict = {}
+    if not (
+        p.peek().kind == "word"
+        and p.peek().val.lower() == "options"
+        and p.peek(1).val == "("
+    ):
+        return opts
+    p.next()
+    p.expect("(")
+    while not p.eat(")"):
+        if p.peek().kind == "eof":
+            raise p.err("unterminated options(...)")
+        key = p.next().val.lower()
+        p.expect("=")
+        if key == "global_filter":
+            p.expect("(")
+            opts[key] = p.parse_filter_expr()
+            p.expect(")")
+        elif key == "time_offset":
+            neg = p.eat("-")
+            v = parse_duration_ms(p._compound_word())
+            opts[key] = -v if neg else v
+        else:
+            opts[key] = p._compound_word()
+        p.eat(",")
+    return opts
 
 
 def parse_query(text: str) -> Query:
     p = Parser(tokenize(text))
+    opts = _parse_options(p)
     flt = p.parse_filter_expr()
     ppipes = p.parse_pipes()
-    return Query(flt, ppipes)
+    return Query(flt, ppipes, opts)
 
 
 # ------------------------------------------------------------------ compiler
@@ -1258,7 +1311,7 @@ def compile_filter(node: FNode, df: DataFrame, cfg: _Cfg) -> Column:
         sym, v = node.args
         c = col(node.fld).cast("double")
         return {
-            ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v,
+            ">": c > v, ">=": c >= v, "<": c < v, "<=": c <= v, "=": c == v,
         }[sym]
     if op == "range":
         lo, hi, lo_inc, hi_inc = node.args
@@ -1344,6 +1397,13 @@ def compile_filter(node: FNode, df: DataFrame, cfg: _Cfg) -> Column:
         for x in conds[1:]:
             out = out & x
         return out
+    if op == "stream_id":
+        if "_stream" not in df.columns:
+            raise LogsQLError(
+                "_stream_id filter needs a _stream column "
+                "(set_stream_fields or a stream-partitioned source)"
+            )
+        return pipes.stream_id_filter(F.col("_stream"), list(node.args))
     if op == "stream":
         conds = []
         for name, sym, val in node.args:
@@ -1686,6 +1746,9 @@ def _apply_pipe(df: DataFrame, p: tuple, cfg: _Cfg, base_df: DataFrame) -> DataF
 
 
 def _compile(q: Query, base_df: DataFrame, cfg: _Cfg) -> DataFrame:
+    if "time_offset" in q.options and cfg.now_ms is not None:
+        # time_offset shifts the evaluated range: -1d → query yesterday
+        cfg.now_ms = int(cfg.now_ms + q.options["time_offset"])
     ppipes = list(q.pipes)
     # `<filter> | stream_context before N after M` applies the filter as
     # the MATCH condition over the unfiltered frame (context rows come
@@ -1708,6 +1771,8 @@ def _compile(q: Query, base_df: DataFrame, cfg: _Cfg) -> DataFrame:
         ppipes = ppipes[1:]
     else:
         cond = compile_filter(q.filter, pre, cfg)
+        if "global_filter" in q.options:
+            cond = cond & compile_filter(q.options["global_filter"], pre, cfg)
         df = pre.filter(cond)
     for p in ppipes:
         df = _apply_pipe(df, p, cfg, base_df)

@@ -164,3 +164,68 @@ def compact_samples_table(
     # moved locations
     spark.sql(f"MSCK REPAIR TABLE {table}")
     spark.catalog.refreshTable(table)
+
+
+# ---------------------------------------------------------------- logs
+def write_logs_table(
+    logs: DataFrame,
+    table: str,
+    stream_fields: list[str] | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Day-partitioned, stream-bucketed LogsQL log table — the log
+    counterpart of :func:`write_samples_table` and the Spark analog of
+    the reference's per-day log storage with per-stream block layout
+    (vendored logstorage: partitions are daily, rows within a block
+    share one _stream).
+
+    - ``date`` partition dirs → every ``_time`` filter prunes whole days;
+    - ``bucketBy(N, _stream)`` → stream filters/stream_context/per-stream
+      windows run with zero Exchange (each executor owns whole streams);
+    - ``sortBy(_stream, _time)`` → in-file time order per stream, so
+      stream_context's row_number window is a local merge.
+
+    ``stream_fields`` (if given) materializes the canonical ``_stream``
+    column first (pipes.set_stream_fields); otherwise the frame must
+    already carry one.
+    """
+    from victoriametrics_spark.logsql import pipes as _pipes
+
+    df = logs
+    if stream_fields:
+        df = _pipes.set_stream_fields(df, stream_fields)
+    if "_stream" not in df.columns:
+        df = df.withColumn("_stream", F.lit("{}"))
+    df = df.withColumn("date", F.to_date(F.col("_time").cast("timestamp")))
+    (
+        df.repartition(n_buckets, F.col("_stream"))
+        .write.mode(mode)
+        .format("parquet")
+        .partitionBy("date")
+        .bucketBy(n_buckets, "_stream")
+        .sortBy("_stream", "_time")
+        .saveAsTable(table)
+    )
+
+
+def read_logs_table(
+    spark: SparkSession,
+    table: str,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Partition-pruned log scan; day-granular, like the reference's
+    daily partition selection. The exact ``_time`` range filter still
+    applies inside the LogsQL query — this only bounds the directories
+    read."""
+    df = spark.table(table)
+    if start_ms is not None:
+        df = df.filter(
+            F.col("date") >= F.to_date(F.timestamp_millis(F.lit(start_ms)))
+        )
+    if end_ms is not None:
+        df = df.filter(
+            F.col("date") <= F.to_date(F.timestamp_millis(F.lit(end_ms)))
+        )
+    return df.drop("date")
