@@ -2633,6 +2633,49 @@ FROM documents""",
 )
 
 
+# ------------------------------------------- round-6b: downsampling
+def _op_downsample(spark, sf_dir, load):
+    """Age-tiered downsampling (storage/downsample.py): ≥21d old → last
+    sample per 1d per series; ≥7d → per 6h; younger kept raw. Ties:
+    max ts then max value (lib/storage/dedup.go:29-60 rule)."""
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.storage.downsample import downsample
+
+    samples = events_as_samples(spark, sf_dir)
+    out = downsample(
+        samples, rules=[(7 * W1D, W6H), (21 * W1D, W1D)], now_ms=GRID_END
+    )
+    return out.select(
+        F.col("labels")["event_type"].alias("event_type"),
+        F.col("labels")["user_bucket"].alias("user_bucket"),
+        "ts",
+        "value",
+    )
+
+
+_reg(
+    "op_downsample",
+    _op(_op_downsample),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+tagged AS (
+    SELECT *,
+           CASE WHEN {GRID_END} - ts >= {21 * W1D} THEN {W1D}
+                WHEN {GRID_END} - ts >= {7 * W1D} THEN {W6H}
+                ELSE 0 END AS itv
+    FROM samples
+)
+SELECT event_type, user_bucket, ts, value FROM tagged WHERE itv = 0
+UNION ALL
+SELECT event_type, user_bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type, user_bucket, itv, CAST(floor(ts / itv) AS BIGINT)
+        ORDER BY ts DESC, value DESC) AS rn
+    FROM tagged WHERE itv > 0
+) WHERE rn = 1""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates. Order the registry
 # riskiest-first: gates with no driver verdict yet (histogram family,
@@ -2658,6 +2701,7 @@ _DRIVER_PRIORITY = [
     "lql_uniq_hits",
     "op_mm_metadata",
     "op_mm_decode",
+    "op_downsample",
     # (a) changed this round — first driver verdict for the md5 oracles
     # and the round-6 pipe tranche
     "op_emb_lsh_knn",

@@ -245,3 +245,27 @@ def test_logsql_http_endpoints(api, logs_api):
         assert len(body["hits"]) == 2
     finally:
         srv.shutdown()
+
+
+def test_tsdb_status(api):
+    out = api.tsdb_status(topn=5)
+    d = out["data"]
+    # fixture: 2 http_requests_total series + 1 temp series
+    assert d["totalSeries"] == 3
+    by_metric = {e["name"]: e["value"] for e in d["seriesCountByMetricName"]}
+    assert by_metric == {"http_requests_total": 2, "temp": 1}
+    by_label = {e["name"]: e["value"] for e in d["seriesCountByLabelName"]}
+    assert by_label["__name__"] == 3
+    assert by_label["job"] == 2 and by_label["room"] == 1
+    by_pair = {e["name"]: e["value"] for e in d["seriesCountByLabelValuePair"]}
+    assert by_pair["__name__=http_requests_total"] == 2
+    assert by_pair["job=a"] == 1
+    vals = {e["name"]: e["value"] for e in d["labelValueCountByLabelName"]}
+    assert vals["job"] == 2 and vals["code"] == 2
+    # focusLabel + match[] narrowing
+    focused = api.tsdb_status(
+        topn=5, focus_label="job", match=["http_requests_total"]
+    )["data"]
+    assert focused["totalSeries"] == 2
+    fv = {e["name"]: e["value"] for e in focused["seriesCountByFocusLabelValue"]}
+    assert fv == {"a": 1, "b": 1}

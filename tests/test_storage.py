@@ -198,3 +198,35 @@ def test_logsql_over_bucketed_logs(spark, log_table):
     )
     ids = sorted(r["value"] for r in ctx.collect())
     assert ids == [300.0, 302.0, 304.0]
+
+
+def test_downsample_semantics(spark):
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.downsample import downsample
+
+    H = 3_600_000
+    now = 100 * H
+    rows = [
+        # fresh (age < 10h): kept raw
+        ("m", {"s": "a"}, now - H, 1.0, False),
+        ("m", {"s": "a"}, now - 2 * H, 2.0, False),
+        # aged ≥10h → one per 4h bucket, last ts wins
+        ("m", {"s": "a"}, now - 11 * H, 3.0, False),   # bucket 22
+        ("m", {"s": "a"}, now - 12 * H, 4.0, False),   # bucket 22
+        ("m", {"s": "a"}, now - 13 * H, 5.0, False),   # bucket 21
+        # tie on ts → max value wins
+        ("m", {"s": "b"}, now - 11 * H, 7.0, False),
+        ("m", {"s": "b"}, now - 11 * H, 9.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    out = downsample(df, rules=[(10 * H, 4 * H)], now_ms=now)
+    got = {
+        (r["labels"]["s"], r["ts"], r["value"]) for r in out.collect()
+    }
+    assert got == {
+        ("a", now - H, 1.0),
+        ("a", now - 2 * H, 2.0),
+        ("a", now - 11 * H, 3.0),
+        ("a", now - 13 * H, 5.0),
+        ("b", now - 11 * H, 9.0),
+    }

@@ -355,6 +355,105 @@ class PromAPI:
             )
         return out
 
+    def tsdb_status(
+        self,
+        topn: int = 10,
+        focus_label: str | None = None,
+        match: list[str] | None = None,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> dict:
+        """GET /api/v1/status/tsdb (prometheus.go:577 TSDBStatusHandler,
+        heap construction lib/storage/index_db.go:1300-1404) — the
+        cardinality explorer. All four top-N rankings derive from ONE
+        distinct-series frame; each ranking is a groupBy + limited sort,
+        so at 100 TB this is a handful of shuffles over series (not
+        sample) cardinality. ``__name__`` participates as a label pair,
+        matching VM's nameEqualBytes accounting."""
+        if match:
+            df = self._match_df(match, start, end)
+        else:
+            df = self.samples
+        series = (
+            df.select("name", "labels")
+            .withColumn(
+                "__pairs",
+                F.map_entries(
+                    F.map_concat(
+                        F.create_map(F.lit("__name__"), F.col("name")),
+                        F.coalesce("labels", F.create_map()),
+                    )
+                ),
+            )
+            .select(F.to_json("__pairs").alias("__sid"), "name", "__pairs")
+            .dropDuplicates(["__sid"])
+        )
+        series = series.persist()
+        pairs = None
+        try:
+            total_series = series.count()
+            pairs = series.select(
+                "__sid", F.explode("__pairs").alias("__p")
+            ).select(
+                "__sid",
+                F.col("__p.key").alias("label"),
+                F.col("__p.value").alias("value"),
+            )
+            pairs = pairs.persist()
+            total_pairs = pairs.select("label", "value").distinct().count()
+
+            def heap(grouped, name_col) -> list[dict]:
+                rows = grouped.orderBy(
+                    F.col("__n").desc(), F.col(name_col).asc()
+                ).limit(topn).collect()
+                return [
+                    {"name": r[name_col], "value": int(r["__n"])} for r in rows
+                ]
+
+            by_metric = heap(
+                series.groupBy("name").agg(F.count(F.lit(1)).alias("__n")),
+                "name",
+            )
+            by_label = heap(
+                pairs.groupBy("label").agg(
+                    F.count_distinct("__sid").alias("__n")
+                ),
+                "label",
+            )
+            pair_col = F.concat("label", F.lit("="), "value").alias("pair")
+            by_pair = heap(
+                pairs.select(pair_col, "__sid")
+                .groupBy("pair")
+                .agg(F.count_distinct("__sid").alias("__n")),
+                "pair",
+            )
+            values_by_label = heap(
+                pairs.groupBy("label").agg(
+                    F.count_distinct("value").alias("__n")
+                ),
+                "label",
+            )
+            out = {
+                "totalSeries": total_series,
+                "totalLabelValuePairs": total_pairs,
+                "seriesCountByMetricName": by_metric,
+                "seriesCountByLabelName": by_label,
+                "seriesCountByLabelValuePair": by_pair,
+                "labelValueCountByLabelName": values_by_label,
+            }
+            if focus_label:
+                out["seriesCountByFocusLabelValue"] = heap(
+                    pairs.filter(F.col("label") == focus_label)
+                    .groupBy("value")
+                    .agg(F.count_distinct("__sid").alias("__n")),
+                    "value",
+                )
+            return {"status": "success", "data": out}
+        finally:
+            series.unpersist()
+            if pairs is not None:
+                pairs.unpersist()
+
 
 class LogsAPI:
     """VictoriaLogs-compatible query endpoints over a log DataFrame
@@ -527,6 +626,14 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif m := label_values_re.match(u.path):
                     out = api.label_values(
                         unquote(m.group(1)), matches, p("start"), p("end")
+                    )
+                elif u.path == "/api/v1/status/tsdb":
+                    out = api.tsdb_status(
+                        int(p("topN", "10")),
+                        p("focusLabel"),
+                        matches,
+                        p("start"),
+                        p("end"),
                     )
                 elif u.path == "/api/v1/export":
                     lines = api.export_jsonl(matches, p("start"), p("end"))
