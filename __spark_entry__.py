@@ -2571,6 +2571,33 @@ _reg(
 SELECT event_type, count(*) AS hits FROM logs GROUP BY event_type""",
 )
 
+_reg(
+    "lql_time_bucket_stats",
+    # the canonical VictoriaLogs dashboard query: per-day, per-stream
+    # counts via by-field time bucketing (pipe_stats.go byStatsField)
+    _lql(
+        "* | stats by (_time:1d, event_type) count() as n, sum(value) as s",
+        post=lambda df: df.withColumn("s", F.round("s", 4)),
+    ),
+    _LQL_VIEW
+    + """
+SELECT make_timestamp(CAST(floor(epoch_ms(_time) / 86400000) AS BIGINT)
+                      * 86400000 * 1000) AS _time,
+       event_type, count(*) AS n, round(sum(value), 4) AS s
+FROM logs
+GROUP BY 1, 2""",
+)
+
+_reg(
+    "lql_value_bucket_stats",
+    _lql("* | stats by (value:50 offset 5) count() as n"),
+    _LQL_VIEW
+    + """
+SELECT floor((value - 5) / 50) * 50 + 5 AS value, count(*) AS n
+FROM logs
+GROUP BY 1""",
+)
+
 
 # ----------------------------------------- round-6b: multimodal gates
 # (operators/multimodal.py). The documents table stands in for a media
@@ -2702,6 +2729,8 @@ _DRIVER_PRIORITY = [
     "op_mm_metadata",
     "op_mm_decode",
     "op_downsample",
+    "lql_time_bucket_stats",
+    "lql_value_bucket_stats",
     # (a) changed this round — first driver verdict for the md5 oracles
     # and the round-6 pipe tranche
     "op_emb_lsh_knn",

@@ -574,3 +574,40 @@ def test_parse_matrix_errors():
     for q in PARSE_ERRORS:
         with pytest.raises((LogsQLError, ValueError)):
             parse_query(q)
+
+
+def test_stats_by_time_bucket(logs):
+    out = run(
+        logs, "* | stats by (_time:1d) count() as n | sort by (_time)"
+    ).collect()
+    assert [(r["_time"], r["n"]) for r in out] == [
+        (datetime(2024, 1, 1), 3),
+        (datetime(2024, 1, 2), 2),
+        (datetime(2024, 1, 3), 1),
+    ]
+
+
+def test_stats_by_numeric_bucket(logs):
+    out = run(
+        logs, "* | stats by (value:25) count() as n | sort by (value)"
+    ).collect()
+    # values 10,20 | 30,40 | 50,60 → buckets 0, 25, 50
+    assert [(r["value"], r["n"]) for r in out] == [
+        (0.0, 2), (25.0, 2), (50.0, 2),
+    ]
+
+
+def test_stats_by_bucket_offset(logs):
+    out = run(
+        logs, "* | stats by (value:25 offset 10) count() as n | sort by (value)"
+    ).collect()
+    got = {r["value"]: r["n"] for r in out}
+    # buckets anchored at 10: [10,35)x{10,20,30} [35,60)x{40,50} [60,85)x{60}
+    assert got == {10.0: 3, 35.0: 2, 60.0: 1}
+
+
+def test_stats_rate_in_time_bucket(logs):
+    out = run(
+        logs, "* | stats by (_time:1d) rate() as r | sort by (_time)"
+    ).collect()
+    assert out[0]["r"] == pytest.approx(3 / 86400)

@@ -529,7 +529,7 @@ class LogsAPI:
         q = parse_query(query)
         if not q.pipes or q.pipes[-1][0] != "stats":
             raise ValueError("stats_query requires the query to end with | stats")
-        by = q.pipes[-1][1]
+        by = [b if isinstance(b, str) else b[0] for b in q.pipes[-1][1]]
         value_cols = [fn[2] for fn in q.pipes[-1][2]]
         df = self._run(query)
         result = []

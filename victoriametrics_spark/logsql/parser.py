@@ -654,16 +654,51 @@ class Parser:
         return ("filter", self.parse_filter_expr())
 
     def _pipe_stats(self) -> tuple:
-        by: list[str] = []
+        by: list[tuple] = []
         if self.at("by"):
             self.next()
-            by = self._fields_list("required")
+            by = self._by_stats_fields()
         funcs: list[tuple] = []
         while True:
             funcs.append(self._stats_func())
             if not self.eat(","):
                 break
         return ("stats", by, funcs)
+
+    def _by_stats_fields(self) -> list[tuple]:
+        """``by (f1, _time:1h offset 30m, size:100)``
+        (pipe_stats.go:1643 parseByStatsFields): each field may carry a
+        bucket size (duration for _time, number otherwise) + offset."""
+        self.expect("(")
+        out: list[tuple] = []
+        while not self.eat(")"):
+            if self.peek().kind == "eof":
+                raise self.err("unterminated by(...)")
+            name = self.next().val
+            spec = None
+            if self.peek().val == ":" and not self.peek().spaced:
+                self.next()
+                raw = self._compound_word()
+                offset = 0.0
+                kind = "num"
+                if _DUR_RE.match(raw):
+                    kind, size = "dur", parse_duration_ms(raw)
+                elif _is_number(raw):
+                    size = float(raw)
+                else:
+                    raise self.err(f"bad bucket size {raw!r}")
+                if self.at("offset"):
+                    self.next()
+                    off_raw = self._compound_word()
+                    offset = (
+                        parse_duration_ms(off_raw)
+                        if _DUR_RE.match(off_raw)
+                        else float(off_raw)
+                    )
+                spec = (kind, size, offset)
+            out.append((name, spec))
+            self.eat(",")
+        return out
 
     def _stats_func(self) -> tuple:
         t = self.next()
@@ -1553,15 +1588,44 @@ def _stats_agg_column(
     raise LogsQLError(f"stats function {fname!r} is not aggregable here")
 
 
-def _apply_stats(df: DataFrame, by: list[str], funcs: list[tuple], cfg: _Cfg) -> DataFrame:
+def _apply_stats(df: DataFrame, by: list, funcs: list[tuple], cfg: _Cfg) -> DataFrame:
+    # normalize: plain strings (internal callers) or (name, bucket-spec)
+    norm = [(b, None) if isinstance(b, str) else b for b in by]
+    names = [n for n, _ in norm]
+    for name, spec in norm:
+        if spec is None:
+            continue
+        kind, size, offset = spec
+        if kind == "dur":
+            # time bucket: floor((t - offset) / size) * size + offset
+            ms = F.unix_millis(F.col(name).cast("timestamp")) - F.lit(
+                int(offset)
+            )
+            bucketed = F.timestamp_millis(
+                (F.floor(ms / int(size)) * int(size)).cast("long")
+                + F.lit(int(offset))
+            )
+            df = df.withColumn(name, bucketed)
+            if name == cfg.time_field:
+                # rate()/rate_sum() inside time-bucketed stats use the
+                # bucket as the step (pipe_stats.go:420-421)
+                from datetime import timedelta as _td
+
+                cfg.time_range = (datetime(1970, 1, 1),
+                                  datetime(1970, 1, 1) + _td(milliseconds=size))
+        else:
+            c = F.col(name).cast("double") - offset
+            df = df.withColumn(
+                name, F.floor(c / size) * F.lit(size) + F.lit(offset)
+            )
     if len(funcs) == 1 and funcs[0][0] == "histogram":
         fname, args, alias, _cond = funcs[0]
-        return pipes.histogram_stats(df, by, args[0], alias=alias)
+        return pipes.histogram_stats(df, names, args[0], alias=alias)
     aggs = {}
     for f, a, alias, cond in funcs:
         mask = compile_filter(cond, df, cfg) if cond is not None else None
         aggs[alias] = _stats_agg_column(f, a, df, cfg, mask=mask)
-    return pipes.stats(df, by, aggs)
+    return pipes.stats(df, names, aggs)
 
 
 def _apply_pipe(df: DataFrame, p: tuple, cfg: _Cfg, base_df: DataFrame) -> DataFrame:
