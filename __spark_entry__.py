@@ -2797,7 +2797,7 @@ _DRIVER_PRIORITY = [
     # (c) positions 51+ — outside this round's 50-gate window, front of
     # r7's rotation: six stale gates sharing thrice-verified code paths
     # with in-window siblings (grid/rollup + aggregate-composition),
-    # then r5-green canaries. All 104 gates pass scripts/check_oracle.py
+    # then r5-green canaries. All 125 gates pass scripts/check_oracle.py
     # locally this round regardless of the driver window.
     "mq_min_over_time",
     "mq_max_over_time",

@@ -269,3 +269,46 @@ def test_tsdb_status(api):
     assert focused["totalSeries"] == 2
     fv = {e["name"]: e["value"] for e in focused["seriesCountByFocusLabelValue"]}
     assert fv == {"a": 1, "b": 1}
+
+
+def test_rules_and_alerts_endpoints(spark):
+    from victoriametrics_spark.rules import AlertingRule, RecordingRule
+
+    # temp series: values rise over time; alert on temp > 25 for 10 min
+    rows = []
+    for i, ts in enumerate(range(0, 3_600_000 + 1, 300_000)):
+        rows.append(("temp", {"room": "x"}, ts, 20.0 + i, False))
+        rows.append(("temp", {"room": "y"}, ts, 10.0, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    groups = [
+        (
+            "g1",
+            [
+                RecordingRule("temp:avg", "avg(temp)", {"rule": "r1"}),
+                AlertingRule(
+                    "HotRoom",
+                    "temp > 25",
+                    for_ms=600_000,
+                    labels={"severity": "page"},
+                    annotations={"summary": "room is hot"},
+                ),
+            ],
+        )
+    ]
+    api2 = PromAPI(spark, df, rule_groups=groups)
+
+    rules = api2.rules()["data"]["groups"]
+    assert rules[0]["name"] == "g1"
+    kinds = {r["type"] for r in rules[0]["rules"]}
+    assert kinds == {"recording", "alerting"}
+    alerting = [r for r in rules[0]["rules"] if r["type"] == "alerting"][0]
+    assert alerting["duration"] == 600.0
+
+    # at t=3.6e6 temp(x)=32 has been >25 since i=6 (t=1.8e6) → firing
+    out = api2.alerts(time="3600")["data"]["alerts"]
+    assert len(out) == 1
+    a = out[0]
+    assert a["labels"]["alertname"] == "HotRoom"
+    assert a["labels"]["room"] == "x"
+    assert a["labels"]["severity"] == "page"
+    assert a["state"] == "firing"

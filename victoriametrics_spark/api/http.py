@@ -73,10 +73,13 @@ class PromAPI:
         spark: SparkSession,
         samples: DataFrame,
         max_lookback_ms: int = 300_000,
+        rule_groups: "list[tuple[str, list]] | None" = None,
     ):
         self.spark = spark
         self.samples = samples
         self.max_lookback_ms = max_lookback_ms
+        # [(group_name, [RecordingRule | AlertingRule, ...])]
+        self.rule_groups = rule_groups or []
 
     # ----------------------------------------------------------- queries
     def _eval(self, query: str, start_ms: int, end_ms: int, step_ms: int):
@@ -355,6 +358,89 @@ class PromAPI:
             )
         return out
 
+    def rules(self) -> dict:
+        """GET /api/v1/rules (vmalert's Prometheus-compatible rule
+        listing; app/vmalert/web.go APIv1 rules handler)."""
+        from victoriametrics_spark.rules import AlertingRule, RecordingRule
+
+        groups = []
+        for gname, rlist in self.rule_groups:
+            out = []
+            for r in rlist:
+                if isinstance(r, RecordingRule):
+                    out.append(
+                        {
+                            "type": "recording",
+                            "name": r.record,
+                            "query": r.expr,
+                            "labels": r.labels,
+                            "health": "ok",
+                        }
+                    )
+                elif isinstance(r, AlertingRule):
+                    out.append(
+                        {
+                            "type": "alerting",
+                            "name": r.alert,
+                            "query": r.expr,
+                            "duration": r.for_ms / 1000.0,
+                            "labels": r.labels,
+                            "annotations": r.annotations,
+                            "health": "ok",
+                        }
+                    )
+            groups.append({"name": gname, "rules": out})
+        return {"status": "success", "data": {"groups": groups}}
+
+    def alerts(self, time: str | None = None) -> dict:
+        """GET /api/v1/alerts — active (pending|firing) alerts at the
+        evaluation instant (vmalert web.go APIv1 alerts; state machine in
+        rules.py eval_alerting_rule)."""
+        from victoriametrics_spark.rules import AlertingRule, eval_alerting_rule
+
+        if time is not None:
+            now_ms = _parse_time(time, 0)
+        else:
+            row = self.samples.agg(F.max("ts")).first()
+            now_ms = int(row[0]) if row and row[0] is not None else 0
+        alerts = []
+        for _g, rlist in self.rule_groups:
+            for r in rlist:
+                if not isinstance(r, AlertingRule):
+                    continue
+                # evaluate enough history to know whether `for` elapsed;
+                # span is a step multiple so now_ms lands on the grid
+                span = (
+                    (max(r.for_ms, 0) + 2 * DEFAULT_STEP_MS)
+                    // DEFAULT_STEP_MS
+                ) * DEFAULT_STEP_MS
+                cfg = EvalConfig(
+                    start=now_ms - span,
+                    end=now_ms,
+                    step=DEFAULT_STEP_MS,
+                    max_lookback=self.max_lookback_ms,
+                )
+                out = eval_alerting_rule(self.spark, self.samples, r, cfg)
+                rows = (
+                    out.filter(
+                        (F.col("name") == "ALERTS") & (F.col("ts") == now_ms)
+                    )
+                    .select("labels")
+                    .collect()
+                )
+                for row in rows:
+                    labels = dict(row["labels"] or {})
+                    state = labels.pop("alertstate", "pending")
+                    alerts.append(
+                        {
+                            "labels": {"alertname": r.alert, **labels},
+                            "annotations": r.annotations,
+                            "state": state,
+                            "value": "1",
+                        }
+                    )
+        return {"status": "success", "data": {"alerts": alerts}}
+
     def tsdb_status(
         self,
         topn: int = 10,
@@ -627,6 +713,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.label_values(
                         unquote(m.group(1)), matches, p("start"), p("end")
                     )
+                elif u.path == "/api/v1/rules":
+                    out = api.rules()
+                elif u.path == "/api/v1/alerts":
+                    out = api.alerts(p("time"))
                 elif u.path == "/api/v1/status/tsdb":
                     out = api.tsdb_status(
                         int(p("topN", "10")),
