@@ -429,3 +429,51 @@ def test_filter_combinators_and_misc(spark):
         )
         == 1
     )
+
+
+# ------------------------------------------------------------ token index
+def test_token_skip_index(spark, tmp_path):
+    from datetime import datetime
+
+    from victoriametrics_spark.logsql import pipes
+    from victoriametrics_spark.logsql.index import (
+        build_token_index,
+        pruned_scan,
+        words_of,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in range(1, 4):
+        for app in ("web", "db"):
+            for i in range(5):
+                msg = f"req from {app} seq {i}" + (
+                    " timeout failure" if (d == 2 and app == "db" and i == 3) else ""
+                )
+                rows.append((datetime(2024, 1, d, i), msg, app))
+    logs = spark.createDataFrame(rows, ["_time", "_msg", "app"])
+    logs = pipes.set_stream_fields(logs, ["app"])
+
+    path = str(tmp_path / "tokidx")
+    build_token_index(logs, path)
+
+    assert words_of("timeout failure") == ["timeout", "failure"]
+
+    scan = pruned_scan(spark, logs, path, "timeout failure")
+    # only the (2024-01-02, app=db) bucket can match → 5 rows survive
+    assert scan.count() == 5
+    hits = scan.filter(pipes.word_filter(F.col("_msg"), "timeout"))
+    assert hits.count() == 1
+
+    # superset safety: pruned + filter ≡ full-scan filter
+    full = logs.filter(pipes.word_filter(F.col("_msg"), "timeout")).collect()
+    assert [tuple(r) for r in hits.collect()] == [tuple(r) for r in full]
+
+    # broadcast semi-join in the plan (index side must never shuffle the scan)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # no-token phrase → no pruning
+    assert pruned_scan(spark, logs, path, "???").count() == logs.count()
+    # absent token → empty candidate set
+    assert pruned_scan(spark, logs, path, "nosuchtoken").count() == 0
