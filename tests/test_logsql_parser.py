@@ -611,3 +611,26 @@ def test_stats_rate_in_time_bucket(logs):
         logs, "* | stats by (_time:1d) rate() as r | sort by (_time)"
     ).collect()
     assert out[0]["r"] == pytest.approx(3 / 86400)
+
+
+def test_run_logsql_with_token_index(spark, tmp_path, logs):
+    from victoriametrics_spark.logsql import pipes
+    from victoriametrics_spark.logsql.index import build_token_index
+
+    streamed = pipes.set_stream_fields(logs, ["event_type"])
+    path = str(tmp_path / "qidx")
+    build_token_index(streamed, path)
+
+    # pruned path must equal unpruned for a word filter on the AND spine
+    plain = run_logsql(streamed, "error user_id:2 | stats count() as n").collect()
+    pruned = run_logsql(
+        streamed,
+        "error user_id:2 | stats count() as n",
+        token_index_path=path,
+    ).collect()
+    assert plain == pruned
+    # OR at top level → no pruning terms, still correct
+    assert (
+        run_logsql(streamed, "error OR signup | stats count() as n",
+                   token_index_path=path).collect()[0]["n"] == 4
+    )

@@ -1843,12 +1843,30 @@ def _compile(q: Query, base_df: DataFrame, cfg: _Cfg) -> DataFrame:
     return df
 
 
+def _index_phrases(node: FNode, cfg: _Cfg) -> list[str]:
+    """Word/phrase values on the query's top-level AND spine — the terms
+    every matching row must satisfy, i.e. the ones safe to prune the
+    scan with via the token skip-index. OR/NOT subtrees contribute
+    nothing (pruning on them could drop matches)."""
+    if node.op in ("word", "phrase", "seq", "contains_all") and (
+        node.fld in ("", cfg.msg_field)
+    ):
+        return [a for a in node.args]
+    if node.op == "and":
+        out: list[str] = []
+        for k in node.kids:
+            out.extend(_index_phrases(k, cfg))
+        return out
+    return []
+
+
 def run_logsql(
     df: DataFrame,
     query: str,
     now_ms: Optional[int] = None,
     msg_field: str = "_msg",
     time_field: str = "_time",
+    token_index_path: Optional[str] = None,
 ) -> DataFrame:
     """Parse and run a textual LogsQL query against a log DataFrame.
 
@@ -1858,7 +1876,17 @@ def run_logsql(
     ``_time:5m`` filters (required for those; explicit ranges don't need
     it) — passing it explicitly keeps query plans deterministic and
     cache-keyable instead of embedding wall-clock time.
+
+    ``token_index_path`` (optional) points at a skip-index built by
+    :func:`victoriametrics_spark.logsql.index.build_token_index`; the
+    scan is pre-pruned to the (day, stream) buckets that can contain the
+    query's required message tokens before the exact filters run.
     """
     q = parse_query(query)
     cfg = _Cfg(now_ms=now_ms, msg_field=msg_field, time_field=time_field)
+    if token_index_path:
+        from victoriametrics_spark.logsql.index import pruned_scan
+
+        for phrase in _index_phrases(q.filter, cfg):
+            df = pruned_scan(df.sparkSession, df, token_index_path, phrase)
     return _compile(q, df, cfg)
