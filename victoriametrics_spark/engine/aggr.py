@@ -55,15 +55,29 @@ _SERIES_RANK: dict[str, Callable[[], Column]] = {
 
 
 def group_labels_col(modifier) -> Column:
-    """New label map after by/without grouping (name always dropped)."""
+    """New label map after by/without grouping. The metric name drops
+    unless ``by (__name__)`` lists it explicitly — then it rides along
+    as a ``__name__`` map entry that :func:`_shape` lifts back into the
+    name column (aggr.go: MetricGroup participates in by-grouping when
+    named)."""
     labels = F.col("labels")
+    empty = F.create_map().cast("map<string,string>")
     if modifier is None:
-        return F.create_map().cast("map<string,string>")
+        return empty
     keys = [str(k) for k in modifier.args]
     if modifier.op == "by":
         if not keys:
-            return F.create_map().cast("map<string,string>")
-        return F.map_filter(labels, lambda k, v: k.isin(*keys))
+            return empty
+        base = F.map_filter(labels, lambda k, v: k.isin(*keys))
+        if "__name__" in keys:
+            base = F.map_concat(
+                base,
+                F.when(
+                    F.coalesce(F.col("name"), F.lit("")) != "",
+                    F.create_map(F.lit("__name__"), F.col("name")),
+                ).otherwise(empty),
+            )
+        return base
     # without
     if not keys:
         return labels
@@ -160,6 +174,14 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
 
     if name == "quantile":
         phi = planner.const_value(ae.args[0], cfg)
+        if phi < 0 or phi > 1:
+            # quantile.go: phi outside [0,1] → ∓Inf
+            bound = float("-inf") if phi < 0 else float("inf")
+            out = df.groupBy("__gkey", "ts").agg(
+                F.first("__glabels").alias("labels"),
+                F.lit(bound).alias("value"),
+            )
+            return _shape(out)
         out = df.groupBy("__gkey", "ts").agg(
             F.first("__glabels").alias("labels"),
             F.percentile(V(), F.lit(phi)).cast("double").alias("value"),
@@ -204,7 +226,15 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
     if name in ("topk", "bottomk"):
         k = int(planner.const_value(ae.args[0], cfg))
         desc = name == "topk"
-        order = [V().desc(), F.col("__sk").asc()] if desc else [V().asc(), F.col("__sk").asc()]
+        # NaN ranks below every number in both directions (lessWithNaNs /
+        # greaterWithNaNs, aggr.go:1259-1279); Spark sorts NaN as the
+        # LARGEST double, so rank on a NaN→NULL copy with nulls last
+        rv = F.when(F.isnan(V()), F.lit(None)).otherwise(V())
+        order = (
+            [rv.desc_nulls_last(), F.col("__sk").asc()]
+            if desc
+            else [rv.asc_nulls_last(), F.col("__sk").asc()]
+        )
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         w = Window.partitionBy("__gkey", "ts").orderBy(*order)
         ranked = df.withColumn("__rn", F.row_number().over(w))
@@ -228,12 +258,47 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         )
         out = df.join(
             F.broadcast(keep.select("__gkey", "__sk")), ["__gkey", "__sk"], "left_semi"
-        )
-        return out.select("name", "labels", "ts", "value")
+        ).select("name", "labels", "ts", "value")
+        # optional trailing `"tag=value"` arg: add a per-group series with
+        # the SUM of the non-kept series (getRemainingSumTimeseries,
+        # aggr.go:751-781)
+        if len(ae.args) > 2 and isinstance(ae.args[2], StringExpr):
+            spec = ae.args[2].value
+            tag, _, tval = spec.partition("=")
+            if not tval:
+                tag, tval = spec, spec
+            rest = df.join(
+                F.broadcast(keep.select("__gkey", "__sk")),
+                ["__gkey", "__sk"],
+                "left_anti",
+            )
+            rem = (
+                rest.filter(~F.isnan(V()))
+                .groupBy("__gkey", "ts")
+                .agg(
+                    F.first("__glabels").alias("labels"),
+                    F.sum(V()).cast("double").alias("value"),
+                )
+                .withColumn(
+                    "labels",
+                    F.map_concat(
+                        F.map_filter(
+                            F.col("labels"), lambda kk, vv: kk != F.lit(tag)
+                        ),
+                        F.create_map(F.lit(tag), F.lit(tval)),
+                    ),
+                )
+            )
+            out = out.unionByName(_shape(rem))
+        return out
 
     if name == "limitk":
-        # first k series per group, hash-stable (aggr.go aggrFuncLimitK)
-        k = int(planner.const_value(ae.args[0], cfg))
+        # first k series per group, hash-stable (aggr.go aggrFuncLimitK);
+        # non-finite k (limitk(inf, q)) keeps everything
+        k_raw = planner.const_value(ae.args[0], cfg)
+        if k_raw == float("inf"):
+            return df.select("name", "labels", "ts", "value")
+        k = int(k_raw)
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         series = df.select("__gkey", "__sk").distinct()
         w = Window.partitionBy("__gkey").orderBy(
@@ -342,14 +407,23 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return out
 
     if name == "histogram":
-        return _vm_histogram(df)
+        # aggrFuncHistogram ends with vmrangeBucketsToLE: the output is
+        # Prometheus-style le-labeled cumulative buckets in %.3e format
+        from victoriametrics_spark.engine.histogram import vmrange_to_le
+
+        return vmrange_to_le(_vm_histogram(df))
 
     raise PlanError(f"aggregate function {name!r} not implemented yet")
 
 
 def _shape(out: DataFrame) -> DataFrame:
+    # a __name__ entry in the group-label map (injected by
+    # group_labels_col for `by (__name__)`) becomes the output name
+    labels = F.col("labels")
+    name = F.coalesce(labels.getItem("__name__"), F.lit(""))
+    clean = F.map_filter(labels, lambda k, v: k != F.lit("__name__"))
     return out.select(
-        F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+        name.alias("name"), clean.alias("labels"), F.col("ts"), F.col("value")
     ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
 

@@ -122,8 +122,15 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
             cmp = CMP_OPS[op]
             if be.bool_modifier:
                 return Scalar(fn=lambda ts: cmp(lf(ts), rf(ts)).cast("double"))
-            # scalar cmp scalar without bool: keep left value when true
-            return Scalar(fn=lambda ts: F.when(cmp(lf(ts), rf(ts)), lf(ts)))
+            # scalar cmp scalar without bool keeps LEFT
+            # (binaryOpEvalNumber), EXCEPT when the left is a number
+            # literal and the right is computed: eval.go swaps them
+            # (`123 < time()` ≡ `time() > 123`), so the computed side's
+            # values survive the filter
+            keep = rf if (left.const is not None and right.const is None) else lf
+            return Scalar(
+                fn=lambda ts, keep=keep: F.when(cmp(lf(ts), rf(ts)), keep(ts))
+            )
         f = ARITH_OPS[op]
         const = None
         if left.const is not None and right.const is not None and op in ARITH_OPS:
@@ -153,7 +160,12 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
         scol = sc_fn(F.col("ts")).cast("double")
         lv, rv = (scol, vcol) if l_scalar else (vcol, scol)
         if op in CMP_OPS:
-            cmp = CMP_OPS[op](lv, rv)
+            # a missing scalar point is NaN in VM (an empty scalar cmp
+            # result like `(1 > 2)` compares as NaN, so `q != (1 > 2)`
+            # keeps every point)
+            lv2 = F.coalesce(lv, F.lit(float("nan"))) if l_scalar else lv
+            rv2 = F.coalesce(rv, F.lit(float("nan"))) if not l_scalar else rv
+            cmp = CMP_OPS[op](lv2, rv2)
             if be.bool_modifier:
                 out = df.withColumn("value", cmp.cast("double")).withColumn(
                     "name", F.lit("")
@@ -583,7 +595,32 @@ def _plan_series_arith(
                 F.col("__lname") if join_mod == "group_right" else F.col("__rname")
             )
             extra_keys = [k for k in extra_keys if k != "__name__"]
-        if extra_keys:
+        if "*" in extra_keys:
+            # group_left(*): import EVERY label of the "one" side except
+            # the on() join keys (binary_op.go wildcard join tags);
+            # prefix applies to the imported copies
+            prefix = be.join_modifier_prefix or ""
+            on_keys = (
+                [str(k) for k in be.group_modifier.args]
+                if be.group_modifier and be.group_modifier.op == "on"
+                else []
+            )
+            ents = F.map_entries(import_from)
+            if on_keys:
+                ents = F.filter(ents, lambda e: ~e["key"].isin(*on_keys))
+            imported = F.map_from_entries(ents)
+            if prefix:
+                imported = F.transform_keys(
+                    imported, lambda k, v: F.concat(F.lit(prefix), k)
+                )
+            labels_out = F.map_concat(
+                F.map_filter(
+                    labels_out,
+                    lambda k, v: ~F.map_contains_key(imported, k),
+                ),
+                imported,
+            )
+        elif extra_keys:
             prefix = be.join_modifier_prefix or ""
             imported = F.map_from_entries(
                 F.filter(

@@ -19,6 +19,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from victoriametrics_spark.schema import canonical_labels_str
 
@@ -72,38 +73,47 @@ def _bucket_arrays(df: DataFrame) -> DataFrame:
 
 
 def _fixed_values(b: Column) -> Column:
-    """fixBrokenBuckets (transform.go:1138): cumulative buckets must be
+    """fixBrokenBuckets (transform.go:1139): cumulative buckets must be
     non-decreasing in le order; substitute each value with the running
-    max of the values so far (sequential fold → array<double>)."""
-    return F.aggregate(
-        b,
-        F.array().cast("array<double>"),
-        lambda acc, e: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, e["v"]).otherwise(
-                    F.greatest(e["v"], F.element_at(acc, F.size(acc)))
-                )
-            ),
-        ),
-    )
+    max of the values so far. A NaN bucket value takes the running value
+    (first bucket: 0) instead of poisoning the walk
+    (transform.go:1150-1164). Sequential fold → array<double>."""
+    def step(acc, e):
+        prev = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+            F.element_at(acc, F.size(acc))
+        )
+        nxt = F.when(F.isnan(e["v"]), prev).otherwise(
+            F.greatest(e["v"], prev)
+        )
+        # the very first non-NaN value is taken as-is (may be < 0? VM
+        # compares vPrev > v only from the second element on)
+        first = F.when(F.isnan(e["v"]), F.lit(0.0)).otherwise(e["v"])
+        return F.concat(
+            acc, F.array(F.when(F.size(acc) == 0, first).otherwise(nxt))
+        )
+
+    return F.aggregate(b, F.array().cast("array<double>"), step)
 
 
 def histogram_quantile(
-    df: DataFrame, phi: float, bounds_label: str | None = None
+    df: DataFrame, phi, bounds_label: str | None = None
 ) -> DataFrame:
     """`histogram_quantile(phi, buckets)` — cumulative-bucket linear
     interpolation per (series-minus-le, ts) group
     (transform.go:991-1105). Input must already be `le`-bucketed (run
-    vmrange_to_le first for VM-native buckets)."""
+    vmrange_to_le first for VM-native buckets). ``phi`` is a float or a
+    scalar-plan callable ``ts → Column`` (per-step phi, e.g.
+    ``histogram_quantile(time()/2e3, ...)``)."""
     g = _bucket_arrays(df)
     b, n = F.col("b"), F.size(F.col("b"))
     fixed = _fixed_values(b)
     g = g.withColumn("__f", fixed)
     f = F.col("__f")
 
+    phi_c = phi(F.col("ts")) if callable(phi) else F.lit(float(phi))
+    phi_c = phi_c.cast("double")
     vlast = F.element_at(f, -1)
-    vreq = F.lit(float(phi)) * vlast
+    vreq = phi_c * vlast
     # first bucket with fixed >= vReq and fixed > 0 (the zero-skip of the
     # reference walk; see transform.go:1027-1066 — v==vPrev is unreachable
     # for monotone fixed buckets, so the interpolation below is exhaustive)
@@ -120,19 +130,22 @@ def histogram_quantile(
     last_finite = F.try_element_at(finite_les, F.lit(-1))["le"]  # NULL when none
 
     interp = le_prev + (le_j - le_prev) * (vreq - v_prev) / (v_j - v_prev)
-    if phi < 0:
-        value, lower, upper = (
-            F.lit(-INF),
-            F.lit(-INF),
-            F.element_at(b, 1)["v"],
-        )
-    elif phi > 1:
-        value, lower, upper = F.lit(INF), vlast, F.lit(INF)
-    else:
-        base = F.when(vlast <= 0, F.lit(None).cast("double"))
-        value = base.when(le_j == F.lit(INF), last_finite).otherwise(interp)
-        lower = base.when(le_j == F.lit(INF), last_finite).otherwise(le_prev)
-        upper = base.when(le_j == F.lit(INF), F.lit(INF)).otherwise(le_j)
+    base = F.when(vlast <= 0, F.lit(None).cast("double"))
+    value = (
+        F.when(phi_c < 0, F.lit(-INF))
+        .when(phi_c > 1, F.lit(INF))
+        .otherwise(base.when(le_j == F.lit(INF), last_finite).otherwise(interp))
+    )
+    lower = (
+        F.when(phi_c < 0, F.lit(-INF))
+        .when(phi_c > 1, vlast)
+        .otherwise(base.when(le_j == F.lit(INF), last_finite).otherwise(le_prev))
+    )
+    upper = (
+        F.when(phi_c < 0, F.element_at(b, 1)["v"])
+        .when(phi_c > 1, F.lit(INF))
+        .otherwise(base.when(le_j == F.lit(INF), F.lit(INF)).otherwise(le_j))
+    )
 
     cols = [("", value)]
     if bounds_label:
@@ -160,48 +173,59 @@ def histogram_quantile(
 
 
 def histogram_share(
-    df: DataFrame, le_req: float, bounds_label: str | None = None
+    df: DataFrame, le_req, bounds_label: str | None = None
 ) -> DataFrame:
     """`histogram_share(le, buckets)` — the inverse of histogram_quantile:
-    estimated share of values ≤ le (transform.go:651-745)."""
+    estimated share of values ≤ le (transform.go:651-745). ``le_req`` is
+    a float or a scalar-plan callable ``ts → Column``."""
     g = _bucket_arrays(df)
     b, n = F.col("b"), F.size(F.col("b"))
     g = g.withColumn("__f", _fixed_values(b))
     f = F.col("__f")
     vlast = F.element_at(f, -1)
 
-    lr = float(le_req)
-    if lr < 0:
-        value = lower = upper = F.lit(0.0)
-    elif math.isinf(lr):
-        value = lower = upper = F.lit(1.0)
-    else:
-        # j2 = last bucket with le <= leReq (0 → none)
-        below = F.filter(F.sequence(F.lit(1), n), lambda i: F.element_at(b, i)["le"] <= F.lit(lr))
-        j2 = F.coalesce(F.try_element_at(below, F.lit(-1)), F.lit(0))
-        v_prev = F.when(j2 > 0, F.element_at(f, j2)).otherwise(F.lit(0.0))
-        le_prev = F.when(j2 > 0, F.element_at(b, j2)["le"]).otherwise(F.lit(0.0))
-        lower_c = v_prev / vlast
-        nxt = j2 + 1
-        le_n = F.try_element_at(b, nxt)["le"]
-        v_n = F.try_element_at(f, nxt)
-        interp = lower_c + (v_n - v_prev) / vlast * (F.lit(lr) - le_prev) / (
-            le_n - le_prev
-        )
-        done_all = j2 >= n  # leReq beyond the last bucket → share 1
-        value = (
-            F.when(done_all, F.lit(1.0))
-            .when(le_n == F.lit(INF), lower_c)
-            .when(le_prev == F.lit(lr), lower_c)
-            .otherwise(interp)
-        )
-        lower = F.when(done_all, F.lit(1.0)).otherwise(lower_c)
-        upper = (
-            F.when(done_all, F.lit(1.0))
-            .when(le_n == F.lit(INF), F.lit(1.0))
-            .when(le_prev == F.lit(lr), lower_c)
-            .otherwise(v_n / vlast)
-        )
+    lr_c = (
+        le_req(F.col("ts")) if callable(le_req) else F.lit(float(le_req))
+    ).cast("double")
+    # j2 = last bucket with le <= leReq (0 → none)
+    below = F.filter(
+        F.sequence(F.lit(1), n), lambda i: F.element_at(b, i)["le"] <= lr_c
+    )
+    j2 = F.coalesce(F.try_element_at(below, F.lit(-1)), F.lit(0))
+    v_prev = F.when(j2 > 0, F.element_at(f, j2)).otherwise(F.lit(0.0))
+    le_prev = F.when(j2 > 0, F.element_at(b, j2)["le"]).otherwise(F.lit(0.0))
+    lower_c = v_prev / vlast
+    nxt = j2 + 1
+    le_n = F.try_element_at(b, nxt)["le"]
+    v_n = F.try_element_at(f, nxt)
+    interp = lower_c + (v_n - v_prev) / vlast * (lr_c - le_prev) / (
+        le_n - le_prev
+    )
+    done_all = j2 >= n  # leReq beyond the last bucket → share 1
+    neg = lr_c < 0
+    inf_le = lr_c == F.lit(INF)
+    value = (
+        F.when(neg, F.lit(0.0))
+        .when(inf_le, F.lit(1.0))
+        .when(done_all, F.lit(1.0))
+        .when(le_n == F.lit(INF), lower_c)
+        .when(le_prev == lr_c, lower_c)
+        .otherwise(interp)
+    )
+    lower = (
+        F.when(neg, F.lit(0.0))
+        .when(inf_le, F.lit(1.0))
+        .when(done_all, F.lit(1.0))
+        .otherwise(lower_c)
+    )
+    upper = (
+        F.when(neg, F.lit(0.0))
+        .when(inf_le, F.lit(1.0))
+        .when(done_all, F.lit(1.0))
+        .when(le_n == F.lit(INF), F.lit(1.0))
+        .when(le_prev == lr_c, lower_c)
+        .otherwise(v_n / vlast)
+    )
 
     cols = [("", value)]
     if bounds_label:
@@ -314,8 +338,8 @@ def vmrange_to_le(df: DataFrame) -> DataFrame:
     start_str = F.substring_index(vr, "...", 1)
     end_str = F.substring_index(vr, "...", -1)
     d = (
-        d.withColumn("__start", start_str.cast("double"))
-        .withColumn("__end", end_str.cast("double"))
+        d.withColumn("__start", start_str.try_cast("double"))
+        .withColumn("__end", end_str.try_cast("double"))
         .withColumn("__start_str", start_str)
         .withColumn("__end_str", end_str)
         .filter(F.col("__start").isNotNull() & F.col("__end").isNotNull())
@@ -337,6 +361,16 @@ def vmrange_to_le(df: DataFrame) -> DataFrame:
         F.max("value").alias("__maxv"),
     )
     live = buckets.filter(F.col("__maxv") > 0)
+    # duplicate bucket ends keep only the first sorted entry
+    # (vmrangeBucketsToLE uniqTs: the later same-end series is merged
+    # into the existing one, whose values win — net effect: drop it);
+    # "first" under the end-ascending walk = the smallest start
+    w_dup = Window.partitionBy("__gkey", "__end").orderBy(F.col("__start").asc())
+    live = (
+        live.withColumn("__dup_rn", F.row_number().over(w_dup))
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
 
     # per group: ordered bucket list → le boundary list (gap fill + +Inf)
     meta = live.groupBy("__gkey").agg(

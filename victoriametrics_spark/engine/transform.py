@@ -114,6 +114,20 @@ _ARITY: dict[str, tuple[int, int | None]] = {
 }
 
 
+def _scalar_arg(planner, expr, cfg):
+    """Constant float when possible, else the Scalar plan's ts→Column fn
+    (per-step scalar args like histogram_quantile(time()/2e3, q))."""
+    from victoriametrics_spark.engine.planner import PlanError, Scalar
+
+    try:
+        return planner.const_value(expr, cfg)
+    except PlanError:
+        p = planner.plan(expr, cfg)
+        if isinstance(p, Scalar):
+            return p.fn
+        raise
+
+
 def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     from victoriametrics_spark.engine.planner import (
         EMPTY_LABELS,
@@ -298,11 +312,24 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         return planner.materialize(p, cfg)
 
     if name == "union" or name == "":
-        dfs = [planner.materialize(planner.plan(a, cfg), cfg) for a in fe.args]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        # duplicate series keep the FIRST argument's rows only
+        # (transformUnion: later args' series with an already-seen label
+        # set are skipped) — EXCEPT when every arg is a scalar: then all
+        # are returned, for `q == (v1, ..., vN)` membership lists
+        # (transform.go:1748-1756 areAllArgsScalar)
+        plans = [planner.plan(a, cfg) for a in fe.args]
+        all_scalar = all(isinstance(p, Scalar) for p in plans)
+        dfs = [planner.materialize(p, cfg) for p in plans]
+        out = dfs[0].withColumn("__arg", F.lit(0))
+        for i, d in enumerate(dfs[1:], start=1):
+            out = out.unionByName(d.withColumn("__arg", F.lit(i)))
+        if len(dfs) > 1 and not all_scalar:
+            key = series_key(F.col("name"), F.col("labels"))
+            w = Window.partitionBy(key)
+            out = out.withColumn("__min_arg", F.min("__arg").over(w)).filter(
+                F.col("__arg") == F.col("__min_arg")
+            )
+        return out.drop("__arg", "__min_arg")
 
     if name == "absent":
         p = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
@@ -550,7 +577,7 @@ def _histogram_fn(planner, fe, cfg, name):
         return H.histogram_moment(H.vmrange_to_le(df), name.split("_", 1)[1])
 
     if name == "histogram_quantile":
-        phi = planner.const_value(fe.args[0], cfg)
+        phi = _scalar_arg(planner, fe.args[0], cfg)
         df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
         bounds = (
             fe.args[2].value
@@ -583,7 +610,7 @@ def _histogram_fn(planner, fe, cfg, name):
         return out
 
     if name == "histogram_share":
-        le_req = planner.const_value(fe.args[0], cfg)
+        le_req = _scalar_arg(planner, fe.args[0], cfg)
         df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
         bounds = (
             fe.args[2].value
@@ -593,9 +620,9 @@ def _histogram_fn(planner, fe, cfg, name):
         return H.histogram_share(H.vmrange_to_le(df), le_req, bounds)
 
     # histogram_fraction(lower, upper, q) = share(upper) - share(lower)
-    lo = planner.const_value(fe.args[0], cfg)
-    hi = planner.const_value(fe.args[1], cfg)
-    if lo >= hi:
+    lo = _scalar_arg(planner, fe.args[0], cfg)
+    hi = _scalar_arg(planner, fe.args[1], cfg)
+    if not callable(lo) and not callable(hi) and lo >= hi:
         raise PlanError("histogram_fraction: lower le must be < upper le")
     df = H.vmrange_to_le(planner.materialize(planner.plan(fe.args[2], cfg), cfg))
     su = H.histogram_share(df, hi)
@@ -943,6 +970,11 @@ def _label_fn(planner, fe, cfg, name):
         return df.filter(cond)
 
     df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+    if name == "drop_common_labels" and len(fe.args) > 1:
+        # transformDropCommonLabels concatenates ALL args' series before
+        # computing commonality
+        for a in fe.args[1:]:
+            df = df.unionByName(planner.materialize(planner.plan(a, cfg), cfg))
     labels = F.col("labels")
 
     if name == "label_set":
@@ -1000,37 +1032,66 @@ def _label_fn(planner, fe, cfg, name):
         )
 
     if name in ("label_copy", "label_move"):
+        # __name__ participates on both sides (transformLabelCopyExt:
+        # src/dst may address the metric group); src == dst is a no-op
         kvs = _str_args(fe)
         out = df
         for src, dst in zip(kvs[0::2], kvs[1::2]):
-            src_v = F.col("labels").getItem(src)
-            out = out.withColumn(
-                "labels",
-                F.when(
-                    src_v.isNotNull(),
-                    F.map_concat(
-                        F.map_filter(F.col("labels"), _key_neq(dst)),
-                        F.create_map(F.lit(dst), src_v),
-                    ),
-                ).otherwise(F.col("labels")),
+            if src == dst:
+                continue
+            src_is_name = src == "__name__"
+            dst_is_name = dst == "__name__"
+            src_v = (
+                F.col("name") if src_is_name else F.col("labels").getItem(src)
             )
-            if name == "label_move":
+            present = (
+                (F.col("name") != "") if src_is_name else src_v.isNotNull()
+            )
+            if dst_is_name:
+                out = out.withColumn(
+                    "name", F.when(present, src_v).otherwise(F.col("name"))
+                )
+            else:
                 out = out.withColumn(
                     "labels",
                     F.when(
-                        src_v.isNotNull(),
-                        F.map_filter(F.col("labels"), _key_neq(src)),
+                        present,
+                        F.map_concat(
+                            F.map_filter(F.col("labels"), _key_neq(dst)),
+                            F.create_map(F.lit(dst), src_v),
+                        ),
                     ).otherwise(F.col("labels")),
                 )
+            if name == "label_move":
+                if src_is_name:
+                    out = out.withColumn(
+                        "name",
+                        F.when(present, F.lit("")).otherwise(F.col("name")),
+                    )
+                else:
+                    out = out.withColumn(
+                        "labels",
+                        F.when(
+                            present,
+                            F.map_filter(F.col("labels"), _key_neq(src)),
+                        ).otherwise(F.col("labels")),
+                    )
         return out
 
     if name == "label_join":
-        # label_join(q, dst, sep, src1, src2, ...)
+        # label_join(q, dst, sep, src1, src2, ...); src/dst may be
+        # __name__ (VM getDstValue/getSrcValue address MetricGroup)
         args = _str_args(fe)
         dst, sep, srcs = args[0], args[1], args[2:]
-        joined = F.concat_ws(
-            sep, *[F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
-        )
+
+        def src_val(s):
+            if s == "__name__":
+                return F.coalesce(F.col("name"), F.lit(""))
+            return F.coalesce(F.col("labels").getItem(s), F.lit(""))
+
+        joined = F.concat_ws(sep, *[src_val(s) for s in srcs])
+        if dst == "__name__":
+            return df.withColumn("name", joined)
         # an empty joined value removes the tag (VM empty-tag semantics)
         return df.withColumn(
             "labels",
@@ -1088,8 +1149,12 @@ def _label_fn(planner, fe, cfg, name):
         )
 
     if name == "label_value":
+        # non-numeric label values become NaN → dropped
+        # (transformLabelValue: ParseFloat failure → nan)
         k = _str_args(fe)[0]
-        out = df.withColumn("value", F.col("labels").getItem(k).cast("double"))
+        out = df.withColumn(
+            "value", F.col("labels").getItem(k).try_cast("double")
+        )
         return out.filter(F.col("value").isNotNull())
 
     if name == "label_map":
@@ -1128,7 +1193,10 @@ def _label_fn(planner, fe, cfg, name):
     if name in ("label_match", "label_mismatch"):
         args = _str_args(fe)
         k, regex = args[0], args[1]
-        lv = F.coalesce(F.col("labels").getItem(k), F.lit(""))
+        if k == "__name__":
+            lv = F.coalesce(F.col("name"), F.lit(""))
+        else:
+            lv = F.coalesce(F.col("labels").getItem(k), F.lit(""))
         cond = lv.rlike(f"^(?:{regex})$")
         return df.filter(cond if name == "label_match" else ~cond)
 

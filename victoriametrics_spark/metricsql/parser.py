@@ -113,7 +113,24 @@ class Parser:
             if self.at_ident("on", "ignoring"):
                 be.group_modifier = self.parse_modifier()
                 if self.at_ident("group_left", "group_right"):
-                    be.join_modifier = self.parse_modifier()
+                    # the label list is optional: `group_left 2` is a
+                    # bare modifier followed by the right operand
+                    jm_op = self.advance().text.lower()
+                    names: list[str] = []
+                    if self.at_op("("):
+                        self.advance()
+                        while not self.at_op(")"):
+                            tok = self.advance()
+                            if tok.kind not in ("IDENT", "STRING") and \
+                                    tok.text != "*":
+                                raise ParseError(
+                                    f"expected label name at {tok.pos}"
+                                )
+                            names.append(tok.text)
+                            if self.at_op(","):
+                                self.advance()
+                        self.expect_op(")")
+                    be.join_modifier = ModifierExpr(op=jm_op, args=names)
                     if self.at_ident("prefix"):
                         self.advance()
                         tok = self.advance()
@@ -206,6 +223,8 @@ class Parser:
             exprs.append(self.parse_expr(-100))
             while self.at_op(","):
                 self.advance()
+                if self.at_op(")"):  # trailing comma
+                    break
                 exprs.append(self.parse_expr(-100))
         self.expect_op(")")
         if len(exprs) == 1:
@@ -267,6 +286,8 @@ class Parser:
             args.append(self.parse_expr(-100))
             while self.at_op(","):
                 self.advance()
+                if self.at_op(")"):  # trailing comma
+                    break
                 args.append(self.parse_expr(-100))
         self.expect_op(")")
         return args
@@ -283,6 +304,8 @@ class Parser:
                 names.append(tok.text)
                 if self.at_op(","):
                     self.advance()
+                    if self.at_op(")"):  # trailing comma
+                        break
                     continue
                 break
         self.expect_op(")")
