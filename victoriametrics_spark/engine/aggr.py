@@ -143,15 +143,15 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return _shape(out)
 
     if name == "any":
+        # aggrFuncAny: keepOriginal=true — ONE WHOLE series per group,
+        # with its original name and labels (deterministic pick: the
+        # min series key)
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
-        out = (
-            df.groupBy("__gkey", "ts")
-            .agg(
-                F.first("__glabels").alias("labels"),
-                F.min_by(V(), F.col("__sk")).cast("double").alias("value"),
-            )
+        first_sk = df.groupBy("__gkey").agg(F.min("__sk").alias("__sk"))
+        out = df.join(
+            F.broadcast(first_sk), ["__gkey", "__sk"], "left_semi"
         )
-        return _shape(out)
+        return out.select("name", "labels", "ts", "value")
 
     if name == "mad":
         # median(|v - median(v)|) per group/ts, via sorted-array expression
@@ -313,9 +313,17 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return out.select("name", "labels", "ts", "value")
 
     if name == "share":
-        # per-series share of the group total at each ts (keeps series)
+        # per-series share of the group total at each ts (keeps series).
+        # Negative points are excluded from the sum AND become NaN
+        # (aggrFuncShare, aggr.go:468-486)
         w = Window.partitionBy("__gkey", "ts")
-        out = df.withColumn("value", F.try_divide(V(), F.sum(V()).over(w)).cast("double"))
+        nonneg = F.when(V() >= 0, V()).otherwise(F.lit(0.0))
+        out = df.withColumn(
+            "value",
+            F.when(
+                V() >= 0, F.try_divide(V(), F.sum(nonneg).over(w))
+            ).cast("double"),
+        )
         return out.select(
             F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
         ).filter(F.col("value").isNotNull())

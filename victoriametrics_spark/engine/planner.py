@@ -187,6 +187,17 @@ class Planner:
         return p
 
     def const_value(self, e: Expr, cfg: EvalConfig) -> float:
+        # `end() offset 10m`-style: a bare offset around a scalar shifts
+        # its value back (used in `@` modifiers, eval.go adjusting the
+        # at-timestamp by the offset)
+        if (
+            isinstance(e, RollupExpr)
+            and e.window is None
+            and e.step is None
+            and e.at is None
+            and e.offset is not None
+        ):
+            return self.const_value(e.expr, cfg) - e.offset.ms(cfg.step) / 1000.0
         p = self.plan(e, cfg)
         if isinstance(p, Scalar):
             if p.const is not None:
@@ -439,6 +450,8 @@ class Planner:
             max_lookback=cfg.max_lookback,
         )
         inner_df = self.materialize(self.plan(inner, child_cfg), child_cfg)
+        # NaN points never reach a rollup (removeNanValues, eval.go:1077)
+        inner_df = inner_df.filter(~F.isnan("value"))
         # the rollup's own offset shift happens in prepare_rollup_input; the
         # child range above is already shifted, so the shift maps it back
         return inner_df, window_ms

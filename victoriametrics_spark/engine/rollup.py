@@ -195,7 +195,11 @@ _simple("range_over_time", lambda a: F.max(V()) - F.min(V()))
 _simple("mode_over_time", lambda a: F.mode(V()), keep_name=True)
 _simple(
     "zscore_over_time",
-    lambda a: F.try_divide(_last_v() - F.avg(V()), F.stddev_pop(V())),
+    # d == 0 → 0 even when stddev is 0 (rollupZScoreOverTime,
+    # rollup.go:2368-2371)
+    lambda a: F.when(_last_v() - F.avg(V()) == 0, F.lit(0.0)).otherwise(
+        F.try_divide(_last_v() - F.avg(V()), F.stddev_pop(V()))
+    ),
 )
 
 # integrate (rollupIntegrate, rollup.go:2417-2451): left-Riemann area.

@@ -95,8 +95,9 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "range_trim_zscore": (2, 2),
     **{f"range_{n}": (1, 1) for n in (
         "sum", "avg", "min", "max", "first", "last", "median", "mad",
-        "stddev", "stdvar", "zscore", "normalize", "linear_regression",
+        "stddev", "stdvar", "zscore", "linear_regression",
     )},
+    "range_normalize": (1, None),  # transformRangeNormalize is vararg
     **{f"running_{n}": (1, 1) for n in ("sum", "avg", "min", "max")},
     "histogram_quantile": (2, 3),
     "histogram_share": (2, 3),
@@ -190,16 +191,20 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         )
 
     if name in ("clamp", "clamp_min", "clamp_max"):
+        # bounds may be per-step scalars (clamp_min(time(), -time()+2500))
+        def bound_col(idx):
+            b = _scalar_arg(planner, fe.args[idx], cfg)
+            return (lambda ts: b(ts)) if callable(b) else (lambda ts: F.lit(b))
+
         if name == "clamp":
-            lo = planner.const_value(fe.args[1], cfg)
-            hi = planner.const_value(fe.args[2], cfg)
-            fn = lambda v, ts: F.least(F.greatest(v, F.lit(lo)), F.lit(hi))  # noqa: E731
+            lo, hi = bound_col(1), bound_col(2)
+            fn = lambda v, ts: F.least(F.greatest(v, lo(ts)), hi(ts))  # noqa: E731
         elif name == "clamp_min":
-            lo = planner.const_value(fe.args[1], cfg)
-            fn = lambda v, ts: F.greatest(v, F.lit(lo))  # noqa: E731
+            lo = bound_col(1)
+            fn = lambda v, ts: F.greatest(v, lo(ts))  # noqa: E731
         else:
-            hi = planner.const_value(fe.args[1], cfg)
-            fn = lambda v, ts: F.least(v, F.lit(hi))  # noqa: E731
+            hi = bound_col(1)
+            fn = lambda v, ts: F.least(v, hi(ts))  # noqa: E731
         return _pointwise(planner, fe, cfg, fn, keep_name=True)
 
     if name == "pi":
@@ -333,7 +338,8 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
 
     if name == "absent":
         p = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
-        covered = p.select("ts").distinct()
+        # NaN points don't cover a grid ts (absent(NaN) is 1 everywhere)
+        covered = p.filter(~F.isnan("value")).select("ts").distinct()
         from victoriametrics_spark.engine.grid import grid_df
         from victoriametrics_spark.engine.planner import EMPTY_LABELS
 
@@ -429,6 +435,18 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name.startswith("running_"):
         return _running(planner, fe, cfg, name[len("running_") :])
     if name.startswith("range_"):
+        if name == "range_normalize" and len(fe.args) > 1:
+            # vararg: each arg normalized independently, results unioned
+            from victoriametrics_spark.metricsql.ast import FuncExpr as _FE
+
+            outs = [
+                _range_fn(planner, _FE(name=name, args=[a]), cfg, "normalize")
+                for a in fe.args
+            ]
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o)
+            return out
         return _range_fn(planner, fe, cfg, name[len("range_") :])
 
     # ---- label manipulation ------------------------------------------------

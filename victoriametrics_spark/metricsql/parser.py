@@ -177,7 +177,8 @@ class Parser:
         if self.at_op("-") or self.at_op("+"):
             neg = self.cur.text == "-"
             self.advance()
-            e = self.parse_unary()
+            # `^` binds tighter than unary minus: -4^0.5 == -(4^0.5)
+            e = self._parse_pow_chain()
             if not neg:
                 return e
             if isinstance(e, NumberExpr):
@@ -186,6 +187,17 @@ class Parser:
                 return DurationExpr("-" + e.text)
             return BinaryOpExpr(op="*", left=NumberExpr(-1.0), right=e)
         return self.parse_single()
+
+    def _parse_pow_chain(self) -> Expr:
+        """Operand of a unary sign: a primary plus any right-associative
+        `^` chain (consumed here so the sign applies to the whole
+        power)."""
+        e = self.parse_unary()
+        if self.at_op("^"):
+            self.advance()
+            rhs = self._parse_pow_chain()
+            return BinaryOpExpr(op="^", left=e, right=rhs)
+        return e
 
     # --- primaries -----------------------------------------------------
     def parse_single(self) -> Expr:
