@@ -711,3 +711,76 @@ def test_streamaggr_stateful_streaming_replay_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+# -------------------------------------------------------- log ingestion
+def test_parse_jsonline(spark):
+    from victoriametrics_spark.streaming.logparsers import (
+        parse_jsonline,
+        project_fields,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ('{"_time":"2024-01-01T00:00:05Z","_msg":"boot ok","host":"a","level":"info"}',),
+            ('{"_time":"1704067205","_msg":"num-ts","host":"b"}',),
+            ('{"_time":"1704067205123","_msg":"ms-ts","host":"c"}',),
+            ("not json",),
+        ],
+        ["value"],
+    )
+    out = parse_jsonline(lines)
+    rows = {r["_msg"]: r for r in out.collect()}
+    assert len(rows) == 3
+    from datetime import datetime
+
+    assert rows["boot ok"]["_time"] == datetime(2024, 1, 1, 0, 0, 5)
+    assert rows["boot ok"]["fields"] == {"host": "a", "level": "info"}
+    assert rows["num-ts"]["_time"] == datetime(2024, 1, 1, 0, 0, 5)
+    assert rows["ms-ts"]["_time"].microsecond == 123000
+
+    proj = project_fields(out, ["host"])
+    assert proj.columns == ["_time", "_msg", "host", "fields"]
+    # end-to-end: textual LogsQL over ingested lines
+    from victoriametrics_spark.logsql.parser import run_logsql
+
+    n = run_logsql(proj, 'host:in("a", "b") | stats count() as n').collect()[0]["n"]
+    assert n == 2
+
+
+def test_parse_elasticsearch_bulk(spark):
+    from victoriametrics_spark.streaming.logparsers import parse_elasticsearch_bulk
+
+    lines = spark.createDataFrame(
+        [
+            ('{"create":{"_index":"logs"}}',),
+            ('{"@timestamp":"2024-01-02T10:00:00Z","message":"req done","status":"200"}',),
+            ('{"create":{}}',),
+            ('{"@timestamp":"2024-01-02T10:00:01Z","message":"req fail","status":"500"}',),
+        ],
+        ["value"],
+    )
+    out = parse_elasticsearch_bulk(lines).collect()
+    assert len(out) == 2
+    by_msg = {r["_msg"]: r for r in out}
+    assert by_msg["req done"]["fields"]["status"] == "200"
+    assert by_msg["req fail"]["_time"].second == 1
+
+
+def test_parse_loki_push(spark):
+    from victoriametrics_spark.streaming.logparsers import parse_loki_push
+
+    body = (
+        '{"streams":[{"stream":{"app":"web","env":"prod"},'
+        '"values":[["1704067200000000000","GET /"],["1704067201000000000","POST /x"]]},'
+        '{"stream":{"app":"db"},"values":[["1704067202000000000","SELECT 1"]]}]}'
+    )
+    docs = spark.createDataFrame([(body,)], ["value"])
+    out = parse_loki_push(docs).collect()
+    assert len(out) == 3
+    by_msg = {r["_msg"]: r for r in out}
+    assert by_msg["GET /"]["fields"] == {"app": "web", "env": "prod"}
+    assert by_msg["SELECT 1"]["fields"] == {"app": "db"}
+    from datetime import datetime
+
+    assert by_msg["POST /x"]["_time"] == datetime(2024, 1, 1, 0, 0, 1)
