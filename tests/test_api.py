@@ -312,3 +312,71 @@ def test_rules_and_alerts_endpoints(spark):
     assert a["labels"]["room"] == "x"
     assert a["labels"]["severity"] == "page"
     assert a["state"] == "firing"
+
+
+# ------------------------------------------------------------ IngestAPI
+def test_ingest_endpoints(spark, api):
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+    )
+
+    collected = {}
+
+    def sink(df, kind):
+        collected.setdefault(kind, []).extend(df.collect())
+
+    ing = IngestAPI(spark, sink=sink)
+    srv = serve(api, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, body, ctype="text/plain"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=body if isinstance(body, bytes) else body.encode(),
+                method="POST",
+                headers={"Content-Type": ctype},
+            )
+            return urllib.request.urlopen(req).status
+
+        # prometheus text
+        assert post(
+            "/api/v1/import/prometheus?timestamp=1704067200000",
+            'up{job="a"} 1\nhttp_total{job="a"} 5 1704067201000\n',
+        ) == 204
+        # influx line
+        assert post(
+            "/influx/write", "cpu,host=h1 usage=0.5 1704067200000000000\n"
+        ) == 204
+        # remote write protobuf+snappy
+        body = encode_write_request(
+            [({"__name__": "rw_metric", "job": "b"}, [(1704067200000, 42.0)])]
+        )
+        assert post("/api/v1/write", body, "application/x-protobuf") == 204
+        # logs: jsonline + loki
+        assert post(
+            "/insert/jsonline",
+            '{"_time":"2024-01-01T00:00:00Z","_msg":"hello","app":"x"}\n',
+        ) == 204
+        assert post(
+            "/insert/loki/api/v1/push",
+            '{"streams":[{"stream":{"app":"y"},"values":[["1704067200000000000","line1"]]}]}',
+            "application/json",
+        ) == 204
+        # unknown → 404
+        try:
+            post("/insert/nope", "x")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+
+    samples = collected["samples"]
+    names = {r["name"] for r in samples}
+    assert {"up", "http_total", "cpu_usage", "rw_metric"} <= names or \
+           {"up", "http_total", "rw_metric"} <= names
+    logs = collected["logs"]
+    assert {r["_msg"] for r in logs} == {"hello", "line1"}

@@ -1,3 +1,3 @@
-from victoriametrics_spark.api.http import LogsAPI, PromAPI, serve
+from victoriametrics_spark.api.http import IngestAPI, LogsAPI, PromAPI, serve
 
-__all__ = ["LogsAPI", "PromAPI", "serve"]
+__all__ = ["IngestAPI", "LogsAPI", "PromAPI", "serve"]

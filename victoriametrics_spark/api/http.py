@@ -670,8 +670,103 @@ class LogsAPI:
         }
 
 
+class IngestAPI:
+    """Write-side API — the vminsert surface (app/vminsert/main.go
+    request routing) over the existing streaming parsers, appending into
+    the bucketed sample / log tables (storage/layout.py).
+
+    HTTP bodies are presentation-sized; each request parallelizes its
+    parse over the body's lines and appends through the same
+    write path batch backfill uses — bulk loads should go straight to
+    the batch jobs instead."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples_table: str | None = None,
+        logs_table: str | None = None,
+        sink=None,
+    ):
+        self.spark = spark
+        self.samples_table = samples_table
+        self.logs_table = logs_table
+        # sink(df, kind) override for tests / custom destinations
+        self.sink = sink
+
+    # --------------------------------------------------------- helpers
+    def _lines_df(self, body: str) -> DataFrame:
+        rows = [(ln,) for ln in body.splitlines() if ln.strip()]
+        return self.spark.createDataFrame(rows or [("",)], ["value"])
+
+    def _write_samples(self, df: DataFrame) -> int:
+        n = df.count()
+        if self.sink is not None:
+            self.sink(df, "samples")
+        elif self.samples_table:
+            from victoriametrics_spark.storage.layout import append_samples
+
+            append_samples(df, self.samples_table)
+        return n
+
+    def _write_logs(self, df: DataFrame) -> int:
+        n = df.count()
+        if self.sink is not None:
+            self.sink(df, "logs")
+        elif self.logs_table:
+            from victoriametrics_spark.storage.layout import write_logs_table
+
+            write_logs_table(df, self.logs_table, mode="append")
+        return n
+
+    # --------------------------------------------------------- metrics
+    def write_remote(self, body: bytes) -> int:
+        """POST /api/v1/write — protobuf+snappy remote write."""
+        from victoriametrics_spark.streaming.remotewrite import (
+            remote_write_to_samples,
+        )
+
+        payloads = self.spark.createDataFrame([(bytearray(body),)], "payload binary")
+        return self._write_samples(remote_write_to_samples(payloads))
+
+    def import_lines(self, body: str, fmt: str, default_ts_ms: int = 0) -> int:
+        """POST /api/v1/import[...] & friends — line dialects."""
+        from victoriametrics_spark.streaming import parsers as P
+
+        lines = self._lines_df(body)
+        if fmt == "jsonl":
+            df = P.parse_vm_jsonl(lines)
+        elif fmt == "prometheus":
+            df = P.parse_prometheus_text(lines, default_ts_ms)
+        elif fmt == "influx":
+            df = P.parse_influx(lines)
+        elif fmt == "graphite":
+            df = P.parse_graphite(lines, default_ts_ms)
+        elif fmt == "opentsdb":
+            df = P.parse_opentsdb(lines)
+        else:
+            raise ValueError(f"unknown import format {fmt!r}")
+        return self._write_samples(df)
+
+    # ------------------------------------------------------------ logs
+    def insert_logs(self, body: str, dialect: str) -> int:
+        """POST /insert/{jsonline, elasticsearch/_bulk, loki}."""
+        from victoriametrics_spark.streaming import logparsers as L
+
+        if dialect == "jsonline":
+            df = L.parse_jsonline(self._lines_df(body))
+        elif dialect == "elasticsearch":
+            df = L.parse_elasticsearch_bulk(self._lines_df(body))
+        elif dialect == "loki":
+            df = L.parse_loki_push(
+                self.spark.createDataFrame([(body,)], ["value"])
+            )
+        else:
+            raise ValueError(f"unknown log dialect {dialect!r}")
+        return self._write_logs(df)
+
+
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``)."""
@@ -787,5 +882,46 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 )
                 return
             self._send(200, json.dumps(out))
+
+        def do_POST(self):  # noqa: N802
+            if ingest_api is None:
+                self._send(
+                    404, json.dumps({"status": "error", "error": "no ingest"})
+                )
+                return
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n else b""
+            try:
+                if u.path == "/api/v1/write":
+                    cnt = ingest_api.write_remote(raw)
+                elif u.path == "/api/v1/import":
+                    cnt = ingest_api.import_lines(raw.decode(), "jsonl")
+                elif u.path == "/api/v1/import/prometheus":
+                    ts = int(q.get("timestamp", ["0"])[0])
+                    cnt = ingest_api.import_lines(raw.decode(), "prometheus", ts)
+                elif u.path in ("/influx/write", "/write"):
+                    cnt = ingest_api.import_lines(raw.decode(), "influx")
+                elif u.path == "/opentsdb/api/put":
+                    cnt = ingest_api.import_lines(raw.decode(), "opentsdb")
+                elif u.path == "/insert/jsonline":
+                    cnt = ingest_api.insert_logs(raw.decode(), "jsonline")
+                elif u.path == "/insert/elasticsearch/_bulk":
+                    cnt = ingest_api.insert_logs(raw.decode(), "elasticsearch")
+                elif u.path == "/insert/loki/api/v1/push":
+                    cnt = ingest_api.insert_logs(raw.decode(), "loki")
+                else:
+                    self._send(
+                        404,
+                        json.dumps({"status": "error", "error": "not found"}),
+                    )
+                    return
+            except Exception as e:
+                self._send(
+                    400, json.dumps({"status": "error", "error": str(e)})
+                )
+                return
+            self._send(204 if cnt >= 0 else 400, "")
 
     return ThreadingHTTPServer((host, port), Handler)
