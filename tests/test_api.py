@@ -380,3 +380,38 @@ def test_ingest_endpoints(spark, api):
            {"up", "http_total", "rw_metric"} <= names
     logs = collected["logs"]
     assert {r["_msg"] for r in logs} == {"hello", "line1"}
+
+
+def test_graphite_browse_api(spark):
+    from victoriametrics_spark.api.http import GraphiteBrowseAPI
+
+    rows = [
+        ("app.web.requests", {"dc": "eu", "env": "prod"}, 0, 1.0, False),
+        ("app.web.errors", {"dc": "us", "env": "prod"}, 0, 1.0, False),
+        ("app.db.queries", {"dc": "eu"}, 0, 1.0, False),
+        ("uptime", {}, 0, 1.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    b = GraphiteBrowseAPI(spark, df)
+
+    top = b.metrics_find("*")
+    assert {(e["text"], e["leaf"]) for e in top} == {("app", 0), ("uptime", 1)}
+    lvl2 = b.metrics_find("app.*")
+    assert {(e["text"], e["expandable"]) for e in lvl2} == {("web", 1), ("db", 1)}
+    lvl3 = b.metrics_find("app.web.*")
+    assert {e["text"] for e in lvl3} == {"requests", "errors"}
+    assert all(e["leaf"] == 1 for e in lvl3)
+
+    assert b.tags_autocomplete_tags() == ["dc", "env", "name"]
+    assert b.tags_autocomplete_tags(prefix="e") == ["env"]
+    assert b.tags_autocomplete_values("dc") == ["eu", "us"]
+    assert b.tags_autocomplete_values("name", prefix="app.w") == [
+        "app.web.errors", "app.web.requests",
+    ]
+
+    s = b.tags_find_series(["dc=eu"])
+    assert s == ["app.db.queries;dc=eu", "app.web.requests;dc=eu;env=prod"]
+    s = b.tags_find_series(["env=prod", "name=~app\\.web\\..*"])
+    assert len(s) == 2
+    s = b.tags_find_series(["dc!=eu"])
+    assert s == ["app.web.errors;dc=us;env=prod", "uptime"]

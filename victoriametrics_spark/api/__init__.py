@@ -1,3 +1,9 @@
-from victoriametrics_spark.api.http import IngestAPI, LogsAPI, PromAPI, serve
+from victoriametrics_spark.api.http import (
+    GraphiteBrowseAPI,
+    IngestAPI,
+    LogsAPI,
+    PromAPI,
+    serve,
+)
 
-__all__ = ["IngestAPI", "LogsAPI", "PromAPI", "serve"]
+__all__ = ["GraphiteBrowseAPI", "IngestAPI", "LogsAPI", "PromAPI", "serve"]

@@ -670,6 +670,140 @@ class LogsAPI:
         }
 
 
+class GraphiteBrowseAPI:
+    """Graphite metrics/tags browsing (app/vmselect/graphite/
+    metrics_api.go + tags_api.go) — the discovery surface Grafana's
+    Graphite datasource uses. Metric names browse as a dot hierarchy;
+    tags browse over the label maps. All queries are distinct/groupBy
+    over the series identity — series-cardinality work, not sample
+    scans."""
+
+    def __init__(self, spark: SparkSession, samples: DataFrame):
+        self.spark = spark
+        self.samples = samples
+
+    def _names(self) -> DataFrame:
+        return self.samples.select("name").distinct()
+
+    def metrics_find(self, query: str) -> list[dict]:
+        """GET /metrics/find?query=a.*  — next dot-level segments.
+        Returns Grafana's [{text, leaf, expandable}...] shape."""
+        import re as _re
+
+        depth = query.count(".")
+        prefix_re = "^" + ".".join(
+            "[^.]*" if p == "*" else _re.escape(p) for p in query.split(".")
+        )
+        seg = F.split(F.col("name"), r"\.")
+        matched = self._names().filter(F.col("name").rlike(prefix_re))
+        rows = (
+            matched.select(
+                F.element_at(seg, depth + 1).alias("text"),
+                (F.size(seg) > depth + 1).cast("int").alias("expandable"),
+            )
+            .groupBy("text")
+            .agg(F.max("expandable").alias("expandable"))
+            .orderBy("text")
+            .collect()
+        )
+        return [
+            {
+                "text": r["text"],
+                "expandable": int(r["expandable"]),
+                "leaf": int(not r["expandable"]),
+            }
+            for r in rows
+            if r["text"] is not None
+        ]
+
+    def _distinct_series(self) -> DataFrame:
+        from victoriametrics_spark.schema import series_key
+
+        return (
+            self.samples.select("name", "labels")
+            .withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+            .dropDuplicates(["__sk"])
+            .drop("__sk")
+        )
+
+    def _series_with_pairs(self) -> DataFrame:
+        return (
+            self._distinct_series()
+            .select(
+                "name",
+                F.explode(
+                    F.coalesce("labels", F.create_map().cast("map<string,string>"))
+                ).alias("tag", "value"),
+            )
+        )
+
+    def tags_autocomplete_tags(self, prefix: str = "", limit: int = 100) -> list[str]:
+        """GET /tags/autoComplete/tags (tags_api.go:258). The metric
+        name participates as the pseudo-tag ``name``."""
+        tags = self._series_with_pairs().select("tag").distinct()
+        tags = tags.unionByName(self.spark.createDataFrame([("name",)], ["tag"]))
+        if prefix:
+            tags = tags.filter(F.col("tag").startswith(prefix))
+        return [r["tag"] for r in tags.distinct().orderBy("tag").limit(limit).collect()]
+
+    def tags_autocomplete_values(
+        self, tag: str, prefix: str = "", limit: int = 100
+    ) -> list[str]:
+        """GET /tags/autoComplete/values (tags_api.go:168)."""
+        if tag == "name":
+            vals = self._names().select(F.col("name").alias("value"))
+        else:
+            vals = (
+                self._series_with_pairs()
+                .filter(F.col("tag") == tag)
+                .select("value")
+            )
+        if prefix:
+            vals = vals.filter(F.col("value").startswith(prefix))
+        return [
+            r["value"]
+            for r in vals.distinct().orderBy("value").limit(limit).collect()
+        ]
+
+    def tags_find_series(self, exprs: list[str], limit: int = 100) -> list[str]:
+        """GET /tags/findSeries?expr=tag=value... (tags_api.go:341).
+        Supports =, !=, =~, !~ exprs; ``name`` targets the metric name.
+        Output: canonical ``name;tag1=v1;...`` series strings."""
+        import re as _re
+
+        df = self._distinct_series()
+        for e in exprs:
+            m = _re.match(r"^([^!=~]+)(=~|!=~|!=|=)(.*)$", e)
+            if not m:
+                raise ValueError(f"invalid tag expr {e!r}")
+            tag, op, val = m.group(1), m.group(2), m.group(3)
+            col = (
+                F.col("name")
+                if tag == "name"
+                else F.coalesce(F.col("labels").getItem(tag), F.lit(""))
+            )
+            if op == "=":
+                df = df.filter(col == val)
+            elif op == "!=":
+                df = df.filter(col != val)
+            elif op == "=~":
+                df = df.filter(col.rlike(f"^(?:{val})$"))
+            else:
+                df = df.filter(~col.rlike(f"^(?:{val})$"))
+        pairs = F.array_sort(
+            F.transform(
+                F.map_entries(
+                    F.coalesce("labels", F.create_map().cast("map<string,string>"))
+                ),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        )
+        series = df.select(
+            F.concat_ws(";", F.array(F.col("name")), pairs).alias("s")
+        )
+        return [r["s"] for r in series.orderBy("s").limit(limit).collect()]
+
+
 class IngestAPI:
     """Write-side API — the vminsert surface (app/vminsert/main.go
     request routing) over the existing streaming parsers, appending into
@@ -766,7 +900,7 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``)."""
@@ -834,6 +968,20 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("from"),
                         p("until"),
                         p("step"),
+                    )
+                elif u.path == "/metrics/find" and browse_api:
+                    out = browse_api.metrics_find(p("query", "*"))
+                elif u.path == "/tags/autoComplete/tags" and browse_api:
+                    out = browse_api.tags_autocomplete_tags(
+                        p("tagPrefix", ""), int(p("limit", "100"))
+                    )
+                elif u.path == "/tags/autoComplete/values" and browse_api:
+                    out = browse_api.tags_autocomplete_values(
+                        p("tag"), p("valuePrefix", ""), int(p("limit", "100"))
+                    )
+                elif u.path == "/tags/findSeries" and browse_api:
+                    out = browse_api.tags_find_series(
+                        q.get("expr", []), int(p("limit", "100"))
                     )
                 elif u.path.startswith("/select/logsql/") and logs_api:
                     ep = u.path[len("/select/logsql/") :]
