@@ -296,7 +296,10 @@ for _name, _mq_fn, _agg in [
     (
         "mq_zscore_over_time",
         "zscore_over_time(events_value[1d])",
-        "(max_by(value, ts) - avg(value)) / stddev_pop(value)",
+        # rollup.go:2368-2371: zero numerator → 0 even when stddev is 0
+        # (covers single-sample windows)
+        "CASE WHEN max_by(value, ts) = avg(value) THEN 0.0 "
+        "ELSE (max_by(value, ts) - avg(value)) / stddev_pop(value) END",
     ),
 ]:
     _reg(_name, _mq(_mq_fn, PER_SERIES), _rollup_oracle(_agg, W1D))
@@ -2589,6 +2592,24 @@ GROUP BY 1, 2""",
 )
 
 _reg(
+    "lql_stats_if",
+    # per-func conditional stats (pipe_stats.go pipeStatsFunc.iff)
+    _lql(
+        "* | stats by (event_type) count() if (value:>150) as big, "
+        "sum(value) if (user_id:in(1,2,3)) as s123, count() as n",
+        post=lambda df: df.withColumn("s123", F.round("s123", 4)),
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_type,
+       count(*) FILTER (WHERE value > 150) AS big,
+       round(sum(value) FILTER (WHERE user_id IN (1,2,3)), 4) AS s123,
+       count(*) AS n
+FROM logs
+GROUP BY event_type""",
+)
+
+_reg(
     "lql_value_bucket_stats",
     _lql("* | stats by (value:50 offset 5) count() as n"),
     _LQL_VIEW
@@ -2731,6 +2752,7 @@ _DRIVER_PRIORITY = [
     "op_downsample",
     "lql_time_bucket_stats",
     "lql_value_bucket_stats",
+    "lql_stats_if",
     # (a) changed this round — first driver verdict for the md5 oracles
     # and the round-6 pipe tranche
     "op_emb_lsh_knn",
