@@ -415,3 +415,26 @@ def test_graphite_browse_api(spark):
     assert len(s) == 2
     s = b.tags_find_series(["dc!=eu"])
     assert s == ["app.web.errors;dc=us;env=prod", "uptime"]
+
+
+def test_query_range_with_result_cache(spark, tmp_path):
+    rows = []
+    for i, ts in enumerate(range(0, 2_100_000, 100_000)):
+        rows.append(("m", {"s": "a"}, ts, float(i), False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    capi = PromAPI(spark, df, cache_dir=str(tmp_path / "rrc"))
+
+    cold = capi.query_range("avg_over_time(m[300s])", "300", "1200", "300")
+    assert capi.cache.stats["mode"] == "miss"
+    # extend the range: prefix reused, only the suffix recomputed
+    warm = capi.query_range("avg_over_time(m[300s])", "300", "1800", "300")
+    assert capi.cache.stats["mode"] == "hit_partial"
+    vals = {v[0]: v[1] for v in warm["data"]["result"][0]["values"]}
+    plain = PromAPI(spark, df).query_range(
+        "avg_over_time(m[300s])", "300", "1800", "300"
+    )
+    assert warm["data"]["result"] == plain["data"]["result"]
+    # full-hit repeat
+    again = capi.query_range("avg_over_time(m[300s])", "300", "1800", "300")
+    assert capi.cache.stats["mode"] == "hit_full"
+    assert again["data"]["result"] == plain["data"]["result"]

@@ -74,12 +74,20 @@ class PromAPI:
         samples: DataFrame,
         max_lookback_ms: int = 300_000,
         rule_groups: "list[tuple[str, list]] | None" = None,
+        cache_dir: str | None = None,
     ):
         self.spark = spark
         self.samples = samples
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
+        # optional rollup result cache (engine/cache.py): repeated
+        # dashboard range queries recompute only the missing suffix
+        self.cache = None
+        if cache_dir:
+            from victoriametrics_spark.engine.cache import RollupResultCache
+
+            self.cache = RollupResultCache(spark, cache_dir)
 
     # ----------------------------------------------------------- queries
     def _eval(self, query: str, start_ms: int, end_ms: int, step_ms: int):
@@ -89,7 +97,10 @@ class PromAPI:
             step=step_ms,
             max_lookback=self.max_lookback_ms,
         )
-        df = evaluate(self.spark, query, self.samples, cfg)
+        if self.cache is not None:
+            df = self.cache.evaluate(query, self.samples, cfg)
+        else:
+            df = evaluate(self.spark, query, self.samples, cfg)
         rows = df.collect()
         series: dict = {}
         for r in rows:
