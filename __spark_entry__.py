@@ -2753,6 +2753,22 @@ _DRIVER_PRIORITY = [
     "lql_time_bucket_stats",
     "lql_value_bucket_stats",
     "lql_stats_if",
+    # (a1) gates on ENGINE code paths changed by the round-6 parity pass
+    # (histogram fold/vmrange dedup/le NaN, topk NaN ranking +
+    # remaining_sum, aggregate quantile bounds, union scalar lists,
+    # scalar-comparison swap/NaN, zscore zero rule) — all need fresh
+    # verdicts on the new code
+    "mq_zscore_over_time",
+    "mq_histogram_quantile",
+    "mq_histogram_share",
+    "mq_histogram_avg",
+    "mq_topk_max",
+    "mq_quantile_sumot_by",
+    "mq_list_membership",
+    "mq_cmp_filter",
+    "mq_binop_ratio",
+    "mq_binop_fill_left",
+    "mq_scalar_arith",
     # (a) changed this round — first driver verdict for the md5 oracles
     # and the round-6 pipe tranche
     "op_emb_lsh_knn",
