@@ -38,6 +38,7 @@ from victoriametrics_spark.engine.prefix import prefix_rollup
 from victoriametrics_spark.engine.rollup import (
     PLANNER_LEVEL_ROLLUPS,
     ROLLUP_ARG_IDX,
+    ROLLUP_ARITY,
     ROLLUPS,
     RollupArgs,
 )
@@ -310,6 +311,12 @@ class Planner:
         spec = ROLLUPS.get(name)
         if spec is None:
             raise PlanError(f"rollup function {name!r} not implemented")
+        lo, hi = ROLLUP_ARITY.get(name, (1, 1))
+        if not (lo <= len(fe.args) <= hi):
+            want = str(lo) if lo == hi else f"{lo}..{hi}"
+            raise PlanError(
+                f"{name}: unexpected number of args {len(fe.args)}; want {want}"
+            )
         idx = ROLLUP_ARG_IDX.get(name, 0)
         if idx >= len(fe.args):
             raise PlanError(f"{name}: missing series argument")

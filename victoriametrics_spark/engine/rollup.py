@@ -935,3 +935,17 @@ ROLLUP_ARG_IDX = {
     "hoeffding_bound_lower": 1,
     "hoeffding_bound_upper": 1,
 }
+
+# argument-count bounds for the per-series ROLLUPS table (VM rejects
+# wrong arities in newRollupFuncOneArg/TwoArgs, rollup.go:1003-1030);
+# default is exactly one arg, parameterized funcs listed explicitly
+ROLLUP_ARITY: dict[str, tuple[int, int]] = {
+    "quantile_over_time": (2, 2),
+    "hoeffding_bound_lower": (2, 2),
+    "hoeffding_bound_upper": (2, 2),
+    "predict_linear": (2, 2),
+    "duration_over_time": (1, 2),
+    **{f"count_{op}_over_time": (2, 2) for op in ("eq", "ne", "gt", "le")},
+    **{f"sum_{op}_over_time": (2, 2) for op in ("eq", "gt", "le")},
+    **{f"share_{op}_over_time": (2, 2) for op in ("eq", "gt", "le")},
+}

@@ -112,7 +112,36 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "limit_offset": (3, 3),
     "absent": (1, 1),
     "sgn": (1, 1),
+    "rand": (0, 1),
+    "rand_normal": (0, 1),
+    "rand_exponential": (0, 1),
+    "hoeffding_bound_lower": (2, 2),
+    "hoeffding_bound_upper": (2, 2),
+    "label_value": (2, 2),
+    "label_del": (2, None),
+    "label_keep": (2, None),
+    "label_match": (3, 3),
+    "label_mismatch": (3, 3),
+    "labels_equal": (3, None),
+    "drop_common_labels": (1, None),
+    "union": (1, None),
+    "prometheus_buckets": (1, 1),
+    "buckets_limit": (2, 2),
 }
+
+
+def _check_regex(arg) -> None:
+    """Plan-time regex validation (VM rejects invalid regexps at eval
+    start; Spark would only fail lazily inside the job)."""
+    import re as _re
+
+    from victoriametrics_spark.engine.planner import PlanError
+
+    if isinstance(arg, StringExpr):
+        try:
+            _re.compile(arg.value)
+        except _re.error as e:
+            raise PlanError(f"invalid regexp {arg.value!r}: {e}") from None
 
 
 def _scalar_arg(planner, expr, cfg):
@@ -1123,6 +1152,7 @@ def _label_fn(planner, fe, cfg, name):
         )
 
     if name == "label_replace":
+        _check_regex(fe.args[4] if len(fe.args) > 4 else None)
         # label_replace(q, dst, replacement, src, regex) — PromQL-compat:
         # applies only when regex matches the full src value. src/dst may
         # be __name__ (VM getDstValue handles MetricGroup).
@@ -1219,6 +1249,7 @@ def _label_fn(planner, fe, cfg, name):
         return df.filter(cond if name == "label_match" else ~cond)
 
     if name == "label_transform":
+        _check_regex(fe.args[1] if len(fe.args) > 1 else None)
         args = _str_args(fe)
         k, regex, repl = args[0], args[1], args[2]
         return df.withColumn(
