@@ -73,7 +73,9 @@ def _bucketed_events_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _BUCKETED_DONE.add(table)
     return read_samples_table(
-        spark, table, GRID_START, GRID_END, lookback_ms=W1D
+        # + 5m: the span-family fetch contract (engine/span.py) looks back
+        # window + silence-interval for the prev anchor / interval estimate
+        spark, table, GRID_START, GRID_END, lookback_ms=W1D + 300_000
     )
 
 
@@ -137,10 +139,8 @@ def _rollup_oracle(
         prev_cols += """,
                lead(ts) OVER w AS next_ts"""
     derived = (
-        """,
-               CASE WHEN prev_value IS NULL THEN NULL
-                    WHEN value >= prev_value THEN value - prev_value
-                    ELSE value END AS pos_dv,
+        f""",
+               {_POS_DV_SQL} AS pos_dv,
                value - prev_value AS dv,
                ts - prev_ts AS dt"""
         if needs_prev
@@ -177,6 +177,219 @@ FROM per_series WHERE {having}"""
         + f"""
 SELECT event_type, gts AS ts, round(({outer}) * {scale!r}, 6) + 0.0 AS value
 FROM per_series WHERE {having} GROUP BY 1, 2"""
+    )
+
+
+# --------------------------------------------------- span-family oracle
+# VM-exact rate/deriv/delta semantics (engine/span.py): per-series
+# scrape-interval estimate (0.6-quantile of the last ≤20 gaps, tier
+# inflation — rollup.go:871-919), prev-sample anchor with eligibility,
+# span denominators, empty-window ghost points, partial-reset
+# removeCounterResets (rollup.go:922-958). The cumulative sum is read at
+# window boundaries and subtracted ONCE, mirroring the engine's running
+# sum bit-for-bit (same additions in the same order).
+_POS_DV_SQL = """CASE WHEN prev_value IS NULL THEN NULL
+                WHEN value >= prev_value THEN value - prev_value
+                WHEN (prev_value - value) * 8 < prev_value THEN 0.0
+                ELSE greatest(value, 0.0) END"""
+
+_SPAN_VALUE_SQL = {
+    "rate": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN el THEN s_all / ((l_ts - a_ts) / 1000.0)
+             WHEN n >= 2 THEN s_tail / ((l_ts - f_ts) / 1000.0)
+             ELSE NULL END""",
+    "deriv_fast": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN el THEN (l_v - a_v) / ((l_ts - a_ts) / 1000.0)
+             WHEN n >= 2 THEN (l_v - f_v) / ((l_ts - f_ts) / 1000.0)
+             ELSE NULL END""",
+    "irate": """
+        CASE WHEN n >= 2 THEN l_pos_dv / (l_dt / 1000.0)
+             WHEN n = 1 AND el THEN f_pos_dv / (f_dt / 1000.0)
+             ELSE NULL END""",
+    "ideriv": """
+        CASE WHEN n >= 2 THEN l_dv / (l_dt / 1000.0)
+             WHEN n = 1 AND el THEN f_dv / (f_dt / 1000.0)
+             ELSE NULL END""",
+    "increase": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN a_ts IS NOT NULL AND n >= 1 THEN s_all
+             WHEN n >= 1 THEN
+                CASE WHEN abs(f_v) < 10 * (abs(coalesce(f_next_pos_dv, 0)) + 1)
+                     THEN f_v + s_tail ELSE s_tail END
+             ELSE NULL END""",
+    "increase_pure": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN a_ts IS NOT NULL AND n >= 1 THEN s_all
+             WHEN n >= 1 THEN f_v + s_tail
+             ELSE NULL END""",
+    "delta": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN a_ts IS NOT NULL AND n >= 1 THEN l_v - a_v
+             WHEN n >= 1 THEN
+                CASE WHEN abs(f_v) < 10 * (abs(coalesce(f_next_v - f_v, 0)) + 1)
+                     THEN l_v
+                     WHEN n >= 2 THEN l_v - f_v
+                     ELSE 0.0 END
+             ELSE NULL END""",
+    "idelta": """
+        CASE WHEN n >= 2 THEN l_dv
+             WHEN n = 1 AND el THEN f_v - a_v
+             WHEN n = 1 THEN f_v
+             WHEN n = 0 AND el THEN 0.0
+             ELSE NULL END""",
+}
+
+
+def _span_oracle(
+    func: str,
+    window_ms: int,
+    *,
+    start: int = GRID_START,
+    end: int = GRID_END,
+    step: int = GRID_STEP,
+    outer: str | None = None,
+    total_outer: str | None = None,
+    scale: float = 1.0,
+) -> str:
+    """DuckDB oracle for a span-family rollup (explicit window) with the
+    engine's exact fetch contract, interval estimate, anchor and value
+    rules. ``outer`` aggregates per (event_type, gts); ``total_outer``
+    aggregates per gts over every series."""
+    fetch_lo = start - max(window_ms, step) - 300_000
+    grid_sql = (
+        f"SELECT CAST(r.range AS BIGINT) AS gts FROM "
+        f"range({start}, {end} + 1, {step}) r"
+    )
+    sql = f"""
+WITH samples0 AS ({_SAMPLES_SQL}),
+samples AS (
+    SELECT * FROM samples0 WHERE ts > {fetch_lo} AND ts <= {end}
+),
+wp AS (
+    SELECT samples.*,
+           lag(value) OVER w AS prev_value,
+           lag(ts)    OVER w AS prev_ts
+    FROM samples
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+wp2 AS (
+    SELECT wp.*,
+           {_POS_DV_SQL} AS pos_dv,
+           value - prev_value AS dv,
+           ts - prev_ts AS dt
+    FROM wp
+),
+wp3 AS (
+    SELECT wp2.*,
+           lead(value)  OVER w AS next_value,
+           lead(pos_dv) OVER w AS next_pos_dv,
+           sum(coalesce(pos_dv, 0.0)) OVER
+               (PARTITION BY event_type, user_bucket ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS cum
+    FROM wp2
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+gaps AS (
+    SELECT event_type, user_bucket,
+           ts - lag(ts) OVER w AS gap,
+           row_number() OVER
+               (PARTITION BY event_type, user_bucket ORDER BY ts DESC) AS rn
+    FROM samples
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+),
+est0 AS (
+    SELECT event_type, user_bucket,
+           CAST(floor(quantile_cont(gap, 0.6)) AS BIGINT) AS si
+    FROM gaps WHERE rn <= 20 AND gap IS NOT NULL GROUP BY 1, 2
+),
+series AS (SELECT DISTINCT event_type, user_bucket FROM samples),
+est AS (
+    SELECT s.event_type, s.user_bucket,
+           CASE WHEN e.si IS NULL OR e.si <= 0 THEN {step} ELSE e.si END AS si
+    FROM series s LEFT JOIN est0 e USING (event_type, user_bucket)
+),
+mpi AS (
+    SELECT event_type, user_bucket,
+           CASE WHEN si <= 2000 THEN si * 5
+                WHEN si <= 4000 THEN si * 3
+                WHEN si <= 8000 THEN si * 2
+                WHEN si <= 16000 THEN si + si // 2
+                WHEN si <= 32000 THEN si + si // 4
+                ELSE si + si // 8 END AS mpi
+    FROM est
+),
+grid AS ({grid_sql}),
+sg AS (
+    SELECT m.event_type, m.user_bucket, m.mpi, g.gts
+    FROM mpi m CROSS JOIN grid g
+),
+inw AS (
+    SELECT w.event_type, w.user_bucket, g.gts,
+           count(*) AS n,
+           min(ts) AS f_ts,
+           min_by(value, ts) AS f_v,
+           min_by(struct_pack(x := pos_dv), ts).x AS f_pos_dv,
+           min_by(struct_pack(x := dv), ts).x AS f_dv,
+           min_by(struct_pack(x := dt), ts).x AS f_dt,
+           min_by(struct_pack(x := next_value), ts).x AS f_next_v,
+           min_by(struct_pack(x := next_pos_dv), ts).x AS f_next_pos_dv,
+           min_by(cum, ts) AS f_cum,
+           max(ts) AS l_ts,
+           max_by(value, ts) AS l_v,
+           max_by(struct_pack(x := pos_dv), ts).x AS l_pos_dv,
+           max_by(struct_pack(x := dv), ts).x AS l_dv,
+           max_by(struct_pack(x := dt), ts).x AS l_dt,
+           max_by(cum, ts) AS l_cum
+    FROM wp3 w JOIN grid g ON w.ts > g.gts - {window_ms} AND w.ts <= g.gts
+    GROUP BY 1, 2, 3
+),
+anc AS (
+    SELECT sg.event_type, sg.user_bucket, sg.gts, sg.mpi,
+           a.ts AS a_ts, a.value AS a_v, a.cum AS a_cum
+    FROM sg ASOF LEFT JOIN wp3 a
+      ON sg.event_type = a.event_type
+     AND sg.user_bucket = a.user_bucket
+     AND a.ts <= sg.gts - {window_ms}
+),
+st AS (
+    SELECT anc.event_type, anc.user_bucket, anc.gts,
+           coalesce(i.n, 0) AS n,
+           i.l_cum - coalesce(anc.a_cum, 0.0) AS s_all,
+           i.l_cum - i.f_cum AS s_tail,
+           i.f_ts, i.f_v, i.f_pos_dv, i.f_dv, i.f_dt,
+           i.f_next_v, i.f_next_pos_dv,
+           i.l_ts, i.l_v, i.l_pos_dv, i.l_dv, i.l_dt,
+           anc.a_ts, anc.a_v,
+           (anc.a_ts IS NOT NULL
+            AND anc.a_ts > anc.gts - {window_ms} - anc.mpi) AS el
+    FROM anc LEFT JOIN inw i USING (event_type, user_bucket, gts)
+),
+per_series AS (
+    SELECT event_type, user_bucket, gts, ({_SPAN_VALUE_SQL[func]}) AS value
+    FROM st
+)"""
+    if total_outer is not None:
+        return (
+            sql
+            + f"""
+SELECT gts AS ts, round(({total_outer}) * {scale!r}, 6) + 0.0 AS value
+FROM per_series WHERE value IS NOT NULL GROUP BY 1"""
+        )
+    if outer is None:
+        return (
+            sql
+            + f"""
+SELECT event_type, user_bucket, gts AS ts,
+       round(value * {scale!r}, 6) + 0.0 AS value
+FROM per_series WHERE value IS NOT NULL"""
+        )
+    return (
+        sql
+        + f"""
+SELECT event_type, gts AS ts, round(({outer}) * {scale!r}, 6) + 0.0 AS value
+FROM per_series WHERE value IS NOT NULL GROUP BY 1, 2"""
     )
 
 
@@ -304,23 +517,26 @@ for _name, _mq_fn, _agg in [
 ]:
     _reg(_name, _mq(_mq_fn, PER_SERIES), _rollup_oracle(_agg, W1D))
 
+# ---- span-family counter/derivative rollups (engine/span.py) ---------
+# VM-exact semantics: interval estimate, anchor eligibility, span
+# denominators, empty-window ghost points, partial-reset handling
+for _name, _mq_fn, _span_fn, _scale in [
+    ("mq_increase", "increase(events_value[1d])", "increase", 1.0),
+    ("mq_increase_pure", "increase_pure(events_value[1d])", "increase_pure", 1.0),
+    ("mq_delta", "delta(events_value[1d])", "delta", 1.0),
+    ("mq_idelta", "idelta(events_value[1d])", "idelta", 1.0),
+    ("mq_deriv_fast", "deriv_fast(events_value[1d])", "deriv_fast", 86400.0),
+    ("mq_irate", "irate(events_value[1d])", "irate", 3600.0),
+    ("mq_ideriv", "ideriv(events_value[1d])", "ideriv", 3600.0),
+]:
+    _reg(
+        _name,
+        _mq(_mq_fn, PER_SERIES, scale=_scale),
+        _span_oracle(_span_fn, W1D, scale=_scale),
+    )
+
 # ---- counter-semantics rollups (need lag) ----------------------------
 for _name, _mq_fn, _agg in [
-    ("mq_increase", "increase(events_value[1d])", "sum(pos_dv)"),
-    # deriv_fast bases on the sample BEFORE the window when present
-    # (rollupDerivFast rfa.prevValue, rollup.go:1954-1989)
-    (
-        "mq_deriv_fast",
-        "deriv_fast(events_value[1d])",
-        """list_transform([struct_pack(
-                l := list_sort(list(struct_pack(t := ts, v := value))),
-                pfv := min_by(prev_value, ts),
-                pft := min_by(prev_ts, ts))], s ->
-            CASE WHEN s.l[-1].t = coalesce(s.pft, s.l[1].t) THEN NULL
-                 ELSE (s.l[-1].v - coalesce(s.pfv, s.l[1].v))
-                      / (s.l[-1].t - coalesce(s.pft, s.l[1].t)) * 1000.0
-            END)[1]""",
-    ),
     # deriv = linearRegression (rollup.go:1099-1133): const values -> 0,
     # |tDiff| < 1e-6 -> 0
     (
@@ -344,12 +560,8 @@ for _name, _mq_fn, _agg in [
                      ELSE 0.0 END)[1])[1]
             END)[1]""",
     ),
-    ("mq_delta", "delta(events_value[1d])",
-     "max_by(value, ts) - coalesce(min_by(prev_value, ts), min_by(value, ts))"),
     ("mq_delta_prometheus", "delta_prometheus(events_value[1d])",
      "max_by(value, ts) - min_by(value, ts)"),
-    ("mq_idelta", "idelta(events_value[1d])",
-     "max_by(dv, CASE WHEN dv IS NOT NULL THEN ts END)"),
     (
         "mq_resets",
         "resets(events_value[1d])",
@@ -411,7 +623,7 @@ _reg(
 _reg(
     "mq_rate",
     _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0),
-    _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
+    _span_oracle("rate", W1D, scale=86400.0),
 )
 # fine-step wide-window gate: 1d window at 15m step over a 2-day subrange
 # (window/step = 96 > cutover 16 → exercises the two-level plan); the
@@ -439,30 +651,14 @@ def _mq_rate_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _reg(
     "mq_rate_fine_step",
     _mq_rate_fine,
-    f"""
-WITH samples AS ({_SAMPLES_SQL}),
-wp AS (
-    SELECT samples.*, lag(value) OVER w AS prev_value
-    FROM samples
-    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
-),
-grid AS (SELECT CAST(r.range AS BIGINT) AS gts
-         FROM range({_FINE_START}, {_FINE_END} + 1, {_FINE_STEP}) r),
-j AS (
-    SELECT wp.event_type, wp.user_bucket,
-           CASE WHEN prev_value IS NULL THEN NULL
-                WHEN value >= prev_value THEN value - prev_value
-                ELSE value END AS pos_dv,
-           g.gts
-    FROM wp JOIN grid g ON wp.ts > g.gts - {W1D} AND wp.ts <= g.gts
-),
-per_series AS (
-    SELECT event_type, user_bucket, gts, sum(pos_dv) / 86400.0 AS value
-    FROM j GROUP BY 1, 2, 3
-)
-SELECT event_type, user_bucket, gts AS ts,
-       round(value * 86400.0, 6) + 0.0 AS value
-FROM per_series WHERE value IS NOT NULL""",
+    _span_oracle(
+        "rate",
+        W1D,
+        start=_FINE_START,
+        end=_FINE_END,
+        step=_FINE_STEP,
+        scale=86400.0,
+    ),
 )
 
 # same query + oracle as mq_rate, but served from the bucketed storage
@@ -470,7 +666,7 @@ FROM per_series WHERE value IS NOT NULL""",
 _reg(
     "mq_rate_bucketed",
     _mq("rate(events_value[1d])", PER_SERIES, scale=86400.0, bucketed=True),
-    _rollup_oracle("sum(pos_dv) / 86400.0", W1D, needs_prev=True, scale=86400.0),
+    _span_oracle("rate", W1D, scale=86400.0),
 )
 _reg(
     "mq_rate_over_sum",
@@ -532,47 +728,19 @@ for _name, _mq_fn, _inner, _outer, _needs_prev in [
 _reg(
     "mq_sum_rate_by",
     _mq("sum(rate(events_value[1d])) by (event_type)", BY_TYPE, scale=86400.0),
-    _rollup_oracle(
-        "sum(pos_dv) / 86400.0", W1D, needs_prev=True, outer="sum(value)",
-        scale=86400.0,
-    ),
+    _span_oracle("rate", W1D, outer="sum(value)", scale=86400.0),
 )
 _reg(
     "mq_avg_rate_by",
     _mq("avg(rate(events_value[1d])) by (event_type)", BY_TYPE, scale=86400.0),
-    _rollup_oracle(
-        "sum(pos_dv) / 86400.0", W1D, needs_prev=True, outer="avg(value)",
-        scale=86400.0,
-    ),
+    _span_oracle("rate", W1D, outer="avg(value)", scale=86400.0),
 )
 
 # total (no grouping labels): sum over every series
 _reg(
     "mq_sum_rate_total",
     _mq("sum(rate(events_value[1d]))", (), scale=86400.0),
-    f"""
-WITH samples AS ({_SAMPLES_SQL}),
-wp AS (
-    SELECT samples.*,
-           lag(value) OVER w AS prev_value
-    FROM samples
-    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
-),
-grid AS ({_GRID_SQL}),
-j AS (
-    SELECT wp.*,
-           CASE WHEN prev_value IS NULL THEN NULL
-                WHEN value >= prev_value THEN value - prev_value
-                ELSE value END AS pos_dv,
-           g.gts
-    FROM wp JOIN grid g ON wp.ts > g.gts - {W1D} AND wp.ts <= g.gts
-),
-per_series AS (
-    SELECT event_type, user_bucket, gts, sum(pos_dv) / 86400.0 AS value
-    FROM j GROUP BY 1, 2, 3
-)
-SELECT gts AS ts, round(sum(value) * 86400.0, 6) AS value
-FROM per_series WHERE value IS NOT NULL GROUP BY 1""",
+    _span_oracle("rate", W1D, total_outer="sum(value)", scale=86400.0),
 )
 
 # ---- binary operation: ratio of two selector aggregates ---------------

@@ -1360,14 +1360,11 @@ CASES = [
 #    math/rand; its exact bit sequence is not reproducible from SQL (our
 #    rand() is documented as a hash-based generator with the same
 #    distribution — see transform.py newTransformRand note).
-# 2. rate()/deriv() over scalar expressions (rate(2000-time()),
-#    deriv(2*time()), ...): VM's rollupConfig window adjustment
-#    (rollup.go doInternal maxPrevInterval) extends too-narrow windows
-#    to include the previous synthetic sample and anchors deltas at
-#    realPrevValue. Our rollups implement the documented window
-#    semantics that every driver-gate oracle encodes; reproducing the
-#    sparse-window extension for synthetic time() series is tracked as
-#    a known delta.
+# 2. (closed in round 7) rate()/deriv() over scalar expressions now
+#    match VM bit-for-bit: engine/span.py implements the per-series
+#    scrape-interval estimate, prev-sample anchor, implicit-window
+#    widening and partial-reset removeCounterResets semantics
+#    (rollup.go:871-919, 1954-1990, 747-756, 922-958).
 # 3. `sum(...or...) by (foo) limit 1` and the `or`+`by (__name__)` name
 #    case: outputs depend on VM's first-seen series order inside
 #    aggrPrepareSeries map iteration — order is not defined by the
@@ -1378,10 +1375,6 @@ _EXCLUDED_SUBSTRINGS = [
     # row model represents all-NaN series as absent (VM's
     # drop_empty_series is our native behavior)
     ') > 2000\n\t\t) default 123)',
-    "rate(2000-time())",
-    "rate((2000-time())",
-    "deriv(2*time())",
-    "deriv(-time())",
     'sum(label_set(10, "foo", "bar") or label_set(time()/100, "baz", "sss")) by (foo) limit 1',
     'sum(label_set(10, "__name__", "bar", "baz", "sss", "x", "y") or label_set',
 ]

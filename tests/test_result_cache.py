@@ -75,6 +75,59 @@ def test_cache_bypass_range_dependent(spark, counter_samples, tmp_path):
     assert cache.stats["mode"] == "bypass"
 
 
+@pytest.mark.parametrize(
+    "q",
+    [
+        # series ranked by WHOLE-RANGE statistics: a partial-hit suffix
+        # evaluated over [cached_end+step, end] could select different
+        # series than a cold full-range evaluation — must bypass
+        "topk_max(1, rate(c[2m]))",
+        "outliers_mad(1, c)",
+        "limitk(1, c)",
+        'sort(avg_over_time(c[2m]))',
+        # subqueries: the child evaluation range derives from the query
+        # range (explicit [w:s] and implicit rollup-over-expression)
+        "sum(rate(c[2m:1m])) by (job)",
+        "rate(abs(c))",
+        # aggregate `limit N` modifier keeps first-seen series
+        "sum(c) by (job) limit 1",
+    ],
+)
+def test_cache_bypass_range_dependent_aggregates(
+    spark, counter_samples, tmp_path, q
+):
+    """Range extension over a warm cache must equal a cold evaluation;
+    for these shapes that is only guaranteed by bypassing the cache
+    (VM caches below the aggregate layer, rollup_result_cache.go:283)."""
+    samples, t0 = counter_samples
+    cache = RollupResultCache(spark, str(tmp_path / "rrc_rank"))
+    cfg1 = EvalConfig(start=t0, end=t0 + 600_000, step=60_000)
+    cfg2 = EvalConfig(start=t0, end=t0 + 1500_000, step=60_000)
+    cache.evaluate(q, samples, cfg1)
+    assert cache.stats["mode"] == "bypass"
+    warm = cache.evaluate(q, samples, cfg2)
+    assert cache.stats["mode"] == "bypass"
+    assert _vals(warm) == _vals(evaluate(spark, q, samples, cfg2))
+
+
+def test_cacheable_predicate():
+    ok = RollupResultCache.cacheable
+    assert ok("sum(rate(c[2m])) by (job)")
+    assert ok("topk(2, c)")  # per-timestamp ranking is sound
+    assert ok("histogram_quantile(0.9, rate(b[5m]))")
+    assert not ok("topk_max(2, rate(c[2m]))")
+    assert not ok("bottomk_avg(2, c)")
+    assert not ok("outliersk(3, c)")
+    assert not ok("outliers_iqr(c)")
+    assert not ok("limit_offset(1, 0, c)")
+    assert not ok("sort_desc(c)")
+    assert not ok("range_avg(c)")
+    assert not ok("running_max(c)")
+    assert not ok("max_over_time(rate(c[5m])[1h:1m])")
+    assert not ok("rate(2000-time())")  # implicit subquery
+    assert not ok("this is not metricsql")
+
+
 def test_cache_misaligned_start_recomputes(spark, counter_samples, tmp_path):
     samples, t0 = counter_samples
     cache = RollupResultCache(spark, str(tmp_path / "rrc3"))

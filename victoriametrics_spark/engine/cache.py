@@ -12,9 +12,22 @@ keeps the same contract with results as parquet:
   the engine's contribution pruning (grid.py:115-118) bounds the sample
   scan to ``ts > suffix_start - window``, so old partitions are never
   read — the cached parquet supplies them instead.
-- Range-dependent constructs (``running_*``, ``range_*``) make grid
-  points depend on the WHOLE range, so those queries bypass the cache
-  (VM routes them through the non-cached path for the same reason).
+- Range-dependent constructs make grid points depend on the WHOLE range,
+  so those queries bypass the cache (VM avoids the issue structurally by
+  caching at the rollup LEAF, below transforms/aggregates —
+  rollup_result_cache.go sits under aggregation). Cacheability here is
+  decided from the parsed AST, not a regex: a query is bypassed when its
+  tree contains (a) a ``running_*``/``range_*`` transform, (b) a
+  series-level-RANKING aggregate (``topk_max``-family, ``bottomk_*``,
+  ``outliersk``, ``outliers_mad``/``outliers_iqr``, ``limitk``) or an
+  aggregate ``limit N`` modifier — these rank series by whole-range
+  statistics, so a suffix evaluated over ``[cached_end+step, end]`` can
+  select different series than a cold full-range evaluation, (c) a sort
+  transform or ``limit_offset`` (result order/selection over the whole
+  range), or (d) a subquery / nested rollup (child evaluation range is
+  derived from the query range). Per-TIMESTAMP constructs (plain
+  ``topk``/``bottomk``, ``share``, ``zscore``, histogram ops) stay
+  cacheable — each grid point ranks only its own timestamp.
 
 Every grid point of a cacheable query depends only on samples in
 ``(gts - window, gts]``, which is what makes prefix reuse sound.
@@ -25,7 +38,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import re
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +45,37 @@ from pyspark.sql import functions as F
 
 from victoriametrics_spark.engine.evalcfg import EvalConfig
 
-_RANGE_DEPENDENT = re.compile(r"\b(running_\w+|range_\w+)\s*\(")
+# transforms whose output at one grid point depends on the whole range
+_RANGE_DEPENDENT_TRANSFORMS = frozenset(
+    {
+        "limit_offset",
+        "sort",
+        "sort_desc",
+        "sort_by_label",
+        "sort_by_label_desc",
+        "sort_by_label_numeric",
+        "sort_by_label_numeric_desc",
+    }
+)
+# aggregates that rank SERIES by a whole-range statistic
+_RANKING_AGGREGATES = frozenset(
+    {
+        "topk_max",
+        "topk_min",
+        "topk_avg",
+        "topk_median",
+        "topk_last",
+        "bottomk_max",
+        "bottomk_min",
+        "bottomk_avg",
+        "bottomk_median",
+        "bottomk_last",
+        "outliersk",
+        "outliers_mad",
+        "outliers_iqr",
+        "limitk",
+    }
+)
 
 _RESULT_SCHEMA = (
     "name string, labels map<string,string>, ts long, value double"
@@ -56,7 +98,53 @@ class RollupResultCache:
     # ------------------------------------------------------------- key
     @staticmethod
     def cacheable(query: str) -> bool:
-        return not _RANGE_DEPENDENT.search(query)
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import (
+            AggrFuncExpr,
+            BinaryOpExpr,
+            FuncExpr,
+            MetricExpr,
+            RollupExpr,
+        )
+
+        try:
+            root = parse(query)
+        except Exception:
+            return False  # let the uncached path report the parse error
+
+        from victoriametrics_spark.metricsql.funcs import is_rollup_func
+
+        def ok(e) -> bool:
+            if isinstance(e, FuncExpr):
+                n = e.name
+                if (
+                    n in _RANGE_DEPENDENT_TRANSFORMS
+                    or n.startswith("running_")
+                    or n.startswith("range_")
+                ):
+                    return False
+                if is_rollup_func(n):
+                    # implicit subqueries: rollup over anything that is
+                    # not a plain selector
+                    for a in e.args:
+                        if isinstance(a, (FuncExpr, AggrFuncExpr, BinaryOpExpr)):
+                            return False
+                return all(ok(a) for a in e.args)
+            if isinstance(e, AggrFuncExpr):
+                if e.name in _RANKING_AGGREGATES or e.limit:
+                    return False
+                return all(ok(a) for a in e.args)
+            if isinstance(e, RollupExpr):
+                # subquery / nested rollup: the child evaluation range is
+                # derived from the query range → bypass
+                if e.step is not None or not isinstance(e.expr, MetricExpr):
+                    return False
+                return ok(e.expr)
+            if isinstance(e, BinaryOpExpr):
+                return ok(e.left) and ok(e.right)
+            return True
+
+        return ok(root)
 
     def _key(self, query: str, cfg: EvalConfig) -> str:
         ident = json.dumps(

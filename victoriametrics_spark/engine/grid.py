@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.engine.span import pos_dv_expr
 from victoriametrics_spark.schema import series_key
 
 # Columns prepared for rollup aggregation (pre-groupBy):
@@ -54,6 +55,7 @@ def prepare_rollup_input(
     needs_prev: bool = False,
     needs_fwd: bool = False,
     keep_stale: bool = False,
+    window_col: str | None = None,
 ) -> DataFrame:
     """Explode samples to (series, grid-index) contribution rows.
 
@@ -63,6 +65,12 @@ def prepare_rollup_input(
       [+ next_value, next_ts, next_pos_dv when needs_fwd — VM's preFunc
          family (deltaValues/derivValues, rollup.go:440-490) assigns each
          sample the delta/deriv to its NEXT sample]
+
+    ``window_col`` names a per-series window column (ms) already present
+    on ``samples`` (implicit-window widening, rollup.go:747-756); when
+    given it replaces ``window_ms`` in the contribution bounds and the
+    exact membership filter (``window_ms`` must then be an upper bound
+    only for nothing — bounds derive from the column).
     """
     if window_ms <= 0:
         raise ValueError("window must be positive")
@@ -97,10 +105,7 @@ def prepare_rollup_input(
             .withColumn("dv", F.col("value") - F.col("prev_value"))
             .withColumn("dt", F.col("ts") - F.col("prev_ts"))
             .withColumn(
-                "pos_dv",
-                F.when(F.col("prev_value").isNull(), F.lit(None).cast("double"))
-                .when(F.col("value") >= F.col("prev_value"), F.col("dv"))
-                .otherwise(F.col("value")),
+                "pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value"))
             )
         )
         if needs_fwd:
@@ -112,15 +117,17 @@ def prepare_rollup_input(
                 .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
             )
 
+    W = F.col(window_col) if window_col else F.lit(window_ms)
+
     # prune samples that cannot contribute to any grid point (parquet-pushable)
     df = df.filter(
-        (F.col("__sts") <= F.lit(end)) & (F.col("__sts") + F.lit(window_ms) > F.lit(start))
+        (F.col("__sts") <= F.lit(end)) & (F.col("__sts") + W > F.lit(start))
     )
 
     # contribution range; trunc-div bounds are a superset for negative
     # dividends, the exact membership filter below makes it precise
     i_lo_raw = (F.col("__sts") - F.lit(start) + F.lit(step - 1)) / F.lit(step)
-    i_hi_raw = (F.col("__sts") + F.lit(window_ms - 1) - F.lit(start)) / F.lit(step)
+    i_hi_raw = (F.col("__sts") + W - F.lit(1) - F.lit(start)) / F.lit(step)
     i_lo = F.greatest(F.lit(0), i_lo_raw.cast("long"))
     i_hi = F.least(F.lit(npts - 1), i_hi_raw.cast("long"))
     df = df.withColumn(
@@ -135,8 +142,7 @@ def prepare_rollup_input(
     df = df.withColumn("gts", gts)
     # exact lookbehind-window membership: __sts in (gts - W, gts]
     df = df.filter(
-        (F.col("__sts") > F.col("gts") - F.lit(window_ms))
-        & (F.col("__sts") <= F.col("gts"))
+        (F.col("__sts") > F.col("gts") - W) & (F.col("__sts") <= F.col("gts"))
     )
     return df
 
@@ -186,10 +192,7 @@ def prepare_step_buckets(
             .withColumn("dv", F.col("value") - F.col("prev_value"))
             .withColumn("dt", F.col("ts") - F.col("prev_ts"))
             .withColumn(
-                "pos_dv",
-                F.when(F.col("prev_value").isNull(), F.lit(None).cast("double"))
-                .when(F.col("value") >= F.col("prev_value"), F.col("dv"))
-                .otherwise(F.col("value")),
+                "pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value"))
             )
         )
         if needs_fwd:

@@ -35,6 +35,12 @@ from victoriametrics_spark.engine.grid import (
     prepare_step_buckets,
 )
 from victoriametrics_spark.engine.prefix import prefix_rollup
+from victoriametrics_spark.engine.span import (
+    ADJUST_WINDOW,
+    SPAN_ROLLUPS,
+    attach_widened_window,
+    span_rollup,
+)
 from victoriametrics_spark.engine.rollup import (
     PLANNER_LEVEL_ROLLUPS,
     ROLLUP_ARG_IDX,
@@ -308,6 +314,8 @@ class Planner:
         name = fe.name
         if name in PLANNER_LEVEL_ROLLUPS:
             return self.plan_special_rollup(fe, cfg)
+        if name in SPAN_ROLLUPS:
+            return self.plan_span_rollup(fe, cfg)
         spec = ROLLUPS.get(name)
         if spec is None:
             raise PlanError(f"rollup function {name!r} not implemented")
@@ -336,6 +344,14 @@ class Planner:
         offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
         window_ms = re_.window.ms(cfg.step) if re_.window else None
         raw, window_ms = self.rollup_input(re_, window_ms, offset_ms, cfg, name)
+        # implicit-window widening for the adjustable functions remaining
+        # in this path (deriv — regression over the widened per-series
+        # window, rollup.go:747-756); the counter family routes through
+        # plan_span_rollup instead
+        window_col = None
+        if re_.window is None and name in ADJUST_WINDOW:
+            raw = attach_widened_window(raw, cfg, offset_ms)
+            window_col = "__win"
         a = RollupArgs(window_ms=window_ms, step_ms=cfg.step, scalars=scalars)
         k, rem = divmod(window_ms, cfg.step)
         if (
@@ -393,6 +409,7 @@ class Planner:
             prepared = prepare_rollup_input(
                 raw, cfg, window_ms, offset_ms,
                 needs_prev=spec.needs_prev, needs_fwd=spec.needs_fwd,
+                window_col=window_col,
             )
             grouped = (
                 prepared.groupBy("__series_key", "i")
@@ -413,6 +430,38 @@ class Planner:
             spec.post(a).cast("double").alias("value"),
         )
         return out.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+
+    def plan_span_rollup(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
+        """rate/irate/increase/delta/deriv_fast family — VM's
+        span-normalized semantics (engine/span.py): per-series
+        scrape-interval estimate, prev-sample anchor with eligibility,
+        implicit-window widening, empty-window ghost points."""
+        name = fe.name
+        if len(fe.args) != 1:
+            raise PlanError(
+                f"{name}: unexpected number of args {len(fe.args)}; want 1"
+            )
+        series_arg = fe.args[0]
+        re_ = (
+            series_arg
+            if isinstance(series_arg, RollupExpr)
+            else RollupExpr(expr=series_arg)
+        )
+        if re_.at is not None:
+            raise PlanError("@ modifier not supported yet")
+        offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
+        explicit = re_.window is not None
+        window_ms = re_.window.ms(cfg.step) if explicit else None
+        raw, _resolved = self.rollup_input(re_, window_ms, offset_ms, cfg, name)
+        keep = fe.keep_metric_names or re_.keep_metric_names
+        return span_rollup(
+            raw,
+            cfg,
+            name,
+            window_ms if explicit else None,
+            offset_ms,
+            keep,
+        )
 
     def rollup_input(
         self,

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.engine.span import pos_dv_expr
 from victoriametrics_spark.schema import series_key
 
 
@@ -162,14 +163,7 @@ def prefix_rollup(
             .withColumn("dv", F.col("value") - F.col("prev_value"))
             .withColumn("dt", F.col("ts") - F.col("prev_ts"))
             .withColumn(
-                "pos_dv",
-                F.when(
-                    F.col("prev_value").isNull(), F.lit(None).cast("double")
-                )
-                .when(
-                    F.col("value") >= F.col("prev_value"), F.col("dv")
-                )
-                .otherwise(F.col("value")),
+                "pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value"))
             )
         )
 

@@ -1,0 +1,482 @@
+"""Span-normalized counter/derivative rollups — VM-exact semantics for
+the rate/deriv family (round-7 parity closure).
+
+The reference normalizes ``rate``/``deriv_fast``/``irate`` by the ACTUAL
+sample span, not the nominal window:
+
+- ``rollupDerivFast`` (app/vmselect/promql/rollup.go:1954-1990) returns
+  ``(vLast − vPrev) / (tLast − tPrev)`` where the prev anchor is the last
+  sample BEFORE the window when it lies within ``maxPrevInterval`` of the
+  window start; without an eligible anchor the first in-window sample
+  anchors instead (and a single-sample window yields no point).
+- ``maxPrevInterval`` is a per-series scrape-interval estimate: the 0.6
+  quantile of the gaps between the last ≤21 fetched samples, inflated by
+  tier (``getScrapeInterval``/``getMaxPrevInterval``, rollup.go:871-919);
+  instant queries (start == end) use the step directly (rollup.go:723-727).
+- Implicit lookbehind windows of the ``rollupFuncsCanAdjustWindow`` set
+  (rollup.go:204-219) are widened to ``max(step, maxPrevInterval)``
+  (rollup.go:747-756), so ``rate(m)`` keeps returning points when the
+  step undershoots the scrape interval.
+- Counter resets are removed over the WHOLE fetched series with the
+  partial-reset rule (``removeCounterResets``, rollup.go:922-958): a drop
+  smaller than 1/8 of the previous value is treated as a partial reset
+  (adjusted delta 0), a larger drop as a full restart (adjusted delta =
+  the new value, clamped at 0).
+- An EMPTY window whose eligible anchor exists yields 0 for
+  rate/increase/delta/idelta/deriv_fast ("the value didn't change") —
+  the reference's grid emits real points there.
+
+Spark realization — ONE plan for every window/step ratio, shaped like
+engine/prefix.py: union the per-series samples (carrying lag/lead
+columns) with two marker rows per (series, grid point) — an end marker
+at ``g`` and a start marker at ``g − W`` — and read, from one ordered
+window pass per series:
+
+- at the END marker: the last in-window sample's carried struct and the
+  cumulative reset-adjusted sum;
+- at the START marker: the anchor (last sample at/before the window
+  start), the first in-window sample (forward-first), and the cumulative
+  sum at the window start.
+
+Total rows = samples + 2·points·series — output-optimal at any
+window/step ratio, no W/step amplification, and the empty-window ghost
+points come for free from the markers (every (series, grid point) has a
+marker pair even when the window holds no samples).
+
+The fetch contract mirrors evalRollupFuncNoCache (eval.go:1821-1832):
+samples with shifted ts in ``(start − max(window, step) − silence, end]``
+where silence = cfg.max_lookback (the -search.maxStalenessInterval
+default of 5m, eval.go:1919-1925); lag/lead columns and the interval
+estimate are computed over exactly this fetched set, like VM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from victoriametrics_spark.engine.evalcfg import EvalConfig
+from victoriametrics_spark.schema import series_key
+
+# Functions evaluated by this module (each mirrors the named Go func).
+SPAN_ROLLUPS = {
+    "rate",  # rollupDerivFast over reset-adjusted values
+    "irate",  # rollupIderiv over reset-adjusted values
+    "increase",  # rollupDelta over reset-adjusted values
+    "increase_pure",  # rollupIncreasePure over reset-adjusted values
+    "delta",  # rollupDelta over raw values
+    "idelta",  # rollupIdelta over raw values
+    "deriv_fast",  # rollupDerivFast over raw values
+    "ideriv",  # rollupIderiv over raw values
+}
+
+# rollupFuncsCanAdjustWindow ∩ the functions this engine widens.
+# Decision (documented in SURVEY.md §2.3): the remaining members
+# (default_rollup, rate_over_sum, scrape_interval, timestamp, rollup_*)
+# keep their fixed-window contract — they diverge from VM only on
+# irregular series, and every driver-gate oracle encodes the fixed form.
+ADJUST_WINDOW = {"rate", "irate", "deriv", "deriv_fast", "ideriv"}
+
+
+def pos_dv_expr(value: Column, prev: Column) -> Column:
+    """Reset-adjusted per-sample delta (removeCounterResets,
+    rollup.go:922-958): drops smaller than 1/8 of the previous value are
+    partial resets (delta 0); larger drops restart the counter (delta =
+    new value, clamped non-negative by the monotonicity guard)."""
+    return (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(value >= prev, value - prev)
+        .when((prev - value) * F.lit(8.0) < prev, F.lit(0.0))
+        .otherwise(F.greatest(value, F.lit(0.0)))
+    )
+
+
+def max_prev_interval_expr(si: Column) -> Column:
+    """getMaxPrevInterval (rollup.go:905-919): tier-inflate the scrape
+    interval (integer arithmetic like Go — gaps are positive, so
+    floor-div matches Go's truncating division)."""
+    return (
+        F.when(si <= 2_000, si * 5)
+        .when(si <= 4_000, si * 3)
+        .when(si <= 8_000, si * 2)
+        .when(si <= 16_000, si + F.floor(si / 2).cast("long"))
+        .when(si <= 32_000, si + F.floor(si / 4).cast("long"))
+        .otherwise(si + F.floor(si / 8).cast("long"))
+    )
+
+
+def interval_estimates(fetched: DataFrame, cfg: EvalConfig) -> DataFrame:
+    """Per-series ``maxPrevInterval`` (ms) from the fetched samples.
+
+    getScrapeInterval (rollup.go:871-903): 0.6 quantile (phi·(n−1)
+    interpolation, like quantileSorted aggr.go:922-940) of the gaps
+    between the last ≤21 samples, truncated to int; series with <2
+    samples, or a non-positive estimate, fall back to the step. Returns
+    DataFrame(__series_key, __mpi BIGINT ms).
+    """
+    if cfg.start >= cfg.end:
+        # instant query: maxPrevInterval = step, no estimate
+        # (rollup.go:723-727)
+        return fetched.select("__series_key").distinct().withColumn(
+            "__mpi", F.lit(int(cfg.step)).cast("long")
+        )
+    w = Window.partitionBy("__series_key").orderBy("__sts")
+    wd = Window.partitionBy("__series_key").orderBy(F.desc("__sts"))
+    gaps = (
+        fetched.select("__series_key", "__sts")
+        .withColumn("__gap", F.col("__sts") - F.lag("__sts").over(w))
+        .withColumn("__rn", F.row_number().over(wd))
+        .filter((F.col("__rn") <= 20) & F.col("__gap").isNotNull())
+        .groupBy("__series_key")
+        .agg(F.array_sort(F.collect_list("__gap")).alias("__gs"))
+    )
+    n = F.size("__gs")
+    rank = F.lit(0.6) * (n - F.lit(1)).cast("double")
+    lo = F.floor(rank).cast("int")
+    weight = rank - lo.cast("double")
+    q = F.element_at("__gs", lo + 1).cast("double") * (
+        F.lit(1.0) - weight
+    ) + F.element_at("__gs", F.least(lo + 2, n)).cast("double") * weight
+    si = F.floor(q).cast("long")
+    si = F.when(si <= 0, F.lit(int(cfg.step))).otherwise(si)
+    est = gaps.select(
+        "__series_key", max_prev_interval_expr(si).alias("__mpi")
+    )
+    # series with <2 fetched samples have no gap rows → default to step
+    all_series = fetched.select("__series_key").distinct()
+    return all_series.join(est, "__series_key", "left").select(
+        "__series_key",
+        F.coalesce(
+            F.col("__mpi"),
+            max_prev_interval_expr(F.lit(int(cfg.step)).cast("long")),
+        ).alias("__mpi"),
+    )
+
+
+def attach_widened_window(
+    samples: DataFrame, cfg: EvalConfig, offset_ms: int
+) -> DataFrame:
+    """Join the per-series implicit window ``__win`` =
+    max(step, maxPrevInterval) onto the samples (rollup.go:747-756) for
+    adjustable functions that stay on the generic explode path (deriv)."""
+    df = samples
+    if "__series_key" not in df.columns:
+        df = df.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    fetched = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms)).filter(
+        (F.col("__sts") > F.lit(cfg.start - cfg.step - cfg.max_lookback))
+        & (F.col("__sts") <= F.lit(cfg.end))
+    )
+    est = interval_estimates(fetched, cfg).select(
+        "__series_key",
+        F.greatest(F.lit(int(cfg.step)), F.col("__mpi")).alias("__win"),
+    )
+    return df.join(F.broadcast(est), "__series_key")
+
+
+def _value_expr(name: str) -> Column:
+    """Per-(series, grid point) result from the gathered stats columns.
+
+    Available columns: n (in-window sample count), s_all / s_tail
+    (reset-adjusted window sums incl./excl. the first sample's delta),
+    a_ts/a_v (anchor = last sample at/before window start), f_* (first
+    in-window sample: ts, v, pos_dv, dv, dt, next_v, next_pos_dv),
+    l_* (last in-window sample: ts, v, pos_dv, dv, dt), el (anchor
+    eligibility: a_ts > gts − W − mpi), gts.
+    """
+    n = F.col("n")
+    el = F.col("el")
+    has_prev = F.col("a_ts").isNotNull()
+    sec = F.lit(1000.0)
+    if name == "rate":  # rollupDerivFast over adjusted values
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(el, F.col("s_all") / ((F.col("l_ts") - F.col("a_ts")) / sec))
+            .when(
+                n >= 2,
+                F.col("s_tail") / ((F.col("l_ts") - F.col("f_ts")) / sec),
+            )
+        )
+    if name == "deriv_fast":  # rollupDerivFast over raw values
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(
+                el,
+                (F.col("l_v") - F.col("a_v"))
+                / ((F.col("l_ts") - F.col("a_ts")) / sec),
+            )
+            .when(
+                n >= 2,
+                (F.col("l_v") - F.col("f_v"))
+                / ((F.col("l_ts") - F.col("f_ts")) / sec),
+            )
+        )
+    if name in ("irate", "ideriv"):  # rollupIderiv (adjusted / raw)
+        d = F.col("l_pos_dv") if name == "irate" else F.col("l_dv")
+        fd = F.col("f_pos_dv") if name == "irate" else F.col("f_dv")
+        return F.when(n >= 2, d / (F.col("l_dt") / sec)).when(
+            (n == 1) & el, fd / (F.col("f_dt") / sec)
+        )
+    if name in ("increase", "increase_pure"):
+        # rollupDelta / rollupIncreasePure over adjusted values; with ANY
+        # prev sample the result telescopes to the window's adjusted sum
+        # (prevValue and realPrevValue are the same sample — only the
+        # no-prev-at-all branch differs, rollup.go:1835-1900)
+        if name == "increase":
+            d = F.coalesce(F.col("f_next_pos_dv"), F.lit(0.0))
+            no_prev = F.when(
+                F.abs(F.col("f_v")) < F.lit(10.0) * (F.abs(d) + F.lit(1.0)),
+                F.col("f_v") + F.col("s_tail"),
+            ).otherwise(F.col("s_tail"))
+        else:  # increase_pure: counter assumed to start from 0
+            no_prev = F.col("f_v") + F.col("s_tail")
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(has_prev & (n >= 1), F.col("s_all"))
+            .when(n >= 1, no_prev)
+        )
+    if name == "delta":  # rollupDelta over raw values
+        d = F.coalesce(F.col("f_next_v") - F.col("f_v"), F.lit(0.0))
+        no_prev = F.when(
+            F.abs(F.col("f_v")) < F.lit(10.0) * (F.abs(d) + F.lit(1.0)),
+            F.col("l_v"),  # counter assumed to start from 0
+        ).otherwise(
+            # drop the first sample; an emptied window → 0
+            F.when(n >= 2, F.col("l_v") - F.col("f_v")).otherwise(F.lit(0.0))
+        )
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(has_prev & (n >= 1), F.col("l_v") - F.col("a_v"))
+            .when(n >= 1, no_prev)
+        )
+    if name == "idelta":  # rollupIdelta (rollup.go:2000-2016)
+        return (
+            F.when(n >= 2, F.col("l_dv"))
+            .when((n == 1) & el, F.col("f_v") - F.col("a_v"))
+            .when(n == 1, F.col("f_v"))  # assume prev was 0 → lastValue
+            .when((n == 0) & el, F.lit(0.0))
+        )
+    raise ValueError(f"not a span rollup: {name}")
+
+
+def span_rollup(
+    samples: DataFrame,
+    cfg: EvalConfig,
+    name: str,
+    window_ms: int | None,
+    offset_ms: int,
+    keep_name: bool,
+) -> DataFrame:
+    """Evaluate one span-family rollup on the grid. ``window_ms`` None
+    means an implicit window (widened per series when the function may
+    adjust it)."""
+    start, end, step = cfg.start, cfg.end, cfg.step
+    npts = cfg.num_points
+    nominal_w = window_ms if window_ms is not None else step
+    fetch_w = max(nominal_w, step)
+
+    df = samples
+    if "is_stale" in df.columns:
+        df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+    if "__series_key" not in df.columns:
+        df = df.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    df = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms))
+    # fetch contract (eval.go:1821-1832): silence cushion so the anchor /
+    # widened window / estimate all see the same bounded lookback
+    df = df.filter(
+        (F.col("__sts") > F.lit(start - fetch_w - cfg.max_lookback))
+        & (F.col("__sts") <= F.lit(end))
+    )
+
+    est = interval_estimates(df, cfg)
+    df = df.join(F.broadcast(est), "__series_key")
+
+    # per-sample lag/lead columns over the fetched set (VM computes
+    # deltas over exactly the fetched array)
+    w = Window.partitionBy("__series_key").orderBy("__sts")
+    df = (
+        df.withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_ts", F.lag("__sts").over(w))
+        .withColumn("dv", F.col("value") - F.col("prev_value"))
+        .withColumn("dt", F.col("__sts") - F.col("prev_ts"))
+        .withColumn("pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value")))
+        .withColumn("next_value", F.lead("value").over(w))
+        .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
+    )
+
+    # per-series window: explicit stays fixed; implicit widens to
+    # max(step, maxPrevInterval) for the adjustable functions
+    if window_ms is None and name in ADJUST_WINDOW:
+        win = F.greatest(F.lit(int(step)), F.col("__mpi"))
+    else:
+        win = F.lit(int(nominal_w)).cast("long")
+    df = df.withColumn("__win", win)
+
+    sample_rows = df.select(
+        "__series_key",
+        "name",
+        "labels",
+        F.col("__mpi"),
+        F.col("__win"),
+        F.struct(
+            F.col("__sts").alias("ts"),
+            F.col("value").alias("v"),
+            F.col("pos_dv").alias("pos_dv"),
+            F.col("dv").alias("dv"),
+            F.col("dt").alias("dt"),
+            F.col("next_value").alias("next_v"),
+            F.col("next_pos_dv").alias("next_pos_dv"),
+        ).alias("__s"),
+        F.col("__sts").alias("__pos"),
+        F.lit(0).alias("__m"),  # samples sort before markers at equal pos
+        F.lit(None).cast("long").alias("i"),
+        F.lit(0).alias("__kind"),
+    )
+
+    series = df.groupBy("__series_key").agg(
+        F.first("name").alias("name"),
+        F.first("labels").alias("labels"),
+        F.first("__mpi").alias("__mpi"),
+        F.first("__win").alias("__win"),
+    )
+    grid = series.sparkSession.range(npts).select(F.col("id").alias("i"))
+    gts = F.lit(start) + F.col("i") * F.lit(step)
+    markers = (
+        series.crossJoin(grid)
+        .select(
+            "__series_key",
+            "name",
+            "labels",
+            "__mpi",
+            "__win",
+            F.lit(None).cast(sample_rows.schema["__s"].dataType.simpleString())
+            .alias("__s"),
+            F.explode(
+                F.array(
+                    F.struct(gts.alias("pos"), F.lit(1).alias("kind")),
+                    F.struct(
+                        (gts - F.col("__win")).alias("pos"),
+                        F.lit(2).alias("kind"),
+                    ),
+                )
+            ).alias("__mk"),
+            F.col("i"),
+        )
+        .select(
+            "__series_key",
+            "name",
+            "labels",
+            "__mpi",
+            "__win",
+            "__s",
+            F.col("__mk.pos").alias("__pos"),
+            F.lit(1).alias("__m"),
+            "i",
+            F.col("__mk.kind").alias("__kind"),
+        )
+    )
+
+    unioned = sample_rows.unionByName(markers)
+    ws = Window.partitionBy("__series_key").orderBy("__pos", "__m")
+    wback = ws.rowsBetween(Window.unboundedPreceding, 0)
+    wfwd = ws.rowsBetween(0, Window.unboundedFollowing)
+    # Running reset-adjusted sum over the fetched series (markers add 0) —
+    # every window quantity below is a SINGLE subtraction of two readings
+    # of this one sequential sum, so the result is bit-deterministic and a
+    # SQL oracle computing the identical cumulative chain reproduces it
+    # exactly (same additions in the same order).
+    cumed = unioned.withColumn(
+        "__c",
+        F.sum(F.coalesce(F.col("__s.pos_dv"), F.lit(0.0))).over(wback),
+    )
+    carried = F.when(
+        F.col("__m") == 0, F.struct(F.col("__s").alias("s"), F.col("__c").alias("c"))
+    )
+    scanned = cumed.select(
+        "__series_key",
+        "name",
+        "labels",
+        "__mpi",
+        "__win",
+        "i",
+        "__m",
+        "__kind",
+        F.last(carried, ignorenulls=True).over(wback).alias("__back"),
+        F.first(carried, ignorenulls=True).over(wfwd).alias("__fwd"),
+        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
+        .over(wback)
+        .alias("__n"),
+    )
+
+    marks = scanned.filter(F.col("__m") == 1)
+    one = F.lit(1)
+    stats = marks.groupBy("__series_key", "i").agg(
+        F.first("name").alias("name"),
+        F.first("labels").alias("labels"),
+        F.first("__mpi").alias("__mpi"),
+        F.first("__win").alias("__win"),
+        F.max(F.when(F.col("__kind") == one, F.col("__n"))).alias("__n_end"),
+        F.max(F.when(F.col("__kind") == 2, F.col("__n"))).alias("__n_start"),
+        F.max(F.when(F.col("__kind") == one, F.col("__back"))).alias("__eb"),
+        F.max(F.when(F.col("__kind") == 2, F.col("__back"))).alias("__ab"),
+        F.max(F.when(F.col("__kind") == 2, F.col("__fwd"))).alias("__fb"),
+    )
+    stats = stats.select(
+        "__series_key",
+        "name",
+        "labels",
+        "__mpi",
+        "__win",
+        "i",
+        "__n_end",
+        "__n_start",
+        F.col("__eb.s").alias("__e"),
+        F.col("__ab.s").alias("__a"),
+        F.col("__fb.s").alias("__f"),
+        F.col("__eb.c").alias("__c_end"),
+        F.coalesce(F.col("__ab.c"), F.lit(0.0)).alias("__c_anchor"),
+        F.col("__fb.c").alias("__c_first"),
+    )
+
+    gts_col = F.lit(start) + F.col("i") * F.lit(step)
+    n = F.col("__n_end") - F.col("__n_start")
+    stats = stats.select(
+        "__series_key",
+        "name",
+        "labels",
+        "i",
+        gts_col.alias("gts"),
+        n.alias("n"),
+        (F.col("__c_end") - F.col("__c_anchor")).alias("s_all"),
+        (F.col("__c_end") - F.col("__c_first")).alias("s_tail"),
+        F.col("__a.ts").alias("a_ts"),
+        F.col("__a.v").alias("a_v"),
+        F.col("__f.ts").alias("f_ts"),
+        F.col("__f.v").alias("f_v"),
+        F.col("__f.pos_dv").alias("f_pos_dv"),
+        F.col("__f.dv").alias("f_dv"),
+        F.col("__f.dt").alias("f_dt"),
+        F.col("__f.next_v").alias("f_next_v"),
+        F.col("__f.next_pos_dv").alias("f_next_pos_dv"),
+        F.col("__e.ts").alias("l_ts"),
+        F.col("__e.v").alias("l_v"),
+        F.col("__e.pos_dv").alias("l_pos_dv"),
+        F.col("__e.dv").alias("l_dv"),
+        F.col("__e.dt").alias("l_dt"),
+        (
+            F.col("__a.ts").isNotNull()
+            & (F.col("__a.ts") > gts_col - F.col("__win") - F.col("__mpi"))
+        ).alias("el"),
+    )
+
+    out = stats.select(
+        (F.col("name") if keep_name else F.lit("")).alias("name"),
+        F.col("labels"),
+        F.col("gts").alias("ts"),
+        _value_expr(name).cast("double").alias("value"),
+    )
+    return out.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
