@@ -2672,6 +2672,35 @@ FROM logs
 GROUP BY 1""",
 )
 
+# round-7: coalesce / json_array_concat pipes parsed from query STRINGS
+# (pipe_coalesce.go, pipe_json_array_concat.go — registered in
+# logsql/parser.py _PIPE_PARSERS this round)
+_reg(
+    "lql_coalesce_pipe",
+    _lql(
+        "* | coalesce(missing_field, event_type) default unknown as who "
+        "| stats by (who) count() as hits | sort by (who)",
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_type AS who, CAST(count(*) AS BIGINT) AS hits
+FROM logs GROUP BY 1""",
+)
+
+_reg(
+    "lql_json_array_concat",
+    _lql(
+        '* | format \'["<event_type>","u<user_id>"]\' as arr '
+        "| json_array_concat - from arr as joined "
+        "| stats by (joined) count() as hits",
+    ),
+    _LQL_VIEW
+    + """
+SELECT event_type || '-u' || user_id AS joined,
+       CAST(count(*) AS BIGINT) AS hits
+FROM logs GROUP BY 1""",
+)
+
 _reg(
     "lql_top",
     _lql("* | top 3 by (event_type)"),

@@ -73,14 +73,13 @@ ERROR_QUERIES = [
     "rate(m[5m)",
     "m offset",
     "1 +",
-    # round-6 expansion: the remaining TestExecError cases.
-    # Two reference rejections are deliberately NOT enforced: duplicate
-    # OUTPUT series after a name-resetting series∘scalar op
-    # (`(foo{a=x}, bar{a=x}) + 10`). VM detects them in-memory at
-    # O(series); a faithful check here would add a full shuffle over the
-    # result of EVERY scalar-arith query — wrong trade at 100 TB. The
-    # join paths (where duplicate matching corrupts results) DO enforce
-    # VM's validation via raise_error.
+    # round-6 expansion: the remaining TestExecError cases. The two
+    # duplicate-OUTPUT-series rejections (`(foo{a=x}, bar{a=x}) + 10`)
+    # are enforced at the presentation boundary exactly like VM
+    # (timeseriesToResult, exec.go:130-149) — see
+    # test_duplicate_output_series_rejected_at_api below; checking there
+    # keeps the cost O(result) instead of taxing every evaluation with a
+    # shuffle.
     'range_stdvar()',
     'absent(1, 2)',
     'label_map()',
@@ -254,6 +253,40 @@ ERROR_QUERIES = [
 @pytest.fixture(scope="module")
 def empty_samples(spark):
     return spark.createDataFrame([], SAMPLE_SCHEMA)
+
+
+# TestExecError "duplicate metrics after binary op" (exec_test.go:10711):
+# VM rejects when a name-erasing op collapses two source series onto the
+# same output identity; the check lives at the result-rendering boundary
+# (timeseriesToResult, exec.go:130-149) — same here (api/http.py _eval).
+DUPLICATE_OUTPUT_QUERIES = [
+    '(\n\t\tlabel_set(time(), "__name__", "foo", "a", "x"),\n'
+    '\t\tlabel_set(time()+200, "__name__", "bar", "a", "x"),\n\t) > bool 1300',
+    '(\n\t\tlabel_set(time(), "__name__", "foo", "a", "x"),\n'
+    '\t\tlabel_set(time()+200, "__name__", "bar", "a", "x"),\n\t) + 10',
+]
+
+
+@pytest.mark.parametrize("query", DUPLICATE_OUTPUT_QUERIES)
+def test_duplicate_output_series_rejected_at_api(spark, empty_samples, query):
+    from victoriametrics_spark.api.http import PromAPI
+
+    api = PromAPI(spark, empty_samples)
+    with pytest.raises(ValueError, match="duplicate output timeseries"):
+        api.query_range(query, "1000", "2000", "200")
+
+
+def test_distinct_output_series_pass_at_api(spark, empty_samples):
+    from victoriametrics_spark.api.http import PromAPI
+
+    api = PromAPI(spark, empty_samples)
+    out = api.query_range(
+        '(label_set(time(), "a", "x"), label_set(time(), "a", "y")) + 10',
+        "1000",
+        "2000",
+        "200",
+    )
+    assert len(out["data"]["result"]) == 2
 
 
 @pytest.mark.parametrize("query", ERROR_QUERIES)

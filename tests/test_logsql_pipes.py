@@ -297,8 +297,11 @@ def test_collapse_json_seq(spark):
     assert c["msg"] == "req <N> took <N>ms id=<N>"
     jl = pipes.json_array_len(df, "j1", "n").collect()[0]
     assert jl["n"] == 2
-    jc = pipes.json_array_concat(df, ["j1", "j2"], "j").collect()[0]
-    assert jc["j"] == '["a","b","c"]'
+    # pipe_json_array_concat.go joins the elements of ONE array field
+    jc = pipes.json_array_concat(df, "j1", "j", delimiter="-").collect()[0]
+    assert jc["j"] == "a-b"
+    jc2 = pipes.json_array_concat(df, "msg", "j2c").collect()[0]
+    assert jc2["j2c"] == ""  # non-array value → empty string
     seq = pipes.generate_sequence(spark, 5)
     assert [r["seq"] for r in seq.collect()] == [0, 1, 2, 3, 4]
 

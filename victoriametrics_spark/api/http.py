@@ -105,8 +105,19 @@ class PromAPI:
         series: dict = {}
         for r in rows:
             key = (r["name"] or "", tuple(sorted((r["labels"] or {}).items())))
-            series.setdefault(key, []).append((r["ts"], r["value"]))
-        return series
+            pts = series.setdefault(key, {})
+            if r["ts"] in pts:
+                # two source series collapsed onto one output identity —
+                # VM rejects at the same presentation boundary
+                # (timeseriesToResult, exec.go:130-149), which keeps the
+                # check O(result) instead of taxing every evaluation
+                name, labels = key
+                label_str = ",".join(f'{k}="{v}"' for k, v in labels)
+                raise ValueError(
+                    f"duplicate output timeseries: {name}{{{label_str}}}"
+                )
+            pts[r["ts"]] = r["value"]
+        return {k: sorted(v.items()) for k, v in series.items()}
 
     def query_range(
         self,

@@ -292,21 +292,50 @@ def span_rollup(
         & (F.col("__sts") <= F.lit(end))
     )
 
-    est = interval_estimates(df, cfg)
-    df = df.join(F.broadcast(est), "__series_key")
-
-    # per-sample lag/lead columns over the fetched set (VM computes
-    # deltas over exactly the fetched array)
+    # Every per-series quantity (lag/lead columns, running reset-adjusted
+    # sum, row number, interval estimate) comes from window expressions
+    # over ONE partitioning — on the bucketed storage layout the whole
+    # plan below runs with zero Exchange.
     w = Window.partitionBy("__series_key").orderBy("__sts")
+    wall = Window.partitionBy("__series_key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wback = w.rowsBetween(Window.unboundedPreceding, 0)
     df = (
         df.withColumn("prev_value", F.lag("value").over(w))
         .withColumn("prev_ts", F.lag("__sts").over(w))
+        .withColumn("next_ts", F.lead("__sts").over(w))
         .withColumn("dv", F.col("value") - F.col("prev_value"))
         .withColumn("dt", F.col("__sts") - F.col("prev_ts"))
         .withColumn("pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value")))
         .withColumn("next_value", F.lead("value").over(w))
         .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        # running reset-adjusted sum: window quantities are SINGLE
+        # subtractions of two readings of this sequential sum, so a SQL
+        # oracle computing the identical cumulative chain reproduces the
+        # result bit-for-bit (same additions in the same order)
+        .withColumn(
+            "__cum", F.sum(F.coalesce(F.col("pos_dv"), F.lit(0.0))).over(wback)
+        )
+        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
     )
+
+    # per-series maxPrevInterval from window expressions (getScrapeInterval
+    # + getMaxPrevInterval, rollup.go:871-919): 0.6 quantile of the gaps
+    # whose later sample is among the series' last 20, tier-inflated;
+    # instant queries use the step directly (rollup.go:723-727)
+    if cfg.start >= cfg.end:
+        mpi = F.lit(int(step)).cast("long")
+    else:
+        rn_desc = F.col("__cnt") - F.col("__rn") + 1
+        q = F.percentile(
+            F.when(rn_desc <= 20, F.col("dt").cast("double")), F.lit(0.6)
+        ).over(wall)
+        si = F.floor(q).cast("long")
+        si = F.when(si.isNull() | (si <= 0), F.lit(int(step))).otherwise(si)
+        mpi = max_prev_interval_expr(si)
+    df = df.withColumn("__mpi", mpi)
 
     # per-series window: explicit stays fixed; implicit widens to
     # max(step, maxPrevInterval) for the adjustable functions
@@ -316,134 +345,77 @@ def span_rollup(
         win = F.lit(int(nominal_w)).cast("long")
     df = df.withColumn("__win", win)
 
-    sample_rows = df.select(
-        "__series_key",
-        "name",
-        "labels",
-        F.col("__mpi"),
-        F.col("__win"),
+    # Role explode — each sample is the answer to three as-of lookups for
+    # a contiguous run of grid points, so the per-series ranges of one
+    # role tile the grid disjointly (total rows ≈ 3·points·series,
+    # independent of sample density — output-optimal at any window/step
+    # ratio, and no union/second sort like a marker plan would need):
+    #   role 1 "last":   last sample ≤ g           — g ∈ [ts, next_ts)
+    #   role 2 "anchor": last sample ≤ g−W         — g ∈ [ts+W, next_ts+W)
+    #   role 3 "first":  first sample > g−W        — g ∈ [prev_ts+W, ts+W)
+    #                    (no prev → from the grid start)
+    def islot(ts_col: Column) -> Column:
+        # first grid index i with start + i*step >= ts:  ceil((ts-start)/step)
+        return (-F.floor((F.lit(start) - ts_col) / F.lit(step))).cast("long")
+
+    roles = F.array(
         F.struct(
-            F.col("__sts").alias("ts"),
-            F.col("value").alias("v"),
-            F.col("pos_dv").alias("pos_dv"),
-            F.col("dv").alias("dv"),
-            F.col("dt").alias("dt"),
-            F.col("next_value").alias("next_v"),
-            F.col("next_pos_dv").alias("next_pos_dv"),
-        ).alias("__s"),
-        F.col("__sts").alias("__pos"),
-        F.lit(0).alias("__m"),  # samples sort before markers at equal pos
-        F.lit(None).cast("long").alias("i"),
-        F.lit(0).alias("__kind"),
+            F.lit(1).alias("role"),
+            islot(F.col("__sts")).alias("lo"),
+            F.coalesce(islot(F.col("next_ts")) - 1, F.lit(npts - 1)).alias(
+                "hi"
+            ),
+        ),
+        F.struct(
+            F.lit(2).alias("role"),
+            islot(F.col("__sts") + F.col("__win")).alias("lo"),
+            F.coalesce(
+                islot(F.col("next_ts") + F.col("__win")) - 1,
+                F.lit(npts - 1),
+            ).alias("hi"),
+        ),
+        F.struct(
+            F.lit(3).alias("role"),
+            F.coalesce(
+                islot(F.col("prev_ts") + F.col("__win")), F.lit(0)
+            ).alias("lo"),
+            (islot(F.col("__sts") + F.col("__win")) - 1).alias("hi"),
+        ),
+    )
+    exploded = (
+        df.withColumn("__r", F.explode(roles))
+        .withColumn("__lo", F.greatest(F.lit(0), F.col("__r.lo")))
+        .withColumn("__hi", F.least(F.lit(npts - 1), F.col("__r.hi")))
+        .filter(F.col("__lo") <= F.col("__hi"))
+        .withColumn("i", F.explode(F.sequence("__lo", "__hi")))
     )
 
-    series = df.groupBy("__series_key").agg(
+    sample_struct = F.struct(
+        F.col("__sts").alias("ts"),
+        F.col("value").alias("v"),
+        F.col("pos_dv").alias("pos_dv"),
+        F.col("dv").alias("dv"),
+        F.col("dt").alias("dt"),
+        F.col("next_value").alias("next_v"),
+        F.col("next_pos_dv").alias("next_pos_dv"),
+        F.col("__cum").alias("cum"),
+        F.col("__rn").alias("rn"),
+    )
+    role = F.col("__r.role")
+    stats = exploded.groupBy("__series_key", "i").agg(
         F.first("name").alias("name"),
         F.first("labels").alias("labels"),
         F.first("__mpi").alias("__mpi"),
         F.first("__win").alias("__win"),
-    )
-    grid = series.sparkSession.range(npts).select(F.col("id").alias("i"))
-    gts = F.lit(start) + F.col("i") * F.lit(step)
-    markers = (
-        series.crossJoin(grid)
-        .select(
-            "__series_key",
-            "name",
-            "labels",
-            "__mpi",
-            "__win",
-            F.lit(None).cast(sample_rows.schema["__s"].dataType.simpleString())
-            .alias("__s"),
-            F.explode(
-                F.array(
-                    F.struct(gts.alias("pos"), F.lit(1).alias("kind")),
-                    F.struct(
-                        (gts - F.col("__win")).alias("pos"),
-                        F.lit(2).alias("kind"),
-                    ),
-                )
-            ).alias("__mk"),
-            F.col("i"),
-        )
-        .select(
-            "__series_key",
-            "name",
-            "labels",
-            "__mpi",
-            "__win",
-            "__s",
-            F.col("__mk.pos").alias("__pos"),
-            F.lit(1).alias("__m"),
-            "i",
-            F.col("__mk.kind").alias("__kind"),
-        )
-    )
-
-    unioned = sample_rows.unionByName(markers)
-    ws = Window.partitionBy("__series_key").orderBy("__pos", "__m")
-    wback = ws.rowsBetween(Window.unboundedPreceding, 0)
-    wfwd = ws.rowsBetween(0, Window.unboundedFollowing)
-    # Running reset-adjusted sum over the fetched series (markers add 0) —
-    # every window quantity below is a SINGLE subtraction of two readings
-    # of this one sequential sum, so the result is bit-deterministic and a
-    # SQL oracle computing the identical cumulative chain reproduces it
-    # exactly (same additions in the same order).
-    cumed = unioned.withColumn(
-        "__c",
-        F.sum(F.coalesce(F.col("__s.pos_dv"), F.lit(0.0))).over(wback),
-    )
-    carried = F.when(
-        F.col("__m") == 0, F.struct(F.col("__s").alias("s"), F.col("__c").alias("c"))
-    )
-    scanned = cumed.select(
-        "__series_key",
-        "name",
-        "labels",
-        "__mpi",
-        "__win",
-        "i",
-        "__m",
-        "__kind",
-        F.last(carried, ignorenulls=True).over(wback).alias("__back"),
-        F.first(carried, ignorenulls=True).over(wfwd).alias("__fwd"),
-        F.sum(F.when(F.col("__m") == 0, 1).otherwise(0))
-        .over(wback)
-        .alias("__n"),
-    )
-
-    marks = scanned.filter(F.col("__m") == 1)
-    one = F.lit(1)
-    stats = marks.groupBy("__series_key", "i").agg(
-        F.first("name").alias("name"),
-        F.first("labels").alias("labels"),
-        F.first("__mpi").alias("__mpi"),
-        F.first("__win").alias("__win"),
-        F.max(F.when(F.col("__kind") == one, F.col("__n"))).alias("__n_end"),
-        F.max(F.when(F.col("__kind") == 2, F.col("__n"))).alias("__n_start"),
-        F.max(F.when(F.col("__kind") == one, F.col("__back"))).alias("__eb"),
-        F.max(F.when(F.col("__kind") == 2, F.col("__back"))).alias("__ab"),
-        F.max(F.when(F.col("__kind") == 2, F.col("__fwd"))).alias("__fb"),
-    )
-    stats = stats.select(
-        "__series_key",
-        "name",
-        "labels",
-        "__mpi",
-        "__win",
-        "i",
-        "__n_end",
-        "__n_start",
-        F.col("__eb.s").alias("__e"),
-        F.col("__ab.s").alias("__a"),
-        F.col("__fb.s").alias("__f"),
-        F.col("__eb.c").alias("__c_end"),
-        F.coalesce(F.col("__ab.c"), F.lit(0.0)).alias("__c_anchor"),
-        F.col("__fb.c").alias("__c_first"),
+        F.max(F.when(role == 1, sample_struct)).alias("__e"),
+        F.max(F.when(role == 2, sample_struct)).alias("__a"),
+        F.max(F.when(role == 3, sample_struct)).alias("__f"),
     )
 
     gts_col = F.lit(start) + F.col("i") * F.lit(step)
-    n = F.col("__n_end") - F.col("__n_start")
+    n = F.coalesce(F.col("__e.rn"), F.lit(0)) - F.coalesce(
+        F.col("__a.rn"), F.lit(0)
+    )
     stats = stats.select(
         "__series_key",
         "name",
@@ -451,8 +423,10 @@ def span_rollup(
         "i",
         gts_col.alias("gts"),
         n.alias("n"),
-        (F.col("__c_end") - F.col("__c_anchor")).alias("s_all"),
-        (F.col("__c_end") - F.col("__c_first")).alias("s_tail"),
+        (F.col("__e.cum") - F.coalesce(F.col("__a.cum"), F.lit(0.0))).alias(
+            "s_all"
+        ),
+        (F.col("__e.cum") - F.col("__f.cum")).alias("s_tail"),
         F.col("__a.ts").alias("a_ts"),
         F.col("__a.v").alias("a_v"),
         F.col("__f.ts").alias("f_ts"),

@@ -238,6 +238,13 @@ class Parser:
         t = self.peek()
         return LogsQLError(f"{msg} (at {t.val!r}, offset {t.pos})")
 
+    def _at_pipe_end(self) -> bool:
+        """End of the current pipe (lexer.isQueryPartTrailer analog):
+        the next token starts another pipe, closes a subquery, or ends
+        the query."""
+        t = self.peek()
+        return t.kind == "eof" or (t.kind != "str" and t.val in ("|", ")"))
+
     # --- filter grammar -------------------------------------------------
     def parse_filter_expr(self) -> FNode:
         node = self._filter_and()
@@ -1126,6 +1133,46 @@ class Parser:
             dst = self.next().val
         return ("json_array_len", fld, dst)
 
+    def _pipe_coalesce(self) -> tuple:
+        """``coalesce(f1, f2, ...) [default d] [as dst]``
+        (pipe_coalesce.go:160-205)."""
+        self.expect("(")
+        srcs: list[str] = []
+        while not self.at(")"):
+            srcs.append(self.next().val)
+            if not self.eat(","):
+                break
+        self.expect(")")
+        if not srcs:
+            raise self.err("coalesce requires at least one field name")
+        default = None
+        if self.at("default"):
+            self.next()
+            default = self.next().val
+        dst = "_msg"
+        if self.at("as"):
+            self.next()
+            dst = self.next().val
+        return ("coalesce", srcs, dst, default)
+
+    def _pipe_json_array_concat(self) -> tuple:
+        """``json_array_concat [delimiter] [from f] [as r]``
+        (pipe_json_array_concat.go:153-198)."""
+        delimiter = ""
+        if not self._at_pipe_end() and not self.at("from") and not self.at("as"):
+            delimiter = self.next().val
+        src = "_msg"
+        if not self._at_pipe_end() and not self.at("as"):
+            if self.at("from"):
+                self.next()
+            src = self.next().val
+        dst = src
+        if not self._at_pipe_end():
+            if self.at("as"):
+                self.next()
+            dst = self.next().val
+        return ("json_array_concat", src, dst, delimiter)
+
     def _pipe_running_stats(self, total: bool) -> tuple:
         by: list[str] = []
         if self.at("by"):
@@ -1220,6 +1267,8 @@ _PIPE_PARSERS: dict[str, Callable[[Parser], tuple]] = {
     "field_names": Parser._pipe_field_names,
     "blocks_count": Parser._pipe_blocks_count,
     "json_array_len": Parser._pipe_json_array_len,
+    "json_array_concat": Parser._pipe_json_array_concat,
+    "coalesce": Parser._pipe_coalesce,
     "running_stats": lambda p: p._pipe_running_stats(False),
     "total_stats": lambda p: p._pipe_running_stats(True),
     "stream_context": Parser._pipe_stream_context,
@@ -1784,6 +1833,10 @@ def _apply_pipe(df: DataFrame, p: tuple, cfg: _Cfg, base_df: DataFrame) -> DataF
         return pipes.blocks_count(df)
     if name == "json_array_len":
         return pipes.json_array_len(df, p[1], p[2])
+    if name == "json_array_concat":
+        return pipes.json_array_concat(df, p[1], p[2], p[3])
+    if name == "coalesce":
+        return pipes.coalesce_pipe(df, p[1], p[2], p[3])
     if name == "running_stats":
         _, by, funcs, total = p
         aggs = {}

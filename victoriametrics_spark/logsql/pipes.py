@@ -606,16 +606,20 @@ def coalesce_pipe(
 ) -> DataFrame:
     """``| coalesce(f1, f2, ...) [default d] as dst`` (pipe_coalesce.go):
     first non-empty value among srcs; empty string counts as missing,
-    mirroring the log-row field model."""
+    mirroring the log-row field model (a field absent from the frame is
+    empty on every row, so it is skipped)."""
     cands = [
         F.when(
             F.col(s).isNotNull() & (F.col(s).cast("string") != ""), F.col(s)
         )
         for s in srcs
+        if s in df.columns
     ]
     if default is not None:
         cands.append(F.lit(default))
-    return df.withColumn(dst, F.coalesce(*cands))
+    if not cands:
+        cands = [F.lit("")]
+    return df.withColumn(dst, F.coalesce(F.coalesce(*cands), F.lit("")))
 
 
 def drop_empty_fields(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
@@ -697,16 +701,18 @@ def json_array_len(df: DataFrame, src: str, dst: str) -> DataFrame:
     return df.withColumn(dst, F.json_array_length(F.col(src)).cast("long"))
 
 
-def json_array_concat(df: DataFrame, srcs: list[str], dst: str) -> DataFrame:
-    """``| json_array_concat`` (pipe_json_array_concat.go): concatenate
-    JSON array fields into one JSON array."""
-    arrs = [
-        F.coalesce(
-            F.from_json(F.col(s), "array<string>"), F.array()
-        )
-        for s in srcs
-    ]
-    return df.withColumn(dst, F.to_json(F.concat(*arrs)))
+def json_array_concat(
+    df: DataFrame, src: str, dst: str, delimiter: str = ""
+) -> DataFrame:
+    """``| json_array_concat [delimiter] [from f] [as r]``
+    (pipe_json_array_concat.go:136-147): join the ELEMENTS of the JSON
+    array held in field ``f`` into one string separated by
+    ``delimiter``; a non-array value yields the empty string."""
+    arr = F.coalesce(
+        F.from_json(F.col(src).cast("string"), "array<string>"),
+        F.array().cast("array<string>"),
+    )
+    return df.withColumn(dst, F.array_join(arr, delimiter, ""))
 
 
 def generate_sequence(spark, n: int) -> DataFrame:
