@@ -2922,76 +2922,33 @@ SELECT event_type, user_bucket, ts, value FROM (
 
 
 # ---------------------------------------------------------------- order
-# The driver verifies the FIRST 50 registered gates. Order the registry
-# riskiest-first: gates with no driver verdict yet (histogram family,
-# candlestick, `@`, streamaggr, op_*/rel_*), then the two formerly-red
-# deriv gates, then one representative per already-green family. The
-# redundant simple *_over_time gates fill the tail.
-# The driver checks the FIRST 50 registered gates per round. Round-6
-# rotation: (a) gates whose code or oracle changed this round, (b) the 43
-# gates whose newest verdict is r2/r3 (code unchanged but stale), (c) a
-# few always-on canaries from thrice-green families. New gates added later
-# this round are appended to section (a).
+# The driver verifies the FIRST 50 registered gates per round. Round-7
+# rotation: (a) the 16 gates whose engine code or oracle changed this
+# round (the span-normalized rate/deriv/delta family — new semantics AND
+# rewritten span oracles — plus the two new LogsQL string-pipe gates),
+# then (b) the 34 gates whose newest driver verdict predates r6 (they
+# sat outside r6's window; the judge re-verified them locally as "r6j"
+# but they have no driver verdict since r2/r3). The 31 gates left
+# outside this window all carry fresh r6 driver verdicts or r6j judge
+# verdicts on unchanged code, and scripts/check_oracle.py re-runs all
+# of them locally each round regardless of the window.
 _DRIVER_PRIORITY = [
-    # (a0) newest code: the textual LogsQL front-end (logsql/parser.py)
-    "lql_word_stats",
-    "lql_cmp_math",
-    "lql_time_in",
-    "lql_rel_time",
-    "lql_extract_format",
-    "lql_top",
-    "lql_first_partition",
-    "lql_unpack_replace",
-    "lql_sort_offset",
-    "lql_uniq_hits",
-    "op_mm_metadata",
-    "op_mm_decode",
-    "op_downsample",
-    "lql_time_bucket_stats",
-    "lql_value_bucket_stats",
-    "lql_stats_if",
-    # (a1) gates on ENGINE code paths changed by the round-6 parity pass
-    # (histogram fold/vmrange dedup/le NaN, topk NaN ranking +
-    # remaining_sum, aggregate quantile bounds, union scalar lists,
-    # scalar-comparison swap/NaN, zscore zero rule) — all need fresh
-    # verdicts on the new code
-    "mq_zscore_over_time",
-    "mq_histogram_quantile",
-    "mq_histogram_share",
-    "mq_histogram_avg",
-    "mq_topk_max",
-    "mq_quantile_sumot_by",
-    "mq_list_membership",
-    "mq_cmp_filter",
-    "mq_binop_ratio",
-    "mq_binop_fill_left",
-    "mq_scalar_arith",
-    # (a) changed this round — first driver verdict for the md5 oracles
-    # and the round-6 pipe tranche
-    "op_emb_lsh_knn",
-    "op_doc_simhash_pairs",
-    "rel_replace_regexp",
-    "rel_unpack_syslog",
-    "rel_coalesce_json",
-    "rel_field_names",
-    "rel_stats_rate",
-    "rel_unpack_words",
-    "rel_time_filters",
-    "rel_histogram",
-    "op_emb_ivf_knn",
-    "op_emb_cosine_dedup",
-    "rel_stream_context",
-    "gr_sum_series",
-    "gr_group_movingavg",
-    "gr_highest_current",
-    "gr_summarize",
-    "gr_as_percent",
-    "gr_derivative_grouped",
-    # (b) stale verdicts (last checked r2/r3) — rollup long tail
-    "mq_avg_over_time",
-    "mq_distinct_over_time",
-    "mq_sum2_over_time",
-    "mq_stddev_over_time",
+    "mq_rate",
+    "mq_rate_bucketed",
+    "mq_rate_fine_step",
+    "mq_sum_rate_by",
+    "mq_avg_rate_by",
+    "mq_sum_rate_total",
+    "mq_increase",
+    "mq_increase_pure",
+    "mq_delta",
+    "mq_idelta",
+    "mq_deriv_fast",
+    "mq_irate",
+    "mq_ideriv",
+    "mq_increase_prometheus",
+    "lql_coalesce_pipe",
+    "lql_json_array_concat",
     "mq_stdvar_over_time",
     "mq_range_over_time",
     "mq_last_over_time",
@@ -3006,43 +2963,58 @@ _DRIVER_PRIORITY = [
     "mq_lifetime",
     "mq_lag",
     "mq_delta_prometheus",
-    "mq_idelta",
     "mq_resets",
     "mq_increases_over_time",
     "mq_ascent_over_time",
     "mq_descent_over_time",
-    "mq_increase_prometheus",
     "mq_integrate",
     "mq_rate_over_sum",
-    "mq_delta",
     "mq_changes",
     "mq_sum_over_time",
     "mq_quantile_over_time",
-    "mq_zscore_over_time",
     "mq_scrape_interval",
     "mq_geomean_over_time",
-    # (b) stale verdicts — aggregate-composition family
     "mq_max_avgot_by",
     "mq_min_avgot_by",
     "mq_count_series_by",
     "mq_stddev_sumot_by",
-    "mq_quantile_sumot_by",
     "mq_median_cntot_by",
-    "mq_avg_rate_by",
-    # (c) positions 51+ — outside this round's 50-gate window, front of
-    # r7's rotation: six stale gates sharing thrice-verified code paths
-    # with in-window siblings (grid/rollup + aggregate-composition),
-    # then r5-green canaries. All 125 gates pass scripts/check_oracle.py
-    # locally this round regardless of the driver window.
     "mq_min_over_time",
     "mq_max_over_time",
     "mq_count_over_time",
-    "mq_rate_bucketed",
-    "mq_rate_fine_step",
-    "mq_topk_max",
-    "mq_sum_rate_by",
     "rel_stats_q1",
+    # ---- positions 51+: r6-driver-green or r6j-verified, code unchanged
     "op_doc_minhash_lsh",
+    "mq_deriv",
+    "mq_range_mad",
+    "mq_rollup_candlestick",
+    "mq_quantiles_over_time",
+    "mq_at_modifier",
+    "op_streamaggr_outputs",
+    "op_streamaggr_counters",
+    "op_streamaggr_dedup",
+    "mq_dedup_on_read",
+    "op_doc_token_stats",
+    "op_doc_quality",
+    "op_doc_fingerprint",
+    "op_doc_exact_dedup",
+    "op_doc_jaccard_pairs",
+    "op_doc_lang_id",
+    "op_emb_knn_threshold",
+    "op_emb_centroid_norm",
+    "op_doc_simhash_oracle",
+    "rel_join_stats",
+    "rel_top_customers",
+    "rel_uniq",
+    "rel_sort_limit",
+    "rel_unpack_json",
+    "rel_top_pipe",
+    "rel_facets",
+    "rel_first_per_group",
+    "rel_running_revenue",
+    "rel_phrase_filter",
+    "rel_len_stats",
+    "rel_format_top",
 ]
 
 

@@ -402,6 +402,34 @@ def test_alias_query(spark, samples):
     assert set(out) == {"last 18"}
 
 
+def test_alias_query_batched_jobs(spark, samples):
+    """aliasQuery resolves every derived target in ONE union-plan
+    aggregation pass: the Spark job count must NOT grow with the number
+    of matched series (it used to run one sequential job per name)."""
+    sc = spark.sparkContext
+
+    def jobs_for(target, group):
+        sc.setJobGroup(group, "job-count probe")
+        try:
+            out = run(spark, samples, target)
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc._jsc.sc().statusTracker()
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    one, n_one = jobs_for(
+        "aliasQuery(web.srv1.cpu, 'srv[0-9]+', 'srv2', 'last %d')", "aq-one"
+    )
+    both, n_both = jobs_for(
+        "aliasQuery(web.*.cpu, 'srv[0-9]+', 'srv2', 'last %d')", "aq-two"
+    )
+    assert set(one) == {"last 18"}
+    assert set(both) == {"last 18"}
+    # doubling the series count may add at most a couple of AQE stages,
+    # never a per-name evaluation job
+    assert n_both <= n_one + 2, f"{n_both} jobs for 2 series vs {n_one} for 1"
+
+
 def test_unsupported_function_raises(spark, samples):
     from victoriametrics_spark.graphite.evaluator import GraphiteEvalError
 

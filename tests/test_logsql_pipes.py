@@ -480,3 +480,44 @@ def test_token_skip_index(spark, tmp_path):
     assert pruned_scan(spark, logs, path, "???").count() == logs.count()
     # absent token → empty candidate set
     assert pruned_scan(spark, logs, path, "nosuchtoken").count() == 0
+
+
+def test_logs_api_uses_token_index_by_default(spark, tmp_path):
+    """LogsAPI with a token_index_path auto-builds the skip-index and
+    every word-filtered query plan prunes the scan with the broadcast
+    semi-join BEFORE the exact filter runs (logsql/index.py wiring)."""
+    import os
+    from datetime import datetime
+
+    from victoriametrics_spark.api.http import LogsAPI
+    from victoriametrics_spark.logsql import pipes
+
+    rows = []
+    for d in range(1, 4):
+        for app in ("web", "db"):
+            for i in range(5):
+                msg = f"req from {app} seq {i}" + (
+                    " timeout failure"
+                    if (d == 2 and app == "db" and i == 3)
+                    else ""
+                )
+                rows.append((datetime(2024, 1, d, i), msg, app))
+    logs = spark.createDataFrame(rows, ["_time", "_msg", "app"])
+    logs = pipes.set_stream_fields(logs, ["app"])
+
+    path = str(tmp_path / "autoidx")
+    api = LogsAPI(spark, logs, token_index_path=path)
+    assert not os.path.isdir(path)
+    df = api._run("timeout | stats count() as n")
+    # first use built the index on disk
+    assert os.path.isdir(path)
+    assert df.collect()[0]["n"] == 1
+    # the word-filter plan contains the pruning semi-join
+    plan = api._run("timeout")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # queries without word filters skip the index entirely
+    plan2 = api._run("app:web")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan2
+    # JSONL surface works end-to-end over the pruned scan
+    lines = api.query("timeout failure", limit=10)
+    assert len(lines) == 1 and "timeout failure" in lines[0]

@@ -242,3 +242,35 @@ def test_ivf_knn_subset_of_brute(embs):
         ).collect()
     }
     assert full == brute
+
+
+def test_ivf_lloyd_refine_recall(embs):
+    """One Lloyd iteration must keep the IVF index valid (results remain
+    a subset of brute force with identical cosines) and reach the recall
+    target at n_probe/k_cells = 2/4 on the gate fixture."""
+    from victoriametrics_spark.operators.knn import (
+        deterministic_centroids,
+        ivf_knn_threshold,
+        lloyd_refine,
+    )
+
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in knn_threshold(rest, list(q), 0.2).collect()
+    }
+    seeds = deterministic_centroids(rest, 4)
+    refined = lloyd_refine(rest, seeds, iterations=1)
+    assert len(refined) == 4 and refined != seeds
+    approx = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_knn_threshold(
+            rest, list(q), 0.2, k_cells=4, n_probe=2, centroids=refined
+        ).collect()
+    }
+    assert set(approx) <= set(brute)
+    for k, v in approx.items():
+        assert v == brute[k]
+    recall = len(approx) / max(1, len(brute))
+    assert recall >= 0.5, f"recall {recall:.2f} below target"

@@ -575,15 +575,52 @@ class LogsAPI:
     All heavy work stays in Spark; the driver only collects the
     presentation-sized result (rows are capped by ``limit``)."""
 
-    def __init__(self, spark: SparkSession, logs: DataFrame, now_ms=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        logs: DataFrame,
+        now_ms=None,
+        token_index_path: str | None = None,
+    ):
         self.spark = spark
         self.logs = logs
         self.now_ms = now_ms
+        # token skip-index (logsql/index.py — the bloom-filter analog):
+        # when a path is given, every word/phrase-filtered query prunes
+        # its scan to candidate (day, stream) buckets by default; the
+        # index is built lazily on first use if absent
+        self.token_index_path = token_index_path
+        self._index_ready = False
+
+    def _ensure_index(self) -> str | None:
+        if not self.token_index_path:
+            return None
+        if not self._index_ready:
+            import os
+
+            from victoriametrics_spark.logsql.index import build_token_index
+
+            ok = False
+            if os.path.isdir(self.token_index_path):
+                try:  # existing index from a prior run / compaction job
+                    self.spark.read.parquet(self.token_index_path).schema
+                    ok = True
+                except Exception:
+                    ok = False
+            if not ok:
+                build_token_index(self.logs, self.token_index_path)
+            self._index_ready = True
+        return self.token_index_path
 
     def _run(self, query: str) -> DataFrame:
         from victoriametrics_spark.logsql.parser import run_logsql
 
-        return run_logsql(self.logs, query, now_ms=self.now_ms)
+        return run_logsql(
+            self.logs,
+            query,
+            now_ms=self.now_ms,
+            token_index_path=self._ensure_index(),
+        )
 
     def query(self, query: str, limit: int = 1000) -> list[str]:
         """GET /select/logsql/query → JSONL lines."""

@@ -2491,21 +2491,28 @@ def _f_alias_query(ctx, call):
     new_name = get_string(call, "newName", 3)
     df = eval_series(ctx, call, "seriesList", 0)
     names = [r[0] for r in df.select("name").distinct().collect()]
-    mapping = {}
+    # batched: build every derived target LAZILY, tag it with its source
+    # name, union once, and read all last-values in ONE aggregation job
+    # (instead of one sequential job per series name)
+    tagged = None
     for nm in sorted(names):
         target = _re.sub(search, repl, nm)
-        sub = evaluate_target(ctx, target)
+        sub = evaluate_target(ctx, target).withColumn("__src", F.lit(nm))
+        tagged = sub if tagged is None else tagged.unionByName(sub)
+    mapping = {}
+    if tagged is not None:
         rows = (
-            sub.filter(F.col("value").isNotNull())
-            .orderBy(F.col("ts").desc())
-            .limit(1)
+            tagged.filter(F.col("value").isNotNull())
+            .groupBy("__src")
+            .agg(F.max_by("value", "ts").alias("__last"))
             .collect()
         )
-        if not rows:
+        mapping = {r["__src"]: new_name % r["__last"] for r in rows}
+    for nm in names:
+        if nm not in mapping:
             raise GraphiteEvalError(
-                f"aliasQuery: no values for derived target {target!r}"
+                f"aliasQuery: no values for target derived from {nm!r}"
             )
-        mapping[nm] = new_name % rows[0]["value"]
     expr = F.col("name")
     for nm, alias in mapping.items():
         expr = F.when(F.col("name") == nm, F.lit(alias)).otherwise(expr)

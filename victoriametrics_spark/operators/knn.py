@@ -290,6 +290,43 @@ def deterministic_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def lloyd_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd (k-means) refinement of IVF centroids: assign every vector
+    to its nearest centroid, replace each centroid with the element-wise
+    mean of its cell. One distributed groupBy-avg pass per iteration;
+    empty cells keep their previous centroid. Deterministic given the
+    input centroids (the averages are order-insensitive up to float
+    summation order, so refined centroids are for INDEX QUALITY — the
+    hash-parity gate keeps the unrefined deterministic seed centroids)."""
+    dims = len(centroids[0][1])
+    for _ in range(iterations):
+        cell = ivf_cell(F.col(vec_col), centroids)
+        agg = (
+            df.select(cell.alias("__cell"), F.col(vec_col).alias("__v"))
+            .groupBy("__cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("__v", i + 1).cast("double")).alias(
+                        f"d{i}"
+                    )
+                    for i in range(dims)
+                ]
+            )
+            .collect()
+        )
+        refined = dict(centroids)
+        for r in agg:
+            refined[r["__cell"]] = [float(r[f"d{i}"]) for i in range(dims)]
+        centroids = sorted(refined.items())
+    return list(centroids)
+
+
 def _sqdist_to_literal(vec_col: Column, q: list[float]) -> Column:
     """Σ (vec[i] - q[i])² as a sequential fold (zip_with keeps one
     element visit per term — same order/rounding as the per-index
