@@ -29,7 +29,7 @@ def _vals(df):
 def test_cache_miss_partial_full(spark, counter_samples, tmp_path):
     samples, t0 = counter_samples
     cache = RollupResultCache(spark, str(tmp_path / "rrc"))
-    q = "sum(rate(c[2m])) by (job)"
+    q = "sum(increase_prometheus(c[2m])) by (job)"
     end1 = t0 + 600_000
     end2 = t0 + 1500_000
     cfg1 = EvalConfig(start=t0, end=end1, step=60_000)
@@ -110,11 +110,65 @@ def test_cache_bypass_range_dependent_aggregates(
     assert _vals(warm) == _vals(evaluate(spark, q, samples, cfg2))
 
 
+def test_leaf_cache_under_ranking_aggregate(spark, counter_samples, tmp_path):
+    """VM-style leaf caching (rollup_result_cache.go): a range-dependent
+    parent (topk_max) bypasses whole-result caching, but its rollup LEAF
+    reuses the cached prefix — and the merged output equals a cold
+    evaluation exactly, because the parent re-ranks over the full merged
+    leaf series."""
+    samples, t0 = counter_samples
+    cache = RollupResultCache(spark, str(tmp_path / "rrc_leaf"))
+    q = "topk_max(1, increase_prometheus(c[2m]))"
+    cfg1 = EvalConfig(start=t0, end=t0 + 600_000, step=60_000)
+    cfg2 = EvalConfig(start=t0, end=t0 + 1500_000, step=60_000)
+
+    cold1 = cache.evaluate(q, samples, cfg1)
+    assert cache.stats["mode"] == "bypass"
+    assert cache.stats["leaf"]["misses"] == 1
+    assert _vals(cold1) == _vals(evaluate(spark, q, samples, cfg1))
+
+    warm = cache.evaluate(q, samples, cfg2)
+    assert cache.stats["leaf"]["partial"] == 1, cache.stats
+    assert _vals(warm) == _vals(evaluate(spark, q, samples, cfg2))
+
+    # same range again → leaf full hit, parent still re-evaluated
+    hot = cache.evaluate(q, samples, cfg2)
+    assert cache.stats["leaf"]["hits"] == 1, cache.stats
+    assert _vals(hot) == _vals(evaluate(spark, q, samples, cfg2))
+
+
+def test_leaf_cache_prefix_not_recomputed(spark, counter_samples, tmp_path):
+    """PROOF the leaf prefix is served from parquet: drop every sample
+    the suffix window can't reach — the leaf's cached prefix must supply
+    the early grid points of the range-extended query."""
+    samples, t0 = counter_samples
+    cache = RollupResultCache(spark, str(tmp_path / "rrc_leaf2"))
+    q = "outliers_mad(1000, avg_over_time(c[2m]))"  # bypassed parent
+    end1 = t0 + 600_000
+    cfg1 = EvalConfig(start=t0, end=end1, step=60_000)
+    cfg2 = EvalConfig(start=t0, end=t0 + 1500_000, step=60_000)
+    cache.evaluate(q, samples, cfg1).collect()
+    suffix_only = samples.filter(
+        F.col("ts") > end1 + 60_000 - 120_000 - 60_000 - 300_000
+    )
+    warm = cache.evaluate(q, suffix_only, cfg2)
+    assert cache.stats["leaf"]["partial"] == 1
+    assert _vals(warm) == _vals(evaluate(spark, q, samples, cfg2))
+
+
 def test_cacheable_predicate():
     ok = RollupResultCache.cacheable
-    assert ok("sum(rate(c[2m])) by (job)")
+    assert ok("sum(increase_prometheus(c[2m])) by (job)")
+    # the span family depends on the range-end-sensitive scrape-interval
+    # estimate -> strict bypass (deliberate deviation from VM, which
+    # caches rate leaves and accepts the drift)
+    assert not ok("sum(rate(c[2m])) by (job)")
+    assert not ok("irate(c[1m])")
+    assert not ok("deriv(c)")       # implicit window widens per series
+    assert ok("deriv(c[5m])")       # explicit window: no estimate
     assert ok("topk(2, c)")  # per-timestamp ranking is sound
-    assert ok("histogram_quantile(0.9, rate(b[5m]))")
+    assert not ok("histogram_quantile(0.9, rate(b[5m]))")  # rate inside
+    assert ok("histogram_quantile(0.9, increase_prometheus(b[5m]))")
     assert not ok("topk_max(2, rate(c[2m]))")
     assert not ok("bottomk_avg(2, c)")
     assert not ok("outliersk(3, c)")

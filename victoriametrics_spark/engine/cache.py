@@ -82,6 +82,31 @@ _RESULT_SCHEMA = (
 )
 
 
+def estimate_dependent(fe) -> bool:
+    """True when the rollup's values depend on the per-series
+    scrape-interval ESTIMATE (engine/span.py), which is computed from the
+    last ≤21 samples of the fetch range and therefore shifts whenever the
+    query range's END moves. Caching such results would serve values a
+    cold evaluation of the extended range would not produce. VM's cache
+    knowingly reuses them anyway (rollup_result_cache.go caches rate
+    leaves; a suffix evaluation re-estimates over its own shorter fetch);
+    this engine chooses strict cache-transparency instead — every
+    cached answer must equal a cold evaluation bit-for-bit — so the
+    span family and implicitly-windowed adjustable functions bypass both
+    cache levels. Documented deviation (SURVEY.md §4.1)."""
+    from victoriametrics_spark.engine.span import ADJUST_WINDOW, SPAN_ROLLUPS
+    from victoriametrics_spark.metricsql.ast import RollupExpr
+
+    if fe.name in SPAN_ROLLUPS:
+        return True
+    if fe.name in ADJUST_WINDOW:  # deriv: widens only implicit windows
+        for a in fe.args:
+            if isinstance(a, RollupExpr) and a.window is not None:
+                return False
+        return True
+    return False
+
+
 class RollupResultCache:
     """Parquet-backed result cache with prefix reuse.
 
@@ -94,6 +119,7 @@ class RollupResultCache:
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
         self.stats: dict = {}
+        self._leaf: "LeafResultCache | None" = None
 
     # ------------------------------------------------------------- key
     @staticmethod
@@ -124,6 +150,8 @@ class RollupResultCache:
                 ):
                     return False
                 if is_rollup_func(n):
+                    if estimate_dependent(e):
+                        return False
                     # implicit subqueries: rollup over anything that is
                     # not a plain selector
                     for a in e.args:
@@ -158,6 +186,14 @@ class RollupResultCache:
             ]
         )
         return hashlib.sha256(ident.encode()).hexdigest()[:24]
+
+    def leaf_cache(self) -> "LeafResultCache":
+        if self._leaf is None:
+            self._leaf = LeafResultCache(
+                self.spark, os.path.join(self.cache_dir, "leaves")
+            )
+        self._leaf.stats = {"hits": 0, "partial": 0, "misses": 0}
+        return self._leaf
 
     def _meta_path(self, key: str) -> str:
         return f"{self.cache_dir}/{key}.meta.json"
@@ -195,11 +231,21 @@ class RollupResultCache:
     def evaluate(
         self, query: str, samples: DataFrame, cfg: EvalConfig
     ) -> DataFrame:
+        from victoriametrics_spark.engine.planner import Planner
         from victoriametrics_spark.engine.planner import evaluate as _eval
 
         if not self.cacheable(query):
-            self.stats = {"mode": "bypass"}
-            return _eval(self.spark, query, samples, cfg)
+            # VM's answer to range-dependent parents: cache BELOW the
+            # aggregate layer (rollup_result_cache.go:283 sits under
+            # aggregation). The parent re-evaluates over the full range,
+            # but every rollup LEAF reuses its cached prefix.
+            leaf = self.leaf_cache()
+            planner = Planner(self.spark, samples, cfg, leaf_cache=leaf)
+            try:
+                out = planner.plan_query(query)
+            finally:
+                self.stats = {"mode": "bypass", "leaf": dict(leaf.stats)}
+            return out
 
         key = self._key(query, cfg)
         meta = self._load_meta(key)
@@ -242,3 +288,105 @@ class RollupResultCache:
         meta2 = self._load_meta(key)
         self.stats = {"mode": "miss"}
         return self._cached_df(meta2)
+
+
+class LeafResultCache:
+    """Rollup-LEAF result cache — the Spark analog of VM's
+    rollup_result_cache.go: results are cached *below* transforms and
+    aggregates, at the rollup-over-selector leaves, where every grid
+    point depends only on samples in a bounded lookbehind of its own
+    timestamp. That makes prefix reuse sound even when the PARENT is
+    range-dependent (topk_max, sorts, outliers): the parent re-evaluates
+    over the full merged leaf, exactly like VM re-runs aggregation over
+    cached rollup series (rollup_result_cache.go:283 Get / :606 Put).
+
+    Span-family note: the rate/deriv family's per-series scrape-interval
+    estimate shifts with the fetch range, so those leaves are NOT cached
+    (estimate_dependent above) — unlike VM, which caches them and
+    accepts the drift. Everything this cache serves equals a cold
+    evaluation bit-for-bit.
+    """
+
+    def __init__(self, spark: SparkSession, cache_dir: str):
+        self.spark = spark
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        self.stats: dict = {"hits": 0, "partial": 0, "misses": 0}
+
+    def _key(self, ident: str, cfg: EvalConfig) -> str:
+        payload = json.dumps(
+            [
+                ident,
+                cfg.step,
+                cfg.max_lookback,
+                cfg.dedup_interval_ms,
+                list(cfg.enforced_filters),
+                cfg.two_level_cutover,
+            ]
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+    def _meta_path(self, key: str) -> str:
+        return f"{self.cache_dir}/{key}.meta.json"
+
+    def _data_path(self, key: str, version: int) -> str:
+        return f"{self.cache_dir}/{key}.v{version}.parquet"
+
+    def _load_meta(self, key: str) -> dict | None:
+        try:
+            with open(self._meta_path(key)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _store(self, key: str, df: DataFrame, start: int, end: int) -> None:
+        meta = self._load_meta(key)
+        version = (meta["version"] + 1) if meta else 0
+        path = self._data_path(key, version)
+        df.write.mode("overwrite").parquet(path)
+        with open(self._meta_path(key), "w") as fh:
+            json.dump(
+                {"start": start, "end": end, "version": version, "path": path},
+                fh,
+            )
+        if meta:
+            import shutil
+
+            shutil.rmtree(meta["path"], ignore_errors=True)
+
+    def _cached_df(self, meta: dict) -> DataFrame:
+        self.spark.catalog.refreshByPath(meta["path"])
+        return self.spark.read.schema(_RESULT_SCHEMA).parquet(meta["path"])
+
+    def get_or_eval(self, ident: str, cfg: EvalConfig, build) -> DataFrame:
+        """Return the leaf's series frame for ``[cfg.start, cfg.end]``,
+        evaluating (and persisting) only the uncovered grid suffix.
+        ``build(sub_cfg)`` must return the leaf DataFrame for that
+        sub-range."""
+        key = self._key(ident, cfg)
+        meta = self._load_meta(key)
+        usable = (
+            meta is not None
+            and meta["start"] <= cfg.start
+            and (cfg.start - meta["start"]) % cfg.step == 0
+            and meta["end"] + cfg.step >= cfg.start
+        )
+        in_range = lambda df: df.filter(  # noqa: E731
+            (F.col("ts") >= cfg.start) & (F.col("ts") <= cfg.end)
+        )
+        if usable:
+            ce = min(meta["end"], cfg.end)
+            cached = self._cached_df(meta)
+            if ce >= cfg.end:
+                self.stats["hits"] += 1
+                return in_range(cached)
+            suffix_cfg = replace(cfg, start=ce + cfg.step)
+            suffix = build(suffix_cfg).select("name", "labels", "ts", "value")
+            merged = cached.filter(F.col("ts") <= ce).unionByName(suffix)
+            self._store(key, merged, meta["start"], cfg.end)
+            self.stats["partial"] += 1
+            return in_range(self._cached_df(self._load_meta(key)))
+        result = build(cfg).select("name", "labels", "ts", "value")
+        self._store(key, result, cfg.start, cfg.end)
+        self.stats["misses"] += 1
+        return in_range(self._cached_df(self._load_meta(key)))

@@ -167,10 +167,19 @@ def selector_predicate(me: MetricExpr) -> Column:
 
 
 class Planner:
-    def __init__(self, spark: SparkSession, samples: DataFrame, cfg: EvalConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        cfg: EvalConfig,
+        leaf_cache=None,
+    ):
         self.spark = spark
         self.samples = samples
         self.cfg = cfg
+        # optional LeafResultCache (engine/cache.py): rollup-over-selector
+        # leaves reuse cached prefixes à la rollup_result_cache.go
+        self.leaf_cache = leaf_cache
         self._cse: dict[tuple[str, int, int, int], DataFrame] = {}
 
     # ------------------------------------------------------------- public
@@ -276,6 +285,14 @@ class Planner:
                 at_handled = self.plan_at_modifier(e, cfg)
                 if at_handled is not None:
                     return at_handled
+                if self.leaf_cache is not None and self._leaf_cacheable(e):
+                    return self.leaf_cache.get_or_eval(
+                        repr(e),
+                        cfg,
+                        lambda c, e=e: self.materialize(
+                            self.plan_rollup_func(e, c), c
+                        ),
+                    )
                 return self.plan_rollup_func(e, cfg)
             return transform_mod.plan_transform(self, e, cfg)
         if isinstance(e, AggrFuncExpr):
@@ -285,6 +302,33 @@ class Planner:
         raise PlanError(f"cannot plan {e!r}")
 
     # ------------------------------------------------------------- leaves
+    @staticmethod
+    def _leaf_cacheable(fe: FuncExpr) -> bool:
+        """A rollup leaf is cacheable when its series argument is a plain
+        selector (no subquery — the child range would depend on the query
+        range), every other argument is a literal (so ``repr(fe)`` fully
+        determines the result at each grid point), and its values do not
+        depend on the range-end-sensitive scrape-interval estimate
+        (engine/cache.py estimate_dependent)."""
+        from victoriametrics_spark.engine.cache import estimate_dependent
+
+        if estimate_dependent(fe):
+            return False
+        for a in fe.args:
+            if isinstance(a, (NumberExpr, StringExpr, DurationExpr)):
+                continue
+            if isinstance(a, MetricExpr):
+                continue
+            if (
+                isinstance(a, RollupExpr)
+                and a.step is None
+                and a.at is None
+                and isinstance(a.expr, MetricExpr)
+            ):
+                continue
+            return False
+        return True
+
     def scan(self, me: MetricExpr) -> DataFrame:
         """Selector → filtered raw samples (predicate pushdown to parquet),
         with enforced extra filters (EnforcedTagFilterss,

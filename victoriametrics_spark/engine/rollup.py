@@ -294,6 +294,13 @@ for _op in ("eq", "gt", "le"):
 
 
 # ------------------------------------------------------- counter semantics
+# NOTE (round 7): the specs below for rate / irate / increase /
+# increase_pure / delta / idelta / deriv_fast / ideriv are SUPERSEDED by
+# engine/span.py (VM-exact span-normalized semantics: per-series
+# scrape-interval estimate, anchor eligibility, implicit-window
+# widening, empty-window ghosts). The planner routes SPAN_ROLLUPS there
+# before consulting this table; the entries remain registered only so
+# the function names stay introspectable as rollups.
 def _inc() -> Column:
     return F.sum(POS_DV())
 
