@@ -216,6 +216,100 @@ def test_multimodal_plumbing(spark):
     assert all(r["frame_idx"] % 5 == 0 for r in plan)
 
 
+def _png_bytes(w, h, color=2):
+    """Minimal valid 8-bit PNG (stdlib-only encoder for the test)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    raw = b"".join(
+        b"\x00" + bytes([(x * y) % 256 for x in range(w * bpp)])
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(channels, rate, frames):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x01\x02" * channels * frames)
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode(spark):
+    """PNG / WAV / GIF content is REALLY decoded (stdlib container
+    parses incl. PNG IDAT inflation); unrecognized bytes keep the
+    deterministic fake path."""
+    import struct
+
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 12, 7) + b"\x00\x00\x00" + b"\x2c"
+        + b"\x00" * 10
+    )
+    rows = [
+        (1, "image", _png_bytes(20, 10), "png"),
+        (2, "image", _png_bytes(5, 3, color=6), "png"),
+        (3, "audio", _wav_bytes(2, 44100, 100), "wav"),
+        (4, "image", gif, "gif"),
+        (5, "video", b"\x00\x00\x00\x18ftypmp42 not decodable", "mp4"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "content", "format"])
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (20, 10, 1)
+    assert (out[2]["width"], out[2]["height"]) == (5, 3)
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) == (
+        2,
+        44100,
+        100,
+    )
+    assert (out[4]["width"], out[4]["height"]) == (12, 7)
+    # video container: no stdlib codec → deterministic fake dims
+    assert 64 <= out[5]["width"] < 256 and out[5]["n_frames"] >= 1
+
+    # corrupt PNG pixel data (wrong inflated size) falls back to fake —
+    # proof the IDAT stream is really inflated and validated
+    good = _png_bytes(8, 8)
+    import zlib as _z
+
+    bad_idat = _z.compress(b"\x00" * 5)  # too short for 8x8 RGB
+    # rebuild: signature + IHDR chunk (8..33) + bad IDAT + IEND
+    ihdr_chunk = good[8:33]
+    bad = (
+        good[:8]
+        + ihdr_chunk
+        + struct.pack(">I", len(bad_idat))
+        + b"IDAT"
+        + bad_idat
+        + struct.pack(">I", _z.crc32(b"IDAT" + bad_idat))
+        + good[-12:]
+    )
+    df2 = spark.createDataFrame(
+        [(9, "image", bad, "png")], ["media_id", "kind", "content", "format"]
+    )
+    r = decode_media(df2).collect()[0]
+    assert (r["width"], r["height"]) != (8, 8)
+
+
 def test_ivf_knn_subset_of_brute(embs):
     from victoriametrics_spark.operators.knn import (
         deterministic_centroids,

@@ -230,3 +230,46 @@ def test_downsample_semantics(spark):
         ("a", now - 13 * H, 5.0),
         ("b", now - 11 * H, 9.0),
     }
+
+
+def test_multi_tenant_isolation(spark):
+    """Tenant partition column (lib/storage/search.go:327 AccountID/
+    ProjectID analog): writes tagged per tenant land in separate
+    partition directories, scans must be tenant-scoped, and identical
+    series names never leak across tenants."""
+    from victoriametrics_spark.api.http import parse_tenant, with_tenant
+    from victoriametrics_spark.storage.layout import drop_samples_table
+
+    assert parse_tenant("7") == "7:0"
+    assert parse_tenant("7:3") == "7:3"
+    with pytest.raises(ValueError):
+        parse_tenant("x:y")
+
+    rows_a = [("a", T0 + i * H, float(i)) for i in range(24)]
+    rows_b = [("a", T0 + i * H, float(100 + i)) for i in range(24)]
+    df = with_tenant(_mk_samples(spark, rows_a), "1:0").unionByName(
+        with_tenant(_mk_samples(spark, rows_b), "2:0")
+    )
+    write_samples_table(df, "t_tenants", n_buckets=4)
+    try:
+        # unscoped scan of a tenanted table is an error, like VM where
+        # every search carries an (AccountID, ProjectID)
+        with pytest.raises(ValueError, match="multi-tenant"):
+            read_samples_table(spark, "t_tenants")
+
+        cfg = EvalConfig(start=T0, end=T0 + 23 * H, step=H)
+        t1 = read_samples_table(spark, "t_tenants", tenant="1:0")
+        t2 = read_samples_table(spark, "t_tenants", tenant="2:0")
+        v1 = {r["ts"]: r["value"] for r in evaluate(
+            spark, "last_over_time(m[1h])", t1, cfg).collect()}
+        v2 = {r["ts"]: r["value"] for r in evaluate(
+            spark, "last_over_time(m[1h])", t2, cfg).collect()}
+        assert v1[T0] == 0.0 and v2[T0] == 100.0
+        assert all(v2[k] == v1[k] + 100.0 for k in v1)
+
+        # tenant scoping is partition-directory pruning, visible in the
+        # scan's PartitionFilters
+        plan = t1._jdf.queryExecution().executedPlan().toString()
+        assert "tenant" in plan and "PartitionFilters" in plan
+    finally:
+        drop_samples_table(spark, "t_tenants")

@@ -65,8 +65,35 @@ def _metric_obj(name: str, labels) -> dict:
     return out
 
 
+def parse_tenant(token: str) -> str:
+    """``accountID`` or ``accountID:projectID`` from the URL path
+    (/select/<token>/prometheus/..., lib/auth.NewToken) → canonical
+    ``"account:project"`` with project defaulting to 0."""
+    parts = token.split(":")
+    if len(parts) not in (1, 2):
+        raise ValueError(f"invalid tenant token {token!r}")
+    account = int(parts[0])
+    project = int(parts[1]) if len(parts) == 2 else 0
+    if account < 0 or project < 0:
+        raise ValueError(f"invalid tenant token {token!r}")
+    return f"{account}:{project}"
+
+
+def with_tenant(df: DataFrame, tenant: str) -> DataFrame:
+    """Tag rows with their tenant (ingest side: every write carries the
+    URL-path tenant, app/vminsert/main.go multitenant routing)."""
+    return df.withColumn("tenant", F.lit(parse_tenant(tenant)))
+
+
 class PromAPI:
-    """Query-side API over a samples DataFrame (or table provider)."""
+    """Query-side API over a samples DataFrame (or table provider).
+
+    ``tenant``: optional ``"accountID[:projectID]"`` scope — when the
+    samples frame carries a ``tenant`` column (storage/layout.py writes
+    it as the leading partition directory), every query is pruned to
+    that tenant's partitions before anything else runs, mirroring VM's
+    per-(AccountID, ProjectID) search isolation
+    (lib/storage/search.go:327-337)."""
 
     def __init__(
         self,
@@ -75,8 +102,16 @@ class PromAPI:
         max_lookback_ms: int = 300_000,
         rule_groups: "list[tuple[str, list]] | None" = None,
         cache_dir: str | None = None,
+        tenant: str | None = None,
     ):
         self.spark = spark
+        if tenant is not None and "tenant" in samples.columns:
+            samples = samples.filter(
+                F.col("tenant") == parse_tenant(tenant)
+            ).drop("tenant")
+        elif "tenant" in samples.columns:
+            samples = samples.drop("tenant")
+        self.tenant = tenant
         self.samples = samples
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
@@ -879,12 +914,16 @@ class IngestAPI:
         samples_table: str | None = None,
         logs_table: str | None = None,
         sink=None,
+        tenant: str | None = None,
     ):
         self.spark = spark
         self.samples_table = samples_table
         self.logs_table = logs_table
         # sink(df, kind) override for tests / custom destinations
         self.sink = sink
+        # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
+        # multitenant vminsert routing): every written row is tagged
+        self.tenant = parse_tenant(tenant) if tenant is not None else None
 
     # --------------------------------------------------------- helpers
     def _lines_df(self, body: str) -> DataFrame:
@@ -892,6 +931,8 @@ class IngestAPI:
         return self.spark.createDataFrame(rows or [("",)], ["value"])
 
     def _write_samples(self, df: DataFrame) -> int:
+        if self.tenant is not None:
+            df = with_tenant(df, self.tenant)
         n = df.count()
         if self.sink is not None:
             self.sink(df, "samples")

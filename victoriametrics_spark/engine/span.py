@@ -301,6 +301,10 @@ def span_rollup(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     wback = w.rowsBetween(Window.unboundedPreceding, 0)
+    # the lead value/delta columns feed only the delta/increase no-prev
+    # heuristic (realNextValue, rollup.go:1869-1890) — skip the extra
+    # window expressions for the functions that never read them
+    needs_lead = name in ("increase", "delta")
     df = (
         df.withColumn("prev_value", F.lag("value").over(w))
         .withColumn("prev_ts", F.lag("__sts").over(w))
@@ -308,8 +312,16 @@ def span_rollup(
         .withColumn("dv", F.col("value") - F.col("prev_value"))
         .withColumn("dt", F.col("__sts") - F.col("prev_ts"))
         .withColumn("pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value")))
-        .withColumn("next_value", F.lead("value").over(w))
-        .withColumn("next_pos_dv", F.lead("pos_dv").over(w))
+        .withColumn(
+            "next_value",
+            F.lead("value").over(w) if needs_lead else F.lit(None).cast("double"),
+        )
+        .withColumn(
+            "next_pos_dv",
+            F.lead("pos_dv").over(w)
+            if needs_lead
+            else F.lit(None).cast("double"),
+        )
         .withColumn("__rn", F.row_number().over(w))
         # running reset-adjusted sum: window quantities are SINGLE
         # subtractions of two readings of this sequential sum, so a SQL

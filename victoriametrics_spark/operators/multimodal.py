@@ -1,11 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas stages.
 
-The decode step is STUBBED (no image/audio libs in this container): a
-clearly-marked deterministic fake keyed on the content hash stands in for
-pixel decoding. Everything around it — schema, batching, partitioning,
-UDF signature — is real and tested, so swapping in a real decoder is a
-one-function change.
+Round 7: the decode step is REAL for the container-formats the Python
+stdlib can handle — PNG (signature + IHDR + CRC check + zlib-inflated
+IDAT size validation), GIF, JPEG (SOF scan), BMP, and WAV (``wave``
+module: channels / sample rate / frame count). Content that is none of
+these (or video containers, which need codec libs absent from this
+container) falls back to the clearly-marked deterministic fake keyed on
+the content hash, so pipelines and tests stay exact end-to-end either
+way. The Spark-side shape is identical for both paths: one Arrow pass
+via mapInPandas, bounded memory per batch.
+
+Decoded-column semantics by kind:
+  image: width/height = pixel dimensions, n_frames = 1 (GIF: image
+         blocks counted)
+  audio: width = channel count, height = sample rate (Hz),
+         n_frames = audio frame count
+  video: no stdlib codec → deterministic fake dimensions
 
 Scale shape: mapInPandas streams Arrow batches through Python once;
 metadata extraction stays JVM-side so pruning/filtering on metadata never
@@ -15,6 +26,9 @@ pays the Python boundary.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -47,12 +61,14 @@ DECODED_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_sha", StringType(), False),
-        # stubbed decode outputs (deterministic fake):
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
     ]
 )
+
+# bytes-per-pixel multiplier per PNG color type (bit depth 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def extract_metadata(df: DataFrame) -> DataFrame:
@@ -67,17 +83,118 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int]:
-    """STUB: deterministic fake decoder (container lacks image/audio libs).
+# --------------------------------------------------- real decoders
+def _decode_png(b: bytes) -> tuple[int, int, int] | None:
+    """PNG: signature, IHDR (with CRC check), and a REAL inflate of the
+    IDAT stream validating the raw scanline size for 8-bit images."""
+    if len(b) < 33 or not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    length, ctype = struct.unpack(">I4s", b[8:16])
+    if ctype != b"IHDR" or length != 13:
+        return None
+    ihdr = b[16:29]
+    if zlib.crc32(b"IHDR" + ihdr) != struct.unpack(">I", b[29:33])[0]:
+        return None
+    w, h, depth, color = struct.unpack(">IIBB", ihdr[:10])
+    # walk chunks, inflating IDAT — real decompression of the pixel data
+    idat = bytearray()
+    pos = 33
+    while pos + 8 <= len(b):
+        ln, ct = struct.unpack(">I4s", b[pos : pos + 8])
+        if ct == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + ln]
+        if ct == b"IEND":
+            break
+        pos += 12 + ln
+    if idat and depth == 8 and color in _PNG_CHANNELS:
+        raw = zlib.decompress(bytes(idat))
+        expected = h * (1 + w * _PNG_CHANNELS[color])
+        if len(raw) != expected:
+            return None  # corrupt pixel data
+    return int(w), int(h), 1
 
-    Real implementation would go through PIL/libav here. The fake derives
-    stable pseudo-dimensions from the content hash so tests are exact.
-    """
-    h = hashlib.sha256(content).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    n_frames = 1 + h[2] % 32
+
+def _decode_gif(b: bytes) -> tuple[int, int, int] | None:
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    frames = max(1, b.count(b"\x2c", 10))  # image-descriptor separators
+    return int(w), int(h), int(frames)
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int] | None:
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    # the 2-byte magic alone can collide with text ("BM...") — require
+    # the header's file-size field to match the actual byte count
+    if struct.unpack("<I", b[2:6])[0] != len(b):
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    return int(w), abs(int(h)), 1
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, int] | None:
+    """JPEG: scan segment markers for a start-of-frame (SOFn) header."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 9 <= len(b):
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(b):
+            return None
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return int(w), int(h), 1
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int] | None:
+    """WAV via the stdlib ``wave`` module — channels / sample rate /
+    frame count from a real container parse."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            return (
+                int(wf.getnchannels()),
+                int(wf.getframerate()),
+                int(wf.getnframes()),
+            )
+    except Exception:
+        return None
+
+
+_DECODERS = (_decode_png, _decode_gif, _decode_bmp, _decode_jpeg, _decode_wav)
+
+
+def _fake_decode(digest: bytes, kind: str) -> tuple[int, int, int]:
+    """Deterministic FAKE for undecodable content (video containers and
+    non-media bytes): stable pseudo-dimensions from the content hash so
+    tests stay exact."""
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    n_frames = (1 + digest[2] % 32) if kind == "video" else 1
     return width, height, n_frames
+
+
+def decode_one(content: bytes, kind: str) -> tuple[int, int, int]:
+    """Real decode when a stdlib-decodable container is recognized,
+    deterministic fake otherwise."""
+    for dec in _DECODERS:
+        out = dec(content)
+        if out is not None:
+            return out
+    return _fake_decode(hashlib.sha256(content).digest(), kind)
 
 
 def decode_media(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -88,29 +205,29 @@ def decode_media(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            # vectorized over the Arrow batch: one pass of pandas `map`
-            # per derived column, no per-row iterrows loop. A real decoder
-            # would replace the digest maps with the PIL/libav call — the
-            # batch shape stays identical.
             content = pdf["content"].map(
                 lambda c: bytes(c) if c is not None else b""
             )
-            digests = content.map(lambda c: hashlib.sha256(c).digest())
+            decoded = [
+                decode_one(c, k) for c, k in zip(content, pdf["kind"])
+            ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": content.map(len).astype("int64"),
-                    "content_sha": digests.map(bytes.hex),
-                    "width": digests.map(lambda d: 64 + d[0] % 192).astype(
-                        "int32"
+                    "content_sha": content.map(
+                        lambda c: hashlib.sha256(c).hexdigest()
                     ),
-                    "height": digests.map(lambda d: 64 + d[1] % 192).astype(
-                        "int32"
-                    ),
-                    "n_frames": digests.map(lambda d: 1 + d[2] % 32)
-                    .where(pdf["kind"] == "video", 1)
-                    .astype("int32"),
+                    "width": pd.Series(
+                        [d[0] for d in decoded], index=pdf.index
+                    ).astype("int32"),
+                    "height": pd.Series(
+                        [d[1] for d in decoded], index=pdf.index
+                    ).astype("int32"),
+                    "n_frames": pd.Series(
+                        [d[2] for d in decoded], index=pdf.index
+                    ).astype("int32"),
                 }
             )
             yield out[[f.name for f in DECODED_SCHEMA.fields]]

@@ -73,6 +73,12 @@ def write_samples_table(
     (date, bucket) pair lands in one file — the compacted invariant.
     ``dedup_interval_ms`` applies last-wins dedup during the write, the
     VM merge-time dedup analog (lib/storage/dedup.go:29-60).
+
+    Multi-tenancy (lib/storage/search.go:327 ``(AccountID, ProjectID)``):
+    when the frame carries a ``tenant`` column it becomes the LEADING
+    partition directory (tenant=<id>/date=<d>/...), so a tenant-scoped
+    query never lists another tenant's files — VM's per-tenant index
+    isolation as partition pruning.
     """
     df = samples
     spark = df.sparkSession
@@ -84,11 +90,14 @@ def write_samples_table(
 
         df = dedup_samples(df, dedup_interval_ms)
     df = _with_layout_columns(df)
+    part_cols = (
+        ["tenant", "date"] if "tenant" in df.columns else ["date"]
+    )
     df = df.repartition(n_buckets, F.col("__series_key"))
     (
         df.write.mode(mode)
         .format("parquet")
-        .partitionBy("date")
+        .partitionBy(*part_cols)
         .bucketBy(n_buckets, "__series_key")
         .sortBy("__series_key", "ts")
         .saveAsTable(table)
@@ -111,6 +120,7 @@ def read_samples_table(
     start_ms: int | None = None,
     end_ms: int | None = None,
     lookback_ms: int = 0,
+    tenant: str | None = None,
 ) -> DataFrame:
     """Scan builder: partition-pruned, bucket-aware samples scan.
 
@@ -130,6 +140,18 @@ def read_samples_table(
     range does (eval.go:1803).
     """
     df = spark.table(table)
+    if "tenant" in df.columns:
+        if tenant is None:
+            # VM has no cross-tenant search: every SearchQuery carries an
+            # (AccountID, ProjectID) (lib/storage/search.go:327-337) —
+            # and series keys don't embed the tenant, so an unscoped scan
+            # would silently merge different tenants' series
+            raise ValueError(
+                f"table {table!r} is multi-tenant; pass tenant='a:p'"
+            )
+        # partition-directory pruning — the scan never lists another
+        # tenant's files (VM: per-(AccountID, ProjectID) index isolation)
+        df = df.filter(F.col("tenant") == tenant)
     if start_ms is not None:
         df = df.filter(
             F.col("date")
@@ -139,7 +161,7 @@ def read_samples_table(
         df = df.filter(
             F.col("date") <= F.to_date(F.timestamp_millis(F.lit(end_ms)))
         )
-    return df.drop("date")
+    return df.drop("date", "tenant")
 
 
 def compact_samples_table(
