@@ -303,59 +303,77 @@ def span_rollup(
     wback = w.rowsBetween(Window.unboundedPreceding, 0)
     # the lead value/delta columns feed only the delta/increase no-prev
     # heuristic (realNextValue, rollup.go:1869-1890) — skip the extra
-    # window expressions for the functions that never read them
+    # window expressions for the functions that never read them.
+    # Projections are BATCHED into a few select() levels (not one
+    # withColumn per column): each withColumn is its own Project node
+    # and py4j round-trip, and for a plan this size that construction +
+    # project-collapsing overhead dominated the per-query driver cost.
     needs_lead = name in ("increase", "delta")
-    df = (
-        df.withColumn("prev_value", F.lag("value").over(w))
-        .withColumn("prev_ts", F.lag("__sts").over(w))
-        .withColumn("next_ts", F.lead("__sts").over(w))
-        .withColumn("dv", F.col("value") - F.col("prev_value"))
-        .withColumn("dt", F.col("__sts") - F.col("prev_ts"))
-        .withColumn("pos_dv", pos_dv_expr(F.col("value"), F.col("prev_value")))
-        .withColumn(
-            "next_value",
-            F.lead("value").over(w) if needs_lead else F.lit(None).cast("double"),
-        )
-        .withColumn(
-            "next_pos_dv",
-            F.lead("pos_dv").over(w)
-            if needs_lead
-            else F.lit(None).cast("double"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
+    base = ["__series_key", "name", "labels", "__sts", "value"]
+    null_d = F.lit(None).cast("double")
+    df = df.select(
+        *base,
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("__sts").over(w).alias("prev_ts"),
+        F.lead("__sts").over(w).alias("next_ts"),
+        (F.lead("value").over(w) if needs_lead else null_d).alias(
+            "next_value"
+        ),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__cnt"),
+    )
+    df = df.select(
+        "*",
+        (F.col("value") - F.col("prev_value")).alias("dv"),
+        (F.col("__sts") - F.col("prev_ts")).alias("dt"),
+        pos_dv_expr(F.col("value"), F.col("prev_value")).alias("pos_dv"),
+    )
+    # per-series maxPrevInterval (getScrapeInterval + getMaxPrevInterval,
+    # rollup.go:871-919): 0.6 quantile of the gaps whose later sample is
+    # among the series' last 20, tier-inflated; instant queries use the
+    # step directly (rollup.go:723-727). The quantile is MATERIALIZED
+    # before the tier CASE — composing the CASE over the raw quantile
+    # Column would inline the percentile window expression ~30×.
+    rn_desc = F.col("__cnt") - F.col("__rn") + 1
+    df = df.select(
+        "*",
+        (
+            F.lead("pos_dv").over(w) if needs_lead else null_d
+        ).alias("next_pos_dv"),
         # running reset-adjusted sum: window quantities are SINGLE
         # subtractions of two readings of this sequential sum, so a SQL
         # oracle computing the identical cumulative chain reproduces the
         # result bit-for-bit (same additions in the same order)
-        .withColumn(
-            "__cum", F.sum(F.coalesce(F.col("pos_dv"), F.lit(0.0))).over(wback)
+        F.sum(F.coalesce(F.col("pos_dv"), F.lit(0.0)))
+        .over(wback)
+        .alias("__cum"),
+        F.percentile(
+            F.when(rn_desc <= 20, F.col("dt").cast("double")), F.lit(0.6)
         )
-        .withColumn("__cnt", F.count(F.lit(1)).over(wall))
+        .over(wall)
+        .alias("__q"),
     )
-
-    # per-series maxPrevInterval from window expressions (getScrapeInterval
-    # + getMaxPrevInterval, rollup.go:871-919): 0.6 quantile of the gaps
-    # whose later sample is among the series' last 20, tier-inflated;
-    # instant queries use the step directly (rollup.go:723-727)
     if cfg.start >= cfg.end:
+        si = F.lit(int(step)).cast("long")
         mpi = F.lit(int(step)).cast("long")
     else:
-        rn_desc = F.col("__cnt") - F.col("__rn") + 1
-        q = F.percentile(
-            F.when(rn_desc <= 20, F.col("dt").cast("double")), F.lit(0.6)
-        ).over(wall)
-        si = F.floor(q).cast("long")
-        si = F.when(si.isNull() | (si <= 0), F.lit(int(step))).otherwise(si)
-        mpi = max_prev_interval_expr(si)
-    df = df.withColumn("__mpi", mpi)
-
+        si0 = F.floor(F.col("__q")).cast("long")
+        si = F.when(si0.isNull() | (si0 <= 0), F.lit(int(step))).otherwise(
+            si0
+        )
+        mpi = None  # tiered below, over the materialized __si column
+    df = df.select("*", si.alias("__si"))
+    mpi_col = (
+        mpi if mpi is not None else max_prev_interval_expr(F.col("__si"))
+    )
     # per-series window: explicit stays fixed; implicit widens to
     # max(step, maxPrevInterval) for the adjustable functions
+    df = df.select("*", mpi_col.alias("__mpi"))
     if window_ms is None and name in ADJUST_WINDOW:
         win = F.greatest(F.lit(int(step)), F.col("__mpi"))
     else:
         win = F.lit(int(nominal_w)).cast("long")
-    df = df.withColumn("__win", win)
+    df = df.select("*", win.alias("__win"))
 
     # Role explode — each sample is the answer to three as-of lookups for
     # a contiguous run of grid points, so the per-series ranges of one
@@ -395,11 +413,14 @@ def span_rollup(
         ),
     )
     exploded = (
-        df.withColumn("__r", F.explode(roles))
-        .withColumn("__lo", F.greatest(F.lit(0), F.col("__r.lo")))
-        .withColumn("__hi", F.least(F.lit(npts - 1), F.col("__r.hi")))
+        df.select("*", F.explode(roles).alias("__r"))
+        .select(
+            "*",
+            F.greatest(F.lit(0), F.col("__r.lo")).alias("__lo"),
+            F.least(F.lit(npts - 1), F.col("__r.hi")).alias("__hi"),
+        )
         .filter(F.col("__lo") <= F.col("__hi"))
-        .withColumn("i", F.explode(F.sequence("__lo", "__hi")))
+        .select("*", F.explode(F.sequence("__lo", "__hi")).alias("i"))
     )
 
     sample_struct = F.struct(
