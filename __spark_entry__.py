@@ -2051,6 +2051,73 @@ SELECT vec_id, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.2""",
 )
 
 
+def _emb_ivf_topk(spark, sf_dir, load):
+    """IVF approximate TOP-K (operators/knn.py:ivf_knn_topk): same
+    deterministic index as op_emb_ivf_knn, ranked by the 6-decimal
+    cosine with id tie-break so both engines agree on the k-boundary."""
+    from victoriametrics_spark.operators.knn import ivf_knn_topk
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_knn_topk(
+        df.filter(F.col("vec_id") != 0),
+        list(q),
+        10,
+        k_cells=8,
+        n_probe=2,
+        rank_rounded=True,
+    )
+
+
+_reg(
+    "op_emb_ivf_topk",
+    _op(_emb_ivf_topk),
+    """
+WITH cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+dists AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+           AS d
+    FROM embeddings e, cents c
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+qprobe AS (
+    SELECT cid FROM dists WHERE vec_id = 0 ORDER BY d, cid LIMIT 2
+),
+cand AS (
+    SELECT a.vec_id FROM assign a JOIN qprobe p ON a.cell = p.cid
+    WHERE a.vec_id != 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored
+ORDER BY round(cosine, 6) DESC, vec_id ASC LIMIT 10""",
+)
+
+
 def _emb_cosine_dedup(spark, sf_dir, load):
     """Embedding-cosine near-dup pairs within each label group
     (operators/knn.py:pairwise_cosine_within) — the label plays the
@@ -2949,6 +3016,7 @@ _DRIVER_PRIORITY = [
     "mq_increase_prometheus",
     "lql_coalesce_pipe",
     "lql_json_array_concat",
+    "op_emb_ivf_topk",
     "mq_stdvar_over_time",
     "mq_range_over_time",
     "mq_last_over_time",

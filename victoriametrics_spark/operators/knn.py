@@ -71,14 +71,50 @@ def brute_force_topk(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rank_rounded: bool = False,
 ) -> DataFrame:
-    """Exact top-k by cosine (ties broken by id for determinism)."""
+    """Exact top-k by cosine (ties broken by id for determinism).
+    ``rank_rounded`` ranks by the 6-decimal-rounded cosine instead of
+    the raw float so an independent engine summing in a different order
+    reproduces the exact same k-boundary (used by the DuckDB gates)."""
     scored = cosine_to_query(df, query, vec_col, id_col)
+    rank_col = (
+        F.round("cosine", 6) if rank_rounded else F.col("cosine")
+    )
     return (
-        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        scored.orderBy(rank_col.desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_knn_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int,
+    k_cells: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+    rank_rounded: bool = False,
+) -> DataFrame:
+    """Approximate top-k: brute_force_topk restricted to the ``n_probe``
+    IVF cells nearest the query (ties broken by id for determinism).
+    The scale path: a probe scans ~n_probe/k_cells of the corpus with
+    the cell id as the partition key at ingest."""
+    if centroids is None:
+        centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probe]
+    cand = df.filter(ivf_cell(F.col(vec_col), centroids).isin(probe_ids))
+    return brute_force_topk(cand, query, k, vec_col, id_col, rank_rounded)
 
 
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
