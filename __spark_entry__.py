@@ -560,8 +560,10 @@ for _name, _mq_fn, _agg in [
                      ELSE 0.0 END)[1])[1]
             END)[1]""",
     ),
+    # rollupDeltaPrometheus: <2 in-window samples → no point
     ("mq_delta_prometheus", "delta_prometheus(events_value[1d])",
-     "max_by(value, ts) - min_by(value, ts)"),
+     "CASE WHEN count(*) >= 2 THEN max_by(value, ts) - min_by(value, ts)"
+     " END"),
     (
         "mq_resets",
         "resets(events_value[1d])",

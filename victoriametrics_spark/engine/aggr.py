@@ -173,7 +173,13 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return _shape(out)
 
     if name == "quantile":
+        import math as _math
+
         phi = planner.const_value(ae.args[0], cfg)
+        if _math.isnan(phi):
+            # quantileSorted(NaN) → NaN at every point → no rows
+            # (aggr.go:922-925)
+            return df.limit(0).select("name", "labels", "ts", "value")
         if phi < 0 or phi > 1:
             # quantile.go: phi outside [0,1] → ∓Inf
             bound = float("-inf") if phi < 0 else float("inf")
@@ -224,7 +230,12 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return _shape(out)
 
     if name in ("topk", "bottomk"):
-        k = int(planner.const_value(ae.args[0], cfg))
+        import math as _math
+
+        k_raw = planner.const_value(ae.args[0], cfg)
+        # NaN/negative k keeps nothing (VM: int(ks[i]) per timestamp,
+        # NaN → 0 — exec_test `sort(topk(NaN, ...))` expects empty)
+        k = 0 if _math.isnan(k_raw) else int(k_raw)
         desc = name == "topk"
         # NaN ranks below every number in both directions (lessWithNaNs /
         # greaterWithNaNs, aggr.go:1259-1279); Spark sorts NaN as the
@@ -242,8 +253,11 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return out.select("name", "labels", "ts", "value")
 
     if name.startswith(("topk_", "bottomk_")):
+        import math as _math
+
         base, metric = name.split("_", 1)
-        k = int(planner.const_value(ae.args[0], cfg))
+        k_raw = planner.const_value(ae.args[0], cfg)
+        k = 0 if _math.isnan(k_raw) else int(k_raw)
         rank_agg = _SERIES_RANK[metric]()
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         series_stats = df.groupBy("__gkey", "__sk").agg(rank_agg.alias("__rank"))

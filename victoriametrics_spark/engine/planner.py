@@ -188,7 +188,15 @@ class Planner:
 
         e = parse(query) if isinstance(query, str) else query
         e = optimize(e)
-        return self.materialize(self.plan(e, self.cfg), self.cfg)
+        out = self.materialize(self.plan(e, self.cfg), self.cfg)
+        # NaN points survive DURING evaluation (a NaN-valued series must
+        # exist as a binop operand — `x != label_set(NaN, ...)`), but are
+        # absent from the RESULT, like VM's removeEmptySeries/NaN
+        # filtering at render time (exec.go:130; exec_test expects
+        # `time()*(-4)^0.5` and `nan != 1` to return nothing)
+        return out.filter(
+            F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+        )
 
     # ------------------------------------------------------------ helpers
     def materialize(self, p: Plan, cfg: EvalConfig) -> DataFrame:

@@ -319,7 +319,12 @@ _simple("increase_prometheus", _inc_prom, needs_prev=True)
 _simple(
     "rate_prometheus", lambda a: _inc_prom(a) / F.lit(a.window_s), needs_prev=True
 )
-_simple("delta_prometheus", lambda a: _last_v() - _first_v())
+# rollupDeltaPrometheus (rollup.go:1993-2002): strictly in-window,
+# fewer than 2 samples → NaN (no point)
+_simple(
+    "delta_prometheus",
+    lambda a: F.when(F.count(V()) >= 2, _last_v() - _first_v()),
+)
 
 # delta (VM flavor): last - first, using prev-of-first as base when present
 _reg(

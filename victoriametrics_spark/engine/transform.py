@@ -124,7 +124,7 @@ _ARITY: dict[str, tuple[int, int | None]] = {
     "label_mismatch": (3, 3),
     "labels_equal": (3, None),
     "drop_common_labels": (1, None),
-    "union": (1, None),
+    "union": (0, None),  # union() / () → empty result (exec_test)
     "prometheus_buckets": (1, 1),
     "buckets_limit": (2, 2),
 }
@@ -269,8 +269,13 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
 
     if name in ("bitmap_and", "bitmap_or", "bitmap_xor"):
         # bitwise ops on the integer parts (transform.go bitmap funcs);
-        # non-integral/NaN inputs drop the point (NaN result in VM)
+        # non-integral/NaN inputs drop the point (NaN result in VM —
+        # exec_test bitmap_and(NaN, 1) / bitmap_and(1, NaN) are empty)
+        import math as _math
+
         mask = planner.const_value(fe.args[1], cfg)
+        if _math.isnan(mask):
+            return Scalar(fn=lambda ts: F.lit(None).cast("double"))
         m = int(mask)
         bop = {
             "bitmap_and": lambda v: v.bitwiseAND(F.lit(m)),
@@ -281,7 +286,7 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
             planner,
             fe,
             cfg,
-            lambda v, ts: bop(v.cast("long")).cast("double"),
+            lambda v, ts: bop(v.try_cast("long")).cast("double"),
         )
 
     # ---- query-context scalars ------------------------------------------
@@ -351,6 +356,13 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         # set are skipped) — EXCEPT when every arg is a scalar: then all
         # are returned, for `q == (v1, ..., vN)` membership lists
         # (transform.go:1748-1756 areAllArgsScalar)
+        if not fe.args:
+            # `()` / `union()` → empty result (exec_test union())
+            from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+            return planner.spark.createDataFrame([], SAMPLE_SCHEMA).select(
+                "name", "labels", "ts", "value"
+            )
         plans = [planner.plan(a, cfg) for a in fe.args]
         all_scalar = all(isinstance(p, Scalar) for p in plans)
         dfs = [planner.materialize(p, cfg) for p in plans]
