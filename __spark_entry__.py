@@ -3019,6 +3019,10 @@ _DRIVER_PRIORITY = [
     "lql_coalesce_pipe",
     "lql_json_array_concat",
     "op_emb_ivf_topk",
+    # aggr code paths touched by the round-7 parity fixes (topk NaN-k
+    # guard, quantile NaN-phi guard) — need fresh driver verdicts
+    "mq_topk_max",
+    "mq_quantile_sumot_by",
     "mq_stdvar_over_time",
     "mq_range_over_time",
     "mq_last_over_time",

@@ -310,6 +310,36 @@ def test_multimodal_real_decode(spark):
     assert (r["width"], r["height"]) != (8, 8)
 
 
+def test_multimodal_mp4_box_walk(spark):
+    """Minimal synthetic ISO-BMFF: the REAL box walk reads the video
+    track's tkhd dimensions and the stsz sample count."""
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    tkhd = (
+        b"\x00" + b"\x00" * 3  # version/flags
+        + b"\x00" * 72  # times/ids/matrix (version 0 layout)
+        + struct.pack(">I", 640 << 16)  # width 16.16
+        + struct.pack(">I", 360 << 16)  # height 16.16
+    )
+    stsz = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 240)  # 240 samples
+    stbl = box(b"stbl", box(b"stsz", stsz))
+    trak = box(
+        b"trak",
+        box(b"tkhd", tkhd) + box(b"mdia", box(b"minf", stbl)),
+    )
+    mp4 = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"moov", trak)
+    df = spark.createDataFrame(
+        [(1, "video", mp4, "mp4")], ["media_id", "kind", "content", "format"]
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (640, 360, 240)
+    plan = frame_sample_plan(df, every_n=60).collect()
+    assert [p["frame_idx"] for p in plan] == [0, 60, 120, 180]
+
+
 def test_ivf_knn_subset_of_brute(embs):
     from victoriametrics_spark.operators.knn import (
         deterministic_centroids,

@@ -3,12 +3,13 @@ with typed metadata, processed by Arrow-batched pandas stages.
 
 Round 7: the decode step is REAL for the container-formats the Python
 stdlib can handle — PNG (signature + IHDR + CRC check + zlib-inflated
-IDAT size validation), GIF, JPEG (SOF scan), BMP, and WAV (``wave``
-module: channels / sample rate / frame count). Content that is none of
-these (or video containers, which need codec libs absent from this
-container) falls back to the clearly-marked deterministic fake keyed on
-the content hash, so pipelines and tests stay exact end-to-end either
-way. The Spark-side shape is identical for both paths: one Arrow pass
+IDAT size validation), GIF, JPEG (SOF scan), BMP, WAV (``wave``
+module: channels / sample rate / frame count) and MP4/ISO-BMFF (box
+walk: video-track tkhd dimensions + stsz frame count — no codec work,
+but the container metadata every frame-sampling plan needs is real).
+Unrecognizable content falls back to the clearly-marked deterministic
+fake keyed on the content hash, so pipelines and tests stay exact
+end-to-end either way. The Spark-side shape is identical for both paths: one Arrow pass
 via mapInPandas, bounded memory per batch.
 
 Decoded-column semantics by kind:
@@ -16,7 +17,8 @@ Decoded-column semantics by kind:
          blocks counted)
   audio: width = channel count, height = sample rate (Hz),
          n_frames = audio frame count
-  video: no stdlib codec → deterministic fake dimensions
+  video: MP4 container parse (tkhd dims, stsz frame count); other
+         containers → deterministic fake dimensions
 
 Scale shape: mapInPandas streams Arrow batches through Python once;
 metadata extraction stays JVM-side so pruning/filtering on metadata never
@@ -174,7 +176,79 @@ def _decode_wav(b: bytes) -> tuple[int, int, int] | None:
         return None
 
 
-_DECODERS = (_decode_png, _decode_gif, _decode_bmp, _decode_jpeg, _decode_wav)
+def _mp4_children(b: bytes, start: int, end: int):
+    """Iterate (box_type, payload_start, payload_end) of an ISO-BMFF
+    container range."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, path: list[bytes]):
+    """First box at the given nested path, as (payload_start, payload_end)."""
+    if not path:
+        return start, end
+    for btype, ps, pe in _mp4_children(b, start, end):
+        if btype == path[0]:
+            found = _mp4_find(b, ps, pe, path[1:])
+            if found is not None:
+                return found
+    return None
+
+
+def _decode_mp4(b: bytes) -> tuple[int, int, int] | None:
+    """MP4/ISO-BMFF: real box walk — track dimensions from the video
+    trak's tkhd (16.16 fixed point) and the frame count from its stbl's
+    stsz/stz2 sample count. No codec work, pure container parsing."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    for btype, ps, pe in _mp4_children(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for t, ts_, te in _mp4_children(b, ps, pe):
+            if t != b"trak":
+                continue
+            tk = _mp4_find(b, ts_, te, [b"tkhd"])
+            if tk is None:
+                continue
+            version = b[tk[0]]
+            # width/height are the LAST 8 payload bytes (16.16 fixed)
+            w = struct.unpack(">I", b[tk[1] - 8 : tk[1] - 4])[0] >> 16
+            h = struct.unpack(">I", b[tk[1] - 4 : tk[1]])[0] >> 16
+            if w == 0 or h == 0:
+                continue  # audio/hint track
+            n_frames = 1
+            st = _mp4_find(
+                b, ts_, te, [b"mdia", b"minf", b"stbl", b"stsz"]
+            ) or _mp4_find(b, ts_, te, [b"mdia", b"minf", b"stbl", b"stz2"])
+            if st is not None and st[1] - st[0] >= 12:
+                n_frames = struct.unpack(">I", b[st[0] + 8 : st[0] + 12])[0]
+            _ = version
+            return int(w), int(h), max(1, int(n_frames))
+    return None
+
+
+_DECODERS = (
+    _decode_png,
+    _decode_gif,
+    _decode_bmp,
+    _decode_jpeg,
+    _decode_wav,
+    _decode_mp4,
+)
 
 
 def _fake_decode(digest: bytes, kind: str) -> tuple[int, int, int]:
