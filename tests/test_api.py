@@ -438,3 +438,18 @@ def test_query_range_with_result_cache(spark, tmp_path):
     again = capi.query_range("avg_over_time(m[300s])", "300", "1800", "300")
     assert capi.cache.stats["mode"] == "hit_full"
     assert again["data"]["result"] == plain["data"]["result"]
+
+
+def test_prom_api_plan_cache(api):
+    """Repeated identical query_range calls reuse the constructed plan
+    (VM's parse-cache analog, parse_cache.go) and return identical
+    results; now()-dependent queries are never cached."""
+    api._plans.clear()
+    q = "sum(rate(http_requests_total[2m])) by (job)"
+    a = api.query_range(q, "1000", "2000", "200")
+    assert len(api._plans) == 1
+    b = api.query_range(q, "1000", "2000", "200")
+    assert len(api._plans) == 1  # reused, not re-planned
+    assert a == b
+    api.query_range("now()", "1000", "2000", "200")
+    assert len(api._plans) == 1  # now() excluded

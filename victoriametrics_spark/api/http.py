@@ -113,6 +113,8 @@ class PromAPI:
             samples = samples.drop("tenant")
         self.tenant = tenant
         self.samples = samples
+        # plan-level LRU for the uncached path (see _eval)
+        self._plans: dict = {}
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
@@ -135,7 +137,21 @@ class PromAPI:
         if self.cache is not None:
             df = self.cache.evaluate(query, self.samples, cfg)
         else:
-            df = evaluate(self.spark, query, self.samples, cfg)
+            # plan-level LRU (VM's parse-cache analog, parse_cache.go):
+            # repeated dashboard queries skip the Catalyst construction /
+            # analysis cost. Sound here because PromAPI pins ONE samples
+            # frame for its lifetime — the cached plan references the
+            # exact same source the uncached path would; each call still
+            # executes the plan fresh. Wall-clock-dependent expressions
+            # (now()) are excluded.
+            key = (query, start_ms, end_ms, step_ms)
+            df = None if "now(" in query else self._plans.get(key)
+            if df is None:
+                df = evaluate(self.spark, query, self.samples, cfg)
+                if "now(" not in query:
+                    self._plans[key] = df
+                    while len(self._plans) > 128:
+                        self._plans.pop(next(iter(self._plans)))
         rows = df.collect()
         series: dict = {}
         for r in rows:
