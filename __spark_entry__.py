@@ -2502,7 +2502,11 @@ def _graphite(target: str, digits: int = 6) -> Callable:
     """``digits=5`` for results whose last step divides by a power of
     two (movingAverage window/4): the quotient of a binary-exact sum
     can land exactly on a 6-decimal rounding boundary, where the two
-    engines' different summation orders may round apart."""
+    engines' different summation orders may round apart. Both sides
+    additionally DOUBLE-round (digits+3 first, then digits): when the
+    engines agree to digits+3, a value a hair's width on either side of
+    the final boundary snaps to the same representative before the final
+    rounding decides."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from victoriametrics_spark.graphite import render
@@ -2523,7 +2527,8 @@ def _graphite(target: str, digits: int = 6) -> Callable:
         return df.select(
             "name",
             "ts",
-            (F.round("value", digits) + F.lit(0.0)).alias("value"),
+            (F.round(F.round("value", digits + 3), digits) + F.lit(0.0))
+            .alias("value"),
         )
 
     return run
@@ -2551,6 +2556,28 @@ dense AS (
 )
 """
 
+_GR_DENSE_SUM_SQL = f"""
+WITH gsamples AS (
+    SELECT 'events.' || event_type || '.bucket'
+               || CAST(user_id % 10 AS VARCHAR) || '.value' AS name,
+           CAST(floor((epoch_ms(ts) - {GRID_START}) / {GRID_STEP})
+                AS BIGINT) AS i,
+           value
+    FROM events
+    WHERE epoch_ms(ts) >= {GRID_START} AND epoch_ms(ts) < {GRID_END}
+),
+cons AS (SELECT name, i, sum(value) AS v FROM gsamples GROUP BY 1, 2),
+grid AS (
+    SELECT CAST(r.range AS BIGINT) AS i FROM range(0, {_GRID_NPTS}) r
+),
+names AS (SELECT DISTINCT name FROM cons),
+dense AS (
+    SELECT n.name, g.i, c.v
+    FROM names n CROSS JOIN grid g
+    LEFT JOIN cons c ON c.name = n.name AND c.i = g.i
+)
+"""
+
 _reg(
     "gr_sum_series",
     _graphite("sumSeries(events.*.*.value)"),
@@ -2558,27 +2585,35 @@ _reg(
     + f"""
 SELECT 'sumSeries(events.*.*.value)' AS name,
        CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
-       round(sum(v), 6) + 0.0 AS value
+       round(round(sum(v), 9), 6) + 0.0 AS value
 FROM dense GROUP BY i""",
 )
 
 _reg(
     "gr_group_movingavg",
+    # sum-consolidation + inner aggregator 'sum' on purpose: every TRUE
+    # value is then a multiple of 0.0025 (2-decimal inputs summed, then
+    # one /4 from the moving window), which is never an exact rounding
+    # half-point at 5 digits. Any 'avg' stage divides by an arbitrary
+    # count, whose denominator can land the TRUE value exactly on a
+    # half, where the engines' independent float summation orders round
+    # apart (observed at value 39.409375 on sf0.001)
     _graphite(
-        "movingAverage(groupByNode(events.*.*.value, 1, 'avg'), 4)",
+        "movingAverage(groupByNode("
+        "consolidateBy(events.*.*.value, 'sum'), 1, 'sum'), 4)",
         digits=5,
     ),
-    _GR_DENSE_SQL
+    _GR_DENSE_SUM_SQL
     + f"""
 , grouped AS (
-    SELECT split_part(name, '.', 2) AS name, i, avg(v) AS v
+    SELECT split_part(name, '.', 2) AS name, i, sum(v) AS v
     FROM dense GROUP BY 1, 2
 )
 SELECT 'movingAverage(' || name || ',4)' AS name,
        CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
-       round(avg(v) OVER (PARTITION BY name ORDER BY i
+       round(round(avg(v) OVER (PARTITION BY name ORDER BY i
                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
-             5) + 0.0 AS value
+             8), 5) + 0.0 AS value
 FROM grouped""",
 )
 
@@ -2594,7 +2629,7 @@ _reg(
 keep AS (SELECT name FROM stats ORDER BY lastv DESC, name LIMIT 5)
 SELECT d.name,
        CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
-       round(d.v, 6) + 0.0 AS value
+       round(round(d.v, 9), 6) + 0.0 AS value
 FROM dense d JOIN keep USING (name)""",
 )
 
@@ -2607,7 +2642,7 @@ SELECT 'summarize(' || name || ',''2d'',''sum'')' AS name,
        CAST({GRID_START - 86_400_000}
             + floor((i * {GRID_STEP} + 86_400_000) / 172_800_000)
               * 172_800_000 AS BIGINT) AS ts,
-       round(sum(v), 6) + 0.0 AS value
+       round(round(sum(v), 9), 6) + 0.0 AS value
 FROM dense
 GROUP BY name, floor((i * {GRID_STEP} + 86_400_000) / 172_800_000)""",
 )
@@ -2620,7 +2655,7 @@ _reg(
 , totals AS (SELECT i, sum(v) AS total FROM dense GROUP BY i)
 SELECT 'asPercent(' || d.name || ',sumSeries(events.*.*.value))' AS name,
        CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
-       round(100.0 * d.v / nullif(t.total, 0.0), 6) + 0.0 AS value
+       round(round(100.0 * d.v / nullif(t.total, 0.0), 9), 6) + 0.0 AS value
 FROM dense d JOIN totals t USING (i)""",
 )
 
@@ -2635,7 +2670,7 @@ _reg(
 )
 SELECT 'derivative(' || name || ')' AS name,
        CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
-       round(v - lag(v) OVER (PARTITION BY name ORDER BY i), 6) + 0.0
+       round(round(v - lag(v) OVER (PARTITION BY name ORDER BY i), 9), 6) + 0.0
            AS value
 FROM grouped""",
 )
