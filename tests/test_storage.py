@@ -273,3 +273,41 @@ def test_multi_tenant_isolation(spark):
         assert "tenant" in plan and "PartitionFilters" in plan
     finally:
         drop_samples_table(spark, "t_tenants")
+
+
+def test_multi_tenant_logs_isolation(spark):
+    """Logs-side tenancy (VictoriaLogs AccountID/ProjectID headers):
+    tenant partitions the log table, scoped reads prune to the tenant's
+    directories, unscoped reads of tenanted tables are rejected."""
+    from datetime import datetime
+
+    from victoriametrics_spark.api.http import with_tenant
+    from victoriametrics_spark.logsql.parser import run_logsql
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        read_logs_table,
+        write_logs_table,
+    )
+
+    def mk(tag):
+        rows = [
+            (datetime(2024, 1, 1, h), f"{tag} msg {h}", "web")
+            for h in range(6)
+        ]
+        return spark.createDataFrame(rows, ["_time", "_msg", "app"])
+
+    df = with_tenant(mk("alpha"), "1").unionByName(with_tenant(mk("beta"), "2:0"))
+    write_logs_table(df, "t_logs_tenants", stream_fields=["app"], n_buckets=2)
+    try:
+        with pytest.raises(ValueError, match="multi-tenant"):
+            read_logs_table(spark, "t_logs_tenants")
+        t1 = read_logs_table(spark, "t_logs_tenants", tenant="1:0")
+        t2 = read_logs_table(spark, "t_logs_tenants", tenant="2:0")
+        assert "tenant" not in t1.columns
+        n1 = run_logsql(t1, "alpha | stats count() as n").collect()[0]["n"]
+        n2 = run_logsql(t2, "alpha | stats count() as n").collect()[0]["n"]
+        assert (n1, n2) == (6, 0)
+        plan = t1._jdf.queryExecution().executedPlan().toString()
+        assert "tenant" in plan
+    finally:
+        drop_samples_table(spark, "t_logs_tenants")

@@ -210,7 +210,9 @@ def write_logs_table(
 
     ``stream_fields`` (if given) materializes the canonical ``_stream``
     column first (pipes.set_stream_fields); otherwise the frame must
-    already carry one.
+    already carry one. A ``tenant`` column (VictoriaLogs AccountID/
+    ProjectID headers) becomes the leading partition directory, like
+    the samples table.
     """
     from victoriametrics_spark.logsql import pipes as _pipes
 
@@ -220,11 +222,12 @@ def write_logs_table(
     if "_stream" not in df.columns:
         df = df.withColumn("_stream", F.lit("{}"))
     df = df.withColumn("date", F.to_date(F.col("_time").cast("timestamp")))
+    log_parts = ["tenant", "date"] if "tenant" in df.columns else ["date"]
     (
         df.repartition(n_buckets, F.col("_stream"))
         .write.mode(mode)
         .format("parquet")
-        .partitionBy("date")
+        .partitionBy(*log_parts)
         .bucketBy(n_buckets, "_stream")
         .sortBy("_stream", "_time")
         .saveAsTable(table)
@@ -236,12 +239,20 @@ def read_logs_table(
     table: str,
     start_ms: int | None = None,
     end_ms: int | None = None,
+    tenant: str | None = None,
 ) -> DataFrame:
     """Partition-pruned log scan; day-granular, like the reference's
     daily partition selection. The exact ``_time`` range filter still
     applies inside the LogsQL query — this only bounds the directories
-    read."""
+    read. Multi-tenant tables require a ``tenant`` scope (VictoriaLogs
+    has no cross-tenant query either)."""
     df = spark.table(table)
+    if "tenant" in df.columns:
+        if tenant is None:
+            raise ValueError(
+                f"table {table!r} is multi-tenant; pass tenant='a:p'"
+            )
+        df = df.filter(F.col("tenant") == tenant)
     if start_ms is not None:
         df = df.filter(
             F.col("date") >= F.to_date(F.timestamp_millis(F.lit(start_ms)))
@@ -250,4 +261,4 @@ def read_logs_table(
         df = df.filter(
             F.col("date") <= F.to_date(F.timestamp_millis(F.lit(end_ms)))
         )
-    return df.drop("date")
+    return df.drop("date", "tenant")
