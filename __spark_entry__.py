@@ -239,6 +239,39 @@ _SPAN_VALUE_SQL = {
              WHEN n = 1 THEN f_v
              WHEN n = 0 AND el THEN 0.0
              ELSE NULL END""",
+    # ---- eligibility family (round 8): changes/resets/lifetime/lag/
+    # scrape_interval consume the eligibility-gated prevValue
+    # (rollup.go:780-785); running count/sum subtractions mirror the
+    # engine's cum2 chain bit-for-bit
+    "changes": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN a_ts IS NOT NULL AND n >= 1
+                  THEN l_cum_chg - coalesce(a_cum_chg, 0.0)
+             WHEN n >= 1 THEN 1.0 + (l_cum_chg - f_cum_chg)
+             ELSE NULL END""",
+    "resets": """
+        CASE WHEN el AND n = 0 THEN 0.0
+             WHEN el THEN l_cum_rst - coalesce(a_cum_rst, 0.0)
+             WHEN n >= 1 THEN l_cum_rst - f_cum_rst
+             ELSE NULL END""",
+    "lifetime": """
+        CASE WHEN el AND n >= 1 THEN (l_ts - a_ts) / 1000.0
+             WHEN n >= 2 THEN (l_ts - f_ts) / 1000.0
+             ELSE NULL END""",
+    "lag": """
+        CASE WHEN n >= 1 THEN (gts - l_ts) / 1000.0
+             WHEN el THEN (gts - a_ts) / 1000.0
+             ELSE NULL END""",
+    "scrape_interval": """
+        CASE WHEN el AND n >= 1 THEN ((l_ts - a_ts) / 1000.0) / n
+             WHEN n >= 2 THEN ((l_ts - f_ts) / 1000.0) / (n - 1)
+             ELSE NULL END""",
+    # rate_over_sum: in-window value sum as a running-sum subtraction,
+    # divided by the (explicit) window
+    "rate_over_sum": """
+        CASE WHEN n >= 1
+             THEN (l_cum_v - f_cum_v + f_v) / (__WINDOW_MS__ / 1000.0)
+             ELSE NULL END""",
 }
 
 
@@ -265,7 +298,8 @@ def _span_oracle(
     sql = f"""
 WITH samples0 AS ({_SAMPLES_SQL}),
 samples AS (
-    SELECT * FROM samples0 WHERE ts > {fetch_lo} AND ts <= {end}
+    -- inclusive fetch lower bound, like VM's storage search
+    SELECT * FROM samples0 WHERE ts >= {fetch_lo} AND ts <= {end}
 ),
 wp AS (
     SELECT samples.*,
@@ -283,13 +317,23 @@ wp2 AS (
 ),
 wp3 AS (
     SELECT wp2.*,
+           lead(ts)     OVER w AS next_ts,
            lead(value)  OVER w AS next_value,
            lead(pos_dv) OVER w AS next_pos_dv,
-           sum(coalesce(pos_dv, 0.0)) OVER
-               (PARTITION BY event_type, user_bucket ORDER BY ts
-                ROWS UNBOUNDED PRECEDING) AS cum
+           sum(coalesce(pos_dv, 0.0)) OVER wc AS cum,
+           sum(CASE WHEN prev_value IS NOT NULL AND value != prev_value
+                         AND NOT (abs(value - prev_value)
+                                  < 1e-12 * abs(value))
+                    THEN 1.0 ELSE 0.0 END) OVER wc AS cum_chg,
+           sum(CASE WHEN prev_value IS NOT NULL AND value < prev_value
+                         AND NOT (abs(value - prev_value)
+                                  < 1e-12 * abs(value))
+                    THEN 1.0 ELSE 0.0 END) OVER wc AS cum_rst,
+           sum(value) OVER wc AS cum_v
     FROM wp2
-    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts)
+    WINDOW w AS (PARTITION BY event_type, user_bucket ORDER BY ts),
+           wc AS (PARTITION BY event_type, user_bucket ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING)
 ),
 gaps AS (
     SELECT event_type, user_bucket,
@@ -336,6 +380,12 @@ inw AS (
            min_by(struct_pack(x := next_value), ts).x AS f_next_v,
            min_by(struct_pack(x := next_pos_dv), ts).x AS f_next_pos_dv,
            min_by(cum, ts) AS f_cum,
+           min_by(cum_chg, ts) AS f_cum_chg,
+           min_by(cum_rst, ts) AS f_cum_rst,
+           min_by(cum_v, ts) AS f_cum_v,
+           max_by(cum_chg, ts) AS l_cum_chg,
+           max_by(cum_rst, ts) AS l_cum_rst,
+           max_by(cum_v, ts) AS l_cum_v,
            max(ts) AS l_ts,
            max_by(value, ts) AS l_v,
            max_by(struct_pack(x := pos_dv), ts).x AS l_pos_dv,
@@ -347,7 +397,9 @@ inw AS (
 ),
 anc AS (
     SELECT sg.event_type, sg.user_bucket, sg.gts, sg.mpi,
-           a.ts AS a_ts, a.value AS a_v, a.cum AS a_cum
+           a.ts AS a_ts, a.value AS a_v, a.cum AS a_cum,
+           a.cum_chg AS a_cum_chg, a.cum_rst AS a_cum_rst,
+           a.next_ts AS a_next_ts
     FROM sg ASOF LEFT JOIN wp3 a
       ON sg.event_type = a.event_type
      AND sg.user_bucket = a.user_bucket
@@ -360,14 +412,22 @@ st AS (
            i.l_cum - i.f_cum AS s_tail,
            i.f_ts, i.f_v, i.f_pos_dv, i.f_dv, i.f_dt,
            i.f_next_v, i.f_next_pos_dv,
+           i.f_cum_chg, i.f_cum_rst, i.f_cum_v,
+           i.l_cum_chg, i.l_cum_rst, i.l_cum_v,
+           anc.a_cum_chg, anc.a_cum_rst,
            i.l_ts, i.l_v, i.l_pos_dv, i.l_dv, i.l_dt,
            anc.a_ts, anc.a_v,
            (anc.a_ts IS NOT NULL
-            AND anc.a_ts > anc.gts - {window_ms} - anc.mpi) AS el
+            AND anc.a_ts > anc.gts - {window_ms} - anc.mpi
+            -- rollup.go:781 i < len(timestamps): a fetched sample must
+            -- exist after the window start for prevValue to be set
+            AND anc.a_next_ts IS NOT NULL) AS el
     FROM anc LEFT JOIN inw i USING (event_type, user_bucket, gts)
 ),
 per_series AS (
-    SELECT event_type, user_bucket, gts, ({_SPAN_VALUE_SQL[func]}) AS value
+    SELECT event_type, user_bucket, gts,
+           ({_SPAN_VALUE_SQL[func].replace("__WINDOW_MS__", str(window_ms))})
+           AS value
     FROM st
 )"""
     if total_outer is not None:
@@ -489,21 +549,8 @@ for _name, _mq_fn, _agg in [
         "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(value)",
     ),
 
-    (
-        "mq_lifetime",
-        "lifetime(events_value[1d])",
-        "(max(ts) - min(ts)) / 1000.0",
-    ),
-    (
-        "mq_lag",
-        "lag(events_value[1d])",
-        "(gts - max(ts)) / 1000.0",
-    ),
-    (
-        "mq_scrape_interval",
-        "scrape_interval(events_value[1d])",
-        "((max(ts) - min(ts)) / 1000.0) / (count(value) - 1)",
-    ),
+    # (lifetime/lag/scrape_interval moved to the span-form eligibility
+    # oracles below — round-8 parity closure, rollup.go:780-785)
     # deriv family: ts-sorted sequential fold on BOTH sides (bit-identical
     # IEEE op order — see engine/rollup.py deriv notes)
     (
@@ -564,18 +611,7 @@ for _name, _mq_fn, _agg in [
     ("mq_delta_prometheus", "delta_prometheus(events_value[1d])",
      "CASE WHEN count(*) >= 2 THEN max_by(value, ts) - min_by(value, ts)"
      " END"),
-    (
-        "mq_resets",
-        "resets(events_value[1d])",
-        "CAST(sum(CASE WHEN prev_value IS NOT NULL AND value < prev_value"
-        " THEN 1 ELSE 0 END) AS DOUBLE)",
-    ),
-    (
-        "mq_changes",
-        "changes(events_value[1d])",
-        "CAST(sum(CASE WHEN prev_value IS NOT NULL AND value != prev_value"
-        " THEN 1 ELSE 0 END) AS DOUBLE)",
-    ),
+    # (changes/resets moved to the span-form eligibility oracles below)
     (
         "mq_increases_over_time",
         "increases_over_time(events_value[1d])",
@@ -673,8 +709,25 @@ _reg(
 _reg(
     "mq_rate_over_sum",
     _mq("rate_over_sum(events_value[1d])", PER_SERIES, scale=86400.0),
-    _rollup_oracle("sum(value) / 86400.0", W1D, scale=86400.0),
+    _span_oracle("rate_over_sum", W1D, scale=86400.0),
 )
+
+# ---- eligibility-family rollups (engine/span.py round 8) -------------
+# VM-exact prevValue eligibility (rollup.go:780-785): the pre-window
+# anchor counts only when within maxPrevInterval of the window start AND
+# a fetched sample exists after the window start; changes counts a
+# brand-new series' appearance as one change, resets falls back to the
+# first in-window sample, lag/changes/resets emit empty-window points
+# while the anchor stays eligible.
+for _name, _mq_fn, _span_fn in [
+    ("mq_changes", "changes(events_value[1d])", "changes"),
+    ("mq_resets", "resets(events_value[1d])", "resets"),
+    ("mq_lifetime", "lifetime(events_value[1d])", "lifetime"),
+    ("mq_lag", "lag(events_value[1d])", "lag"),
+    ("mq_scrape_interval", "scrape_interval(events_value[1d])",
+     "scrape_interval"),
+]:
+    _reg(_name, _mq(_mq_fn, PER_SERIES), _span_oracle(_span_fn, W1D))
 
 # ---- cross-series aggregates over rollups ----------------------------
 for _name, _mq_fn, _inner, _outer, _needs_prev in [

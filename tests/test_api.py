@@ -442,14 +442,22 @@ def test_query_range_with_result_cache(spark, tmp_path):
 
 def test_prom_api_plan_cache(api):
     """Repeated identical query_range calls reuse the constructed plan
-    (VM's parse-cache analog, parse_cache.go) and return identical
+    via the ENGINE-level LRU (engine/plancache.py — VM's parse-cache
+    analog, moved below the API layer in round 8) and return identical
     results; now()-dependent queries are never cached."""
-    api._plans.clear()
+    from victoriametrics_spark.engine.plancache import GLOBAL_PLAN_CACHE
+
+    GLOBAL_PLAN_CACHE.clear()
+    GLOBAL_PLAN_CACHE.stats.update(hits=0, misses=0, bypass=0)
     q = "sum(rate(http_requests_total[2m])) by (job)"
     a = api.query_range(q, "1000", "2000", "200")
-    assert len(api._plans) == 1
+    assert GLOBAL_PLAN_CACHE.stats["misses"] == 1
     b = api.query_range(q, "1000", "2000", "200")
-    assert len(api._plans) == 1  # reused, not re-planned
+    assert GLOBAL_PLAN_CACHE.stats["hits"] == 1  # reused, not re-planned
     assert a == b
+    # whitespace-insensitive: the canonical AST is the key
+    api.query_range("sum( rate(http_requests_total[2m]) ) by (job)",
+                    "1000", "2000", "200")
+    assert GLOBAL_PLAN_CACHE.stats["hits"] == 2
     api.query_range("now()", "1000", "2000", "200")
-    assert len(api._plans) == 1  # now() excluded
+    assert GLOBAL_PLAN_CACHE.stats["bypass"] >= 1  # now() excluded

@@ -62,28 +62,44 @@ def test_rate_single_sample_no_anchor_yields_nothing(spark):
     assert out == {}
 
 
-def test_rate_empty_window_ghost_zero(spark):
-    """An empty window with an anchor within maxPrevInterval of its
-    start emits 0 ('the value didn't change'), then nothing once the
-    anchor ages out."""
-    # 1m cadence ending shortly before the range → mpi = 1m*5 = 5m tier?
-    # gaps 60s ≤ 2s? no → ≤4s no ≤8s no ≤16s no ≤32s no → 60s>32s tier:
-    # si + si/8 = 60000 + 7500 = 67.5s
+def test_rate_stopped_scrape_goes_stale(spark):
+    """A series whose last sample precedes every window start emits NO
+    points (rollup.go:781: prevValue requires a fetched sample after the
+    window start — `i < len(timestamps)`). A stopped scrape must go
+    stale, not show rate()=0 forever."""
     pts = [(T0 - i * MIN, 100.0 - i) for i in range(1, 22)][::-1]
     samples = _mk(spark, pts)
     cfg = EvalConfig(start=T0, end=T0 + 10 * MIN, step=1 * MIN)
     out = _vals(evaluate(spark, "rate(c[1m])", samples, cfg))
-    # window (T0-1m, T0] holds the last sample (T0-1m excluded? sample
-    # at exactly T0-1m is excluded; the last sample IS at T0-1m) → the
-    # T0 window is empty, anchor at T0-1m is within 1m+67.5s → ghost 0.
-    assert out[T0] == 0.0
-    # at T0+1m: window (T0, T0+1m] empty; anchor T0-1m; eligible iff
-    # T0-1m > T0+1m-1m-67.5s = T0-67.5s → 1m-ago < 67.5s ago ✓ → 0
+    # last sample is AT T0-1m; every grid window (g-1m, g] for g >= T0
+    # is empty AND no fetched sample lies after any window start → the
+    # anchor is never eligible → no ghost points anywhere
+    assert out == {}
+
+
+def test_rate_empty_window_ghost_zero_mid_gap(spark):
+    """An empty window INSIDE a live series (gap in the middle) emits 0
+    while the anchor stays within maxPrevInterval of the window start —
+    here the i < len(timestamps) gate holds because the series resumes."""
+    # 1m cadence, a 4-minute hole after T0, then the series resumes.
+    # gaps 60s → tier >32s: mpi = 60000 + 7500 = 67.5s
+    pts = [(T0 - i * MIN, 100.0 - i) for i in range(0, 21)][::-1]
+    pts += [(T0 + 4 * MIN, 104.0), (T0 + 5 * MIN, 105.0)]
+    samples = _mk(spark, pts)
+    cfg = EvalConfig(start=T0, end=T0 + 5 * MIN, step=1 * MIN)
+    out = _vals(evaluate(spark, "rate(c[1m])", samples, cfg))
+    # at T0+1m: window (T0, T0+1m] empty; anchor = T0 sample; eligible
+    # iff T0 > T0+1m-1m-67.5s = T0-67.5s ✓ and a later sample exists ✓
     assert out[T0 + 1 * MIN] == 0.0
-    # at T0+2m: anchor must be newer than T0+2m-1m-67.5s = T0-7.5s →
-    # T0-1m is too old → no point; same for later grid points
-    assert T0 + 2 * MIN not in out
-    assert T0 + 10 * MIN not in out
+    # at T0+2m: threshold T0+2m-1m-67.5s = T0-7.5s; T0 > T0-7.5s ✓ → 0
+    assert out[T0 + 2 * MIN] == 0.0
+    # at T0+3m: threshold T0+52.5s — the T0 anchor is too old → stale
+    assert T0 + 3 * MIN not in out
+    # at T0+4m the window holds ONE resumed sample with an ineligible
+    # anchor → no point (rate needs n≥2 without an anchor)
+    assert T0 + 4 * MIN not in out
+    # at T0+5m: anchor = T0+4m (eligible), span = 60s, adjusted Δ = 1
+    assert out[T0 + 5 * MIN] == pytest.approx(1.0 / 60.0, rel=1e-12)
 
 
 def test_partial_counter_reset(spark):
@@ -164,6 +180,7 @@ def test_scrape_interval_estimate_quantile(spark):
     # anchor = previous (3m ago) — 3m > 1m + 202.5s? 180s < 262.5s ✓
     # eligible → rate = adjusted delta / span = 1/180s
     assert out[last_ts] == pytest.approx(1.0 / 180.0, rel=1e-12)
-    # at g = last_ts+2m: empty window; anchor = last sample (2m ago);
-    # eligible iff last_ts > g - 1m - 202.5s = last_ts - 82.5s ✓ → 0
-    assert out[last_ts + 2 * MIN] == 0.0
+    # at g = last_ts+2m: empty window; anchor = last sample — but no
+    # fetched sample exists after the window start (the series stopped)
+    # → ineligible (rollup.go:781) → stale, no ghost 0
+    assert last_ts + 2 * MIN not in out

@@ -113,8 +113,6 @@ class PromAPI:
             samples = samples.drop("tenant")
         self.tenant = tenant
         self.samples = samples
-        # plan-level LRU for the uncached path (see _eval)
-        self._plans: dict = {}
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
@@ -137,21 +135,15 @@ class PromAPI:
         if self.cache is not None:
             df = self.cache.evaluate(query, self.samples, cfg)
         else:
-            # plan-level LRU (VM's parse-cache analog, parse_cache.go):
-            # repeated dashboard queries skip the Catalyst construction /
-            # analysis cost. Sound here because PromAPI pins ONE samples
-            # frame for its lifetime — the cached plan references the
-            # exact same source the uncached path would; each call still
-            # executes the plan fresh. Wall-clock-dependent expressions
-            # (now()) are excluded.
-            key = (query, start_ms, end_ms, step_ms)
-            df = None if "now(" in query else self._plans.get(key)
-            if df is None:
-                df = evaluate(self.spark, query, self.samples, cfg)
-                if "now(" not in query:
-                    self._plans[key] = df
-                    while len(self._plans) > 128:
-                        self._plans.pop(next(iter(self._plans)))
+            # plan caching (VM's parse-cache analog, parse_cache.go)
+            # lives BELOW this layer since round 8: engine.planner
+            # .evaluate consults the process-wide true-LRU plan cache
+            # (engine/plancache.py), keyed on (canonical AST, EvalConfig,
+            # input-plan semantic hash + file-staleness token) — so
+            # repeated dashboard queries skip Catalyst construction here
+            # AND for every other engine caller, and appends to the
+            # backing table invalidate automatically.
+            df = evaluate(self.spark, query, self.samples, cfg)
         rows = df.collect()
         series: dict = {}
         for r in rows:

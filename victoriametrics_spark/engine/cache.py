@@ -82,6 +82,26 @@ _RESULT_SCHEMA = (
 )
 
 
+def forward_looking(name: str) -> bool:
+    """True when the rollup's value at a grid point can change once LATER
+    samples arrive: ``integrate`` adds a tail term gated on the last
+    in-window sample having a NEXT sample (needs_fwd), and the
+    ``rollup_delta``/``rollup_deriv``/``rollup_increase``/``rollup_rate``
+    /``rollup_candlestick``/``rollup_scrape_interval`` family assigns
+    each sample its FORWARD delta (multirollup.py:105-116, VM preFunc
+    derivatives rollup.go:440-490). Caching such results would violate
+    the bit-for-bit cached==cold guarantee: appending samples after the
+    cached end changes points near the previously cached end."""
+    from victoriametrics_spark.engine.rollup import ROLLUPS
+
+    spec = ROLLUPS.get(name)
+    if spec is not None and spec.needs_fwd:
+        return True
+    from victoriametrics_spark.engine.multirollup import MULTI_ROLLUPS
+
+    return name in MULTI_ROLLUPS and name != "rollup"
+
+
 def estimate_dependent(fe) -> bool:
     """True when the rollup's values depend on the per-series
     scrape-interval ESTIMATE (engine/span.py), which is computed from the
@@ -94,12 +114,20 @@ def estimate_dependent(fe) -> bool:
     cached answer must equal a cold evaluation bit-for-bit — so the
     span family and implicitly-windowed adjustable functions bypass both
     cache levels. Documented deviation (SURVEY.md §4.1)."""
-    from victoriametrics_spark.engine.span import ADJUST_WINDOW, SPAN_ROLLUPS
+    from victoriametrics_spark.engine.span import (
+        ADJUST_WINDOW,
+        ELIGIBILITY_ROLLUPS,
+        SPAN_ROLLUPS,
+    )
     from victoriametrics_spark.metricsql.ast import RollupExpr
 
     if fe.name in SPAN_ROLLUPS:
         return True
-    if fe.name in ADJUST_WINDOW:  # deriv: widens only implicit windows
+    if fe.name in ELIGIBILITY_ROLLUPS and fe.name != "rate_over_sum":
+        # changes/resets/lifetime/lag/scrape_interval consult the
+        # estimate for anchor ELIGIBILITY even with explicit windows
+        return True
+    if fe.name in ADJUST_WINDOW:  # widens only implicit windows
         for a in fe.args:
             if isinstance(a, RollupExpr) and a.window is not None:
                 return False
@@ -150,7 +178,7 @@ class RollupResultCache:
                 ):
                     return False
                 if is_rollup_func(n):
-                    if estimate_dependent(e):
+                    if estimate_dependent(e) or forward_looking(n):
                         return False
                     # implicit subqueries: rollup over anything that is
                     # not a plain selector

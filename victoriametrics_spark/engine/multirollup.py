@@ -49,14 +49,25 @@ _KEEP_NAME = {"rollup", "rollup_candlestick", "quantiles_over_time", "holt_winte
 
 def _resolve(
     planner: "Planner", fe: FuncExpr, cfg: EvalConfig, series_idx: int = 0
-) -> tuple[RollupExpr, DataFrame, int, int]:
-    """Shared RollupExpr resolution (window default = step, offset)."""
+) -> tuple[RollupExpr, DataFrame, int, int, str | None]:
+    """Shared RollupExpr resolution (window default = step, offset).
+
+    Implicit windows of rollupFuncsCanAdjustWindow members (the
+    ``rollup_*`` multi-output family, rollup.go:204-219) widen to the
+    per-series max(step, maxPrevInterval) — returned as a window COLUMN
+    name for prepare_rollup_input, else None."""
+    from victoriametrics_spark.engine.span import ADJUST_WINDOW, attach_widened_window
+
     arg = fe.args[series_idx]
     re_ = arg if isinstance(arg, RollupExpr) else RollupExpr(expr=arg)
     offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
     window_ms = re_.window.ms(cfg.step) if re_.window else None
     raw, window_ms = planner.rollup_input(re_, window_ms, offset_ms, cfg, fe.name)
-    return re_, raw, window_ms, offset_ms
+    window_col = None
+    if re_.window is None and fe.name in ADJUST_WINDOW:
+        raw = attach_widened_window(raw, cfg, offset_ms)
+        window_col = "__win"
+    return re_, raw, window_ms, offset_ms, window_col
 
 
 def _emit_tagged(
@@ -131,7 +142,7 @@ def plan_multi_rollup(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> Data
             raise PlanError(f"{name}: second arg must be a string tag")
         only_tag = fe.args[1].value
 
-    re_, raw, window_ms, offset_ms = _resolve(planner, fe, cfg)
+    re_, raw, window_ms, offset_ms, window_col = _resolve(planner, fe, cfg)
 
     if name == "rollup_candlestick":
         # Candle at gts covers ts ∈ [gts+step-W, gts+step): the reference's
@@ -140,7 +151,8 @@ def plan_multi_rollup(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> Data
         # getFirstValueForCandlestick, rollup.go:2206-2226) reduce to
         # exactly this half-open interval.
         prepared = prepare_rollup_input(
-            raw, cfg, window_ms, offset_ms + 1 - cfg.step
+            raw, cfg, window_ms, offset_ms + 1 - cfg.step,
+            window_col=window_col,
         )
         pair = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
         grouped = prepared.groupBy("__series_key", "i").agg(
@@ -160,7 +172,8 @@ def plan_multi_rollup(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> Data
     else:
         needs_fwd = name != "rollup"
         prepared = prepare_rollup_input(
-            raw, cfg, window_ms, offset_ms, needs_fwd=needs_fwd
+            raw, cfg, window_ms, offset_ms, needs_fwd=needs_fwd,
+            window_col=window_col,
         )
         prepared = prepared.withColumn("__x", _x_column(name))
         grouped = prepared.groupBy("__series_key", "i").agg(
@@ -199,7 +212,7 @@ def plan_quantiles_over_time(
         raise PlanError("quantiles_over_time needs a label name first arg")
     label = fe.args[0].value
     phis = [planner.const_value(a, cfg) for a in fe.args[1:-1]]
-    re_, raw, window_ms, offset_ms = _resolve(
+    re_, raw, window_ms, offset_ms, window_col = _resolve(
         planner, fe, cfg, series_idx=len(fe.args) - 1
     )
     prepared = prepare_rollup_input(raw, cfg, window_ms, offset_ms)
@@ -226,7 +239,7 @@ def plan_count_values_over_time(
     if not isinstance(fe.args[0], StringExpr):
         raise PlanError("count_values_over_time needs a label name first arg")
     label = fe.args[0].value
-    re_, raw, window_ms, offset_ms = _resolve(planner, fe, cfg, series_idx=1)
+    re_, raw, window_ms, offset_ms, window_col = _resolve(planner, fe, cfg, series_idx=1)
     prepared = prepare_rollup_input(raw, cfg, window_ms, offset_ms)
     v = F.col("value")
     vstr = F.when(v == F.floor(v), v.cast("bigint").cast("string")).otherwise(
@@ -262,7 +275,7 @@ def plan_histogram_over_time(
     aggregate; non-positive values are not binned (documented delta:
     the reference's metrics.Histogram also tracks them in catch-all
     edge buckets)."""
-    re_, raw, window_ms, offset_ms = _resolve(planner, fe, cfg)
+    re_, raw, window_ms, offset_ms, window_col = _resolve(planner, fe, cfg)
     prepared = prepare_rollup_input(raw, cfg, window_ms, offset_ms)
     v = F.col("value")
     pos = prepared.filter(v > 0)
@@ -347,7 +360,7 @@ def plan_holt_winters(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> Data
     if not (0 <= sf <= 1) or not (0 <= tf <= 1):
         # VM yields NaN for out-of-range factors → empty result
         sf = tf = None
-    re_, raw, window_ms, offset_ms = _resolve(planner, fe, cfg)
+    re_, raw, window_ms, offset_ms, window_col = _resolve(planner, fe, cfg)
     prepared = prepare_rollup_input(
         raw, cfg, window_ms, offset_ms, needs_prev=True
     )
@@ -403,7 +416,7 @@ def plan_stale_samples_over_time(
 ) -> DataFrame:
     """Count staleness markers in the window (rollupStaleSamples) — the
     markers are kept (not filtered) for this rollup only."""
-    re_, raw, window_ms, offset_ms = _resolve(planner, fe, cfg)
+    re_, raw, window_ms, offset_ms, window_col = _resolve(planner, fe, cfg)
     prepared = prepare_rollup_input(
         raw, cfg, window_ms, offset_ms, keep_stale=True
     )

@@ -37,6 +37,7 @@ from victoriametrics_spark.engine.grid import (
 from victoriametrics_spark.engine.prefix import prefix_rollup
 from victoriametrics_spark.engine.span import (
     ADJUST_WINDOW,
+    ELIGIBILITY_ROLLUPS,
     SPAN_ROLLUPS,
     attach_widened_window,
     span_rollup,
@@ -318,9 +319,12 @@ class Planner:
         determines the result at each grid point), and its values do not
         depend on the range-end-sensitive scrape-interval estimate
         (engine/cache.py estimate_dependent)."""
-        from victoriametrics_spark.engine.cache import estimate_dependent
+        from victoriametrics_spark.engine.cache import (
+            estimate_dependent,
+            forward_looking,
+        )
 
-        if estimate_dependent(fe):
+        if estimate_dependent(fe) or forward_looking(fe.name):
             return False
         for a in fe.args:
             if isinstance(a, (NumberExpr, StringExpr, DurationExpr)):
@@ -366,7 +370,7 @@ class Planner:
         name = fe.name
         if name in PLANNER_LEVEL_ROLLUPS:
             return self.plan_special_rollup(fe, cfg)
-        if name in SPAN_ROLLUPS:
+        if name in SPAN_ROLLUPS or name in ELIGIBILITY_ROLLUPS:
             return self.plan_span_rollup(fe, cfg)
         spec = ROLLUPS.get(name)
         if spec is None:
@@ -528,13 +532,13 @@ class Planner:
         inner = re_.expr
         if isinstance(inner, MetricExpr):
             if window_ms is None:
-                # window-default rules (rollup.go:738-757): no-window rollup
-                # looks back one step; default_rollup additionally applies
-                # the staleness lookback so sparse series keep reporting.
-                if func_name == "default_rollup":
-                    window_ms = max(cfg.step, cfg.max_lookback)
-                else:
-                    window_ms = cfg.step
+                # window-default rules (rollup.go:747-756): a no-window
+                # rollup looks back one step; rollupFuncsCanAdjustWindow
+                # members (incl. default_rollup since round 8) widen to
+                # the per-series max(step, maxPrevInterval) via the
+                # __win column attached by the caller — the estimate
+                # replaces the former constant max(step, 300s) lookback.
+                window_ms = cfg.step
             return self.scan(inner), window_ms
         # subquery: evaluate inner expr on a finer child grid, then roll up.
         # Child bounds mirror evalRollupFuncWithSubquery (eval.go:1033):
@@ -659,10 +663,32 @@ def evaluate(
     query: str | Expr,
     samples: DataFrame,
     cfg: EvalConfig,
+    use_plan_cache: bool = True,
 ) -> DataFrame:
     """Evaluate a MetricsQL range query over a sample DataFrame.
 
     Returns DataFrame(name, labels, ts, value) on the grid
     [cfg.start..cfg.end] step cfg.step.
+
+    Repeated (query, cfg, input) triples reuse the analyzed plan from
+    the process-wide LRU (engine/plancache.py — parse_cache.go analog
+    below the API layer); each call still executes fresh, and the key's
+    file-staleness token guarantees a cache hit only while the scanned
+    files are byte-identical.
     """
-    return Planner(spark, samples, cfg).plan_query(query)
+    from victoriametrics_spark.engine.plancache import GLOBAL_PLAN_CACHE
+
+    key = None
+    if use_plan_cache:
+        k = GLOBAL_PLAN_CACHE.key_for(query, samples, cfg)
+        if k is not None:
+            key = (id(spark), k)
+            hit = GLOBAL_PLAN_CACHE.get(key)
+            if hit is not None:
+                return hit
+        else:
+            GLOBAL_PLAN_CACHE.stats["bypass"] += 1
+    out = Planner(spark, samples, cfg).plan_query(query)
+    if key is not None:
+        GLOBAL_PLAN_CACHE.put(key, out)
+    return out

@@ -24,7 +24,10 @@ sample span, not the nominal window:
   the new value, clamped at 0).
 - An EMPTY window whose eligible anchor exists yields 0 for
   rate/increase/delta/idelta/deriv_fast ("the value didn't change") —
-  the reference's grid emits real points there.
+  the reference's grid emits real points there. Eligibility requires a
+  fetched sample AFTER the window start too (rollup.go:781
+  ``i < len(timestamps)``), so a stopped scrape goes stale instead of
+  emitting 0 forever.
 
 Spark realization — ONE plan for every window/step ratio, shaped like
 engine/prefix.py: union the per-series samples (carrying lag/lead
@@ -71,12 +74,48 @@ SPAN_ROLLUPS = {
     "ideriv",  # rollupIderiv over raw values
 }
 
-# rollupFuncsCanAdjustWindow ∩ the functions this engine widens.
-# Decision (documented in SURVEY.md §2.3): the remaining members
-# (default_rollup, rate_over_sum, scrape_interval, timestamp, rollup_*)
-# keep their fixed-window contract — they diverge from VM only on
-# irregular series, and every driver-gate oracle encodes the fixed form.
-ADJUST_WINDOW = {"rate", "irate", "deriv", "deriv_fast", "ideriv"}
+# Round-8 closure of the non-span tail (the last §2.3 documented
+# deviation): these functions consume doInternal's eligibility-gated
+# prevValue/prevTimestamp (rollup.go:780-785) — the anchor sample
+# before the window start counts only when it lies within
+# maxPrevInterval of the window start AND a fetched sample exists after
+# the window start. They ride the same role-explode plan; changes /
+# resets additionally read a second running sum (in-window
+# change/reset counts as single subtractions, bit-reproducible).
+ELIGIBILITY_ROLLUPS = {
+    "changes",  # rollupChanges (el prev, realPrevValue fallback, n starts 1)
+    "resets",  # rollupResets (el prev, else count from first in-window)
+    "lifetime",  # rollupLifetime (l_ts − a_ts with el prev)
+    "lag",  # rollupLag (empty window → g − a_ts with el prev)
+    "scrape_interval",  # rollupScrapeInterval (also widens, below)
+    # no prev semantics, but divides by the per-series WIDENED window
+    # (rfa.window after rollup.go:747-756) — rides this plan for the
+    # per-series divisor + the running value sum
+    "rate_over_sum",  # rollupRateOverSum
+}
+
+# rollupFuncsCanAdjustWindow (rollup.go:204-219) — COMPLETE since round
+# 8: implicit lookbehind windows widen to max(step, maxPrevInterval) per
+# series. deriv widens on the generic regression path
+# (attach_widened_window); default_rollup / rate_over_sum / timestamp
+# widen on the generic path via the same per-series window column; the
+# rollup_* multi-output family widens in engine/multirollup.py.
+ADJUST_WINDOW = {
+    "default_rollup",
+    "deriv",
+    "deriv_fast",
+    "ideriv",
+    "irate",
+    "rate",
+    "rate_over_sum",
+    "rollup",
+    "rollup_candlestick",
+    "rollup_deriv",
+    "rollup_rate",
+    "rollup_scrape_interval",
+    "scrape_interval",
+    "timestamp",
+}
 
 
 def pos_dv_expr(value: Column, prev: Column) -> Column:
@@ -166,7 +205,8 @@ def attach_widened_window(
             "__series_key", series_key(F.col("name"), F.col("labels"))
         )
     fetched = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms)).filter(
-        (F.col("__sts") > F.lit(cfg.start - cfg.step - cfg.max_lookback))
+        # inclusive lower bound like VM's storage search (eval.go:1821-1832)
+        (F.col("__sts") >= F.lit(cfg.start - cfg.step - cfg.max_lookback))
         & (F.col("__sts") <= F.lit(cfg.end))
     )
     est = interval_estimates(fetched, cfg).select(
@@ -258,6 +298,51 @@ def _value_expr(name: str) -> Column:
             .when(n == 1, F.col("f_v"))  # assume prev was 0 → lastValue
             .when((n == 0) & el, F.lit(0.0))
         )
+    # ---- eligibility family (round 8): cum2 = function-specific second
+    # running sum (change count / reset count / raw value sum)
+    if name == "changes":  # rollupChanges
+        # with ANY prev sample the start point is the anchor value: the
+        # eligible prevValue and the unconditional realPrevValue are the
+        # SAME sample (LookbackDelta=0 default, rollup.go:786-805), so
+        # both branches collapse to C(l) − C(a); a brand-new series
+        # counts its appearance as one change (n++ on values[0])
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(
+                has_prev & (n >= 1),
+                F.col("l_cum2") - F.coalesce(F.col("a_cum2"), F.lit(0.0)),
+            )
+            .when(
+                n >= 1,
+                F.lit(1.0) + (F.col("l_cum2") - F.col("f_cum2")),
+            )
+        )
+    if name == "resets":  # rollupResets (no realPrevValue fallback)
+        return (
+            F.when(el & (n == 0), F.lit(0.0))
+            .when(
+                el, F.col("l_cum2") - F.coalesce(F.col("a_cum2"), F.lit(0.0))
+            )
+            .when(n >= 1, F.col("l_cum2") - F.col("f_cum2"))
+        )
+    if name == "lifetime":  # rollupLifetime
+        return F.when(
+            el & (n >= 1), (F.col("l_ts") - F.col("a_ts")) / sec
+        ).when(n >= 2, (F.col("l_ts") - F.col("f_ts")) / sec)
+    if name == "lag":  # rollupLag (currTimestamp = the grid point)
+        return F.when(n >= 1, (F.col("gts") - F.col("l_ts")) / sec).when(
+            el, (F.col("gts") - F.col("a_ts")) / sec
+        )
+    if name == "scrape_interval":  # rollupScrapeInterval
+        return F.when(
+            el & (n >= 1), ((F.col("l_ts") - F.col("a_ts")) / sec) / n
+        ).when(n >= 2, ((F.col("l_ts") - F.col("f_ts")) / sec) / (n - F.lit(1)))
+    if name == "rate_over_sum":  # rollupRateOverSum: sum / ADJUSTED window
+        return F.when(
+            n >= 1,
+            (F.col("l_cum2") - F.col("f_cum2") + F.col("f_v"))
+            / (F.col("__win") / sec),
+        )
     raise ValueError(f"not a span rollup: {name}")
 
 
@@ -285,10 +370,12 @@ def span_rollup(
             "__series_key", series_key(F.col("name"), F.col("labels"))
         )
     df = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms))
-    # fetch contract (eval.go:1821-1832): silence cushion so the anchor /
-    # widened window / estimate all see the same bounded lookback
+    # fetch contract (eval.go:1821-1832): minTimestamp = start −
+    # max(window, step) − silence, INCLUSIVE (storage search ranges are
+    # closed) — the silence cushion bounds the anchor / widened window /
+    # estimate lookback identically to VM
     df = df.filter(
-        (F.col("__sts") > F.lit(start - fetch_w - cfg.max_lookback))
+        (F.col("__sts") >= F.lit(start - fetch_w - cfg.max_lookback))
         & (F.col("__sts") <= F.lit(end))
     )
 
@@ -311,6 +398,27 @@ def span_rollup(
     needs_lead = name in ("increase", "delta")
     base = ["__series_key", "name", "labels", "__sts", "value"]
     null_d = F.lit(None).cast("double")
+    # second running sum for the eligibility family: in-window counts /
+    # sums read as single subtractions of two readings (bit-reproducible
+    # by the SQL oracles, same additions in the same order)
+    if name == "changes":
+        # value-change indicator with the reference's relative-precision
+        # guard (rollup.go:2162: |Δ| < 1e-12·|v| is a float artifact)
+        cum2_ind = (
+            F.col("prev_value").isNotNull()
+            & (F.col("value") != F.col("prev_value"))
+            & ~(F.abs(F.col("dv")) < F.lit(1e-12) * F.abs(F.col("value")))
+        ).cast("double")
+    elif name == "resets":
+        cum2_ind = (
+            F.col("prev_value").isNotNull()
+            & (F.col("value") < F.col("prev_value"))
+            & ~(F.abs(F.col("dv")) < F.lit(1e-12) * F.abs(F.col("value")))
+        ).cast("double")
+    elif name == "rate_over_sum":
+        cum2_ind = F.col("value")
+    else:
+        cum2_ind = None
     df = df.select(
         *base,
         F.lag("value").over(w).alias("prev_value"),
@@ -347,6 +455,11 @@ def span_rollup(
         F.sum(F.coalesce(F.col("pos_dv"), F.lit(0.0)))
         .over(wback)
         .alias("__cum"),
+        (
+            F.sum(cum2_ind).over(wback)
+            if cum2_ind is not None
+            else null_d
+        ).alias("__cum2"),
         F.percentile(
             F.when(rn_desc <= 20, F.col("dt").cast("double")), F.lit(0.6)
         )
@@ -426,12 +539,14 @@ def span_rollup(
     sample_struct = F.struct(
         F.col("__sts").alias("ts"),
         F.col("value").alias("v"),
+        F.col("next_ts").alias("next_ts"),
         F.col("pos_dv").alias("pos_dv"),
         F.col("dv").alias("dv"),
         F.col("dt").alias("dt"),
         F.col("next_value").alias("next_v"),
         F.col("next_pos_dv").alias("next_pos_dv"),
         F.col("__cum").alias("cum"),
+        F.col("__cum2").alias("cum2"),
         F.col("__rn").alias("rn"),
     )
     role = F.col("__r.role")
@@ -460,6 +575,10 @@ def span_rollup(
             "s_all"
         ),
         (F.col("__e.cum") - F.col("__f.cum")).alias("s_tail"),
+        F.col("__e.cum2").alias("l_cum2"),
+        F.col("__a.cum2").alias("a_cum2"),
+        F.col("__f.cum2").alias("f_cum2"),
+        F.col("__win").alias("__win"),
         F.col("__a.ts").alias("a_ts"),
         F.col("__a.v").alias("a_v"),
         F.col("__f.ts").alias("f_ts"),
@@ -477,6 +596,13 @@ def span_rollup(
         (
             F.col("__a.ts").isNotNull()
             & (F.col("__a.ts") > gts_col - F.col("__win") - F.col("__mpi"))
+            # rollup.go:781 `i < len(timestamps)`: prevValue is set only
+            # when a fetched sample exists AFTER the window start — the
+            # anchor (last sample ≤ g−W) must have a successor. Without
+            # this gate a stopped scrape would keep emitting rate()=0
+            # ghost points for window+mpi past the series' last sample
+            # instead of going stale like the reference.
+            & F.col("__a.next_ts").isNotNull()
         ).alias("el"),
     )
 

@@ -180,9 +180,13 @@ class RollupExpr(Expr):
         )
 
     def __repr__(self) -> str:
+        # EVERY semantic field must appear: repr() is the identity key of
+        # the CSE / leaf-result / plan caches — omitting a field makes two
+        # different queries collide and serves the wrong cached plan
         return (
             f"Rollup({self.expr!r}, w={self.window!r}, step={self.step!r}, "
-            f"off={self.offset!r}, at={self.at!r})"
+            f"off={self.offset!r}, at={self.at!r}, "
+            f"ih={self.inherit_step}, k={self.keep_metric_names})"
         )
 
 
@@ -193,7 +197,8 @@ class FuncExpr(Expr):
     keep_metric_names: bool = False
 
     def __repr__(self) -> str:
-        return f"Fn:{self.name}({self.args!r})"
+        # all semantic fields — cache-key identity (see RollupExpr.__repr__)
+        return f"Fn:{self.name}({self.args!r}, k={self.keep_metric_names})"
 
 
 @dataclass
@@ -234,7 +239,8 @@ class BinaryOpExpr(Expr):
         return (
             f"BinOp({self.op!r}, {self.left!r}, {self.right!r}, "
             f"bool={self.bool_modifier}, grp={self.group_modifier!r}, "
-            f"join={self.join_modifier!r}{fills})"
+            f"join={self.join_modifier!r}, jp={self.join_modifier_prefix!r}, "
+            f"k={self.keep_metric_names}{fills})"
         )
 
 
