@@ -461,3 +461,119 @@ def test_prom_api_plan_cache(api):
     assert GLOBAL_PLAN_CACHE.stats["hits"] == 2
     api.query_range("now()", "1000", "2000", "200")
     assert GLOBAL_PLAN_CACHE.stats["bypass"] >= 1  # now() excluded
+
+
+def test_export_csv(api):
+    """/api/v1/export/csv field semantics (export.qtpl exportCSVField):
+    __name__/__value__/__timestamp__ variants and label columns."""
+    body = api.export_csv(
+        ["temp"], "__name__,room,__value__,__timestamp__:unix_s"
+    )
+    lines = body.strip().split("\n")
+    assert lines[0] == "__name__,room,__value__,__timestamp__:unix_s"
+    assert lines[1] == "temp,x,20,0"
+    assert len(lines) == 22  # header + 21 samples
+    # integer-valued floats print without a trailing .0 (Go %f parity);
+    # unix_ms is the default timestamp form
+    ms = api.export_csv(["temp"], "__value__,__timestamp__")
+    assert ms.strip().split("\n")[1] == "20,0"
+
+
+def test_export_csv_quoting(spark):
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA as S
+
+    df = spark.createDataFrame(
+        [("m", {"note": 'say "hi", ok'}, 1000, 1.5, False)], S
+    )
+    a = PromAPI(spark, df)
+    body = a.export_csv(["m"], "note,__value__")
+    assert body.strip().split("\n")[1] == '"say ""hi"", ok",1.5'
+
+
+def test_export_native_parquet_round_trip(api, spark, tmp_path):
+    """Native export = parquet bytes; reading them back yields the
+    original samples."""
+    blob = api.export_native(["temp"])
+    f = tmp_path / "native.parquet"
+    f.write_bytes(blob)
+    back = spark.read.parquet(str(f))
+    assert back.count() == 21
+    assert set(back.columns) == {"name", "labels", "ts", "value"}
+    assert back.filter("name = 'temp'").count() == 21
+
+
+def test_status_tail_endpoints(api):
+    sc = api.series_count()
+    assert sc == {"status": "success", "data": [3]}
+    assert api.metadata() == {"status": "success", "data": {}}
+    assert api.buildinfo()["data"]["version"]
+    assert api.query_exemplars() == {"status": "success", "data": []}
+
+    api._query_stats.clear()
+    api.query_range("sum(temp)", "1000", "2000", "500")
+    api.query_range("sum(temp)", "1000", "2000", "500")
+    api.query("temp", time="1500")
+    top = api.top_queries()
+    by_count = {e["query"]: e["count"] for e in top["topByCount"]}
+    assert by_count["sum(temp)"] == 2
+    assert all(
+        e["sumDurationSeconds"] >= e["avgDurationSeconds"] > 0
+        for e in top["topBySumDuration"]
+    )
+    # nothing executing between calls
+    assert api.active_queries() == {"status": "ok", "data": []}
+
+
+def test_metrics_expand(spark):
+    from victoriametrics_spark.api.http import GraphiteBrowseAPI
+
+    rows = [
+        ("app.web.requests", {}, 0, 1.0, False),
+        ("app.web.errors", {}, 0, 1.0, False),
+        ("app.db.queries", {}, 0, 1.0, False),
+        ("uptime", {}, 0, 1.0, False),
+    ]
+    b = GraphiteBrowseAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    # non-leaf matches carry a trailing dot (metrics_api.go flat form)
+    assert b.metrics_expand(["*"]) == ["app.", "uptime"]
+    assert b.metrics_expand(["app.*"]) == ["app.db.", "app.web."]
+    assert b.metrics_expand(["app.web.*"]) == [
+        "app.web.errors",
+        "app.web.requests",
+    ]
+    # union over several query args, leavesOnly filter
+    assert b.metrics_expand(["*", "app.*"], leaves_only=True) == ["uptime"]
+    # segment-exact: `app.db` must not match `app.dbx`
+    assert b.metrics_expand(["app.db"]) == ["app.db."]
+
+
+def test_delete_series_route(spark):
+    """/api/v1/admin/tsdb/delete_series over a table-backed PromAPI:
+    delete → gone from queries; other series unaffected."""
+    from victoriametrics_spark.schema import samples_from_columns
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+
+    rows = [(s, T0 + i * 100_000, float(i)) for s in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    samples = samples_from_columns(
+        df, name="m", label_cols={"s": "series"}, ts="ts", value="value"
+    )
+    write_samples_table(samples, "t_api_del", n_buckets=2)
+    try:
+        a = PromAPI(
+            spark,
+            read_samples_table(spark, "t_api_del"),
+            samples_table="t_api_del",
+        )
+        assert a.series_count()["data"] == [2]
+        out = a.delete_series(['m{s="a"}'])
+        assert out == {"status": "success", "deleted_series": 1}
+        assert a.series_count()["data"] == [1]
+        res = a.query_range("m", str(T0 // 1000), str(T0 // 1000 + 900), "100")
+        assert {r["metric"]["s"] for r in res["data"]["result"]} == {"b"}
+    finally:
+        drop_samples_table(spark, "t_api_del")

@@ -286,6 +286,22 @@ def test_multimodal_real_decode(spark):
     # video container: no stdlib codec → deterministic fake dims
     assert 64 <= out[5]["width"] < 256 and out[5]["n_frames"] >= 1
 
+    # multi-frame GIF with 0x2C bytes inside the global color table AND
+    # the LZW data: the block-structure walk must count exactly the two
+    # image descriptors (a byte-scan would see ≥8 separators)
+    gif2 = b"GIF89a" + struct.pack("<HH", 4, 3) + bytes([0x80, 0, 0])
+    gif2 += b"\x2c\x2c\x2c" + b"\xff\xff\xff"  # 2-entry GCT, 0x2C noise
+    for _ in range(2):
+        gif2 += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + b"\x00"
+        gif2 += b"\x02" + bytes([3, 0x2C, 0x2C, 0x2C]) + b"\x00"
+    gif2 += b"\x3b"
+    df2 = spark.createDataFrame(
+        [(10, "image", gif2, "gif")],
+        ["media_id", "kind", "content", "format"],
+    )
+    r2 = decode_media(df2).collect()[0]
+    assert (r2["width"], r2["height"], r2["n_frames"]) == (4, 3, 2)
+
     # corrupt PNG pixel data (wrong inflated size) falls back to fake —
     # proof the IDAT stream is really inflated and validated
     good = _png_bytes(8, 8)

@@ -192,3 +192,43 @@ def test_cache_misaligned_start_recomputes(spark, counter_samples, tmp_path):
     out = cache.evaluate(q, samples, cfg_off)
     assert cache.stats["mode"] == "miss"
     assert _vals(out) == _vals(evaluate(spark, q, samples, cfg_off))
+
+
+def test_leaf_cache_estimate_drift_mode(spark, counter_samples, tmp_path):
+    """accept_estimate_drift=True replicates VM's own cache behavior
+    (rollup_result_cache.go:283 caches rate leaves; a partial hit
+    re-estimates the scrape interval over the suffix's own fetch). On a
+    regular-cadence series the estimate is identical for prefix and
+    suffix, so the merged result still equals a cold evaluation exactly;
+    the accepted drift is bounded by one maxPrevInterval of anchor
+    eligibility per series at the merge seam (irregular cadence only).
+    Strict mode (the default) keeps bypassing the span family."""
+    samples, t0 = counter_samples
+    q = "sum(rate(c[5m])) by (job)"
+    cfg1 = EvalConfig(start=t0, end=t0 + 600_000, step=60_000)
+    cfg2 = EvalConfig(start=t0, end=t0 + 1500_000, step=60_000)
+
+    # strict default: the rate leaf is never cached
+    strict = RollupResultCache(spark, str(tmp_path / "rrc_strict"))
+    strict.evaluate(q, samples, cfg1)
+    assert strict.stats["mode"] == "bypass"
+    assert strict.stats["leaf"] == {"hits": 0, "partial": 0, "misses": 0}
+
+    # drift mode: leaf miss → partial → full hit across range extension
+    drift = RollupResultCache(
+        spark, str(tmp_path / "rrc_drift"), accept_estimate_drift=True
+    )
+    cold = drift.evaluate(q, samples, cfg1)
+    assert drift.stats["mode"] == "bypass"
+    assert drift.stats["leaf"]["misses"] == 1
+    assert _vals(cold) == _vals(evaluate(spark, q, samples, cfg1))
+
+    warm = drift.evaluate(q, samples, cfg2)
+    assert drift.stats["leaf"]["partial"] == 1, drift.stats
+    # regular 15s cadence: suffix re-estimate == prefix estimate → the
+    # drift-mode merge equals a cold full-range evaluation exactly
+    assert _vals(warm) == _vals(evaluate(spark, q, samples, cfg2))
+
+    hot = drift.evaluate(q, samples, cfg2)
+    assert drift.stats["leaf"]["hits"] == 1, drift.stats
+    assert _vals(hot) == _vals(evaluate(spark, q, samples, cfg2))

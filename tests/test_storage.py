@@ -267,6 +267,14 @@ def test_multi_tenant_isolation(spark):
         assert v1[T0] == 0.0 and v2[T0] == 100.0
         assert all(v2[k] == v1[k] + 100.0 for k in v1)
 
+        # short-form token canonicalization: tenant="1" ≡ "1:0" — it must
+        # match the canonical partition value, not silently return an
+        # empty scan; malformed tokens error instead of matching nothing
+        t1_short = read_samples_table(spark, "t_tenants", tenant="1")
+        assert t1_short.count() == t1.count() > 0
+        with pytest.raises(ValueError, match="invalid tenant"):
+            read_samples_table(spark, "t_tenants", tenant="x:y")
+
         # tenant scoping is partition-directory pruning, visible in the
         # scan's PartitionFilters
         plan = t1._jdf.queryExecution().executedPlan().toString()
@@ -311,3 +319,61 @@ def test_multi_tenant_logs_isolation(spark):
         assert "tenant" in plan
     finally:
         drop_samples_table(spark, "t_logs_tenants")
+
+
+def test_delete_series_tombstones(spark):
+    """/api/v1/admin/tsdb/delete_series engine work (deleted-metricIDs
+    analog, lib/storage/index_db.go): delete → matching series vanish
+    from reads; other series intact; re-ingest after the delete IS
+    served (VM: re-registration gets a fresh metricID); compaction
+    physically drops the dead rows and clears the tombstones."""
+    import time
+
+    from victoriametrics_spark.storage import delete_series, drop_samples_table
+
+    rows = [
+        (s, T0 + h * H, float(ord(s) * 100 + h))
+        for s in ("a", "b")
+        for h in range(12)
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_del", n_buckets=4)
+    try:
+        cfg = EvalConfig(start=T0, end=T0 + 11 * H, step=H)
+
+        def series_set():
+            t = read_samples_table(spark, "t_del")
+            out = evaluate(spark, "last_over_time(m[1h])", t, cfg)
+            return {r["labels"]["s"] for r in out.collect()}
+
+        assert series_set() == {"a", "b"}
+        n = delete_series(spark, "t_del", ['m{s="a"}'])
+        assert n == 1
+        assert series_set() == {"b"}
+        # deleting again matches nothing (already tombstoned)
+        assert delete_series(spark, "t_del", ['m{s="a"}']) == 0
+
+        # re-ingest AFTER the delete: the new samples are served
+        time.sleep(0.05)  # file mtime strictly after the tombstone
+        append_samples(
+            _mk_samples(spark, [("a", T0 + h * H, 7.0) for h in range(3)]),
+            "t_del",
+            n_buckets=4,
+        )
+        spark.catalog.refreshTable("t_del")
+        assert series_set() == {"a", "b"}
+        t = read_samples_table(spark, "t_del")
+        vals = {
+            r["ts"]: r["value"]
+            for r in t.filter(F.col("labels")["s"] == "a").collect()
+        }
+        assert vals == {T0 + h * H: 7.0 for h in range(3)}  # old rows gone
+
+        # compaction drops dead rows physically and clears tombstones
+        compact_samples_table(spark, "t_del", n_buckets=4)
+        assert not spark.catalog.tableExists("t_del__tombstones")
+        assert series_set() == {"a", "b"}
+        t = read_samples_table(spark, "t_del")
+        assert t.filter(F.col("labels")["s"] == "a").count() == 3
+        assert t.filter(F.col("labels")["s"] == "b").count() == 12
+    finally:
+        drop_samples_table(spark, "t_del")

@@ -65,18 +65,9 @@ def _metric_obj(name: str, labels) -> dict:
     return out
 
 
-def parse_tenant(token: str) -> str:
-    """``accountID`` or ``accountID:projectID`` from the URL path
-    (/select/<token>/prometheus/..., lib/auth.NewToken) → canonical
-    ``"account:project"`` with project defaulting to 0."""
-    parts = token.split(":")
-    if len(parts) not in (1, 2):
-        raise ValueError(f"invalid tenant token {token!r}")
-    account = int(parts[0])
-    project = int(parts[1]) if len(parts) == 2 else 0
-    if account < 0 or project < 0:
-        raise ValueError(f"invalid tenant token {token!r}")
-    return f"{account}:{project}"
+# canonical tenant-token parsing lives with the storage layout (the
+# partition value is the canonical form); re-exported here for callers
+from victoriametrics_spark.storage.layout import parse_tenant  # noqa: E402
 
 
 def with_tenant(df: DataFrame, tenant: str) -> DataFrame:
@@ -103,6 +94,8 @@ class PromAPI:
         rule_groups: "list[tuple[str, list]] | None" = None,
         cache_dir: str | None = None,
         tenant: str | None = None,
+        accept_estimate_drift: bool = False,
+        samples_table: str | None = None,
     ):
         self.spark = spark
         if tenant is not None and "tenant" in samples.columns:
@@ -113,6 +106,13 @@ class PromAPI:
             samples = samples.drop("tenant")
         self.tenant = tenant
         self.samples = samples
+        # backing table name — required only by delete_series (tombstones
+        # live beside the table, storage/layout.py)
+        self.samples_table = samples_table
+        # in-process query registries for /api/v1/status/{top_queries,
+        # active_queries} (VM: querystats package + promql.ActiveQueries)
+        self._query_stats: dict = {}
+        self._active: dict = {}
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
@@ -122,10 +122,36 @@ class PromAPI:
         if cache_dir:
             from victoriametrics_spark.engine.cache import RollupResultCache
 
-            self.cache = RollupResultCache(spark, cache_dir)
+            # accept_estimate_drift=True opts into VM's own leaf-caching
+            # behavior for the rate/deriv span family (see engine/cache.py)
+            self.cache = RollupResultCache(
+                spark, cache_dir, accept_estimate_drift=accept_estimate_drift
+            )
 
     # ----------------------------------------------------------- queries
     def _eval(self, query: str, start_ms: int, end_ms: int, step_ms: int):
+        import time as _time
+        import uuid as _uuid
+
+        qid = _uuid.uuid4().hex[:16]
+        self._active[qid] = {
+            "query": query,
+            "start": start_ms,
+            "end": end_ms,
+            "step": step_ms,
+            "t0": _time.time(),
+        }
+        try:
+            return self._eval_inner(query, start_ms, end_ms, step_ms)
+        finally:
+            rec = self._active.pop(qid)
+            dur = _time.time() - rec["t0"]
+            key = (query, (end_ms - start_ms) // 1000)
+            st = self._query_stats.setdefault(key, [0, 0.0])
+            st[0] += 1
+            st[1] += dur
+
+    def _eval_inner(self, query: str, start_ms: int, end_ms: int, step_ms: int):
         cfg = EvalConfig(
             start=start_ms,
             end=end_ms,
@@ -351,6 +377,195 @@ class PromAPI:
             )
         return sorted(lines)
 
+    # --------------------------------------------- export tail (round 8)
+    def export_csv_df(
+        self,
+        matches: list[str],
+        fmt: str,
+        start: str | None = None,
+        end: str | None = None,
+    ):
+        """/api/v1/export/csv — one CSV line per sample, built entirely
+        JVM-side. Field semantics follow the reference's export.qtpl
+        exportCSVField: ``__value__``, ``__timestamp__[:unix_s|unix_ms|
+        unix_ns|rfc3339]``, ``__name__``, any other name = label value
+        (quoted when it contains a quote, comma or newline)."""
+        if not fmt:
+            raise ValueError("missing `format` arg")
+        df = self._match_df(matches, start, end)
+        cols = []
+        for fname in fmt.split(","):
+            if fname == "__value__":
+                v = F.col("value")
+                c = F.when(
+                    v == v.cast("long").cast("double"),
+                    v.cast("long").cast("string"),
+                ).otherwise(v.cast("string"))
+            elif fname in ("__timestamp__", "__timestamp__:unix_ms"):
+                c = F.col("ts").cast("string")
+            elif fname == "__timestamp__:unix_s":
+                c = F.expr("CAST(ts DIV 1000 AS STRING)")
+            elif fname == "__timestamp__:unix_ns":
+                c = (F.col("ts") * F.lit(1_000_000)).cast("string")
+            elif fname == "__timestamp__:rfc3339":
+                c = F.date_format(
+                    F.timestamp_millis(F.col("ts")),
+                    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+                )
+            elif fname.startswith("__timestamp__:"):
+                raise ValueError(
+                    f"unsupported timeFormat={fname.split(':', 1)[1]}"
+                )
+            else:
+                if fname == "__name__":
+                    c = F.coalesce(F.col("name"), F.lit(""))
+                else:
+                    c = F.coalesce(F.col("labels").getItem(fname), F.lit(""))
+                quoted = F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(c, '"', '""'),
+                    F.lit('"'),
+                )
+                c = F.when(c.rlike('[",\n]'), quoted).otherwise(c)
+            cols.append(c)
+        return df.select(F.concat_ws(",", *cols).alias("line"))
+
+    def export_csv(
+        self,
+        matches: list[str],
+        fmt: str,
+        start: str | None = None,
+        end: str | None = None,
+    ) -> str:
+        lines = sorted(
+            r["line"]
+            for r in self.export_csv_df(matches, fmt, start, end).collect()
+        )
+        return "\n".join([fmt] + lines) + "\n"
+
+    def export_native(
+        self,
+        matches: list[str],
+        start: str | None = None,
+        end: str | None = None,
+    ) -> bytes:
+        """/api/v1/export/native — the engine's native at-rest format is
+        parquet (SURVEY §2.1: 'Parquet IS the native format'), so native
+        export streams a parquet file of (name, labels, ts, value); VM
+        streams its own block format there."""
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        df = self._match_df(matches, start, end)
+        d = _tempfile.mkdtemp(prefix="vmspark_native_")
+        try:
+            df.select("name", "labels", "ts", "value").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/out")
+            part = _glob.glob(f"{d}/out/part-*.parquet")[0]
+            with open(part, "rb") as fh:
+                return fh.read()
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+
+    # -------------------------------------------- status tail (round 8)
+    def series_count(self) -> dict:
+        """/api/v1/series/count — number of distinct series
+        (netstorage.SeriesCount; response shape
+        series_count_response.qtpl: data=[n])."""
+        from victoriametrics_spark.schema import series_key
+
+        n = (
+            self.samples.select(
+                series_key(F.col("name"), F.col("labels")).alias("__sk")
+            )
+            .distinct()
+            .count()
+        )
+        return {"status": "success", "data": [n]}
+
+    def metadata(self) -> dict:
+        """/api/v1/metadata — VM keeps no metric metadata; empty map."""
+        return {"status": "success", "data": {}}
+
+    def buildinfo(self) -> dict:
+        """/api/v1/buildinfo — static version payload (Grafana probes it)."""
+        return {"status": "success", "data": {"version": "victoriametrics-spark"}}
+
+    def query_exemplars(self) -> dict:
+        """/api/v1/query_exemplars — VM stores no exemplars; empty."""
+        return {"status": "success", "data": []}
+
+    def top_queries(self, top_n: int = 20) -> dict:
+        """/api/v1/status/top_queries — in-process registry of executed
+        queries ranked by count / avg duration / total duration
+        (app/vmselect querystats analog)."""
+        items = [
+            {
+                "query": q,
+                "timeRangeSeconds": tr,
+                "count": c,
+                "sumDurationSeconds": round(s, 6),
+                "avgDurationSeconds": round(s / c, 6),
+            }
+            for (q, tr), (c, s) in self._query_stats.items()
+        ]
+        return {
+            "status": "success",
+            "topByCount": sorted(
+                items, key=lambda x: -x["count"]
+            )[:top_n],
+            "topByAvgDuration": sorted(
+                items, key=lambda x: -x["avgDurationSeconds"]
+            )[:top_n],
+            "topBySumDuration": sorted(
+                items, key=lambda x: -x["sumDurationSeconds"]
+            )[:top_n],
+        }
+
+    def active_queries(self) -> dict:
+        """/api/v1/status/active_queries — queries currently executing
+        in this process (promql.ActiveQueries analog)."""
+        import time as _time
+
+        now = _time.time()
+        data = [
+            {
+                "id": qid,
+                "query": rec["query"],
+                "start": rec["start"],
+                "end": rec["end"],
+                "step": rec["step"],
+                "duration": f"{now - rec['t0']:.3f}s",
+            }
+            for qid, rec in list(self._active.items())
+        ]
+        return {"status": "ok", "data": data}
+
+    def delete_series(self, matches: list[str]) -> dict:
+        """/api/v1/admin/tsdb/delete_series — tombstone matching series
+        in the backing table (storage/layout.py delete_series; VM:
+        deleted-metricIDs set, lib/storage/index_db.go). Requires the
+        API to know its backing table (samples_table=...)."""
+        if not self.samples_table:
+            raise ValueError(
+                "delete_series requires PromAPI(samples_table=...)"
+            )
+        from victoriametrics_spark.storage.layout import (
+            delete_series as _delete,
+            read_samples_table,
+        )
+
+        n = _delete(
+            self.spark, self.samples_table, matches, tenant=self.tenant
+        )
+        # re-derive the pinned samples frame so subsequent queries see
+        # the tombstones (also rotates the engine plan-cache key)
+        self.samples = read_samples_table(
+            self.spark, self.samples_table, tenant=self.tenant
+        )
+        return {"status": "success", "deleted_series": n}
 
     # ---------------------------------------------------- graphite render
     def render(
@@ -818,6 +1033,52 @@ class GraphiteBrowseAPI:
             if r["text"] is not None
         ]
 
+    def metrics_expand(
+        self,
+        queries: list[str],
+        leaves_only: bool = False,
+        delimiter: str = ".",
+    ) -> list[str]:
+        """GET /metrics/expand — flat sorted union of the paths matching
+        each glob (graphite/metrics_api.go MetricsExpandHandler); a
+        non-leaf match carries a trailing delimiter, ``leavesOnly``
+        keeps only leaves."""
+        import re as _re
+
+        paths: set[str] = set()
+        for q in queries:
+            parts = q.split(delimiter)
+            depth = len(parts)
+            rx = (
+                "^"
+                + _re.escape(delimiter).join(
+                    "[^" + _re.escape(delimiter) + "]*"
+                    if p == "*"
+                    else _re.escape(p)
+                    for p in parts
+                )
+                # segment boundary: `a.b` must not match `a.bc`
+                + "(?:$|" + _re.escape(delimiter) + ")"
+            )
+            seg = F.split(F.col("name"), _re.escape(delimiter))
+            rows = (
+                self._names()
+                .filter(F.col("name").rlike(rx))
+                .select(
+                    F.concat_ws(
+                        delimiter, F.slice(seg, 1, depth)
+                    ).alias("p"),
+                    (F.size(seg) > depth).alias("deeper"),
+                )
+                .distinct()
+                .collect()
+            )
+            for r in rows:
+                paths.add(r["p"] + (delimiter if r["deeper"] else ""))
+        if leaves_only:
+            paths = {p for p in paths if not p.endswith(delimiter)}
+        return sorted(paths)
+
     def _distinct_series(self) -> DataFrame:
         from victoriametrics_spark.schema import series_key
 
@@ -1066,6 +1327,40 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     lines = api.export_jsonl(matches, p("start"), p("end"))
                     self._send(200, "\n".join(lines), "application/stream+json")
                     return
+                elif u.path == "/api/v1/export/csv":
+                    body = api.export_csv(
+                        matches, p("format", ""), p("start"), p("end")
+                    )
+                    self._send(200, body, "text/csv; charset=utf-8")
+                    return
+                elif u.path == "/api/v1/export/native":
+                    blob = api.export_native(matches, p("start"), p("end"))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(blob)))
+                    self.end_headers()
+                    self.wfile.write(blob)
+                    return
+                elif u.path == "/api/v1/series/count":
+                    out = api.series_count()
+                elif u.path == "/api/v1/metadata":
+                    out = api.metadata()
+                elif u.path == "/api/v1/buildinfo":
+                    out = api.buildinfo()
+                elif u.path == "/api/v1/query_exemplars":
+                    out = api.query_exemplars()
+                elif u.path == "/api/v1/status/top_queries":
+                    out = api.top_queries(int(p("topN", "20")))
+                elif u.path == "/api/v1/status/active_queries":
+                    out = api.active_queries()
+                elif u.path == "/api/v1/admin/tsdb/delete_series":
+                    out = api.delete_series(matches)
+                elif u.path == "/metrics/expand" and browse_api:
+                    out = browse_api.metrics_expand(
+                        q.get("query", []),
+                        p("leavesOnly", "0") in ("1", "true"),
+                        p("delimiter", "."),
+                    )
                 elif u.path == "/federate":
                     lines = api.federate(matches)
                     self._send(200, "\n".join(lines) + "\n", "text/plain")

@@ -142,11 +142,25 @@ class RollupResultCache:
     "hit_partial", "bypass"}, plus ``suffix_start`` on partial hits.
     """
 
-    def __init__(self, spark: SparkSession, cache_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_dir: str,
+        accept_estimate_drift: bool = False,
+    ):
         self.spark = spark
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
         self.stats: dict = {}
+        # Opt-in VM-faithful mode (rollup_result_cache.go:283 caches rate
+        # leaves): estimate-dependent span-family leaves become
+        # leaf-cacheable; a partial hit re-estimates the scrape interval
+        # over the SUFFIX's own (shorter) fetch, so merged results may
+        # differ from a cold full-range run near the seam — bounded by
+        # one maxPrevInterval of eligibility drift per series, exactly
+        # the drift VM itself accepts. Default stays strict
+        # (cached == cold bit-for-bit).
+        self.accept_estimate_drift = accept_estimate_drift
         self._leaf: "LeafResultCache | None" = None
 
     # ------------------------------------------------------------- key
@@ -218,7 +232,9 @@ class RollupResultCache:
     def leaf_cache(self) -> "LeafResultCache":
         if self._leaf is None:
             self._leaf = LeafResultCache(
-                self.spark, os.path.join(self.cache_dir, "leaves")
+                self.spark,
+                os.path.join(self.cache_dir, "leaves"),
+                accept_estimate_drift=self.accept_estimate_drift,
             )
         self._leaf.stats = {"hits": 0, "partial": 0, "misses": 0}
         return self._leaf
@@ -335,10 +351,16 @@ class LeafResultCache:
     evaluation bit-for-bit.
     """
 
-    def __init__(self, spark: SparkSession, cache_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cache_dir: str,
+        accept_estimate_drift: bool = False,
+    ):
         self.spark = spark
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
+        self.accept_estimate_drift = accept_estimate_drift
         self.stats: dict = {"hits": 0, "partial": 0, "misses": 0}
 
     def _key(self, ident: str, cfg: EvalConfig) -> str:

@@ -311,20 +311,26 @@ class Planner:
         raise PlanError(f"cannot plan {e!r}")
 
     # ------------------------------------------------------------- leaves
-    @staticmethod
-    def _leaf_cacheable(fe: FuncExpr) -> bool:
+    def _leaf_cacheable(self, fe: FuncExpr) -> bool:
         """A rollup leaf is cacheable when its series argument is a plain
         selector (no subquery — the child range would depend on the query
         range), every other argument is a literal (so ``repr(fe)`` fully
         determines the result at each grid point), and its values do not
         depend on the range-end-sensitive scrape-interval estimate
-        (engine/cache.py estimate_dependent)."""
+        (engine/cache.py estimate_dependent) — unless the leaf cache was
+        built with ``accept_estimate_drift=True``, which replicates VM's
+        own behavior of caching rate leaves and re-estimating over the
+        suffix fetch (rollup_result_cache.go:283). Forward-looking
+        rollups stay excluded in both modes."""
         from victoriametrics_spark.engine.cache import (
             estimate_dependent,
             forward_looking,
         )
 
-        if estimate_dependent(fe) or forward_looking(fe.name):
+        if forward_looking(fe.name):
+            return False
+        drift_ok = getattr(self.leaf_cache, "accept_estimate_drift", False)
+        if estimate_dependent(fe) and not drift_ok:
             return False
         for a in fe.args:
             if isinstance(a, (NumberExpr, StringExpr, DurationExpr)):

@@ -117,11 +117,47 @@ def _decode_png(b: bytes) -> tuple[int, int, int] | None:
 
 
 def _decode_gif(b: bytes) -> tuple[int, int, int] | None:
-    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+    """GIF: real block-structure walk. 0x2C bytes occur freely inside
+    color tables and LZW data, so frame counting must skip the global /
+    local color tables, extension blocks, and LZW sub-block chains and
+    count only actual image descriptors."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     w, h = struct.unpack("<HH", b[6:10])
-    frames = max(1, b.count(b"\x2c", 10))  # image-descriptor separators
-    return int(w), int(h), int(frames)
+    flags = b[10]
+    pos = 13  # past logical screen descriptor
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        # LZW/extension data: length-prefixed sub-blocks until a 0 byte
+        while p < len(b):
+            ln = b[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+        return p
+
+    frames = 0
+    while pos < len(b):
+        sep = b[pos]
+        if sep == 0x3B:  # trailer
+            break
+        if sep == 0x21:  # extension: label byte + sub-block chain
+            pos = skip_subblocks(pos + 2)
+        elif sep == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                break
+            frames += 1
+            lflags = b[pos + 9]
+            pos += 10
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos = skip_subblocks(pos + 1)  # LZW min-code byte + data
+        else:
+            return None  # corrupt block structure
+    return int(w), int(h), max(1, frames)
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, int] | None:

@@ -1,7 +1,9 @@
 from victoriametrics_spark.storage.layout import (
     append_samples,
-    drop_samples_table,
     compact_samples_table,
+    delete_series,
+    drop_samples_table,
+    parse_tenant,
     read_samples_table,
     write_samples_table,
 )
@@ -11,5 +13,7 @@ __all__ = [
     "append_samples",
     "read_samples_table",
     "compact_samples_table",
+    "delete_series",
     "drop_samples_table",
+    "parse_tenant",
 ]

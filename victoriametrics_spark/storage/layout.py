@@ -33,6 +33,23 @@ from victoriametrics_spark.schema import series_key
 DEFAULT_BUCKETS = 32
 
 
+def parse_tenant(token: str) -> str:
+    """``accountID`` or ``accountID:projectID`` from the URL path
+    (/select/<token>/prometheus/..., lib/auth.NewToken) → canonical
+    ``"account:project"`` with project defaulting to 0."""
+    parts = token.split(":")
+    if len(parts) not in (1, 2):
+        raise ValueError(f"invalid tenant token {token!r}")
+    try:
+        account = int(parts[0])
+        project = int(parts[1]) if len(parts) == 2 else 0
+    except ValueError:
+        raise ValueError(f"invalid tenant token {token!r}") from None
+    if account < 0 or project < 0:
+        raise ValueError(f"invalid tenant token {token!r}")
+    return f"{account}:{project}"
+
+
 def _with_layout_columns(samples: DataFrame) -> DataFrame:
     df = samples
     if "__series_key" not in df.columns:
@@ -46,16 +63,21 @@ def _with_layout_columns(samples: DataFrame) -> DataFrame:
 
 def drop_samples_table(spark: SparkSession, table: str) -> None:
     """Drop the catalog entry AND the warehouse dir (the in-memory
-    catalog forgets tables across sessions while dirs persist)."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    catalog forgets tables across sessions while dirs persist); any
+    tombstone side-table goes with it."""
+    names = [table]
+    if not table.endswith("__tombstones"):
+        names.append(f"{table}__tombstones")
     jsc = spark.sparkContext._jsc
     jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.lower()
-    )
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    for name in names:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), name.lower()
+        )
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
 
 
 def write_samples_table(
@@ -139,7 +161,7 @@ def read_samples_table(
     bounds the prev/next lookback the same way VM's extended search
     range does (eval.go:1803).
     """
-    df = spark.table(table)
+    df = _apply_tombstones(spark, spark.table(table), table)
     if "tenant" in df.columns:
         if tenant is None:
             # VM has no cross-tenant search: every SearchQuery carries an
@@ -150,8 +172,11 @@ def read_samples_table(
                 f"table {table!r} is multi-tenant; pass tenant='a:p'"
             )
         # partition-directory pruning — the scan never lists another
-        # tenant's files (VM: per-(AccountID, ProjectID) index isolation)
-        df = df.filter(F.col("tenant") == tenant)
+        # tenant's files (VM: per-(AccountID, ProjectID) index isolation).
+        # Canonicalize first: tenant="1" must match the stored "1:0"
+        # partition value (and malformed tokens must error, not silently
+        # return an empty scan).
+        df = df.filter(F.col("tenant") == parse_tenant(tenant))
     if start_ms is not None:
         df = df.filter(
             F.col("date")
@@ -164,6 +189,92 @@ def read_samples_table(
     return df.drop("date", "tenant")
 
 
+def _tombstone_table(table: str) -> str:
+    return f"{table}__tombstones"
+
+
+def _apply_tombstones(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+    """Filter out tombstoned series rows (deleted-metricIDs analog,
+    lib/storage/index_db.go): a row is dead when its series key is
+    tombstoned AND its parquet file predates the tombstone — so samples
+    re-ingested AFTER a delete are visible again, exactly like VM where
+    re-ingestion registers a fresh metricID. The tombstone side-table is
+    tiny (one row per deleted series) and broadcast; the scan shape /
+    partition pruning are untouched."""
+    tomb_tbl = _tombstone_table(table)
+    if not spark.catalog.tableExists(tomb_tbl):
+        return df
+    tomb = (
+        spark.table(tomb_tbl)
+        .groupBy("__series_key")
+        .agg(F.max("deleted_at").alias("__del_at"))
+    )
+    file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
+    df = df.withColumn("__file_ms", file_ms)
+    df = df.join(F.broadcast(tomb), "__series_key", "left")
+    return df.filter(
+        F.col("__del_at").isNull() | (F.col("__file_ms") > F.col("__del_at"))
+    ).drop("__del_at", "__file_ms")
+
+
+def delete_series(
+    spark: SparkSession,
+    table: str,
+    matches: list[str],
+    tenant: str | None = None,
+) -> int:
+    """/api/v1/admin/tsdb/delete_series engine work: tombstone every
+    series matching any of the ``matches`` selectors (VM: the
+    deleted-metricIDs set, lib/storage/index_db.go). The tombstone
+    carries the max file-modification time of the CURRENT table files,
+    so data present at delete time disappears while later appends for
+    the same series are served again. Tombstones are applied by
+    :func:`read_samples_table` and compacted away (rows physically
+    dropped, side-table cleared) by :func:`compact_samples_table`.
+    Returns the number of series tombstoned."""
+    from victoriametrics_spark.engine.planner import selector_predicate
+    from victoriametrics_spark.metricsql import parse
+    from victoriametrics_spark.metricsql.ast import MetricExpr
+
+    preds = []
+    for m in matches:
+        e = parse(m)
+        if not isinstance(e, MetricExpr):
+            raise ValueError(f"delete_series: {m!r} is not a series selector")
+        preds.append(selector_predicate(e))
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    scan = spark.table(table)
+    if "tenant" in scan.columns:
+        if tenant is None:
+            raise ValueError(
+                f"table {table!r} is multi-tenant; pass tenant='a:p'"
+            )
+        scan = scan.filter(F.col("tenant") == parse_tenant(tenant))
+    # deletion watermark = newest existing file: appended files sort
+    # strictly after it (same-millisecond append races resolve as
+    # deleted, like a write racing VM's delete)
+    row = scan.select(
+        F.max(F.unix_millis(F.col("_metadata.file_modification_time")))
+    ).first()
+    deleted_at = row[0] or 0
+    keys = (
+        _apply_tombstones(spark, scan, table)
+        .filter(pred)
+        .select("__series_key")
+        .distinct()
+        .withColumn("deleted_at", F.lit(deleted_at).cast("long"))
+    )
+    n = keys.count()
+    if n:
+        keys.write.mode("append").format("parquet").saveAsTable(
+            _tombstone_table(table)
+        )
+        spark.catalog.refreshTable(_tombstone_table(table))
+    return n
+
+
 def compact_samples_table(
     spark: SparkSession,
     table: str,
@@ -172,15 +283,20 @@ def compact_samples_table(
 ) -> None:
     """LSM-merge analog: rewrite ``table`` to one file per (date, bucket),
     optionally deduping (VM merges small parts into big ones and dedups
-    while merging, lib/storage/merge.go + dedup.go)."""
+    while merging, lib/storage/merge.go + dedup.go). Tombstoned rows
+    (:func:`delete_series`) are physically dropped during the rewrite
+    and the tombstone side-table is cleared — the same way VM's merges
+    drop blocks of deleted metricIDs."""
     tmp = f"{table}__compacting"
     write_samples_table(
-        spark.table(table).drop("date"),
+        _apply_tombstones(spark, spark.table(table), table).drop("date"),
         tmp,
         n_buckets=n_buckets,
         dedup_interval_ms=dedup_interval_ms,
     )
     spark.sql(f"DROP TABLE {table}")
+    if spark.catalog.tableExists(_tombstone_table(table)):
+        spark.sql(f"DROP TABLE {_tombstone_table(table)}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     # the rename moves the managed dir; refresh partition metadata to the
     # moved locations
@@ -252,7 +368,8 @@ def read_logs_table(
             raise ValueError(
                 f"table {table!r} is multi-tenant; pass tenant='a:p'"
             )
-        df = df.filter(F.col("tenant") == tenant)
+        # canonicalized match (tenant="1" ≡ "1:0"), like the metrics side
+        df = df.filter(F.col("tenant") == parse_tenant(tenant))
     if start_ms is not None:
         df = df.filter(
             F.col("date") >= F.to_date(F.timestamp_millis(F.lit(start_ms)))
