@@ -232,3 +232,106 @@ def test_leaf_cache_estimate_drift_mode(spark, counter_samples, tmp_path):
     hot = drift.evaluate(q, samples, cfg2)
     assert drift.stats["leaf"]["hits"] == 1, drift.stats
     assert _vals(hot) == _vals(evaluate(spark, q, samples, cfg2))
+
+
+# ------------------------------------------- instant delta fast path
+@pytest.fixture()
+def wide_samples(spark):
+    """Two series over 8 hours at 5m cadence; values chosen so the
+    window extremum moves (sawtooth on job=a, ramp on job=b)."""
+    rows = []
+    t0 = 1704067200000
+    for i in range(96):
+        rows.append(
+            ("c", {"job": "a"}, t0 + i * 300_000, float((i * 7) % 23), False)
+        )
+        rows.append(("c", {"job": "b"}, t0 + i * 300_000, float(i), False))
+    return spark.createDataFrame(rows, SAMPLE_SCHEMA), t0
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "sum_over_time(c[4h])",
+        "count_over_time(c[4h])",
+        "max_over_time(c[4h])",
+        "min_over_time(c[4h])",
+    ],
+)
+def test_instant_delta_fast_path_equals_cold(spark, wide_samples, tmp_path, q):
+    """evalInstantRollup analog (eval.go:1176-1536): an instant query at
+    t+delta reuses the cached instant values at t adjusted by two
+    delta-sized boundary windows — and equals a cold evaluation."""
+    samples, t0 = wide_samples
+    cache = RollupResultCache(spark, str(tmp_path / "inst"))
+    t1 = t0 + 6 * 3600_000
+    cfg1 = EvalConfig(start=t1, end=t1, step=300_000)
+
+    cold = cache.evaluate(q, samples, cfg1)
+    inst = cache.leaf_cache().instant_values()
+    assert inst.stats["misses"] == 1
+    assert _vals(cold) == _vals(
+        evaluate(spark, q, samples, cfg1, use_plan_cache=False)
+    )
+
+    # moving @t refresh 10 minutes later: adjusted, not recomputed
+    t2 = t1 + 600_000
+    cfg2 = EvalConfig(start=t2, end=t2, step=300_000)
+    warm = cache.evaluate(q, samples, cfg2)
+    got = _vals(warm)
+    assert inst.stats["adjusted"] + inst.stats["fallback"] >= 1
+    assert got == _vals(
+        evaluate(spark, q, samples, cfg2, use_plan_cache=False)
+    )
+
+    # identical repeat: pure cache hit
+    hot = cache.evaluate(q, samples, cfg2)
+    assert _vals(hot) == got
+
+
+def test_instant_delta_extremum_fallback(spark, tmp_path):
+    """When the cached extremum lives in the EXPIRING region, the fast
+    path must fall back to a cold evaluation (getMaxInstantValues
+    validity rule) — the result still equals cold."""
+    rows = []
+    t0 = 1704067200000
+    # a huge spike at the very start of the window, then small values:
+    # at t+10m the spike leaves the 4h window, so max must DROP
+    for i in range(96):
+        v = 1000.0 if i < 2 else float(i % 5)
+        rows.append(("c", {"job": "a"}, t0 + i * 300_000, v, False))
+    samples = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cache = RollupResultCache(spark, str(tmp_path / "inst_fb"))
+    q = "max_over_time(c[4h])"
+    t1 = t0 + 4 * 3600_000 - 300_000  # spike still inside
+    cfg1 = EvalConfig(start=t1, end=t1, step=300_000)
+    first = cache.evaluate(q, samples, cfg1)
+    assert _vals(first)[("c", (("job", "a"),), t1)] == 1000.0
+
+    t2 = t1 + 900_000  # spike expired
+    cfg2 = EvalConfig(start=t2, end=t2, step=300_000)
+    out = cache.evaluate(q, samples, cfg2)
+    inst = cache.leaf_cache().instant_values()
+    assert inst.stats["fallback"] >= 1
+    assert _vals(out) == _vals(
+        evaluate(spark, q, samples, cfg2, use_plan_cache=False)
+    )
+    assert _vals(out)[("c", (("job", "a"),), t2)] < 1000.0
+
+
+def test_instant_delta_small_window_skipped(spark, wide_samples, tmp_path):
+    """Windows below minWindowForInstantRollupOptimization (3h default)
+    bypass the fast path entirely."""
+    samples, t0 = wide_samples
+    cache = RollupResultCache(spark, str(tmp_path / "inst_small"))
+    t1 = t0 + 6 * 3600_000
+    cfg = EvalConfig(start=t1, end=t1, step=300_000)
+    out = cache.evaluate("sum_over_time(c[30m])", samples, cfg)
+    inst = cache.leaf_cache().instant_values()
+    assert inst.stats == {
+        "hits": 0, "adjusted": 0, "misses": 0, "fallback": 0,
+    }
+    assert _vals(out) == _vals(
+        evaluate(spark, "sum_over_time(c[30m])", samples, cfg,
+                 use_plan_cache=False)
+    )

@@ -278,11 +278,15 @@ class RollupResultCache:
         from victoriametrics_spark.engine.planner import Planner
         from victoriametrics_spark.engine.planner import evaluate as _eval
 
-        if not self.cacheable(query):
+        if cfg.start >= cfg.end or not self.cacheable(query):
             # VM's answer to range-dependent parents: cache BELOW the
             # aggregate layer (rollup_result_cache.go:283 sits under
             # aggregation). The parent re-evaluates over the full range,
-            # but every rollup LEAF reuses its cached prefix.
+            # but every rollup LEAF reuses its cached prefix. INSTANT
+            # queries also route here: the segment cache has nothing to
+            # offer a single-point grid, while the leaf planner's
+            # instant-delta fast path (evalInstantRollup analog) serves
+            # moving-@t dashboard refreshes of big-window *_over_time.
             leaf = self.leaf_cache()
             planner = Planner(self.spark, samples, cfg, leaf_cache=leaf)
             try:
@@ -334,6 +338,185 @@ class RollupResultCache:
         return self._cached_df(meta2)
 
 
+class InstantValuesCache:
+    """Instant-query delta fast path (evalInstantRollup,
+    eval.go:1176-1536): for ``sum/count/min/max_over_time(m[big_d])``
+    instant queries, cache the one-point-per-series result at its
+    evaluation timestamp; a later query at ``t`` within
+    ``min(window/2, 30m)`` of the cached timestamp is answered by
+    adjusting the cached values with TWO small boundary windows of size
+    ``offset`` instead of re-scanning the whole ``window``:
+
+    - additive (sum/count): ``cached + rf(m[offset] @ t)
+      − rf(m[offset] @ t−window)`` — exact, windows are half-open;
+    - max/min: ``max(cached, rf(m[offset] @ t))``, valid only when the
+      expiring region's extremum ``rf(m[offset] @ t−window)`` is
+      strictly inside the cached value (else fall back to a cold
+      evaluation and drop the cached entry, eval.go getMaxInstantValues).
+
+    VM applies this only to windows ≥ -search.minWindowForInstant
+    RollupOptimization (3h default) — ``min_window_ms`` here.
+    """
+
+    ADDITIVE = frozenset({"sum_over_time", "count_over_time"})
+    EXTREMUM = frozenset({"max_over_time", "min_over_time"})
+
+    def __init__(self, spark: SparkSession, cache_dir: str):
+        self.spark = spark
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        self.min_window_ms = 3 * 3600 * 1000
+        self.stats: dict = {"hits": 0, "adjusted": 0, "misses": 0, "fallback": 0}
+
+    def _key(self, ident: str, window_ms: int, cfg: EvalConfig) -> str:
+        payload = json.dumps(
+            [
+                ident,
+                window_ms,
+                cfg.step,
+                cfg.max_lookback,
+                cfg.dedup_interval_ms,
+                list(cfg.enforced_filters),
+            ]
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+    def _meta_path(self, key: str) -> str:
+        return f"{self.cache_dir}/{key}.meta.json"
+
+    def _load_meta(self, key: str) -> dict | None:
+        try:
+            with open(self._meta_path(key)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _store(self, key: str, df: DataFrame, ts: int) -> None:
+        meta = self._load_meta(key)
+        version = (meta["version"] + 1) if meta else 0
+        path = f"{self.cache_dir}/{key}.v{version}.parquet"
+        df.select("name", "labels", "ts", "value").write.mode(
+            "overwrite"
+        ).parquet(path)
+        with open(self._meta_path(key), "w") as fh:
+            json.dump({"ts": ts, "version": version, "path": path}, fh)
+        if meta:
+            import shutil
+
+            shutil.rmtree(meta["path"], ignore_errors=True)
+
+    def _delete(self, key: str) -> None:
+        meta = self._load_meta(key)
+        if meta:
+            import shutil
+
+            os.remove(self._meta_path(key))
+            shutil.rmtree(meta["path"], ignore_errors=True)
+
+    def _cached_df(self, meta: dict) -> DataFrame:
+        self.spark.catalog.refreshByPath(meta["path"])
+        return self.spark.read.schema(_RESULT_SCHEMA).parquet(meta["path"])
+
+    @staticmethod
+    def _keyed(df: DataFrame, col: str) -> DataFrame:
+        entries = F.array_sort(
+            F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
+        )
+        return df.select(
+            F.coalesce(F.col("name"), F.lit("")).alias("name"),
+            entries.alias("__e"),
+            F.col("value").alias(col),
+        )
+
+    def get_or_eval(
+        self,
+        name: str,
+        ident: str,
+        window_ms: int,
+        cfg: EvalConfig,
+        eval_at,
+    ) -> DataFrame | None:
+        """``eval_at(ts_ms, window_ms)`` must return the leaf's series
+        frame for a single-point grid at ``ts_ms``. Returns the result
+        frame, or None when the caller should use the normal path."""
+        if cfg.start != cfg.end or window_ms < self.min_window_ms:
+            return None
+        t = cfg.start
+        key = self._key(ident, window_ms, cfg)
+        meta = self._load_meta(key)
+        max_offset = min(window_ms // 2, 1800_000)
+        if meta is not None:
+            offset = t - meta["ts"]
+            if offset < 0 or offset >= max_offset:
+                self._delete(key)  # outdated — repopulate below
+                meta = None
+        if meta is None:
+            self.stats["misses"] += 1
+            out = eval_at(t, window_ms)
+            self._store(key, out, t)
+            return self._cached_df(self._load_meta(key)).select(
+                "name", "labels", "ts", "value"
+            )
+        offset = t - meta["ts"]
+        cached = self._cached_df(meta)
+        if offset == 0:
+            self.stats["hits"] += 1
+            return cached.select("name", "labels", "ts", "value")
+        start_part = eval_at(t, offset)  # rf(m[offset] @ t)
+        end_part = eval_at(t - window_ms, offset)  # rf(m[offset] @ t−window)
+        c = self._keyed(cached, "c")
+        s = self._keyed(start_part, "s")
+        e = self._keyed(end_part, "e")
+        join_cols = ["name", "__e"]
+        if name in self.ADDITIVE:
+            merged = c.join(s, join_cols, "full").join(e, join_cols, "full")
+            value = (
+                F.coalesce(F.col("c"), F.lit(0.0))
+                + F.coalesce(F.col("s"), F.lit(0.0))
+                - F.coalesce(F.col("e"), F.lit(0.0))
+            )
+        else:
+            # extremum validity: the expiring region must not own the
+            # cached extremum (strict inequality, eval.go:1390-1405)
+            bad = c.join(e, join_cols, "inner")
+            if name == "max_over_time":
+                bad = bad.filter(F.col("e") >= F.col("c"))
+            else:
+                bad = bad.filter(F.col("e") <= F.col("c"))
+            # a series seen expiring but absent from the cache means the
+            # cached entry predates it — impossible unless deleted; bail
+            orphans = e.join(c, join_cols, "left_anti")
+            if bad.limit(1).count() > 0 or orphans.limit(1).count() > 0:
+                self.stats["fallback"] += 1
+                self._delete(key)
+                return eval_at(t, window_ms)
+            merged = c.join(s, join_cols, "full")
+            pick = F.greatest if name == "max_over_time" else F.least
+            value = pick(
+                F.coalesce(
+                    F.col("c"), F.col("s")
+                ),
+                F.coalesce(F.col("s"), F.col("c")),
+            )
+        self.stats["adjusted"] += 1
+        out = merged.select(
+            F.col("name"),
+            F.map_from_entries(F.col("__e")).alias("labels"),
+            F.lit(t).alias("ts"),
+            value.cast("double").alias("value"),
+        ).filter(F.col("value").isNotNull())
+        if name == "count_over_time":
+            # a zero count means the true window is empty — a cold
+            # evaluation emits no point there (VM's own fast path emits
+            # 0 for a dying series until the cache entry expires; we
+            # restore cold parity, which the count value makes decidable)
+            out = out.filter(F.col("value") != 0.0)
+        # NOTE: like VM, a hit does NOT advance the cached timestamp —
+        # the entry serves until offset grows past max_offset, then the
+        # next query repopulates at its own t
+        return out
+
+
 class LeafResultCache:
     """Rollup-LEAF result cache — the Spark analog of VM's
     rollup_result_cache.go: results are cached *below* transforms and
@@ -362,6 +545,14 @@ class LeafResultCache:
         os.makedirs(cache_dir, exist_ok=True)
         self.accept_estimate_drift = accept_estimate_drift
         self.stats: dict = {"hits": 0, "partial": 0, "misses": 0}
+        self._instant: "InstantValuesCache | None" = None
+
+    def instant_values(self) -> "InstantValuesCache":
+        if self._instant is None:
+            self._instant = InstantValuesCache(
+                self.spark, os.path.join(self.cache_dir, "instant")
+            )
+        return self._instant
 
     def _key(self, ident: str, cfg: EvalConfig) -> str:
         payload = json.dumps(

@@ -294,6 +294,10 @@ class Planner:
                 at_handled = self.plan_at_modifier(e, cfg)
                 if at_handled is not None:
                     return at_handled
+                if self.leaf_cache is not None:
+                    fast = self._plan_instant_delta(e, cfg)
+                    if fast is not None:
+                        return fast
                 if self.leaf_cache is not None and self._leaf_cacheable(e):
                     return self.leaf_cache.get_or_eval(
                         repr(e),
@@ -309,6 +313,58 @@ class Planner:
         if isinstance(e, BinaryOpExpr):
             return binop_mod.plan_binop(self, e, cfg)
         raise PlanError(f"cannot plan {e!r}")
+
+    # -------------------------------------------- instant delta fast path
+    def _plan_instant_delta(self, fe: FuncExpr, cfg: EvalConfig):
+        """Instant-query delta fast path (evalInstantRollup,
+        eval.go:1176-1536): ``sum/count/min/max_over_time(m[big_d]) @ t``
+        reuses the cached instant values at a nearby timestamp, adjusted
+        with two boundary windows of size ``t − cached_t`` — see
+        engine/cache.py InstantValuesCache. Returns None when the fast
+        path doesn't apply (the caller falls through to the normal
+        plan)."""
+        from dataclasses import replace as _replace
+
+        from victoriametrics_spark.engine.cache import InstantValuesCache
+
+        name = fe.name
+        families = InstantValuesCache.ADDITIVE | InstantValuesCache.EXTREMUM
+        if name not in families or len(fe.args) != 1:
+            return None
+        if cfg.start != cfg.end:
+            return None
+        a = fe.args[0]
+        if not (
+            isinstance(a, RollupExpr)
+            and isinstance(a.expr, MetricExpr)
+            and a.window is not None
+            and a.offset is None
+            and a.at is None
+            and a.step is None
+        ):
+            return None
+        window_ms = a.window.ms(cfg.step)
+        inst = self.leaf_cache.instant_values()
+
+        def eval_at(ts_ms: int, w_ms: int) -> DataFrame:
+            sub_cfg = _replace(cfg, start=ts_ms, end=ts_ms)
+            sub_fe = FuncExpr(
+                name=name,
+                args=[
+                    RollupExpr(
+                        expr=a.expr,
+                        window=DurationExpr(text=f"{int(w_ms)}ms"),
+                        keep_metric_names=a.keep_metric_names,
+                    )
+                ],
+                keep_metric_names=fe.keep_metric_names,
+            )
+            # direct plan construction — no instant re-entry
+            return self.materialize(
+                self.plan_rollup_func(sub_fe, sub_cfg), sub_cfg
+            )
+
+        return inst.get_or_eval(name, repr(fe), window_ms, cfg, eval_at)
 
     # ------------------------------------------------------------- leaves
     def _leaf_cacheable(self, fe: FuncExpr) -> bool:
