@@ -435,3 +435,38 @@ def test_unsupported_function_raises(spark, samples):
 
     with pytest.raises(GraphiteEvalError):
         run(spark, samples, "definitelyNotAFunction(web.srv1.cpu)")
+
+
+def test_apply_by_node_batched_jobs(spark, samples):
+    """applyByNode with a pure-selector template collapses every prefix
+    into ONE brace-glob evaluation: the job count must not grow with the
+    prefix count (it used to build one subplan per prefix)."""
+    sc = spark.sparkContext
+
+    def jobs_for(target, group):
+        sc.setJobGroup(group, "job-count probe")
+        try:
+            out = run(spark, samples, target)
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc._jsc.sc().statusTracker()
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    one, n_one = jobs_for(
+        "applyByNode(web.srv1.cpu, 1, '%.cpu')", "abn-one"
+    )
+    both, n_both = jobs_for(
+        "applyByNode(web.*.cpu, 1, '%.cpu')", "abn-two"
+    )
+    assert set(one) == {"web.srv1.cpu"}
+    assert set(both) == {"web.srv1.cpu", "web.srv2.cpu"}
+    assert n_both <= n_one + 2, f"{n_both} jobs for 2 prefixes vs {n_one}"
+    # batched output == union of the per-prefix evaluations
+    manual = run(spark, samples, "web.srv1.cpu")
+    manual.update(run(spark, samples, "web.srv2.cpu"))
+    assert both == manual
+    # function-call templates keep the per-prefix union path and still work
+    fn_both = run(
+        spark, samples, "applyByNode(web.*.cpu, 1, 'sumSeries(%.cpu)')"
+    )
+    assert len(fn_both) == 2

@@ -2524,11 +2524,20 @@ def _f_apply_by_node(ctx, call):
     """Evaluate templateFunction per node-prefix group: occurrences of
     '%' in the template are replaced by the group prefix
     (graphite-web applyByNode). The prefix set is discovered from the
-    fetched names (presentation-sized collect)."""
+    fetched names (presentation-sized collect).
+
+    When the template is a PURE SELECTOR with a single '%' (the common
+    shape, e.g. ``%.disk.bytes_free``), all prefixes collapse into ONE
+    brace-glob target — one subplan and one evaluation regardless of the
+    prefix count, the same batching aliasQuery got. Function-call
+    templates keep the per-prefix union (each needs its own evaluation),
+    still lazily unioned into a single downstream job."""
+    import re as _re
+
     node_num = int(get_number(call, "nodeNum", 1))
     template = get_string(call, "templateFunction", 2)
     df = eval_series(ctx, call, "seriesList", 0)
-    prefixes = [
+    prefixes = sorted(
         r[0]
         for r in df.select(
             F.array_join(
@@ -2537,10 +2546,24 @@ def _f_apply_by_node(ctx, call):
         )
         .distinct()
         .collect()
-    ]
+    )
+    if not prefixes:
+        return empty_series(ctx)
+    pure_selector = (
+        template.count("%") == 1
+        and _re.fullmatch(r"[A-Za-z0-9._\-*%\[\]{}]*", template) is not None
+        and not any(_re.search(r"[,{}]", p) for p in prefixes)
+    )
+    if pure_selector:
+        glob = (
+            prefixes[0]
+            if len(prefixes) == 1
+            else "{" + ",".join(prefixes) + "}"
+        )
+        return evaluate_target(ctx, template.replace("%", glob))
     out = None
-    for p in sorted(prefixes):
+    for p in prefixes:
         sub = evaluate_target(ctx, template.replace("%", p))
         out = sub if out is None else out.unionByName(sub)
-    return out if out is not None else empty_series(ctx)
+    return out
 
