@@ -3079,17 +3079,20 @@ SELECT event_type, user_bucket, ts, value FROM (
 
 
 # ---------------------------------------------------------------- order
-# The driver verifies the FIRST 50 registered gates per round. Round-7
-# rotation: (a) the 16 gates whose engine code or oracle changed this
-# round (the span-normalized rate/deriv/delta family — new semantics AND
-# rewritten span oracles — plus the two new LogsQL string-pipe gates),
-# then (b) the 34 gates whose newest driver verdict predates r6 (they
-# sat outside r6's window; the judge re-verified them locally as "r6j"
-# but they have no driver verdict since r2/r3). The 31 gates left
-# outside this window all carry fresh r6 driver verdicts or r6j judge
-# verdicts on unchanged code, and scripts/check_oracle.py re-runs all
-# of them locally each round regardless of the window.
+# The driver verifies the FIRST 50 registered gates per round. Round-8
+# rotation: (a) the 19 gates whose engine code or oracle changed this
+# round — the span family gained the i<len(timestamps) anchor-successor
+# gate (engine AND oracle), and changes/resets/lifetime/lag/
+# scrape_interval/rate_over_sum moved to the eligibility span plan with
+# rewritten span-form oracles; then (b) the gates whose newest DRIVER
+# verdict is r5 or older (op_doc_*, op_streamaggr_*, most rel_*,
+# mq_at_modifier, mq_deriv, mq_dedup_on_read, mq_quantiles_over_time,
+# mq_range_mad, mq_rollup_candlestick, mq_count/max_over_time) — green
+# in the judge's r7j re-run but overdue a driver verdict.
+# scripts/check_oracle.py re-runs the WHOLE registry locally each round
+# regardless of the window.
 _DRIVER_PRIORITY = [
+    # (a) changed this round: span anchor-successor gate
     "mq_rate",
     "mq_rate_bucketed",
     "mq_rate_fine_step",
@@ -3103,68 +3106,38 @@ _DRIVER_PRIORITY = [
     "mq_deriv_fast",
     "mq_irate",
     "mq_ideriv",
-    "mq_increase_prometheus",
-    "lql_coalesce_pipe",
-    "lql_json_array_concat",
-    "op_emb_ivf_topk",
-    # aggr code paths touched by the round-7 parity fixes (topk NaN-k
-    # guard, quantile NaN-phi guard) — need fresh driver verdicts
-    "mq_topk_max",
-    "mq_quantile_sumot_by",
-    "mq_stdvar_over_time",
-    "mq_range_over_time",
-    "mq_last_over_time",
-    "mq_first_over_time",
-    "mq_median_over_time",
-    "mq_timestamp",
-    "mq_present_over_time",
-    "mq_count_gt_over_time",
-    "mq_count_le_over_time",
-    "mq_sum_gt_over_time",
-    "mq_share_gt_over_time",
+    # (a) changed this round: eligibility family, span-form oracles
+    "mq_changes",
+    "mq_resets",
     "mq_lifetime",
     "mq_lag",
-    "mq_delta_prometheus",
-    "mq_resets",
-    "mq_increases_over_time",
-    "mq_ascent_over_time",
-    "mq_descent_over_time",
-    "mq_integrate",
-    "mq_rate_over_sum",
-    "mq_changes",
-    "mq_sum_over_time",
-    "mq_quantile_over_time",
     "mq_scrape_interval",
-    "mq_geomean_over_time",
-    "mq_max_avgot_by",
-    "mq_min_avgot_by",
-    "mq_count_series_by",
-    "mq_stddev_sumot_by",
-    "mq_median_cntot_by",
-    "mq_min_over_time",
-    "mq_max_over_time",
-    "mq_count_over_time",
-    "rel_stats_q1",
-    # ---- positions 51+: r6-driver-green or r6j-verified, code unchanged
-    "op_doc_minhash_lsh",
+    "mq_rate_over_sum",
+    # (b) stale driver verdicts (r5 or older; r7j-green)
+    "mq_at_modifier",
     "mq_deriv",
+    "mq_dedup_on_read",
+    "mq_quantiles_over_time",
     "mq_range_mad",
     "mq_rollup_candlestick",
-    "mq_quantiles_over_time",
-    "mq_at_modifier",
-    "op_streamaggr_outputs",
-    "op_streamaggr_counters",
-    "op_streamaggr_dedup",
-    "mq_dedup_on_read",
+    "mq_count_over_time",
+    "mq_max_over_time",
+    "mq_min_over_time",
+    "op_doc_exact_dedup",
+    "op_doc_jaccard_pairs",
+    "op_doc_minhash_lsh",
+    "op_doc_simhash_pairs",
+    "op_doc_simhash_oracle",
     "op_doc_token_stats",
     "op_doc_quality",
     "op_doc_fingerprint",
-    "op_doc_exact_dedup",
-    "op_doc_jaccard_pairs",
     "op_doc_lang_id",
     "op_emb_knn_threshold",
     "op_emb_centroid_norm",
-    "op_doc_simhash_oracle",
+    "op_streamaggr_outputs",
+    "op_streamaggr_counters",
+    "op_streamaggr_dedup",
+    "op_downsample",
     "rel_join_stats",
     "rel_top_customers",
     "rel_uniq",
@@ -3177,6 +3150,7 @@ _DRIVER_PRIORITY = [
     "rel_phrase_filter",
     "rel_len_stats",
     "rel_format_top",
+    "rel_stats_q1",
 ]
 
 
