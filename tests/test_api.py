@@ -577,3 +577,43 @@ def test_delete_series_route(spark):
         assert {r["metric"]["s"] for r in res["data"]["result"]} == {"b"}
     finally:
         drop_samples_table(spark, "t_api_del")
+
+
+def test_delete_series_resets_result_cache(spark, tmp_path):
+    """ADVICE r9 (high): delete_series must reset the result caches —
+    the reference's delete handler calls promql.ResetRollupResultCache
+    (prometheus.go:527). Without it, a cached range keeps serving the
+    deleted series from parquet under cache_dir."""
+    from victoriametrics_spark.schema import samples_from_columns
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+
+    rows = [
+        (s, T0 + i * 100_000, float(i)) for s in ("a", "b") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    samples = samples_from_columns(
+        df, name="m", label_cols={"s": "series"}, ts="ts", value="value"
+    )
+    write_samples_table(samples, "t_api_delc", n_buckets=2)
+    try:
+        a = PromAPI(
+            spark,
+            read_samples_table(spark, "t_api_delc"),
+            samples_table="t_api_delc",
+            cache_dir=str(tmp_path / "delc"),
+        )
+        args = ("m", str(T0 // 1000), str(T0 // 1000 + 900), "100")
+        res = a.query_range(*args)
+        assert {r["metric"]["s"] for r in res["data"]["result"]} == {"a", "b"}
+        assert a.cache.stats["mode"] == "miss"
+
+        a.delete_series(['m{s="a"}'])
+        # the same range query must NOT serve the cached result
+        res = a.query_range(*args)
+        assert {r["metric"]["s"] for r in res["data"]["result"]} == {"b"}
+    finally:
+        drop_samples_table(spark, "t_api_delc")

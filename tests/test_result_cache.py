@@ -335,3 +335,54 @@ def test_instant_delta_small_window_skipped(spark, wide_samples, tmp_path):
         evaluate(spark, "sum_over_time(c[30m])", samples, cfg,
                  use_plan_cache=False)
     )
+
+
+def test_instant_cache_invalidated_by_new_files(spark, tmp_path):
+    """ADVICE r9: the instant-cache key folds in the input files token
+    (plancache.files_token) — a backfill with ts <= cached_t lands in
+    new parquet files, which must MISS the cache and recompute, not
+    serve a cached instant the boundary-window adjustment can't fix."""
+    import time
+
+    t0 = 1704067200000
+    rows = [
+        ("c", {"job": "a"}, t0 + i * 300_000, float(i), False)
+        for i in range(96)
+    ]
+    data_dir = str(tmp_path / "samples")
+    spark.createDataFrame(rows, SAMPLE_SCHEMA).write.mode("overwrite").parquet(
+        data_dir
+    )
+    q = "sum_over_time(c[4h])"
+    t1 = t0 + 6 * 3600_000
+    cfg1 = EvalConfig(start=t1, end=t1, step=300_000)
+    cache = RollupResultCache(spark, str(tmp_path / "inst_fp"))
+
+    samples = spark.read.parquet(data_dir)
+    first = cache.evaluate(q, samples, cfg1)
+    inst = cache.leaf_cache().instant_values()
+    assert inst.stats["misses"] == 1
+    v1 = _vals(first)
+
+    # backfill: OLD timestamps (inside the already-cached window) arrive
+    # in a new file — invisible to the boundary-window adjustment
+    time.sleep(0.02)
+    back = [("c", {"job": "a"}, t0 + 5 * 3600_000 + 1, 1e6, False)]
+    spark.createDataFrame(back, SAMPLE_SCHEMA).write.mode("append").parquet(
+        data_dir
+    )
+    samples2 = spark.read.parquet(data_dir)
+
+    t2 = t1 + 600_000
+    cfg2 = EvalConfig(start=t2, end=t2, step=300_000)
+    out = cache.evaluate(q, samples2, cfg2)
+    inst2 = cache.leaf_cache().instant_values()
+    # new files token → full miss, NOT an adjusted hit on the stale entry
+    assert inst2.stats["misses"] == 2 and inst2.stats["adjusted"] == 0
+    got = _vals(out)
+    assert got == _vals(
+        evaluate(spark, q, samples2, cfg2, use_plan_cache=False)
+    )
+    # the backfilled spike is reflected (cold would include the 1e6)
+    assert got[("c", (("job", "a"),), t2)] > 1e5
+    assert v1[("c", (("job", "a"),), t1)] < 1e5

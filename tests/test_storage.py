@@ -377,3 +377,147 @@ def test_delete_series_tombstones(spark):
         assert t.filter(F.col("labels")["s"] == "b").count() == 12
     finally:
         drop_samples_table(spark, "t_del")
+
+
+def _file_snapshot(spark, table):
+    """{file_path: mtime_ns} for every data file of the table."""
+    import os
+
+    out = {}
+    for uri in spark.table(table).inputFiles():
+        p = uri[7:] if uri.startswith("file://") else uri
+        out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_compact_is_partition_scoped(spark):
+    """VM merges per partition (lib/storage/partition.go:35-42), never
+    the whole table: a compact after appends to ONE day must leave every
+    other day's files byte-identical (same paths, same mtimes)."""
+    from victoriametrics_spark.storage import drop_samples_table
+
+    rows = [
+        (s, T0 + d * DAY + h * H, float(d * 24 + h))
+        for s in ("a", "b")
+        for d in range(3)
+        for h in range(24)
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_pscope", n_buckets=2)
+    try:
+        late = [("a", T0 + DAY + h * H + 1, 999.0) for h in range(4)]
+        append_samples(_mk_samples(spark, late), "t_pscope", n_buckets=2)
+        before = _file_snapshot(spark, "t_pscope")
+        compact_samples_table(spark, "t_pscope", n_buckets=2)
+        after = _file_snapshot(spark, "t_pscope")
+        d1 = f"date={str((__import__('datetime').datetime.utcfromtimestamp((T0 + DAY)/1000)).date())}"
+        untouched = {p for p in before if d1 not in p}
+        assert untouched, "expected files outside the appended day"
+        for p in untouched:
+            assert after.get(p) == before[p], f"{p} was rewritten"
+        # the appended day is back to one file per occupied bucket
+        from collections import Counter
+
+        d1_files = [p for p in after if d1 in p]
+        assert d1_files
+        suffix_counts = Counter(p.rsplit("_", 1)[1] for p in d1_files)
+        assert all(c == 1 for c in suffix_counts.values()), d1_files
+        assert read_samples_table(spark, "t_pscope").count() == 148
+        # idempotent: a second compact with nothing to do touches nothing
+        compact_samples_table(spark, "t_pscope", n_buckets=2)
+        assert _file_snapshot(spark, "t_pscope") == after
+    finally:
+        drop_samples_table(spark, "t_pscope")
+
+
+def test_partial_compact_keeps_tombstones(spark):
+    """A tombstone clears only once EVERY partition holding its dead
+    rows has been rewritten (VM keeps deleted metricIDs until the last
+    affected part is merged)."""
+    from datetime import datetime
+
+    from victoriametrics_spark.storage import delete_series, drop_samples_table
+
+    rows = [
+        ("a", T0 + d * DAY + h * H, float(h)) for d in range(2) for h in range(12)
+    ] + [("b", T0 + d * DAY + h * H, 5.0) for d in range(2) for h in range(12)]
+    write_samples_table(_mk_samples(spark, rows), "t_partial", n_buckets=2)
+    try:
+        assert delete_series(spark, "t_partial", ['m{s="a"}']) == 1
+        day0 = datetime.utcfromtimestamp(T0 / 1000).date()
+        day1 = datetime.utcfromtimestamp((T0 + DAY) / 1000).date()
+        before = _file_snapshot(spark, "t_partial")
+        compact_samples_table(spark, "t_partial", n_buckets=2, dates=[day0])
+        # tombstone must survive: day1 still holds dead rows
+        assert spark.catalog.tableExists("t_partial__tombstones")
+        t = read_samples_table(spark, "t_partial")
+        assert t.filter(F.col("labels")["s"] == "a").count() == 0
+        assert t.filter(F.col("labels")["s"] == "b").count() == 24
+        # day1 files untouched by the day0-scoped compact
+        after = _file_snapshot(spark, "t_partial")
+        for p in before:
+            if f"date={day1}" in p:
+                assert after.get(p) == before[p]
+        # second compact covers day1 → tombstone clears, rows gone
+        compact_samples_table(spark, "t_partial", n_buckets=2, dates=[day1])
+        assert not spark.catalog.tableExists("t_partial__tombstones")
+        t = read_samples_table(spark, "t_partial")
+        assert t.filter(F.col("labels")["s"] == "a").count() == 0
+        assert t.count() == 24
+    finally:
+        drop_samples_table(spark, "t_partial")
+
+
+def test_tombstones_are_tenant_scoped(spark):
+    """delete_series for tenant 1:0 must not hide — or let compaction
+    physically drop — the identically-named series of tenant 2:0 (VM:
+    deleted metricIDs live in the per-(AccountID, ProjectID) IndexDB)."""
+    from victoriametrics_spark.api.http import with_tenant
+    from victoriametrics_spark.storage import delete_series, drop_samples_table
+
+    rows = [("a", T0 + h * H, float(h)) for h in range(12)]
+    df = with_tenant(_mk_samples(spark, rows), "1:0").unionByName(
+        with_tenant(_mk_samples(spark, rows), "2:0")
+    )
+    write_samples_table(df, "t_ttomb", n_buckets=2)
+    try:
+        assert delete_series(spark, "t_ttomb", ['m{s="a"}'], tenant="1:0") == 1
+        t1 = read_samples_table(spark, "t_ttomb", tenant="1:0")
+        t2 = read_samples_table(spark, "t_ttomb", tenant="2:0")
+        assert t1.count() == 0
+        assert t2.count() == 12  # other tenant unaffected on read
+        compact_samples_table(spark, "t_ttomb", n_buckets=2)
+        assert not spark.catalog.tableExists("t_ttomb__tombstones")
+        t1 = read_samples_table(spark, "t_ttomb", tenant="1:0")
+        t2 = read_samples_table(spark, "t_ttomb", tenant="2:0")
+        assert t1.count() == 0
+        assert t2.count() == 12  # ...and survives compaction physically
+    finally:
+        drop_samples_table(spark, "t_ttomb")
+
+
+def test_compact_drops_fully_dead_partition(spark):
+    """A partition whose every row is tombstoned is DROPped (dynamic
+    overwrite can't write an empty partition), not left in place."""
+    import os
+
+    from victoriametrics_spark.storage import delete_series, drop_samples_table
+
+    rows = [("a", T0 + h * H, 1.0) for h in range(6)] + [
+        ("b", T0 + DAY + h * H, 2.0) for h in range(6)
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_deadpart", n_buckets=2)
+    try:
+        assert delete_series(spark, "t_deadpart", ['m{s="a"}']) == 1
+        compact_samples_table(spark, "t_deadpart", n_buckets=2)
+        assert not spark.catalog.tableExists("t_deadpart__tombstones")
+        t = read_samples_table(spark, "t_deadpart")
+        assert t.count() == 6
+        # the day-0 directory is gone from disk
+        loc = spark.conf.get("spark.sql.warehouse.dir") + "/t_deadpart"
+        if loc.startswith("file:"):
+            loc = loc[5:].lstrip("/")
+            loc = "/" + loc
+        dirs = {d for d in os.listdir(loc) if d.startswith("date=")}
+        assert dirs == {"date=2024-01-02"}
+    finally:
+        drop_samples_table(spark, "t_deadpart")

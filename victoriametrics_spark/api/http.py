@@ -543,6 +543,20 @@ class PromAPI:
         ]
         return {"status": "ok", "data": data}
 
+    def reload_samples(self) -> None:
+        """Re-derive the pinned samples frame from the backing table —
+        required after an out-of-band ``compact_samples_table`` (the
+        compaction replaces/drops files the old frame's plan binds)."""
+        if not self.samples_table:
+            raise ValueError("reload_samples requires PromAPI(samples_table=...)")
+        from victoriametrics_spark.storage.layout import read_samples_table
+
+        self.samples = read_samples_table(
+            self.spark, self.samples_table, tenant=self.tenant
+        )
+        if self.cache is not None:
+            self.cache.reset()
+
     def delete_series(self, matches: list[str]) -> dict:
         """/api/v1/admin/tsdb/delete_series — tombstone matching series
         in the backing table (storage/layout.py delete_series; VM:
@@ -565,6 +579,12 @@ class PromAPI:
         self.samples = read_samples_table(
             self.spark, self.samples_table, tenant=self.tenant
         )
+        # the result caches key on (query, cfg) with no data identity —
+        # reset them like the reference's delete handler does
+        # (promql.ResetRollupResultCache, prometheus.go:527), else
+        # previously cached ranges keep serving the deleted series
+        if self.cache is not None:
+            self.cache.reset()
         return {"status": "success", "deleted_series": n}
 
     # ---------------------------------------------------- graphite render

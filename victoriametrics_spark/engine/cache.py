@@ -229,6 +229,22 @@ class RollupResultCache:
         )
         return hashlib.sha256(ident.encode()).hexdigest()[:24]
 
+    def reset(self) -> None:
+        """promql.ResetRollupResultCache analog — the reference's delete
+        handler calls it explicitly (app/vmselect/prometheus/
+        prometheus.go:527) because cached results are keyed on (query,
+        cfg) with no data identity: without the reset, a previously
+        cached range would keep serving deleted series indefinitely.
+        Drops every cached segment, leaf, and instant entry."""
+        import shutil
+
+        shutil.rmtree(self.cache_dir, ignore_errors=True)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        if self._leaf is not None:
+            os.makedirs(self._leaf.cache_dir, exist_ok=True)
+            if self._leaf._instant is not None:
+                os.makedirs(self._leaf._instant.cache_dir, exist_ok=True)
+
     def leaf_cache(self) -> "LeafResultCache":
         if self._leaf is None:
             self._leaf = LeafResultCache(
@@ -368,7 +384,9 @@ class InstantValuesCache:
         self.min_window_ms = 3 * 3600 * 1000
         self.stats: dict = {"hits": 0, "adjusted": 0, "misses": 0, "fallback": 0}
 
-    def _key(self, ident: str, window_ms: int, cfg: EvalConfig) -> str:
+    def _key(
+        self, ident: str, window_ms: int, cfg: EvalConfig, fingerprint=None
+    ) -> str:
         payload = json.dumps(
             [
                 ident,
@@ -377,6 +395,11 @@ class InstantValuesCache:
                 cfg.max_lookback,
                 cfg.dedup_interval_ms,
                 list(cfg.enforced_filters),
+                # input-data identity (plancache.files_token): backfilled
+                # or appended files change the token, so stale cached
+                # instants can't serve values the boundary-window
+                # adjustment would never see (cached == cold contract)
+                repr(fingerprint),
             ]
         )
         return hashlib.sha256(payload.encode()).hexdigest()[:24]
@@ -435,6 +458,7 @@ class InstantValuesCache:
         window_ms: int,
         cfg: EvalConfig,
         eval_at,
+        fingerprint=None,
     ) -> DataFrame | None:
         """``eval_at(ts_ms, window_ms)`` must return the leaf's series
         frame for a single-point grid at ``ts_ms``. Returns the result
@@ -442,7 +466,7 @@ class InstantValuesCache:
         if cfg.start != cfg.end or window_ms < self.min_window_ms:
             return None
         t = cfg.start
-        key = self._key(ident, window_ms, cfg)
+        key = self._key(ident, window_ms, cfg, fingerprint)
         meta = self._load_meta(key)
         max_offset = min(window_ms // 2, 1800_000)
         if meta is not None:
@@ -484,9 +508,16 @@ class InstantValuesCache:
             else:
                 bad = bad.filter(F.col("e") <= F.col("c"))
             # a series seen expiring but absent from the cache means the
-            # cached entry predates it — impossible unless deleted; bail
+            # cached entry predates it — impossible unless deleted; bail.
+            # Both emptiness probes run as ONE job (union of limit-1s),
+            # halving fast-path validity latency vs two driver actions.
             orphans = e.join(c, join_cols, "left_anti")
-            if bad.limit(1).count() > 0 or orphans.limit(1).count() > 0:
+            invalid = (
+                bad.select(F.lit(1).alias("__bad"))
+                .limit(1)
+                .unionAll(orphans.select(F.lit(1).alias("__bad")).limit(1))
+            )
+            if invalid.limit(1).count() > 0:
                 self.stats["fallback"] += 1
                 self._delete(key)
                 return eval_at(t, window_ms)

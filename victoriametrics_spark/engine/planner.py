@@ -364,7 +364,16 @@ class Planner:
                 self.plan_rollup_func(sub_fe, sub_cfg), sub_cfg
             )
 
-        return inst.get_or_eval(name, repr(fe), window_ms, cfg, eval_at)
+        from victoriametrics_spark.engine.plancache import files_token
+
+        return inst.get_or_eval(
+            name,
+            repr(fe),
+            window_ms,
+            cfg,
+            eval_at,
+            fingerprint=files_token(self.samples),
+        )
 
     # ------------------------------------------------------------- leaves
     def _leaf_cacheable(self, fe: FuncExpr) -> bool:

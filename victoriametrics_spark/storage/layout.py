@@ -193,25 +193,45 @@ def _tombstone_table(table: str) -> str:
     return f"{table}__tombstones"
 
 
-def _apply_tombstones(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
-    """Filter out tombstoned series rows (deleted-metricIDs analog,
-    lib/storage/index_db.go): a row is dead when its series key is
-    tombstoned AND its parquet file predates the tombstone — so samples
-    re-ingested AFTER a delete are visible again, exactly like VM where
-    re-ingestion registers a fresh metricID. The tombstone side-table is
-    tiny (one row per deleted series) and broadcast; the scan shape /
-    partition pruning are untouched."""
+def _grouped_tombstones(
+    spark: SparkSession, df: DataFrame, table: str
+) -> "tuple[DataFrame, list[str]] | tuple[None, None]":
+    """(max-deleted_at tombstones, join columns) for ``df``, or (None,
+    None) when the table has no tombstones. Tombstones are PER-TENANT
+    (VM's deleted-metricIDs live in the per-(AccountID, ProjectID)
+    IndexDB): a delete issued for tenant 1:0 must never hide — or let
+    compaction drop — an identically-named series of another tenant, so
+    the join keys on (tenant, __series_key) whenever both sides carry
+    the tenant."""
     tomb_tbl = _tombstone_table(table)
     if not spark.catalog.tableExists(tomb_tbl):
-        return df
-    tomb = (
-        spark.table(tomb_tbl)
-        .groupBy("__series_key")
-        .agg(F.max("deleted_at").alias("__del_at"))
+        return None, None
+    tomb = spark.table(tomb_tbl)
+    join_cols = (
+        ["tenant", "__series_key"]
+        if "tenant" in tomb.columns and "tenant" in df.columns
+        else ["__series_key"]
     )
+    grouped = tomb.groupBy(*join_cols).agg(
+        F.max("deleted_at").alias("__del_at")
+    )
+    return grouped, join_cols
+
+
+def _apply_tombstones(spark: SparkSession, df: DataFrame, table: str) -> DataFrame:
+    """Filter out tombstoned series rows (deleted-metricIDs analog,
+    lib/storage/index_db.go): a row is dead when its (tenant, series
+    key) is tombstoned AND its parquet file predates the tombstone — so
+    samples re-ingested AFTER a delete are visible again, exactly like
+    VM where re-ingestion registers a fresh metricID. The tombstone
+    side-table is tiny (one row per deleted series) and broadcast; the
+    scan shape / partition pruning are untouched."""
+    tomb, join_cols = _grouped_tombstones(spark, df, table)
+    if tomb is None:
+        return df
     file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
     df = df.withColumn("__file_ms", file_ms)
-    df = df.join(F.broadcast(tomb), "__series_key", "left")
+    df = df.join(F.broadcast(tomb), join_cols, "left")
     return df.filter(
         F.col("__del_at").isNull() | (F.col("__file_ms") > F.col("__del_at"))
     ).drop("__del_at", "__file_ms")
@@ -246,7 +266,8 @@ def delete_series(
     for p in preds[1:]:
         pred = pred | p
     scan = spark.table(table)
-    if "tenant" in scan.columns:
+    multi_tenant = "tenant" in scan.columns
+    if multi_tenant:
         if tenant is None:
             raise ValueError(
                 f"table {table!r} is multi-tenant; pass tenant='a:p'"
@@ -259,11 +280,16 @@ def delete_series(
         F.max(F.unix_millis(F.col("_metadata.file_modification_time")))
     ).first()
     deleted_at = row[0] or 0
+    # tombstones carry their tenant (per-tenant deleted-metricIDs, like
+    # VM's per-(AccountID, ProjectID) IndexDB); "" for single-tenant
+    # tables
+    tenant_val = parse_tenant(tenant) if multi_tenant else ""
     keys = (
         _apply_tombstones(spark, scan, table)
         .filter(pred)
         .select("__series_key")
         .distinct()
+        .withColumn("tenant", F.lit(tenant_val))
         .withColumn("deleted_at", F.lit(deleted_at).cast("long"))
     )
     n = keys.count()
@@ -275,18 +301,56 @@ def delete_series(
     return n
 
 
-def compact_samples_table(
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            try:
+                return int(r["data_type"])
+            except (TypeError, ValueError):
+                return None
+    return None
+
+
+_BUCKET_FILE_RE = None  # compiled lazily (keeps `re` out of module scope)
+
+
+def _partition_file_index(
+    spark: SparkSession, table: str, part_cols: list[str]
+) -> dict:
+    """{partition tuple (decoded strings): {bucket_id: file_count}} from
+    the current file listing — metadata only, no data read (the analog
+    of VM consulting part headers to pick merge candidates,
+    lib/storage/partition.go:35-42)."""
+    import re as _re
+    from urllib.parse import unquote
+
+    global _BUCKET_FILE_RE
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = _re.compile(r"_(\d{5})\.")
+    out: dict = {}
+    for uri in spark.table(table).inputFiles():
+        segs = uri.split("/")
+        vals = {}
+        for s in segs[:-1]:
+            if "=" in s:
+                k, v = s.split("=", 1)
+                if k in part_cols:
+                    vals[k] = unquote(v)
+        key = tuple(vals.get(c, "") for c in part_cols)
+        m = _BUCKET_FILE_RE.search(segs[-1])
+        b = int(m.group(1)) if m else -1
+        buckets = out.setdefault(key, {})
+        buckets[b] = buckets.get(b, 0) + 1
+    return out
+
+
+def _compact_full(
     spark: SparkSession,
     table: str,
-    n_buckets: int = DEFAULT_BUCKETS,
-    dedup_interval_ms: int = 0,
+    n_buckets: int,
+    dedup_interval_ms: int,
 ) -> None:
-    """LSM-merge analog: rewrite ``table`` to one file per (date, bucket),
-    optionally deduping (VM merges small parts into big ones and dedups
-    while merging, lib/storage/merge.go + dedup.go). Tombstoned rows
-    (:func:`delete_series`) are physically dropped during the rewrite
-    and the tombstone side-table is cleared — the same way VM's merges
-    drop blocks of deleted metricIDs."""
+    """Whole-table rewrite (rebucketing / explicit ``full=True``)."""
     tmp = f"{table}__compacting"
     write_samples_table(
         _apply_tombstones(spark, spark.table(table), table).drop("date"),
@@ -302,6 +366,151 @@ def compact_samples_table(
     # moved locations
     spark.sql(f"MSCK REPAIR TABLE {table}")
     spark.catalog.refreshTable(table)
+
+
+def compact_samples_table(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    dedup_interval_ms: int = 0,
+    dates: "list | None" = None,
+    full: bool = False,
+) -> None:
+    """LSM-merge analog — PARTITION-SCOPED since round 9, like VM's
+    per-partition merges (lib/storage/partition.go:35-42 pick merge
+    candidates per partition; lib/storage/merge.go merges those parts
+    only). Only the partitions that need work are rewritten:
+
+    - partitions where some (bucket) holds >1 data file (appends since
+      the last compact), found from the FILE LISTING alone;
+    - partitions holding tombstoned rows (:func:`delete_series`), found
+      by a column-pruned scan of ``__series_key`` joined with the
+      broadcast tombstone side-table.
+
+    Untouched partitions' files are left byte-identical — at 100 TB a
+    compaction after a one-day delete rewrites that day, not the table.
+    Rewrites go through dynamic-partition-overwrite ``insertInto``, which
+    preserves the table's bucket/sort spec; fully-dead partitions (every
+    row tombstoned) are dropped via ``ALTER TABLE .. DROP PARTITION``.
+
+    ``dates`` restricts the rewrite to those date partition values (str
+    or date); a tombstone is cleared only once EVERY partition holding
+    its dead rows has been rewritten — a partial compact leaves it in
+    place, exactly like VM keeps deleted metricIDs until the last
+    affected part is merged. ``full=True`` (or changing ``n_buckets``)
+    forces the old whole-table rewrite."""
+    cur = _table_num_buckets(spark, table)
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if full or cur is None or cur != n_buckets or not part_cols:
+        _compact_full(spark, table, n_buckets, dedup_interval_ms)
+        return
+    date_set = {str(d) for d in dates} if dates is not None else None
+
+    # (1) small-file partitions — metadata only
+    idx = _partition_file_index(spark, table, part_cols)
+    affected = {
+        p for p, buckets in idx.items() if any(c > 1 for c in buckets.values())
+    }
+    # (2) partitions holding dead rows, plus the per-tombstone map of
+    # where its dead rows live (decides which tombstones may clear)
+    tomb, join_cols = _grouped_tombstones(spark, scan, table)
+    dead_by_key: dict = {}
+    if tomb is not None:
+        file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
+        dead = (
+            scan.withColumn("__file_ms", file_ms)
+            .join(F.broadcast(tomb), join_cols)
+            .filter(F.col("__file_ms") <= F.col("__del_at"))
+            .select(*part_cols, *join_cols)
+            .distinct()
+            .collect()
+        )
+        for r in dead:
+            p = tuple(str(r[c]) for c in part_cols)
+            dead_by_key.setdefault(
+                tuple(r[c] for c in join_cols), set()
+            ).add(p)
+            affected.add(p)
+
+    target = (
+        affected
+        if date_set is None
+        else {p for p in affected if p[-1] in date_set}
+    )
+    written: set = set()
+    if target:
+        pred = F.lit(False)
+        for p in sorted(target):
+            cond = F.lit(True)
+            for c, v in zip(part_cols, p):
+                cond = cond & (F.col(c).cast("string") == F.lit(v))
+            pred = pred | cond
+        sub = _apply_tombstones(spark, scan, table).filter(pred)
+        if dedup_interval_ms > 0:
+            from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+            sub = dedup_samples(sub, dedup_interval_ms)
+        # dynamic overwrite only touches partitions present in the
+        # output — detect fully-dead ones first to DROP them instead
+        written = {
+            tuple(str(r[c]) for c in part_cols)
+            for r in sub.select(*part_cols).distinct().collect()
+        }
+        if written:
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            try:
+                old_mode = spark.conf.get(mode_key)
+            except Exception:
+                old_mode = None
+            spark.conf.set(mode_key, "dynamic")
+            try:
+                # repartition by the BUCKET-ID expression, not the key:
+                # a repartition on __series_key is semantically redundant
+                # with the bucketed scan's partitioning and gets elided,
+                # after which each scan split writes its own per-bucket
+                # file — breaking the one-file-per-(partition, bucket)
+                # invariant the compaction exists to restore
+                (
+                    sub.select(*scan.columns)
+                    .repartition(
+                        cur, F.expr(f"pmod(hash(__series_key), {cur})")
+                    )
+                    .write.mode("overwrite")
+                    .insertInto(table)
+                )
+            finally:
+                if old_mode is None:
+                    spark.conf.unset(mode_key)
+                else:
+                    spark.conf.set(mode_key, old_mode)
+        for p in sorted(target - written):
+            spec = ", ".join(
+                f"{c}='{v}'" for c, v in zip(part_cols, p)
+            )
+            spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec})")
+        spark.catalog.refreshTable(table)
+
+    # (3) clear only the tombstones whose dead rows were all rewritten
+    if tomb is not None:
+        survivors = {
+            k for k, parts in dead_by_key.items() if not parts <= target
+        }
+        tomb_tbl = _tombstone_table(table)
+        if not survivors:
+            spark.sql(f"DROP TABLE IF EXISTS {tomb_tbl}")
+        else:
+            rows = spark.table(tomb_tbl).collect()
+            schema = spark.table(tomb_tbl).schema
+            keep = [
+                r
+                for r in rows
+                if tuple(r[c] for c in join_cols) in survivors
+            ]
+            spark.createDataFrame(keep, schema).write.mode(
+                "overwrite"
+            ).format("parquet").saveAsTable(tomb_tbl)
+            spark.catalog.refreshTable(tomb_tbl)
 
 
 # ---------------------------------------------------------------- logs
