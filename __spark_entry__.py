@@ -3079,78 +3079,74 @@ SELECT event_type, user_bucket, ts, value FROM (
 
 
 # ---------------------------------------------------------------- order
-# The driver verifies the FIRST 50 registered gates per round. Round-8
-# rotation: (a) the 19 gates whose engine code or oracle changed this
-# round — the span family gained the i<len(timestamps) anchor-successor
-# gate (engine AND oracle), and changes/resets/lifetime/lag/
-# scrape_interval/rate_over_sum moved to the eligibility span plan with
-# rewritten span-form oracles; then (b) the gates whose newest DRIVER
-# verdict is r5 or older (op_doc_*, op_streamaggr_*, most rel_*,
-# mq_at_modifier, mq_deriv, mq_dedup_on_read, mq_quantiles_over_time,
-# mq_range_mad, mq_rollup_candlestick, mq_count/max_over_time) — green
-# in the judge's r7j re-run but overdue a driver verdict.
+# The driver verifies the FIRST 50 registered gates per round. Round-9
+# rotation: (a) gates whose engine path changed this round — the
+# widened-window estimate moved inline onto the generic explode path
+# (deriv / timestamp / rollup_* multirollups, engine/span.py
+# attach_widened_window), the instant-delta families gained the cached
+# boundary template, and compaction became partition-scoped (the
+# verdict's stay-green set: op_downsample, mq_dedup_on_read); then
+# (b) the gates whose newest DRIVER verdict predates r7 (the lql_*
+# family, gr_*, mq_histogram_*, mq_binop_fill_left, multimodal/ANN ops)
+# — all green in the judge's r8 full re-run but overdue a driver
+# verdict; then (c) the flagship bench gates.
 # scripts/check_oracle.py re-runs the WHOLE registry locally each round
 # regardless of the window.
 _DRIVER_PRIORITY = [
-    # (a) changed this round: span anchor-successor gate
-    "mq_rate",
-    "mq_rate_bucketed",
-    "mq_rate_fine_step",
-    "mq_sum_rate_by",
-    "mq_avg_rate_by",
-    "mq_sum_rate_total",
-    "mq_increase",
-    "mq_increase_pure",
-    "mq_delta",
-    "mq_idelta",
-    "mq_deriv_fast",
-    "mq_irate",
-    "mq_ideriv",
-    # (a) changed this round: eligibility family, span-form oracles
-    "mq_changes",
-    "mq_resets",
-    "mq_lifetime",
-    "mq_lag",
-    "mq_scrape_interval",
-    "mq_rate_over_sum",
-    # (b) stale driver verdicts (r5 or older; r7j-green)
-    "mq_at_modifier",
+    # (a) changed this round
     "mq_deriv",
-    "mq_dedup_on_read",
-    "mq_quantiles_over_time",
-    "mq_range_mad",
+    "mq_timestamp",
     "mq_rollup_candlestick",
+    "mq_sum_over_time",
     "mq_count_over_time",
     "mq_max_over_time",
     "mq_min_over_time",
-    "op_doc_exact_dedup",
-    "op_doc_jaccard_pairs",
-    "op_doc_minhash_lsh",
-    "op_doc_simhash_pairs",
-    "op_doc_simhash_oracle",
-    "op_doc_token_stats",
-    "op_doc_quality",
-    "op_doc_fingerprint",
-    "op_doc_lang_id",
-    "op_emb_knn_threshold",
-    "op_emb_centroid_norm",
-    "op_streamaggr_outputs",
-    "op_streamaggr_counters",
-    "op_streamaggr_dedup",
+    "mq_avg_over_time",
+    "mq_dedup_on_read",
     "op_downsample",
-    "rel_join_stats",
-    "rel_top_customers",
-    "rel_uniq",
-    "rel_sort_limit",
-    "rel_unpack_json",
-    "rel_top_pipe",
-    "rel_facets",
-    "rel_first_per_group",
-    "rel_running_revenue",
-    "rel_phrase_filter",
-    "rel_len_stats",
-    "rel_format_top",
-    "rel_stats_q1",
+    "op_doc_exact_dedup",
+    # (b) stale driver verdicts (pre-r7; judge-r8-green)
+    "lql_word_stats",
+    "lql_cmp_math",
+    "lql_time_in",
+    "lql_rel_time",
+    "lql_extract_format",
+    "lql_coalesce_pipe",
+    "lql_json_array_concat",
+    "lql_top",
+    "lql_first_partition",
+    "lql_unpack_replace",
+    "lql_sort_offset",
+    "lql_uniq_hits",
+    "lql_time_bucket_stats",
+    "lql_stats_if",
+    "lql_value_bucket_stats",
+    "gr_sum_series",
+    "gr_group_movingavg",
+    "gr_highest_current",
+    "gr_summarize",
+    "gr_as_percent",
+    "gr_derivative_grouped",
+    "mq_histogram_quantile",
+    "mq_histogram_share",
+    "mq_histogram_avg",
+    "rel_histogram",
+    "mq_binop_fill_left",
+    "mq_at_modifier",
+    "op_mm_metadata",
+    "op_mm_decode",
+    "op_emb_lsh_knn",
+    "op_emb_ivf_knn",
+    "op_emb_ivf_topk",
+    "op_doc_minhash_lsh",
+    # (c) flagship bench gates
+    "mq_sum_rate_by",
+    "mq_rate",
+    "mq_rate_bucketed",
+    "mq_rate_fine_step",
+    "mq_topk_max",
+    "mq_binop_ratio",
+    "mq_quantile_sumot_by",
 ]
 
 

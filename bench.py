@@ -57,16 +57,36 @@ def main() -> int:
     # regression" was exactly that); min-of-3 is the standard defensible
     # estimator for a deterministic workload on a noisy host
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # with the engine-level plan LRU (engine/plancache.py) runs 2..n hit
+    # the cached logical plan, so min/n measures the repeated-dashboard-
+    # query cost (VM's parse cache serves its bench identically) while
+    # first_run includes cold plan construction — report BOTH so
+    # round-over-round comparisons stay unambiguous
+    from victoriametrics_spark.engine.plancache import GLOBAL_PLAN_CACHE
+
+    first_runs: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best, n = float("inf"), -1
-        for _ in range(repeats):
+        best, first, n = float("inf"), -1.0, -1
+        for i in range(repeats):
+            if i == 0:
+                # genuinely cold plan for the first run (the JVM warm-up
+                # above may have primed the LRU for some queries)
+                GLOBAL_PLAN_CACHE.clear()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if i == 0:
+                first = dt
+            best = min(best, dt)
         timings[name] = round(best, 3)
+        first_runs[name] = round(first, 3)
         total += best
-        print(f"# {name}: {best:.2f}s min/{repeats} ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.2f}s min/{repeats}, {first:.2f}s cold "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -75,6 +95,8 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "first_run": first_runs,
+                "first_run_total": round(sum(first_runs.values()), 3),
                 "sf": sf,
             }
         )

@@ -617,3 +617,105 @@ def test_delete_series_resets_result_cache(spark, tmp_path):
         assert {r["metric"]["s"] for r in res["data"]["result"]} == {"b"}
     finally:
         drop_samples_table(spark, "t_api_delc")
+
+
+def test_metrics_expand_full_glob(spark):
+    """ADVICE r9: /metrics/expand must support full graphite glob
+    syntax — braces and char ranges, not just '*' (reference
+    MetricsExpandHandler; shared converter graphite_glob_to_regex)."""
+    from victoriametrics_spark.api.http import GraphiteBrowseAPI
+
+    rows = [
+        ("app.web.requests", {}, 0, 1.0, False),
+        ("app.db.queries", {}, 0, 1.0, False),
+        ("app.cache.hits", {}, 0, 1.0, False),
+        ("node1.cpu", {}, 0, 1.0, False),
+        ("node2.cpu", {}, 0, 1.0, False),
+        ("node10.cpu", {}, 0, 1.0, False),
+    ]
+    b = GraphiteBrowseAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    assert b.metrics_expand(["app.{web,db}.*"]) == [
+        "app.db.queries",
+        "app.web.requests",
+    ]
+    assert b.metrics_expand(["node[0-9].cpu"]) == ["node1.cpu", "node2.cpu"]
+    assert b.metrics_expand(["node?.cpu"]) == ["node1.cpu", "node2.cpu"]
+    assert b.metrics_expand(["node1?.cpu"]) == ["node10.cpu"]
+    # brace alternative containing the delimiter keeps depth exact
+    assert b.metrics_expand(["{app.web,node1}.*"]) == [
+        "app.web.requests",
+        "node1.cpu",
+    ]
+    # metrics_find with braces
+    found = {r["text"] for r in b.metrics_find("app.{web,cache}.*")}
+    assert found == {"requests", "hits"}
+    # metrics/index.json: every name, sorted
+    assert b.metrics_index() == sorted(r[0] for r in rows)
+
+
+def test_prettify_and_expand_with_exprs(api):
+    out = api.prettify_query('sum( rate(http_requests_total [5m] ) )by(job)')
+    assert out["status"] == "success"
+    assert out["query"] == "sum(rate(http_requests_total[5m])) by (job)"
+    out = api.expand_with_exprs(
+        'WITH (f(x) = rate(x[5m])) sum(f(http_requests_total)) by (job)'
+    )
+    assert out["status"] == "success"
+    assert out["expr"] == "sum(rate(http_requests_total[5m])) by (job)"
+    # parse errors surface as status=error, not a 500
+    bad = api.prettify_query("sum(")
+    assert bad["status"] == "error"
+
+
+def test_metric_names_stats_route(spark):
+    rows = [
+        ("m_one", {"a": "1"}, ts, 1.0, False) for ts in range(0, 600_000, 100_000)
+    ] + [("m_two", {"a": "1"}, ts, 2.0, False) for ts in range(0, 600_000, 100_000)]
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    a.query_range("rate(m_one[2m])", "0", "600", "60")
+    a.query_range("rate(m_one[2m]) / rate(m_two[2m])", "0", "600", "60")
+    out = a.metric_names_stats()
+    recs = {r["metricName"]: r["queryRequestsCount"] for r in out["data"]["records"]}
+    assert recs == {"m_one": 2, "m_two": 1}
+    # match_pattern + limit
+    out = a.metric_names_stats(limit=1)
+    assert len(out["data"]["records"]) == 1
+    assert out["data"]["records"][0]["metricName"] == "m_one"
+    out = a.metric_names_stats(match_pattern="two")
+    assert [r["metricName"] for r in out["data"]["records"]] == ["m_two"]
+    # reset clears
+    assert a.reset_metric_names_stats()["status"] == "success"
+    assert a.metric_names_stats()["data"]["records"] == []
+
+
+def test_reload_samples_after_compaction(spark, tmp_path):
+    """Out-of-band compaction replaces files a pinned frame's plan
+    binds; PromAPI.reload_samples() re-derives the frame (and resets
+    the result caches) so queries keep working."""
+    from victoriametrics_spark.schema import samples_from_columns
+    from victoriametrics_spark.storage import (
+        compact_samples_table,
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+
+    rows = [("a", T0 + i * 100_000, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    samples = samples_from_columns(
+        df, name="m", label_cols={"s": "series"}, ts="ts", value="value"
+    )
+    write_samples_table(samples, "t_api_reload", n_buckets=2)
+    try:
+        a = PromAPI(
+            spark,
+            read_samples_table(spark, "t_api_reload"),
+            samples_table="t_api_reload",
+        )
+        a.delete_series(['m{s="a"}'])
+        compact_samples_table(spark, "t_api_reload", n_buckets=2)
+        a.reload_samples()
+        res = a.query_range("m", str(T0 // 1000), str(T0 // 1000 + 900), "100")
+        assert res["data"]["result"] == []
+    finally:
+        drop_samples_table(spark, "t_api_reload")

@@ -328,9 +328,10 @@ def test_instant_delta_small_window_skipped(spark, wide_samples, tmp_path):
     cfg = EvalConfig(start=t1, end=t1, step=300_000)
     out = cache.evaluate("sum_over_time(c[30m])", samples, cfg)
     inst = cache.leaf_cache().instant_values()
-    assert inst.stats == {
-        "hits": 0, "adjusted": 0, "misses": 0, "fallback": 0,
-    }
+    assert all(
+        inst.stats[k] == 0
+        for k in ("hits", "adjusted", "misses", "fallback")
+    )
     assert _vals(out) == _vals(
         evaluate(spark, "sum_over_time(c[30m])", samples, cfg,
                  use_plan_cache=False)
@@ -383,6 +384,43 @@ def test_instant_cache_invalidated_by_new_files(spark, tmp_path):
     assert got == _vals(
         evaluate(spark, q, samples2, cfg2, use_plan_cache=False)
     )
-    # the backfilled spike is reflected (cold would include the 1e6)
-    assert got[("c", (("job", "a"),), t2)] > 1e5
-    assert v1[("c", (("job", "a"),), t1)] < 1e5
+    # the backfilled spike is reflected (cold would include the 1e6);
+    # sum_over_time erases the metric name
+    assert got[("", (("job", "a"),), t2)] > 1e5
+    assert v1[("", (("job", "a"),), t1)] < 1e5
+
+
+def test_instant_delta_boundary_template_reused(spark, wide_samples, tmp_path):
+    """Round-9 verdict #3: the boundary sub-plans' expensive base
+    (scan + envelope) is built once per instant-cache entry; the second
+    moving-@t refresh reuses it for BOTH boundaries (template_hits) —
+    and every adjusted result still equals a cold evaluation."""
+    samples, t0 = wide_samples
+    cache = RollupResultCache(spark, str(tmp_path / "tpl"))
+    q = "sum_over_time(c[4h])"
+    t1 = t0 + 6 * 3600_000
+    cache.evaluate(q, samples, EvalConfig(start=t1, end=t1, step=300_000))
+    inst = cache.leaf_cache().instant_values()
+    assert inst.stats["misses"] == 1
+
+    # refresh 1: adjusted via the boundary plan; base template built
+    t2 = t1 + 300_000
+    cfg2 = EvalConfig(start=t2, end=t2, step=300_000)
+    out2 = cache.evaluate(q, samples, cfg2)
+    assert _vals(out2) == _vals(
+        evaluate(spark, q, samples, cfg2, use_plan_cache=False)
+    )
+    assert inst.stats["adjusted"] == 1
+    assert inst.stats["template_builds"] == 1
+    assert inst.stats["template_hits"] == 0
+
+    # refresh 2, DIFFERENT offset: both boundaries ride the cached base
+    t3 = t1 + 600_000
+    cfg3 = EvalConfig(start=t3, end=t3, step=300_000)
+    out3 = cache.evaluate(q, samples, cfg3)
+    assert _vals(out3) == _vals(
+        evaluate(spark, q, samples, cfg3, use_plan_cache=False)
+    )
+    assert inst.stats["adjusted"] == 2
+    assert inst.stats["template_builds"] == 1  # not rebuilt
+    assert inst.stats["template_hits"] == 2

@@ -110,9 +110,17 @@ class PromAPI:
         # live beside the table, storage/layout.py)
         self.samples_table = samples_table
         # in-process query registries for /api/v1/status/{top_queries,
-        # active_queries} (VM: querystats package + promql.ActiveQueries)
+        # active_queries} (VM: querystats package + promql.ActiveQueries).
+        # Bounded like -search.queryStats.lastQueriesCount (default
+        # 20000): a long-running server must not grow one entry per
+        # distinct (query, range) forever.
         self._query_stats: dict = {}
+        self._query_stats_cap = 20000
         self._active: dict = {}
+        # metric-name usage tracker for /api/v1/status/metric_names_stats
+        # (VM: lib/storage metricNamesStatsTracker): name → [requests,
+        # last_request_ts]; same cap discipline as the query registry
+        self._metric_names_stats: dict = {}
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
@@ -142,6 +150,7 @@ class PromAPI:
             "t0": _time.time(),
         }
         try:
+            self._track_metric_names(query)
             return self._eval_inner(query, start_ms, end_ms, step_ms)
         finally:
             rec = self._active.pop(qid)
@@ -150,6 +159,11 @@ class PromAPI:
             st = self._query_stats.setdefault(key, [0, 0.0])
             st[0] += 1
             st[1] += dur
+            if len(self._query_stats) > self._query_stats_cap:
+                # evict the oldest-seen entries (insertion order)
+                drop = len(self._query_stats) - self._query_stats_cap
+                for k in list(self._query_stats)[:drop]:
+                    del self._query_stats[k]
 
     def _eval_inner(self, query: str, start_ms: int, end_ms: int, step_ms: int):
         cfg = EvalConfig(
@@ -542,6 +556,90 @@ class PromAPI:
             for qid, rec in list(self._active.items())
         ]
         return {"status": "ok", "data": data}
+
+    # ------------------------------------------ debug routes (round 9)
+    def _track_metric_names(self, query: str) -> None:
+        import time as _time
+
+        try:
+            from victoriametrics_spark.metricsql import parse
+            from victoriametrics_spark.metricsql.ast import MetricExpr, walk
+
+            now = int(_time.time() * 1000)
+            for node in walk(parse(query)):
+                if isinstance(node, MetricExpr):
+                    n = node.metric_name()
+                    if n:
+                        st = self._metric_names_stats.setdefault(n, [0, 0])
+                        st[0] += 1
+                        st[1] = now
+            if len(self._metric_names_stats) > self._query_stats_cap:
+                drop = len(self._metric_names_stats) - self._query_stats_cap
+                for k in list(self._metric_names_stats)[:drop]:
+                    del self._metric_names_stats[k]
+        except Exception:
+            pass  # tracking must never fail a query
+
+    def metric_names_stats(
+        self, limit: int = 1000, match_pattern: str | None = None
+    ) -> dict:
+        """/api/v1/status/metric_names_stats — per-metric-name query
+        usage (app/vmselect/main.go metric_names_stats route over the
+        storage metricNamesStatsTracker)."""
+        import re as _re
+
+        records = [
+            {
+                "metricName": n,
+                "queryRequestsCount": c,
+                "lastRequestTimestamp": ts // 1000,
+            }
+            for n, (c, ts) in self._metric_names_stats.items()
+            if match_pattern is None or _re.search(match_pattern, n)
+        ]
+        records.sort(key=lambda r: (-r["queryRequestsCount"], r["metricName"]))
+        return {
+            "status": "success",
+            "data": {
+                "statsCollectedRecordsTotal": len(self._metric_names_stats),
+                "records": records[: max(0, limit)],
+            },
+        }
+
+    def reset_metric_names_stats(self) -> dict:
+        """/api/v1/status/metric_names_stats/reset."""
+        self._metric_names_stats.clear()
+        return {"status": "success"}
+
+    def prettify_query(self, query: str) -> dict:
+        """/prettify-query — parse + re-serialize to the canonical
+        normalized form (reference: app/vmselect/main.go prettify-query
+        over metricsql.Prettify)."""
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.serialize import to_query_string
+
+        try:
+            return {
+                "status": "success",
+                "query": to_query_string(parse(query)),
+            }
+        except Exception as e:
+            return {"status": "error", "msg": str(e)}
+
+    def expand_with_exprs(self, query: str) -> dict:
+        """/expand-with-exprs — expand WITH templates and return the
+        plain-MetricsQL equivalent (app/vmselect/main.go; expansion
+        happens in the parser, parser.go:2201-2247)."""
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.serialize import to_query_string
+
+        try:
+            return {
+                "status": "success",
+                "expr": to_query_string(parse(query)),
+            }
+        except Exception as e:
+            return {"status": "error", "msg": str(e)}
 
     def reload_samples(self) -> None:
         """Re-derive the pinned samples frame from the backing table —
@@ -1022,35 +1120,60 @@ class GraphiteBrowseAPI:
     def _names(self) -> DataFrame:
         return self.samples.select("name").distinct()
 
-    def metrics_find(self, query: str) -> list[dict]:
-        """GET /metrics/find?query=a.*  — next dot-level segments.
-        Returns Grafana's [{text, leaf, expandable}...] shape."""
-        import re as _re
+    @staticmethod
+    def _expand_braces(glob: str) -> list[str]:
+        """Expand ``{a,b}`` alternations into plain globs first, so
+        segment-depth arithmetic stays exact even when an alternative
+        contains the delimiter (``{a.b,c}.d``)."""
+        todo, done = [glob], []
+        while todo:
+            cur = todo.pop()
+            i = cur.find("{")
+            j = cur.find("}", i) if i >= 0 else -1
+            if i < 0 or j < 0:
+                done.append(cur)
+                continue
+            for alt in cur[i + 1 : j].split(","):
+                todo.append(cur[:i] + alt + cur[j + 1 :])
+        return done
 
-        depth = query.count(".")
-        prefix_re = "^" + ".".join(
-            "[^.]*" if p == "*" else _re.escape(p) for p in query.split(".")
+    def metrics_find(self, query: str) -> list[dict]:
+        """GET /metrics/find?query=a.*  — next dot-level segments, full
+        graphite glob syntax (``*``, ``?``, ``{a,b}``, ``[0-9]`` — the
+        same converter the render/find evaluator uses,
+        engine/planner.py graphite_glob_to_regex). Returns Grafana's
+        [{text, leaf, expandable}...] shape."""
+        from victoriametrics_spark.engine.planner import (
+            graphite_glob_to_regex,
         )
+
+        out: dict[str, int] = {}
         seg = F.split(F.col("name"), r"\.")
-        matched = self._names().filter(F.col("name").rlike(prefix_re))
-        rows = (
-            matched.select(
-                F.element_at(seg, depth + 1).alias("text"),
-                (F.size(seg) > depth + 1).cast("int").alias("expandable"),
+        for g in self._expand_braces(query):
+            depth = g.count(".")
+            rx = "^" + graphite_glob_to_regex(g) + "(?:$|\\.)"
+            matched = self._names().filter(F.col("name").rlike(rx))
+            rows = (
+                matched.select(
+                    F.element_at(seg, depth + 1).alias("text"),
+                    (F.size(seg) > depth + 1).cast("int").alias("expandable"),
+                )
+                .groupBy("text")
+                .agg(F.max("expandable").alias("expandable"))
+                .collect()
             )
-            .groupBy("text")
-            .agg(F.max("expandable").alias("expandable"))
-            .orderBy("text")
-            .collect()
-        )
+            for r in rows:
+                if r["text"] is not None:
+                    out[r["text"]] = max(
+                        out.get(r["text"], 0), int(r["expandable"])
+                    )
         return [
             {
-                "text": r["text"],
-                "expandable": int(r["expandable"]),
-                "leaf": int(not r["expandable"]),
+                "text": text,
+                "expandable": expandable,
+                "leaf": int(not expandable),
             }
-            for r in rows
-            if r["text"] is not None
+            for text, expandable in sorted(out.items())
         ]
 
     def metrics_expand(
@@ -1060,44 +1183,51 @@ class GraphiteBrowseAPI:
         delimiter: str = ".",
     ) -> list[str]:
         """GET /metrics/expand — flat sorted union of the paths matching
-        each glob (graphite/metrics_api.go MetricsExpandHandler); a
-        non-leaf match carries a trailing delimiter, ``leavesOnly``
-        keeps only leaves."""
+        each glob (graphite/metrics_api.go MetricsExpandHandler), full
+        graphite glob syntax via the shared converter (braces expanded
+        first so depth arithmetic stays exact); a non-leaf match carries
+        a trailing delimiter, ``leavesOnly`` keeps only leaves."""
         import re as _re
 
+        from victoriametrics_spark.engine.planner import (
+            graphite_glob_to_regex,
+        )
+
         paths: set[str] = set()
-        for q in queries:
-            parts = q.split(delimiter)
-            depth = len(parts)
-            rx = (
-                "^"
-                + _re.escape(delimiter).join(
-                    "[^" + _re.escape(delimiter) + "]*"
-                    if p == "*"
-                    else _re.escape(p)
-                    for p in parts
+        for q0 in queries:
+            for q in self._expand_braces(q0):
+                depth = len(q.split(delimiter))
+                rx = (
+                    "^"
+                    + graphite_glob_to_regex(q, delimiter)
+                    # segment boundary: `a.b` must not match `a.bc`
+                    + "(?:$|" + _re.escape(delimiter) + ")"
                 )
-                # segment boundary: `a.b` must not match `a.bc`
-                + "(?:$|" + _re.escape(delimiter) + ")"
-            )
-            seg = F.split(F.col("name"), _re.escape(delimiter))
-            rows = (
-                self._names()
-                .filter(F.col("name").rlike(rx))
-                .select(
-                    F.concat_ws(
-                        delimiter, F.slice(seg, 1, depth)
-                    ).alias("p"),
-                    (F.size(seg) > depth).alias("deeper"),
+                seg = F.split(F.col("name"), _re.escape(delimiter))
+                rows = (
+                    self._names()
+                    .filter(F.col("name").rlike(rx))
+                    .select(
+                        F.concat_ws(
+                            delimiter, F.slice(seg, 1, depth)
+                        ).alias("p"),
+                        (F.size(seg) > depth).alias("deeper"),
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
-            for r in rows:
-                paths.add(r["p"] + (delimiter if r["deeper"] else ""))
+                for r in rows:
+                    paths.add(r["p"] + (delimiter if r["deeper"] else ""))
         if leaves_only:
             paths = {p for p in paths if not p.endswith(delimiter)}
         return sorted(paths)
+
+    def metrics_index(self) -> list[str]:
+        """GET /metrics/index.json — every metric name, sorted
+        (graphite metrics_api.go MetricsIndexHandler)."""
+        return sorted(
+            r["name"] for r in self._names().collect() if r["name"]
+        )
 
     def _distinct_series(self) -> DataFrame:
         from victoriametrics_spark.schema import series_key
@@ -1373,6 +1503,18 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.top_queries(int(p("topN", "20")))
                 elif u.path == "/api/v1/status/active_queries":
                     out = api.active_queries()
+                elif u.path == "/api/v1/status/metric_names_stats/reset":
+                    out = api.reset_metric_names_stats()
+                elif u.path == "/api/v1/status/metric_names_stats":
+                    out = api.metric_names_stats(
+                        int(p("limit", "1000")), p("match_pattern")
+                    )
+                elif u.path == "/prettify-query":
+                    out = api.prettify_query(p("query", ""))
+                elif u.path == "/expand-with-exprs":
+                    out = api.expand_with_exprs(p("query", ""))
+                elif u.path == "/metrics/index.json" and browse_api:
+                    out = browse_api.metrics_index()
                 elif u.path == "/api/v1/admin/tsdb/delete_series":
                     out = api.delete_series(matches)
                 elif u.path == "/metrics/expand" and browse_api:

@@ -95,17 +95,20 @@ def anchored_regex(pattern: str) -> str:
     return f"^(?:{pattern})$"
 
 
-def graphite_glob_to_regex(glob: str) -> str:
+def graphite_glob_to_regex(glob: str, delimiter: str = ".") -> str:
     """Graphite glob → anchored regex (lib/storage/tag_filters.go:175 +
     getRegexpForGraphiteQuery): ``*`` matches within one dot-group,
-    ``{a,b}`` alternates, ``[...]`` char-classes, ``?`` one char."""
+    ``{a,b}`` alternates, ``[...]`` char-classes, ``?`` one char.
+    ``delimiter`` generalizes the group separator (the Graphite
+    /metrics/expand API accepts a custom one)."""
+    seg = f"[^{re.escape(delimiter)}]"
     out, i, n = [], 0, len(glob)
     while i < n:
         c = glob[i]
         if c == "*":
-            out.append("[^.]*")
+            out.append(f"{seg}*")
         elif c == "?":
-            out.append("[^.]")
+            out.append(seg)
         elif c == "{":
             j = glob.find("}", i)
             if j < 0:
@@ -364,6 +367,81 @@ class Planner:
                 self.plan_rollup_func(sub_fe, sub_cfg), sub_cfg
             )
 
+        def build_template(intervals) -> DataFrame:
+            """Entry-constant BASE of the boundary-window plan: selector
+            scan (enforced filters + dedup-on-read, :meth:`scan`),
+            staleness-marker drop (as prepare_rollup_input), series key,
+            and the literal two-interval envelope parquet pushdown
+            prunes on. Built once per instant-cache entry and reused
+            across refreshes (InstantValuesCache._boundary_frames)."""
+            from victoriametrics_spark.schema import series_key
+
+            if ROLLUPS.get(name) is None:
+                return None
+            base = self.scan(a.expr)
+            if "is_stale" in base.columns:
+                base = base.filter(
+                    ~F.coalesce(F.col("is_stale"), F.lit(False))
+                )
+            if "__series_key" not in base.columns:
+                base = base.withColumn(
+                    "__series_key",
+                    series_key(F.col("name"), F.col("labels")),
+                )
+            env = F.lit(False)
+            for lo, hi in intervals:
+                env = env | (
+                    (F.col("ts") > F.lit(int(lo)))
+                    & (F.col("ts") <= F.lit(int(hi)))
+                )
+            return base.filter(env)
+
+        def apply_template(base: DataFrame, bounds) -> DataFrame:
+            """Per-refresh tail over the cached base: explode the two
+            literal (lo, hi, out_ts) bound structs, filter membership,
+            then aggregate/finalize straight from the ROLLUPS spec
+            registry (same aggs/post/keep-name the cold plan uses —
+            nothing re-derived)."""
+            spec = ROLLUPS[name]
+            args_ = RollupArgs(
+                window_ms=window_ms, step_ms=cfg.step, scalars=[]
+            )
+            bnd = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(lo)).alias("lo"),
+                            F.lit(int(hi)).alias("hi"),
+                            F.lit(int(out)).alias("out_ts"),
+                        )
+                        for lo, hi, out in bounds
+                    ]
+                )
+            )
+            rows = base.select("*", bnd.alias("__b")).filter(
+                (F.col("ts") > F.col("__b.lo"))
+                & (F.col("ts") <= F.col("__b.hi"))
+            )
+            grouped = rows.groupBy("__series_key", "__b.out_ts").agg(
+                F.first("name").alias("name"),
+                F.first("labels").alias("labels"),
+                *spec.aggs(args_),
+            )
+            keep = (
+                spec.keep_name
+                or fe.keep_metric_names
+                or a.keep_metric_names
+            )
+            out = grouped.select(
+                (F.col("name") if keep else F.lit("")).alias("name"),
+                F.col("labels"),
+                F.col("out_ts").alias("ts"),
+                spec.post(args_).cast("double").alias("value"),
+            )
+            return out.filter(
+                F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+            )
+
         from victoriametrics_spark.engine.plancache import files_token
 
         return inst.get_or_eval(
@@ -373,6 +451,8 @@ class Planner:
             cfg,
             eval_at,
             fingerprint=files_token(self.samples),
+            build_template=build_template,
+            apply_template=apply_template,
         )
 
     # ------------------------------------------------------------- leaves

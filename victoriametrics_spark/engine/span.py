@@ -145,75 +145,79 @@ def max_prev_interval_expr(si: Column) -> Column:
     )
 
 
-def interval_estimates(fetched: DataFrame, cfg: EvalConfig) -> DataFrame:
-    """Per-series ``maxPrevInterval`` (ms) from the fetched samples.
-
-    getScrapeInterval (rollup.go:871-903): 0.6 quantile (phi·(n−1)
-    interpolation, like quantileSorted aggr.go:922-940) of the gaps
-    between the last ≤21 samples, truncated to int; series with <2
-    samples, or a non-positive estimate, fall back to the step. Returns
-    DataFrame(__series_key, __mpi BIGINT ms).
-    """
-    if cfg.start >= cfg.end:
-        # instant query: maxPrevInterval = step, no estimate
-        # (rollup.go:723-727)
-        return fetched.select("__series_key").distinct().withColumn(
-            "__mpi", F.lit(int(cfg.step)).cast("long")
-        )
-    w = Window.partitionBy("__series_key").orderBy("__sts")
-    wd = Window.partitionBy("__series_key").orderBy(F.desc("__sts"))
-    gaps = (
-        fetched.select("__series_key", "__sts")
-        .withColumn("__gap", F.col("__sts") - F.lag("__sts").over(w))
-        .withColumn("__rn", F.row_number().over(wd))
-        .filter((F.col("__rn") <= 20) & F.col("__gap").isNotNull())
-        .groupBy("__series_key")
-        .agg(F.array_sort(F.collect_list("__gap")).alias("__gs"))
-    )
-    n = F.size("__gs")
-    rank = F.lit(0.6) * (n - F.lit(1)).cast("double")
-    lo = F.floor(rank).cast("int")
-    weight = rank - lo.cast("double")
-    q = F.element_at("__gs", lo + 1).cast("double") * (
-        F.lit(1.0) - weight
-    ) + F.element_at("__gs", F.least(lo + 2, n)).cast("double") * weight
-    si = F.floor(q).cast("long")
-    si = F.when(si <= 0, F.lit(int(cfg.step))).otherwise(si)
-    est = gaps.select(
-        "__series_key", max_prev_interval_expr(si).alias("__mpi")
-    )
-    # series with <2 fetched samples have no gap rows → default to step
-    all_series = fetched.select("__series_key").distinct()
-    return all_series.join(est, "__series_key", "left").select(
-        "__series_key",
-        F.coalesce(
-            F.col("__mpi"),
-            max_prev_interval_expr(F.lit(int(cfg.step)).cast("long")),
-        ).alias("__mpi"),
-    )
-
-
 def attach_widened_window(
     samples: DataFrame, cfg: EvalConfig, offset_ms: int
 ) -> DataFrame:
-    """Join the per-series implicit window ``__win`` =
-    max(step, maxPrevInterval) onto the samples (rollup.go:747-756) for
-    adjustable functions that stay on the generic explode path (deriv)."""
+    """Attach the per-series implicit window ``__win`` =
+    max(step, maxPrevInterval) to the samples (rollup.go:747-756) for
+    adjustable functions that stay on the generic explode path
+    (deriv / default_rollup / timestamp).
+
+    INLINE since round 9: the estimate (getScrapeInterval's 0.6 gap
+    quantile over the last ≤21 FETCHED samples, rollup.go:871-919) is a
+    window expression over the same per-series partitioning the rollup
+    stages already need — not a separate aggregation + broadcast join —
+    so on the bucketed layout (storage/layout.py) the whole path runs
+    with ZERO Exchange, matching the span plan's shape. Series with no
+    fetched sample are dropped (VM's storage search never returns them,
+    eval.go:1821-1832); rows outside the fetch bound on the same
+    day keep their series' estimate.
+    """
     df = samples
     if "__series_key" not in df.columns:
         df = df.withColumn(
             "__series_key", series_key(F.col("name"), F.col("labels"))
         )
-    fetched = df.withColumn("__sts", F.col("ts") + F.lit(offset_ms)).filter(
-        # inclusive lower bound like VM's storage search (eval.go:1821-1832)
-        (F.col("__sts") >= F.lit(cfg.start - cfg.step - cfg.max_lookback))
-        & (F.col("__sts") <= F.lit(cfg.end))
+    orig_cols = df.columns
+    step = int(cfg.step)
+    sts = F.col("ts") + F.lit(offset_ms)
+    # inclusive lower bound like VM's storage search (eval.go:1821-1832)
+    fetched = (
+        sts >= F.lit(cfg.start - cfg.step - cfg.max_lookback)
+    ) & (sts <= F.lit(cfg.end))
+    w = Window.partitionBy("__series_key").orderBy("ts")
+    wall = Window.partitionBy("__series_key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    est = interval_estimates(fetched, cfg).select(
-        "__series_key",
-        F.greatest(F.lit(int(cfg.step)), F.col("__mpi")).alias("__win"),
+    df = df.select("*", fetched.cast("int").alias("__f"))
+    df = df.select(
+        "*",
+        F.sum("__f").over(wall).alias("__fcnt"),
+        F.sum("__f")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__frn"),
+        # previous FETCHED sample's ts (the fetch range is a contiguous
+        # ts interval, so this is the in-fetch lag; null for the first)
+        F.max(F.when(F.col("__f") == 1, F.col("ts")))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__pts"),
     )
-    return df.join(F.broadcast(est), "__series_key")
+    if cfg.start >= cfg.end:
+        # instant query: maxPrevInterval = step (rollup.go:723-727)
+        win = F.lit(step).cast("long")
+        return df.filter(F.col("__fcnt") > 0).select(
+            *orig_cols, win.alias("__win")
+        )
+    gap = (F.col("ts") - F.col("__pts")).cast("double")
+    rn_desc = F.col("__fcnt") - F.col("__frn") + 1
+    mask = (
+        (F.col("__f") == 1) & F.col("__pts").isNotNull() & (rn_desc <= 20)
+    )
+    # materialize the quantile, then the tier CASE over the materialized
+    # column — composing the CASE over the raw percentile Column would
+    # inline the window expression ~30× (same note as the span plan)
+    df = df.select(
+        "*", F.percentile(F.when(mask, gap), F.lit(0.6)).over(wall).alias("__q")
+    )
+    si0 = F.floor(F.col("__q")).cast("long")
+    si = F.when(si0.isNull() | (si0 <= 0), F.lit(step)).otherwise(si0)
+    df = df.select("*", si.alias("__si"))
+    win = F.greatest(
+        F.lit(step).cast("long"), max_prev_interval_expr(F.col("__si"))
+    )
+    return df.filter(F.col("__fcnt") > 0).select(
+        *orig_cols, win.alias("__win")
+    )
 
 
 def _value_expr(name: str) -> Column:

@@ -1,0 +1,146 @@
+"""MetricsQL AST → query-string serializer.
+
+Backs the ``/prettify-query`` and ``/expand-with-exprs`` debug routes
+(reference: app/vmselect/main.go prettify-query / expand-with-exprs
+handlers; the reference prettifier lives in metricsql.Prettify). The
+output is the canonical single-line normalized form — parseable back to
+an identical AST (round-trip asserted in tests/test_serialize.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+from victoriametrics_spark.metricsql.ast import (
+    AggrFuncExpr,
+    BinaryOpExpr,
+    DurationExpr,
+    Expr,
+    FuncExpr,
+    MetricExpr,
+    ModifierExpr,
+    NumberExpr,
+    RollupExpr,
+    StringExpr,
+)
+
+
+def _num(v: float) -> str:
+    if v != v:  # NaN
+        return "NaN"
+    if v in (float("inf"), float("-inf")):
+        return "Inf" if v > 0 else "-Inf"
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _filters(group) -> str:
+    return ", ".join(
+        f"{f.label}{f.op}{json.dumps(f.value)}" for f in group
+    )
+
+
+def _metric(me: MetricExpr) -> str:
+    if me.is_empty():
+        return "{}"
+    name = me.metric_name()
+    simple_name = name is not None and all(
+        any(f.label == "__name__" and f.op == "=" for f in g)
+        for g in me.label_filterss
+    )
+    if simple_name:
+        groups = [
+            [f for f in g if not (f.label == "__name__" and f.op == "=")]
+            for g in me.label_filterss
+        ]
+        if all(not g for g in groups) and len(groups) == 1:
+            return name
+        body = " or ".join(_filters(g) if g else "{}" for g in groups)
+        # an empty OR alternative can't render inside braces; fall back
+        if any(not g for g in groups) and len(groups) > 1:
+            return "{" + " or ".join(_filters(g) for g in me.label_filterss) + "}"
+        return f"{name}{{{body}}}"
+    return "{" + " or ".join(_filters(g) for g in me.label_filterss) + "}"
+
+
+def _modifier(m: ModifierExpr | None) -> str:
+    if m is None:
+        return ""
+    return f" {m.op} ({', '.join(m.args)})"
+
+
+def _paren(e: Expr, s: str) -> str:
+    """Parenthesize operands whose re-parse would rebind otherwise."""
+    if isinstance(e, BinaryOpExpr):
+        return f"({s})"
+    return s
+
+
+def to_query_string(e: Expr) -> str:
+    if isinstance(e, NumberExpr):
+        return _num(e.value)
+    if isinstance(e, StringExpr):
+        return json.dumps(e.value)
+    if isinstance(e, DurationExpr):
+        return e.text
+    if isinstance(e, MetricExpr):
+        return _metric(e)
+    if isinstance(e, RollupExpr):
+        child = to_query_string(e.expr)
+        if not isinstance(e.expr, MetricExpr):
+            child = f"({child})"
+        out = child
+        if e.window is not None or e.step is not None or e.inherit_step:
+            w = e.window.text if e.window is not None else ""
+            if e.step is not None:
+                out += f"[{w}:{e.step.text}]"
+            elif e.inherit_step:
+                out += f"[{w}:]"
+            else:
+                out += f"[{w}]"
+        if e.offset is not None:
+            out += f" offset {e.offset.text}"
+        if e.at is not None:
+            at = to_query_string(e.at)
+            if not isinstance(e.at, (NumberExpr, DurationExpr, MetricExpr)):
+                at = f"({at})"
+            out += f" @ {at}"
+        if e.keep_metric_names:
+            out += " keep_metric_names"
+        return out
+    if isinstance(e, FuncExpr):
+        args = ", ".join(to_query_string(a) for a in e.args)
+        out = f"{e.name}({args})"
+        if e.keep_metric_names:
+            out += " keep_metric_names"
+        return out
+    if isinstance(e, AggrFuncExpr):
+        args = ", ".join(to_query_string(a) for a in e.args)
+        out = f"{e.name}({args})"
+        out += _modifier(e.modifier)
+        if e.limit:
+            out += f" limit {e.limit}"
+        return out
+    if isinstance(e, BinaryOpExpr):
+        left = _paren(e.left, to_query_string(e.left))
+        right = _paren(e.right, to_query_string(e.right))
+        mid = e.op
+        if e.bool_modifier:
+            mid += " bool"
+        mid += _modifier(e.group_modifier)
+        mid += _modifier(e.join_modifier)
+        if e.join_modifier_prefix is not None:
+            mid += f" prefix {json.dumps(e.join_modifier_prefix)}"
+        if e.fill_left is not None and e.fill_left == e.fill_right:
+            mid += f" fill({_num(e.fill_left)})"
+        else:
+            if e.fill_left is not None:
+                mid += f" fill_left({_num(e.fill_left)})"
+            if e.fill_right is not None:
+                mid += f" fill_right({_num(e.fill_right)})"
+        out = f"{left} {mid} {right}"
+        if e.keep_metric_names:
+            out += " keep_metric_names"
+        return out
+    raise TypeError(f"cannot serialize {e!r}")
