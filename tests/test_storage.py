@@ -521,3 +521,94 @@ def test_compact_drops_fully_dead_partition(spark):
         assert dirs == {"date=2024-01-02"}
     finally:
         drop_samples_table(spark, "t_deadpart")
+
+
+def test_merge_small_parts_tiered(spark):
+    """Size-tiered small-part merge (VM mergeset analog): appended small
+    files merge into one bucket-aligned sorted file per (partition,
+    bucket); files above the size threshold stay byte-identical; cost is
+    proportional to fresh data, not partition size."""
+    from collections import Counter
+
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        merge_small_parts,
+    )
+
+    # big base: 5000 rows in one day → file well above the threshold
+    base = [("x", T0 + i * 17, float(i)) for i in range(5000)]
+    write_samples_table(_mk_samples(spark, base), "t_tier", n_buckets=2)
+    big_before = _file_snapshot(spark, "t_tier")
+    # three small appends
+    for k in range(3):
+        late = [("x", T0 + 10_000_000 + k * 1000 + j, 9.0) for j in range(5)]
+        append_samples(_mk_samples(spark, late), "t_tier", n_buckets=2)
+    pre = _file_snapshot(spark, "t_tier")
+    assert len(pre) == len(big_before) + 3
+    threshold = max(
+        __import__("os").stat(p).st_size
+        for p in pre
+        if p not in big_before
+    ) + 1
+    n = merge_small_parts(spark, "t_tier", max_small_bytes=threshold)
+    try:
+        assert n == 3
+        post = _file_snapshot(spark, "t_tier")
+        # the big base file untouched, smalls merged to one per bucket
+        for p, mt in big_before.items():
+            assert post.get(p) == mt
+        new_files = [p for p in post if p not in big_before]
+        suffix_counts = Counter(p.rsplit("_", 1)[1] for p in new_files)
+        assert all(c == 1 for c in suffix_counts.values())
+        t = read_samples_table(spark, "t_tier")
+        assert t.count() == 5015
+        # merged file is internally ts-sorted per series
+        rows = spark.read.parquet(new_files[0].replace("file:", "")).collect()
+        ts_seq = [r["ts"] for r in rows]
+        assert ts_seq == sorted(ts_seq)
+        # a second pass has nothing to merge
+        assert merge_small_parts(spark, "t_tier", max_small_bytes=threshold) == 0
+    finally:
+        drop_samples_table(spark, "t_tier")
+
+
+def test_merge_small_parts_drops_tombstoned_rows(spark):
+    """Merging refreshes file mtimes, which would resurrect tombstoned
+    rows past the deletion watermark — so the merge must drop dead rows
+    itself, while LEAVING the tombstone for compaction (big files may
+    still hold dead rows)."""
+    from victoriametrics_spark.storage import (
+        delete_series,
+        drop_samples_table,
+        merge_small_parts,
+    )
+
+    base = [("a", T0 + i * 1000, 1.0) for i in range(20)] + [
+        ("b", T0 + i * 1000, 2.0) for i in range(20)
+    ]
+    write_samples_table(_mk_samples(spark, base), "t_tiertomb", n_buckets=2)
+    append_samples(
+        _mk_samples(spark, [("a", T0 + 50_000, 1.0), ("b", T0 + 50_000, 2.0)]),
+        "t_tiertomb",
+        n_buckets=2,
+    )
+    append_samples(
+        _mk_samples(spark, [("a", T0 + 60_000, 1.0), ("b", T0 + 60_000, 2.0)]),
+        "t_tiertomb",
+        n_buckets=2,
+    )
+    assert delete_series(spark, "t_tiertomb", ['m{s="a"}']) == 1
+    try:
+        merge_small_parts(spark, "t_tiertomb", max_small_bytes=1 << 30)
+        # tombstone retained (merge is not compaction)
+        assert spark.catalog.tableExists("t_tiertomb__tombstones")
+        t = read_samples_table(spark, "t_tiertomb")
+        assert t.filter(F.col("labels")["s"] == "a").count() == 0
+        assert t.filter(F.col("labels")["s"] == "b").count() == 22
+        # and the merged files physically hold no 'a' rows (the fresh
+        # mtime must not resurrect them)
+        raw = spark.table("t_tiertomb")
+        akey = raw.filter(F.col("labels")["s"] == "a")
+        assert akey.count() == 0
+    finally:
+        drop_samples_table(spark, "t_tiertomb")

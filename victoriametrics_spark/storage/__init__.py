@@ -3,6 +3,7 @@ from victoriametrics_spark.storage.layout import (
     compact_samples_table,
     delete_series,
     drop_samples_table,
+    merge_small_parts,
     parse_tenant,
     read_samples_table,
     write_samples_table,
@@ -15,5 +16,6 @@ __all__ = [
     "compact_samples_table",
     "delete_series",
     "drop_samples_table",
+    "merge_small_parts",
     "parse_tenant",
 ]

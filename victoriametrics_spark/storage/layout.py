@@ -513,6 +513,117 @@ def compact_samples_table(
             spark.catalog.refreshTable(tomb_tbl)
 
 
+def _partition_files_with_size(
+    spark: SparkSession, table: str, part_cols: list[str]
+) -> dict:
+    """{partition tuple: {bucket_id: [(path, size_bytes)]}} — metadata
+    only (the part-header inspection VM's merge picker does)."""
+    import re as _re
+    from urllib.parse import unquote
+
+    pat = _re.compile(r"_(\d{5})\.")
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    out: dict = {}
+    for uri in spark.table(table).inputFiles():
+        segs = uri.split("/")
+        vals = {}
+        for s in segs[:-1]:
+            if "=" in s:
+                k, v = s.split("=", 1)
+                if k in part_cols:
+                    vals[k] = unquote(v)
+        key = tuple(vals.get(c, "") for c in part_cols)
+        m = pat.search(segs[-1])
+        b = int(m.group(1)) if m else -1
+        hpath = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        size = fs.getFileStatus(hpath).getLen()
+        out.setdefault(key, {}).setdefault(b, []).append((uri, size))
+    return out
+
+
+def merge_small_parts(
+    spark: SparkSession,
+    table: str,
+    max_small_bytes: int = 64 << 20,
+    dates: "list | None" = None,
+) -> int:
+    """Size-tiered small-part merge — the incremental tier of the LSM
+    story (VM's mergeset merges SMALL parts into bigger ones and leaves
+    big parts alone until they accumulate peers, lib/mergeset +
+    lib/storage/partition.go merge picking). Within each (partition,
+    bucket), files ≤ ``max_small_bytes`` are merged into ONE new
+    bucket-aligned, ts-sorted file; files above the threshold are left
+    byte-untouched. Cost is therefore ∝ freshly-appended data, not
+    partition size — the frequent cheap op between rare
+    :func:`compact_samples_table` full-partition rewrites (which restore
+    the one-file-per-bucket sorted-scan invariant).
+
+    Tombstoned rows are dropped while merging (the merged file's fresh
+    mtime would otherwise resurrect them past the tombstone watermark);
+    the tombstone side-table itself is left for compaction to clear,
+    since big files may still hold dead rows. Returns the number of
+    small files merged away."""
+    cur = _table_num_buckets(spark, table)
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if cur is None or not part_cols:
+        raise ValueError(f"{table!r} is not a bucketed, partitioned table")
+    data_cols = [c for c in scan.columns if c not in part_cols]
+    date_set = {str(d) for d in dates} if dates is not None else None
+    idx = _partition_files_with_size(spark, table, part_cols)
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    tmp = f"{table}__merge_tmp"
+    merged = 0
+    for part, buckets in sorted(idx.items()):
+        if date_set is not None and part[-1] not in date_set:
+            continue
+        smalls: list[str] = []
+        for files in buckets.values():
+            small_b = [p for p, size in files if size <= max_small_bytes]
+            if len(small_b) >= 2:
+                smalls.extend(small_b)
+        if not smalls:
+            continue
+        df = spark.read.parquet(*smalls)
+        if "tenant" in part_cols:
+            # partition dirs carry the tenant; restore it for the
+            # tenant-scoped tombstone join, drop it again below
+            df = df.withColumn(
+                "tenant", F.lit(part[part_cols.index("tenant")])
+            )
+        df = _apply_tombstones(spark, df, table)
+        df = df.select(*data_cols)
+        drop_samples_table(spark, tmp)
+        (
+            df.repartition(cur, F.expr(f"pmod(hash(__series_key), {cur})"))
+            .write.format("parquet")
+            .bucketBy(cur, "__series_key")
+            .sortBy("__series_key", "ts")
+            .saveAsTable(tmp)
+        )
+        part_dir = jvm.org.apache.hadoop.fs.Path(
+            "/".join(smalls[0].split("/")[:-1])
+        )
+        fs = part_dir.getFileSystem(jsc.hadoopConfiguration())
+        for new_uri in spark.table(tmp).inputFiles():
+            src = jvm.org.apache.hadoop.fs.Path(new_uri)
+            dst = jvm.org.apache.hadoop.fs.Path(
+                part_dir, new_uri.split("/")[-1]
+            )
+            if not fs.rename(src, dst):
+                raise IOError(f"rename {new_uri} -> {dst} failed")
+        for old in smalls:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
+        merged += len(smalls)
+        drop_samples_table(spark, tmp)
+    if merged:
+        spark.catalog.refreshTable(table)
+    return merged
+
+
 # ---------------------------------------------------------------- logs
 def write_logs_table(
     logs: DataFrame,
