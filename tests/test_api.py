@@ -719,3 +719,42 @@ def test_reload_samples_after_compaction(spark, tmp_path):
         assert res["data"]["result"] == []
     finally:
         drop_samples_table(spark, "t_api_reload")
+
+
+def test_relabel_debug_routes(api):
+    """/metric-relabel-debug and /target-relabel-debug step through the
+    relabel DSL on one series (lib/promrelabel debug analog)."""
+    cfg = """
+- action: replace
+  source_labels: [job]
+  target_label: team
+  regex: "(.*)"
+  replacement: "team-$1"
+- action: labeldrop
+  regex: "__tmp.*"
+"""
+    out = api.relabel_debug('m{job="web", __tmp_x="1"}', cfg)
+    assert out["status"] == "success"
+    assert out["originalLabels"] == 'm{__tmp_x="1", job="web"}'
+    assert len(out["steps"]) == 2
+    assert out["resultingLabels"] == 'm{job="web", team="team-web"}'
+
+    # drop action short-circuits
+    out = api.relabel_debug(
+        'm{job="web"}',
+        '[{"action": "drop", "source_labels": ["job"], "regex": "web"}]',
+    )
+    assert out["resultingLabels"] == "<dropped>"
+
+    # target flavor finalizes: __-prefixed labels removed at the end
+    out = api.relabel_debug(
+        '{__address__="1.2.3.4:9100", job="node"}',
+        '[{"action": "replace", "source_labels": ["__address__"], '
+        '"target_label": "instance"}]',
+        target=True,
+    )
+    assert out["status"] == "success"
+    assert out["resultingLabels"] == '{instance="1.2.3.4:9100", job="node"}'
+
+    # malformed config errors cleanly
+    assert api.relabel_debug("m", ":::bad yaml")["status"] == "error"

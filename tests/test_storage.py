@@ -612,3 +612,65 @@ def test_merge_small_parts_drops_tombstoned_rows(spark):
         assert akey.count() == 0
     finally:
         drop_samples_table(spark, "t_tiertomb")
+
+
+def test_maintain_samples_table_policy(spark):
+    """One-call background-merger policy: dead-row partitions compact
+    (tombstones clear), small-append partitions tier-merge (big file
+    untouched), clean partitions stay byte-identical."""
+    import os
+
+    from victoriametrics_spark.storage import (
+        delete_series,
+        drop_samples_table,
+        maintain_samples_table,
+    )
+
+    # day0: clean; day1: big base + small appends; day2: series to delete
+    rows = (
+        [("a", T0 + i * 60_000, 1.0) for i in range(500)]
+        + [("a", T0 + DAY + i * 60_000, 2.0) for i in range(500)]
+        + [("kill", T0 + 2 * DAY + i * 60_000, 3.0) for i in range(20)]
+        + [("b", T0 + 2 * DAY + i * 60_000, 4.0) for i in range(20)]
+    )
+    write_samples_table(_mk_samples(spark, rows), "t_maint", n_buckets=2)
+    for k in range(2):
+        append_samples(
+            _mk_samples(
+                spark, [("a", T0 + DAY + 40_000_000 + k * 1000, 9.0)]
+            ),
+            "t_maint",
+            n_buckets=2,
+        )
+    assert delete_series(spark, "t_maint", ['m{s="kill"}']) == 1
+    before = _file_snapshot(spark, "t_maint")
+    day0 = "date=2024-01-01"
+    day1_appends = [
+        p
+        for p in before
+        if "date=2024-01-02" in p and os.stat(p).st_size < 4000
+    ]
+    out = maintain_samples_table(
+        spark, "t_maint", max_small_bytes=4000, max_files_per_bucket=8
+    )
+    after = _file_snapshot(spark, "t_maint")
+    # clean day0 untouched
+    for p in before:
+        if day0 in p:
+            assert after.get(p) == before[p]
+    # day2 compacted: tombstone cleared, kill gone, b intact
+    assert "2024-01-03" in out["compacted_dates"]
+    assert not spark.catalog.tableExists("t_maint__tombstones")
+    t = read_samples_table(spark, "t_maint")
+    assert t.filter(F.col("labels")["s"] == "kill").count() == 0
+    assert t.filter(F.col("labels")["s"] == "b").count() == 20
+    # day1: small appends merged away, big base file untouched
+    assert out["merged_files"] == len(day1_appends) >= 2
+    big_day1 = [
+        p
+        for p in before
+        if "date=2024-01-02" in p and p not in day1_appends
+    ]
+    for p in big_day1:
+        assert after.get(p) == before[p]
+    assert t.count() == 1022  # 500+500+2 appends+20 b; kill deleted

@@ -641,6 +641,91 @@ class PromAPI:
         except Exception as e:
             return {"status": "error", "msg": str(e)}
 
+    def relabel_debug(
+        self, metric: str, relabel_configs: str, target: bool = False
+    ) -> dict:
+        """/metric-relabel-debug and /target-relabel-debug
+        (app/vmselect/main.go → lib/promrelabel debug): apply the YAML
+        relabel config to ONE series in exposition form and return the
+        per-rule intermediate label sets. ``target=True`` finalizes like
+        target relabeling (labels starting with ``__`` are dropped at
+        the end, promrelabel.FinalizeLabels)."""
+        import yaml
+
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import MetricExpr
+        from victoriametrics_spark.streaming.relabel import apply_rule
+
+        try:
+            me = parse(metric or "{}")
+            if not isinstance(me, MetricExpr):
+                raise ValueError("metric must be a plain series selector")
+            labels = {}
+            name = ""
+            for group in me.label_filterss[:1]:
+                for f in group:
+                    if f.op != "=":
+                        raise ValueError(
+                            "metric labels must use '=' matchers"
+                        )
+                    if f.label == "__name__":
+                        name = f.value
+                    else:
+                        labels[f.label] = f.value
+            rules = yaml.safe_load(relabel_configs or "[]") or []
+            if not isinstance(rules, list):
+                raise ValueError("relabel config must be a YAML list")
+
+            def fmt(rows) -> str | None:
+                if not rows:
+                    return None  # dropped
+                r = rows[0]
+                lbls = dict(r["labels"] or {})
+                nm = r["name"] or ""
+                body = ", ".join(
+                    f'{k}="{v}"' for k, v in sorted(lbls.items())
+                )
+                return f"{nm}{{{body}}}" if body else nm or "{}"
+
+            df = self.spark.createDataFrame(
+                [(name, labels, 0, 0.0, False)],
+                "name string, labels map<string,string>, ts long, "
+                "value double, is_stale boolean",
+            )
+            steps = []
+            for rule in rules:
+                df = apply_rule(df, rule)
+                rows = df.limit(1).collect()
+                steps.append(
+                    {"rule": rule, "result": fmt(rows) or "<dropped>"}
+                )
+                if not rows:
+                    break
+            rows = df.limit(1).collect()
+            if target and rows:
+                r = rows[0]
+                kept = {
+                    k: v
+                    for k, v in dict(r["labels"] or {}).items()
+                    if not k.startswith("__")
+                }
+                df = self.spark.createDataFrame(
+                    [(r["name"], kept, 0, 0.0, False)],
+                    "name string, labels map<string,string>, ts long, "
+                    "value double, is_stale boolean",
+                )
+                rows = df.limit(1).collect()
+            return {
+                "status": "success",
+                "originalLabels": fmt(
+                    [{"name": name, "labels": labels}]
+                ),
+                "steps": steps,
+                "resultingLabels": fmt(rows) or "<dropped>",
+            }
+        except Exception as e:
+            return {"status": "error", "msg": str(e)}
+
     def reload_samples(self) -> None:
         """Re-derive the pinned samples frame from the backing table —
         required after an out-of-band ``compact_samples_table`` (the
@@ -1513,6 +1598,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.prettify_query(p("query", ""))
                 elif u.path == "/expand-with-exprs":
                     out = api.expand_with_exprs(p("query", ""))
+                elif u.path == "/metric-relabel-debug":
+                    out = api.relabel_debug(
+                        p("metric", "{}"), p("relabel_configs", "")
+                    )
+                elif u.path == "/target-relabel-debug":
+                    out = api.relabel_debug(
+                        p("metric", "{}"),
+                        p("relabel_configs", ""),
+                        target=True,
+                    )
                 elif u.path == "/metrics/index.json" and browse_api:
                     out = browse_api.metrics_index()
                 elif u.path == "/api/v1/admin/tsdb/delete_series":

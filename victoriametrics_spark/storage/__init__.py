@@ -3,6 +3,7 @@ from victoriametrics_spark.storage.layout import (
     compact_samples_table,
     delete_series,
     drop_samples_table,
+    maintain_samples_table,
     merge_small_parts,
     parse_tenant,
     read_samples_table,
@@ -16,6 +17,7 @@ __all__ = [
     "compact_samples_table",
     "delete_series",
     "drop_samples_table",
+    "maintain_samples_table",
     "merge_small_parts",
     "parse_tenant",
 ]

@@ -624,6 +624,83 @@ def merge_small_parts(
     return merged
 
 
+def maintain_samples_table(
+    spark: SparkSession,
+    table: str,
+    max_small_bytes: int = 64 << 20,
+    max_files_per_bucket: int = 8,
+    dedup_interval_ms: int = 0,
+) -> dict:
+    """Background-merger policy (VM runs merges continuously per
+    partition, lib/storage/partition.go mergeWorker): ONE entry point
+    that picks the cheapest sufficient maintenance per partition from
+    the file index + tombstones:
+
+    - partitions holding tombstoned (dead) rows, or where some bucket
+      exceeds ``max_files_per_bucket`` files → full partition compact
+      (restores the one-file-per-bucket sorted-scan invariant and lets
+      tombstones clear);
+    - otherwise, partitions where some bucket has ≥2 files ≤
+      ``max_small_bytes`` → size-tiered small-part merge (cost ∝ fresh
+      data);
+    - clean partitions → untouched.
+
+    Returns ``{"compacted_dates": [...], "merged_files": n}``."""
+    cur = _table_num_buckets(spark, table)
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if cur is None or not part_cols:
+        raise ValueError(f"{table!r} is not a bucketed, partitioned table")
+    idx = _partition_files_with_size(spark, table, part_cols)
+
+    dead_parts: set = set()
+    tomb, join_cols = _grouped_tombstones(spark, scan, table)
+    if tomb is not None:
+        file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
+        for r in (
+            scan.withColumn("__file_ms", file_ms)
+            .join(F.broadcast(tomb), join_cols)
+            .filter(F.col("__file_ms") <= F.col("__del_at"))
+            .select(*part_cols)
+            .distinct()
+            .collect()
+        ):
+            dead_parts.add(tuple(str(r[c]) for c in part_cols))
+
+    compact_parts: set = set(dead_parts)
+    merge_parts: set = set()
+    for part, buckets in idx.items():
+        if any(len(files) > max_files_per_bucket for files in buckets.values()):
+            compact_parts.add(part)
+        elif part not in compact_parts and any(
+            len([p for p, sz in files if sz <= max_small_bytes]) >= 2
+            for files in buckets.values()
+        ):
+            merge_parts.add(part)
+
+    compacted: list = []
+    if compact_parts or tomb is not None:
+        compact_dates = sorted({p[-1] for p in compact_parts})
+        if compact_dates or tomb is not None:
+            compact_samples_table(
+                spark,
+                table,
+                n_buckets=cur,
+                dedup_interval_ms=dedup_interval_ms,
+                dates=compact_dates,
+            )
+            compacted = compact_dates
+    merged = 0
+    if merge_parts:
+        merged = merge_small_parts(
+            spark,
+            table,
+            max_small_bytes=max_small_bytes,
+            dates=sorted({p[-1] for p in merge_parts}),
+        )
+    return {"compacted_dates": compacted, "merged_files": merged}
+
+
 # ---------------------------------------------------------------- logs
 def write_logs_table(
     logs: DataFrame,
