@@ -521,6 +521,8 @@ def _partition_files_with_size(
     import re as _re
     from urllib.parse import unquote
 
+    import os as _os
+
     pat = _re.compile(r"_(\d{5})\.")
     jsc = spark.sparkContext._jsc
     jvm = spark.sparkContext._jvm
@@ -536,9 +538,15 @@ def _partition_files_with_size(
         key = tuple(vals.get(c, "") for c in part_cols)
         m = pat.search(segs[-1])
         b = int(m.group(1)) if m else -1
-        hpath = jvm.org.apache.hadoop.fs.Path(uri)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        size = fs.getFileStatus(hpath).getLen()
+        if uri.startswith("file:"):
+            # local fast path — one Py4J round-trip per file adds up
+            # over thousands of parts
+            local = "/" + uri[5:].lstrip("/")
+            size = _os.stat(local).st_size
+        else:
+            hpath = jvm.org.apache.hadoop.fs.Path(uri)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            size = fs.getFileStatus(hpath).getLen()
         out.setdefault(key, {}).setdefault(b, []).append((uri, size))
     return out
 
