@@ -488,31 +488,44 @@ class InstantValuesCache:
         the verdict-#4 "cache the analyzed boundary plan template per
         leaf". Keyed on (cache key, entry timestamp): a repopulated
         entry gets a fresh base."""
-        if build_template is None or apply_template is None:
+        if apply_template is None:
             return None
-        ct = meta["ts"]
-        max_offset = min(window_ms // 2, 1800_000)
-        tkey = (key, ct)
-        base = self._templates.get(tkey)
+        base, fresh = self._template_base(key, meta, window_ms, build_template)
         if base is None:
-            intervals = [
-                (ct, ct + max_offset),
-                (ct - window_ms, ct - window_ms + max_offset),
-            ]
-            base = build_template(intervals)
-            if base is None:
-                return None
-            if len(self._templates) > 64:
-                self._templates.clear()
-            self._templates[tkey] = base
-            self.stats["template_builds"] += 1
-        else:
+            return None
+        if not fresh:
             self.stats["template_hits"] += 2  # both boundaries reused
         bounds = [
             (t - offset, t, t),
             (t - window_ms - offset, t - window_ms, t - window_ms),
         ]
         return apply_template(base, bounds)
+
+    def _template_base(
+        self, key: str, meta: dict, window_ms: int, build_template
+    ) -> "tuple[DataFrame | None, bool]":
+        """(entry-constant base plan, freshly-built?) — see
+        :meth:`_boundary_frames`."""
+        if build_template is None:
+            return None, False
+        ct = meta["ts"]
+        max_offset = min(window_ms // 2, 1800_000)
+        tkey = (key, ct)
+        base = self._templates.get(tkey)
+        if base is not None:
+            return base, False
+        intervals = [
+            (ct, ct + max_offset),
+            (ct - window_ms, ct - window_ms + max_offset),
+        ]
+        base = build_template(intervals)
+        if base is None:
+            return None, False
+        if len(self._templates) > 64:
+            self._templates.clear()
+        self._templates[tkey] = base
+        self.stats["template_builds"] += 1
+        return base, True
 
     def get_or_eval(
         self,
