@@ -47,6 +47,11 @@ def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # MapType/timestamp-safe Arrow fallback instead of hard error.
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
+        # skip per-DataFrame-op Python call-site capture (PySpark 4 debug
+        # aid): the span/eligibility plans build thousands of Column ops,
+        # and the capture doubles driver-side plan-construction latency
+        # (measured 1.40s → 0.65s for sum(rate(m[1d])) by (k) cold build)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # bucketed sample tables (storage/layout.py) live here; on a real
         # cluster this is an object-store path from spark-submit conf
