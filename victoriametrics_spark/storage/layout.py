@@ -581,55 +581,59 @@ def merge_small_parts(
     data_cols = [c for c in scan.columns if c not in part_cols]
     date_set = {str(d) for d in dates} if dates is not None else None
     idx = _partition_files_with_size(spark, table, part_cols)
-    jsc = spark.sparkContext._jsc
-    jvm = spark.sparkContext._jvm
-    tmp = f"{table}__merge_tmp"
-    merged = 0
+    smalls: list[str] = []
     for part, buckets in sorted(idx.items()):
         if date_set is not None and part[-1] not in date_set:
             continue
-        smalls: list[str] = []
         for files in buckets.values():
             small_b = [p for p, size in files if size <= max_small_bytes]
             if len(small_b) >= 2:
                 smalls.extend(small_b)
-        if not smalls:
-            continue
-        df = spark.read.parquet(*smalls)
-        if "tenant" in part_cols:
-            # partition dirs carry the tenant; restore it for the
-            # tenant-scoped tombstone join, drop it again below
-            df = df.withColumn(
-                "tenant", F.lit(part[part_cols.index("tenant")])
-            )
-        df = _apply_tombstones(spark, df, table)
-        df = df.select(*data_cols)
-        drop_samples_table(spark, tmp)
-        (
-            df.repartition(cur, F.expr(f"pmod(hash(__series_key), {cur})"))
-            .write.format("parquet")
-            .bucketBy(cur, "__series_key")
-            .sortBy("__series_key", "ts")
-            .saveAsTable(tmp)
+    if not smalls:
+        return 0
+    # ONE job for every affected partition: read all small files at
+    # once, recover the partition values from each row's file path, and
+    # write a single partitioned+bucketed temp table whose files are
+    # then moved into place — a thousand-partition backfill merge is one
+    # Spark job, not a thousand
+    df = spark.read.parquet(*smalls)
+    path_col = F.col("_metadata.file_path")
+    for c in part_cols:
+        df = df.withColumn(
+            c, F.url_decode(F.regexp_extract(path_col, f"/{c}=([^/]+)/", 1))
         )
-        part_dir = jvm.org.apache.hadoop.fs.Path(
-            "/".join(smalls[0].split("/")[:-1])
-        )
-        fs = part_dir.getFileSystem(jsc.hadoopConfiguration())
-        for new_uri in spark.table(tmp).inputFiles():
-            src = jvm.org.apache.hadoop.fs.Path(new_uri)
-            dst = jvm.org.apache.hadoop.fs.Path(
-                part_dir, new_uri.split("/")[-1]
-            )
-            if not fs.rename(src, dst):
-                raise IOError(f"rename {new_uri} -> {dst} failed")
-        for old in smalls:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
-        merged += len(smalls)
-        drop_samples_table(spark, tmp)
-    if merged:
-        spark.catalog.refreshTable(table)
-    return merged
+    df = _apply_tombstones(spark, df, table)
+    df = df.select(*data_cols, *part_cols)
+    tmp = f"{table}__merge_tmp"
+    drop_samples_table(spark, tmp)
+    (
+        df.repartition(cur, F.expr(f"pmod(hash(__series_key), {cur})"))
+        .write.format("parquet")
+        .partitionBy(*part_cols)
+        .bucketBy(cur, "__series_key")
+        .sortBy("__series_key", "ts")
+        .saveAsTable(tmp)
+    )
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    table_root = "/".join(
+        smalls[0].split("/")[: -(1 + len(part_cols))]
+    )
+    fs = jvm.org.apache.hadoop.fs.Path(table_root).getFileSystem(
+        jsc.hadoopConfiguration()
+    )
+    for new_uri in spark.table(tmp).inputFiles():
+        segs = new_uri.split("/")
+        rel = "/".join(segs[-(1 + len(part_cols)):])  # part dirs + file
+        src = jvm.org.apache.hadoop.fs.Path(new_uri)
+        dst = jvm.org.apache.hadoop.fs.Path(f"{table_root}/{rel}")
+        if not fs.rename(src, dst):
+            raise IOError(f"rename {new_uri} -> {dst} failed")
+    for old in smalls:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
+    drop_samples_table(spark, tmp)
+    spark.catalog.refreshTable(table)
+    return len(smalls)
 
 
 def maintain_samples_table(
