@@ -674,3 +674,45 @@ def test_maintain_samples_table_policy(spark):
     for p in big_day1:
         assert after.get(p) == before[p]
     assert t.count() == 1022  # 500+500+2 appends+20 b; kill deleted
+
+
+def test_merge_small_parts_multi_tenant_encoding(spark):
+    """Regression (r9): inputFiles()/_metadata URIs percent-encode the
+    partition-dir escaping (tenant '1:0' → dir 'tenant=1%3A0' → URI
+    'tenant=1%253A0'); the merge must decode both layers so rows land
+    back in the right tenant partition and no tenant's data is lost."""
+    from victoriametrics_spark.api.http import with_tenant
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        merge_small_parts,
+    )
+
+    rows = [("a", T0 + i * H, float(i)) for i in range(12)]
+    df = with_tenant(_mk_samples(spark, rows), "1:0").unionByName(
+        with_tenant(_mk_samples(spark, rows), "2:0")
+    )
+    write_samples_table(df, "t_mt_merge", n_buckets=2)
+    try:
+        extra = [("a", T0 + 100_000, 5.0)]
+        for _ in range(2):
+            append_samples(
+                with_tenant(_mk_samples(spark, extra), "1:0"),
+                "t_mt_merge",
+                n_buckets=2,
+            )
+        n1 = read_samples_table(spark, "t_mt_merge", tenant="1:0").count()
+        n2 = read_samples_table(spark, "t_mt_merge", tenant="2:0").count()
+        merged = merge_small_parts(spark, "t_mt_merge", max_small_bytes=1 << 30)
+        assert merged > 0
+        assert read_samples_table(spark, "t_mt_merge", tenant="1:0").count() == n1
+        assert read_samples_table(spark, "t_mt_merge", tenant="2:0").count() == n2
+        # merged files live under the correctly-escaped tenant dirs
+        from urllib.parse import unquote
+
+        dirs = {
+            unquote(unquote(u.split("/")[-3]))
+            for u in spark.table("t_mt_merge").inputFiles()
+        }
+        assert dirs == {"tenant=1:0", "tenant=2:0"}
+    finally:
+        drop_samples_table(spark, "t_mt_merge")

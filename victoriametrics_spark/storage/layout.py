@@ -314,15 +314,33 @@ def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
 _BUCKET_FILE_RE = None  # compiled lazily (keeps `re` out of module scope)
 
 
+def _part_value(seg: str) -> str:
+    """Partition VALUE from a URI path segment. Two decode layers:
+    ``inputFiles()``/``_metadata.file_path`` percent-encode the URI on
+    top of Spark's partition-dir escaping — value ``1:0`` is the disk
+    dir ``tenant=1%3A0`` and the URI segment ``tenant=1%253A0``."""
+    from urllib.parse import unquote
+
+    return unquote(unquote(seg))
+
+
+def _plain_uri(uri: str) -> str:
+    """URI → the literal filesystem path form (one decode layer):
+    Hadoop ``Path``/``os.stat`` want the on-disk name (``1%3A0``), not
+    the re-encoded URI (``1%253A0``)."""
+    from urllib.parse import unquote
+
+    return unquote(uri)
+
+
 def _partition_file_index(
     spark: SparkSession, table: str, part_cols: list[str]
 ) -> dict:
-    """{partition tuple (decoded strings): {bucket_id: file_count}} from
+    """{partition tuple (decoded VALUES): {bucket_id: file_count}} from
     the current file listing — metadata only, no data read (the analog
     of VM consulting part headers to pick merge candidates,
     lib/storage/partition.go:35-42)."""
     import re as _re
-    from urllib.parse import unquote
 
     global _BUCKET_FILE_RE
     if _BUCKET_FILE_RE is None:
@@ -335,7 +353,7 @@ def _partition_file_index(
             if "=" in s:
                 k, v = s.split("=", 1)
                 if k in part_cols:
-                    vals[k] = unquote(v)
+                    vals[k] = _part_value(v)
         key = tuple(vals.get(c, "") for c in part_cols)
         m = _BUCKET_FILE_RE.search(segs[-1])
         b = int(m.group(1)) if m else -1
@@ -516,12 +534,12 @@ def compact_samples_table(
 def _partition_files_with_size(
     spark: SparkSession, table: str, part_cols: list[str]
 ) -> dict:
-    """{partition tuple: {bucket_id: [(path, size_bytes)]}} — metadata
-    only (the part-header inspection VM's merge picker does)."""
-    import re as _re
-    from urllib.parse import unquote
-
+    """{partition tuple (decoded VALUES): {bucket_id: [(plain_path,
+    size_bytes)]}} — metadata only (the part-header inspection VM's
+    merge picker does). Paths are returned in literal filesystem form
+    (``_plain_uri``), ready for Hadoop/os operations."""
     import os as _os
+    import re as _re
 
     pat = _re.compile(r"_(\d{5})\.")
     jsc = spark.sparkContext._jsc
@@ -534,20 +552,21 @@ def _partition_files_with_size(
             if "=" in s:
                 k, v = s.split("=", 1)
                 if k in part_cols:
-                    vals[k] = unquote(v)
+                    vals[k] = _part_value(v)
         key = tuple(vals.get(c, "") for c in part_cols)
         m = pat.search(segs[-1])
         b = int(m.group(1)) if m else -1
-        if uri.startswith("file:"):
+        plain = _plain_uri(uri)
+        if plain.startswith("file:"):
             # local fast path — one Py4J round-trip per file adds up
             # over thousands of parts
-            local = "/" + uri[5:].lstrip("/")
+            local = "/" + plain[5:].lstrip("/")
             size = _os.stat(local).st_size
         else:
-            hpath = jvm.org.apache.hadoop.fs.Path(uri)
+            hpath = jvm.org.apache.hadoop.fs.Path(plain)
             fs = hpath.getFileSystem(jsc.hadoopConfiguration())
             size = fs.getFileStatus(hpath).getLen()
-        out.setdefault(key, {}).setdefault(b, []).append((uri, size))
+        out.setdefault(key, {}).setdefault(b, []).append((plain, size))
     return out
 
 
@@ -599,8 +618,16 @@ def merge_small_parts(
     df = spark.read.parquet(*smalls)
     path_col = F.col("_metadata.file_path")
     for c in part_cols:
+        # two decode layers: the URI percent-encoding on top of Spark's
+        # partition-dir escaping (value "1:0" → dir "tenant=1%3A0" →
+        # URI "tenant=1%253A0")
         df = df.withColumn(
-            c, F.url_decode(F.regexp_extract(path_col, f"/{c}=([^/]+)/", 1))
+            c,
+            F.url_decode(
+                F.url_decode(
+                    F.regexp_extract(path_col, f"/{c}=([^/]+)/", 1)
+                )
+            ),
         )
     df = _apply_tombstones(spark, df, table)
     df = df.select(*data_cols, *part_cols)
@@ -623,12 +650,13 @@ def merge_small_parts(
         jsc.hadoopConfiguration()
     )
     for new_uri in spark.table(tmp).inputFiles():
-        segs = new_uri.split("/")
+        plain = _plain_uri(new_uri)
+        segs = plain.split("/")
         rel = "/".join(segs[-(1 + len(part_cols)):])  # part dirs + file
-        src = jvm.org.apache.hadoop.fs.Path(new_uri)
+        src = jvm.org.apache.hadoop.fs.Path(plain)
         dst = jvm.org.apache.hadoop.fs.Path(f"{table_root}/{rel}")
         if not fs.rename(src, dst):
-            raise IOError(f"rename {new_uri} -> {dst} failed")
+            raise IOError(f"rename {plain} -> {dst} failed")
     for old in smalls:
         fs.delete(jvm.org.apache.hadoop.fs.Path(old), False)
     drop_samples_table(spark, tmp)
