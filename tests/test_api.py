@@ -758,3 +758,62 @@ def test_relabel_debug_routes(api):
 
     # malformed config errors cleanly
     assert api.relabel_debug("m", ":::bad yaml")["status"] == "error"
+
+
+def test_logsql_stats_query_range(logs_api):
+    """/select/logsql/stats_query_range: trailing stats evaluated per
+    step bucket → Prometheus matrix (one aggregation, not one query per
+    bucket)."""
+    out = logs_api.stats_query_range(
+        "error | stats count() as n", start="1704067200", end="1704240000",
+        step="1d",
+    )
+    assert out["status"] == "success"
+    res = out["data"]["result"]
+    assert len(res) == 1 and res[0]["metric"]["__name__"] == "n"
+    # day1 has 1 error, day2 has 2
+    vals = {int(t): v for t, v in res[0]["values"]}
+    assert vals == {1704067200: "1", 1704153600: "2"}
+    # grouped flavor keeps by-labels
+    out = logs_api.stats_query_range(
+        "* | stats by (event_type) count() as n",
+        start="1704067200", end="1704240000", step="1d",
+    )
+    mats = {
+        (r["metric"]["event_type"], len(r["values"]))
+        for r in out["data"]["result"]
+    }
+    assert mats == {("error", 2), ("signup", 1)}
+    with pytest.raises(ValueError, match="stats"):
+        logs_api.stats_query_range("error", "0", "1", "1d")
+
+
+def test_logsql_stream_routes(spark):
+    """/select/logsql/{streams,stream_field_names,stream_field_values}
+    over a frame with the canonical _stream column."""
+    from datetime import datetime
+
+    from victoriametrics_spark.api import LogsAPI
+    from victoriametrics_spark.logsql.pipes import set_stream_fields
+
+    rows = [
+        (datetime(2024, 1, 1, h), f"m {h}", "web", "h1") for h in range(4)
+    ] + [(datetime(2024, 1, 1, h), f"m {h}", "db", "h2") for h in range(2)]
+    df = set_stream_fields(
+        spark.createDataFrame(rows, ["_time", "_msg", "app", "host"]),
+        ["app", "host"],
+    )
+    api = LogsAPI(spark, df)
+    out = api.streams("*")
+    assert out["streams"][0] == {
+        "value": '{app="web",host="h1"}', "hits": 4,
+    }
+    assert {s["value"] for s in out["streams"]} == {
+        '{app="web",host="h1"}', '{app="db",host="h2"}',
+    }
+    names = api.stream_field_names("*")
+    assert {n["value"] for n in names["names"]} == {"app", "host"}
+    vals = api.stream_field_values("*", "app")
+    assert [(v["value"], v["hits"]) for v in vals["values"]] == [
+        ("web", 4), ("db", 2),
+    ]

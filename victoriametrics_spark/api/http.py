@@ -1156,6 +1156,147 @@ class LogsAPI:
             "data": {"resultType": "vector", "result": result},
         }
 
+    def stats_query_range(
+        self,
+        query: str,
+        start: str | None,
+        end: str | None,
+        step: str = "1d",
+    ) -> dict:
+        """GET /select/logsql/stats_query_range (app/vlselect/main.go):
+        the trailing ``stats`` pipe evaluated per ``step`` bucket over
+        [start, end) → a Prometheus matrix. Implemented by appending a
+        ``_time:step`` bucket to the stats pipe's by-list and running
+        the SAME compiled pipeline — one Spark aggregation over all
+        buckets, not one query per bucket."""
+        from victoriametrics_spark.logsql.parser import (
+            parse_duration_ms,
+            parse_query,
+            run_parsed,
+        )
+
+        step_ms = int(parse_duration_ms(step))
+        start_ms = _parse_time(start, 0)
+        end_ms = _parse_time(end, 1 << 62)
+        q = parse_query(query)
+        if not q.pipes or q.pipes[-1][0] != "stats":
+            raise ValueError(
+                "stats_query_range requires the query to end with | stats"
+            )
+        kind, by, fns = q.pipes[-1]
+        by_names = [b[0] if isinstance(b, tuple) else b for b in by]
+        value_cols = [fn[2] for fn in fns]
+        q.pipes[-1] = (
+            kind,
+            list(by) + [("_time", ("dur", float(step_ms), 0.0))],
+            fns,
+        )
+        logs = self.logs
+        tcol = F.unix_millis(F.col("_time").cast("timestamp"))
+        logs = logs.filter((tcol >= start_ms) & (tcol < end_ms))
+        df = run_parsed(
+            logs,
+            q,
+            now_ms=self.now_ms,
+            token_index_path=self._ensure_index(),
+        )
+        series: dict = {}
+        for r in df.collect():
+            labels = {f: str(r[f]) for f in by_names}
+            ts = r["_time"]
+            ts_ms = (
+                int(ts.timestamp() * 1000)
+                if hasattr(ts, "timestamp")
+                else int(ts)
+            )
+            for vc in value_cols:
+                v = r[vc]
+                if v is None:
+                    continue
+                key = (vc, tuple(sorted(labels.items())))
+                series.setdefault(key, []).append(
+                    [ts_ms / 1000.0, _fmt_value(float(v))]
+                )
+        result = [
+            {
+                "metric": {"__name__": vc, **dict(labels)},
+                "values": sorted(vals),
+            }
+            for (vc, labels), vals in sorted(series.items())
+        ]
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": result},
+        }
+
+    def streams(self, query: str, limit: int = 10) -> dict:
+        """GET /select/logsql/streams — matching streams with hit
+        counts (vlselect main.go ProcessStreamsRequest)."""
+        df = self._run(query)
+        if "_stream" not in df.columns:
+            return {"streams": []}
+        rows = (
+            df.groupBy("_stream")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy(F.col("hits").desc(), F.col("_stream").asc())
+            .limit(int(limit))
+            .collect()
+        )
+        return {
+            "streams": [
+                {"value": r["_stream"], "hits": int(r["hits"])}
+                for r in rows
+            ]
+        }
+
+    def stream_field_names(self, query: str) -> dict:
+        """GET /select/logsql/stream_field_names — label names used in
+        matching streams' canonical ``{k="v",...}`` form."""
+        df = self._run(query)
+        if "_stream" not in df.columns:
+            return {"names": []}
+        names = df.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(_stream, '([^{,=]+)=', 1)")
+            ).alias("name")
+        )
+        rows = (
+            names.groupBy("name")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy("name")
+            .collect()
+        )
+        return {
+            "names": [
+                {"value": r["name"], "hits": int(r["hits"])} for r in rows
+            ]
+        }
+
+    def stream_field_values(
+        self, query: str, field: str, limit: int = 10
+    ) -> dict:
+        """GET /select/logsql/stream_field_values — values of one stream
+        label across matching streams."""
+        df = self._run(query)
+        if "_stream" not in df.columns:
+            return {"values": []}
+        pat = f'{field}="([^"]*)"'
+        vals = df.select(
+            F.regexp_extract(F.col("_stream"), pat, 1).alias("value")
+        ).filter(F.col("value") != "")
+        rows = (
+            vals.groupBy("value")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy(F.col("hits").desc(), F.col("value").asc())
+            .limit(int(limit))
+            .collect()
+        )
+        return {
+            "values": [
+                {"value": r["value"], "hits": int(r["hits"])} for r in rows
+            ]
+        }
+
     def facets(self, query: str, limit: int = 10) -> dict:
         from victoriametrics_spark.logsql import pipes as _pipes
 
@@ -1659,6 +1800,20 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         )
                     elif ep == "stats_query":
                         out = logs_api.stats_query(p("query"))
+                    elif ep == "stats_query_range":
+                        out = logs_api.stats_query_range(
+                            p("query"), p("start"), p("end"), p("step", "1d")
+                        )
+                    elif ep == "streams":
+                        out = logs_api.streams(
+                            p("query"), int(p("limit", "10"))
+                        )
+                    elif ep == "stream_field_names":
+                        out = logs_api.stream_field_names(p("query"))
+                    elif ep == "stream_field_values":
+                        out = logs_api.stream_field_values(
+                            p("query"), p("field"), int(p("limit", "10"))
+                        )
                     elif ep == "facets":
                         out = logs_api.facets(p("query"), int(p("limit", "10")))
                     elif ep == "field_names":

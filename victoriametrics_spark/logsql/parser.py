@@ -1935,7 +1935,27 @@ def run_logsql(
     scan is pre-pruned to the (day, stream) buckets that can contain the
     query's required message tokens before the exact filters run.
     """
-    q = parse_query(query)
+    return run_parsed(
+        df,
+        parse_query(query),
+        now_ms=now_ms,
+        msg_field=msg_field,
+        time_field=time_field,
+        token_index_path=token_index_path,
+    )
+
+
+def run_parsed(
+    df: DataFrame,
+    q: "Query",
+    now_ms: Optional[int] = None,
+    msg_field: str = "_msg",
+    time_field: str = "_time",
+    token_index_path: Optional[str] = None,
+) -> DataFrame:
+    """Run an already-parsed :class:`Query` (callers that rewrite the
+    pipe list programmatically — e.g. /select/logsql/stats_query_range
+    appends a ``_time:step`` bucket to the trailing stats pipe)."""
     cfg = _Cfg(now_ms=now_ms, msg_field=msg_field, time_field=time_field)
     if token_index_path:
         from victoriametrics_spark.logsql.index import pruned_scan
