@@ -716,3 +716,269 @@ def test_merge_small_parts_multi_tenant_encoding(spark):
         assert dirs == {"tenant=1:0", "tenant=2:0"}
     finally:
         drop_samples_table(spark, "t_mt_merge")
+
+
+def test_apply_retention_drops_expired_partitions(spark):
+    """retentionWatcher analog (lib/storage/table.go:446-470): date
+    partitions fully older than retention (and partitions starting past
+    the future-retention guard) are dropped wholesale — metadata +
+    directory delete only, surviving partitions byte-identical. Boundary
+    rows inside surviving partitions stay visible until a merge drops
+    them (skipSamplesOutsideRetention, lib/storage/merge.go:205)."""
+    from victoriametrics_spark.storage import (
+        apply_retention,
+        drop_samples_table,
+        read_samples_table,
+    )
+
+    now = T0 + 10 * DAY
+    rows = [
+        ("a", T0 + d * DAY + h * H, float(d * 24 + h))
+        for d in range(4)
+        for h in range(24)
+    ] + [("a", T0 + 20 * DAY, 99.0)]  # beyond future retention
+    write_samples_table(_mk_samples(spark, rows), "t_ret", n_buckets=2)
+    try:
+        before = _file_snapshot(spark, "t_ret")
+        out = apply_retention(
+            spark, "t_ret", now_ms=now, retention_ms=8 * DAY
+        )
+        # day0 (ends T0+1d) and day1 (ends T0+2d = now-8d) fully
+        # expired; day2 ends past the deadline and survives whole
+        assert [p[-1] for p in out["dropped_partitions"]] == [
+            "2024-01-01",
+            "2024-01-02",
+            "2024-01-21",
+        ]
+        after = _file_snapshot(spark, "t_ret")
+        for p, m in before.items():
+            if "date=2024-01-03" in p or "date=2024-01-04" in p:
+                assert after.get(p) == m  # byte-identical survivors
+        t = read_samples_table(spark, "t_ret")
+        assert t.count() == 48  # days 2-3 intact, incl. boundary rows
+        # second call: nothing left to drop
+        out2 = apply_retention(
+            spark, "t_ret", now_ms=now, retention_ms=8 * DAY
+        )
+        assert out2["dropped_partitions"] == []
+        assert _file_snapshot(spark, "t_ret") == after
+    finally:
+        drop_samples_table(spark, "t_ret")
+
+
+def test_apply_retention_filters(spark):
+    """-retentionFilter analog: series matching a selector get a shorter
+    retention; partitions where every matching row has expired are
+    rewritten ONCE (the maintenance-state fingerprint makes repeat calls
+    metadata-only), other series' rows and partially-expired partitions
+    are untouched (lazy, like VM dropping filter-expired rows only
+    during merges)."""
+    from victoriametrics_spark.storage import (
+        apply_retention,
+        drop_samples_table,
+        read_samples_table,
+    )
+
+    now = T0 + 5 * DAY + H
+    rows = [
+        (s, T0 + d * DAY + h * H, float(h))
+        for s in ("a", "b")
+        for d in range(5)
+        for h in range(24)
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_retf", n_buckets=2)
+    try:
+        out = apply_retention(
+            spark,
+            "t_retf",
+            now_ms=now,
+            retention_filters=[('m{s="a"}', 2 * DAY)],
+        )
+        # fully crossed: end <= now-2d = T0+3d+1h -> days 0,1,2
+        assert [p[-1] for p in out["rewritten_partitions"]] == [
+            "2024-01-01",
+            "2024-01-02",
+            "2024-01-03",
+        ]
+        t = read_samples_table(spark, "t_retf")
+        a = t.filter(F.col("labels")["s"] == "a")
+        # 'a' gone from rewritten days, intact in days 3-4 (lazy there)
+        assert a.filter(F.col("ts") < T0 + 3 * DAY).count() == 0
+        assert a.filter(F.col("ts") >= T0 + 3 * DAY).count() == 48
+        # 'b' untouched everywhere
+        assert t.filter(F.col("labels")["s"] == "b").count() == 120
+        # repeat call: state fingerprint, no rewrite
+        snap = _file_snapshot(spark, "t_retf")
+        out2 = apply_retention(
+            spark,
+            "t_retf",
+            now_ms=now,
+            retention_filters=[('m{s="a"}', 2 * DAY)],
+        )
+        assert out2["rewritten_partitions"] == []
+        assert _file_snapshot(spark, "t_retf") == snap
+    finally:
+        drop_samples_table(spark, "t_retf")
+
+
+def test_downsample_partitions_in_place(spark):
+    """Physical downsampling is partition-scoped maintenance (VM applies
+    -downsampling.period during merges): fully-aged partitions are
+    rewritten in place (one file per (date, bucket) preserved), fresh
+    partitions stay byte-identical, the maintenance-state fingerprint
+    makes a second call metadata-only, and a backfill append re-arms
+    the check."""
+    from victoriametrics_spark.storage import (
+        downsample_partitions,
+        drop_samples_table,
+        read_samples_table,
+    )
+
+    now = T0 + 5 * DAY
+    rows = [
+        ("a", T0 + d * DAY + m * 60_000, float(m))
+        for d in range(5)
+        for m in range(0, 1440, 10)  # one sample / 10 min
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_dsp", n_buckets=2)
+    try:
+        before = _file_snapshot(spark, "t_dsp")
+        done = downsample_partitions(
+            spark, "t_dsp", rules=[(2 * DAY, H)], now_ms=now
+        )
+        # fully aged: end <= now-2d -> days 0,1,2
+        assert [p[-1] for p in done] == [
+            "2024-01-01",
+            "2024-01-02",
+            "2024-01-03",
+        ]
+        after = _file_snapshot(spark, "t_dsp")
+        for p, m in before.items():
+            if "date=2024-01-04" in p or "date=2024-01-05" in p:
+                assert after.get(p) == m
+        t = read_samples_table(spark, "t_dsp")
+        aged = t.filter(F.col("ts") < T0 + 3 * DAY)
+        # one sample per hour survives, the LAST of each hour (:50)
+        assert aged.count() == 72
+        assert (
+            aged.filter(F.col("ts") % H != 50 * 60_000).count() == 0
+        )
+        assert t.filter(F.col("ts") >= T0 + 3 * DAY).count() == 288
+        # second call: state-stamped done, nothing rewritten
+        assert (
+            downsample_partitions(
+                spark, "t_dsp", rules=[(2 * DAY, H)], now_ms=now
+            )
+            == []
+        )
+        assert _file_snapshot(spark, "t_dsp") == after
+        # backfill into a thinned day changes the file set -> re-armed,
+        # re-thinned (idempotent), and the newer sample wins its bucket
+        append_samples(
+            _mk_samples(spark, [("a", T0 + 55 * 60_000, 111.0)]),
+            "t_dsp",
+            n_buckets=2,
+        )
+        done3 = downsample_partitions(
+            spark, "t_dsp", rules=[(2 * DAY, H)], now_ms=now
+        )
+        assert [p[-1] for p in done3] == ["2024-01-01"]
+        t = read_samples_table(spark, "t_dsp")
+        aged = t.filter(F.col("ts") < T0 + 3 * DAY)
+        assert aged.count() == 72
+        hour0 = aged.filter(
+            (F.col("ts") >= T0) & (F.col("ts") < T0 + H)
+        ).collect()
+        assert [(r["ts"], r["value"]) for r in hour0] == [
+            (T0 + 55 * 60_000, 111.0)
+        ]
+    finally:
+        drop_samples_table(spark, "t_dsp")
+
+
+def test_downsample_multi_tenant_independent(spark):
+    """Two tenants' identically-named series thin independently (series
+    keys don't embed the tenant; the downsample window must)."""
+    from victoriametrics_spark.api.http import with_tenant
+    from victoriametrics_spark.storage.downsample import downsample
+
+    now = 100 * H
+    rows = [("a", now - 11 * H, 1.0), ("a", now - 12 * H, 2.0)]
+    df = with_tenant(_mk_samples(spark, rows), "1:0").unionByName(
+        with_tenant(_mk_samples(spark, rows), "2:0")
+    )
+    out = downsample(df, rules=[(10 * H, 4 * H)], now_ms=now)
+    got = sorted(
+        (r["tenant"], r["ts"]) for r in out.collect()
+    )
+    # one survivor per tenant in the shared 4h bucket — not one overall
+    assert got == [("1:0", now - 11 * H), ("2:0", now - 11 * H)]
+
+
+def test_maintain_full_lifecycle(spark):
+    """ONE maintain call runs the whole lifecycle: expired day dropped
+    (retention), fresh-append day tier-merged, fully-aged day physically
+    downsampled, clean fresh day untouched."""
+    import os
+
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        maintain_samples_table,
+        read_samples_table,
+    )
+
+    now = T0 + 10 * DAY
+    rows = (
+        # day0: expired (retention 8d)
+        [("a", T0 + h * H, 1.0) for h in range(24)]
+        # day4: fully aged past 2d -> downsample to 1/h
+        + [
+            ("a", T0 + 4 * DAY + m * 60_000, 2.0)
+            for m in range(0, 1440, 10)
+        ]
+        # day9: fresh, will get small appends
+        + [("a", T0 + 9 * DAY + h * H, 3.0) for h in range(24)]
+    )
+    write_samples_table(_mk_samples(spark, rows), "t_life", n_buckets=2)
+    try:
+        for k in range(2):
+            append_samples(
+                _mk_samples(
+                    spark, [("a", T0 + 9 * DAY + 60_000 + k * 1000, 9.0)]
+                ),
+                "t_life",
+                n_buckets=2,
+            )
+        before = _file_snapshot(spark, "t_life")
+        small = [
+            p
+            for p in before
+            if "date=2024-01-10" in p and os.stat(p).st_size < 4000
+        ]
+        out = maintain_samples_table(
+            spark,
+            "t_life",
+            max_small_bytes=4000,
+            now_ms=now,
+            retention_ms=8 * DAY,
+            downsample_rules=[(2 * DAY, H)],
+        )
+        assert [p[-1] for p in out["dropped_partitions"]] == ["2024-01-01"]
+        assert [p[-1] for p in out["downsampled_partitions"]] == [
+            "2024-01-05"
+        ]
+        assert out["merged_files"] == len(small) >= 2
+        t = read_samples_table(spark, "t_life")
+        assert t.filter(F.col("ts") < T0 + DAY).count() == 0  # retention
+        assert (
+            t.filter(
+                (F.col("ts") >= T0 + 4 * DAY)
+                & (F.col("ts") < T0 + 5 * DAY)
+            ).count()
+            == 24  # downsampled to one per hour
+        )
+        assert (
+            t.filter(F.col("ts") >= T0 + 9 * DAY).count() == 26
+        )  # fresh day + the 2 appends, merged not thinned
+    finally:
+        drop_samples_table(spark, "t_life")

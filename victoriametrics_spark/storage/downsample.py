@@ -56,11 +56,19 @@ def downsample(
     raw = df.filter(F.col("__ds_interval") == 0).drop("__ds_interval")
     aged = df.filter(F.col("__ds_interval") > 0)
     bucket = F.floor(F.col("ts") / F.col("__ds_interval"))
-    w = Window.partitionBy(
+    parts = [
         series_key(F.col("name"), F.col("labels")),
         F.col("__ds_interval"),
         bucket,
-    ).orderBy(F.col("ts").desc(), F.col("value").desc())
+    ]
+    if "tenant" in samples.columns:
+        # series keys don't embed the tenant (storage/layout.py): two
+        # tenants' identically-named series must thin independently,
+        # like VM downsampling inside per-tenant partitions
+        parts.insert(0, F.col("tenant"))
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
     kept = (
         aged.withColumn("__ds_rn", F.row_number().over(w))
         .filter(F.col("__ds_rn") == 1)

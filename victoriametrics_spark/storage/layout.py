@@ -25,7 +25,7 @@ dedup exactly like VM dedups during part merges (lib/storage/dedup.go).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from victoriametrics_spark.schema import series_key
@@ -362,16 +362,67 @@ def _partition_file_index(
     return out
 
 
+def _partitions_predicate(part_cols: list[str], parts) -> Column:
+    """Row predicate selecting exactly the given partition-value tuples
+    (string-compared, matching the decoded file-listing values)."""
+    pred = F.lit(False)
+    for p in sorted(parts):
+        cond = F.lit(True)
+        for c, v in zip(part_cols, p):
+            cond = cond & (F.col(c).cast("string") == F.lit(v))
+        pred = pred | cond
+    return pred
+
+
+def _insert_overwrite_bucketed(
+    spark: SparkSession, table: str, sub: DataFrame, n_buckets: int
+) -> None:
+    """Dynamic-partition-overwrite ``insertInto`` preserving the table's
+    bucket/sort spec. The repartition keys on the BUCKET-ID expression,
+    not the key: a repartition on ``__series_key`` is semantically
+    redundant with the bucketed scan's partitioning and gets elided,
+    after which each scan split writes its own per-bucket file —
+    breaking the one-file-per-(partition, bucket) invariant."""
+    cols = spark.table(table).columns
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        old_mode = spark.conf.get(mode_key)
+    except Exception:
+        old_mode = None
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            sub.select(*cols)
+            .repartition(
+                n_buckets, F.expr(f"pmod(hash(__series_key), {n_buckets})")
+            )
+            .write.mode("overwrite")
+            .insertInto(table)
+        )
+    finally:
+        if old_mode is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, old_mode)
+
+
 def _compact_full(
     spark: SparkSession,
     table: str,
     n_buckets: int,
     dedup_interval_ms: int,
+    downsample_rules: "list | None" = None,
+    now_ms: "int | None" = None,
 ) -> None:
     """Whole-table rewrite (rebucketing / explicit ``full=True``)."""
     tmp = f"{table}__compacting"
+    src = _apply_tombstones(spark, spark.table(table), table).drop("date")
+    if downsample_rules and now_ms is not None:
+        from victoriametrics_spark.storage.downsample import downsample
+
+        src = downsample(src, downsample_rules, int(now_ms))
     write_samples_table(
-        _apply_tombstones(spark, spark.table(table), table).drop("date"),
+        src,
         tmp,
         n_buckets=n_buckets,
         dedup_interval_ms=dedup_interval_ms,
@@ -393,6 +444,8 @@ def compact_samples_table(
     dedup_interval_ms: int = 0,
     dates: "list | None" = None,
     full: bool = False,
+    downsample_rules: "list | None" = None,
+    now_ms: "int | None" = None,
 ) -> None:
     """LSM-merge analog — PARTITION-SCOPED since round 9, like VM's
     per-partition merges (lib/storage/partition.go:35-42 pick merge
@@ -421,7 +474,14 @@ def compact_samples_table(
     scan = spark.table(table)
     part_cols = [c for c in ("tenant", "date") if c in scan.columns]
     if full or cur is None or cur != n_buckets or not part_cols:
-        _compact_full(spark, table, n_buckets, dedup_interval_ms)
+        _compact_full(
+            spark,
+            table,
+            n_buckets,
+            dedup_interval_ms,
+            downsample_rules=downsample_rules,
+            now_ms=now_ms,
+        )
         return
     date_set = {str(d) for d in dates} if dates is not None else None
 
@@ -458,17 +518,19 @@ def compact_samples_table(
     )
     written: set = set()
     if target:
-        pred = F.lit(False)
-        for p in sorted(target):
-            cond = F.lit(True)
-            for c, v in zip(part_cols, p):
-                cond = cond & (F.col(c).cast("string") == F.lit(v))
-            pred = pred | cond
+        pred = _partitions_predicate(part_cols, target)
         sub = _apply_tombstones(spark, scan, table).filter(pred)
         if dedup_interval_ms > 0:
             from victoriametrics_spark.streaming.streamaggr import dedup_samples
 
             sub = dedup_samples(sub, dedup_interval_ms)
+        if downsample_rules and now_ms is not None:
+            # rules-aware rewrite (VM applies -downsampling.period during
+            # merges): keeps the tier invariant downsample_partitions'
+            # mtime test relies on
+            from victoriametrics_spark.storage.downsample import downsample
+
+            sub = downsample(sub, downsample_rules, int(now_ms))
         # dynamic overwrite only touches partitions present in the
         # output — detect fully-dead ones first to DROP them instead
         written = {
@@ -476,32 +538,7 @@ def compact_samples_table(
             for r in sub.select(*part_cols).distinct().collect()
         }
         if written:
-            mode_key = "spark.sql.sources.partitionOverwriteMode"
-            try:
-                old_mode = spark.conf.get(mode_key)
-            except Exception:
-                old_mode = None
-            spark.conf.set(mode_key, "dynamic")
-            try:
-                # repartition by the BUCKET-ID expression, not the key:
-                # a repartition on __series_key is semantically redundant
-                # with the bucketed scan's partitioning and gets elided,
-                # after which each scan split writes its own per-bucket
-                # file — breaking the one-file-per-(partition, bucket)
-                # invariant the compaction exists to restore
-                (
-                    sub.select(*scan.columns)
-                    .repartition(
-                        cur, F.expr(f"pmod(hash(__series_key), {cur})")
-                    )
-                    .write.mode("overwrite")
-                    .insertInto(table)
-                )
-            finally:
-                if old_mode is None:
-                    spark.conf.unset(mode_key)
-                else:
-                    spark.conf.set(mode_key, old_mode)
+            _insert_overwrite_bucketed(spark, table, sub, cur)
         for p in sorted(target - written):
             spec = ", ".join(
                 f"{c}='{v}'" for c, v in zip(part_cols, p)
@@ -535,9 +572,9 @@ def _partition_files_with_size(
     spark: SparkSession, table: str, part_cols: list[str]
 ) -> dict:
     """{partition tuple (decoded VALUES): {bucket_id: [(plain_path,
-    size_bytes)]}} — metadata only (the part-header inspection VM's
-    merge picker does). Paths are returned in literal filesystem form
-    (``_plain_uri``), ready for Hadoop/os operations."""
+    size_bytes, mtime_ms)]}} — metadata only (the part-header inspection
+    VM's merge picker does). Paths are returned in literal filesystem
+    form (``_plain_uri``), ready for Hadoop/os operations."""
     import os as _os
     import re as _re
 
@@ -561,12 +598,16 @@ def _partition_files_with_size(
             # local fast path — one Py4J round-trip per file adds up
             # over thousands of parts
             local = "/" + plain[5:].lstrip("/")
-            size = _os.stat(local).st_size
+            st = _os.stat(local)
+            size, mtime_ms = st.st_size, int(st.st_mtime * 1000)
         else:
             hpath = jvm.org.apache.hadoop.fs.Path(plain)
             fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-            size = fs.getFileStatus(hpath).getLen()
-        out.setdefault(key, {}).setdefault(b, []).append((plain, size))
+            st = fs.getFileStatus(hpath)
+            size, mtime_ms = st.getLen(), st.getModificationTime()
+        out.setdefault(key, {}).setdefault(b, []).append(
+            (plain, size, mtime_ms)
+        )
     return out
 
 
@@ -575,6 +616,8 @@ def merge_small_parts(
     table: str,
     max_small_bytes: int = 64 << 20,
     dates: "list | None" = None,
+    downsample_rules: "list | None" = None,
+    now_ms: "int | None" = None,
 ) -> int:
     """Size-tiered small-part merge — the incremental tier of the LSM
     story (VM's mergeset merges SMALL parts into bigger ones and leaves
@@ -605,7 +648,7 @@ def merge_small_parts(
         if date_set is not None and part[-1] not in date_set:
             continue
         for files in buckets.values():
-            small_b = [p for p, size in files if size <= max_small_bytes]
+            small_b = [p for p, size, _ in files if size <= max_small_bytes]
             if len(small_b) >= 2:
                 smalls.extend(small_b)
     if not smalls:
@@ -630,6 +673,13 @@ def merge_small_parts(
             ),
         )
     df = _apply_tombstones(spark, df, table)
+    if downsample_rules and now_ms is not None:
+        # thin the merged small parts like VM downsampling a partial
+        # merge: intervals split across a big part and these small parts
+        # converge at the next full-partition rewrite
+        from victoriametrics_spark.storage.downsample import downsample
+
+        df = downsample(df, downsample_rules, int(now_ms))
     df = df.select(*data_cols, *part_cols)
     tmp = f"{table}__merge_tmp"
     drop_samples_table(spark, tmp)
@@ -664,18 +714,336 @@ def merge_small_parts(
     return len(smalls)
 
 
+def _maint_state_file(spark: SparkSession, table: str):
+    """(fs, Path) of the table's ``_maintenance_state.json`` — the part
+    header analog (VM part headers record what a merge already applied;
+    we record, per partition, a file-set fingerprint plus the downsample
+    tier / retention-filter deadlines last applied). The leading ``_``
+    keeps it invisible to Spark's file index, like ``_SUCCESS``."""
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        f"{table.lower()}/_maintenance_state.json",
+    )
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def _read_maint_state(spark: SparkSession, table: str) -> dict:
+    import json as _json
+
+    fs, path, jvm = _maint_state_file(spark, table)
+    if not fs.exists(path):
+        return {}
+    stream = fs.open(path)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    try:
+        return _json.loads(text)
+    except ValueError:
+        return {}
+
+
+def _write_maint_state(spark: SparkSession, table: str, state: dict) -> None:
+    import json as _json
+
+    fs, path, _ = _maint_state_file(spark, table)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(_json.dumps(state, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _partition_fingerprint(buckets: dict) -> str:
+    """Stable hash of a partition's file set (names carry job UUIDs, so
+    ANY rewrite — ours or a rules-blind compact/merge/append — changes
+    the fingerprint and invalidates recorded maintenance state)."""
+    import hashlib as _hashlib
+
+    names = sorted(
+        f"{p.rsplit('/', 1)[-1]}:{size}"
+        for files in buckets.values()
+        for p, size, _ in files
+    )
+    return _hashlib.sha1("\n".join(names).encode()).hexdigest()
+
+
+def _date_bounds_ms(date_str: str) -> tuple[int, int]:
+    """[start, end) epoch-ms of a ``date`` partition value (UTC)."""
+    import datetime as _dt
+
+    d = _dt.datetime.strptime(date_str, "%Y-%m-%d").replace(
+        tzinfo=_dt.timezone.utc
+    )
+    start = int(d.timestamp() * 1000)
+    return start, start + 86_400_000
+
+
+def _retention_filter_preds(
+    retention_filters,
+) -> "list[tuple[Column, int]]":
+    """[(row predicate, retention_ms)] from ``[(selector, ms), ...]`` —
+    the -retentionFilter analog (per-series-selector retention; the
+    reference applies these during background merges)."""
+    from victoriametrics_spark.engine.planner import selector_predicate
+    from victoriametrics_spark.metricsql import parse
+    from victoriametrics_spark.metricsql.ast import MetricExpr
+
+    out = []
+    for sel, f_ms in retention_filters or []:
+        e = parse(sel)
+        if not isinstance(e, MetricExpr):
+            raise ValueError(
+                f"retention filter {sel!r} is not a series selector"
+            )
+        out.append((selector_predicate(e), int(f_ms)))
+    return out
+
+
+def _retention_keep_predicate(
+    now_ms: int, retention_ms: int, filter_preds
+) -> Column:
+    """Rows that SURVIVE retention — the skipSamplesOutsideRetention
+    analog (lib/storage/merge.go:205) plus per-filter deadlines."""
+    keep = F.lit(True)
+    if retention_ms > 0:
+        keep = keep & (F.col("ts") >= F.lit(int(now_ms) - int(retention_ms)))
+    for pred, f_ms in filter_preds:
+        keep = keep & ~(pred & (F.col("ts") < F.lit(int(now_ms) - f_ms)))
+    return keep
+
+
+def apply_retention(
+    spark: SparkSession,
+    table: str,
+    now_ms: int,
+    retention_ms: int = 0,
+    retention_filters: "list | None" = None,
+    future_retention_ms: int = 2 * 86_400_000,
+) -> dict:
+    """Retention enforcement — the retentionWatcher analog
+    (lib/storage/table.go:446-470): date partitions FULLY older than
+    ``now_ms - retention_ms`` (or starting beyond ``now_ms +
+    future_retention_ms``, the -inmemoryDataFlushInterval-independent
+    future-retention guard) are dropped wholesale — a metadata +
+    directory delete, no data read, exactly like VM dropping stale
+    monthly partitions. Rows inside the surviving boundary partition
+    stay visible until a rewrite drops them (VM serves out-of-retention
+    rows until the next merge; skipSamplesOutsideRetention,
+    lib/storage/merge.go:205).
+
+    ``retention_filters`` is ``[(series_selector, retention_ms), ...]``
+    — the -retentionFilter analog: series matching a selector get a
+    shorter retention. Partitions where every matching row has expired
+    are rewritten once (dynamic-partition-overwrite, bucket spec
+    preserved) with the expired rows dropped; the maintenance-state
+    fingerprint (``_maintenance_state.json``, the part-header analog)
+    skips partitions already rewritten for every crossed deadline, so
+    repeated calls are metadata-only — while any later append/rewrite
+    changes the partition's file set and re-arms the check. Partitions
+    partially past a filter deadline are left for merge-time cleanup
+    (lazy, like the reference).
+
+    Returns ``{"dropped_partitions": [...], "rewritten_partitions":
+    [...]}`` (partition-value tuples, tenant first when present)."""
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if "date" not in part_cols:
+        raise ValueError(f"{table!r} is not a date-partitioned table")
+    cur = _table_num_buckets(spark, table)
+    idx = _partition_files_with_size(spark, table, part_cols)
+    state = _read_maint_state(spark, table)
+    state_dirty = False
+    now_ms = int(now_ms)
+
+    dropped: list = []
+    for part in sorted(idx):
+        start, end = _date_bounds_ms(part[-1])
+        expired = retention_ms > 0 and end <= now_ms - int(retention_ms)
+        too_future = start > now_ms + int(future_retention_ms)
+        if expired or too_future:
+            spec = ", ".join(
+                f"{c}='{v}'" for c, v in zip(part_cols, part)
+            )
+            spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec})")
+            dropped.append(part)
+            if state.pop("|".join(part), None) is not None:
+                state_dirty = True
+
+    filter_preds = _retention_filter_preds(retention_filters)
+    rewritten: list = []
+    if filter_preds and cur is not None:
+        dropped_set = set(dropped)
+        targets = []
+        crossed_by_key: dict = {}
+        for part, buckets in sorted(idx.items()):
+            if part in dropped_set:
+                continue
+            _, end = _date_bounds_ms(part[-1])
+            # deadlines this partition has FULLY crossed (its newest
+            # possible matching row, at end-1ms, is already expired)
+            crossed = [
+                f"{sel}|{int(f_ms)}"
+                for sel, f_ms in retention_filters
+                if end <= now_ms - int(f_ms)
+            ]
+            if not crossed:
+                continue
+            key = "|".join(part)
+            st = state.get(key)
+            if (
+                st
+                and st.get("files") == _partition_fingerprint(buckets)
+                and set(crossed) <= set(st.get("retf", []))
+            ):
+                continue  # already rewritten for these deadlines
+            targets.append(part)
+            crossed_by_key[key] = crossed
+        if targets:
+            keep = _retention_keep_predicate(
+                now_ms, int(retention_ms), filter_preds
+            )
+            sub = _apply_tombstones(
+                spark,
+                scan.filter(_partitions_predicate(part_cols, targets)),
+                table,
+            ).filter(keep)
+            written = {
+                tuple(str(r[c]) for c in part_cols)
+                for r in sub.select(*part_cols).distinct().collect()
+            }
+            if written:
+                _insert_overwrite_bucketed(spark, table, sub, cur)
+            for p in sorted(set(targets) - written):
+                spec = ", ".join(
+                    f"{c}='{v}'" for c, v in zip(part_cols, p)
+                )
+                spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec})")
+                state.pop("|".join(p), None)
+            rewritten = sorted(targets)
+            spark.catalog.refreshTable(table)
+            new_idx = _partition_files_with_size(spark, table, part_cols)
+            for p in sorted(written):
+                key = "|".join(p)
+                st = state.setdefault(key, {})
+                st["files"] = _partition_fingerprint(new_idx.get(p, {}))
+                st["retf"] = sorted(
+                    set(st.get("retf", [])) | set(crossed_by_key[key])
+                )
+            state_dirty = True
+    if state_dirty:
+        _write_maint_state(spark, table, state)
+    if dropped or rewritten:
+        spark.catalog.refreshTable(table)
+    return {"dropped_partitions": dropped, "rewritten_partitions": rewritten}
+
+
+def downsample_partitions(
+    spark: SparkSession,
+    table: str,
+    rules: "list[tuple[int, int]]",
+    now_ms: int,
+    dates: "list | None" = None,
+) -> list:
+    """Physically apply age-tiered downsampling (storage/downsample.py)
+    to the partitions that need it — the reference applies
+    -downsampling.period during background part merges, so thinning cost
+    is amortized into maintenance, never paid at query time.
+
+    A partition qualifies once it is FULLY aged past some rule offset
+    (``now_ms - partition_end >= offset``). The maintenance-state
+    fingerprint (``_maintenance_state.json``, the part-header analog)
+    skips partitions whose CURRENT file set was already rewritten under
+    the same rules at the same (or a deeper) tier, so repeated
+    maintenance calls are metadata-only — while any append/backfill or
+    rules-blind rewrite changes the file set and re-arms the check
+    (downsampling is idempotent, so a spurious re-run only costs a
+    rewrite). Aging into a deeper tier, or changing the rules, re-arms
+    it too. Passing ``dates`` forces those partitions through
+    regardless of recorded state.
+
+    Returns the list of rewritten partition-value tuples."""
+    from victoriametrics_spark.storage.downsample import downsample
+
+    if not rules:
+        return []
+    cur = _table_num_buckets(spark, table)
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if cur is None or not part_cols:
+        raise ValueError(f"{table!r} is not a bucketed, partitioned table")
+    date_set = {str(d) for d in dates} if dates is not None else None
+    idx = _partition_files_with_size(spark, table, part_cols)
+    state = _read_maint_state(spark, table)
+    rules_sig = repr(sorted((int(o), int(i)) for o, i in rules))
+    now_ms = int(now_ms)
+    targets = []
+    off_by_key: dict = {}
+    for part, buckets in sorted(idx.items()):
+        if date_set is not None and part[-1] not in date_set:
+            continue
+        _, end = _date_bounds_ms(part[-1])
+        offs = [off for off, _ in rules if now_ms - end >= off]
+        if not offs:
+            continue
+        key = "|".join(part)
+        if date_set is None:
+            st = state.get(key)
+            if (
+                st
+                and st.get("files") == _partition_fingerprint(buckets)
+                and st.get("rules") == rules_sig
+                and st.get("ds_off", -1) >= max(offs)
+            ):
+                continue  # this exact file set already thinned here
+        targets.append(part)
+        off_by_key[key] = max(offs)
+    if not targets:
+        return []
+    sub = _apply_tombstones(
+        spark,
+        scan.filter(_partitions_predicate(part_cols, targets)),
+        table,
+    )
+    sub = downsample(sub, rules, now_ms)
+    _insert_overwrite_bucketed(spark, table, sub, cur)
+    spark.catalog.refreshTable(table)
+    new_idx = _partition_files_with_size(spark, table, part_cols)
+    for part in targets:
+        key = "|".join(part)
+        st = state.setdefault(key, {})
+        st["files"] = _partition_fingerprint(new_idx.get(part, {}))
+        st["rules"] = rules_sig
+        st["ds_off"] = off_by_key[key]
+    _write_maint_state(spark, table, state)
+    return sorted(targets)
+
+
 def maintain_samples_table(
     spark: SparkSession,
     table: str,
     max_small_bytes: int = 64 << 20,
     max_files_per_bucket: int = 8,
     dedup_interval_ms: int = 0,
+    now_ms: "int | None" = None,
+    retention_ms: int = 0,
+    retention_filters: "list | None" = None,
+    future_retention_ms: int = 2 * 86_400_000,
+    downsample_rules: "list | None" = None,
 ) -> dict:
     """Background-merger policy (VM runs merges continuously per
     partition, lib/storage/partition.go mergeWorker): ONE entry point
     that picks the cheapest sufficient maintenance per partition from
     the file index + tombstones:
 
+    - first, retention (``retention_ms`` / ``retention_filters`` /
+      ``future_retention_ms`` with ``now_ms``): fully-expired partitions
+      dropped wholesale, filter-expired partitions rewritten once — the
+      retentionWatcher analog (:func:`apply_retention`);
     - partitions holding tombstoned (dead) rows, or where some bucket
       exceeds ``max_files_per_bucket`` files → full partition compact
       (restores the one-file-per-bucket sorted-scan invariant and lets
@@ -683,14 +1051,36 @@ def maintain_samples_table(
     - otherwise, partitions where some bucket has ≥2 files ≤
       ``max_small_bytes`` → size-tiered small-part merge (cost ∝ fresh
       data);
+    - finally, ``downsample_rules`` thins fully-aged partitions in place
+      (:func:`downsample_partitions`). Whole-partition compactions above
+      already apply the rules (VM applies -downsampling.period during
+      merges) and are stamped done in the maintenance state, so the
+      trailing pass skips them; tier-merges only touch small parts, so
+      their partitions stay armed until fully thinned;
     - clean partitions → untouched.
 
-    Returns ``{"compacted_dates": [...], "merged_files": n}``."""
+    Returns ``{"compacted_dates": [...], "merged_files": n,
+    "dropped_partitions": [...], "retention_rewritten": [...],
+    "downsampled_partitions": [...]}``."""
     cur = _table_num_buckets(spark, table)
     scan = spark.table(table)
     part_cols = [c for c in ("tenant", "date") if c in scan.columns]
     if cur is None or not part_cols:
         raise ValueError(f"{table!r} is not a bucketed, partitioned table")
+    dropped: list = []
+    ret_rewritten: list = []
+    if now_ms is not None and (retention_ms > 0 or retention_filters):
+        ret = apply_retention(
+            spark,
+            table,
+            now_ms,
+            retention_ms=retention_ms,
+            retention_filters=retention_filters,
+            future_retention_ms=future_retention_ms,
+        )
+        dropped = ret["dropped_partitions"]
+        ret_rewritten = ret["rewritten_partitions"]
+        scan = spark.table(table)
     idx = _partition_files_with_size(spark, table, part_cols)
 
     dead_parts: set = set()
@@ -713,7 +1103,7 @@ def maintain_samples_table(
         if any(len(files) > max_files_per_bucket for files in buckets.values()):
             compact_parts.add(part)
         elif part not in compact_parts and any(
-            len([p for p, sz in files if sz <= max_small_bytes]) >= 2
+            len([p for p, sz, _ in files if sz <= max_small_bytes]) >= 2
             for files in buckets.values()
         ):
             merge_parts.add(part)
@@ -728,8 +1118,40 @@ def maintain_samples_table(
                 n_buckets=cur,
                 dedup_interval_ms=dedup_interval_ms,
                 dates=compact_dates,
+                downsample_rules=downsample_rules,
+                now_ms=now_ms,
             )
             compacted = compact_dates
+            if downsample_rules and now_ms is not None and compact_parts:
+                # a whole-partition compact with rules fully thinned the
+                # partition — stamp it so the trailing downsample pass
+                # doesn't rewrite it a second time
+                state = _read_maint_state(spark, table)
+                new_idx = _partition_files_with_size(
+                    spark, table, part_cols
+                )
+                rules_sig = repr(
+                    sorted((int(o), int(i)) for o, i in downsample_rules)
+                )
+                dirty = False
+                for part in compact_parts:
+                    if part not in new_idx:
+                        continue  # fully dead, dropped
+                    _, end = _date_bounds_ms(part[-1])
+                    offs = [
+                        off
+                        for off, _ in downsample_rules
+                        if int(now_ms) - end >= off
+                    ]
+                    if not offs:
+                        continue
+                    st = state.setdefault("|".join(part), {})
+                    st["files"] = _partition_fingerprint(new_idx[part])
+                    st["rules"] = rules_sig
+                    st["ds_off"] = max(offs)
+                    dirty = True
+                if dirty:
+                    _write_maint_state(spark, table, state)
     merged = 0
     if merge_parts:
         merged = merge_small_parts(
@@ -737,8 +1159,21 @@ def maintain_samples_table(
             table,
             max_small_bytes=max_small_bytes,
             dates=sorted({p[-1] for p in merge_parts}),
+            downsample_rules=downsample_rules,
+            now_ms=now_ms,
         )
-    return {"compacted_dates": compacted, "merged_files": merged}
+    downsampled: list = []
+    if downsample_rules and now_ms is not None:
+        downsampled = downsample_partitions(
+            spark, table, downsample_rules, now_ms
+        )
+    return {
+        "compacted_dates": compacted,
+        "merged_files": merged,
+        "dropped_partitions": dropped,
+        "retention_rewritten": ret_rewritten,
+        "downsampled_partitions": downsampled,
+    }
 
 
 # ---------------------------------------------------------------- logs
