@@ -982,3 +982,91 @@ def test_maintain_full_lifecycle(spark):
         )  # fresh day + the 2 appends, merged not thinned
     finally:
         drop_samples_table(spark, "t_life")
+
+
+def test_snapshot_create_restore(spark):
+    """Instant hardlink snapshots (Storage.MustCreateSnapshot analog,
+    app/vmstorage/main.go:300-377): creation copies no data (hardlinks),
+    the snapshot keeps serving the original rows through later
+    delete+compact rewrites of the live table, and restore brings back
+    the full table WITH its bucket spec and tombstone side-table."""
+    import os
+
+    from victoriametrics_spark.storage import (
+        compact_samples_table,
+        create_snapshot,
+        delete_series,
+        delete_snapshot,
+        drop_samples_table,
+        list_snapshots,
+        read_samples_table,
+        restore_snapshot,
+    )
+    from victoriametrics_spark.storage.layout import _table_num_buckets
+
+    rows = [
+        (s, T0 + i * H, float(i)) for s in ("a", "b") for i in range(48)
+    ]
+    write_samples_table(_mk_samples(spark, rows), "t_snap", n_buckets=2)
+    try:
+        name = create_snapshot(spark, "t_snap")
+        assert list_snapshots(spark, "t_snap") == [name]
+        # hardlinks, not copies: the live file now has 2 links
+        some_file = spark.table("t_snap").inputFiles()[0]
+        local = "/" + some_file[7:].lstrip("/") if some_file.startswith(
+            "file://"
+        ) else some_file
+        assert os.stat(local).st_nlink >= 2
+        # mutate the live table: delete a series + physically compact
+        assert delete_series(spark, "t_snap", ['m{s="a"}']) == 1
+        compact_samples_table(spark, "t_snap", n_buckets=2)
+        assert (
+            read_samples_table(spark, "t_snap")
+            .filter(F.col("labels")["s"] == "a")
+            .count()
+            == 0
+        )
+        # restore into a fresh table: everything back, bucket spec kept
+        restore_snapshot(spark, "t_snap", name, dest_table="t_snap_r")
+        try:
+            back = read_samples_table(spark, "t_snap_r")
+            assert back.count() == 96
+            assert (
+                back.filter(F.col("labels")["s"] == "a").count() == 48
+            )
+            assert _table_num_buckets(spark, "t_snap_r") == 2
+        finally:
+            drop_samples_table(spark, "t_snap_r")
+        delete_snapshot(spark, "t_snap", name)
+        assert list_snapshots(spark, "t_snap") == []
+    finally:
+        drop_samples_table(spark, "t_snap")
+
+
+def test_snapshot_carries_tombstones(spark):
+    """A snapshot taken AFTER a delete but BEFORE compaction must carry
+    the tombstone side-table: the restored table still hides the
+    deleted series (VM snapshots cover the index incl. deleted
+    metricIDs, not just data parts)."""
+    from victoriametrics_spark.storage import (
+        create_snapshot,
+        delete_series,
+        drop_samples_table,
+        read_samples_table,
+        restore_snapshot,
+    )
+
+    rows = [(s, T0 + i * H, 1.0) for s in ("a", "b") for i in range(8)]
+    write_samples_table(_mk_samples(spark, rows), "t_snaptomb", n_buckets=2)
+    try:
+        assert delete_series(spark, "t_snaptomb", ['m{s="a"}']) == 1
+        name = create_snapshot(spark, "t_snaptomb")
+        restore_snapshot(spark, "t_snaptomb", name, dest_table="t_snaptomb_r")
+        try:
+            back = read_samples_table(spark, "t_snaptomb_r")
+            assert back.filter(F.col("labels")["s"] == "a").count() == 0
+            assert back.filter(F.col("labels")["s"] == "b").count() == 8
+        finally:
+            drop_samples_table(spark, "t_snaptomb_r")
+    finally:
+        drop_samples_table(spark, "t_snaptomb")

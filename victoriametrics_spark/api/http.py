@@ -770,6 +770,51 @@ class PromAPI:
             self.cache.reset()
         return {"status": "success", "deleted_series": n}
 
+    # ------------------------------------------------------- snapshots
+    def _require_table(self, what: str) -> str:
+        if not self.samples_table:
+            raise ValueError(f"{what} requires PromAPI(samples_table=...)")
+        return self.samples_table
+
+    def snapshot_create(self, prometheus_compatible: bool = False) -> dict:
+        """/snapshot/create (and the Prometheus-compatible
+        /api/v1/admin/tsdb/snapshot, which differs only in response
+        shape) — instant hardlink snapshot of the backing table
+        (app/vmstorage/main.go:300-335; storage/snapshot.py)."""
+        from victoriametrics_spark.storage.snapshot import create_snapshot
+
+        name = create_snapshot(self.spark, self._require_table("snapshot"))
+        if prometheus_compatible:
+            return {"status": "success", "data": {"name": name}}
+        return {"status": "ok", "snapshot": name}
+
+    def snapshot_list(self) -> dict:
+        from victoriametrics_spark.storage.snapshot import list_snapshots
+
+        return {
+            "status": "ok",
+            "snapshots": list_snapshots(
+                self.spark, self._require_table("snapshot")
+            ),
+        }
+
+    def snapshot_delete(self, name: str) -> dict:
+        from victoriametrics_spark.storage.snapshot import delete_snapshot
+
+        try:
+            delete_snapshot(self.spark, self._require_table("snapshot"), name)
+        except ValueError as e:
+            return {"status": "error", "msg": str(e)}
+        return {"status": "ok"}
+
+    def snapshot_delete_all(self) -> dict:
+        from victoriametrics_spark.storage.snapshot import (
+            delete_all_snapshots,
+        )
+
+        delete_all_snapshots(self.spark, self._require_table("snapshot"))
+        return {"status": "ok"}
+
     # ---------------------------------------------------- graphite render
     def render(
         self,
@@ -1753,6 +1798,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = browse_api.metrics_index()
                 elif u.path == "/api/v1/admin/tsdb/delete_series":
                     out = api.delete_series(matches)
+                elif u.path == "/api/v1/admin/tsdb/snapshot":
+                    out = api.snapshot_create(prometheus_compatible=True)
+                elif u.path == "/snapshot/create":
+                    out = api.snapshot_create()
+                elif u.path == "/snapshot/list":
+                    out = api.snapshot_list()
+                elif u.path == "/snapshot/delete":
+                    out = api.snapshot_delete(p("snapshot", ""))
+                elif u.path == "/snapshot/delete_all":
+                    out = api.snapshot_delete_all()
                 elif u.path == "/metrics/expand" and browse_api:
                     out = browse_api.metrics_expand(
                         q.get("query", []),

@@ -1,3 +1,10 @@
+from victoriametrics_spark.storage.snapshot import (
+    create_snapshot,
+    delete_all_snapshots,
+    delete_snapshot,
+    list_snapshots,
+    restore_snapshot,
+)
 from victoriametrics_spark.storage.layout import (
     append_samples,
     apply_retention,
@@ -24,4 +31,9 @@ __all__ = [
     "maintain_samples_table",
     "merge_small_parts",
     "parse_tenant",
+    "create_snapshot",
+    "list_snapshots",
+    "delete_snapshot",
+    "delete_all_snapshots",
+    "restore_snapshot",
 ]
