@@ -817,3 +817,75 @@ def test_logsql_stream_routes(spark):
     assert [(v["value"], v["hits"]) for v in vals["values"]] == [
         ("web", 4), ("db", 2),
     ]
+
+
+def test_force_merge_route(spark):
+    """/internal/force_merge (ForceMergePartitions analog,
+    app/vmstorage/main.go:250-268): merges only partitions matching the
+    prefix; other days' files untouched; queries keep working."""
+    import os
+
+    from victoriametrics_spark.schema import samples_from_columns
+    from victoriametrics_spark.storage import (
+        append_samples,
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+
+    DAY = 86_400_000
+    T0 = 1704067200000  # 2024-01-01T00:00:00Z (shadows module epoch T0)
+    rows = [
+        ("a", T0 + d * DAY + i * 3_600_000, float(i))
+        for d in range(2)
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    samples = samples_from_columns(
+        df, name="m", label_cols={"s": "series"}, ts="ts", value="value"
+    )
+    write_samples_table(samples, "t_fmerge", n_buckets=2)
+    try:
+        # appends create multi-file buckets on BOTH days
+        for d in range(2):
+            extra = spark.createDataFrame(
+                [("a", T0 + d * DAY + 1000, 9.0)],
+                "series string, ts long, value double",
+            )
+            append_samples(
+                samples_from_columns(
+                    extra,
+                    name="m",
+                    label_cols={"s": "series"},
+                    ts="ts",
+                    value="value",
+                ),
+                "t_fmerge",
+                n_buckets=2,
+            )
+        a = PromAPI(
+            spark,
+            read_samples_table(spark, "t_fmerge"),
+            samples_table="t_fmerge",
+        )
+        day2_before = {
+            p: os.stat(p).st_mtime_ns
+            for u in [spark.table("t_fmerge").inputFiles()]
+            for p in [x[7:] if x.startswith("file://") else x for x in u]
+            if "date=2024-01-02" in p
+        }
+        out = a.force_merge("2024-01-01")
+        assert out["status"] == "ok" and out["partitions"] == ["2024-01-01"]
+        files = [
+            u[7:] if u.startswith("file://") else u
+            for u in spark.table("t_fmerge").inputFiles()
+        ]
+        d1 = [p for p in files if "date=2024-01-01" in p]
+        # one file per NON-EMPTY bucket again (single series → 1 bucket)
+        assert len(d1) == 1
+        for p, m in day2_before.items():  # other day byte-identical
+            assert os.stat(p).st_mtime_ns == m
+        assert a.series_count()["data"] == [1]
+        assert a.force_flush() == {"status": "ok"}
+    finally:
+        drop_samples_table(spark, "t_fmerge")

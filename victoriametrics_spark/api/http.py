@@ -815,6 +815,49 @@ class PromAPI:
         delete_all_snapshots(self.spark, self._require_table("snapshot"))
         return {"status": "ok"}
 
+    def force_merge(self, partition_prefix: str = "") -> dict:
+        """/internal/force_merge — force-merge the partitions whose
+        value starts with ``partition_prefix`` (VM: ForceMergePartitions,
+        app/vmstorage/main.go:250-268; partition names are month-level
+        there, date-level here, so a '2024-01' prefix hits a month).
+        Runs synchronously (the reference backgrounds it; a driver-side
+        call can just wait) and re-derives the pinned samples frame."""
+        from victoriametrics_spark.storage.layout import (
+            _partition_file_index,
+            _table_num_buckets,
+            compact_samples_table,
+        )
+
+        table = self._require_table("force_merge")
+        scan = self.spark.table(table)
+        part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+        dates = sorted(
+            {
+                p[-1]
+                for p in _partition_file_index(self.spark, table, part_cols)
+                if p[-1].startswith(partition_prefix)
+            }
+        )
+        if dates:
+            compact_samples_table(
+                self.spark,
+                table,
+                n_buckets=_table_num_buckets(self.spark, table) or 32,
+                dates=dates,
+            )
+            self.reload_samples()
+        return {"status": "ok", "partitions": dates}
+
+    def force_flush(self) -> dict:
+        """/internal/force_flush — the reference flushes in-memory parts
+        to searchable storage (Storage.DebugFlush). Our ingest path
+        appends straight to the table (no in-memory tier), so this only
+        re-derives the pinned frame to pick up any out-of-band
+        appends."""
+        if self.samples_table:
+            self.reload_samples()
+        return {"status": "ok"}
+
     # ---------------------------------------------------- graphite render
     def render(
         self,
@@ -1808,6 +1851,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.snapshot_delete(p("snapshot", ""))
                 elif u.path == "/snapshot/delete_all":
                     out = api.snapshot_delete_all()
+                elif u.path == "/internal/force_merge":
+                    out = api.force_merge(p("partition_prefix", ""))
+                elif u.path == "/internal/force_flush":
+                    out = api.force_flush()
                 elif u.path == "/metrics/expand" and browse_api:
                     out = browse_api.metrics_expand(
                         q.get("query", []),
