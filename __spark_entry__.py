@@ -1756,6 +1756,127 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
 )
 
 
+def _doc_chunks(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), size=64, overlap=16
+    )
+
+
+_reg(
+    "op_doc_chunks",
+    _op(_doc_chunks),
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+s AS (
+    SELECT doc_id, w,
+           unnest(range(0, greatest(len(w) - 16 - 1, 0) + 1, 48)) AS start
+    FROM t WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, start + 1, start + 64), ' ')
+           AS chunk_text,
+       CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens
+FROM s""",
+)
+
+
+def _doc_repetition(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+_reg(
+    "op_doc_repetition",
+    _op(_doc_repetition),
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM t WHERE len(w) >= 2
+),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_ngram_frac
+FROM c GROUP BY doc_id""",
+)
+
+
+def _doc_neardup_components(spark, sf_dir, load):
+    """MinHash-LSH pairs → connected components → per-doc canonical
+    component id: the step that turns pair detection into dedup
+    CLUSTERS. Iterative min-label propagation on Spark; the oracle
+    closes the same pair graph with a recursive CTE."""
+    from victoriametrics_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    pairs = minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"),
+        "doc_id", "text", n=3, k=9, band_size=3, threshold=0.5,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+_reg(
+    "op_doc_neardup_components",
+    _op(_doc_neardup_components),
+    _JACCARD_BASE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+sig AS (
+    SELECT id, seed.range AS seed,
+           min(md5(s || '#' || CAST(seed.range AS VARCHAR))) AS mh
+    FROM sh, range(0, 9) seed
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT id, CAST(seed / 3 AS INT) AS band,
+           array_to_string(list_sort(list(mh)), '|') AS bkey
+    FROM sig GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cands c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.s = a.s
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT src, src FROM e
+),
+closure(src, dst) AS (
+    SELECT src, dst FROM reach
+    UNION
+    SELECT r.src, e.dst FROM closure r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM closure GROUP BY src""",
+)
+
+
 # ======================================================================
 # LogsQL-style relational pipes (SURVEY.md §2.9) over the TPC-H-ish tables
 # ======================================================================
@@ -3093,7 +3214,11 @@ SELECT event_type, user_bucket, ts, value FROM (
 # scripts/check_oracle.py re-runs the WHOLE registry locally each round
 # regardless of the window.
 _DRIVER_PRIORITY = [
-    # (a) changed this round
+    # (a) changed this round — incl. the NEW late-r9 gates (chunking,
+    # repetition stats, near-dup connected components)
+    "op_doc_chunks",
+    "op_doc_repetition",
+    "op_doc_neardup_components",
     "mq_deriv",
     "mq_timestamp",
     "mq_rollup_candlestick",

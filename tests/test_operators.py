@@ -414,3 +414,78 @@ def test_ivf_lloyd_refine_recall(embs):
         assert v == brute[k]
     recall = len(approx) / max(1, len(brute))
     assert recall >= 0.5, f"recall {recall:.2f} below target"
+
+
+def test_chunk_documents_boundaries(spark):
+    from victoriametrics_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),                                  # < size: 1 chunk
+            (3, ""),                                     # empty: no rows
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, size=8, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: stride 4, starts bounded by n - overlap → [0, 4]; no
+    # redundant tail chunk fully covered by its predecessor
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["n_tokens"]) for r in c1] == [(0, 8), (1, 6)]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(4, 10)]
+    assert [(r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in by_doc[2]] == [
+        (0, 2, "a b")
+    ]
+    assert 3 not in by_doc
+    # full coverage invariant: every token index appears in some chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_repetition_stats_gopher(spark):
+    from victoriametrics_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y"),   # 2-grams: xy yx xy yx xy → top 3/5
+            (2, "a b c d"),       # all distinct → top 1/3, dup 0
+            (3, "q"),             # < n tokens → no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert out[1]["top_ngram_frac"] == 0.6
+    assert out[1]["dup_ngram_frac"] == 0.6  # 5 occurrences, 2 distinct
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert 3 not in out
+
+
+def test_connected_components_and_keep_list(spark):
+    from victoriametrics_spark.operators.dedup import (
+        connected_components,
+        near_dup_keep_list,
+    )
+
+    # chain 1-2-3, pair 10-11, singleton 20 (no pairs)
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 20)], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in near_dup_keep_list(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20]

@@ -246,3 +246,85 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = the
+    minimum id reachable through the pair graph — the standard way to
+    turn near-dup PAIRS into dedup CLUSTERS (keep one doc per
+    component).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the neighborhood minimum, converging
+    in O(graph diameter) rounds. Near-dup graphs are piles of tiny
+    cliques (diameter ≤ a few hops), so this beats pointer-doubling's
+    extra shuffles in practice; ``localCheckpoint`` truncates the plan
+    lineage each round so the driver side stays O(1) per iteration.
+    Raises after ``max_iter`` rounds without convergence (pathological
+    chain graphs — switch to pointer doubling if that ever fires)."""
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds"
+    )
+
+
+def near_dup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Filter ``df`` to one canonical document per near-dup component
+    (the minimum id), keeping every document that appears in no pair —
+    the keep-list step that turns pair detection into an actual
+    deduplicated corpus. The component frame is tiny relative to the
+    corpus (only docs with a near-dup partner), so the join broadcasts."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        df.join(
+            F.broadcast(comps.withColumnRenamed("id", id_col)),
+            id_col,
+            "left",
+        )
+        .filter(
+            F.col("component").isNull()
+            | (F.col(id_col) == F.col("component"))
+        )
+        .drop("component")
+    )

@@ -123,3 +123,72 @@ def language_id(
         F.col(id_col),
         F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("predicted_lang"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG/training-data chunking primitive. Output: (id, chunk_id,
+    chunk_text, n_tokens); chunk starts advance by ``size - overlap``
+    and stop once the remaining tokens are covered (a final short chunk
+    is emitted only when it adds uncovered tokens). Pure Catalyst
+    (sequence + explode + slice + array_join): no shuffle at all — each
+    input split chunks its own documents, so at 100 TB this is a
+    map-only pass whose output partitioning follows the input."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    base = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).withColumn("__n", F.size(F.col("__toks")))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    ex = base.filter(F.col("__n") > 0).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(starts).alias("__start"),
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, size), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(size), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1): per document, the fraction of
+    n-gram occurrences taken by the most frequent n-gram
+    (``top_ngram_frac``) and the fraction that are repeats of an
+    earlier occurrence (``dup_ngram_frac``). Documents with fewer than
+    ``n`` tokens produce no row. Two keyed aggregations on ``id`` with
+    map-side partials — no joins, no broadcast."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    ex = df.select(F.col(id_col), F.explode(sh).alias("__g"))
+    c = ex.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    return c.groupBy(id_col).agg(
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("__c"), 6).alias(
+            "dup_ngram_frac"
+        ),
+    )
