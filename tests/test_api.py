@@ -889,3 +889,104 @@ def test_force_merge_route(spark):
         assert a.force_flush() == {"status": "ok"}
     finally:
         drop_samples_table(spark, "t_fmerge")
+
+
+def test_graphite_tags_explore_and_register(spark):
+    """/tags, /tags/<tag_name>, tagSeries/tagMultiSeries registration
+    (tags_api.go:95-143,416-470): registered series become visible to
+    the tags reads BEFORE any sample arrives, and canonical paths come
+    back tag-sorted."""
+    from victoriametrics_spark.api.http import GraphiteBrowseAPI
+
+    rows = [
+        ("app.web.requests", {"dc": "eu", "env": "prod"}, 0, 1.0, False),
+        ("uptime", {}, 0, 1.0, False),
+    ]
+    b = GraphiteBrowseAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    assert b.tags_list() == ["dc", "env", "name"]
+    assert b.tags_list(filter_re="^d") == ["dc"]
+    assert b.tags_list(limit=1) == ["dc"]
+    tv = b.tag_values("dc")
+    assert tv == {"tag": "dc", "values": [{"count": 1, "value": "eu"}]}
+    names = b.tag_values("name", filter_re="web")
+    assert [v["value"] for v in names["values"]] == ["app.web.requests"]
+    # tagSeries: canonical path is tag-SORTED regardless of input order
+    got = b.register_paths(["disk.used;host=h1;dc=us"])
+    assert got == ["disk.used;dc=us;host=h1"]
+    # registered series visible everywhere before any sample exists
+    assert "host" in b.tags_list()
+    assert b.tag_values("host")["values"] == [{"count": 1, "value": "h1"}]
+    assert "disk.used" in [
+        v["value"] for v in b.tag_values("name")["values"]
+    ]
+    assert b.tags_find_series(["host=h1"]) == ["disk.used;dc=us;host=h1"]
+    # bad paths error like the reference's parser
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        b.register_paths(["bad;noequals"])
+
+
+def test_graphite_tags_del_series(spark):
+    """/tags/delSeries: exact-tag delete through the tombstone path;
+    returns True only when something was deleted."""
+    from victoriametrics_spark.schema import samples_from_columns
+    from victoriametrics_spark.storage import (
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+
+    rows = [(s, 1704067200000 + i * 60_000, 1.0) for s in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    samples = samples_from_columns(
+        df, name="disk.used", label_cols={"host": "series"}, ts="ts", value="value"
+    )
+    write_samples_table(samples, "t_tagdel", n_buckets=2)
+    try:
+        a = PromAPI(
+            spark,
+            read_samples_table(spark, "t_tagdel"),
+            samples_table="t_tagdel",
+        )
+        assert a.tags_del_series(["disk.used;host=a"]) is True
+        assert a.series_count()["data"] == [1]
+        assert a.tags_del_series(["disk.used;host=zzz"]) is False
+    finally:
+        drop_samples_table(spark, "t_tagdel")
+
+
+def test_graphite_tags_http_routes(spark):
+    """Route dispatch for /tags, /tags/<tag_name>, tagSeries/multi,
+    delSeries — incl. the <tag_name> catch-all not swallowing the named
+    endpoints."""
+    from victoriametrics_spark.api.http import GraphiteBrowseAPI
+
+    rows = [("app.web.requests", {"dc": "eu"}, 0, 1.0, False)]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    a = PromAPI(spark, df)
+    b = GraphiteBrowseAPI(spark, df)
+    srv = serve(a, port=0, browse_api=b)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as resp:
+                return resp.read().decode()
+
+        assert json.loads(get("/tags")) == [
+            {"tag": "dc"}, {"tag": "name"},
+        ]
+        tv = json.loads(get("/tags/dc"))
+        assert tv == {"tag": "dc", "values": [{"count": 1, "value": "eu"}]}
+        body = get("/tags/tagSeries?path=m;b=2;a=1")
+        assert body == '"m;a=1;b=2"'
+        multi = json.loads(get("/tags/tagMultiSeries?path=x;k=v&path=y"))
+        assert multi == ["x;k=v", "y"]
+        # registered series visible through the same server
+        assert {"tag": "k"} in json.loads(get("/tags"))
+    finally:
+        srv.shutdown()

@@ -76,6 +76,28 @@ def with_tenant(df: DataFrame, tenant: str) -> DataFrame:
     return df.withColumn("tenant", F.lit(parse_tenant(tenant)))
 
 
+def _parse_graphite_path(path: str) -> "tuple[str, dict]":
+    """``metric;k=v;k2=v2`` → (metric, {tags}) — the graphite tagged-
+    path format (lib/protoparser/graphite Row.UnmarshalMetricAndTags)."""
+    parts = path.split(";")
+    name = parts[0]
+    if not name:
+        raise ValueError(f"cannot parse path {path!r}: empty metric name")
+    tags = {}
+    for seg in parts[1:]:
+        if "=" not in seg:
+            raise ValueError(
+                f"cannot parse path {path!r}: tag {seg!r} lacks '='"
+            )
+        k, v = seg.split("=", 1)
+        if not k:
+            raise ValueError(
+                f"cannot parse path {path!r}: empty tag name in {seg!r}"
+            )
+        tags[k] = v
+    return name, tags
+
+
 class PromAPI:
     """Query-side API over a samples DataFrame (or table provider).
 
@@ -815,6 +837,30 @@ class PromAPI:
         delete_all_snapshots(self.spark, self._require_table("snapshot"))
         return {"status": "ok"}
 
+    def tags_del_series(self, paths: list[str]) -> bool:
+        """/tags/delSeries (tags_api.go:33-78): delete the series
+        matching each ``metric;k=v;...`` path — exact tag-filter
+        deletes through the same tombstone path as delete_series.
+        Returns whether anything was deleted (the handler renders the
+        bare ``true``/``false`` JSON body, like the reference)."""
+        matches = []
+        for path in paths:
+            name, tags = _parse_graphite_path(path)
+            if tags:
+                body = ",".join(
+                    '{}="{}"'.format(
+                        k, v.replace("\\", "\\\\").replace('"', '\\"')
+                    )
+                    for k, v in sorted(tags.items())
+                )
+                matches.append(name + "{" + body + "}")
+            else:
+                matches.append(name)
+        if not matches:
+            return False
+        out = self.delete_series(matches)
+        return out.get("deleted_series", 0) > 0
+
     def force_merge(self, partition_prefix: str = "") -> dict:
         """/internal/force_merge — force-merge the partitions whose
         value starts with ``partition_prefix`` (VM: ForceMergePartitions,
@@ -1430,9 +1476,20 @@ class GraphiteBrowseAPI:
     def __init__(self, spark: SparkSession, samples: DataFrame):
         self.spark = spark
         self.samples = samples
+        # /tags/tagSeries registrations (RegisterMetricNames analog,
+        # tags_api.go:95-143): series made visible to the tags API
+        # before any sample arrives; capped like the reference caps its
+        # pending-index buffers
+        self._registered: list = []
 
     def _names(self) -> DataFrame:
-        return self.samples.select("name").distinct()
+        names = self.samples.select("name").distinct()
+        if self._registered:
+            extra = self.spark.createDataFrame(
+                [(n,) for n, _ in self._registered], ["name"]
+            ).distinct()
+            names = names.unionByName(extra).distinct()
+        return names
 
     @staticmethod
     def _expand_braces(glob: str) -> list[str]:
@@ -1546,8 +1603,14 @@ class GraphiteBrowseAPI:
     def _distinct_series(self) -> DataFrame:
         from victoriametrics_spark.schema import series_key
 
+        base = self.samples.select("name", "labels")
+        if self._registered:
+            extra = self.spark.createDataFrame(
+                self._registered, "name string, labels map<string,string>"
+            )
+            base = base.unionByName(extra)
         return (
-            self.samples.select("name", "labels")
+            base
             .withColumn("__sk", series_key(F.col("name"), F.col("labels")))
             .dropDuplicates(["__sk"])
             .drop("__sk")
@@ -1629,6 +1692,73 @@ class GraphiteBrowseAPI:
             F.concat_ws(";", F.array(F.col("name")), pairs).alias("s")
         )
         return [r["s"] for r in series.orderBy("s").limit(limit).collect()]
+
+    def tags_list(self, filter_re: str = "", limit: int = 0) -> list[str]:
+        """GET /tags (tags_api.go:447; netstorage.GraphiteTags): all tag
+        names with ``__name__`` presented as the pseudo-tag ``name``,
+        optional unanchored regex filter, optional limit."""
+        import re as _re
+
+        tags = {
+            r["tag"]
+            for r in self._series_with_pairs().select("tag").distinct().collect()
+        }
+        tags.add("name")
+        out = sorted(tags)
+        if filter_re:
+            rx = _re.compile(filter_re)
+            out = [t for t in out if rx.search(t)]
+        if limit > 0:
+            out = out[:limit]
+        return out
+
+    def tag_values(
+        self, tag: str, filter_re: str = "", limit: int = 0
+    ) -> dict:
+        """GET /tags/<tag_name> (tags_api.go:416): values of one tag
+        (``name`` → metric names) in the Graphite response shape
+        ``{"tag": ..., "values": [{"count": 1, "value": ...}]}`` —
+        count is always 1, exactly like the reference's template
+        (tag_values_response.qtpl)."""
+        import re as _re
+
+        if tag == "name":
+            vals = self._names().select(F.col("name").alias("value"))
+        else:
+            vals = (
+                self._series_with_pairs()
+                .filter(F.col("tag") == tag)
+                .select("value")
+            )
+        out = sorted(
+            r["value"] for r in vals.distinct().collect() if r["value"]
+        )
+        if filter_re:
+            rx = _re.compile(filter_re)
+            out = [v for v in out if rx.search(v)]
+        if limit > 0:
+            out = out[:limit]
+        return {
+            "tag": tag,
+            "values": [{"count": 1, "value": v} for v in out],
+        }
+
+    def register_paths(self, paths: list[str]) -> list[str]:
+        """/tags/tagSeries + /tags/tagMultiSeries (tags_api.go:95-143,
+        RegisterMetricNames): parse each ``metric;k=v;...`` path, make
+        the series visible to every tags/browse read before any sample
+        arrives, and return the canonical (tag-sorted) paths."""
+        canonical = []
+        for path in paths:
+            name, tags = _parse_graphite_path(path)
+            items = sorted(tags.items())
+            canonical.append(
+                ";".join([name] + [f"{k}={v}" for k, v in items])
+            )
+            self._registered.append((name, dict(items)))
+        if len(self._registered) > 100_000:
+            del self._registered[: len(self._registered) - 100_000]
+        return canonical
 
 
 class IngestAPI:
@@ -1885,6 +2015,36 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path == "/tags/findSeries" and browse_api:
                     out = browse_api.tags_find_series(
                         q.get("expr", []), int(p("limit", "100"))
+                    )
+                elif u.path == "/tags/tagSeries" and browse_api:
+                    paths = browse_api.register_paths(q.get("path", []))
+                    self._send(
+                        200,
+                        json.dumps(paths[0]) if paths else "",
+                        "text/plain; charset=utf-8",
+                    )
+                    return
+                elif u.path == "/tags/tagMultiSeries" and browse_api:
+                    out = browse_api.register_paths(q.get("path", []))
+                elif u.path == "/tags/delSeries":
+                    out = api.tags_del_series(q.get("path", []))
+                elif u.path == "/tags" and browse_api:
+                    out = [
+                        {"tag": t}
+                        for t in browse_api.tags_list(
+                            p("filter", ""), int(p("limit", "0"))
+                        )
+                    ]
+                elif (
+                    u.path.startswith("/tags/")
+                    and browse_api
+                    and "/" not in u.path[len("/tags/") :]
+                    and u.path != "/tags/"
+                ):
+                    out = browse_api.tag_values(
+                        unquote(u.path[len("/tags/") :]),
+                        p("filter", ""),
+                        int(p("limit", "0")),
                     )
                 elif u.path.startswith("/select/logsql/") and logs_api:
                     ep = u.path[len("/select/logsql/") :]
