@@ -1561,6 +1561,55 @@ SELECT vec_id, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.25""",
 )
 
 
+def _emb_quantized_knn(spark, sf_dir, load):
+    """int8 scalar quantization + asymmetric threshold search: the
+    memory-scale ANN path (quantized column stays hot, f32 stays cold);
+    oracle replicates floor(v/scale + 0.5) bit-identically."""
+    from victoriametrics_spark.operators.knn import (
+        quantize_embeddings,
+        quantized_knn_threshold,
+    )
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qdf = quantize_embeddings(df.filter(F.col("vec_id") != 0))
+    return quantized_knn_threshold(qdf, list(q), 0.25)
+
+
+_reg(
+    "op_emb_quantized_knn",
+    _op(_emb_quantized_knn),
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qt AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+           embedding
+    FROM embeddings WHERE vec_id != 0
+),
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+               AS qvec
+    FROM qt WHERE scale > 0
+),
+scored AS (
+    SELECT v.vec_id,
+           list_sum(list_transform(range(1, len(v.qvec) + 1),
+               i -> CAST(v.qvec[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(v.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+    FROM qv v, q
+)
+SELECT vec_id, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.25""",
+)
+
+
 def _emb_centroid(spark, sf_dir, load):
     df = load(spark, sf_dir, "embeddings")
     pos = df.select(
@@ -3219,6 +3268,7 @@ _DRIVER_PRIORITY = [
     "op_doc_chunks",
     "op_doc_repetition",
     "op_doc_neardup_components",
+    "op_emb_quantized_knn",
     "mq_deriv",
     "mq_timestamp",
     "mq_rollup_candlestick",

@@ -489,3 +489,38 @@ def test_connected_components_and_keep_list(spark):
         r["doc_id"] for r in near_dup_keep_list(docs, pairs).collect()
     )
     assert kept == [1, 10, 20]
+
+
+def test_quantized_knn_accuracy(embs):
+    """int8 quantization: asymmetric cosine tracks exact cosine closely
+    (max error well under int8 resolution) and top-10 recall ≥ 0.8 on
+    the real embeddings table."""
+    from victoriametrics_spark.operators.knn import (
+        cosine_to_query,
+        quantize_embeddings,
+        quantized_knn_threshold,
+    )
+
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_to_query(rest, list(q)).collect()
+    }
+    qdf = quantize_embeddings(rest)
+    approx = {
+        r["vec_id"]: r["cosine"]
+        for r in quantized_knn_threshold(qdf, list(q), -2.0).collect()
+    }
+    assert set(approx) == {k for k, v in exact.items() if v is not None}
+    errs = [abs(approx[k] - exact[k]) for k in approx]
+    assert max(errs) < 0.02
+    top_exact = sorted(exact, key=lambda k: -exact[k])[:10]
+    top_q = sorted(approx, key=lambda k: -approx[k])[:10]
+    assert len(set(top_exact) & set(top_q)) >= 8
+    # int8 range respected
+    row = qdf.select(
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.min(F.array_min("qvec")).alias("lo"),
+    ).first()
+    assert -127 <= row["lo"] and row["hi"] <= 127

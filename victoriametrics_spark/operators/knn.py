@@ -414,3 +414,73 @@ def ivf_knn_threshold(
     probe_ids = [cid for _, cid in probe]
     cand = df.filter(ivf_cell(F.col(vec_col), centroids).isin(probe_ids))
     return knn_threshold(cand, query, tau, vec_col, id_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: ``scale = max|v| / 127``,
+    ``q_i = floor(v_i / scale + 0.5)`` — 4× smaller than f32 vectors
+    (the standard memory lever for billion-vector ANN; at 100 TB the
+    quantized column is what stays hot while raw vectors live cold).
+    floor(x + 0.5) rounding is used instead of round() so the oracle's
+    arithmetic is bit-identical. Zero vectors quantize to all-zeros
+    with scale 0. Output: (id, qvec array<int>, scale double)."""
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.floor(F.try_divide(x.cast("double"), scale) + F.lit(0.5)),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return df.select(
+        F.col(id_col), q.alias("qvec"), scale.alias("scale")
+    )
+
+
+def quantized_knn_threshold(
+    qdf: DataFrame,
+    query: list[float],
+    tau: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric quantized scoring: the full-precision query against
+    int8 vectors. For cosine the per-vector scale CANCELS
+    (cos = Σq_i·Q_i / (√Σq_i² · |Q|)), so scoring is pure integer-array
+    arithmetic per row — no dequantization pass. Zero vectors (scale 0)
+    drop out via null cosine, like the exact path."""
+    import math as _math
+
+    qn = _math.sqrt(sum(float(x) * float(x) for x in query))
+    qv = F.col("qvec")
+    dot = F.aggregate(
+        F.zip_with(
+            qv,
+            F.array(*[F.lit(float(x)) for x in query]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = F.sqrt(
+        F.aggregate(
+            qv,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = F.try_divide(dot, qnorm * F.lit(qn))
+    return (
+        qdf.select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+    )
