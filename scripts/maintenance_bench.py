@@ -96,6 +96,40 @@ def main() -> int:
     out["speedup_tiered_vs_full"] = round(
         out["full_rewrite_sec"] / max(out["tiered_merge_sec"], 1e-9), 2
     )
+
+    # ------- lifecycle tiers (late round 9): retention drop is
+    # metadata-only (O(#partitions), zero data read); physical
+    # downsampling rewrites only the aged partitions; the repeat call is
+    # state-stamped metadata-only. The scaling law: retention cost is
+    # independent of table size, downsample cost ∝ aged bytes.
+    from victoriametrics_spark.storage import (
+        apply_retention,
+        downsample_partitions,
+    )
+
+    drop_samples_table(spark, "mb_life")
+    write_samples_table(samples, "mb_life", n_buckets=16)
+    span = samples.select(F.min("ts"), F.max("ts")).first()
+    lo, hi = span[0], span[1]
+    now_ms = hi + 86_400_000
+    cut = lo + (hi - lo) // 4  # drop the oldest ~quarter
+    t0 = time.time()
+    ret = apply_retention(
+        spark, "mb_life", now_ms=now_ms, retention_ms=now_ms - cut
+    )
+    out["retention_drop_sec"] = round(time.time() - t0, 3)
+    out["retention_dropped_partitions"] = len(ret["dropped_partitions"])
+    rules = [((now_ms - hi) + (hi - lo) // 2, 6 * 3_600_000)]
+    t0 = time.time()
+    ds = downsample_partitions(spark, "mb_life", rules, now_ms)
+    out["downsample_sec"] = round(time.time() - t0, 3)
+    out["downsampled_partitions"] = len(ds)
+    t0 = time.time()
+    ds2 = downsample_partitions(spark, "mb_life", rules, now_ms)
+    out["downsample_repeat_sec"] = round(time.time() - t0, 3)
+    assert ds2 == []
+    drop_samples_table(spark, "mb_life")
+
     print(json.dumps(out))
     return 0
 
