@@ -551,6 +551,21 @@ class Planner:
         offset_ms = re_.offset.ms(cfg.step) if re_.offset else 0
         window_ms = re_.window.ms(cfg.step) if re_.window else None
         raw, window_ms = self.rollup_input(re_, window_ms, offset_ms, cfg, name)
+        if name == "default_rollup" and "is_stale" in raw.columns:
+            # Prometheus staleness detection (dropStaleNaNs,
+            # eval.go:2108-2115): default_rollup is the ONE single-output
+            # rollup that KEEPS staleness markers — as NaN samples — so a
+            # marker newer than the last real sample becomes the "last
+            # value" and the terminal NaN filter omits the point, exactly
+            # VM terminating a series at its marker. Every other rollup
+            # gets markers dropped (prepare_rollup_input).
+            raw = raw.withColumn(
+                "value",
+                F.when(
+                    F.coalesce(F.col("is_stale"), F.lit(False)),
+                    F.lit(float("nan")),
+                ).otherwise(F.col("value")),
+            ).withColumn("is_stale", F.lit(False))
         # implicit-window widening for the adjustable functions remaining
         # in this path (deriv — regression over the widened per-series
         # window, rollup.go:747-756); the counter family routes through
