@@ -990,3 +990,46 @@ def test_graphite_tags_http_routes(spark):
         assert {"tag": "k"} in json.loads(get("/tags"))
     finally:
         srv.shutdown()
+
+
+def test_import_csv_and_native_round_trip(spark):
+    """/api/v1/import/csv with the csvimport column spec, and
+    /api/v1/import/native round-tripping /api/v1/export/native."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    captured = []
+
+    def sink(df, kind):
+        captured.append(df)
+
+    ing = IngestAPI(spark, sink=sink)
+    n = ing.import_csv(
+        "h1,2.5,1704067200000\nh2,3.5,1704067260000",
+        "1:label:host,2:metric:cpu_usage,3:time:unix_ms",
+    )
+    assert n == 2
+    got = {
+        (r["name"], r["labels"]["host"], r["ts"], r["value"])
+        for r in captured[-1].collect()
+    }
+    assert got == {
+        ("cpu_usage", "h1", 1704067200000, 2.5),
+        ("cpu_usage", "h2", 1704067260000, 3.5),
+    }
+    # unix_s time kind
+    n = ing.import_csv(
+        "h3,1.0,1704067200", "1:label:host,2:metric:m,3:time:unix_s"
+    )
+    assert n == 1
+    assert captured[-1].collect()[0]["ts"] == 1704067200000
+
+    # native round trip: export from a PromAPI, import through IngestAPI
+    rows = [("m1", {"a": "b"}, 1000, 1.5, False), ("m2", {}, 2000, 2.5, False)]
+    api = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    blob = api.export_native(["{__name__=~'.+'}"])
+    n = ing.import_native(blob)
+    assert n == 2
+    back = {
+        (r["name"], r["ts"], r["value"]) for r in captured[-1].collect()
+    }
+    assert back == {("m1", 1000, 1.5), ("m2", 2000, 2.5)}

@@ -1844,6 +1844,89 @@ class IngestAPI:
             raise ValueError(f"unknown import format {fmt!r}")
         return self._write_samples(df)
 
+    def import_csv(self, body: str, format_spec: str) -> int:
+        """POST /api/v1/import/csv?format=... — the csvimport column
+        spec (lib/protoparser/csvimport/): comma-separated
+        ``<pos>:<kind>[:<arg>]`` entries, kind ∈ {metric, label, time};
+        time kinds unix_s / unix_ms / rfc3339 supported."""
+        from victoriametrics_spark.streaming.parsers import parse_csv_import
+
+        entries: list = []
+        ts_col = None
+        ts_kind = "unix_ms"
+        max_pos = 0
+        for part in format_spec.split(","):
+            bits = part.strip().split(":", 2)
+            if len(bits) < 2:
+                raise ValueError(f"invalid format entry {part!r}")
+            pos = int(bits[0])
+            max_pos = max(max_pos, pos)
+            kind = bits[1]
+            if kind == "time":
+                ts_col = pos
+                if len(bits) > 2:
+                    ts_kind = bits[2]
+            elif kind in ("metric", "label"):
+                if len(bits) < 3:
+                    raise ValueError(f"{part!r}: missing name")
+                entries.append((pos, f"{kind}:{bits[2]}"))
+            else:
+                raise ValueError(f"unknown column kind {kind!r}")
+        if ts_col is None or not entries:
+            raise ValueError("format needs a time column and ≥1 metric/label")
+        lines = self._lines_df(body)
+        split = F.split(F.col("value"), ",")
+        cols = [
+            F.element_at(split, i + 1).alias(f"c{i + 1}")
+            for i in range(max_pos)
+        ]
+        df = lines.select(*cols)
+        tc = F.col(f"c{ts_col}")
+        if ts_kind == "unix_s":
+            ts_expr = (tc.cast("double") * 1000).cast("long")
+        elif ts_kind == "unix_ms":
+            ts_expr = tc.cast("long")
+        elif ts_kind == "rfc3339":
+            ts_expr = F.unix_millis(F.to_timestamp(tc))
+        else:
+            raise ValueError(f"unsupported time kind {ts_kind!r}")
+        df = df.withColumn(f"c{ts_col}", ts_expr)
+        return self._write_samples(parse_csv_import(df, entries, ts_col))
+
+    def import_native(self, raw: bytes) -> int:
+        """POST /api/v1/import/native — round-trips /api/v1/export/native
+        (the engine's native format is a parquet blob of
+        (name, labels, ts, value))."""
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        d = _tempfile.mkdtemp(prefix="vmspark_native_in_")
+        try:
+            p = _os.path.join(d, "in.parquet")
+            with open(p, "wb") as fh:
+                fh.write(raw)
+            df = self.spark.read.parquet(p)
+            need = {"name", "labels", "ts", "value"}
+            if not need <= set(df.columns):
+                raise ValueError(
+                    "native import needs columns (name, labels, ts, value)"
+                )
+            out = df.select("name", "labels", "ts", "value").withColumn(
+                "is_stale", F.lit(False)
+            )
+            # materialize before the temp dir disappears
+            n = out.count()
+            if n == 0:
+                return 0
+            out = self.spark.createDataFrame(
+                out.collect(), schema=out.schema
+            )
+            self._write_samples(out)
+            return n
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+
     # ------------------------------------------------------------ logs
     def insert_logs(self, body: str, dialect: str) -> int:
         """POST /insert/{jsonline, elasticsearch/_bulk, loki}."""
@@ -2126,6 +2209,12 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path == "/api/v1/import/prometheus":
                     ts = int(q.get("timestamp", ["0"])[0])
                     cnt = ingest_api.import_lines(raw.decode(), "prometheus", ts)
+                elif u.path == "/api/v1/import/csv":
+                    cnt = ingest_api.import_csv(
+                        raw.decode(), q.get("format", [""])[0]
+                    )
+                elif u.path == "/api/v1/import/native":
+                    cnt = ingest_api.import_native(raw)
                 elif u.path in ("/influx/write", "/write"):
                     cnt = ingest_api.import_lines(raw.decode(), "influx")
                 elif u.path == "/opentsdb/api/put":
