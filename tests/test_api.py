@@ -1033,3 +1033,21 @@ def test_import_csv_and_native_round_trip(spark):
         (r["name"], r["ts"], r["value"]) for r in captured[-1].collect()
     }
     assert back == {("m1", 1000, 1.5), ("m2", 2000, 2.5)}
+
+
+def test_query_trace(api):
+    """?trace=1 attaches a querytracer-shaped tree (lib/querytracer;
+    prometheus.go QueryHandler): duration_msec/message/children, with
+    plan and execute spans; absent without the flag."""
+    out = api.query("temp", time="1500", trace=True)
+    tr = out["trace"]
+    assert tr["message"].startswith("/api/v1/query:")
+    assert tr["duration_msec"] >= 0
+    msgs = [c["message"] for c in tr["children"]]
+    assert any(m.startswith("eval:") for m in msgs)
+    assert "execute plan + collect" in msgs
+    # child durations are bounded by the root
+    assert all(c["duration_msec"] <= tr["duration_msec"] for c in tr["children"])
+    assert "trace" not in api.query("temp", time="1500")
+    rng = api.query_range("temp", "1000", "2000", "500", trace=True)
+    assert rng["trace"]["message"].startswith("/api/v1/query_range:")

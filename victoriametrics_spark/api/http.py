@@ -76,6 +76,48 @@ def with_tenant(df: DataFrame, tenant: str) -> DataFrame:
     return df.withColumn("tenant", F.lit(parse_tenant(tenant)))
 
 
+class QueryTracer:
+    """Query-trace tree — the querytracer analog (lib/querytracer; the
+    reference attaches it to responses when ``trace=1``, e.g.
+    prometheus.go QueryHandler). Spans nest; serialization matches VM's
+    shape: {"duration_msec", "message", "children"}."""
+
+    def __init__(self, message: str):
+        import time as _time
+
+        self.message = message
+        self.children: list = []
+        self._t0 = _time.perf_counter()
+        self._dur: float | None = None
+
+    def span(self, message: str) -> "QueryTracer":
+        child = QueryTracer(message)
+        self.children.append(child)
+        return child
+
+    def done(self) -> None:
+        import time as _time
+
+        if self._dur is None:
+            self._dur = _time.perf_counter() - self._t0
+
+    def __enter__(self) -> "QueryTracer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.done()
+
+    def to_dict(self) -> dict:
+        self.done()
+        out = {
+            "duration_msec": round(self._dur * 1000.0, 3),
+            "message": self.message,
+        }
+        if self.children:
+            out["children"] = [c.to_dict() for c in self.children]
+        return out
+
+
 def _parse_graphite_path(path: str) -> "tuple[str, dict]":
     """``metric;k=v;k2=v2`` → (metric, {tags}) — the graphite tagged-
     path format (lib/protoparser/graphite Row.UnmarshalMetricAndTags)."""
@@ -159,7 +201,14 @@ class PromAPI:
             )
 
     # ----------------------------------------------------------- queries
-    def _eval(self, query: str, start_ms: int, end_ms: int, step_ms: int):
+    def _eval(
+        self,
+        query: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        tracer: "QueryTracer | None" = None,
+    ):
         import time as _time
         import uuid as _uuid
 
@@ -173,7 +222,7 @@ class PromAPI:
         }
         try:
             self._track_metric_names(query)
-            return self._eval_inner(query, start_ms, end_ms, step_ms)
+            return self._eval_inner(query, start_ms, end_ms, step_ms, tracer)
         finally:
             rec = self._active.pop(qid)
             dur = _time.time() - rec["t0"]
@@ -187,12 +236,27 @@ class PromAPI:
                 for k in list(self._query_stats)[:drop]:
                     del self._query_stats[k]
 
-    def _eval_inner(self, query: str, start_ms: int, end_ms: int, step_ms: int):
+    def _eval_inner(
+        self,
+        query: str,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        tracer: "QueryTracer | None" = None,
+    ):
         cfg = EvalConfig(
             start=start_ms,
             end=end_ms,
             step=step_ms,
             max_lookback=self.max_lookback_ms,
+        )
+        plan_span = (
+            tracer.span(
+                f"eval: query={query!r}, timeRange=[{start_ms}..{end_ms}],"
+                f" step={step_ms}"
+            )
+            if tracer
+            else None
         )
         if self.cache is not None:
             df = self.cache.evaluate(query, self.samples, cfg)
@@ -206,7 +270,12 @@ class PromAPI:
             # AND for every other engine caller, and appends to the
             # backing table invalidate automatically.
             df = evaluate(self.spark, query, self.samples, cfg)
+        if plan_span:
+            plan_span.done()
+        exec_span = tracer.span("execute plan + collect") if tracer else None
         rows = df.collect()
+        if exec_span:
+            exec_span.done()
         series: dict = {}
         for r in rows:
             key = (r["name"] or "", tuple(sorted((r["labels"] or {}).items())))
@@ -230,11 +299,17 @@ class PromAPI:
         start: str | None,
         end: str | None,
         step: str | None = None,
+        trace: bool = False,
     ) -> dict:
         step_ms = _parse_step(step)
         start_ms = _parse_time(start, 0)
         end_ms = _parse_time(end, start_ms)
-        series = self._eval(query, start_ms, end_ms, step_ms)
+        tracer = (
+            QueryTracer(f"/api/v1/query_range: query={query!r}")
+            if trace
+            else None
+        )
+        series = self._eval(query, start_ms, end_ms, step_ms, tracer)
         result = [
             {
                 "metric": _metric_obj(name, dict(labels)),
@@ -244,14 +319,22 @@ class PromAPI:
             }
             for (name, labels), pts in sorted(series.items())
         ]
-        return {
+        out = {
             "status": "success",
             "data": {"resultType": "matrix", "result": result},
         }
+        if tracer:
+            out["trace"] = tracer.to_dict()
+        return out
 
-    def query(self, query: str, time: str | None = None) -> dict:
+    def query(
+        self, query: str, time: str | None = None, trace: bool = False
+    ) -> dict:
         t_ms = _parse_time(time, 0)
-        series = self._eval(query, t_ms, t_ms, DEFAULT_STEP_MS)
+        tracer = (
+            QueryTracer(f"/api/v1/query: query={query!r}") if trace else None
+        )
+        series = self._eval(query, t_ms, t_ms, DEFAULT_STEP_MS, tracer)
         result = [
             {
                 "metric": _metric_obj(name, dict(labels)),
@@ -260,10 +343,13 @@ class PromAPI:
             for (name, labels), pts in sorted(series.items())
             if pts
         ]
-        return {
+        out = {
             "status": "success",
             "data": {"resultType": "vector", "result": result},
         }
+        if tracer:
+            out["trace"] = tracer.to_dict()
+        return out
 
     # ------------------------------------------------------ series scans
     def _match_df(self, matches: list[str], start: str | None, end: str | None):
@@ -1976,10 +2062,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             try:
                 if u.path == "/api/v1/query_range":
                     out = api.query_range(
-                        p("query"), p("start"), p("end"), p("step")
+                        p("query"),
+                        p("start"),
+                        p("end"),
+                        p("step"),
+                        trace=p("trace", "") == "1",
                     )
                 elif u.path == "/api/v1/query":
-                    out = api.query(p("query"), p("time"))
+                    out = api.query(
+                        p("query"), p("time"), trace=p("trace", "") == "1"
+                    )
                 elif u.path == "/api/v1/series":
                     out = api.series(matches, p("start"), p("end"))
                 elif u.path == "/api/v1/labels":
