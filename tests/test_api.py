@@ -1051,3 +1051,34 @@ def test_query_trace(api):
     assert "trace" not in api.query("temp", time="1500")
     rng = api.query_range("temp", "1000", "2000", "500", trace=True)
     assert rng["trace"]["message"].startswith("/api/v1/query_range:")
+
+
+def test_extra_label_and_filters_enforced(api):
+    """extra_label / extra_filters[] (searchutil GetExtraTagFilters,
+    the vmgateway isolation params): enforced on query, query_range,
+    and series regardless of the query's own selectors."""
+    enforced = api.enforced_from_params(["job=a"], [])
+    out = api.query("http_requests_total", time="1500", enforced=enforced)
+    res = out["data"]["result"]
+    assert len(res) == 1 and res[0]["metric"]["job"] == "a"
+    # regex filter via extra_filters[]
+    enforced2 = api.enforced_from_params([], ['{job=~"b"}'])
+    rng = api.query_range(
+        "http_requests_total", "1000", "2000", "500", enforced=enforced2
+    )
+    assert {r["metric"]["job"] for r in rng["data"]["result"]} == {"b"}
+    ser = api.series(["http_requests_total"], enforced=enforced)
+    assert [m["job"] for m in ser["data"]] == ["a"]
+    # non-matching enforced filter hides everything
+    none = api.query(
+        "http_requests_total",
+        time="1500",
+        enforced=api.enforced_from_params(["job=zzz"], []),
+    )
+    assert none["data"]["result"] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.enforced_from_params(["nodelimiter"], [])
+    with _pytest.raises(ValueError):
+        api.enforced_from_params([], ["sum(x)"])

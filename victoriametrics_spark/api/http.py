@@ -201,6 +201,37 @@ class PromAPI:
             )
 
     # ----------------------------------------------------------- queries
+    @staticmethod
+    def enforced_from_params(
+        extra_labels: "list[str] | None",
+        extra_filters: "list[str] | None",
+    ) -> tuple:
+        """``extra_label=k=v`` + ``extra_filters[]={selector}`` →
+        enforced (label, op, value) tuples (searchutil
+        GetExtraTagFilters / EnforcedTagFilterss — the vmgateway
+        multi-tenant isolation params, applied to every select query)."""
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import MetricExpr
+
+        out: list = []
+        for el in extra_labels or []:
+            if "=" not in el:
+                raise ValueError(
+                    f"missing '=' in extra_label={el!r}; want label=value"
+                )
+            k, v = el.split("=", 1)
+            out.append((k, "=", v))
+        for ef in extra_filters or []:
+            e = parse(ef)
+            if not isinstance(e, MetricExpr) or len(e.label_filterss) != 1:
+                raise ValueError(
+                    f"extra_filters[] must be a plain series selector "
+                    f"(no OR groups): {ef!r}"
+                )
+            for f in e.label_filterss[0]:
+                out.append((f.label, f.op, f.value))
+        return tuple(out)
+
     def _eval(
         self,
         query: str,
@@ -208,6 +239,7 @@ class PromAPI:
         end_ms: int,
         step_ms: int,
         tracer: "QueryTracer | None" = None,
+        enforced: tuple = (),
     ):
         import time as _time
         import uuid as _uuid
@@ -222,7 +254,9 @@ class PromAPI:
         }
         try:
             self._track_metric_names(query)
-            return self._eval_inner(query, start_ms, end_ms, step_ms, tracer)
+            return self._eval_inner(
+                query, start_ms, end_ms, step_ms, tracer, enforced
+            )
         finally:
             rec = self._active.pop(qid)
             dur = _time.time() - rec["t0"]
@@ -243,12 +277,14 @@ class PromAPI:
         end_ms: int,
         step_ms: int,
         tracer: "QueryTracer | None" = None,
+        enforced: tuple = (),
     ):
         cfg = EvalConfig(
             start=start_ms,
             end=end_ms,
             step=step_ms,
             max_lookback=self.max_lookback_ms,
+            enforced_filters=enforced,
         )
         plan_span = (
             tracer.span(
@@ -300,6 +336,7 @@ class PromAPI:
         end: str | None,
         step: str | None = None,
         trace: bool = False,
+        enforced: tuple = (),
     ) -> dict:
         step_ms = _parse_step(step)
         start_ms = _parse_time(start, 0)
@@ -309,7 +346,9 @@ class PromAPI:
             if trace
             else None
         )
-        series = self._eval(query, start_ms, end_ms, step_ms, tracer)
+        series = self._eval(
+            query, start_ms, end_ms, step_ms, tracer, enforced
+        )
         result = [
             {
                 "metric": _metric_obj(name, dict(labels)),
@@ -328,13 +367,19 @@ class PromAPI:
         return out
 
     def query(
-        self, query: str, time: str | None = None, trace: bool = False
+        self,
+        query: str,
+        time: str | None = None,
+        trace: bool = False,
+        enforced: tuple = (),
     ) -> dict:
         t_ms = _parse_time(time, 0)
         tracer = (
             QueryTracer(f"/api/v1/query: query={query!r}") if trace else None
         )
-        series = self._eval(query, t_ms, t_ms, DEFAULT_STEP_MS, tracer)
+        series = self._eval(
+            query, t_ms, t_ms, DEFAULT_STEP_MS, tracer, enforced
+        )
         result = [
             {
                 "metric": _metric_obj(name, dict(labels)),
@@ -352,12 +397,35 @@ class PromAPI:
         return out
 
     # ------------------------------------------------------ series scans
-    def _match_df(self, matches: list[str], start: str | None, end: str | None):
+    def _match_df(
+        self,
+        matches: list[str],
+        start: str | None,
+        end: str | None,
+        enforced: tuple = (),
+    ):
         from victoriametrics_spark.engine.planner import selector_predicate
         from victoriametrics_spark.metricsql import parse
-        from victoriametrics_spark.metricsql.ast import MetricExpr, RollupExpr
+        from victoriametrics_spark.metricsql.ast import (
+            LabelFilter,
+            MetricExpr,
+            RollupExpr,
+        )
 
         df = self.samples
+        if enforced:
+            df = df.filter(
+                selector_predicate(
+                    MetricExpr(
+                        label_filterss=[
+                            [
+                                LabelFilter(label=lb, op=op, value=v)
+                                for lb, op, v in enforced
+                            ]
+                        ]
+                    )
+                )
+            )
         if start:
             df = df.filter(F.col("ts") >= _parse_time(start, 0))
         if end:
@@ -378,9 +446,13 @@ class PromAPI:
         return df
 
     def series(
-        self, matches: list[str], start: str | None = None, end: str | None = None
+        self,
+        matches: list[str],
+        start: str | None = None,
+        end: str | None = None,
+        enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches, start, end)
+        df = self._match_df(matches, start, end, enforced)
         rows = (
             df.groupBy("name", F.map_entries("labels").alias("__e"))
             .agg(F.first(F.lit(1)))
@@ -2060,6 +2132,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
 
             matches = q.get("match[]", [])
             try:
+                enforced = api.enforced_from_params(
+                    q.get("extra_label", []), q.get("extra_filters[]", [])
+                )
                 if u.path == "/api/v1/query_range":
                     out = api.query_range(
                         p("query"),
@@ -2067,13 +2142,19 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("end"),
                         p("step"),
                         trace=p("trace", "") == "1",
+                        enforced=enforced,
                     )
                 elif u.path == "/api/v1/query":
                     out = api.query(
-                        p("query"), p("time"), trace=p("trace", "") == "1"
+                        p("query"),
+                        p("time"),
+                        trace=p("trace", "") == "1",
+                        enforced=enforced,
                     )
                 elif u.path == "/api/v1/series":
-                    out = api.series(matches, p("start"), p("end"))
+                    out = api.series(
+                        matches, p("start"), p("end"), enforced=enforced
+                    )
                 elif u.path == "/api/v1/labels":
                     out = api.labels(matches, p("start"), p("end"))
                 elif m := label_values_re.match(u.path):
