@@ -1082,3 +1082,11 @@ def test_extra_label_and_filters_enforced(api):
         api.enforced_from_params(["nodelimiter"], [])
     with _pytest.raises(ValueError):
         api.enforced_from_params([], ["sum(x)"])
+
+
+def test_enforced_on_labels_and_values(api):
+    enforced = api.enforced_from_params(["room=x"], [])
+    labs = api.labels(enforced=enforced)
+    assert set(labs["data"]) == {"__name__", "room"}
+    vals = api.label_values("__name__", enforced=enforced)
+    assert vals["data"] == ["temp"]

@@ -469,8 +469,9 @@ class PromAPI:
         matches: list[str] | None = None,
         start: str | None = None,
         end: str | None = None,
+        enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches or [], start, end)
+        df = self._match_df(matches or [], start, end, enforced)
         keys = (
             df.select(F.explode(F.map_keys("labels")).alias("k"))
             .distinct()
@@ -485,8 +486,9 @@ class PromAPI:
         matches: list[str] | None = None,
         start: str | None = None,
         end: str | None = None,
+        enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches or [], start, end)
+        df = self._match_df(matches or [], start, end, enforced)
         if label == "__name__":
             col = F.col("name")
         else:
@@ -2156,10 +2158,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         matches, p("start"), p("end"), enforced=enforced
                     )
                 elif u.path == "/api/v1/labels":
-                    out = api.labels(matches, p("start"), p("end"))
+                    out = api.labels(
+                        matches, p("start"), p("end"), enforced=enforced
+                    )
                 elif m := label_values_re.match(u.path):
                     out = api.label_values(
-                        unquote(m.group(1)), matches, p("start"), p("end")
+                        unquote(m.group(1)),
+                        matches,
+                        p("start"),
+                        p("end"),
+                        enforced=enforced,
                     )
                 elif u.path == "/api/v1/rules":
                     out = api.rules()
