@@ -1070,3 +1070,47 @@ def test_snapshot_carries_tombstones(spark):
             drop_samples_table(spark, "t_snaptomb_r")
     finally:
         drop_samples_table(spark, "t_snaptomb")
+
+
+def test_logs_retention_partition_drops(spark):
+    """VictoriaLogs retention is day-granular whole-partition deletion:
+    fully-expired days dropped (metadata-only), surviving days
+    byte-identical, LogsQL keeps working."""
+    from datetime import datetime
+
+    from victoriametrics_spark.storage import apply_logs_retention
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        read_logs_table,
+        write_logs_table,
+    )
+
+    rows = [
+        (datetime(2024, 1, d, h), f"msg d={d}", "web", float(d))
+        for d in range(1, 5)
+        for h in range(0, 24, 6)
+    ]
+    df = spark.createDataFrame(rows, ["_time", "_msg", "app", "value"])
+    write_logs_table(df, "t_logret", stream_fields=["app"], n_buckets=2)
+    try:
+        now = T0 + 10 * DAY  # 2024-01-11
+        before = _file_snapshot(spark, "t_logret")
+        dropped = apply_logs_retention(
+            spark, "t_logret", now_ms=now, retention_ms=8 * DAY
+        )
+        # days 1-2 end <= now-8d (= Jan 3); day 3 survives whole
+        assert [p[-1] for p in dropped] == ["2024-01-01", "2024-01-02"]
+        after = _file_snapshot(spark, "t_logret")
+        for p, m in before.items():
+            if "date=2024-01-03" in p or "date=2024-01-04" in p:
+                assert after.get(p) == m
+        back = read_logs_table(spark, "t_logret")
+        assert back.count() == 8
+        assert (
+            apply_logs_retention(
+                spark, "t_logret", now_ms=now, retention_ms=8 * DAY
+            )
+            == []
+        )
+    finally:
+        drop_samples_table(spark, "t_logret")

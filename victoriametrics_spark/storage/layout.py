@@ -1222,6 +1222,37 @@ def write_logs_table(
     )
 
 
+def apply_logs_retention(
+    spark: SparkSession,
+    table: str,
+    now_ms: int,
+    retention_ms: int,
+) -> list:
+    """VictoriaLogs retention: day partitions FULLY older than the
+    retention period are dropped wholesale (the reference's log storage
+    deletes whole per-day partitions — retention is day-granular by
+    design there, so this is the complete semantics, not a
+    simplification). Metadata + directory delete only; returns the
+    dropped partition-value tuples."""
+    scan = spark.table(table)
+    part_cols = [c for c in ("tenant", "date") if c in scan.columns]
+    if "date" not in part_cols:
+        raise ValueError(f"{table!r} is not a date-partitioned table")
+    now_ms = int(now_ms)
+    dropped: list = []
+    for part in sorted(_partition_file_index(spark, table, part_cols)):
+        _, end = _date_bounds_ms(part[-1])
+        if end <= now_ms - int(retention_ms):
+            spec = ", ".join(
+                f"{c}='{v}'" for c, v in zip(part_cols, part)
+            )
+            spark.sql(f"ALTER TABLE {table} DROP PARTITION ({spec})")
+            dropped.append(part)
+    if dropped:
+        spark.catalog.refreshTable(table)
+    return dropped
+
+
 def read_logs_table(
     spark: SparkSession,
     table: str,
