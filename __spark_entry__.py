@@ -3269,6 +3269,10 @@ _DRIVER_PRIORITY = [
     "op_doc_repetition",
     "op_doc_neardup_components",
     "op_emb_quantized_knn",
+    "op_doc_pii_redact",
+    "op_doc_decontaminate",
+    "op_doc_stratified_sample",
+    "op_doc_pack_chunks",
     "mq_deriv",
     "mq_timestamp",
     "mq_rollup_candlestick",
@@ -3387,6 +3391,155 @@ _reg(
 SELECT lang || '/' || source AS bucket, CAST(count(*) AS DOUBLE) AS hits
 FROM documents GROUP BY 1
 ORDER BY count(*) DESC, bucket ASC LIMIT 5""",
+)
+
+
+# ---- round-9 additions: PII scrub, decontamination, sampling, packing
+
+
+def _ngram_sql(n: int, w: str = "w") -> str:
+    """DuckDB n-word-shingle list expression over tokens ``w``."""
+    parts = " || ' ' || ".join(
+        f"{w}[i+{j}]" if j else f"{w}[i]" for j in range(n)
+    )
+    return f"list_transform(range(1, len({w}) - {n - 2}), i -> {parts})"
+
+
+# Deterministic PII augmentation: the synthetic corpus has no natural
+# PII, so the gate appends engine-identical spans before scrubbing.
+def _with_pii(df):
+    did = F.col("doc_id")
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_PII_AUG_SQL = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+       AS text
+FROM documents"""
+
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PAT_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def _doc_pii_redact(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import redact_pii
+
+    return redact_pii(_with_pii(load(spark, sf_dir, "documents")))
+
+
+_reg(
+    "op_doc_pii_redact",
+    _op(_doc_pii_redact),
+    "WITH aug AS ("
+    + _PII_AUG_SQL
+    + f"""),
+s1 AS (SELECT doc_id, text AS t0,
+              regexp_replace(text, '{_PAT_EMAIL}', '<EMAIL>', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT *, regexp_replace(t1, '{_PAT_IPV4}', '<IP>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t0, '{_PAT_EMAIL}')) AS DOUBLE) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{_PAT_IPV4}')) AS DOUBLE) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{_PAT_PHONE}')) AS DOUBLE) AS n_phone,
+       md5(regexp_replace(t2, '{_PAT_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM s2""",
+)
+
+
+def _doc_decontaminate(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 29 != 0),
+        docs.filter(F.col("doc_id") % 29 == 0),
+        n=4,
+    )
+
+
+_reg(
+    "op_doc_decontaminate",
+    _op(_doc_decontaminate),
+    f"""
+WITH docs AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tr AS (SELECT DISTINCT doc_id, unnest({_ngram_sql(4)}) AS g
+       FROM docs WHERE doc_id % 29 != 0),
+ev AS (SELECT DISTINCT unnest({_ngram_sql(4)}) AS g
+       FROM docs WHERE doc_id % 29 = 0)
+SELECT tr.doc_id, CAST(count(*) AS DOUBLE) AS n_shared
+FROM tr JOIN ev USING (g) GROUP BY 1""",
+)
+
+
+def _doc_stratified_sample(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import stratified_sample
+
+    kept = stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "zh": 0.25, "de": 0.1},
+        strata_col="lang",
+        default_rate=0.75,
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+_reg(
+    "op_doc_stratified_sample",
+    _op(_doc_stratified_sample),
+    """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                WHEN 'de' THEN '1999' ELSE 'c000' END""",
+)
+
+
+def _doc_pack_chunks(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import pack_chunks, tokens
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_chunks(t, capacity=512, strata_col="lang")
+
+
+_reg(
+    "op_doc_pack_chunks",
+    _op(_doc_pack_chunks),
+    f"""
+WITH t AS (SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tokens FROM documents),
+b AS (SELECT lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tokens) / 512) AS BIGINT) AS bin_id
+      FROM t)
+SELECT lang, bin_id,
+       CAST(count(*) AS DOUBLE) AS n_docs,
+       CAST(sum(n_tokens) AS DOUBLE) AS bin_tokens,
+       round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+FROM b GROUP BY 1, 2""",
 )
 
 

@@ -524,3 +524,100 @@ def test_quantized_knn_accuracy(embs):
         F.min(F.array_min("qvec")).alias("lo"),
     ).first()
     assert -127 <= row["lo"] and row["hi"] <= 127
+
+
+def test_redact_pii_counts_and_order(spark):
+    from victoriametrics_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@ex-a.mple.org or jo@b.co thanks"),
+            (2, "host 10.20.30.40 and 192.168.0.1 up"),
+            (3, "call 555-123-4567 now"),
+            # digits+dots inside an email must NOT double-count as an IP
+            # once the email is redacted first
+            (4, "ping a1.2.3.4b@ex.com ok"),
+            (5, "clean text, nothing to scrub"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (2, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 1)
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (1, 0)
+    # unchanged doc keeps its original md5
+    import hashlib
+
+    assert out[5]["redacted_md5"] == hashlib.md5(
+        b"clean text, nothing to scrub"
+    ).hexdigest()
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from victoriametrics_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two distinct 4-grams with eval (one repeated — the
+            # distinct count must not double it)
+            (1, "quick brown fox jumps again and quick brown fox jumps"),
+            (2, "entirely different words here with no overlap at all"),
+            # shares exactly one 4-gram
+            (3, "over the lazy dog sleeps"),
+            (4, "quick brown fox"),  # only 3 tokens → no 4-gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, eval_df, n=4).collect()}
+    # doc1 shares only "quick brown fox jumps" — twice, counted once;
+    # doc3 shares only "over the lazy dog"; doc2/doc4 are clean
+    assert out == {1: 1.0, 3: 1.0}
+
+
+def test_stratified_sample_deterministic(spark):
+    import hashlib
+
+    from victoriametrics_spark.operators.text import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 0.5, "de": 0.1}
+    kept = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
+    # exact membership: pure function of md5(doc_id)
+    expect = set()
+    for i, lang in rows:
+        thr = format(int(rates[lang] * 65536), "04x")
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr:
+            expect.add(i)
+    assert kept == expect
+    # rates approximately honored
+    n_en = sum(1 for i in kept if i % 2 == 0)
+    n_de = len(kept) - n_en
+    assert abs(n_en / 200 - 0.5) < 0.15 and abs(n_de / 200 - 0.1) < 0.1
+    # repeat run identical (determinism, no RNG)
+    again = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
+    assert again == kept
+
+
+def test_pack_chunks_contiguous_bins(spark):
+    from victoriametrics_spark.operators.text import pack_chunks
+
+    df = spark.createDataFrame(
+        [(1, "en", 4), (2, "en", 4), (3, "en", 4), (4, "en", 4), (5, "de", 11)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    out = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["bin_tokens"], r["fill_ratio"])
+        for r in pack_chunks(df, capacity=10, strata_col="lang").collect()
+    }
+    # en: exclusive cumsums 0,4,8,12 → bins 0,0,0,1; bin0 overflows to 12
+    # (doc kept whole — overflow < max doc tokens), bin1 holds the rest
+    assert out[("en", 0)] == (3.0, 12.0, 1.2)
+    assert out[("en", 1)] == (1.0, 4.0, 0.4)
+    # de: single oversized doc gets its own bin
+    assert out[("de", 0)] == (1.0, 11.0, 1.1)

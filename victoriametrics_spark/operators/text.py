@@ -170,6 +170,139 @@ def chunk_documents(
     )
 
 
+# PII patterns — kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences.
+# Redaction is ordered (emails first) so the later patterns match against
+# already-redacted text and never double-count the same span.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub PII spans (emails, IPv4 addresses, phone-shaped numbers) —
+    the standard pre-training scrubbing pass. Output: (id, n_email,
+    n_ipv4, n_phone, redacted md5). Pure ``regexp_count`` +
+    ``regexp_replace`` column expressions — whole-stage codegen, no
+    Python, no shuffle; at 100 TB this is a map-only pass."""
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("double").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(cur.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set (the GPT-3 appendix-C style
+    n-gram-overlap check). Returns one row per contaminated training
+    doc: (id, n_shared) where n_shared counts DISTINCT eval n-grams
+    found in the doc.
+
+    Shape for 100 TB: the eval side (benchmarks — thousands of docs,
+    not billions) reduces to a DISTINCT n-gram set that is explicitly
+    ``F.broadcast``; the train side explodes its n-grams map-side and
+    the contamination join is a broadcast hash join — zero shuffle of
+    training data. The per-doc distinct count aggregates on the train
+    doc id only."""
+    sh_train = (
+        train.select(
+            F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g")
+        )
+        .dropDuplicates([id_col, "__g"])
+    )
+    sh_eval = (
+        eval_df.select(F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g"))
+        .distinct()
+    )
+    return (
+        sh_train.join(F.broadcast(sh_eval), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("double").alias("n_shared"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing
+    primitive (upweight/downweight corpus slices). A document is kept
+    iff the first 4 hex chars of ``md5(id)`` fall below
+    ``floor(rate·65536)``, so the decision is a pure function of the
+    id: reproducible across runs, engines (the DuckDB oracle computes
+    the identical md5), and cluster sizes — no RNG, no seed plumbing,
+    no shuffle (map-only filter)."""
+    thr = F.lit(format(int(default_rate * 65536), "04x"))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(format(int(rate * 65536), "04x"))
+        ).otherwise(thr)
+    key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    return df.filter(key < thr)
+
+
+def pack_chunks(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: assign documents (kept whole, in
+    ``id`` order) to training bins of ~``capacity`` tokens. A document
+    lands in the bin where its exclusive running total starts, so a
+    bin may overflow by < max-document-tokens — the streaming
+    concat-without-splitting packing used for training shards, chosen
+    over exact first-fit because it is a single window pass (exact
+    first-fit needs a sequential reset, i.e. a stateful scan).
+    Output per bin: (strata?, bin_id, n_docs, n_tokens, fill_ratio).
+
+    At scale: one shuffle keyed on the stratum (or a single global
+    ordering when ``strata_col`` is None — callers at 100 TB should
+    pack per stratum/shard so each window partition is bounded)."""
+    from pyspark.sql import Window
+
+    part = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*part).orderBy(id_col)
+        if part
+        else Window.orderBy(id_col)
+    )
+    cum_excl = F.coalesce(
+        F.sum(tokens_col).over(w) - F.col(tokens_col), F.lit(0)
+    )
+    binned = df.select(
+        *part,
+        F.col(id_col),
+        F.col(tokens_col),
+        F.floor(cum_excl / capacity).alias("bin_id"),
+    )
+    return binned.groupBy(*part, "bin_id").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(tokens_col).cast("double").alias("bin_tokens"),
+        F.round(F.sum(tokens_col) / F.lit(float(capacity)), 6).alias("fill_ratio"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
