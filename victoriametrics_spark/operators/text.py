@@ -218,13 +218,11 @@ def decontaminate(
     not billions) reduces to a DISTINCT n-gram set that is explicitly
     ``F.broadcast``; the train side explodes its n-grams map-side and
     the contamination join is a broadcast hash join — zero shuffle of
-    training data. The per-doc distinct count aggregates on the train
-    doc id only."""
-    sh_train = (
-        train.select(
-            F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g")
-        )
-        .dropDuplicates([id_col, "__g"])
+    training data. The distinct count runs AFTER the join, so the only
+    shuffled rows are the contamination hits themselves (usually a
+    vanishing fraction of the corpus), keyed on the train doc id."""
+    sh_train = train.select(
+        F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g")
     )
     sh_eval = (
         eval_df.select(F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g"))
@@ -233,7 +231,7 @@ def decontaminate(
     return (
         sh_train.join(F.broadcast(sh_eval), "__g")
         .groupBy(id_col)
-        .agg(F.count("*").cast("double").alias("n_shared"))
+        .agg(F.count_distinct("__g").cast("double").alias("n_shared"))
     )
 
 
