@@ -3205,6 +3205,26 @@ FROM documents""",
 )
 
 
+def _mm_frame_sample(spark, sf_dir, load):
+    from victoriametrics_spark.operators.multimodal import frame_sample_plan
+
+    out = frame_sample_plan(_mm_media(spark, sf_dir, load), every_n=4)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+_reg(
+    "op_mm_frame_sample",
+    _op(_mm_frame_sample),
+    """
+WITH d AS (
+    SELECT doc_id AS media_id,
+           1 + ('0x' || substr(sha256(text), 5, 2))::INT % 32 AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx FROM d""",
+)
+
+
 # ------------------------------------------- round-6b: downsampling
 def _op_downsample(spark, sf_dir, load):
     """Age-tiered downsampling (storage/downsample.py): ≥21d old → last
@@ -3273,6 +3293,7 @@ _DRIVER_PRIORITY = [
     "op_doc_decontaminate",
     "op_doc_stratified_sample",
     "op_doc_pack_chunks",
+    "op_mm_frame_sample",
     "mq_deriv",
     "mq_timestamp",
     "mq_rollup_candlestick",
