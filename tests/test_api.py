@@ -819,6 +819,54 @@ def test_logsql_stream_routes(spark):
     ]
 
 
+def test_logsql_stream_routes_adversarial(spark):
+    """Stream parsing must survive a field that is a suffix of another
+    ('app' vs 'webapp'), '=' inside quoted values, and quotes inside
+    values (escaped by set_stream_fields)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from victoriametrics_spark.api import LogsAPI
+    from victoriametrics_spark.logsql.pipes import set_stream_fields, stream_filter
+
+    rows = [
+        (datetime(2024, 1, 1), "m", "front", "admin", 'a=b"c'),
+    ]
+    df = set_stream_fields(
+        spark.createDataFrame(rows, ["_time", "_msg", "app", "webapp", "payload"]),
+        ["app", "webapp", "payload"],
+    )
+    api = LogsAPI(spark, df)
+    names = api.stream_field_names("*")
+    assert {n["value"] for n in names["names"]} == {"app", "webapp", "payload"}
+    # 'app' values must NOT pick up webapp's value
+    assert [v["value"] for v in api.stream_field_values("*", "app")["values"]] == [
+        "front"
+    ]
+    assert [
+        v["value"] for v in api.stream_field_values("*", "webapp")["values"]
+    ] == ["admin"]
+    # '=' and escaped quotes round-trip through the canonical form
+    assert [
+        v["value"] for v in api.stream_field_values("*", "payload")["values"]
+    ] == ['a=b"c']
+    # stream_filter: exact match anchors the field name
+    assert df.filter(
+        stream_filter(F.col("_stream"), {"app": "admin"})
+    ).count() == 0
+    assert df.filter(
+        stream_filter(F.col("_stream"), {"app": "front"})
+    ).count() == 1
+    assert df.filter(
+        stream_filter(F.col("_stream"), {"payload": 'a=b"c'})
+    ).count() == 1
+    # regex match also anchored
+    assert df.filter(
+        stream_filter(F.col("_stream"), {"app": "~adm.*"})
+    ).count() == 0
+
+
 def test_force_merge_route(spark):
     """/internal/force_merge (ForceMergePartitions analog,
     app/vmstorage/main.go:250-268): merges only partitions matching the
@@ -1082,6 +1130,44 @@ def test_extra_label_and_filters_enforced(api):
         api.enforced_from_params(["nodelimiter"], [])
     with _pytest.raises(ValueError):
         api.enforced_from_params([], ["sum(x)"])
+
+
+def test_enforced_on_export_and_federate(api):
+    """The isolation params must also bind the raw-data egress routes —
+    /api/v1/export{,/csv,/native} and /federate (VM applies
+    GetExtraTagFilters in ExportHandler and FederateHandler) — or a
+    vmgateway-style proxy's tenant scoping is trivially bypassed."""
+    import json
+
+    enforced = api.enforced_from_params(["job=a"], [])
+    lines = api.export_jsonl(['{__name__=~".+"}'], enforced=enforced)
+    metas = [json.loads(ln)["metric"] for ln in lines]
+    assert metas and all(m.get("job") == "a" for m in metas)
+    # csv: only job=a rows survive
+    body = api.export_csv(
+        ['{__name__=~".+"}'], "__name__,job,__value__", enforced=enforced
+    )
+    data_rows = [ln for ln in body.strip().split("\n")[1:] if ln]
+    assert data_rows and all(ln.split(",")[1] == "a" for ln in data_rows)
+    # native: parquet blob round-trips with only the enforced series
+    blob = api.export_native(['{__name__=~".+"}'], enforced=enforced)
+    import io
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(io.BytesIO(blob))
+    jobs = {
+        dict(zip(m.keys(), m.values())).get("job")
+        for m in [dict(x) for x in tbl.column("labels").to_pylist()]
+    }
+    assert jobs == {"a"}
+    # federate: latest-point lines carry only the enforced series
+    fed = api.federate(['{__name__=~".+"}'], enforced=enforced)
+    assert fed and all('job="a"' in ln for ln in fed)
+    # a non-matching enforced filter hides everything on all four
+    none = api.enforced_from_params(["job=zzz"], [])
+    assert api.export_jsonl(['{__name__=~".+"}'], enforced=none) == []
+    assert api.federate(['{__name__=~".+"}'], enforced=none) == []
 
 
 def test_enforced_on_labels_and_values(api):

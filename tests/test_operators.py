@@ -602,6 +602,10 @@ def test_stratified_sample_deterministic(spark):
     # repeat run identical (determinism, no RNG)
     again = {r["doc_id"] for r in stratified_sample(df, rates).collect()}
     assert again == kept
+    # rate 1.0 keeps the entire stratum (no 4-hex-digit overflow),
+    # rate 0.0 keeps none
+    full = stratified_sample(df, {"en": 1.0, "de": 0.0}).collect()
+    assert sorted(r["doc_id"] for r in full) == [i for i, _ in rows if i % 2 == 0]
 
 
 def test_pack_chunks_contiguous_bins(spark):

@@ -261,11 +261,14 @@ class PromAPI:
             rec = self._active.pop(qid)
             dur = _time.time() - rec["t0"]
             key = (query, (end_ms - start_ms) // 1000)
-            st = self._query_stats.setdefault(key, [0, 0.0])
+            st = self._query_stats.pop(key, None) or [0, 0.0]
             st[0] += 1
             st[1] += dur
+            # pop+reinsert keeps dict order = recency, so the cap evicts
+            # the LEAST-RECENTLY-SEEN keys — a permanently-hot dashboard
+            # query registered early must survive churn from one-offs
+            self._query_stats[key] = st
             if len(self._query_stats) > self._query_stats_cap:
-                # evict the oldest-seen entries (insertion order)
                 drop = len(self._query_stats) - self._query_stats_cap
                 for k in list(self._query_stats)[:drop]:
                     del self._query_stats[k]
@@ -503,7 +506,11 @@ class PromAPI:
 
     # --------------------------------------------------------- export
     def export_jsonl_df(
-        self, matches: list[str], start: str | None = None, end: str | None = None
+        self,
+        matches: list[str],
+        start: str | None = None,
+        end: str | None = None,
+        enforced: tuple = (),
     ):
         """One finished JSONL export line per series, built entirely
         JVM-side: groupBy the canonical series key, sort_array over the
@@ -511,7 +518,7 @@ class PromAPI:
         touches one row per SERIES (presentation-sized), never one row
         per sample. At 100 TB the per-series point lists are the export
         payload itself; there is no smaller correct unit of transfer."""
-        df = self._match_df(matches, start, end)
+        df = self._match_df(matches, start, end, enforced)
         # maps can't be groupBy keys — canonicalize to sorted entry array
         entries = F.array_sort(
             F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
@@ -541,20 +548,28 @@ class PromAPI:
         return grouped.select(line.alias("line"))
 
     def export_jsonl(
-        self, matches: list[str], start: str | None = None, end: str | None = None
+        self,
+        matches: list[str],
+        start: str | None = None,
+        end: str | None = None,
+        enforced: tuple = (),
     ) -> list[str]:
         """VM JSONL export lines (/api/v1/export shape:
         {"metric":{...},"values":[...],"timestamps":[...]})."""
         return sorted(
-            r["line"] for r in self.export_jsonl_df(matches, start, end).collect()
+            r["line"]
+            for r in self.export_jsonl_df(matches, start, end, enforced).collect()
         )
 
     def federate(
-        self, matches: list[str], lookback_ms: int | None = None
+        self,
+        matches: list[str],
+        lookback_ms: int | None = None,
+        enforced: tuple = (),
     ) -> list[str]:
         """Latest point per matched series in Prometheus exposition format
         (app/vmselect/prometheus/federate.qtpl)."""
-        df = self._match_df(matches, None, None)
+        df = self._match_df(matches, None, None, enforced)
         rows = (
             df.groupBy("name", F.map_entries("labels").alias("__e"))
             .agg(F.max(F.struct("ts", "value")).alias("__last"))
@@ -580,6 +595,7 @@ class PromAPI:
         fmt: str,
         start: str | None = None,
         end: str | None = None,
+        enforced: tuple = (),
     ):
         """/api/v1/export/csv — one CSV line per sample, built entirely
         JVM-side. Field semantics follow the reference's export.qtpl
@@ -588,7 +604,7 @@ class PromAPI:
         (quoted when it contains a quote, comma or newline)."""
         if not fmt:
             raise ValueError("missing `format` arg")
-        df = self._match_df(matches, start, end)
+        df = self._match_df(matches, start, end, enforced)
         cols = []
         for fname in fmt.split(","):
             if fname == "__value__":
@@ -632,10 +648,11 @@ class PromAPI:
         fmt: str,
         start: str | None = None,
         end: str | None = None,
+        enforced: tuple = (),
     ) -> str:
         lines = sorted(
             r["line"]
-            for r in self.export_csv_df(matches, fmt, start, end).collect()
+            for r in self.export_csv_df(matches, fmt, start, end, enforced).collect()
         )
         return "\n".join([fmt] + lines) + "\n"
 
@@ -644,6 +661,7 @@ class PromAPI:
         matches: list[str],
         start: str | None = None,
         end: str | None = None,
+        enforced: tuple = (),
     ) -> bytes:
         """/api/v1/export/native — the engine's native at-rest format is
         parquet (SURVEY §2.1: 'Parquet IS the native format'), so native
@@ -653,7 +671,7 @@ class PromAPI:
         import shutil as _shutil
         import tempfile as _tempfile
 
-        df = self._match_df(matches, start, end)
+        df = self._match_df(matches, start, end, enforced)
         d = _tempfile.mkdtemp(prefix="vmspark_native_")
         try:
             df.select("name", "labels", "ts", "value").coalesce(
@@ -752,9 +770,11 @@ class PromAPI:
                 if isinstance(node, MetricExpr):
                     n = node.metric_name()
                     if n:
-                        st = self._metric_names_stats.setdefault(n, [0, 0])
+                        st = self._metric_names_stats.pop(n, None) or [0, 0]
                         st[0] += 1
                         st[1] = now
+                        # reinsert → dict order = recency (LRU eviction)
+                        self._metric_names_stats[n] = st
             if len(self._metric_names_stats) > self._query_stats_cap:
                 drop = len(self._metric_names_stats) - self._query_stats_cap
                 for k in list(self._metric_names_stats)[:drop]:
@@ -1318,6 +1338,18 @@ class PromAPI:
                 pairs.unpersist()
 
 
+# Consuming scan over the canonical `{k="v",...}` stream form: each
+# match swallows a whole `name="value"` pair (escaped quotes included),
+# so '=' or 'x="y"' text INSIDE a quoted value can never produce a
+# bogus field — and the leading [{,] anchor stops a field name that is
+# a suffix of another ("app" vs "webapp") from matching the wrong pair.
+_STREAM_PAIR_RE = r'[{,]([A-Za-z_][A-Za-z0-9_.:\-]*="(?:[^"\\]|\\.)*")'
+
+
+def _stream_pairs():
+    return F.regexp_extract_all(F.col("_stream"), F.lit(_STREAM_PAIR_RE), 1)
+
+
 class LogsAPI:
     """VictoriaLogs-compatible query endpoints over a log DataFrame
     (columns ``_time``/``_msg``/fields — sources/logs.py shape).
@@ -1545,13 +1577,18 @@ class LogsAPI:
 
     def stream_field_names(self, query: str) -> dict:
         """GET /select/logsql/stream_field_names — label names used in
-        matching streams' canonical ``{k="v",...}`` form."""
+        matching streams' canonical ``{k="v",...}`` form. Parsed with a
+        consuming pair scan (``_stream_pairs``), so '=' inside quoted
+        values can never produce a bogus field name."""
         df = self._run(query)
         if "_stream" not in df.columns:
             return {"names": []}
         names = df.select(
             F.explode(
-                F.expr(r"regexp_extract_all(_stream, '([^{,=]+)=', 1)")
+                F.transform(
+                    _stream_pairs(),
+                    lambda p: F.substring_index(p, '="', 1),
+                )
             ).alias("name")
         )
         rows = (
@@ -1570,14 +1607,30 @@ class LogsAPI:
         self, query: str, field: str, limit: int = 10
     ) -> dict:
         """GET /select/logsql/stream_field_values — values of one stream
-        label across matching streams."""
+        label across matching streams. Selects the pair whose NAME equals
+        ``field`` exactly (a field that is a suffix of another —
+        'app' vs 'webapp' — can't match the wrong component) and
+        unescapes the quoted value."""
         df = self._run(query)
         if "_stream" not in df.columns:
             return {"values": []}
-        pat = f'{field}="([^"]*)"'
-        vals = df.select(
-            F.regexp_extract(F.col("_stream"), pat, 1).alias("value")
-        ).filter(F.col("value") != "")
+        prefix_len = len(field) + 2  # name + '="'
+        mine = F.filter(
+            _stream_pairs(),
+            lambda p: F.substring_index(p, '="', 1) == F.lit(field),
+        )
+        raw = F.transform(
+            mine,
+            lambda p: F.regexp_replace(
+                # strip `name="` and the trailing quote, then unescape
+                p.substr(F.lit(prefix_len + 1), F.length(p) - prefix_len - 1),
+                r"\\(.)",
+                "$1",
+            ),
+        )
+        vals = df.select(F.explode(raw).alias("value")).filter(
+            F.col("value") != ""
+        )
         rows = (
             vals.groupBy("value")
             .agg(F.count(F.lit(1)).alias("hits"))
@@ -2075,15 +2128,13 @@ class IngestAPI:
             out = df.select("name", "labels", "ts", "value").withColumn(
                 "is_stale", F.lit(False)
             )
-            # materialize before the temp dir disappears
-            n = out.count()
-            if n == 0:
-                return 0
-            out = self.spark.createDataFrame(
-                out.collect(), schema=out.schema
-            )
-            self._write_samples(out)
-            return n
+            # detach from the staging file EXECUTOR-side (block-manager
+            # checkpoint, distributed): the import never round-trips
+            # through driver memory, so a multi-GB native blob streams
+            # through executors only, and a deferred sink can still read
+            # the frame after the temp dir is gone
+            out = out.localCheckpoint(eager=True)
+            return self._write_samples(out)
         finally:
             _shutil.rmtree(d, ignore_errors=True)
 
@@ -2182,17 +2233,25 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("end"),
                     )
                 elif u.path == "/api/v1/export":
-                    lines = api.export_jsonl(matches, p("start"), p("end"))
+                    lines = api.export_jsonl(
+                        matches, p("start"), p("end"), enforced=enforced
+                    )
                     self._send(200, "\n".join(lines), "application/stream+json")
                     return
                 elif u.path == "/api/v1/export/csv":
                     body = api.export_csv(
-                        matches, p("format", ""), p("start"), p("end")
+                        matches,
+                        p("format", ""),
+                        p("start"),
+                        p("end"),
+                        enforced=enforced,
                     )
                     self._send(200, body, "text/csv; charset=utf-8")
                     return
                 elif u.path == "/api/v1/export/native":
-                    blob = api.export_native(matches, p("start"), p("end"))
+                    blob = api.export_native(
+                        matches, p("start"), p("end"), enforced=enforced
+                    )
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.send_header("Content-Length", str(len(blob)))
@@ -2256,7 +2315,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("delimiter", "."),
                     )
                 elif u.path == "/federate":
-                    lines = api.federate(matches)
+                    lines = api.federate(matches, enforced=enforced)
                     self._send(200, "\n".join(lines) + "\n", "text/plain")
                     return
                 elif u.path in ("/render", "/render/"):

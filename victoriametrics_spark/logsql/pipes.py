@@ -981,7 +981,17 @@ def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
     parts = [
         F.concat(
             F.lit(f + '="'),
-            F.coalesce(F.col(f).cast("string"), F.lit("")),
+            # escape \ then " so a value containing quotes can't corrupt
+            # the canonical form (VictoriaLogs quotes via strconv.Quote)
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.coalesce(F.col(f).cast("string"), F.lit("")),
+                    r"\\",
+                    r"\\\\",
+                ),
+                '"',
+                '\\\\"',
+            ),
             F.lit('"'),
         )
         for f in ordered
@@ -989,6 +999,12 @@ def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
     return df.withColumn(
         "_stream", F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
     )
+
+
+def stream_escape(v: str) -> str:
+    """The value escaping used by set_stream_fields, for building exact
+    match conditions against the canonical _stream string."""
+    return v.replace("\\", "\\\\").replace('"', '\\"')
 
 
 def stream_context(
@@ -1067,13 +1083,20 @@ def stream_filter(stream_col: Column, label_conds: dict[str, str]) -> Column:
     """``_stream:{k1="v1",k2=~"re"}`` (filter_stream.go) over the
     canonical _stream string built by set_stream_fields: each condition
     matches its ``k="v"`` component (``~`` prefix on the value = regex)."""
+    import re as _re
+
     out = F.lit(True)
     for k, v in label_conds.items():
         if v.startswith("~"):
-            out = out & stream_col.rlike(f'{k}="{v[1:]}"')
+            # anchor the field name on the preceding '{'/',' so a field
+            # that is a suffix of another ("app" vs "webapp") can't
+            # match the wrong component
+            out = out & stream_col.rlike(f'[{{,]{_re.escape(k)}="{v[1:]}"')
         else:
-            c = F.lit(f'{k}="{v}"')
-            out = out & stream_col.contains(c)
+            c = f'{k}="{stream_escape(v)}"'
+            out = out & (
+                stream_col.contains("{" + c) | stream_col.contains("," + c)
+            )
     return out
 
 

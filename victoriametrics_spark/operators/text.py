@@ -249,11 +249,19 @@ def stratified_sample(
     id: reproducible across runs, engines (the DuckDB oracle computes
     the identical md5), and cluster sizes — no RNG, no seed plumbing,
     no shuffle (map-only filter)."""
-    thr = F.lit(format(int(default_rate * 65536), "04x"))
+
+    def _thr(rate: float) -> str:
+        # rate >= 1.0 must keep EVERY row: 'g' sorts above any 4-hex
+        # key, while format(65536, '04x') would yield the 5-char
+        # '10000' and the lexicographic compare would keep only ~6%.
+        n = int(rate * 65536)
+        if n >= 65536:
+            return "g"
+        return format(max(n, 0), "04x")
+
+    thr = F.lit(_thr(default_rate))
     for stratum, rate in sorted(rates.items()):
-        thr = F.when(
-            F.col(strata_col) == stratum, F.lit(format(int(rate * 65536), "04x"))
-        ).otherwise(thr)
+        thr = F.when(F.col(strata_col) == stratum, F.lit(_thr(rate))).otherwise(thr)
     key = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
     return df.filter(key < thr)
 

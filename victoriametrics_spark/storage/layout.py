@@ -333,6 +333,30 @@ def _plain_uri(uri: str) -> str:
     return unquote(uri)
 
 
+def _decode_part_uri(uri: str, part_cols: list[str]) -> tuple:
+    """Decode one inputFiles() URI into (partition-value tuple, bucket).
+
+    The single home of the two-layer escaping rules (URI %-escapes over
+    Hive partition-dir escapes — regression-tested on "1:0"-style
+    tenants) so every file-listing consumer agrees on partition
+    identity."""
+    import re as _re
+
+    global _BUCKET_FILE_RE
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = _re.compile(r"_(\d{5})\.")
+    segs = uri.split("/")
+    vals = {}
+    for seg in segs[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in part_cols:
+                vals[k] = _part_value(v)
+    key = tuple(vals.get(c, "") for c in part_cols)
+    m = _BUCKET_FILE_RE.search(segs[-1])
+    return key, (int(m.group(1)) if m else -1)
+
+
 def _partition_file_index(
     spark: SparkSession, table: str, part_cols: list[str]
 ) -> dict:
@@ -340,23 +364,9 @@ def _partition_file_index(
     the current file listing — metadata only, no data read (the analog
     of VM consulting part headers to pick merge candidates,
     lib/storage/partition.go:35-42)."""
-    import re as _re
-
-    global _BUCKET_FILE_RE
-    if _BUCKET_FILE_RE is None:
-        _BUCKET_FILE_RE = _re.compile(r"_(\d{5})\.")
     out: dict = {}
     for uri in spark.table(table).inputFiles():
-        segs = uri.split("/")
-        vals = {}
-        for s in segs[:-1]:
-            if "=" in s:
-                k, v = s.split("=", 1)
-                if k in part_cols:
-                    vals[k] = _part_value(v)
-        key = tuple(vals.get(c, "") for c in part_cols)
-        m = _BUCKET_FILE_RE.search(segs[-1])
-        b = int(m.group(1)) if m else -1
+        key, b = _decode_part_uri(uri, part_cols)
         buckets = out.setdefault(key, {})
         buckets[b] = buckets.get(b, 0) + 1
     return out
@@ -446,6 +456,8 @@ def compact_samples_table(
     full: bool = False,
     downsample_rules: "list | None" = None,
     now_ms: "int | None" = None,
+    _file_counts: "dict | None" = None,
+    _dead_rows: "list | None" = None,
 ) -> None:
     """LSM-merge analog — PARTITION-SCOPED since round 9, like VM's
     per-partition merges (lib/storage/partition.go:35-42 pick merge
@@ -485,8 +497,14 @@ def compact_samples_table(
         return
     date_set = {str(d) for d in dates} if dates is not None else None
 
-    # (1) small-file partitions — metadata only
-    idx = _partition_file_index(spark, table, part_cols)
+    # (1) small-file partitions — metadata only. maintain_samples_table
+    # passes its own listing through _file_counts so one maintenance
+    # cycle lists the table once, not twice.
+    idx = (
+        _file_counts
+        if _file_counts is not None
+        else _partition_file_index(spark, table, part_cols)
+    )
     affected = {
         p for p, buckets in idx.items() if any(c > 1 for c in buckets.values())
     }
@@ -495,15 +513,18 @@ def compact_samples_table(
     tomb, join_cols = _grouped_tombstones(spark, scan, table)
     dead_by_key: dict = {}
     if tomb is not None:
-        file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
-        dead = (
-            scan.withColumn("__file_ms", file_ms)
-            .join(F.broadcast(tomb), join_cols)
-            .filter(F.col("__file_ms") <= F.col("__del_at"))
-            .select(*part_cols, *join_cols)
-            .distinct()
-            .collect()
-        )
+        if _dead_rows is not None:
+            dead = _dead_rows  # precomputed by maintain_samples_table
+        else:
+            file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
+            dead = (
+                scan.withColumn("__file_ms", file_ms)
+                .join(F.broadcast(tomb), join_cols)
+                .filter(F.col("__file_ms") <= F.col("__del_at"))
+                .select(*part_cols, *join_cols)
+                .distinct()
+                .collect()
+            )
         for r in dead:
             p = tuple(str(r[c]) for c in part_cols)
             dead_by_key.setdefault(
@@ -576,23 +597,12 @@ def _partition_files_with_size(
     VM's merge picker does). Paths are returned in literal filesystem
     form (``_plain_uri``), ready for Hadoop/os operations."""
     import os as _os
-    import re as _re
 
-    pat = _re.compile(r"_(\d{5})\.")
     jsc = spark.sparkContext._jsc
     jvm = spark.sparkContext._jvm
     out: dict = {}
     for uri in spark.table(table).inputFiles():
-        segs = uri.split("/")
-        vals = {}
-        for s in segs[:-1]:
-            if "=" in s:
-                k, v = s.split("=", 1)
-                if k in part_cols:
-                    vals[k] = _part_value(v)
-        key = tuple(vals.get(c, "") for c in part_cols)
-        m = pat.search(segs[-1])
-        b = int(m.group(1)) if m else -1
+        key, b = _decode_part_uri(uri, part_cols)
         plain = _plain_uri(uri)
         if plain.startswith("file:"):
             # local fast path — one Py4J round-trip per file adds up
@@ -1084,17 +1094,22 @@ def maintain_samples_table(
     idx = _partition_files_with_size(spark, table, part_cols)
 
     dead_parts: set = set()
+    dead_rows: list = []
     tomb, join_cols = _grouped_tombstones(spark, scan, table)
     if tomb is not None:
         file_ms = F.unix_millis(F.col("_metadata.file_modification_time"))
-        for r in (
+        # one column-pruned dead-row scan per maintenance cycle: the
+        # rows (with the tombstone key) feed compact_samples_table's
+        # dead_by_key directly instead of being re-scanned there
+        dead_rows = (
             scan.withColumn("__file_ms", file_ms)
             .join(F.broadcast(tomb), join_cols)
             .filter(F.col("__file_ms") <= F.col("__del_at"))
-            .select(*part_cols)
+            .select(*part_cols, *join_cols)
             .distinct()
             .collect()
-        ):
+        )
+        for r in dead_rows:
             dead_parts.add(tuple(str(r[c]) for c in part_cols))
 
     compact_parts: set = set(dead_parts)
@@ -1120,6 +1135,11 @@ def maintain_samples_table(
                 dates=compact_dates,
                 downsample_rules=downsample_rules,
                 now_ms=now_ms,
+                _file_counts={
+                    p: {b: len(fs) for b, fs in bk.items()}
+                    for p, bk in idx.items()
+                },
+                _dead_rows=dead_rows,
             )
             compacted = compact_dates
             if downsample_rules and now_ms is not None and compact_parts:
