@@ -3293,6 +3293,7 @@ _DRIVER_PRIORITY = [
     "op_doc_decontaminate",
     "op_doc_stratified_sample",
     "op_doc_pack_chunks",
+    "op_doc_bpe_tokens",
     "op_mm_frame_sample",
     "mq_deriv",
     "mq_timestamp",
@@ -3463,6 +3464,34 @@ FROM documents"""
 _PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PAT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PAT_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def _doc_bpe_tokens(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(load(spark, sf_dir, "documents"))
+
+
+# leading apostrophe doubled: it sits inside a single-quoted SQL literal
+_BPE_PAT_SQL = (
+    r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+_reg(
+    "op_doc_bpe_tokens",
+    _op(_doc_bpe_tokens),
+    f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS w,
+           len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS bpe
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS DOUBLE) AS n_ws_tokens,
+       CAST(bpe AS DOUBLE) AS n_bpe_tokens,
+       round(bpe * 1.0 / len(w), 6) AS bpe_per_word
+FROM t""",
+)
 
 
 def _doc_pii_redact(spark, sf_dir, load):

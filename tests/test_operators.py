@@ -625,3 +625,22 @@ def test_pack_chunks_contiguous_bins(spark):
     assert out[("en", 1)] == (1.0, 4.0, 0.4)
     # de: single oversized doc gets its own bin
     assert out[("de", 0)] == (1.0, 11.0, 1.1)
+
+
+def test_bpe_token_stats_known_counts(spark):
+    from victoriametrics_spark.operators.text import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [
+            # GPT-2 pre-tokenizer split: ["It", "'s", " 42", "%", " done"]
+            (1, "It's 42% done"),
+            (2, "hello world"),  # [hello][ world]
+            (3, "你好 world"),     # [你好][ world] — \p{L} covers CJK
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    assert (out[1]["n_ws_tokens"], out[1]["n_bpe_tokens"]) == (3.0, 5.0)
+    assert (out[2]["n_ws_tokens"], out[2]["n_bpe_tokens"]) == (2.0, 2.0)
+    assert (out[3]["n_ws_tokens"], out[3]["n_bpe_tokens"]) == (2.0, 2.0)
+    assert out[1]["bpe_per_word"] == pytest.approx(5 / 3, abs=1e-6)

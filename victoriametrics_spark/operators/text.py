@@ -170,6 +170,33 @@ def chunk_documents(
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): the original's
+# trailing-whitespace lookahead `\s+(?!\S)` is dropped (RE2 has no
+# lookahead), which only changes how runs of trailing spaces group.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting the way an LLM-data pipeline sizes documents:
+    whitespace tokens AND a BPE-ish pre-tokenizer regex count (the
+    GPT-2 split pattern, sans lookahead), plus their ratio — a cheap
+    proxy for tokenizer cost per document. Pure ``regexp_count``
+    column expressions: map-only, whole-stage codegen."""
+    t = tokens(F.col(text_col))
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
+    return df.select(
+        F.col(id_col),
+        F.size(t).cast("double").alias("n_ws_tokens"),
+        bpe.cast("double").alias("n_bpe_tokens"),
+        F.round(F.try_divide(bpe, F.size(t)), 6).alias("bpe_per_word"),
+    )
+
+
 # PII patterns — kept to syntax with identical semantics in Java regex
 # (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences.
 # Redaction is ordered (emails first) so the later patterns match against
