@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scaling bench for the LLM-pipeline operators.
+
+Replicates the sf0.1 documents table REP× (text varied per replica so
+dedup/decontamination stay non-trivial) and times each operator over
+the blown-up corpus on local[N]. The point is shape, not absolute
+speed: map-only ops (chunking, PII, sampling, token stats) must scale
+linearly with input and move zero data; the banded-LSH pair join must
+stay far from all-pairs; decontamination must broadcast the eval side.
+
+Usage: python scripts/llmops_bench.py [rep] [sf_dir]
+Prints one JSON line: {"rep": R, "docs": N, "ops": {name: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from victoriametrics_spark.session import get_spark  # noqa: E402
+from victoriametrics_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("llmops-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, sf_dir, "documents")
+    n_base = base.count()
+    # replicate with a per-replica suffix token so content hashes differ
+    # but shingle overlap stays high (near-dup detection non-trivial)
+    docs = (
+        base.crossJoin(F.broadcast(spark.range(rep).withColumnRenamed("id", "__r")))
+        .select(
+            (F.col("doc_id") * rep + F.col("__r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" r"), F.col("__r").cast("string")).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        )
+        .repartition(32)
+        .localCheckpoint()  # materialize once; time operators, not the blow-up
+    )
+    n = docs.count()
+
+    from victoriametrics_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from victoriametrics_spark.operators.text import (
+        bpe_token_stats,
+        chunk_documents,
+        decontaminate,
+        pack_chunks,
+        quality_score,
+        redact_pii,
+        repetition_stats,
+        stratified_sample,
+        tokens,
+    )
+
+    def run(name, df):
+        t0 = time.time()
+        cnt = df.groupBy().count().first()[0]  # full evaluation, tiny result
+        dt = round(time.time() - t0, 3)
+        print(f"# {name}: {dt}s ({cnt} rows)", file=sys.stderr)
+        return dt
+
+    ops = {}
+    ops["chunk_documents"] = run("chunk_documents", chunk_documents(docs))
+    ops["redact_pii"] = run("redact_pii", redact_pii(docs))
+    ops["bpe_token_stats"] = run("bpe_token_stats", bpe_token_stats(docs))
+    ops["quality_score"] = run("quality_score", quality_score(docs))
+    ops["stratified_sample"] = run(
+        "stratified_sample",
+        stratified_sample(docs, {"en": 0.5, "zh": 0.25, "de": 0.1}),
+    )
+    ops["repetition_stats"] = run("repetition_stats", repetition_stats(docs))
+    ops["exact_dedup"] = run("exact_dedup", exact_dedup(docs, ["text"], "doc_id"))
+    ops["pack_chunks"] = run(
+        "pack_chunks",
+        pack_chunks(
+            docs.select(
+                "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+            ),
+            capacity=2048,
+            strata_col="lang",
+        ),
+    )
+    # The pair-producing ops run on a capped replica set: this corpus
+    # is adversarial BY CONSTRUCTION (every replica near-dups its base
+    # doc), so true-pair count grows quadratically in rep — C(rep,2) ×
+    # base_docs pairs. Real corpora have vanishing near-dup fractions;
+    # the cap keeps the demonstration output-bound, not output-exploded.
+    pair_rep = min(rep, 20)
+    pair_docs = docs.filter(F.col("doc_id") % rep < pair_rep)
+    n_pair = pair_docs.count()
+    ops["decontaminate"] = run(
+        "decontaminate",
+        decontaminate(
+            pair_docs.filter(F.col("doc_id") % 29 != 0),
+            pair_docs.filter(F.col("doc_id") % 29 == 0).limit(2000),
+            n=4,
+        ),
+    )
+    ops["minhash_lsh_pairs"] = run(
+        "minhash_lsh_pairs", minhash_near_dup_pairs(pair_docs, threshold=0.8)
+    )
+    print(
+        json.dumps(
+            {
+                "rep": rep,
+                "docs": n,
+                "base_docs": n_base,
+                "pair_op_docs": n_pair,
+                "ops": ops,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

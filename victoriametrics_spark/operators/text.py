@@ -347,14 +347,63 @@ def repetition_stats(
     n-gram occurrences taken by the most frequent n-gram
     (``top_ngram_frac``) and the fraction that are repeats of an
     earlier occurrence (``dup_ngram_frac``). Documents with fewer than
-    ``n`` tokens produce no row. Two keyed aggregations on ``id`` with
-    map-side partials — no joins, no broadcast."""
-    sh = word_shingles(tokens(F.col(text_col)), n)
-    ex = df.select(F.col(id_col), F.explode(sh).alias("__g"))
-    c = ex.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    return c.groupBy(id_col).agg(
-        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
-        F.round(F.lit(1.0) - F.count("*") / F.sum("__c"), 6).alias(
-            "dup_ngram_frac"
-        ),
+    ``n`` tokens produce no row.
+
+    ZERO-shuffle formulation: a document's n-grams all live in its own
+    row, so nothing needs the explode + two keyed aggregations that
+    would shuffle every n-gram occurrence in the corpus. The per-doc
+    counting runs as an Arrow-batched ``mapInPandas`` — the documented
+    escape hatch, taken on MEASUREMENT (scripts/llmops_bench.py, 1M
+    docs, local[32]): pure-Catalyst collection lambdas evaluate
+    interpreted at ~78s, the explode formulation shuffles the corpus,
+    the Arrow pass does neither. Rounding stays Spark-side (F.round,
+    HALF_UP) so results are bit-identical to the DuckDB oracle.
+
+    Token split is the ASCII ``\\s`` class ([ \\t\\n\\x0b\\f\\r]) to
+    match Java/RE2 ``\\s+`` exactly (Python's str.split()/``re`` \\s is
+    unicode-wide and would disagree on e.g. NBSP)."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("top_raw", DoubleType()),
+            StructField("dup_raw", DoubleType()),
+        ]
+    )
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+
+    def batches(it):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in it:
+            ids, tops, dups = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [x for x in ws.split(t or "") if x]
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                c = Counter(
+                    " ".join(toks[j : j + n]) for j in range(m)
+                )
+                ids.append(i)
+                tops.append(max(c.values()) / m)
+                dups.append(1.0 - len(c) / m)
+            yield pd.DataFrame(
+                {id_col: ids, "top_raw": tops, "dup_raw": dups}
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(batches, out_schema)
+    return out.select(
+        F.col(id_col),
+        F.round("top_raw", 6).alias("top_ngram_frac"),
+        F.round("dup_raw", 6).alias("dup_ngram_frac"),
     )
