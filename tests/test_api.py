@@ -1176,3 +1176,45 @@ def test_enforced_on_labels_and_values(api):
     assert set(labs["data"]) == {"__name__", "room"}
     vals = api.label_values("__name__", enforced=enforced)
     assert vals["data"] == ["temp"]
+
+
+def test_functions_api_and_route_aliases(api):
+    """Graphite Function API /functions (functions_api.go) over our own
+    registry, plus the reference's route aliases: /graphite/ prefix
+    strip, /api/v1/status/buildinfo, /api/v1/notifiers."""
+    fns = api.graphite_functions()
+    assert len(fns) >= 151
+    assert fns["sumSeries"]["name"] == "sumSeries"
+    grouped = api.graphite_functions(grouped=True)
+    assert set(grouped) == {""} and "sumSeries" in grouped[""]
+    det = api.graphite_function_details("movingAverage")
+    assert det["function"].startswith("movingAverage(")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.graphite_function_details("noSuchFn")
+
+    from victoriametrics_spark.api import serve
+    import json as _json
+    import threading
+    import urllib.request
+
+    srv = serve(api, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def get(path):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.read().decode()
+
+    assert _json.loads(get("/api/v1/notifiers")) == {
+        "status": "success", "data": {"notifiers": []},
+    }
+    assert "version" in _json.loads(get("/api/v1/status/buildinfo"))["data"]
+    assert _json.loads(get("/functions/sumSeries"))["name"] == "sumSeries"
+    # /graphite/ prefix strips to the same handler
+    a = get("/functions?grouped=1")
+    b = get("/graphite/functions?grouped=1")
+    assert a == b and "sumSeries" in a
+    srv.shutdown()

@@ -1085,6 +1085,42 @@ class PromAPI:
         return {"status": "ok"}
 
     # ---------------------------------------------------- graphite render
+    def graphite_functions(
+        self, grouped: bool = False, group: "str | None" = None
+    ) -> dict:
+        """Graphite Function API /functions
+        (app/vmselect/graphite/functions_api.go FunctionsHandler): an
+        index over OUR render-function registry — name + a signature
+        derived from the python implementation. We don't track
+        graphite-web's group taxonomy, so every function sits in group
+        ''; ``grouped``/``group`` behave per spec against that."""
+        import inspect
+
+        from victoriametrics_spark.graphite.functions import FUNCTIONS
+
+        out: dict = {}
+        for name, fn in sorted(FUNCTIONS.items()):
+            if group is not None and group != "":
+                continue
+            info = {
+                "name": name,
+                "function": f"{name}(seriesList)",
+                "description": (inspect.getdoc(fn) or "").split("\n")[0],
+                "group": "",
+            }
+            if grouped:
+                out.setdefault("", {})[name] = info
+            else:
+                out[name] = info
+        return out
+
+    def graphite_function_details(self, name: str) -> dict:
+        """/functions/<name> (FunctionDetailsHandler)."""
+        fns = self.graphite_functions()
+        if name not in fns:
+            raise ValueError(f"cannot find function {name!r}")
+        return fns[name]
+
     def render(
         self,
         target: str | list[str],
@@ -2179,6 +2215,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
         def do_GET(self):  # noqa: N802
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            # reference main.go strips a "/graphite" prefix so
+            # /graphite/metrics/find == /metrics/find etc.
+            if u.path.startswith("/graphite/"):
+                u = u._replace(path=u.path[len("/graphite"):])
 
             def p(name, default=None):
                 return q.get(name, [default])[0]
@@ -2262,7 +2302,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.series_count()
                 elif u.path == "/api/v1/metadata":
                     out = api.metadata()
-                elif u.path == "/api/v1/buildinfo":
+                elif u.path in (
+                    "/api/v1/buildinfo",
+                    "/api/v1/status/buildinfo",
+                ):
                     out = api.buildinfo()
                 elif u.path == "/api/v1/query_exemplars":
                     out = api.query_exemplars()
@@ -2270,7 +2313,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.top_queries(int(p("topN", "20")))
                 elif u.path == "/api/v1/status/active_queries":
                     out = api.active_queries()
-                elif u.path == "/api/v1/status/metric_names_stats/reset":
+                elif u.path in (
+                    "/api/v1/status/metric_names_stats/reset",
+                    "/api/v1/admin/status/metric_names_stats/reset",
+                ):
                     out = api.reset_metric_names_stats()
                 elif u.path == "/api/v1/status/metric_names_stats":
                     out = api.metric_names_stats(
@@ -2318,6 +2364,17 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     lines = api.federate(matches, enforced=enforced)
                     self._send(200, "\n".join(lines) + "\n", "text/plain")
                     return
+                elif u.path in ("/api/v1/notifiers", "/notifiers"):
+                    out = {"status": "success", "data": {"notifiers": []}}
+                elif u.path == "/functions":
+                    out = api.graphite_functions(
+                        grouped=p("grouped", "") in ("1", "true"),
+                        group=p("group"),
+                    )
+                elif u.path.startswith("/functions/"):
+                    out = api.graphite_function_details(
+                        u.path[len("/functions/"):]
+                    )
                 elif u.path in ("/render", "/render/"):
                     out = api.render(
                         q.get("target", []),
