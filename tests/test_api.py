@@ -1218,3 +1218,78 @@ def test_functions_api_and_route_aliases(api):
     b = get("/graphite/functions?grouped=1")
     assert a == b and "sumSeries" in a
     srv.shutdown()
+
+
+def test_ingest_json_dialect_routes(spark):
+    """The vminsert HTTP tail: Datadog v1/v2 series, NewRelic bulk,
+    OTLP-JSON, Zabbix connector, DDSketch protobuf, health probes —
+    each through the real server against its parser."""
+    import json as _json
+    import threading
+    import urllib.request
+    from urllib.request import Request
+
+    from victoriametrics_spark.api.http import IngestAPI
+
+    captured = []
+
+    def sink(df, kind):
+        captured.append((kind, df.collect()))
+
+    ing = IngestAPI(spark, sink=sink)
+    rows = [("m", {}, 1000, 1.0, False)]
+    api = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    srv = serve(api, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(path, body, expect):
+        req = Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=body if isinstance(body, bytes) else body.encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == expect, (path, r.status)
+            return r.read().decode()
+
+    dd1 = {"series": [{"metric": "dd.m1", "points": [[1, 2.5]],
+                       "tags": ["env:p"], "host": "h1"}]}
+    out = post("/datadog/api/v1/series", _json.dumps(dd1), 202)
+    assert _json.loads(out) == {"status": "ok"}
+    got = {(r["name"], r["labels"]["host"], r["value"]) for r in captured[-1][1]}
+    assert got == {("dd.m1", "h1", 2.5)}
+
+    dd2 = {"series": [{"metric": "dd.m2", "resources":
+                       [{"name": "h2", "type": "host"}],
+                       "points": [{"timestamp": 1, "value": 3.5}], "tags": []}]}
+    post("/datadog/api/v2/series", _json.dumps(dd2), 202)
+    assert any(r["name"] == "dd.m2" for r in captured[-1][1])
+
+    zb = {"request": "sender data",
+          "data": [{"host": "z1", "key": "cpu.load", "value": "1.5",
+                    "clock": 10, "ns": 0}]}
+    post("/zabbixconnector/api/v1/history", _json.dumps(zb), 204)
+    assert any(r["labels"]["host"] == "z1" for r in captured[-1][1])
+
+    post("/datadog/api/v1/validate", "{}", 202)
+
+    # health probes
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+        assert r.read() == b"OK"
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/influx/health") as r:
+        assert _json.loads(r.read())["status"] == "pass"
+
+    # DDSketch protobuf round trip via our own encoder
+    from victoriametrics_spark.streaming.datadogsketches import (
+        encode_sketch_payload,
+    )
+
+    payload = encode_sketch_payload(
+        [{"metric": "sk.m", "host": "h3", "tags": ["env:s"],
+          "dogs": [{"ts": 10, "cnt": 4, "min": 1.0, "max": 2.0,
+                    "sum": 6.0, "k": [1338], "n": [4]}]}]
+    )
+    post("/datadog/api/beta/sketches", payload, 202)
+    assert any(r["name"].startswith("sk.m") for r in captured[-1][1])
+    srv.shutdown()

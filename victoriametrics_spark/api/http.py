@@ -2042,6 +2042,37 @@ class IngestAPI:
         rows = [(ln,) for ln in body.splitlines() if ln.strip()]
         return self.spark.createDataFrame(rows or [("",)], ["value"])
 
+    def ingest_json(self, body: str, dialect: str) -> int:
+        """POST JSON-document ingestion dialects (one payload document
+        per request): Datadog v1/v2 series, NewRelic infra bulk,
+        OTLP-JSON, Zabbix connector, OpenTSDB HTTP."""
+        from victoriametrics_spark.streaming import parsers as P
+
+        fns = {
+            "datadog_v1": P.parse_datadog_v1,
+            "datadog_v2": P.parse_datadog_v2,
+            "newrelic": P.parse_newrelic,
+            "otlp": P.parse_otlp_json,
+            "zabbix": P.parse_zabbix,
+            "opentsdb_http": P.parse_opentsdb_http,
+        }
+        if dialect not in fns:
+            raise ValueError(f"unknown json ingest dialect {dialect!r}")
+        docs = self.spark.createDataFrame([(body,)], ["value"])
+        return self._write_samples(fns[dialect](docs))
+
+    def ingest_sketches(self, raw: bytes) -> int:
+        """POST /datadog/api/beta/sketches — DDSketch protobuf payload
+        (lib/protoparser/datadogsketches): decoded to summary samples."""
+        from victoriametrics_spark.streaming.datadogsketches import (
+            sketches_to_samples,
+        )
+
+        payloads = self.spark.createDataFrame(
+            [(bytearray(raw),)], "body binary"
+        )
+        return self._write_samples(sketches_to_samples(payloads))
+
     def _write_samples(self, df: DataFrame) -> int:
         if self.tenant is not None:
             df = with_tenant(df, self.tenant)
@@ -2364,6 +2395,11 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     lines = api.federate(matches, enforced=enforced)
                     self._send(200, "\n".join(lines) + "\n", "text/plain")
                     return
+                elif u.path in ("/health", "/ready", "/-/healthy", "/-/ready"):
+                    self._send(200, "OK", "text/plain; charset=utf-8")
+                    return
+                elif u.path == "/influx/health":
+                    out = {"name": "victoriametrics_spark", "status": "pass"}
                 elif u.path in ("/api/v1/notifiers", "/notifiers"):
                     out = {"status": "success", "data": {"notifiers": []}}
                 elif u.path == "/functions":
@@ -2515,7 +2551,35 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path in ("/influx/write", "/write"):
                     cnt = ingest_api.import_lines(raw.decode(), "influx")
                 elif u.path == "/opentsdb/api/put":
-                    cnt = ingest_api.import_lines(raw.decode(), "opentsdb")
+                    # telnet-put lines or the HTTP JSON flavor — the
+                    # reference runs these on separate listeners; here
+                    # one route sniffs the body shape
+                    body = raw.decode()
+                    if body.lstrip()[:1] in ("{", "["):
+                        cnt = ingest_api.ingest_json(body, "opentsdb_http")
+                    else:
+                        cnt = ingest_api.import_lines(body, "opentsdb")
+                elif u.path == "/datadog/api/v1/series":
+                    cnt = ingest_api.ingest_json(raw.decode(), "datadog_v1")
+                elif u.path == "/datadog/api/v2/series":
+                    cnt = ingest_api.ingest_json(raw.decode(), "datadog_v2")
+                elif u.path == "/datadog/api/beta/sketches":
+                    cnt = ingest_api.ingest_sketches(raw)
+                elif u.path in (
+                    "/datadog/api/v1/validate",
+                    "/datadog/api/v1/check_run",
+                    "/datadog/api/v1/metadata",
+                    "/datadog/intake",
+                ):
+                    # static acks, exactly like vminsert's datadog stubs
+                    self._send(202, json.dumps({"status": "ok"}))
+                    return
+                elif u.path == "/newrelic/infra/v2/metrics/events/bulk":
+                    cnt = ingest_api.ingest_json(raw.decode(), "newrelic")
+                elif u.path == "/opentelemetry/api/v1/push":
+                    cnt = ingest_api.ingest_json(raw.decode(), "otlp")
+                elif u.path == "/zabbixconnector/api/v1/history":
+                    cnt = ingest_api.ingest_json(raw.decode(), "zabbix")
                 elif u.path == "/insert/jsonline":
                     cnt = ingest_api.insert_logs(raw.decode(), "jsonline")
                 elif u.path == "/insert/elasticsearch/_bulk":
@@ -2533,6 +2597,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     400, json.dumps({"status": "error", "error": str(e)})
                 )
                 return
-            self._send(204 if cnt >= 0 else 400, "")
+            if u.path.startswith("/datadog/"):
+                self._send(202, json.dumps({"status": "ok"}))
+            else:
+                self._send(204 if cnt >= 0 else 400, "")
 
     return ThreadingHTTPServer((host, port), Handler)
