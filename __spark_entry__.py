@@ -3472,10 +3472,11 @@ def _doc_bpe_tokens(spark, sf_dir, load):
     return bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
-# leading apostrophe doubled: it sits inside a single-quoted SQL literal
-_BPE_PAT_SQL = (
-    r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
-)
+# derived from the operator's constant so the two can never drift;
+# the apostrophe doubles because it sits inside a single-quoted SQL literal
+from victoriametrics_spark.operators.text import BPE_SPLIT_PATTERN as _BPE_PAT
+
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 _reg(
     "op_doc_bpe_tokens",

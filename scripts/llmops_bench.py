@@ -71,10 +71,18 @@ def main() -> None:
     )
 
     def run(name, df):
+        # groupBy().count() would let Catalyst PRUNE every projected
+        # expression (the op would never execute); hashing every output
+        # column into the aggregate forces full evaluation while keeping
+        # the result tiny
         t0 = time.time()
-        cnt = df.groupBy().count().first()[0]  # full evaluation, tiny result
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # mod keeps the running sum inside long range (ANSI mode)
+            F.sum(F.xxhash64(*df.columns) % F.lit(1_000_003)).alias("h"),
+        ).first()
         dt = round(time.time() - t0, 3)
-        print(f"# {name}: {dt}s ({cnt} rows)", file=sys.stderr)
+        print(f"# {name}: {dt}s ({row['n']} rows)", file=sys.stderr)
         return dt
 
     ops = {}

@@ -1292,4 +1292,43 @@ def test_ingest_json_dialect_routes(spark):
     )
     post("/datadog/api/beta/sketches", payload, 202)
     assert any(r["name"].startswith("sk.m") for r in captured[-1][1])
+
+    # real agents compress: gzip and deflate bodies must decode
+    import gzip
+    import zlib
+
+    dd1b = _json.dumps(dd1).encode()
+    req = Request(
+        f"http://127.0.0.1:{port}/datadog/api/v1/series",
+        data=gzip.compress(dd1b),
+        headers={"Content-Encoding": "gzip"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 202
+    assert any(r["name"] == "dd.m1" for r in captured[-1][1])
+    req = Request(
+        f"http://127.0.0.1:{port}/datadog/api/v1/series",
+        data=zlib.compress(dd1b),
+        headers={"Content-Encoding": "deflate"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 202
+
+    # malformed JSON must 400, not silently ack 0 rows
+    import urllib.error
+
+    before = len(captured)
+    req = Request(
+        f"http://127.0.0.1:{port}/datadog/api/v1/series",
+        data=b'{"series": [truncated',
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    assert len(captured) == before  # nothing written
     srv.shutdown()

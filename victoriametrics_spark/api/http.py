@@ -2045,8 +2045,20 @@ class IngestAPI:
     def ingest_json(self, body: str, dialect: str) -> int:
         """POST JSON-document ingestion dialects (one payload document
         per request): Datadog v1/v2 series, NewRelic infra bulk,
-        OTLP-JSON, Zabbix connector, OpenTSDB HTTP."""
+        OTLP-JSON, Zabbix connector, OpenTSDB HTTP.
+
+        The body is json.loads-validated FIRST: from_json would turn a
+        truncated/garbage payload into NULL → 0 rows → a success
+        response, and the agent would drop data it believes landed (the
+        reference parsers 400 on unmarshal errors so agents retry)."""
+        import json as _json
+
         from victoriametrics_spark.streaming import parsers as P
+
+        try:
+            _json.loads(body)
+        except Exception as e:
+            raise ValueError(f"invalid JSON payload: {e}") from None
 
         fns = {
             "datadog_v1": P.parse_datadog_v1,
@@ -2535,6 +2547,31 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b""
             try:
+                # real agents compress by default (Datadog: deflate,
+                # OTLP/NewRelic exporters: gzip; the reference wraps
+                # every reader in common.GetUncompressedReader)
+                enc = (self.headers.get("Content-Encoding") or "").lower()
+                if enc in ("gzip", "x-gzip"):
+                    import gzip as _gzip
+
+                    raw = _gzip.decompress(raw)
+                elif enc == "deflate":
+                    import zlib as _zlib
+
+                    try:
+                        raw = _zlib.decompress(raw)
+                    except _zlib.error:
+                        raw = _zlib.decompress(raw, -15)  # raw deflate
+                elif enc == "snappy":
+                    from victoriametrics_spark.streaming.remotewrite import (
+                        snappy_uncompress,
+                    )
+
+                    raw = snappy_uncompress(raw)
+                elif enc and enc != "identity":
+                    raise ValueError(
+                        f"unsupported Content-Encoding {enc!r}"
+                    )
                 if u.path == "/api/v1/write":
                     cnt = ingest_api.write_remote(raw)
                 elif u.path == "/api/v1/import":
