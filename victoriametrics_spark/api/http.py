@@ -36,9 +36,19 @@ DEFAULT_STEP_MS = 300_000  # 5m, prometheus.go:72
 
 
 def _parse_time(v: str | None, default_ms: int) -> int:
+    """Unix seconds (int/float) or RFC3339 (httputil.GetTime accepts
+    both; Grafana sends RFC3339 for absolute ranges)."""
     if v is None or v == "":
         return default_ms
-    return int(float(v) * 1000)
+    try:
+        return int(float(v) * 1000)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        t = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=timezone.utc)
+        return int(t.timestamp() * 1000)
 
 
 def _parse_step(v: str | None) -> int:
@@ -375,13 +385,18 @@ class PromAPI:
         time: str | None = None,
         trace: bool = False,
         enforced: tuple = (),
+        step: str | None = None,
     ) -> dict:
         t_ms = _parse_time(time, 0)
+        # the instant-query step doubles as the bare-selector lookback
+        # (prometheus.go QueryHandler: step defaults to lookbackDelta,
+        # then 5m; rollup.go:723-727 instant maxPrevInterval = step)
+        step_ms = _parse_step(step)
         tracer = (
             QueryTracer(f"/api/v1/query: query={query!r}") if trace else None
         )
         series = self._eval(
-            query, t_ms, t_ms, DEFAULT_STEP_MS, tracer, enforced
+            query, t_ms, t_ms, step_ms, tracer, enforced
         )
         result = [
             {
@@ -2284,6 +2299,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.query(
                         p("query"),
                         p("time"),
+                        step=p("step"),
                         trace=p("trace", "") == "1",
                         enforced=enforced,
                     )

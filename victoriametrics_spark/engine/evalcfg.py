@@ -2,8 +2,9 @@
 
 Mirrors the reference's EvalConfig (app/vmselect/promql/eval.go:115-165):
 a query is always evaluated on the inclusive grid
-``[start, start+step, ..., end]`` (end is pre-aligned up to a step
-multiple); an instant query is simply ``start == end`` (eval.go:115-118).
+``[start, start+step, ..., end]`` (end is pre-aligned DOWN to
+start + k*step — the grid truncates at end, eval.go:234 getTimestamps);
+an instant query is simply ``start == end`` (eval.go:115-118).
 All times are unix milliseconds.
 """
 
@@ -15,7 +16,7 @@ from dataclasses import dataclass, field, replace
 @dataclass(frozen=True)
 class EvalConfig:
     start: int  # unix ms, first grid point
-    end: int  # unix ms, last grid point (aligned up to start + k*step)
+    end: int  # unix ms, last grid point (aligned down to start + k*step)
     step: int  # ms, > 0
     # Extra lookback applied when a selector has no explicit [window]:
     # default_rollup looks back up to max(step, max_lookback) for the most
@@ -43,8 +44,11 @@ class EvalConfig:
             raise ValueError("step must be positive")
         if self.end < self.start:
             raise ValueError("end < start")
-        # align end up so (end - start) is a whole number of steps
-        n = -((self.end - self.start) // -self.step)  # ceil div
+        # the grid is start + k*step for k = 0..floor((end-start)/step):
+        # it TRUNCATES at end, never exceeding it (eval.go:234-254
+        # getTimestamps, `points := 1 + (end-start)/step`) — an
+        # unaligned range keeps the start's phase and drops the tail
+        n = (self.end - self.start) // self.step
         object.__setattr__(self, "end", self.start + n * self.step)
 
     @property
