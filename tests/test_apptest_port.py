@@ -39,9 +39,23 @@ def server(spark, tmp_path_factory):
     srv = serve(api, port=0, ingest_api=ingest)
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    yield f"http://127.0.0.1:{port}"
+    url = f"http://127.0.0.1:{port}"
+    _INGEST["api"] = ingest
+    yield url
     srv.shutdown()
     drop_samples_table(spark, table)
+
+
+_INGEST: dict = {}
+
+
+def _graphite_write(base: str, lines: list) -> None:
+    """The apptest GraphiteWrite analog: the reference ingests graphite
+    over a TCP listener; here the same parser is fed through the ingest
+    API, then flushed."""
+    n = _INGEST["api"].import_lines("\n".join(lines), "graphite")
+    assert n == len(lines)
+    _get(base, "/internal/force_flush")
 
 
 def _get(base: str, path: str, **params) -> dict:
@@ -241,3 +255,302 @@ def test_range_equals_many_instant_queries(doc_server):
             unix = _iso_to_unix(ts)
             assert res and res[0]["value"][0] == unix, hhmm
             assert float(res[0]["value"][1]) == rng[unix], hhmm
+
+
+# ----------------------------------------------------------------------
+# special_query_regression_test.go — user-reported regressions, each
+# tied to a reference GitHub issue. All single-node cases ported.
+
+
+def test_case_sensitive_regex_export(server):
+    """issues/161: (?i) regex in export match[]."""
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        'prometheus.sensitiveRegex{label="sensitiveRegex"} 10 1707123456700',
+        'prometheus.sensitiveRegex{label="SensitiveRegex"} 10 1707123456700',
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+    import urllib.request as _rq
+    url = (
+        f"{server}/api/v1/export?"
+        + urllib.parse.urlencode({
+            "match[]": "{label=~'(?i)sensitiveregex'}",
+            "start": "2024-02-05T08:50:00.700Z",
+            "end": "2024-02-05T09:00:00.700Z",
+        })
+    )
+    with _rq.urlopen(url) as r:
+        lines = [json.loads(x) for x in r.read().decode().splitlines() if x]
+    got = sorted(
+        (ln["metric"]["label"], ln["timestamps"], ln["values"])
+        for ln in lines
+    )
+    assert got == [
+        ("SensitiveRegex", [1707123456700], [10.0]),
+        ("sensitiveRegex", [1707123456700], [10.0]),
+    ]
+
+
+def test_duplicate_label_in_one_line(server):
+    """issues/172: a line with the same label twice ingests once."""
+    assert _post(server, "/api/v1/import/prometheus",
+        'prometheus.duplicate_label{label="duplicate", label="duplicate"}'
+        ' 10 1707123456700') in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query",
+               query='prometheus.duplicate_label[5m]',
+               time="2024-02-05T09:00:00.700Z")
+    assert got["data"]["result"] == [{
+        "metric": {"__name__": "prometheus.duplicate_label",
+                   "label": "duplicate"},
+        "values": [[1707123456.7, "10"]],
+    }]
+
+
+def test_too_big_lookbehind_window(server):
+    """issues/5553: selector[100y] instant = raw-sample matrix export;
+    the range flavor returns each real sample at its grid point."""
+    assert _post(server, "/api/v1/import/prometheus",
+        'prometheus.too_big_lookbehind{label="foo"} 10 1707123456700'
+    ) in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query",
+               query="prometheus.too_big_lookbehind{label='foo'}[100y]",
+               step="5m", time="2024-02-05T08:57:36.700Z")
+    assert got["data"]["resultType"] == "matrix"
+    assert got["data"]["result"] == [{
+        "metric": {"__name__": "prometheus.too_big_lookbehind",
+                   "label": "foo"},
+        "values": [[1707123456.7, "10"]],
+    }]
+
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        'prometheus.too_big_lookbehind_range{label="foo"} 13 1707123496700',
+        'prometheus.too_big_lookbehind_range{label="foo"} 12 1707123466700',
+        'prometheus.too_big_lookbehind_range{label="foo"} 11 1707123436700',
+        'prometheus.too_big_lookbehind_range{label="foo"} 10 1707123406700',
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query_range",
+               query="prometheus.too_big_lookbehind_range{label='foo'}",
+               start="2024-02-05T08:56:46.700Z",
+               end="2024-02-05T08:58:16.700Z", step="30s")
+    (series,) = got["data"]["result"]
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (1707123406.7, 10.0), (1707123436.7, 11.0),
+        (1707123466.7, 12.0), (1707123496.7, 13.0),
+    ]
+
+
+def test_match_series(server):
+    """issues/155: /api/v1/series over a name match."""
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        f'GenBearTemp{{db="TenMinute",Park="{p}",TurbineType="V112"}}'
+        ' 10 1707123456700' for p in "1234"
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/series", **{
+        "match[]": '{__name__="GenBearTemp"}',
+        "start": "2024-02-04T08:57:36.700Z",
+        "end": "2024-02-05T08:57:36.700Z",
+    })
+    assert sorted(m["Park"] for m in got["data"]) == ["1", "2", "3", "4"]
+    assert all(
+        m["__name__"] == "GenBearTemp" and m["db"] == "TenMinute"
+        for m in got["data"]
+    )
+
+
+def test_negative_increase_with_lookback_delta(server):
+    """issues/8935: increase() must not go negative when max_lookback
+    cuts the previous sample off — the realPrevValue LookbackDelta gate
+    and the adjusted-values no-prev heuristic."""
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        "foo 108 1750109243514",
+        "foo 108 1750109258514",
+        # 75s gap — the counter reset to 1 in between
+        "foo 1 1750109333514",
+        "foo 1 1750109348514",
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query_range",
+               query="increase(foo[1m])",
+               start="2025-06-16T21:28:40.700Z",
+               end="2025-06-16T21:29:30.700Z",
+               step="9s", max_lookback="65s")
+    (series,) = got["data"]["result"]
+    assert series["metric"] == {}
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (_iso_to_unix("2025-06-16T21:28:40.700Z"), 0.0),
+        (_iso_to_unix("2025-06-16T21:28:49.700Z"), 0.0),
+        (_iso_to_unix("2025-06-16T21:28:58.700Z"), 1.0),
+        (_iso_to_unix("2025-06-16T21:29:07.700Z"), 1.0),
+        (_iso_to_unix("2025-06-16T21:29:16.700Z"), 0.0),
+        (_iso_to_unix("2025-06-16T21:29:25.700Z"), 0.0),
+    ]
+
+
+def test_instant_query_with_offset(server):
+    """issues/9762: avg_over_time(...[1d] offset 12h) instant."""
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        "vm_http_requests_total 1 1758196800000",
+        "vm_http_requests_total 2 1758218400000",
+        "vm_http_requests_total 3 1758240000000",
+        "vm_http_requests_total 4 1758261600000",
+        "vm_http_requests_total 5 1758283200000",
+        "vm_http_requests_total 6 1758304800000",
+        "vm_http_requests_total 7 1758326400000",
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query",
+               query="avg_over_time(vm_http_requests_total[1d] offset 12h)",
+               time="2025-09-20T12:00:01.000Z")
+    (r,) = got["data"]["result"]
+    assert r["metric"] == {}
+    assert r["value"] == [1758369601.0, "5.5"]
+
+
+def test_query_range_end_at_midnight(server):
+    """issues/9804: a sample at a date-partition boundary with End
+    exactly there must not be dropped (End is inclusive)."""
+    assert _post(server, "/api/v1/import/prometheus",
+                 "foo_bar_midnight 7 1765497600000") in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query_range",
+               query="foo_bar_midnight",
+               start="2025-12-11T20:00:00.000Z",
+               end="2025-12-12T00:00:00.000Z", step="1h")
+    (series,) = got["data"]["result"]
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (1765497600.0, 7.0)
+    ]
+
+
+def test_comparison_not_inf_not_nan(server):
+    """issues/150: `1/(m-1)!=inf!=nan` keeps only finite points."""
+    _graphite_write(server, [
+        "not_nan_not_inf;item=x 1 1707123456",
+        "not_nan_not_inf;item=x 1 1707123455",
+        "not_nan_not_inf;item=y 3 1707123456",
+        "not_nan_not_inf;item=y 1 1707123455",
+    ])
+    got = _get(server, "/api/v1/query_range",
+               query="1/(not_nan_not_inf-1)!=inf!=nan",
+               start="2024-02-05T06:50:36.000Z",
+               end="2024-02-05T09:58:37.000Z", step="60")
+    (series,) = got["data"]["result"]
+    assert series["metric"] == {"item": "y"}
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (_iso_to_unix("2024-02-05T08:58:00.000Z"), 0.5)
+    ]
+
+
+def test_empty_label_match(server):
+    """issues/395: foo=~'bar|' matches the empty label too."""
+    _graphite_write(server, [
+        "empty_label_match 1 1707123456",
+        "empty_label_match;foo=bar 2 1707123456",
+        "empty_label_match;foo=baz 3 1707123456",
+    ])
+    got = _get(server, "/api/v1/query_range",
+               query="empty_label_match{foo=~'bar|'}",
+               start="2024-02-05T08:55:36.000Z",
+               end="2024-02-05T08:57:36.000Z", step="60s")
+    res = sorted(got["data"]["result"], key=lambda r: sorted(r["metric"].items()))
+    assert [r["metric"] for r in res] == [
+        {"__name__": "empty_label_match"},
+        {"__name__": "empty_label_match", "foo": "bar"},
+    ]
+    assert [
+        [(t, float(v)) for t, v in r["values"]] for r in res
+    ] == [
+        [(_iso_to_unix("2024-02-05T08:57:36.000Z"), 1.0)],
+        [(_iso_to_unix("2024-02-05T08:57:36.000Z"), 2.0)],
+    ]
+
+
+def test_max_lookback_param(server):
+    """issues/209: max_lookback caps the bare-selector fill window;
+    unset, the scrape-interval estimate fills ~40s past each sample."""
+    _graphite_write(server, [
+        "max_lookback_set 1 1707123426",
+        "max_lookback_set 2 1707123396",
+        "max_lookback_set 3 1707123336",
+        "max_lookback_set 4 1707123306",
+    ])
+    got = _get(server, "/api/v1/query_range",
+               query="max_lookback_set{foo=~'bar|'}",
+               start="2024-02-05T08:55:06.000Z",
+               end="2024-02-05T08:57:37.000Z",
+               step="10s", max_lookback="1s")
+    (series,) = got["data"]["result"]
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (_iso_to_unix("2024-02-05T08:55:06.000Z"), 4.0),
+        (_iso_to_unix("2024-02-05T08:55:36.000Z"), 3.0),
+        (_iso_to_unix("2024-02-05T08:56:36.000Z"), 2.0),
+        (_iso_to_unix("2024-02-05T08:57:06.000Z"), 1.0),
+    ]
+
+    _graphite_write(server, [
+        "max_lookback_unset 1 1707123426",
+        "max_lookback_unset 2 1707123396",
+        "max_lookback_unset 3 1707123336",
+        "max_lookback_unset 4 1707123306",
+    ])
+    got = _get(server, "/api/v1/query_range",
+               query="max_lookback_unset{foo=~'bar|'}",
+               start="2024-02-05T08:55:06.000Z",
+               end="2024-02-05T08:57:37.000Z", step="10s")
+    (series,) = got["data"]["result"]
+    want = [
+        ("08:55:06", 4.0), ("08:55:16", 4.0), ("08:55:26", 4.0),
+        ("08:55:36", 3.0), ("08:55:46", 3.0), ("08:55:56", 3.0),
+        ("08:56:06", 3.0), ("08:56:16", 3.0),
+        ("08:56:36", 2.0), ("08:56:46", 2.0), ("08:56:56", 2.0),
+        ("08:57:06", 1.0), ("08:57:16", 1.0), ("08:57:26", 1.0),
+        ("08:57:36", 1.0),
+    ]
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (_iso_to_unix(f"2024-02-05T{hh}.000Z"), v) for hh, v in want
+    ]
+
+
+def test_not_nan_as_missing_data(server):
+    """issues/153: m>1 drops points, doesn't blank the series."""
+    _graphite_write(server, [
+        "not_nan_as_missing_data;item=x 2 1707123454",
+        "not_nan_as_missing_data;item=x 1 1707123455",
+        "not_nan_as_missing_data;item=y 4 1707123454",
+        "not_nan_as_missing_data;item=y 3 1707123455",
+    ])
+    got = _get(server, "/api/v1/query_range",
+               query="not_nan_as_missing_data>1",
+               start="2024-02-05T08:57:34.000Z",
+               end="2024-02-05T08:57:36.000Z", step="1s")
+    res = sorted(got["data"]["result"], key=lambda r: r["metric"]["item"])
+    assert [r["metric"]["item"] for r in res] == ["x", "y"]
+    assert [(t, float(v)) for t, v in res[0]["values"]] == [
+        (_iso_to_unix("2024-02-05T08:57:34.000Z"), 2.0)
+    ]
+    assert [(t, float(v)) for t, v in res[1]["values"]] == [
+        (_iso_to_unix("2024-02-05T08:57:34.000Z"), 4.0),
+        (_iso_to_unix("2024-02-05T08:57:35.000Z"), 3.0),
+        (_iso_to_unix("2024-02-05T08:57:36.000Z"), 3.0),
+    ]
+
+
+def test_subquery_aggregation(server):
+    """issues/184: min by (item) (min_over_time(m[10m:1m])) instant."""
+    _graphite_write(server, [
+        "forms_daily_count;item=x 1 1707123396",
+        "forms_daily_count;item=x 2 1707123336",
+        "forms_daily_count;item=y 3 1707123396",
+        "forms_daily_count;item=y 4 1707123336",
+    ])
+    got = _get(server, "/api/v1/query",
+               query="min by (item) (min_over_time(forms_daily_count[10m:1m]))",
+               time="2024-02-05T08:56:35.000Z")
+    res = sorted(got["data"]["result"], key=lambda r: r["metric"]["item"])
+    assert [(r["metric"], r["value"]) for r in res] == [
+        ({"item": "x"}, [1707123395.0, "2"]),
+        ({"item": "y"}, [1707123395.0, "4"]),
+    ]

@@ -51,6 +51,22 @@ def _parse_time(v: str | None, default_ms: int) -> int:
         return int(t.timestamp() * 1000)
 
 
+def _adjust_start_end(start: int, end: int, step: int) -> tuple[int, int]:
+    """promql.AdjustStartEnd (eval.go:77-101): round start/end to step
+    multiples so responses are cacheable, keeping the point count — only
+    for >= 50-point queries, and skipped entirely with ?nocache=1."""
+    points = (end - start) // step + 1
+    if points < 50:  # minTimeseriesPointsForTimeRounding
+        return start, end
+    start -= start % step
+    adjust = end % step
+    if adjust > 0:
+        end += step - adjust
+    while (end - start) // step + 1 > points:
+        end -= step
+    return start, end
+
+
 def _parse_step(v: str | None) -> int:
     if v is None or v == "":
         return DEFAULT_STEP_MS
@@ -250,6 +266,7 @@ class PromAPI:
         step_ms: int,
         tracer: "QueryTracer | None" = None,
         enforced: tuple = (),
+        lookback_delta_ms: int = 0,
     ):
         import time as _time
         import uuid as _uuid
@@ -265,7 +282,8 @@ class PromAPI:
         try:
             self._track_metric_names(query)
             return self._eval_inner(
-                query, start_ms, end_ms, step_ms, tracer, enforced
+                query, start_ms, end_ms, step_ms, tracer, enforced,
+                lookback_delta_ms,
             )
         finally:
             rec = self._active.pop(qid)
@@ -291,12 +309,14 @@ class PromAPI:
         step_ms: int,
         tracer: "QueryTracer | None" = None,
         enforced: tuple = (),
+        lookback_delta_ms: int = 0,
     ):
         cfg = EvalConfig(
             start=start_ms,
             end=end_ms,
             step=step_ms,
             max_lookback=self.max_lookback_ms,
+            lookback_delta=lookback_delta_ms,
             enforced_filters=enforced,
         )
         plan_span = (
@@ -350,17 +370,25 @@ class PromAPI:
         step: str | None = None,
         trace: bool = False,
         enforced: tuple = (),
+        max_lookback: str | None = None,
+        may_cache: bool = True,
     ) -> dict:
         step_ms = _parse_step(step)
         start_ms = _parse_time(start, 0)
         end_ms = _parse_time(end, start_ms)
+        if may_cache:
+            start_ms, end_ms = _adjust_start_end(start_ms, end_ms, step_ms)
+        # `max_lookback` = the LookbackDelta override (getMaxLookback,
+        # prometheus.go:1101-1115); 0/absent = unset
+        ld_ms = _parse_step(max_lookback) if max_lookback else 0
         tracer = (
             QueryTracer(f"/api/v1/query_range: query={query!r}")
             if trace
             else None
         )
         series = self._eval(
-            query, start_ms, end_ms, step_ms, tracer, enforced
+            query, start_ms, end_ms, step_ms, tracer, enforced,
+            lookback_delta_ms=ld_ms,
         )
         result = [
             {
@@ -386,17 +414,24 @@ class PromAPI:
         trace: bool = False,
         enforced: tuple = (),
         step: str | None = None,
+        max_lookback: str | None = None,
     ) -> dict:
         t_ms = _parse_time(time, 0)
-        # the instant-query step doubles as the bare-selector lookback
-        # (prometheus.go QueryHandler: step defaults to lookbackDelta,
-        # then 5m; rollup.go:723-727 instant maxPrevInterval = step)
-        step_ms = _parse_step(step)
+        # the instant-query step doubles as the bare-selector lookback:
+        # step defaults to the LookbackDelta override, then 5m
+        # (prometheus.go:781-791; rollup.go:723-727 instant
+        # maxPrevInterval = step)
+        ld_ms = _parse_step(max_lookback) if max_lookback else 0
+        step_ms = _parse_step(step) if step else (ld_ms or _parse_step(None))
+        raw = self._instant_selector_rollup(query, t_ms, step_ms, enforced)
+        if raw is not None:
+            return raw
         tracer = (
             QueryTracer(f"/api/v1/query: query={query!r}") if trace else None
         )
         series = self._eval(
-            query, t_ms, t_ms, step_ms, tracer, enforced
+            query, t_ms, t_ms, step_ms, tracer, enforced,
+            lookback_delta_ms=ld_ms,
         )
         result = [
             {
@@ -413,6 +448,85 @@ class PromAPI:
         if tracer:
             out["trace"] = tracer.to_dict()
         return out
+
+    def _instant_selector_rollup(
+        self, query: str, t_ms: int, step_ms: int, enforced: tuple
+    ) -> "dict | None":
+        """Instant query of a bare ``selector[window]`` (± offset)
+        exports the RAW samples in ``(t−offset−window, t−offset]`` as a
+        matrix (prometheus.go:801-832 IsMetricSelectorWithRollup →
+        exportHandler; the +1 makes the lower bound exclusive like
+        Prometheus). Returns None when the query isn't of that shape."""
+        from victoriametrics_spark.engine.planner import selector_predicate
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import MetricExpr, RollupExpr
+
+        try:
+            e = parse(query)
+        except Exception:
+            return None
+        if not (
+            isinstance(e, RollupExpr)
+            and isinstance(e.expr, MetricExpr)
+            and e.window is not None
+            and e.step is None
+            and not e.inherit_step
+            and e.at is None
+        ):
+            return None
+        window_ms = e.window.ms(step_ms)
+        offset_ms = e.offset.ms(step_ms) if e.offset is not None else 0
+        end = t_ms - offset_ms
+        start = end - window_ms + 1
+        df = self.samples
+        if "is_stale" in df.columns:
+            df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+        if enforced:
+            from victoriametrics_spark.metricsql.ast import LabelFilter
+
+            df = df.filter(
+                selector_predicate(
+                    MetricExpr(
+                        label_filterss=[
+                            [
+                                LabelFilter(label=lb, op=op, value=v)
+                                for lb, op, v in enforced
+                            ]
+                        ]
+                    )
+                )
+            )
+        df = df.filter(
+            selector_predicate(e.expr)
+            & (F.col("ts") >= start)
+            & (F.col("ts") <= end)
+        )
+        rows = (
+            df.groupBy("name", F.map_entries("labels").alias("__e"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "value"))
+                ).alias("__pts")
+            )
+            .collect()
+        )
+        result = []
+        for r in rows:
+            labels = {x["key"]: x["value"] for x in (r["__e"] or [])}
+            result.append(
+                {
+                    "metric": _metric_obj(r["name"], labels),
+                    "values": [
+                        [p["ts"] / 1000.0, _fmt_value(p["value"])]
+                        for p in r["__pts"]
+                    ],
+                }
+            )
+        result.sort(key=lambda x: sorted(x["metric"].items()))
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": result},
+        }
 
     # ------------------------------------------------------ series scans
     def _match_df(
@@ -2294,6 +2408,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("step"),
                         trace=p("trace", "") == "1",
                         enforced=enforced,
+                        max_lookback=p("max_lookback"),
+                        may_cache=p("nocache", "") not in ("1", "true"),
                     )
                 elif u.path == "/api/v1/query":
                     out = api.query(
@@ -2302,6 +2418,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         step=p("step"),
                         trace=p("trace", "") == "1",
                         enforced=enforced,
+                        max_lookback=p("max_lookback"),
                     )
                 elif u.path == "/api/v1/series":
                     out = api.series(

@@ -222,6 +222,7 @@ class RollupResultCache:
                 query,
                 cfg.step,
                 cfg.max_lookback,
+                cfg.lookback_delta,
                 cfg.dedup_interval_ms,
                 list(cfg.enforced_filters),
                 cfg.two_level_cutover,
@@ -405,6 +406,7 @@ class InstantValuesCache:
                 window_ms,
                 cfg.step,
                 cfg.max_lookback,
+                cfg.lookback_delta,
                 cfg.dedup_interval_ms,
                 list(cfg.enforced_filters),
                 # input-data identity (plancache.files_token): backfilled
@@ -676,6 +678,7 @@ class LeafResultCache:
                 ident,
                 cfg.step,
                 cfg.max_lookback,
+                cfg.lookback_delta,
                 cfg.dedup_interval_ms,
                 list(cfg.enforced_filters),
                 cfg.two_level_cutover,

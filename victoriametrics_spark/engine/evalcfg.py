@@ -22,6 +22,13 @@ class EvalConfig:
     # default_rollup looks back up to max(step, max_lookback) for the most
     # recent sample (VM: maxSilenceInterval + step default, rollup.go:738-757).
     max_lookback: int = 300_000
+    # LookbackDelta (-query.lookback-delta / the `max_lookback` query
+    # param, prometheus.go getMaxLookback): 0 = unset. When > 0 it CAPS
+    # the per-series maxPrevInterval (rollup.go:730-733), caps the
+    # implicit default_rollup window (rollup.go:753), and gates
+    # realPrevValue on (first-in-window ts − prev ts) < delta
+    # (rollup.go:788-805).
+    lookback_delta: int = 0
     # `@` modifier / offset support adjusts these per-subtree.
     at: int | None = None
     # Dedup-on-read: -dedup.minScrapeInterval analog (lib/storage/dedup.go:

@@ -645,6 +645,20 @@ class Planner:
                 )
             )
         keep = spec.keep_name or fe.keep_metric_names or re_.keep_metric_names
+        if (
+            cfg.start >= cfg.end
+            and fe.name == "avg_over_time"
+            and not fe.keep_metric_names
+            and not re_.keep_metric_names
+            and window_ms >= 3 * 3600 * 1000
+        ):
+            # VM rewrites big-window instant avg_over_time to
+            # sum_over_time/count_over_time (evalInstantRollup,
+            # eval.go: 'optimized calculation for instant rollup
+            # avg_over_time'); the division is a binary op, so the
+            # metric name is erased — observable user behavior
+            # (apptest issues/9762 expects Metric {})
+            keep = False
         out = grouped.select(
             (F.col("name") if keep else F.lit("")).alias("name"),
             F.col("labels"),

@@ -193,8 +193,14 @@ def attach_widened_window(
         .alias("__pts"),
     )
     if cfg.start >= cfg.end:
-        # instant query: maxPrevInterval = step (rollup.go:723-727)
-        win = F.lit(step).cast("long")
+        # instant query: maxPrevInterval = step (rollup.go:723-727),
+        # still capped by an explicit LookbackDelta (rollup.go:730-733)
+        w_ms = (
+            min(step, cfg.lookback_delta)
+            if cfg.lookback_delta > 0
+            else step
+        )
+        win = F.lit(w_ms).cast("long")
         return df.filter(F.col("__fcnt") > 0).select(
             *orig_cols, win.alias("__win")
         )
@@ -212,12 +218,38 @@ def attach_widened_window(
     si0 = F.floor(F.col("__q")).cast("long")
     si = F.when(si0.isNull() | (si0 <= 0), F.lit(step)).otherwise(si0)
     df = df.select("*", si.alias("__si"))
-    win = F.greatest(
-        F.lit(step).cast("long"), max_prev_interval_expr(F.col("__si"))
-    )
+    mpi = max_prev_interval_expr(F.col("__si"))
+    if cfg.lookback_delta > 0:
+        mpi = F.least(mpi, F.lit(int(cfg.lookback_delta)))
+    win = F.greatest(F.lit(step).cast("long"), mpi)
+    if cfg.lookback_delta > 0:
+        # callers use this path only for window-adjustable functions;
+        # the artificial window cannot exceed an explicit LookbackDelta
+        # (rollup.go:753)
+        win = F.least(win, F.lit(int(cfg.lookback_delta)))
     return df.filter(F.col("__fcnt") > 0).select(
         *orig_cols, win.alias("__win")
     )
+
+
+def _has_prev_expr(cfg: EvalConfig, gts_col: Column) -> Column:
+    """Does a baseline sample exist for the delta family? With
+    LookbackDelta unset, any anchor serves (realPrevValue is
+    unconditional when i > 0, rollup.go:788-805). When set, the anchor
+    serves iff it is prevValue-eligible (recent within the capped
+    maxPrevInterval) OR passes the realPrevValue gate
+    (first-in-window ts − anchor ts) < LookbackDelta."""
+    anchor = F.col("__a.ts").isNotNull()
+    if cfg.lookback_delta <= 0:
+        return anchor
+    eligible = anchor & (
+        F.col("__a.ts") > gts_col - F.col("__win") - F.col("__mpi")
+    )
+    curr_ts = F.coalesce(F.col("__f.ts"), gts_col - F.col("__win"))
+    real_ok = anchor & (
+        (curr_ts - F.col("__a.ts")) < F.lit(int(cfg.lookback_delta))
+    )
+    return eligible | real_ok
 
 
 def _value_expr(name: str) -> Column:
@@ -232,7 +264,7 @@ def _value_expr(name: str) -> Column:
     """
     n = F.col("n")
     el = F.col("el")
-    has_prev = F.col("a_ts").isNotNull()
+    has_prev = F.col("has_prev")
     sec = F.lit(1000.0)
     if name == "rate":  # rollupDerivFast over adjusted values
         return (
@@ -269,13 +301,19 @@ def _value_expr(name: str) -> Column:
         # (prevValue and realPrevValue are the same sample — only the
         # no-prev-at-all branch differs, rollup.go:1835-1900)
         if name == "increase":
+            # the heuristic compares the ADJUSTED values[0]
+            # (removeCounterResets runs over the whole fetched series
+            # BEFORE windowing): with LookbackDelta unset this branch is
+            # only reachable when no anchor exists at all, where
+            # f_vadj == f_v; with it set, resets before the window make
+            # the two differ (apptest issues/8935 regression)
             d = F.coalesce(F.col("f_next_pos_dv"), F.lit(0.0))
             no_prev = F.when(
-                F.abs(F.col("f_v")) < F.lit(10.0) * (F.abs(d) + F.lit(1.0)),
-                F.col("f_v") + F.col("s_tail"),
+                F.abs(F.col("f_vadj")) < F.lit(10.0) * (F.abs(d) + F.lit(1.0)),
+                F.col("f_vadj") + F.col("s_tail"),
             ).otherwise(F.col("s_tail"))
         else:  # increase_pure: counter assumed to start from 0
-            no_prev = F.col("f_v") + F.col("s_tail")
+            no_prev = F.col("f_vadj") + F.col("s_tail")
         return (
             F.when(el & (n == 0), F.lit(0.0))
             .when(has_prev & (n >= 1), F.col("s_all"))
@@ -433,6 +471,11 @@ def span_rollup(
         ),
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(wall).alias("__cnt"),
+        # first FETCHED raw value: v_adj(k) = __v0 + cum_k reconstructs
+        # the removeCounterResets-adjusted value at any sample
+        F.first("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__v0"),
     )
     df = df.select(
         "*",
@@ -483,11 +526,19 @@ def span_rollup(
     mpi_col = (
         mpi if mpi is not None else max_prev_interval_expr(F.col("__si"))
     )
+    if cfg.lookback_delta > 0:
+        # LookbackDelta caps the per-series maxPrevInterval
+        # (rollup.go:730-733)
+        mpi_col = F.least(mpi_col, F.lit(int(cfg.lookback_delta)))
     # per-series window: explicit stays fixed; implicit widens to
     # max(step, maxPrevInterval) for the adjustable functions
     df = df.select("*", mpi_col.alias("__mpi"))
     if window_ms is None and name in ADJUST_WINDOW:
         win = F.greatest(F.lit(int(step)), F.col("__mpi"))
+        if name == "default_rollup" and cfg.lookback_delta > 0:
+            # artificial window can't exceed the explicit LookbackDelta
+            # (rollup.go:753, issues/784)
+            win = F.least(win, F.lit(int(cfg.lookback_delta)))
     else:
         win = F.lit(int(nominal_w)).cast("long")
     df = df.select("*", win.alias("__win"))
@@ -557,6 +608,7 @@ def span_rollup(
     stats = exploded.groupBy("__series_key", "i").agg(
         F.first("name").alias("name"),
         F.first("labels").alias("labels"),
+        F.first("__v0").alias("__v0"),
         F.first("__mpi").alias("__mpi"),
         F.first("__win").alias("__win"),
         F.max(F.when(role == 1, sample_struct)).alias("__e"),
@@ -579,6 +631,7 @@ def span_rollup(
             "s_all"
         ),
         (F.col("__e.cum") - F.col("__f.cum")).alias("s_tail"),
+        (F.col("__v0") + F.col("__f.cum")).alias("f_vadj"),
         F.col("__e.cum2").alias("l_cum2"),
         F.col("__a.cum2").alias("a_cum2"),
         F.col("__f.cum2").alias("f_cum2"),
@@ -597,6 +650,7 @@ def span_rollup(
         F.col("__e.pos_dv").alias("l_pos_dv"),
         F.col("__e.dv").alias("l_dv"),
         F.col("__e.dt").alias("l_dt"),
+        _has_prev_expr(cfg, gts_col).alias("has_prev"),
         (
             F.col("__a.ts").isNotNull()
             & (F.col("__a.ts") > gts_col - F.col("__win") - F.col("__mpi"))

@@ -40,6 +40,10 @@ def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # duplicate label names in one ingested line keep the last value
+        # instead of failing the job (the reference tolerates
+        # `{label="a", label="a"}` — apptest issues/172)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver testdata uses TIMESTAMP(NANOS) which vanilla Spark rejects;
         # read as long (ns) and convert in the table loader
