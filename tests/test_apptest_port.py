@@ -554,3 +554,265 @@ def test_subquery_aggregation(server):
         ({"item": "x"}, [1707123395.0, "2"]),
         ({"item": "y"}, [1707123395.0, "4"]),
     ]
+
+
+# ----------------------------------------------------------------------
+# dedup_test.go — -dedup.minScrapeInterval semantics, verified through
+# the raw-sample matrix view. (Stale markers are engine-internal here —
+# is_stale rows never surface in query output — so the marker rows of
+# the reference case are asserted through what survives around them.)
+
+
+def _dedup_api(spark, dedup_ms):
+    from victoriametrics_spark.api import PromAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+    t0 = 1706745600000  # 2024-02-01T00:00:00Z, a month boundary
+    ts1, ts3, ts5, ts10 = (t0 + s * 1000 for s in (1, 3, 5, 10))
+    rows = [
+        ("metric1", {}, ts1, 3.0, False),
+        ("metric1", {}, ts3, 10.0, False),
+        ("metric1", {}, ts5, 5.0, False),
+        ("metric2", {}, ts1, 3.0, False),
+        ("metric2", {}, ts3, float("nan"), True),  # stale marker
+        ("metric2", {}, ts5, 5.0, False),
+        ("metric3", {}, ts10, 30.0, False),
+        ("metric3", {}, ts10, 100.0, False),
+        ("metric3", {}, ts10, 50.0, False),
+        ("metric4", {}, ts10, 30.0, False),
+        ("metric4", {}, ts10, float("nan"), True),  # stale marker
+        ("metric4", {}, ts10, 50.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    return (
+        PromAPI(spark, df, dedup_interval_ms=dedup_ms),
+        (t0, ts1, ts3, ts5, ts10),
+    )
+
+
+def _raw(api, name, t_ms):
+    out = api.query(f"{name}[1h]", time=str(t_ms // 1000))
+    res = out["data"]["result"]
+    if not res:
+        return []
+    (series,) = res
+    return [(int(t * 1000), float(v)) for t, v in series["values"]]
+
+
+def test_dedup_off_keeps_duplicates(spark):
+    import math
+
+    api, (t0, ts1, ts3, ts5, ts10) = _dedup_api(spark, 0)
+    t = t0 + 3600_000
+    assert _raw(api, "metric1", t) == [(ts1, 3.0), (ts3, 10.0), (ts5, 5.0)]
+    # same-ts duplicates all survive with dedup off
+    assert sorted(_raw(api, "metric3", t)) == [
+        (ts10, 30.0), (ts10, 50.0), (ts10, 100.0)
+    ]
+    # the stale marker is visible as NaN in the raw-sample view,
+    # matching /api/v1/export (the reference shows it too)
+    m2 = _raw(api, "metric2", t)
+    assert [ts for ts, _ in m2] == [ts1, ts3, ts5]
+    assert m2[0][1] == 3.0 and math.isnan(m2[1][1]) and m2[2][1] == 5.0
+
+
+def test_dedup_on_interval_rules(spark):
+    """10s dedup: keep the biggest ts per interval; ties on ts keep the
+    biggest value; a stale marker loses to a real sample at the same ts
+    (issues/6965 current-month + issues/10196 NaN-vs-value)."""
+    api, (t0, ts1, ts3, ts5, ts10) = _dedup_api(spark, 10_000)
+    t = t0 + 3600_000
+    assert _raw(api, "metric1", t) == [(ts5, 5.0)]
+    # marker at ts3 is mid-interval; the real ts5 sample wins the bucket
+    assert _raw(api, "metric2", t) == [(ts5, 5.0)]
+    assert _raw(api, "metric3", t) == [(ts10, 100.0)]
+    # non-stale preferred over the marker at the same ts
+    assert _raw(api, "metric4", t) == [(ts10, 50.0)]
+
+
+# ----------------------------------------------------------------------
+# export_import_test.go — native export → native import round trip with
+# write-side extra_label params.
+
+
+def test_export_import_native_round_trip(server):
+    assert _post(
+        server,
+        "/api/v1/import/prometheus?"
+        + urllib.parse.urlencode(
+            [("extra_label", "el1=elv1"), ("extra_label", "el2=elv2")]
+        ),
+        "native_export_import 10 1707123456700",
+    ) in (200, 204)
+    _get(server, "/internal/force_flush")
+
+    url = f"{server}/api/v1/export/native?" + urllib.parse.urlencode({
+        "match[]": "native_export_import",
+        "start": "2024-02-05T08:50:00.700Z",
+        "end": "2024-02-05T09:00:00.700Z",
+    })
+    with urllib.request.urlopen(url) as r:
+        blob = r.read()
+    req = urllib.request.Request(
+        f"{server}/api/v1/import/native", data=blob, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    _get(server, "/internal/force_flush")
+
+    got = _get(server, "/api/v1/query_range",
+               query="native_export_import",
+               start="2024-02-05T08:57:36.700Z",
+               end="2024-02-05T08:57:36.700Z", step="60s")
+    (series,) = got["data"]["result"]
+    assert series["metric"] == {
+        "__name__": "native_export_import", "el1": "elv1", "el2": "elv2",
+    }
+    assert [(t, float(v)) for t, v in series["values"]] == [
+        (1707123456.7, 10.0)
+    ]
+
+
+# ----------------------------------------------------------------------
+# future_timestamps_test.go (scaled down, deterministic `now`): samples
+# up to `now + futureRetention` ingest and query back; samples beyond
+# the future-retention horizon are rejected at write time.
+
+
+def test_future_timestamps_retention_guard(spark):
+    from victoriametrics_spark.api import PromAPI
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+    now = 1707123456_000
+    year = 365 * 86_400_000
+    captured = []
+    ing = IngestAPI(
+        spark,
+        sink=lambda df, k: captured.append(df),
+        future_retention_ms=100 * year,
+        retention_ms=100 * year,
+        now_ms_fn=lambda: now,
+    )
+    lines = "\n".join([
+        f"metric_future_1d 1 {now + 86_400_000}",
+        f"metric_future_1y 2 {now + year}",
+        f"metric_future_1d_before_limit 3 {now + 100 * year - 86_400_000}",
+        # beyond the future-retention horizon → ignored
+        f"metric_future_beyond 4 {now + 100 * year + 60_000}",
+        # beyond the past retention horizon → ignored
+        f"metric_ancient 5 {now - 100 * year - 60_000}",
+    ])
+    n = ing.import_lines(lines, "prometheus")
+    assert n == 3
+    assert ing.rows_ignored_total == 2
+    kept = spark.createDataFrame(
+        captured[-1].collect(), SAMPLE_SCHEMA
+    )
+    api = PromAPI(spark, kept)
+    ser = api.series(['{__name__=~"metric_.*"}'])
+    assert sorted(m["__name__"] for m in ser["data"]) == [
+        "metric_future_1d",
+        "metric_future_1d_before_limit",
+        "metric_future_1y",
+    ]
+    # the far-future sample queries back at its own timestamp
+    got = api.query(
+        "metric_future_1d_before_limit[1h]",
+        time=str((now + 100 * year - 86_400_000) // 1000),
+    )
+    (series,) = got["data"]["result"]
+    assert [float(v) for _, v in series["values"]] == [3.0]
+
+
+# ----------------------------------------------------------------------
+# metricsql_test.go — UTF-8 names, stale-NaN visibility, @-modifier
+# with a series expression.
+
+
+def test_utf8_metric_and_label_names(server):
+    assert _post(server, "/api/v1/import/prometheus",
+        '{"3fooµ¥", "3👋tfにちは"="漢©®€£"} 1 1704067260000') in (200, 204)
+    _get(server, "/internal/force_flush")
+    for q in [
+        '{"3fooµ¥"}',
+        '{__name__="3fooµ¥"}',
+        '{__name__=~"3fo.*"}',
+        '{__name__=~".*µ¥"}',
+        '{"3fooµ¥", "3👋tfにちは"="漢©®€£"}',
+        '{"3fooµ¥", "3👋tfにちは"=~"漢.*"}',
+        '{"3👋tfにちは"="漢©®€£"}',
+    ]:
+        got = _get(server, "/api/v1/query", query=q,
+                   time="2024-01-01T00:01:00.000Z", step="5m")
+        (r,) = got["data"]["result"]
+        assert r["metric"] == {
+            "__name__": "3fooµ¥", "3👋tfにちは": "漢©®€£",
+        }, q
+        assert r["value"] == [1704067260.0, "1"], q
+
+
+def test_stale_nan_instant_behavior(server):
+    """Instant queries drop stale markers; the raw selector[d] view
+    (like export) shows them as NaN (issues/5806)."""
+    import math
+
+    assert _post(server, "/api/v1/import/prometheus", "\n".join([
+        "stale_metric 1 1704067260000",   # 00:01
+    ])) in (200, 204)
+    # marker via remote-write protobuf (the Prometheus stale-NaN bit
+    # pattern 0x7ff0000000000002, decoded to is_stale by the parser)
+    import struct
+
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+    )
+
+    stale_nan = struct.unpack(
+        "<d", struct.pack("<Q", 0x7FF0000000000002)
+    )[0]
+    payload = encode_write_request(
+        [({"__name__": "stale_metric"}, [(1704067320000, stale_nan)])]
+    )
+    _INGEST["api"].write_remote(payload)
+    _get(server, "/internal/force_flush")
+
+    got = _get(server, "/api/v1/query", query="stale_metric",
+               time="2024-01-01T00:01:00.000Z", step="5m")
+    (r,) = got["data"]["result"]
+    assert r["value"] == [1704067260.0, "1"]
+    # at the marker's ts the series is stale → empty
+    got = _get(server, "/api/v1/query", query="stale_metric",
+               time="2024-01-01T00:02:00.000Z", step="5m")
+    assert got["data"]["result"] == []
+    # raw view shows the marker as NaN
+    got = _get(server, "/api/v1/query", query="stale_metric[2m]",
+               time="2024-01-01T00:02:00.000Z", step="5m")
+    (r,) = got["data"]["result"]
+    assert r["values"][0] == [1704067260.0, "1"]
+    assert r["values"][1][0] == 1704067320.0
+    assert r["values"][1][1] == "NaN"
+
+
+def test_at_modifier_with_series_expr(server):
+    """issues/8444: `vector(1) @ up` resolves the @ from the series'
+    value; an all-NaN @ expression errors with the reference message."""
+    assert _post(server, "/api/v1/import/prometheus",
+                 "up_at 1735689660 1735689660000") in (200, 204)
+    _get(server, "/internal/force_flush")
+    got = _get(server, "/api/v1/query_range", query="vector(1) @ up_at",
+               start="2025-01-01T00:00:00Z", end="2025-01-01T00:02:00Z",
+               step="10s")
+    assert got["status"] == "success"
+    (series,) = got["data"]["result"]
+    assert all(v == "1" for _, v in series["values"])
+    import urllib.error
+
+    try:
+        _get(server, "/api/v1/query_range", query="vector(1) @ no_such_at",
+             start="2025-01-01T00:00:00Z", end="2025-01-01T00:02:00Z",
+             step="10s")
+        raise AssertionError("expected error")
+    except urllib.error.HTTPError as e:
+        body = json.loads(e.read())
+        assert "`@` modifier must return a non-NaN value" in body["error"]

@@ -186,8 +186,12 @@ class PromAPI:
         tenant: str | None = None,
         accept_estimate_drift: bool = False,
         samples_table: str | None = None,
+        dedup_interval_ms: int = 0,
     ):
         self.spark = spark
+        # -dedup.minScrapeInterval analog: query-time dedup-on-read for
+        # every eval AND raw export/series scan (lib/storage/dedup.go)
+        self.dedup_interval_ms = int(dedup_interval_ms)
         if tenant is not None and "tenant" in samples.columns:
             samples = samples.filter(
                 F.col("tenant") == parse_tenant(tenant)
@@ -317,6 +321,7 @@ class PromAPI:
             step=step_ms,
             max_lookback=self.max_lookback_ms,
             lookback_delta=lookback_delta_ms,
+            dedup_interval_ms=self.dedup_interval_ms,
             enforced_filters=enforced,
         )
         plan_span = (
@@ -479,8 +484,22 @@ class PromAPI:
         end = t_ms - offset_ms
         start = end - window_ms + 1
         df = self.samples
+        if self.dedup_interval_ms > 0:
+            from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+            df = dedup_samples(df, self.dedup_interval_ms)
+        # raw-sample view: stale markers stay visible as NaN, exactly
+        # like /api/v1/export and VM's selector[d] instant response
+        # (apptest metricsql_test.go issues/5806 — VM itself returns the
+        # marker here)
         if "is_stale" in df.columns:
-            df = df.filter(~F.coalesce(F.col("is_stale"), F.lit(False)))
+            df = df.withColumn(
+                "value",
+                F.when(
+                    F.coalesce(F.col("is_stale"), F.lit(False)),
+                    F.lit(float("nan")),
+                ).otherwise(F.col("value")),
+            )
         if enforced:
             from victoriametrics_spark.metricsql.ast import LabelFilter
 
@@ -545,6 +564,10 @@ class PromAPI:
         )
 
         df = self.samples
+        if self.dedup_interval_ms > 0:
+            from victoriametrics_spark.streaming.streamaggr import dedup_samples
+
+            df = dedup_samples(df, self.dedup_interval_ms)
         if enforced:
             df = df.filter(
                 selector_predicate(
@@ -2156,12 +2179,24 @@ class IngestAPI:
         logs_table: str | None = None,
         sink=None,
         tenant: str | None = None,
+        retention_ms: int = 0,
+        future_retention_ms: int = 0,
+        now_ms_fn=None,
     ):
         self.spark = spark
         self.samples_table = samples_table
         self.logs_table = logs_table
         # sink(df, kind) override for tests / custom destinations
         self.sink = sink
+        # ingest-time retention guards (lib/storage Storage.add rejects
+        # rows older than -retentionPeriod or later than
+        # -futureRetention; rejected rows count toward
+        # vm_rows_ignored_total). 0 = unlimited (tests/backfill default;
+        # VM defaults futureRetention=2d).
+        self.retention_ms = int(retention_ms)
+        self.future_retention_ms = int(future_retention_ms)
+        self._now_ms = now_ms_fn or (lambda: int(__import__("time").time() * 1000))
+        self.rows_ignored_total = 0
         # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
         # multitenant vminsert routing): every written row is tagged
         self.tenant = parse_tenant(tenant) if tenant is not None else None
@@ -2214,7 +2249,36 @@ class IngestAPI:
         )
         return self._write_samples(sketches_to_samples(payloads))
 
-    def _write_samples(self, df: DataFrame) -> int:
+    def _write_samples(self, df: DataFrame, extra_labels=None) -> int:
+        if extra_labels:
+            # write-side extra_label params (vminsert: applied to every
+            # ingested row across all import APIs)
+            add = F.create_map(
+                *[F.lit(x) for kv in extra_labels for x in kv]
+            )
+            df = df.withColumn(
+                "labels",
+                F.map_concat(
+                    F.coalesce(F.col("labels"), F.expr("map()")), add
+                ),
+            )
+        if self.retention_ms > 0 or self.future_retention_ms > 0:
+            now = self._now_ms()
+            lo = now - self.retention_ms if self.retention_ms > 0 else None
+            hi = (
+                now + self.future_retention_ms
+                if self.future_retention_ms > 0
+                else None
+            )
+            total = df.count()
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("ts") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("ts") <= hi)
+            df = df.filter(cond)
+            kept = df.count()
+            self.rows_ignored_total += total - kept
         if self.tenant is not None:
             df = with_tenant(df, self.tenant)
         n = df.count()
@@ -2246,7 +2310,13 @@ class IngestAPI:
         payloads = self.spark.createDataFrame([(bytearray(body),)], "payload binary")
         return self._write_samples(remote_write_to_samples(payloads))
 
-    def import_lines(self, body: str, fmt: str, default_ts_ms: int = 0) -> int:
+    def import_lines(
+        self,
+        body: str,
+        fmt: str,
+        default_ts_ms: int = 0,
+        extra_labels=None,
+    ) -> int:
         """POST /api/v1/import[...] & friends — line dialects."""
         from victoriametrics_spark.streaming import parsers as P
 
@@ -2263,7 +2333,7 @@ class IngestAPI:
             df = P.parse_opentsdb(lines)
         else:
             raise ValueError(f"unknown import format {fmt!r}")
-        return self._write_samples(df)
+        return self._write_samples(df, extra_labels=extra_labels)
 
     def import_csv(self, body: str, format_spec: str) -> int:
         """POST /api/v1/import/csv?format=... — the csvimport column
@@ -2314,7 +2384,7 @@ class IngestAPI:
         df = df.withColumn(f"c{ts_col}", ts_expr)
         return self._write_samples(parse_csv_import(df, entries, ts_col))
 
-    def import_native(self, raw: bytes) -> int:
+    def import_native(self, raw: bytes, extra_labels=None) -> int:
         """POST /api/v1/import/native — round-trips /api/v1/export/native
         (the engine's native format is a parquet blob of
         (name, labels, ts, value))."""
@@ -2342,7 +2412,7 @@ class IngestAPI:
             # through executors only, and a deferred sink can still read
             # the frame after the temp dir is gone
             out = out.localCheckpoint(eager=True)
-            return self._write_samples(out)
+            return self._write_samples(out, extra_labels=extra_labels)
         finally:
             _shutil.rmtree(d, ignore_errors=True)
 
@@ -2680,6 +2750,11 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b""
             try:
+                extra_labels = []
+                for kv in q.get("extra_label", []):
+                    if "=" not in kv:
+                        raise ValueError(f"invalid extra_label {kv!r}")
+                    extra_labels.append(tuple(kv.split("=", 1)))
                 # real agents compress by default (Datadog: deflate,
                 # OTLP/NewRelic exporters: gzip; the reference wraps
                 # every reader in common.GetUncompressedReader)
@@ -2708,16 +2783,23 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 if u.path == "/api/v1/write":
                     cnt = ingest_api.write_remote(raw)
                 elif u.path == "/api/v1/import":
-                    cnt = ingest_api.import_lines(raw.decode(), "jsonl")
+                    cnt = ingest_api.import_lines(
+                        raw.decode(), "jsonl", extra_labels=extra_labels
+                    )
                 elif u.path == "/api/v1/import/prometheus":
                     ts = int(q.get("timestamp", ["0"])[0])
-                    cnt = ingest_api.import_lines(raw.decode(), "prometheus", ts)
+                    cnt = ingest_api.import_lines(
+                        raw.decode(), "prometheus", ts,
+                        extra_labels=extra_labels,
+                    )
                 elif u.path == "/api/v1/import/csv":
                     cnt = ingest_api.import_csv(
                         raw.decode(), q.get("format", [""])[0]
                     )
                 elif u.path == "/api/v1/import/native":
-                    cnt = ingest_api.import_native(raw)
+                    cnt = ingest_api.import_native(
+                        raw, extra_labels=extra_labels
+                    )
                 elif u.path in ("/influx/write", "/write"):
                     cnt = ingest_api.import_lines(raw.decode(), "influx")
                 elif u.path == "/opentsdb/api/put":

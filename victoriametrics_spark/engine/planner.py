@@ -251,6 +251,38 @@ class Planner:
                     return float(v)
         raise PlanError(f"expected a constant scalar argument, got {e!r}")
 
+    def at_value(self, e: Expr, cfg: EvalConfig) -> float:
+        """Resolve an `@` modifier expression to seconds
+        (eval.go:905-932): constants stay driver-side; any other
+        expression is evaluated over the query range and must yield
+        exactly one series with a non-NaN value (first non-NaN wins) —
+        `vector(1) @ up` works, `@ <all-NaN series>` errors with the
+        reference's message."""
+        import math as _math
+
+        try:
+            return self.const_value(e, cfg)
+        except PlanError:
+            pass
+        df = self.materialize(self.plan(e, cfg), cfg)
+        rows = df.select("name", "labels", "ts", "value").collect()
+        keys = {(r["name"], tuple(sorted((r["labels"] or {}).items()))) for r in rows}
+        if len(keys) == 0:
+            # the row model drops all-NaN series (a marker-only series
+            # in VM evaluates to one all-NaN series here it is absent),
+            # so an empty result maps to the no-usable-value error
+            raise PlanError("`@` modifier must return a non-NaN value")
+        if len(keys) != 1:
+            raise PlanError(
+                "`@` modifier must return a single series; "
+                f"it returns {len(keys)} series instead"
+            )
+        for r in sorted(rows, key=lambda r: r["ts"]):
+            v = r["value"]
+            if v is not None and not _math.isnan(v):
+                return float(v)
+        raise PlanError("`@` modifier must return a non-NaN value")
+
     # ------------------------------------------------------------ dispatch
     def plan(self, e: Expr, cfg: EvalConfig) -> Plan:
         """Common-subexpression cache around _plan_inner: repeated subtrees
@@ -757,7 +789,7 @@ class Planner:
 
         for idx, a in enumerate(fe.args):
             if isinstance(a, RollupExpr) and a.at is not None:
-                at_s = self.const_value(a.at, cfg)
+                at_s = self.at_value(a.at, cfg)
                 at_ms = int(at_s * 1000)
                 sub_cfg = EvalConfig(
                     start=at_ms,

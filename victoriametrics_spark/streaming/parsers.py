@@ -103,26 +103,53 @@ def parse_influx(lines: DataFrame) -> DataFrame:
 
 def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
     """Prometheus exposition text: ``metric{a="b",...} value [ts_ms]``
-    (federate/scrape format; comments and blank lines skipped)."""
+    (federate/scrape format; comments and blank lines skipped), plus the
+    UTF-8 names syntax ``{"any name", "any label"="v"} value [ts_ms]``
+    (Prometheus 3.x / VM: quoted metric and label names inside the
+    braces)."""
     l = F.trim(F.col("value"))
     data = lines.select(l.alias("value")).filter(
         (l != "") & ~l.startswith("#")
     )
-    name = F.regexp_extract(F.col("value"), r"^([a-zA-Z_:][a-zA-Z0-9_:.]*)", 1)
-    labels_str = F.regexp_extract(F.col("value"), r"^[^{\s]+\{([^}]*)\}", 1)
-    rest = F.trim(F.regexp_replace(F.col("value"), r"^[^{\s]+(\{[^}]*\})?", ""))
+    utf8 = F.col("value").startswith("{")
+    classic_name = F.regexp_extract(
+        F.col("value"), r"^([a-zA-Z_:][a-zA-Z0-9_:.]*)", 1
+    )
+    labels_str = F.when(
+        utf8, F.regexp_extract(F.col("value"), r"^\{([^}]*)\}", 1)
+    ).otherwise(
+        F.regexp_extract(F.col("value"), r"^[^{\s]+\{([^}]*)\}", 1)
+    )
+    rest = F.trim(
+        F.when(
+            utf8, F.regexp_replace(F.col("value"), r"^\{[^}]*\}", "")
+        ).otherwise(
+            F.regexp_replace(F.col("value"), r"^[^{\s]+(\{[^}]*\})?", "")
+        )
+    )
+    elems = F.split(labels_str, r",\s*")
+    unq = lambda c: F.regexp_replace(c, r'^"|"$', "")  # noqa: E731
+    # UTF-8 form: the bare quoted element is the metric name
+    utf8_name = unq(
+        F.element_at(
+            F.concat(
+                F.filter(elems, lambda p: (p != "") & ~p.contains("=")),
+                F.array(F.lit('""')),
+            ),
+            1,
+        )
+    )
+    name = F.when(utf8, utf8_name).otherwise(classic_name)
     val = F.split_part(rest, F.lit(" "), F.lit(1))
     ts_str = F.split_part(rest, F.lit(" "), F.lit(2))
-    # label pairs: a="b" — strip quotes after splitting on commas
-    pairs = F.filter(F.split(labels_str, r",\s*"), lambda p: p.contains("="))
+    # label pairs: a="b" or "quoted name"="b" — strip quotes both sides
+    pairs = F.filter(elems, lambda p: p.contains("="))
     labels = F.map_from_entries(
         F.transform(
             pairs,
             lambda p: F.struct(
-                F.split_part(p, F.lit("="), F.lit(1)).alias("key"),
-                F.regexp_replace(
-                    F.split_part(p, F.lit("="), F.lit(2)), r'^"|"$', ""
-                ).alias("value"),
+                unq(F.split_part(p, F.lit("="), F.lit(1))).alias("key"),
+                unq(F.split_part(p, F.lit("="), F.lit(2))).alias("value"),
             ),
         )
     )

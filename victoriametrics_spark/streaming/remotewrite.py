@@ -73,6 +73,17 @@ def snappy_uncompress(data: bytes) -> bytes:
     return bytes(out)
 
 
+_STALE_NAN_BYTES = struct.pack("<Q", 0x7FF0000000000002)
+
+
+def is_stale_nan(val: float) -> bool:
+    """Prometheus staleness marker: the specific NaN bit pattern
+    (decimal.StaleNaN). Bit-compare — ordinary NaNs are data."""
+    import math as _math
+
+    return _math.isnan(val) and struct.pack("<d", val) == _STALE_NAN_BYTES
+
+
 def snappy_compress(data: bytes) -> bytes:
     """Valid (if unambitious) snappy stream: one literal run per 2^24
     bytes. Decompresses under ANY conformant reader — used for tests and
@@ -219,6 +230,9 @@ def remote_write_to_samples(
     (one task per payload batch — no shuffle)."""
     import pandas as pd
 
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
     src = payloads.select(col)
 
     def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -230,9 +244,23 @@ def remote_write_to_samples(
                 for name, labels, ts, val in decode_write_request(
                     bytes(blob), compressed=compressed
                 ):
-                    rows.append((name, labels, ts, val, False))
+                    rows.append((name, labels, ts, val, is_stale_nan(val)))
             yield pd.DataFrame(
                 rows, columns=["name", "labels", "ts", "value", "is_stale"]
             )
 
-    return src.mapInPandas(_decode, schema=SAMPLE_SCHEMA)
+    # Arrow turns NaN into NULL at the pandas->JVM crossing, so the
+    # transfer schema must be nullable and the NaN restored JVM-side —
+    # otherwise a Prometheus staleness marker (a NaN by definition)
+    # kills the decode with 'Value at index is null'.
+    xfer = StructType(
+        [StructField(f.name, f.dataType, True) for f in SAMPLE_SCHEMA.fields]
+    )
+    df = src.mapInPandas(_decode, schema=xfer)
+    return df.select(
+        "name",
+        "labels",
+        "ts",
+        F.coalesce(F.col("value"), F.lit(float("nan"))).alias("value"),
+        F.coalesce(F.col("is_stale"), F.lit(False)).alias("is_stale"),
+    )
