@@ -1332,3 +1332,20 @@ def test_ingest_json_dialect_routes(spark):
         assert e.code == 400
     assert len(captured) == before  # nothing written
     srv.shutdown()
+
+
+def test_extra_filters_multiple_are_alternatives(api):
+    """Multiple extra_filters[] params OR together, each AND-combined
+    with extra_label (searchutil.JoinTagFilterss — the cluster
+    rollup_result_cache apptest queries two tenants this way)."""
+    enforced = api.enforced_from_params(
+        [], ['{job="a"}', '{job="b"}']
+    )
+    out = api.query("http_requests_total", time="1500", enforced=enforced)
+    assert {r["metric"]["job"] for r in out["data"]["result"]} == {"a", "b"}
+    # extra_label ANDs into each alternative
+    both = api.enforced_from_params(
+        ["code=200"], ['{job="a"}', '{job="b"}']
+    )
+    out = api.query("http_requests_total", time="1500", enforced=both)
+    assert {r["metric"]["job"] for r in out["data"]["result"]} == {"a"}

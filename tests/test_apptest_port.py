@@ -816,3 +816,121 @@ def test_at_modifier_with_series_expr(server):
     except urllib.error.HTTPError as e:
         body = json.loads(e.read())
         assert "`@` modifier must return a non-NaN value" in body["error"]
+
+
+# ----------------------------------------------------------------------
+# multitenant_test.go — cluster-style tenant routing over one server:
+# /insert/<tenant>/prometheus/... writes, /select/<tenant>/prometheus
+# reads, and the `multitenant` pseudo-tenant searching every tenant
+# with (vm_account_id, vm_project_id) labels.
+
+
+@pytest.fixture(scope="module")
+def mt_server(spark):
+    from victoriametrics_spark.api import PromAPI, serve
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_samples_table,
+    )
+
+    table = "apptest_mt_samples"
+    seed = spark.createDataFrame([], SAMPLE_SCHEMA).withColumn(
+        "tenant", F_lit_str("0:0")
+    )
+    write_samples_table(seed, table, n_buckets=8)
+    api = PromAPI(
+        spark, spark.table(table), samples_table=table, tenant="0:0"
+    )
+    srv = serve(
+        api,
+        port=0,
+        ingest_api=IngestAPI(spark, samples_table=table, tenant="0:0"),
+        tenant_table=table,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    drop_samples_table(spark, table)
+
+
+def F_lit_str(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v)
+
+
+COMMON_SAMPLES = "\n".join([
+    "foo_bar 1.00 1652169600000",
+    "foo_bar 2.00 1652169660000",
+    "foo_bar 3.00 1652169720000",
+])
+
+
+def test_multitenant_select(mt_server):
+    # empty multitenant search before any writes
+    got = _get(mt_server, "/select/multitenant/prometheus/api/v1/query",
+               query="foo_bar", step="5m", time="2022-05-10T08:03:00.000Z")
+    assert got["data"]["result"] == []
+
+    # per-tenant write + read isolation
+    for tenant in ("1:1", "1:15"):
+        assert _post(
+            mt_server,
+            f"/insert/{tenant}/prometheus/api/v1/import/prometheus",
+            COMMON_SAMPLES,
+        ) in (200, 204)
+        got = _get(
+            mt_server,
+            f"/select/{tenant}/prometheus/api/v1/query",
+            query="foo_bar", time="2022-05-10T08:05:00.000Z",
+        )
+        (r,) = got["data"]["result"]
+        assert r["metric"] == {"__name__": "foo_bar"}
+        assert r["value"] == [1652169900.0, "3"]
+
+    # multitenant instant query exposes tenant labels
+    got = _get(mt_server, "/select/multitenant/prometheus/api/v1/query",
+               query="foo_bar", time="2022-05-10T08:05:00.000Z")
+    res = sorted(
+        got["data"]["result"],
+        key=lambda r: int(r["metric"]["vm_project_id"]),
+    )
+    assert [r["metric"] for r in res] == [
+        {"__name__": "foo_bar", "vm_account_id": "1", "vm_project_id": "1"},
+        {"__name__": "foo_bar", "vm_account_id": "1", "vm_project_id": "15"},
+    ]
+    assert all(r["value"] == [1652169900.0, "3"] for r in res)
+
+    # range aggregation BY the tenant labels
+    got = _get(mt_server, "/select/multitenant/prometheus/api/v1/query_range",
+               query="sum(foo_bar) by(vm_account_id,vm_project_id)",
+               start="2022-05-10T07:59:00.000Z",
+               end="2022-05-10T08:05:00.000Z", step="1m")
+    res = sorted(
+        got["data"]["result"],
+        key=lambda r: int(r["metric"]["vm_project_id"]),
+    )
+    assert [r["metric"] for r in res] == [
+        {"vm_account_id": "1", "vm_project_id": "1"},
+        {"vm_account_id": "1", "vm_project_id": "15"},
+    ]
+    for r in res:
+        assert [(t, v) for t, v in r["values"]][:4] == [
+            (1652169600.0, "1"), (1652169660.0, "2"),
+            (1652169720.0, "3"), (1652169780.0, "3"),
+        ]
+
+    # /api/v1/series across tenants
+    got = _get(mt_server, "/select/multitenant/prometheus/api/v1/series",
+               **{"match[]": "foo_bar", "start": "2022-05-10T08:03:00.000Z"})
+    assert sorted(
+        (m["vm_account_id"], m["vm_project_id"]) for m in got["data"]
+    ) == [("1", "1"), ("1", "15")]
+
+    # a tenant with no data stays empty (isolation)
+    got = _get(mt_server, "/select/2:1/prometheus/api/v1/query",
+               query="foo_bar", time="2022-05-10T08:05:00.000Z")
+    assert got["data"]["result"] == []

@@ -35,6 +35,24 @@ from victoriametrics_spark.metricsql.ast import DurationExpr
 DEFAULT_STEP_MS = 300_000  # 5m, prometheus.go:72
 
 
+def _enforced_expr(enforced):
+    """Enforced filter groups → a MetricExpr whose OR-groups mirror
+    JoinTagFilterss (flat triples accepted as one group)."""
+    from victoriametrics_spark.metricsql.ast import LabelFilter, MetricExpr
+
+    groups = (
+        (tuple(enforced),)
+        if enforced and isinstance(enforced[0][0], str)
+        else enforced
+    )
+    return MetricExpr(
+        label_filterss=[
+            [LabelFilter(label=lb, op=op, value=v) for lb, op, v in g]
+            for g in groups
+        ]
+    )
+
+
 def _parse_time(v: str | None, default_ms: int) -> int:
     """Unix seconds (int/float) or RFC3339 (httputil.GetTime accepts
     both; Grafana sends RFC3339 for absolute ranges)."""
@@ -243,14 +261,17 @@ class PromAPI:
         from victoriametrics_spark.metricsql import parse
         from victoriametrics_spark.metricsql.ast import MetricExpr
 
-        out: list = []
+        base: list = []
         for el in extra_labels or []:
             if "=" not in el:
                 raise ValueError(
                     f"missing '=' in extra_label={el!r}; want label=value"
                 )
             k, v = el.split("=", 1)
-            out.append((k, "=", v))
+            base.append((k, "=", v))
+        # multiple extra_filters[] params are ALTERNATIVES (OR), each
+        # AND-combined with the extra_label set — JoinTagFilterss
+        groups: list = []
         for ef in extra_filters or []:
             e = parse(ef)
             if not isinstance(e, MetricExpr) or len(e.label_filterss) != 1:
@@ -258,9 +279,15 @@ class PromAPI:
                     f"extra_filters[] must be a plain series selector "
                     f"(no OR groups): {ef!r}"
                 )
-            for f in e.label_filterss[0]:
-                out.append((f.label, f.op, f.value))
-        return tuple(out)
+            groups.append(
+                tuple(base)
+                + tuple(
+                    (f.label, f.op, f.value) for f in e.label_filterss[0]
+                )
+            )
+        if not groups:
+            return (tuple(base),) if base else ()
+        return tuple(groups)
 
     def _eval(
         self,
@@ -501,20 +528,7 @@ class PromAPI:
                 ).otherwise(F.col("value")),
             )
         if enforced:
-            from victoriametrics_spark.metricsql.ast import LabelFilter
-
-            df = df.filter(
-                selector_predicate(
-                    MetricExpr(
-                        label_filterss=[
-                            [
-                                LabelFilter(label=lb, op=op, value=v)
-                                for lb, op, v in enforced
-                            ]
-                        ]
-                    )
-                )
-            )
+            df = df.filter(selector_predicate(_enforced_expr(enforced)))
         df = df.filter(
             selector_predicate(e.expr)
             & (F.col("ts") >= start)
@@ -554,6 +568,7 @@ class PromAPI:
         start: str | None,
         end: str | None,
         enforced: tuple = (),
+        day_granular: bool = False,
     ):
         from victoriametrics_spark.engine.planner import selector_predicate
         from victoriametrics_spark.metricsql import parse
@@ -570,21 +585,30 @@ class PromAPI:
             df = dedup_samples(df, self.dedup_interval_ms)
         if enforced:
             df = df.filter(
-                selector_predicate(
-                    MetricExpr(
-                        label_filterss=[
-                            [
-                                LabelFilter(label=lb, op=op, value=v)
-                                for lb, op, v in enforced
-                            ]
-                        ]
-                    )
-                )
+                selector_predicate(_enforced_expr(enforced))
             )
         if start:
-            df = df.filter(F.col("ts") >= _parse_time(start, 0))
+            lo = _parse_time(start, 0)
+            if day_granular:
+                # series/labels lookups resolve through VM's PER-DAY
+                # inverted index (lib/storage/index_db.go): any series
+                # alive on the covered days matches, regardless of
+                # intra-day timestamps (apptest multitenant /series)
+                df = df.filter(
+                    F.to_date(F.timestamp_millis(F.col("ts")))
+                    >= F.to_date(F.timestamp_millis(F.lit(lo)))
+                )
+            else:
+                df = df.filter(F.col("ts") >= lo)
         if end:
-            df = df.filter(F.col("ts") <= _parse_time(end, 1 << 62))
+            hi = _parse_time(end, 1 << 62)
+            if day_granular:
+                df = df.filter(
+                    F.to_date(F.timestamp_millis(F.col("ts")))
+                    <= F.to_date(F.timestamp_millis(F.lit(hi)))
+                )
+            else:
+                df = df.filter(F.col("ts") <= hi)
         preds = []
         for m in matches or []:
             e = parse(m)
@@ -607,7 +631,7 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches, start, end, enforced)
+        df = self._match_df(matches, start, end, enforced, day_granular=True)
         rows = (
             df.groupBy("name", F.map_entries("labels").alias("__e"))
             .agg(F.first(F.lit(1)))
@@ -626,7 +650,9 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches or [], start, end, enforced)
+        df = self._match_df(
+            matches or [], start, end, enforced, day_granular=True
+        )
         keys = (
             df.select(F.explode(F.map_keys("labels")).alias("k"))
             .distinct()
@@ -643,7 +669,9 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
     ) -> dict:
-        df = self._match_df(matches or [], start, end, enforced)
+        df = self._match_df(
+            matches or [], start, end, enforced, day_granular=True
+        )
         if label == "__name__":
             col = F.col("name")
         else:
@@ -2435,12 +2463,41 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
-    ``.handle_request()``)."""
+    ``.handle_request()``).
+
+    With ``tenant_table`` set (a multi-tenant bucketed samples table),
+    the cluster-style tenant routes activate:
+    ``/select/<accountID[:projectID]>/prometheus/...`` scopes reads to
+    one tenant, ``/select/multitenant/prometheus/...`` searches every
+    tenant with (vm_account_id, vm_project_id) labels attached, and
+    ``/insert/<token>/...`` scopes writes (app/vmselect + app/vminsert
+    multitenant routing)."""
 
     label_values_re = re.compile(r"^/api/v1/label/([^/]+)/values$")
+    tenant_re = re.compile(r"^\d+(:\d+)?$")
+    default_api, default_ingest = api, ingest_api
+
+    def tenant_select_api(token: str) -> PromAPI:
+        from victoriametrics_spark.storage.layout import (
+            read_samples_multitenant,
+            read_samples_table,
+        )
+
+        if token == "multitenant":
+            df = read_samples_multitenant(default_api.spark, tenant_table)
+        else:
+            df = read_samples_table(
+                default_api.spark, tenant_table, tenant=token
+            )
+        return PromAPI(default_api.spark, df)
+
+    def tenant_ingest_api(token: str) -> "IngestAPI":
+        return IngestAPI(
+            default_api.spark, samples_table=tenant_table, tenant=token
+        )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -2455,8 +2512,29 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             self.wfile.write(data)
 
         def do_GET(self):  # noqa: N802
+            api = default_api
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            # cluster-style tenant routing:
+            # /select/<token>/{prometheus,graphite}/<rest>
+            if tenant_table and u.path.startswith("/select/"):
+                parts = u.path.split("/", 4)
+                if (
+                    len(parts) >= 5
+                    and (parts[2] == "multitenant" or tenant_re.match(parts[2]))
+                    and parts[3] in ("prometheus", "graphite")
+                ):
+                    try:
+                        api = tenant_select_api(parts[2])
+                    except Exception as e:
+                        self._send(
+                            400,
+                            json.dumps(
+                                {"status": "error", "error": str(e)}
+                            ),
+                        )
+                        return
+                    u = u._replace(path="/" + parts[4])
             # reference main.go strips a "/graphite" prefix so
             # /graphite/metrics/find == /metrics/find etc.
             if u.path.startswith("/graphite/"):
@@ -2740,13 +2818,24 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             self._send(200, json.dumps(out))
 
         def do_POST(self):  # noqa: N802
+            ingest_api = default_ingest
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            # cluster-style tenant routing: /insert/<token>/<rest>
+            # (the reference also nests /prometheus before /api/v1/*)
+            if tenant_table and u.path.startswith("/insert/"):
+                parts = u.path.split("/", 3)
+                if len(parts) >= 4 and tenant_re.match(parts[2]):
+                    ingest_api = tenant_ingest_api(parts[2])
+                    rest = "/" + parts[3]
+                    if rest.startswith("/prometheus/api/"):
+                        rest = rest[len("/prometheus"):]
+                    u = u._replace(path=rest)
             if ingest_api is None:
                 self._send(
                     404, json.dumps({"status": "error", "error": "no ingest"})
                 )
                 return
-            u = urlparse(self.path)
-            q = parse_qs(u.query)
             n = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(n) if n else b""
             try:

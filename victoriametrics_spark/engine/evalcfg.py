@@ -35,10 +35,14 @@ class EvalConfig:
     # 29-60) — every selector scan keeps only the last sample per aligned
     # interval bucket per series. 0 disables.
     dedup_interval_ms: int = 0
-    # Enforced extra filters (multi-tenant safety): (label, op, value)
-    # triples ANDed into EVERY selector scan — the extra_label /
-    # extra_filters query args (eval.go:144-146 EnforcedTagFilterss).
-    enforced_filters: tuple[tuple[str, str, str], ...] = ()
+    # Enforced extra filters (multi-tenant safety) — the extra_label /
+    # extra_filters[] query args (searchutil.JoinTagFilterss /
+    # EnforcedTagFilterss, eval.go:144-146). Shape: a tuple of GROUPS,
+    # each group a tuple of (label, op, value) triples; the groups OR
+    # together and AND into every selector scan (multiple
+    # extra_filters[] params are alternatives in VM). A flat tuple of
+    # triples is accepted as a single group (legacy shape).
+    enforced_filters: tuple = ()
     # Wide-window/fine-step cutover: when window/step exceeds this ratio
     # (and the window is a step multiple), decomposable rollups switch
     # from the contribution-explode plan (amplification = window/step per
@@ -64,6 +68,15 @@ class EvalConfig:
 
     def grid(self) -> list[int]:
         return list(range(self.start, self.end + 1, self.step))
+
+    def enforced_groups(self) -> tuple:
+        """Normalized enforced filters: tuple of OR-groups of triples."""
+        ef = self.enforced_filters
+        if not ef:
+            return ()
+        if isinstance(ef[0][0], str):  # flat triples → one group
+            return (tuple(ef),)
+        return tuple(tuple(g) for g in ef)
 
     def with_range(self, start: int, end: int, step: int | None = None) -> EvalConfig:
         return replace(self, start=start, end=end, step=step or self.step)

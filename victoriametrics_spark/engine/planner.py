@@ -530,15 +530,17 @@ class Planner:
         eval.go:144-146) and optional dedup-on-read
         (-dedup.minScrapeInterval analog)."""
         out = self.samples.filter(selector_predicate(me))
-        if self.cfg.enforced_filters:
+        groups = self.cfg.enforced_groups()
+        if groups:
             from victoriametrics_spark.metricsql.ast import LabelFilter
 
             enforced = MetricExpr(
                 label_filterss=[
                     [
                         LabelFilter(label=lb, op=op, value=v)
-                        for lb, op, v in self.cfg.enforced_filters
+                        for lb, op, v in g
                     ]
+                    for g in groups
                 ]
             )
             out = out.filter(selector_predicate(enforced))

@@ -127,13 +127,26 @@ def write_samples_table(
 
 
 def append_samples(
-    samples: DataFrame, table: str, n_buckets: int = DEFAULT_BUCKETS
+    samples: DataFrame, table: str, n_buckets: "int | None" = None
 ) -> None:
     """Ingest-path append (the in-memory-part flush analog,
-    lib/storage/partition.go:42). Appends create extra files per bucket;
-    run :func:`compact_samples_table` periodically to restore the
-    one-file-per-(date, bucket) invariant."""
-    write_samples_table(samples, table, n_buckets=n_buckets, mode="append")
+    lib/storage/partition.go:42). Adopts the EXISTING table's bucket
+    spec (Spark rejects appends with a mismatched one); ``n_buckets``
+    only applies when the table doesn't exist yet. Appends create extra
+    files per bucket; run :func:`compact_samples_table` periodically to
+    restore the one-file-per-(date, bucket) invariant."""
+    spark = samples.sparkSession
+    cur = None
+    try:
+        cur = _table_num_buckets(spark, table)
+    except Exception:
+        pass
+    write_samples_table(
+        samples,
+        table,
+        n_buckets=cur or n_buckets or DEFAULT_BUCKETS,
+        mode="append",
+    )
 
 
 def read_samples_table(
@@ -1271,6 +1284,36 @@ def apply_logs_retention(
     if dropped:
         spark.catalog.refreshTable(table)
     return dropped
+
+
+def read_samples_multitenant(spark: SparkSession, table: str) -> DataFrame:
+    """ALL tenants' samples with the tenant identity exposed as the
+    ``vm_account_id`` / ``vm_project_id`` labels — the cluster
+    vmselect `multitenant` endpoint's data model
+    (app/vmselect: querying tenant `multitenant` returns every
+    tenant's series tagged with its (AccountID, ProjectID))."""
+    df = _apply_tombstones(spark, spark.table(table), table)
+    if "tenant" not in df.columns:
+        raise ValueError(f"table {table!r} has no tenant partition")
+    t = F.col("tenant").cast("string")
+    acc = F.split_part(t, F.lit(":"), F.lit(1))
+    proj = F.split_part(t, F.lit(":"), F.lit(2))
+    labels = F.map_concat(
+        F.coalesce(F.col("labels"), F.expr("map()")),
+        F.create_map(
+            F.lit("vm_account_id"), acc, F.lit("vm_project_id"), proj
+        ),
+    )
+    out = df.withColumn("labels", labels).drop("tenant")
+    if "__series_key" in out.columns:
+        # the STORED key doesn't embed the tenant (VM series keys are
+        # per-tenant-index-scoped) — two tenants' identically-labeled
+        # series share it and would merge into one series downstream;
+        # recompute over the tenant-augmented labels
+        out = out.withColumn(
+            "__series_key", series_key(F.col("name"), F.col("labels"))
+        )
+    return out
 
 
 def read_logs_table(
