@@ -1266,10 +1266,9 @@ def test_ingest_json_dialect_routes(spark):
     post("/datadog/api/v2/series", _json.dumps(dd2), 202)
     assert any(r["name"] == "dd.m2" for r in captured[-1][1])
 
-    zb = {"request": "sender data",
-          "data": [{"host": "z1", "key": "cpu.load", "value": "1.5",
-                    "clock": 10, "ns": 0}]}
-    post("/zabbixconnector/api/v1/history", _json.dumps(zb), 204)
+    zb = ('{"host":{"host":"z1","name":"zn1"},"item_tags":[],'
+          '"name":"cpu.load","clock":10,"ns":0,"value":1.5}')
+    post("/zabbixconnector/api/v1/history", zb, 204)
     assert any(r["labels"]["host"] == "z1" for r in captured[-1][1])
 
     post("/datadog/api/v1/validate", "{}", 202)

@@ -934,3 +934,147 @@ def test_multitenant_select(mt_server):
     got = _get(mt_server, "/select/2:1/prometheus/api/v1/query",
                query="foo_bar", time="2022-05-10T08:05:00.000Z")
     assert got["data"]["result"] == []
+
+
+# ----------------------------------------------------------------------
+# snapshot_test.go — create/list/delete over the HTTP surface with the
+# reference's name format and response shapes.
+
+
+def test_snapshot_create_list_delete(server):
+    import re
+
+    name_re = re.compile(
+        r"^(19[789]\d|20[0-9]{2})(0\d|1[0-2])([0-2]\d|3[01])"
+        r"([01]\d|2[0-3])[0-5]\d[0-5]\d-[0-9,A-F]{16}$"
+    )
+    assert _post(server, "/api/v1/import/prometheus", "\n".join(
+        f"snap_metric_{i:03d} {i} 1707123456700" for i in range(50)
+    )) in (200, 204)
+    _get(server, "/internal/force_flush")
+
+    snapshots = []
+    for _ in range(2):
+        res = _get(server, "/snapshot/create")
+        assert res["status"] == "ok"
+        assert name_re.match(res["snapshot"]), res["snapshot"]
+        snapshots.append(res["snapshot"])
+    for _ in range(2):
+        res = _get(server, "/api/v1/admin/tsdb/snapshot")
+        assert res["status"] == "success"
+        assert name_re.match(res["data"]["name"]), res["data"]["name"]
+        snapshots.append(res["data"]["name"])
+
+    res = _get(server, "/snapshot/list")
+    assert res == {"status": "ok", "snapshots": sorted(snapshots)}
+
+    res = _get(server, "/snapshot/delete", snapshot="does-not-exist")
+    assert res == {
+        "status": "error",
+        "msg": 'cannot find snapshot "does-not-exist"',
+    }
+    res = _get(server, "/snapshot/delete", snapshot=snapshots[0])
+    assert res == {"status": "ok"}
+    res = _get(server, "/snapshot/list")
+    assert res["snapshots"] == sorted(snapshots[1:])
+    assert _get(server, "/snapshot/delete_all") == {"status": "ok"}
+    assert _get(server, "/snapshot/list")["snapshots"] == []
+
+
+# ----------------------------------------------------------------------
+# ingestprotocols_test.go — one sample set per protocol, all verified
+# through the same raw-view query with write-side extra_label params.
+
+
+def _raw_all(base, pattern, t="2024-02-05T09:00:00.700Z"):
+    got = _get(base, "/api/v1/query",
+               query="{__name__=~'%s'}[10m]" % pattern, time=t)
+    return sorted(
+        (
+            tuple(sorted(r["metric"].items())),
+            [(int(ts * 1000), float(v)) for ts, v in r["values"]],
+        )
+        for r in got["data"]["result"]
+    )
+
+
+def test_ingest_protocols_cross_check(server):
+    el = urllib.parse.urlencode(
+        [("extra_label", "el1=elv1"), ("extra_label", "el2=elv2")]
+    )
+    # influx line protocol: measurement_field naming
+    assert _post(server, f"/influx/write?{el}", "\n".join([
+        "influxline series1=10 1707123456700000000",
+        "influxline,label=foo1,label1=value1,label2=value2"
+        " series2=40 1707123456800000000",
+    ])) in (200, 204)
+    # OpenTSDB HTTP JSON
+    assert _post(server, f"/opentsdb/api/put?{el}", json.dumps([
+        {"metric": "opentsdbimport.foo", "value": 45.34,
+         "timestamp": 1707123457},
+        {"metric": "opentsdbimport.bar", "value": 43,
+         "timestamp": 1707123456},
+    ])) in (200, 204)
+    # CSV import: two metric columns per line
+    assert _post(
+        server,
+        f"/api/v1/import/csv?{el}&"
+        + urllib.parse.urlencode({
+            "format": "2:metric:csv_import,3:metric:csv_import_v2,"
+                      "1:label:ticker,4:label:market,5:time:unix_s"
+        }),
+        "GOOG,1.23,4.56,NYSE,1707123457\nMSFT,23,56,NASDAQ,1707123457",
+    ) in (200, 204)
+    # Zabbix connector lines
+    assert _post(server, "/zabbixconnector/api/v1/history", "\n".join([
+        '{"host":{"host":"h1","name":"n1"},"item_tags":[],"itemid":1,'
+        '"name":"zabbixconnector_series","clock":1707123456,'
+        '"ns":700000000,"value":10,"type":0}',
+        '{"host":{"host":"h2","name":"n2"},'
+        '"item_tags":[{"tag":"foo2","value":"value1"}],"itemid":1,'
+        '"name":"zabbixconnector_series2","clock":1707123456,'
+        '"ns":800000000,"value":20,"type":0}',
+    ])) in (200, 204)
+    _get(server, "/internal/force_flush")
+
+    base_el = (("el1", "elv1"), ("el2", "elv2"))
+    assert _raw_all(server, "influxline.+") == [
+        (
+            (("__name__", "influxline_series1"),) + base_el,
+            [(1707123456700, 10.0)],
+        ),
+        (
+            (("__name__", "influxline_series2"),) + base_el
+            + (("label", "foo1"), ("label1", "value1"), ("label2", "value2")),
+            [(1707123456800, 40.0)],
+        ),
+    ]
+    assert _raw_all(server, "opentsdbimport.*") == [
+        ((("__name__", "opentsdbimport.bar"),) + base_el,
+         [(1707123456000, 43.0)]),
+        ((("__name__", "opentsdbimport.foo"),) + base_el,
+         [(1707123457000, 45.34)]),
+    ]
+    got = _raw_all(server, "csv_import.*")
+    assert [
+        (dict(m)["__name__"], dict(m)["ticker"], pts) for m, pts in got
+    ] == [
+        # sorted by the full label tuple: market=NASDAQ < NYSE
+        ("csv_import", "MSFT", [(1707123457000, 23.0)]),
+        ("csv_import", "GOOG", [(1707123457000, 1.23)]),
+        ("csv_import_v2", "MSFT", [(1707123457000, 56.0)]),
+        ("csv_import_v2", "GOOG", [(1707123457000, 4.56)]),
+    ]
+    assert all(dict(m)["el1"] == "elv1" for m, _ in got)
+    assert _raw_all(server, "zabbixconnector.+") == [
+        (
+            (("__name__", "zabbixconnector_series"),
+             ("host", "h1"), ("hostname", "n1")),
+            [(1707123456700, 10.0)],
+        ),
+        (
+            (("__name__", "zabbixconnector_series2"),
+             ("host", "h2"), ("hostname", "n2"), ("tag_foo2", "value1")),
+            [(1707123456800, 20.0)],
+        ),
+    ]

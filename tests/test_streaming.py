@@ -492,15 +492,30 @@ def test_parse_otlp_json(spark):
 
 
 def test_parse_zabbix(spark):
-    doc = (
-        '{"request":"sender data","data":['
-        '{"host":"db1","key":"system.cpu.load[all,avg1]","value":"0.25","clock":1704067200,"ns":500000000},'
-        '{"host":"db1","key":"vm.memory.size","value":"notnum","clock":1704067200}]}'
-    )
-    out = _collect(parse_zabbix(_lines(spark, [doc])))
-    # non-numeric values dropped; key sanitized; ns → ms fraction
+    """Zabbix real-time-export connector lines
+    (lib/protoparser/zabbixconnector/parser.go): host/hostname labels,
+    tag_<k> labels from item_tags (empty tag/value skipped),
+    ts = clock*1e3 + ns/1e6."""
+    lines = [
+        '{"host":{"host":"h1","name":"n1"},"item_tags":[],'
+        '"itemid":1,"name":"zc_series","clock":1707123456,'
+        '"ns":700000000,"value":10,"type":0}',
+        '{"host":{"host":"h2","name":"n2"},'
+        '"item_tags":[{"tag":"foo2","value":"value1"},'
+        '{"tag":"empty","value":""}],'
+        '"itemid":1,"name":"zc_series2","clock":1707123456,'
+        '"ns":800000000,"value":20,"type":0}',
+        '{"no_host": true}',
+    ]
+    out = _collect(parse_zabbix(_lines(spark, lines)))
     assert out == [
-        ("system.cpu.load_all_avg1", (("host", "db1"),), 1704067200500, 0.25)
+        ("zc_series", (("host", "h1"), ("hostname", "n1")), 1707123456700, 10.0),
+        (
+            "zc_series2",
+            (("host", "h2"), ("hostname", "n2"), ("tag_foo2", "value1")),
+            1707123456800,
+            20.0,
+        ),
     ]
 
 

@@ -2234,7 +2234,7 @@ class IngestAPI:
         rows = [(ln,) for ln in body.splitlines() if ln.strip()]
         return self.spark.createDataFrame(rows or [("",)], ["value"])
 
-    def ingest_json(self, body: str, dialect: str) -> int:
+    def ingest_json(self, body: str, dialect: str, extra_labels=None) -> int:
         """POST JSON-document ingestion dialects (one payload document
         per request): Datadog v1/v2 series, NewRelic infra bulk,
         OTLP-JSON, Zabbix connector, OpenTSDB HTTP.
@@ -2257,13 +2257,14 @@ class IngestAPI:
             "datadog_v2": P.parse_datadog_v2,
             "newrelic": P.parse_newrelic,
             "otlp": P.parse_otlp_json,
-            "zabbix": P.parse_zabbix,
             "opentsdb_http": P.parse_opentsdb_http,
         }
         if dialect not in fns:
             raise ValueError(f"unknown json ingest dialect {dialect!r}")
         docs = self.spark.createDataFrame([(body,)], ["value"])
-        return self._write_samples(fns[dialect](docs))
+        return self._write_samples(
+            fns[dialect](docs), extra_labels=extra_labels
+        )
 
     def ingest_sketches(self, raw: bytes) -> int:
         """POST /datadog/api/beta/sketches — DDSketch protobuf payload
@@ -2359,11 +2360,15 @@ class IngestAPI:
             df = P.parse_graphite(lines, default_ts_ms)
         elif fmt == "opentsdb":
             df = P.parse_opentsdb(lines)
+        elif fmt == "zabbix":
+            df = P.parse_zabbix(lines)
         else:
             raise ValueError(f"unknown import format {fmt!r}")
         return self._write_samples(df, extra_labels=extra_labels)
 
-    def import_csv(self, body: str, format_spec: str) -> int:
+    def import_csv(
+        self, body: str, format_spec: str, extra_labels=None
+    ) -> int:
         """POST /api/v1/import/csv?format=... — the csvimport column
         spec (lib/protoparser/csvimport/): comma-separated
         ``<pos>:<kind>[:<arg>]`` entries, kind ∈ {metric, label, time};
@@ -2410,7 +2415,9 @@ class IngestAPI:
         else:
             raise ValueError(f"unsupported time kind {ts_kind!r}")
         df = df.withColumn(f"c{ts_col}", ts_expr)
-        return self._write_samples(parse_csv_import(df, entries, ts_col))
+        return self._write_samples(
+            parse_csv_import(df, entries, ts_col), extra_labels=extra_labels
+        )
 
     def import_native(self, raw: bytes, extra_labels=None) -> int:
         """POST /api/v1/import/native — round-trips /api/v1/export/native
@@ -2883,27 +2890,39 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     )
                 elif u.path == "/api/v1/import/csv":
                     cnt = ingest_api.import_csv(
-                        raw.decode(), q.get("format", [""])[0]
+                        raw.decode(),
+                        q.get("format", [""])[0],
+                        extra_labels=extra_labels,
                     )
                 elif u.path == "/api/v1/import/native":
                     cnt = ingest_api.import_native(
                         raw, extra_labels=extra_labels
                     )
                 elif u.path in ("/influx/write", "/write"):
-                    cnt = ingest_api.import_lines(raw.decode(), "influx")
+                    cnt = ingest_api.import_lines(
+                        raw.decode(), "influx", extra_labels=extra_labels
+                    )
                 elif u.path == "/opentsdb/api/put":
                     # telnet-put lines or the HTTP JSON flavor — the
                     # reference runs these on separate listeners; here
                     # one route sniffs the body shape
                     body = raw.decode()
                     if body.lstrip()[:1] in ("{", "["):
-                        cnt = ingest_api.ingest_json(body, "opentsdb_http")
+                        cnt = ingest_api.ingest_json(
+                            body, "opentsdb_http", extra_labels=extra_labels
+                        )
                     else:
-                        cnt = ingest_api.import_lines(body, "opentsdb")
+                        cnt = ingest_api.import_lines(
+                            body, "opentsdb", extra_labels=extra_labels
+                        )
                 elif u.path == "/datadog/api/v1/series":
-                    cnt = ingest_api.ingest_json(raw.decode(), "datadog_v1")
+                    cnt = ingest_api.ingest_json(
+                        raw.decode(), "datadog_v1", extra_labels=extra_labels
+                    )
                 elif u.path == "/datadog/api/v2/series":
-                    cnt = ingest_api.ingest_json(raw.decode(), "datadog_v2")
+                    cnt = ingest_api.ingest_json(
+                        raw.decode(), "datadog_v2", extra_labels=extra_labels
+                    )
                 elif u.path == "/datadog/api/beta/sketches":
                     cnt = ingest_api.ingest_sketches(raw)
                 elif u.path in (
@@ -2916,11 +2935,17 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     self._send(202, json.dumps({"status": "ok"}))
                     return
                 elif u.path == "/newrelic/infra/v2/metrics/events/bulk":
-                    cnt = ingest_api.ingest_json(raw.decode(), "newrelic")
+                    cnt = ingest_api.ingest_json(
+                        raw.decode(), "newrelic", extra_labels=extra_labels
+                    )
                 elif u.path == "/opentelemetry/api/v1/push":
-                    cnt = ingest_api.ingest_json(raw.decode(), "otlp")
+                    cnt = ingest_api.ingest_json(
+                        raw.decode(), "otlp", extra_labels=extra_labels
+                    )
                 elif u.path == "/zabbixconnector/api/v1/history":
-                    cnt = ingest_api.ingest_json(raw.decode(), "zabbix")
+                    cnt = ingest_api.import_lines(
+                        raw.decode(), "zabbix", extra_labels=extra_labels
+                    )
                 elif u.path == "/insert/jsonline":
                     cnt = ingest_api.insert_logs(raw.decode(), "jsonline")
                 elif u.path == "/insert/elasticsearch/_bulk":

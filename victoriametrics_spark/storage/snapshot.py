@@ -91,8 +91,10 @@ def create_snapshot(
     if not os.path.isdir(src):
         raise ValueError(f"table {table!r} has no warehouse directory")
     if name is None:
+        # VM snapshot name shape: YYYYMMDDhhmmss-<16 uppercase hex>
+        # (lib/storage/snapshot/snapshot.go NewName)
         stamp = time.strftime("%Y%m%d%H%M%S", time.gmtime())
-        name = f"{stamp}-{uuid.uuid4().hex[:8]}"
+        name = f"{stamp}-{uuid.uuid4().hex[:16].upper()}"
     snap = os.path.join(_snap_root(spark, table), name)
     if os.path.exists(snap):
         raise ValueError(f"snapshot {name!r} already exists")
@@ -147,7 +149,7 @@ def delete_snapshot(spark: SparkSession, table: str, name: str) -> None:
         raise ValueError(f"invalid snapshot name {name!r}")
     snap = os.path.join(_snap_root(spark, table), name)
     if not os.path.isdir(snap):
-        raise ValueError(f"cannot find snapshot {name!r}")
+        raise ValueError(f'cannot find snapshot "{name}"')
     shutil.rmtree(snap)
 
 

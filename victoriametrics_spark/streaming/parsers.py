@@ -471,32 +471,60 @@ def parse_otlp_json(docs: DataFrame) -> DataFrame:
     )
 
 
-def parse_zabbix(docs: DataFrame) -> DataFrame:
-    """Zabbix sender protocol JSON (lib/protoparser/zabbixconnector/):
-    {"request":"sender data","data":[{"host","key","value","clock"}]} —
-    metric name = item key (dots/brackets sanitized), host → label."""
+def parse_zabbix(lines: DataFrame) -> DataFrame:
+    """Zabbix real-time-export connector lines
+    (lib/protoparser/zabbixconnector/parser.go): one JSON object per
+    line — ``host.host`` → ``host`` label, ``host.name`` →
+    ``hostname`` label, ``name`` → metric name, ``item_tags``
+    [{tag,value}] → ``tag_<k>`` labels (entries with an empty tag or
+    value are skipped, the -zabbixconnector.addEmptyTagsValue="" 
+    default), ts = clock·1e3 + ns/1e6."""
     schema = (
-        'request STRING, data ARRAY<STRUCT<host: STRING, `key`: STRING, '
-        "value: STRING, clock: BIGINT, ns: BIGINT>>"
+        "host STRUCT<host: STRING, name: STRING>, name STRING, "
+        "value DOUBLE, clock BIGINT, ns BIGINT, "
+        "item_tags ARRAY<STRUCT<tag: STRING, value: STRING>>"
     )
-    j = docs.select(F.from_json(F.col("value"), schema).alias("j")).filter(
-        F.col("j.request") == "sender data"
+    j = lines.select(F.from_json(F.col("value"), schema).alias("j")).filter(
+        F.col("j.name").isNotNull()
+        & F.col("j.host.host").isNotNull()
+        & F.col("j.host.name").isNotNull()
     )
-    d = j.select(F.explode(F.col("j.data")).alias("d"))
-    name = F.regexp_replace(
-        F.regexp_replace(F.col("d.key"), r"[\[\]\",]+", "_"), r"[._]+$", ""
+    tag_entries = F.filter(
+        F.coalesce(
+            F.col("j.item_tags"),
+            F.array().cast("array<struct<tag:string,value:string>>"),
+        ),
+        lambda t: t["tag"].isNotNull()
+        & (t["tag"] != "")
+        & t["value"].isNotNull()
+        & (t["value"] != ""),
+    )
+    labels = F.map_concat(
+        F.create_map(
+            F.lit("host"), F.col("j.host.host"),
+            F.lit("hostname"), F.col("j.host.name"),
+        ),
+        F.map_from_entries(
+            F.transform(
+                tag_entries,
+                lambda t: F.struct(
+                    F.concat(F.lit("tag_"), t["tag"]).alias("key"),
+                    t["value"].alias("value"),
+                ),
+            )
+        ),
     )
     return _finish(
-        d.select(
-            name.alias("name"),
-            F.create_map(F.lit("host"), F.col("d.host")).alias("labels"),
+        j.select(
+            F.col("j.name").alias("name"),
+            labels.alias("labels"),
             (
-                F.col("d.clock") * 1000
-                + F.coalesce(F.col("d.ns"), F.lit(0)) / 1_000_000
+                F.col("j.clock") * 1000
+                + F.floor(F.coalesce(F.col("j.ns"), F.lit(0)) / 1_000_000)
             )
             .cast("long")
             .alias("ts"),
-            F.col("d.value").try_cast("double").alias("value"),
+            F.col("j.value").alias("value"),
         )
     )
 
