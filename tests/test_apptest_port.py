@@ -60,7 +60,7 @@ def _graphite_write(base: str, lines: list) -> None:
 
 def _get(base: str, path: str, **params) -> dict:
     qs = urllib.parse.urlencode(
-        {k: v for k, v in params.items() if v is not None}
+        {k: v for k, v in params.items() if v is not None}, doseq=True
     )
     with urllib.request.urlopen(f"{base}{path}?{qs}") as r:
         return json.loads(r.read())
@@ -1078,3 +1078,205 @@ def test_ingest_protocols_cross_check(server):
             [(1707123456800, 20.0)],
         ),
     ]
+
+
+# ----------------------------------------------------------------------
+# relabeling_test.go — ingestion-time -relabelConfig applied across
+# protocols (importprometheus / influx / remote write).
+
+
+RELABEL_RULES = """
+- replacement: value1
+  target_label: label1
+- replacement: value2
+  target_label: label2
+- replacement: value3
+  target_label: label3
+- replacement: value4
+  target_label: label4
+- action: drop
+  if: '{__name__=~"^must_drop.+"}'
+- source_labels: [__name__]
+  regex: '^(.+)_(.+)'
+  replacement: $1
+  target_label: ingestion_protocol
+- source_labels: [__name__]
+  regex: '^(.+)_(.+)'
+  replacement: $2
+  target_label: __name__
+"""
+
+
+@pytest.fixture(scope="module")
+def relabel_server(spark):
+    from victoriametrics_spark.api import PromAPI, serve
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_samples_table,
+    )
+
+    table = "apptest_relabel_samples"
+    write_samples_table(spark.createDataFrame([], SAMPLE_SCHEMA), table)
+    ingest = IngestAPI(
+        spark, samples_table=table, relabel_config=RELABEL_RULES
+    )
+    api = PromAPI(spark, spark.table(table), samples_table=table)
+    api.reload_samples()
+    srv = serve(api, port=0, ingest_api=ingest)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    drop_samples_table(spark, table)
+
+
+def _relabel_query(base, query, qtime):
+    got = _get(base, "/api/v1/query", query=query, time=qtime)
+    return sorted(
+        (
+            (
+                dict(sorted(r["metric"].items())),
+                [(int(ts * 1000), float(v)) for ts, v in r["values"]],
+            )
+            for r in got["data"]["result"]
+        ),
+        key=lambda p: sorted(p[0].items()),
+    )
+
+
+_RELABEL_COMMON = {
+    "label1": "value1",
+    "label2": "value2",
+    "label3": "value3",
+    "label4": "value4",
+}
+
+
+def test_relabeling_import_prometheus(relabel_server):
+    assert _post(relabel_server, "/api/v1/import/prometheus", "\n".join([
+        'importprometheus_series{label="foo"} 10 1707123456700',
+        'must_drop_series{label="foo"} 20 1707123456800',
+    ])) in (200, 204)
+    _get(relabel_server, "/internal/force_flush")
+    assert _relabel_query(
+        relabel_server, '{label="foo"}[120ms]', "1707123456800"
+    ) == [
+        (
+            {"__name__": "series", "label": "foo",
+             "ingestion_protocol": "importprometheus", **_RELABEL_COMMON},
+            [(1707123456700, 10.0)],
+        )
+    ]
+
+
+def test_relabeling_influx(relabel_server):
+    assert _post(relabel_server, "/influx/write", "\n".join([
+        "influxline,label=foo1 series1=10,series2=30 1707123456700000000",
+        "must_drop,label=foo1 series1=20,series2=40 1707123456800000000",
+    ])) in (200, 204)
+    _get(relabel_server, "/internal/force_flush")
+    assert _relabel_query(
+        relabel_server, '{label="foo1"}[120ms]', "1707123456800"
+    ) == [
+        (
+            {"__name__": "series1", "label": "foo1",
+             "ingestion_protocol": "influxline", **_RELABEL_COMMON},
+            [(1707123456700, 10.0)],
+        ),
+        (
+            {"__name__": "series2", "label": "foo1",
+             "ingestion_protocol": "influxline", **_RELABEL_COMMON},
+            [(1707123456700, 30.0)],
+        ),
+    ]
+
+
+def test_relabeling_remote_write(relabel_server):
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+    )
+
+    blob = encode_write_request([
+        ({"__name__": "prometheusrw_series", "label": "foo2"},
+         [(1707123456700, 10.0)]),
+        ({"__name__": "must_drop_series", "label": "foo2"},
+         [(1707123456800, 20.0)]),
+    ])
+    req = urllib.request.Request(
+        relabel_server + "/api/v1/write", data=blob, method="POST",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status in (200, 204)
+    _get(relabel_server, "/internal/force_flush")
+    assert _relabel_query(
+        relabel_server, '{label="foo2"}[120ms]', "1707123456800"
+    ) == [
+        (
+            {"__name__": "series", "label": "foo2",
+             "ingestion_protocol": "prometheusrw", **_RELABEL_COMMON},
+            [(1707123456700, 10.0)],
+        )
+    ]
+
+
+# ----------------------------------------------------------------------
+# rollup_result_cache_test.go — multitenant writes routed by
+# vm_account_id/vm_project_id labels; reads narrowed by extra_filters
+# over the tenant pseudo-labels (and the result cache keyed on them).
+
+
+def test_multitenant_label_routing_extra_filters(mt_server):
+    assert _post(
+        mt_server,
+        "/insert/multitenant/prometheus/api/v1/import/prometheus",
+        "\n".join([
+            'mt_foo_bar{vm_account_id="5"} 1.00 1652169720000',
+            'mt_foo_bar{vm_account_id="5",vm_project_id="15"} 3.00'
+            " 1652169720000",
+        ]),
+    ) in (200, 204)
+    _get(mt_server, "/internal/force_flush")
+
+    def q(extra_filters):
+        got = _get(
+            mt_server,
+            "/select/multitenant/prometheus/api/v1/query_range",
+            query="mt_foo_bar{}",
+            start="2022-05-10T07:59:00.000Z",
+            end="2022-05-10T08:05:00.000Z",
+            step="1m",
+            **{"extra_filters[]": extra_filters},
+        )
+        return sorted(
+            [
+                (
+                    dict(sorted(r["metric"].items())),
+                    [(ts, float(v)) for ts, v in r["values"]],
+                )
+                for r in got["data"]["result"]
+            ],
+            key=lambda p: sorted(p[0].items()),
+        )
+
+    got = q([
+        '{vm_account_id="5",vm_project_id="15"}',
+        '{vm_account_id="5",vm_project_id="0"}',
+    ])
+    assert got == [
+        (
+            {"__name__": "mt_foo_bar", "vm_account_id": "5",
+             "vm_project_id": "0"},
+            [(1652169720.0, 1.0), (1652169780.0, 1.0)],
+        ),
+        (
+            {"__name__": "mt_foo_bar", "vm_account_id": "5",
+             "vm_project_id": "15"},
+            [(1652169720.0, 3.0), (1652169780.0, 3.0)],
+        ),
+    ]
+    # extra_filters selecting an absent tenant: empty, and the previous
+    # cached range must not leak across the filter change
+    assert q(['{vm_account_id="99",vm_project_id="99"}']) == []

@@ -799,3 +799,144 @@ def test_parse_loki_push(spark):
     from datetime import datetime
 
     assert by_msg["POST /x"]["_time"] == datetime(2024, 1, 1, 0, 0, 1)
+
+
+def test_relabel_if_condition(spark, sample_df):
+    """`if` series selector (lib/promrelabel/relabel.go:163-171):
+    mismatch drops the row only for action=keep, is a no-op for
+    transforms; keep/drop + `if` without regex are pure filters."""
+    # drop with `if` and no regex: pure selector filter
+    out = relabel(sample_df, [{"action": "drop", "if": '{job="db"}'}]).collect()
+    assert [r["labels"]["job"] for r in out] == ["api"]
+    # keep with `if`: rows not matching the selector are dropped
+    out = relabel(sample_df, [{"action": "keep", "if": 'up{job=~"a.+"}'}]).collect()
+    assert [r["labels"]["job"] for r in out] == ["api"]
+    # `if` list ORs selectors
+    out = relabel(
+        sample_df, [{"action": "keep", "if": ['{job="db"}', '{job="api"}']}]
+    ).collect()
+    assert len(out) == 2
+    # transform gated on `if`: only the matching row is rewritten
+    out = relabel(
+        sample_df,
+        [{"if": '{job="api"}', "target_label": "tier", "replacement": "front"}],
+    ).collect()
+    got = {r["labels"]["job"]: r["labels"].get("tier") for r in out}
+    assert got == {"api": "front", "db": None}
+    # filter action other than keep/drop is a no-op on `if` mismatch
+    out = relabel(
+        sample_df,
+        [
+            {
+                "action": "keep_if_equal",
+                "source_labels": ["job", "instance"],
+                "if": '{job="api"}',
+            }
+        ],
+    ).collect()
+    # api row: job != instance -> dropped; db row: `if` mismatch -> kept
+    assert [r["labels"]["job"] for r in out] == ["db"]
+
+
+def test_relabel_equal_and_contains_actions(spark):
+    df = spark.createDataFrame(
+        [
+            ("m", {"a": "x", "b": "x", "tags": "x,y,z"}, 0, 1.0, False),
+            ("m", {"a": "x", "b": "y", "tags": "x"}, 0, 2.0, False),
+        ],
+        "name string, labels map<string,string>, ts long, value double, is_stale boolean",
+    )
+    # keepequal keeps on concat(source)==target (relabel.go:309-318)
+    out = relabel(
+        df, [{"action": "keepequal", "source_labels": ["a"], "target_label": "b"}]
+    ).collect()
+    assert [r["value"] for r in out] == [1.0]
+    out = relabel(
+        df, [{"action": "dropequal", "source_labels": ["a"], "target_label": "b"}]
+    ).collect()
+    assert [r["value"] for r in out] == [2.0]
+    # keep_if_contains: target value must contain every source value
+    out = relabel(
+        df,
+        [
+            {
+                "action": "keep_if_contains",
+                "target_label": "tags",
+                "source_labels": ["a", "b"],
+            }
+        ],
+    ).collect()
+    assert [r["value"] for r in out] == [1.0]
+    out = relabel(
+        df,
+        [
+            {
+                "action": "drop_if_contains",
+                "target_label": "tags",
+                "source_labels": ["a", "b"],
+            }
+        ],
+    ).collect()
+    assert [r["value"] for r in out] == [2.0]
+
+
+def test_relabel_labelmap_all_and_graphite(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "foo.bar.counter",
+                {"dc.region.env": "eu", "x": "1"},
+                0,
+                1.0,
+                False,
+            )
+        ],
+        "name string, labels map<string,string>, ts long, value double, is_stale boolean",
+    )
+    # labelmap_all rewrites every regex occurrence in label NAMES
+    out = relabel(
+        df, [{"action": "labelmap_all", "regex": r"\.", "replacement": "_"}]
+    ).collect()
+    assert sorted(out[0]["labels"]) == ["dc_region_env", "x"]
+    # graphite match template -> labels (relabel.go:174-193)
+    out = relabel(
+        df,
+        [
+            {
+                "action": "graphite",
+                "match": "*.*.counter",
+                "labels": {"__name__": "${2}_total", "job": "$1"},
+            }
+        ],
+    ).collect()
+    assert out[0]["name"] == "bar_total"
+    assert out[0]["labels"]["job"] == "foo"
+    # non-matching name: rule is a no-op
+    df2 = df.withColumn("name", F.lit("nomatch"))
+    out = relabel(
+        df2,
+        [
+            {
+                "action": "graphite",
+                "match": "*.*.counter",
+                "labels": {"job": "$1"},
+            }
+        ],
+    ).collect()
+    assert out[0]["name"] == "nomatch" and "job" not in out[0]["labels"]
+
+
+def test_relabel_label_references_in_replacement(spark, sample_df):
+    """{{labelName}} references fill from the row before regex
+    expansion (relabel.go fillLabelReferences)."""
+    out = relabel(
+        sample_df,
+        [
+            {
+                "target_label": "combo",
+                "replacement": "{{job}}@{{instance}}",
+            }
+        ],
+    ).collect()
+    got = sorted(r["labels"]["combo"] for r in out)
+    assert got == ["api@h1:9090", "db@h2:9090"]

@@ -54,12 +54,23 @@ def _enforced_expr(enforced):
 
 
 def _parse_time(v: str | None, default_ms: int) -> int:
-    """Unix seconds (int/float) or RFC3339 (httputil.GetTime accepts
-    both; Grafana sends RFC3339 for absolute ranges)."""
+    """Unix timestamp or RFC3339 (lib/timeutil/time.go ParseTimeMsec;
+    Grafana sends RFC3339 for absolute ranges). Numeric timestamps
+    auto-detect the unit by magnitude — seconds, milliseconds,
+    microseconds, or nanoseconds (getUnixTimestampMultiplier,
+    time.go:348-363: ranges bounded by MaxInt64/1e9, /1e6, /1e3)."""
     if v is None or v == "":
         return default_ms
     try:
-        return int(float(v) * 1000)
+        f = float(v)
+        n = abs(f)
+        if n <= 9223372036:  # MaxInt64 / 1e9 → seconds
+            return int(round(f * 1000))
+        if n <= 9223372036854:  # MaxInt64 / 1e6 → milliseconds
+            return int(round(f))
+        if n <= 9223372036854775:  # MaxInt64 / 1e3 → microseconds
+            return int(round(f / 1e3))
+        return int(round(f / 1e6))  # nanoseconds
     except ValueError:
         from datetime import datetime, timezone
 
@@ -2210,9 +2221,18 @@ class IngestAPI:
         retention_ms: int = 0,
         future_retention_ms: int = 0,
         now_ms_fn=None,
+        relabel_config=None,
     ):
         self.spark = spark
         self.samples_table = samples_table
+        # -relabelConfig analog (app/vmagent + vminsert common
+        # relabel): a YAML string or parsed rule list applied to every
+        # ingested row across all protocols, after extra_label params
+        if isinstance(relabel_config, str):
+            import yaml
+
+            relabel_config = yaml.safe_load(relabel_config) or []
+        self.relabel_config = relabel_config or []
         self.logs_table = logs_table
         # sink(df, kind) override for tests / custom destinations
         self.sink = sink
@@ -2226,8 +2246,14 @@ class IngestAPI:
         self._now_ms = now_ms_fn or (lambda: int(__import__("time").time() * 1000))
         self.rows_ignored_total = 0
         # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
-        # multitenant vminsert routing): every written row is tagged
-        self.tenant = parse_tenant(tenant) if tenant is not None else None
+        # multitenant vminsert routing): every written row is tagged.
+        # The special "multitenant" token routes each row by its
+        # vm_account_id / vm_project_id labels (stripped on write) —
+        # app/vminsert multitenant handlers / docs multitenancy-via-labels
+        if tenant == "multitenant":
+            self.tenant = "multitenant"
+        else:
+            self.tenant = parse_tenant(tenant) if tenant is not None else None
 
     # --------------------------------------------------------- helpers
     def _lines_df(self, body: str) -> DataFrame:
@@ -2291,6 +2317,13 @@ class IngestAPI:
                     F.coalesce(F.col("labels"), F.expr("map()")), add
                 ),
             )
+        if self.relabel_config:
+            from victoriametrics_spark.streaming.relabel import relabel
+
+            df = relabel(df, self.relabel_config)
+            # rows relabeled to an empty metric name are skipped, like
+            # the reference's empty-labels check after relabeling
+            df = df.filter(F.coalesce(F.col("name"), F.lit("")) != "")
         if self.retention_ms > 0 or self.future_retention_ms > 0:
             now = self._now_ms()
             lo = now - self.retention_ms if self.retention_ms > 0 else None
@@ -2308,7 +2341,23 @@ class IngestAPI:
             df = df.filter(cond)
             kept = df.count()
             self.rows_ignored_total += total - kept
-        if self.tenant is not None:
+        if self.tenant == "multitenant":
+            # tenant from the row's vm_account_id/vm_project_id labels
+            # (defaults 0:0), labels stripped — the reference's
+            # multitenant vminsert handlers
+            lb = F.coalesce(F.col("labels"), F.expr("map()"))
+            acc = F.coalesce(lb.getItem("vm_account_id"), F.lit("0"))
+            proj = F.coalesce(lb.getItem("vm_project_id"), F.lit("0"))
+            df = df.withColumn(
+                "tenant", F.concat(acc, F.lit(":"), proj)
+            ).withColumn(
+                "labels",
+                F.map_filter(
+                    lb,
+                    lambda k, v: ~k.isin("vm_account_id", "vm_project_id"),
+                ),
+            )
+        elif self.tenant is not None:
             df = with_tenant(df, self.tenant)
         n = df.count()
         if self.sink is not None:
@@ -2832,7 +2881,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             # (the reference also nests /prometheus before /api/v1/*)
             if tenant_table and u.path.startswith("/insert/"):
                 parts = u.path.split("/", 3)
-                if len(parts) >= 4 and tenant_re.match(parts[2]):
+                if len(parts) >= 4 and (
+                    parts[2] == "multitenant" or tenant_re.match(parts[2])
+                ):
                     ingest_api = tenant_ingest_api(parts[2])
                     rest = "/" + parts[3]
                     if rest.startswith("/prometheus/api/"):
