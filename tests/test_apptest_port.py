@@ -1280,3 +1280,96 @@ def test_multitenant_label_routing_extra_filters(mt_server):
     # extra_filters selecting an absent tenant: empty, and the previous
     # cached range must not leak across the filter change
     assert q(['{vm_account_id="99",vm_project_id="99"}']) == []
+
+
+# ----------------------------------------------------------------------
+# metricsmetadata_test.go — HELP/TYPE comments + remote-write Metadata
+# records served by /api/v1/metadata with metric/limit filters; field
+# values over 64 KiB are silently dropped at ingest.
+
+
+def test_metrics_metadata(server):
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+    )
+
+    # scoped empty check (the store is shared module-wide)
+    got = _get(server, "/api/v1/metadata", metric="mmd_metric_name_1")
+    assert got == {"status": "success", "data": {}}
+
+    oversized = "large help" + "\x00" * 65536
+    text = "\n".join([
+        "# HELP mmd_metric_name_1 some help message",
+        "# TYPE mmd_metric_name_1 gauge",
+        'mmd_metric_name_1{label="foo"} 10',
+        'mmd_metric_name_1{label="bar"} 10',
+        "# HELP mmd_metric_name_2 some help message",
+        "# TYPE mmd_metric_name_2 counter",
+        'mmd_metric_name_2{label="baz"} 20',
+        "# HELP mmd_metric_name_3 some help message",
+        "# TYPE mmd_metric_name_3 gauge",
+        'mmd_metric_name_3{label="baz"} 30',
+        "# HELP mmd_metric_name_4 " + oversized,
+        "# TYPE mmd_metric_name_4 gauge",
+        'mmd_metric_name_4{label="baz"} 30',
+    ])
+    assert _post(server, "/api/v1/import/prometheus", text) in (200, 204)
+
+    blob = encode_write_request(
+        [
+            ({"__name__": "mmd_metric_name_4"}, [(1707123456700, 40.0)]),
+            ({"__name__": "mmd_metric_name_5"}, [(1707123456700, 40.0)]),
+        ],
+        metadata=[
+            {"metric_family_name": "mmd_metric_name_4",
+             "help": "some help message", "type": 5},
+            {"metric_family_name": "mmd_metric_name_5",
+             "help": "some help message", "type": 5},
+            {"metric_family_name": 'mmd_metric_name_7_!@"_suffix',
+             "help": "some help message", "type": 7},
+            {"metric_family_name": "mmd_metric_name_8",
+             "help": "large_help" + "\x00" * 65536, "type": 7},
+            {"metric_family_name": "mmd_metric_name_9",
+             "help": "some help message", "type": 7,
+             "unit": "large_unit" + "\x00" * 65536},
+            {"metric_family_name": "mmd_metric_name_10" + "\x00" * 65536,
+             "help": "some help message", "type": 7},
+        ],
+    )
+    req = urllib.request.Request(
+        server + "/api/v1/write", data=blob, method="POST",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status in (200, 204)
+    _get(server, "/internal/force_flush")
+
+    got = _get(server, "/api/v1/metadata")
+    ours = {k: v for k, v in got["data"].items() if k.startswith("mmd_")}
+    assert ours == {
+        "mmd_metric_name_1": [{"type": "gauge", "help": "some help message"}],
+        "mmd_metric_name_2": [
+            {"type": "counter", "help": "some help message"}
+        ],
+        "mmd_metric_name_3": [{"type": "gauge", "help": "some help message"}],
+        "mmd_metric_name_4": [
+            {"type": "summary", "help": "some help message"}
+        ],
+        "mmd_metric_name_5": [
+            {"type": "summary", "help": "some help message"}
+        ],
+        'mmd_metric_name_7_!@"_suffix': [
+            {"type": "stateset", "help": "some help message"}
+        ],
+    }
+
+    # metric name filter
+    got = _get(server, "/api/v1/metadata", metric="mmd_metric_name_4")
+    assert got["data"] == {
+        "mmd_metric_name_4": [{"type": "summary", "help": "some help message"}]
+    }
+
+    # limit applies after the name sort
+    got = _get(server, "/api/v1/metadata", limit="3")
+    assert len(got["data"]) == 3
+    assert sorted(got["data"]) == sorted(ours)[:3]

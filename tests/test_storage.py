@@ -1114,3 +1114,59 @@ def test_logs_retention_partition_drops(spark):
         )
     finally:
         drop_samples_table(spark, "t_logret")
+
+
+def test_metrics_metadata_store():
+    """lib/storage/metricsmetadata analog: 64KiB field limits, sorted
+    get with limit, tenant scoping + multitenant merge, LRU cap."""
+    from victoriametrics_spark.storage.metadata import (
+        MetricsMetadataStore,
+        parse_text_metadata,
+    )
+
+    st = MetricsMetadataStore(max_items=3)
+    st.add([
+        {"metric_family_name": "b", "help": "hb", "type": 1},
+        {"metric_family_name": "a", "help": "ha", "type": 2, "unit": "s"},
+        {"metric_family_name": "big", "help": "x" * 70000, "type": 1},
+        {"metric_family_name": "u", "unit": "y" * 70000, "type": 1},
+        {"metric_family_name": "n" * 70000, "help": "h", "type": 1},
+    ])
+    rows = st.get()
+    assert [r["metric_family_name"] for r in rows] == ["a", "b"]
+    assert st.get(limit=1)[0]["metric_family_name"] == "a"
+    resp = st.as_response()
+    assert resp["data"]["a"] == [{"type": "gauge", "unit": "s", "help": "ha"}]
+    assert "unit" not in resp["data"]["b"][0]
+
+    # tenant scoping + multitenant merge
+    st.add([{"metric_family_name": "t", "help": "t1", "type": 1}],
+           tenant="1:1")
+    assert st.get(tenant="1:1")[0]["metric_family_name"] == "t"
+    assert [r["metric_family_name"] for r in st.get(tenant="multitenant")] \
+        == ["a", "b", "t"]
+
+    # LRU-by-last-write eviction past the cap
+    st.add([{"metric_family_name": "c", "help": "hc", "type": 1}])
+    st.add([{"metric_family_name": "a", "help": "ha2", "type": 2}])
+    st.add([{"metric_family_name": "d", "help": "hd", "type": 1}])
+    names = [r["metric_family_name"] for r in st.get(tenant="multitenant")]
+    assert "b" not in names and "t" not in names  # oldest writes evicted
+    assert set(names) == {"a", "c", "d"}
+
+    # text parser: sequential HELP/TYPE merge, invalid TYPE discard,
+    # escaped help
+    mds = parse_text_metadata([
+        "# HELP m1 first\\nline\\\\x",
+        "# TYPE m1 counter",
+        "# TYPE m2 bogus",
+        "# HELP m3 h3",
+        "# TYPE m3 stateset",
+        "plain_line 1",
+        "# EH not-metadata",
+    ])
+    assert mds == [
+        {"metric_family_name": "m1", "help": "first\nline\\x", "unit": "",
+         "type": 1},
+        {"metric_family_name": "m3", "help": "h3", "unit": "", "type": 7},
+    ]

@@ -890,9 +890,23 @@ class PromAPI:
         )
         return {"status": "success", "data": [n]}
 
-    def metadata(self) -> dict:
-        """/api/v1/metadata — VM keeps no metric metadata; empty map."""
-        return {"status": "success", "data": {}}
+    def metadata(
+        self, metric=None, limit=0, store=None, tenant=None
+    ) -> dict:
+        """/api/v1/metadata — metric family metadata from HELP/TYPE
+        comments and remote-write Metadata records
+        (app/vmselect/prometheus MetadataHandler +
+        lib/storage/metricsmetadata). Empty map when no store is
+        wired (the pre-metadata behavior)."""
+        if store is None:
+            return {"status": "success", "data": {}}
+        try:
+            limit = int(limit or 0)
+        except (TypeError, ValueError):
+            limit = 0
+        return store.as_response(
+            limit=limit, metric=metric or None, tenant=tenant
+        )
 
     def buildinfo(self) -> dict:
         """/api/v1/buildinfo — static version payload (Grafana probes it)."""
@@ -2222,9 +2236,20 @@ class IngestAPI:
         future_retention_ms: int = 0,
         now_ms_fn=None,
         relabel_config=None,
+        metadata_store=None,
     ):
         self.spark = spark
         self.samples_table = samples_table
+        # metric metadata registry (HELP/TYPE comments + remote-write
+        # Metadata records → /api/v1/metadata); shareable across the
+        # per-tenant IngestAPIs a server creates
+        if metadata_store is None:
+            from victoriametrics_spark.storage.metadata import (
+                MetricsMetadataStore,
+            )
+
+            metadata_store = MetricsMetadataStore()
+        self.metadata_store = metadata_store
         # -relabelConfig analog (app/vmagent + vminsert common
         # relabel): a YAML string or parsed rule list applied to every
         # ingested row across all protocols, after extra_label params
@@ -2382,11 +2407,24 @@ class IngestAPI:
     def write_remote(self, body: bytes) -> int:
         """POST /api/v1/write — protobuf+snappy remote write."""
         from victoriametrics_spark.streaming.remotewrite import (
+            decode_write_request_metadata,
             remote_write_to_samples,
         )
 
+        try:
+            self.metadata_store.add(
+                decode_write_request_metadata(body),
+                tenant=self._metadata_tenant(),
+            )
+        except Exception:
+            pass  # metadata is best-effort; samples still land
         payloads = self.spark.createDataFrame([(bytearray(body),)], "payload binary")
         return self._write_samples(remote_write_to_samples(payloads))
+
+    def _metadata_tenant(self):
+        if isinstance(self.tenant, str) and self.tenant != "multitenant":
+            return self.tenant
+        return None
 
     def import_lines(
         self,
@@ -2402,6 +2440,13 @@ class IngestAPI:
         if fmt == "jsonl":
             df = P.parse_vm_jsonl(lines)
         elif fmt == "prometheus":
+            # HELP/TYPE comment lines feed the metadata registry (the
+            # body is already driver-side here; comment volume is
+            # per-family, presentation-sized)
+            self.metadata_store.add_text(
+                (ln for ln in body.splitlines() if ln.lstrip()[:1] == "#"),
+                tenant=self._metadata_tenant(),
+            )
             df = P.parse_prometheus_text(lines, default_ts_ms)
         elif fmt == "influx":
             df = P.parse_influx(lines)
@@ -2552,7 +2597,12 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
 
     def tenant_ingest_api(token: str) -> "IngestAPI":
         return IngestAPI(
-            default_api.spark, samples_table=tenant_table, tenant=token
+            default_api.spark,
+            samples_table=tenant_table,
+            tenant=token,
+            metadata_store=(
+                ingest_api.metadata_store if ingest_api is not None else None
+            ),
         )
 
     class Handler(BaseHTTPRequestHandler):
@@ -2571,6 +2621,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             api = default_api
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            sel_tenant = None
             # cluster-style tenant routing:
             # /select/<token>/{prometheus,graphite}/<rest>
             if tenant_table and u.path.startswith("/select/"):
@@ -2590,6 +2641,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                             ),
                         )
                         return
+                    sel_tenant = parts[2]
                     u = u._replace(path="/" + parts[4])
             # reference main.go strips a "/graphite" prefix so
             # /graphite/metrics/find == /metrics/find etc.
@@ -2681,7 +2733,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path == "/api/v1/series/count":
                     out = api.series_count()
                 elif u.path == "/api/v1/metadata":
-                    out = api.metadata()
+                    out = api.metadata(
+                        metric=p("metric"),
+                        limit=p("limit", "0"),
+                        store=(
+                            ingest_api.metadata_store
+                            if ingest_api is not None
+                            else None
+                        ),
+                        tenant=sel_tenant,
+                    )
                 elif u.path in (
                     "/api/v1/buildinfo",
                     "/api/v1/status/buildinfo",

@@ -190,8 +190,37 @@ def decode_write_request(
             yield name, dict(labels), ts, val
 
 
+def decode_write_request_metadata(
+    body: bytes, compressed: bool = True
+) -> list[dict]:
+    """MetricMetadata records from a remote-write payload
+    (prompb WriteRequest field 3; MetricMetadata: type=1 enum,
+    metric_family_name=2, help=4, unit=5 —
+    lib/prompb/write_request_unmarshaler.go:640-690)."""
+    if compressed:
+        body = snappy_uncompress(body)
+    out: list[dict] = []
+    for f, wt, msg in _fields(body):
+        if f != 3 or wt != 2:
+            continue
+        md = {"metric_family_name": "", "help": "", "unit": "", "type": 0}
+        for mf, mwt, mv in _fields(msg):
+            if mf == 1 and mwt == 0:
+                md["type"] = int(mv)
+            elif mf == 2 and mwt == 2:
+                md["metric_family_name"] = mv.decode("utf-8")
+            elif mf == 4 and mwt == 2:
+                md["help"] = mv.decode("utf-8")
+            elif mf == 5 and mwt == 2:
+                md["unit"] = mv.decode("utf-8")
+        out.append(md)
+    return out
+
+
 def encode_write_request(
-    series: list[tuple[dict, list[tuple[int, float]]]], compress: bool = True
+    series: list[tuple[dict, list[tuple[int, float]]]],
+    compress: bool = True,
+    metadata: list[dict] | None = None,
 ) -> bytes:
     """Inverse of decode_write_request (labels dict INCLUDING __name__,
     [(ts_ms, value)]) — exercised against the decoder in tests and used
@@ -216,6 +245,16 @@ def encode_write_request(
             )
             ts_body += ld(2, s)
         out += ld(1, bytes(ts_body))
+    for md in metadata or []:
+        m = bytearray()
+        if md.get("type"):
+            m += _uvarint_encode(1 << 3 | 0) + _uvarint_encode(int(md["type"]))
+        m += ld(2, md.get("metric_family_name", "").encode("utf-8"))
+        if md.get("help"):
+            m += ld(4, md["help"].encode("utf-8"))
+        if md.get("unit"):
+            m += ld(5, md["unit"].encode("utf-8"))
+        out += ld(3, bytes(m))
     body = bytes(out)
     return snappy_compress(body) if compress else body
 
