@@ -1373,3 +1373,215 @@ def test_metrics_metadata(server):
     got = _get(server, "/api/v1/metadata", limit="3")
     assert len(got["data"]) == 3
     assert sorted(got["data"]) == sorted(ours)[:3]
+
+
+# ----------------------------------------------------------------------
+# query_resource_limit_test.go — -search.maxUniqueTimeseries fails
+# over-broad selector scans with 422 (per tenant on multitenant
+# queries); -search.maxSeries bounds /api/v1/series.
+
+
+@pytest.fixture(scope="module")
+def limit_server(spark):
+    from victoriametrics_spark.api import PromAPI, serve
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_samples_table,
+    )
+
+    table = "apptest_limit_samples"
+    seed = spark.createDataFrame([], SAMPLE_SCHEMA).withColumn(
+        "tenant", F_lit_str("0:0")
+    )
+    write_samples_table(seed, table, n_buckets=8)
+    api = PromAPI(
+        spark,
+        spark.table(table),
+        samples_table=table,
+        tenant="0:0",
+        max_unique_timeseries=2,
+        max_series=2,
+    )
+    srv = serve(
+        api,
+        port=0,
+        ingest_api=IngestAPI(spark, samples_table=table, tenant="0:0"),
+        tenant_table=table,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    drop_samples_table(spark, table)
+
+
+LIMIT_SAMPLES = "\n".join([
+    'lim_foo_bar1{instance="a"} 1.00 1652169660000',
+    'lim_foo_bar2{instance="a"} 1.00 1652169660000',
+    'lim_foo_bar2{instance="b"} 2.00 1652169660000',
+    'lim_foo_bar3{instance="a"} 1.00 1652169660000',
+    'lim_foo_bar3{instance="b"} 2.00 1652169660000',
+    'lim_foo_bar3{instance="c"} 3.00 1652169660000',
+])
+
+
+def _expect_422(base, path, **params):
+    qs = urllib.parse.urlencode(
+        {k: v for k, v in params.items() if v is not None}, doseq=True
+    )
+    try:
+        urllib.request.urlopen(f"{base}{path}?{qs}")
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+        return json.loads(e.read())
+
+
+def test_max_unique_timeseries(limit_server):
+    for tenant in ("0:0", "1:15"):
+        assert _post(
+            limit_server,
+            f"/insert/{tenant}/prometheus/api/v1/import/prometheus",
+            LIMIT_SAMPLES,
+        ) in (200, 204)
+    _get(limit_server, "/internal/force_flush")
+    t = "2022-05-10T08:05:00.000Z"
+
+    got = _get(limit_server, "/api/v1/query", query="lim_foo_bar1", time=t)
+    assert [r["metric"] for r in got["data"]["result"]] == [
+        {"__name__": "lim_foo_bar1", "instance": "a"}
+    ]
+    # at the limit: ok
+    got = _get(limit_server, "/api/v1/query", query="lim_foo_bar2", time=t)
+    assert len(got["data"]["result"]) == 2
+    # over the limit: 422 with the reference's message
+    err = _expect_422(
+        limit_server, "/api/v1/query", query="lim_foo_bar3", time=t
+    )
+    assert "the number of matching timeseries exceeds 2" in err["error"]
+    assert "-search.maxUniqueTimeseries" in err["error"]
+
+    # multitenant queries split per tenant: per-tenant count 2 <= limit,
+    # even though the merged result has 4 series
+    got = _get(
+        limit_server,
+        "/select/multitenant/prometheus/api/v1/query",
+        query="lim_foo_bar2",
+        time=t,
+    )
+    assert len(got["data"]["result"]) == 4
+    _expect_422(
+        limit_server,
+        "/select/multitenant/prometheus/api/v1/query",
+        query="lim_foo_bar3",
+        time=t,
+    )
+
+
+def test_max_series_limit(limit_server):
+    got = _get(
+        limit_server, "/api/v1/series",
+        **{"match[]": "lim_foo_bar2", "start": "2022-05-10T08:03:00.000Z"},
+    )
+    assert len(got["data"]) == 2
+    err = _expect_422(
+        limit_server, "/api/v1/series",
+        **{"match[]": "lim_foo_bar3", "start": "2022-05-10T08:03:00.000Z"},
+    )
+    assert "-search.maxSeries=2" in err["error"]
+
+
+# ----------------------------------------------------------------------
+# metric_names_stats_test.go — -storage.trackMetricNamesStats: ingest
+# registers names at zero, each matched series bumps its name's query
+# counter, le/limit filters, TSDB-status enrichment, admin reset.
+
+
+@pytest.fixture(scope="module")
+def names_server(spark):
+    from victoriametrics_spark.api import PromAPI, serve
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_samples_table,
+    )
+
+    table = "apptest_names_samples"
+    write_samples_table(spark.createDataFrame([], SAMPLE_SCHEMA), table)
+    ingest = IngestAPI(spark, samples_table=table)
+    api = PromAPI(
+        spark, spark.table(table), samples_table=table,
+        track_metric_names=True,
+    )
+    api.reload_samples()
+    srv = serve(api, port=0, ingest_api=ingest)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    drop_samples_table(spark, table)
+
+
+def test_metric_names_stats(names_server):
+    large = "large_metric_name_" * 32 + "1"
+    data = "\n".join([
+        'metric_name_1{label="foo"} 10 1707123456700',
+        'metric_name_1{label="bar"} 10 1707123456700',
+        'metric_name_2{label="baz"} 20 1707123456700',
+        'metric_name_1{label="baz"} 10 1707123456700',
+        'metric_name_3{label="baz"} 30 1707123456700',
+        large + '{label="bar"} 50 1707123456700',
+    ])
+    assert _post(names_server, "/api/v1/import/prometheus", data) in (200, 204)
+    _get(names_server, "/internal/force_flush")
+
+    def records(**params):
+        got = _get(names_server, "/api/v1/status/metric_names_stats", **params)
+        return [
+            (r["metricName"], r["queryRequestsCount"])
+            for r in got["records"]
+        ]
+
+    # ingest registered every name with a zero query count
+    assert records() == [
+        (large, 0), ("metric_name_1", 0),
+        ("metric_name_2", 0), ("metric_name_3", 0),
+    ]
+
+    # one query over all series: each matched series bumps its name
+    _get(names_server, "/api/v1/query", query='{__name__!=""}',
+         time="2024-02-05T08:57:36.700Z")
+    assert records() == [
+        (large, 1), ("metric_name_1", 3),
+        ("metric_name_2", 1), ("metric_name_3", 1),
+    ]
+
+    # TSDB status carries the per-name request counts
+    got = _get(names_server, "/api/v1/status/tsdb", date="2024-02-05")
+    by_name = {
+        e["name"]: e.get("requestsCount")
+        for e in got["data"]["seriesCountByMetricName"]
+    }
+    assert by_name["metric_name_1"] == 3 and by_name[large] == 1
+
+    # single-metric query bumps only that name
+    _get(names_server, "/api/v1/query", query="metric_name_2",
+         time="2024-02-05T08:57:36.700Z")
+    assert records() == [
+        (large, 1), ("metric_name_1", 3),
+        ("metric_name_2", 2), ("metric_name_3", 1),
+    ]
+
+    # le filter drops counts above the bound
+    assert records(le="2") == [
+        (large, 1), ("metric_name_2", 2), ("metric_name_3", 1),
+    ]
+
+    # admin reset empties the tracker
+    assert _get(
+        names_server, "/api/v1/admin/status/metric_names_stats/reset"
+    )["status"] == "success"
+    assert records() == []

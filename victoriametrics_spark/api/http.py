@@ -216,8 +216,16 @@ class PromAPI:
         accept_estimate_drift: bool = False,
         samples_table: str | None = None,
         dedup_interval_ms: int = 0,
+        max_unique_timeseries: int = 0,
+        max_series: int = 0,
+        track_metric_names: bool = False,
+        names_tracker=None,
     ):
         self.spark = spark
+        # -search.maxUniqueTimeseries / -search.maxSeries analogs
+        # (query selector scans / the /api/v1/series endpoint); 0 = off
+        self.max_unique_timeseries = int(max_unique_timeseries)
+        self.max_series = int(max_series)
         # -dedup.minScrapeInterval analog: query-time dedup-on-read for
         # every eval AND raw export/series scan (lib/storage/dedup.go)
         self.dedup_interval_ms = int(dedup_interval_ms)
@@ -241,9 +249,18 @@ class PromAPI:
         self._query_stats_cap = 20000
         self._active: dict = {}
         # metric-name usage tracker for /api/v1/status/metric_names_stats
-        # (VM: lib/storage metricNamesStatsTracker): name → [requests,
-        # last_request_ts]; same cap discipline as the query registry
-        self._metric_names_stats: dict = {}
+        # (VM: lib/storage/metricnamestats behind
+        # -storage.trackMetricNamesStats). track_metric_names=True adds
+        # the VM-exact per-matched-series counting (one probe job per
+        # query leaf); default counts query MENTIONS (parse-level, free)
+        if names_tracker is None:
+            from victoriametrics_spark.storage.namestats import (
+                MetricNamesTracker,
+            )
+
+            names_tracker = MetricNamesTracker()
+        self.names_tracker = names_tracker
+        self.track_metric_names = bool(track_metric_names)
         self.max_lookback_ms = max_lookback_ms
         # [(group_name, [RecordingRule | AlertingRule, ...])]
         self.rule_groups = rule_groups or []
@@ -322,7 +339,7 @@ class PromAPI:
             "t0": _time.time(),
         }
         try:
-            self._track_metric_names(query)
+            self._track_metric_names(query, start_ms, end_ms)
             return self._eval_inner(
                 query, start_ms, end_ms, step_ms, tracer, enforced,
                 lookback_delta_ms,
@@ -361,6 +378,7 @@ class PromAPI:
             lookback_delta=lookback_delta_ms,
             dedup_interval_ms=self.dedup_interval_ms,
             enforced_filters=enforced,
+            max_unique_timeseries=self.max_unique_timeseries,
         )
         plan_span = (
             tracer.span(
@@ -648,6 +666,13 @@ class PromAPI:
             .agg(F.first(F.lit(1)))
             .collect()
         )
+        if self.max_series > 0 and len(rows) > self.max_series:
+            # -search.maxSeries (app/vmselect/prometheus/prometheus.go:55)
+            raise ValueError(
+                f"the number of matching timeseries exceeds "
+                f"-search.maxSeries={self.max_series}; either narrow down "
+                "the search or increase the -search.maxSeries value"
+            )
         data = [
             _metric_obj(r["name"], {e["key"]: e["value"] for e in (r["__e"] or [])})
             for r in rows
@@ -963,59 +988,76 @@ class PromAPI:
         return {"status": "ok", "data": data}
 
     # ------------------------------------------ debug routes (round 9)
-    def _track_metric_names(self, query: str) -> None:
-        import time as _time
-
+    def _track_metric_names(
+        self, query: str, start_ms: int = 0, end_ms: int = 0
+    ) -> None:
         try:
             from victoriametrics_spark.metricsql import parse
             from victoriametrics_spark.metricsql.ast import MetricExpr, walk
 
-            now = int(_time.time() * 1000)
+            if self.track_metric_names:
+                # VM-exact: every series a search touches bumps its
+                # name's counter (search.go:310) — one probe per query
+                # counting matched series per name over the range
+                # envelope (day-granular via date partition pruning)
+                from victoriametrics_spark.engine.planner import (
+                    selector_predicate,
+                )
+                from victoriametrics_spark.schema import series_key
+
+                lo = start_ms - self.max_lookback_ms - 86_400_000
+                for node in walk(parse(query)):
+                    if not isinstance(node, MetricExpr):
+                        continue
+                    probe = (
+                        self.samples.filter(selector_predicate(node))
+                        .filter(
+                            (F.col("ts") >= F.lit(lo))
+                            & (F.col("ts") <= F.lit(end_ms))
+                        )
+                        .groupBy("name")
+                        .agg(
+                            F.count_distinct(
+                                series_key(F.col("name"), F.col("labels"))
+                            ).alias("n")
+                        )
+                        .collect()
+                    )
+                    for r in probe:
+                        self.names_tracker.register_query(r["name"], int(r["n"]))
+                return
             for node in walk(parse(query)):
                 if isinstance(node, MetricExpr):
                     n = node.metric_name()
                     if n:
-                        st = self._metric_names_stats.pop(n, None) or [0, 0]
-                        st[0] += 1
-                        st[1] = now
-                        # reinsert → dict order = recency (LRU eviction)
-                        self._metric_names_stats[n] = st
-            if len(self._metric_names_stats) > self._query_stats_cap:
-                drop = len(self._metric_names_stats) - self._query_stats_cap
-                for k in list(self._metric_names_stats)[:drop]:
-                    del self._metric_names_stats[k]
+                        self.names_tracker.register_query(n)
         except Exception:
             pass  # tracking must never fail a query
 
     def metric_names_stats(
-        self, limit: int = 1000, match_pattern: str | None = None
+        self,
+        limit: int = 1000,
+        match_pattern: str | None = None,
+        le: int = -1,
     ) -> dict:
         """/api/v1/status/metric_names_stats — per-metric-name query
-        usage (app/vmselect/main.go metric_names_stats route over the
-        storage metricNamesStatsTracker)."""
-        import re as _re
-
-        records = [
-            {
-                "metricName": n,
-                "queryRequestsCount": c,
-                "lastRequestTimestamp": ts // 1000,
-            }
-            for n, (c, ts) in self._metric_names_stats.items()
-            if match_pattern is None or _re.search(match_pattern, n)
-        ]
-        records.sort(key=lambda r: (-r["queryRequestsCount"], r["metricName"]))
-        return {
-            "status": "success",
-            "data": {
-                "statsCollectedRecordsTotal": len(self._metric_names_stats),
-                "records": records[: max(0, limit)],
-            },
+        usage (app/vmselect/stats/stats.go over
+        lib/storage/metricnamestats): records sorted by metric name,
+        ``le`` keeps counts <= le, response per
+        metric_names_usage_response.qtpl (with the record list also
+        nested under data for older clients)."""
+        out = self.names_tracker.as_response(
+            limit=limit, le=le, match_pattern=match_pattern
+        )
+        out["data"] = {
+            "statsCollectedRecordsTotal": out["statsCollectedRecordsTotal"],
+            "records": out["records"],
         }
+        return out
 
     def reset_metric_names_stats(self) -> dict:
-        """/api/v1/status/metric_names_stats/reset."""
-        self._metric_names_stats.clear()
+        """/api/v1/admin/status/metric_names_stats/reset."""
+        self.names_tracker.reset()
         return {"status": "success"}
 
     def prettify_query(self, query: str) -> dict:
@@ -1538,6 +1580,14 @@ class PromAPI:
                 series.groupBy("name").agg(F.count(F.lit(1)).alias("__n")),
                 "name",
             )
+            if self.track_metric_names:
+                # seriesCountByMetricName entries carry the tracker's
+                # per-name query counts (apptest TSDBStatusResponse
+                # MetricNameEntry.RequestsCount)
+                for e in by_metric:
+                    e["requestsCount"] = self.names_tracker.query_count(
+                        e["name"]
+                    )
             by_label = heap(
                 pairs.groupBy("label").agg(
                     F.count_distinct("__sid").alias("__n")
@@ -2237,6 +2287,7 @@ class IngestAPI:
         now_ms_fn=None,
         relabel_config=None,
         metadata_store=None,
+        names_tracker=None,
     ):
         self.spark = spark
         self.samples_table = samples_table
@@ -2250,6 +2301,9 @@ class IngestAPI:
 
             metadata_store = MetricsMetadataStore()
         self.metadata_store = metadata_store
+        # optional shared MetricNamesTracker: ingested names register
+        # with a zero query count (storage.go:2065); None = no tracking
+        self.names_tracker = names_tracker
         # -relabelConfig analog (app/vmagent + vminsert common
         # relabel): a YAML string or parsed rule list applied to every
         # ingested row across all protocols, after extra_label params
@@ -2366,6 +2420,13 @@ class IngestAPI:
             df = df.filter(cond)
             kept = df.count()
             self.rows_ignored_total += total - kept
+        if self.names_tracker is not None:
+            try:
+                self.names_tracker.register_ingest(
+                    r["name"] for r in df.select("name").distinct().collect()
+                )
+            except Exception:
+                pass  # tracking must never fail a write
         if self.tenant == "multitenant":
             # tenant from the row's vm_account_id/vm_project_id labels
             # (defaults 0:0), labels stripped — the reference's
@@ -2580,6 +2641,14 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
     label_values_re = re.compile(r"^/api/v1/label/([^/]+)/values$")
     tenant_re = re.compile(r"^\d+(:\d+)?$")
     default_api, default_ingest = api, ingest_api
+    # with -storage.trackMetricNamesStats on, ingest registers names
+    # into the SAME tracker the status route serves
+    if (
+        ingest_api is not None
+        and api.track_metric_names
+        and ingest_api.names_tracker is None
+    ):
+        ingest_api.names_tracker = api.names_tracker
 
     def tenant_select_api(token: str) -> PromAPI:
         from victoriametrics_spark.storage.layout import (
@@ -2593,7 +2662,12 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             df = read_samples_table(
                 default_api.spark, tenant_table, tenant=token
             )
-        return PromAPI(default_api.spark, df)
+        return PromAPI(
+            default_api.spark,
+            df,
+            max_unique_timeseries=default_api.max_unique_timeseries,
+            max_series=default_api.max_series,
+        )
 
     def tenant_ingest_api(token: str) -> "IngestAPI":
         return IngestAPI(
@@ -2602,6 +2676,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             tenant=token,
             metadata_store=(
                 ingest_api.metadata_store if ingest_api is not None else None
+            ),
+            names_tracker=(
+                ingest_api.names_tracker if ingest_api is not None else None
             ),
         )
 
@@ -2761,7 +2838,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.reset_metric_names_stats()
                 elif u.path == "/api/v1/status/metric_names_stats":
                     out = api.metric_names_stats(
-                        int(p("limit", "1000")), p("match_pattern")
+                        int(p("limit", "1000")),
+                        p("match_pattern"),
+                        le=int(p("le", "-1")),
                     )
                 elif u.path == "/prettify-query":
                     out = api.prettify_query(p("query", ""))

@@ -49,6 +49,10 @@ class EvalConfig:
     # SAMPLE) to step-bucket two-level aggregation (amplification =
     # window/step per BUCKET PARTIAL — bounded by the grid, not the data).
     two_level_cutover: int = 16
+    # -search.maxUniqueTimeseries analog (lib/storage/index_db.go
+    # errTooManyTimeseries): a selector scan matching more unique
+    # series than this fails the query. 0 disables (no probe job runs).
+    max_unique_timeseries: int = 0
 
     def __post_init__(self):
         if self.step <= 0:

@@ -548,7 +548,48 @@ class Planner:
             from victoriametrics_spark.streaming.streamaggr import dedup_samples
 
             out = dedup_samples(out, self.cfg.dedup_interval_ms)
+        if self.cfg.max_unique_timeseries > 0:
+            self._check_series_limit(out)
         return out
+
+    def _check_series_limit(self, scanned: DataFrame) -> None:
+        """-search.maxUniqueTimeseries: fail when the selector matches
+        more unique series than allowed (errTooManyTimeseries,
+        lib/storage/index_db.go:2211-2216). The probe is bounded to the
+        query range plus a day of lookback — the per-day-index analog:
+        date-partition pruning keeps the count day-granular and cheap."""
+        from victoriametrics_spark.schema import series_key
+
+        limit = self.cfg.max_unique_timeseries
+        lo = self.cfg.start - self.cfg.max_lookback - 86_400_000
+        probe = scanned.filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(self.cfg.end))
+        )
+        # multitenant reads carry vm_account_id/vm_project_id labels and
+        # VM splits such queries per tenant, so the limit binds the
+        # per-tenant count (query_resource_limit_test.go:79-96); on
+        # single-tenant frames both keys are null — one global group
+        row = (
+            probe.groupBy(
+                F.col("labels").getItem("vm_account_id").alias("__a"),
+                F.col("labels").getItem("vm_project_id").alias("__p"),
+            )
+            .agg(
+                F.count_distinct(
+                    series_key(F.col("name"), F.col("labels"))
+                ).alias("__n")
+            )
+            .agg(F.max("__n").alias("__m"))
+            .first()
+        )
+        n = int(row["__m"] or 0)
+        if n > limit:
+            raise PlanError(
+                f"the number of matching timeseries exceeds {limit}; "
+                "either narrow down the search or increase -search.max* "
+                "command-line flag values (the most likely limit is "
+                "-search.maxUniqueTimeseries)"
+            )
 
     # ------------------------------------------------------------- rollups
     def plan_rollup_func(self, fe: FuncExpr, cfg: EvalConfig) -> Plan:
