@@ -1585,3 +1585,116 @@ def test_metric_names_stats(names_server):
         names_server, "/api/v1/admin/status/metric_names_stats/reset"
     )["status"] == "success"
     assert records() == []
+
+
+# ----------------------------------------------------------------------
+# max_backfill_age_test.go — -maxBackfillAge rejects new samples older
+# than the window even when -retentionPeriod would keep them; existing
+# data stays searchable and deletable; fresh-enough backfill lands.
+
+
+def test_max_backfill_age(spark):
+    from victoriametrics_spark.api.http import IngestAPI
+
+    YEAR = 365 * 24 * 3600 * 1000
+    now = 1707123456700  # 2024-02-05T08:57:36.700Z
+    batches = []
+
+    def mk(backfill_ms):
+        return IngestAPI(
+            spark,
+            sink=lambda df, kind: batches.append(df),
+            retention_ms=YEAR,
+            max_backfill_age_ms=backfill_ms,
+            now_ms_fn=lambda: now,
+        )
+
+    # backfill age == retention: only the retention bound applies
+    api = mk(YEAR)
+    n = api.import_lines(
+        f"m_out 1 {now - YEAR - 3600_000}\nm_in 2 {now - YEAR + 3600_000}",
+        "prometheus",
+    )
+    assert n == 1
+    assert [r["name"] for r in batches[-1].collect()] == ["m_in"]
+    assert api.rows_ignored_total == 1
+
+    # backfill age shorter than retention: inside-retention-but-stale
+    # samples are rejected too
+    api = mk(180 * 24 * 3600 * 1000)
+    n = api.import_lines(
+        f"m_stale 3 {now - YEAR + 3600_000}\n"
+        f"m_fresh 4 {now - 180 * 24 * 3600 * 1000 + 3600_000}",
+        "prometheus",
+    )
+    assert n == 1
+    assert [r["name"] for r in batches[-1].collect()] == ["m_fresh"]
+
+    # values above retention clamp to retention (storage.go:192-194)
+    api = mk(100 * YEAR)
+    n = api.import_lines(
+        f"m_clamped 5 {now - YEAR - 3600_000}\nm_kept 6 {now - 3600_000}",
+        "prometheus",
+    )
+    assert n == 1
+    assert [r["name"] for r in batches[-1].collect()] == ["m_kept"]
+
+
+# ----------------------------------------------------------------------
+# backup_restore_test.go — snapshot → external backup dir → restore
+# into a fresh table: only pre-snapshot data comes back, the live table
+# is untouched, and restoring over existing data replaces it.
+
+
+def test_backup_restore_roundtrip(spark, tmp_path_factory):
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        read_samples_table,
+        write_samples_table,
+    )
+    from victoriametrics_spark.storage.snapshot import (
+        backup_snapshot,
+        create_snapshot,
+        restore_backup,
+    )
+
+    table, restored = "apptest_bk_samples", "apptest_bk_restored"
+    backup_dir = str(tmp_path_factory.mktemp("vmbackup") / "backup1")
+    write_samples_table(spark.createDataFrame([], SAMPLE_SCHEMA), table)
+    ingest = IngestAPI(spark, samples_table=table)
+    try:
+        ingest.import_lines(
+            "\n".join(f"bk_m{i} {i} 170712345670{i}" for i in range(5)),
+            "prometheus",
+        )
+        snap = create_snapshot(spark, table)
+        n_files = backup_snapshot(spark, table, snap, backup_dir)
+        assert n_files > 0
+        # backup destination must be empty (vmbackup refuses overwrite)
+        try:
+            backup_snapshot(spark, table, snap, backup_dir)
+            raise AssertionError("expected non-empty destination error")
+        except ValueError as e:
+            assert "not empty" in str(e)
+
+        # post-snapshot write: must NOT appear in the restore
+        ingest.import_lines("bk_late 9 1707123456799", "prometheus")
+
+        restore_backup(spark, backup_dir, restored)
+        got = sorted(
+            r["name"]
+            for r in read_samples_table(spark, restored).collect()
+        )
+        assert got == [f"bk_m{i}" for i in range(5)]
+        # live table untouched, still has the late row
+        live = {r["name"] for r in read_samples_table(spark, table).collect()}
+        assert "bk_late" in live and len(live) == 6
+
+        # restore over existing data replaces it (vmrestore semantics)
+        restore_backup(spark, backup_dir, restored)
+        assert read_samples_table(spark, restored).count() == 5
+    finally:
+        drop_samples_table(spark, table)
+        drop_samples_table(spark, restored)

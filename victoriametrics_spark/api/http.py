@@ -2284,6 +2284,7 @@ class IngestAPI:
         tenant: str | None = None,
         retention_ms: int = 0,
         future_retention_ms: int = 0,
+        max_backfill_age_ms: int = 0,
         now_ms_fn=None,
         relabel_config=None,
         metadata_store=None,
@@ -2322,6 +2323,10 @@ class IngestAPI:
         # VM defaults futureRetention=2d).
         self.retention_ms = int(retention_ms)
         self.future_retention_ms = int(future_retention_ms)
+        # -maxBackfillAge: rejects samples older than now-age even when
+        # retention would keep them; clamped to -retentionPeriod
+        # (lib/storage/storage.go:192-205). 0 = retention-only guard.
+        self.max_backfill_age_ms = int(max_backfill_age_ms)
         self._now_ms = now_ms_fn or (lambda: int(__import__("time").time() * 1000))
         self.rows_ignored_total = 0
         # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
@@ -2403,9 +2408,14 @@ class IngestAPI:
             # rows relabeled to an empty metric name are skipped, like
             # the reference's empty-labels check after relabeling
             df = df.filter(F.coalesce(F.col("name"), F.lit("")) != "")
-        if self.retention_ms > 0 or self.future_retention_ms > 0:
+        backfill = self.max_backfill_age_ms
+        if self.retention_ms > 0 and (
+            backfill <= 0 or backfill > self.retention_ms
+        ):
+            backfill = self.retention_ms
+        if backfill > 0 or self.future_retention_ms > 0:
             now = self._now_ms()
-            lo = now - self.retention_ms if self.retention_ms > 0 else None
+            lo = now - backfill if backfill > 0 else None
             hi = (
                 now + self.future_retention_ms
                 if self.future_retention_ms > 0

@@ -158,6 +158,33 @@ def delete_all_snapshots(spark: SparkSession, table: str) -> None:
         delete_snapshot(spark, table, name)
 
 
+def backup_snapshot(
+    spark: SparkSession, table: str, name: str, dest_dir: str
+) -> int:
+    """vmbackup analog: materialize snapshot ``name`` into an external
+    backup directory (a real copy — backups leave the storage volume,
+    so hardlinks don't apply; the parts are immutable, so a future
+    incremental copy could skip files already present, exactly
+    vmbackup's server-side copy optimization). Returns files copied."""
+    snap = os.path.join(_snap_root(spark, table), name)
+    if not os.path.isfile(os.path.join(snap, "_snapshot_meta.json")):
+        raise ValueError(f'cannot find snapshot "{name}"')
+    if os.path.exists(dest_dir) and os.listdir(dest_dir):
+        raise ValueError(f"backup destination {dest_dir!r} is not empty")
+    shutil.copytree(snap, dest_dir, dirs_exist_ok=True)
+    return sum(len(fs) for _, _, fs in os.walk(dest_dir))
+
+
+def restore_backup(
+    spark: SparkSession, backup_dir: str, dest_table: str
+) -> None:
+    """vmrestore analog: re-create ``dest_table`` from an external
+    backup directory written by backup_snapshot."""
+    if not os.path.isfile(os.path.join(backup_dir, "_snapshot_meta.json")):
+        raise ValueError(f"no snapshot backup at {backup_dir!r}")
+    _restore_from_dir(spark, backup_dir, dest_table)
+
+
 def restore_snapshot(
     spark: SparkSession,
     table: str,
@@ -171,9 +198,13 @@ def restore_snapshot(
     O(#files) like snapshot creation."""
     dest = dest_table or table
     snap = os.path.join(_snap_root(spark, table), name)
-    meta_path = os.path.join(snap, "_snapshot_meta.json")
-    if not os.path.isfile(meta_path):
+    if not os.path.isfile(os.path.join(snap, "_snapshot_meta.json")):
         raise ValueError(f"cannot find snapshot {name!r}")
+    _restore_from_dir(spark, snap, dest)
+
+
+def _restore_from_dir(spark: SparkSession, snap: str, dest: str) -> None:
+    meta_path = os.path.join(snap, "_snapshot_meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
     wh = _local_warehouse(spark)
