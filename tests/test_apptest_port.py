@@ -1698,3 +1698,146 @@ def test_backup_restore_roundtrip(spark, tmp_path_factory):
     finally:
         drop_samples_table(spark, table)
         drop_samples_table(spark, restored)
+
+
+# ----------------------------------------------------------------------
+# multitenancy_via_headers_test.go — -enableMultitenancyViaHeaders:
+# AccountID/ProjectID HTTP headers pick the tenant on insert AND
+# select; AccountID: multitenant searches all tenants with the
+# vm_account_id/vm_project_id pseudo-labels attached.
+
+
+@pytest.fixture(scope="module")
+def hdr_server(spark):
+    from victoriametrics_spark.api import PromAPI, serve
+    from victoriametrics_spark.api.http import IngestAPI
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_samples_table,
+    )
+
+    table = "apptest_hdr_samples"
+    seed = spark.createDataFrame([], SAMPLE_SCHEMA).withColumn(
+        "tenant", F_lit_str("0:0")
+    )
+    write_samples_table(seed, table, n_buckets=8)
+    api = PromAPI(spark, spark.table(table), samples_table=table,
+                  tenant="0:0")
+    srv = serve(
+        api,
+        port=0,
+        ingest_api=IngestAPI(spark, samples_table=table, tenant="0:0"),
+        tenant_table=table,
+        multitenancy_via_headers=True,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    drop_samples_table(spark, table)
+
+
+def _hget(base, path, headers, **params):
+    qs = urllib.parse.urlencode(
+        {k: v for k, v in params.items() if v is not None}, doseq=True
+    )
+    req = urllib.request.Request(f"{base}{path}?{qs}", headers=headers)
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _hpost(base, path, body, headers):
+    req = urllib.request.Request(
+        f"{base}{path}", data=body.encode(), method="POST", headers=headers
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status
+
+
+MT_HDR = {"AccountID": "multitenant"}
+HDR_SAMPLES = "\n".join([
+    "hdr_foo_bar 1.00 1652169600000",
+    "hdr_foo_bar 2.00 1652169660000",
+    "hdr_foo_bar 3.00 1652169720000",
+])
+
+
+def test_multitenancy_via_headers(hdr_server):
+    t = "2022-05-10T08:05:00.000Z"
+    # empty multitenant search before any writes
+    got = _hget(hdr_server, "/api/v1/query", MT_HDR,
+                query="hdr_foo_bar", step="5m",
+                time="2022-05-10T08:03:00.000Z")
+    assert got["data"]["result"] == []
+
+    tenant_headers = [
+        {"AccountID": "1", "ProjectID": "1"},
+        {"AccountID": "1", "ProjectID": "15"},
+        {"AccountID": "2"},
+        {"ProjectID": "3"},
+    ]
+    for h in tenant_headers:
+        assert _hpost(
+            hdr_server, "/api/v1/import/prometheus", HDR_SAMPLES, h
+        ) in (200, 204)
+        _get(hdr_server, "/internal/force_flush")
+        got = _hget(hdr_server, "/api/v1/query", h,
+                    query="hdr_foo_bar", time=t)
+        assert got["data"]["result"] == [
+            {"metric": {"__name__": "hdr_foo_bar"},
+             "value": [1652169900.0, "3"]}
+        ]
+
+    # multitenant header searches all tenants with pseudo-labels
+    got = _hget(hdr_server, "/api/v1/query", MT_HDR,
+                query="hdr_foo_bar", time=t)
+    metrics = sorted(
+        (r["metric"]["vm_account_id"], r["metric"]["vm_project_id"])
+        for r in got["data"]["result"]
+    )
+    assert metrics == [("0", "3"), ("1", "1"), ("1", "15"), ("2", "0")]
+    assert all(
+        r["value"] == [1652169900.0, "3"] for r in got["data"]["result"]
+    )
+
+    # range aggregation BY tenant labels
+    got = _hget(hdr_server, "/api/v1/query_range", MT_HDR,
+                query="sum(hdr_foo_bar) by(vm_account_id,vm_project_id)",
+                start="2022-05-10T07:59:00.000Z",
+                end="2022-05-10T08:05:00.000Z", step="1m")
+    assert len(got["data"]["result"]) == 4
+    for r in got["data"]["result"]:
+        assert [(ts, v) for ts, v in r["values"]][:4] == [
+            (1652169600.0, "1"), (1652169660.0, "2"),
+            (1652169720.0, "3"), (1652169780.0, "3"),
+        ]
+
+    # multitenant ingest via header: tenants populated from labels
+    assert _hpost(hdr_server, "/api/v1/import/prometheus", "\n".join([
+        'hdr_foo_bar{vm_account_id="5"} 1.00 1652169720000',
+        'hdr_foo_bar{vm_project_id="10"} 2.00 1652169660000',
+        'hdr_foo_bar{vm_account_id="5",vm_project_id="15"} 3.00'
+        " 1652169720000",
+    ]), MT_HDR) in (200, 204)
+    _get(hdr_server, "/internal/force_flush")
+
+    # selector filters on the tenant pseudo-labels
+    got = _hget(hdr_server, "/api/v1/query", MT_HDR,
+                query='hdr_foo_bar{vm_account_id="5"}', time=t)
+    res = sorted(
+        (r["metric"]["vm_project_id"], r["value"][1])
+        for r in got["data"]["result"]
+    )
+    assert res == [("0", "1"), ("15", "3")]
+
+    # /api/v1/series with extra_filters over tenant pseudo-labels
+    got = _hget(hdr_server, "/api/v1/series", MT_HDR,
+                start="2022-05-10T08:00:00.000Z",
+                end="2022-05-10T08:30:00.000Z",
+                **{"match[]": "hdr_foo_bar",
+                   "extra_filters[]": '{vm_project_id="15"}'})
+    pairs = sorted(
+        (m["vm_account_id"], m["vm_project_id"]) for m in got["data"]
+    )
+    assert pairs == [("1", "15"), ("5", "15")]

@@ -2635,7 +2635,7 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``).
@@ -2659,6 +2659,21 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
         and ingest_api.names_tracker is None
     ):
         ingest_api.names_tracker = api.names_tracker
+
+    def header_tenant(handler) -> str | None:
+        """-enableMultitenancyViaHeaders: AccountID/ProjectID HTTP
+        headers select the tenant (multitenancy_via_headers_test.go) —
+        a missing header defaults to 0; AccountID: multitenant searches
+        every tenant."""
+        if not (multitenancy_via_headers and tenant_table):
+            return None
+        acc = handler.headers.get("AccountID")
+        proj = handler.headers.get("ProjectID")
+        if acc is None and proj is None:
+            return None
+        if acc == "multitenant":
+            return "multitenant"
+        return f"{acc or 0}:{proj or 0}"
 
     def tenant_select_api(token: str) -> PromAPI:
         from victoriametrics_spark.storage.layout import (
@@ -2709,6 +2724,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             u = urlparse(self.path)
             q = parse_qs(u.query)
             sel_tenant = None
+            htok = header_tenant(self)
+            if htok is not None:
+                try:
+                    api = tenant_select_api(htok)
+                    sel_tenant = htok
+                except Exception as e:
+                    self._send(
+                        400, json.dumps({"status": "error", "error": str(e)})
+                    )
+                    return
             # cluster-style tenant routing:
             # /select/<token>/{prometheus,graphite}/<rest>
             if tenant_table and u.path.startswith("/select/"):
@@ -3025,6 +3050,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
 
         def do_POST(self):  # noqa: N802
             ingest_api = default_ingest
+            htok = header_tenant(self)
+            if htok is not None:
+                ingest_api = tenant_ingest_api(htok)
             u = urlparse(self.path)
             q = parse_qs(u.query)
             # cluster-style tenant routing: /insert/<token>/<rest>
