@@ -3285,6 +3285,8 @@ SELECT event_type, user_bucket, ts, value FROM (
 _DRIVER_PRIORITY = [
     # (a) changed this round — incl. the NEW late-r9 gates (chunking,
     # repetition stats, near-dup connected components)
+    "op_doc_c4_clean",
+    "op_doc_gopher_filter",
     "op_doc_chunks",
     "op_doc_repetition",
     "op_doc_neardup_components",
@@ -3591,6 +3593,108 @@ SELECT lang, bin_id,
        CAST(sum(n_tokens) AS DOUBLE) AS bin_tokens,
        round(sum(n_tokens) / 512.0, 6) AS fill_ratio
 FROM b GROUP BY 1, 2""",
+)
+
+
+# ---- C4 cleaning + Gopher quality rules (operators/text.py) ----------
+# The synthetic corpus is punctuation-free word soup, so the C4 gate
+# first applies an engine-identical deterministic "structuring" pass
+# (line breaks + terminal periods + doc-level poison strings) before
+# running the cleaning rules — the op_doc_pii_redact augmentation trick.
+
+
+def _with_c4_structure(df):
+    did = F.col("doc_id")
+    aug = F.regexp_replace(F.col("text"), "(table|value|data) ", "$1.\n")
+    aug = F.regexp_replace(aug, " row ", "\njavascript row ")
+    return df.withColumn(
+        "text",
+        F.concat(
+            aug,
+            F.when(did % 17 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_C4_AUG_SQL = """
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '(table|value|data) ', '\\1.' || chr(10), 'g'),
+           ' row ', chr(10) || 'javascript row ', 'g')
+       || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS text
+FROM documents"""
+
+
+def _doc_c4_clean(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import c4_clean
+
+    return c4_clean(_with_c4_structure(load(spark, sf_dir, "documents")))
+
+
+_reg(
+    "op_doc_c4_clean",
+    _op(_doc_c4_clean),
+    "WITH aug AS ("
+    + _C4_AUG_SQL
+    + """),
+t AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines FROM aug),
+k AS (SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+                 regexp_matches(l, '[.!?"]$')
+                 AND len(string_split_regex(trim(l), ' +')) >= 3
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t),
+c AS (SELECT doc_id, text, lines, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS total_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+           AS n_sentences,
+       (len(regexp_extract_all(clean, '[.!?]')) >= 5
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep_doc,
+       md5(clean) AS clean_md5
+FROM c""",
+)
+
+
+def _doc_gopher_filter(spark, sf_dir, load):
+    from victoriametrics_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(load(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_gopher_filter",
+    _op(_doc_gopher_filter),
+    """
+WITH t AS (SELECT doc_id, text,
+                  string_split_regex(trim(text), ' +') AS w
+           FROM documents),
+m AS (SELECT doc_id, text, w,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                  AS DOUBLE) / len(w) AS mean_word_len,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / len(w) AS frac_alpha_words,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))
+                  AS DOUBLE) / len(w) AS symbol_word_ratio,
+             CAST(len(list_intersect(list_distinct(w),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stopword_hits
+      FROM t)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+       symbol_word_ratio, stopword_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8
+        AND stopword_hits >= 2) AS keep_doc
+FROM m""",
 )
 
 

@@ -644,3 +644,58 @@ def test_bpe_token_stats_known_counts(spark):
     assert (out[2]["n_ws_tokens"], out[2]["n_bpe_tokens"]) == (2.0, 2.0)
     assert (out[3]["n_ws_tokens"], out[3]["n_bpe_tokens"]) == (2.0, 2.0)
     assert out[1]["bpe_per_word"] == pytest.approx(5 / 3, abs=1e-6)
+
+
+def test_c4_clean_rules(spark):
+    """C4 line rules (terminal punctuation, >=3 words, no javascript)
+    and doc rules (>=5 sentences, lorem ipsum, curly brace)."""
+    from victoriametrics_spark.operators.text import c4_clean
+
+    good = "\n".join(
+        f"this is sentence number {i}." for i in range(5)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nno terminal punctuation line"),
+            (3, good + "\ntoo short."),
+            (4, good + "\nsome javascript mention here."),
+            (5, "one good sentence."),
+            (6, good + " lorem ipsum"),
+            (7, good + " function() {"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["kept_lines"] == 5 and out[1]["keep_doc"]
+    # non-punctuated / short / javascript lines dropped, doc still kept
+    assert out[2]["kept_lines"] == 5 and out[2]["keep_doc"]
+    assert out[3]["kept_lines"] == 5  # "too short." has < 3 words
+    assert out[4]["kept_lines"] == 5 and out[4]["keep_doc"]
+    # fewer than 5 sentences after cleaning: dropped
+    assert out[5]["n_sentences"] == 1 and not out[5]["keep_doc"]
+    # poison strings drop the whole document
+    assert not out[6]["keep_doc"] and not out[7]["keep_doc"]
+
+
+def test_gopher_quality_filter_rules(spark):
+    from victoriametrics_spark.operators.text import gopher_quality_filter
+
+    base = ("the data and value of that table have with row " * 7).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # 70 words, stopword-rich
+            (2, "tiny doc the of"),         # too few words
+            (3, ("xx " * 70).strip()),      # no stop words
+            (4, base + " " + "### " * 30),  # symbol-heavy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert out[1]["keep_doc"] and out[1]["stopword_hits"] >= 2
+    assert out[1]["n_words"] == 70
+    assert 3.0 <= out[1]["mean_word_len"] <= 10.0
+    assert not out[2]["keep_doc"]           # word-count floor
+    assert not out[3]["keep_doc"]           # stop-word test fails
+    assert not out[4]["keep_doc"]           # symbol ratio > 0.1
+    assert out[4]["symbol_word_ratio"] > 0.1

@@ -407,3 +407,107 @@ def repetition_stats(
         F.round("top_raw", 6).alias("top_ngram_frac"),
         F.round("dup_raw", 6).alias("dup_ngram_frac"),
     )
+
+
+def c4_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus cleaning (Raffel et al. 2020, §2.2) — the
+    line/document heuristics behind the C4 dataset:
+
+    - keep only lines ending in terminal punctuation (. ! ? "),
+    - drop lines with fewer than 3 words or containing "javascript",
+    - drop documents with fewer than 5 sentences after cleaning,
+      containing "lorem ipsum", or containing "{".
+
+    Output: (id, total_lines, kept_lines, n_sentences, keep_doc,
+    clean_md5). Pure array/regexp column expressions — whole-stage
+    codegen, map-only, no shuffle: at 100 TB this runs at scan speed.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), " +")) >= 3)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    keep_doc = (
+        (n_sent >= 5)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("total_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep_doc.alias("keep_doc"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+# Gopher stop-word test set (Rae et al. 2021, table A1 quality rules)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1) — the
+    word-level document filter used for MassiveText:
+
+    - 50..100k words, mean word length in [3, 10],
+    - symbol-to-word ratio (# or ...) <= 0.1,
+    - >= 80% of words contain an alphabetic character,
+    - >= 2 of the 8 Gopher stop words appear.
+
+    Output: per-rule measurements plus the final keep verdict. Pure
+    array-expression aggregations over the word list — map-only."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), " +")
+    n_words = F.size(words).cast("long")
+    mean_wlen = (
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words
+    )
+    frac_alpha = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    n_symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("double")
+    symbol_ratio = n_symbols / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("keep_doc"),
+    )
