@@ -60,8 +60,10 @@ def main() -> None:
     )
     from victoriametrics_spark.operators.text import (
         bpe_token_stats,
+        c4_clean,
         chunk_documents,
         decontaminate,
+        gopher_quality_filter,
         pack_chunks,
         quality_score,
         redact_pii,
@@ -90,6 +92,10 @@ def main() -> None:
     ops["redact_pii"] = run("redact_pii", redact_pii(docs))
     ops["bpe_token_stats"] = run("bpe_token_stats", bpe_token_stats(docs))
     ops["quality_score"] = run("quality_score", quality_score(docs))
+    ops["c4_clean"] = run("c4_clean", c4_clean(docs))
+    ops["gopher_quality_filter"] = run(
+        "gopher_quality_filter", gopher_quality_filter(docs)
+    )
     ops["stratified_sample"] = run(
         "stratified_sample",
         stratified_sample(docs, {"en": 0.5, "zh": 0.25, "de": 0.1}),

@@ -1348,3 +1348,25 @@ def test_extra_filters_multiple_are_alternatives(api):
     )
     out = api.query("http_requests_total", time="1500", enforced=both)
     assert {r["metric"]["job"] for r in out["data"]["result"]} == {"a"}
+
+
+def test_max_points_per_timeseries(spark):
+    """-search.maxPointsPerTimeseries rejects over-long range grids up
+    front (promql.ValidateMaxPointsPerSeries, eval.go:62-72)."""
+    rows = [("m_pts", {"a": "1"}, ts, 1.0, False)
+            for ts in range(0, 600_000, 100_000)]
+    a = PromAPI(
+        spark,
+        spark.createDataFrame(rows, SAMPLE_SCHEMA),
+        max_points_per_timeseries=100,
+    )
+    # 11 points: fine
+    out = a.query_range("m_pts", "0", "600", "60")
+    assert out["status"] == "success"
+    # 601 points: rejected with the reference's message
+    try:
+        a.query_range("m_pts", "0", "600", "1")
+        raise AssertionError("expected too-many-points error")
+    except ValueError as e:
+        assert "too many points" in str(e)
+        assert "maxPointsPerTimeseries" in str(e)

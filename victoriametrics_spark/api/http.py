@@ -218,6 +218,7 @@ class PromAPI:
         dedup_interval_ms: int = 0,
         max_unique_timeseries: int = 0,
         max_series: int = 0,
+        max_points_per_timeseries: int = 30000,
         track_metric_names: bool = False,
         names_tracker=None,
     ):
@@ -226,6 +227,9 @@ class PromAPI:
         # (query selector scans / the /api/v1/series endpoint); 0 = off
         self.max_unique_timeseries = int(max_unique_timeseries)
         self.max_series = int(max_series)
+        # -search.maxPointsPerTimeseries (default 30e3): query_range
+        # grids larger than this are rejected up front
+        self.max_points_per_timeseries = int(max_points_per_timeseries)
         # -dedup.minScrapeInterval analog: query-time dedup-on-read for
         # every eval AND raw export/series scan (lib/storage/dedup.go)
         self.dedup_interval_ms = int(dedup_interval_ms)
@@ -437,6 +441,17 @@ class PromAPI:
         step_ms = _parse_step(step)
         start_ms = _parse_time(start, 0)
         end_ms = _parse_time(end, start_ms)
+        # ValidateMaxPointsPerSeries (app/vmselect/promql/eval.go:62-72)
+        if step_ms > 0 and self.max_points_per_timeseries > 0:
+            points = (end_ms - start_ms) // step_ms + 1
+            if points > self.max_points_per_timeseries:
+                raise ValueError(
+                    f"too many points for the given start={start_ms}, "
+                    f"end={end_ms} and step={step_ms}: {points}; the "
+                    "maximum number of points is "
+                    f"{self.max_points_per_timeseries} (see "
+                    "-search.maxPointsPerTimeseries command-line flag)"
+                )
         if may_cache:
             start_ms, end_ms = _adjust_start_end(start_ms, end_ms, step_ms)
         # `max_lookback` = the LookbackDelta override (getMaxLookback,
