@@ -1841,3 +1841,44 @@ def test_multitenancy_via_headers(hdr_server):
         (m["vm_account_id"], m["vm_project_id"]) for m in got["data"]
     )
     assert pairs == [("1", "15"), ("5", "15")]
+
+
+def test_multitenant_label_canonicalization_and_tenant_metadata(mt_server):
+    """Self-review regressions: (a) zero-padded/non-numeric
+    vm_account_id labels canonicalize like parse_tenant instead of
+    minting unreachable partitions; (b) tenant-routed /api/v1/metadata
+    reads the canonical tenant keyspace; (c) bad tenant headers/tokens
+    on POST return clean 400s."""
+    # (a) "01" canonicalizes to account 1; "junk" falls back to 0
+    assert _post(
+        mt_server,
+        "/insert/multitenant/prometheus/api/v1/import/prometheus",
+        "\n".join([
+            'canon_m{vm_account_id="01",vm_project_id="002"} 5'
+            " 1652169720000",
+            'canon_m{vm_account_id="junk"} 7 1652169720000',
+        ]),
+    ) in (200, 204)
+    _get(mt_server, "/internal/force_flush")
+    got = _get(mt_server, "/select/1:2/prometheus/api/v1/query",
+               query="canon_m", time="2022-05-10T08:05:00.000Z")
+    assert [r["value"][1] for r in got["data"]["result"]] == ["5"]
+    got = _get(mt_server, "/select/0/prometheus/api/v1/query",
+               query="canon_m", time="2022-05-10T08:05:00.000Z")
+    assert [r["value"][1] for r in got["data"]["result"]] == ["7"]
+
+    # (b) tenant-routed ingest metadata served on the tenant route,
+    # account-only token canonicalized ("3" -> "3:0")
+    assert _post(
+        mt_server,
+        "/insert/3/prometheus/api/v1/import/prometheus",
+        "# HELP md_canon_m tenant help\n# TYPE md_canon_m gauge\n"
+        "md_canon_m 1 1652169720000",
+    ) in (200, 204)
+    got = _get(mt_server, "/select/3/prometheus/api/v1/metadata")
+    assert got["data"] == {
+        "md_canon_m": [{"type": "gauge", "help": "tenant help"}]
+    }
+    # other tenants do not see it
+    got = _get(mt_server, "/select/4/prometheus/api/v1/metadata")
+    assert got["data"] == {}

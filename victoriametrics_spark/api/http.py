@@ -2457,10 +2457,24 @@ class IngestAPI:
             # (defaults 0:0), labels stripped — the reference's
             # multitenant vminsert handlers
             lb = F.coalesce(F.col("labels"), F.expr("map()"))
-            acc = F.coalesce(lb.getItem("vm_account_id"), F.lit("0"))
-            proj = F.coalesce(lb.getItem("vm_project_id"), F.lit("0"))
+            # canonicalize like parse_tenant: numeric labels parse as
+            # integers ("01" -> 1, matching VM's uint32 parse), anything
+            # non-numeric falls back to 0 so no unreachable partition
+            # value is ever minted
+            def _tenant_part(label):
+                v = lb.getItem(label)
+                n = F.when(
+                    v.rlike("^\\d+$"), v.cast("long")
+                ).otherwise(F.lit(0))
+                return n.cast("string")
+
             df = df.withColumn(
-                "tenant", F.concat(acc, F.lit(":"), proj)
+                "tenant",
+                F.concat(
+                    _tenant_part("vm_account_id"),
+                    F.lit(":"),
+                    _tenant_part("vm_project_id"),
+                ),
             ).withColumn(
                 "labels",
                 F.map_filter(
@@ -2705,21 +2719,45 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
         return PromAPI(
             default_api.spark,
             df,
+            max_lookback_ms=default_api.max_lookback_ms,
+            dedup_interval_ms=default_api.dedup_interval_ms,
             max_unique_timeseries=default_api.max_unique_timeseries,
             max_series=default_api.max_series,
+            max_points_per_timeseries=default_api.max_points_per_timeseries,
+            track_metric_names=default_api.track_metric_names,
+            names_tracker=default_api.names_tracker,
         )
 
+    # tenant-routed ingest shares every guard/config of the default
+    # IngestAPI — a tenant route must not bypass relabeling, retention
+    # guards, or the metadata/name registries
+    _shared_meta_store = (
+        ingest_api.metadata_store if ingest_api is not None else None
+    )
+    if _shared_meta_store is None and tenant_table:
+        from victoriametrics_spark.storage.metadata import (
+            MetricsMetadataStore,
+        )
+
+        _shared_meta_store = MetricsMetadataStore()
+
     def tenant_ingest_api(token: str) -> "IngestAPI":
+        src = ingest_api
         return IngestAPI(
             default_api.spark,
             samples_table=tenant_table,
             tenant=token,
-            metadata_store=(
-                ingest_api.metadata_store if ingest_api is not None else None
+            metadata_store=_shared_meta_store,
+            names_tracker=(src.names_tracker if src is not None else None),
+            relabel_config=(src.relabel_config if src is not None else None),
+            retention_ms=(src.retention_ms if src is not None else 0),
+            future_retention_ms=(
+                src.future_retention_ms if src is not None else 0
             ),
-            names_tracker=(
-                ingest_api.names_tracker if ingest_api is not None else None
+            max_backfill_age_ms=(
+                src.max_backfill_age_ms if src is not None else 0
             ),
+            now_ms_fn=(src._now_ms if src is not None else None),
         )
 
     class Handler(BaseHTTPRequestHandler):
@@ -2860,15 +2898,27 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path == "/api/v1/series/count":
                     out = api.series_count()
                 elif u.path == "/api/v1/metadata":
+                    # store keys are canonical parse_tenant tokens
+                    # ("5" -> "5:0"); the default route reads the
+                    # default ingest tenant's keyspace
+                    md_tenant = sel_tenant
+                    if md_tenant is None and ingest_api is not None:
+                        md_tenant = ingest_api._metadata_tenant()
+                    elif md_tenant is not None and md_tenant != "multitenant":
+                        md_tenant = parse_tenant(md_tenant)
                     out = api.metadata(
                         metric=p("metric"),
                         limit=p("limit", "0"),
                         store=(
-                            ingest_api.metadata_store
-                            if ingest_api is not None
-                            else None
+                            _shared_meta_store
+                            if _shared_meta_store is not None
+                            else (
+                                ingest_api.metadata_store
+                                if ingest_api is not None
+                                else None
+                            )
                         ),
-                        tenant=sel_tenant,
+                        tenant=md_tenant,
                     )
                 elif u.path in (
                     "/api/v1/buildinfo",
@@ -3067,7 +3117,13 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             ingest_api = default_ingest
             htok = header_tenant(self)
             if htok is not None:
-                ingest_api = tenant_ingest_api(htok)
+                try:
+                    ingest_api = tenant_ingest_api(htok)
+                except Exception as e:
+                    self._send(
+                        400, json.dumps({"status": "error", "error": str(e)})
+                    )
+                    return
             u = urlparse(self.path)
             q = parse_qs(u.query)
             # cluster-style tenant routing: /insert/<token>/<rest>

@@ -16,6 +16,7 @@ keeps it off the LSM tree for the same reason.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 # lib/timeserieslimits: metricMetadataMaxFieldValueSize = 64 KiB - 1
@@ -119,13 +120,21 @@ class MetricsMetadataStore:
     def __init__(self, max_items: int = 10000):
         self.max_items = max_items
         # (tenant, family) -> record; ordered by last write for the
-        # least-recently-written eviction (storage.go lastWriteHeap)
+        # least-recently-written eviction (storage.go lastWriteHeap).
+        # The lock serializes handler threads (serve() uses
+        # ThreadingHTTPServer: concurrent ingest adds vs status reads).
+        self._lock = threading.Lock()
         self._rows: OrderedDict[tuple, dict] = OrderedDict()
 
     def add(self, records, tenant: str | None = None) -> int:
         """Store records ({metric_family_name, help, unit, type}) —
         entries with any field value over 64 KiB are skipped
         (IsMetricMetadataExceeding)."""
+        n = 0
+        with self._lock:
+            return self._add_locked(records, tenant)
+
+    def _add_locked(self, records, tenant) -> int:
         n = 0
         for r in records:
             name = r.get("metric_family_name", "")
@@ -162,12 +171,15 @@ class MetricsMetadataStore:
         tenant: str | None = None,
     ) -> list[dict]:
         """Rows sorted by family name; ``limit`` applies after the sort
-        (storage.go GetForTenant). ``tenant="multitenant"`` (or the
-        single-node tenant-less store read with tenant=None) returns
-        every tenant's rows, deduped by family, newest write wins."""
+        (storage.go GetForTenant). ``tenant="multitenant"`` merges
+        every tenant's rows (deduped by family, newest write wins);
+        ``tenant=None`` reads the single-node tenant-less keyspace
+        only; a canonical "A:P" token reads that tenant's rows."""
         merge_all = tenant == "multitenant"
         out: dict[str, dict] = {}
-        for (tkey, name), row in self._rows.items():
+        with self._lock:
+            items = list(self._rows.items())
+        for (tkey, name), row in items:
             if not merge_all and tkey != tenant:
                 continue
             if metric and name != metric:

@@ -14,6 +14,7 @@ shape follows metric_names_usage_response.qtpl.
 from __future__ import annotations
 
 import re
+import threading
 import time
 from collections import OrderedDict
 
@@ -24,7 +25,10 @@ class MetricNamesTracker:
         self.collected_since = int(time.time())
         # name -> [query_requests_count, last_query_ts_seconds];
         # reinsert-on-update keeps dict order = write recency so cap
-        # eviction drops the least-recently-written entries
+        # eviction drops the least-recently-written entries. The lock
+        # serializes ThreadingHTTPServer handler threads (ingest
+        # registration vs status reads).
+        self._lock = threading.Lock()
         self._rows: OrderedDict[str, list] = OrderedDict()
 
     def _evict(self) -> None:
@@ -33,19 +37,21 @@ class MetricNamesTracker:
 
     def register_ingest(self, names) -> None:
         """Ingested metric names appear with a zero query count."""
-        for n in names:
-            if n and n not in self._rows:
-                self._rows[n] = [0, 0]
-        self._evict()
+        with self._lock:
+            for n in names:
+                if n and n not in self._rows:
+                    self._rows[n] = [0, 0]
+            self._evict()
 
     def register_query(self, name: str, hits: int = 1) -> None:
         if not name:
             return
-        st = self._rows.pop(name, None) or [0, 0]
-        st[0] += hits
-        st[1] = int(time.time())
-        self._rows[name] = st
-        self._evict()
+        with self._lock:
+            st = self._rows.pop(name, None) or [0, 0]
+            st[0] += hits
+            st[1] = int(time.time())
+            self._rows[name] = st
+            self._evict()
 
     def query_count(self, name: str) -> int:
         st = self._rows.get(name)
@@ -58,13 +64,15 @@ class MetricNamesTracker:
         match_pattern: str | None = None,
     ) -> list[dict]:
         rx = re.compile(match_pattern) if match_pattern else None
+        with self._lock:
+            items = list(self._rows.items())
         recs = [
             {
                 "metricName": n,
                 "queryRequestsCount": c,
                 "lastQueryRequestTimestamp": ts,
             }
-            for n, (c, ts) in self._rows.items()
+            for n, (c, ts) in items
             if (rx is None or rx.search(n)) and (le < 0 or c <= le)
         ]
         recs.sort(key=lambda r: r["metricName"])
@@ -86,5 +94,6 @@ class MetricNamesTracker:
         }
 
     def reset(self) -> None:
-        self._rows.clear()
-        self.collected_since = int(time.time())
+        with self._lock:
+            self._rows.clear()
+            self.collected_since = int(time.time())
