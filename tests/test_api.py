@@ -1370,3 +1370,69 @@ def test_max_points_per_timeseries(spark):
     except ValueError as e:
         assert "too many points" in str(e)
         assert "maxPointsPerTimeseries" in str(e)
+
+
+def test_admin_authkeys(spark):
+    """authKey protection for admin routes (httpserver.CheckAuthFlag:
+    -deleteAuthKey/-snapshotAuthKey/-forceMergeAuthKey/
+    -metricNamesStatsResetAuthKey): missing key -> 401, wrong key ->
+    401, matching key -> route runs; unset flags stay open."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from victoriametrics_spark.api import serve
+
+    rows = [("m_auth", {"a": "1"}, 0, 1.0, False)]
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    srv = serve(a, port=0, auth_keys={
+        "deleteAuthKey": "del-secret",
+        "snapshotAuthKey": "snap-secret",
+    })
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path, **q):
+        qs = urllib.parse.urlencode(q)
+        try:
+            with urllib.request.urlopen(f"{base}{path}?{qs}") as r:
+                return r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    code, body = get("/api/v1/admin/tsdb/delete_series",
+                     **{"match[]": "m_auth"})
+    assert code == 401 and "non-empty authKey" in body
+    assert "-deleteAuthKey" in body
+    code, body = get("/api/v1/admin/tsdb/delete_series",
+                     **{"match[]": "m_auth", "authKey": "wrong"})
+    assert code == 401 and "doesn't match -deleteAuthKey" in body
+    # matching key gets past auth (route itself 422s — no samples
+    # table on this bare PromAPI — which proves the handler ran)
+    code, _ = get("/snapshot/list", authKey="snap-secret")
+    assert code != 401
+    code, body = get("/snapshot/list")
+    assert code == 401 and "-snapshotAuthKey" in body
+    # unset flag: force_merge stays open
+    code, _ = get("/internal/force_flush")
+    assert code == 200
+    srv.shutdown()
+
+
+def test_max_query_len(spark):
+    """-search.maxQueryLen rejects oversized query strings with the
+    reference's message (prometheus.go:795)."""
+    rows = [("m_len", {"a": "1"}, 0, 1.0, False)]
+    a = PromAPI(
+        spark, spark.createDataFrame(rows, SAMPLE_SCHEMA), max_query_len=64
+    )
+    assert a.query("m_len", "10")["status"] == "success"
+    try:
+        a.query('m_len{a=~"' + "x" * 100 + '"}', "10")
+        raise AssertionError("expected too-long-query error")
+    except ValueError as e:
+        assert "too long query" in str(e)
+        assert "-search.maxQueryLen=64" in str(e)

@@ -219,6 +219,7 @@ class PromAPI:
         max_unique_timeseries: int = 0,
         max_series: int = 0,
         max_points_per_timeseries: int = 30000,
+        max_query_len: int = 16384,
         track_metric_names: bool = False,
         names_tracker=None,
     ):
@@ -230,6 +231,8 @@ class PromAPI:
         # -search.maxPointsPerTimeseries (default 30e3): query_range
         # grids larger than this are rejected up front
         self.max_points_per_timeseries = int(max_points_per_timeseries)
+        # -search.maxQueryLen (default 16KiB)
+        self.max_query_len = int(max_query_len)
         # -dedup.minScrapeInterval analog: query-time dedup-on-read for
         # every eval AND raw export/series scan (lib/storage/dedup.go)
         self.dedup_interval_ms = int(dedup_interval_ms)
@@ -334,6 +337,13 @@ class PromAPI:
         import time as _time
         import uuid as _uuid
 
+        if 0 < self.max_query_len < len(query.encode()):
+            # prometheus.go:795/968
+            raise ValueError(
+                f"too long query; got {len(query.encode())} bytes; "
+                "mustn't exceed `-search.maxQueryLen="
+                f"{self.max_query_len}` bytes"
+            )
         qid = _uuid.uuid4().hex[:16]
         self._active[qid] = {
             "query": query,
@@ -2664,7 +2674,7 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``).
@@ -2679,6 +2689,26 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
 
     label_values_re = re.compile(r"^/api/v1/label/([^/]+)/values$")
     tenant_re = re.compile(r"^\d+(:\d+)?$")
+    # admin-route authKey protection (httpserver.CheckAuthFlag): map of
+    # flag name -> secret; a set key demands a matching ?authKey= on
+    # its routes: deleteAuthKey (delete_series, /tags/delSeries),
+    # snapshotAuthKey (/snapshot*), forceMergeAuthKey
+    # (/internal/force_merge), metricNamesStatsResetAuthKey
+    auth_keys = auth_keys or {}
+
+    def auth_flag_for(path: str) -> str | None:
+        if path == "/api/v1/admin/tsdb/delete_series" or path == "/tags/delSeries":
+            return "deleteAuthKey"
+        if path.startswith("/snapshot") or path == "/api/v1/admin/tsdb/snapshot":
+            return "snapshotAuthKey"
+        if path == "/internal/force_merge":
+            return "forceMergeAuthKey"
+        if path in (
+            "/api/v1/status/metric_names_stats/reset",
+            "/api/v1/admin/status/metric_names_stats/reset",
+        ):
+            return "metricNamesStatsResetAuthKey"
+        return None
     default_api, default_ingest = api, ingest_api
     # with -storage.trackMetricNamesStats on, ingest registers names
     # into the SAME tracker the status route serves
@@ -2812,6 +2842,25 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             # /graphite/metrics/find == /metrics/find etc.
             if u.path.startswith("/graphite/"):
                 u = u._replace(path=u.path[len("/graphite"):])
+
+            flag = auth_flag_for(u.path)
+            if flag is not None and auth_keys.get(flag):
+                provided = q.get("authKey", [""])[0]
+                if not provided:
+                    self._send(
+                        401,
+                        f"Expected to receive non-empty authKey when "
+                        f"-{flag} is set",
+                        ctype="text/plain; charset=utf-8",
+                    )
+                    return
+                if provided != auth_keys[flag]:
+                    self._send(
+                        401,
+                        f"The provided authKey doesn't match -{flag}",
+                        ctype="text/plain; charset=utf-8",
+                    )
+                    return
 
             def p(name, default=None):
                 return q.get(name, [default])[0]
