@@ -1436,3 +1436,74 @@ def test_max_query_len(spark):
     except ValueError as e:
         assert "too long query" in str(e)
         assert "-search.maxQueryLen=64" in str(e)
+
+
+def test_route_tail_aliases(spark):
+    """Route-table tail: /prometheus/ prefix alias, /api/v1/push and
+    /api/v2/write ingest aliases, pushgateway paths (200, labels
+    ignored), influx fake query, newrelic inventory ack,
+    /api/v1/targets + /api/v1/status/config stubs,
+    /internal/resetRollupResultCache (vminsert+vmselect main.go)."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from victoriametrics_spark.api.http import IngestAPI
+
+    rows = [("m_tail", {"a": "1"}, 1_000_000, 1.0, False)]
+    captured = []
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    ing = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    srv = serve(a, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"{base}{path}", data=body.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            return r.status
+
+    def get(path, **q):
+        qs = urllib.parse.urlencode(q)
+        with urllib.request.urlopen(f"{base}{path}?{qs}") as r:
+            return r.status, r.read().decode()
+
+    # /prometheus-prefixed select routes work
+    code, body = get("/prometheus/api/v1/query", query="m_tail", time="1100")
+    assert code == 200 and "m_tail" in body
+
+    # pushgateway import path: 200 (not 204), body imported
+    assert post(
+        "/api/v1/import/prometheus/metrics/job/j1/instance/i1",
+        "pg_m 5 1000000",
+    ) == 200
+    assert any(r["name"] == "pg_m" for r in captured[-1].collect())
+    # plain import stays 204
+    assert post("/api/v1/import/prometheus", "pg_m2 6 1000000") == 204
+
+    # influx write aliases
+    assert post("/api/v2/write", "al_m v=1 1000000000000000") in (200, 204)
+    assert any(r["name"] == "al_m_v" for r in captured[-1].collect())
+
+    # fake influx query probe
+    code, body = get("/influx/query", q="SHOW DATABASES")
+    assert code == 200 and '"_internal"' in body
+
+    # newrelic inventory ack
+    req = urllib.request.Request(
+        f"{base}/newrelic/inventory/deltas", data=b"{}", method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 202 and b'"version": 1' in r.read()
+
+    # prometheus-compat stubs
+    code, body = get("/api/v1/targets")
+    assert code == 200 and '"activeTargets": []' in body
+    code, body = get("/api/v1/status/config")
+    assert code == 200 and '"yaml"' in body
+    code, _ = get("/internal/resetRollupResultCache")
+    assert code == 200
+    srv.shutdown()

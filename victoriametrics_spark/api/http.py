@@ -2839,9 +2839,12 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     sel_tenant = parts[2]
                     u = u._replace(path="/" + parts[4])
             # reference main.go strips a "/graphite" prefix so
-            # /graphite/metrics/find == /metrics/find etc.
+            # /graphite/metrics/find == /metrics/find etc.; same for
+            # the "/prometheus" prefix every route is also served under
             if u.path.startswith("/graphite/"):
                 u = u._replace(path=u.path[len("/graphite"):])
+            elif u.path.startswith("/prometheus/"):
+                u = u._replace(path=u.path[len("/prometheus"):])
 
             flag = auth_flag_for(u.path)
             if flag is not None and auth_keys.get(flag):
@@ -3023,6 +3026,31 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.force_merge(p("partition_prefix", ""))
                 elif u.path == "/internal/force_flush":
                     out = api.force_flush()
+                elif u.path == "/internal/resetRollupResultCache":
+                    # promql.ResetRollupResultCache analog
+                    if api.cache is not None:
+                        api.cache.reset()
+                    out = {"status": "ok"}
+                elif u.path == "/api/v1/targets":
+                    # no embedded scraper: empty target sets
+                    # (prometheus.io/docs API shape)
+                    out = {
+                        "status": "success",
+                        "data": {"activeTargets": [], "droppedTargets": []},
+                    }
+                elif u.path == "/api/v1/status/config":
+                    # no -promscrape.config: empty yaml, Prometheus shape
+                    out = {"status": "success", "data": {"yaml": ""}}
+                elif u.path in ("/influx/query", "/query"):
+                    # fake influx database-names response (TSBS /
+                    # Telegraf probe, lib/influxutil WriteDatabaseNames)
+                    self._send(
+                        200,
+                        '{"results":[{"statement_id":0,"series":'
+                        '[{"name":"databases","columns":["name"],'
+                        '"values":[["_internal"]]}]}]}',
+                    )
+                    return
                 elif u.path == "/metrics/expand" and browse_api:
                     out = browse_api.metrics_expand(
                         q.get("query", []),
@@ -3187,6 +3215,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     if rest.startswith("/prometheus/api/"):
                         rest = rest[len("/prometheus"):]
                     u = u._replace(path=rest)
+            if u.path.startswith("/prometheus/"):
+                # every ingest route is also served under /prometheus
+                # (vminsert main.go route table)
+                u = u._replace(path=u.path[len("/prometheus"):])
             if ingest_api is None:
                 self._send(
                     404, json.dumps({"status": "error", "error": "no ingest"})
@@ -3225,13 +3257,19 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     raise ValueError(
                         f"unsupported Content-Encoding {enc!r}"
                     )
-                if u.path == "/api/v1/write":
+                pushgateway = u.path.startswith(
+                    "/api/v1/import/prometheus/metrics/job/"
+                )
+                if u.path in ("/api/v1/write", "/api/v1/push"):
                     cnt = ingest_api.write_remote(raw)
                 elif u.path == "/api/v1/import":
                     cnt = ingest_api.import_lines(
                         raw.decode(), "jsonl", extra_labels=extra_labels
                     )
-                elif u.path == "/api/v1/import/prometheus":
+                elif u.path == "/api/v1/import/prometheus" or pushgateway:
+                    # pushgateway-style paths are accepted; the path
+                    # labels are ignored and the response is 200
+                    # (vminsert main.go:156-161, issue 3636)
                     ts = int(q.get("timestamp", ["0"])[0])
                     cnt = ingest_api.import_lines(
                         raw.decode(), "prometheus", ts,
@@ -3247,10 +3285,23 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     cnt = ingest_api.import_native(
                         raw, extra_labels=extra_labels
                     )
-                elif u.path in ("/influx/write", "/write"):
+                elif u.path in (
+                    "/influx/write",
+                    "/write",
+                    "/influx/api/v2/write",
+                    "/api/v2/write",
+                ):
                     cnt = ingest_api.import_lines(
                         raw.decode(), "influx", extra_labels=extra_labels
                     )
+                elif u.path == "/newrelic/inventory/deltas":
+                    # static ack (vminsert main.go:255-260)
+                    self._send(
+                        202,
+                        '{"payload":{"version": 1, "state": {}, '
+                        '"reset": "false"}}',
+                    )
+                    return
                 elif u.path == "/opentsdb/api/put":
                     # telnet-put lines or the HTTP JSON flavor — the
                     # reference runs these on separate listeners; here
@@ -3315,6 +3366,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             if u.path.startswith("/datadog/"):
                 self._send(202, json.dumps({"status": "ok"}))
             else:
-                self._send(204 if cnt >= 0 else 400, "")
+                ok = 200 if pushgateway else 204
+                self._send(ok if cnt >= 0 else 400, "")
 
     return ThreadingHTTPServer((host, port), Handler)
