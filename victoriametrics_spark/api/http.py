@@ -3338,7 +3338,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     cnt = ingest_api.ingest_json(
                         raw.decode(), "newrelic", extra_labels=extra_labels
                     )
-                elif u.path == "/opentelemetry/api/v1/push":
+                elif u.path in (
+                    "/opentelemetry/api/v1/push",
+                    "/opentelemetry/v1/metrics",
+                ):
                     cnt = ingest_api.ingest_json(
                         raw.decode(), "otlp", extra_labels=extra_labels
                     )
