@@ -1271,6 +1271,14 @@ def test_ingest_json_dialect_routes(spark):
     post("/zabbixconnector/api/v1/history", zb, 204)
     assert any(r["labels"]["host"] == "z1" for r in captured[-1][1])
 
+    otlp = {"resourceMetrics": [{"scopeMetrics": [{"metrics": [
+        {"name": "otlp.alias.m", "gauge": {"dataPoints": [
+            {"timeUnixNano": "1704067200000000000", "asDouble": 3.5}
+        ]}}]}]}]}
+    # standard OTLP path alias (vminsert main.go:229)
+    post("/opentelemetry/v1/metrics", _json.dumps(otlp), 204)
+    assert any(r["name"] == "otlp.alias.m" for r in captured[-1][1])
+
     post("/datadog/api/v1/validate", "{}", 202)
 
     # health probes
