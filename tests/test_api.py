@@ -1515,3 +1515,33 @@ def test_route_tail_aliases(spark):
     code, _ = get("/internal/resetRollupResultCache")
     assert code == 200
     srv.shutdown()
+
+
+def test_max_query_duration_timeout(spark):
+    """-search.maxQueryDuration / the `timeout` query arg: the query's
+    Spark job group is cancelled past the deadline and the error names
+    the budget (netstorage.go:102 analog); generous budgets pass."""
+    rows = [
+        ("m_to", {"i": str(i)}, ts, float(i), False)
+        for i in range(50)
+        for ts in range(0, 600_000, 100_000)
+    ]
+    a = PromAPI(
+        spark,
+        spark.createDataFrame(rows, SAMPLE_SCHEMA),
+        max_query_duration_ms=60_000,
+    )
+    out = a.query_range("sum(rate(m_to[2m]))", "0", "600", "60")
+    assert out["status"] == "success"
+    # a 1ms per-request timeout fires mid-execution
+    try:
+        a.query_range(
+            "quantile_over_time(0.5, m_to[5m])", "0", "600", "60",
+            timeout="1ms",
+        )
+        raise AssertionError("expected timeout")
+    except ValueError as e:
+        assert "timeout exceeded during query execution" in str(e)
+    # engine still healthy for the next query
+    out = a.query("m_to", "100")
+    assert out["status"] == "success"

@@ -131,6 +131,10 @@ def with_tenant(df: DataFrame, tenant: str) -> DataFrame:
     return df.withColumn("tenant", F.lit(parse_tenant(tenant)))
 
 
+class _QueryTimeout(Exception):
+    pass
+
+
 class QueryTracer:
     """Query-trace tree — the querytracer analog (lib/querytracer; the
     reference attaches it to responses when ``trace=1``, e.g.
@@ -220,6 +224,7 @@ class PromAPI:
         max_series: int = 0,
         max_points_per_timeseries: int = 30000,
         max_query_len: int = 16384,
+        max_query_duration_ms: int = 0,
         track_metric_names: bool = False,
         names_tracker=None,
     ):
@@ -233,6 +238,10 @@ class PromAPI:
         self.max_points_per_timeseries = int(max_points_per_timeseries)
         # -search.maxQueryLen (default 16KiB)
         self.max_query_len = int(max_query_len)
+        # -search.maxQueryDuration analog: per-query wall-clock budget
+        # enforced by cancelling the query's Spark job group (the
+        # `timeout` query arg lowers it per request). 0 disables.
+        self.max_query_duration_ms = int(max_query_duration_ms)
         # -dedup.minScrapeInterval analog: query-time dedup-on-read for
         # every eval AND raw export/series scan (lib/storage/dedup.go)
         self.dedup_interval_ms = int(dedup_interval_ms)
@@ -333,6 +342,7 @@ class PromAPI:
         tracer: "QueryTracer | None" = None,
         enforced: tuple = (),
         lookback_delta_ms: int = 0,
+        timeout_ms: int = 0,
     ):
         import time as _time
         import uuid as _uuid
@@ -352,13 +362,64 @@ class PromAPI:
             "step": step_ms,
             "t0": _time.time(),
         }
+        # effective deadline: the smaller of the flag and the request's
+        # `timeout` arg (searchutil.GetDeadlineForQuery semantics)
+        deadline_ms = self.max_query_duration_ms
+        if timeout_ms > 0 and (deadline_ms <= 0 or timeout_ms < deadline_ms):
+            deadline_ms = timeout_ms
+        timer = None
+        timed_out = {"hit": False}
+        sc = self.spark.sparkContext
+        if deadline_ms > 0:
+            import threading as _threading
+
+            sc.setJobGroup(qid, f"query: {query[:200]}", True)
+
+            def _cancel():
+                timed_out["hit"] = True
+                try:
+                    sc.cancelJobGroup(qid)
+                except Exception:
+                    pass
+
+            timer = _threading.Timer(deadline_ms / 1000.0, _cancel)
+            timer.daemon = True
+            timer.start()
         try:
             self._track_metric_names(query, start_ms, end_ms)
-            return self._eval_inner(
+            out = self._eval_inner(
                 query, start_ms, end_ms, step_ms, tracer, enforced,
                 lookback_delta_ms,
             )
+            # the cancel only reaches RUNNING jobs — a deadline that
+            # fired during driver-side planning (or between jobs) still
+            # fails the query here
+            if timed_out["hit"] or (
+                deadline_ms > 0
+                and (_time.time() - self._active[qid]["t0"]) * 1000
+                > deadline_ms
+            ):
+                raise _QueryTimeout()
+            return out
+        except _QueryTimeout:
+            raise ValueError(
+                "timeout exceeded during query execution: "
+                f"d={deadline_ms}ms (see -search.maxQueryDuration "
+                "and the `timeout` query arg)"
+            ) from None
+        except Exception:
+            if timed_out["hit"]:
+                # netstorage.go:102 analog
+                raise ValueError(
+                    "timeout exceeded during query execution: "
+                    f"d={deadline_ms}ms (see -search.maxQueryDuration "
+                    "and the `timeout` query arg)"
+                ) from None
+            raise
         finally:
+            if timer is not None:
+                timer.cancel()
+                sc.setLocalProperty("spark.jobGroup.id", None)
             rec = self._active.pop(qid)
             dur = _time.time() - rec["t0"]
             key = (query, (end_ms - start_ms) // 1000)
@@ -447,6 +508,7 @@ class PromAPI:
         enforced: tuple = (),
         max_lookback: str | None = None,
         may_cache: bool = True,
+        timeout: str | None = None,
     ) -> dict:
         step_ms = _parse_step(step)
         start_ms = _parse_time(start, 0)
@@ -475,6 +537,7 @@ class PromAPI:
         series = self._eval(
             query, start_ms, end_ms, step_ms, tracer, enforced,
             lookback_delta_ms=ld_ms,
+            timeout_ms=_parse_step(timeout) if timeout else 0,
         )
         result = [
             {
@@ -501,6 +564,7 @@ class PromAPI:
         enforced: tuple = (),
         step: str | None = None,
         max_lookback: str | None = None,
+        timeout: str | None = None,
     ) -> dict:
         t_ms = _parse_time(time, 0)
         # the instant-query step doubles as the bare-selector lookback:
@@ -518,6 +582,7 @@ class PromAPI:
         series = self._eval(
             query, t_ms, t_ms, step_ms, tracer, enforced,
             lookback_delta_ms=ld_ms,
+            timeout_ms=_parse_step(timeout) if timeout else 0,
         )
         result = [
             {
@@ -2883,6 +2948,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         enforced=enforced,
                         max_lookback=p("max_lookback"),
                         may_cache=p("nocache", "") not in ("1", "true"),
+                        timeout=p("timeout"),
                     )
                 elif u.path == "/api/v1/query":
                     out = api.query(
@@ -2892,6 +2958,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         trace=p("trace", "") == "1",
                         enforced=enforced,
                         max_lookback=p("max_lookback"),
+                        timeout=p("timeout"),
                     )
                 elif u.path == "/api/v1/series":
                     out = api.series(
