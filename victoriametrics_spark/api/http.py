@@ -222,6 +222,8 @@ class PromAPI:
         dedup_interval_ms: int = 0,
         max_unique_timeseries: int = 0,
         max_series: int = 0,
+        max_samples_per_query: int = 0,
+        max_samples_per_series: int = 0,
         max_points_per_timeseries: int = 30000,
         max_query_len: int = 16384,
         max_query_duration_ms: int = 0,
@@ -233,6 +235,10 @@ class PromAPI:
         # (query selector scans / the /api/v1/series endpoint); 0 = off
         self.max_unique_timeseries = int(max_unique_timeseries)
         self.max_series = int(max_series)
+        # -search.maxSamplesPerQuery / maxSamplesPerSeries: scanned-
+        # sample caps sharing the series-limit probe; 0 = off
+        self.max_samples_per_query = int(max_samples_per_query)
+        self.max_samples_per_series = int(max_samples_per_series)
         # -search.maxPointsPerTimeseries (default 30e3): query_range
         # grids larger than this are rejected up front
         self.max_points_per_timeseries = int(max_points_per_timeseries)
@@ -454,6 +460,8 @@ class PromAPI:
             dedup_interval_ms=self.dedup_interval_ms,
             enforced_filters=enforced,
             max_unique_timeseries=self.max_unique_timeseries,
+            max_samples_per_query=self.max_samples_per_query,
+            max_samples_per_series=self.max_samples_per_series,
         )
         plan_span = (
             tracer.span(
@@ -2818,6 +2826,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             dedup_interval_ms=default_api.dedup_interval_ms,
             max_unique_timeseries=default_api.max_unique_timeseries,
             max_series=default_api.max_series,
+            max_samples_per_query=default_api.max_samples_per_query,
+            max_samples_per_series=default_api.max_samples_per_series,
             max_points_per_timeseries=default_api.max_points_per_timeseries,
             track_metric_names=default_api.track_metric_names,
             names_tracker=default_api.names_tracker,

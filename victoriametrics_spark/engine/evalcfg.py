@@ -53,6 +53,12 @@ class EvalConfig:
     # errTooManyTimeseries): a selector scan matching more unique
     # series than this fails the query. 0 disables (no probe job runs).
     max_unique_timeseries: int = 0
+    # -search.maxSamplesPerQuery / -search.maxSamplesPerSeries analogs
+    # (netstorage.go:1114 / :464): caps on raw samples a query may
+    # scan, total and per series. 0 disables; any non-zero limit
+    # shares ONE probe aggregation with the series-count check.
+    max_samples_per_query: int = 0
+    max_samples_per_series: int = 0
 
     def __post_init__(self):
         if self.step <= 0:

@@ -548,47 +548,71 @@ class Planner:
             from victoriametrics_spark.streaming.streamaggr import dedup_samples
 
             out = dedup_samples(out, self.cfg.dedup_interval_ms)
-        if self.cfg.max_unique_timeseries > 0:
-            self._check_series_limit(out)
+        if (
+            self.cfg.max_unique_timeseries > 0
+            or self.cfg.max_samples_per_query > 0
+            or self.cfg.max_samples_per_series > 0
+        ):
+            self._check_scan_limits(out)
         return out
 
-    def _check_series_limit(self, scanned: DataFrame) -> None:
-        """-search.maxUniqueTimeseries: fail when the selector matches
-        more unique series than allowed (errTooManyTimeseries,
-        lib/storage/index_db.go:2211-2216). The probe is bounded to the
-        query range plus a day of lookback — the per-day-index analog:
-        date-partition pruning keeps the count day-granular and cheap."""
+    def _check_scan_limits(self, scanned: DataFrame) -> None:
+        """-search.maxUniqueTimeseries / maxSamplesPerQuery /
+        maxSamplesPerSeries: fail over-broad selector scans
+        (errTooManyTimeseries, lib/storage/index_db.go:2211-2216;
+        netstorage.go:1114, :464). ONE probe aggregation computes all
+        three measures, bounded to the query range plus a day of
+        lookback — date-partition pruning keeps it cheap."""
         from victoriametrics_spark.schema import series_key
 
-        limit = self.cfg.max_unique_timeseries
-        lo = self.cfg.start - self.cfg.max_lookback - 86_400_000
+        cfg = self.cfg
+        lo = cfg.start - cfg.max_lookback - 86_400_000
         probe = scanned.filter(
-            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(self.cfg.end))
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(cfg.end))
         )
         # multitenant reads carry vm_account_id/vm_project_id labels and
-        # VM splits such queries per tenant, so the limit binds the
-        # per-tenant count (query_resource_limit_test.go:79-96); on
+        # VM splits such queries per tenant, so the series limit binds
+        # the per-tenant count (query_resource_limit_test.go:79-96); on
         # single-tenant frames both keys are null — one global group
-        row = (
-            probe.groupBy(
-                F.col("labels").getItem("vm_account_id").alias("__a"),
-                F.col("labels").getItem("vm_project_id").alias("__p"),
-            )
-            .agg(
-                F.count_distinct(
-                    series_key(F.col("name"), F.col("labels"))
-                ).alias("__n")
-            )
-            .agg(F.max("__n").alias("__m"))
-            .first()
+        per_series = probe.groupBy(
+            F.col("labels").getItem("vm_account_id").alias("__a"),
+            F.col("labels").getItem("vm_project_id").alias("__p"),
+            series_key(F.col("name"), F.col("labels")).alias("__k"),
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        per_tenant = per_series.groupBy("__a", "__p").agg(
+            F.count(F.lit(1)).alias("__series"),
+            F.sum("__c").alias("__samples"),
+            F.max("__c").alias("__maxper"),
         )
-        n = int(row["__m"] or 0)
-        if n > limit:
+        row = per_tenant.agg(
+            F.max("__series").alias("s"),
+            F.sum("__samples").alias("t"),
+            F.max("__maxper").alias("m"),
+        ).first()
+        n_series = int(row["s"] or 0)
+        n_samples = int(row["t"] or 0)
+        max_per = int(row["m"] or 0)
+        if 0 < cfg.max_unique_timeseries < n_series:
             raise PlanError(
-                f"the number of matching timeseries exceeds {limit}; "
-                "either narrow down the search or increase -search.max* "
-                "command-line flag values (the most likely limit is "
+                f"the number of matching timeseries exceeds "
+                f"{cfg.max_unique_timeseries}; either narrow down the "
+                "search or increase -search.max* command-line flag "
+                "values (the most likely limit is "
                 "-search.maxUniqueTimeseries)"
+            )
+        if 0 < cfg.max_samples_per_query < n_samples:
+            raise PlanError(
+                "cannot select more than -search.maxSamplesPerQuery="
+                f"{cfg.max_samples_per_query} samples; possible "
+                "solutions: increase the -search.maxSamplesPerQuery, "
+                "reduce the time range for the query"
+            )
+        if 0 < cfg.max_samples_per_series < max_per:
+            raise PlanError(
+                "cannot process more than "
+                f"{cfg.max_samples_per_series} samples per series; "
+                "either increase -search.maxSamplesPerSeries or reduce "
+                "time range for the query"
             )
 
     # ------------------------------------------------------------- rollups
