@@ -1580,3 +1580,14 @@ def test_max_samples_limits(spark):
     # the unlimited default passes
     out = PromAPI(spark, df).query_range("m_sam", "0", "1000", "100")
     assert out["status"] == "success"
+
+
+def test_labels_series_limit_param(api):
+    """Prometheus `limit` arg on labels/label_values/series (VM also
+    truncates via -search.maxTagKeys/-search.maxTagValues)."""
+    assert api.labels(limit=2)["data"] == api.labels()["data"][:2]
+    allv = api.label_values("job")["data"]
+    assert api.label_values("job", limit=1)["data"] == allv[:1]
+    full = api.series(['{__name__=~".+"}'])["data"]
+    lim = api.series(['{__name__=~".+"}'], limit=2)["data"]
+    assert len(lim) == 2 and lim == full[:2]

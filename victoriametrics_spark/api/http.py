@@ -757,6 +757,7 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        limit: int = 0,
     ) -> dict:
         df = self._match_df(matches, start, end, enforced, day_granular=True)
         rows = (
@@ -775,6 +776,9 @@ class PromAPI:
             _metric_obj(r["name"], {e["key"]: e["value"] for e in (r["__e"] or [])})
             for r in rows
         ]
+        data.sort(key=lambda m: sorted(m.items()))
+        if limit and limit > 0:
+            data = data[:limit]
         return {"status": "success", "data": data}
 
     def labels(
@@ -783,6 +787,7 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        limit: int = 0,
     ) -> dict:
         df = self._match_df(
             matches or [], start, end, enforced, day_granular=True
@@ -793,6 +798,9 @@ class PromAPI:
             .collect()
         )
         names = sorted({r["k"] for r in keys} | {"__name__"})
+        if limit and limit > 0:
+            # Prometheus `limit` arg / -search.maxTagKeys truncation
+            names = names[:limit]
         return {"status": "success", "data": names}
 
     def label_values(
@@ -802,6 +810,7 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        limit: int = 0,
     ) -> dict:
         df = self._match_df(
             matches or [], start, end, enforced, day_granular=True
@@ -816,7 +825,11 @@ class PromAPI:
             .distinct()
             .collect()
         )
-        return {"status": "success", "data": sorted(r["v"] for r in vals)}
+        out = sorted(r["v"] for r in vals)
+        if limit and limit > 0:
+            # Prometheus `limit` arg / -search.maxTagValues truncation
+            out = out[:limit]
+        return {"status": "success", "data": out}
 
     # --------------------------------------------------------- export
     def export_jsonl_df(
@@ -2972,11 +2985,13 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     )
                 elif u.path == "/api/v1/series":
                     out = api.series(
-                        matches, p("start"), p("end"), enforced=enforced
+                        matches, p("start"), p("end"), enforced=enforced,
+                        limit=int(p("limit", "0")),
                     )
                 elif u.path == "/api/v1/labels":
                     out = api.labels(
-                        matches, p("start"), p("end"), enforced=enforced
+                        matches, p("start"), p("end"), enforced=enforced,
+                        limit=int(p("limit", "0")),
                     )
                 elif m := label_values_re.match(u.path):
                     out = api.label_values(
@@ -2985,6 +3000,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("start"),
                         p("end"),
                         enforced=enforced,
+                        limit=int(p("limit", "0")),
                     )
                 elif u.path == "/api/v1/rules":
                     out = api.rules()
