@@ -1591,3 +1591,22 @@ def test_labels_series_limit_param(api):
     full = api.series(['{__name__=~".+"}'])["data"]
     lim = api.series(['{__name__=~".+"}'], limit=2)["data"]
     assert len(lim) == 2 and lim == full[:2]
+
+
+def test_render_max_data_points(api):
+    """Graphite render maxDataPoints: series longer than the cap are
+    re-bucketed to (until-from)/maxDataPoints and avg-consolidated
+    (render_api.go:117-133 summarize)."""
+    full = api.render("temp;*", "0", "2000", "100")
+    assert len(full[0]["datapoints"]) == 20
+    consolidated = api.render("temp;*", "0", "2000", "100",
+                              max_data_points=5)
+    pts = consolidated[0]["datapoints"]
+    assert len(pts) == 5
+    # bucket 0 covers grid points 0..300s: temp = 20+i per 100k ms
+    vals = [v for v, _ in pts]
+    assert vals[0] == pytest.approx(sum(20.0 + i for i in range(4)) / 4)
+    assert [t for _, t in pts] == [0, 400, 800, 1200, 1600]
+    # short series pass through untouched
+    short = api.render("temp;*", "0", "2000", "500", max_data_points=10)
+    assert len(short[0]["datapoints"]) == 4

@@ -1485,6 +1485,7 @@ class PromAPI:
         start: str | None,
         end: str | None,
         step: str | None = None,
+        max_data_points: int = 0,
     ) -> list[dict]:
         """Graphite /render JSON (app/vmselect/graphite/render_api.go +
         render_response.qtpl): one object per series with
@@ -1532,6 +1533,24 @@ class PromAPI:
         out = []
         for name in sorted(series):
             pts = sorted(series[name])
+            if max_data_points > 0 and len(pts) > max_data_points:
+                # render_api.go:117-133 summarize: re-bucket to
+                # (end-start)/maxDataPoints and consolidate (avg
+                # default); one list pass per rendered series —
+                # presentation-sized, like the reference
+                step2 = max(1, (end_ms - start_ms) // max_data_points)
+                buckets: dict = {}
+                for ts, v in pts:
+                    b = start_ms + ((ts - start_ms) // step2) * step2
+                    buckets.setdefault(b, []).append(v)
+                pts = [
+                    (
+                        b,
+                        (sum(vs) / len(vs)) if vs else None,
+                    )
+                    for b, raw in sorted(buckets.items())
+                    for vs in [[x for x in raw if x is not None]]
+                ]
             base, _, tagstr = name.partition(";")
             tags = {"name": base}
             for kv in tagstr.split(";") if tagstr else []:
@@ -3176,6 +3195,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("from"),
                         p("until"),
                         p("step"),
+                        max_data_points=int(
+                            float(p("maxDataPoints", "0") or 0)
+                        ),
                     )
                 elif u.path == "/metrics/find" and browse_api:
                     out = browse_api.metrics_find(p("query", "*"))
