@@ -1610,3 +1610,39 @@ def test_render_max_data_points(api):
     # short series pass through untouched
     short = api.render("temp;*", "0", "2000", "500", max_data_points=10)
     assert len(short[0]["datapoints"]) == 4
+
+
+def test_select_endpoints_via_post_form(api):
+    """Grafana posts long queries as form bodies; the reference merges
+    form and query params (r.FormValue). POSTed selects delegate to the
+    GET dispatch with merged params."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    srv = serve(api, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    body = urllib.parse.urlencode({
+        "query": "last_over_time(temp[400s])",
+        "start": "1000", "end": "2000", "step": "500",
+    }).encode()
+    req = urllib.request.Request(
+        f"{base}/api/v1/query_range", data=body, method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["status"] == "success"
+    assert out["data"]["result"][0]["metric"]["__name__"] == "temp"
+    # query-string and body params merge (time in URL, query in body)
+    req = urllib.request.Request(
+        f"{base}/api/v1/query?time=1500", data=b"query=temp",
+        method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["data"]["result"][0]["value"][0] == 1500.0
+    srv.shutdown()

@@ -3305,7 +3305,36 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 return
             self._send(200, json.dumps(out))
 
+        # select endpoints Grafana and promtool also call via POST with
+        # a form-encoded body (the reference reads r.FormValue, which
+        # merges both); body params merge into the query string and the
+        # request delegates to the GET dispatch
+        _POST_SELECT_SUFFIXES = (
+            "/api/v1/query",
+            "/api/v1/query_range",
+            "/api/v1/series",
+            "/api/v1/labels",
+            "/api/v1/export",
+            "/api/v1/export/csv",
+            "/api/v1/export/native",
+            "/federate",
+            "/render",
+        )
+
+        def _is_select_post(self, path: str) -> bool:
+            return (
+                any(path.endswith(sfx) for sfx in self._POST_SELECT_SUFFIXES)
+                or "/api/v1/label/" in path
+            )
+
         def do_POST(self):  # noqa: N802
+            u0 = urlparse(self.path)
+            if self._is_select_post(u0.path):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode() if n else ""
+                merged = "&".join(x for x in (u0.query, body) if x)
+                self.path = u0.path + ("?" + merged if merged else "")
+                return self.do_GET()
             ingest_api = default_ingest
             htok = header_tenant(self)
             if htok is not None:
