@@ -3309,7 +3309,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
         # a form-encoded body (the reference reads r.FormValue, which
         # merges both); body params merge into the query string and the
         # request delegates to the GET dispatch
-        _POST_SELECT_SUFFIXES = (
+        _POST_SELECT_PATHS = frozenset((
             "/api/v1/query",
             "/api/v1/query_range",
             "/api/v1/series",
@@ -3319,12 +3319,24 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             "/api/v1/export/native",
             "/federate",
             "/render",
-        )
+        ))
 
         def _is_select_post(self, path: str) -> bool:
-            return (
-                any(path.endswith(sfx) for sfx in self._POST_SELECT_SUFFIXES)
-                or "/api/v1/label/" in path
+            # anchored after the optional tenant / prefix segments —
+            # substring matching would misroute e.g. the Datadog
+            # /datadog/api/v1/series INGEST path
+            if path.startswith("/select/"):
+                parts = path.split("/", 4)
+                if len(parts) >= 5 and parts[3] in (
+                    "prometheus", "graphite"
+                ):
+                    path = "/" + parts[4]
+            if path.startswith("/prometheus/"):
+                path = path[len("/prometheus"):]
+            elif path.startswith("/graphite/"):
+                path = path[len("/graphite"):]
+            return path in self._POST_SELECT_PATHS or path.startswith(
+                "/api/v1/label/"
             )
 
         def do_POST(self):  # noqa: N802
