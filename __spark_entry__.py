@@ -2377,6 +2377,84 @@ FROM pairs WHERE cosine >= 0.3""",
 )
 
 
+def _emb_semantic_dedup(spark, sf_dir, load):
+    """SemDeDup (operators/knn.py:semantic_dedup; Abbas et al. 2023):
+    deterministic IVF cells (same md5-seeded index as op_emb_ivf_knn),
+    within-cell cosine-≥-tau pairs, connected components, one canonical
+    vector (minimum id) kept per component. The oracle rebuilds the
+    whole pipeline: cell assignment, normalized within-cell pairs, a
+    RECURSIVE closure of the pair graph, and the keep-list filter."""
+    from victoriametrics_spark.operators.knn import semantic_dedup
+
+    df = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(df, 0.3, k_cells=8).select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+
+
+_reg(
+    "op_emb_semantic_dedup",
+    _op(_emb_semantic_dedup),
+    """
+WITH RECURSIVE cents AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid,
+           embedding AS cvec
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+dists AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+           AS d
+    FROM embeddings e, cents c
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+normed AS (
+    SELECT vec_id AS id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE)
+                    / sqrt(list_sum(list_transform(embedding,
+                          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           AS nv
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(an.nv) + 1),
+               i -> an.nv[i] * bn.nv[i])) AS cosine
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN normed an ON an.id = a.vec_id
+    JOIN normed bn ON bn.id = b.vec_id
+),
+pairs AS (SELECT id_a, id_b FROM scored WHERE cosine >= 0.3),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT src, src FROM e
+),
+closure(src, dst) AS (
+    SELECT src, dst FROM reach
+    UNION
+    SELECT r.src, e.dst FROM closure r JOIN e ON r.dst = e.src
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM closure GROUP BY src)
+SELECT emb.vec_id, CAST(emb.label AS INT) AS label
+FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+WHERE comp.component IS NULL OR comp.component = emb.vec_id""",
+)
+
+
 def _rel_stream_context(spark, sf_dir, load):
     """set_stream_fields + stream_context: events keyed by event_type
     streams; every event with value > 99 plus its neighbors (1 before,
@@ -3284,7 +3362,10 @@ SELECT event_type, user_bucket, ts, value FROM (
 # regardless of the window.
 _DRIVER_PRIORITY = [
     # (a) changed this round — incl. the NEW late-r9 gates (chunking,
-    # repetition stats, near-dup connected components)
+    # repetition stats, near-dup connected components, SemDeDup,
+    # line-level boilerplate dedup)
+    "op_emb_semantic_dedup",
+    "op_doc_boilerplate_lines",
     "op_doc_c4_clean",
     "op_doc_gopher_filter",
     "op_doc_chunks",
@@ -3659,6 +3740,83 @@ SELECT doc_id,
         AND NOT contains(text, '{')) AS keep_doc,
        md5(clean) AS clean_md5
 FROM c""",
+)
+
+
+def _with_line_structure(df):
+    """Deterministic multi-line structuring + injected boilerplate for
+    the single-line synthetic corpus (the op_doc_pii_redact /
+    op_doc_c4_clean augmentation trick): split the word soup into lines
+    at filler words, and give every 3rd doc a shared footer line and
+    every 4th a shared newsletter line — the cross-document repeated
+    lines remove_boilerplate_lines exists to scrub."""
+    did = F.col("doc_id")
+    body = F.regexp_replace(F.col("text"), " (data|value|table) ", "\n")
+    return df.withColumn(
+        "text",
+        F.concat(
+            F.when(did % 3 == 0, F.lit("all rights reserved\n")).otherwise(
+                F.lit("")
+            ),
+            body,
+            F.when(
+                did % 4 == 0, F.lit("\nsubscribe to our newsletter")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _doc_boilerplate_lines(spark, sf_dir, load):
+    """Cross-document line-level dedup
+    (operators/text.py:remove_boilerplate_lines, the CCNet/RefinedWeb
+    boilerplate scrub): lines appearing in ≥3 distinct docs are removed
+    everywhere; the oracle recomputes the line explode, the
+    distinct-doc counts, and the ordered re-assembly."""
+    from victoriametrics_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    out = remove_boilerplate_lines(
+        _with_line_structure(load(spark, sf_dir, "documents")), min_docs=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("removed_lines").cast("long").alias("removed_lines"),
+        F.col("kept_lines").cast("long").alias("kept_lines"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+_reg(
+    "op_doc_boilerplate_lines",
+    _op(_doc_boilerplate_lines),
+    """
+WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'all rights reserved' || chr(10) ELSE '' END
+           || regexp_replace(text, ' (data|value|table) ', chr(10), 'g')
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'subscribe to our newsletter'
+                   ELSE '' END AS text
+    FROM documents
+),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+e AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+             unnest(ls) AS line
+      FROM l),
+b AS (SELECT line FROM e GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3),
+kept AS (SELECT * FROM e WHERE line NOT IN (SELECT line FROM b)),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS kept_lines
+      FROM kept GROUP BY doc_id),
+t AS (SELECT doc_id, len(string_split(text, chr(10))) AS total FROM aug)
+SELECT r.doc_id,
+       CAST(t.total - r.kept_lines AS BIGINT) AS removed_lines,
+       CAST(r.kept_lines AS BIGINT) AS kept_lines,
+       md5(r.text) AS text_md5
+FROM r JOIN t USING (doc_id)""",
 )
 
 

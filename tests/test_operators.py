@@ -699,3 +699,74 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[3]["keep_doc"]           # stop-word test fails
     assert not out[4]["keep_doc"]           # symbol ratio > 0.1
     assert out[4]["symbol_word_ratio"] > 0.1
+
+
+def test_semantic_dedup_synthetic(spark):
+    """Two tight semantic clusters + one singleton: the keep-list holds
+    the minimum id of each duplicate component plus the singleton, and
+    pairs only form within an IVF cell."""
+    from victoriametrics_spark.operators.knn import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # ~dup of 1
+        (3, [0.98, -0.01, 0.0]),  # ~dup of 1
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 0.99, 0.02]),   # ~dup of 4
+        (6, [0.0, 0.0, 1.0]),     # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pairs = semantic_dedup_pairs(df, 0.95, k_cells=3).collect()
+    assert all(r["cosine"] >= 0.95 and r["id_a"] < r["id_b"] for r in pairs)
+    kept = sorted(
+        r["vec_id"] for r in semantic_dedup(df, 0.95, k_cells=3).collect()
+    )
+    assert kept == [1, 4, 6]
+
+
+def test_semantic_dedup_real_corpus(embs):
+    """On the real embeddings table the keep-list is a subset of the
+    corpus containing exactly one representative per component, and
+    raising tau monotonically keeps MORE vectors."""
+    from victoriametrics_spark.operators.knn import semantic_dedup
+
+    total = embs.count()
+    loose = semantic_dedup(embs, 0.3, k_cells=8).count()
+    tight = semantic_dedup(embs, 0.9, k_cells=8).count()
+    assert 0 < loose <= tight <= total
+
+
+def test_remove_boilerplate_lines(spark):
+    from victoriametrics_spark.operators.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\ncookie banner\nreal content a"),
+            (2, "cookie banner\nreal content b"),
+            (3, "cookie banner\nunique three"),
+            (4, "cookie banner"),  # becomes empty -> dropped
+            (5, "standalone doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 5]  # doc 4 fully boilerplate
+    assert out[1]["text"] == "unique one\nreal content a"
+    assert out[1]["removed_lines"] == 1 and out[1]["kept_lines"] == 2
+    assert out[2]["text"] == "real content b"
+    assert out[5]["removed_lines"] == 0
+    # below the threshold ("cookie banner" is in 4 docs) nothing is removed
+    assert (
+        remove_boilerplate_lines(df, min_docs=5)
+        .filter(F.col("removed_lines") > 0)
+        .count()
+        == 0
+    )

@@ -270,9 +270,17 @@ def connected_components(
     e = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the (small) edge list once: every propagation round
+    # joins against it, and without the checkpoint each round would
+    # re-execute the full upstream pair-detection plan (LSH join,
+    # within-cell cosine, ...) that produced it
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

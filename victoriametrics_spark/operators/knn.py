@@ -268,11 +268,21 @@ def pairwise_cosine_within(
 ) -> DataFrame:
     """All pairs with cosine ≥ tau *within a group* (e.g. an LSH bucket or
     a label): the bucket-local verify step of embedding dedup."""
+    # hoist the norm into its own column first: referenced from inside
+    # the transform lambda it would be inlined as a full 64-term fold
+    # PER ELEMENT (a ~dim² expression tree that dominates plan
+    # compile time), instead of one fold per row
     normed = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        "g",
+        "id",
         F.transform(
-            F.col(vec_col), lambda x: F.try_divide(x.cast("double"), _norm(F.col(vec_col)))
+            F.col("__v"),
+            lambda x: F.try_divide(x.cast("double"), F.col("__n")),
         ).alias("nv"),
     )
     a = normed.alias("a")
@@ -375,15 +385,20 @@ def _sqdist_to_literal(vec_col: Column, q: list[float]) -> Column:
 
 
 def ivf_cell(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid cell id (squared L2; ties → lowest cell id)."""
-    best_id = F.lit(None).cast("int")
-    best_d = F.lit(None).cast("double")
-    for cid, cvec in centroids:
-        d = _sqdist_to_literal(vec_col, cvec)
-        better = best_d.isNull() | (d < best_d)
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(better, d).otherwise(best_d)
-    return best_id
+    """Nearest-centroid cell id (squared L2; ties → lowest cell id).
+
+    Built as argmin over an ARRAY of the k distance folds — linear
+    expression size. The obvious chained-CASE accumulator triples the
+    tree per centroid (the running best is embedded into every
+    subsequent when/otherwise), reaching ~3^k nodes and dominating
+    plan compile time at k=8 (measured 15s → sub-second here)."""
+    ordered = sorted(centroids)  # ascending cid → first-min = lowest id
+    darr = F.array(
+        *[_sqdist_to_literal(vec_col, cvec) for _, cvec in ordered]
+    )
+    idx = F.array_position(darr, F.array_min(darr))
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in ordered])
+    return F.element_at(cids, idx.cast("int"))
 
 
 def ivf_knn_threshold(
@@ -484,3 +499,75 @@ def quantized_knn_threshold(
         .filter(F.col("cosine") >= tau)
         .select(id_col, F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ------------------------------------------------------------- round 9:
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup for
+# training corpora: cluster embeddings (k-means cells), compare vectors
+# only WITHIN a cluster, and keep one representative per group of
+# semantic duplicates. The cluster step is what makes it scale — cosine
+# pairs are computed per cell, never across the corpus, so at 100 TB
+# the cell id doubles as the partition key and each task owns whole
+# cells (the same posture as ivf_knn_threshold's probe path).
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    tau: float,
+    k_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """(cell, id_a, id_b, cosine) for every within-cell pair with
+    cosine ≥ tau. Centroids default to the deterministic md5-seeded
+    sample (oracle-reproducible); pass ``refine_iterations`` > 0 for
+    Lloyd-refined index quality in production (non-oracle) use."""
+    if centroids is None:
+        centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
+    if refine_iterations:
+        centroids = lloyd_refine(
+            df, centroids, vec_col, id_col, iterations=refine_iterations
+        )
+    # materialize the (id, cell, vec) projection before the self-join:
+    # the cell expression is a k_cells-way CASE over 64-dim distance
+    # folds, and left inline it would be duplicated into BOTH join
+    # sides (and re-analyzed/compiled twice); at 100 TB this projection
+    # is what you persist at ingest, with `cell` as the partition key
+    with_cell = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell(F.col(vec_col), centroids).alias("__sem_cell"),
+    ).localCheckpoint()
+    return pairwise_cosine_within(
+        with_cell, "__sem_cell", tau, vec_col, id_col
+    ).withColumnRenamed("__sem_cell", "cell")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float,
+    k_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iterations: int = 0,
+) -> DataFrame:
+    """SemDeDup keep-list: ``df`` filtered to one canonical row (the
+    minimum id) per semantic-duplicate component, where components are
+    the connected closure of the within-cell cosine-≥-tau pair graph.
+    Rows in no pair are kept as-is. The component frame only holds ids
+    that HAVE a semantic duplicate, so the final join broadcasts."""
+    from victoriametrics_spark.operators.dedup import near_dup_keep_list
+
+    pairs = semantic_dedup_pairs(
+        df,
+        tau,
+        k_cells=k_cells,
+        vec_col=vec_col,
+        id_col=id_col,
+        centroids=centroids,
+        refine_iterations=refine_iterations,
+    )
+    return near_dup_keep_list(df, pairs, id_col=id_col)

@@ -511,3 +511,60 @@ def gopher_quality_filter(
         stop_hits.alias("stopword_hits"),
         keep.alias("keep_doc"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line-level dedup — the boilerplate scrub of
+    CCNet (Wenzek et al. 2020 §3.1, paragraph-hash dedup) and
+    RefinedWeb: a line whose exact content appears in ≥ ``min_docs``
+    DISTINCT documents (navigation chrome, cookie banners, footers) is
+    removed from every document; documents left with no lines are
+    dropped. Returns (id, text, removed_lines, kept_lines).
+
+    Shape for 100 TB: the distinct-doc count shuffles (md5(line),
+    doc_id) — fixed 24-byte rows, never the line TEXT itself; the
+    boilerplate hash SET — lines repeated across ≥ min_docs docs are a
+    tiny fraction of a real corpus — comes back as an explicit
+    ``F.broadcast`` to a left-anti hash join, so document text moves
+    only in the final per-doc re-assembly shuffle (volume = output
+    size). The per-doc line total rides the exploded rows as a
+    constant column, so there is no second corpus scan or corpus-sized
+    join to recover it."""
+    parts = F.split(F.col(text_col), "\n")
+    lines = df.select(
+        F.col(id_col),
+        F.size(parts).alias("__total"),
+        F.posexplode(parts).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.col("line").cast("binary")))
+    boiler = (
+        lines.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__h")
+    )
+    kept = lines.join(F.broadcast(boiler), "__h", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").alias("kept_lines"),
+            F.first("__total").alias("__total"),
+        )
+        .select(
+            id_col,
+            text_col,
+            (F.col("__total") - F.col("kept_lines")).alias("removed_lines"),
+            "kept_lines",
+        )
+    )
