@@ -579,6 +579,32 @@ def test_decontaminate_ngram_overlap(spark):
     assert out == {1: 1.0, 3: 1.0}
 
 
+def test_decontaminate_sort_merge_path(spark):
+    """broadcast_eval=False (the too-big-to-broadcast escape hatch)
+    returns identical results via a shuffled join on xxhash64(gram),
+    and its plan contains no BroadcastExchange of the eval side."""
+    from victoriametrics_spark.operators.text import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps again and quick brown fox jumps"),
+            (2, "entirely different words here with no overlap at all"),
+            (3, "over the lazy dog sleeps"),
+            (4, "quick brown fox"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(train, eval_df, n=4, broadcast_eval=False)
+    got = {r["doc_id"]: r["n_shared"] for r in out.collect()}
+    assert got == {1: 1.0, 3: 1.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+
+
 def test_stratified_sample_deterministic(spark):
     import hashlib
 

@@ -234,6 +234,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word n-gram with an evaluation set (the GPT-3 appendix-C style
@@ -247,7 +248,16 @@ def decontaminate(
     the contamination join is a broadcast hash join — zero shuffle of
     training data. The distinct count runs AFTER the join, so the only
     shuffled rows are the contamination hits themselves (usually a
-    vanishing fraction of the corpus), keyed on the train doc id."""
+    vanishing fraction of the corpus), keyed on the train doc id.
+
+    ``broadcast_eval=False`` is the escape hatch for an eval side too
+    big to broadcast (~GBs of distinct n-grams): both sides key on
+    ``xxhash64(gram)`` and meet in a shuffled hash/sort-merge join, so
+    the train side ships fixed 16-byte (hash, doc_id) rows instead of
+    gram text, and the gram equality check runs on longs. Identical
+    results (the original grams are not needed — n_shared counts
+    distinct grams, and xxhash64 collisions inside one doc's gram set
+    are vanishingly rare and would only perturb a count by 1)."""
     sh_train = train.select(
         F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g")
     )
@@ -255,6 +265,16 @@ def decontaminate(
         eval_df.select(F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g"))
         .distinct()
     )
+    if not broadcast_eval:
+        h_train = sh_train.select(
+            F.col(id_col), F.xxhash64("__g").alias("__gh")
+        )
+        h_eval = sh_eval.select(F.xxhash64("__g").alias("__gh")).distinct()
+        return (
+            h_train.join(h_eval.hint("shuffle_merge"), "__gh")
+            .groupBy(id_col)
+            .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
+        )
     return (
         sh_train.join(F.broadcast(sh_eval), "__g")
         .groupBy(id_col)
