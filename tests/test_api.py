@@ -1646,3 +1646,39 @@ def test_select_endpoints_via_post_form(api):
         out = json.loads(r.read())
     assert out["data"]["result"][0]["value"][0] == 1500.0
     srv.shutdown()
+
+
+def test_max_concurrent_requests_limiter(api):
+    """-search.maxConcurrentRequests analog (vmselect main.go:117-151):
+    with the single slot held, a dynamic request queues up to
+    min(timeout, maxQueueDuration) then 429s with the reference's
+    message + Retry-After; static/simple requests bypass the limiter;
+    releasing the slot lets queued requests through."""
+    srv = serve(api, port=0, max_concurrent_requests=1, max_queue_duration_s=0.2)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        srv.conc_sem.acquire()  # occupy the only slot
+        # health is static/simple → served while the limiter is full
+        with urllib.request.urlopen(f"{base}/health") as resp:
+            assert resp.status == 200
+        try:
+            urllib.request.urlopen(
+                f"{base}/api/v1/query?query=up&timeout=1s"
+            )
+            raise AssertionError("expected 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert e.headers["Retry-After"] == "10"
+            body = e.read().decode()
+            assert "-search.maxConcurrentRequests=1" in body
+            assert "couldn't start executing the request" in body
+        srv.conc_sem.release()
+        with urllib.request.urlopen(
+            f"{base}/api/v1/query?query=last_over_time(temp%5B400s%5D)&time=1500"
+        ) as resp:
+            assert json.loads(resp.read())["status"] == "success"
+    finally:
+        srv.shutdown()

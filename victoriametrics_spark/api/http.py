@@ -2779,10 +2779,19 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None, max_concurrent_requests: int = 0, max_queue_duration_s: float = 10.0):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``).
+
+    ``max_concurrent_requests`` is the -search.maxConcurrentRequests
+    analog (app/vmselect/main.go:117-151): at most that many dynamic
+    select requests execute at once; an excess request waits up to
+    ``min(its maxQueryDuration, max_queue_duration_s)`` for a slot
+    (resolving short bursts, the -search.maxQueueDuration analog) and
+    then fails with 429 + ``Retry-After: 10`` and the reference's
+    message. 0 disables the limiter. Static/simple requests (health,
+    buildinfo, flags) are never limited, as in the reference.
 
     With ``tenant_table`` set (a multi-tenant bucketed samples table),
     the cluster-style tenant routes activate:
@@ -2800,6 +2809,20 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
     # snapshotAuthKey (/snapshot*), forceMergeAuthKey
     # (/internal/force_merge), metricNamesStatsResetAuthKey
     auth_keys = auth_keys or {}
+
+    import threading as _threading
+
+    conc_sem = (
+        _threading.Semaphore(int(max_concurrent_requests))
+        if max_concurrent_requests > 0
+        else None
+    )
+    # requests the reference serves from handleStaticAndSimpleRequests
+    # (app/vmselect/main.go:107) — never queued behind the limiter
+    static_simple = frozenset((
+        "/health", "/ready", "/-/healthy", "/-/ready", "/ping",
+        "/buildinfo", "/api/v1/status/buildinfo", "/flags", "/metrics",
+    ))
 
     def auth_flag_for(path: str) -> str | None:
         if path == "/api/v1/admin/tsdb/delete_series" or path == "/tags/delSeries":
@@ -2910,6 +2933,61 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             self.wfile.write(data)
 
         def do_GET(self):  # noqa: N802
+            """Concurrency-limited entry (vmselect main.go:117-151):
+            dynamic requests take a limiter slot; a full limiter queues
+            the request up to min(its maxQueryDuration, the queue
+            duration) before 429ing. POST selects delegate here, so
+            they ride the same limiter."""
+            if conc_sem is None:
+                return self._do_get_dispatch()
+            path = urlparse(self.path).path
+            for pfx in ("/prometheus", "/graphite"):
+                if path.startswith(pfx + "/"):
+                    path = path[len(pfx):]
+            if path in static_simple:
+                return self._do_get_dispatch()
+            if not conc_sem.acquire(blocking=False):
+                # short-burst queue: wait up to
+                # min(request maxQueryDuration, -search.maxQueueDuration)
+                d = float(max_queue_duration_s)
+                try:
+                    t = parse_qs(urlparse(self.path).query).get(
+                        "timeout", [""]
+                    )[0]
+                    if t:
+                        d = min(d, _parse_step(t) / 1000.0)
+                except Exception:
+                    pass
+                if default_api.max_query_duration_ms > 0:
+                    d = min(d, default_api.max_query_duration_ms / 1000.0)
+                if not conc_sem.acquire(timeout=max(d, 0.0)):
+                    self.send_response(429)
+                    msg = (
+                        f"couldn't start executing the request in "
+                        f"{d:.3f} seconds, since -search."
+                        f"maxConcurrentRequests={max_concurrent_requests} "
+                        "concurrent requests are executed. Possible "
+                        "solutions: to reduce query load; to add more "
+                        "compute resources to the server; to increase "
+                        f"-search.maxQueueDuration={max_queue_duration_s}s; "
+                        "to increase -search.maxQueryDuration; to "
+                        "increase -search.maxConcurrentRequests"
+                    )
+                    data = msg.encode()
+                    self.send_header("Retry-After", "10")
+                    self.send_header(
+                        "Content-Type", "text/plain; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+            try:
+                return self._do_get_dispatch()
+            finally:
+                conc_sem.release()
+
+        def _do_get_dispatch(self):
             api = default_api
             u = urlparse(self.path)
             q = parse_qs(u.query)
@@ -3528,4 +3606,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 ok = 200 if pushgateway else 204
                 self._send(ok if cnt >= 0 else 400, "")
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    # exposed for introspection/tests (the vm_concurrent_select_*
+    # gauges' underlying channel in the reference)
+    srv.conc_sem = conc_sem
+    return srv
