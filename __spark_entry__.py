@@ -3366,6 +3366,7 @@ _DRIVER_PRIORITY = [
     # line-level boilerplate dedup)
     "op_emb_semantic_dedup",
     "op_doc_boilerplate_lines",
+    "op_doc_duplicate_passages",
     "op_doc_c4_clean",
     "op_doc_gopher_filter",
     "op_doc_chunks",
@@ -3740,6 +3741,47 @@ SELECT doc_id,
         AND NOT contains(text, '{')) AS keep_doc,
        md5(clean) AS clean_md5
 FROM c""",
+)
+
+
+def _doc_duplicate_passages(spark, sf_dir, load):
+    """Within-corpus duplicate-passage pairs
+    (operators/dedup.py:duplicate_passage_pairs, the Lee et al. 2021
+    exact-substring-dedup approximation): doc pairs sharing ≥2 distinct
+    8-word-grams. Spark buckets by xxhash64(gram); the oracle counts
+    the distinct grams themselves — identical absent hash collisions."""
+    from victoriametrics_spark.operators.dedup import (
+        duplicate_passage_pairs,
+    )
+
+    return duplicate_passage_pairs(
+        load(spark, sf_dir, "documents"), n=8, min_shared=2
+    )
+
+
+_reg(
+    "op_doc_duplicate_passages",
+    _op(_doc_duplicate_passages),
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+g AS (
+    SELECT DISTINCT doc_id, gr FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 6),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+               AS gr
+        FROM t WHERE len(w) >= 8
+    )
+),
+ok AS (SELECT gr FROM g GROUP BY gr
+       HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, gr
+    FROM g a JOIN g b USING (gr) JOIN ok USING (gr)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(count(DISTINCT gr) AS DOUBLE) AS n_shared
+FROM p GROUP BY 1, 2 HAVING count(DISTINCT gr) >= 2""",
 )
 
 

@@ -796,3 +796,35 @@ def test_remove_boilerplate_lines(spark):
         .count()
         == 0
     )
+
+
+def test_duplicate_passage_pairs(spark):
+    """Shared 4-gram passages pair docs; the hot-gram cap drops
+    boilerplate grams present in too many docs."""
+    from victoriametrics_spark.operators.dedup import duplicate_passage_pairs
+
+    shared = "alpha beta gamma delta"  # one 4-gram
+    viral = "click here to subscribe"  # in every doc -> capped out
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} one {viral}"),
+            (2, f"{shared} two {viral}"),
+            (3, f"unrelated text entirely {viral}"),
+            (4, f"other words here now {viral}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in duplicate_passage_pairs(
+            df, n=4, min_shared=1, max_gram_docs=3
+        ).collect()
+    }
+    # the viral gram sits in 4 docs > cap=3, so only (1,2) pair via
+    # the shared passage
+    assert out == {(1, 2): 1.0}
+    # without the cap every doc pairs through the viral gram
+    uncapped = duplicate_passage_pairs(
+        df, n=4, min_shared=1, max_gram_docs=50
+    ).count()
+    assert uncapped == 6

@@ -3099,9 +3099,11 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         enforced=enforced,
                         limit=int(p("limit", "0")),
                     )
-                elif u.path == "/api/v1/rules":
+                elif u.path in ("/api/v1/rules", "/rules"):
+                    # bare /rules and /alerts are served as aliases
+                    # (vmselect main.go:563,576)
                     out = api.rules()
-                elif u.path == "/api/v1/alerts":
+                elif u.path in ("/api/v1/alerts", "/alerts"):
                     out = api.alerts(p("time"))
                 elif u.path == "/api/v1/status/tsdb":
                     out = api.tsdb_status(

@@ -336,3 +336,54 @@ def near_dup_keep_list(
         )
         .drop("component")
     )
+
+
+def duplicate_passage_pairs(
+    df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    max_gram_docs: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-corpus duplicate-passage detection — the scalable
+    approximation of exact-substring training-data dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better":
+    their suffix-array 50-token matches ≈ long word-n-gram collisions).
+    Returns (id_a, id_b, n_shared): document pairs sharing ≥
+    ``min_shared`` DISTINCT word n-grams of length ``n``.
+
+    Shape for 100 TB: documents meet ONLY through gram-hash buckets —
+    (xxhash64(gram), doc_id) fixed-width rows are the single
+    corpus-sized shuffle; pair expansion happens per bucket.
+    ``max_gram_docs`` drops grams present in MORE than that many docs
+    (boilerplate/stop passages — Lee et al.'s same guard): a gram in k
+    docs yields k² pairs, so one viral passage would otherwise produce
+    a quadratic hot bucket. Dropped grams are boilerplate by
+    definition; genuinely duplicated passages still pair through their
+    other grams."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g"),
+        )
+        .select("id", F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    buckets = (
+        grams.groupBy("__gh")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_gram_docs)
+        )
+    )
+    pairs = (
+        buckets.select("__gh", F.explode("ids").alias("id_a"), "ids")
+        .select("__gh", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
