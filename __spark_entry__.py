@@ -3367,6 +3367,7 @@ _DRIVER_PRIORITY = [
     "op_emb_semantic_dedup",
     "op_doc_boilerplate_lines",
     "op_doc_duplicate_passages",
+    "op_doc_unigram_logprob",
     "op_doc_c4_clean",
     "op_doc_gopher_filter",
     "op_doc_chunks",
@@ -3741,6 +3742,42 @@ SELECT doc_id,
         AND NOT contains(text, '{')) AS keep_doc,
        md5(clean) AS clean_md5
 FROM c""",
+)
+
+
+def _doc_unigram_logprob(spark, sf_dir, load):
+    """Corpus-LM quality scoring
+    (operators/text.py:unigram_logprob_score — the CCNet §3.3
+    perplexity-filter stand-in): unigram LM fit on the corpus (top-1000
+    tokens, Laplace smoothing), every doc scored mean(-ln p(token)).
+    The
+    oracle refits the same LM with the same deterministic vocabulary
+    tie-break."""
+    from victoriametrics_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(
+        load(spark, sf_dir, "documents"), vocab_size=1000
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "logprob_score",
+    )
+
+
+_reg(
+    "op_doc_unigram_logprob",
+    _op(_doc_unigram_logprob),
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+v AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 1000),
+n AS (SELECT sum(c) AS n_total, count(*) AS vs FROM v)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((coalesce(v.c, 0) + 1) / (n.n_total + n.vs))), 6)
+           AS logprob_score
+FROM tok LEFT JOIN v USING (t) CROSS JOIN n
+GROUP BY tok.doc_id""",
 )
 
 

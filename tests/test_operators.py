@@ -828,3 +828,31 @@ def test_duplicate_passage_pairs(spark):
         df, n=4, min_shared=1, max_gram_docs=50
     ).count()
     assert uncapped == 6
+
+
+def test_unigram_logprob_score(spark):
+    """Frequent-token docs score low (expected), rare/OOV docs high;
+    Laplace arithmetic verified against a hand computation."""
+    import math
+
+    from victoriametrics_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common rare"),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab_size=1: vocabulary = {common: 5} (most frequent), N=5, V=1
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob_score(df, vocab_size=1).collect()
+    }
+    p_common = (5 + 1) / (5 + 1)   # = 1.0 -> -ln = 0
+    p_oov = (0 + 1) / (5 + 1)
+    assert out[1]["logprob_score"] == pytest.approx(-math.log(p_common), abs=1e-6)
+    exp2 = (-math.log(p_common) - math.log(p_oov)) / 2
+    assert out[2]["logprob_score"] == pytest.approx(exp2, abs=1e-6)
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
+    assert out[2]["logprob_score"] > out[1]["logprob_score"]

@@ -588,3 +588,50 @@ def remove_boilerplate_lines(
             "kept_lines",
         )
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM quality scoring — the oracle-checkable stand-in for
+    CCNet's KenLM perplexity filter (Wenzek et al. 2020 §3.3: docs are
+    ranked by LM score and the worst tail dropped). A unigram LM is fit
+    on the corpus itself: the ``vocab_size`` most frequent tokens
+    (ties → lexicographic) with Laplace smoothing
+    ``p(tok) = (count + 1) / (N + V)`` (OOV → count 0), and every doc
+    scores ``mean(-ln p(token))`` — high = surprising/low-quality
+    relative to the corpus. Returns (id, n_tokens, logprob_score).
+
+    Shape for 100 TB: pass 1 is one token-count aggregation (map-side
+    partials); the fitted vocabulary is vocab_size rows — collected
+    like IVF centroids and rebroadcast, so pass 2 is a map-only
+    broadcast-join + per-doc aggregation (shuffle = one row per doc)."""
+    import math as _math
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    counts = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    vocab_rows = (
+        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(int(vocab_size))
+        .collect()
+    )
+    n_total = sum(r["__c"] for r in vocab_rows)
+    denom = float(n_total + len(vocab_rows))
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c"]) for r in vocab_rows], "__t string, __c long"
+    )
+    lp = -F.log((F.coalesce(F.col("__c"), F.lit(0)) + 1) / F.lit(denom))
+    return (
+        tok.join(F.broadcast(vocab), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("logprob_score"),
+        )
+    )
