@@ -131,6 +131,39 @@ def main() -> None:
     ops["minhash_lsh_pairs"] = run(
         "minhash_lsh_pairs", minhash_near_dup_pairs(pair_docs, threshold=0.8)
     )
+    from victoriametrics_spark.operators.dedup import duplicate_passage_pairs
+    from victoriametrics_spark.operators.text import (
+        remove_boilerplate_lines,
+        unigram_logprob_score,
+    )
+
+    ops["unigram_logprob_score"] = run(
+        "unigram_logprob_score", unigram_logprob_score(docs, vocab_size=1000)
+    )
+    # give the corpus shared lines so the boilerplate scrub has work:
+    # replicas of one base doc share injected footer lines
+    lined = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("all rights reserved\n"),
+            F.regexp_replace(F.col("text"), " (data|value|table) ", "\n"),
+        ),
+    )
+    ops["remove_boilerplate_lines"] = run(
+        "remove_boilerplate_lines", remove_boilerplate_lines(lined, min_docs=3)
+    )
+    # pair-producing like LSH: capped replica set (the shared replica
+    # passages make every base doc's replicas pair)
+    ops["duplicate_passage_pairs"] = run(
+        "duplicate_passage_pairs",
+        duplicate_passage_pairs(pair_docs, n=8, min_shared=2),
+    )
+    from victoriametrics_spark.operators.knn import semantic_dedup
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    ops["semantic_dedup_embeddings"] = run(
+        "semantic_dedup_embeddings", semantic_dedup(embs, 0.3, k_cells=8)
+    )
     print(
         json.dumps(
             {
