@@ -48,6 +48,9 @@ ROUND_TRIP = [
     'alias(m, "x")',
     "round(m, 0.01)",
     "2 ^ 3 ^ 2",
+    "(-3) ^ 2",
+    "(-5m) ^ 2",
+    "-3 ^ 2",
     "m offset 1h",
     'WITH (f(x) = rate(x[5m])) sum(f(m))',
     'WITH (t = m{a="b"}) t offset 5m',

@@ -125,13 +125,16 @@ def to_query_string(e: Expr) -> str:
     if isinstance(e, BinaryOpExpr):
         left = _paren(e.left, to_query_string(e.left))
         right = _paren(e.right, to_query_string(e.right))
-        if (
-            e.op == "^"
-            and isinstance(e.left, NumberExpr)
-            and e.left.value < 0
+        if e.op == "^" and (
+            (isinstance(e.left, NumberExpr) and e.left.value < 0)
+            or (
+                isinstance(e.left, DurationExpr)
+                and e.left.text.strip().startswith("-")
+            )
         ):
-            # `^` binds tighter than unary minus: a negative-number base
-            # must keep its parens or `-3 ^ 1` re-parses as `-(3 ^ 1)`
+            # `^` binds tighter than unary minus: a negative number or
+            # duration base must keep its parens or `-3 ^ 1` re-parses
+            # as `-(3 ^ 1)` (same for `(-5m) ^ 2`)
             left = f"({left})"
         mid = e.op
         if e.bool_modifier:

@@ -370,12 +370,21 @@ def duplicate_passage_pairs(
         .select("id", F.xxhash64("__g").alias("__gh"))
         .distinct()
     )
-    buckets = (
+    # count FIRST (map-side partial agg on a long key), band-filter,
+    # then semi-join back before collecting doc sets: collecting the
+    # full id set per gram and sizing it afterwards would make one
+    # reducer hold a viral gram's multi-million-doc array before
+    # discarding it — the exact hot-key skew the cap exists to prevent
+    band = (
         grams.groupBy("__gh")
+        .agg(F.count("*").alias("__d"))
+        .filter((F.col("__d") >= 2) & (F.col("__d") <= max_gram_docs))
+        .select("__gh")
+    )
+    buckets = (
+        grams.join(band, "__gh", "left_semi")
+        .groupBy("__gh")
         .agg(F.collect_set("id").alias("ids"))
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= max_gram_docs)
-        )
     )
     pairs = (
         buckets.select("__gh", F.explode("ids").alias("id_a"), "ids")
