@@ -1682,3 +1682,30 @@ def test_max_concurrent_requests_limiter(api):
             assert json.loads(resp.read())["status"] == "success"
     finally:
         srv.shutdown()
+
+
+def test_metrics_self_exposition(api):
+    """/metrics serves Prometheus-exposition self metrics: per-path
+    request counters and the concurrent-select gauges/counters
+    (vm_http_requests_total / vm_concurrent_select_* family)."""
+    srv = serve(api, port=0, max_concurrent_requests=2)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/labels"):
+            pass
+        with urllib.request.urlopen(f"{base}/prometheus/api/v1/labels"):
+            pass
+        with urllib.request.urlopen(f"{base}/metrics") as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        # prefix-stripped path counting: both requests count to one path
+        assert 'vm_http_requests_total{path="/api/v1/labels"} 2' in body
+        assert "vm_concurrent_select_capacity 2" in body
+        assert "vm_concurrent_select_current 0" in body
+        assert "vm_concurrent_select_limit_timeout_total 0" in body
+        assert "vm_app_uptime_seconds" in body
+    finally:
+        srv.shutdown()

@@ -2824,6 +2824,54 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
         "/buildinfo", "/api/v1/status/buildinfo", "/flags", "/metrics",
     ))
 
+    # /metrics self-exposition state (the vm_http_requests_total /
+    # vm_concurrent_select_* family, lib/httpserver + vmselect main.go)
+    metrics_lock = _threading.Lock()
+    req_counts: dict[str, int] = {}
+    limiter_counters = {"reached": 0, "timeout": 0}
+    server_start = __import__("time").time()
+
+    def count_request(path: str) -> None:
+        with metrics_lock:
+            req_counts[path] = req_counts.get(path, 0) + 1
+
+    def render_self_metrics() -> str:
+        import time as _time
+
+        lines = [
+            "# TYPE vm_app_uptime_seconds gauge",
+            f"vm_app_uptime_seconds {_time.time() - server_start:.3f}",
+            "# TYPE process_start_time_seconds gauge",
+            f"process_start_time_seconds {server_start:.3f}",
+        ]
+        if conc_sem is not None:
+            inflight = max_concurrent_requests - conc_sem._value
+            lines += [
+                "# TYPE vm_concurrent_select_capacity gauge",
+                f"vm_concurrent_select_capacity {max_concurrent_requests}",
+                "# TYPE vm_concurrent_select_current gauge",
+                f"vm_concurrent_select_current {inflight}",
+            ]
+        with metrics_lock:
+            lines.append("# TYPE vm_concurrent_select_limit_reached_total counter")
+            lines.append(
+                "vm_concurrent_select_limit_reached_total "
+                f"{limiter_counters['reached']}"
+            )
+            lines.append("# TYPE vm_concurrent_select_limit_timeout_total counter")
+            lines.append(
+                "vm_concurrent_select_limit_timeout_total "
+                f"{limiter_counters['timeout']}"
+            )
+            lines.append("# TYPE vm_http_requests_total counter")
+            for path in sorted(req_counts):
+                esc = path.replace("\\", "\\\\").replace('"', '\\"')
+                lines.append(
+                    f'vm_http_requests_total{{path="{esc}"}} '
+                    f"{req_counts[path]}"
+                )
+        return "\n".join(lines) + "\n"
+
     def auth_flag_for(path: str) -> str | None:
         if path == "/api/v1/admin/tsdb/delete_series" or path == "/tags/delSeries":
             return "deleteAuthKey"
@@ -2938,15 +2986,24 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             the request up to min(its maxQueryDuration, the queue
             duration) before 429ing. POST selects delegate here, so
             they ride the same limiter."""
-            if conc_sem is None:
-                return self._do_get_dispatch()
             path = urlparse(self.path).path
             for pfx in ("/prometheus", "/graphite"):
                 if path.startswith(pfx + "/"):
                     path = path[len(pfx):]
+            count_request(path)
+            if path == "/metrics":
+                self._send(
+                    200, render_self_metrics(),
+                    "text/plain; charset=utf-8",
+                )
+                return
+            if conc_sem is None:
+                return self._do_get_dispatch()
             if path in static_simple:
                 return self._do_get_dispatch()
             if not conc_sem.acquire(blocking=False):
+                with metrics_lock:
+                    limiter_counters["reached"] += 1
                 # short-burst queue: wait up to
                 # min(request maxQueryDuration, -search.maxQueueDuration)
                 d = float(max_queue_duration_s)
@@ -2961,6 +3018,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 if default_api.max_query_duration_ms > 0:
                     d = min(d, default_api.max_query_duration_ms / 1000.0)
                 if not conc_sem.acquire(timeout=max(d, 0.0)):
+                    with metrics_lock:
+                        limiter_counters["timeout"] += 1
                     self.send_response(429)
                     msg = (
                         f"couldn't start executing the request in "
