@@ -549,6 +549,7 @@ PARSE_MATRIX = [
     '* | json_array_len(arr) as n',
     '* | generate_sequence 100',
     '* | blocks_count',
+    '* | block_stats',
 ]
 
 
@@ -634,3 +635,44 @@ def test_run_logsql_with_token_index(spark, tmp_path, logs):
         run_logsql(streamed, "error OR signup | stats count() as n",
                    token_index_path=path).collect()[0]["n"] == 4
     )
+
+
+def test_block_stats_pipe(spark, tmp_path):
+    """block_stats over a stored logs table: one row per (file,
+    row-group, column) from the parquet footers, with real sizes and
+    row counts (pipe_block_stats.go analog)."""
+    from pyspark.sql import functions as F
+
+    from victoriametrics_spark.logsql.parser import run_logsql
+    from victoriametrics_spark.storage.layout import (
+        drop_samples_table,
+        write_logs_table,
+    )
+
+    logs = spark.createDataFrame(
+        [
+            (1_700_000_000_000 + i, f"msg {i}", "app1" if i % 2 else "app2")
+            for i in range(100)
+        ],
+        "_time long, _msg string, app string",
+    )
+    tbl = "logs_block_stats_t"
+    write_logs_table(
+        logs.withColumn("_time", F.timestamp_millis(F.col("_time"))),
+        tbl,
+        stream_fields=["app"],
+        n_buckets=2,
+    )
+    try:
+        df = spark.table(tbl).drop("date")
+        out = run_logsql(df, "* | block_stats").collect()
+        assert len(out) > 0
+        fields = {r["field"] for r in out}
+        assert {"_msg", "app", "_stream"} <= fields
+        total_msg_rows = sum(r["rows"] for r in out if r["field"] == "_msg")
+        assert total_msg_rows == 100
+        for r in out:
+            assert r["values_size"] > 0
+            assert r["part_path"].endswith(".parquet")
+    finally:
+        drop_samples_table(spark, tbl)

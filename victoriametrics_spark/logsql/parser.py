@@ -1123,6 +1123,9 @@ class Parser:
     def _pipe_blocks_count(self) -> tuple:
         return ("blocks_count",)
 
+    def _pipe_block_stats(self) -> tuple:
+        return ("block_stats",)
+
     def _pipe_json_array_len(self) -> tuple:
         self.expect("(")
         fld = self.next().val
@@ -1266,6 +1269,7 @@ _PIPE_PARSERS: dict[str, Callable[[Parser], tuple]] = {
     "drop_empty_fields": Parser._pipe_drop_empty_fields,
     "field_names": Parser._pipe_field_names,
     "blocks_count": Parser._pipe_blocks_count,
+    "block_stats": Parser._pipe_block_stats,
     "json_array_len": Parser._pipe_json_array_len,
     "json_array_concat": Parser._pipe_json_array_concat,
     "coalesce": Parser._pipe_coalesce,
@@ -1831,6 +1835,8 @@ def _apply_pipe(df: DataFrame, p: tuple, cfg: _Cfg, base_df: DataFrame) -> DataF
         return pipes.field_names(df)
     if name == "blocks_count":
         return pipes.blocks_count(df)
+    if name == "block_stats":
+        return pipes.block_stats(df)
     if name == "json_array_len":
         return pipes.json_array_len(df, p[1], p[2])
     if name == "json_array_concat":

@@ -1046,6 +1046,73 @@ def blocks_count(df: DataFrame) -> DataFrame:
     )
 
 
+def block_stats(df: DataFrame) -> DataFrame:
+    """``| block_stats`` (pipe_block_stats.go): per-(block, field)
+    storage stats for the blocks feeding the query. The reference
+    emits one row per column of every scanned block (field, type,
+    values_size, rows, part_path); the parquet analog is one row per
+    (file, row-group, column) read from the parquet FOOTERS of the
+    scan's input files — metadata only, zero data pages read. Footers
+    are opened EXECUTOR-side: the file list becomes a DataFrame and
+    each task reads its own footers via pyarrow (Arrow-batched
+    mapInPandas), so a thousand-part listing parallelizes instead of
+    serializing through the driver."""
+    spark = df.sparkSession
+    files = sorted(set(df.inputFiles()))
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "part_path string, block bigint, field string, type string, "
+            "rows bigint, values_size bigint, uncompressed_size bigint, "
+            "encodings string",
+        )
+    flist = spark.createDataFrame([(f,) for f in files], "part_path string")
+
+    def _read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["part_path"]:
+                local = path
+                if local.startswith("file:"):
+                    from urllib.parse import unquote as _unq
+
+                    local = "/" + _unq(local[5:]).lstrip("/")
+                md = pq.read_metadata(local)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        rows.append(
+                            (
+                                path,
+                                rg,
+                                c.path_in_schema,
+                                str(c.physical_type),
+                                g.num_rows,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                                ",".join(str(e) for e in c.encodings),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "part_path", "block", "field", "type", "rows",
+                    "values_size", "uncompressed_size", "encodings",
+                ],
+            )
+
+    return flist.repartition(min(len(files), 32)).mapInPandas(
+        _read_footers,
+        "part_path string, block bigint, field string, type string, "
+        "rows bigint, values_size bigint, uncompressed_size bigint, "
+        "encodings string",
+    )
+
+
 # -------------------------------------------------- filter combinators
 def and_filter(*conds: Column) -> Column:
     """filter_and.go — conjunction."""
