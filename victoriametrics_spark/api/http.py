@@ -3292,6 +3292,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path == "/api/v1/status/config":
                     # no -promscrape.config: empty yaml, Prometheus shape
                     out = {"status": "success", "data": {"yaml": ""}}
+                elif u.path == "/config":
+                    # plain-text promscrape config dump (vminsert
+                    # main.go:351); no scraper here → empty config
+                    self._send(200, "", "text/plain; charset=utf-8")
+                    return
+                elif u.path == "/-/reload":
+                    # promscrape config reload (SelfSIGHUP, vminsert
+                    # main.go:370); no scraper → acknowledged no-op
+                    self._send(200, "")
+                    return
                 elif u.path in ("/influx/query", "/query"):
                     # fake influx database-names response (TSBS /
                     # Telegraf probe, lib/influxutil WriteDatabaseNames)
