@@ -856,3 +856,47 @@ def test_unigram_logprob_score(spark):
     assert out[2]["logprob_score"] == pytest.approx(exp2, abs=1e-6)
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
     assert out[2]["logprob_score"] > out[1]["logprob_score"]
+
+
+def test_persisted_ivf_index_partition_pruning(spark, embs):
+    """write_ivf_index lays vectors out in cell=<id> partition dirs;
+    a probe's scan LISTS only the n_probe probed partitions (physical
+    partition pruning, not a runtime filter) and returns exactly what
+    the in-memory IVF path returns."""
+    from victoriametrics_spark.operators.knn import (
+        deterministic_centroids,
+        ivf_index_knn_threshold,
+        ivf_knn_threshold,
+        write_ivf_index,
+    )
+    from victoriametrics_spark.storage.layout import drop_samples_table
+
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    cents = deterministic_centroids(rest, 8)
+    tbl = "ivf_index_test_t"
+    try:
+        stored = write_ivf_index(rest, tbl, centroids=cents)
+        assert stored == cents
+        out = ivf_index_knn_threshold(
+            spark, tbl, cents, list(q), 0.2, n_probe=2
+        )
+        # physical evidence: the probed scan reads files from exactly
+        # 2 cell=... partition directories
+        cells_touched = {
+            seg
+            for f in out.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("cell=")
+        }
+        assert len(cells_touched) == 2
+        expect = {
+            (r["vec_id"], r["cosine"])
+            for r in ivf_knn_threshold(
+                rest, list(q), 0.2, k_cells=8, n_probe=2, centroids=cents
+            ).collect()
+        }
+        got = {(r["vec_id"], r["cosine"]) for r in out.collect()}
+        assert got == expect and len(got) > 0
+    finally:
+        drop_samples_table(spark, tbl)

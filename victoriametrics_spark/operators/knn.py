@@ -571,3 +571,75 @@ def semantic_dedup(
         refine_iterations=refine_iterations,
     )
     return near_dup_keep_list(df, pairs, id_col=id_col)
+
+
+# ------------------------------------------------------------- round 9:
+# persisted IVF index — the "cell id = partition key at ingest" story
+# made concrete: vectors land in cell=<id> partition directories, so a
+# probe LISTS only n_probe directories (Spark partition pruning) and
+# never touches the rest of the corpus' files.
+
+
+def write_ivf_index(
+    df: DataFrame,
+    table: str,
+    k_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    refine_iterations: int = 0,
+    mode: str = "overwrite",
+) -> list[tuple[int, list[float]]]:
+    """Persist ``df`` as a cell-partitioned IVF index table: one
+    ``cell=<id>`` partition directory per centroid. Returns the
+    centroid list — store it beside the table (it is the index
+    metadata a probe needs; re-deriving it from a changed corpus would
+    silently re-shape the cells). ``refine_iterations`` > 0 runs Lloyd
+    refinement before assignment for production index quality."""
+    if centroids is None:
+        centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
+    if refine_iterations:
+        centroids = lloyd_refine(
+            df, centroids, vec_col, id_col, iterations=refine_iterations
+        )
+    spark = df.sparkSession
+    if mode == "overwrite":
+        from victoriametrics_spark.storage.layout import drop_samples_table
+
+        drop_samples_table(spark, table)
+    (
+        df.withColumn("cell", ivf_cell(F.col(vec_col), centroids))
+        .repartition("cell")
+        .write.mode(mode)
+        .format("parquet")
+        .partitionBy("cell")
+        .saveAsTable(table)
+    )
+    return centroids
+
+
+def ivf_index_knn_threshold(
+    spark,
+    table: str,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    tau: float,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine-threshold probe over a :func:`write_ivf_index` table.
+    The ``cell IN (...)`` filter is a PARTITION filter: Spark lists
+    only the n_probe probed directories — at a billion vectors the
+    scan reads n_probe/k of the files, the IVF promise as physical
+    layout rather than a runtime filter."""
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
+    )[:n_probe]
+    probe_ids = [cid for _, cid in probe]
+    cand = spark.table(table).filter(F.col("cell").isin(probe_ids))
+    return knn_threshold(cand, query, tau, vec_col, id_col)
