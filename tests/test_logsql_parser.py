@@ -676,3 +676,40 @@ def test_block_stats_pipe(spark, tmp_path):
             assert r["part_path"].endswith(".parquet")
     finally:
         drop_samples_table(spark, tbl)
+
+
+def test_parser_errors_are_logsql_errors():
+    """Non-numeric pipe arguments must raise a positioned LogsQLError,
+    not a context-free int() ValueError (found by token fuzzing)."""
+    for q in (
+        "* | limit x",
+        "* | offset as",
+        "* | sample foo",
+        "* | top bad by (k)",
+        "* | sort by (a) offset z",
+        "* | generate_sequence nope",
+    ):
+        with pytest.raises(LogsQLError, match="offset|expected"):
+            parse_query(q)
+
+
+def test_parser_fuzz_no_foreign_exceptions():
+    """Random token-soup queries either parse or raise LogsQLError —
+    never any other exception class (the public textual front-end must
+    be crash-free on garbage)."""
+    import random
+
+    rng = random.Random(7)
+    toks = [
+        "*", "|", "stats", "by", "(", ")", "count()", "as", "x", "sort",
+        "limit", "5", '"q"', "error", "and", "or", "not", "_time:5m",
+        "f:=3", ":", "=", "extract", "top", "in", ",", "math", "+",
+        "uniq", "'s", "\\", "{", "}", "options(a=1)", "[", "]", "<",
+        ">", "!", "offset", "stream_context",
+    ]
+    for _ in range(3000):
+        q = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 12)))
+        try:
+            parse_query(q)
+        except LogsQLError:
+            pass

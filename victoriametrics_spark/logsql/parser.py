@@ -228,6 +228,18 @@ class Parser:
             return True
         return False
 
+    def int_next(self) -> int:
+        """Next token as an integer, or a positioned LogsQLError — a
+        bare int() here leaks a context-free ValueError for queries
+        like `| limit x` (found by fuzzing)."""
+        t = self.next()
+        try:
+            return int(t.val)
+        except ValueError:
+            raise LogsQLError(
+                f"expected integer, got {t.val!r} at offset {t.pos}"
+            ) from None
+
     def expect(self, val: str) -> Tok:
         t = self.next()
         if t.kind == "str" or t.val.lower() != val:
@@ -752,10 +764,10 @@ class Parser:
         while True:
             if self.at("offset"):
                 self.next()
-                offset = int(self.next().val)
+                offset = self.int_next()
             elif self.at("limit"):
                 self.next()
-                limit = int(self.next().val)
+                limit = self.int_next()
             elif self.at("rank"):
                 self.next()
                 rank = "rank"
@@ -769,7 +781,7 @@ class Parser:
     def _pipe_first_last(self, desc: bool) -> tuple:
         n = 1
         if self.peek().kind == "word" and self.peek().val.isdigit():
-            n = int(self.next().val)
+            n = self.int_next()
         by: list[tuple[str, bool]] = []
         if self.at("by"):
             self.next()
@@ -784,10 +796,10 @@ class Parser:
         return ("first", by, n, partition, desc)
 
     def _pipe_limit(self) -> tuple:
-        return ("limit", int(self.next().val))
+        return ("limit", self.int_next())
 
     def _pipe_offset(self) -> tuple:
-        return ("offset", int(self.next().val))
+        return ("offset", self.int_next())
 
     def _pipe_fields(self) -> tuple:
         return ("fields", self._fields_list())
@@ -959,13 +971,13 @@ class Parser:
         limit = None
         if self.at("limit"):
             self.next()
-            limit = int(self.next().val)
+            limit = self.int_next()
         return ("uniq", fields, with_hits, limit)
 
     def _pipe_top(self) -> tuple:
         k = 10
         if self.peek().kind == "word" and self.peek().val.isdigit():
-            k = int(self.next().val)
+            k = self.int_next()
         fields: list[str] = []
         if self.at("by"):
             self.next()
@@ -1016,7 +1028,7 @@ class Parser:
         limit = 0
         if self.at("limit"):
             self.next()
-            limit = int(self.next().val)
+            limit = self.int_next()
         return ("replace", fld, old, new, regex, limit)
 
     def _pipe_split(self) -> tuple:
@@ -1029,7 +1041,7 @@ class Parser:
         return ("split", src, sep, dst)
 
     def _pipe_sample(self) -> tuple:
-        return ("sample", int(self.next().val))
+        return ("sample", self.int_next())
 
     def _pipe_time_add(self) -> tuple:
         neg = self.eat("-")
@@ -1048,13 +1060,13 @@ class Parser:
         limit = 0
         if self.at("limit"):
             self.next()
-            limit = int(self.next().val)
+            limit = self.int_next()
         return ("field_values", fld, limit)
 
     def _pipe_facets(self) -> tuple:
         k = 10
         if self.peek().kind == "word" and self.peek().val.isdigit():
-            k = int(self.next().val)
+            k = self.int_next()
         return ("facets", k)
 
     def _pipe_collapse_nums(self) -> tuple:
@@ -1193,10 +1205,10 @@ class Parser:
         while True:
             if self.at("before"):
                 self.next()
-                before = int(self.next().val)
+                before = self.int_next()
             elif self.at("after"):
                 self.next()
-                after = int(self.next().val)
+                after = self.int_next()
             elif self.at("time_window"):
                 self.next()
                 self.next()  # duration accepted, row-window semantics used
@@ -1208,7 +1220,7 @@ class Parser:
         return ("set_stream_fields", self._fields_list("required"))
 
     def _pipe_generate_sequence(self) -> tuple:
-        return ("generate_sequence", int(self.next().val))
+        return ("generate_sequence", self.int_next())
 
 
 _STATS_FUNC_NAMES = {
