@@ -1709,3 +1709,42 @@ def test_metrics_self_exposition(api):
         assert "vm_app_uptime_seconds" in body
     finally:
         srv.shutdown()
+
+
+def test_export_formats_and_chunking(api):
+    """/api/v1/export format=prometheus (per-sample exposition lines),
+    format=promapi (matrix envelope), and max_rows_per_line chunking
+    (exportHandler analogs)."""
+    srv = serve(api, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}/api/v1/export"
+    m = "match[]=temp"
+    try:
+        with urllib.request.urlopen(f"{base}?{m}&format=prometheus") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            lines = r.read().decode().splitlines()
+        # one line per SAMPLE: temp has 21 points
+        assert len(lines) == 21
+        assert all(l.startswith('temp{room="x"} ') for l in lines)
+        # value and millisecond timestamp per line
+        parts = lines[0].split()
+        assert parts[-1].isdigit() and float(parts[-2]) >= 20.0
+
+        with urllib.request.urlopen(f"{base}?{m}&format=promapi") as r:
+            body = json.loads(r.read())
+        assert body["status"] == "success"
+        assert body["data"]["resultType"] == "matrix"
+        (series,) = body["data"]["result"]
+        assert len(series["values"]) == 21
+
+        with urllib.request.urlopen(f"{base}?{m}&max_rows_per_line=10") as r:
+            chunked = [json.loads(l) for l in r.read().decode().splitlines()]
+        assert len(chunked) == 3  # 10 + 10 + 1
+        assert sorted(len(c["values"]) for c in chunked) == [1, 10, 10]
+        assert {len(c["values"]) for c in chunked} == {
+            len(c["timestamps"]) for c in chunked
+        }
+    finally:
+        srv.shutdown()

@@ -838,6 +838,7 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        max_rows_per_line: int = 0,
     ):
         """One finished JSONL export line per series, built entirely
         JVM-side: groupBy the canonical series key, sort_array over the
@@ -856,6 +857,21 @@ class PromAPI:
             .groupBy("name", "__e")
             .agg(pts.alias("__pts"))
         )
+        if max_rows_per_line > 0:
+            # exportHandler's maxRowsPerLine chunking: a series with
+            # more samples than the cap emits multiple lines, each
+            # carrying at most that many (ts, value) pairs
+            n = int(max_rows_per_line)
+            chunks = F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("__pts") / F.lit(n)).cast("int") - 1,
+                ),
+                lambda i: F.slice(F.col("__pts"), i * n + 1, n),
+            )
+            grouped = grouped.select(
+                "name", "__e", F.explode(chunks).alias("__pts")
+            )
         lbl = F.map_from_entries(F.col("__e"))
         metric = F.when(
             F.coalesce(F.col("name"), F.lit("")) != "",
@@ -880,12 +896,57 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        max_rows_per_line: int = 0,
     ) -> list[str]:
         """VM JSONL export lines (/api/v1/export shape:
         {"metric":{...},"values":[...],"timestamps":[...]})."""
         return sorted(
             r["line"]
-            for r in self.export_jsonl_df(matches, start, end, enforced).collect()
+            for r in self.export_jsonl_df(
+                matches, start, end, enforced,
+                max_rows_per_line=max_rows_per_line,
+            ).collect()
+        )
+
+    def export_prometheus(
+        self,
+        matches: list[str],
+        start: str | None = None,
+        end: str | None = None,
+        enforced: tuple = (),
+    ) -> list[str]:
+        """``format=prometheus`` export: one exposition line per SAMPLE
+        (export.qtpl ExportPrometheusLine) — built JVM-side; the driver
+        receives finished lines only."""
+        df = self._match_df(matches, start, end, enforced)
+        entries = F.array_sort(
+            F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
+        )
+        lbl = F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    e["key"], F.lit('="'), e["value"], F.lit('"')
+                ),
+            ),
+            ",",
+        )
+        v = F.col("value")
+        vtxt = F.when(
+            (v == F.floor(v))
+            & ~F.isnan(v)
+            & (F.abs(v) < F.lit(1e15)),
+            v.cast("long").cast("string"),
+        ).otherwise(v.cast("string"))
+        line = F.concat(
+            F.coalesce(F.col("name"), F.lit("")),
+            F.lit("{"), lbl, F.lit("} "),
+            vtxt, F.lit(" "),
+            F.col("ts").cast("string"),
+        )
+        return sorted(
+            r["line"]
+            for r in df.select(line.alias("line")).collect()
         )
 
     def federate(
@@ -3173,9 +3234,31 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("end"),
                     )
                 elif u.path == "/api/v1/export":
+                    fmt = p("format", "")
+                    if fmt == "prometheus":
+                        lines = api.export_prometheus(
+                            matches, p("start"), p("end"), enforced=enforced
+                        )
+                        self._send(
+                            200, "\n".join(lines),
+                            "text/plain; charset=utf-8",
+                        )
+                        return
+                    mrpl = int(p("max_rows_per_line", "0") or 0)
                     lines = api.export_jsonl(
-                        matches, p("start"), p("end"), enforced=enforced
+                        matches, p("start"), p("end"), enforced=enforced,
+                        max_rows_per_line=mrpl,
                     )
+                    if fmt == "promapi":
+                        # export.qtpl ExportPromAPIHeader/Footer envelope
+                        body = (
+                            '{"status":"success","data":'
+                            '{"resultType":"matrix","result":['
+                            + ",".join(lines)
+                            + "]}}"
+                        )
+                        self._send(200, body)
+                        return
                     self._send(200, "\n".join(lines), "application/stream+json")
                     return
                 elif u.path == "/api/v1/export/csv":
