@@ -112,3 +112,18 @@ def test_parse_serialize_fixed_point(q):
     assert repr(ast2) == repr(ast1), f"{q!r} -> {s!r}"
     # serialization is a fixed point: serialize(parse(s)) == s
     assert to_query_string(ast2) == s
+
+
+@settings(max_examples=300, deadline=None)
+@given(expr())
+def test_prettify_round_trips(q):
+    """prettify output must re-parse to the identical AST (the
+    metricsql.Prettify contract) for every valid generated query."""
+    from victoriametrics_spark.metricsql.serialize import prettify
+
+    try:
+        ast1 = parse(q)
+    except Exception:
+        return
+    p = prettify(ast1)
+    assert repr(parse(p)) == repr(ast1), f"{q!r} -> {p!r}"

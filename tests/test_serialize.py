@@ -71,3 +71,27 @@ def test_with_expansion_serializes_to_plain_metricsql():
     )
     assert "WITH" not in s and "f(" not in s
     assert repr(parse(s)) == repr(parse('sum(rate(m{job="a"}[5m])) by (job)'))
+
+
+def test_prettify_shapes():
+    """Short queries stay one line; long ones split like the reference
+    prettifier (operator on its own line, one function arg per line,
+    filters inside braces on their own lines)."""
+    from victoriametrics_spark.metricsql.serialize import prettify
+
+    assert prettify(parse("rate(m[5m])")) == "rate(m[5m])"
+    long_q = (
+        'sum(rate(http_requests_total{job="very-long-job-name-here",'
+        'instance="some-long-instance:9090",code=~"5.."}[5m]))'
+        " by (job) / on (job) group_left () "
+        'sum(rate(http_requests_total{job="very-long-job-name-here"}'
+        "[5m])) by (job)"
+    )
+    p = prettify(parse(long_q))
+    lines = p.split("\n")
+    assert len(lines) > 5
+    # the binop operator sits alone on an indented line
+    assert any(l.strip().startswith("/ on (job)") for l in lines)
+    # filters split one per line inside the braces
+    assert any(l.strip() == 'code=~"5.."' for l in lines)
+    assert repr(parse(p)) == repr(parse(long_q))

@@ -1237,12 +1237,12 @@ class PromAPI:
         normalized form (reference: app/vmselect/main.go prettify-query
         over metricsql.Prettify)."""
         from victoriametrics_spark.metricsql import parse
-        from victoriametrics_spark.metricsql.serialize import to_query_string
+        from victoriametrics_spark.metricsql.serialize import prettify
 
         try:
             return {
                 "status": "success",
-                "query": to_query_string(parse(query)),
+                "query": prettify(parse(query)),
             }
         except Exception as e:
             return {"status": "error", "msg": str(e)}

@@ -155,3 +155,160 @@ def to_query_string(e: Expr) -> str:
             out += " keep_metric_names"
         return out
     raise TypeError(f"cannot serialize {e!r}")
+
+
+# ------------------------------------------------------------ prettify
+# Multi-line pretty-printing of a MetricsQL AST — the metricsql.Prettify
+# analog (vendor/.../metricsql/prettifier.go): a node whose single-line
+# form fits in MAX_PRETTY_LINE chars stays on one line; longer nodes
+# split by type exactly like the reference (binops put the operator on
+# its own indented line, functions put one argument per line, metric
+# selectors put each OR-group of filters on its own line). One
+# deviation: WITH templates are expanded before prettifying (our parser
+# expands eagerly); the output is still a canonical parseable query.
+
+MAX_PRETTY_LINE = 80
+
+
+def _ind(n: int) -> str:
+    return "  " * n
+
+
+def _binop_mid(e: BinaryOpExpr) -> str:
+    mid = e.op
+    if e.bool_modifier:
+        mid += " bool"
+    mid += _modifier(e.group_modifier)
+    mid += _modifier(e.join_modifier)
+    if e.join_modifier_prefix is not None:
+        mid += f" prefix {json.dumps(e.join_modifier_prefix)}"
+    if e.fill_left is not None and e.fill_left == e.fill_right:
+        mid += f" fill({_num(e.fill_left)})"
+    else:
+        if e.fill_left is not None:
+            mid += f" fill_left({_num(e.fill_left)})"
+        if e.fill_right is not None:
+            mid += f" fill_right({_num(e.fill_right)})"
+    return mid
+
+
+def _rollup_suffix(e: RollupExpr) -> str:
+    out = ""
+    if e.window is not None or e.step is not None or e.inherit_step:
+        w = e.window.text if e.window is not None else ""
+        if e.step is not None:
+            out += f"[{w}:{e.step.text}]"
+        elif e.inherit_step:
+            out += f"[{w}:]"
+        else:
+            out += f"[{w}]"
+    if e.offset is not None:
+        out += f" offset {e.offset.text}"
+    if e.at is not None:
+        at = to_query_string(e.at)
+        if not isinstance(e.at, (NumberExpr, DurationExpr, MetricExpr)):
+            at = f"({at})"
+        out += f" @ {at}"
+    if e.keep_metric_names:
+        out += " keep_metric_names"
+    return out
+
+
+def _pretty_func_args(args, indent: int) -> str:
+    lines = ["("]
+    for i, a in enumerate(args):
+        tail = "," if i + 1 < len(args) else ""
+        lines.append(_pretty(a, indent + 1, False) + tail)
+    lines.append(_ind(indent) + ")")
+    return "\n".join(lines)
+
+
+def _pretty_filter_group(group, indent: int) -> str:
+    one = _ind(indent) + _filters(group)
+    if len(one) <= MAX_PRETTY_LINE:
+        return one
+    return ",\n".join(
+        _ind(indent) + f"{f.label}{f.op}{json.dumps(f.value)}"
+        for f in group
+    )
+
+
+def _pretty(e: Expr, indent: int, need_parens: bool) -> str:
+    one = to_query_string(e)
+    if need_parens:
+        one = f"({one})"
+    line = _ind(indent) + one
+    if len(line) <= MAX_PRETTY_LINE:
+        return line
+
+    prefix = suffix = ""
+    if need_parens:
+        prefix = _ind(indent) + "(\n"
+        suffix = "\n" + _ind(indent) + ")"
+        indent += 1
+
+    if isinstance(e, BinaryOpExpr):
+        kmn = e.keep_metric_names
+        if kmn:
+            prefix += _ind(indent) + "(\n"
+            suffix = "\n" + _ind(indent) + ") keep_metric_names" + suffix
+            indent += 1
+        body = (
+            _pretty(e.left, indent, isinstance(e.left, BinaryOpExpr))
+            + "\n"
+            + _ind(indent + 1)
+            + _binop_mid(e)
+            + "\n"
+            + _pretty(e.right, indent, isinstance(e.right, BinaryOpExpr))
+        )
+        return prefix + body + suffix
+    if isinstance(e, RollupExpr):
+        body = _pretty(
+            e.expr, indent, not isinstance(e.expr, MetricExpr)
+        ) + _rollup_suffix(e)
+        return prefix + body + suffix
+    if isinstance(e, (FuncExpr, AggrFuncExpr)):
+        body = _ind(indent) + e.name + _pretty_func_args(e.args, indent)
+        if isinstance(e, AggrFuncExpr):
+            body += _modifier(e.modifier)
+            if e.limit:
+                body += f" limit {e.limit}"
+        elif e.keep_metric_names:
+            body += " keep_metric_names"
+        return prefix + body + suffix
+    if isinstance(e, MetricExpr) and not e.is_empty():
+        name = e.metric_name()
+        simple_name = name is not None and all(
+            any(f.label == "__name__" and f.op == "=" for f in g)
+            for g in e.label_filterss
+        )
+        if simple_name:
+            groups = [
+                [
+                    f
+                    for f in g
+                    if not (f.label == "__name__" and f.op == "=")
+                ]
+                for g in e.label_filterss
+            ]
+            head = name
+            if any(not g for g in groups) and len(groups) > 1:
+                groups = e.label_filterss
+                head = ""
+        else:
+            groups = e.label_filterss
+            head = ""
+        lines = [_ind(indent) + (head or "") + "{"]
+        for i, g in enumerate(groups):
+            lines.append(_pretty_filter_group(g, indent + 1))
+            if i + 1 < len(groups):
+                lines.append(_ind(indent + 2) + "or")
+        lines.append(_ind(indent) + "}")
+        return prefix + "\n".join(lines) + suffix
+    # scalars / strings / durations: nothing to split
+    return prefix + _ind(indent) + to_query_string(e) + suffix
+
+
+def prettify(e: Expr) -> str:
+    """Prettified multi-line representation (metricsql.Prettify)."""
+    return _pretty(e, 0, False)
