@@ -3346,6 +3346,59 @@ SELECT event_type, user_bucket, ts, value FROM (
 )
 
 
+def _op_downsample_filtered(spark, sf_dir, load):
+    """Selector-scoped downsampling
+    (storage/downsample.py, the -downsampling.period=
+    filter:offset:interval syntax): click-series thin to 6h past 7d by
+    the FIRST matching filter; everything else falls to the match-all
+    21d:1d level. The oracle replays the first-match-wins CASE."""
+    from victoriametrics_spark.sources.events import events_as_samples
+    from victoriametrics_spark.storage.downsample import downsample
+
+    samples = events_as_samples(spark, sf_dir)
+    out = downsample(
+        samples,
+        rules=[
+            ('{event_type="click"}', 7 * W1D, W6H),
+            (21 * W1D, W1D),
+        ],
+        now_ms=GRID_END,
+    )
+    return out.select(
+        F.col("labels")["event_type"].alias("event_type"),
+        F.col("labels")["user_bucket"].alias("user_bucket"),
+        "ts",
+        "value",
+    )
+
+
+_reg(
+    "op_downsample_filtered",
+    _op(_op_downsample_filtered),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+tagged AS (
+    SELECT *,
+           CASE WHEN event_type = 'click'
+                THEN CASE WHEN {GRID_END} - ts >= {7 * W1D}
+                          THEN {W6H} ELSE 0 END
+                ELSE CASE WHEN {GRID_END} - ts >= {21 * W1D}
+                          THEN {W1D} ELSE 0 END
+           END AS itv
+    FROM samples
+)
+SELECT event_type, user_bucket, ts, value FROM tagged WHERE itv = 0
+UNION ALL
+SELECT event_type, user_bucket, ts, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type, user_bucket, itv,
+                     CAST(floor(ts / itv) AS BIGINT)
+        ORDER BY ts DESC, value DESC) AS rn
+    FROM tagged WHERE itv > 0
+) WHERE rn = 1""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates per round. Round-9
 # rotation: (a) gates whose engine path changed this round — the
@@ -3368,6 +3421,7 @@ _DRIVER_PRIORITY = [
     "op_doc_boilerplate_lines",
     "op_doc_duplicate_passages",
     "op_doc_unigram_logprob",
+    "op_downsample_filtered",
     "op_doc_c4_clean",
     "op_doc_gopher_filter",
     "op_doc_chunks",

@@ -1170,3 +1170,50 @@ def test_metrics_metadata_store():
          "type": 1},
         {"metric_family_name": "m3", "help": "h3", "unit": "", "type": 7},
     ]
+
+
+def test_downsample_selector_scoped_rules(spark):
+    """-downsampling.period=filter:offset:interval semantics: FIRST
+    matching filter wins, unmatched series stay raw, 0s:0s excludes,
+    and the flag-string parser round-trips the syntax."""
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+    from victoriametrics_spark.storage.downsample import (
+        downsample,
+        parse_downsampling_periods,
+    )
+
+    H = 3_600_000
+    now = 100 * H
+    rows = []
+    for s, env in (("a", "prod"), ("b", "dev"), ("c", None)):
+        labels = {"s": s}
+        if env:
+            labels["env"] = env
+        # three aged samples inside one 4h bucket
+        for i, v in ((11, 1.0), (12, 2.0), (13, 3.0)):
+            rows.append(("m", labels, now - i * H, v, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+
+    rules = parse_downsampling_periods(
+        ['{env="prod"}:10h:100h', '{env=~"prod|dev"}:10h:1ms']
+    )
+    out = downsample(df, rules, now_ms=now).collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r["labels"]["s"], []).append(r)
+    # prod matched the FIRST filter (one big bucket -> 1 sample kept),
+    # even though the second filter also matches
+    assert len(by_s["a"]) == 1 and by_s["a"][0]["ts"] == now - 11 * H
+    # dev matched only the second filter: 1ms interval keeps all 3
+    assert len(by_s["b"]) == 3
+    # no filter matched -> not downsampled
+    assert len(by_s["c"]) == 3
+
+    # 0s:0s exclusion idiom: prod exempt, match-all rule thins others
+    rules2 = parse_downsampling_periods(['{env="prod"}:0s:0s', "10h:100h"])
+    out2 = downsample(df, rules2, now_ms=now).collect()
+    by_s2 = {}
+    for r in out2:
+        by_s2.setdefault(r["labels"]["s"], []).append(r)
+    assert len(by_s2["a"]) == 3   # excluded
+    assert len(by_s2["b"]) == 1 and len(by_s2["c"]) == 1

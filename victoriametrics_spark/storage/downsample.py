@@ -27,6 +27,90 @@ from pyspark.sql.window import Window
 from victoriametrics_spark.schema import series_key
 
 
+def rule_groups(rules) -> "list[tuple[str | None, list[tuple[int, int]]]]":
+    """Normalize a rules argument into filter groups, in flag order.
+
+    Accepted shapes (mixable):
+    - ``(offset_ms, interval_ms)``            — match-all level;
+    - ``(selector, offset_ms, interval_ms)``  — selector-scoped level
+      (the -downsampling.period=filter:offset:interval syntax,
+      docs/victoriametrics/README.md §Downsampling: a series is
+      downsampled by the FIRST matching filter's levels only; series
+      matching no filter are not downsampled when filters are used).
+
+    Consecutive levels with the same selector merge into one group;
+    bare levels merge into a trailing match-all group (None)."""
+    groups: list[tuple[str | None, list[tuple[int, int]]]] = []
+    for r in rules:
+        if len(r) == 2:
+            sel, off, itv = None, int(r[0]), int(r[1])
+        else:
+            sel, off, itv = r[0], int(r[1]), int(r[2])
+        for g in groups:
+            if g[0] == sel:
+                g[1].append((off, itv))
+                break
+        else:
+            groups.append((sel, [(off, itv)]))
+    return groups
+
+
+def rule_offsets(rules) -> list[int]:
+    """Every offset across all groups — the partition-age arming test
+    (a partition is a candidate once it crossed ANY offset)."""
+    return [off for _, levels in rule_groups(rules) for off, _ in levels]
+
+
+def rules_signature(rules) -> str:
+    """Stable identity of a rules argument for maintenance-state
+    stamping (selector-aware; order of groups is significant because
+    first-match wins)."""
+    return repr(
+        [(sel, sorted(levels)) for sel, levels in rule_groups(rules)]
+    )
+
+
+def parse_downsampling_periods(flags: list[str]) -> list[tuple]:
+    """Parse ``-downsampling.period`` flag values: ``offset:interval``
+    or ``{selector}:offset:interval`` (durations like 30d, 5m). Returns
+    rules in flag order for :func:`downsample`."""
+    from victoriametrics_spark.metricsql import parse as _mql_parse
+    from victoriametrics_spark.metricsql.ast import DurationExpr, MetricExpr
+
+    def parse_duration_ms(txt: str) -> int:
+        return DurationExpr(text=txt.strip()).ms(0)
+
+    out: list[tuple] = []
+    for flag in flags:
+        s = flag.strip()
+        sel = None
+        if s.startswith("{"):
+            depth = 0
+            for i, ch in enumerate(s):
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        sel = s[: i + 1]
+                        s = s[i + 1:].lstrip(":")
+                        break
+            if sel is None:
+                raise ValueError(f"unbalanced selector in {flag!r}")
+            if not isinstance(_mql_parse(sel), MetricExpr):
+                raise ValueError(f"{sel!r} is not a series selector")
+        parts = s.split(":")
+        if len(parts) != 2:
+            raise ValueError(
+                f"invalid -downsampling.period {flag!r}: want "
+                "[filter:]offset:interval"
+            )
+        off = parse_duration_ms(parts[0])
+        itv = parse_duration_ms(parts[1])
+        out.append((sel, off, itv) if sel is not None else (off, itv))
+    return out
+
+
 def _interval_for_age(age_ms: Column, rules: list[tuple[int, int]]) -> Column:
     """interval (ms) applicable to a sample of the given age; 0 = raw.
     ``rules`` = [(offset_ms, interval_ms)], largest matching offset wins."""
@@ -51,7 +135,33 @@ def downsample(
     """
     if not rules:
         return samples
-    interval = _interval_for_age(F.lit(int(now_ms)) - F.col("ts"), rules)
+    groups = rule_groups(rules)
+    age = F.lit(int(now_ms)) - F.col("ts")
+    if len(groups) == 1 and groups[0][0] is None:
+        interval = _interval_for_age(age, groups[0][1])
+    else:
+        # selector-scoped rules (filter:offset:interval): classify each
+        # row by the FIRST matching filter (flag order), apply only that
+        # group's levels; rows matching no filter stay raw (docs:
+        # "If the time series doesn't match any filter, then it isn't
+        # downsampled"). A 0s:0s level → interval 0 → raw, the
+        # documented exclusion idiom.
+        from victoriametrics_spark.engine.planner import selector_predicate
+        from victoriametrics_spark.metricsql import parse as _mql_parse
+
+        interval = F.lit(0).cast("long")
+        matched = F.lit(False)
+        for sel, levels in groups:
+            pred = (
+                F.lit(True)
+                if sel is None
+                else selector_predicate(_mql_parse(sel))
+            )
+            take = ~matched & pred
+            interval = F.when(
+                take, _interval_for_age(age, levels)
+            ).otherwise(interval)
+            matched = matched | pred
     df = samples.withColumn("__ds_interval", interval)
     raw = df.filter(F.col("__ds_interval") == 0).drop("__ds_interval")
     aged = df.filter(F.col("__ds_interval") > 0)

@@ -1002,7 +1002,13 @@ def downsample_partitions(
     date_set = {str(d) for d in dates} if dates is not None else None
     idx = _partition_files_with_size(spark, table, part_cols)
     state = _read_maint_state(spark, table)
-    rules_sig = repr(sorted((int(o), int(i)) for o, i in rules))
+    from victoriametrics_spark.storage.downsample import (
+        rule_offsets,
+        rules_signature,
+    )
+
+    rules_sig = rules_signature(rules)
+    all_offs = rule_offsets(rules)
     now_ms = int(now_ms)
     targets = []
     off_by_key: dict = {}
@@ -1010,7 +1016,7 @@ def downsample_partitions(
         if date_set is not None and part[-1] not in date_set:
             continue
         _, end = _date_bounds_ms(part[-1])
-        offs = [off for off, _ in rules if now_ms - end >= off]
+        offs = [off for off in all_offs if now_ms - end >= off]
         if not offs:
             continue
         key = "|".join(part)
@@ -1159,22 +1165,24 @@ def maintain_samples_table(
                 # a whole-partition compact with rules fully thinned the
                 # partition — stamp it so the trailing downsample pass
                 # doesn't rewrite it a second time
+                from victoriametrics_spark.storage.downsample import (
+                    rule_offsets,
+                    rules_signature,
+                )
+
                 state = _read_maint_state(spark, table)
                 new_idx = _partition_files_with_size(
                     spark, table, part_cols
                 )
-                rules_sig = repr(
-                    sorted((int(o), int(i)) for o, i in downsample_rules)
-                )
+                rules_sig = rules_signature(downsample_rules)
+                ds_offs = rule_offsets(downsample_rules)
                 dirty = False
                 for part in compact_parts:
                     if part not in new_idx:
                         continue  # fully dead, dropped
                     _, end = _date_bounds_ms(part[-1])
                     offs = [
-                        off
-                        for off, _ in downsample_rules
-                        if int(now_ms) - end >= off
+                        off for off in ds_offs if int(now_ms) - end >= off
                     ]
                     if not offs:
                         continue
