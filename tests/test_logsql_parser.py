@@ -713,3 +713,20 @@ def test_parser_fuzz_no_foreign_exceptions():
             parse_query(q)
         except LogsQLError:
             pass
+
+
+def test_sort_limit_compiles_to_topk(spark):
+    """`| sort by (...) | limit N` must compile to Spark's
+    TakeOrderedAndProject — the physical top-k the reference implements
+    as pipe_sort_topk.go (no full sort, no full-data shuffle: each
+    partition keeps N rows, the driver merges)."""
+    from victoriametrics_spark.logsql.parser import run_logsql
+
+    df = spark.createDataFrame(
+        [(i, f"m{i}", float(i)) for i in range(100)],
+        "_time long, _msg string, v double",
+    )
+    out = run_logsql(df, "* | sort by (v desc) | limit 5")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert [r["v"] for r in out.collect()] == [99.0, 98.0, 97.0, 96.0, 95.0]
