@@ -1748,3 +1748,27 @@ def test_export_formats_and_chunking(api):
         }
     finally:
         srv.shutdown()
+
+
+def test_export_applies_biggest_downsampling_period(spark):
+    """Exports without `start` thin at the biggest configured
+    -downsampling.period interval; an explicit start or
+    reduce_mem_usage=1 returns raw samples (docs §Downsampling:
+    'Downsampling period changes /api/v1/export API output')."""
+    rows = []
+    for ts in range(0, 2_100_000, 100_000):
+        rows.append(("m", {"s": "a"}, ts, float(ts), False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    api2 = PromAPI(
+        spark, df, downsampling_rules=[(30 * 86_400_000, 500_000)]
+    )
+    raw = json.loads(api2.export_jsonl(["m"], start="0")[0])
+    assert len(raw["values"]) == 21
+    thinned = json.loads(api2.export_jsonl(["m"])[0])
+    # biggest interval 500s: one (last) sample per bucket
+    assert len(thinned["values"]) == 5
+    assert thinned["timestamps"][-1] == 2_000_000
+    unthinned = json.loads(
+        api2.export_jsonl(["m"], reduce_mem_usage=True)[0]
+    )
+    assert len(unthinned["values"]) == 21

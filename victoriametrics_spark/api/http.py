@@ -229,8 +229,15 @@ class PromAPI:
         max_query_duration_ms: int = 0,
         track_metric_names: bool = False,
         names_tracker=None,
+        downsampling_rules: "list | None" = None,
     ):
         self.spark = spark
+        # -downsampling.period flags (storage/downsample.py rules
+        # shapes): exports without a `start` apply the BIGGEST
+        # configured interval to their output (docs §Downsampling:
+        # "Downsampling period changes /api/v1/export API output"),
+        # unless reduce_mem_usage is set
+        self.downsampling_rules = downsampling_rules
         # -search.maxUniqueTimeseries / -search.maxSeries analogs
         # (query selector scans / the /api/v1/series endpoint); 0 = off
         self.max_unique_timeseries = int(max_unique_timeseries)
@@ -832,6 +839,41 @@ class PromAPI:
         return {"status": "success", "data": out}
 
     # --------------------------------------------------------- export
+    def _export_source(
+        self,
+        matches: list[str],
+        start: str | None,
+        end: str | None,
+        enforced: tuple,
+        reduce_mem_usage: bool = False,
+    ):
+        """Raw-export scan with the reference's downsampling-on-export
+        rule: when no `start` is given and reduce_mem_usage is unset,
+        output is thinned at the biggest configured
+        -downsampling.period interval (docs §Downsampling; the exact
+        example there: 30d:1h,180d:24h → export returns 24h samples)."""
+        df = self._match_df(matches, start, end, enforced)
+        if (
+            start is None
+            and not reduce_mem_usage
+            and self.downsampling_rules
+        ):
+            from victoriametrics_spark.storage.downsample import (
+                downsample,
+                rule_groups,
+            )
+
+            biggest = max(
+                itv
+                for _, levels in rule_groups(self.downsampling_rules)
+                for _, itv in levels
+            )
+            if biggest > 0:
+                # offset 0 + far-future now: every sample is "aged",
+                # so the whole output thins at the biggest interval
+                df = downsample(df, [(0, biggest)], now_ms=1 << 60)
+        return df
+
     def export_jsonl_df(
         self,
         matches: list[str],
@@ -839,6 +881,7 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         max_rows_per_line: int = 0,
+        reduce_mem_usage: bool = False,
     ):
         """One finished JSONL export line per series, built entirely
         JVM-side: groupBy the canonical series key, sort_array over the
@@ -846,7 +889,9 @@ class PromAPI:
         touches one row per SERIES (presentation-sized), never one row
         per sample. At 100 TB the per-series point lists are the export
         payload itself; there is no smaller correct unit of transfer."""
-        df = self._match_df(matches, start, end, enforced)
+        df = self._export_source(
+            matches, start, end, enforced, reduce_mem_usage
+        )
         # maps can't be groupBy keys — canonicalize to sorted entry array
         entries = F.array_sort(
             F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
@@ -897,6 +942,7 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         max_rows_per_line: int = 0,
+        reduce_mem_usage: bool = False,
     ) -> list[str]:
         """VM JSONL export lines (/api/v1/export shape:
         {"metric":{...},"values":[...],"timestamps":[...]})."""
@@ -905,6 +951,7 @@ class PromAPI:
             for r in self.export_jsonl_df(
                 matches, start, end, enforced,
                 max_rows_per_line=max_rows_per_line,
+                reduce_mem_usage=reduce_mem_usage,
             ).collect()
         )
 
@@ -918,7 +965,7 @@ class PromAPI:
         """``format=prometheus`` export: one exposition line per SAMPLE
         (export.qtpl ExportPrometheusLine) — built JVM-side; the driver
         receives finished lines only."""
-        df = self._match_df(matches, start, end, enforced)
+        df = self._export_source(matches, start, end, enforced)
         entries = F.array_sort(
             F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
         )
@@ -3248,6 +3295,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     lines = api.export_jsonl(
                         matches, p("start"), p("end"), enforced=enforced,
                         max_rows_per_line=mrpl,
+                        reduce_mem_usage=p("reduce_mem_usage", "")
+                        in ("1", "true"),
                     )
                     if fmt == "promapi":
                         # export.qtpl ExportPromAPIHeader/Footer envelope
