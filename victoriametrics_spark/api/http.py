@@ -961,30 +961,47 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
+        reduce_mem_usage: bool = False,
     ) -> list[str]:
         """``format=prometheus`` export: one exposition line per SAMPLE
         (export.qtpl ExportPrometheusLine) — built JVM-side; the driver
-        receives finished lines only."""
-        df = self._export_source(matches, start, end, enforced)
+        receives finished lines only. Label values are
+        exposition-escaped (backslash, quote, newline); ±Inf renders as
+        the Prometheus ``+Inf``/``-Inf`` tokens, not Java's
+        ``Infinity``."""
+        df = self._export_source(
+            matches, start, end, enforced, reduce_mem_usage
+        )
         entries = F.array_sort(
             F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
         )
+
+        def esc(col):
+            col = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+            col = F.replace(col, F.lit('"'), F.lit('\\"'))
+            return F.replace(col, F.lit("\n"), F.lit("\\n"))
+
         lbl = F.array_join(
             F.transform(
                 entries,
                 lambda e: F.concat(
-                    e["key"], F.lit('="'), e["value"], F.lit('"')
+                    e["key"], F.lit('="'), esc(e["value"]), F.lit('"')
                 ),
             ),
             ",",
         )
         v = F.col("value")
-        vtxt = F.when(
-            (v == F.floor(v))
-            & ~F.isnan(v)
-            & (F.abs(v) < F.lit(1e15)),
-            v.cast("long").cast("string"),
-        ).otherwise(v.cast("string"))
+        vtxt = (
+            F.when(v == F.lit(float("inf")), F.lit("+Inf"))
+            .when(v == F.lit(float("-inf")), F.lit("-Inf"))
+            .when(
+                (v == F.floor(v))
+                & ~F.isnan(v)
+                & (F.abs(v) < F.lit(1e15)),
+                v.cast("long").cast("string"),
+            )
+            .otherwise(v.cast("string"))
+        )
         line = F.concat(
             F.coalesce(F.col("name"), F.lit("")),
             F.lit("{"), lbl, F.lit("} "),
@@ -1010,11 +1027,18 @@ class PromAPI:
             .agg(F.max(F.struct("ts", "value")).alias("__last"))
             .collect()
         )
+        def _esc(v: str) -> str:
+            return (
+                v.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+            )
+
         lines = []
         for r in rows:
             labels = {e["key"]: e["value"] for e in (r["__e"] or [])}
             lbl = ",".join(
-                f'{k}="{v}"' for k, v in sorted(labels.items())
+                f'{k}="{_esc(v)}"' for k, v in sorted(labels.items())
             )
             name = r["name"] or "unnamed"
             last = r["__last"]
@@ -3284,7 +3308,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     fmt = p("format", "")
                     if fmt == "prometheus":
                         lines = api.export_prometheus(
-                            matches, p("start"), p("end"), enforced=enforced
+                            matches, p("start"), p("end"), enforced=enforced,
+                            reduce_mem_usage=p("reduce_mem_usage", "")
+                            in ("1", "true"),
                         )
                         self._send(
                             200, "\n".join(lines),

@@ -37,6 +37,15 @@ from . import pipes
 __all__ = ["parse_query", "run_logsql", "LogsQLError", "Query"]
 
 
+def _int_arg(v, what: str = "argument") -> int:
+    """Coerce a parsed string argument to int with a LogsQLError (a
+    bare int() leaks a context-free ValueError — fuzz finding)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        raise LogsQLError(f"expected integer {what}, got {v!r}") from None
+
+
 class LogsQLError(ValueError):
     """Raised on any LogsQL syntax or compile error."""
 
@@ -472,7 +481,14 @@ class Parser:
         if name in ("eq_field", "le_field", "lt_field"):
             return FNode(name, fld, (args[0],))
         if name == "len_range":
-            return FNode("len_range", fld, (int(args[0]), int(args[1])))
+            return FNode(
+                "len_range",
+                fld,
+                (
+                    _int_arg(args[0], "len_range bound"),
+                    _int_arg(args[1], "len_range bound"),
+                ),
+            )
         if name == "string_range":
             return FNode("string_range", fld, (args[0], args[1]))
         if name == "ipv4_range":
@@ -564,10 +580,14 @@ class Parser:
             self.expect("(")
             args = self._func_args(stop=(")",))
             self.expect(")")
-            return FNode("stream_id", "_stream", tuple(int(a) for a in args))
+            return FNode(
+                "stream_id",
+                "_stream",
+                tuple(_int_arg(a, "stream_id") for a in args),
+            )
         neg = self.eat("-")  # xxhash64 ids are signed longs
-        v = self._compound_word()
-        return FNode("stream_id", "_stream", (-int(v) if neg else int(v),))
+        v = _int_arg(self._compound_word(), "stream_id")
+        return FNode("stream_id", "_stream", (-v if neg else v,))
 
     def _compound_word(self) -> str:
         """A word possibly containing lexer-split ':' (timestamps)."""

@@ -90,25 +90,7 @@ def to_query_string(e: Expr) -> str:
         child = to_query_string(e.expr)
         if not isinstance(e.expr, MetricExpr):
             child = f"({child})"
-        out = child
-        if e.window is not None or e.step is not None or e.inherit_step:
-            w = e.window.text if e.window is not None else ""
-            if e.step is not None:
-                out += f"[{w}:{e.step.text}]"
-            elif e.inherit_step:
-                out += f"[{w}:]"
-            else:
-                out += f"[{w}]"
-        if e.offset is not None:
-            out += f" offset {e.offset.text}"
-        if e.at is not None:
-            at = to_query_string(e.at)
-            if not isinstance(e.at, (NumberExpr, DurationExpr, MetricExpr)):
-                at = f"({at})"
-            out += f" @ {at}"
-        if e.keep_metric_names:
-            out += " keep_metric_names"
-        return out
+        return child + _rollup_suffix(e)
     if isinstance(e, FuncExpr):
         args = ", ".join(to_query_string(a) for a in e.args)
         out = f"{e.name}({args})"
@@ -125,36 +107,28 @@ def to_query_string(e: Expr) -> str:
     if isinstance(e, BinaryOpExpr):
         left = _paren(e.left, to_query_string(e.left))
         right = _paren(e.right, to_query_string(e.right))
-        if e.op == "^" and (
-            (isinstance(e.left, NumberExpr) and e.left.value < 0)
-            or (
-                isinstance(e.left, DurationExpr)
-                and e.left.text.strip().startswith("-")
-            )
-        ):
-            # `^` binds tighter than unary minus: a negative number or
-            # duration base must keep its parens or `-3 ^ 1` re-parses
-            # as `-(3 ^ 1)` (same for `(-5m) ^ 2`)
+        if _pow_base_needs_parens(e):
             left = f"({left})"
-        mid = e.op
-        if e.bool_modifier:
-            mid += " bool"
-        mid += _modifier(e.group_modifier)
-        mid += _modifier(e.join_modifier)
-        if e.join_modifier_prefix is not None:
-            mid += f" prefix {json.dumps(e.join_modifier_prefix)}"
-        if e.fill_left is not None and e.fill_left == e.fill_right:
-            mid += f" fill({_num(e.fill_left)})"
-        else:
-            if e.fill_left is not None:
-                mid += f" fill_left({_num(e.fill_left)})"
-            if e.fill_right is not None:
-                mid += f" fill_right({_num(e.fill_right)})"
-        out = f"{left} {mid} {right}"
+        out = f"{left} {_binop_mid(e)} {right}"
         if e.keep_metric_names:
             out += " keep_metric_names"
         return out
     raise TypeError(f"cannot serialize {e!r}")
+
+
+def _pow_base_needs_parens(e: "BinaryOpExpr") -> bool:
+    """`^` binds tighter than unary minus: a negative number or
+    duration base must keep its parens or `-3 ^ 1` re-parses as
+    `-(3 ^ 1)` (same for `(-5m) ^ 2`). Shared by the single-line
+    serializer AND the prettifier (a divergence here once dropped the
+    guard from one of them)."""
+    return e.op == "^" and (
+        (isinstance(e.left, NumberExpr) and e.left.value < 0)
+        or (
+            isinstance(e.left, DurationExpr)
+            and e.left.text.strip().startswith("-")
+        )
+    )
 
 
 # ------------------------------------------------------------ prettify
@@ -254,7 +228,12 @@ def _pretty(e: Expr, indent: int, need_parens: bool) -> str:
             suffix = "\n" + _ind(indent) + ") keep_metric_names" + suffix
             indent += 1
         body = (
-            _pretty(e.left, indent, isinstance(e.left, BinaryOpExpr))
+            _pretty(
+                e.left,
+                indent,
+                isinstance(e.left, BinaryOpExpr)
+                or _pow_base_needs_parens(e),
+            )
             + "\n"
             + _ind(indent + 1)
             + _binop_mid(e)
@@ -292,6 +271,10 @@ def _pretty(e: Expr, indent: int, need_parens: bool) -> str:
                 for g in e.label_filterss
             ]
             head = name
+            if all(not g for g in groups) and len(groups) == 1:
+                # a bare metric name longer than the budget: nothing
+                # to split — emit as-is instead of `name{\n\n}`
+                return prefix + _ind(indent) + name + suffix
             if any(not g for g in groups) and len(groups) > 1:
                 groups = e.label_filterss
                 head = ""

@@ -88,6 +88,24 @@ def brute_force_topk(
     )
 
 
+def _probe_cells(
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    n_probe: int,
+) -> list[int]:
+    """Ids of the n_probe cells whose centroids are nearest the query
+    (squared L2; ties -> lowest cell id) — shared by the in-memory and
+    persisted IVF probe paths so their cell selection can't diverge."""
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
+    )[:n_probe]
+    return [cid for _, cid in probe]
+
+
 def ivf_knn_topk(
     df: DataFrame,
     query: list[float],
@@ -105,14 +123,7 @@ def ivf_knn_topk(
     the cell id as the partition key at ingest."""
     if centroids is None:
         centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
-
-    def sqdist(a: list[float], b: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(
-        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
-    )[:n_probe]
-    probe_ids = [cid for _, cid in probe]
+    probe_ids = _probe_cells(centroids, query, n_probe)
     cand = df.filter(ivf_cell(F.col(vec_col), centroids).isin(probe_ids))
     return brute_force_topk(cand, query, k, vec_col, id_col, rank_rounded)
 
@@ -419,14 +430,7 @@ def ivf_knn_threshold(
     the corpus."""
     if centroids is None:
         centroids = deterministic_centroids(df, k_cells, vec_col, id_col)
-
-    def sqdist(a: list[float], b: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(
-        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
-    )[:n_probe]
-    probe_ids = [cid for _, cid in probe]
+    probe_ids = _probe_cells(centroids, query, n_probe)
     cand = df.filter(ivf_cell(F.col(vec_col), centroids).isin(probe_ids))
     return knn_threshold(cand, query, tau, vec_col, id_col)
 
@@ -633,13 +637,6 @@ def ivf_index_knn_threshold(
     only the n_probe probed directories — at a billion vectors the
     scan reads n_probe/k of the files, the IVF promise as physical
     layout rather than a runtime filter."""
-
-    def sqdist(a: list[float], b: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(
-        ((sqdist(cvec, query), cid) for cid, cvec in centroids)
-    )[:n_probe]
-    probe_ids = [cid for _, cid in probe]
+    probe_ids = _probe_cells(centroids, query, n_probe)
     cand = spark.table(table).filter(F.col("cell").isin(probe_ids))
     return knn_threshold(cand, query, tau, vec_col, id_col)

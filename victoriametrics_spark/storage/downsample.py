@@ -38,8 +38,10 @@ def rule_groups(rules) -> "list[tuple[str | None, list[tuple[int, int]]]]":
       downsampled by the FIRST matching filter's levels only; series
       matching no filter are not downsampled when filters are used).
 
-    Consecutive levels with the same selector merge into one group;
-    bare levels merge into a trailing match-all group (None)."""
+    Levels with the same selector merge into one group; groups keep
+    FLAG ORDER (first-match-wins), so a bare match-all level placed
+    before a filter shadows it — same as listing a catch-all filter
+    first in the reference."""
     groups: list[tuple[str | None, list[tuple[int, int]]]] = []
     for r in rules:
         if len(r) == 2:
@@ -85,9 +87,22 @@ def parse_downsampling_periods(flags: list[str]) -> list[tuple]:
         s = flag.strip()
         sel = None
         if s.startswith("{"):
+            # quote-aware brace scan: label values may legally contain
+            # '}' or ':' inside quoted strings ({env="a}b"}:10h:1h)
             depth = 0
-            for i, ch in enumerate(s):
-                if ch == "{":
+            in_str = False
+            i = 0
+            while i < len(s):
+                ch = s[i]
+                if in_str:
+                    if ch == "\\":
+                        i += 2
+                        continue
+                    if ch == '"':
+                        in_str = False
+                elif ch == '"':
+                    in_str = True
+                elif ch == "{":
                     depth += 1
                 elif ch == "}":
                     depth -= 1
@@ -95,6 +110,7 @@ def parse_downsampling_periods(flags: list[str]) -> list[tuple]:
                         sel = s[: i + 1]
                         s = s[i + 1:].lstrip(":")
                         break
+                i += 1
             if sel is None:
                 raise ValueError(f"unbalanced selector in {flag!r}")
             if not isinstance(_mql_parse(sel), MetricExpr):
