@@ -127,3 +127,25 @@ def test_prettify_round_trips(q):
         return
     p = prettify(ast1)
     assert repr(parse(p)) == repr(ast1), f"{q!r} -> {p!r}"
+
+
+def test_metricsql_parser_fuzz_no_foreign_exceptions():
+    """Token-soup MetricsQL inputs either parse or raise ValueError —
+    the public front-end must be crash-free on garbage."""
+    import random
+
+    rng = random.Random(3)
+    toks = [
+        "sum", "rate", "(", ")", "[", "]", "{", "}", "m", "5m", "by",
+        "on", "+", "-", "*", "/", "^", "and", "or", "unless",
+        "offset", "@", "bool", '"a"', "'b'", "1", "0.5", ",", "=",
+        "!=", "=~", "job", "group_left", "with", "keep_metric_names",
+        "topk", "quantile", "NaN", "Inf", ":", "default", "le",
+        "without", "limit", "if", "!~", "<",
+    ]
+    for _ in range(3000):
+        q = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 12)))
+        try:
+            parse(q)
+        except ValueError:
+            pass

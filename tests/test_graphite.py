@@ -470,3 +470,25 @@ def test_apply_by_node_batched_jobs(spark, samples):
         spark, samples, "applyByNode(web.*.cpu, 1, 'sumSeries(%.cpu)')"
     )
     assert len(fn_both) == 2
+
+
+def test_target_parser_fuzz_no_foreign_exceptions():
+    """Random token-soup targets either parse or raise ValueError —
+    never any other exception class (crash-free public front-end)."""
+    import random
+
+    from victoriametrics_spark.graphite.parser import parse_target
+
+    rng = random.Random(5)
+    toks = [
+        "sumSeries", "(", ")", ",", "a.b.*", "'lit'", '"x"', "1",
+        "-2.5", "=", "alias", "seriesByTag", "{a,b}", "[0-9]", "|",
+        "&", "servers.web01.cpu", "True", "None", ".", "#", "\\",
+        "%", "group", " ", "summarize", "'1h'",
+    ]
+    for _ in range(3000):
+        q = "".join(rng.choice(toks) for _ in range(rng.randint(1, 10)))
+        try:
+            parse_target(q)
+        except ValueError:
+            pass
