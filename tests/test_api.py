@@ -75,9 +75,28 @@ def test_export_jsonl_round_trip(api):
 
 
 def test_federate_latest_points(api):
-    lines = api.federate(["temp"])
+    # fixture's last sample is at ts=2,000,000 — anchor "now" there so
+    # the default [now - 5m, now] federate window includes it
+    lines = api.federate(["temp"], now_ms=2_000_000)
     assert len(lines) == 1
     assert lines[0].startswith('temp{room="x"} 40 2000000')
+
+
+def test_federate_lookback_staleness(api):
+    """FederateHandler's default range is [end - lookback, end]
+    (prometheus.go:120-129): a series whose last sample predates the
+    lookback does NOT federate; a wider max_lookback or explicit
+    start/end brings it back."""
+    # "now" 10 minutes past the last sample, default 5m lookback: stale
+    assert api.federate(["temp"], now_ms=2_600_000) == []
+    # widening the lookback to 15m reaches the sample again
+    lines = api.federate(
+        ["temp"], lookback_ms=900_000, now_ms=2_600_000
+    )
+    assert len(lines) == 1 and lines[0].startswith('temp{room="x"} 40')
+    # explicit range bypasses the lookback default entirely
+    lines = api.federate(["temp"], start="0", end="3000")
+    assert len(lines) == 1
 
 
 def test_http_server_round_trip(api):
@@ -1162,12 +1181,19 @@ def test_enforced_on_export_and_federate(api):
     }
     assert jobs == {"a"}
     # federate: latest-point lines carry only the enforced series
-    fed = api.federate(['{__name__=~".+"}'], enforced=enforced)
+    fed = api.federate(
+        ['{__name__=~".+"}'], enforced=enforced, now_ms=2_000_000
+    )
     assert fed and all('job="a"' in ln for ln in fed)
     # a non-matching enforced filter hides everything on all four
     none = api.enforced_from_params(["job=zzz"], [])
     assert api.export_jsonl(['{__name__=~".+"}'], enforced=none) == []
-    assert api.federate(['{__name__=~".+"}'], enforced=none) == []
+    assert (
+        api.federate(
+            ['{__name__=~".+"}'], enforced=none, now_ms=2_000_000
+        )
+        == []
+    )
 
 
 def test_enforced_on_labels_and_values(api):

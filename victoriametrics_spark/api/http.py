@@ -1018,10 +1018,31 @@ class PromAPI:
         matches: list[str],
         lookback_ms: int | None = None,
         enforced: tuple = (),
+        start: str | None = None,
+        end: str | None = None,
+        now_ms: int | None = None,
     ) -> list[str]:
-        """Latest point per matched series in Prometheus exposition format
-        (app/vmselect/prometheus/federate.qtpl)."""
-        df = self._match_df(matches, None, None, enforced)
+        """Latest point per matched series in Prometheus exposition
+        format (app/vmselect/prometheus/federate.qtpl). Default time
+        range is ``[end - lookback, end]`` with lookback =
+        ``max_lookback`` arg or 5m (FederateHandler:120-129) — a series
+        whose last sample is older than the lookback does NOT federate
+        (it would otherwise reappear forever); explicit start/end
+        params override."""
+        window = None
+        if start is None and end is None:
+            import time as _time
+
+            end_val = int(now_ms if now_ms is not None else _time.time() * 1000)
+            lb = int(lookback_ms) if lookback_ms else self.max_lookback_ms
+            # exact ms bounds — routing them through the start/end
+            # strings would hit _parse_time's unit autodetect
+            window = (end_val - lb, end_val)
+        df = self._match_df(matches, start, end, enforced)
+        if window is not None:
+            df = df.filter(
+                (F.col("ts") >= window[0]) & (F.col("ts") <= window[1])
+            )
         rows = (
             df.groupBy("name", F.map_entries("labels").alias("__e"))
             .agg(F.max(F.struct("ts", "value")).alias("__last"))
@@ -3477,7 +3498,14 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         p("delimiter", "."),
                     )
                 elif u.path == "/federate":
-                    lines = api.federate(matches, enforced=enforced)
+                    lb = p("max_lookback")
+                    lines = api.federate(
+                        matches,
+                        lookback_ms=_parse_step(lb) if lb else None,
+                        enforced=enforced,
+                        start=p("start"),
+                        end=p("end"),
+                    )
                     self._send(200, "\n".join(lines) + "\n", "text/plain")
                     return
                 elif u.path in ("/health", "/ready", "/-/healthy", "/-/ready"):
