@@ -1798,3 +1798,65 @@ def test_export_applies_biggest_downsampling_period(spark):
         api2.export_jsonl(["m"], reduce_mem_usage=True)[0]
     )
     assert len(unthinned["values"]) == 21
+
+
+def test_syslog_and_otlp_log_ingest(spark, api):
+    """/insert/syslog (RFC5424 + RFC3164 lines) and
+    /insert/opentelemetry/v1/logs (JSON encoding) land canonical log
+    rows: _time from the protocol timestamp, _msg the message, and
+    hostname/app/severity/resource attributes as fields."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    collected = {}
+
+    def sink(df, kind):
+        collected.setdefault(kind, []).extend(df.collect())
+
+    ing = IngestAPI(spark, sink=sink)
+    srv = serve(api, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, body, ctype="text/plain"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=body.encode(),
+                method="POST",
+                headers={"Content-Type": ctype},
+            )
+            return urllib.request.urlopen(req).status
+
+        assert post(
+            "/insert/syslog",
+            "<34>1 2024-01-01T00:00:05Z host1 app1 123 MSGID - boom\n"
+            "<13>Jan  2 15:04:05 host2 prog[77]: legacy line\n",
+        ) == 204
+        otlp = (
+            '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",'
+            '"value":{"stringValue":"svc1"}}]},"scopeLogs":[{"logRecords":['
+            '{"timeUnixNano":"1704067200000000000","severityText":"ERROR",'
+            '"body":{"stringValue":"otlp line"},"attributes":'
+            '[{"key":"k","value":{"stringValue":"v"}}]}]}]}]}'
+        )
+        assert post(
+            "/insert/opentelemetry/v1/logs", otlp, "application/json"
+        ) == 204
+    finally:
+        srv.shutdown()
+
+    logs = collected["logs"]
+    by_msg = {r["_msg"]: r for r in logs}
+    assert set(by_msg) == {"boom", "legacy line", "otlp line"}
+    r5424 = by_msg["boom"]
+    assert r5424["fields"]["hostname"] == "host1"
+    assert r5424["fields"]["severity"] == "2"  # 34 & 7
+    assert r5424["_time"].isoformat().startswith("2024-01-01T00:00:05")
+    r3164 = by_msg["legacy line"]
+    assert r3164["fields"]["app_name"] == "prog"
+    assert r3164["fields"]["proc_id"] == "77"
+    ot = by_msg["otlp line"]
+    assert ot["fields"]["service.name"] == "svc1"
+    assert ot["fields"]["k"] == "v"
+    assert ot["fields"]["severity"] == "ERROR"
+    assert ot["_time"].isoformat().startswith("2024-01-01T00:00:00")

@@ -2926,6 +2926,12 @@ class IngestAPI:
             df = L.parse_loki_push(
                 self.spark.createDataFrame([(body,)], ["value"])
             )
+        elif dialect == "syslog":
+            df = L.parse_syslog_lines(self._lines_df(body))
+        elif dialect == "opentelemetry":
+            df = L.parse_otlp_logs(
+                self.spark.createDataFrame([(body,)], ["value"])
+            )
         else:
             raise ValueError(f"unknown log dialect {dialect!r}")
         return self._write_logs(df)
@@ -3846,6 +3852,12 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     cnt = ingest_api.insert_logs(raw.decode(), "elasticsearch")
                 elif u.path == "/insert/loki/api/v1/push":
                     cnt = ingest_api.insert_logs(raw.decode(), "loki")
+                elif u.path == "/insert/syslog":
+                    cnt = ingest_api.insert_logs(raw.decode(), "syslog")
+                elif u.path == "/insert/opentelemetry/v1/logs":
+                    cnt = ingest_api.insert_logs(
+                        raw.decode(), "opentelemetry"
+                    )
                 else:
                     self._send(
                         404,

@@ -115,3 +115,97 @@ def project_fields(df: DataFrame, names: list[str]) -> DataFrame:
     cols += [F.col("fields").getItem(n).alias(n) for n in names]
     cols.append(F.col("fields"))
     return df.select(*cols)
+
+
+def parse_syslog_lines(lines: DataFrame, year: int | None = None) -> DataFrame:
+    """``/insert/syslog``: one RFC5424 or RFC3164 message per line —
+    parsed by the same regexes as the ``unpack_syslog`` pipe
+    (logsql/pipes.py), then shaped into the canonical log row:
+    ``_time`` from the syslog timestamp, ``_msg`` the message part,
+    and hostname/app_name/proc_id/severity/facility as fields.
+    RFC3164 timestamps carry no year; ``year`` pins it (defaults to
+    1970, keeping the result deterministic — VictoriaLogs uses the
+    receive-time year, which a caller can pass)."""
+    from victoriametrics_spark.logsql import pipes as P
+
+    parsed = P.unpack_syslog(
+        lines.filter(F.length("value") > 0), "value", prefix="__sl_"
+    )
+    # try_to_timestamp: each row matches only ONE of the two layouts,
+    # and ANSI-mode to_timestamp would throw on the other branch
+    ts5424 = F.try_to_timestamp(F.col("__sl_timestamp"))
+    # RFC3164: "Jan  2 15:04:05" — collapse the double space and affix
+    # the pinned year
+    t3164 = F.regexp_replace(F.col("__sl_timestamp"), "  ", " ")
+    ts3164 = F.try_to_timestamp(
+        F.concat(F.lit(f"{year or 1970} "), t3164),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    fields = F.map_filter(
+        F.create_map(
+            F.lit("hostname"), F.col("__sl_hostname"),
+            F.lit("app_name"), F.col("__sl_app_name"),
+            F.lit("proc_id"), F.col("__sl_proc_id"),
+            F.lit("severity"), F.col("__sl_severity").cast("string"),
+            F.lit("facility"), F.col("__sl_facility").cast("string"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return parsed.select(
+        F.coalesce(ts5424, ts3164).alias("_time"),
+        F.coalesce(F.col("__sl_message"), F.col("value")).alias("_msg"),
+        fields.alias("fields"),
+    )
+
+
+_OTLP_LOGS_SCHEMA = (
+    "struct<resourceLogs: array<struct<"
+    "resource: struct<attributes: array<struct<"
+    "key: string, value: struct<stringValue: string>>>>, "
+    "scopeLogs: array<struct<logRecords: array<struct<"
+    "timeUnixNano: string, severityText: string, "
+    "body: struct<stringValue: string>, "
+    "attributes: array<struct<key: string, "
+    "value: struct<stringValue: string>>>>>>>>>>"
+)
+
+
+def parse_otlp_logs(docs: DataFrame) -> DataFrame:
+    """``/insert/opentelemetry/v1/logs`` (JSON encoding): resource +
+    record attributes flatten into fields, ``body.stringValue`` is the
+    message, ``timeUnixNano`` the timestamp, severityText a field —
+    the documented VictoriaLogs OTLP mapping. One input row per
+    request body (``value`` column)."""
+    d = docs.select(F.from_json(F.col("value"), _OTLP_LOGS_SCHEMA).alias("__d"))
+    rl = d.select(F.explode("__d.resourceLogs").alias("__rl"))
+    sl = rl.select(
+        F.col("__rl.resource.attributes").alias("__ra"),
+        F.explode("__rl.scopeLogs").alias("__sl"),
+    )
+    rec = sl.select(
+        "__ra", F.explode("__sl.logRecords").alias("__r")
+    )
+    kv = lambda arr: F.map_from_entries(  # noqa: E731
+        F.transform(
+            F.coalesce(arr, F.array()),
+            lambda a: F.struct(
+                a["key"].alias("key"),
+                a["value"]["stringValue"].alias("value"),
+            ),
+        )
+    )
+    sev = F.col("__r.severityText")
+    fields = F.map_filter(
+        F.map_concat(
+            kv(F.col("__ra")),
+            kv(F.col("__r.attributes")),
+            F.create_map(F.lit("severity"), sev),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    ns = F.col("__r.timeUnixNano").try_cast("long")
+    return rec.select(
+        F.timestamp_millis((ns / 1_000_000).cast("long")).alias("_time"),
+        F.coalesce(F.col("__r.body.stringValue"), F.lit("")).alias("_msg"),
+        fields.alias("fields"),
+    )
