@@ -1860,3 +1860,37 @@ def test_syslog_and_otlp_log_ingest(spark, api):
     assert ot["fields"]["k"] == "v"
     assert ot["fields"]["severity"] == "ERROR"
     assert ot["_time"].isoformat().startswith("2024-01-01T00:00:00")
+
+
+def test_log_ingest_args(spark, api):
+    """The documented VictoriaLogs ingest args: _msg_field/_time_field
+    pick which JSON keys carry message/timestamp, _stream_fields
+    materializes the canonical _stream identity."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    collected = {}
+    ing = IngestAPI(
+        spark, sink=lambda df, kind: collected.setdefault(kind, []).extend(df.collect())
+    )
+    srv = serve(api, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/insert/jsonline"
+            "?_msg_field=log.line&_time_field=ts&_stream_fields=app,host",
+            data=(
+                '{"ts":"2024-01-01T00:00:00Z","log.line":"hi",'
+                '"app":"web","host":"h1","extra":"e"}\n'
+            ).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 204
+    finally:
+        srv.shutdown()
+    (row,) = collected["logs"]
+    assert row["_msg"] == "hi"
+    assert row["_time"].isoformat().startswith("2024-01-01T00:00:00")
+    assert row["_stream"] == '{app="web",host="h1"}'
+    assert row["fields"]["extra"] == "e"

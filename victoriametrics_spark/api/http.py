@@ -2914,14 +2914,35 @@ class IngestAPI:
             _shutil.rmtree(d, ignore_errors=True)
 
     # ------------------------------------------------------------ logs
-    def insert_logs(self, body: str, dialect: str) -> int:
-        """POST /insert/{jsonline, elasticsearch/_bulk, loki}."""
+    def insert_logs(
+        self,
+        body: str,
+        dialect: str,
+        stream_fields: "list[str] | None" = None,
+        msg_field: str | None = None,
+        time_field: str | None = None,
+    ) -> int:
+        """POST /insert/{jsonline, elasticsearch/_bulk, loki, syslog,
+        opentelemetry/v1/logs}. ``stream_fields`` / ``msg_field`` /
+        ``time_field`` are the documented VictoriaLogs ingest args
+        (``_stream_fields``, ``_msg_field``, ``_time_field``): which
+        JSON keys carry the message/timestamp, and which fields form
+        the log-stream identity (materialized as the canonical
+        ``_stream`` column)."""
         from victoriametrics_spark.streaming import logparsers as L
 
         if dialect == "jsonline":
-            df = L.parse_jsonline(self._lines_df(body))
+            df = L.parse_jsonline(
+                self._lines_df(body),
+                msg_field=msg_field or "_msg",
+                time_field=time_field or "_time",
+            )
         elif dialect == "elasticsearch":
-            df = L.parse_elasticsearch_bulk(self._lines_df(body))
+            df = L.parse_elasticsearch_bulk(
+                self._lines_df(body),
+                msg_field=msg_field or "message",
+                time_field=time_field or "@timestamp",
+            )
         elif dialect == "loki":
             df = L.parse_loki_push(
                 self.spark.createDataFrame([(body,)], ["value"])
@@ -2934,6 +2955,8 @@ class IngestAPI:
             )
         else:
             raise ValueError(f"unknown log dialect {dialect!r}")
+        if stream_fields:
+            df = L.with_stream_fields(df, stream_fields)
         return self._write_logs(df)
 
 
@@ -3846,17 +3869,35 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     cnt = ingest_api.import_lines(
                         raw.decode(), "zabbix", extra_labels=extra_labels
                     )
-                elif u.path == "/insert/jsonline":
-                    cnt = ingest_api.insert_logs(raw.decode(), "jsonline")
-                elif u.path == "/insert/elasticsearch/_bulk":
-                    cnt = ingest_api.insert_logs(raw.decode(), "elasticsearch")
-                elif u.path == "/insert/loki/api/v1/push":
-                    cnt = ingest_api.insert_logs(raw.decode(), "loki")
-                elif u.path == "/insert/syslog":
-                    cnt = ingest_api.insert_logs(raw.decode(), "syslog")
-                elif u.path == "/insert/opentelemetry/v1/logs":
+                elif u.path.startswith("/insert/"):
+                    _log_dialects = {
+                        "/insert/jsonline": "jsonline",
+                        "/insert/elasticsearch/_bulk": "elasticsearch",
+                        "/insert/loki/api/v1/push": "loki",
+                        "/insert/syslog": "syslog",
+                        "/insert/opentelemetry/v1/logs": "opentelemetry",
+                    }
+                    dialect = _log_dialects.get(u.path)
+                    if dialect is None:
+                        self._send(
+                            404,
+                            json.dumps(
+                                {"status": "error", "error": "not found"}
+                            ),
+                        )
+                        return
+                    sf = [
+                        f.strip()
+                        for v in q.get("_stream_fields", [])
+                        for f in v.split(",")
+                        if f.strip()
+                    ]
                     cnt = ingest_api.insert_logs(
-                        raw.decode(), "opentelemetry"
+                        raw.decode(),
+                        dialect,
+                        stream_fields=sf or None,
+                        msg_field=q.get("_msg_field", [None])[0],
+                        time_field=q.get("_time_field", [None])[0],
                     )
                 else:
                     self._send(

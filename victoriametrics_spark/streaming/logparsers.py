@@ -49,22 +49,33 @@ def _shape(fields: Column, msg_key: str, time_key: str) -> list[Column]:
     ]
 
 
-def parse_jsonline(lines: DataFrame) -> DataFrame:
+def parse_jsonline(
+    lines: DataFrame,
+    msg_field: str = "_msg",
+    time_field: str = "_time",
+) -> DataFrame:
     """``/insert/jsonline``: one flat JSON object per line; `_time` +
-    `_msg` are the canonical keys, everything else is a log field."""
+    `_msg` are the canonical keys (overridable via the documented
+    ``_msg_field`` / ``_time_field`` ingest args), everything else is
+    a log field."""
     fields = F.from_json(F.col("value"), _MAP)
     return (
         lines.select(fields.alias("__f"))
         .filter(F.col("__f").isNotNull())
-        .select(*_shape(F.col("__f"), "_msg", "_time"))
+        .select(*_shape(F.col("__f"), msg_field, time_field))
     )
 
 
-def parse_elasticsearch_bulk(lines: DataFrame) -> DataFrame:
+def parse_elasticsearch_bulk(
+    lines: DataFrame,
+    msg_field: str = "message",
+    time_field: str = "@timestamp",
+) -> DataFrame:
     """``/insert/elasticsearch/_bulk``: alternating action lines
     (``{"create":{...}}`` / ``{"index":...}``) and document lines;
     ``@timestamp`` is the time key and ``message`` the message key
-    (the documented ES-compat mapping)."""
+    (the documented ES-compat mapping; ``_msg_field`` /
+    ``_time_field`` args override)."""
     fields = F.from_json(F.col("value"), _MAP)
     return (
         lines.select(fields.alias("__f"))
@@ -76,7 +87,7 @@ def parse_elasticsearch_bulk(lines: DataFrame) -> DataFrame:
                 | (F.map_keys(F.col("__f")) == F.array(F.lit("delete")))
             )
         )
-        .select(*_shape(F.col("__f"), "message", "@timestamp"))
+        .select(*_shape(F.col("__f"), msg_field, time_field))
     )
 
 
@@ -208,4 +219,35 @@ def parse_otlp_logs(docs: DataFrame) -> DataFrame:
         F.timestamp_millis((ns / 1_000_000).cast("long")).alias("_time"),
         F.coalesce(F.col("__r.body.stringValue"), F.lit("")).alias("_msg"),
         fields.alias("fields"),
+    )
+
+
+def with_stream_fields(df: DataFrame, stream_fields: list[str]) -> DataFrame:
+    """Ingest-side ``_stream_fields`` arg: materialize the canonical
+    ``_stream`` string ``{f1="v1",f2="v2"}`` (sorted names, values
+    escaped like strconv.Quote) from the row's ``fields`` MAP — the
+    map-column analog of pipes.set_stream_fields (which reads top-level
+    columns). Declared stream fields stay in the map too, matching
+    VictoriaLogs serving them as ordinary fields as well."""
+    parts = [
+        F.concat(
+            F.lit(f + '="'),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.coalesce(
+                        F.element_at(F.col("fields"), f), F.lit("")
+                    ),
+                    r"\\",
+                    r"\\\\",
+                ),
+                '"',
+                '\\\\"',
+            ),
+            F.lit('"'),
+        )
+        for f in sorted(stream_fields)
+    ]
+    return df.withColumn(
+        "_stream",
+        F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}")),
     )
