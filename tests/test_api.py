@@ -1894,3 +1894,38 @@ def test_log_ingest_args(spark, api):
     assert row["_time"].isoformat().startswith("2024-01-01T00:00:00")
     assert row["_stream"] == '{app="web",host="h1"}'
     assert row["fields"]["extra"] == "e"
+
+
+def test_log_ingest_ignore_and_extra_fields(spark, api):
+    """ignore_fields drops named fields; extra_fields adds k=v entries
+    (both documented VictoriaLogs HTTP ingest args)."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    collected = {}
+    ing = IngestAPI(
+        spark,
+        sink=lambda df, kind: collected.setdefault(kind, []).extend(
+            df.collect()
+        ),
+    )
+    srv = serve(api, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/insert/jsonline"
+            "?ignore_fields=secret,junk&extra_fields=dc=eu,env=prod",
+            data=(
+                '{"_time":"2024-01-01T00:00:00Z","_msg":"m",'
+                '"secret":"x","junk":"y","keep":"k"}' + chr(10)
+            ).encode(),
+            method="POST",
+        )
+        assert urllib.request.urlopen(req).status == 204
+    finally:
+        srv.shutdown()
+    (row,) = collected["logs"]
+    assert "secret" not in row["fields"] and "junk" not in row["fields"]
+    assert row["fields"]["keep"] == "k"
+    assert row["fields"]["dc"] == "eu" and row["fields"]["env"] == "prod"

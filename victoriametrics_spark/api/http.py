@@ -2921,6 +2921,8 @@ class IngestAPI:
         stream_fields: "list[str] | None" = None,
         msg_field: str | None = None,
         time_field: str | None = None,
+        ignore_fields: "list[str] | None" = None,
+        extra_fields: "list[str] | None" = None,
     ) -> int:
         """POST /insert/{jsonline, elasticsearch/_bulk, loki, syslog,
         opentelemetry/v1/logs}. ``stream_fields`` / ``msg_field`` /
@@ -2928,7 +2930,9 @@ class IngestAPI:
         (``_stream_fields``, ``_msg_field``, ``_time_field``): which
         JSON keys carry the message/timestamp, and which fields form
         the log-stream identity (materialized as the canonical
-        ``_stream`` column)."""
+        ``_stream`` column). ``ignore_fields`` drops the named fields
+        from every row; ``extra_fields`` ("k=v" entries) adds them —
+        both documented HTTP ingest args."""
         from victoriametrics_spark.streaming import logparsers as L
 
         if dialect == "jsonline":
@@ -2955,6 +2959,26 @@ class IngestAPI:
             )
         else:
             raise ValueError(f"unknown log dialect {dialect!r}")
+        if ignore_fields:
+            drop = [f for f in ignore_fields if f]
+            df = df.withColumn(
+                "fields",
+                F.map_filter(
+                    F.col("fields"),
+                    lambda k, v: ~k.isin(*drop),
+                ),
+            )
+        if extra_fields:
+            add = F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in extra_fields
+                    for x in kv.split("=", 1)
+                ]
+            )
+            df = df.withColumn(
+                "fields", F.map_concat(F.col("fields"), add)
+            )
         if stream_fields:
             df = L.with_stream_fields(df, stream_fields)
         return self._write_logs(df)
@@ -3892,12 +3916,27 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         for f in v.split(",")
                         if f.strip()
                     ]
+                    def _csv_arg(name):
+                        return [
+                            f.strip()
+                            for v in q.get(name, [])
+                            for f in v.split(",")
+                            if f.strip()
+                        ]
+
+                    ef = [
+                        kv
+                        for kv in _csv_arg("extra_fields")
+                        if "=" in kv
+                    ]
                     cnt = ingest_api.insert_logs(
                         raw.decode(),
                         dialect,
                         stream_fields=sf or None,
                         msg_field=q.get("_msg_field", [None])[0],
                         time_field=q.get("_time_field", [None])[0],
+                        ignore_fields=_csv_arg("ignore_fields") or None,
+                        extra_fields=ef or None,
                     )
                 else:
                     self._send(
