@@ -1929,3 +1929,34 @@ def test_log_ingest_ignore_and_extra_fields(spark, api):
     assert "secret" not in row["fields"] and "junk" not in row["fields"]
     assert row["fields"]["keep"] == "k"
     assert row["fields"]["dc"] == "eu" and row["fields"]["env"] == "prod"
+
+
+def test_logsql_extra_filters(logs_api, spark):
+    """extra_filters / extra_stream_filters select args (the
+    vmgateway-style enforcement for logs): a JSON object of
+    field -> value-or-alternatives ANDed into every query; the stream
+    variant matches the canonical _stream identity when present."""
+    lines = logs_api.query("error", extra_filters='{"user_id": 2}')
+    assert len(lines) == 1 and json.loads(lines[0])["user_id"] == 2
+    lines = logs_api.query("*", extra_filters='{"user_id": [1, 3]}')
+    assert {json.loads(x)["user_id"] for x in lines} == {1, 3}
+    # stream variant over a _stream-carrying frame
+    from datetime import datetime
+
+    from victoriametrics_spark.api import LogsAPI
+    from victoriametrics_spark.logsql import pipes
+
+    df = pipes.set_stream_fields(
+        spark.createDataFrame(
+            [
+                (datetime(2024, 1, 1), "a", "web"),
+                (datetime(2024, 1, 1), "b", "webapp"),
+            ],
+            ["_time", "_msg", "app"],
+        ),
+        ["app"],
+    )
+    lapi = LogsAPI(spark, df)
+    lines = lapi.query("*", extra_stream_filters='{"app": "web"}')
+    # anchored match: "web" must not match the "webapp" stream
+    assert len(lines) == 1 and json.loads(lines[0])["_msg"] == "a"

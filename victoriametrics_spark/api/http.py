@@ -1973,19 +1973,71 @@ class LogsAPI:
             self._index_ready = True
         return self.token_index_path
 
-    def _run(self, query: str) -> DataFrame:
+    def _extra_filter_pred(self, spec: str, stream: bool):
+        """``extra_filters`` / ``extra_stream_filters`` select args
+        (VictoriaLogs querying docs; the vmgateway-style enforcement
+        for logs): a JSON object mapping field names to a value or a
+        list of alternative values, ANDed into every query. Stream
+        variants match against the canonical ``_stream`` identity when
+        present (anchored component match), else fall back to plain
+        field equality."""
+        import json as _json
+
+        from victoriametrics_spark.logsql import pipes as _pipes
+
+        m = _json.loads(spec)
+        if not isinstance(m, dict):
+            raise ValueError("extra_filters must be a JSON object")
+        pred = F.lit(True)
+        use_stream = stream and "_stream" in self.logs.columns
+        for k, vals in m.items():
+            vals = vals if isinstance(vals, list) else [vals]
+            if use_stream:
+                alt = F.lit(False)
+                for v in vals:
+                    alt = alt | _pipes.stream_filter(
+                        F.col("_stream"), {k: str(v)}
+                    )
+                pred = pred & alt
+            else:
+                pred = pred & F.col(k).cast("string").isin(
+                    *[str(v) for v in vals]
+                )
+        return pred
+
+    def _run(
+        self,
+        query: str,
+        extra_filters: str | None = None,
+        extra_stream_filters: str | None = None,
+    ) -> DataFrame:
         from victoriametrics_spark.logsql.parser import run_logsql
 
+        logs = self.logs
+        if extra_filters:
+            logs = logs.filter(
+                self._extra_filter_pred(extra_filters, stream=False)
+            )
+        if extra_stream_filters:
+            logs = logs.filter(
+                self._extra_filter_pred(extra_stream_filters, stream=True)
+            )
         return run_logsql(
-            self.logs,
+            logs,
             query,
             now_ms=self.now_ms,
             token_index_path=self._ensure_index(),
         )
 
-    def query(self, query: str, limit: int = 1000) -> list[str]:
+    def query(
+        self,
+        query: str,
+        limit: int = 1000,
+        extra_filters: str | None = None,
+        extra_stream_filters: str | None = None,
+    ) -> list[str]:
         """GET /select/logsql/query → JSONL lines."""
-        df = self._run(query)
+        df = self._run(query, extra_filters, extra_stream_filters)
         if limit:
             df = df.limit(int(limit))
         out = []
@@ -3635,7 +3687,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     ep = u.path[len("/select/logsql/") :]
                     if ep == "query":
                         lines = logs_api.query(
-                            p("query"), int(p("limit", "1000"))
+                            p("query"),
+                            int(p("limit", "1000")),
+                            extra_filters=p("extra_filters"),
+                            extra_stream_filters=p("extra_stream_filters"),
                         )
                         self._send(
                             200, "\n".join(lines), "application/stream+json"
