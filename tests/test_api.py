@@ -1960,3 +1960,18 @@ def test_logsql_extra_filters(logs_api, spark):
     lines = lapi.query("*", extra_stream_filters='{"app": "web"}')
     # anchored match: "web" must not match the "webapp" stream
     assert len(lines) == 1 and json.loads(lines[0])["_msg"] == "a"
+
+
+def test_logsql_enforcement_scopes_every_endpoint(logs_api):
+    """scoped() pre-filters the frame once at dispatch, so hits /
+    stats / streams / field endpoints are all enforced, not just
+    /query."""
+    scoped = logs_api.scoped(extra_filters='{"event_type": "error"}')
+    out = scoped.hits("*", step="1d")
+    assert sum(g["values"][0] + (g["values"][1] if len(g["values"]) > 1 else 0) for g in out["hits"]) == 3
+    names = scoped.field_names("*")
+    assert any(r["value"] == "event_type" for r in names["names"])
+    vals = scoped.field_values("*", "event_type", 10)
+    assert [v["value"] for v in vals["values"]] == ["error"]
+    # no args -> same object (no per-request overhead)
+    assert logs_api.scoped() is logs_api

@@ -2005,14 +2005,22 @@ class LogsAPI:
                 )
         return pred
 
-    def _run(
+    def scoped(
         self,
-        query: str,
         extra_filters: str | None = None,
         extra_stream_filters: str | None = None,
-    ) -> DataFrame:
-        from victoriametrics_spark.logsql.parser import run_logsql
+    ) -> "LogsAPI":
+        """A shallow clone whose scanned frame is pre-filtered by the
+        enforcement args — applied ONCE at HTTP dispatch so EVERY
+        /select/logsql/* endpoint (hits, stats, streams, facets,
+        field values, ...) is scoped, not just /query. Returns self
+        when no args are set; clones are per-request, so the shared
+        API object stays immutable under the threading server."""
+        if not extra_filters and not extra_stream_filters:
+            return self
+        import copy as _copy
 
+        clone = _copy.copy(self)
         logs = self.logs
         if extra_filters:
             logs = logs.filter(
@@ -2022,8 +2030,20 @@ class LogsAPI:
             logs = logs.filter(
                 self._extra_filter_pred(extra_stream_filters, stream=True)
             )
+        clone.logs = logs
+        return clone
+
+    def _run(
+        self,
+        query: str,
+        extra_filters: str | None = None,
+        extra_stream_filters: str | None = None,
+    ) -> DataFrame:
+        from victoriametrics_spark.logsql.parser import run_logsql
+
+        api = self.scoped(extra_filters, extra_stream_filters)
         return run_logsql(
-            logs,
+            api.logs,
             query,
             now_ms=self.now_ms,
             token_index_path=self._ensure_index(),
@@ -3684,44 +3704,46 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         int(p("limit", "0")),
                     )
                 elif u.path.startswith("/select/logsql/") and logs_api:
+                    # enforcement args scope EVERY logsql endpoint
+                    lapi = logs_api.scoped(
+                        p("extra_filters"), p("extra_stream_filters")
+                    )
                     ep = u.path[len("/select/logsql/") :]
                     if ep == "query":
-                        lines = logs_api.query(
-                            p("query"),
-                            int(p("limit", "1000")),
-                            extra_filters=p("extra_filters"),
-                            extra_stream_filters=p("extra_stream_filters"),
+                        # lapi is already scoped by the enforcement args
+                        lines = lapi.query(
+                            p("query"), int(p("limit", "1000"))
                         )
                         self._send(
                             200, "\n".join(lines), "application/stream+json"
                         )
                         return
                     if ep == "hits":
-                        out = logs_api.hits(
+                        out = lapi.hits(
                             p("query"), p("step", "1d"), q.get("field", [])
                         )
                     elif ep == "stats_query":
-                        out = logs_api.stats_query(p("query"))
+                        out = lapi.stats_query(p("query"))
                     elif ep == "stats_query_range":
-                        out = logs_api.stats_query_range(
+                        out = lapi.stats_query_range(
                             p("query"), p("start"), p("end"), p("step", "1d")
                         )
                     elif ep == "streams":
-                        out = logs_api.streams(
+                        out = lapi.streams(
                             p("query"), int(p("limit", "10"))
                         )
                     elif ep == "stream_field_names":
-                        out = logs_api.stream_field_names(p("query"))
+                        out = lapi.stream_field_names(p("query"))
                     elif ep == "stream_field_values":
-                        out = logs_api.stream_field_values(
+                        out = lapi.stream_field_values(
                             p("query"), p("field"), int(p("limit", "10"))
                         )
                     elif ep == "facets":
-                        out = logs_api.facets(p("query"), int(p("limit", "10")))
+                        out = lapi.facets(p("query"), int(p("limit", "10")))
                     elif ep == "field_names":
-                        out = logs_api.field_names(p("query"))
+                        out = lapi.field_names(p("query"))
                     elif ep == "field_values":
-                        out = logs_api.field_values(
+                        out = lapi.field_values(
                             p("query"), p("field"), int(p("limit", "10"))
                         )
                     else:
