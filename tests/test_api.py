@@ -1915,7 +1915,10 @@ def test_log_ingest_ignore_and_extra_fields(spark, api):
     try:
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/insert/jsonline"
-            "?ignore_fields=secret,junk&extra_fields=dc=eu,env=prod",
+            # each extra_fields arg is ONE name=value pair (values may
+            # contain commas) — repeat the arg for several fields
+            "?ignore_fields=secret,junk&extra_fields=dc=eu"
+            "&extra_fields=env=prod&extra_fields=note=a,b",
             data=(
                 '{"_time":"2024-01-01T00:00:00Z","_msg":"m",'
                 '"secret":"x","junk":"y","keep":"k"}' + chr(10)
@@ -1929,6 +1932,7 @@ def test_log_ingest_ignore_and_extra_fields(spark, api):
     assert "secret" not in row["fields"] and "junk" not in row["fields"]
     assert row["fields"]["keep"] == "k"
     assert row["fields"]["dc"] == "eu" and row["fields"]["env"] == "prod"
+    assert row["fields"]["note"] == "a,b"  # comma survives in the value
 
 
 def test_logsql_extra_filters(logs_api, spark):

@@ -1999,8 +1999,14 @@ class LogsAPI:
                         F.col("_stream"), {k: str(v)}
                     )
                 pred = pred & alt
+            elif k not in self.logs.columns:
+                # an absent field matches nothing (VictoriaLogs
+                # semantics), never an analyzer error
+                pred = pred & F.lit(False)
             else:
-                pred = pred & F.col(k).cast("string").isin(
+                # frame accessor, not F.col(): dotted field names
+                # ("service.name") must not resolve as struct paths
+                pred = pred & self.logs[k].cast("string").isin(
                     *[str(v) for v in vals]
                 )
         return pred
@@ -2021,6 +2027,11 @@ class LogsAPI:
         import copy as _copy
 
         clone = _copy.copy(self)
+        # the shared token skip-index must be built from the PARENT's
+        # unfiltered frame — built lazily from a scoped clone it would
+        # cover only the filtered rows and silently poison every later
+        # unscoped query's pruning
+        clone._ensure_index = self._ensure_index
         logs = self.logs
         if extra_filters:
             logs = logs.filter(
@@ -3024,13 +3035,30 @@ class IngestAPI:
                 self.spark.createDataFrame([(body,)], ["value"])
             )
         elif dialect == "syslog":
-            df = L.parse_syslog_lines(self._lines_df(body))
+            import datetime as _dt
+
+            recv = _dt.datetime.fromtimestamp(
+                self._now_ms() / 1000.0, tz=_dt.timezone.utc
+            )
+            df = L.parse_syslog_lines(
+                self._lines_df(body), year=recv.year
+            )
         elif dialect == "opentelemetry":
             df = L.parse_otlp_logs(
                 self.spark.createDataFrame([(body,)], ["value"])
             )
         else:
             raise ValueError(f"unknown log dialect {dialect!r}")
+        # rows whose protocol timestamp is absent/unparseable get the
+        # receive time (VictoriaLogs falls back the same way) instead
+        # of landing invisible in a date=null partition
+        df = df.withColumn(
+            "_time",
+            F.coalesce(
+                F.col("_time"),
+                F.timestamp_millis(F.lit(int(self._now_ms()))),
+            ),
+        )
         if ignore_fields:
             drop = [f for f in ignore_fields if f]
             df = df.withColumn(
@@ -3041,16 +3069,16 @@ class IngestAPI:
                 ),
             )
         if extra_fields:
-            add = F.create_map(
-                *[
-                    F.lit(x)
-                    for kv in extra_fields
-                    for x in kv.split("=", 1)
-                ]
-            )
-            df = df.withColumn(
-                "fields", F.map_concat(F.col("fields"), add)
-            )
+            pairs = [
+                kv.split("=", 1) for kv in extra_fields if "=" in kv
+            ]
+            if pairs:
+                add = F.create_map(
+                    *[F.lit(x) for kv in pairs for x in kv]
+                )
+                df = df.withColumn(
+                    "fields", F.map_concat(F.col("fields"), add)
+                )
         if stream_fields:
             df = L.with_stream_fields(df, stream_fields)
         return self._write_logs(df)
@@ -3800,8 +3828,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 path = path[len("/prometheus"):]
             elif path.startswith("/graphite/"):
                 path = path[len("/graphite"):]
-            return path in self._POST_SELECT_PATHS or path.startswith(
-                "/api/v1/label/"
+            return (
+                path in self._POST_SELECT_PATHS
+                or path.startswith("/api/v1/label/")
+                or path.startswith("/select/logsql/")
             )
 
         def do_POST(self):  # noqa: N802
@@ -3987,12 +4017,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                             ),
                         )
                         return
-                    sf = [
-                        f.strip()
-                        for v in q.get("_stream_fields", [])
-                        for f in v.split(",")
-                        if f.strip()
-                    ]
+
                     def _csv_arg(name):
                         return [
                             f.strip()
@@ -4001,15 +4026,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                             if f.strip()
                         ]
 
+                    # each extra_fields ARG is one whole name=value
+                    # pair — values may legally contain commas, so no
+                    # csv split (repeat the arg for several fields)
                     ef = [
-                        kv
-                        for kv in _csv_arg("extra_fields")
-                        if "=" in kv
+                        kv for kv in q.get("extra_fields", []) if "=" in kv
                     ]
                     cnt = ingest_api.insert_logs(
                         raw.decode(),
                         dialect,
-                        stream_fields=sf or None,
+                        stream_fields=_csv_arg("_stream_fields") or None,
                         msg_field=q.get("_msg_field", [None])[0],
                         time_field=q.get("_time_field", [None])[0],
                         ignore_fields=_csv_arg("ignore_fields") or None,

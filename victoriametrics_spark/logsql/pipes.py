@@ -970,14 +970,13 @@ def pattern_match_filter(col: Column, pattern: str) -> Column:
 # stream pipes + filter completion (§2.9 long tail).
 
 
-def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
-    """``| set_stream_fields (f1, f2)`` (pipe_set_stream_fields.go):
-    declare which fields form the log-stream identity. The Spark analog
-    materializes the canonical ``_stream`` string ``{f1="v1",f2="v2"}``
-    (sorted by field name, the VictoriaLogs stream canonical form) so
-    downstream stream filters / stream_context can key on one column —
-    and so a writer can partition/bucket by it."""
-    ordered = sorted(fields)
+def canonical_stream(values: "dict[str, Column]") -> Column:
+    """The canonical ``_stream`` string ``{f1="v1",f2="v2"}`` (sorted
+    by field name, values escaped like strconv.Quote) from a mapping of
+    field name → value Column. ONE home for the canonical form: the
+    query-side ``set_stream_fields`` pipe and the ingest-side
+    ``_stream_fields`` arg (streaming/logparsers.py) both build through
+    here, so stream filters always match ingested identities."""
     parts = [
         F.concat(
             F.lit(f + '="'),
@@ -985,7 +984,7 @@ def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
             # the canonical form (VictoriaLogs quotes via strconv.Quote)
             F.regexp_replace(
                 F.regexp_replace(
-                    F.coalesce(F.col(f).cast("string"), F.lit("")),
+                    F.coalesce(values[f].cast("string"), F.lit("")),
                     r"\\",
                     r"\\\\",
                 ),
@@ -994,10 +993,19 @@ def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
             ),
             F.lit('"'),
         )
-        for f in ordered
+        for f in sorted(values)
     ]
+    return F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+
+
+def set_stream_fields(df: DataFrame, fields: list[str]) -> DataFrame:
+    """``| set_stream_fields (f1, f2)`` (pipe_set_stream_fields.go):
+    declare which fields form the log-stream identity — materialized
+    via :func:`canonical_stream` so downstream stream filters /
+    stream_context key on one column and a writer can partition/bucket
+    by it."""
     return df.withColumn(
-        "_stream", F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+        "_stream", canonical_stream({f: F.col(f) for f in fields})
     )
 
 

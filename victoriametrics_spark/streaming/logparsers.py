@@ -224,30 +224,16 @@ def parse_otlp_logs(docs: DataFrame) -> DataFrame:
 
 def with_stream_fields(df: DataFrame, stream_fields: list[str]) -> DataFrame:
     """Ingest-side ``_stream_fields`` arg: materialize the canonical
-    ``_stream`` string ``{f1="v1",f2="v2"}`` (sorted names, values
-    escaped like strconv.Quote) from the row's ``fields`` MAP — the
-    map-column analog of pipes.set_stream_fields (which reads top-level
-    columns). Declared stream fields stay in the map too, matching
-    VictoriaLogs serving them as ordinary fields as well."""
-    parts = [
-        F.concat(
-            F.lit(f + '="'),
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.coalesce(
-                        F.element_at(F.col("fields"), f), F.lit("")
-                    ),
-                    r"\\",
-                    r"\\\\",
-                ),
-                '"',
-                '\\\\"',
-            ),
-            F.lit('"'),
-        )
-        for f in sorted(stream_fields)
-    ]
+    ``_stream`` identity from the row's ``fields`` MAP through the ONE
+    shared builder (pipes.canonical_stream) so ingested identities
+    always match query-side stream filters. Declared stream fields stay
+    in the map too, matching VictoriaLogs serving them as ordinary
+    fields as well."""
+    from victoriametrics_spark.logsql.pipes import canonical_stream
+
     return df.withColumn(
         "_stream",
-        F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}")),
+        canonical_stream(
+            {f: F.element_at(F.col("fields"), f) for f in stream_fields}
+        ),
     )
