@@ -407,3 +407,56 @@ def test_enforced_extra_filters(spark, gauges_df):
         spark, 'last_over_time(temp{room=~".+"}[200s])', gauges_df, cfg
     ).collect()
     assert out2 and all(r["labels"]["room"] == "a" for r in out2)
+
+
+def test_at_modifier_multi_series_errors_without_collect(
+    spark, gauges_df, monkeypatch
+):
+    """A multi-series `@` argument must fail the single-series check
+    via a scalar aggregate, never by shipping the expression's rows to
+    the driver (eval.go:905-932; the round-9 version collected the
+    whole frame first). The spy caps every driver materialization at
+    2 rows — the cardinality probe and the limit-1 value fetch pass,
+    a full-frame collect would trip it."""
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+
+    def capped_collect(self):
+        rows = real_collect(self)
+        assert len(rows) <= 2, (
+            f"@-modifier resolution collected {len(rows)} rows "
+            "driver-side; it must probe cardinality executor-side"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", capped_collect)
+    with pytest.raises(Exception, match="must return a single series"):
+        evaluate(spark, "temp @ temp", gauges_df, CFG)
+    # the error carries the actual series count like the reference
+    try:
+        evaluate(spark, "temp @ temp", gauges_df, CFG)
+    except Exception as e:
+        assert "2 series" in str(e)
+
+
+def test_at_modifier_single_series_value(spark, gauges_df, monkeypatch):
+    """Single-series `@` resolves to the first non-NaN value with only
+    bounded driver materializations (scalar probe + limit-1 fetch)."""
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+
+    def capped_collect(self):
+        rows = real_collect(self)
+        assert len(rows) <= 10
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", capped_collect)
+    res = evaluate(spark, 'temp @ (temp{room="a"})', gauges_df, CFG)
+    out = as_map(res)
+    # temp{room="a"}'s first non-NaN grid value is 10.0 → both rooms
+    # evaluated at t=10s, where samples exist at t=0
+    assert len(out) == 2
+    for pts in out.values():
+        assert len(set(pts.values())) == 1  # @-pinned: constant series

@@ -33,6 +33,56 @@ from victoriametrics_spark.engine.planner import evaluate
 from victoriametrics_spark.metricsql.ast import DurationExpr
 
 DEFAULT_STEP_MS = 300_000  # 5m, prometheus.go:72
+# -search.latencyOffset default (prometheus.go:38): samples younger than
+# this are considered possibly-incomplete, so default-time instant queries
+# evaluate at now − offset
+LATENCY_OFFSET_MS = 30_000
+# -search.maxStepForPointsAdjustment (prometheus.go:50): query_range only
+# freezes the trailing possibly-incomplete points when step < this
+MAX_STEP_FOR_POINTS_ADJUSTMENT_MS = 60_000
+
+
+def _now_ms() -> int:
+    """Current wall clock in ms (`ct` in every reference handler);
+    module-level so tests can monkeypatch a fixed "now"."""
+    import time as _time
+
+    return int(_time.time() * 1000)
+
+
+def _round_to_decimal_digits(v: float, digits: int) -> float:
+    """decimal.RoundToDecimalDigits (lib/decimal/decimal.go:325-335):
+    round half-away-from-zero to `digits` places; |digits| >= 100 and
+    NaN pass through untouched."""
+    if digits <= -100 or digits >= 100 or math.isnan(v):
+        return v
+    m = 10.0 ** digits
+    s = v * m
+    if math.isinf(s):
+        return v
+    return math.floor(s + 0.5) / m if s >= 0 else math.ceil(s - 0.5) / m
+
+
+def _adjust_last_points(pts: list, start: int, end: int) -> list:
+    """adjustLastPoints (prometheus.go:1073-1099): points landing in
+    (start, end] may be incomplete (scraped mid-interval), so freeze
+    them to the last value at or before `start`. A series whose last
+    timestamp exceeds `end` (offset query shifting past now) is left
+    untouched. `pts` is the sorted [(ts, value)] of one series."""
+    if not pts:
+        return pts
+    if pts[-1][0] > end:
+        return pts
+    j = len(pts) - 1
+    while j >= 0 and pts[j][0] > start:
+        j -= 1
+    j += 1
+    last_value = pts[j - 1][1] if j > 0 else float("nan")
+    out = list(pts)
+    while j < len(out) and out[j][0] <= end:
+        out[j] = (out[j][0], last_value)
+        j += 1
+    return out
 
 
 def _enforced_expr(enforced):
@@ -94,6 +144,17 @@ def _adjust_start_end(start: int, end: int, step: int) -> tuple[int, int]:
     while (end - start) // step + 1 > points:
         end -= step
     return start, end
+
+
+def _round_digits(v: str | None) -> int:
+    """getRoundDigits (prometheus.go:1132-1142): absent or unparsable
+    `round_digits` means "don't round" (100)."""
+    if not v:
+        return 100
+    try:
+        return int(v)
+    except ValueError:
+        return 100
 
 
 def _parse_step(v: str | None) -> int:
@@ -230,8 +291,13 @@ class PromAPI:
         track_metric_names: bool = False,
         names_tracker=None,
         downsampling_rules: "list | None" = None,
+        latency_offset_ms: int = LATENCY_OFFSET_MS,
     ):
         self.spark = spark
+        # -search.latencyOffset (prometheus.go:38, clamped non-negative
+        # like getLatencyOffsetMilliseconds); per-query `latency_offset`
+        # arg overrides it
+        self.latency_offset_ms = max(int(latency_offset_ms), 0)
         # -downsampling.period flags (storage/downsample.py rules
         # shapes): exports without a `start` apply the BIGGEST
         # configured interval to their output (docs §Downsampling:
@@ -524,10 +590,18 @@ class PromAPI:
         max_lookback: str | None = None,
         may_cache: bool = True,
         timeout: str | None = None,
+        latency_offset: str | None = None,
+        round_digits: int = 100,
     ) -> dict:
+        # defaults: start = ct − 5m, end = ct (QueryRangeHandler,
+        # prometheus.go:933-937); inverted ranges get end = start + 5m
+        # (prometheus.go:970-972)
+        ct = _now_ms()
         step_ms = _parse_step(step)
-        start_ms = _parse_time(start, 0)
-        end_ms = _parse_time(end, start_ms)
+        start_ms = _parse_time(start, ct - DEFAULT_STEP_MS)
+        end_ms = _parse_time(end, ct)
+        if start_ms > end_ms:
+            end_ms = start_ms + DEFAULT_STEP_MS
         # ValidateMaxPointsPerSeries (app/vmselect/promql/eval.go:62-72)
         if step_ms > 0 and self.max_points_per_timeseries > 0:
             points = (end_ms - start_ms) // step_ms + 1
@@ -554,15 +628,36 @@ class PromAPI:
             lookback_delta_ms=ld_ms,
             timeout_ms=_parse_step(timeout) if timeout else 0,
         )
-        result = [
-            {
-                "metric": _metric_obj(name, dict(labels)),
-                "values": [
-                    [ts / 1000.0, _fmt_value(v)] for ts, v in sorted(pts)
-                ],
-            }
-            for (name, labels), pts in sorted(series.items())
-        ]
+        # trailing points younger than now − latencyOffset may be
+        # incomplete — freeze them to the prior value when the step is
+        # small enough to care (prometheus.go:1005-1013), then drop NaN
+        # points / empty series like removeEmptyValuesAndTimeseries
+        # (prometheus.go:1033-1071)
+        adjust_lo = 0
+        if step_ms < MAX_STEP_FOR_POINTS_ADJUSTMENT_MS:
+            qo = (
+                _parse_step(latency_offset)
+                if latency_offset
+                else self.latency_offset_ms
+            )
+            if ct - qo < end_ms:
+                adjust_lo = ct - qo
+        result = []
+        for (name, labels), pts in sorted(series.items()):
+            pts = sorted(pts)
+            if adjust_lo:
+                pts = _adjust_last_points(pts, adjust_lo, ct + step_ms)
+            values = [
+                [ts / 1000.0,
+                 _fmt_value(_round_to_decimal_digits(v, round_digits))]
+                for ts, v in pts
+                if not math.isnan(v)
+            ]
+            if values:
+                result.append(
+                    {"metric": _metric_obj(name, dict(labels)),
+                     "values": values}
+                )
         out = {
             "status": "success",
             "data": {"resultType": "matrix", "result": result},
@@ -580,8 +675,13 @@ class PromAPI:
         step: str | None = None,
         max_lookback: str | None = None,
         timeout: str | None = None,
+        latency_offset: str | None = None,
+        may_cache: bool = True,
+        round_digits: int = 100,
     ) -> dict:
-        t_ms = _parse_time(time, 0)
+        # `time` defaults to ct = now (QueryHandler, prometheus.go:777)
+        ct = _now_ms()
+        t_ms = _parse_time(time, ct)
         # the instant-query step doubles as the bare-selector lookback:
         # step defaults to the LookbackDelta override, then 5m
         # (prometheus.go:781-791; rollup.go:723-727 instant
@@ -591,6 +691,20 @@ class PromAPI:
         raw = self._instant_selector_rollup(query, t_ms, step_ms, enforced)
         if raw is not None:
             return raw
+        # evaluation times within latencyOffset of now are pulled back
+        # to ct − offset (samples there may be incomplete), then result
+        # timestamps are shifted forward to the requested time
+        # (prometheus.go:855-867,892-903); skipped under ?nocache=1
+        qo = (
+            _parse_step(latency_offset)
+            if latency_offset
+            else self.latency_offset_ms
+        )
+        ts_shift = 0
+        if may_cache and ct - t_ms < qo and t_ms - ct < qo:
+            prev = t_ms
+            t_ms = ct - qo
+            ts_shift = prev - t_ms
         tracer = (
             QueryTracer(f"/api/v1/query: query={query!r}") if trace else None
         )
@@ -602,7 +716,12 @@ class PromAPI:
         result = [
             {
                 "metric": _metric_obj(name, dict(labels)),
-                "value": [pts[-1][0] / 1000.0, _fmt_value(pts[-1][1])],
+                "value": [
+                    (pts[-1][0] + ts_shift) / 1000.0,
+                    _fmt_value(
+                        _round_to_decimal_digits(pts[-1][1], round_digits)
+                    ),
+                ],
             }
             for (name, labels), pts in sorted(series.items())
             if pts
@@ -3434,6 +3553,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         max_lookback=p("max_lookback"),
                         may_cache=p("nocache", "") not in ("1", "true"),
                         timeout=p("timeout"),
+                        latency_offset=p("latency_offset"),
+                        round_digits=_round_digits(p("round_digits")),
                     )
                 elif u.path == "/api/v1/query":
                     out = api.query(
@@ -3444,6 +3565,9 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         enforced=enforced,
                         max_lookback=p("max_lookback"),
                         timeout=p("timeout"),
+                        latency_offset=p("latency_offset"),
+                        may_cache=p("nocache", "") not in ("1", "true"),
+                        round_digits=_round_digits(p("round_digits")),
                     )
                 elif u.path == "/api/v1/series":
                     out = api.series(

@@ -265,23 +265,38 @@ class Planner:
         except PlanError:
             pass
         df = self.materialize(self.plan(e, cfg), cfg)
-        rows = df.select("name", "labels", "ts", "value").collect()
-        keys = {(r["name"], tuple(sorted((r["labels"] or {}).items()))) for r in rows}
-        if len(keys) == 0:
+        # probe series cardinality with ONE scalar aggregate before
+        # materializing anything: a high-cardinality expression after
+        # `@` (e.g. `foo @ up`) must fail the single-series check
+        # without shipping its rows to the driver
+        series_key = F.array_sort(
+            F.map_entries(F.coalesce(F.col("labels"), F.expr("map()")))
+        )
+        n = df.select(
+            F.count_distinct(F.col("name"), series_key).alias("n")
+        ).first()["n"]
+        if n == 0:
             # the row model drops all-NaN series (a marker-only series
             # in VM evaluates to one all-NaN series here it is absent),
             # so an empty result maps to the no-usable-value error
             raise PlanError("`@` modifier must return a non-NaN value")
-        if len(keys) != 1:
+        if n != 1:
             raise PlanError(
                 "`@` modifier must return a single series; "
-                f"it returns {len(keys)} series instead"
+                f"it returns {n} series instead"
             )
-        for r in sorted(rows, key=lambda r: r["ts"]):
-            v = r["value"]
-            if v is not None and not _math.isnan(v):
-                return float(v)
-        raise PlanError("`@` modifier must return a non-NaN value")
+        # single series: first non-NaN value by timestamp, resolved
+        # executor-side (limit 1 — the driver never sees the grid)
+        rows = (
+            df.select("ts", "value")
+            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            .orderBy("ts")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise PlanError("`@` modifier must return a non-NaN value")
+        return float(rows[0]["value"])
 
     # ------------------------------------------------------------ dispatch
     def plan(self, e: Expr, cfg: EvalConfig) -> Plan:
