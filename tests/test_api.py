@@ -66,7 +66,7 @@ def test_series_and_labels(api):
 
 
 def test_export_jsonl_round_trip(api):
-    lines = api.export_jsonl(["temp"])
+    lines = list(api.export_jsonl(["temp"]))
     assert len(lines) == 1
     obj = json.loads(lines[0])
     assert obj["metric"] == {"__name__": "temp", "room": "x"}
@@ -185,7 +185,9 @@ def logs_api(spark):
 
 
 def test_logsql_query_jsonl(logs_api):
-    lines = logs_api.query("error | fields event_type, user_id", limit=10)
+    lines = list(
+        logs_api.query("error | fields event_type, user_id", limit=10)
+    )
     assert len(lines) == 3
     assert all(json.loads(x)["event_type"] == "error" for x in lines)
 
@@ -485,17 +487,21 @@ def test_prom_api_plan_cache(api):
 def test_export_csv(api):
     """/api/v1/export/csv field semantics (export.qtpl exportCSVField):
     __name__/__value__/__timestamp__ variants and label columns."""
-    body = api.export_csv(
+    lines = list(api.export_csv(
         ["temp"], "__name__,room,__value__,__timestamp__:unix_s"
-    )
-    lines = body.strip().split("\n")
+    ))
     assert lines[0] == "__name__,room,__value__,__timestamp__:unix_s"
-    assert lines[1] == "temp,x,20,0"
+    # streamed export has no cross-row order guarantee — sort here
+    data = sorted(lines[1:], key=lambda x: int(x.rsplit(",", 1)[1]))
+    assert data[0] == "temp,x,20,0"
     assert len(lines) == 22  # header + 21 samples
     # integer-valued floats print without a trailing .0 (Go %f parity);
     # unix_ms is the default timestamp form
-    ms = api.export_csv(["temp"], "__value__,__timestamp__")
-    assert ms.strip().split("\n")[1] == "20,0"
+    ms = sorted(
+        list(api.export_csv(["temp"], "__value__,__timestamp__"))[1:],
+        key=lambda x: int(x.rsplit(",", 1)[1]),
+    )
+    assert ms[0] == "20,0"
 
 
 def test_export_csv_quoting(spark):
@@ -505,8 +511,8 @@ def test_export_csv_quoting(spark):
         [("m", {"note": 'say "hi", ok'}, 1000, 1.5, False)], S
     )
     a = PromAPI(spark, df)
-    body = a.export_csv(["m"], "note,__value__")
-    assert body.strip().split("\n")[1] == '"say ""hi"", ok",1.5'
+    lines = list(a.export_csv(["m"], "note,__value__"))
+    assert lines[1] == '"say ""hi"", ok",1.5'
 
 
 def test_export_native_parquet_round_trip(api, spark, tmp_path):
@@ -1159,14 +1165,14 @@ def test_enforced_on_export_and_federate(api):
     import json
 
     enforced = api.enforced_from_params(["job=a"], [])
-    lines = api.export_jsonl(['{__name__=~".+"}'], enforced=enforced)
+    lines = list(api.export_jsonl(['{__name__=~".+"}'], enforced=enforced))
     metas = [json.loads(ln)["metric"] for ln in lines]
     assert metas and all(m.get("job") == "a" for m in metas)
     # csv: only job=a rows survive
-    body = api.export_csv(
+    csv_lines = list(api.export_csv(
         ['{__name__=~".+"}'], "__name__,job,__value__", enforced=enforced
-    )
-    data_rows = [ln for ln in body.strip().split("\n")[1:] if ln]
+    ))
+    data_rows = [ln for ln in csv_lines[1:] if ln]
     assert data_rows and all(ln.split(",")[1] == "a" for ln in data_rows)
     # native: parquet blob round-trips with only the enforced series
     blob = api.export_native(['{__name__=~".+"}'], enforced=enforced)
@@ -1187,7 +1193,7 @@ def test_enforced_on_export_and_federate(api):
     assert fed and all('job="a"' in ln for ln in fed)
     # a non-matching enforced filter hides everything on all four
     none = api.enforced_from_params(["job=zzz"], [])
-    assert api.export_jsonl(['{__name__=~".+"}'], enforced=none) == []
+    assert list(api.export_jsonl(['{__name__=~".+"}'], enforced=none)) == []
     assert (
         api.federate(
             ['{__name__=~".+"}'], enforced=none, now_ms=2_000_000
@@ -1788,14 +1794,14 @@ def test_export_applies_biggest_downsampling_period(spark):
     api2 = PromAPI(
         spark, df, downsampling_rules=[(30 * 86_400_000, 500_000)]
     )
-    raw = json.loads(api2.export_jsonl(["m"], start="0")[0])
+    raw = json.loads(next(iter(api2.export_jsonl(["m"], start="0"))))
     assert len(raw["values"]) == 21
-    thinned = json.loads(api2.export_jsonl(["m"])[0])
+    thinned = json.loads(next(iter(api2.export_jsonl(["m"]))))
     # biggest interval 500s: one (last) sample per bucket
     assert len(thinned["values"]) == 5
     assert thinned["timestamps"][-1] == 2_000_000
     unthinned = json.loads(
-        api2.export_jsonl(["m"], reduce_mem_usage=True)[0]
+        next(iter(api2.export_jsonl(["m"], reduce_mem_usage=True)))
     )
     assert len(unthinned["values"]) == 21
 
@@ -1940,9 +1946,9 @@ def test_logsql_extra_filters(logs_api, spark):
     vmgateway-style enforcement for logs): a JSON object of
     field -> value-or-alternatives ANDed into every query; the stream
     variant matches the canonical _stream identity when present."""
-    lines = logs_api.query("error", extra_filters='{"user_id": 2}')
+    lines = list(logs_api.query("error", extra_filters='{"user_id": 2}'))
     assert len(lines) == 1 and json.loads(lines[0])["user_id"] == 2
-    lines = logs_api.query("*", extra_filters='{"user_id": [1, 3]}')
+    lines = list(logs_api.query("*", extra_filters='{"user_id": [1, 3]}'))
     assert {json.loads(x)["user_id"] for x in lines} == {1, 3}
     # stream variant over a _stream-carrying frame
     from datetime import datetime
@@ -1961,7 +1967,7 @@ def test_logsql_extra_filters(logs_api, spark):
         ["app"],
     )
     lapi = LogsAPI(spark, df)
-    lines = lapi.query("*", extra_stream_filters='{"app": "web"}')
+    lines = list(lapi.query("*", extra_stream_filters='{"app": "web"}'))
     # anchored match: "web" must not match the "webapp" stream
     assert len(lines) == 1 and json.loads(lines[0])["_msg"] == "a"
 
@@ -1979,3 +1985,87 @@ def test_logsql_enforcement_scopes_every_endpoint(logs_api):
     assert [v["value"] for v in vals["values"]] == ["error"]
     # no args -> same object (no per-request overhead)
     assert logs_api.scoped() is logs_api
+
+
+def test_admin_routes_accept_form_post(spark, tmp_path):
+    """Admin routes read r.FormValue in the reference, so form-encoded
+    POST bodies must reach the same handlers (and authKey checks) as
+    GET query strings — round-9 sent them down the ingest dispatch
+    (404)."""
+    import threading
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from victoriametrics_spark.api import serve
+
+    rows = [("m_postadm", {"a": "1"}, 0, 1.0, False)]
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    srv = serve(a, port=0, auth_keys={"snapshotAuthKey": "snap-secret"})
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post_form(path, **fields):
+        body = urllib.parse.urlencode(fields, doseq=True).encode()
+        req = urllib.request.Request(
+            f"{base}{path}",
+            data=body,
+            method="POST",
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded"
+            },
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    # authKey in the form body reaches the auth check: wrong key → 401
+    code, body = post_form("/snapshot/list", authKey="wrong")
+    assert code == 401 and "doesn't match -snapshotAuthKey" in body
+    # right key in the body → handler runs (not 404/401)
+    code, _ = post_form("/snapshot/list", authKey="snap-secret")
+    assert code not in (401, 404)
+    # unauthenticated admin route via POST runs too (flag unset)
+    code, _ = post_form("/internal/force_flush")
+    assert code == 200
+    # delete_series via POST form hits the delete handler (422 on this
+    # bare PromAPI — no samples_table — which proves it routed)
+    code, body = post_form(
+        "/api/v1/admin/tsdb/delete_series", **{"match[]": "m_postadm"}
+    )
+    assert code != 404
+
+
+def test_export_selector_scoped_downsampling(spark):
+    """Under selector-scoped -downsampling.period rules
+    (filter:offset:interval), a start-less export thins each series at
+    its FIRST matching filter's biggest interval and leaves series
+    matching no filter raw (docs §Downsampling: 'If the time series
+    doesn't match any filter, then it isn't downsampled')."""
+    rows = []
+    for ts in range(0, 2_100_000, 100_000):
+        rows.append(("m_ds", {"env": "prod"}, ts, float(ts), False))
+        rows.append(("m_ds", {"env": "dev"}, ts, float(ts), False))
+        rows.append(("m_other", {"env": "qa"}, ts, float(ts), False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    api3 = PromAPI(
+        spark,
+        df,
+        downsampling_rules=[
+            ('{env="prod"}', 30 * 86_400_000, 500_000),
+            ('{env="dev"}', 30 * 86_400_000, 1_000_000),
+        ],
+    )
+    out = {}
+    for ln in api3.export_jsonl(['{__name__=~".+"}']):
+        obj = json.loads(ln)
+        key = (obj["metric"]["__name__"], obj["metric"].get("env"))
+        out[key] = len(obj["values"])
+    # prod thins at 500s (5 buckets), dev at 1000s (3 buckets:
+    # [0,1e6) [1e6,2e6) [2e6,..)), unmatched series stays raw (21)
+    assert out[("m_ds", "prod")] == 5
+    assert out[("m_ds", "dev")] == 3
+    assert out[("m_other", "qa")] == 21

@@ -519,5 +519,5 @@ def test_logs_api_uses_token_index_by_default(spark, tmp_path):
     plan2 = api._run("app:web")._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" not in plan2
     # JSONL surface works end-to-end over the pruned scan
-    lines = api.query("timeout failure", limit=10)
+    lines = list(api.query("timeout failure", limit=10))
     assert len(lines) == 1 and "timeout failure" in lines[0]

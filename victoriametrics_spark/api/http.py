@@ -343,6 +343,12 @@ class PromAPI:
         self._query_stats: dict = {}
         self._query_stats_cap = 20000
         self._active: dict = {}
+        # handlers run on concurrent ThreadingHTTPServer threads — the
+        # pop/reinsert LRU update and cap eviction must not race
+        # (querystats.go guards its list with a mutex the same way)
+        import threading as _threading
+
+        self._stats_lock = _threading.Lock()
         # metric-name usage tracker for /api/v1/status/metric_names_stats
         # (VM: lib/storage/metricnamestats behind
         # -storage.trackMetricNamesStats). track_metric_names=True adds
@@ -434,13 +440,14 @@ class PromAPI:
                 f"{self.max_query_len}` bytes"
             )
         qid = _uuid.uuid4().hex[:16]
-        self._active[qid] = {
-            "query": query,
-            "start": start_ms,
-            "end": end_ms,
-            "step": step_ms,
-            "t0": _time.time(),
-        }
+        with self._stats_lock:
+            self._active[qid] = {
+                "query": query,
+                "start": start_ms,
+                "end": end_ms,
+                "step": step_ms,
+                "t0": _time.time(),
+            }
         # effective deadline: the smaller of the flag and the request's
         # `timeout` arg (searchutil.GetDeadlineForQuery semantics)
         deadline_ms = self.max_query_duration_ms
@@ -499,20 +506,22 @@ class PromAPI:
             if timer is not None:
                 timer.cancel()
                 sc.setLocalProperty("spark.jobGroup.id", None)
-            rec = self._active.pop(qid)
-            dur = _time.time() - rec["t0"]
-            key = (query, (end_ms - start_ms) // 1000)
-            st = self._query_stats.pop(key, None) or [0, 0.0]
-            st[0] += 1
-            st[1] += dur
-            # pop+reinsert keeps dict order = recency, so the cap evicts
-            # the LEAST-RECENTLY-SEEN keys — a permanently-hot dashboard
-            # query registered early must survive churn from one-offs
-            self._query_stats[key] = st
-            if len(self._query_stats) > self._query_stats_cap:
-                drop = len(self._query_stats) - self._query_stats_cap
-                for k in list(self._query_stats)[:drop]:
-                    del self._query_stats[k]
+            with self._stats_lock:
+                rec = self._active.pop(qid)
+                dur = _time.time() - rec["t0"]
+                key = (query, (end_ms - start_ms) // 1000)
+                st = self._query_stats.pop(key, None) or [0, 0.0]
+                st[0] += 1
+                st[1] += dur
+                # pop+reinsert keeps dict order = recency, so the cap
+                # evicts the LEAST-RECENTLY-SEEN keys — a permanently-
+                # hot dashboard query registered early must survive
+                # churn from one-offs
+                self._query_stats[key] = st
+                if len(self._query_stats) > self._query_stats_cap:
+                    drop = len(self._query_stats) - self._query_stats_cap
+                    for k in list(self._query_stats)[:drop]:
+                        del self._query_stats[k]
 
     def _eval_inner(
         self,
@@ -970,7 +979,11 @@ class PromAPI:
         rule: when no `start` is given and reduce_mem_usage is unset,
         output is thinned at the biggest configured
         -downsampling.period interval (docs §Downsampling; the exact
-        example there: 30d:1h,180d:24h → export returns 24h samples)."""
+        example there: 30d:1h,180d:24h → export returns 24h samples).
+        Under selector-scoped rules (filter:offset:interval) each
+        series thins at ITS first-matching filter's biggest interval,
+        and series matching no filter stay raw — one global biggest
+        would over-thin unmatched series."""
         df = self._match_df(matches, start, end, enforced)
         if (
             start is None
@@ -982,15 +995,25 @@ class PromAPI:
                 rule_groups,
             )
 
-            biggest = max(
-                itv
-                for _, levels in rule_groups(self.downsampling_rules)
-                for _, itv in levels
-            )
-            if biggest > 0:
-                # offset 0 + far-future now: every sample is "aged",
-                # so the whole output thins at the biggest interval
-                df = downsample(df, [(0, biggest)], now_ms=1 << 60)
+            groups = rule_groups(self.downsampling_rules)
+            if any(sel is not None for sel, _ in groups):
+                # per-group biggest interval at offset 0 + far-future
+                # now; downsample()'s selector path keeps first-match-
+                # wins order and leaves unmatched series raw
+                per_group = [
+                    (sel, 0, max(itv for _, itv in levels))
+                    for sel, levels in groups
+                ]
+                df = downsample(df, per_group, now_ms=1 << 60)
+            else:
+                biggest = max(
+                    itv for _, levels in groups for _, itv in levels
+                )
+                if biggest > 0:
+                    # offset 0 + far-future now: every sample is
+                    # "aged", so the output thins at the biggest
+                    # interval
+                    df = downsample(df, [(0, biggest)], now_ms=1 << 60)
         return df
 
     def export_jsonl_df(
@@ -1062,17 +1085,21 @@ class PromAPI:
         enforced: tuple = (),
         max_rows_per_line: int = 0,
         reduce_mem_usage: bool = False,
-    ) -> list[str]:
+    ):
         """VM JSONL export lines (/api/v1/export shape:
-        {"metric":{...},"values":[...],"timestamps":[...]})."""
-        return sorted(
-            r["line"]
-            for r in self.export_jsonl_df(
-                matches, start, end, enforced,
-                max_rows_per_line=max_rows_per_line,
-                reduce_mem_usage=reduce_mem_usage,
-            ).collect()
+        {"metric":{...},"values":[...],"timestamps":[...]}), yielded
+        through toLocalIterator() so the driver holds ONE Spark
+        partition of finished lines at a time — constant driver memory
+        regardless of export size, like the reference's streaming
+        exportHandler (no cross-series order guarantee, same as VM).
+        The plan (and its parse/validation errors) is built eagerly;
+        only the row transfer is lazy."""
+        df = self.export_jsonl_df(
+            matches, start, end, enforced,
+            max_rows_per_line=max_rows_per_line,
+            reduce_mem_usage=reduce_mem_usage,
         )
+        return (r["line"] for r in df.toLocalIterator())
 
     def export_prometheus(
         self,
@@ -1081,7 +1108,7 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         reduce_mem_usage: bool = False,
-    ) -> list[str]:
+    ):
         """``format=prometheus`` export: one exposition line per SAMPLE
         (export.qtpl ExportPrometheusLine) — built JVM-side; the driver
         receives finished lines only. Label values are
@@ -1127,10 +1154,10 @@ class PromAPI:
             vtxt, F.lit(" "),
             F.col("ts").cast("string"),
         )
-        return sorted(
-            r["line"]
-            for r in df.select(line.alias("line")).collect()
-        )
+        # toLocalIterator: one partition of finished lines driver-side
+        # at a time — constant driver memory for any export size
+        out = df.select(line.alias("line"))
+        return (r["line"] for r in out.toLocalIterator())
 
     def federate(
         self,
@@ -1248,12 +1275,19 @@ class PromAPI:
         start: str | None = None,
         end: str | None = None,
         enforced: tuple = (),
-    ) -> str:
-        lines = sorted(
-            r["line"]
-            for r in self.export_csv_df(matches, fmt, start, end, enforced).collect()
-        )
-        return "\n".join([fmt] + lines) + "\n"
+    ):
+        """CSV export lines: the `fmt` header first, then one line per
+        sample via toLocalIterator() (constant driver memory). The plan
+        is built eagerly so format errors raise before any bytes go
+        out."""
+        df = self.export_csv_df(matches, fmt, start, end, enforced)
+
+        def _lines():
+            yield fmt
+            for r in df.toLocalIterator():
+                yield r["line"]
+
+        return _lines()
 
     def export_native(
         self,
@@ -1328,6 +1362,11 @@ class PromAPI:
         """/api/v1/status/top_queries — in-process registry of executed
         queries ranked by count / avg duration / total duration
         (app/vmselect querystats analog)."""
+        with self._stats_lock:
+            snapshot = [
+                (q, tr, c, s)
+                for (q, tr), (c, s) in self._query_stats.items()
+            ]
         items = [
             {
                 "query": q,
@@ -1336,7 +1375,7 @@ class PromAPI:
                 "sumDurationSeconds": round(s, 6),
                 "avgDurationSeconds": round(s / c, 6),
             }
-            for (q, tr), (c, s) in self._query_stats.items()
+            for q, tr, c, s in snapshot
         ]
         return {
             "status": "success",
@@ -1357,6 +1396,8 @@ class PromAPI:
         import time as _time
 
         now = _time.time()
+        with self._stats_lock:
+            snapshot = [(qid, dict(rec)) for qid, rec in self._active.items()]
         data = [
             {
                 "id": qid,
@@ -1366,7 +1407,7 @@ class PromAPI:
                 "step": rec["step"],
                 "duration": f"{now - rec['t0']:.3f}s",
             }
-            for qid, rec in list(self._active.items())
+            for qid, rec in snapshot
         ]
         return {"status": "ok", "data": data}
 
@@ -2185,15 +2226,16 @@ class LogsAPI:
         limit: int = 1000,
         extra_filters: str | None = None,
         extra_stream_filters: str | None = None,
-    ) -> list[str]:
-        """GET /select/logsql/query → JSONL lines."""
+    ):
+        """GET /select/logsql/query → JSONL lines, yielded through
+        toLocalIterator() (one partition driver-side at a time —
+        constant driver memory like VictoriaLogs' streaming writer).
+        The plan builds eagerly so parse errors raise before bytes go
+        out."""
         df = self._run(query, extra_filters, extra_stream_filters)
         if limit:
             df = df.limit(int(limit))
-        out = []
-        for r in df.toJSON().collect():
-            out.append(r)
-        return out
+        return iter(df.toJSON().toLocalIterator())
 
     def hits(
         self,
@@ -3405,6 +3447,35 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_stream(
+            self, lines, ctype, sep="\n", prefix="", suffix="",
+        ):
+            """Stream an iterator of text lines to the socket without
+            Content-Length (HTTP/1.0: connection close ends the body) —
+            the exports hold one Spark partition of lines driver-side
+            at a time instead of the whole result, matching the
+            reference's bufferedwriter streaming. Lines are coalesced
+            into ~64 KiB writes."""
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            buf: list[str] = [prefix] if prefix else []
+            size = len(prefix)
+            first = True
+            for line in lines:
+                if not first:
+                    buf.append(sep)
+                first = False
+                buf.append(line)
+                size += len(line) + len(sep)
+                if size >= 65536:
+                    self.wfile.write("".join(buf).encode())
+                    buf, size = [], 0
+            if suffix:
+                buf.append(suffix)
+            if buf:
+                self.wfile.write("".join(buf).encode())
+
         def do_GET(self):  # noqa: N802
             """Concurrency-limited entry (vmselect main.go:117-151):
             dynamic requests take a limiter slot; a full limiter queues
@@ -3610,9 +3681,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                             reduce_mem_usage=p("reduce_mem_usage", "")
                             in ("1", "true"),
                         )
-                        self._send(
-                            200, "\n".join(lines),
-                            "text/plain; charset=utf-8",
+                        self._send_stream(
+                            lines, "text/plain; charset=utf-8",
                         )
                         return
                     mrpl = int(p("max_rows_per_line", "0") or 0)
@@ -3624,25 +3694,26 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     )
                     if fmt == "promapi":
                         # export.qtpl ExportPromAPIHeader/Footer envelope
-                        body = (
-                            '{"status":"success","data":'
-                            '{"resultType":"matrix","result":['
-                            + ",".join(lines)
-                            + "]}}"
+                        self._send_stream(
+                            lines, "application/json", sep=",",
+                            prefix='{"status":"success","data":'
+                            '{"resultType":"matrix","result":[',
+                            suffix="]}}",
                         )
-                        self._send(200, body)
                         return
-                    self._send(200, "\n".join(lines), "application/stream+json")
+                    self._send_stream(lines, "application/stream+json")
                     return
                 elif u.path == "/api/v1/export/csv":
-                    body = api.export_csv(
+                    lines = api.export_csv(
                         matches,
                         p("format", ""),
                         p("start"),
                         p("end"),
                         enforced=enforced,
                     )
-                    self._send(200, body, "text/csv; charset=utf-8")
+                    self._send_stream(
+                        lines, "text/csv; charset=utf-8", suffix="\n",
+                    )
                     return
                 elif u.path == "/api/v1/export/native":
                     blob = api.export_native(
@@ -3866,8 +3937,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         lines = lapi.query(
                             p("query"), int(p("limit", "1000"))
                         )
-                        self._send(
-                            200, "\n".join(lines), "application/stream+json"
+                        self._send_stream(
+                            lines, "application/stream+json"
                         )
                         return
                     if ep == "hits":
@@ -3936,6 +4007,24 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             "/api/v1/export/native",
             "/federate",
             "/render",
+            # admin routes read r.FormValue in the reference
+            # (e.g. deleteHandler, vmstorage main.go snapshot routes),
+            # so form-encoded POST bodies must reach the same handlers
+            # (and their authKey checks) as GET query strings
+            "/api/v1/admin/tsdb/delete_series",
+            "/api/v1/admin/tsdb/snapshot",
+            "/snapshot/create",
+            "/snapshot/list",
+            "/snapshot/delete",
+            "/snapshot/delete_all",
+            "/internal/force_merge",
+            "/internal/force_flush",
+            "/internal/resetRollupResultCache",
+            # Graphite tag-mutation endpoints are POST-form in carbon
+            # clients (tags_api.go reads r.FormValue too)
+            "/tags/tagSeries",
+            "/tags/tagMultiSeries",
+            "/tags/delSeries",
         ))
 
         def _is_select_post(self, path: str) -> bool:

@@ -969,7 +969,12 @@ class MicroBatchCounterAggregator:
         emitted = outs[0]
         for o in outs[1:]:
             emitted = emitted.unionByName(o)
-        emitted_rows = emitted.collect()
+        # materialize executor-side BEFORE the state `_write`s below
+        # overwrite the backing tables this plan reads: localCheckpoint
+        # keeps the flushed rows as cached partitions on the executors
+        # (constant driver memory) instead of a driver round-trip via
+        # collect()+createDataFrame
+        emitted = emitted.localCheckpoint(eager=True)
 
         # persist advanced totals + surviving windows, drop flushed wser
         new_totals = (
@@ -992,6 +997,4 @@ class MicroBatchCounterAggregator:
                 wser.filter(F.col("w") + iv > F.lit(watermark)), "wser"
             )
         ready.unpersist()
-        return self.spark.createDataFrame(
-            emitted_rows, "name string, labels map<string,string>, ts long, value double"
-        ) if emitted_rows else emitted.limit(0)
+        return emitted
