@@ -2069,3 +2069,72 @@ def test_export_selector_scoped_downsampling(spark):
     assert out[("m_ds", "prod")] == 5
     assert out[("m_ds", "dev")] == 3
     assert out[("m_other", "qa")] == 21
+
+
+def test_ingest_series_cardinality_limiters(spark):
+    """-storage.maxHourlySeries / maxDailySeries
+    (storage.go:2151-2167): rows of NEW series beyond the window cap
+    drop and count; already-registered series keep ingesting; the
+    window rollover resets the limiter; /metrics exposes the
+    vm_*_series_limit_* family (vmstorage main.go:506-514)."""
+    import threading
+    import urllib.request
+
+    from victoriametrics_spark.api import serve
+    from victoriametrics_spark.api.http import IngestAPI
+
+    clock = {"now": 3_600_000}  # start exactly on an hour boundary
+    captured = []
+    ing = IngestAPI(
+        spark,
+        sink=lambda df, kind: captured.append(df),
+        max_hourly_series=2,
+        now_ms_fn=lambda: clock["now"],
+    )
+
+    def names(df):
+        return sorted(r["name"] for r in df.collect())
+
+    # first two series register; the third is over the cap → dropped
+    n = ing.import_lines(
+        "s_a 1 3600000\ns_b 1 3600000\ns_c 1 3600000", "prometheus"
+    )
+    assert n == 2
+    assert names(captured[-1]) == ["s_a", "s_b"]
+    assert ing.hourly_series_limiter.rows_dropped_total == 1
+
+    # existing series still ingest; the rejected one keeps dropping
+    # (it never registered) and counts per ROW
+    n = ing.import_lines(
+        "s_a 2 3610000\ns_c 2 3610000\ns_c 3 3620000", "prometheus"
+    )
+    assert n == 1
+    assert names(captured[-1]) == ["s_a"]
+    assert ing.hourly_series_limiter.rows_dropped_total == 3
+    assert ing.hourly_series_limiter.current_items() == 2
+
+    # next hour: the window resets and s_c registers fine
+    clock["now"] = 7_200_000
+    n = ing.import_lines("s_c 4 7200000\ns_d 4 7200000", "prometheus")
+    assert n == 2
+    assert ing.hourly_series_limiter.current_items() == 2
+
+    # /metrics exposes the family
+    rows = [("m_lim", {"a": "1"}, 0, 1.0, False)]
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    srv = serve(a, port=0, ingest_api=ing)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics"
+        ) as r:
+            body = r.read().decode()
+        assert "vm_hourly_series_limit_max_series 2" in body
+        assert "vm_hourly_series_limit_rows_dropped_total 3" in body
+        assert "vm_hourly_series_limit_current_series 2" in body
+        assert "vm_rows_ignored_total" in body
+        # daily limiter unset → absent
+        assert "vm_daily_series_limit" not in body
+    finally:
+        srv.shutdown()

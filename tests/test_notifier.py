@@ -1,0 +1,143 @@
+"""Alertmanager notification delivery (app/vmalert/notifier): firing
+and resolved alerts POST to /api/v2/alerts in the amRequest JSON shape;
+/api/v1/notifiers lists the targets."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from victoriametrics_spark.api import PromAPI, serve
+from victoriametrics_spark.notifier import (
+    AlertmanagerNotifier,
+    AlertStateTracker,
+    RulesNotifierRunner,
+)
+from victoriametrics_spark.rules import AlertingRule
+from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+
+@pytest.fixture()
+def am_sink():
+    """A local Alertmanager-shaped sink capturing POSTed batches."""
+    batches: list = []
+
+    class Sink(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            batches.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", batches
+    srv.shutdown()
+
+
+def test_fire_and_resolve_payloads(spark, am_sink):
+    """An alert that fires then stops: first tick POSTs the firing
+    alert (startsAt, labels, annotations, no endsAt), a later tick
+    POSTs it once more with endsAt set (alertmanager_request.qtpl)."""
+    url, batches = am_sink
+    # cpu > 90 holds during [0, 1.2e6]; later samples drop to 10
+    rows = []
+    for ts in range(0, 2_100_000, 100_000):
+        v = 95.0 if ts <= 1_200_000 else 10.0
+        rows.append(("cpu", {"host": "a"}, ts, v, False))
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(
+        alert="HighCPU",
+        expr="last_over_time(cpu[400s]) > 90",
+        labels={"severity": "page"},
+        annotations={"summary": "cpu is high"},
+    )
+    api = PromAPI(spark, df, rule_groups=[("g1", [rule])])
+    runner = RulesNotifierRunner(api, AlertmanagerNotifier([url]))
+
+    sent = runner.tick(now_ms=1_000_000)  # alert firing at t=1000s
+    assert len(sent) == 1 and "endsAt" not in sent[0]
+    path, batch = batches[-1]
+    assert path == "/api/v2/alerts"
+    (a,) = batch
+    assert a["labels"]["alertname"] == "HighCPU"
+    assert a["labels"]["severity"] == "page"
+    assert a["labels"]["host"] == "a"
+    assert a["annotations"] == {"summary": "cpu is high"}
+    assert a["startsAt"].endswith("Z") and "endsAt" not in a
+    assert "generatorURL" in a
+
+    # still firing on the next tick → resent with the SAME startsAt
+    runner.tick(now_ms=1_200_000)
+    (_, batch2) = batches[-1]
+    assert batch2[0]["startsAt"] == a["startsAt"]
+
+    # stopped firing → one resolved notification with endsAt
+    runner.tick(now_ms=2_000_000)
+    (_, batch3) = batches[-1]
+    (r,) = batch3
+    assert r["labels"]["alertname"] == "HighCPU"
+    assert r["startsAt"] == a["startsAt"]
+    assert r["endsAt"] == "1970-01-01T00:33:20Z"  # 2_000_000 ms
+
+    # nothing active, nothing resolved → no POST this tick
+    n = len(batches)
+    assert runner.tick(now_ms=2_000_000) == []
+    assert len(batches) == n
+
+
+def test_notifiers_endpoint_and_delivery_error(spark, am_sink):
+    """/api/v1/notifiers lists targets in the ApiNotifier shape
+    (notifier/web.go); a dead target records lastError without
+    breaking the tick."""
+    url, batches = am_sink
+    rows = [("cpu", {"host": "a"}, ts, 95.0, False)
+            for ts in range(0, 1_300_000, 100_000)]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(alert="Hot", expr="last_over_time(cpu[400s]) > 90")
+    api = PromAPI(spark, df, rule_groups=[("g", [rule])])
+    notifier = AlertmanagerNotifier([url, "http://127.0.0.1:1"])
+    runner = RulesNotifierRunner(api, notifier)
+    srv = serve(api, port=0, notifier_runner=runner)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        runner.tick(now_ms=1_000_000)
+        # the live sink got the batch; the dead target recorded an error
+        assert batches and batches[-1][1][0]["labels"]["alertname"] == "Hot"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/notifiers"
+        ) as resp:
+            out = json.loads(resp.read())
+        (nt,) = out["data"]["notifiers"]
+        assert nt["kind"] == "alertmanager"
+        by_addr = {t["address"]: t for t in nt["targets"]}
+        assert by_addr[url + "/api/v2/alerts"]["lastError"] == ""
+        assert by_addr["http://127.0.0.1:1/api/v2/alerts"]["lastError"]
+    finally:
+        srv.shutdown()
+
+
+def test_tracker_unit():
+    """AlertStateTracker transition table."""
+    tr = AlertStateTracker()
+    fire = [{"labels": {"alertname": "X"}, "annotations": {}}]
+    p1 = tr.update(fire, 1_000)
+    assert len(p1) == 1 and "endsAt" not in p1[0]
+    p2 = tr.update(fire, 2_000)
+    assert p2[0]["startsAt"] == p1[0]["startsAt"]
+    p3 = tr.update([], 3_000)
+    assert len(p3) == 1 and p3[0]["endsAt"] == "1970-01-01T00:00:03Z"
+    assert tr.update([], 4_000) == []
+    # refiring starts a NEW startsAt
+    p5 = tr.update(fire, 5_000)
+    assert p5[0]["startsAt"] == "1970-01-01T00:00:05Z"

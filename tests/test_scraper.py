@@ -1,0 +1,207 @@
+"""Embedded scraper (lib/promscrape static subset): scrape a local
+in-process exposition endpoint, land samples through the normal ingest
+path, report real target state at /api/v1/targets."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from victoriametrics_spark.api import PromAPI, serve
+from victoriametrics_spark.api.http import IngestAPI
+from victoriametrics_spark.schema import SAMPLE_SCHEMA
+from victoriametrics_spark.storage.layout import (
+    drop_samples_table,
+    write_samples_table,
+)
+
+EXPOSITION = """\
+# HELP scraped_metric A scraped gauge.
+# TYPE scraped_metric gauge
+scraped_metric{foo="bar"} 42
+scraped_metric{foo="baz",job="inner"} 7
+"""
+
+
+class _Exposition(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        if self.path != "/metrics":
+            self.send_error(404)
+            return
+        body = EXPOSITION.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain; version=0.0.4")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def exposition_port():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Exposition)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv.server_address[1]
+    srv.shutdown()
+
+
+def _get(base, path, **q):
+    qs = urllib.parse.urlencode(q)
+    url = f"{base}{path}" + (f"?{qs}" if qs else "")
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def test_scrape_lands_samples_and_reports_targets(
+    spark, exposition_port
+):
+    """serve(scrape_configs=[...]) scrapes the endpoint, samples become
+    queryable via /api/v1/query, and /api/v1/targets reports the target
+    up with its identity labels (the round-10 verdict's Done clause)."""
+    table = "scraper_samples"
+    write_samples_table(spark.createDataFrame([], SAMPLE_SCHEMA), table)
+    try:
+        ingest = IngestAPI(spark, samples_table=table)
+        api = PromAPI(spark, spark.table(table), samples_table=table)
+        srv = serve(
+            api,
+            port=0,
+            ingest_api=ingest,
+            scrape_configs=[
+                {
+                    "job_name": "testjob",
+                    "scrape_interval": "1s",
+                    "static_configs": [
+                        {
+                            "targets": [f"127.0.0.1:{exposition_port}"],
+                            "labels": {"dc": "local"},
+                        }
+                    ],
+                }
+            ],
+        )
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+
+        # wait for the background loop's first scrape
+        import time
+
+        deadline = time.time() + 30
+        tgt = None
+        while time.time() < deadline:
+            out = _get(base, "/api/v1/targets")
+            active = out["data"]["activeTargets"]
+            if active and active[0]["health"] == "up":
+                tgt = active[0]
+                break
+            time.sleep(0.2)
+        assert tgt is not None, "target never came up"
+        assert tgt["labels"]["job"] == "testjob"
+        assert tgt["labels"]["instance"] == f"127.0.0.1:{exposition_port}"
+        assert tgt["labels"]["dc"] == "local"
+        assert tgt["scrapeUrl"].endswith("/metrics")
+        assert tgt["lastError"] == ""
+        assert tgt["lastSamplesScraped"] == 2
+        assert tgt["scrapePool"] == "testjob"
+        assert tgt["discoveredLabels"]["__address__"] == (
+            f"127.0.0.1:{exposition_port}"
+        )
+
+        # scraped samples are queryable end-to-end (nocache: evaluate
+        # at the literal current instant — samples landed "now", inside
+        # the 30s latency offset)
+        _get(base, "/internal/force_flush")
+        out = _get(
+            base, "/api/v1/query", query="scraped_metric", nocache="1"
+        )
+        res = out["data"]["result"]
+        by_foo = {r["metric"]["foo"]: r for r in res}
+        assert float(by_foo["bar"]["value"][1]) == 42.0
+        # honor_labels defaults false: the body's job label moved to
+        # exported_job, the target's job won
+        assert by_foo["baz"]["metric"]["job"] == "testjob"
+        assert by_foo["baz"]["metric"]["exported_job"] == "inner"
+        assert all(
+            r["metric"]["instance"] == f"127.0.0.1:{exposition_port}"
+            for r in res
+        )
+
+        # auto-metrics ride the same path (scrapework addAutoMetrics)
+        up = _get(
+            base, "/api/v1/query",
+            query='up{job="testjob"}', nocache="1",
+        )["data"]["result"]
+        assert up and float(up[0]["value"][1]) == 1.0
+        dur = _get(
+            base, "/api/v1/query",
+            query='scrape_duration_seconds{job="testjob"}', nocache="1",
+        )["data"]["result"]
+        assert dur and float(dur[0]["value"][1]) >= 0.0
+
+        # /api/v1/status/config and /config dump the scrape config
+        cfgy = _get(base, "/api/v1/status/config")["data"]["yaml"]
+        assert "testjob" in cfgy
+        srv.shutdown()
+        assert srv.scraper._thread is None  # loop stopped with server
+    finally:
+        drop_samples_table(spark, table)
+
+
+def test_scrape_down_target_and_honor_labels(spark, exposition_port):
+    """A dead target reports health=down with lastError and up=0;
+    honor_labels=true keeps the body's clashing labels."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        [
+            {
+                "job_name": "dead",
+                "static_configs": [{"targets": ["127.0.0.1:1"]}],
+            },
+            {
+                "job_name": "honor",
+                "honor_labels": True,
+                "static_configs": [
+                    {"targets": [f"127.0.0.1:{exposition_port}"]}
+                ],
+            },
+        ],
+    )
+    sc.scrape_once()
+    st = {
+        t["scrapePool"]: t
+        for t in sc.targets_status()["data"]["activeTargets"]
+    }
+    assert st["dead"]["health"] == "down"
+    assert st["dead"]["lastError"] != ""
+    assert st["honor"]["health"] == "up"
+    rows = [r for df in captured for r in df.collect()]
+    by_name: dict = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(r)
+    # the dead target still emitted its auto-metrics with up=0
+    ups = {r["labels"]["job"]: r["value"] for r in by_name["up"]}
+    assert ups["dead"] == 0.0 and ups["honor"] == 1.0
+    # honor_labels=true: body's job=inner survived, target job only
+    # fills series without one
+    jobs = {
+        r["labels"]["foo"]: r["labels"]["job"]
+        for r in by_name["scraped_metric"]
+        if r["labels"]["job"] in ("honor", "inner")
+    }
+    assert jobs == {"bar": "honor", "baz": "inner"}
+    assert all(
+        "exported_job" not in (r["labels"] or {})
+        for r in by_name["scraped_metric"]
+    )

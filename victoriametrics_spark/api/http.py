@@ -2816,8 +2816,25 @@ class IngestAPI:
         relabel_config=None,
         metadata_store=None,
         names_tracker=None,
+        max_hourly_series: int = 0,
+        max_daily_series: int = 0,
     ):
         self.spark = spark
+        # -storage.maxHourlySeries / -storage.maxDailySeries analogs
+        # (storage.go:2151-2167): new-series rows beyond the window cap
+        # are dropped and counted; 0 = off
+        from victoriametrics_spark.storage.serieslimit import SeriesLimiter
+
+        self.hourly_series_limiter = (
+            SeriesLimiter(max_hourly_series, 3_600_000, now_ms_fn)
+            if max_hourly_series > 0
+            else None
+        )
+        self.daily_series_limiter = (
+            SeriesLimiter(max_daily_series, 86_400_000, now_ms_fn)
+            if max_daily_series > 0
+            else None
+        )
         self.samples_table = samples_table
         # metric metadata registry (HELP/TYPE comments + remote-write
         # Metadata records → /api/v1/metadata); shareable across the
@@ -2957,6 +2974,8 @@ class IngestAPI:
             df = df.filter(cond)
             kept = df.count()
             self.rows_ignored_total += total - kept
+        if self.hourly_series_limiter or self.daily_series_limiter:
+            df = self._apply_series_limiters(df)
         if self.names_tracker is not None:
             try:
                 self.names_tracker.register_ingest(
@@ -3004,6 +3023,44 @@ class IngestAPI:
 
             append_samples(df, self.samples_table)
         return n
+
+    def _apply_series_limiters(self, df: DataFrame) -> DataFrame:
+        """registerSeriesCardinality (storage.go:2151-2167): the
+        batch's distinct series hashes (+ per-series row counts) are
+        aggregated executor-side; the driver registers each into the
+        hourly then daily limiter and rows of rejected NEW series are
+        filtered out and counted. Rejected series stay unregistered,
+        so they keep dropping for the rest of the window."""
+        from victoriametrics_spark.schema import series_id
+
+        sid = series_id(F.col("name"), F.col("labels"))
+        per = (
+            df.groupBy(sid.alias("__sid"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        dropped: set[int] = set()
+        for r in per:
+            h, n = r["__sid"], int(r["__n"])
+            sl = self.hourly_series_limiter
+            if sl is not None and not sl.add(h):
+                sl.rows_dropped_total += n
+                dropped.add(h)
+                continue
+            sl = self.daily_series_limiter
+            if sl is not None and not sl.add(h):
+                sl.rows_dropped_total += n
+                dropped.add(h)
+        if not dropped:
+            return df
+        if len(dropped) <= 1000:
+            return df.filter(~sid.isin(*dropped))
+        rej = self.spark.createDataFrame(
+            [(h,) for h in dropped], "__sid long"
+        )
+        return df.withColumn("__sid", sid).join(
+            F.broadcast(rej), "__sid", "left_anti"
+        ).drop("__sid")
 
     def _write_logs(self, df: DataFrame) -> int:
         n = df.count()
@@ -3071,6 +3128,33 @@ class IngestAPI:
         else:
             raise ValueError(f"unknown import format {fmt!r}")
         return self._write_samples(df, extra_labels=extra_labels)
+
+    def ingest_scrape(
+        self,
+        body: str,
+        target_labels: dict,
+        honor_labels: bool,
+        ts_ms: int,
+    ) -> int:
+        """Scrape-body ingest (lib/promscrape/scrapework.go): the
+        exposition parse of /api/v1/import/prometheus plus the target's
+        identity labels — honor_labels=false renames clashing body
+        labels to exported_<name> so the target's job/instance win;
+        honor_labels=true keeps body labels and only fills gaps."""
+        from victoriametrics_spark.streaming import parsers as P
+        from victoriametrics_spark.streaming.scraper import (
+            ingest_scrape_labels,
+        )
+
+        self.metadata_store.add_text(
+            (ln for ln in body.splitlines() if ln.lstrip()[:1] == "#"),
+            tenant=self._metadata_tenant(),
+        )
+        df = P.parse_prometheus_text(self._lines_df(body), ts_ms)
+        df = df.withColumn(
+            "labels", ingest_scrape_labels(target_labels, honor_labels)
+        )
+        return self._write_samples(df)
 
     def import_csv(
         self, body: str, format_spec: str, extra_labels=None
@@ -3246,7 +3330,7 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None, max_concurrent_requests: int = 0, max_queue_duration_s: float = 10.0):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None, max_concurrent_requests: int = 0, max_queue_duration_s: float = 10.0, scrape_configs: "list | None" = None, scraper=None, notifier_urls: "list[str] | None" = None, notifier_runner=None, notifier_interval_s: float = 30.0):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``).
@@ -3266,7 +3350,37 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
     one tenant, ``/select/multitenant/prometheus/...`` searches every
     tenant with (vm_account_id, vm_project_id) labels attached, and
     ``/insert/<token>/...`` scopes writes (app/vmselect + app/vminsert
-    multitenant routing)."""
+    multitenant routing).
+
+    ``scrape_configs`` is the -promscrape.config analog: a list of
+    scrape-config dicts (static_configs subset) starts an embedded
+    background scraper writing through ``ingest_api`` and reporting
+    real target state at /api/v1/targets; it stops with the server's
+    ``shutdown()``. Pass a pre-built ``scraper`` instead to share or
+    control one externally."""
+
+    if scraper is None and scrape_configs:
+        from victoriametrics_spark.streaming.scraper import Scraper
+
+        if ingest_api is None:
+            raise ValueError("scrape_configs requires an ingest_api")
+        scraper = Scraper(ingest_api, scrape_configs)
+        scraper.start()
+
+    # -notifier.url analog: alerting rules fire real notifications from
+    # a background rule-tick loop (vmalert group eval + notifier send)
+    if notifier_runner is None and notifier_urls:
+        from victoriametrics_spark.notifier import (
+            AlertmanagerNotifier,
+            RulesNotifierRunner,
+        )
+
+        notifier_runner = RulesNotifierRunner(
+            api,
+            AlertmanagerNotifier(list(notifier_urls)),
+            interval_s=notifier_interval_s,
+        )
+        notifier_runner.start()
 
     label_values_re = re.compile(r"^/api/v1/label/([^/]+)/values$")
     tenant_re = re.compile(r"^\d+(:\d+)?$")
@@ -3330,6 +3444,29 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 "vm_concurrent_select_limit_timeout_total "
                 f"{limiter_counters['timeout']}"
             )
+            if ingest_api is not None:
+                lines.append("# TYPE vm_rows_ignored_total counter")
+                lines.append(
+                    f"vm_rows_ignored_total {ingest_api.rows_ignored_total}"
+                )
+                for scope, sl in (
+                    ("hourly", ingest_api.hourly_series_limiter),
+                    ("daily", ingest_api.daily_series_limiter),
+                ):
+                    if sl is None:
+                        continue
+                    # app/vmstorage/main.go:506-514 gauge/counter family
+                    lines += [
+                        f"# TYPE vm_{scope}_series_limit_current_series gauge",
+                        f"vm_{scope}_series_limit_current_series "
+                        f"{sl.current_items()}",
+                        f"# TYPE vm_{scope}_series_limit_max_series gauge",
+                        f"vm_{scope}_series_limit_max_series {sl.max_items}",
+                        f"# TYPE vm_{scope}_series_limit_rows_dropped_total"
+                        " counter",
+                        f"vm_{scope}_series_limit_rows_dropped_total "
+                        f"{sl.rows_dropped_total}",
+                    ]
             lines.append("# TYPE vm_http_requests_total counter")
             for path in sorted(req_counts):
                 esc = path.replace("\\", "\\\\").replace('"', '\\"')
@@ -3665,6 +3802,18 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.rules()
                 elif u.path in ("/api/v1/alerts", "/alerts"):
                     out = api.alerts(p("time"))
+                elif u.path in (
+                    "/api/v1/notifiers", "/vmalert/api/v1/notifiers",
+                ):
+                    # vmalert web.go:140 listNotifiers
+                    out = (
+                        notifier_runner.notifier.api_notifiers()
+                        if notifier_runner is not None
+                        else {
+                            "status": "success",
+                            "data": {"notifiers": []},
+                        }
+                    )
                 elif u.path == "/api/v1/status/tsdb":
                     out = api.tsdb_status(
                         int(p("topN", "10")),
@@ -3810,19 +3959,44 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         api.cache.reset()
                     out = {"status": "ok"}
                 elif u.path == "/api/v1/targets":
-                    # no embedded scraper: empty target sets
-                    # (prometheus.io/docs API shape)
+                    # real target state from the embedded scraper when
+                    # one runs; empty sets otherwise
+                    # (prometheus.io/docs API shape; WriteAPIV1Targets)
+                    if scraper is not None:
+                        out = scraper.targets_status()
+                        pool = p("scrapePool")
+                        if pool:
+                            out["data"]["activeTargets"] = [
+                                t
+                                for t in out["data"]["activeTargets"]
+                                if t["scrapePool"] == pool
+                            ]
+                    else:
+                        out = {
+                            "status": "success",
+                            "data": {
+                                "activeTargets": [],
+                                "droppedTargets": [],
+                            },
+                        }
+                elif u.path == "/api/v1/status/config":
+                    # -promscrape.config as yaml, Prometheus shape
                     out = {
                         "status": "success",
-                        "data": {"activeTargets": [], "droppedTargets": []},
+                        "data": {
+                            "yaml": scraper.config_yaml()
+                            if scraper is not None
+                            else ""
+                        },
                     }
-                elif u.path == "/api/v1/status/config":
-                    # no -promscrape.config: empty yaml, Prometheus shape
-                    out = {"status": "success", "data": {"yaml": ""}}
                 elif u.path == "/config":
                     # plain-text promscrape config dump (vminsert
-                    # main.go:351); no scraper here → empty config
-                    self._send(200, "", "text/plain; charset=utf-8")
+                    # main.go:351); empty without a scraper
+                    self._send(
+                        200,
+                        scraper.config_yaml() if scraper is not None else "",
+                        "text/plain; charset=utf-8",
+                    )
                     return
                 elif u.path == "/-/reload":
                     # promscrape config reload (SelfSIGHUP, vminsert
@@ -4275,4 +4449,18 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
     # exposed for introspection/tests (the vm_concurrent_select_*
     # gauges' underlying channel in the reference)
     srv.conc_sem = conc_sem
+    srv.scraper = scraper
+    srv.notifier_runner = notifier_runner
+    if scraper is not None or notifier_runner is not None:
+        # stop the background loops with the server
+        _orig_shutdown = srv.shutdown
+
+        def _shutdown():
+            if scraper is not None:
+                scraper.stop()
+            if notifier_runner is not None:
+                notifier_runner.stop()
+            _orig_shutdown()
+
+        srv.shutdown = _shutdown
     return srv

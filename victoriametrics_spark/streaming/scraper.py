@@ -1,0 +1,298 @@
+"""Embedded Prometheus scraper — the -promscrape.config static subset.
+
+Mirrors lib/promscrape: scrape_configs with static_configs,
+scrape_interval / scrape_timeout, metrics_path (default /metrics),
+scheme (default http), honor_labels and job_name
+(lib/promscrape/config.go:281-297,1333-1392), scraping over plain HTTP
+and feeding each response body through the SAME exposition-parse →
+ingest path as /api/v1/import/prometheus. Per-scrape auto-metrics
+(`up`, `scrape_duration_seconds`, `scrape_samples_scraped`,
+`scrape_timeout_seconds`, ... — scrapework.go:1013-1044 addAutoMetrics)
+are appended with the target's identity labels. Target state feeds
+/api/v1/targets in the reference's JSON shape
+(targetstatus.go:256-292 WriteActiveTargetsJSON).
+
+Scraping is driver-side by design: scrape bodies are
+presentation-sized HTTP responses arriving once per interval; the
+parse and append fan out over Spark exactly like every other ingest
+route, so at scale the scraper is a thin scheduler in front of the
+distributed write path (the reference's vmagent plays the same role
+in front of vminsert).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import urllib.request
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+DEFAULT_SCRAPE_INTERVAL_S = 60.0
+DEFAULT_METRICS_PATH = "/metrics"
+
+
+def _parse_duration_s(v, default: float) -> float:
+    """scrape_interval/scrape_timeout YAML values: a number (seconds)
+    or a Prometheus duration string (30s, 1m, ...)."""
+    if v is None:
+        return default
+    if isinstance(v, (int, float)):
+        return float(v)
+    from victoriametrics_spark.metricsql.ast import DurationExpr
+
+    return DurationExpr(str(v)).ms(0) / 1000.0
+
+
+class ScrapeTarget:
+    """One resolved static target: config identity + mutable scrape
+    state (targetStatus, targetstatus.go:307-317)."""
+
+    def __init__(
+        self,
+        job: str,
+        address: str,
+        scheme: str,
+        metrics_path: str,
+        interval_s: float,
+        timeout_s: float,
+        honor_labels: bool,
+        labels: dict[str, str],
+    ):
+        self.job = job
+        self.address = address
+        self.scheme = scheme
+        self.metrics_path = metrics_path
+        self.interval_s = interval_s
+        self.timeout_s = timeout_s
+        self.honor_labels = honor_labels
+        # discovered labels (pre-relabel identity: __address__ etc.,
+        # config.go:1388-1392)
+        self.discovered = {
+            "__address__": address,
+            "__metrics_path__": metrics_path,
+            "__scheme__": scheme,
+            "__scrape_interval__": f"{interval_s:g}s",
+            "__scrape_timeout__": f"{timeout_s:g}s",
+            "job": job,
+            **labels,
+        }
+        # final identity labels: job + instance (defaulted to
+        # __address__, config.go:1333-1336) + static_config labels
+        self.labels = {"job": job, **labels}
+        if not self.labels.get("instance"):
+            self.labels["instance"] = address
+        path = metrics_path if metrics_path.startswith("/") else "/" + metrics_path
+        self.url = f"{scheme}://{address}{path}"
+        # mutable state
+        self.up = False
+        self.last_scrape_ms = 0
+        self.last_duration_s = 0.0
+        self.last_samples = 0
+        self.last_error = ""
+        self.scrapes_total = 0
+        self.scrapes_failed = 0
+        self.next_deadline = 0.0
+
+
+class Scraper:
+    """Background scraper over an IngestAPI (the vmagent-in-vmsingle
+    analog, app/victoria-metrics/main.go promscrape.Init)."""
+
+    def __init__(self, ingest_api, scrape_configs, now_ms_fn=None):
+        self.ingest = ingest_api
+        self.now_ms = now_ms_fn or (lambda: int(time.time() * 1000))
+        self.targets: list[ScrapeTarget] = []
+        self._configs = scrape_configs
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+        for cfg in scrape_configs:
+            job = cfg.get("job_name") or "unnamed"
+            interval = _parse_duration_s(
+                cfg.get("scrape_interval"), DEFAULT_SCRAPE_INTERVAL_S
+            )
+            # Prometheus clamps scrape_timeout to scrape_interval
+            # (config.go:916)
+            timeout = min(
+                _parse_duration_s(cfg.get("scrape_timeout"), 10.0), interval
+            )
+            scheme = cfg.get("scheme") or "http"
+            path = cfg.get("metrics_path") or DEFAULT_METRICS_PATH
+            honor = bool(cfg.get("honor_labels"))
+            for sc in cfg.get("static_configs", ()):
+                lbls = {
+                    str(k): str(v)
+                    for k, v in (sc.get("labels") or {}).items()
+                }
+                for addr in sc.get("targets", ()):
+                    self.targets.append(
+                        ScrapeTarget(
+                            job, str(addr), scheme, path, interval,
+                            timeout, honor, lbls,
+                        )
+                    )
+
+    # ---------------------------------------------------------- scraping
+    def _fetch(self, t: ScrapeTarget) -> str:
+        req = urllib.request.Request(
+            t.url, headers={"User-Agent": "vm_promscrape"}
+        )
+        with urllib.request.urlopen(req, timeout=t.timeout_s) as resp:
+            return resp.read().decode("utf-8", "replace")
+
+    def scrape_target(self, t: ScrapeTarget) -> None:
+        """One scrape of one target: fetch, ingest body with target
+        identity labels (honor_labels semantics), append auto-metrics,
+        update target state."""
+        ts_ms = self.now_ms()
+        t0 = time.monotonic()
+        t.scrapes_total += 1
+        try:
+            body = self._fetch(t)
+            n = self.ingest.ingest_scrape(
+                body, t.labels, t.honor_labels, ts_ms
+            )
+            dur = time.monotonic() - t0
+            with self._lock:
+                t.up = True
+                t.last_error = ""
+                t.last_samples = int(n)
+        except Exception as e:  # noqa: BLE001 — any failure = target down
+            dur = time.monotonic() - t0
+            with self._lock:
+                t.up = False
+                t.last_error = str(e)
+                t.last_samples = 0
+                t.scrapes_failed += 1
+        with self._lock:
+            t.last_scrape_ms = ts_ms
+            t.last_duration_s = dur
+        # auto-metrics ride the normal ingest path with the target's
+        # identity labels (scrapework.go addAutoMetrics; the subset
+        # that doesn't require relabel/series-limit state)
+        auto = [
+            ("scrape_duration_seconds", dur),
+            ("scrape_samples_scraped", float(t.last_samples)),
+            ("scrape_timeout_seconds", t.timeout_s),
+            ("up", 1.0 if t.up else 0.0),
+        ]
+        lines = "\n".join(f"{name} {value:.10g}" for name, value in auto)
+        try:
+            self.ingest.ingest_scrape(lines, t.labels, False, ts_ms)
+        except Exception:
+            pass  # auto-metrics are best-effort
+
+    def scrape_once(self) -> None:
+        """Synchronously scrape every target once (tests + first tick)."""
+        for t in self.targets:
+            self.scrape_target(t)
+
+    # ---------------------------------------------------------- lifecycle
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def _loop():
+            while not self._stop.is_set():
+                now = time.monotonic()
+                next_due = now + 1.0
+                for t in self.targets:
+                    if now >= t.next_deadline:
+                        t.next_deadline = now + t.interval_s
+                        self.scrape_target(t)
+                    next_due = min(next_due, t.next_deadline)
+                self._stop.wait(max(0.05, next_due - time.monotonic()))
+
+        self._thread = threading.Thread(
+            target=_loop, name="vm-promscrape", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    # ---------------------------------------------------------- status
+    def targets_status(self) -> dict:
+        """/api/v1/targets JSON (WriteAPIV1Targets,
+        targetstatus.go:74-97 + WriteActiveTargetsJSON shape)."""
+        active = []
+        with self._lock:
+            for t in self.targets:
+                last = (
+                    datetime.fromtimestamp(
+                        t.last_scrape_ms / 1000.0, tz=timezone.utc
+                    ).isoformat().replace("+00:00", "Z")
+                    if t.last_scrape_ms
+                    else "1970-01-01T00:00:00Z"
+                )
+                active.append(
+                    {
+                        "discoveredLabels": dict(t.discovered),
+                        "labels": dict(t.labels),
+                        "scrapePool": t.job,
+                        "scrapeUrl": t.url,
+                        "lastError": t.last_error,
+                        "lastScrape": last,
+                        "lastScrapeDuration": t.last_duration_s,
+                        "lastSamplesScraped": t.last_samples,
+                        "health": "up" if t.up else "down",
+                    }
+                )
+        return {
+            "status": "success",
+            "data": {"activeTargets": active, "droppedTargets": []},
+        }
+
+    def config_yaml(self) -> str:
+        """-promscrape.config dump for /api/v1/status/config and
+        /config (vminsert main.go:351)."""
+        import yaml
+
+        return yaml.safe_dump(
+            {"scrape_configs": self._configs}, sort_keys=False
+        )
+
+
+def ingest_scrape_labels(target_labels: dict, honor_labels: bool):
+    """Column transform applying scrape identity labels to a parsed
+    exposition frame's `labels` map.
+
+    honor_labels=false (default): clashing exposition labels are
+    renamed to `exported_<name>` and the target's labels win;
+    honor_labels=true: exposition labels win, target labels fill gaps
+    (prometheus.io relabeling docs; config.go HonorLabels)."""
+    lbl = F.coalesce(F.col("labels"), F.expr("map()"))
+    tgt_entries = F.array(
+        *[
+            F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+            for k, v in target_labels.items()
+        ]
+    )
+    if honor_labels:
+        # keep body labels; add only target labels absent from the body
+        fill = F.filter(
+            tgt_entries, lambda e: ~F.map_contains_key(lbl, e["key"])
+        )
+        return F.map_from_entries(
+            F.concat(fill, F.map_entries(lbl))
+        )
+    keys = list(target_labels.keys())
+    renamed = F.transform(
+        F.map_entries(lbl),
+        lambda e: F.struct(
+            F.when(
+                e["key"].isin(*keys) if keys else F.lit(False),
+                F.concat(F.lit("exported_"), e["key"]),
+            )
+            .otherwise(e["key"])
+            .alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    return F.map_from_entries(F.concat(renamed, tgt_entries))
