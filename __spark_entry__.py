@@ -1013,6 +1013,39 @@ FROM at_point a CROSS JOIN grid g
 WHERE a.value IS NOT NULL""",
 )
 
+# ---- subquery: rollup over an inner rollup's own grid ------------------
+# max_over_time(avg_over_time(m[1d])[1d:6h]) — the inner expression is
+# evaluated on its OWN grid (step 6h, range extended one outer window
+# back: eval.go evalRollupFuncWithSubquery builds the inner EvalConfig
+# with Start -= window), then the outer rollup consumes those grid
+# points like raw samples over (t-1d, t].
+_reg(
+    "mq_subquery_maxavg",
+    _mq(
+        "max_over_time(avg_over_time(events_value[1d])[1d:6h])",
+        PER_SERIES,
+    ),
+    f"""
+WITH samples AS ({_SAMPLES_SQL}),
+igrid AS (
+    SELECT CAST(r.range AS BIGINT) AS its
+    FROM range({GRID_START} - {W1D}, {GRID_END} + 1, {GRID_STEP}) r
+),
+inner_roll AS (
+    SELECT s.event_type, s.user_bucket, g.its, avg(s.value) AS ivalue
+    FROM samples s JOIN igrid g
+      ON s.ts > g.its - {W1D} AND s.ts <= g.its
+    GROUP BY 1, 2, 3
+),
+grid AS ({_GRID_SQL})
+SELECT i.event_type, i.user_bucket, g.gts AS ts,
+       round(max(i.ivalue), 6) + 0.0 AS value
+FROM inner_roll i JOIN grid g
+  ON i.its > g.gts - {W1D} AND i.its <= g.gts
+GROUP BY 1, 2, 3
+HAVING max(i.ivalue) IS NOT NULL""",
+)
+
 # ---- histogram family -------------------------------------------------
 # le-bucketed input built in-engine (union + label_set + count_le rollups),
 # then histogram_quantile/share/avg interpolation; the oracle repeats the
@@ -3414,79 +3447,69 @@ SELECT event_type, user_bucket, ts, value FROM (
 # scripts/check_oracle.py re-runs the WHOLE registry locally each round
 # regardless of the window.
 _DRIVER_PRIORITY = [
-    # (a) changed this round — incl. the NEW late-r9 gates (chunking,
-    # repetition stats, near-dup connected components, SemDeDup,
-    # line-level boilerplate dedup)
-    "op_emb_semantic_dedup",
-    "op_doc_boilerplate_lines",
-    "op_doc_duplicate_passages",
-    "op_doc_unigram_logprob",
-    "op_downsample_filtered",
-    "op_doc_c4_clean",
-    "op_doc_gopher_filter",
-    "op_doc_chunks",
-    "op_doc_repetition",
-    "op_doc_neardup_components",
-    "op_emb_quantized_knn",
-    "op_doc_pii_redact",
-    "op_doc_decontaminate",
-    "op_doc_stratified_sample",
-    "op_doc_pack_chunks",
-    "op_doc_bpe_tokens",
-    "op_mm_frame_sample",
-    "mq_deriv",
-    "mq_timestamp",
-    "mq_rollup_candlestick",
-    "mq_sum_over_time",
-    "mq_count_over_time",
-    "mq_max_over_time",
-    "mq_min_over_time",
-    "mq_avg_over_time",
-    "mq_dedup_on_read",
-    "op_downsample",
-    "op_doc_exact_dedup",
-    # (b) stale driver verdicts (pre-r7; judge-r8-green)
-    "lql_word_stats",
-    "lql_cmp_math",
-    "lql_time_in",
-    "lql_rel_time",
-    "lql_extract_format",
-    "lql_coalesce_pipe",
-    "lql_json_array_concat",
-    "lql_top",
-    "lql_first_partition",
-    "lql_unpack_replace",
-    "lql_sort_offset",
-    "lql_uniq_hits",
-    "lql_time_bucket_stats",
-    "lql_stats_if",
-    "lql_value_bucket_stats",
-    "gr_sum_series",
-    "gr_group_movingavg",
-    "gr_highest_current",
-    "gr_summarize",
-    "gr_as_percent",
-    "gr_derivative_grouped",
-    "mq_histogram_quantile",
+    # The first 50 registered gates get this round's driver verdicts.
+    # Rotation policy (r10): (a) gates NEW this round, (b) the r9
+    # verdict's named refreshes (mq_at_modifier + streamaggr, r8
+    # verdicts), (c) the stalest pre-r8 driver verdicts oldest-first
+    # (r5 relational, r6, then r7 fill) — everything is also green in
+    # the judge's full-registry re-runs; this buys them fresh driver
+    # verdicts.
+    # (a) new in round 10
+    "mq_subquery_maxavg",
+    "op_doc_tfidf_terms",
+    "op_doc_dsir_weights",
+    # (b) verdict-named refreshes (newest driver verdict r8)
+    "mq_at_modifier",
+    "op_streamaggr_outputs",
+    "op_streamaggr_counters",
+    "op_streamaggr_dedup",
+    # (c) stalest driver verdicts, oldest first — r5
+    "rel_stats_q1",
+    "rel_first_per_group",
+    "rel_running_revenue",
+    "rel_phrase_filter",
+    "rel_len_stats",
+    "rel_format_top",
+    # r6
     "mq_histogram_share",
     "mq_histogram_avg",
     "rel_histogram",
     "mq_binop_fill_left",
-    "mq_at_modifier",
     "op_mm_metadata",
     "op_mm_decode",
     "op_emb_lsh_knn",
     "op_emb_ivf_knn",
-    "op_emb_ivf_topk",
-    "op_doc_minhash_lsh",
-    # (c) flagship bench gates
-    "mq_sum_rate_by",
-    "mq_rate",
-    "mq_rate_bucketed",
-    "mq_rate_fine_step",
-    "mq_topk_max",
     "mq_binop_ratio",
+    "mq_distinct_over_time",
+    "mq_sum2_over_time",
+    "mq_stddev_over_time",
+    "mq_zscore_over_time",
+    "mq_cmp_filter",
+    "mq_scalar_arith",
+    "mq_list_membership",
+    "op_emb_cosine_dedup",
+    "rel_stream_context",
+    "rel_replace_regexp",
+    "rel_unpack_syslog",
+    "rel_coalesce_json",
+    "rel_field_names",
+    "rel_stats_rate",
+    "rel_unpack_words",
+    "rel_time_filters",
+    # r7 (fills the window to 50)
+    "op_emb_ivf_topk",
+    "mq_topk_max",
     "mq_quantile_sumot_by",
+    "mq_stdvar_over_time",
+    "mq_range_over_time",
+    "mq_geomean_over_time",
+    "mq_last_over_time",
+    "mq_first_over_time",
+    "mq_median_over_time",
+    "mq_quantile_over_time",
+    "mq_present_over_time",
+    "mq_count_gt_over_time",
+    "mq_count_le_over_time",
 ]
 
 
@@ -3830,6 +3853,87 @@ SELECT tok.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(-ln((coalesce(v.c, 0) + 1) / (n.n_total + n.vs))), 6)
            AS logprob_score
+FROM tok LEFT JOIN v USING (t) CROSS JOIN n
+GROUP BY tok.doc_id""",
+)
+
+
+def _doc_tfidf_terms(spark, sf_dir, load):
+    """Per-doc top-3 TF-IDF keywords (operators/text.py
+    tfidf_top_terms): tf·ln(N/df) ranked after 6-decimal rounding so
+    both engines rank identically, term-asc tie-break."""
+    from victoriametrics_spark.operators.text import tfidf_top_terms
+
+    df = tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+    return df.select(
+        "doc_id",
+        "term",
+        F.col("rank").cast("double").alias("rank"),
+        "tfidf",
+    )
+
+
+_reg(
+    "op_doc_tfidf_terms",
+    _op(_doc_tfidf_terms),
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tfc * ln(n.n * 1.0 / dft.dfc), 6) AS tfidf
+    FROM tf JOIN dft USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+           ) AS rank
+    FROM scored
+)
+SELECT doc_id, term, CAST(rank AS DOUBLE) AS rank, tfidf
+FROM ranked WHERE rank <= 3""",
+)
+
+
+def _doc_dsir_weights(spark, sf_dir, load):
+    """DSIR importance resampling (operators/text.py dsir_log_weights,
+    Xie et al. 2023): target = lang='en' docs; log weight =
+    Σ ln p_target(tok) − ln p_raw(tok) over a 1000-token vocabulary."""
+    from victoriametrics_spark.operators.text import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    out = dsir_log_weights(docs, F.col("lang") == "en", vocab_size=1000)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "log_weight",
+    )
+
+
+_reg(
+    "op_doc_dsir_weights",
+    _op(_doc_dsir_weights),
+    f"""
+WITH tok AS (
+    SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKENS_SQL}) AS t
+    FROM documents
+),
+c AS (
+    SELECT t, count(*) AS c_raw,
+           sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+    FROM tok GROUP BY t
+),
+v AS (SELECT t, c_raw, c_t FROM c ORDER BY c_raw DESC, t ASC LIMIT 1000),
+n AS (SELECT sum(c_raw) AS n_raw, sum(c_t) AS n_t, count(*) AS vs FROM v)
+SELECT tok.doc_id,
+       CAST(count(*) AS DOUBLE) AS n_tokens,
+       round(sum(
+           ln((coalesce(v.c_t, 0) + 1) / (n.n_t + n.vs))
+           - ln((coalesce(v.c_raw, 0) + 1) / (n.n_raw + n.vs))
+       ), 6) AS log_weight
 FROM tok LEFT JOIN v USING (t) CROSS JOIN n
 GROUP BY tok.doc_id""",
 )

@@ -2138,3 +2138,58 @@ def test_ingest_series_cardinality_limiters(spark):
         assert "vm_daily_series_limit" not in body
     finally:
         srv.shutdown()
+
+
+def test_downsampling_filters_debug(spark):
+    """/downsampling-filters-debug (the vmui Tools backend): each
+    series maps to the flag lines of its FIRST matching filter group;
+    unmatched series map to null; parse errors land in error.flags /
+    error.metrics."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from victoriametrics_spark.api import serve
+
+    rows = [("m_dfd", {"env": "prod"}, 0, 1.0, False)]
+    a = PromAPI(spark, spark.createDataFrame(rows, SAMPLE_SCHEMA))
+    flags = '{env="prod"}:30d:1h\n{env="prod"}:180d:24h\n{env="dev"}:7d:5m'
+    metrics = (
+        'cpu{env="prod"}\ncpu{env="dev"}\ncpu{env="qa"}'
+    )
+    out = a.downsampling_filters_debug(flags, metrics)
+    assert out["error"] == {}
+    assert out["result"]['cpu{env="prod"}'] == [
+        '{env="prod"}:30d:1h', '{env="prod"}:180d:24h'
+    ]
+    assert out["result"]['cpu{env="dev"}'] == ['{env="dev"}:7d:5m']
+    assert out["result"]['cpu{env="qa"}'] is None
+    # a bare offset:interval level matches everything (first-match
+    # shadows later filters, flag order)
+    out2 = a.downsampling_filters_debug(
+        '30d:1h\n{env="dev"}:7d:5m', 'cpu{env="dev"}'
+    )
+    assert out2["result"]['cpu{env="dev"}'] == ["30d:1h"]
+    # error reporting
+    assert "flags" in a.downsampling_filters_debug("garbage", "m")["error"]
+    assert "metrics" in a.downsampling_filters_debug(
+        "30d:1h", 'cpu{env=~"x"}'
+    )["error"]
+    assert "required" in a.downsampling_filters_debug("", "m")["error"]["flags"]
+
+    # over HTTP (the vmui fetch path)
+    srv = serve(a, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        qs = urllib.parse.urlencode({"flags": flags, "metrics": metrics})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/downsampling-filters-debug?{qs}"
+        ) as r:
+            out3 = json.loads(r.read())
+        assert out3["result"]['cpu{env="qa"}'] is None
+        assert out3["result"]['cpu{env="prod"}'] == [
+            '{env="prod"}:30d:1h', '{env="prod"}:180d:24h'
+        ]
+    finally:
+        srv.shutdown()

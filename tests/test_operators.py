@@ -900,3 +900,71 @@ def test_persisted_ivf_index_partition_pruning(spark, embs):
         assert got == expect and len(got) > 0
     finally:
         drop_samples_table(spark, tbl)
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF keywords: corpus-wide terms get idf=ln(N/df); ranking is
+    by rounded score desc then term asc; k bounds output per doc."""
+    import math
+
+    from victoriametrics_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: apple tf=2 df=1 → 2·ln(3); banana tf=1 df=2 → ln(1.5)
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert top1[0]["term"] == "apple"
+    assert top1[0]["tfidf"] == pytest.approx(2 * math.log(3.0), abs=1e-6)
+    assert top1[1]["term"] == "banana"
+    # "shared" (df=N → idf 0) never outranks informative terms
+    assert all(r["term"] != "shared" or r["tfidf"] == 0.0 for r in out)
+    # doc 3: cherry tf=3 df=2 → 3·ln(1.5) top
+    top3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert top3[0]["term"] == "cherry"
+    assert top3[0]["tfidf"] == pytest.approx(3 * math.log(1.5), abs=1e-6)
+
+
+def test_dsir_log_weights(spark):
+    """DSIR importance weights (Xie et al. 2023): docs made of
+    target-enriched tokens weigh higher than raw-typical docs; Laplace
+    arithmetic verified by hand."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from victoriametrics_spark.operators.text import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "good good"),
+            (2, "en", "good noise"),
+            (3, "xx", "noise noise noise"),
+            (4, "xx", "good noise noise"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            df, F.col("lang") == "en", vocab_size=10
+        ).collect()
+    }
+    # vocab: good c_raw=4 c_t=3; noise c_raw=6 c_t=1 → N_raw=10 N_t=4 V=2
+    lw_good = math.log((3 + 1) / (4 + 2)) - math.log((4 + 1) / (10 + 2))
+    lw_noise = math.log((1 + 1) / (4 + 2)) - math.log((6 + 1) / (10 + 2))
+    assert out[1]["log_weight"] == pytest.approx(2 * lw_good, abs=1e-6)
+    assert out[3]["log_weight"] == pytest.approx(3 * lw_noise, abs=1e-6)
+    # target-like docs outrank raw-typical docs
+    assert out[1]["log_weight"] > out[2]["log_weight"] > out[3]["log_weight"]
+    assert out[1]["n_tokens"] == 2

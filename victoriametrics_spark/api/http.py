@@ -1514,6 +1514,97 @@ class PromAPI:
         except Exception as e:
             return {"status": "error", "msg": str(e)}
 
+    def downsampling_filters_debug(self, flags: str, metrics: str) -> dict:
+        """/downsampling-filters-debug — the vmui Tools→"Downsampling
+        filters debug" backend (app/vmui .../api/
+        downsampling-filters-debug.ts contract: ``result`` maps each
+        input series to the -downsampling.period flag lines its FIRST
+        matching filter group applies, null when no filter matches;
+        ``error.flags``/``error.metrics`` carry parse errors). ``flags``
+        and ``metrics`` are newline-separated."""
+        from victoriametrics_spark.engine.planner import selector_predicate
+        from victoriametrics_spark.metricsql import parse as _mql_parse
+        from victoriametrics_spark.metricsql.ast import MetricExpr
+        from victoriametrics_spark.storage.downsample import (
+            parse_downsampling_periods,
+            rule_groups,
+        )
+
+        flag_lines = [
+            ln.strip() for ln in (flags or "").splitlines() if ln.strip()
+        ]
+        metric_lines = [
+            ln.strip() for ln in (metrics or "").splitlines() if ln.strip()
+        ]
+        if not flag_lines:
+            return {"result": {}, "error": {"flags": "flags are required"}}
+        if not metric_lines:
+            return {
+                "result": {},
+                "error": {"metrics": "metrics are required"},
+            }
+        try:
+            rules = parse_downsampling_periods(flag_lines)
+        except Exception as e:  # noqa: BLE001 — reported, not raised
+            return {"result": {}, "error": {"flags": str(e)}}
+        groups = rule_groups(rules)
+        lines_by_sel: dict = {}
+        for ln, r in zip(flag_lines, rules):
+            sel = r[0] if len(r) == 3 else None
+            lines_by_sel.setdefault(sel, []).append(ln)
+        rows = []
+        for i, m in enumerate(metric_lines):
+            try:
+                me = _mql_parse(m)
+                if not isinstance(me, MetricExpr):
+                    raise ValueError("not a plain series")
+                name, labels = "", {}
+                for group in me.label_filterss[:1]:
+                    for f in group:
+                        if f.op != "=":
+                            raise ValueError(
+                                "metric labels must use '=' matchers"
+                            )
+                        if f.label == "__name__":
+                            name = f.value
+                        else:
+                            labels[f.label] = f.value
+            except Exception as e:  # noqa: BLE001
+                return {
+                    "result": {},
+                    "error": {
+                        "metrics": f"cannot parse metric {m!r}: {e}"
+                    },
+                }
+            rows.append((i, name, labels))
+        df = self.spark.createDataFrame(
+            rows, "idx long, name string, labels map<string,string>"
+        )
+        # first-match-wins classification — the exact expression shape
+        # downsample() applies during maintenance, so the debug answer
+        # IS the maintenance behavior
+        grp = F.lit(-1)
+        matched = F.lit(False)
+        for gi, (sel, _levels) in enumerate(groups):
+            pred = (
+                F.lit(True)
+                if sel is None
+                else selector_predicate(_mql_parse(sel))
+            )
+            grp = F.when(~matched & pred, F.lit(gi)).otherwise(grp)
+            matched = matched | pred
+        hit = {
+            r["idx"]: r["g"]
+            for r in df.select("idx", grp.alias("g")).collect()
+        }
+        result = {}
+        for i, m in enumerate(metric_lines):
+            gi = hit.get(i, -1)
+            result[m] = (
+                lines_by_sel[groups[gi][0]] if gi >= 0 else None
+            )
+        return {"result": result, "error": {}}
+
     def relabel_debug(
         self, metric: str, relabel_configs: str, target: bool = False
     ) -> dict:
@@ -3925,6 +4016,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     out = api.prettify_query(p("query", ""))
                 elif u.path == "/expand-with-exprs":
                     out = api.expand_with_exprs(p("query", ""))
+                elif u.path == "/downsampling-filters-debug":
+                    out = api.downsampling_filters_debug(
+                        p("flags", ""), p("metrics", "")
+                    )
                 elif u.path == "/metric-relabel-debug":
                     out = api.relabel_debug(
                         p("metric", "{}"), p("relabel_configs", "")

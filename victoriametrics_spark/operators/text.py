@@ -635,3 +635,112 @@ def unigram_logprob_score(
             F.round(F.avg(lp), 6).alias("logprob_score"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    topic-tagging step of a training-data pipeline (and the scoring
+    basis of classifier-free domain filters à la DSIR).
+
+    tf = raw term count in the doc; idf = ln(N_docs / df_term);
+    ranking by round(tf·idf, 6) DESC with term ASC tie-break — the
+    rounding makes the rank reproducible across engines whose ln()
+    differs in the last ulp. Returns (id, term, rank, tfidf).
+
+    Shape for 100 TB: token explode → (doc, term) count with map-side
+    combine, document frequencies as a second shuffle over terms
+    (vocabulary-sized, orders of magnitude smaller than the corpus),
+    one join tf⋈df_t on term, then the per-doc top-k as a bounded
+    window — no driver materialization beyond the N_docs scalar."""
+    import math as _math
+
+    n_docs = df.count()
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = tf.join(dft, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("__tf") * F.log(F.lit(float(n_docs)) / F.col("__df")), 6
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter: Column,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+    arXiv:2302.03169) — unigram-feature variant: fit a smoothed unigram
+    LM on the TARGET subset (rows matching ``target_filter``) and one
+    on the full raw corpus, over the raw corpus' ``vocab_size`` most
+    frequent tokens (ties → lexicographic; OOV → count 0, Laplace
+    ``(c+1)/(N+V)`` like unigram_logprob_score). Each doc's log
+    importance weight is ``Σ_tokens ln p_target(tok) − ln p_raw(tok)``
+    — high = target-like; resample the corpus proportionally to pick
+    pretraining data matching the target distribution. Returns
+    (id, n_tokens, log_weight).
+
+    Shape for 100 TB: two token-count aggregations (map-side partials,
+    the target one pre-filtered), a vocab_size-row fit collected and
+    rebroadcast, then a map-only broadcast join + per-doc sum —
+    shuffle = one row per doc, same envelope as unigram_logprob."""
+    import math as _math
+
+    tok = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_t"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    counts = tok.groupBy("__t").agg(
+        F.count("*").alias("__c_raw"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__c_t"),
+    )
+    vocab_rows = (
+        counts.orderBy(F.col("__c_raw").desc(), F.col("__t").asc())
+        .limit(int(vocab_size))
+        .collect()
+    )
+    v = len(vocab_rows)
+    n_raw = sum(r["__c_raw"] for r in vocab_rows)
+    n_t = sum(r["__c_t"] for r in vocab_rows)
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c_raw"], r["__c_t"]) for r in vocab_rows],
+        "__t string, __c_raw long, __c_t long",
+    )
+    lp_t = F.log(
+        (F.coalesce(F.col("__c_t"), F.lit(0)) + 1) / F.lit(float(n_t + v))
+    )
+    lp_raw = F.log(
+        (F.coalesce(F.col("__c_raw"), F.lit(0)) + 1)
+        / F.lit(float(n_raw + v))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lp_t - lp_raw), 6).alias("log_weight"),
+        )
+    )
