@@ -155,34 +155,34 @@ class Scraper:
                 body, t.labels, t.honor_labels, ts_ms
             )
             dur = time.monotonic() - t0
-            with self._lock:
-                t.up = True
-                t.last_error = ""
-                t.last_samples = int(n)
+            up, err, samples = True, "", int(n)
         except Exception as e:  # noqa: BLE001 — any failure = target down
             dur = time.monotonic() - t0
-            with self._lock:
-                t.up = False
-                t.last_error = str(e)
-                t.last_samples = 0
-                t.scrapes_failed += 1
-        with self._lock:
-            t.last_scrape_ms = ts_ms
-            t.last_duration_s = dur
+            up, err, samples = False, str(e), 0
         # auto-metrics ride the normal ingest path with the target's
         # identity labels (scrapework.go addAutoMetrics; the subset
-        # that doesn't require relabel/series-limit state)
+        # that doesn't require relabel/series-limit state) — ingested
+        # BEFORE the status publishes, so a /api/v1/targets reader that
+        # sees health=up can already query this scrape's `up` series
         auto = [
             ("scrape_duration_seconds", dur),
-            ("scrape_samples_scraped", float(t.last_samples)),
+            ("scrape_samples_scraped", float(samples)),
             ("scrape_timeout_seconds", t.timeout_s),
-            ("up", 1.0 if t.up else 0.0),
+            ("up", 1.0 if up else 0.0),
         ]
         lines = "\n".join(f"{name} {value:.10g}" for name, value in auto)
         try:
             self.ingest.ingest_scrape(lines, t.labels, False, ts_ms)
         except Exception:
             pass  # auto-metrics are best-effort
+        with self._lock:
+            t.up = up
+            t.last_error = err
+            t.last_samples = samples
+            if not up:
+                t.scrapes_failed += 1
+            t.last_scrape_ms = ts_ms
+            t.last_duration_s = dur
 
     def scrape_once(self) -> None:
         """Synchronously scrape every target once (tests + first tick)."""
