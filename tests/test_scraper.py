@@ -150,7 +150,7 @@ def test_scrape_lands_samples_and_reports_targets(
         cfgy = _get(base, "/api/v1/status/config")["data"]["yaml"]
         assert "testjob" in cfgy
         srv.shutdown()
-        assert srv.scraper._thread is None  # loop stopped with server
+        assert srv.scraper._threads == []  # loops stopped with server
     finally:
         drop_samples_table(spark, table)
 
@@ -205,3 +205,33 @@ def test_scrape_down_target_and_honor_labels(spark, exposition_port):
         "exported_job" not in (r["labels"] or {})
         for r in by_name["scraped_metric"]
     )
+
+
+def test_honor_labels_false_exported_collision(spark):
+    """A body already carrying exported_job next to job (the output of
+    federating another honor_labels=false scraper) must not fail the
+    map build — the renamed job overwrites the body's exported_job
+    like Prometheus does."""
+    from victoriametrics_spark.streaming.scraper import (
+        ingest_scrape_labels,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("m1", {"job": "inner", "exported_job": "stale", "x": "1"}),
+            ("m2", {"x": "2"}),
+        ],
+        "name string, labels map<string,string>",
+    )
+    out = df.withColumn(
+        "labels",
+        ingest_scrape_labels({"job": "outer", "instance": "i:1"}, False),
+    ).collect()
+    lbls = {r["name"]: dict(r["labels"]) for r in out}
+    assert lbls["m1"] == {
+        "exported_job": "inner",  # renamed body job wins
+        "x": "1",
+        "job": "outer",
+        "instance": "i:1",
+    }
+    assert lbls["m2"] == {"x": "2", "job": "outer", "instance": "i:1"}

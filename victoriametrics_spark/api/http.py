@@ -3135,12 +3135,12 @@ class IngestAPI:
             h, n = r["__sid"], int(r["__n"])
             sl = self.hourly_series_limiter
             if sl is not None and not sl.add(h):
-                sl.rows_dropped_total += n
+                sl.count_dropped(n)
                 dropped.add(h)
                 continue
             sl = self.daily_series_limiter
             if sl is not None and not sl.add(h):
-                sl.rows_dropped_total += n
+                sl.count_dropped(n)
                 dropped.add(h)
         if not dropped:
             return df
@@ -3644,7 +3644,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
 
         _shared_meta_store = MetricsMetadataStore()
 
-    def tenant_ingest_api(token: str) -> "IngestAPI":
+    def _tenant_ingest_api_inner(token: str) -> "IngestAPI":
         src = ingest_api
         return IngestAPI(
             default_api.spark,
@@ -3662,6 +3662,17 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             ),
             now_ms_fn=(src._now_ms if src is not None else None),
         )
+
+    def tenant_ingest_api(token: str) -> "IngestAPI":
+        api_t = _tenant_ingest_api_inner(token)
+        # the series limiters are storage-GLOBAL in the reference
+        # (-storage.maxHourlySeries caps the whole storage, not one
+        # tenant) — share the default IngestAPI's limiter OBJECTS so
+        # tenant-routed writes consume the same budget
+        if ingest_api is not None:
+            api_t.hourly_series_limiter = ingest_api.hourly_series_limiter
+            api_t.daily_series_limiter = ingest_api.daily_series_limiter
+        return api_t
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -3683,26 +3694,57 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
             the exports hold one Spark partition of lines driver-side
             at a time instead of the whole result, matching the
             reference's bufferedwriter streaming. Lines are coalesced
-            into ~64 KiB writes."""
+            into ~64 KiB writes.
+
+            The FIRST line is pulled before any byte goes out, so the
+            dominant failure (first Spark job of the scan) still
+            surfaces as a clean 422 from the outer handler. A failure
+            after that aborts the connection WITHOUT writing a second
+            status line into the 200 body — a truncated close-delimited
+            response, exactly how the reference's streaming
+            bufferedwriter fails mid-flight."""
+            it = iter(lines)
+            try:
+                first_line = next(it)
+            except StopIteration:
+                first_line = None
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.end_headers()
-            buf: list[str] = [prefix] if prefix else []
-            size = len(prefix)
-            first = True
-            for line in lines:
-                if not first:
-                    buf.append(sep)
-                first = False
-                buf.append(line)
-                size += len(line) + len(sep)
-                if size >= 65536:
+            try:
+                buf: list[str] = [prefix] if prefix else []
+                size = len(prefix)
+                first = True
+                if first_line is not None:
+                    buf.append(first_line)
+                    size += len(first_line)
+                    first = False
+                for line in it:
+                    if not first:
+                        buf.append(sep)
+                    first = False
+                    buf.append(line)
+                    size += len(line) + len(sep)
+                    if size >= 65536:
+                        self.wfile.write("".join(buf).encode())
+                        buf, size = [], 0
+                if suffix:
+                    buf.append(suffix)
+                if buf:
                     self.wfile.write("".join(buf).encode())
-                    buf, size = [], 0
-            if suffix:
-                buf.append(suffix)
-            if buf:
-                self.wfile.write("".join(buf).encode())
+            except Exception:  # noqa: BLE001
+                # mid-stream failure: the 200 line is out; drop the
+                # connection so the client sees truncation, never a
+                # second status line spliced into the body
+                try:
+                    self.wfile.flush()
+                except Exception:
+                    pass
+                self.close_connection = True
+                try:
+                    self.connection.close()
+                except Exception:
+                    pass
 
         def do_GET(self):  # noqa: N802
             """Concurrency-limited entry (vmselect main.go:117-151):

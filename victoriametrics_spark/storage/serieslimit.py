@@ -26,6 +26,7 @@ class SeriesLimiter:
     """One rolling-window unique-series limiter (hourly or daily)."""
 
     def __init__(self, max_items: int, window_ms: int, now_ms_fn=None):
+        import threading
         import time
 
         self.max_items = int(max_items)
@@ -34,25 +35,36 @@ class SeriesLimiter:
         self._window_start = -1
         self._seen: set[int] = set()
         self.rows_dropped_total = 0
+        # ingest handlers run on concurrent ThreadingHTTPServer
+        # threads; the check-then-add must be atomic or the cap races
+        # past max_items (the reference's limiter is likewise
+        # mutex-guarded)
+        self._lock = threading.Lock()
 
-    def _roll(self) -> None:
+    def _roll_locked(self) -> None:
         ws = self.now_ms() // self.window_ms
         if ws != self._window_start:
             self._window_start = ws
             self._seen.clear()
 
     def current_items(self) -> int:
-        self._roll()
-        return len(self._seen)
+        with self._lock:
+            self._roll_locked()
+            return len(self._seen)
 
     def add(self, h: int) -> bool:
         """True = series accepted (already tracked, or added under
         cap); False = limiter full and series is new → drop its rows
         (bloomfilter/limiter.go Add)."""
-        self._roll()
-        if h in self._seen:
+        with self._lock:
+            self._roll_locked()
+            if h in self._seen:
+                return True
+            if len(self._seen) >= self.max_items:
+                return False
+            self._seen.add(h)
             return True
-        if len(self._seen) >= self.max_items:
-            return False
-        self._seen.add(h)
-        return True
+
+    def count_dropped(self, n: int) -> None:
+        with self._lock:
+            self.rows_dropped_total += n

@@ -93,7 +93,6 @@ class ScrapeTarget:
         self.last_error = ""
         self.scrapes_total = 0
         self.scrapes_failed = 0
-        self.next_deadline = 0.0
 
 
 class Scraper:
@@ -106,7 +105,7 @@ class Scraper:
         self.targets: list[ScrapeTarget] = []
         self._configs = scrape_configs
         self._stop = threading.Event()
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
         self._lock = threading.Lock()
         for cfg in scrape_configs:
             job = cfg.get("job_name") or "unnamed"
@@ -191,31 +190,36 @@ class Scraper:
 
     # ---------------------------------------------------------- lifecycle
     def start(self) -> None:
-        if self._thread is not None:
+        """One thread per target (the reference runs one goroutine per
+        scrapeWork, scraper.go) — a dead target blocking in its fetch
+        up to scrape_timeout never delays any other target past its
+        own interval."""
+        if self._threads:
             return
         self._stop.clear()
 
-        def _loop():
+        def _loop(t: ScrapeTarget):
             while not self._stop.is_set():
-                now = time.monotonic()
-                next_due = now + 1.0
-                for t in self.targets:
-                    if now >= t.next_deadline:
-                        t.next_deadline = now + t.interval_s
-                        self.scrape_target(t)
-                    next_due = min(next_due, t.next_deadline)
-                self._stop.wait(max(0.05, next_due - time.monotonic()))
+                started = time.monotonic()
+                self.scrape_target(t)
+                elapsed = time.monotonic() - started
+                self._stop.wait(max(0.05, t.interval_s - elapsed))
 
-        self._thread = threading.Thread(
-            target=_loop, name="vm-promscrape", daemon=True
-        )
-        self._thread.start()
+        for t in self.targets:
+            th = threading.Thread(
+                target=_loop,
+                args=(t,),
+                name=f"vm-promscrape-{t.job}-{t.address}",
+                daemon=True,
+            )
+            th.start()
+            self._threads.append(th)
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
-            self._thread = None
+        for th in self._threads:
+            th.join(timeout=5)
+        self._threads = []
 
     # ---------------------------------------------------------- status
     def targets_status(self) -> dict:
@@ -283,11 +287,21 @@ def ingest_scrape_labels(target_labels: dict, honor_labels: bool):
             F.concat(fill, F.map_entries(lbl))
         )
     keys = list(target_labels.keys())
+    if not keys:
+        return lbl
+    # a body that ALREADY carries exported_<k> next to <k> (the normal
+    # output of federating another honor_labels=false scraper) would
+    # collide after the rename — Prometheus overwrites the body's
+    # exported_<k> with the renamed one, so drop the shadowed entries
+    # first (map_from_entries throws on duplicate keys otherwise)
     renamed = F.transform(
-        F.map_entries(lbl),
+        F.filter(
+            F.map_entries(lbl),
+            lambda e: ~_shadowed_pred(e, keys, lbl),
+        ),
         lambda e: F.struct(
             F.when(
-                e["key"].isin(*keys) if keys else F.lit(False),
+                e["key"].isin(*keys),
                 F.concat(F.lit("exported_"), e["key"]),
             )
             .otherwise(e["key"])
@@ -296,3 +310,14 @@ def ingest_scrape_labels(target_labels: dict, honor_labels: bool):
         ),
     )
     return F.map_from_entries(F.concat(renamed, tgt_entries))
+
+
+def _shadowed_pred(e, keys: list, lbl):
+    """True for a body entry `exported_<k>` that the rename of the
+    body's own `<k>` is about to overwrite."""
+    pred = F.lit(False)
+    for k in keys:
+        pred = pred | (
+            (e["key"] == f"exported_{k}") & F.map_contains_key(lbl, k)
+        )
+    return pred
