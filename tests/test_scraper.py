@@ -235,3 +235,126 @@ def test_honor_labels_false_exported_collision(spark):
         "instance": "i:1",
     }
     assert lbls["m2"] == {"x": "2", "job": "outer", "instance": "i:1"}
+
+
+def test_target_relabeling_and_dropped_targets(spark, exposition_port):
+    """scrape_config.relabel_configs: a `drop` rule removes a target
+    (reported as droppedTargets with its discovered labels,
+    WriteDroppedTargetsJSON); survivors can rewrite their identity
+    (__metrics_path__/job/extra labels) before finalization."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        [
+            {
+                "job_name": "relab",
+                "relabel_configs": [
+                    # drop the canary-labeled target
+                    {
+                        "action": "drop",
+                        "source_labels": ["tier"],
+                        "regex": "canary",
+                    },
+                    # rewrite the job and add a region label
+                    {
+                        "action": "replace",
+                        "target_label": "job",
+                        "replacement": "renamed",
+                    },
+                    {
+                        "action": "replace",
+                        "target_label": "region",
+                        "replacement": "eu",
+                    },
+                ],
+                "static_configs": [
+                    {
+                        "targets": [f"127.0.0.1:{exposition_port}"],
+                        "labels": {"tier": "prod"},
+                    },
+                    {
+                        "targets": ["127.0.0.1:1"],
+                        "labels": {"tier": "canary"},
+                    },
+                ],
+            }
+        ],
+    )
+    assert len(sc.targets) == 1 and len(sc.dropped) == 1
+    assert sc.dropped[0]["tier"] == "canary"
+    assert sc.dropped[0]["__address__"] == "127.0.0.1:1"
+    t = sc.targets[0]
+    assert t.job == "renamed"
+    assert t.labels["region"] == "eu"
+    assert t.labels["tier"] == "prod"
+    # discoveredLabels keep the PRE-relabel identity
+    assert t.discovered["job"] == "relab"
+    out = sc.targets_status()["data"]
+    assert len(out["droppedTargets"]) == 1
+    assert out["droppedTargets"][0]["discoveredLabels"]["tier"] == "canary"
+    sc.scrape_once()
+    rows = [r for df in captured for r in df.collect()]
+    sm = [r for r in rows if r["name"] == "scraped_metric"]
+    assert sm and all(r["labels"]["job"] == "renamed" for r in sm)
+    assert all(r["labels"]["region"] == "eu" for r in sm)
+
+
+def test_metric_relabel_and_sample_limit(spark, exposition_port):
+    """metric_relabel_configs apply after target labels attach;
+    sample_limit fails the whole scrape with the reference's message
+    (scrapework.go:556-562) and exposes scrape_samples_limit."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        [
+            {
+                "job_name": "mr",
+                "metric_relabel_configs": [
+                    {"action": "drop", "source_labels": ["foo"],
+                     "regex": "baz"},
+                ],
+                "static_configs": [
+                    {"targets": [f"127.0.0.1:{exposition_port}"]}
+                ],
+            },
+            {
+                "job_name": "lim",
+                "sample_limit": 1,  # exposition has 2 samples
+                "static_configs": [
+                    {"targets": [f"127.0.0.1:{exposition_port}"]}
+                ],
+            },
+        ],
+    )
+    sc.scrape_once()
+    st = {
+        t["scrapePool"]: t
+        for t in sc.targets_status()["data"]["activeTargets"]
+    }
+    # metric relabeling dropped the foo=baz series
+    assert st["mr"]["health"] == "up"
+    assert st["mr"]["lastSamplesScraped"] == 1
+    rows = [r for df in captured for r in df.collect()]
+    mr = [r for r in rows if r["name"] == "scraped_metric"
+          and r["labels"]["job"] == "mr"]
+    assert len(mr) == 1 and mr[0]["labels"]["foo"] == "bar"
+    # sample_limit target failed, nothing landed, message matches
+    assert st["lim"]["health"] == "down"
+    assert "exceeds sample_limit=1" in st["lim"]["lastError"]
+    assert not any(
+        r["name"] == "scraped_metric" and r["labels"]["job"] == "lim"
+        for r in rows
+    )
+    # auto metrics carry up=0 + the advertised limit
+    autos = {
+        r["name"]: r["value"] for r in rows
+        if r["labels"].get("job") == "lim"
+    }
+    assert autos["up"] == 0.0
+    assert autos["scrape_samples_limit"] == 1.0

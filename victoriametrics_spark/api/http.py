@@ -3226,12 +3226,18 @@ class IngestAPI:
         target_labels: dict,
         honor_labels: bool,
         ts_ms: int,
+        metric_relabel_configs: "list | None" = None,
+        sample_limit: int = 0,
+        scrape_url: str = "",
     ) -> int:
         """Scrape-body ingest (lib/promscrape/scrapework.go): the
         exposition parse of /api/v1/import/prometheus plus the target's
         identity labels — honor_labels=false renames clashing body
         labels to exported_<name> so the target's job/instance win;
-        honor_labels=true keeps body labels and only fills gaps."""
+        honor_labels=true keeps body labels and only fills gaps.
+        metric_relabel_configs apply AFTER the identity labels attach;
+        a post-relabel sample count above sample_limit fails the whole
+        scrape before anything lands (scrapework.go:556-562)."""
         from victoriametrics_spark.streaming import parsers as P
         from victoriametrics_spark.streaming.scraper import (
             ingest_scrape_labels,
@@ -3245,6 +3251,20 @@ class IngestAPI:
         df = df.withColumn(
             "labels", ingest_scrape_labels(target_labels, honor_labels)
         )
+        if metric_relabel_configs:
+            from victoriametrics_spark.streaming.relabel import relabel
+
+            df = relabel(df, metric_relabel_configs)
+            df = df.filter(F.coalesce(F.col("name"), F.lit("")) != "")
+        if sample_limit > 0:
+            n = df.count()
+            if n > sample_limit:
+                raise ValueError(
+                    f"the response from {scrape_url!r} exceeds "
+                    f"sample_limit={sample_limit}; either reduce the "
+                    "sample count for the target or increase "
+                    "sample_limit"
+                )
         return self._write_samples(df)
 
     def import_csv(

@@ -59,14 +59,16 @@ class ScrapeTarget:
         timeout_s: float,
         honor_labels: bool,
         labels: dict[str, str],
+        relabeled: "dict[str, str] | None" = None,
+        metric_relabel_configs: "list | None" = None,
+        sample_limit: int = 0,
     ):
         self.job = job
-        self.address = address
-        self.scheme = scheme
-        self.metrics_path = metrics_path
         self.interval_s = interval_s
         self.timeout_s = timeout_s
         self.honor_labels = honor_labels
+        self.metric_relabel_configs = metric_relabel_configs or []
+        self.sample_limit = int(sample_limit)
         # discovered labels (pre-relabel identity: __address__ etc.,
         # config.go:1388-1392)
         self.discovered = {
@@ -78,9 +80,25 @@ class ScrapeTarget:
             "job": job,
             **labels,
         }
-        # final identity labels: job + instance (defaulted to
-        # __address__, config.go:1333-1336) + static_config labels
-        self.labels = {"job": job, **labels}
+        # relabel_configs may rewrite the scrape identity
+        # (__address__/__scheme__/__metrics_path__/job) before
+        # finalization (config.go getScrapeWorkConfig → promrelabel)
+        eff = dict(relabeled) if relabeled is not None else dict(
+            self.discovered
+        )
+        self.address = address = eff.get("__address__", address)
+        self.scheme = scheme = eff.get("__scheme__", scheme)
+        self.metrics_path = metrics_path = eff.get(
+            "__metrics_path__", metrics_path
+        )
+        self.job = job = eff.get("job", job)
+        # final identity labels: FinalizeLabels drops __*-prefixed
+        # labels, instance defaults to __address__
+        # (config.go:1333-1336)
+        self.labels = {
+            k: v for k, v in eff.items() if not k.startswith("__")
+        }
+        self.labels.setdefault("job", job)
         if not self.labels.get("instance"):
             self.labels["instance"] = address
         path = metrics_path if metrics_path.startswith("/") else "/" + metrics_path
@@ -107,6 +125,10 @@ class Scraper:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._lock = threading.Lock()
+        # targets dropped by relabel_configs, reported at
+        # /api/v1/targets droppedTargets (WriteDroppedTargetsJSON,
+        # targetstatus.go:415-428: discoveredLabels only)
+        self.dropped: list[dict] = []
         for cfg in scrape_configs:
             job = cfg.get("job_name") or "unnamed"
             interval = _parse_duration_s(
@@ -120,18 +142,68 @@ class Scraper:
             scheme = cfg.get("scheme") or "http"
             path = cfg.get("metrics_path") or DEFAULT_METRICS_PATH
             honor = bool(cfg.get("honor_labels"))
+            relabel_rules = cfg.get("relabel_configs") or []
+            metric_rules = cfg.get("metric_relabel_configs") or []
+            sample_limit = int(cfg.get("sample_limit") or 0)
+            candidates = []
             for sc in cfg.get("static_configs", ()):
                 lbls = {
                     str(k): str(v)
                     for k, v in (sc.get("labels") or {}).items()
                 }
                 for addr in sc.get("targets", ()):
-                    self.targets.append(
+                    candidates.append(
                         ScrapeTarget(
                             job, str(addr), scheme, path, interval,
                             timeout, honor, lbls,
+                            metric_relabel_configs=metric_rules,
+                            sample_limit=sample_limit,
                         )
                     )
+            if not relabel_rules:
+                self.targets.extend(candidates)
+                continue
+            # target relabeling over ALL of this config's candidates in
+            # one frame (the same DSL samples relabel with); a candidate
+            # relabeled away becomes a droppedTarget, survivors rebuild
+            # their scrape identity from the relabeled label set
+            relabeled = self._target_relabel(candidates, relabel_rules)
+            for cand, out in zip(candidates, relabeled):
+                if out is None:
+                    self.dropped.append(dict(cand.discovered))
+                    continue
+                t = ScrapeTarget(
+                    cand.job, cand.discovered["__address__"],
+                    scheme, path, interval, timeout, honor, {},
+                    relabeled=out,
+                    metric_relabel_configs=metric_rules,
+                    sample_limit=sample_limit,
+                )
+                # discoveredLabels stay the PRE-relabel identity
+                # (Config.OriginalLabels in WriteActiveTargetsJSON)
+                t.discovered = dict(cand.discovered)
+                self.targets.append(t)
+
+    def _target_relabel(self, candidates, rules) -> "list[dict | None]":
+        """Apply relabel_configs to every candidate's discovered label
+        set in ONE Spark frame; None = target dropped by relabeling."""
+        from victoriametrics_spark.streaming.relabel import relabel
+
+        spark = self.ingest.spark
+        df = spark.createDataFrame(
+            [
+                (i, "", dict(c.discovered), 0, 0.0, False)
+                for i, c in enumerate(candidates)
+            ],
+            "idx long, name string, labels map<string,string>, "
+            "ts long, value double, is_stale boolean",
+        )
+        out = relabel(df, rules)
+        kept = {
+            r["idx"]: dict(r["labels"] or {})
+            for r in out.select("idx", "labels").collect()
+        }
+        return [kept.get(i) for i in range(len(candidates))]
 
     # ---------------------------------------------------------- scraping
     def _fetch(self, t: ScrapeTarget) -> str:
@@ -151,7 +223,10 @@ class Scraper:
         try:
             body = self._fetch(t)
             n = self.ingest.ingest_scrape(
-                body, t.labels, t.honor_labels, ts_ms
+                body, t.labels, t.honor_labels, ts_ms,
+                metric_relabel_configs=t.metric_relabel_configs,
+                sample_limit=t.sample_limit,
+                scrape_url=t.url,
             )
             dur = time.monotonic() - t0
             up, err, samples = True, "", int(n)
@@ -169,6 +244,10 @@ class Scraper:
             ("scrape_timeout_seconds", t.timeout_s),
             ("up", 1.0 if up else 0.0),
         ]
+        if t.sample_limit > 0:
+            # scrape_samples_limit is exposed when sample_limit is set
+            # (scrapework.go:1026-1029)
+            auto.insert(2, ("scrape_samples_limit", float(t.sample_limit)))
         lines = "\n".join(f"{name} {value:.10g}" for name, value in auto)
         try:
             self.ingest.ingest_scrape(lines, t.labels, False, ts_ms)
@@ -250,7 +329,12 @@ class Scraper:
                 )
         return {
             "status": "success",
-            "data": {"activeTargets": active, "droppedTargets": []},
+            "data": {
+                "activeTargets": active,
+                "droppedTargets": [
+                    {"discoveredLabels": dict(d)} for d in self.dropped
+                ],
+            },
         }
 
     def config_yaml(self) -> str:
