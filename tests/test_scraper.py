@@ -358,3 +358,54 @@ def test_metric_relabel_and_sample_limit(spark, exposition_port):
     }
     assert autos["up"] == 0.0
     assert autos["scrape_samples_limit"] == 1.0
+
+
+def test_global_config_section(spark, exposition_port):
+    """A full Prometheus-shaped config dict: global scrape_interval /
+    sample_limit defaults, global metric_relabel_configs prepended,
+    and external_labels attached at lowest precedence
+    (GlobalConfig, config.go:278-287,958-981)."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        {
+            "global": {
+                "scrape_interval": "5s",
+                "external_labels": {"cluster": "c1", "foo": "global"},
+                "metric_relabel_configs": [
+                    {"action": "drop_metrics", "regex": "scraped_dropme"},
+                ],
+            },
+            "scrape_configs": [
+                {
+                    "job_name": "g1",
+                    "static_configs": [
+                        {"targets": [f"127.0.0.1:{exposition_port}"]}
+                    ],
+                },
+                {
+                    "job_name": "g2",
+                    "scrape_interval": "1s",  # overrides global
+                    "static_configs": [
+                        {"targets": [f"127.0.0.1:{exposition_port}"]}
+                    ],
+                },
+            ],
+        },
+    )
+    assert sc.targets[0].interval_s == 5.0
+    assert sc.targets[1].interval_s == 1.0
+    sc.scrape_once()
+    rows = [r for df in captured for r in df.collect()]
+    sm = [r for r in rows if r["name"] == "scraped_metric"]
+    # external labels attach after relabeling with honor_labels
+    # duplicate handling (appendExtraLabels, scrapework.go:1202-1236):
+    # the body's clashing foo renames to exported_foo, external wins
+    assert sm and all(r["labels"]["cluster"] == "c1" for r in sm)
+    assert all(r["labels"]["foo"] == "global" for r in sm)
+    assert {r["labels"]["exported_foo"] for r in sm} == {"bar", "baz"}
+    # config yaml dump keeps the global section
+    assert "external_labels" in sc.config_yaml()

@@ -3229,6 +3229,7 @@ class IngestAPI:
         metric_relabel_configs: "list | None" = None,
         sample_limit: int = 0,
         scrape_url: str = "",
+        external_labels: "dict | None" = None,
     ) -> int:
         """Scrape-body ingest (lib/promscrape/scrapework.go): the
         exposition parse of /api/v1/import/prometheus plus the target's
@@ -3236,8 +3237,11 @@ class IngestAPI:
         labels to exported_<name> so the target's job/instance win;
         honor_labels=true keeps body labels and only fills gaps.
         metric_relabel_configs apply AFTER the identity labels attach;
-        a post-relabel sample count above sample_limit fails the whole
-        scrape before anything lands (scrapework.go:556-562)."""
+        global->external_labels attach after the relabeling with the
+        same honor_labels duplicate handling (scrapework.go:1159-1162,
+        appendExtraLabels); a post-relabel sample count above
+        sample_limit fails the whole scrape before anything lands
+        (scrapework.go:556-562)."""
         from victoriametrics_spark.streaming import parsers as P
         from victoriametrics_spark.streaming.scraper import (
             ingest_scrape_labels,
@@ -3256,6 +3260,11 @@ class IngestAPI:
 
             df = relabel(df, metric_relabel_configs)
             df = df.filter(F.coalesce(F.col("name"), F.lit("")) != "")
+        if external_labels:
+            df = df.withColumn(
+                "labels",
+                ingest_scrape_labels(external_labels, honor_labels),
+            )
         if sample_limit > 0:
             n = df.count()
             if n > sample_limit:

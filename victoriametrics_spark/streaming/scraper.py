@@ -118,6 +118,13 @@ class Scraper:
     analog, app/victoria-metrics/main.go promscrape.Init)."""
 
     def __init__(self, ingest_api, scrape_configs, now_ms_fn=None):
+        """``scrape_configs``: a list of scrape-config dicts, or a full
+        Prometheus-shaped config dict with a ``global`` section
+        (GlobalConfig, config.go:278-287): global
+        scrape_interval/scrape_timeout/sample_limit defaults,
+        relabel_configs/metric_relabel_configs prepended to every
+        job's own (config.go:958-972), and external_labels attached
+        to every scraped sample at lowest precedence."""
         self.ingest = ingest_api
         self.now_ms = now_ms_fn or (lambda: int(time.time() * 1000))
         self.targets: list[ScrapeTarget] = []
@@ -125,26 +132,45 @@ class Scraper:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._lock = threading.Lock()
+        if isinstance(scrape_configs, dict):
+            g = scrape_configs.get("global") or {}
+            cfg_list = scrape_configs.get("scrape_configs") or []
+        else:
+            g, cfg_list = {}, scrape_configs
+        g_interval = _parse_duration_s(
+            g.get("scrape_interval"), DEFAULT_SCRAPE_INTERVAL_S
+        )
+        g_timeout = _parse_duration_s(g.get("scrape_timeout"), 10.0)
+        g_sample_limit = int(g.get("sample_limit") or 0)
+        g_relabel = g.get("relabel_configs") or []
+        g_metric_relabel = g.get("metric_relabel_configs") or []
+        self.external_labels = {
+            str(k): str(v)
+            for k, v in (g.get("external_labels") or {}).items()
+        }
         # targets dropped by relabel_configs, reported at
         # /api/v1/targets droppedTargets (WriteDroppedTargetsJSON,
         # targetstatus.go:415-428: discoveredLabels only)
         self.dropped: list[dict] = []
-        for cfg in scrape_configs:
+        for cfg in cfg_list:
             job = cfg.get("job_name") or "unnamed"
             interval = _parse_duration_s(
-                cfg.get("scrape_interval"), DEFAULT_SCRAPE_INTERVAL_S
+                cfg.get("scrape_interval"), g_interval
             )
             # Prometheus clamps scrape_timeout to scrape_interval
             # (config.go:916)
             timeout = min(
-                _parse_duration_s(cfg.get("scrape_timeout"), 10.0), interval
+                _parse_duration_s(cfg.get("scrape_timeout"), g_timeout),
+                interval,
             )
             scheme = cfg.get("scheme") or "http"
             path = cfg.get("metrics_path") or DEFAULT_METRICS_PATH
             honor = bool(cfg.get("honor_labels"))
-            relabel_rules = cfg.get("relabel_configs") or []
-            metric_rules = cfg.get("metric_relabel_configs") or []
-            sample_limit = int(cfg.get("sample_limit") or 0)
+            relabel_rules = g_relabel + (cfg.get("relabel_configs") or [])
+            metric_rules = g_metric_relabel + (
+                cfg.get("metric_relabel_configs") or []
+            )
+            sample_limit = int(cfg.get("sample_limit") or g_sample_limit)
             candidates = []
             for sc in cfg.get("static_configs", ()):
                 lbls = {
@@ -227,6 +253,7 @@ class Scraper:
                 metric_relabel_configs=t.metric_relabel_configs,
                 sample_limit=t.sample_limit,
                 scrape_url=t.url,
+                external_labels=self.external_labels,
             )
             dur = time.monotonic() - t0
             up, err, samples = True, "", int(n)
@@ -250,7 +277,10 @@ class Scraper:
             auto.insert(2, ("scrape_samples_limit", float(t.sample_limit)))
         lines = "\n".join(f"{name} {value:.10g}" for name, value in auto)
         try:
-            self.ingest.ingest_scrape(lines, t.labels, False, ts_ms)
+            self.ingest.ingest_scrape(
+                lines, t.labels, False, ts_ms,
+                external_labels=self.external_labels,
+            )
         except Exception:
             pass  # auto-metrics are best-effort
         with self._lock:
@@ -342,9 +372,12 @@ class Scraper:
         /config (vminsert main.go:351)."""
         import yaml
 
-        return yaml.safe_dump(
-            {"scrape_configs": self._configs}, sort_keys=False
+        cfg = (
+            self._configs
+            if isinstance(self._configs, dict)
+            else {"scrape_configs": self._configs}
         )
+        return yaml.safe_dump(cfg, sort_keys=False)
 
 
 def ingest_scrape_labels(target_labels: dict, honor_labels: bool):
