@@ -2193,3 +2193,32 @@ def test_downsampling_filters_debug(spark):
         ]
     finally:
         srv.shutdown()
+
+
+def test_instant_rollup_delegates_to_range(api):
+    """query=expr[w:s] on /api/v1/query runs the wrapped expression as
+    a RANGE query over [time−offset−w, time−offset] at the subquery
+    step and returns a matrix (QueryHandler IsRollup branch,
+    prometheus.go:834-853); a bare selector[w] still takes the
+    raw-export shortcut, and plain expressions stay vectors."""
+    out = api.query("avg_over_time(temp[400s])[1000s:200s]", time="2000")
+    assert out["data"]["resultType"] == "matrix"
+    (r,) = out["data"]["result"]
+    assert [v[0] for v in r["values"]] == [
+        1000.0, 1200.0, 1400.0, 1600.0, 1800.0, 2000.0
+    ]
+    # offset shifts the whole window
+    off = api.query(
+        "avg_over_time(temp[400s])[400s:200s] offset 200s", time="2000"
+    )
+    (ro,) = off["data"]["result"]
+    assert [v[0] for v in ro["values"]] == [1400.0, 1600.0, 1800.0]
+    # values match the same expression via query_range directly
+    rng = api.query_range(
+        "avg_over_time(temp[400s])", "1000", "2000", "200"
+    )
+    assert r["values"] == rng["data"]["result"][0]["values"]
+    # plain instant queries remain vectors
+    assert (
+        api.query("temp", time="1500")["data"]["resultType"] == "vector"
+    )

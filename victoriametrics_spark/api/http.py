@@ -700,6 +700,15 @@ class PromAPI:
         raw = self._instant_selector_rollup(query, t_ms, step_ms, enforced)
         if raw is not None:
             return raw
+        # `expr[w:s]` instant queries delegate to a RANGE evaluation of
+        # the wrapped expression over [time−offset−w, time−offset] and
+        # return a matrix (IsRollup path, prometheus.go:834-853)
+        rng = self._instant_rollup_range(
+            query, t_ms, step_ms, trace, enforced, max_lookback,
+            timeout, latency_offset, may_cache, round_digits,
+        )
+        if rng is not None:
+            return rng
         # evaluation times within latencyOffset of now are pulled back
         # to ct − offset (samples there may be incomplete), then result
         # timestamps are shifted forward to the requested time
@@ -742,6 +751,61 @@ class PromAPI:
         if tracer:
             out["trace"] = tracer.to_dict()
         return out
+
+    def _instant_rollup_range(
+        self,
+        query: str,
+        t_ms: int,
+        step_ms: int,
+        trace: bool,
+        enforced: tuple,
+        max_lookback: str | None,
+        timeout: str | None,
+        latency_offset: str | None,
+        may_cache: bool,
+        round_digits: int,
+    ) -> "dict | None":
+        """Instant query of a top-level ``expr[window:step]`` rollup:
+        the reference (QueryHandler IsRollup branch,
+        prometheus.go:834-853) runs the WRAPPED expression as a range
+        query over [time−offset−window, time−offset] at the subquery
+        step and returns a matrix. Returns None when the query isn't
+        of that shape (the selector-without-step shape is handled by
+        _instant_selector_rollup first, like the reference's
+        IsMetricSelectorWithRollup precedence)."""
+        from victoriametrics_spark.metricsql import parse
+        from victoriametrics_spark.metricsql.ast import RollupExpr
+        from victoriametrics_spark.metricsql.serialize import (
+            to_query_string,
+        )
+
+        try:
+            e = parse(query)
+        except Exception:
+            return None
+        if not (isinstance(e, RollupExpr) and e.window is not None):
+            return None
+        child = to_query_string(e.expr)
+        new_step = e.step.ms(step_ms) if e.step is not None else 0
+        if new_step > 0:
+            step_ms = new_step
+        window_ms = e.window.ms(step_ms)
+        offset_ms = e.offset.ms(step_ms) if e.offset is not None else 0
+        end = t_ms - offset_ms
+        start = end - window_ms
+        return self.query_range(
+            child,
+            str(start / 1000.0),
+            str(end / 1000.0),
+            str(step_ms / 1000.0),
+            trace=trace,
+            enforced=enforced,
+            max_lookback=max_lookback,
+            may_cache=may_cache,
+            timeout=timeout,
+            latency_offset=latency_offset,
+            round_digits=round_digits,
+        )
 
     def _instant_selector_rollup(
         self, query: str, t_ms: int, step_ms: int, enforced: tuple
