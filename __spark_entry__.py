@@ -3458,6 +3458,7 @@ _DRIVER_PRIORITY = [
     "mq_subquery_maxavg",
     "op_doc_tfidf_terms",
     "op_doc_dsir_weights",
+    "op_doc_ccnet_buckets",
     # (b) verdict-named refreshes (newest driver verdict r8)
     "mq_at_modifier",
     "op_streamaggr_outputs",
@@ -3936,6 +3937,45 @@ SELECT tok.doc_id,
        ), 6) AS log_weight
 FROM tok LEFT JOIN v USING (t) CROSS JOIN n
 GROUP BY tok.doc_id""",
+)
+
+
+def _doc_ccnet_buckets(spark, sf_dir, load):
+    """CCNet per-language head/middle/tail quality terciles
+    (operators/text.py ccnet_quality_buckets, Wenzek et al. 2020
+    §4.3): unigram-LM score ranked within each lang, ntile(3)."""
+    from victoriametrics_spark.operators.text import ccnet_quality_buckets
+
+    return ccnet_quality_buckets(load(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_ccnet_buckets",
+    _op(_doc_ccnet_buckets),
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+v AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 1000),
+n AS (SELECT sum(c) AS n_total, count(*) AS vs FROM v),
+scored AS (
+    SELECT tok.doc_id,
+           round(avg(-ln((coalesce(v.c, 0) + 1) / (n.n_total + n.vs))), 6)
+               AS logprob_score
+    FROM tok LEFT JOIN v USING (t) CROSS JOIN n
+    GROUP BY tok.doc_id
+),
+ranked AS (
+    SELECT s.doc_id, d.lang, s.logprob_score,
+           ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.logprob_score ASC, s.doc_id ASC
+           ) AS tile
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, logprob_score,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked""",
 )
 
 

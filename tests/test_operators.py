@@ -968,3 +968,33 @@ def test_dsir_log_weights(spark):
     # target-like docs outrank raw-typical docs
     assert out[1]["log_weight"] > out[2]["log_weight"] > out[3]["log_weight"]
     assert out[1]["n_tokens"] == 2
+
+
+def test_ccnet_quality_buckets(spark):
+    """Per-language terciles: head = lowest LM score within its lang;
+    languages bucket independently; terciles are equal-sized."""
+    from victoriametrics_spark.operators.text import ccnet_quality_buckets
+
+    rows = []
+    # lang A: 6 docs of decreasing corpus-typicality
+    common = "the quick brown fox jumps over the lazy dog"
+    for i in range(6):
+        text = " ".join([common] * (6 - i) + [f"rare{i}"] * i)
+        rows.append((i, "a", text))
+    # lang B: 3 docs
+    for i in range(3):
+        rows.append((10 + i, "b", common + f" odd{i}" * i))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = ccnet_quality_buckets(df, vocab_size=50).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    a = sorted(by_lang["a"], key=lambda r: r["logprob_score"])
+    # equal terciles in rank order
+    assert [r["bucket"] for r in a] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    b = sorted(by_lang["b"], key=lambda r: r["logprob_score"])
+    assert [r["bucket"] for r in b] == ["head", "middle", "tail"]
+    # the most corpus-typical doc of lang a is head
+    assert a[0]["doc_id"] == 0

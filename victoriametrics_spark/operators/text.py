@@ -744,3 +744,45 @@ def dsir_log_weights(
             F.round(F.sum(lp_t - lp_raw), 6).alias("log_weight"),
         )
     )
+
+
+def ccnet_quality_buckets(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's per-language quality bucketing (Wenzek et al. 2020 §4.3,
+    arXiv:1911.00359): docs rank by corpus-LM score WITHIN each
+    language and split into equal head/middle/tail terciles — head =
+    lowest perplexity (most Wikipedia-like), the slice usually kept
+    for pretraining. The LM is the same smoothed unigram fit as
+    unigram_logprob_score; ranking uses the 6-decimal-rounded score
+    with id tie-break so the split is reproducible. Returns
+    (id, lang, logprob_score, bucket ∈ head|middle|tail).
+
+    Shape for 100 TB: scoring is the unigram two-pass (broadcast
+    vocabulary, shuffle = one row per doc); the tercile is one rank
+    window PER LANGUAGE — languages rank in parallel, each window
+    sees only its language's (doc, score) rows, presentation-thin
+    next to the token stream. At extreme per-language cardinality
+    swap the exact ntile for approx-percentile thresholds; the gate
+    keeps the exact rank for oracle parity."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob_score(
+        df, vocab_size=vocab_size, id_col=id_col, text_col=text_col
+    ).join(df.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("logprob_score").asc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        id_col, lang_col, "logprob_score", bucket.alias("bucket")
+    )
