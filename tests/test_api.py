@@ -2222,3 +2222,15 @@ def test_instant_rollup_delegates_to_range(api):
     assert (
         api.query("temp", time="1500")["data"]["resultType"] == "vector"
     )
+
+
+def test_instant_rollup_at_modifier_not_hijacked(api):
+    """expr[w] @ ts keeps its pinned-evaluation semantics through the
+    full evaluator (a deliberate deviation: the reference's IsRollup
+    childQuery serialization silently drops @) — the range delegation
+    must decline @-modified rollups."""
+    out = api.query("last_over_time(temp[400s] @ 1000)", time="2000")
+    assert out["data"]["resultType"] == "vector"
+    (r,) = out["data"]["result"]
+    # pinned at t=1000s: sample @1.0Ms = 20 + 10
+    assert float(r["value"][1]) == 30.0

@@ -344,9 +344,12 @@ def test_metric_relabel_and_sample_limit(spark, exposition_port):
     mr = [r for r in rows if r["name"] == "scraped_metric"
           and r["labels"]["job"] == "mr"]
     assert len(mr) == 1 and mr[0]["labels"]["foo"] == "bar"
-    # sample_limit target failed, nothing landed, message matches
+    # sample_limit target failed, nothing landed, message matches;
+    # the REAL parsed count still reports (reference computes
+    # samplesScraped before the limit check)
     assert st["lim"]["health"] == "down"
     assert "exceeds sample_limit=1" in st["lim"]["lastError"]
+    assert st["lim"]["lastSamplesScraped"] == 2
     assert not any(
         r["name"] == "scraped_metric" and r["labels"]["job"] == "lim"
         for r in rows

@@ -772,7 +772,12 @@ class PromAPI:
         step and returns a matrix. Returns None when the query isn't
         of that shape (the selector-without-step shape is handled by
         _instant_selector_rollup first, like the reference's
-        IsMetricSelectorWithRollup precedence)."""
+        IsMetricSelectorWithRollup precedence). `@`-modified rollups
+        fall through to the full evaluator — the reference's IsRollup
+        serialization silently DROPS the @ timestamp (re.Expr skips
+        RollupExpr fields); here @ keeps its documented pinned-eval
+        semantics (same deliberate deviation as
+        _instant_selector_rollup, backed by the mq_at_modifier gate)."""
         from victoriametrics_spark.metricsql import parse
         from victoriametrics_spark.metricsql.ast import RollupExpr
         from victoriametrics_spark.metricsql.serialize import (
@@ -783,7 +788,11 @@ class PromAPI:
             e = parse(query)
         except Exception:
             return None
-        if not (isinstance(e, RollupExpr) and e.window is not None):
+        if not (
+            isinstance(e, RollupExpr)
+            and e.window is not None
+            and e.at is None
+        ):
             return None
         child = to_query_string(e.expr)
         new_step = e.step.ms(step_ms) if e.step is not None else 0
@@ -2947,6 +2956,17 @@ class GraphiteBrowseAPI:
         return canonical
 
 
+class SampleLimitError(ValueError):
+    """A scrape whose post-relabel sample count exceeds sample_limit
+    (scrapework.go:556-562); carries the real parsed count so the
+    scraper can still report scrape_samples_scraped like the
+    reference."""
+
+    def __init__(self, msg: str, samples: int = 0):
+        super().__init__(msg)
+        self.samples = int(samples)
+
+
 class IngestAPI:
     """Write-side API — the vminsert surface (app/vminsert/main.go
     request routing) over the existing streaming parsers, appending into
@@ -3330,13 +3350,18 @@ class IngestAPI:
                 ingest_scrape_labels(external_labels, honor_labels),
             )
         if sample_limit > 0:
+            # materialize once — the limit check and the write share
+            # the same executor-cached rows instead of running the
+            # parse+relabel pipeline twice per scrape
+            df = df.localCheckpoint(eager=True)
             n = df.count()
             if n > sample_limit:
-                raise ValueError(
+                raise SampleLimitError(
                     f"the response from {scrape_url!r} exceeds "
                     f"sample_limit={sample_limit}; either reduce the "
                     "sample count for the target or increase "
-                    "sample_limit"
+                    "sample_limit",
+                    samples=n,
                 )
         return self._write_samples(df)
 

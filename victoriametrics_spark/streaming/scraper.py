@@ -64,6 +64,10 @@ class ScrapeTarget:
         sample_limit: int = 0,
     ):
         self.job = job
+        # the scrape pool stays the CONFIG's job_name even when
+        # relabel_configs rewrite the job label (jobNameOriginal,
+        # targetstatus.go:262)
+        self.pool = job
         self.interval_s = interval_s
         self.timeout_s = timeout_s
         self.honor_labels = honor_labels
@@ -212,7 +216,15 @@ class Scraper:
 
     def _target_relabel(self, candidates, rules) -> "list[dict | None]":
         """Apply relabel_configs to every candidate's discovered label
-        set in ONE Spark frame; None = target dropped by relabeling."""
+        set in ONE Spark frame; None = target dropped by relabeling.
+
+        Deliberately Spark-backed even though the candidate list is
+        driver-sized: the 18-action relabel DSL lives as Column
+        expressions (streaming/relabel.py), and re-implementing it
+        driver-side would fork the semantics the samples path is
+        tested against. Cost: one Spark job at construction per
+        relabeled scrape_config — static configs resolve once, never
+        per scrape."""
         from victoriametrics_spark.streaming.relabel import relabel
 
         spark = self.ingest.spark
@@ -259,7 +271,10 @@ class Scraper:
             up, err, samples = True, "", int(n)
         except Exception as e:  # noqa: BLE001 — any failure = target down
             dur = time.monotonic() - t0
-            up, err, samples = False, str(e), 0
+            # a sample_limit breach still reports the REAL parsed count
+            # (the reference computes samplesScraped before the check)
+            up, err = False, str(e)
+            samples = int(getattr(e, "samples", 0))
         # auto-metrics ride the normal ingest path with the target's
         # identity labels (scrapework.go addAutoMetrics; the subset
         # that doesn't require relabel/series-limit state) — ingested
@@ -348,7 +363,7 @@ class Scraper:
                     {
                         "discoveredLabels": dict(t.discovered),
                         "labels": dict(t.labels),
-                        "scrapePool": t.job,
+                        "scrapePool": t.pool,
                         "scrapeUrl": t.url,
                         "lastError": t.last_error,
                         "lastScrape": last,
