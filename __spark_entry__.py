@@ -3459,6 +3459,11 @@ _DRIVER_PRIORITY = [
     "op_doc_tfidf_terms",
     "op_doc_dsir_weights",
     "op_doc_ccnet_buckets",
+    "op_doc_temperature_sample",
+    "op_doc_char_entropy",
+    "op_doc_bigram_lm",
+    "op_emb_cluster_stats",
+    "op_mm_audio_windows",
     # (b) verdict-named refreshes (newest driver verdict r8)
     "mq_at_modifier",
     "op_streamaggr_outputs",
@@ -4130,6 +4135,207 @@ SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
         AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8
         AND stopword_hits >= 2) AS keep_doc
 FROM m""",
+)
+
+
+# ----------------------------------------------------- round-10b gates
+
+
+def _doc_temperature_sample(spark, sf_dir, load):
+    """Temperature-based multilingual sampling (operators/text.py
+    temperature_sample, the mC4/XLM-R alpha=0.3 mixing rule): keep rate
+    per language = alpha-scaled corpus share normalized to the largest
+    language; md5-threshold keep decision recomputed by the oracle."""
+    from victoriametrics_spark.operators.text import temperature_sample
+
+    out = temperature_sample(load(spark, sf_dir, "documents"), alpha=0.3)
+    return out.select("doc_id", "lang", "keep_rate")
+
+
+_reg(
+    "op_doc_temperature_sample",
+    _op(_doc_temperature_sample),
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS total FROM c),
+r0 AS (SELECT lang, pow(n * 1.0 / t.total, 0.3) AS pw FROM c CROSS JOIN t),
+r AS (SELECT lang, round(pw / (SELECT max(pw) FROM r0), 6) AS rate FROM r0),
+thr AS (
+    SELECT lang, rate,
+           CASE WHEN CAST(floor(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+                ELSE printf('%04x', CAST(floor(rate * 65536) AS BIGINT))
+           END AS thr
+    FROM r
+)
+SELECT d.doc_id, d.lang, thr.rate AS keep_rate
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr""",
+)
+
+
+def _doc_char_entropy(spark, sf_dir, load):
+    """Character-entropy quality signal (operators/text.py
+    char_entropy): per-doc Shannon entropy over code points, the
+    gibberish/encoding-noise detector; zero-shuffle Arrow pass."""
+    from victoriametrics_spark.operators.text import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_char_entropy",
+    _op(_doc_char_entropy),
+    """
+WITH ch AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+               i -> substr(text, i, 1))) AS c
+    FROM documents WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(k) AS n, count(*) AS u FROM cc GROUP BY 1)
+SELECT cc.doc_id,
+       CAST(any_value(n.n) AS BIGINT) AS n_chars,
+       CAST(any_value(n.u) AS BIGINT) AS n_unique_chars,
+       round(sum(-(k * 1.0 / n.n) * log2(k * 1.0 / n.n) ORDER BY cc.c), 6)
+           AS entropy_bits
+FROM cc JOIN n USING (doc_id)
+GROUP BY cc.doc_id""",
+)
+
+
+def _doc_bigram_lm(spark, sf_dir, load):
+    """Interpolated-bigram corpus-LM scoring (operators/text.py
+    bigram_logprob_score — the KenLM-interpolation stand-in one order
+    above the unigram gate); the oracle refits the identical LM
+    (same vocabulary tie-break, same Laplace smoothing, same
+    in-vocab-only bigram table)."""
+    from victoriametrics_spark.operators.text import bigram_logprob_score
+
+    return bigram_logprob_score(
+        load(spark, sf_dir, "documents"), vocab_size=1000, lam=0.9
+    )
+
+
+_reg(
+    "op_doc_bigram_lm",
+    _op(_doc_bigram_lm),
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+c AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+v AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 1000),
+n AS (SELECT sum(c) AS n_total, count(*) AS vs FROM v),
+tw AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+pairs AS (
+    SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                   i -> struct_pack(prev := w[i], cur := w[i + 1]))) AS u
+        FROM tw WHERE len(w) >= 2
+    )
+),
+bic AS (
+    SELECT prev, cur, count(*) AS cbi
+    FROM pairs
+    JOIN v vp ON vp.t = pairs.prev
+    JOIN v vc ON vc.t = pairs.cur
+    GROUP BY 1, 2
+)
+SELECT pairs.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(
+           0.9 * (coalesce(bic.cbi, 0) + 1)
+               / (coalesce(vp.c, 0) + n.vs)
+           + (1 - 0.9) * (coalesce(vc.c, 0) + 1)
+               / (n.n_total + n.vs))), 6) AS bigram_score
+FROM pairs
+LEFT JOIN v vp ON vp.t = pairs.prev
+LEFT JOIN v vc ON vc.t = pairs.cur
+LEFT JOIN bic ON bic.prev = pairs.prev AND bic.cur = pairs.cur
+CROSS JOIN n
+GROUP BY pairs.doc_id""",
+)
+
+
+def _emb_cluster_stats(spark, sf_dir, load):
+    """Per-cluster embedding diagnostics (operators/knn.py
+    cluster_stats): member count, centroid norm, mean member→centroid
+    cosine, inertia — the post-clustering health check. The oracle
+    recomputes the centroids and every distance itself."""
+    from victoriametrics_spark.operators.knn import cluster_stats
+
+    return cluster_stats(load(spark, sf_dir, "embeddings"))
+
+
+_reg(
+    "op_emb_cluster_stats",
+    _op(_emb_cluster_stats),
+    """
+WITH pos AS (
+    SELECT label, vec_id, u.i AS i, u.v AS v
+    FROM (
+        SELECT label, vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(i := i,
+                                    v := CAST(embedding[i] AS DOUBLE)))) AS u
+        FROM embeddings
+    )
+),
+cent AS (SELECT label, i, avg(v) AS c FROM pos GROUP BY 1, 2),
+per AS (
+    SELECT p.label, p.vec_id,
+           sum(p.v * c.c ORDER BY p.i) AS dot,
+           sum(p.v * p.v ORDER BY p.i) AS vsq,
+           sum(c.c * c.c ORDER BY p.i) AS csq,
+           sum((p.v - c.c) * (p.v - c.c) ORDER BY p.i) AS sqd
+    FROM pos p JOIN cent c ON c.label = p.label AND c.i = p.i
+    GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(sqrt(any_value(csq)), 6) AS centroid_norm,
+       round(avg(dot / (sqrt(vsq) * sqrt(csq))), 6) AS mean_cosine,
+       round(avg(sqd), 6) AS inertia
+FROM per GROUP BY label""",
+)
+
+
+def _mm_audio_windows(spark, sf_dir, load):
+    """Windowed audio RMS/silence features (operators/multimodal.py
+    audio_energy_windows): the VAD-style energy pass over the fake-PCM
+    decode — window sums are exact integers in double so the gate is
+    bit-exact, not merely round-stable."""
+    from victoriametrics_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    return audio_energy_windows(
+        _mm_media(spark, sf_dir, load), window=16, silence_rms=32.0
+    )
+
+
+_reg(
+    "op_mm_audio_windows",
+    _op(_mm_audio_windows),
+    """
+WITH a AS (
+    SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+    SELECT media_id, (u.i - 1) // 16 AS window_idx,
+           ((u.cp % 256) - 128) AS pcm
+    FROM (
+        SELECT media_id,
+               unnest(list_transform(range(1, length(text) + 1),
+                   i -> struct_pack(i := i,
+                                    cp := unicode(substr(text, i, 1))))) AS u
+        FROM a WHERE length(text) > 0
+    )
+)
+SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sqrt(sum(pcm * pcm * 1.0) / count(*)), 6) AS rms,
+       (sqrt(sum(pcm * pcm * 1.0) / count(*)) < 32.0) AS is_silence
+FROM s GROUP BY 1, 2""",
 )
 
 

@@ -998,3 +998,143 @@ def test_ccnet_quality_buckets(spark):
     assert [r["bucket"] for r in b] == ["head", "middle", "tail"]
     # the most corpus-typical doc of lang a is head
     assert a[0]["doc_id"] == 0
+
+
+def test_temperature_sample_rates(spark):
+    """alpha=1 keeps every row of the biggest stratum and exact shares
+    of the rest; alpha→0 pushes every rate to 1 (uniform mixing);
+    rates follow (p^alpha)/max(p^alpha) hand-computed."""
+    import math
+
+    from victoriametrics_spark.operators.text import temperature_sample
+
+    rows = [(i, "en") for i in range(90)] + [(i + 100, "fr") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    out = temperature_sample(df, alpha=0.3, strata_col="lang")
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    exp_fr = math.floor((0.1**0.3) / (0.9**0.3) * 1e6 + 0.5) / 1e6
+    assert rates["en"] == 1.0
+    assert rates["fr"] == pytest.approx(exp_fr, abs=1e-9)
+    # en keeps everything at rate 1.0 (the 'g' sentinel threshold)
+    assert out.filter(F.col("lang") == "en").count() == 90
+
+    # the fr keep-set is exactly the ids whose md5 prefix clears the
+    # alpha-scaled threshold (recomputed here with hashlib)
+    import hashlib
+
+    thr = format(int(exp_fr * 65536), "04x")
+    exp_kept = {
+        i + 100
+        for i in range(10)
+        if hashlib.md5(str(i + 100).encode()).hexdigest()[:4] < thr
+    }
+    got_kept = {
+        r["doc_id"] for r in out.filter(F.col("lang") == "fr").collect()
+    }
+    assert got_kept == exp_kept and exp_kept
+
+
+def test_char_entropy_known_values(spark):
+    """Single-char doc → 0 bits; uniform 4-char alphabet → 2 bits;
+    empty doc produces no row."""
+    from victoriametrics_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, ""), (4, "aabb")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["entropy_bits"] == 0.0
+    assert out[1]["n_chars"] == 4 and out[1]["n_unique_chars"] == 1
+    assert out[2]["entropy_bits"] == 2.0
+    assert out[4]["entropy_bits"] == 1.0
+
+
+def test_bigram_logprob_score(spark):
+    """Hand-checked interpolated score on a 2-doc corpus; docs with
+    <2 tokens produce no row; repeated-bigram docs score lower than
+    novel-bigram docs."""
+    import math
+
+    from victoriametrics_spark.operators.text import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a c"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    # corpus tokens: a×4 b×3 c×1 x×1 → vocab_size=2 keeps {a:4, b:3},
+    # N=7, V=2. In-vocab bigrams: (a,b)×3, (b,a)×2.
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob_score(df, vocab_size=2, lam=0.5).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 1
+
+    def term(cbi, cprev, ccur):
+        p_bi = (cbi + 1) / (cprev + 2)
+        p_uni = (ccur + 1) / (7 + 2)
+        return -math.log(0.5 * p_bi + 0.5 * p_uni)
+
+    exp1 = (3 * term(3, 4, 3) + 2 * term(2, 3, 4)) / 5
+    exp2 = term(0, 4, 0)  # (a,c): c OOV → cbi=0, ccur=0
+    assert out[1]["bigram_score"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["bigram_score"] == pytest.approx(exp2, abs=1e-6)
+    assert out[1]["bigram_score"] < out[2]["bigram_score"]
+
+
+def test_cluster_stats_synthetic(spark):
+    """Two separable clusters: tight cluster → cosine 1 / inertia 0;
+    symmetric pair → centroid mid-point, hand-checked inertia."""
+    from victoriametrics_spark.operators.knn import cluster_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 2.0], 1),
+            (4, [2.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in cluster_stats(df).collect()}
+    assert out[0]["n"] == 2 and out[1]["n"] == 2
+    assert out[0]["mean_cosine"] == 1.0
+    assert out[0]["inertia"] == 0.0
+    assert out[0]["centroid_norm"] == 1.0
+    # cluster 1: centroid (1,1), norm sqrt(2); each member sqdist = 1+1
+    assert out[1]["centroid_norm"] == pytest.approx(2**0.5, abs=1e-6)
+    assert out[1]["inertia"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_audio_energy_windows(spark):
+    """Fake-PCM windows: code points map to centered samples, windows
+    tile the clip, last partial window keeps its true length, silence
+    flags follow the RMS threshold; non-audio rows drop out."""
+    import math
+
+    from victoriametrics_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    # 'A' = 65 → sample -63; chr(128) = sample 0 (silence)
+    clip = "A" * 16 + chr(128) * 16 + "A" * 4
+    df = spark.createDataFrame(
+        [(1, "audio", clip.encode()), (2, "image", b"xxxx")],
+        "media_id long, kind string, content binary",
+    )
+    out = {
+        r["window_idx"]: r
+        for r in audio_energy_windows(df, window=16, silence_rms=32.0).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert all(r["media_id"] == 1 for r in out.values())
+    assert out[0]["n_samples"] == 16 and out[2]["n_samples"] == 4
+    assert out[0]["rms"] == 63.0 and not out[0]["is_silence"]
+    assert out[1]["rms"] == 0.0 and out[1]["is_silence"]
+    assert out[2]["rms"] == 63.0

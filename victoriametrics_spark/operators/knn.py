@@ -640,3 +640,87 @@ def ivf_index_knn_threshold(
     probe_ids = _probe_cells(centroids, query, n_probe)
     cand = spark.table(table).filter(F.col("cell").isin(probe_ids))
     return knn_threshold(cand, query, tau, vec_col, id_col)
+
+
+def cluster_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-cluster embedding diagnostics — the health check run after
+    any clustering / IVF-build step (and the per-source drift monitor
+    of an embedding pipeline): for each cluster label, the member
+    count, the L2 norm of the centroid, the mean cosine of members to
+    their centroid (cohesion), and the inertia (mean squared L2
+    distance to the centroid — the k-means objective per member).
+    All values rounded to 6 decimals. Returns
+    (label, n, centroid_norm, mean_cosine, inertia).
+
+    Shape for 100 TB: pass 1 computes the centroid as ``dim``
+    per-dimension avg aggregates in ONE keyed aggregation (map-side
+    partials; shuffle = #labels × dim fixed-width doubles); centroids
+    (#labels rows) are collected like IVF centroids and rebroadcast;
+    pass 2 is a map-only broadcast-join + one #labels-row aggregation.
+    Vectors never shuffle."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = int(first[0]) if first else 0
+    cent_rows = (
+        df.groupBy(label_col)
+        .agg(
+            F.count("*").alias("__n"),
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                    f"__c{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (r[label_col], r["__n"], [float(r[f"__c{i}"]) for i in range(dim)])
+            for r in cent_rows
+        ],
+        f"{label_col} int, __n long, __cent array<double>",
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, F.col("__cent"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.col("__cent"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(v, F.col("__cent"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.join(F.broadcast(cent), label_col)
+        .groupBy(label_col, "__n")
+        .agg(
+            F.round(F.avg(F.try_divide(dot, vnorm * cnorm)), 6).alias(
+                "__mean_cos"
+            ),
+            F.round(F.avg(sqd), 6).alias("__inertia"),
+            F.round(F.first(cnorm), 6).alias("__cnorm"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("__n").cast("long").alias("n"),
+            F.col("__cnorm").alias("centroid_norm"),
+            F.col("__mean_cos").alias("mean_cosine"),
+            F.col("__inertia").alias("inertia"),
+        )
+    )

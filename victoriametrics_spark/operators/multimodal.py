@@ -354,3 +354,83 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(idx).alias("frame_idx"),
     )
+
+
+def audio_energy_windows(
+    df: DataFrame, window: int = 16, silence_rms: float = 32.0
+) -> DataFrame:
+    """Windowed audio energy (RMS) + silence detection — the
+    feature-extraction step of an audio training-data pipeline
+    (VAD-style silence trimming / energy filtering before ASR).
+
+    The codec step is a DETERMINISTIC FAKE (this container ships no
+    audio libs): content bytes decode as UTF-8 and each code point
+    maps to one centered 8-bit sample ``(cp % 256) - 128``; a real
+    deployment swaps ``_fake_pcm`` for an ffmpeg/soundfile decode with
+    the identical (media_id, window_idx, n_samples, rms, is_silence)
+    frame contract. Everything around the fake is the real 100 TB
+    shape: audio rows only (kind filter pushed to the scan), ONE
+    Arrow-batched ``mapInPandas`` pass per partition — windows of one
+    clip never cross executors and nothing shuffles (window features
+    are emitted in-place)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("window_idx", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("is_silence", BooleanType()),
+        ]
+    )
+    win = int(window)
+    thr = float(silence_rms)
+
+    def _fake_pcm(content: bytes) -> list[int]:
+        return [(ord(c) % 256) - 128 for c in content.decode("utf-8", "ignore")]
+
+    def batches(it):
+        import math as _math
+
+        import pandas as pd
+
+        for pdf in it:
+            mids, widx, ns, rms, sil = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = _fake_pcm(bytes(content or b""))
+                for w in range(0, len(pcm), win):
+                    chunk = pcm[w : w + win]
+                    r = _math.sqrt(
+                        sum(float(x) * float(x) for x in chunk) / len(chunk)
+                    )
+                    mids.append(mid)
+                    widx.append(w // win)
+                    ns.append(len(chunk))
+                    rms.append(r)
+                    sil.append(r < thr)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "window_idx": widx,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "is_silence": sil,
+                }
+            )
+
+    audio = df.filter(F.col("kind") == "audio").select("media_id", "content")
+    out = audio.mapInPandas(batches, out_schema)
+    return out.select(
+        "media_id",
+        "window_idx",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "is_silence",
+    )

@@ -786,3 +786,218 @@ def ccnet_quality_buckets(
     return scored.select(
         id_col, lang_col, "logprob_score", bucket.alias("bucket")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual sampling (the mC4 / XLM-R mixing
+    rule, Conneau et al. 2020 §3.1: sample languages ∝ p_l^alpha so
+    low-resource languages are upweighted relative to their corpus
+    share). Keep rate per stratum is the alpha-scaled share normalized
+    so the largest stratum keeps everything:
+    ``rate_l = (p_l^alpha) / max_m(p_m^alpha)``, ``p_l = n_l / N``.
+    Rates are rounded to 6 decimals before thresholding so the md5
+    keep-decision (same deterministic scheme as stratified_sample) is
+    bit-identical across engines. Returns the kept rows plus their
+    stratum keep_rate.
+
+    Shape for 100 TB: pass 1 is one tiny groupBy(stratum) count —
+    #languages rows, collected like IVF centroids; pass 2 is the
+    map-only md5-threshold filter. Nothing shuffles document text."""
+    import math as _math
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n")).collect()
+    total = float(sum(r["__n"] for r in counts))
+    powed = {r[strata_col]: (r["__n"] / total) ** alpha for r in counts}
+    mx = max(powed.values())
+    # half-up quantization (not Python's banker's round) — matches SQL
+    # round() so the oracle derives the identical thresholds
+    rates = {
+        k: _math.floor(v / mx * 1e6 + 0.5) / 1e6 for k, v in powed.items()
+    }
+    rate_col = F.lit(0.0)
+    for stratum, rate in sorted(rates.items()):
+        rate_col = F.when(
+            F.col(strata_col) == stratum, F.lit(rate)
+        ).otherwise(rate_col)
+    kept = stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col, default_rate=0.0
+    )
+    return kept.withColumn("keep_rate", rate_col)
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish / encoding-noise detector (low entropy = repeated
+    filler, pathological entropy = binary-in-text); used as a quality
+    feature alongside the Gopher word-shape rules. Returns
+    (id, n_chars, n_unique_chars, entropy_bits) with
+    ``entropy_bits = -Σ p_c·log2(p_c)`` over code points, rounded to
+    6 decimals. Empty documents produce no row.
+
+    ZERO-shuffle: each document's characters live in its own row, so
+    the per-doc histogram runs as an Arrow-batched ``mapInPandas``
+    (the repetition_stats escape hatch — a per-codepoint explode
+    would shuffle the entire corpus one row per character)."""
+    import math as _math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("n_chars", LongType()),
+            StructField("n_unique_chars", LongType()),
+            StructField("ent_raw", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in it:
+            ids, ns, us, es = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                n = len(t)
+                if n == 0:
+                    continue
+                c = Counter(t)
+                # accumulate in sorted-char order so the float sum is
+                # deterministic and matches the oracle's ORDER BY
+                ent = -sum(
+                    (v / n) * _math.log2(v / n)
+                    for _, v in sorted(c.items())
+                )
+                ids.append(i)
+                ns.append(n)
+                us.append(len(c))
+                es.append(ent)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_chars": ns,
+                    "n_unique_chars": us,
+                    "ent_raw": es,
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(batches, out_schema)
+    return out.select(
+        F.col(id_col),
+        "n_chars",
+        "n_unique_chars",
+        F.round("ent_raw", 6).alias("entropy_bits"),
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    lam: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-bigram corpus-LM scoring — one Markov order above
+    unigram_logprob_score and the closer stand-in for CCNet's KenLM
+    perplexity filter (Wenzek et al. 2020 §3.3; KenLM itself
+    interpolates higher orders the same way). The LM is fit on the
+    corpus: the ``vocab_size`` most frequent tokens (ties →
+    lexicographic) with Laplace smoothing; bigram counts are kept only
+    for pairs whose BOTH tokens are in-vocabulary (OOV → count 0).
+    Every doc with ≥2 tokens scores
+    ``mean over i≥2 of -ln(λ·p(w_i|w_{i-1}) + (1-λ)·p(w_i))`` where
+    ``p(w_i|w_{i-1}) = (c_bi+1)/(c_prev+V)`` and
+    ``p(w_i) = (c_i+1)/(N+V)``. Returns (id, n_bigrams, bigram_score).
+
+    Shape for 100 TB: pass 1 is the token-count aggregation (map-side
+    partials) collected to the vocab_size-row vocabulary and
+    rebroadcast; the bigram-count table is ≤V² rows by construction
+    (in-vocab pairs only) — broadcast at V=1000, a keyed join above
+    that; pass 2 is map-only joins + one per-doc aggregation
+    (shuffle = one row per doc). Document text never shuffles."""
+    toks = tokens(F.col(text_col))
+    # (prev, cur) pairs: positions 1..n-1 of the token array (sequence
+    # is guarded by the size>=2 filter — sequence(1, 0) would descend)
+    d = df.select(F.col(id_col), toks.alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    mk = lambda i: F.struct(  # noqa: E731
+        F.element_at(F.col("__w"), i).alias("prev"),
+        F.element_at(F.col("__w"), i + 1).alias("cur"),
+    )
+    pairs = d.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("__w") - 1), mk)
+        ).alias("__bg"),
+    ).select(
+        id_col,
+        F.col("__bg.prev").alias("__prev"),
+        F.col("__bg.cur").alias("__cur"),
+    )
+
+    tok = df.select(F.col(id_col), F.explode(toks).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    vocab_rows = (
+        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(int(vocab_size))
+        .collect()
+    )
+    n_total = sum(r["__c"] for r in vocab_rows)
+    v_sz = len(vocab_rows)
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c"]) for r in vocab_rows], "__t string, __c long"
+    )
+    bi_counts = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("__t").alias("__prev"))),
+            "__prev",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("__t").alias("__cur"))),
+            "__cur",
+            "left_semi",
+        )
+        .groupBy("__prev", "__cur")
+        .agg(F.count("*").alias("__cbi"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("__t").alias("__prev"),
+                                     F.col("__c").alias("__cprev"))),
+            "__prev", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("__t").alias("__cur"),
+                                     F.col("__c").alias("__ccur"))),
+            "__cur", "left")
+        .join(F.broadcast(bi_counts), ["__prev", "__cur"], "left")
+    )
+    p_bi = (F.coalesce(F.col("__cbi"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("__cprev"), F.lit(0)) + F.lit(float(v_sz))
+    )
+    p_uni = (F.coalesce(F.col("__ccur"), F.lit(0)) + 1) / F.lit(
+        float(n_total + v_sz)
+    )
+    term = -F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    return j.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(term), 6).alias("bigram_score"),
+    )
