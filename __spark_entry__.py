@@ -3464,6 +3464,10 @@ _DRIVER_PRIORITY = [
     "op_doc_bigram_lm",
     "op_emb_cluster_stats",
     "op_mm_audio_windows",
+    "op_evt_sessions",
+    "op_evt_funnel",
+    "op_doc_minhash_estimate",
+    "op_doc_e2e_pipeline",
     # (b) verdict-named refreshes (newest driver verdict r8)
     "mq_at_modifier",
     "op_streamaggr_outputs",
@@ -4336,6 +4340,256 @@ SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
        round(sqrt(sum(pcm * pcm * 1.0) / count(*)), 6) AS rms,
        (sqrt(sum(pcm * pcm * 1.0) / count(*)) < 32.0) AS is_silence
 FROM s GROUP BY 1, 2""",
+)
+
+
+def _evt_sessions(spark, sf_dir, load):
+    """Gap-based sessionization (operators/events.py sessionize): a
+    6h inactivity gap splits a user's event stream into sessions; all
+    arithmetic is integer-ms so the gate is bit-exact."""
+    from victoriametrics_spark.operators.events import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), gap_ms=6 * 3600 * 1000)
+
+
+_reg(
+    "op_evt_sessions",
+    _op(_evt_sessions),
+    """
+WITH e AS (
+    SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+    FROM events
+),
+f AS (
+    SELECT user_id, ms,
+           CASE WHEN lag(ms) OVER w IS NULL
+                     OR ms - lag(ms) OVER w > 21600000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+s AS (
+    SELECT user_id, ms,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess
+    FROM f
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms,
+       max(ms) - min(ms) AS duration_ms
+FROM s GROUP BY 1, 2""",
+)
+
+
+def _evt_funnel(spark, sf_dir, load):
+    """Ordered funnel view→click→purchase with a 24h per-hop window
+    (operators/events.py funnel_counts, earliest-completion greedy);
+    integer-ms arithmetic, bit-exact."""
+    from victoriametrics_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        load(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        window_ms=24 * 3600 * 1000,
+    )
+
+
+_reg(
+    "op_evt_funnel",
+    _op(_evt_funnel),
+    """
+WITH e AS (
+    SELECT user_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ms
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(ms) AS done FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ms) AS done
+       FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ms > s1.done
+         AND e.ms - s1.done <= 86400000 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ms) AS done
+       FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ms > s2.done
+         AND e.ms - s2.done <= 86400000 GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+)
+
+
+def _doc_minhash_estimate(spark, sf_dir, load):
+    """MinHash index-quality audit (operators/dedup.py
+    minhash_jaccard_estimate): per LSH candidate pair, the signature
+    estimate vs the exact shingle Jaccard and the absolute error —
+    the oracle recomputes signatures, bands, candidates AND the exact
+    overlap itself."""
+    from victoriametrics_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    return minhash_jaccard_estimate(
+        load(spark, sf_dir, "documents"), n=3, k=9, band_size=3
+    )
+
+
+_reg(
+    "op_doc_minhash_estimate",
+    _op(_doc_minhash_estimate),
+    _JACCARD_BASE
+    + """,
+sig AS (
+    SELECT id, seed.range AS seed,
+           min(md5(s || '#' || CAST(seed.range AS VARCHAR))) AS mh
+    FROM sh, range(0, 9) seed
+    GROUP BY 1, 2
+),
+banded AS (
+    -- seed // 3: truncating division (CAST(seed/3 AS INT) would ROUND
+    -- in DuckDB and band {2} with {3,4}, inflating the candidate set)
+    SELECT id, CAST(seed // 3 AS INT) AS band,
+           array_to_string(list_sort(list(mh)), '|') AS bkey
+    FROM sig GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+est AS (
+    SELECT c.id_a, c.id_b,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 9.0 AS est
+    FROM cands c
+    JOIN sig sa ON sa.id = c.id_a
+    JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+    GROUP BY 1, 2
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cands c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.s = a.s
+    GROUP BY 1, 2
+),
+truej AS (
+    SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+)
+SELECT e.id_a, e.id_b, round(e.est, 6) AS est_jaccard,
+       round(coalesce(t.j, 0), 6) AS jaccard,
+       round(abs(e.est - coalesce(t.j, 0)), 6) AS abs_err
+FROM est e LEFT JOIN truej t ON t.id_a = e.id_a AND t.id_b = e.id_b""",
+)
+
+
+def _doc_e2e_pipeline(spark, sf_dir, load):
+    """END-TO-END corpus preparation — the composition gate: quality
+    filter (≥25 tokens AND char-entropy ≥4 bits, thresholds fit to
+    this corpus) → exact dedup (min-id keeper per identical text) →
+    MinHash-LSH near-dup keep-list (same parameters as the components
+    gate). Survivors with (lang, n_tokens). Every stage is an
+    individually-gated operator; this gate proves they compose."""
+    from victoriametrics_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+        near_dup_keep_list,
+    )
+    from victoriametrics_spark.operators.text import char_entropy, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ent = char_entropy(docs).select("doc_id", "entropy_bits")
+    q = (
+        docs.withColumn("__nt", F.size(tokens(F.col("text"))))
+        .join(ent, "doc_id")
+        .filter((F.col("__nt") >= 25) & (F.col("entropy_bits") >= 4.0))
+    )
+    kept = exact_dedup(q, ["text"], "doc_id")
+    pairs = minhash_near_dup_pairs(
+        kept, "doc_id", "text", n=3, k=9, band_size=3, threshold=0.5
+    )
+    final = near_dup_keep_list(kept, pairs)
+    return final.select(
+        "doc_id", "lang", F.col("__nt").cast("long").alias("n_tokens")
+    )
+
+
+_reg(
+    "op_doc_e2e_pipeline",
+    _op(_doc_e2e_pipeline),
+    f"""
+WITH RECURSIVE ch AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+               i -> substr(text, i, 1))) AS c
+    FROM documents WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+cn AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1),
+ent AS (
+    SELECT cc.doc_id,
+           round(sum(-(k * 1.0 / cn.n) * log2(k * 1.0 / cn.n)
+                     ORDER BY cc.c), 6) AS ebits
+    FROM cc JOIN cn USING (doc_id) GROUP BY cc.doc_id
+),
+q AS (
+    SELECT d.doc_id, d.lang, d.text,
+           len({_TOKENS_SQL}) AS n_tokens, {_TOKENS_SQL} AS w
+    FROM documents d JOIN ent USING (doc_id)
+    WHERE len({_TOKENS_SQL}) >= 25 AND ent.ebits >= 4.0
+),
+ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+kq AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+sh AS (
+    SELECT DISTINCT doc_id AS id, unnest({_SHINGLES_SQL.format(w='w')}) AS s
+    FROM kq WHERE len(w) >= 3
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+sig AS (
+    SELECT id, seed.range AS seed,
+           min(md5(s || '#' || CAST(seed.range AS VARCHAR))) AS mh
+    FROM sh, range(0, 9) seed
+    GROUP BY 1, 2
+),
+banded AS (
+    SELECT id, CAST(seed / 3 AS INT) AS band,
+           array_to_string(list_sort(list(mh)), '|') AS bkey
+    FROM sig GROUP BY 1, 2
+),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS i
+    FROM cands c
+    JOIN sh a ON a.id = c.id_a
+    JOIN sh b ON b.id = c.id_b AND b.s = a.s
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+),
+edg AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT src, dst FROM edg UNION SELECT src, src FROM edg),
+closure(src, dst) AS (
+    SELECT src, dst FROM reach
+    UNION
+    SELECT r.src, edg.dst FROM closure r JOIN edg ON r.dst = edg.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS component
+         FROM closure GROUP BY src)
+SELECT kq.doc_id, kq.lang, CAST(kq.n_tokens AS BIGINT) AS n_tokens
+FROM kq LEFT JOIN comp USING (doc_id)
+WHERE comp.component IS NULL OR comp.component = kq.doc_id""",
 )
 
 

@@ -1138,3 +1138,125 @@ def test_audio_energy_windows(spark):
     assert out[0]["rms"] == 63.0 and not out[0]["is_silence"]
     assert out[1]["rms"] == 0.0 and out[1]["is_silence"]
     assert out[2]["rms"] == 63.0
+
+
+def test_sessionize_gap_rule(spark):
+    """30-min gap splits sessions; simultaneous events stay atomic in
+    one session; single-event session has duration 0."""
+    from datetime import datetime, timezone
+
+    from victoriametrics_spark.operators.events import sessionize
+
+    def ts(m):
+        return datetime.fromtimestamp(m * 60, tz=timezone.utc)
+
+    rows = [
+        # user 1: events at t=0,10,20 | gap | t=120,125
+        (1, 1, ts(0)), (2, 1, ts(10)), (3, 1, ts(20)),
+        (4, 1, ts(120)), (5, 1, ts(125)),
+        # user 2: two simultaneous events then one far later
+        (6, 2, ts(0)), (7, 2, ts(0)), (8, 2, ts(500)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(df, gap_ms=30 * 60000).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    assert out[(1, 1)]["n_events"] == 3
+    assert out[(1, 1)]["duration_ms"] == 20 * 60000
+    assert out[(1, 2)]["n_events"] == 2
+    assert out[(2, 1)]["n_events"] == 2 and out[(2, 1)]["duration_ms"] == 0
+    assert out[(2, 2)]["n_events"] == 1 and out[(2, 2)]["duration_ms"] == 0
+
+
+def test_funnel_counts_ordered_window(spark):
+    """Only in-order, in-window progressions convert: out-of-order
+    (click before view) and beyond-window hops don't count."""
+    from datetime import datetime, timezone
+
+    from victoriametrics_spark.operators.events import funnel_counts
+
+    def ts(m):
+        return datetime.fromtimestamp(m * 60, tz=timezone.utc)
+
+    rows = [
+        # user 1 converts fully: view@0 click@5 purchase@10
+        (1, "view", ts(0)), (1, "click", ts(5)), (1, "purchase", ts(10)),
+        # user 2: click BEFORE view — no conversion past step 1
+        (2, "click", ts(0)), (2, "view", ts(5)),
+        # user 3: view then click outside the 30-min window
+        (3, "view", ts(0)), (3, "click", ts(60)),
+        # user 4: never views
+        (4, "purchase", ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], window_ms=30 * 60000
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_minhash_estimate_vs_exact(spark):
+    """Identical docs estimate 1.0 with 0 error; near-dups' estimate
+    stays within the k=9 sketch's quantization of the true Jaccard."""
+    from victoriametrics_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra tail words here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_jaccard_estimate(df).collect()
+    }
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12["est_jaccard"] == 1.0 and r12["jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    for r in out.values():
+        # estimate is a multiple of 1/9 (up to its 6-decimal rounding)
+        assert abs(r["est_jaccard"] * 9 - round(r["est_jaccard"] * 9)) < 1e-4
+        assert 0.0 <= r["abs_err"] <= 1.0
+
+
+def test_e2e_pipeline_stages_compose(spark):
+    """The composed filter→exact-dedup→near-dup pipeline keeps exactly
+    the quality-passing, canonical, non-near-dup docs."""
+    from victoriametrics_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+        near_dup_keep_list,
+    )
+    from victoriametrics_spark.operators.text import char_entropy, tokens
+
+    long_a = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, long_a, "en"),       # kept (canonical of the exact pair)
+            (2, long_a, "en"),       # exact dup of 1 → dropped
+            (3, "short doc", "en"),  # fails the token filter
+            (4, " ".join(f"tok{i}" for i in range(29)) + " tokX", "fr"),
+            # 4 is a near-dup of 1 (29/31 shingles shared) → dropped by
+            # the keep-list in favor of min-id 1
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    ent = char_entropy(df).select("doc_id", "entropy_bits")
+    q = (
+        df.withColumn("__nt", F.size(tokens(F.col("text"))))
+        .join(ent, "doc_id")
+        .filter((F.col("__nt") >= 25) & (F.col("entropy_bits") >= 3.0))
+    )
+    kept = exact_dedup(q, ["text"], "doc_id")
+    pairs = minhash_near_dup_pairs(
+        kept, "doc_id", "text", n=3, k=9, band_size=3, threshold=0.5
+    )
+    final = near_dup_keep_list(kept, pairs)
+    assert sorted(r["doc_id"] for r in final.collect()) == [1]

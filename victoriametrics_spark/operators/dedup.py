@@ -396,3 +396,79 @@ def duplicate_passage_pairs(
         .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 9,
+    band_size: int = 3,
+) -> DataFrame:
+    """Index-quality audit for the MinHash sketch: for every LSH
+    candidate pair, the signature's Jaccard ESTIMATE (fraction of
+    matching components — the quantity LSH actually thresholds on at
+    scale, when exact verification is too expensive) next to the exact
+    shingle Jaccard and the absolute error. This is the measurement
+    that justifies (or rejects) skipping the verify step / choosing k —
+    run it on a sample before trusting estimate-only dedup at 100 TB.
+    Returns (id_a, id_b, est_jaccard, jaccard, abs_err).
+
+    Shape: candidate generation is the banded bucket-join (never
+    all-pairs); the estimate joins k fixed-width signature rows per
+    side; the exact check joins only candidate pairs' shingles."""
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    cands = lsh_candidate_pairs(sig, band_size)
+    sa = sig.select(F.col("id").alias("id_a"), "seed", F.col("mh").alias("__ha"))
+    sb = sig.select(F.col("id").alias("id_b"), "seed", F.col("mh").alias("__hb"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0)
+                )
+                / F.lit(float(k))
+            ).alias("__est")
+        )
+    )
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    true_j = (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "__na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "__nb"),
+            "id_b",
+        )
+        .withColumn(
+            "__j",
+            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
+        )
+        .select("id_a", "id_b", "__j")
+    )
+    return (
+        est.join(true_j, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("__est", 6).alias("est_jaccard"),
+            F.round(F.coalesce(F.col("__j"), F.lit(0.0)), 6).alias("jaccard"),
+            F.round(
+                F.abs(F.col("__est") - F.coalesce(F.col("__j"), F.lit(0.0))), 6
+            ).alias("abs_err"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Event-stream operators over the raw events table — the classic
+clickstream shapes (sessionization, funnels) a training-data pipeline
+runs to mine interaction logs.
+
+Everything is pure Catalyst: one shuffle keyed on the entity column,
+per-entity windows, fixed-width rows — the same scale posture as the
+per-series rollup engine (engine/rollup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the user's previous event exceeds ``gap_ms`` (the standard 30-min
+    web-analytics rule). Returns one row per session:
+    (user, session_seq, n_events, start_ms, end_ms, duration_ms),
+    session_seq numbering a user's sessions from 1 in time order.
+
+    Tie-safety: simultaneous events are atomic — whichever of the tied
+    rows the sort places first carries the boundary flag, and the
+    RANGE-framed running sum gives every tie peer the same session id,
+    so the output is deterministic even though the tie order is not.
+
+    Shape for 100 TB: ONE shuffle on the user key; both window passes
+    and the final aggregation reuse that partitioning (users are
+    independent, skew bounded by the busiest user). This is Spark's
+    native analog of `session_window` aggregation — expressed with
+    lag+cumsum so the same code serves batch and the oracle gate."""
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    order = [F.col("__ms").asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    d = df.select(F.col(user_col), F.col(id_col), ms.alias("__ms"))
+    prev = F.lag("__ms").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("__ms") - prev > int(gap_ms)), 1
+    ).otherwise(0)
+    sess = F.sum(is_new).over(
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("__sess", sess)
+        .groupBy(user_col, F.col("__sess").alias("session_seq"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("__ms").alias("start_ms"),
+            F.max("__ms").alias("end_ms"),
+        )
+        .select(
+            user_col,
+            F.col("session_seq").cast("long").alias("session_seq"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_ms",
+            "end_ms",
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+        )
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    window_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each funnel prefix (step 1, steps
+    1→2, ...) count the users who completed it IN ORDER with every
+    consecutive hop within ``window_ms``. A user converts step k if
+    some step-k event follows their earliest qualifying step-(k-1)
+    completion (the standard earliest-completion greedy funnel — each
+    step matches its first possible event, which maximizes the users
+    counted for every prefix). Returns (step_idx, step, n_users).
+
+    Shape for 100 TB: events filter to the funnel's types at the scan
+    (pushed predicate), then ONE shuffle on the user key; the per-user
+    greedy walk is a min-aggregation per step — k passes over a frame
+    already partitioned by user, each pass shuffling only (user,
+    first_ts) fixed-width rows."""
+    spark = df.sparkSession
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col), F.col(type_col).alias("__step"), ms.alias("__ms")
+    )
+    # earliest completion time of each prefix, per user
+    cur = (
+        ev.filter(F.col("__step") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__ms").alias("__done"))
+    )
+    out_rows = [(1, steps[0], cur)]
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__step") == step)
+            .join(cur, user_col)
+            .filter(
+                (F.col("__ms") > F.col("__done"))
+                & (F.col("__ms") - F.col("__done") <= int(window_ms))
+            )
+            .groupBy(user_col)
+            .agg(F.min("__ms").alias("__done"))
+        )
+        cur = nxt
+        out_rows.append((k, step, cur))
+    counts = None
+    for k, step, frame in out_rows:
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(k).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
