@@ -169,6 +169,50 @@ def main() -> None:
     ops["semantic_dedup_embeddings"] = run(
         "semantic_dedup_embeddings", lambda: semantic_dedup(embs, 0.3, k_cells=8)
     )
+    # round-10b batch
+    from victoriametrics_spark.operators.events import (
+        funnel_counts,
+        sessionize,
+    )
+    from victoriametrics_spark.operators.knn import cluster_stats
+    from victoriametrics_spark.operators.text import (
+        bigram_logprob_score,
+        char_entropy,
+        temperature_sample,
+    )
+
+    ops["char_entropy"] = run("char_entropy", char_entropy(docs))
+    ops["temperature_sample"] = run(
+        "temperature_sample", lambda: temperature_sample(docs, alpha=0.3)
+    )
+    ops["bigram_logprob_score"] = run(
+        "bigram_logprob_score",
+        lambda: bigram_logprob_score(docs, vocab_size=1000),
+    )
+    ops["cluster_stats"] = run(
+        "cluster_stats", lambda: cluster_stats(embs)
+    )
+    # events blow-up: replicate users so the session shuffle is real
+    ev_base = load_table(spark, sf_dir, "events")
+    ev = (
+        ev_base.crossJoin(
+            F.broadcast(spark.range(max(rep // 10, 1)).withColumnRenamed("id", "__r"))
+        )
+        .select(
+            (F.col("event_id") * rep + F.col("__r")).alias("event_id"),
+            (F.col("user_id") * rep + F.col("__r")).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    n_ev = ev.count()
+    ops["sessionize"] = run("sessionize", sessionize(ev, gap_ms=21600000))
+    ops["funnel_counts"] = run(
+        "funnel_counts",
+        funnel_counts(ev, ["view", "click", "purchase"], 86400000),
+    )
     print(
         json.dumps(
             {
@@ -176,6 +220,7 @@ def main() -> None:
                 "docs": n,
                 "base_docs": n_base,
                 "pair_op_docs": n_pair,
+                "events": n_ev,
                 "ops": ops,
             }
         )
