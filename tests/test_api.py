@@ -55,13 +55,16 @@ def test_instant_query_vector(api):
 
 
 def test_series_and_labels(api):
-    out = api.series(['{__name__=~"http_requests_total"}'])
+    # fixture samples live at ts 0..2.1Ms — anchor "now" there so the
+    # labels-API default [now - 5m, now] day-granular window covers them
+    anchor = 2_000_000
+    out = api.series(['{__name__=~"http_requests_total"}'], now_ms=anchor)
     assert sorted(m["job"] for m in out["data"]) == ["a", "b"]
-    labs = api.labels()
+    labs = api.labels(now_ms=anchor)
     assert {"__name__", "job", "code", "room"} <= set(labs["data"])
-    vals = api.label_values("job")
+    vals = api.label_values("job", now_ms=anchor)
     assert vals["data"] == ["a", "b"]
-    names = api.label_values("__name__")
+    names = api.label_values("__name__", now_ms=anchor)
     assert names["data"] == ["http_requests_total", "temp"]
 
 
@@ -1140,7 +1143,8 @@ def test_extra_label_and_filters_enforced(api):
         "http_requests_total", "1000", "2000", "500", enforced=enforced2
     )
     assert {r["metric"]["job"] for r in rng["data"]["result"]} == {"b"}
-    ser = api.series(["http_requests_total"], enforced=enforced)
+    ser = api.series(["http_requests_total"], enforced=enforced,
+                     now_ms=2_000_000)
     assert [m["job"] for m in ser["data"]] == ["a"]
     # non-matching enforced filter hides everything
     none = api.query(
@@ -1204,9 +1208,10 @@ def test_enforced_on_export_and_federate(api):
 
 def test_enforced_on_labels_and_values(api):
     enforced = api.enforced_from_params(["room=x"], [])
-    labs = api.labels(enforced=enforced)
+    labs = api.labels(enforced=enforced, now_ms=2_000_000)
     assert set(labs["data"]) == {"__name__", "room"}
-    vals = api.label_values("__name__", enforced=enforced)
+    vals = api.label_values("__name__", enforced=enforced,
+                            now_ms=2_000_000)
     assert vals["data"] == ["temp"]
 
 
@@ -1617,11 +1622,13 @@ def test_max_samples_limits(spark):
 def test_labels_series_limit_param(api):
     """Prometheus `limit` arg on labels/label_values/series (VM also
     truncates via -search.maxTagKeys/-search.maxTagValues)."""
-    assert api.labels(limit=2)["data"] == api.labels()["data"][:2]
-    allv = api.label_values("job")["data"]
-    assert api.label_values("job", limit=1)["data"] == allv[:1]
-    full = api.series(['{__name__=~".+"}'])["data"]
-    lim = api.series(['{__name__=~".+"}'], limit=2)["data"]
+    anchor = 2_000_000
+    assert (api.labels(limit=2, now_ms=anchor)["data"]
+            == api.labels(now_ms=anchor)["data"][:2])
+    allv = api.label_values("job", now_ms=anchor)["data"]
+    assert api.label_values("job", limit=1, now_ms=anchor)["data"] == allv[:1]
+    full = api.series(['{__name__=~".+"}'], now_ms=anchor)["data"]
+    lim = api.series(['{__name__=~".+"}'], limit=2, now_ms=anchor)["data"]
     assert len(lim) == 2 and lim == full[:2]
 
 

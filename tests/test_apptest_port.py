@@ -710,7 +710,12 @@ def test_future_timestamps_retention_guard(spark):
         captured[-1].collect(), SAMPLE_SCHEMA
     )
     api = PromAPI(spark, kept)
-    ser = api.series(['{__name__=~"metric_.*"}'])
+    # the kept samples sit decades in the future — give /series an
+    # explicit range (VM's labels-API default window is [now-5m, now])
+    ser = api.series(
+        ['{__name__=~"metric_.*"}'], start="1",
+        end=str((now + 101 * year) // 1000),
+    )
     assert sorted(m["__name__"] for m in ser["data"]) == [
         "metric_future_1d",
         "metric_future_1d_before_limit",

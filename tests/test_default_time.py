@@ -187,3 +187,50 @@ def test_http_query_without_time_param(api, fixed_now):
         assert out2["data"]["result"][0]["value"][1] == "3.14"
     finally:
         srv.shutdown()
+
+
+def test_labels_api_default_window(spark):
+    """/api/v1/labels|label_values|series default to [now − 5m, now]
+    (getCommonParamsForLabelsAPI, prometheus.go:1210-1220 — VM
+    deliberately avoids Prometheus' scan-everything default, issue
+    #91), day-granular like the per-day inverted index; an explicit
+    start reaches older days; start=0 is treated as absent (VM bumps
+    it the same way)."""
+    day = 86_400_000
+    rows = [
+        ("m_today", {"job": "a"}, NOW_MS - 60_000, 1.0, False),
+        ("m_old", {"old_lbl": "x"}, NOW_MS - 40 * day, 2.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    api = PromAPI(spark, df)
+
+    # default window: only the fresh series' day
+    ser = api.series(['{__name__=~"m_.*"}'], now_ms=NOW_MS)
+    assert [m["__name__"] for m in ser["data"]] == ["m_today"]
+    labs = api.labels(now_ms=NOW_MS)
+    assert "job" in labs["data"] and "old_lbl" not in labs["data"]
+    names = api.label_values("__name__", now_ms=NOW_MS)
+    assert names["data"] == ["m_today"]
+
+    # explicit start reaches the old series
+    ser = api.series(
+        ['{__name__=~"m_.*"}'],
+        start=str((NOW_MS - 41 * day) // 1000),
+        now_ms=NOW_MS,
+    )
+    assert sorted(m["__name__"] for m in ser["data"]) == [
+        "m_old", "m_today",
+    ]
+
+    # start=0 is "absent" (VM bumps it to end − 5m)
+    ser = api.series(['{__name__=~"m_.*"}'], start="0", now_ms=NOW_MS)
+    assert [m["__name__"] for m in ser["data"]] == ["m_today"]
+
+    # inverted range clamps end to start (getCommonParamsInternal)
+    ser = api.series(
+        ['{__name__=~"m_.*"}'],
+        start=str((NOW_MS + day) // 1000),
+        end=str(NOW_MS // 1000),
+        now_ms=NOW_MS,
+    )
+    assert ser["data"] == []

@@ -904,6 +904,8 @@ class PromAPI:
         end: str | None,
         enforced: tuple = (),
         day_granular: bool = False,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
     ):
         from victoriametrics_spark.engine.planner import selector_predicate
         from victoriametrics_spark.metricsql import parse
@@ -922,8 +924,16 @@ class PromAPI:
             df = df.filter(
                 selector_predicate(_enforced_expr(enforced))
             )
-        if start:
-            lo = _parse_time(start, 0)
+        # start_ms/end_ms: already-resolved bounds (the labels-API
+        # default window) — must NOT round-trip through _parse_time,
+        # whose unit auto-detection would read a small ms value as
+        # seconds
+        if start_ms is None and start:
+            start_ms = _parse_time(start, 0)
+        if end_ms is None and end:
+            end_ms = _parse_time(end, 1 << 62)
+        if start_ms is not None:
+            lo = start_ms
             if day_granular:
                 # series/labels lookups resolve through VM's PER-DAY
                 # inverted index (lib/storage/index_db.go): any series
@@ -935,8 +945,8 @@ class PromAPI:
                 )
             else:
                 df = df.filter(F.col("ts") >= lo)
-        if end:
-            hi = _parse_time(end, 1 << 62)
+        if end_ms is not None:
+            hi = end_ms
             if day_granular:
                 df = df.filter(
                     F.to_date(F.timestamp_millis(F.col("ts")))
@@ -959,6 +969,24 @@ class PromAPI:
             df = df.filter(p)
         return df
 
+    def _labels_api_window(
+        self, start: str | None, end: str | None, now_ms: int | None
+    ) -> tuple[int, int]:
+        """The labels-API default range (getCommonParamsForLabelsAPI,
+        prometheus.go:1210-1220 + getCommonParamsInternal): end
+        defaults to now, end < start clamps to start, and a zero/absent
+        start becomes end − 5m — deliberately NOT epoch, so a bare
+        /api/v1/labels|series never scans all of history (VM issue #91;
+        the same property keeps the scan partition-pruned at 100 TB)."""
+        ct = now_ms if now_ms is not None else _now_ms()
+        start_ms = _parse_time(start, 0)
+        end_ms = _parse_time(end, ct)
+        if end_ms < start_ms:
+            end_ms = start_ms
+        if start_ms == 0:
+            start_ms = end_ms - DEFAULT_STEP_MS
+        return start_ms, end_ms
+
     def series(
         self,
         matches: list[str],
@@ -966,8 +994,13 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         limit: int = 0,
+        now_ms: int | None = None,
     ) -> dict:
-        df = self._match_df(matches, start, end, enforced, day_granular=True)
+        start_ms, end_ms = self._labels_api_window(start, end, now_ms)
+        df = self._match_df(
+            matches, None, None, enforced, day_granular=True,
+            start_ms=start_ms, end_ms=end_ms,
+        )
         rows = (
             df.groupBy("name", F.map_entries("labels").alias("__e"))
             .agg(F.first(F.lit(1)))
@@ -996,9 +1029,12 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         limit: int = 0,
+        now_ms: int | None = None,
     ) -> dict:
+        start_ms, end_ms = self._labels_api_window(start, end, now_ms)
         df = self._match_df(
-            matches or [], start, end, enforced, day_granular=True
+            matches or [], None, None, enforced, day_granular=True,
+            start_ms=start_ms, end_ms=end_ms,
         )
         keys = (
             df.select(F.explode(F.map_keys("labels")).alias("k"))
@@ -1019,9 +1055,12 @@ class PromAPI:
         end: str | None = None,
         enforced: tuple = (),
         limit: int = 0,
+        now_ms: int | None = None,
     ) -> dict:
+        start_ms, end_ms = self._labels_api_window(start, end, now_ms)
         df = self._match_df(
-            matches or [], start, end, enforced, day_granular=True
+            matches or [], None, None, enforced, day_granular=True,
+            start_ms=start_ms, end_ms=end_ms,
         )
         if label == "__name__":
             col = F.col("name")
