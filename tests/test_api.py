@@ -272,7 +272,8 @@ def test_logsql_http_endpoints(api, logs_api):
 
 
 def test_tsdb_status(api):
-    out = api.tsdb_status(topn=5)
+    # default `date` = today — anchor to the fixture's day (1970-01-01)
+    out = api.tsdb_status(topn=5, now_ms=2_000_000)
     d = out["data"]
     # fixture: 2 http_requests_total series + 1 temp series
     assert d["totalSeries"] == 3
@@ -288,7 +289,8 @@ def test_tsdb_status(api):
     assert vals["job"] == 2 and vals["code"] == 2
     # focusLabel + match[] narrowing
     focused = api.tsdb_status(
-        topn=5, focus_label="job", match=["http_requests_total"]
+        topn=5, focus_label="job", match=["http_requests_total"],
+        now_ms=2_000_000,
     )["data"]
     assert focused["totalSeries"] == 2
     fv = {e["name"]: e["value"] for e in focused["seriesCountByFocusLabelValue"]}

@@ -234,3 +234,48 @@ def test_labels_api_default_window(spark):
         now_ms=NOW_MS,
     )
     assert ser["data"] == []
+
+
+def test_render_default_window(spark):
+    """Graphite /render defaults from = now − 24h, until = now
+    (render_api.go:41-57); an explicit from=0 stays epoch (the
+    reference only defaults ABSENT params there)."""
+    rows = [
+        ("g_fresh", {}, NOW_MS - 3_600_000, 1.0, False),
+        ("g_old", {}, NOW_MS - 3 * 86_400_000, 2.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    api = PromAPI(spark, df)
+    out = api.render("*", None, None, "3600", now_ms=NOW_MS)
+    assert [o["target"] for o in out] == ["g_fresh"]
+    out = api.render("*", "0", None, "86400", now_ms=NOW_MS)
+    assert sorted(o["target"] for o in out) == ["g_fresh", "g_old"]
+
+
+def test_tsdb_status_date_scoping(spark):
+    """/api/v1/status/tsdb scopes to ONE day of the per-day index:
+    absent `date` = today, date=0 = whole retention, explicit
+    YYYY-MM-DD = that day (TSDBStatusHandler, prometheus.go:591-620)."""
+    day = 86_400_000
+    rows = [
+        ("t_today", {"a": "1"}, NOW_MS - 60_000, 1.0, False),
+        ("t_old", {"b": "2"}, NOW_MS - 10 * day, 2.0, False),
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    api = PromAPI(spark, df)
+
+    d = api.tsdb_status(now_ms=NOW_MS)["data"]
+    assert d["totalSeries"] == 1
+    assert d["seriesCountByMetricName"][0]["name"] == "t_today"
+
+    d = api.tsdb_status(date="0", now_ms=NOW_MS)["data"]
+    assert d["totalSeries"] == 2
+
+    import datetime as _dt
+
+    old_day = _dt.datetime.fromtimestamp(
+        (NOW_MS - 10 * day) / 1000.0, tz=_dt.timezone.utc
+    ).strftime("%Y-%m-%d")
+    d = api.tsdb_status(date=old_day, now_ms=NOW_MS)["data"]
+    assert d["totalSeries"] == 1
+    assert d["seriesCountByMetricName"][0]["name"] == "t_old"

@@ -2002,18 +2002,24 @@ class PromAPI:
         end: str | None,
         step: str | None = None,
         max_data_points: int = 0,
+        now_ms: int | None = None,
     ) -> list[dict]:
         """Graphite /render JSON (app/vmselect/graphite/render_api.go +
         render_response.qtpl): one object per series with
         ``datapoints: [[value|null, ts_seconds], ...]``. Labels are
         folded into graphite tagged-series names (``name;k=v;...``), so
         seriesByTag/groupByTags work over the same sample frame the
-        Prometheus endpoints query."""
+        Prometheus endpoints query.
+
+        Defaults mirror the reference exactly: ``from`` = now − 24h,
+        ``until`` = now (render_api.go:41-57) — a bare
+        ``/render?target=...`` renders the last day, never [0, 0]."""
         from victoriametrics_spark.graphite import render as gr_render
 
+        ct = now_ms if now_ms is not None else _now_ms()
         step_ms = _parse_step(step)
-        start_ms = _parse_time(start, 0)
-        end_ms = _parse_time(end, start_ms)
+        start_ms = _parse_time(start, ct - 86_400_000)
+        end_ms = _parse_time(end, ct)
         gsamples = self.samples.select(
             F.concat(
                 F.col("name"),
@@ -2174,6 +2180,8 @@ class PromAPI:
         match: list[str] | None = None,
         start: str | None = None,
         end: str | None = None,
+        date: str | None = None,
+        now_ms: int | None = None,
     ) -> dict:
         """GET /api/v1/status/tsdb (prometheus.go:577 TSDBStatusHandler,
         heap construction lib/storage/index_db.go:1300-1404) — the
@@ -2186,6 +2194,30 @@ class PromAPI:
             df = self._match_df(match, start, end)
         else:
             df = self.samples
+        # `date` scoping (TSDBStatusHandler, prometheus.go:591-604 +
+        # start/end derivation): absent → TODAY's per-day index slice,
+        # "0" → the whole retention, else the given YYYY-MM-DD day.
+        # The day filter applies only when no explicit start/end
+        # narrowed the frame already (our match path above).
+        if not (start or end):
+            day_idx: int | None
+            if date is None or date == "":
+                ct = now_ms if now_ms is not None else _now_ms()
+                day_idx = ct // 86_400_000
+            elif date == "0":
+                day_idx = None
+            else:
+                from datetime import datetime, timezone
+
+                t = datetime.strptime(date, "%Y-%m-%d").replace(
+                    tzinfo=timezone.utc
+                )
+                day_idx = int(t.timestamp() * 1000) // 86_400_000
+            if day_idx is not None:
+                lo = day_idx * 86_400_000
+                df = df.filter(
+                    (F.col("ts") >= lo) & (F.col("ts") <= lo + 86_399_999)
+                )
         series = (
             df.select("name", "labels")
             .withColumn(
@@ -4111,6 +4143,7 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                         matches,
                         p("start"),
                         p("end"),
+                        date=p("date"),
                     )
                 elif u.path == "/api/v1/export":
                     fmt = p("format", "")
