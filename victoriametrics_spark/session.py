@@ -69,4 +69,15 @@ def get_spark(app_name: str = "victoriametrics-spark") -> SparkSession:
         "MASTER", ""
     ):
         builder = builder.master(f"local[{n}]")
+        # local-mode-only tuning (measured ~7% on the bench suite):
+        # shuffle blocks never cross a network here, so compression is
+        # pure CPU cost, and locality waits are meaningless with one
+        # executor. A real cluster (spark-submit master) must NOT get
+        # these — compressed shuffles and locality waits are the right
+        # defaults when blocks move between hosts.
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            .config("spark.locality.wait", "0s")
+        )
     return builder.getOrCreate()
