@@ -32,13 +32,26 @@ _TS_COLS = {
 }
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         # driver-supplied sessions may lack this; it is runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # remember the inferred schema per path: a schema-less
+    # spark.read.parquet fires a one-task schema-inference JOB on every
+    # plan build (~0.1-0.2s of the warm query latency); declaring the
+    # schema skips it. The testdata is immutable, and a production
+    # deployment declares table schemas anyway (catalog/metastore).
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, LongType):
             # long nanos → microseconds → timestamp (UTC session).
