@@ -3468,6 +3468,8 @@ _DRIVER_PRIORITY = [
     "op_evt_funnel",
     "op_doc_minhash_estimate",
     "op_doc_e2e_pipeline",
+    "op_doc_source_overlap",
+    "op_doc_line_signals",
     # (b) verdict-named refreshes (newest driver verdict r8)
     "mq_at_modifier",
     "op_streamaggr_outputs",
@@ -4590,6 +4592,89 @@ comp AS (SELECT src AS doc_id, min(dst) AS component
 SELECT kq.doc_id, kq.lang, CAST(kq.n_tokens AS BIGINT) AS n_tokens
 FROM kq LEFT JOIN comp USING (doc_id)
 WHERE comp.component IS NULL OR comp.component = kq.doc_id""",
+)
+
+
+def _doc_source_overlap(spark, sf_dir, load):
+    """Cross-corpus contamination matrix (operators/dedup.py
+    source_ngram_overlap): distinct 8-gram overlap between every pair
+    of sources. Spark buckets by xxhash64(gram); the oracle counts the
+    distinct grams themselves — identical absent hash collisions (the
+    op_doc_duplicate_passages convention)."""
+    from victoriametrics_spark.operators.dedup import source_ngram_overlap
+
+    return source_ngram_overlap(load(spark, sf_dir, "documents"), n=8)
+
+
+_reg(
+    "op_doc_source_overlap",
+    _op(_doc_source_overlap),
+    f"""
+WITH t AS (SELECT source, {_TOKENS_SQL} AS w FROM documents),
+g AS (
+    SELECT DISTINCT source AS g, unnest(list_transform(
+        range(1, len(w) - 6),
+        i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS s
+    FROM t WHERE len(w) >= 8
+),
+sizes AS (SELECT g, count(*) AS n FROM g GROUP BY 1),
+shared AS (
+    SELECT a.g AS source_a, b.g AS source_b, count(*) AS shared_grams
+    FROM g a JOIN g b ON a.s = b.s AND a.g < b.g
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(sa.n AS BIGINT) AS grams_a, CAST(sb.n AS BIGINT) AS grams_b,
+       CAST(shared_grams AS BIGINT) AS shared_grams,
+       round(shared_grams * 1.0 / (sa.n + sb.n - shared_grams), 6)
+           AS jaccard
+FROM shared
+JOIN sizes sa ON sa.g = source_a
+JOIN sizes sb ON sb.g = source_b""",
+)
+
+
+def _doc_line_signals(spark, sf_dir, load):
+    """RedPajama-v2 line-shape signals (operators/text.py
+    line_signals). The synthetic corpus is single-line, so the gate
+    deterministically injects line breaks (the op_doc_boilerplate_lines
+    convention) before measuring — both engines apply the identical
+    rewrite."""
+    from victoriametrics_spark.operators.text import line_signals
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(F.col("text"), " (data|value|table) ", "\n"),
+    )
+    return line_signals(docs)
+
+
+_reg(
+    "op_doc_line_signals",
+    _op(_doc_line_signals),
+    r"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_replace(text, ' (data|value|table) ', chr(10), 'g')
+               AS text
+    FROM documents
+),
+l AS (
+    SELECT doc_id,
+           list_filter(string_split(text, chr(10)),
+                       x -> trim(x) != '') AS lines
+    FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(list_sum(list_transform(lines, x -> length(x))) * 1.0
+             / len(lines), 6) AS mean_line_len,
+       round(len(list_filter(lines,
+             x -> regexp_matches(trim(x), '[.!?"]$'))) * 1.0
+             / len(lines), 6) AS frac_punct_lines,
+       round(len(list_distinct(lines)) * 1.0 / len(lines), 6)
+           AS frac_unique_lines
+FROM l WHERE len(lines) > 0""",
 )
 
 

@@ -1260,3 +1260,50 @@ def test_e2e_pipeline_stages_compose(spark):
     )
     final = near_dup_keep_list(kept, pairs)
     assert sorted(r["doc_id"] for r in final.collect()) == [1]
+
+
+def test_source_ngram_overlap(spark):
+    """Hand-checked contamination matrix: A∩B share 1 of their 8-grams,
+    C is disjoint; symmetric ordering source_a < source_b."""
+    from victoriametrics_spark.operators.dedup import source_ngram_overlap
+
+    seq = " ".join(f"w{i}" for i in range(8))          # one 8-gram
+    other = " ".join(f"x{i}" for i in range(9))        # two 8-grams
+    df = spark.createDataFrame(
+        [
+            (1, seq, "A"),
+            (2, seq + " tail1 tail2", "B"),  # 3 grams, shares `seq`
+            (3, other, "C"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = source_ngram_overlap(df, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["grams_a"] == 1 and r["grams_b"] == 3
+    assert r["shared_grams"] == 1
+    assert r["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_line_signals(spark):
+    """Known line shapes: punctuation fraction, uniqueness, mean
+    length; blank lines drop; empty docs produce no row."""
+    from victoriametrics_spark.operators.text import line_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello there.\nsecond line\nHello there.\n\n  \n"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_signals(df).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_lines"] == 3
+    assert r["frac_punct_lines"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["frac_unique_lines"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["mean_line_len"] == pytest.approx(
+        (12 + 11 + 12) / 3, abs=1e-6
+    )

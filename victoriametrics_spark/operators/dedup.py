@@ -472,3 +472,60 @@ def minhash_jaccard_estimate(
             ).alias("abs_err"),
         )
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-corpus contamination matrix — for every pair of sources
+    (corpora / dataset slices), the number of distinct word n-grams
+    they share and the n-gram Jaccard. This is the data-mixing
+    diagnostic run before combining corpora (how much of slice B is
+    already in slice A?) and the corpus-level view of decontamination.
+    Returns (source_a, source_b, grams_a, grams_b, shared_grams,
+    jaccard), source_a < source_b.
+
+    Shape for 100 TB: the corpus collapses to DISTINCT
+    (xxhash64(gram), source) fixed-width rows (one map + one
+    aggregation with map-side combine — gram text never shuffles);
+    the pair join is keyed on the hash, so a gram shared by k sources
+    expands to C(k,2) pairs, bounded by #sources² per gram; output is
+    #source-pairs rows."""
+    grams = word_shingles(tokens(F.col(text_col)), n)
+    gs = (
+        df.select(F.col(group_col).alias("g"), F.explode(grams).alias("s"))
+        .select("g", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count("*").alias("n"))
+    a = gs.alias("a")
+    b = gs.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(
+            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("grams_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.round(
+                F.col("shared_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1001,3 +1001,39 @@ def bigram_logprob_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg(term), 6).alias("bigram_score"),
     )
+
+
+def line_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RedPajama-v2 style line-shape quality signals (the
+    `rps_doc_*`/`rps_lines_*` family computed from the line structure;
+    Together 2023): per document the line count, mean line length in
+    characters, fraction of lines ending in terminal punctuation
+    (. ! ? "), and fraction of distinct lines — boilerplate-heavy or
+    template pages score low on uniqueness and punctuation while prose
+    scores high. Fractions rounded to 6 decimals. Returns
+    (id, n_lines, mean_line_len, frac_punct_lines, frac_unique_lines).
+
+    Map-only: every signal folds over the document's own line array
+    inside whole-stage codegen — nothing shuffles, no Python."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+    )
+    nl = F.size(lines)
+    total_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    punct = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike('[.!?"]$'))
+    )
+    uniq = F.size(F.array_distinct(lines))
+    return df.filter(nl > 0).select(
+        F.col(id_col),
+        nl.cast("long").alias("n_lines"),
+        F.round(total_len / nl, 6).alias("mean_line_len"),
+        F.round(punct / nl, 6).alias("frac_punct_lines"),
+        F.round(uniq / nl, 6).alias("frac_unique_lines"),
+    )
