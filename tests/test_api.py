@@ -2243,3 +2243,30 @@ def test_instant_rollup_at_modifier_not_hijacked(api):
     (r,) = out["data"]["result"]
     # pinned at t=1000s: sample @1.0Ms = 20 + 10
     assert float(r["value"][1]) == 30.0
+
+
+def test_debug_spark_plan(api):
+    """/debug/spark-plan: the Spark-native plan-audit endpoint — counts
+    shuffle/broadcast exchanges and returns the formatted plan."""
+    out = api.spark_plan(
+        "sum(rate(http_requests_total[400s])) by (job)",
+        start="1000", end="2000", step="200",
+    )
+    d = out["data"]
+    assert out["status"] == "success"
+    assert "== Physical Plan ==" in d["plan"]
+    # rollup+agg shape: per-series sort shuffle + group shuffle, no joins
+    assert d["shuffleExchanges"] >= 1
+    assert d["broadcastExchanges"] == 0
+    # a binop adds a join layer; plan must still compile and report
+    d2 = api.spark_plan(
+        "http_requests_total / on(job) group_left sum(http_requests_total) by (job)",
+        start="1000", end="2000", step="200",
+    )["data"]
+    assert d2["shuffleExchanges"] + d2["broadcastExchanges"] >= d["shuffleExchanges"]
+    # execute=1 drives AQE to the final plan and reports codegen spans
+    d3 = api.spark_plan(
+        "sum(rate(http_requests_total[400s])) by (job)",
+        start="1000", end="2000", step="200", execute=True,
+    )["data"]
+    assert d3["wholeStageCodegenSpans"] >= 1

@@ -1596,6 +1596,68 @@ class PromAPI:
         self.names_tracker.reset()
         return {"status": "success"}
 
+    def spark_plan(
+        self,
+        query: str,
+        start: str | None = None,
+        end: str | None = None,
+        step: str | None = None,
+        enforced: tuple = (),
+        execute: bool = False,
+    ) -> dict:
+        """GET /debug/spark-plan — Spark-native observability this
+        engine adds over the reference: the OPTIMIZED physical plan a
+        MetricsQL expression compiles to, plus the scale-relevant
+        counts (shuffle/broadcast Exchanges; with ``execute=1`` the
+        query runs and the AQE-final plan's whole-stage-codegen spans
+        are counted too — pre-execution AQE plans don't carry them).
+        The counterpart of VM's `trace=1` for the planning side —
+        `trace` shows where time went, this shows what will MOVE."""
+        ct = _now_ms()
+        step_ms = _parse_step(step)
+        start_ms = _parse_time(start, ct - DEFAULT_STEP_MS)
+        end_ms = _parse_time(end, ct)
+        cfg = EvalConfig(
+            start=start_ms,
+            end=end_ms,
+            step=step_ms,
+            max_lookback=self.max_lookback_ms,
+            dedup_interval_ms=self.dedup_interval_ms,
+            enforced_filters=enforced,
+        )
+        df = evaluate(self.spark, query, self.samples, cfg)
+        if execute:
+            # run THIS frame's plan (count() would wrap it in a new
+            # plan and leave this one isFinalPlan=false) so AQE
+            # finalizes and the codegen stage markers appear
+            df.collect()
+        qe = df._jdf.queryExecution()
+        executed = qe.executedPlan().toString()
+        formatted = qe.explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        n_exchange = executed.count("Exchange")
+        n_broadcast = executed.count("BroadcastExchange")
+        data = {
+            "query": query,
+            "start": start_ms,
+            "end": end_ms,
+            "step": step_ms,
+            "shuffleExchanges": n_exchange - n_broadcast,
+            "broadcastExchanges": n_broadcast,
+            "plan": formatted,
+        }
+        if execute:
+            import re as _re
+
+            # the executed AQE-final plan marks codegen stages *(n)
+            data["wholeStageCodegenSpans"] = len(
+                set(_re.findall(r"\*\((\d+)\)", executed))
+            )
+        return {"status": "success", "data": data}
+
     def prettify_query(self, query: str) -> dict:
         """/prettify-query — parse + re-serialize to the canonical
         normalized form (reference: app/vmselect/main.go prettify-query
@@ -2197,8 +2259,10 @@ class PromAPI:
         # `date` scoping (TSDBStatusHandler, prometheus.go:591-604 +
         # start/end derivation): absent → TODAY's per-day index slice,
         # "0" → the whole retention, else the given YYYY-MM-DD day.
-        # The day filter applies only when no explicit start/end
-        # narrowed the frame already (our match path above).
+        # The reference IGNORES start/end here (only date + match[]
+        # reach the SearchQuery range); we honor explicit start/end as
+        # a documented extension, and the date default applies only
+        # when neither is given.
         if not (start or end):
             day_idx: int | None
             if date is None or date == "":
@@ -4246,6 +4310,15 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     )
                 elif u.path == "/prettify-query":
                     out = api.prettify_query(p("query", ""))
+                elif u.path == "/debug/spark-plan":
+                    out = api.spark_plan(
+                        p("query", ""),
+                        p("start"),
+                        p("end"),
+                        p("step"),
+                        enforced=enforced,
+                        execute=p("execute", "") in ("1", "true"),
+                    )
                 elif u.path == "/expand-with-exprs":
                     out = api.expand_with_exprs(p("query", ""))
                 elif u.path == "/downsampling-filters-debug":
