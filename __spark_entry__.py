@@ -1492,7 +1492,7 @@ sig AS (
     GROUP BY 1, 2
 ),
 banded AS (
-    SELECT id, CAST(seed / 3 AS INT) AS band,
+    SELECT id, CAST(seed // 3 AS INT) AS band,
            array_to_string(list_sort(list(mh)), '|') AS bkey
     FROM sig GROUP BY 1, 2
 ),
@@ -1921,7 +1921,7 @@ sig AS (
     GROUP BY 1, 2
 ),
 banded AS (
-    SELECT id, CAST(seed / 3 AS INT) AS band,
+    SELECT id, CAST(seed // 3 AS INT) AS band,
            array_to_string(list_sort(list(mh)), '|') AS bkey
     FROM sig GROUP BY 1, 2
 ),
@@ -3454,6 +3454,10 @@ _DRIVER_PRIORITY = [
     # (r5 relational, r6, then r7 fill) — everything is also green in
     # the judge's full-registry re-runs; this buys them fresh driver
     # verdicts.
+    # NOTE: session 2 added 15 more new gates to (a), so this list now
+    # exceeds 50 entries; the overflow falls on the TAIL — the
+    # least-stale r7 refreshes in (c) — which keeps every new gate and
+    # the stalest refreshes inside the driver's first-50 window.
     # (a) new in round 10
     "mq_subquery_maxavg",
     "op_doc_tfidf_terms",
@@ -4558,7 +4562,7 @@ sig AS (
     GROUP BY 1, 2
 ),
 banded AS (
-    SELECT id, CAST(seed / 3 AS INT) AS band,
+    SELECT id, CAST(seed // 3 AS INT) AS band,
            array_to_string(list_sort(list(mh)), '|') AS bkey
     FROM sig GROUP BY 1, 2
 ),

@@ -1307,3 +1307,21 @@ def test_line_signals(spark):
     assert r["mean_line_len"] == pytest.approx(
         (12 + 11 + 12) / 3, abs=1e-6
     )
+
+
+def test_cluster_stats_string_labels(spark):
+    """label_col keeps the input's type — the per-source drift-monitor
+    use case clusters by a STRING column."""
+    from victoriametrics_spark.operators.knn import cluster_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "web"),
+            (2, [1.0, 0.0], "web"),
+            (3, [0.0, 1.0], "books"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {r["label"]: r for r in cluster_stats(df).collect()}
+    assert set(out) == {"web", "books"}
+    assert out["web"]["n"] == 2 and out["web"]["inertia"] == 0.0

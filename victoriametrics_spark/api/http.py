@@ -1638,20 +1638,26 @@ class PromAPI:
                 "formatted"
             )
         )
-        n_exchange = executed.count("Exchange")
-        n_broadcast = executed.count("BroadcastExchange")
+        import re as _re
+
+        # count NODE kinds, not substrings: "ReusedExchange" contains
+        # "Exchange" and must not inflate the shuffle count (it runs
+        # nothing new); alternation is longest-listed-first at each
+        # word boundary
+        kinds = _re.findall(
+            r"\b(ReusedExchange|BroadcastExchange|Exchange)\b", executed
+        )
         data = {
             "query": query,
             "start": start_ms,
             "end": end_ms,
             "step": step_ms,
-            "shuffleExchanges": n_exchange - n_broadcast,
-            "broadcastExchanges": n_broadcast,
+            "shuffleExchanges": kinds.count("Exchange"),
+            "broadcastExchanges": kinds.count("BroadcastExchange"),
+            "reusedExchanges": kinds.count("ReusedExchange"),
             "plan": formatted,
         }
         if execute:
-            import re as _re
-
             # the executed AQE-final plan marks codegen stages *(n)
             data["wholeStageCodegenSpans"] = len(
                 set(_re.findall(r"\*\((\d+)\)", executed))

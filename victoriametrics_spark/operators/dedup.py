@@ -121,6 +121,39 @@ def lsh_candidate_pairs(
     )
 
 
+def _exact_jaccard_for_pairs(
+    df: DataFrame, cands: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id_a, id_b, __j) exact shingle Jaccard for the candidate pairs;
+    pairs sharing no shingle produce no row. Shared by the verified
+    pair pipeline and the estimate audit so collision/alias handling
+    can never diverge between them."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "__na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "__nb"),
+            "id_b",
+        )
+        .withColumn(
+            "__j", F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+        .select("id_a", "id_b", "__j")
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,25 +167,10 @@ def minhash_near_dup_pairs(
     standard scale pipeline (linear shuffle + bucket-local verify)."""
     sig = minhash_signatures(df, id_col, text_col, n, k)
     cands = lsh_candidate_pairs(sig, band_size)
-    sh = shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cands.join(a, cands.id_a == F.col("a.id"))
-        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    out = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n).filter(
+        F.col("__j") >= threshold
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
 
 
 def simhash(
@@ -435,31 +453,7 @@ def minhash_jaccard_estimate(
             ).alias("__est")
         )
     )
-    sh = shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cands.join(a, cands.id_a == F.col("a.id"))
-        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__i"))
-    )
-    true_j = (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "__na"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "__nb"),
-            "id_b",
-        )
-        .withColumn(
-            "__j",
-            F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")),
-        )
-        .select("id_a", "id_b", "__j")
-    )
+    true_j = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n)
     return (
         est.join(true_j, ["id_a", "id_b"], "left")
         .select(
@@ -477,7 +471,6 @@ def minhash_jaccard_estimate(
 def source_ngram_overlap(
     df: DataFrame,
     n: int = 8,
-    id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
 ) -> DataFrame:

@@ -89,7 +89,6 @@ def funnel_counts(
     greedy walk is a min-aggregation per step — k passes over a frame
     already partitioned by user, each pass shuffling only (user,
     first_ts) fixed-width rows."""
-    spark = df.sparkSession
     ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col), F.col(type_col).alias("__step"), ms.alias("__ms")

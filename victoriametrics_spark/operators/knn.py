@@ -680,12 +680,29 @@ def cluster_stats(
         .collect()
     )
     spark = df.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # label column keeps the INPUT's type (string sources, wide ints —
+    # the docstring's per-source drift monitoring), not a hardcoded int
+    cent_schema = StructType(
+        [
+            StructField(label_col, df.schema[label_col].dataType),
+            StructField("__n", LongType()),
+            StructField("__cent", ArrayType(DoubleType())),
+        ]
+    )
     cent = spark.createDataFrame(
         [
             (r[label_col], r["__n"], [float(r[f"__c{i}"]) for i in range(dim)])
             for r in cent_rows
         ],
-        f"{label_col} int, __n long, __cent array<double>",
+        cent_schema,
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dot = F.aggregate(

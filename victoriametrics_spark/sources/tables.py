@@ -32,7 +32,7 @@ _TS_COLS = {
 }
 
 
-_SCHEMA_CACHE: dict[str, object] = {}
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,16 +41,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    # remember the inferred schema per path: a schema-less
+    # remember the inferred schema per (path, mtime): a schema-less
     # spark.read.parquet fires a one-task schema-inference JOB on every
     # plan build (~0.1-0.2s of the warm query latency); declaring the
-    # schema skips it. The testdata is immutable, and a production
-    # deployment declares table schemas anyway (catalog/metastore).
+    # schema skips it. A production deployment declares table schemas
+    # anyway (catalog/metastore); the mtime in the key means an
+    # in-place regeneration of the file re-infers instead of serving a
+    # stale schema.
+    import os as _os
+
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    try:
+        key = (path, _os.path.getmtime(path))
+    except OSError:
+        key = (path, 0.0)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, LongType):
