@@ -940,3 +940,75 @@ def test_relabel_label_references_in_replacement(spark, sample_df):
     ).collect()
     got = sorted(r["labels"]["combo"] for r in out)
     assert got == ["api@h1:9090", "db@h2:9090"]
+
+
+def test_streamaggr_pandas_state_replay_equals_batch(spark, tmp_path):
+    """applyInPandasWithState counters (aggregate_stream_pandas_state —
+    the stateful-streaming engine that runs WITHOUT the protobuf
+    runtime TWS needs) replayed over a file source in 3 micro-batches
+    must reproduce aggregate_batch exactly: counter resets, staleness
+    reset, cross-window running totals. Watermark-pusher sentinels go
+    to EVERY group (flushing happens on the group's next invocation);
+    their own windows never flush, so they don't contaminate outputs."""
+    import os
+    import time as _time
+
+    from victoriametrics_spark.streaming.streamaggr import (
+        StreamAggrConfig,
+        aggregate_batch,
+        aggregate_stream_pandas_state,
+    )
+
+    rows = _stateful_fixture_rows()
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    cfg = StreamAggrConfig(**_STATEFUL_CFG_KW)
+    want = _by_name(aggregate_batch(df, cfg))
+
+    src = str(tmp_path / "sa_pds_src")
+    os.makedirs(src)
+
+    def write_batch(batch_rows, mtime_bump):
+        b = spark.createDataFrame(batch_rows, SAMPLE_SCHEMA)
+        b.coalesce(1).write.mode("append").parquet(src)
+        # space out mtimes so the file source replays in write order
+        now = _time.time() + mtime_bump
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                p = os.path.join(src, f)
+                if os.path.getmtime(p) > now - 0.5:
+                    os.utime(p, (now, now))
+
+    sent1 = [
+        ("m", {"job": "a"}, 10_000_000, 0.0, False),
+        ("m", {"job": "b"}, 10_000_000, 0.0, False),
+    ]
+    sent2 = [
+        ("m", {"job": "a"}, 10_350_000, 0.0, False),
+        ("m", {"job": "b"}, 10_350_000, 0.0, False),
+    ]
+    write_batch(rows, 0)
+    _time.sleep(1.1)
+    write_batch(sent1, 2)
+    _time.sleep(1.1)
+    write_batch(sent2, 4)
+
+    sdf = (
+        spark.readStream.schema(SAMPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = aggregate_stream_pandas_state(sdf, cfg)
+    chk = str(tmp_path / "sa_pds_chk")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sa_pds")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _by_name(spark.sql("select * from sa_pds"))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k

@@ -624,6 +624,195 @@ def aggregate_stream_stateful(
     )
 
 
+def aggregate_stream_pandas_state(
+    sdf: DataFrame,
+    cfg: StreamAggrConfig,
+    ts_col: str = "ts",
+    allowed_lateness_ms: int = 0,
+) -> DataFrame:
+    """Structured-Streaming counters over ``applyInPandasWithState`` —
+    the stateful-streaming engine that RUNS in this environment (the
+    transformWithStateInPandas variant above needs the protobuf runtime
+    in Spark's Python state workers, absent here; this API's state
+    channel is protobuf-free and verified working, so the stateful
+    streaming path is no longer environment-blocked).
+
+    Identical per-group computation to the TWS processor
+    (_make_counter_processor): per-series (last_ts, last_value) carries
+    positive-delta counter semantics across micro-batches with the
+    staleness reset, tumbling ``interval_ms`` windows accumulate
+    (inc, inc_keep, ss, rate_sum, nser), and a window flushes on the
+    first batch whose event-time watermark passed its end — emitting
+    the configured total/increase/rate outputs with cumulative totals
+    surviving in the state store. State is one GroupState per
+    (name, group-labels) key; the series/window maps ride as JSON
+    strings inside it (GroupState schemas are flat rows; the maps are
+    group-local and presentation-sized — VM itself keeps exactly this
+    per-output in-memory map, streamaggr.go:175-209).
+
+    Divergence from the batch engine, documented like the TWS one: the
+    warmup deadline (ignore_first_sample) anchors per aggregation
+    group, not at the global batch minimum."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stateful = [o for o in cfg.outputs if o in STATEFUL_OUTPUTS]
+    if not stateful:
+        raise ValueError(
+            "aggregate_stream_pandas_state: no stateful outputs in cfg"
+        )
+    if cfg.dedup_interval_ms:
+        sdf = dedup_samples_stream(sdf, cfg.dedup_interval_ms)
+
+    d = (
+        sdf.withColumn("__event_time", F.timestamp_millis(F.col(ts_col)))
+        .withWatermark(
+            "__event_time", f"{max(allowed_lateness_ms, 0)} milliseconds"
+        )
+        .withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+        .withColumn("__glabels", _group_labels(cfg))
+        .withColumn("__gkey", canonical_labels_str(F.col("__glabels")))
+        .withColumn("__labels_json", F.to_json(F.col("__glabels")))
+        .select(
+            "name", "__gkey", "__sk", F.col(ts_col).alias("ts"),
+            "value", F.col("__labels_json").alias("labels_json"),
+            "__event_time",
+        )
+    )
+
+    iv = cfg.interval_ms
+    staleness = cfg.staleness_interval_ms or 0
+    warmup = cfg.ignore_first_sample_interval_ms or 0
+    out_names = list(stateful)
+    sfx = cfg.suffix()
+    keep_names = cfg.keep_metric_names
+    state_schema = (
+        "t0 long, labels_json string, total double, total_prom double, "
+        "ss_total double, series_json string, wins_json string"
+    )
+
+    def fn(key, pdfs, state):
+        import json as _json
+
+        import pandas as pd
+
+        if state.exists:
+            t0, labels_json, total, total_prom, ss_total, sj, wj = state.get
+            series = {k: tuple(v) for k, v in _json.loads(sj).items()}
+            wins = {int(k): v for k, v in _json.loads(wj).items()}
+        else:
+            t0, labels_json, total, total_prom, ss_total = (
+                None, None, 0.0, 0.0, 0.0,
+            )
+            series, wins = {}, {}
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for sk, ts, v, lj in zip(
+                pdf["__sk"], pdf["ts"], pdf["value"], pdf["labels_json"]
+            ):
+                ts, v = int(ts), float(v)
+                if t0 is None:
+                    t0 = ts
+                if labels_json is None:
+                    labels_json = lj
+                w = ts - ts % iv
+                prev = series.get(sk)
+                pos_dv = None
+                dt_ms = None
+                if prev is not None:
+                    lts, lv = int(prev[0]), float(prev[1])
+                    if staleness and ts - lts > staleness:
+                        prev = None
+                    else:
+                        pos_dv = v - lv if v >= lv else v
+                        dt_ms = ts - lts
+                if prev is None:
+                    contrib_keep = (
+                        v if (warmup == 0 or ts >= t0 + warmup) else None
+                    )
+                else:
+                    contrib_keep = pos_dv
+                series[sk] = (ts, v)
+                cur = wins.get(w) or [0.0, 0, 0.0, 0, 0.0, 0.0, []]
+                inc, n_inc, inc_keep, n_keep, ss, rate_sum, sks = cur
+                if pos_dv is not None:
+                    inc += pos_dv
+                    n_inc += 1
+                    if dt_ms and dt_ms > 0:
+                        rate_sum += pos_dv / (dt_ms / 1000.0)
+                    if sk not in sks:
+                        sks.append(sk)
+                if contrib_keep is not None:
+                    inc_keep += contrib_keep
+                    n_keep += 1
+                ss += v
+                wins[w] = [inc, n_inc, inc_keep, n_keep, ss, rate_sum, sks]
+
+        # flush windows the event-time watermark has passed
+        wm = state.getCurrentWatermarkMs()
+        out = []
+        name = key[0]
+
+        def oname(output):
+            return name if keep_names else f"{name}{sfx}{output}"
+
+        for w in sorted(k for k in wins if k + iv <= wm):
+            inc, n_inc, inc_keep, n_keep, ss, rate_sum, sks = wins.pop(w)
+            total += inc_keep
+            total_prom += inc
+            ss_total += ss
+            w_end = w + iv
+            nser = len(sks)
+            for o in out_names:
+                if o == "total":
+                    val = total
+                elif o == "total_prometheus":
+                    val = total_prom
+                elif o == "increase":
+                    val = inc_keep if n_keep else None
+                elif o == "increase_prometheus":
+                    val = inc if n_inc else None
+                elif o == "sum_samples_total":
+                    val = ss_total
+                elif o == "rate_sum":
+                    val = rate_sum if n_inc else None
+                else:  # rate_avg
+                    val = rate_sum / nser if nser else None
+                if val is not None:
+                    out.append(
+                        (oname(o), labels_json or "{}", w_end, float(val))
+                    )
+
+        state.update(
+            (
+                t0,
+                labels_json,
+                float(total),
+                float(total_prom),
+                float(ss_total),
+                _json.dumps(series),
+                _json.dumps({str(k): v for k, v in wins.items()}),
+            )
+        )
+        yield pd.DataFrame(
+            out, columns=["name", "labels_json", "ts", "value"]
+        )
+
+    out = d.groupBy("name", "__gkey").applyInPandasWithState(
+        fn,
+        _TWS_OUTPUT_SCHEMA,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col("name"),
+        F.from_json(F.col("labels_json"), "map<string,string>").alias("labels"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
 def dedup_samples_stream(sdf: DataFrame, dedup_interval_ms: int) -> DataFrame:
     """Streaming last-wins dedup: max (ts, value) struct per series per
     aligned dedup bucket — the streaming analog of dedup_samples (same
@@ -653,8 +842,10 @@ def dedup_samples_stream(sdf: DataFrame, dedup_interval_ms: int) -> DataFrame:
 # ------------------------------------------------------------------ round 6:
 # micro-batch stateful counters (foreachBatch). transformWithState needs
 # the google.protobuf runtime inside Spark's TWS driver worker; where
-# that is unavailable, this engine provides the same semantics with
-# state as parquet tables — which is ALSO the shape VM itself has
+# that is unavailable, aggregate_stream_pandas_state above (GroupState,
+# protobuf-free, verified running here) or this engine provide the same
+# semantics — this one with state as parquet tables, which is ALSO the
+# shape VM itself has
 # (pushSample into per-series state, flush on interval ticks,
 # streamaggr.go:175-209). Every step is a DataFrame op: state merge is a
 # per-series max-struct aggregation, window partials merge additively,
