@@ -1325,3 +1325,27 @@ def test_cluster_stats_string_labels(spark):
     out = {r["label"]: r for r in cluster_stats(df).collect()}
     assert set(out) == {"web", "books"}
     assert out["web"]["n"] == 2 and out["web"]["inertia"] == 0.0
+
+
+def test_sessionize_window_batch_parity(spark, sf_dir):
+    """The native session_window formulation must produce the SAME
+    session set (user, start, end, n, duration) as the lag+cumsum
+    sessionize on the real events table."""
+    from victoriametrics_spark.operators.events import (
+        sessionize,
+        sessionize_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = 6 * 3600 * 1000
+    a = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"],
+         r["duration_ms"])
+        for r in sessionize(ev, gap_ms=gap).collect()
+    }
+    b = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"],
+         r["duration_ms"])
+        for r in sessionize_window(ev, gap_ms=gap).collect()
+    }
+    assert a == b and a

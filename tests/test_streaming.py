@@ -1012,3 +1012,47 @@ def test_streamaggr_pandas_state_replay_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_sessionize_window_streaming(spark, tmp_path):
+    """The same sessionize_window call runs as a Structured Streaming
+    aggregation: closed sessions emit in append mode once the
+    watermark passes session end + gap; the open sentinel session
+    stays in state (not emitted)."""
+    from datetime import datetime, timezone
+
+    from victoriametrics_spark.operators.events import sessionize_window
+
+    def ts(m):
+        return datetime.fromtimestamp(m * 60, tz=timezone.utc)
+
+    rows = [
+        (1, 1, ts(0)), (2, 1, ts(10)),       # session 1 of user 1
+        (3, 1, ts(120)),                      # session 2 of user 1
+        (4, 2, ts(5)),                        # session 1 of user 2
+        # watermark pusher far in the future: closes everything above,
+        # itself stays an OPEN session in state
+        (5, 1, ts(10_000)), (6, 2, ts(10_000)),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
+    ).parquet(src)
+    out = sessionize_window(sdf, gap_ms=30 * 60000, watermark_ms=0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["start_ms"] // 60000, r["n_events"])
+        for r in spark.sql("select * from sess_win").collect()
+    }
+    assert got == {(1, 0, 2), (1, 120, 1), (2, 5, 1)}

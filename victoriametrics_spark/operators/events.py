@@ -122,3 +122,50 @@ def funnel_counts(
         )
         counts = c if counts is None else counts.unionByName(c)
     return counts
+
+
+def sessionize_window(
+    df: DataFrame,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_ms: int | None = None,
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` — the same
+    gap rule as :func:`sessionize` (an event within ``gap_ms`` of the
+    previous one extends the session) expressed as a built-in
+    aggregation, so the IDENTICAL code serves batch frames and
+    Structured Streaming: pass ``watermark_ms`` on a streaming frame
+    and closed sessions emit in append mode once the watermark passes
+    session end + gap, with Spark managing the session state store.
+    Returns (user, start_ms, end_ms, n_events, duration_ms) — no
+    session_seq here (a stream has no per-user global ordering to
+    number against; the batch :func:`sessionize` provides it).
+
+    Shape for 100 TB: one shuffle on (user, session-window) with
+    map-side partial merging of overlapping windows — Spark's native
+    session-window merge; streaming state is bounded by open sessions
+    only (closed ones evict at the watermark)."""
+    t = F.col(ts_col).cast("timestamp")
+    d = df.withColumn("__t", t)
+    if watermark_ms is not None:
+        d = d.withWatermark("__t", f"{max(watermark_ms, 0)} milliseconds")
+    ms = F.unix_millis(F.col("__t"))
+    return (
+        d.groupBy(
+            F.col(user_col),
+            F.session_window("__t", f"{int(gap_ms)} milliseconds"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ms).alias("start_ms"),
+            F.max(ms).alias("end_ms"),
+        )
+        .select(
+            user_col,
+            "start_ms",
+            "end_ms",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+        )
+    )
