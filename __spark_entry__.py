@@ -3474,6 +3474,7 @@ _DRIVER_PRIORITY = [
     "op_doc_e2e_pipeline",
     "op_doc_source_overlap",
     "op_doc_line_signals",
+    "op_emb_pq_knn",
     # (b) verdict-named refreshes (newest driver verdict r8)
     "mq_at_modifier",
     "op_streamaggr_outputs",
@@ -4679,6 +4680,70 @@ SELECT doc_id,
        round(len(list_distinct(lines)) * 1.0 / len(lines), 6)
            AS frac_unique_lines
 FROM l WHERE len(lines) > 0""",
+)
+
+
+def _emb_pq_knn(spark, sf_dir, load):
+    """Product-quantization ADC search (operators/knn.py pq_knn_topk,
+    Jégou et al. 2011): m=8 subspaces, k=8 oracle-reproducible anchor
+    centroids per subspace, asymmetric-distance top-10. The oracle
+    refits the codebooks, re-encodes every vector and re-ranks by the
+    same rounded ADC — the entire index, not just the result, is
+    hash-checked."""
+    from victoriametrics_spark.operators.knn import pq_knn_topk
+
+    df = load(spark, sf_dir, "embeddings")
+    q = df.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_knn_topk(
+        df.filter(F.col("vec_id") != 0), [float(x) for x in q],
+        topk=10, m=8, k=8,
+    )
+
+
+_reg(
+    "op_emb_pq_knn",
+    _op(_emb_pq_knn),
+    """
+WITH rest AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+anch AS (
+    SELECT embedding AS a,
+           row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1 AS cid
+    FROM rest ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sub AS (SELECT CAST(s.range AS INT) AS s FROM range(0, 8) s),
+vdist AS (
+    SELECT r.vec_id, sub.s, anch.cid,
+           round(list_sum(list_transform(range(1, 9),
+               j -> (CAST(r.embedding[sub.s * 8 + j] AS DOUBLE)
+                     - CAST(anch.a[sub.s * 8 + j] AS DOUBLE)) ^ 2)), 6)
+               AS d2
+    FROM rest r, sub, anch
+),
+codes AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY d2, cid
+               ) AS rn
+        FROM vdist
+    ) WHERE rn = 1
+),
+qtab AS (
+    SELECT sub.s, anch.cid,
+           list_sum(list_transform(range(1, 9),
+               j -> (CAST(q.qv[sub.s * 8 + j] AS DOUBLE)
+                     - CAST(anch.a[sub.s * 8 + j] AS DOUBLE)) ^ 2)) AS qd
+    FROM sub, anch, q
+),
+adc AS (
+    SELECT c.vec_id, round(sum(t.qd ORDER BY c.s), 6) AS adc_dist
+    FROM codes c JOIN qtab t ON t.s = c.s AND t.cid = c.cid
+    GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10""",
 )
 
 

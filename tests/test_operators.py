@@ -1349,3 +1349,90 @@ def test_sessionize_window_batch_parity(spark, sf_dir):
         for r in sessionize_window(ev, gap_ms=gap).collect()
     }
     assert a == b and a
+
+
+def test_pq_knn_recall_and_code_shape(embs):
+    """PQ ADC top-10 must overlap the exact cosine... well, ADC ranks
+    by L2 — compare against exact L2 top-10: with 8x8 codebooks over
+    this corpus recall@10 should be substantial; codes are m ints in
+    [0, k)."""
+    from victoriametrics_spark.operators.knn import (
+        pq_codebooks,
+        pq_encode,
+        pq_knn_topk,
+    )
+
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = embs.filter(F.col("vec_id") != 0)
+    q = [float(x) for x in q]
+
+    books = pq_codebooks(rest, m=8, k=8)
+    assert len(books) == 8 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+
+    codes = pq_encode(rest, books).collect()
+    assert all(
+        len(r["codes"]) == 8 and all(0 <= c < 8 for c in r["codes"])
+        for r in codes
+    )
+
+    out = pq_knn_topk(rest, q, topk=10).collect()
+    assert len(out) == 10
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_pq_knn_recall_on_clustered_corpus(spark):
+    """On a corpus with real cluster structure (which is when one
+    deploys PQ), ADC top-k retrieves the query's own cluster: all 10
+    nearest-by-ADC of a cluster-0 query are cluster-0 members, and
+    recall@10 vs exact L2 is high."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from victoriametrics_spark.operators.knn import pq_knn_topk
+
+    rng = random.Random(11)
+    rows = []
+    centers = [[float(5 * ((c >> b) & 1)) for b in range(16)] for c in range(4)]
+    vid = 0
+    for c, center in enumerate(centers):
+        for _ in range(40):
+            vid += 1
+            rows.append(
+                (vid, c, [x + rng.gauss(0, 0.3) for x in center])
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>"
+    )
+    q = [x + 0.1 for x in centers[0]]
+    got = pq_knn_topk(df, q, topk=10, m=8, k=8).collect()
+    clusters = {
+        r["cluster"]
+        for r in df.join(
+            spark.createDataFrame(
+                [(r["vec_id"],) for r in got], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert clusters == {0}
+    qa = SF.array(*[SF.lit(float(x)) for x in q])
+    l2 = SF.aggregate(
+        SF.zip_with(
+            SF.col("embedding"), qa,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        SF.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in df.select("vec_id", l2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    approx = {r["vec_id"] for r in got}
+    assert len(approx & exact) >= 5

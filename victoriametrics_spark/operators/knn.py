@@ -741,3 +741,120 @@ def cluster_stats(
             F.col("__inertia").alias("inertia"),
         )
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector splits into ``m``
+    equal subspaces; subspace ``s``'s ``k`` centroids are the
+    sub-vectors of the k deterministic anchor vectors (smallest
+    md5(id) — the same oracle-reproducible seeding as the IVF
+    centroids; real deployments k-means-refine per subspace).
+    Returns codebooks[s][c] = centroid c of subspace s."""
+    anchors = deterministic_centroids(df, k, vec_col, id_col)
+    dim = len(anchors[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        [vec[s * d_sub : (s + 1) * d_sub] for _, vec in anchors]
+        for s in range(m)
+    ]
+
+
+def _sub_sqdist(vec_col: Column, offset: int, cent: list[float]) -> Column:
+    """Σ over the subspace of (vec[offset+j] − cent[j])², sequential
+    fold (deterministic order — matches the oracle's ORDER BY sum)."""
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cent))),
+        lambda j: (
+            F.element_at(vec_col, F.lit(offset) + j).cast("double")
+            - F.element_at(
+                F.array(*[F.lit(float(x)) for x in cent]), j
+            )
+        )
+        ** 2,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its PQ code: per subspace the nearest
+    codebook centroid (6-decimal-rounded distance, centroid-index
+    tie-break — reproducible across engines). Returns
+    (id, codes array<int>). Map-only; at 100 TB the 1-byte-per-
+    subspace codes column replaces the float vector for search."""
+    d_sub = len(codebooks[0][0])
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        dists = F.array(
+            *[
+                F.round(_sub_sqdist(F.col(vec_col), s * d_sub, c), 6)
+                for c in book
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"__c{s}")
+        )
+    return df.select(F.col(id_col), *code_cols).select(
+        id_col,
+        F.array(*[F.col(f"__c{s}") for s in range(len(codebooks))]).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_knn_topk(
+    df: DataFrame,
+    query: list[float],
+    topk: int = 10,
+    m: int = 8,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (ADC — Jégou et al. 2011): encode
+    the corpus with product-quantization codebooks, precompute the
+    query's distance to every (subspace, centroid) pair driver-side
+    (m·k scalars — the classic lookup table), and rank by
+    ``adc = Σ_s table[s][code_s]``. Returns the ``topk`` ids with
+    their rounded ADC distance (vec_id tie-break).
+
+    Shape for 100 TB: codebook fit collects k anchor rows; encoding is
+    map-only; search reads ONLY the m-byte codes column (the 32×
+    compression that makes billion-vector search RAM-resident) and
+    ranks with one bounded top-k — no vector bytes move."""
+    books = pq_codebooks(df, m, k, vec_col, id_col)
+    d_sub = len(books[0][0])
+    q_sub = [query[s * d_sub : (s + 1) * d_sub] for s in range(m)]
+    table = [
+        [
+            sum((float(q) - float(c)) ** 2 for q, c in zip(q_sub[s], cent))
+            for cent in books[s]
+        ]
+        for s in range(m)
+    ]
+    codes = pq_encode(df, books, vec_col, id_col)
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(x)) for x in table[s]]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    return (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(int(topk))
+    )
