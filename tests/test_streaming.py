@@ -1056,3 +1056,53 @@ def test_sessionize_window_streaming(spark, tmp_path):
         for r in spark.sql("select * from sess_win").collect()
     }
     assert got == {(1, 0, 2), (1, 120, 1), (2, 5, 1)}
+
+
+def test_pipeline_ops_run_on_streams(spark, tmp_path):
+    """The map-only corpus operators are streaming-ready as-is: the
+    same c4_clean / quality_score / temperature-style md5 filter
+    column expressions run unchanged on a readStream frame (pure
+    Project — no aggregation, no state)."""
+    from victoriametrics_spark.operators.text import (
+        c4_clean,
+        quality_score,
+        stratified_sample,
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (1, "This is a long enough sentence with several words in it.", "en"),
+            (2, "short", "en"),
+            (3, "Une phrase assez longue pour le test aussi voila bien.", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).parquet(src)
+
+    outs = {
+        "clean": c4_clean(sdf),
+        "quality": quality_score(sdf),
+        "sampled": stratified_sample(sdf, {"en": 1.0, "fr": 0.0}),
+    }
+    for name, out in outs.items():
+        assert out.isStreaming, name
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"ops_{name}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"chk_{name}")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    assert spark.sql("select * from ops_clean").count() == 3
+    assert spark.sql("select * from ops_quality").count() == 3
+    # fr rate 0.0 drops doc 3; en rate 1.0 keeps both
+    assert sorted(
+        r["doc_id"] for r in spark.sql("select * from ops_sampled").collect()
+    ) == [1, 2]
