@@ -2258,6 +2258,9 @@ class PromAPI:
         so at 100 TB this is a handful of shuffles over series (not
         sample) cardinality. ``__name__`` participates as a label pair,
         matching VM's nameEqualBytes accounting."""
+        # topN clamps to [1, -search.maxTSDBStatusTopNSeries=1000]
+        # (prometheus.go:605-618)
+        topn = max(1, min(int(topn), 1000))
         if match:
             df = self._match_df(match, start, end)
         else:
