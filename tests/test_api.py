@@ -636,7 +636,12 @@ def test_delete_series_resets_result_cache(spark, tmp_path):
             samples_table="t_api_delc",
             cache_dir=str(tmp_path / "delc"),
         )
-        args = ("m", str(T0 // 1000), str(T0 // 1000 + 900), "100")
+        # explicit-window leaf: segment-CACHEABLE (a bare `m` is an
+        # implicit default_rollup and strictly bypasses since r10)
+        args = (
+            "last_over_time(m[200s])",
+            str(T0 // 1000), str(T0 // 1000 + 900), "100",
+        )
         res = a.query_range(*args)
         assert {r["metric"]["s"] for r in res["data"]["result"]} == {"a", "b"}
         assert a.cache.stats["mode"] == "miss"

@@ -166,7 +166,21 @@ def test_cacheable_predicate():
     assert not ok("irate(c[1m])")
     assert not ok("deriv(c)")       # implicit window widens per series
     assert ok("deriv(c[5m])")       # explicit window: no estimate
-    assert ok("topk(2, c)")  # per-timestamp ranking is sound
+    # a BARE selector is an implicit default_rollup with an implicit
+    # window -> estimate-dependent eligibility -> strict bypass (the
+    # per-timestamp topk ranking itself is sound: explicit window ok)
+    assert not ok("topk(2, c)")
+    assert ok("topk(2, last_over_time(c[5m]))")
+    assert not ok("c")
+    assert ok("count_over_time(c[5m])")
+    # range/wall-clock scalars and non-literal @ resolve against the
+    # query range -> bypass; a literal @ pins a constant -> cacheable
+    assert not ok("c > end() - 3600")
+    assert not ok("count_over_time(c[5m]) * now()")
+    assert not ok("avg_over_time(c[1h] @ end())")
+    assert ok("avg_over_time(c[1h] @ 1700000000)")
+    # range_over_time is a windowed rollup, not a range_* transform
+    assert ok("range_over_time(c[1h])")
     assert not ok("histogram_quantile(0.9, rate(b[5m]))")  # rate inside
     assert ok("histogram_quantile(0.9, increase_prometheus(b[5m]))")
     assert not ok("topk_max(2, rate(c[2m]))")
@@ -424,3 +438,66 @@ def test_instant_delta_boundary_template_reused(spark, wide_samples, tmp_path):
     assert inst.stats["adjusted"] == 2
     assert inst.stats["template_builds"] == 1  # not rebuilt
     assert inst.stats["template_hits"] == 2
+
+
+def test_segment_cache_invalidated_by_new_files(spark, tmp_path):
+    """The segment cache carries the same input-files token as the
+    instant cache: a backfill into the ALREADY-CACHED range lands in
+    new files and must invalidate the entry (miss + recompute), not
+    prefix-reuse stale points."""
+    import time
+
+    t0 = 1704067200000
+    rows = [
+        ("c", {"job": "a"}, t0 + i * 60_000, float(i), False)
+        for i in range(30)
+    ]
+    data_dir = str(tmp_path / "seg_samples")
+    spark.createDataFrame(rows, SAMPLE_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    q = "count_over_time(c[2m])"
+    cfg = EvalConfig(start=t0, end=t0 + 1200_000, step=60_000)
+    cache = RollupResultCache(spark, str(tmp_path / "seg_fp"))
+
+    samples = spark.read.parquet(data_dir)
+    first = cache.evaluate(q, samples, cfg)
+    assert cache.stats["mode"] == "miss"
+    _ = _vals(first)
+
+    # same files → full hit
+    again = cache.evaluate(q, spark.read.parquet(data_dir), cfg)
+    assert cache.stats["mode"] == "hit_full"
+    _ = _vals(again)
+
+    # backfill INSIDE the cached range in a new file → token changes
+    time.sleep(0.02)
+    back = [("c", {"job": "a"}, t0 + 90_000, 1e6, False)]
+    spark.createDataFrame(back, SAMPLE_SCHEMA).write.mode("append").parquet(
+        data_dir
+    )
+    samples2 = spark.read.parquet(data_dir)
+    out = cache.evaluate(q, samples2, cfg)
+    assert cache.stats["mode"] == "miss"
+    assert _vals(out) == _vals(
+        evaluate(spark, q, samples2, cfg, use_plan_cache=False)
+    )
+
+
+def test_cache_corrupt_meta_reads_as_miss(spark, counter_samples, tmp_path):
+    """A truncated/corrupt meta file (crash mid-write before the atomic
+    rename existed) must read as a miss, not poison the key with a
+    JSONDecodeError on every later query."""
+    samples, t0 = counter_samples
+    cache = RollupResultCache(spark, str(tmp_path / "rrc_corrupt"))
+    q = "count_over_time(c[2m])"
+    cfg = EvalConfig(start=t0, end=t0 + 600_000, step=60_000)
+    cache.evaluate(q, samples, cfg)
+    key = cache._key(q, cfg)
+    with open(cache._meta_path(key), "w") as fh:
+        fh.write('{"start": 123, "ver')  # truncated JSON
+    out = cache.evaluate(q, samples, cfg)
+    assert cache.stats["mode"] == "miss"
+    assert _vals(out) == _vals(
+        evaluate(spark, q, samples, cfg, use_plan_cache=False)
+    )

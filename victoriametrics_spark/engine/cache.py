@@ -24,13 +24,23 @@ keeps the same contract with results as parquet:
   statistics, so a suffix evaluated over ``[cached_end+step, end]`` can
   select different series than a cold full-range evaluation, (c) a sort
   transform or ``limit_offset`` (result order/selection over the whole
-  range), or (d) a subquery / nested rollup (child evaluation range is
-  derived from the query range). Per-TIMESTAMP constructs (plain
-  ``topk``/``bottomk``, ``share``, ``zscore``, histogram ops) stay
-  cacheable — each grid point ranks only its own timestamp.
+  range), (d) a subquery / nested rollup (child evaluation range is
+  derived from the query range), (e) the range/wall-clock scalars
+  ``now()``/``start()``/``end()`` and any NON-LITERAL ``@`` modifier
+  (both resolve against the query range), and (f) BARE selectors —
+  an implicit ``default_rollup`` with an implicit window rides the
+  range-end-sensitive scrape-interval estimate, the same reason the
+  span family bypasses (a selector with an explicit ``[w]`` stays
+  cacheable). Per-TIMESTAMP constructs (plain ``topk``/``bottomk``,
+  ``share``, ``zscore``, histogram ops over explicit-window leaves)
+  stay cacheable — each grid point ranks only its own timestamp.
 
 Every grid point of a cacheable query depends only on samples in
 ``(gts - window, gts]``, which is what makes prefix reuse sound.
+Entries carry the input frame's ``files_token`` — appended/backfilled
+files invalidate instead of serving a stale range — and metadata is
+written atomically (tmp + rename) with the immediately superseded
+parquet version kept one extra generation for in-flight lazy readers.
 """
 
 from __future__ import annotations
@@ -57,6 +67,10 @@ _RANGE_DEPENDENT_TRANSFORMS = frozenset(
         "sort_by_label_numeric_desc",
     }
 )
+# scalar transforms whose value depends on the query range / wall clock
+# (transform.py: now() = wall time, start()/end() = cfg bounds); time()
+# stays cacheable — each grid point's value is its own timestamp
+_EVAL_RANGE_FUNCS = frozenset({"now", "start", "end"})
 # aggregates that rank SERIES by a whole-range statistic
 _RANKING_AGGREGATES = frozenset(
     {
@@ -80,6 +94,37 @@ _RANKING_AGGREGATES = frozenset(
 _RESULT_SCHEMA = (
     "name string, labels map<string,string>, ts long, value double"
 )
+
+
+def _read_meta(path: str) -> dict | None:
+    """Shared meta reader: a missing file OR a truncated/corrupt one
+    (crash mid-write before the atomic rename existed) reads as a
+    cache miss, never a poisoned key."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _write_meta_atomic(path: str, obj: dict) -> None:
+    """tmp + os.replace so a crash mid-write can never leave truncated
+    JSON at the final path."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def _drop_stale_generation(data_path_fn, key: str, version: int) -> None:
+    """Delete version-2 when storing version N: the immediately
+    superseded version N-1 stays on disk one more generation because a
+    previously returned LAZY DataFrame may still be bound to it (the
+    caller collects after evaluate returns)."""
+    if version >= 2:
+        import shutil
+
+        shutil.rmtree(data_path_fn(key, version - 2), ignore_errors=True)
 
 
 def forward_looking(name: str) -> bool:
@@ -162,6 +207,11 @@ class RollupResultCache:
         # (cached == cold bit-for-bit).
         self.accept_estimate_drift = accept_estimate_drift
         self._leaf: "LeafResultCache | None" = None
+        import threading as _threading
+
+        # serializes the read-version → write → publish sequence against
+        # concurrent HTTP handler threads on the same key space
+        self._lock = _threading.Lock()
 
     # ------------------------------------------------------------- key
     @staticmethod
@@ -170,8 +220,10 @@ class RollupResultCache:
         from victoriametrics_spark.metricsql.ast import (
             AggrFuncExpr,
             BinaryOpExpr,
+            DurationExpr,
             FuncExpr,
             MetricExpr,
+            NumberExpr,
             RollupExpr,
         )
 
@@ -182,23 +234,53 @@ class RollupResultCache:
 
         from victoriametrics_spark.metricsql.funcs import is_rollup_func
 
+        def at_ok(at) -> bool:
+            # a literal @ pins every grid point to the same constant
+            # evaluation — prefix reuse stays sound; any EXPRESSION @
+            # (end(), scalar(...) etc.) resolves against the query
+            # range, so cached points would differ from a cold run
+            return at is None or isinstance(at, (NumberExpr, DurationExpr))
+
+        def selector_ok(a) -> bool:
+            if isinstance(a, MetricExpr):
+                return True
+            if isinstance(a, RollupExpr):
+                return (
+                    a.step is None
+                    and isinstance(a.expr, MetricExpr)
+                    and at_ok(a.at)
+                )
+            return False
+
         def ok(e) -> bool:
             if isinstance(e, FuncExpr):
                 n = e.name
+                if n in _EVAL_RANGE_FUNCS:
+                    # now()/start()/end() change with the query range /
+                    # wall clock: a cached prefix would freeze them
+                    return False
                 if (
                     n in _RANGE_DEPENDENT_TRANSFORMS
                     or n.startswith("running_")
-                    or n.startswith("range_")
+                    # range_over_time is a per-point windowed ROLLUP,
+                    # not a range_* transform — it stays cacheable
+                    or (n.startswith("range_") and n != "range_over_time")
                 ):
                     return False
                 if is_rollup_func(n):
                     if estimate_dependent(e) or forward_looking(n):
                         return False
-                    # implicit subqueries: rollup over anything that is
-                    # not a plain selector
+                    # the rollup consumes its selector arg itself; any
+                    # non-selector, non-literal arg is an implicit
+                    # subquery → bypass
                     for a in e.args:
-                        if isinstance(a, (FuncExpr, AggrFuncExpr, BinaryOpExpr)):
+                        if isinstance(
+                            a, (FuncExpr, AggrFuncExpr, BinaryOpExpr)
+                        ):
                             return False
+                        if isinstance(a, RollupExpr) and not selector_ok(a):
+                            return False
+                    return True
                 return all(ok(a) for a in e.args)
             if isinstance(e, AggrFuncExpr):
                 if e.name in _RANKING_AGGREGATES or e.limit:
@@ -209,7 +291,21 @@ class RollupResultCache:
                 # derived from the query range → bypass
                 if e.step is not None or not isinstance(e.expr, MetricExpr):
                     return False
-                return ok(e.expr)
+                if not at_ok(e.at):
+                    return False
+                # bare `m[w]` outside a rollup func → implicit
+                # default_rollup; with an explicit window that is
+                # estimate-independent (matches _leaf_cacheable)
+                return e.window is not None
+            if isinstance(e, MetricExpr):
+                # bare selector → implicit default_rollup with an
+                # IMPLICIT window: per-series widening + prev-anchor
+                # eligibility ride the range-end-sensitive estimate, so
+                # strict mode must not prefix-reuse it (the leaf cache
+                # already bypasses exactly this; accept_estimate_drift
+                # mode serves these through the drift-tolerant leaf
+                # path instead)
+                return False
             if isinstance(e, BinaryOpExpr):
                 return ok(e.left) and ok(e.right)
             return True
@@ -264,26 +360,27 @@ class RollupResultCache:
         return f"{self.cache_dir}/{key}.v{version}.parquet"
 
     def _load_meta(self, key: str) -> dict | None:
-        try:
-            with open(self._meta_path(key)) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return _read_meta(self._meta_path(key))
 
-    def _store(self, key: str, df: DataFrame, start: int, end: int) -> None:
-        meta = self._load_meta(key)
-        version = (meta["version"] + 1) if meta else 0
-        path = self._data_path(key, version)
-        df.write.mode("overwrite").parquet(path)
-        with open(self._meta_path(key), "w") as fh:
-            json.dump(
-                {"start": start, "end": end, "version": version, "path": path},
-                fh,
+    def _store(
+        self, key: str, df: DataFrame, start: int, end: int, ftok=None
+    ) -> None:
+        with self._lock:
+            meta = self._load_meta(key)
+            version = (meta["version"] + 1) if meta else 0
+            path = self._data_path(key, version)
+            df.write.mode("overwrite").parquet(path)
+            _write_meta_atomic(
+                self._meta_path(key),
+                {
+                    "start": start,
+                    "end": end,
+                    "version": version,
+                    "path": path,
+                    "ftok": ftok,
+                },
             )
-        if meta:  # drop the superseded version
-            import shutil
-
-            shutil.rmtree(meta["path"], ignore_errors=True)
+            _drop_stale_generation(self._data_path, key, version)
 
     def _cached_df(self, meta: dict) -> DataFrame:
         self.spark.catalog.refreshByPath(meta["path"])
@@ -315,12 +412,20 @@ class RollupResultCache:
 
         key = self._key(query, cfg)
         meta = self._load_meta(key)
+        # data-identity guard: appended/backfilled/compacted input files
+        # change the token and invalidate the entry (the instant cache's
+        # r9 fix, applied to the segment level; callers passing
+        # samples=None assert a no-evaluation full hit and skip it)
+        from victoriametrics_spark.engine.plancache import files_token
+
+        ftok = repr(files_token(samples)) if samples is not None else None
         usable = (
             meta is not None
             and meta["start"] <= cfg.start
             # cached grid must land exactly on the query grid
             and (cfg.start - meta["start"]) % cfg.step == 0
             and meta["end"] + cfg.step >= cfg.start
+            and (ftok is None or meta.get("ftok") in (None, ftok))
         )
         if usable:
             ce = min(meta["end"], cfg.end)
@@ -337,7 +442,7 @@ class RollupResultCache:
             merged_range = cached.filter(F.col("ts") < cfg.start).unionByName(
                 prefix
             ).unionByName(suffix)
-            self._store(key, merged_range, meta["start"], cfg.end)
+            self._store(key, merged_range, meta["start"], cfg.end, ftok=ftok)
             meta2 = self._load_meta(key)
             out = self._cached_df(meta2).filter(
                 (F.col("ts") >= cfg.start) & (F.col("ts") <= cfg.end)
@@ -350,6 +455,7 @@ class RollupResultCache:
             result.select("name", "labels", "ts", "value"),
             cfg.start,
             cfg.end,
+            ftok=ftok,
         )
         meta2 = self._load_meta(key)
         self.stats = {"mode": "miss"}
@@ -384,6 +490,9 @@ class InstantValuesCache:
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
         self.min_window_ms = 3 * 3600 * 1000
+        import threading as _threading
+
+        self._lock = _threading.Lock()
         self.stats: dict = {
             "hits": 0,
             "adjusted": 0,
@@ -421,26 +530,25 @@ class InstantValuesCache:
     def _meta_path(self, key: str) -> str:
         return f"{self.cache_dir}/{key}.meta.json"
 
+    def _data_path(self, key: str, version: int) -> str:
+        return f"{self.cache_dir}/{key}.v{version}.parquet"
+
     def _load_meta(self, key: str) -> dict | None:
-        try:
-            with open(self._meta_path(key)) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return _read_meta(self._meta_path(key))
 
     def _store(self, key: str, df: DataFrame, ts: int) -> None:
-        meta = self._load_meta(key)
-        version = (meta["version"] + 1) if meta else 0
-        path = f"{self.cache_dir}/{key}.v{version}.parquet"
-        df.select("name", "labels", "ts", "value").write.mode(
-            "overwrite"
-        ).parquet(path)
-        with open(self._meta_path(key), "w") as fh:
-            json.dump({"ts": ts, "version": version, "path": path}, fh)
-        if meta:
-            import shutil
-
-            shutil.rmtree(meta["path"], ignore_errors=True)
+        with self._lock:
+            meta = self._load_meta(key)
+            version = (meta["version"] + 1) if meta else 0
+            path = self._data_path(key, version)
+            df.select("name", "labels", "ts", "value").write.mode(
+                "overwrite"
+            ).parquet(path)
+            _write_meta_atomic(
+                self._meta_path(key),
+                {"ts": ts, "version": version, "path": path},
+            )
+            _drop_stale_generation(self._data_path, key, version)
 
     def _delete(self, key: str) -> None:
         meta = self._load_meta(key)
@@ -607,7 +715,14 @@ class InstantValuesCache:
             if invalid.limit(1).count() > 0:
                 self.stats["fallback"] += 1
                 self._delete(key)
-                return eval_at(t, window_ms)
+                # store the fresh evaluation like the miss path does —
+                # the NEXT refresh becomes an O(offset) adjustment
+                # instead of a second full O(window) scan
+                out = eval_at(t, window_ms)
+                self._store(key, out, t)
+                return self._cached_df(self._load_meta(key)).select(
+                    "name", "labels", "ts", "value"
+                )
             merged = c.join(s, join_cols, "full")
             pick = F.greatest if name == "max_over_time" else F.least
             value = pick(
@@ -629,6 +744,13 @@ class InstantValuesCache:
             # 0 for a dying series until the cache entry expires; we
             # restore cold parity, which the count value makes decidable)
             out = out.filter(F.col("value") != 0.0)
+        # KNOWN DIVERGENCE (= VM's own fast-path behavior,
+        # eval.go:1176-1536): sum_over_time of a series whose samples
+        # fully expired from the window adjusts to ~0 and still emits
+        # until the entry expires, where a cold run emits nothing. The
+        # sum value alone cannot distinguish "empty window" from a
+        # genuine zero sum — restoring cold parity here would need a
+        # parallel count column in the cached entry.
         # NOTE: like VM, a hit does NOT advance the cached timestamp —
         # the entry serves until offset grows past max_offset, then the
         # next query repopulates at its own t
@@ -664,6 +786,9 @@ class LeafResultCache:
         self.accept_estimate_drift = accept_estimate_drift
         self.stats: dict = {"hits": 0, "partial": 0, "misses": 0}
         self._instant: "InstantValuesCache | None" = None
+        import threading as _threading
+
+        self._lock = _threading.Lock()
 
     def instant_values(self) -> "InstantValuesCache":
         if self._instant is None:
@@ -693,43 +818,50 @@ class LeafResultCache:
         return f"{self.cache_dir}/{key}.v{version}.parquet"
 
     def _load_meta(self, key: str) -> dict | None:
-        try:
-            with open(self._meta_path(key)) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return _read_meta(self._meta_path(key))
 
-    def _store(self, key: str, df: DataFrame, start: int, end: int) -> None:
-        meta = self._load_meta(key)
-        version = (meta["version"] + 1) if meta else 0
-        path = self._data_path(key, version)
-        df.write.mode("overwrite").parquet(path)
-        with open(self._meta_path(key), "w") as fh:
-            json.dump(
-                {"start": start, "end": end, "version": version, "path": path},
-                fh,
+    def _store(
+        self, key: str, df: DataFrame, start: int, end: int, ftok=None
+    ) -> None:
+        with self._lock:
+            meta = self._load_meta(key)
+            version = (meta["version"] + 1) if meta else 0
+            path = self._data_path(key, version)
+            df.write.mode("overwrite").parquet(path)
+            _write_meta_atomic(
+                self._meta_path(key),
+                {
+                    "start": start,
+                    "end": end,
+                    "version": version,
+                    "path": path,
+                    "ftok": ftok,
+                },
             )
-        if meta:
-            import shutil
-
-            shutil.rmtree(meta["path"], ignore_errors=True)
+            _drop_stale_generation(self._data_path, key, version)
 
     def _cached_df(self, meta: dict) -> DataFrame:
         self.spark.catalog.refreshByPath(meta["path"])
         return self.spark.read.schema(_RESULT_SCHEMA).parquet(meta["path"])
 
-    def get_or_eval(self, ident: str, cfg: EvalConfig, build) -> DataFrame:
+    def get_or_eval(
+        self, ident: str, cfg: EvalConfig, build, fingerprint=None
+    ) -> DataFrame:
         """Return the leaf's series frame for ``[cfg.start, cfg.end]``,
         evaluating (and persisting) only the uncovered grid suffix.
         ``build(sub_cfg)`` must return the leaf DataFrame for that
-        sub-range."""
+        sub-range. ``fingerprint`` is the input-data identity
+        (plancache.files_token): appended/backfilled files invalidate
+        the entry instead of serving the stale range."""
         key = self._key(ident, cfg)
         meta = self._load_meta(key)
+        ftok = repr(fingerprint) if fingerprint is not None else None
         usable = (
             meta is not None
             and meta["start"] <= cfg.start
             and (cfg.start - meta["start"]) % cfg.step == 0
             and meta["end"] + cfg.step >= cfg.start
+            and (ftok is None or meta.get("ftok") in (None, ftok))
         )
         in_range = lambda df: df.filter(  # noqa: E731
             (F.col("ts") >= cfg.start) & (F.col("ts") <= cfg.end)
@@ -743,10 +875,10 @@ class LeafResultCache:
             suffix_cfg = replace(cfg, start=ce + cfg.step)
             suffix = build(suffix_cfg).select("name", "labels", "ts", "value")
             merged = cached.filter(F.col("ts") <= ce).unionByName(suffix)
-            self._store(key, merged, meta["start"], cfg.end)
+            self._store(key, merged, meta["start"], cfg.end, ftok=ftok)
             self.stats["partial"] += 1
             return in_range(self._cached_df(self._load_meta(key)))
         result = build(cfg).select("name", "labels", "ts", "value")
-        self._store(key, result, cfg.start, cfg.end)
+        self._store(key, result, cfg.start, cfg.end, ftok=ftok)
         self.stats["misses"] += 1
         return in_range(self._cached_df(self._load_meta(key)))

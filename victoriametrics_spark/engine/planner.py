@@ -185,6 +185,17 @@ class Planner:
         # leaves reuse cached prefixes à la rollup_result_cache.go
         self.leaf_cache = leaf_cache
         self._cse: dict[tuple[str, int, int, int], DataFrame] = {}
+        self._ftok = None
+
+    def _samples_fingerprint(self):
+        """files_token of the input frame, computed once per planner —
+        shared by the leaf and instant cache keys so appended files
+        invalidate both."""
+        if self._ftok is None:
+            from victoriametrics_spark.engine.plancache import files_token
+
+            self._ftok = files_token(self.samples)
+        return self._ftok
 
     # ------------------------------------------------------------- public
     def plan_query(self, query: str | Expr) -> DataFrame:
@@ -355,6 +366,7 @@ class Planner:
                         lambda c, e=e: self.materialize(
                             self.plan_rollup_func(e, c), c
                         ),
+                        fingerprint=self._samples_fingerprint(),
                     )
                 return self.plan_rollup_func(e, cfg)
             return transform_mod.plan_transform(self, e, cfg)
@@ -489,15 +501,13 @@ class Planner:
                 F.col("value").isNotNull() & ~F.isnan(F.col("value"))
             )
 
-        from victoriametrics_spark.engine.plancache import files_token
-
         return inst.get_or_eval(
             name,
             repr(fe),
             window_ms,
             cfg,
             eval_at,
-            fingerprint=files_token(self.samples),
+            fingerprint=self._samples_fingerprint(),
             build_template=build_template,
             apply_template=apply_template,
         )
