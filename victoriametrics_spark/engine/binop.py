@@ -45,6 +45,38 @@ CMP_OPS: dict[str, Callable[[Column, Column], Column]] = {
     "<=": lambda l, r: l <= r,
 }
 
+
+def cmp_go(op: str) -> Callable[[Column, Column], Column]:
+    """Comparison with GO/IEEE NaN semantics (newBinaryOpCmpFunc,
+    binary_op.go:136-153): every comparison involving NaN is false —
+    except ``!=``, which is true. Spark's own ordering treats NaN as
+    the LARGEST value (NaN == NaN, x < NaN, NaN > x are all true), so
+    the raw Column operators diverge exactly where a NaN operand
+    appears — e.g. ``q < (1 > 2)`` (empty scalar → NaN) must drop
+    every point, not keep them all."""
+    base = CMP_OPS[op]
+
+    def f(l: Column, r: Column) -> Column:
+        either_nan = F.isnan(l) | F.isnan(r)
+        if op == "!=":
+            return F.when(either_nan, F.lit(True)).otherwise(base(l, r))
+        return F.when(either_nan, F.lit(False)).otherwise(base(l, r))
+
+    return f
+
+
+def cmp_bool_go(op: str) -> Callable[[Column, Column], Column]:
+    """bool-modifier comparison (binary_op.go:144-151): NaN LEFT → NaN
+    (the point stays filtered), else Go-semantics cmp as 1/0."""
+    go = cmp_go(op)
+
+    def f(l: Column, r: Column) -> Column:
+        return F.when(F.isnan(l), F.lit(float("nan"))).otherwise(
+            go(l, r).cast("double")
+        )
+
+    return f
+
 SET_OPS = {"and", "or", "unless", "if", "ifnot", "default"}
 
 
@@ -119,9 +151,15 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
             return Scalar(fn=lambda ts: F.when(rf(ts).isNull(), lf(ts)))
         lf, rf = left.fn, right.fn
         if op in CMP_OPS:
-            cmp = CMP_OPS[op]
+            # NULL propagation is load-bearing here: a filtered point of
+            # a scalar comparison is NULL in this engine, and NULL-in →
+            # NULL-out reproduces VM's dropNaNRight treatment of
+            # vector-comparison NaNs (binary_op.go:196-203) — do NOT
+            # coalesce to NaN. cmp_go only corrects GENUINE NaN values.
             if be.bool_modifier:
-                return Scalar(fn=lambda ts: cmp(lf(ts), rf(ts)).cast("double"))
+                cmpb = cmp_bool_go(op)
+                return Scalar(fn=lambda ts: cmpb(lf(ts), rf(ts)))
+            cmp = cmp_go(op)
             # scalar cmp scalar without bool keeps LEFT
             # (binaryOpEvalNumber), EXCEPT when the left is a number
             # literal and the right is computed: eval.go swaps them
@@ -147,6 +185,10 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
                     "atan2": math.atan2,
                 }
                 const = pyops[op](left.const, right.const)
+                if isinstance(const, complex):
+                    # Python ** returns a complex for a negative base
+                    # with fractional exponent; Go math.Pow yields NaN
+                    const = math.nan
             except Exception:
                 const = None
         return Scalar(fn=lambda ts: f(lf(ts), rf(ts)), const=const)
@@ -155,6 +197,17 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
     if l_scalar != r_scalar:
         df = right if l_scalar else left
         sc = left if l_scalar else right
+        # VM's scalar fast path applies ONLY with no group/join modifier
+        # (adjustBinaryOpTags, binary_op.go:272-292); with on()/ignoring()
+        # or group_left/right, the scalar is an ordinary empty-label
+        # series going through the generic match — `q + on(job) 2`
+        # matches nothing and returns empty, exactly like the reference.
+        if be.group_modifier is not None or be.join_modifier is not None:
+            ldf = planner.materialize(left, cfg)
+            rdf = planner.materialize(right, cfg)
+            if op in SET_OPS:
+                return _plan_series_setop(planner, op, ldf, rdf, be)
+            return _plan_series_arith(planner, op, ldf, rdf, be)
         sc_fn = sc.fn
         vcol = F.col("value")
         scol = sc_fn(F.col("ts")).cast("double")
@@ -162,17 +215,24 @@ def plan_binop(planner: "Planner", be: BinaryOpExpr, cfg: EvalConfig) -> "Plan":
         if op in CMP_OPS:
             # a missing scalar point is NaN in VM (an empty scalar cmp
             # result like `(1 > 2)` compares as NaN, so `q != (1 > 2)`
-            # keeps every point)
+            # keeps every point); comparisons use Go NaN semantics
             lv2 = F.coalesce(lv, F.lit(float("nan"))) if l_scalar else lv
             rv2 = F.coalesce(rv, F.lit(float("nan"))) if not l_scalar else rv
-            cmp = CMP_OPS[op](lv2, rv2)
             if be.bool_modifier:
-                out = df.withColumn("value", cmp.cast("double")).withColumn(
-                    "name", F.lit("")
-                )
-            else:
-                out = df.filter(cmp)  # keep original values & name
-            return out
+                out = df.withColumn(
+                    "value", cmp_bool_go(op)(lv2, rv2)
+                ).withColumn("name", F.lit(""))
+                return out
+            cmp = cmp_go(op)(lv2, rv2)
+            if l_scalar and sc.const is None:
+                # computed scalar on the LEFT (`time() > q`): the cmp
+                # func returns its LEFT operand, so matched points carry
+                # the SCALAR's values on the series' identity
+                # (binary_op.go:275-282 fast path + cfe returns left).
+                # Number literals are exempt — eval swaps `123 < q`
+                # to `q > 123`, keeping the series values.
+                return df.filter(cmp).withColumn("value", lv2)
+            return df.filter(cmp)  # keep original values & name
         if op in SET_OPS:
             if op == "default" and r_scalar:
                 # q default N: fill each left series' missing grid points
@@ -241,7 +301,10 @@ _FUSABLE_AGGRS: dict[str, Callable[[Column], Column]] = {
     "min": F.min,
     "max": F.max,
     "avg": F.avg,
-    "count": lambda c: F.count(c).cast("double"),
+    # count over ZERO side-matching rows must be an ABSENT row (NULL),
+    # not 0.0 — the unfused plan's inner join drops groups that exist on
+    # only one side, and every other aggregate returns NULL there too
+    "count": lambda c: F.nullif(F.count(c), F.lit(0)).cast("double"),
     "sum2": lambda c: F.sum(c * c),
     "stddev": F.stddev_pop,
     "stdvar": F.var_pop,
@@ -277,8 +340,12 @@ def _skeleton_and_selector(e):
                 f"s={x.step!r},at={x.at!r},k={x.keep_metric_names})"
             )
         if isinstance(x, FuncExpr):
-            # only rollup funcs are guaranteed label-preserving per-series
-            if not is_rollup_func(x.name):
+            # only rollup funcs are guaranteed label-preserving per-series;
+            # absent_over_time is a rollup func but NOT label-preserving
+            # (it SYNTHESIZES a series from the selector when nothing
+            # matches — a fused union scan would lose the per-side
+            # absence)
+            if not is_rollup_func(x.name) or x.name == "absent_over_time":
                 return None
             parts = []
             for a in x.args:
@@ -416,9 +483,20 @@ def _try_fused_same_source(planner, be: BinaryOpExpr, cfg: EvalConfig):
         agg(F.when(pred_r, F.col("value"))).cast("double").alias("__r"),
     )
     value = ARITH_OPS[be.op](F.col("__l"), F.col("__r"))
+    # `by (__name__)` injects the metric name into the group labels
+    # (aggr.group_labels_col); the unfused plan lifts it back into the
+    # name column (aggr._shape) and the arith then resets it unless
+    # keep_metric_names — mirror both steps here
+    name_out = (
+        F.coalesce(F.col("labels")["__name__"], F.lit(""))
+        if be.keep_metric_names
+        else F.lit("")
+    )
     out = grouped.select(
-        F.lit("").alias("name"),
-        F.col("labels"),
+        name_out.alias("name"),
+        F.map_filter(
+            F.col("labels"), lambda k, v: k != F.lit("__name__")
+        ).alias("labels"),
         F.col("ts"),
         value.cast("double").alias("value"),
     )
@@ -447,22 +525,40 @@ def _plan_series_setop(
     # or / default
     # or: left series plus right points at (key,ts) cells left lacks
     # (binary_op.go:588-645); default: left values, right fills gaps
-    # (binary_op.go:568-586) — same cell-level coalesce shape
-    extra = r.join(
-        l.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti"
-    )
     if op == "or":
+        extra = r.join(
+            l.select("__mk", "ts").distinct(), ["__mk", "ts"], "left_anti"
+        )
         return l.select("name", "labels", "ts", "value").unionByName(
             extra.select("name", "labels", "ts", "value")
         )
-    # default: fill left's missing grid cells from right, but only for
-    # (match-key, ts) cells; keep left's identity. groupBy (not distinct)
-    # because Spark forbids set ops on MAP columns; one-to-one keys are
-    # guaranteed by VM semantics (duplicate keys error elsewhere).
-    lkeys = l.groupBy("__mk").agg(
-        F.first("name").alias("name"), F.first("labels").alias("labels")
+    # default: fillLeftNaNsWithRightValues (binary_op.go:568-586,622-640)
+    # fills EACH left series' own gaps independently — a key matched by
+    # two left series fills both of their gaps, each keeping its own
+    # identity (not one fill row per cell missing from ALL of them).
+    # Volume: per match key, |left series| x |right cells| candidates —
+    # the same bound as a group_left join.
+    lser = l.groupBy(
+        "__mk",
+        F.col("name"),
+        canonical_labels_str(F.col("labels")).alias("__sk"),
+    ).agg(F.first("labels").alias("labels"))
+    # one fill value per (key, ts) cell — with several right series VM
+    # takes whichever it iterates first; pick the canonically-first
+    # series for determinism
+    rcell = r.groupBy("__mk", "ts").agg(
+        F.min_by(
+            F.col("value"),
+            F.struct(F.col("name"), canonical_labels_str(F.col("labels"))),
+        ).alias("value")
     )
-    fill = extra.select("__mk", "ts", "value").join(lkeys, "__mk", "inner")
+    cand = rcell.join(lser, "__mk", "inner")
+    own = l.select(
+        "__mk",
+        canonical_labels_str(F.col("labels")).alias("__sk"),
+        "ts",
+    )
+    fill = cand.join(own, ["__mk", "__sk", "ts"], "left_anti")
     return l.select("name", "labels", "ts", "value").unionByName(
         fill.select("name", "labels", "ts", "value")
     )
@@ -643,13 +739,16 @@ def _plan_series_arith(
             )
 
     if op in CMP_OPS:
-        cmp = CMP_OPS[op](lv, rv)
-        keep_val = rv if join_mod == "group_right" else lv
+        # the cmp func ALWAYS returns its LEFT operand's value
+        # (newBinaryOpCmpFunc returns `left`), even under group_right
+        # where the result IDENTITY comes from the right/many side
+        # (adjustBinaryOpTags: dst=rvsRight but bf(a=left, b=right))
+        keep_val = lv
         if be.bool_modifier:
-            value = cmp.cast("double")
+            value = cmp_bool_go(op)(lv, rv)
             name_out = F.lit("")
         else:
-            value = F.when(cmp, keep_val)
+            value = F.when(cmp_go(op)(lv, rv), keep_val)
             name_out = base_name  # comparison filter keeps the series as-is
         out = joined.select(
             name_out.alias("name"),
