@@ -179,3 +179,106 @@ def test_pow_negative_base_fractional_exp_is_nan(spark, q_df):
     not crash downstream isnan() checks."""
     out = evaluate(spark, "q * ((0 - 4) ^ 0.5)", q_df, CFG)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------- aggr
+# (same review round — aggregate fidelity cases verified against aggr.go)
+
+
+def test_aggregates_skip_nan_points(spark, q_df):
+    """VM's aggrFunc* skip NaN per point (aggr.go:185-208): a union
+    with a NaN series must not poison sum/max, and count counts only
+    non-NaN contributors."""
+    base = 'sum((time(), label_set(time()*((0-4)^0.5), "x", "y")))'
+    out = evaluate(spark, base, q_df, CFG)
+    vals = {r["ts"]: r["value"] for r in out.collect()}
+    assert vals == {ts: ts / 1000.0 for ts in range(1_000_000, 2_000_001, 200_000)}
+    cnt = evaluate(
+        spark, base.replace("sum(", "count(", 1), q_df, CFG
+    )
+    assert {r["value"] for r in cnt.collect()} == {1.0}
+    mx = evaluate(spark, base.replace("sum(", "max(", 1), q_df, CFG)
+    assert {r["value"] for r in mx.collect()} == {
+        ts / 1000.0 for ts in range(1_000_000, 2_000_001, 200_000)
+    }
+
+
+def test_geomean_zero_and_negative(spark, q_df):
+    """aggrFuncGeomean multiplies RAW values: a zero zeroes the result,
+    a single negative survives (pow(v, 1))."""
+    z = evaluate(
+        spark, 'geomean((label_set(0,"a","b"), label_set(100,"c","d")))',
+        q_df, CFG,
+    )
+    assert {r["value"] for r in z.collect()} == {0.0}
+    n = evaluate(spark, 'geomean(label_set(0-4,"a","b"))', q_df, CFG)
+    assert {r["value"] for r in n.collect()} == {-4.0}
+
+
+def test_topk_inf_and_nan_k(spark, q_df):
+    """getIntK: inf keeps everything, NaN keeps nothing — neither may
+    crash with a raw Python conversion error."""
+    assert evaluate(spark, "topk(inf, q)", q_df, CFG).count() == 12
+    assert evaluate(spark, "topk(0/0, q)", q_df, CFG).count() == 0
+    assert evaluate(spark, "outliersk(inf, q)", q_df, CFG).count() == 12
+
+
+def test_quantiles_nan_and_oob_phi(spark, q_df):
+    """quantiles() mirrors quantile(): NaN phi's series drops,
+    out-of-range phi yields a constant ∓Inf series with a %g label."""
+    out = evaluate(
+        spark, 'quantiles("phi", 0/0, 0-1, 0.5, label_set(1,"a","b"))',
+        q_df, CFG,
+    )
+    by_phi = {}
+    for r in out.collect():
+        by_phi.setdefault(dict(r["labels"])["phi"], set()).add(r["value"])
+    assert set(by_phi) == {"-1", "0.5"}  # NaN phi dropped; %g labels
+    assert by_phi["-1"] == {float("-inf")}
+    assert by_phi["0.5"] == {1.0}
+
+
+def test_share_zscore_keep_original_name(spark):
+    """share()/zscore() run through aggrFuncExt keepOriginal=true —
+    per-series outputs keep their full original identity, name
+    included."""
+    rows = [("reqs", {"job": "a"}, ts, 2.0, False)
+            for ts in range(0, 2_100_000, 100_000)]
+    rows += [("reqs", {"job": "b"}, ts, 6.0, False)
+             for ts in range(0, 2_100_000, 100_000)]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    for q in ("share(reqs)", "zscore(reqs)"):
+        out = evaluate(spark, q, df, CFG)
+        names = {r["name"] for r in out.collect()}
+        assert names == {"reqs"}, q
+
+
+def test_count_values_f_format(spark, q_df):
+    """count_values label values use Go 'f' formatting (no exponent):
+    1e-7 → \"0.0000001\", 1.5 → \"1.5\", 5 → \"5\"."""
+    out = evaluate(
+        spark,
+        'count_values("v", (label_set(0.0000001,"a","b"),'
+        ' label_set(1.5,"c","d"), label_set(5,"e","f")))',
+        q_df, CFG,
+    )
+    vals = {dict(r["labels"])["v"] for r in out.collect()}
+    assert vals == {"0.0000001", "1.5", "5"}
+
+
+def test_histogram_zero_and_huge_values(spark, q_df):
+    """metrics.Histogram.Update: v<1e-9 (incl. 0) lands in the lower
+    bucket, v>1e18 in the upper bucket; negatives are ignored."""
+    out = evaluate(
+        spark,
+        'histogram((label_set(0,"a","b"), label_set(1e19,"c","d"),'
+        ' label_set(0-5,"e","f")))',
+        q_df, CFG,
+    )
+    by_le = {}
+    for r in out.collect():
+        by_le.setdefault(dict(r["labels"])["le"], set()).add(r["value"])
+    # cumulative le buckets: lower bucket counts the 0, +Inf counts both
+    # non-negative values; the negative value appears nowhere
+    assert by_le["1.000e-09"] == {1.0}
+    assert by_le["+Inf"] == {2.0}

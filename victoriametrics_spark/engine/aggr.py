@@ -24,7 +24,8 @@ def V() -> Column:
     # lazy: PySpark needs an active session to construct Columns
     return F.col("value")
 
-# simple grouped aggregates: name → agg Column
+# simple grouped aggregates: name → agg Column. Inputs are pre-scrubbed
+# of NaN rows (plan_aggr) — VM's aggrFunc* skip NaN per point.
 _SIMPLE: dict[str, Callable[[], Column]] = {
     "sum": lambda: F.sum(V()),
     "min": lambda: F.min(V()),
@@ -34,9 +35,25 @@ _SIMPLE: dict[str, Callable[[], Column]] = {
     "stddev": lambda: F.stddev_pop(V()),
     "stdvar": lambda: F.var_pop(V()),
     "sum2": lambda: F.sum(V() * V()),
-    "geomean": lambda: F.exp(F.avg(F.log(V()))),
+    # geomean = pow(product of values, 1/count) — aggrFuncGeomean
+    # multiplies RAW values (zeros zero the product, an odd number of
+    # negatives makes it negative → pow gives NaN for fractional 1/n,
+    # the value itself for n=1). exp(avg(log v)) would silently skip
+    # zeros/negatives (Spark log → NULL).
+    "geomean": lambda: F.pow(
+        F.when(F.sum(F.when(V() == 0, 1).otherwise(0)) > 0, F.lit(0.0))
+        .otherwise(
+            F.exp(F.sum(F.log(F.abs(V()))))
+            * F.when(
+                F.sum(F.when(V() < 0, 1).otherwise(0)) % 2 == 1, F.lit(-1.0)
+            ).otherwise(F.lit(1.0))
+        ),
+        1.0 / F.count(V()),
+    ),
     "distinct": lambda: F.count_distinct(V()).cast("double"),
-    "mode": lambda: F.mode(V()),
+    # deterministic=True breaks frequency ties toward the LOWEST value,
+    # matching modeNoNaNs (sorted ascending, first modal wins)
+    "mode": lambda: F.mode(V(), True),
     "median": lambda: F.percentile(V(), F.lit(0.5)),
     "group": lambda: F.lit(1.0),
     "any": lambda: F.min_by(V(), F.col("__sk")),
@@ -52,6 +69,20 @@ _SERIES_RANK: dict[str, Callable[[], Column]] = {
     "median": lambda: F.percentile(V(), F.lit(0.5)),
     "last": lambda: F.max_by(V(), F.col("ts")),
 }
+
+
+def _int_k(raw: float) -> int:
+    """getIntK (aggr.go:793-802): NaN → 0, negative → 0, +Inf → bounded
+    huge (keeps everything) — never a raw Python int() crash."""
+    import math as _math
+
+    if _math.isnan(raw):
+        return 0
+    if raw == float("inf"):
+        return 1 << 62
+    if raw < 0:
+        return 0
+    return int(raw)
 
 
 def group_labels_col(modifier) -> Column:
@@ -119,6 +150,13 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
             )
     else:
         df = planner.materialize(planner.plan(ae.args[series_arg_idx], cfg), cfg)
+    # VM's aggregates skip NaN per point and drop all-NaN series before
+    # grouping (aggrFunc* loops + aggrPrepareSeries removeEmptySeries);
+    # NaN rows deliberately survive evaluation (planner.py), so scrub
+    # them HERE — "skip the NaN point" ≡ "drop the NaN row" in this
+    # model. Without this, Spark's NaN propagation poisons sums and its
+    # NaN-is-largest ordering corrupts max/rankings.
+    df = df.filter(~F.isnan(F.col("value")))
     glabels = group_labels_col(ae.modifier)
     df = df.withColumn("__glabels", glabels).withColumn(
         "__gkey", canonical_labels_str(F.col("__glabels"))
@@ -199,18 +237,35 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         if not isinstance(ae.args[0], StringExpr):
             raise PlanError('quantiles needs a label name first arg')
         label = ae.args[0].value
+        import math as _math
+
         phis = [planner.const_value(a, cfg) for a in ae.args[1:-1]]
+
+        def _phi_agg(phi):
+            # mirror the quantile() branch: NaN phi -> NaN (series
+            # dropped), out-of-range phi -> constant -/+Inf; Spark's
+            # percentile would otherwise reject the percentage
+            if _math.isnan(phi):
+                return F.lit(float("nan"))
+            if phi < 0:
+                return F.lit(float("-inf"))
+            if phi > 1:
+                return F.lit(float("inf"))
+            return F.percentile(V(), F.lit(phi))
+
         grouped = df.groupBy("__gkey", "ts").agg(
             F.first("__glabels").alias("labels"),
             *[
-                F.percentile(V(), F.lit(phi)).alias(f"__q{i}")
+                _phi_agg(phi).alias(f"__q{i}")
                 for i, phi in enumerate(phis)
             ],
         )
         pairs = F.array(
             *[
                 F.struct(
-                    F.lit(str(phi)).alias("phi"), F.col(f"__q{i}").alias("v")
+                    # %g like the reference (aggr.go:1190): -1.0 → "-1"
+                    F.lit("%g" % phi).alias("phi"),
+                    F.col(f"__q{i}").alias("v"),
                 )
                 for i, phi in enumerate(phis)
             ]
@@ -227,15 +282,11 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
             ).alias("labels"),
             F.col("__p.v").cast("double").alias("value"),
         )
-        return _shape(out)
+        return _shape(out)  # _shape drops the NaN-phi series' points
 
     if name in ("topk", "bottomk"):
-        import math as _math
-
-        k_raw = planner.const_value(ae.args[0], cfg)
-        # NaN/negative k keeps nothing (VM: int(ks[i]) per timestamp,
-        # NaN → 0 — exec_test `sort(topk(NaN, ...))` expects empty)
-        k = 0 if _math.isnan(k_raw) else int(k_raw)
+        # getIntK semantics: NaN/negative k keeps nothing, inf keeps all
+        k = _int_k(planner.const_value(ae.args[0], cfg))
         desc = name == "topk"
         # NaN ranks below every number in both directions (lessWithNaNs /
         # greaterWithNaNs, aggr.go:1259-1279); Spark sorts NaN as the
@@ -253,11 +304,8 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         return out.select("name", "labels", "ts", "value")
 
     if name.startswith(("topk_", "bottomk_")):
-        import math as _math
-
         base, metric = name.split("_", 1)
-        k_raw = planner.const_value(ae.args[0], cfg)
-        k = 0 if _math.isnan(k_raw) else int(k_raw)
+        k = _int_k(planner.const_value(ae.args[0], cfg))
         rank_agg = _SERIES_RANK[metric]()
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         series_stats = df.groupBy("__gkey", "__sk").agg(rank_agg.alias("__rank"))
@@ -312,7 +360,7 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         k_raw = planner.const_value(ae.args[0], cfg)
         if k_raw == float("inf"):
             return df.select("name", "labels", "ts", "value")
-        k = int(k_raw)
+        k = _int_k(k_raw)
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         series = df.select("__gkey", "__sk").distinct()
         w = Window.partitionBy("__gkey").orderBy(
@@ -338,8 +386,10 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
                 V() >= 0, F.try_divide(V(), F.sum(nonneg).over(w))
             ).cast("double"),
         )
+        # aggrFuncExt(..., keepOriginal=true): each share keeps its
+        # series' FULL original identity, name included
         return out.select(
-            F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+            "name", F.col("labels"), F.col("ts"), F.col("value")
         ).filter(F.col("value").isNotNull())
 
     if name == "zscore":
@@ -350,14 +400,15 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
                 "double"
             ),
         )
+        # keepOriginal=true here as well (aggrFuncZScore)
         return out.select(
-            F.lit("").alias("name"), F.col("labels"), F.col("ts"), F.col("value")
+            "name", F.col("labels"), F.col("ts"), F.col("value")
         ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
     if name == "outliersk":
         # k series with max deviation from the group median (per series
         # aggregate deviation; aggr.go aggrFuncOutliersK)
-        k = int(planner.const_value(ae.args[0], cfg))
+        k = _int_k(planner.const_value(ae.args[0], cfg))
         df = df.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
         wts = Window.partitionBy("__gkey", "ts")
         with_med = df.withColumn("__med", F.percentile(V(), F.lit(0.5)).over(wts))
@@ -405,10 +456,18 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
         if not isinstance(ae.args[0], StringExpr):
             raise PlanError("count_values needs a label name first arg")
         label = ae.args[0].value
-        # VM formats values compactly; use minimal float formatting
-        vstr = F.when(
-            V() == F.floor(V()), F.col("value").cast("bigint").cast("string")
-        ).otherwise(F.col("value").cast("string"))
+        # strconv.FormatFloat(v, 'f', -1, 64): decimal notation, no
+        # exponent, minimal digits (1e-7 -> "0.0000001", never "1.0E-7");
+        # approximated as %.12f with trailing zeros trimmed — also frees
+        # huge integral doubles from the bigint clamp. NaN points were
+        # scrubbed at the aggregate input (VM skips them too).
+        vstr = F.regexp_replace(
+            F.regexp_replace(
+                F.format_string("%.12f", F.col("value")), "0+$", ""
+            ),
+            "\\.$",
+            "",
+        )
         out = (
             df.withColumn("__vstr", vstr)
             .groupBy("__gkey", "ts", "__vstr")
@@ -417,7 +476,6 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
                 F.count("*").cast("double").alias("value"),
             )
             .select(
-                F.lit("").alias("name"),
                 F.map_concat(
                     F.map_filter(F.col("__gl"), lambda k, v: k != F.lit(label)),
                     F.create_map(F.lit(label), F.col("__vstr")),
@@ -426,7 +484,7 @@ def plan_aggr(planner: "Planner", ae: AggrFuncExpr, cfg: EvalConfig) -> "Plan":
                 F.col("value"),
             )
         )
-        return out
+        return _shape(out)  # lifts by(__name__) like every other branch
 
     if name == "histogram":
         # aggrFuncHistogram ends with vmrangeBucketsToLE: the output is
@@ -457,14 +515,23 @@ def _vm_histogram(df: DataFrame) -> DataFrame:
     Bucket index for v>0: ceil(log10(v) * 18) with vmrange bounds
     10^((i-1)/18) .. 10^(i/18).
     """
-    pos = df.filter(V() > 0)
+    # metrics.Histogram.Update: NaN and NEGATIVE values are ignored;
+    # v < 1e-9 (including 0) lands in the LOWER bucket, v > 1e18 in the
+    # UPPER bucket (histogram.go:88-101, e10Min=-9/e10Max=18). NaN rows
+    # were scrubbed at the aggregate input.
+    pos = df.filter(V() >= 0)
     idx = F.ceil(F.log10(V()) * 18).cast("long")
     lo = F.pow(F.lit(10.0), (idx - 1).cast("double") / 18.0)
     hi = F.pow(F.lit(10.0), idx.cast("double") / 18.0)
     # %.3e like the reference's metrics.Histogram bucket names — must stay
     # parseable as a double for prometheus_buckets (no thousands separators)
-    vmrange = F.concat(
+    mid = F.concat(
         F.format_string("%.3e", lo), F.lit("..."), F.format_string("%.3e", hi)
+    )
+    vmrange = (
+        F.when(V() < 1e-9, F.lit("0...1.000e-09"))
+        .when(V() > 1e18, F.lit("1.000e+18...+Inf"))
+        .otherwise(mid)
     )
     out = (
         pos.withColumn("__vmrange", vmrange)
