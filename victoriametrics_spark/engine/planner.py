@@ -943,7 +943,13 @@ class Planner:
         g = self.spark.range(cfg.num_points).select(F.col("id").alias("i"))
         missing = g.join(covered, "i", "left_anti")
         labels = EMPTY_LABELS()
-        if isinstance(re_.expr, MetricExpr) and re_.expr.label_filterss:
+        # getAbsentTimeseries copies `=` filters only when the selector
+        # has exactly ONE filter group (transform.go:247-250 — OR-group
+        # selectors copy nothing)
+        if (
+            isinstance(re_.expr, MetricExpr)
+            and len(re_.expr.label_filterss) == 1
+        ):
             eq = [
                 (f.label, f.value)
                 for f in re_.expr.label_filterss[0]

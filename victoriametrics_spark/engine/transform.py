@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from victoriametrics_spark.engine.evalcfg import EvalConfig
-from victoriametrics_spark.metricsql.ast import Expr, FuncExpr, StringExpr
+from victoriametrics_spark.metricsql.ast import (
+    Expr,
+    FuncExpr,
+    MetricExpr,
+    StringExpr,
+)
 from victoriametrics_spark.schema import canonical_labels_str, series_key
 
 if TYPE_CHECKING:
@@ -225,15 +230,30 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
             b = _scalar_arg(planner, fe.args[idx], cfg)
             return (lambda ts: b(ts)) if callable(b) else (lambda ts: F.lit(b))
 
+        # transformClamp applies `v > max → max` FIRST, then `v < min →
+        # min` (transform.go:282-289): min > max yields min (not max),
+        # and a NaN bound leaves the value untouched on that side —
+        # least/greatest would propagate the NaN instead
+        # Spark orders NaN above every double (NaN > x is TRUE), so a
+        # NaN value must short-circuit before the bound comparisons
         if name == "clamp":
             lo, hi = bound_col(1), bound_col(2)
-            fn = lambda v, ts: F.least(F.greatest(v, lo(ts)), hi(ts))  # noqa: E731
+            fn = lambda v, ts: (  # noqa: E731
+                F.when(F.isnan(v), v)
+                .when(v > hi(ts), hi(ts))
+                .when(v < lo(ts), lo(ts))
+                .otherwise(v)
+            )
         elif name == "clamp_min":
             lo = bound_col(1)
-            fn = lambda v, ts: F.greatest(v, lo(ts))  # noqa: E731
+            fn = lambda v, ts: (  # noqa: E731
+                F.when(F.isnan(v), v).when(v < lo(ts), lo(ts)).otherwise(v)
+            )
         else:
             hi = bound_col(1)
-            fn = lambda v, ts: F.least(v, hi(ts))  # noqa: E731
+            fn = lambda v, ts: (  # noqa: E731
+                F.when(F.isnan(v), v).when(v > hi(ts), hi(ts)).otherwise(v)
+            )
         return _pointwise(planner, fe, cfg, fn, keep_name=True)
 
     if name == "pi":
@@ -270,23 +290,29 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
     if name in ("bitmap_and", "bitmap_or", "bitmap_xor"):
         # bitwise ops on the integer parts (transform.go bitmap funcs);
         # non-integral/NaN inputs drop the point (NaN result in VM —
-        # exec_test bitmap_and(NaN, 1) / bitmap_and(1, NaN) are empty)
+        # exec_test bitmap_and(NaN, 1) / bitmap_and(1, NaN) are empty).
+        # The mask is a per-step scalar (getScalar): bitmap_and(m, time())
+        # varies the mask across the grid.
         import math as _math
 
-        mask = planner.const_value(fe.args[1], cfg)
-        if _math.isnan(mask):
-            return Scalar(fn=lambda ts: F.lit(None).cast("double"))
-        m = int(mask)
+        mask = _scalar_arg(planner, fe.args[1], cfg)
+        if not callable(mask):
+            if _math.isnan(mask):
+                return Scalar(fn=lambda ts: F.lit(None).cast("double"))
+            m_of = lambda ts: F.lit(int(mask))  # noqa: E731
+        else:
+            mf = mask
+            m_of = lambda ts: mf(ts).try_cast("long")  # noqa: E731
         bop = {
-            "bitmap_and": lambda v: v.bitwiseAND(F.lit(m)),
-            "bitmap_or": lambda v: v.bitwiseOR(F.lit(m)),
-            "bitmap_xor": lambda v: v.bitwiseXOR(F.lit(m)),
+            "bitmap_and": lambda v, m: v.bitwiseAND(m),
+            "bitmap_or": lambda v, m: v.bitwiseOR(m),
+            "bitmap_xor": lambda v, m: v.bitwiseXOR(m),
         }[name]
         return _pointwise(
             planner,
             fe,
             cfg,
-            lambda v, ts: bop(v.try_cast("long")).cast("double"),
+            lambda v, ts: bop(v.try_cast("long"), m_of(ts)).cast("double"),
         )
 
     # ---- query-context scalars ------------------------------------------
@@ -337,10 +363,15 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         p = planner.plan(fe.args[0], cfg)
         if isinstance(p, Scalar):
             return p
-        # series → scalar: value when exactly one series exists at a ts
-        w = Window.partitionBy("ts")
-        df = p.withColumn("__n", F.count("*").over(w))
-        df = df.filter(F.col("__n") == 1).drop("__n")
+        # series → scalar: transformScalar checks the SERIES count, not
+        # per-timestamp coverage — len(arg) != 1 makes the whole result
+        # NaN (empty), even at instants where only one series has a
+        # value (transform.go:2405-2412). Lazy broadcast of the 1-row
+        # distinct-series count; no planning-time job.
+        p = planner.materialize(p, cfg)
+        sk = series_key(F.col("name"), F.col("labels"))
+        n = p.agg(F.count_distinct(sk).alias("__nseries"))
+        df = p.crossJoin(F.broadcast(n)).filter(F.col("__nseries") == 1)
         return df.select(
             F.lit("").alias("name"), EMPTY_LABELS().alias("labels"),
             "ts", "value",
@@ -386,9 +417,22 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
 
         g = grid_df(planner.spark, cfg)
         missing = g.join(covered, "ts", "left_anti")
+        # getAbsentTimeseries (transform.go:239-263): when the arg is a
+        # plain selector with exactly ONE filter group, the result series
+        # carries its non-regexp, non-negative `=` label filters —
+        # absent(foo{job="x"}) returns {job="x"} 1
+        labels = EMPTY_LABELS()
+        arg0 = fe.args[0]
+        if isinstance(arg0, MetricExpr) and len(arg0.label_filterss) == 1:
+            pairs = []
+            for f in arg0.label_filterss[0]:
+                if f.op == "=" and f.label != "__name__":
+                    pairs += [F.lit(f.label), F.lit(f.value)]
+            if pairs:
+                labels = F.create_map(*pairs)
         return missing.select(
             F.lit("").alias("name"),
-            EMPTY_LABELS().alias("labels"),
+            labels.alias("labels"),
             "ts",
             F.lit(1.0).alias("value"),
         )
@@ -413,19 +457,33 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
 
     # ---- sequential per-series folds ---------------------------------------
     if name == "smooth_exponential":
+        # transformSmoothExponential: NaN smoothing factor means sf=1,
+        # then clamp to [0,1]; leading ±Inf points pass through unchanged
+        # until the first finite value seeds the average; interior ±Inf
+        # points emit the CURRENT average without updating it
         sf = planner.const_value(fe.args[1], cfg)
+        if math.isnan(sf):
+            sf = 1.0
         sf = min(1.0, max(0.0, sf))
         df = planner.materialize(planner.plan(fe.args[0], cfg), cfg)
+        is_inf = lambda c: F.abs(c) == F.lit(float("inf"))  # noqa: E731
 
         def ema(acc, e):
-            new_avg = F.when(
-                acc["avg"].isNull(), e["v"]
-            ).otherwise(acc["avg"] * F.lit(1.0 - sf) + e["v"] * F.lit(sf))
+            seeded = acc["avg"].isNotNull()
+            new_avg = (
+                F.when(~seeded & is_inf(e["v"]), F.lit(None).cast("double"))
+                .when(~seeded, e["v"])
+                .when(is_inf(e["v"]), acc["avg"])
+                .otherwise(acc["avg"] * F.lit(1.0 - sf) + e["v"] * F.lit(sf))
+            )
+            emit = F.when(
+                ~seeded & is_inf(e["v"]), e["v"]
+            ).otherwise(F.coalesce(new_avg, e["v"]))
             return F.struct(
                 new_avg.alias("avg"),
                 F.concat(
                     acc["out"],
-                    F.array(F.struct(e["t"].alias("t"), new_avg.alias("v"))),
+                    F.array(F.struct(e["t"].alias("t"), emit.alias("v"))),
                 ).alias("out"),
             )
 
@@ -624,11 +682,13 @@ def _histogram_fn(planner, fe, cfg, name):
 
     if name == "buckets_limit":
         limit = int(planner.const_value(fe.args[0], cfg))
-        df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
         if limit <= 0:
-            # transformBucketsLimit returns an empty result for
-            # limit <= 0 (clamping to >= 3 happens only for positives)
-            return df.limit(0)
+            # transformBucketsLimit: "limit must be greater than 0"
+            # (transform.go:381-383) — an eval error, not an empty result
+            raise PlanError(
+                f"limit must be greater than 0; got {limit}"
+            )
+        df = planner.materialize(planner.plan(fe.args[1], cfg), cfg)
         return H.buckets_limit(df, limit)
 
     if name in ("histogram_avg", "histogram_stddev", "histogram_stdvar"):
@@ -843,11 +903,11 @@ def _running(planner, fe, cfg, agg_name):
     out = out.filter(F.col("value").isNotNull()).select(
         "name", "labels", "ts", "value"
     )
-    # running_avg/max/min keep metric names; running_sum resets
-    # (transformFuncsKeepMetricName, transform.go:161-163)
-    if agg_name not in ("avg", "min", "max"):
-        out = out.withColumn("name", F.lit(""))
-    return out
+    # newTransformFuncRunning resets the metric group UNCONDITIONALLY
+    # (transform.go:1335 ts.MetricName.ResetMetricGroup()) — the
+    # transformFuncsKeepMetricName entries for running_avg/min/max are
+    # dead there because these funcs never pass through doTransformValues
+    return out.withColumn("name", F.lit(""))
 
 
 _RANGE_CONST: dict[str, Callable] = {
@@ -904,8 +964,14 @@ def _range_fn(planner, fe, cfg, agg_name):
             )
         from victoriametrics_spark.engine.grid import grid_df
 
-        keep = agg_name in ("avg", "first", "last", "max", "min",
-                            "quantile", "stdvar")
+        # metric-name survival follows the reference implementations, not
+        # the (dead-for-these) transformFuncsKeepMetricName map:
+        # range_sum/avg/min/max go through newTransformFuncRunning which
+        # resets the metric group unconditionally (transform.go:1335,1352);
+        # the standalone range fns (first/last/quantile/mad/stddev/stdvar)
+        # only rewrite values and KEEP the name
+        keep = agg_name in ("first", "last", "quantile", "stdvar",
+                            "stddev", "mad", "median")
         out = per.crossJoin(grid_df(planner.spark, cfg)).select(
             (F.col("name") if keep else F.lit("")).alias("name"),
             F.col("labels"),
@@ -919,7 +985,13 @@ def _range_fn(planner, fe, cfg, agg_name):
     if agg_name == "normalize":
         mn = F.min("value").over(wfull)
         mx = F.max("value").over(wfull)
-        val = F.try_divide(F.col("value") - mn, mx - mn)
+        # transformRangeNormalize drops the whole series when
+        # vMax - vMin is ±Inf (transform.go:1383-1385) — a finite point
+        # in such a series must NOT survive as (v-vMin)/Inf == 0
+        d = mx - mn
+        val = F.when(
+            F.abs(d) == F.lit(float("inf")), F.lit(None).cast("double")
+        ).otherwise(F.try_divide(F.col("value") - mn, d))
     elif agg_name == "zscore":
         val = F.try_divide(
             F.col("value") - F.avg("value").over(wfull),
@@ -956,11 +1028,8 @@ def _range_fn(planner, fe, cfg, agg_name):
         dev = F.abs(F.col("value") - med)
         mad = F.percentile(dev, F.lit(0.5)).over(wfull)
         out = dfk.withColumn("__keep", dev <= F.lit(k) * mad)
-        return (
-            out.filter("__keep")
-            .select("name", "labels", "ts", "value")
-            .withColumn("name", F.lit(""))
-        )
+        # transformRangeTrimOutliers only NaNs-out values — names KEPT
+        return out.filter("__keep").select("name", "labels", "ts", "value")
     elif agg_name == "trim_spikes":
         # drop phi/2 fraction of lowest + highest values per series
         # (transformRangeTrimSpikes, transform.go:1482-1528)
@@ -970,11 +1039,8 @@ def _range_fn(planner, fe, cfg, agg_name):
         out = dfk.withColumn(
             "__keep", (F.col("value") >= lo) & (F.col("value") <= hi)
         )
-        return (
-            out.filter("__keep")
-            .select("name", "labels", "ts", "value")
-            .withColumn("name", F.lit(""))
-        )
+        # transformRangeTrimSpikes only NaNs-out values — names KEPT
+        return out.filter("__keep").select("name", "labels", "ts", "value")
     elif agg_name == "trim_zscore":
         z = planner.const_value(fe.args[0], cfg)
         mean = F.avg("value").over(wfull)
@@ -982,17 +1048,14 @@ def _range_fn(planner, fe, cfg, agg_name):
         out = dfk.withColumn(
             "__keep", F.abs(F.try_divide(F.col("value") - mean, sd)) <= F.lit(abs(z))
         )
-        return (
-            out.filter("__keep")
-            .select("name", "labels", "ts", "value")
-            .withColumn("name", F.lit(""))
-        )
+        # transformRangeTrimZscore only NaNs-out values — names KEPT
+        return out.filter("__keep").select("name", "labels", "ts", "value")
     else:
         raise PlanError(f"range_{agg_name} not implemented yet")
+    # range_normalize / range_zscore rewrite values in place and never
+    # reset the metric group (transformRangeNormalize / ...Zscore)
     out = dfk.withColumn("value", val.cast("double"))
     out = out.select("name", "labels", "ts", "value")
-    if agg_name != "normalize":
-        out = out.withColumn("name", F.lit(""))
     return out.filter(F.col("value").isNotNull() & ~F.isnan("value"))
 
 
@@ -1210,11 +1273,12 @@ def _label_fn(planner, fe, cfg, name):
 
     if name == "label_value":
         # non-numeric label values become NaN → dropped
-        # (transformLabelValue: ParseFloat failure → nan)
+        # (transformLabelValue: ParseFloat failure → nan); the metric
+        # group is RESET (transform.go:2186 ResetMetricGroup)
         k = _str_args(fe)[0]
         out = df.withColumn(
             "value", F.col("labels").getItem(k).try_cast("double")
-        )
+        ).withColumn("name", F.lit(""))
         return out.filter(F.col("value").isNotNull())
 
     if name == "label_map":
