@@ -82,8 +82,10 @@ def test_sum_series_ignores_nulls_unless_all_null(spark, samples):
 
 
 def test_average_and_count_series(spark, samples):
+    # reference name format: averageSeries (formatAggrFuncForSeriesNames
+    # with funcName "average"), paths deduped to the query glob
     avg = run(spark, samples, "averageSeries(web.*.cpu)")[
-        "avgSeries(web.*.cpu)"
+        "averageSeries(web.*.cpu)"
     ]
     assert avg[20_000] == pytest.approx(3.0)
     assert avg[40_000] == pytest.approx(4.0)  # single non-null
@@ -293,7 +295,12 @@ def test_constant_and_time(spark, samples):
     out = run(spark, samples, "constantLine(4.5)")
     s = out["4.5"]
     assert set(s.values()) == {4.5} and len(s) >= 2
+    # time() defaults to its OWN 60s step (transformTimeFunction),
+    # end-inclusive — not the render grid
     out = run(spark, samples, "time('t')")
+    assert out["t"][60_000] == pytest.approx(60.0)
+    assert 20_000 not in out["t"]
+    out = run(spark, samples, "time('t', 10)")
     assert out["t"][20_000] == pytest.approx(20.0)
 
 

@@ -54,6 +54,9 @@ class RenderContext:
     step: int  # ms
     xfiles_factor: float = 0.0
     consolidation: str = "avg"
+    # "current time" for relative AT-style specs (evalConfig.currentTime);
+    # None = the render end
+    now: int | None = None
 
     @property
     def npts(self) -> int:
@@ -113,12 +116,68 @@ def parse_interval(s: str) -> int:
     total = 0
     for m in _re.finditer(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)", s):
         unit = m.group(2).lower()
-        if unit not in _UNIT_MS:
-            raise GraphiteEvalError(f"unknown interval unit {unit!r} in {s!r}")
-        total += int(float(m.group(1)) * _UNIT_MS[unit])
+        ms = _UNIT_MS.get(unit)
+        if ms is None:
+            # reference prefix rules (render_api.go:229-248): ms, s,
+            # mi*/m* (minutes, unless mo*), h, d, w, mo* (30d months),
+            # y (365d years)
+            if unit.startswith("ms"):
+                ms = 1
+            elif unit.startswith("mo"):
+                ms = 30 * 86_400_000
+            elif unit.startswith("mi") or unit.startswith("m"):
+                ms = 60_000
+            elif unit.startswith("y"):
+                ms = 365 * 86_400_000
+            elif unit.startswith(("s", "h", "d", "w")):
+                ms = _UNIT_MS[unit[0]]
+            else:
+                raise GraphiteEvalError(
+                    f"unknown interval unit {unit!r} in {s!r}"
+                )
+        total += int(float(m.group(1)) * ms)
     if total == 0 and s:
         raise GraphiteEvalError(f"cannot parse interval {s!r}")
     return sign * total
+
+
+def parse_time_graphite(ctx: "RenderContext", s: str) -> int:
+    """graphite AT-style time → epoch ms (parseTime,
+    render_api.go:157-207): now/today/yesterday, RFC3339,
+    HH:MM[_| ]YYYYMMDD, HH:MMYYYYMMDD, YYYYMMDD, YYYY-MM-DD, MM/DD/YY,
+    unix seconds, or an interval relative to the current time."""
+    from datetime import datetime, timezone
+
+    s = s.strip()
+    now_ms = ctx.now if ctx.now is not None else ctx.end
+    day = 86_400_000
+    if s == "now":
+        return now_ms
+    if s == "today":
+        return now_ms - now_ms % day
+    if s == "yesterday":
+        return now_ms - now_ms % day - day
+    for fmt in (
+        "%Y-%m-%dT%H:%M:%S%z",
+        "%H:%M_%Y%m%d",
+        "%H:%M%Y%m%d",
+        "%Y%m%d",
+        "%H:%M %Y%m%d",
+        "%Y-%m-%d",
+        "%m/%d/%y",
+    ):
+        try:
+            t = datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=timezone.utc)
+        return int(t.timestamp() * 1000)
+    try:
+        return int(s) * 1000
+    except ValueError:
+        pass
+    return now_ms + parse_interval(s)
 
 
 # ------------------------------------------------------------ arguments
@@ -215,7 +274,10 @@ def fetch(ctx: RenderContext, pattern: str) -> DataFrame:
         .groupBy("name", "__i")
         .agg(cons_fn(F.col("value")).cast("double").alias("value"))
     )
-    return densify(ctx, cons)
+    # pathExpression of a fetched series = the query pattern (the
+    # reference stores the path expression on every storage series, so
+    # sumSeries(web.*.cpu) formats with the GLOB, not the series names)
+    return densify(ctx, cons).withColumn("__path", F.lit(pattern))
 
 
 def densify(ctx: RenderContext, cons: DataFrame) -> DataFrame:
@@ -244,10 +306,12 @@ def constant_series(
     """constantLine/threshold emit 3 points (start, mid, end) —
     transform.go transformConstantLine."""
     if three_points:
+        # series.step = (end-start)/2 (constantLine, transform.go:1130)
+        step = (ctx.end - ctx.start) // 2
         pts = [ctx.start, (ctx.start + ctx.end) // 2, ctx.end]
-        rows = [(name, int(t), float(value)) for t in pts]
+        rows = [(name, int(t), float(value), int(step)) for t in pts]
         return ctx.spark.createDataFrame(
-            rows, "name string, ts long, value double"
+            rows, "name string, ts long, value double, __step long"
         )
     grid = ctx.spark.range(ctx.npts)
     return grid.select(

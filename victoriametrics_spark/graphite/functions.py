@@ -80,8 +80,20 @@ def _series_args(ctx: RenderContext, call: Call) -> DataFrame:
     for i, node in enumerate(call.args):
         if isinstance(node, Literal) and not isinstance(node.value, str):
             break  # numeric tail args (e.g. aggregate(..., func))
-        df = _with_ord(evaluate_target(ctx, node), i)
-        out = df if out is None else out.unionByName(df)
+        df = _with_path(_with_ord(evaluate_target(ctx, node), i))
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
+    # optional passengers may be present on only some branches — fill
+    # the union nulls with their defaults
+    if out is not None and _STEP in out.columns:
+        out = out.withColumn(
+            _STEP, F.coalesce(F.col(_STEP), F.lit(ctx.step))
+        )
+    if out is not None and _CF in out.columns:
+        out = out.withColumn(_CF, F.coalesce(F.col(_CF), F.lit("avg")))
     return out
 
 
@@ -176,13 +188,173 @@ def _agg_expr(
     return F.when(gate, out)
 
 
+_PATH = "__path"
+_STEP = "__step"
+_CF = "__cf"
+
+# order-sensitive aggregate names keep argument order in the formatted
+# series name; the rest sort their paths (isSerialFunc, transform.go:3835)
+_SERIAL_FUNCS = {"diff", "first", "last", "current", "pow"}
+
+
+def _with_step(df: DataFrame, ctx) -> DataFrame:
+    """Ensure the per-series step passenger column (the reference's
+    series.step). Frames that lost it through a name,ts,value select
+    fall back to the render/storage step — peekStep's default
+    (transform.go:5666)."""
+    if _STEP in df.columns:
+        return df
+    return df.withColumn(_STEP, F.lit(ctx.step))
+
+
+_CONS_AGGS = {
+    "avg": F.avg,
+    "average": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "first": lambda c: F.min_by(c, F.col("ts")),
+    "last": lambda c: F.max_by(c, F.col("ts")),
+    "count": F.count,
+}
+
+
+def normalize_series(ctx, df: DataFrame) -> DataFrame:
+    """fetchNormalizedSeries (transform.go:3737-3752): pick the FIRST
+    series' step (peekStep) as the common step, consolidate every
+    series onto the end-EXCLUSIVE grid [start + k·step) with its
+    consolidation function (default avg) and the xFilesFactor gate
+    (series.consolidate → summarize, eval.go:99-150). "First" here is
+    the deterministic (arg position, name) order standing in for the
+    reference's arrival order. Lazy: the common step broadcasts as a
+    1-row frame."""
+    df = _with_path(_with_ord(_with_step(df, ctx)))
+    has_cf = _CF in df.columns
+    cf = F.col(_CF) if has_cf else F.lit("avg")
+    first = df.agg(
+        F.min_by(F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))).alias(
+            "__cstep"
+        )
+    )
+    df = df.crossJoin(F.broadcast(first))
+    npts = F.floor(
+        (F.lit(ctx.end) - F.lit(ctx.start)) / F.col("__cstep")
+    ).cast("long")
+    b = F.floor((F.col("ts") - F.lit(ctx.start)) / F.col("__cstep")).cast(
+        "long"
+    )
+    df = df.withColumn("__b", b).filter(
+        (F.col("__b") >= 0) & (F.col("__b") < npts)
+    )
+    aggs = [
+        fn(F.col("value")).cast("double").alias(f"__c_{k}")
+        for k, fn in _CONS_AGGS.items()
+        if k != "average"
+    ]
+    g = df.groupBy(
+        "name", F.col(_ORD), F.col(_PATH), F.col("__cstep"), F.col("__b")
+    ).agg(
+        *aggs,
+        F.count("value").alias("__nn"),
+        F.count(F.lit(1)).alias("__n"),
+        F.first(cf).alias("__usecf"),
+    )
+    picked = F.col("__c_avg")
+    for k in ("sum", "min", "max", "first", "last", "count"):
+        picked = F.when(F.col("__usecf") == k, F.col(f"__c_{k}")).otherwise(
+            picked
+        )
+    if ctx.xfiles_factor > 0:
+        picked = F.when(
+            F.col("__nn") >= F.lit(ctx.xfiles_factor) * F.col("__n"), picked
+        )
+    vals = g.select(
+        "name", F.col(_ORD), F.col(_PATH), F.col("__cstep"),
+        F.col("__b"), picked.alias("value"),
+    )
+    npts_l = F.floor(
+        (F.lit(ctx.end) - F.lit(ctx.start)) / F.col("__cstep")
+    ).cast("long")
+    series = vals.select(
+        "name", F.col(_ORD), F.col(_PATH), F.col("__cstep")
+    ).distinct()
+    bgrid = series.withColumn(
+        "__b",
+        F.explode(
+            F.when(npts_l > 0, F.sequence(F.lit(0), npts_l - 1)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    )
+    dense = bgrid.join(
+        vals, ["name", _ORD, _PATH, "__cstep", "__b"], "left"
+    )
+    return dense.select(
+        "name",
+        F.col(_ORD),
+        F.col(_PATH),
+        (F.lit(ctx.start) + F.col("__b") * F.col("__cstep")).alias("ts"),
+        "value",
+        F.col("__cstep").alias(_STEP),
+    )
+
+
+def _with_path(df: DataFrame) -> DataFrame:
+    """Ensure the pathExpression passenger column exists. Most reference
+    transforms set pathExpression = Name after renaming; creation sites
+    that differ (constantLine, alias keeping the old path) set __path
+    explicitly."""
+    if _PATH in df.columns:
+        return df
+    return df.withColumn(_PATH, F.col("name"))
+
+
+def _agg_series_name(df: DataFrame, fname: str) -> DataFrame:
+    """1-row frame with the reference aggregate series name:
+    `<fname>Series(<paths>)`, paths deduped (order-preserving) and
+    sorted unless fname is order-sensitive
+    (formatAggrFuncForSeriesNames, transform.go:4026-4051). Lazy —
+    no driver collect."""
+    df = _with_path(_with_ord(df))
+    if fname in _SERIAL_FUNCS:
+        ordered = F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col(_ORD).alias("o"),
+                    F.col("name").alias("n"),
+                    F.col(_PATH).alias("p"),
+                )
+            )
+        )
+        paths = F.array_distinct(F.transform(ordered, lambda s: s["p"]))
+    else:
+        paths = F.array_sort(F.array_distinct(F.collect_set(F.col(_PATH))))
+    return df.agg(
+        F.concat(
+            F.lit(f"{fname}Series("), F.array_join(paths, ","), F.lit(")")
+        ).alias("__aggname")
+    )
+
+
 def _combine(
-    df: DataFrame, agg: str, out_name, xff: float, p: float | None = None
+    df: DataFrame, agg: str, out_name, xff: float, p: float | None = None,
+    fname: str | None = None, ctx=None,
 ) -> DataFrame:
     """Cross-series pointwise aggregation → one series
-    (aggregateSeries, transform.go:339-420)."""
+    (aggregateSeries, transform.go:339-420). With `fname`, the series
+    name follows the reference format built from the inputs' path
+    expressions instead of a caller-provided string. With `ctx`, the
+    inputs are normalized to the first series' step beforehand
+    (aggregateSeries consolidates every series onto peekStep's grid)."""
     df = _with_ord(df)
+    if ctx is not None:
+        df = normalize_series(ctx, df)
     out = df.groupBy("ts").agg(_agg_expr(agg, xff, p).alias("value"))
+    if fname is not None:
+        named = _agg_series_name(df, fname)
+        return out.crossJoin(F.broadcast(named)).select(
+            F.col("__aggname").alias("name"), "ts", "value"
+        )
     name_col = F.lit(out_name) if isinstance(out_name, str) else out_name
     return out.select(name_col.alias("name"), "ts", "value")
 
@@ -214,6 +386,13 @@ def _series_stats(df: DataFrame, agg: str, xff: float = 0.0) -> DataFrame:
 
 def _rename(df: DataFrame, name_col: Column) -> DataFrame:
     return df.select(name_col.alias("name"), "ts", "value")
+
+
+def _rename_keep_path(df: DataFrame, name_col: Column) -> DataFrame:
+    """Rename but keep the inner pathExpression — the alias family never
+    updates pathExpression in the reference (transformAlias:446-450)."""
+    df = _with_path(df)
+    return df.select(name_col.alias("name"), "ts", "value", _PATH)
 
 
 def _wrap_name(df: DataFrame, prefix: str, suffix: str = ")") -> DataFrame:
@@ -259,70 +438,74 @@ def _series_window() -> Window:
 # ---------------------------------------------------- combine functions
 
 
-def _aggregate_series(ctx, call, agg, name_fmt=None):
+def _aggregate_series(ctx, call, agg, fname=None):
+    """fname = the reference's user-facing aggregate name used in the
+    output series name (formatAggrFuncForSeriesNames) — e.g.
+    averageSeries passes "average", rangeOfSeries passes "rangeOf"."""
     df = _series_args(ctx, call)
-    texts = ",".join(a.text for a in call.args)
-    out_name = name_fmt or f"{_canon_agg(agg)}Series({texts})"
-    return _combine(df, agg, out_name, ctx.xfiles_factor)
+    return _combine(
+        df, agg, None, ctx.xfiles_factor, fname=fname or _canon_agg(agg),
+        ctx=ctx,
+    )
 
 
 @register("sumSeries", "sum")
 def _f_sum_series(ctx, call):
-    return _aggregate_series(ctx, call, "sum")
+    return _aggregate_series(ctx, call, "sum", fname="sum")
 
 
 @register("averageSeries", "avg")
 def _f_avg_series(ctx, call):
-    return _aggregate_series(ctx, call, "avg")
+    return _aggregate_series(ctx, call, "avg", fname="average")
 
 
 @register("minSeries")
 def _f_min_series(ctx, call):
-    return _aggregate_series(ctx, call, "min")
+    return _aggregate_series(ctx, call, "min", fname="min")
 
 
 @register("maxSeries")
 def _f_max_series(ctx, call):
-    return _aggregate_series(ctx, call, "max")
+    return _aggregate_series(ctx, call, "max", fname="max")
 
 
 @register("stddevSeries")
 def _f_stddev_series(ctx, call):
-    return _aggregate_series(ctx, call, "stddev")
+    return _aggregate_series(ctx, call, "stddev", fname="stddev")
 
 
 @register("multiplySeries")
 def _f_multiply_series(ctx, call):
-    return _aggregate_series(ctx, call, "multiply")
+    return _aggregate_series(ctx, call, "multiply", fname="multiply")
 
 
 @register("diffSeries")
 def _f_diff_series(ctx, call):
-    return _aggregate_series(ctx, call, "diff")
+    return _aggregate_series(ctx, call, "diff", fname="diff")
 
 
 @register("rangeOfSeries")
 def _f_range_series(ctx, call):
-    return _aggregate_series(ctx, call, "range")
+    return _aggregate_series(ctx, call, "range", fname="rangeOf")
 
 
 @register("countSeries")
 def _f_count_series(ctx, call):
     """Number of series in the list, as a constant line
     (transform.go transformCountSeries: len of the list)."""
-    df = _series_args(ctx, call)
-    texts = ",".join(a.text for a in call.args)
+    df = normalize_series(ctx, _series_args(ctx, call))
     out = df.groupBy("ts").agg(
         F.count_distinct("name").cast("double").alias("value")
     )
-    return out.select(
-        F.lit(f"countSeries({texts})").alias("name"), "ts", "value"
+    named = _agg_series_name(df, "count")
+    return out.crossJoin(F.broadcast(named)).select(
+        F.col("__aggname").alias("name"), "ts", "value"
     )
 
 
 @register("powSeries")
 def _f_pow_series(ctx, call):
-    return _aggregate_series(ctx, call, "pow")
+    return _aggregate_series(ctx, call, "pow", fname="pow")
 
 
 @register("aggregate")
@@ -330,8 +513,7 @@ def _f_aggregate(ctx, call):
     func = get_string(call, "func", 1)
     xff = get_number(call, "xFilesFactor", 2, ctx.xfiles_factor)
     df = _with_ord(eval_series(ctx, call, "seriesList", 0))
-    text = _arg_text(call, "seriesList", 0)
-    return _combine(df, func, f"{_canon_agg(func)}Series({text})", xff)
+    return _combine(df, func, None, xff, fname=func, ctx=ctx)
 
 
 @register("percentileOfSeries")
@@ -345,11 +527,16 @@ def _f_percentile_of_series(ctx, call):
         f"percentileOfSeries({text},{n:g})",
         ctx.xfiles_factor,
         p=n / 100.0,
+        ctx=ctx,
     )
 
 
 @register("group")
 def _f_group(ctx, call):
+    # group() with no args is a legal empty series list (the reference
+    # evalSeriesList of zero args — asPercent(q, group()) tests rely on it)
+    if not call.args:
+        return _with_ord(empty_series(ctx))
     return _series_args(ctx, call)
 
 
@@ -369,7 +556,9 @@ def _f_unique(ctx, call):
 
 
 def _group_by_nodes(ctx, call, agg: str, idxs: list[int]):
-    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    df = normalize_series(
+        ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
+    )
     return _combine_by_key(
         df, _nodes_key(F.col("name"), idxs), agg, ctx.xfiles_factor
     )
@@ -392,15 +581,21 @@ def _f_group_by_nodes(ctx, call):
 
 def _with_wildcards(ctx, call, agg: str):
     """Name with the given node positions dropped; aggregate within
-    each resulting name (aggregateSeriesWithWildcardsGeneric)."""
-    first_num = 2 if call.func == "aggregateWithWildcards" else 1
+    each resulting name (aggregateSeriesWithWildcardsGeneric). The
+    inputs are normalized to the first series' step beforehand like
+    every multi-series aggregate."""
     if call.func == "aggregateWithWildcards":
         agg = get_string(call, "func", 1)
+    # positions are whatever numeric literal args follow the list
+    # (func may arrive as a kwarg, shifting them left)
     idxs = {
-        int(get_number(call, f"position{i}", i + first_num))
-        for i in range(len(call.args) - first_num)
+        int(a.value)
+        for a in call.args[1:]
+        if isinstance(a, Literal) and isinstance(a.value, (int, float))
     }
-    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    df = normalize_series(
+        ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
+    )
     nodes = _split_path(F.col("name"))
     kept = F.filter(
         F.transform(
@@ -522,11 +717,17 @@ def _f_exp(ctx, call):
 def _f_log(ctx, call):
     base = get_number(call, "base", 1, 10.0)
     df = eval_series(ctx, call, "seriesList", 0)
+    # Go math.Log(base<=0) is NaN → every value NaN (kept as nulls),
+    # never a driver-side domain error
+    log_base = (
+        float(__import__("math").log(base)) if base > 0 else None
+    )
     out = df.withColumn(
         "value",
         F.when(
             F.col("value") > 0,
-            F.log(F.col("value")) / F.lit(float(__import__("math").log(base))),
+            F.log(F.col("value"))
+            / F.lit(log_base).cast("double"),
         ),
     )
     return _rename(
@@ -749,25 +950,32 @@ def _f_integral_by_interval(ctx, call):
 
 @register("cumulative")
 def _f_cumulative(ctx, call):
-    """cumulative(seriesList) ≡ consolidateBy(seriesList, 'sum')."""
+    """cumulative(seriesList) ≡ consolidateBy(seriesList, 'sum') —
+    including the consolidateBy(...) NAME (transformCumulative)."""
     ctx2 = replace(ctx, consolidation="sum")
     df = eval_series(ctx2, call, "seriesList", 0)
-    return _wrap_name(df, "cumulative")
+    wrapped = F.concat(
+        F.lit("consolidateBy("), F.col("name"), F.lit(",'sum')")
+    )
+    return df.select(
+        wrapped.alias("name"),
+        "ts",
+        "value",
+        wrapped.alias(_PATH),
+        F.lit("sum").alias(_CF),
+    )
 
 
 @register("delay")
 def _f_delay(ctx, call):
     steps = int(get_number(call, "steps", 1))
-    w = ctx.step * abs(steps)
-    if steps >= 0:
-        inner = ctx.with_range(start=ctx.start - w)
-    else:
-        inner = ctx.with_range(end=ctx.end + w)
-    df = eval_series(inner, call, "seriesList", 0)
-    # shift by moving timestamps: value at ts comes from ts - steps·step
-    out = df.withColumn(
-        "ts", F.col("ts") + F.lit(steps * ctx.step)
-    ).filter((F.col("ts") >= ctx.start) & (F.col("ts") < ctx.end))
+    df = eval_series(ctx, call, "seriesList", 0)
+    # transformDelay shifts VALUES by index within the series' own
+    # timestamp array (copy(values[steps:], values[:len-steps]));
+    # out-of-range steps blank the whole series — timestamps unchanged
+    w = Window.partitionBy("name").orderBy("ts")
+    shifted = F.lag("value", steps).over(w)
+    out = df.withColumn("value", shifted)
     return _rename(
         out,
         F.concat(F.lit("delay("), F.col("name"), F.lit(f",{steps})")),
@@ -1550,13 +1758,13 @@ def _f_sort_by(ctx, call):
 def _f_alias(ctx, call):
     new = get_string(call, "newName", 1)
     df = eval_series(ctx, call, "seriesList", 0)
-    return _rename(df, F.lit(new))
+    return _rename_keep_path(df, F.lit(new))
 
 
 @register("aliasByMetric")
 def _f_alias_by_metric(ctx, call):
     df = eval_series(ctx, call, "seriesList", 0)
-    return _rename(df, _node_col(F.col("name"), -1))
+    return _rename_keep_path(df, _node_col(F.col("name"), -1))
 
 
 @register("aliasByNode", "aliasByTags")
@@ -1579,8 +1787,9 @@ def _f_alias_by_node(ctx, call):
             )
             parts.append(_tag_col(F.col("name"), tag))
     if not parts:
-        return df
-    return _rename(df, F.concat_ws(".", *parts))
+        # zero nodes → empty name (getNameFromNodes over no selectors)
+        return _rename_keep_path(df, F.lit(""))
+    return _rename_keep_path(df, F.concat_ws(".", *parts))
 
 
 @register("aliasSub")
@@ -1592,7 +1801,7 @@ def _f_alias_sub(ctx, call):
     repl = get_string(call, "replace", 2)
     repl = _re.sub(r"\\(\d)", r"$\1", repl)
     df = eval_series(ctx, call, "seriesList", 0)
-    return _rename(df, F.regexp_replace("name", search, repl))
+    return _rename_keep_path(df, F.regexp_replace("name", search, repl))
 
 
 @register("substr")
@@ -1601,57 +1810,267 @@ def _f_substr(ctx, call):
     stop = int(get_number(call, "stop", 2, 0))
     df = eval_series(ctx, call, "seriesList", 0)
     nodes = _split_path(F.col("name"))
-    length = (
-        F.size(nodes) - F.lit(start)
-        if stop == 0
-        else F.lit(stop - start)
+    n = F.size(nodes)
+    # Python-slice clamping (transformSubstr:4656-4672): negative
+    # indexes count from the end, out-of-range clamps, stop<start → ""
+    lo = F.lit(start)
+    lo = F.when(lo > n, n).when(
+        lo < 0, F.greatest(n + lo, F.lit(0))
+    ).otherwise(lo)
+    hi = F.lit(stop)
+    hi = (
+        F.when(hi == 0, n)
+        .when(hi > n, n)
+        .when(hi < 0, F.greatest(n + hi, F.lit(0)))
+        .otherwise(hi)
     )
+    hi = F.greatest(hi, lo)
     return _rename(
-        df, F.array_join(F.slice(nodes, start + 1, length), ".")
+        df, F.array_join(F.slice(nodes, lo + 1, hi - lo), ".")
     )
 
 
 # -------------------------------------------------------- binary combine
 
 
+def _percent_total_name(names: list[str]) -> str:
+    """formatAggrFuncForPercentSeriesNames (transform.go:4016-4024):
+    one series keeps its own name; several become
+    sumSeries(<sorted, deduped>)."""
+    seen: dict[str, None] = {}
+    for n in names:
+        seen.setdefault(n, None)
+    uniq = list(seen)
+    if not uniq:
+        return "None"
+    if len(uniq) == 1:
+        return uniq[0]
+    return f"sumSeries({','.join(sorted(uniq))})"
+
+
+def _as_percent_nodes(call: Call) -> list[int]:
+    idxs = []
+    for a in call.args[2:]:
+        if isinstance(a, Literal) and isinstance(a.value, (int, float)):
+            idxs.append(int(a.value))
+    return idxs
+
+
 @register("asPercent", "pct")
 def _f_as_percent(ctx, call):
-    """v / total · 100 (transform.go transformAsPercent). total may be
-    omitted (pointwise sum of the list), a constant, or a single
-    series."""
-    df = eval_series(ctx, call, "seriesList", 0)
+    """v / total · 100 — full transformAsPercent (transform.go:692-862)
+    semantics: total may be None (pointwise sum of the list, optionally
+    grouped by nodes), a number, a single series, a positionally paired
+    list, or a node-grouped expression with asPercent(...,MISSING)
+    markers for unmatched node keys."""
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
     total_node = get_arg(call, "total", 1, None)
-    text = _arg_text(call, "seriesList", 0)
-    if total_node is None or (
+    nodes = _as_percent_nodes(call)
+    pct = lambda v, t: F.lit(100.0) * F.try_divide(v, t)  # noqa: E731
+
+    total_is_none = total_node is None or (
         isinstance(total_node, Literal) and total_node.value is None
-    ):
-        totals = _with_ord(df).groupBy("ts").agg(
+    )
+    if total_is_none:
+        # fetchNormalizedSeries[ByNodes] consolidates to the first
+        # series' step before computing percentages
+        df = normalize_series(ctx, df)
+        key = (
+            _nodes_key(F.col("name"), nodes) if nodes else F.lit("")
+        )
+        dfk = df.withColumn("__key", key)
+        # per-key total name needs the (small) series-name metadata
+        names = [
+            (r["__key"], r["name"])
+            for r in dfk.select("__key", "name").distinct().collect()
+        ]
+        by_key: dict[str, list[str]] = {}
+        for k, n in names:
+            by_key.setdefault(k, []).append(n)
+        tname = F.lit("")
+        for k, ns in by_key.items():
+            tname = F.when(
+                F.col("__key") == k, F.lit(_percent_total_name(ns))
+            ).otherwise(tname)
+        totals = dfk.groupBy("__key", "ts").agg(
             F.sum("value").alias("__total")
         )
-        out = df.join(F.broadcast(totals), "ts", "left")
-        ttext = f"sumSeries({text})"
-    elif isinstance(total_node, Literal) and isinstance(
+        out = dfk.join(F.broadcast(totals), ["__key", "ts"], "left")
+        out = out.withColumn("value", pct(F.col("value"), F.col("__total")))
+        return _rename(
+            out,
+            F.concat(
+                F.lit("asPercent("), F.col("name"), F.lit(","), tname,
+                F.lit(")"),
+            ),
+        )
+
+    if isinstance(total_node, Literal) and isinstance(
         total_node.value, (int, float)
     ):
-        out = df.withColumn("__total", F.lit(float(total_node.value)))
-        ttext = total_node.text
-    else:
-        tot = evaluate_target(ctx, total_node).select(
-            F.col("ts").alias("__tts"), F.col("value").alias("__total")
+        if nodes:
+            raise GraphiteEvalError(
+                "asPercent: unexpected non-empty nodes for numeric total"
+            )
+        t = float(total_node.value)
+        out = df.withColumn(
+            "value", F.col("value") / F.lit(t) * F.lit(100.0)
         )
-        out = df.join(
-            F.broadcast(tot), df["ts"] == F.col("__tts"), "left"
+        return _rename(
+            out,
+            F.concat(
+                F.lit("asPercent("), F.col("name"), F.lit(f",{t:g})")
+            ),
         )
-        ttext = total_node.text
-    out = out.withColumn(
-        "value",
-        F.lit(100.0)
-        * F.try_divide(F.col("value"), F.nullif(F.col("__total"), F.lit(0.0))),
+
+    tot = _with_ord(evaluate_target(ctx, total_node), 0)
+    if not nodes:
+        tnames = [
+            (r[_ORD], r["name"])
+            for r in tot.select(_ORD, "name").distinct().collect()
+        ]
+        if not tnames:
+            # total matches zero series → empty response
+            return df.filter(F.lit(False)).select("name", "ts", "value")
+        if len(tnames) == 1:
+            tname = tnames[0][1]
+            t = tot.select(
+                F.col("ts").alias("__tts"), F.col("value").alias("__total")
+            )
+            # the reference consolidates each series onto the total's
+            # step before dividing (s.consolidate(ec, stepTotal),
+            # transform.go:772-776) — needed when the total runs on a
+            # coarser grid (constantLine's 3-point form)
+            t_ts = sorted(r["__tts"] for r in t.select("__tts").distinct().collect())
+            s_ts = sorted(
+                r["ts"] for r in df.select("ts").distinct().collect()
+            )
+            if len(t_ts) >= 2 and t_ts != s_ts:
+                step_t = t_ts[1] - t_ts[0]
+                bucket = (
+                    F.floor((F.col("ts") - F.lit(t_ts[0])) / F.lit(step_t))
+                    * F.lit(step_t)
+                    + F.lit(t_ts[0])
+                )
+                df = df.groupBy(
+                    "name", F.col(_ORD), bucket.alias("ts")
+                ).agg(F.avg("value").alias("value"))
+            out = df.join(F.broadcast(t), df["ts"] == F.col("__tts"), "left")
+            out = out.withColumn(
+                "value", pct(F.col("value"), F.col("__total"))
+            )
+            return _rename(
+                out,
+                F.concat(
+                    F.lit("asPercent("), F.col("name"), F.lit(f",{tname})")
+                ),
+            )
+        # positional pairing (fetch order = (arg index, name) here):
+        # series count must match the total count (transform.go:787-791);
+        # both sides are normalized like fetchNormalizedSeries
+        df = normalize_series(ctx, df)
+        tot = normalize_series(ctx, tot)
+        snames = [
+            (r[_ORD], r["name"])
+            for r in df.select(_ORD, "name").distinct().collect()
+        ]
+        if len(snames) != len(tnames):
+            raise GraphiteEvalError(
+                "asPercent: unexpected number of series returned by total "
+                f"expression; got {len(tnames)}; want {len(snames)}"
+            )
+        pair_of = {
+            sn: tn
+            for (_, sn), (_, tn) in zip(sorted(snames), sorted(tnames))
+        }
+        tmap = F.create_map(
+            *[F.lit(x) for kv in pair_of.items() for x in kv]
+        )
+        t = tot.select(
+            F.col("name").alias("__tn2"),
+            F.col("ts").alias("__tts"),
+            F.col("value").alias("__total"),
+        )
+        out = df.withColumn("__tn", tmap[F.col("name")])
+        out = out.join(
+            F.broadcast(t),
+            (out["__tn"] == t["__tn2"]) & (out["ts"] == t["__tts"]),
+            "left",
+        )
+        out = out.withColumn("value", pct(F.col("value"), F.col("__total")))
+        return _rename(
+            out,
+            F.concat(
+                F.lit("asPercent("), F.col("name"), F.lit(","),
+                F.col("__tn"), F.lit(")"),
+            ),
+        )
+
+    # node-grouped total expression (transform.go:797-862)
+    df = normalize_series(ctx, df)
+    tot = normalize_series(ctx, tot)
+    key = _nodes_key(F.col("name"), nodes)
+    dfk = df.withColumn("__key", key)
+    totk = tot.withColumn("__key", key)
+    s_names = [
+        (r["__key"], r["name"])
+        for r in dfk.select("__key", "name").distinct().collect()
+    ]
+    t_names = [
+        (r["__key"], r["name"])
+        for r in totk.select("__key", "name").distinct().collect()
+    ]
+    t_by_key: dict[str, list[str]] = {}
+    for k, n in t_names:
+        t_by_key.setdefault(k, []).append(n)
+    s_keys = {k for k, _ in s_names}
+    tname = F.lit("")
+    for k, ns in t_by_key.items():
+        tname = F.when(
+            F.col("__key") == k, F.lit(_percent_total_name(ns))
+        ).otherwise(tname)
+    totals = totk.groupBy("__key", "ts").agg(F.sum("value").alias("__total"))
+    matched = (
+        dfk.filter(F.col("__key").isin(*t_by_key) if t_by_key else F.lit(False))
+        .join(F.broadcast(totals), ["__key", "ts"], "left")
+        .withColumn("value", pct(F.col("value"), F.col("__total")))
     )
-    return _rename(
-        out,
-        F.concat(F.lit("asPercent("), F.col("name"), F.lit(f",{ttext})")),
+    matched = _rename(
+        matched,
+        F.concat(
+            F.lit("asPercent("), F.col("name"), F.lit(","), tname, F.lit(")")
+        ),
     )
+    # series keys absent from total → asPercent(<name>,MISSING) all-NaN
+    unmatched_s = (
+        dfk.filter(
+            ~F.col("__key").isin(*t_by_key) if t_by_key else F.lit(True)
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    unmatched_s = _rename(
+        unmatched_s,
+        F.concat(F.lit("asPercent("), F.col("name"), F.lit(",MISSING)")),
+    )
+    out = matched.select("name", "ts", "value").unionByName(
+        unmatched_s.select("name", "ts", "value")
+    )
+    # total keys absent from series → asPercent(MISSING,<totalName>)
+    missing_keys = [k for k in t_by_key if k not in s_keys]
+    if missing_keys:
+        grid = ctx.spark.range(ctx.npts).select(
+            (F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)).alias("ts")
+        )
+        for k in missing_keys:
+            nm = f"asPercent(MISSING,{_percent_total_name(t_by_key[k])})"
+            out = out.unionByName(
+                grid.select(
+                    F.lit(nm).alias("name"),
+                    "ts",
+                    F.lit(None).cast("double").alias("value"),
+                )
+            )
+    return out
 
 
 @register("divideSeries")
@@ -1661,6 +2080,16 @@ def _f_divide_series(ctx, call):
     df = eval_series(ctx, call, "dividendSeriesList", 0)
     divisor = eval_series(ctx, call, "divisorSeries", 1)
     dnames = [r[0] for r in divisor.select("name").distinct().limit(2).collect()]
+    if len(dnames) == 0:
+        # empty divisor → all-NaN series named divideSeries(<n>,MISSING)
+        # (transformDivideSeries missing-total branch)
+        return df.select(
+            F.concat(
+                F.lit("divideSeries("), F.col("name"), F.lit(",MISSING)")
+            ).alias("name"),
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+        )
     if len(dnames) != 1:
         raise GraphiteEvalError(
             "divideSeries: divisor must be exactly one series"
@@ -1699,6 +2128,8 @@ def _zip_lists(ctx, call, agg: str, fname: str):
             _ORD, F.lit(ord_val)
         )
 
+    a = normalize_series(ctx, a).select("name", "ts", "value")
+    b = normalize_series(ctx, b).select("name", "ts", "value")
     ra, rb = ranked(a, 0), ranked(b, 1)
     names_a = ra.select("__rk", F.col("name").alias("__na")).distinct()
     names_b = rb.select(
@@ -1856,10 +2287,7 @@ def _f_time_slice(ctx, call):
             node.value, (int, float)
         ):
             return int(node.value) * 1000
-        s = get_string(call, name, pos)
-        if s == "now":
-            return ctx.end
-        return ctx.start + parse_interval(s)
+        return parse_time_graphite(ctx, get_string(call, name, pos))
 
     lo = bound("startSliceAt", 1, ctx.start)
     hi = bound("endSliceAt", 2, ctx.end)
@@ -1869,12 +2297,14 @@ def _f_time_slice(ctx, call):
         F.col("value"),
     )
     out = df.withColumn("value", v)
+    # name carries the ABSOLUTE bounds in seconds
+    # (transformTimeSlice: timeSlice(<name>,<start>,<end>))
     return _rename(
         out,
         F.concat(
             F.lit("timeSlice("),
             F.col("name"),
-            F.lit(f",{(lo - ctx.start) // 1000},{(hi - ctx.start) // 1000})"),
+            F.lit(f",{lo // 1000},{hi // 1000})"),
         ),
     )
 
@@ -1913,7 +2343,11 @@ def _f_time_stack(ctx, call):
 @register("constantLine")
 def _f_constant_line(ctx, call):
     v = get_number(call, "value", 0)
-    return constant_series(ctx, f"{v:g}", v)
+    # pathExpression = the expression text (constantLine:1137
+    # safePathExpression) while the NAME is the bare value
+    return constant_series(ctx, f"{v:g}", v).withColumn(
+        _PATH, F.lit(f"constantLine({v:g})")
+    )
 
 
 @register("threshold")
@@ -1923,40 +2357,67 @@ def _f_threshold(ctx, call):
     return constant_series(ctx, label, v)
 
 
+def _stepped_grid(ctx, step_ms: int, inclusive: bool) -> DataFrame:
+    """(id, ts) frame on start + k·step; `inclusive` matches the
+    reference's per-function loop bound (time: ts <= endTime,
+    transform.go:3446; sin/identity/randomWalk: ts < endTime)."""
+    span = ctx.end - ctx.start
+    n = span // step_ms + 1 if inclusive else (span + step_ms - 1) // step_ms
+    grid = ctx.spark.range(max(0, int(n)))
+    return grid.select(
+        F.col("id"),
+        (F.lit(ctx.start) + F.col("id") * F.lit(step_ms)).alias("ts"),
+    )
+
+
 @register("time", "timeFunction")
 def _f_time(ctx, call):
+    """time(name[, step=60]) — its OWN step (default 60s), end
+    INCLUSIVE (transformTimeFunction, transform.go:3429-3460)."""
     name = get_string(call, "name", 0)
-    grid = ctx.spark.range(ctx.npts)
-    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    step_ms = int(get_number(call, "step", 1, 60) * 1000)
+    if step_ms <= 0:
+        raise GraphiteEvalError(f"step must be positive; got {step_ms}")
+    grid = _stepped_grid(ctx, step_ms, inclusive=True)
     return grid.select(
         F.lit(name).alias("name"),
-        ts.alias("ts"),
-        (ts / F.lit(1000.0)).alias("value"),
+        F.col("ts"),
+        (F.col("ts") / F.lit(1000.0)).alias("value"),
+        F.lit(step_ms).alias(_STEP),
     )
 
 
 @register("sin", "sinFunction")
 def _f_sin(ctx, call):
+    """sin(name[, amplitude=1[, step=60]]) — end EXCLUSIVE
+    (transformSinFunction, transform.go:5054-5090)."""
     name = get_string(call, "name", 0)
     amp = get_number(call, "amplitude", 1, 1.0)
-    grid = ctx.spark.range(ctx.npts)
-    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    step_ms = int(get_number(call, "step", 2, 60) * 1000)
+    if step_ms <= 0:
+        raise GraphiteEvalError(f"step must be positive; got {step_ms}")
+    grid = _stepped_grid(ctx, step_ms, inclusive=False)
     return grid.select(
         F.lit(name).alias("name"),
-        ts.alias("ts"),
-        (F.lit(float(amp)) * F.sin(ts / F.lit(1000.0))).alias("value"),
+        F.col("ts"),
+        (F.lit(float(amp)) * F.sin(F.col("ts") / F.lit(1000.0))).alias(
+            "value"
+        ),
+        F.lit(step_ms).alias(_STEP),
     )
 
 
 @register("identity")
 def _f_identity(ctx, call):
+    """identity(name) — fixed 60s step, end EXCLUSIVE
+    (transformIdentity, transform.go:2130-2158)."""
     name = get_string(call, "name", 0)
-    grid = ctx.spark.range(ctx.npts)
-    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    grid = _stepped_grid(ctx, 60_000, inclusive=False)
     return grid.select(
         F.lit(f"identity('{name}')").alias("name"),
-        ts.alias("ts"),
-        (ts / F.lit(1000.0)).alias("value"),
+        F.col("ts"),
+        (F.col("ts") / F.lit(1000.0)).alias("value"),
+        F.lit(60_000).alias(_STEP),
     )
 
 
@@ -1967,8 +2428,11 @@ def _f_random_walk(ctx, call):
     rand(), reproducible by any engine with md5 (same trick as
     operators/knn.py md5_planes)."""
     name = get_string(call, "name", 0)
-    grid = ctx.spark.range(ctx.npts)
-    ts = F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)
+    step_ms = int(get_number(call, "step", 1, 60) * 1000)
+    if step_ms <= 0:
+        raise GraphiteEvalError(f"step must be positive; got {step_ms}")
+    grid = _stepped_grid(ctx, step_ms, inclusive=False)
+    ts = F.col("ts")
     r = (
         F.conv(
             F.substring(
@@ -1983,8 +2447,9 @@ def _f_random_walk(ctx, call):
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     return grid.select(
         F.lit(name).alias("name"),
-        ts.alias("ts"),
+        F.col("ts"),
         F.sum(r).over(w).alias("value"),
+        F.lit(step_ms).alias(_STEP),
     )
 
 
@@ -2068,11 +2533,15 @@ def _f_consolidate_by(ctx, call):
     func = get_string(call, "consolidationFunc", 1)
     ctx2 = replace(ctx, consolidation=_canon_agg(func))
     df = eval_series(ctx2, call, "seriesList", 0)
-    return _rename(
-        df,
-        F.concat(
-            F.lit("consolidateBy("), F.col("name"), F.lit(f",'{func}')")
-        ),
+    wrapped = F.concat(
+        F.lit("consolidateBy("), F.col("name"), F.lit(f",'{func}')")
+    )
+    return df.select(
+        wrapped.alias("name"),
+        "ts",
+        "value",
+        wrapped.alias(_PATH),
+        F.lit(_canon_agg(func)).alias(_CF),
     )
 
 
@@ -2094,25 +2563,46 @@ def _f_aggregate_line(ctx, call):
     keep_step = get_bool(call, "keepStep", 2, False)
     df = eval_series(ctx, call, "seriesList", 0)
     stats = _series_stats(df, func)
+    # name carries the aggregated VALUE (%g, or None when NaN) —
+    # transform.go:380-384 aggregateLine(<name>,<v>)
+    # Go-%g shortest form: integral doubles print without a fraction
+    # (Java's %g would print 3.00000)
+    as_long = F.col("__stat").try_cast("long")
+    plain = F.regexp_replace(
+        F.regexp_replace(F.col("__stat").cast("string"), "E-", "e-"),
+        "E", "e+",
+    )
+    v_str = (
+        F.when(F.col("__stat").isNull() | F.isnan("__stat"), F.lit("None"))
+        .when(
+            F.col("__stat") == as_long.cast("double"),
+            as_long.cast("string"),
+        )
+        .otherwise(plain)
+    )
     named = stats.select(
+        F.col("name").alias("__n0"),
         F.concat(
-            F.lit("aggregateLine("), F.col("name"), F.lit(f",'{func}')")
+            F.lit("aggregateLine("), F.col("name"), F.lit(","), v_str,
+            F.lit(")"),
         ).alias("name"),
         F.col("__stat").alias("value"),
     )
     if keep_step:
-        grid = ctx.spark.range(ctx.npts).select(
-            (F.lit(ctx.start) + F.col("id") * F.lit(ctx.step)).alias("ts")
+        # keepStep keeps each series' OWN timestamps (transform.go:372-375
+        # overwrites s.Values in place)
+        pts = df.select(F.col("name").alias("__n0"), "ts")
+        return pts.join(F.broadcast(named), "__n0").select(
+            "name", "ts", "value"
         )
-    else:
-        grid = ctx.spark.createDataFrame(
-            [
-                (ctx.start,),
-                ((ctx.start + ctx.end) // 2,),
-                (ctx.end,),
-            ],
-            "ts long",
-        )
+    grid = ctx.spark.createDataFrame(
+        [
+            (ctx.start,),
+            ((ctx.start + ctx.end) // 2,),
+            (ctx.end,),
+        ],
+        "ts long",
+    )
     return named.crossJoin(F.broadcast(grid)).select(
         "name", "ts", "value"
     )
@@ -2213,7 +2703,7 @@ def _f_vertical_line(ctx, call):
     if isinstance(node, Literal) and isinstance(node.value, (int, float)):
         ts_ms = int(node.value) * 1000
     else:
-        ts_ms = ctx.start + parse_interval(get_string(call, "ts", 0))
+        ts_ms = parse_time_graphite(ctx, get_string(call, "ts", 0))
     label = get_string(call, "label", 1, "")
     return ctx.spark.createDataFrame(
         [(label, ts_ms, 1.0), (label, ts_ms, 1.0)],
@@ -2498,6 +2988,7 @@ def _f_alias_query(ctx, call):
     for nm in sorted(names):
         target = _re.sub(search, repl, nm)
         sub = evaluate_target(ctx, target).withColumn("__src", F.lit(nm))
+        sub = sub.select("name", "ts", "value", "__src")
         tagged = sub if tagged is None else tagged.unionByName(sub)
     mapping = {}
     if tagged is not None:
@@ -2507,7 +2998,14 @@ def _f_alias_query(ctx, call):
             .agg(F.max_by("value", "ts").alias("__last"))
             .collect()
         )
-        mapping = {r["__src"]: new_name % r["__last"] for r in rows}
+        def _fmt(v):
+            # literal %d/%g/%f substitution, NOT printf
+            # (transformAliasQuery:538-541)
+            out = new_name.replace("%d", str(int(v)))
+            out = out.replace("%g", f"{v:g}")
+            return out.replace("%f", f"{v:f}")
+
+        mapping = {r["__src"]: _fmt(r["__last"]) for r in rows}
     for nm in names:
         if nm not in mapping:
             raise GraphiteEvalError(
@@ -2563,7 +3061,9 @@ def _f_apply_by_node(ctx, call):
         return evaluate_target(ctx, template.replace("%", glob))
     out = None
     for p in prefixes:
-        sub = evaluate_target(ctx, template.replace("%", p))
+        sub = evaluate_target(ctx, template.replace("%", p)).select(
+            "name", "ts", "value"
+        )
         out = sub if out is None else out.unionByName(sub)
     return out
 

@@ -71,6 +71,31 @@ class _Parser:
         return self.s[self.pos] if self.pos < len(self.s) else ""
 
     def parse_expr(self) -> Node:
+        node = self._parse_primary()
+        # graphiteql pipe chaining: `expr | func(a, b)` ≡ func(expr, a, b),
+        # `expr | func` ≡ func(expr) (parser.go parsePipes)
+        while True:
+            self.skip_ws()
+            if self.peek() != "|":
+                return node
+            self.pos += 1
+            self.skip_ws()
+            m = _IDENT_RE.match(self.s, self.pos)
+            if m is None:
+                raise self.error("expected function name after '|'")
+            fname = m.group(0)
+            self.pos = m.end()
+            self.skip_ws()
+            if self.peek() == "(":
+                call = self._parse_call(fname, self.pos)
+                call.args.insert(0, node)
+                node = call
+            else:
+                node = Call(
+                    text=f"{node.text}|{fname}", func=fname, args=[node]
+                )
+
+    def _parse_primary(self) -> Node:
         self.skip_ws()
         c = self.peek()
         if not c:
@@ -165,6 +190,15 @@ class _Parser:
                     self.skip_ws()
                     if self.peek() == ",":
                         self.pos += 1
+                        self.skip_ws()
+                        if self.peek() == ")":
+                            self.pos += 1
+                            return Call(
+                                text=self.s[start : self.pos],
+                                func=func,
+                                args=args,
+                                kwargs=kwargs,
+                            )
                         continue
                     if self.peek() == ")":
                         self.pos += 1
@@ -179,6 +213,16 @@ class _Parser:
             self.skip_ws()
             if self.peek() == ",":
                 self.pos += 1
+                # graphiteql accepts a trailing comma: group(a, b,)
+                self.skip_ws()
+                if self.peek() == ")":
+                    self.pos += 1
+                    return Call(
+                        text=self.s[start : self.pos],
+                        func=func,
+                        args=args,
+                        kwargs=kwargs,
+                    )
                 continue
             if self.peek() == ")":
                 self.pos += 1
