@@ -320,8 +320,21 @@ def test_series_by_tag_and_group_by_tags(spark, samples):
         "db.srv1.mem;dc=east;role=db",
         "db.srv2.mem;dc=west;role=db",
     }
+    # without 'name' among the tags the group key's name part is the
+    # CALLBACK (formatKeyFromTags, transform.go:3997-4006) — both db
+    # series share role=db and collapse into one summed series
     out = run(spark, samples, "groupByTags(seriesByTag('role=db'), 'sum', 'role')")
-    assert set(out) == {"db.srv1.mem;role=db", "db.srv2.mem;role=db"}
+    assert set(out) == {"sum;role=db"}
+    assert out["sum;role=db"][0] == pytest.approx(16.0)  # 7 + 9
+    # selecting 'name' keeps per-series identity
+    out = run(
+        spark, samples,
+        "groupByTags(seriesByTag('role=db'), 'sum', 'role', 'name')",
+    )
+    assert set(out) == {
+        "db.srv1.mem;role=db",
+        "db.srv2.mem;role=db",
+    }
     out = run(
         spark, samples, "aliasByTags(seriesByTag('dc=east'), 'dc')"
     )

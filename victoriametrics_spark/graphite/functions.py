@@ -39,6 +39,7 @@ from victoriametrics_spark.graphite.evaluator import (
     get_number,
     get_string,
     parse_interval,
+    parse_time_graphite,
 )
 from victoriametrics_spark.graphite.parser import Call, Literal, Node, Path
 
@@ -219,7 +220,7 @@ _CONS_AGGS = {
 }
 
 
-def normalize_series(ctx, df: DataFrame) -> DataFrame:
+def normalize_series(ctx, df: DataFrame, step_ms: int | None = None) -> DataFrame:
     """fetchNormalizedSeries (transform.go:3737-3752): pick the FIRST
     series' step (peekStep) as the common step, consolidate every
     series onto the end-EXCLUSIVE grid [start + k·step) with its
@@ -231,21 +232,24 @@ def normalize_series(ctx, df: DataFrame) -> DataFrame:
     df = _with_path(_with_ord(_with_step(df, ctx)))
     has_cf = _CF in df.columns
     cf = F.col(_CF) if has_cf else F.lit("avg")
-    first = df.agg(
-        F.min_by(F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))).alias(
-            "__cstep"
+    if step_ms is not None:
+        df = df.withColumn("__cstep", F.lit(int(step_ms)))
+    else:
+        first = df.agg(
+            F.min_by(
+                F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))
+            ).alias("__cstep")
         )
-    )
-    df = df.crossJoin(F.broadcast(first))
+        df = df.crossJoin(F.broadcast(first))
     npts = F.floor(
         (F.lit(ctx.end) - F.lit(ctx.start)) / F.col("__cstep")
     ).cast("long")
     b = F.floor((F.col("ts") - F.lit(ctx.start)) / F.col("__cstep")).cast(
         "long"
     )
-    df = df.withColumn("__b", b).filter(
-        (F.col("__b") >= 0) & (F.col("__b") < npts)
-    )
+    df = df.withColumn(
+        "__b", F.greatest(b, F.lit(0))
+    ).filter(F.col("__b") < npts)
     aggs = [
         fn(F.col("value")).cast("double").alias(f"__c_{k}")
         for k, fn in _CONS_AGGS.items()
@@ -389,10 +393,12 @@ def _rename(df: DataFrame, name_col: Column) -> DataFrame:
 
 
 def _rename_keep_path(df: DataFrame, name_col: Column) -> DataFrame:
-    """Rename but keep the inner pathExpression — the alias family never
-    updates pathExpression in the reference (transformAlias:446-450)."""
+    """Rename but keep the inner pathExpression (and the step/
+    consolidation passengers) — the alias family never updates
+    pathExpression in the reference (transformAlias:446-450)."""
     df = _with_path(df)
-    return df.select(name_col.alias("name"), "ts", "value", _PATH)
+    extras = [c for c in (_PATH, _STEP, _CF) if c in df.columns]
+    return df.select(name_col.alias("name"), "ts", "value", *extras)
 
 
 def _wrap_name(df: DataFrame, prefix: str, suffix: str = ")") -> DataFrame:
@@ -419,6 +425,63 @@ def _path_of(c: Column) -> Column:
     rx = r"([A-Za-z0-9_\-*?:%#$~@{}\[\]]+(?:\.[A-Za-z0-9_\-*?:%#$~@{}\[\]]+)+)"
     ex = F.regexp_extract(c, rx, 1)
     return F.when(ex == "", c).otherwise(ex)
+
+
+def _py_path_from_name(name: str) -> str:
+    """getPathFromName (transform.go:3706-3730): extract the metric path
+    from a (possibly function-wrapped) series name by parsing it and
+    walking to the first path-like argument."""
+    from victoriametrics_spark.graphite.parser import parse_target as _pt
+
+    try:
+        node = _pt(name)
+    except Exception:
+        return name
+    for _ in range(20):
+        if isinstance(node, Path):
+            return node.pattern
+        if isinstance(node, Literal) and isinstance(node.value, str):
+            return node.value
+        if isinstance(node, Call):
+            for a in node.args:
+                if isinstance(a, Path):
+                    return a.pattern
+                # bare numerals parse as numbers here but are
+                # MetricExprs in graphiteql ("500" is a valid path)
+                if (
+                    isinstance(a, Literal)
+                    and isinstance(a.value, (int, float))
+                    and not isinstance(a.value, bool)
+                ):
+                    return a.text
+            if not node.args:
+                return name
+            node = node.args[0]
+            continue
+        return name
+    return name
+
+
+def _py_tags_from_name(name: str) -> dict:
+    """Graphite tagged-name parse: base;k=v;... plus the implicit
+    ``name`` tag (unmarshalTags)."""
+    parts = name.split(";")
+    tags = {"name": parts[0]}
+    for p in parts[1:]:
+        if "=" in p:
+            k, v = p.split("=", 1)
+            tags[k] = v
+    return tags
+
+
+def _name_map_expr(names: list[str], fn) -> Column:
+    """CASE expression mapping each collected series name through the
+    Python fn — the engine's stand-in for per-series Go renames that
+    need real parsing (presentation-sized name sets)."""
+    expr = F.col("name")
+    for nm in names:
+        expr = F.when(F.col("name") == nm, F.lit(fn(nm))).otherwise(expr)
+    return expr
 
 
 def _node_col(name_col: Column, idx: int) -> Column:
@@ -519,15 +582,23 @@ def _f_aggregate(ctx, call):
 @register("percentileOfSeries")
 def _f_percentile_of_series(ctx, call):
     n = get_number(call, "n", 1)
-    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
-    text = _arg_text(call, "seriesList", 0)
-    return _combine(
-        df,
-        "percentile",
-        f"percentileOfSeries({text},{n:g})",
-        ctx.xfiles_factor,
-        p=n / 100.0,
-        ctx=ctx,
+    df = normalize_series(
+        ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
+    )
+    # name = percentileOfSeries(<first sorted path>,<n %g>)
+    # (transform.go:2874-2876)
+    named = df.agg(
+        F.concat(
+            F.lit("percentileOfSeries("),
+            F.array_min(F.collect_set(F.col(_PATH))),
+            F.lit(f",{n:g})"),
+        ).alias("__aggname")
+    )
+    out = df.groupBy("ts").agg(
+        _agg_expr("percentile", ctx.xfiles_factor, n / 100.0).alias("value")
+    )
+    return out.crossJoin(F.broadcast(named)).select(
+        F.col("__aggname").alias("name"), "ts", "value"
     )
 
 
@@ -544,10 +615,11 @@ def _f_group(ctx, call):
 def _f_unique(ctx, call):
     """Keep the first occurrence of each name across the arg lists."""
     df = _series_args(ctx, call)
-    w = Window.partitionBy("name", "ts").orderBy(_ORD)
+    w = Window.partitionBy("name")
+    keep = F.min(F.col(_ORD)).over(w)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        df.withColumn("__keep", keep)
+        .filter(F.col(_ORD) == F.col("__keep"))
         .select("name", "ts", "value")
     )
 
@@ -668,9 +740,10 @@ def _f_scale(ctx, call):
 def _f_scale_to_seconds(ctx, call):
     """v · seconds/step_sec (transform.go transformScaleToSeconds)."""
     seconds = get_number(call, "seconds", 1)
-    df = eval_series(ctx, call, "seriesList", 0)
-    k = float(seconds) / (ctx.step / 1000.0)
-    out = df.withColumn("value", F.col("value") * F.lit(k))
+    df = _with_step(eval_series(ctx, call, "seriesList", 0), ctx)
+    # factor = seconds / series.step (transformScaleToSeconds)
+    k = F.lit(float(seconds)) / (F.col(_STEP).cast("double") / 1000.0)
+    out = df.withColumn("value", F.col("value") * k)
     return _rename(
         out,
         F.concat(
@@ -758,12 +831,14 @@ def _f_logit(ctx, call):
 
 @register("round")
 def _f_round(ctx, call):
+    has_precision = get_arg(call, "precision", 1, None) is not None
     precision = int(get_number(call, "precision", 1, 0))
     df = eval_series(ctx, call, "seriesList", 0)
     out = df.withColumn("value", F.round(F.col("value"), precision))
+    suffix = f",{precision})" if has_precision else ")"
     return _rename(
         out,
-        F.concat(F.lit("round("), F.col("name"), F.lit(f",{precision})")),
+        F.concat(F.lit("round("), F.col("name"), F.lit(suffix)),
     )
 
 
@@ -782,8 +857,17 @@ def _f_transform_null(ctx, call):
     ref_node = get_arg(call, "referenceSeries", 2, None)
     df = eval_series(ctx, call, "seriesList", 0)
     filled = F.coalesce(F.col("value"), F.lit(float(default)))
+    suffix = f",{default:g})"
     if ref_node is not None:
-        ref = evaluate_target(ctx, ref_node)
+        # both sides consolidate to the reference's normalized step
+        # (transformTransformNull:4211-4240); fill only at instants
+        # where SOME reference series has a value
+        ref = normalize_series(ctx, evaluate_target(ctx, ref_node))
+        ref_step_rows = ref.select(F.col(_STEP)).limit(1).collect()
+        ref_step = (
+            int(ref_step_rows[0][0]) if ref_step_rows else ctx.step
+        )
+        df = normalize_series(ctx, df, step_ms=ref_step)
         ref_ok = ref.filter(F.col("value").isNotNull()).select(
             F.col("ts").alias("__rts")
         ).distinct()
@@ -794,12 +878,11 @@ def _f_transform_null(ctx, call):
             F.col("__rts").isNotNull(),
             F.coalesce(F.col("value"), F.lit(float(default))),
         ).otherwise(F.col("value"))
+        suffix = f",{default:g},referenceSeries)"
     out = df.withColumn("value", filled).select("name", "ts", "value")
     return _rename(
         out,
-        F.concat(
-            F.lit(f"transformNull("), F.col("name"), F.lit(f",{default:g})")
-        ),
+        F.concat(F.lit("transformNull("), F.col("name"), F.lit(suffix)),
     )
 
 
@@ -854,11 +937,19 @@ def _non_negative_delta(max_v: float | None, min_v: float | None) -> Column:
     when cur is NULL)."""
     cur = F.col("value")
     prev = F.lag("value").over(_series_window())
-    out_of_bounds = F.lit(False)
-    if max_v is not None:
-        out_of_bounds = out_of_bounds | (cur > F.lit(float(max_v)))
-    if min_v is not None:
-        out_of_bounds = out_of_bounds | (cur < F.lit(float(min_v)))
+
+    def oob(c):
+        cond = F.lit(False)
+        if max_v is not None:
+            cond = cond | (c > F.lit(float(max_v)))
+        if min_v is not None:
+            cond = cond | (c < F.lit(float(min_v)))
+        return cond
+
+    out_of_bounds = oob(cur)
+    # an out-of-bounds previous point left prevV = NaN
+    # (nonNegativeDelta returns (nan, nan)) → this delta is NaN too
+    prev = F.when(oob(prev), F.lit(None).cast("double")).otherwise(prev)
     inc = cur - prev
     if max_v is not None:
         wrap = (
@@ -904,7 +995,12 @@ def _f_per_second(ctx, call):
     delta = _non_negative_delta(
         _opt_bound(call, "maxValue", 1), _opt_bound(call, "minValue", 2)
     )
-    out = df.withColumn("value", delta / F.lit(ctx.step / 1000.0))
+    # divide by the gap to the PREVIOUS point on the series' own grid
+    # (transform.go:4558-4564); the first point has no step → NaN
+    dt = (
+        F.col("ts") - F.lag("ts").over(_series_window())
+    ).cast("double") / F.lit(1000.0)
+    out = df.withColumn("value", delta / dt)
     return _wrap_name(out, "perSecond")
 
 
@@ -1111,13 +1207,34 @@ def _moving(ctx, call, agg: str, xff_pos: int = 2):
     extended back by the window, aggregate the k preceding grid points
     (EXCLUDING the current one), drop the extension
     (transform.go:2758-2824)."""
-    k = _window_points(ctx, call, "windowSize", 1)
+    n_pts, interval = get_interval_or_points(call, "windowSize", 1)
     xff = get_number(call, "xFilesFactor", xff_pos, ctx.xfiles_factor)
-    inner = ctx.with_range(start=ctx.start - k * ctx.step)
+    window = interval if interval is not None else n_pts * ctx.step
+    inner = ctx.with_range(start=ctx.start - window)
     df = eval_series(inner, call, "seriesList", 0)
+    # a numeric windowSize counts INNER-SERIES steps: when the inner
+    # expression changes the step (summarize et al), the window and the
+    # extension are recomputed and the inner re-evaluated
+    # (movingWindow, transform.go:2754-2786 peekStep + re-eval)
+    step_row = (
+        _with_path(_with_ord(_with_step(df, ctx)))
+        .select(
+            F.min_by(
+                F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))
+            ).alias("__s")
+        )
+        .collect()
+    )
+    step = int(step_row[0]["__s"]) if step_row and step_row[0]["__s"] else ctx.step
+    if interval is None and step != ctx.step:
+        window = int(n_pts * step)
+        inner = ctx.with_range(start=ctx.start - window)
+        df = eval_series(inner, call, "seriesList", 0)
+    k = max(1, int(window // step))
     win = _series_window().rowsBetween(-k, -1)
     out = df.withColumn("value", _agg_over_window(agg, xff, win)).filter(
-        F.col("ts") >= F.lit(ctx.start)
+        (F.col("ts") >= F.lit(inner.start + window))
+        & (F.col("ts") <= F.lit(ctx.end))
     )
     # reference: tagName = "moving" + strings.Title(funcName) of the
     # name as passed (transform.go:2788)
@@ -1167,27 +1284,42 @@ def _f_ema(ctx, call):
     transform.go transformExponentialMovingAverage). NULL points leave
     the EMA unchanged and emit NULL. Catalyst fold over the per-series
     point array — bounded by the render range, not corpus size."""
-    k = _window_points(ctx, call, "windowSize", 1)
-    c = 2.0 / (k + 1.0)
-    inner = ctx.with_range(start=ctx.start - k * ctx.step)
+    # transformExponentialMovingAverage (transform.go:1520-1580):
+    # string window → c = 2/(seconds+1), extension = the interval;
+    # number window → c = 2/(n+1), extension = n·storageStep. The inner
+    # expression is evaluated over [start-window, end); points before
+    # the render start seed the average (NaN seed → 0) and only
+    # in-range points are emitted.
+    n_pts, interval = get_interval_or_points(call, "windowSize", 1)
+    if interval is not None:
+        c = 2.0 / (interval / 1000.0 + 1.0)
+        window_ms = abs(interval)
+    else:
+        c = 2.0 / (n_pts + 1.0)
+        window_ms = abs(n_pts) * ctx.step
+    inner = ctx.with_range(start=ctx.start - window_ms)
     df = eval_series(inner, call, "seriesList", 0)
     pts = df.groupBy("name").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("ts"), F.col("value")))
         ).alias("__pts")
     )
-    seed_slice = F.slice(F.col("__pts"), 1, k)
-    seed_vals = F.filter(
-        F.transform(seed_slice, lambda x: x["value"]),
-        lambda x: x.isNotNull(),
+    pre = F.filter(
+        F.col("__pts"), lambda x: x["ts"] < F.lit(ctx.start)
     )
-    seed = F.when(
-        F.size(seed_vals) > 0,
-        F.aggregate(seed_vals, F.lit(0.0), lambda a, x: a + x)
-        / F.size(seed_vals).cast("double"),
+    pre_vals = F.filter(
+        F.transform(pre, lambda x: x["value"]), lambda x: x.isNotNull()
     )
-    rest = F.slice(
-        F.col("__pts"), k + 1, F.greatest(F.size("__pts") - k, F.lit(0))
+    seed = F.coalesce(
+        F.when(
+            F.size(pre_vals) > 0,
+            F.aggregate(pre_vals, F.lit(0.0), lambda a, x: a + x)
+            / F.size(pre_vals).cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    rest = F.filter(
+        F.col("__pts"), lambda x: x["ts"] >= F.lit(ctx.start)
     )
     folded = F.aggregate(
         rest,
@@ -1200,11 +1332,7 @@ def _f_ema(ctx, call):
         lambda acc, x: F.struct(
             F.when(
                 x["value"].isNotNull(),
-                F.when(
-                    acc["ema"].isNull(), x["value"]
-                ).otherwise(
-                    F.lit(c) * x["value"] + F.lit(1.0 - c) * acc["ema"]
-                ),
+                F.lit(c) * x["value"] + F.lit(1.0 - c) * acc["ema"],
             ).otherwise(acc["ema"]).alias("ema"),
             F.concat(
                 acc["out"],
@@ -1213,12 +1341,8 @@ def _f_ema(ctx, call):
                         x["ts"].alias("ts"),
                         F.when(
                             x["value"].isNotNull(),
-                            F.when(
-                                acc["ema"].isNull(), x["value"]
-                            ).otherwise(
-                                F.lit(c) * x["value"]
-                                + F.lit(1.0 - c) * acc["ema"]
-                            ),
+                            F.lit(c) * x["value"]
+                            + F.lit(1.0 - c) * acc["ema"],
                         ).alias("value"),
                     )
                 ),
@@ -1247,16 +1371,18 @@ def _f_stdev(ctx, call):
     windowTolerance (graphite-web stdev)."""
     k = int(get_number(call, "points", 1))
     tol = get_number(call, "windowTolerance", 2, 0.1)
-    inner = ctx.with_range(start=ctx.start - (k - 1) * ctx.step)
-    df = eval_series(inner, call, "seriesList", 0)
+    df = eval_series(ctx, call, "seriesList", 0)
+    # transformStdev (transform.go:4700-4727): trailing window of k
+    # points WITHOUT extending the range (partial windows at the
+    # start), emitted when n/points >= windowTolerance; population
+    # stddev via sqrt(n·Σv² − (Σv)²)/n
     win = _series_window().rowsBetween(-(k - 1), 0)
-    n_all = F.count(F.lit(1)).over(win)
-    n = F.count("value").over(win)
-    ok = (n_all - n).cast("double") <= n_all.cast("double") * F.lit(tol)
-    sd = F.sqrt(F.var_pop("value").over(win))
-    out = df.withColumn(
-        "value", F.when(ok & (n > 0), sd)
-    ).filter(F.col("ts") >= F.lit(ctx.start))
+    n = F.count("value").over(win).cast("double")
+    sm = F.sum("value").over(win)
+    sm2 = F.sum(F.col("value") * F.col("value")).over(win)
+    ok = (n > 0) & (n / F.lit(float(k)) >= F.lit(tol))
+    sd = F.sqrt(n * sm2 - sm * sm) / n
+    out = df.withColumn("value", F.when(ok, sd))
     return _rename(
         out, F.concat(F.lit("stdev("), F.col("name"), F.lit(f",{k})"))
     )
@@ -1266,23 +1392,52 @@ def _f_stdev(ctx, call):
 
 
 def _bucketize(
-    ctx, call, interval: int, anchor: int, end2: int, agg: str, name_fmt
+    ctx, call, interval: int, anchor: int, end2: int, agg: str, name_fmt,
+    smart: bool = False,
 ):
+    """Shared summarize/smartSummarize bucketing. summarize emits every
+    bucket whose START is before the end (transformSummarize's
+    `for ts < endTime` loop); smartSummarize goes through
+    series.summarize() whose pointsLen = (end-start)/step FLOORS the
+    count. Buckets are densified (NaN holes kept) and the output
+    carries __step = interval for downstream normalization."""
     inner = ctx.with_range(start=min(anchor, ctx.start), end=end2)
     df = _with_ord(eval_series(inner, call, "seriesList", 0))
     df = df.filter(F.col("ts") >= F.lit(anchor))
+    span = end2 - anchor
+    nb = span // interval if smart else -(-span // interval)
     bucket = F.floor((F.col("ts") - F.lit(anchor)) / F.lit(interval))
-    out = (
+    vals = (
         df.withColumn("__b", bucket)
-        .groupBy("name", "__b")
+        .filter(F.col("__b") < F.lit(nb))
+        # duplicate same-named input series stay separate (keyed by
+        # their arg position) — a summarize over group(x, x) yields TWO
+        # series, not one merged bucket sum
+        .groupBy("name", F.col(_ORD), "__b")
         .agg(_agg_expr(agg, ctx.xfiles_factor).alias("value"))
-        .select(
-            "name",
-            (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
-            "value",
-        )
     )
-    return _rename(out, name_fmt(F.col("name")))
+    series = vals.select("name", F.col(_ORD)).distinct()
+    bgrid = series.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(max(int(nb) - 1, -1)))
+            if nb > 0
+            else F.array().cast("array<long>")
+        ),
+    )
+    out = bgrid.join(vals, ["name", _ORD, "__b"], "left").select(
+        "name",
+        F.col(_ORD),
+        (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
+        "value",
+    )
+    return out.select(
+        name_fmt(F.col("name")).alias("name"),
+        F.col(_ORD),
+        "ts",
+        "value",
+        F.lit(int(interval)).alias(_STEP),
+    )
 
 
 @register("summarize")
@@ -1299,8 +1454,10 @@ def _f_summarize(ctx, call):
     if align:
         anchor, end2 = ctx.start, ctx.end
     else:
+        # transformSummarize:3313-3316 — the end ALWAYS grows by a full
+        # interval when already aligned (endTime += interval - end%interval)
         anchor = ctx.start - ctx.start % interval
-        end2 = ctx.end + (interval - ctx.end % interval) % interval
+        end2 = ctx.end + (interval - ctx.end % interval)
     suffix = (
         f",'{interval_s}','{func}',true)" if align
         else f",'{interval_s}','{func}')"
@@ -1308,6 +1465,7 @@ def _f_summarize(ctx, call):
     return _bucketize(
         ctx, call, interval, anchor, end2, func,
         lambda n: F.concat(F.lit("summarize("), n, F.lit(suffix)),
+        smart=True,
     )
 
 
@@ -1318,13 +1476,30 @@ def _f_smart_summarize(ctx, call):
     interval_s = get_string(call, "intervalString", 1)
     interval = parse_interval(interval_s)
     func = get_string(call, "func", 2, "sum")
+    align = get_arg(call, "alignTo", 3, None)
+    start = ctx.start
+    if align is not None:
+        unit = (
+            align.value if isinstance(align, Literal) else align.pattern
+        )
+        unit_ms = {
+            "seconds": 1000, "second": 1000, "sec": 1000, "s": 1000,
+            "minutes": 60_000, "minute": 60_000, "min": 60_000,
+            "hours": 3_600_000, "hour": 3_600_000, "h": 3_600_000,
+            "days": 86_400_000, "day": 86_400_000, "d": 86_400_000,
+            "weeks": 604_800_000, "week": 604_800_000,
+        }.get(str(unit).lower())
+        if unit_ms:
+            start -= start % unit_ms
+            ctx = ctx.with_range(start=start)
     return _bucketize(
-        ctx, call, interval, ctx.start, ctx.end, func,
+        ctx, call, interval, start, ctx.end, func,
         lambda n: F.concat(
             F.lit("smartSummarize("),
             n,
             F.lit(f",'{interval_s}','{func}')"),
         ),
+        smart=True,
     )
 
 
@@ -1335,26 +1510,62 @@ def _f_hitcount(ctx, call):
     interval_s = get_string(call, "intervalString", 1)
     interval = parse_interval(interval_s)
     align = get_bool(call, "alignToInterval", 2, False)
-    anchor = ctx.start - (ctx.start % interval if align else 0)
-    df = eval_series(ctx, call, "seriesList", 0)
-    bucket = F.floor((F.col("ts") - F.lit(anchor)) / F.lit(interval))
+    anchor = ctx.start
+    if align:
+        # snap the start down to the interval's natural unit
+        # (transformHitcount:2060-2073) — day/hour/minute boundaries
+        if interval >= 86_400_000:
+            anchor -= anchor % 86_400_000
+        elif interval >= 3_600_000:
+            anchor -= anchor % 3_600_000
+        elif interval >= 60_000:
+            anchor -= anchor % 60_000
+        ctx = ctx.with_range(start=anchor)
+    df = eval_series(ctx, call, "seriesList", 0).filter(
+        F.col("value").isNotNull()
+    )
+    # transformHitcount (2078-2114): each point contributes
+    # v·(t − t_prev)/1e3 to the bucket CONTAINING it, where t_prev is
+    # the previous point (clamped to the bucket start for the first
+    # point in a bucket, which ALSO earns a carry of
+    # v_prev·(t − bucket_start)/1e3); a zero bucket renders NaN
+    w = _series_window()
+    lag_t = F.lag("ts").over(w)
+    lag_v = F.lag("value").over(w)
+    b = F.floor((F.col("ts") - F.lit(anchor)) / F.lit(interval)).cast(
+        "long"
+    )
+    bstart = F.lit(anchor) + b * F.lit(interval)
+    first_in_bucket = lag_t.isNull() | (lag_t < bstart)
+    contrib = F.when(
+        first_in_bucket,
+        (F.col("value") + F.coalesce(lag_v, F.lit(0.0)))
+        * (F.col("ts") - bstart).cast("double")
+        / 1000.0,
+    ).otherwise(
+        F.col("value") * (F.col("ts") - lag_t).cast("double") / 1000.0
+    )
     out = (
-        df.withColumn("__b", bucket)
+        df.withColumn("__b", b)
+        .withColumn("__c", contrib)
         .groupBy("name", "__b")
-        .agg(
-            (F.sum("value") * F.lit(ctx.step / 1000.0)).alias("value")
+        .agg(F.sum("__c").alias("value"))
+        .withColumn(
+            "value", F.when(F.col("value") != 0.0, F.col("value"))
         )
         .select(
             "name",
             (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
             "value",
         )
+        .filter(F.col("ts") < F.lit(ctx.end))
+    )
+    suffix = (
+        f",'{interval_s}',true)" if align else f",'{interval_s}')"
     )
     return _rename(
         out,
-        F.concat(
-            F.lit("hitcount("), F.col("name"), F.lit(f",'{interval_s}')")
-        ),
+        F.concat(F.lit("hitcount("), F.col("name"), F.lit(suffix)),
     )
 
 
@@ -1474,16 +1685,18 @@ def _f_limit(ctx, call):
     """First n series; series order is undefined in the reference
     (storage arrival) — we define it as name order."""
     n = int(get_number(call, "n", 1))
-    df = eval_series(ctx, call, "seriesList", 0)
-    w = Window.orderBy("name")
+    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
+    w = Window.orderBy(F.col(_ORD), F.col("name"))
     keep = (
-        df.select("name")
+        df.select(_ORD, "name")
         .distinct()
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n)
         .select("name")
     )
-    return df.join(F.broadcast(keep), "name", "left_semi")
+    return df.join(F.broadcast(keep), "name", "left_semi").select(
+        "name", "ts", "value"
+    )
 
 
 @register("exclude")
@@ -1725,6 +1938,12 @@ def _f_sort_by_maxima(ctx, call):
 @register("sortByMinima")
 def _f_sort_by_minima(ctx, call):
     df = eval_series(ctx, call, "seriesList", 0)
+    # series whose MAX is <= 0 (or all-NaN) are dropped first
+    # (transformSortByMinima:4941-4948)
+    maxes = _series_stats(df, "max").filter(F.col("__stat") > 0).select(
+        "name"
+    )
+    df = df.join(F.broadcast(maxes), "name", "left_semi")
     stats = _series_stats(df, "min")
     return (
         df.join(F.broadcast(stats), "name")
@@ -1764,7 +1983,12 @@ def _f_alias(ctx, call):
 @register("aliasByMetric")
 def _f_alias_by_metric(ctx, call):
     df = eval_series(ctx, call, "seriesList", 0)
-    return _rename_keep_path(df, _node_col(F.col("name"), -1))
+    names = [r[0] for r in df.select("name").distinct().collect()]
+
+    def last_node(nm):
+        return _py_path_from_name(nm).split(".")[-1]
+
+    return _rename_keep_path(df, _name_map_expr(names, last_node))
 
 
 @register("aliasByNode", "aliasByTags")
@@ -1773,23 +1997,40 @@ def _f_alias_by_node(ctx, call):
     with dots (transform.go transformAliasByNode; tags share the
     implementation as in graphite-web)."""
     df = eval_series(ctx, call, "seriesList", 0)
-    parts = []
-    for i, node in enumerate(call.args[1:]):
+    specs = []
+    for node in call.args[1:]:
         if isinstance(node, Literal) and isinstance(
             node.value, (int, float)
         ):
-            parts.append(_node_col(F.col("name"), int(node.value)))
+            specs.append(int(node.value))
         else:
-            tag = (
-                node.value
-                if isinstance(node, Literal)
-                else node.pattern
+            specs.append(
+                node.value if isinstance(node, Literal) else node.pattern
             )
-            parts.append(_tag_col(F.col("name"), tag))
-    if not parts:
+    if not specs:
         # zero nodes → empty name (getNameFromNodes over no selectors)
         return _rename_keep_path(df, F.lit(""))
-    return _rename_keep_path(df, F.concat_ws(".", *parts))
+    names = [r[0] for r in df.select("name").distinct().collect()]
+
+    def from_nodes(nm):
+        # getNameFromNodes (transform.go:3684-3704): int nodes index the
+        # parsed path, string nodes look up tags; missing entries are
+        # SKIPPED (no empty parts)
+        parts = _py_path_from_name(nm).split(".")
+        tags = _py_tags_from_name(nm)
+        dst = []
+        for sp in specs:
+            if isinstance(sp, int):
+                n = sp if sp >= 0 else len(parts) + sp
+                if 0 <= n < len(parts):
+                    dst.append(parts[n])
+            else:
+                v = tags.get(sp, "")
+                if v:
+                    dst.append(v)
+        return ".".join(dst)
+
+    return _rename_keep_path(df, _name_map_expr(names, from_nodes))
 
 
 @register("aliasSub")
@@ -1809,25 +2050,29 @@ def _f_substr(ctx, call):
     start = int(get_number(call, "start", 1, 0))
     stop = int(get_number(call, "stop", 2, 0))
     df = eval_series(ctx, call, "seriesList", 0)
-    nodes = _split_path(F.col("name"))
-    n = F.size(nodes)
-    # Python-slice clamping (transformSubstr:4656-4672): negative
-    # indexes count from the end, out-of-range clamps, stop<start → ""
-    lo = F.lit(start)
-    lo = F.when(lo > n, n).when(
-        lo < 0, F.greatest(n + lo, F.lit(0))
-    ).otherwise(lo)
-    hi = F.lit(stop)
-    hi = (
-        F.when(hi == 0, n)
-        .when(hi > n, n)
-        .when(hi < 0, F.greatest(n + hi, F.lit(0)))
-        .otherwise(hi)
-    )
-    hi = F.greatest(hi, lo)
-    return _rename(
-        df, F.array_join(F.slice(nodes, lo + 1, hi - lo), ".")
-    )
+    names = [r[0] for r in df.select("name").distinct().collect()]
+
+    def sub(nm):
+        # transformSubstr (4653-4676): Python-slice clamping over the
+        # PARSED path split on '.'; tags ride along on the last node
+        parts = _py_path_from_name(nm).split(".")
+        n = len(parts)
+        lo, hi = start, stop
+        if lo > n:
+            lo = n
+        elif lo < 0:
+            lo = max(n + lo, 0)
+        if hi == 0:
+            hi = n
+        elif hi > n:
+            hi = n
+        elif hi < 0:
+            hi = max(n + hi, 0)
+        if hi < lo:
+            hi = lo
+        return ".".join(parts[lo:hi])
+
+    return _rename(df, _name_map_expr(names, sub))
 
 
 # -------------------------------------------------------- binary combine
@@ -1879,10 +2124,12 @@ def _f_as_percent(ctx, call):
             _nodes_key(F.col("name"), nodes) if nodes else F.lit("")
         )
         dfk = df.withColumn("__key", key)
-        # per-key total name needs the (small) series-name metadata
+        # per-key total name needs the (small) series metadata — built
+        # from pathExpressions like the reference (a fetched glob
+        # yields sumSeries(<glob>), not the expanded names)
         names = [
-            (r["__key"], r["name"])
-            for r in dfk.select("__key", "name").distinct().collect()
+            (r["__key"], r[_PATH])
+            for r in dfk.select("__key", _PATH).distinct().collect()
         ]
         by_key: dict[str, list[str]] = {}
         for k, n in names:
@@ -1947,14 +2194,23 @@ def _f_as_percent(ctx, call):
             )
             if len(t_ts) >= 2 and t_ts != s_ts:
                 step_t = t_ts[1] - t_ts[0]
+                # s.consolidate(ec, stepTotal) is END-EXCLUSIVE
+                # (pointsLen = (end-start)/step)
+                bound = (
+                    ctx.start
+                    + (ctx.end - ctx.start) // step_t * step_t
+                )
                 bucket = (
                     F.floor((F.col("ts") - F.lit(t_ts[0])) / F.lit(step_t))
                     * F.lit(step_t)
                     + F.lit(t_ts[0])
                 )
-                df = df.groupBy(
-                    "name", F.col(_ORD), bucket.alias("ts")
-                ).agg(F.avg("value").alias("value"))
+                df = (
+                    df.groupBy("name", F.col(_ORD), bucket.alias("ts"))
+                    .agg(F.avg("value").alias("value"))
+                    .filter(F.col("ts") < F.lit(bound))
+                )
+                t = t.filter(F.col("__tts") < F.lit(bound))
             out = df.join(F.broadcast(t), df["ts"] == F.col("__tts"), "left")
             out = out.withColumn(
                 "value", pct(F.col("value"), F.col("__total"))
@@ -2077,9 +2333,12 @@ def _f_as_percent(ctx, call):
 def _f_divide_series(ctx, call):
     """Pointwise division by a single divisor series
     (transform.go:1276-1340); NULL where the divisor is NULL or 0."""
-    df = eval_series(ctx, call, "dividendSeriesList", 0)
-    divisor = eval_series(ctx, call, "divisorSeries", 1)
+    raw_df = eval_series(ctx, call, "dividendSeriesList", 0)
+    divisor = normalize_series(
+        ctx, eval_series(ctx, call, "divisorSeries", 1)
+    )
     dnames = [r[0] for r in divisor.select("name").distinct().limit(2).collect()]
+    df = normalize_series(ctx, raw_df) if dnames else raw_df
     if len(dnames) == 0:
         # empty divisor → all-NaN series named divideSeries(<n>,MISSING)
         # (transformDivideSeries missing-total branch)
@@ -2119,17 +2378,22 @@ def _zip_lists(ctx, call, agg: str, fname: str):
     b = eval_series(ctx, call, "seriesListSecondPos", 1)
 
     def ranked(df, ord_val):
-        w = Window.orderBy("name")
+        # pair order = (arg position within the list, name) — the
+        # engine's deterministic stand-in for storage arrival order
+        w = Window.orderBy(F.col("__o0"), F.col("name"))
         names = (
-            df.select("name").distinct()
+            df.select(F.col(_ORD).alias("__o0"), "name").distinct()
             .withColumn("__rk", F.row_number().over(w))
+            .select("name", "__rk")
         )
-        return df.join(F.broadcast(names), "name").withColumn(
-            _ORD, F.lit(ord_val)
+        return (
+            df.drop(_ORD)
+            .join(F.broadcast(names), "name")
+            .withColumn(_ORD, F.lit(ord_val))
         )
 
-    a = normalize_series(ctx, a).select("name", "ts", "value")
-    b = normalize_series(ctx, b).select("name", "ts", "value")
+    a = normalize_series(ctx, a).select("name", _ORD, "ts", "value")
+    b = normalize_series(ctx, b).select("name", _ORD, "ts", "value")
     ra, rb = ranked(a, 0), ranked(b, 1)
     names_a = ra.select("__rk", F.col("name").alias("__na")).distinct()
     names_b = rb.select(
@@ -2179,12 +2443,16 @@ def _f_divide_series_lists(ctx, call):
     b = eval_series(ctx, call, "divisorSeriesList", 1)
 
     def ranked(df):
-        w = Window.orderBy("name")
+        df = normalize_series(ctx, df)
+        w = Window.orderBy(F.col("__o0"), F.col("name"))
         names = (
-            df.select("name").distinct()
+            df.select(F.col(_ORD).alias("__o0"), "name").distinct()
             .withColumn("__rk", F.row_number().over(w))
+            .select("name", "__rk")
         )
-        return df.join(F.broadcast(names), "name")
+        return df.select("name", "ts", "value").join(
+            F.broadcast(names), "name"
+        )
 
     ra = ranked(a)
     rb = ranked(b).select(
@@ -2223,32 +2491,90 @@ def _f_aggregate_series_lists(ctx, call):
 def _f_weighted_average(ctx, call):
     """Σ_k avg_k·w_k / Σ_k w_k over node-matched pairs
     (transform.go:3339-3430)."""
-    avg_df = eval_series(ctx, call, "seriesListAvg", 0)
-    w_df = eval_series(ctx, call, "seriesListWeight", 1)
+    avg_df = normalize_series(
+        ctx, eval_series(ctx, call, "seriesListAvg", 0)
+    )
+    w_df = normalize_series(
+        ctx, eval_series(ctx, call, "seriesListWeight", 1)
+    )
     idxs = [
-        int(get_number(call, f"node{i}", i + 2))
-        for i in range(len(call.args) - 2)
+        int(a.value)
+        for a in call.args[2:]
+        if isinstance(a, Literal) and isinstance(a.value, (int, float))
     ]
     key = _nodes_key(F.col("name"), idxs)
-    a = avg_df.select(
-        key.alias("__k"), "ts", F.col("value").alias("__a")
+
+    def last_per_key(df):
+        # the reference takes the LAST series of each node group
+        # (transform.go:3375-3378) — last in (arg, name) order
+        w = Window.partitionBy("__k").orderBy(
+            F.col(_ORD).desc(), F.col("name").desc()
+        )
+        picked = (
+            df.withColumn("__k", key)
+            .select("__k", _ORD, "name")
+            .distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(
+                F.col("__k").alias("__kp"), F.col("name").alias("__pick")
+            )
+        )
+        return (
+            df.withColumn("__k", key)
+            .join(
+                F.broadcast(picked),
+                (F.col("__k") == F.col("__kp"))
+                & (F.col("name") == F.col("__pick")),
+            )
+            .drop("__kp", "__pick")
+        )
+
+    a = last_per_key(avg_df).select(
+        "__k", "ts", F.col("value").alias("__a")
     )
-    w = w_df.select(
-        key.alias("__k"),
+    wl = last_per_key(w_df).select(
+        F.col("__k").alias("__kw"),
         F.col("ts").alias("__tsw"),
         F.col("value").alias("__w"),
     )
     joined = a.join(
-        w, (a["__k"] == w["__k"]) & (a["ts"] == F.col("__tsw"))
+        wl, (a["__k"] == F.col("__kw")) & (a["ts"] == F.col("__tsw"))
     )
-    texts = ",".join(x.text for x in call.args)
-    out = joined.groupBy("ts").agg(
-        F.try_divide(
-            F.sum(F.col("__a") * F.col("__w")), F.nullif(F.sum("__w"), F.lit(0.0))
-        ).alias("value")
+    num = joined.groupBy("ts").agg(
+        F.sum(F.col("__a") * F.col("__w")).alias("__num")
     )
-    return out.select(
-        F.lit(f"weightedAverage({texts})").alias("name"), "ts", "value"
+    # the denominator sums EVERY weight series, matched or not
+    # (transform.go:3397-3401)
+    den = w_df.groupBy("ts").agg(F.sum("value").alias("__den"))
+    out = num.join(den, "ts").select(
+        "ts", F.try_divide(F.col("__num"), F.col("__den")).alias("value")
+    )
+    a_paths = avg_df.agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_set(F.col(_PATH)))), ","
+        ).alias("__pa")
+    )
+    w_paths = w_df.agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_set(F.col(_PATH)))), ","
+        ).alias("__pw")
+    )
+    nodes_str = ",".join(str(i) for i in idxs)
+    return (
+        out.crossJoin(F.broadcast(a_paths))
+        .crossJoin(F.broadcast(w_paths))
+        .select(
+            F.concat(
+                F.lit("weightedAverage("),
+                F.col("__pa"),
+                F.lit(","),
+                F.col("__pw"),
+                F.lit(f",{nodes_str})"),
+            ).alias("name"),
+            "ts",
+            "value",
+        )
     )
 
 
@@ -2264,8 +2590,13 @@ def _f_time_shift(ctx, call):
     d = parse_interval(s)
     if not s.strip().startswith(("+", "-")):
         d = -d
+    reset_end = get_bool(call, "resetEnd", 2, True)
     inner = ctx.with_range(start=ctx.start + d, end=ctx.end + d)
     df = eval_series(inner, call, "seriesList", 0)
+    if reset_end:
+        # resetEnd=true (default) drops points past the ORIGINAL end
+        # before unshifting (transformTimeShift:4391-4398)
+        df = df.filter(F.col("ts") <= F.lit(ctx.end))
     out = df.withColumn("ts", F.col("ts") - F.lit(d))
     return _rename(
         out,
@@ -2320,7 +2651,7 @@ def _f_time_stack(ctx, call):
     i0 = int(get_number(call, "timeShiftStart", 2, 0))
     i1 = int(get_number(call, "timeShiftEnd", 3, 7))
     out = None
-    for i in range(i0, i1):
+    for i in range(i0, i1 + 1):
         shift = d * i
         inner = ctx.with_range(start=ctx.start + shift, end=ctx.end + shift)
         df = eval_series(inner, call, "seriesList", 0)
@@ -2414,7 +2745,7 @@ def _f_identity(ctx, call):
     name = get_string(call, "name", 0)
     grid = _stepped_grid(ctx, 60_000, inclusive=False)
     return grid.select(
-        F.lit(f"identity('{name}')").alias("name"),
+        F.lit(name).alias("name"),
         F.col("ts"),
         (F.col("ts") / F.lit(1000.0)).alias("value"),
         F.lit(60_000).alias(_STEP),
@@ -2515,10 +2846,26 @@ def _f_group_by_tags(ctx, call):
     tags = []
     for i in range(len(call.args) - 2):
         tags.append(get_string(call, f"tag{i}", i + 2))
-    df = _with_ord(eval_series(ctx, call, "seriesList", 0))
-    parts = [_tag_col(F.col("name"), "name")]
-    for t in tags:
-        parts.append(F.concat(F.lit(f";{t}="), _tag_col(F.col("name"), t)))
+    df = normalize_series(
+        ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
+    )
+    # formatKeyFromTags (transform.go:3997-4006): name part = callback
+    # unless 'name' is among the selected tags; selected tags sorted as
+    # "k=v" strings; absent tags render as "k="
+    name_part = (
+        _tag_col(F.col("name"), "name")
+        if "name" in tags
+        else F.lit(func)
+    )
+    kvs = sorted(t for t in tags if t != "name")
+    parts = [name_part]
+    for t in kvs:
+        parts.append(
+            F.concat(
+                F.lit(f";{t}="),
+                F.coalesce(_tag_col(F.col("name"), t), F.lit("")),
+            )
+        )
     key = F.concat(*parts)
     return _combine_by_key(df, key, func, ctx.xfiles_factor)
 
@@ -2613,10 +2960,37 @@ def _f_linear_regression(ctx, call):
     """Per-series OLS fit over the render range, emitted at every grid
     point (transform.go transformLinearRegression). Pure aggregate
     algebra: slope = cov(t,v)/var(t)."""
-    df = eval_series(ctx, call, "seriesList", 0)
+    df = normalize_series(
+        ctx, eval_series(ctx, call, "seriesList", 0)
+    ).select("name", "ts", "value")
+    # optional source range (startSourceAt/endSourceAt): the fit runs
+    # over a re-evaluation of the inner expression on that range
+    # (transform.go:5213-5240); the OUTPUT stays on the render grid
+
+    def src_bound(name, pos, default_ms):
+        node = get_arg(call, name, pos, None)
+        if node is None or (
+            isinstance(node, Literal) and node.value is None
+        ):
+            return default_ms
+        if isinstance(node, Literal) and isinstance(
+            node.value, (int, float)
+        ):
+            return int(node.value) * 1000
+        return parse_time_graphite(ctx, get_string(call, name, pos))
+
+    src_start = src_bound("startSourceAt", 1, ctx.start)
+    src_end = src_bound("endSourceAt", 2, ctx.end)
+    if (src_start, src_end) != (ctx.start, ctx.end):
+        inner = ctx.with_range(start=src_start, end=src_end)
+        src = normalize_series(
+            inner, eval_series(inner, call, "seriesList", 0)
+        ).select("name", "ts", "value")
+    else:
+        src = df
     t = (F.col("ts") / F.lit(1000.0))
     fit = (
-        df.filter(F.col("value").isNotNull())
+        src.filter(F.col("value").isNotNull())
         .groupBy("name")
         .agg(
             F.covar_pop(t, F.col("value")).alias("__cov"),
@@ -2637,9 +3011,10 @@ def _f_linear_regression(ctx, call):
         "value",
         F.col("__icept") + F.col("__slope") * (F.col("ts") / F.lit(1000.0)),
     )
+    suffix = f", {src_start // 1000}, {src_end // 1000})"
     return _rename(
         out,
-        F.concat(F.lit("linearRegression("), F.col("name"), F.lit(")")),
+        F.concat(F.lit("linearRegression("), F.col("name"), F.lit(suffix)),
     )
 
 
@@ -2659,14 +3034,67 @@ def _make_display_passthrough(wrap: bool):
 for _disp in (
     "alpha",
     "color",
-    "dashed",
     "lineWidth",
-    "secondYAxis",
-    "stacked",
-    "areaBetween",
     "cactiStyle",
 ):
     register(_disp)(_make_display_passthrough(False))
+
+
+@register("secondYAxis")
+def _f_second_y_axis(ctx, call):
+    """Display-only; wraps the name (transformSecondYAxis)."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename_keep_path(
+        df, F.concat(F.lit("secondYAxis("), F.col("name"), F.lit(")"))
+    )
+
+
+@register("stacked")
+def _f_stacked(ctx, call):
+    """Cumulative stacking across series in (arg, name) order per
+    timestamp; names wrap as stacked(<name>) only under the default
+    stack (transformStacked:4745-4775). Inputs are normalized to a
+    common grid first (the running total needs aligned points)."""
+    stack_name = get_string(call, "stackName", 1, "__DEFAULT__")
+    df = normalize_series(
+        ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
+    )
+    w = (
+        Window.partitionBy("ts")
+        .orderBy(F.col(_ORD), F.col("name"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn(
+        "value",
+        F.when(F.col("value").isNotNull(), F.sum("value").over(w)),
+    )
+    if stack_name == "__DEFAULT__":
+        return _rename(
+            out, F.concat(F.lit("stacked("), F.col("name"), F.lit(")"))
+        )
+    return out.select("name", "ts", "value")
+
+
+@register("dashed")
+def _f_dashed(ctx, call):
+    """Display-only, but the name carries the dash length
+    (transformDashed: dashed(<name>,<len %g>), default 5)."""
+    d = get_number(call, "dashLength", 1, 5.0)
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename_keep_path(
+        df,
+        F.concat(F.lit("dashed("), F.col("name"), F.lit(f",{d:g})")),
+    )
+
+
+@register("areaBetween")
+def _f_area_between(ctx, call):
+    """Display-only; wraps every series name
+    (transformAreaBetween: areaBetween(<name>))."""
+    df = eval_series(ctx, call, "seriesList", 0)
+    return _rename_keep_path(
+        df, F.concat(F.lit("areaBetween("), F.col("name"), F.lit(")"))
+    )
 
 
 @register("legendValue")
@@ -2873,7 +3301,9 @@ def _holt_winters_common(ctx, call, first_opt_pos: int):
     bootstrap = parse_interval(bootstrap_s)
     season_pts = max(1, parse_interval(season_s) // ctx.step)
     inner = ctx.with_range(start=ctx.start - bootstrap)
-    df = eval_series(inner, call, "seriesList", 0)
+    df = normalize_series(
+        inner, eval_series(inner, call, "seriesList", 0)
+    ).select("name", "ts", "value")
     analysis = _holt_winters_analysis(df, season_pts).filter(
         F.col("ts") >= F.lit(ctx.start)
     )
@@ -2922,7 +3352,12 @@ def _f_hw_bands(ctx, call):
 
 @register("holtWintersConfidenceArea")
 def _f_hw_area(ctx, call):
-    return _f_hw_bands(ctx, call)
+    # the area variant additionally wraps each band in areaBetween(...)
+    # (transformHoltWintersConfidenceArea)
+    df = _f_hw_bands(ctx, call)
+    return _rename(
+        df, F.concat(F.lit("areaBetween("), F.col("name"), F.lit(")"))
+    )
 
 
 @register("holtWintersAberration")
@@ -3052,6 +3487,18 @@ def _f_apply_by_node(ctx, call):
         and _re.fullmatch(r"[A-Za-z0-9._\-*%\[\]{}]*", template) is not None
         and not any(_re.search(r"[,{}]", p) for p in prefixes)
     )
+    new_name = get_arg(call, "newName", 3, None)
+    if new_name is not None and isinstance(new_name, Literal):
+        # 4th arg: rename every result series to newName with '%'
+        # substituted per prefix (transformApplyByNode newName)
+        tmpl = str(new_name.value)
+        out = None
+        for p in prefixes:
+            sub = evaluate_target(ctx, template.replace("%", p)).select(
+                F.lit(tmpl.replace("%", p)).alias("name"), "ts", "value"
+            )
+            out = sub if out is None else out.unionByName(sub)
+        return out
     if pure_selector:
         glob = (
             prefixes[0]
