@@ -199,7 +199,11 @@ def get_number(call: Call, name: str, pos: int, default=...) -> float:
     node = get_arg(call, name, pos, default)
     if node is None:
         return default
-    if isinstance(node, Literal) and isinstance(node.value, (int, float)):
+    if (
+        isinstance(node, Literal)
+        and isinstance(node.value, (int, float))
+        and not isinstance(node.value, bool)
+    ):
         return node.value
     raise GraphiteEvalError(f"{call.func}: argument {name!r} must be a number")
 
@@ -339,11 +343,10 @@ def evaluate_target(ctx: RenderContext, node: Node | str) -> DataFrame:
                 f"unsupported graphite function {node.func!r}"
             )
         return fn(ctx, node)
-    if isinstance(node, Literal):
-        if isinstance(node.value, (int, float)) and not isinstance(
-            node.value, bool
-        ):
-            return constant_series(ctx, node.text, node.value)
+    # bare numbers/strings/bools are NOT series lists — the reference's
+    # evalSeriesList rejects them (TestExecExprFailure: absolute(1),
+    # alias(1,'aa'), "123"); numeric constants become series only via
+    # constantLine()/threshold()
     raise GraphiteEvalError(f"cannot evaluate {node!r} as a series list")
 
 

@@ -79,8 +79,14 @@ def _series_args(ctx: RenderContext, call: Call) -> DataFrame:
         raise GraphiteEvalError(f"{call.func}: missing seriesList")
     out = None
     for i, node in enumerate(call.args):
-        if isinstance(node, Literal) and not isinstance(node.value, str):
-            break  # numeric tail args (e.g. aggregate(..., func))
+        if isinstance(node, Literal):
+            # every positional arg here must be a series list — the
+            # reference's groupSeriesLists rejects numbers/strings
+            # (TestExecExprFailure: averageSeries(time('a'),1))
+            raise GraphiteEvalError(
+                f"{call.func}: argument #{i} must be a series list, "
+                f"got {node.text!r}"
+            )
         df = _with_path(_with_ord(evaluate_target(ctx, node), i))
         out = (
             df
@@ -606,6 +612,8 @@ def _f_percentile_of_series(ctx, call):
 def _f_group(ctx, call):
     # group() with no args is a legal empty series list (the reference
     # evalSeriesList of zero args — asPercent(q, group()) tests rely on it)
+    if call.kwargs:
+        raise GraphiteEvalError("group: unexpected keyword arguments")
     if not call.args:
         return _with_ord(empty_series(ctx))
     return _series_args(ctx, call)
@@ -658,13 +666,25 @@ def _with_wildcards(ctx, call, agg: str):
     every multi-series aggregate."""
     if call.func == "aggregateWithWildcards":
         agg = get_string(call, "func", 1)
-    # positions are whatever numeric literal args follow the list
-    # (func may arrive as a kwarg, shifting them left)
-    idxs = {
-        int(a.value)
-        for a in call.args[1:]
-        if isinstance(a, Literal) and isinstance(a.value, (int, float))
-    }
+    # positions are the numeric literal args after the list (func may
+    # arrive as a kwarg, shifting them left); anything else there is an
+    # invalid node (getInts rejects it)
+    idxs = set()
+    for i, a in enumerate(call.args[1:]):
+        if isinstance(a, Literal) and isinstance(a.value, (int, float)):
+            idxs.add(int(a.value))
+        elif (
+            call.func == "aggregateWithWildcards"
+            and i == 0
+            and isinstance(a, Literal)
+            and isinstance(a.value, str)
+        ):
+            continue  # the positional func name
+        else:
+            raise GraphiteEvalError(
+                f"{call.func}: node positions must be numbers; got "
+                f"{a.text!r}"
+            )
     df = normalize_series(
         ctx, _with_ord(eval_series(ctx, call, "seriesList", 0))
     )
@@ -2003,9 +2023,13 @@ def _f_alias_by_node(ctx, call):
             node.value, (int, float)
         ):
             specs.append(int(node.value))
+        elif isinstance(node, Literal) and isinstance(node.value, str):
+            specs.append(node.value)
         else:
-            specs.append(
-                node.value if isinstance(node, Literal) else node.pattern
+            # unquoted words parse as metric exprs — getNodes rejects
+            raise GraphiteEvalError(
+                f"{call.func}: node must be a number or quoted string; "
+                f"got {getattr(node, 'text', node)!r}"
             )
     if not specs:
         # zero nodes → empty name (getNameFromNodes over no selectors)
@@ -2394,6 +2418,12 @@ def _zip_lists(ctx, call, agg: str, fname: str):
 
     a = normalize_series(ctx, a).select("name", _ORD, "ts", "value")
     b = normalize_series(ctx, b).select("name", _ORD, "ts", "value")
+    na = a.select("name").distinct().count()
+    nb = b.select("name").distinct().count()
+    if na != nb:
+        raise GraphiteEvalError(
+            f"{fname}: series count mismatch: {na} vs {nb}"
+        )
     ra, rb = ranked(a, 0), ranked(b, 1)
     names_a = ra.select("__rk", F.col("name").alias("__na")).distinct()
     names_b = rb.select(
@@ -2454,6 +2484,12 @@ def _f_divide_series_lists(ctx, call):
             F.broadcast(names), "name"
         )
 
+    na = a.select("name").distinct().count()
+    nb_ = b.select("name").distinct().count()
+    if na != nb_:
+        raise GraphiteEvalError(
+            f"divideSeriesLists: series count mismatch: {na} vs {nb_}"
+        )
     ra = ranked(a)
     rb = ranked(b).select(
         F.col("__rk").alias("__rkb"),
@@ -2497,11 +2533,22 @@ def _f_weighted_average(ctx, call):
     w_df = normalize_series(
         ctx, eval_series(ctx, call, "seriesListWeight", 1)
     )
-    idxs = [
-        int(a.value)
-        for a in call.args[2:]
-        if isinstance(a, Literal) and isinstance(a.value, (int, float))
-    ]
+    idxs = []
+    for a in call.args[2:]:
+        if isinstance(a, Literal) and isinstance(a.value, (int, float)):
+            idxs.append(int(a.value))
+        else:
+            raise GraphiteEvalError(
+                f"weightedAverage: node must be a number; got "
+                f"{getattr(a, 'text', a)!r}"
+            )
+    n_avg = avg_df.select("name").distinct().count()
+    n_w = w_df.select("name").distinct().count()
+    if n_avg != n_w:
+        raise GraphiteEvalError(
+            "weightedAverage: series len mismatch, got seriesListAvg: "
+            f"{n_avg}, seriesListWeight: {n_w}"
+        )
     key = _nodes_key(F.col("name"), idxs)
 
     def last_per_key(df):
@@ -2614,10 +2661,7 @@ def _f_time_slice(ctx, call):
         node = get_arg(call, name, pos, None)
         if node is None:
             return default_ms
-        if isinstance(node, Literal) and isinstance(
-            node.value, (int, float)
-        ):
-            return int(node.value) * 1000
+        # the reference takes STRING time specs only (getString)
         return parse_time_graphite(ctx, get_string(call, name, pos))
 
     lo = bound("startSliceAt", 1, ctx.start)
@@ -2650,6 +2694,11 @@ def _f_time_stack(ctx, call):
         d = -d
     i0 = int(get_number(call, "timeShiftStart", 2, 0))
     i1 = int(get_number(call, "timeShiftEnd", 3, 7))
+    if i0 > i1:
+        raise GraphiteEvalError(
+            f"timeStack: timeShiftStart ({i0}) must not exceed "
+            f"timeShiftEnd ({i1})"
+        )
     out = None
     for i in range(i0, i1 + 1):
         shift = d * i
@@ -2673,6 +2722,11 @@ def _f_time_stack(ctx, call):
 
 @register("constantLine")
 def _f_constant_line(ctx, call):
+    if len(call.args) + len(call.kwargs) != 1:
+        raise GraphiteEvalError(
+            f"constantLine: expecting a single arg; got "
+            f"{len(call.args) + len(call.kwargs)}"
+        )
     v = get_number(call, "value", 0)
     # pathExpression = the expression text (constantLine:1137
     # safePathExpression) while the NAME is the bare value
@@ -2685,7 +2739,10 @@ def _f_constant_line(ctx, call):
 def _f_threshold(ctx, call):
     v = get_number(call, "value", 0)
     label = get_string(call, "label", 1, f"{v:g}")
-    return constant_series(ctx, label, v)
+    get_string(call, "color", 2, "")
+    return constant_series(ctx, label, v).withColumn(
+        _PATH, F.lit(call.text or f"threshold({v:g})")
+    )
 
 
 def _stepped_grid(ctx, step_ms: int, inclusive: bool) -> DataFrame:
@@ -2878,6 +2935,10 @@ def _f_consolidate_by(ctx, call):
     """Re-evaluate the inner expression with a different
     storage-consolidation function (render_api consolidateBy)."""
     func = get_string(call, "consolidationFunc", 1)
+    if _canon_agg(func) not in _CONS_AGGS:
+        raise GraphiteEvalError(
+            f"consolidateBy: unknown consolidation function {func!r}"
+        )
     ctx2 = replace(ctx, consolidation=_canon_agg(func))
     df = eval_series(ctx2, call, "seriesList", 0)
     wrapped = F.concat(
@@ -3090,8 +3151,14 @@ def _f_dashed(ctx, call):
 @register("areaBetween")
 def _f_area_between(ctx, call):
     """Display-only; wraps every series name
-    (transformAreaBetween: areaBetween(<name>))."""
+    (transformAreaBetween: areaBetween(<name>)) — requires exactly TWO
+    series (the area's bounds)."""
     df = eval_series(ctx, call, "seriesList", 0)
+    n = len(df.select("name").distinct().limit(3).collect())
+    if n != 2:
+        raise GraphiteEvalError(
+            f"areaBetween: expecting exactly 2 series; got {n}"
+        )
     return _rename_keep_path(
         df, F.concat(F.lit("areaBetween("), F.col("name"), F.lit(")"))
     )
@@ -3127,12 +3194,23 @@ def _f_legend_value(ctx, call):
 def _f_vertical_line(ctx, call):
     """Marker at the given epoch-seconds timestamp
     (transform.go transformVerticalLine)."""
+    if len(call.args) + len(call.kwargs) > 3:
+        raise GraphiteEvalError(
+            "verticalLine: expecting at most 3 args"
+        )
     node = get_arg(call, "ts", 0)
     if isinstance(node, Literal) and isinstance(node.value, (int, float)):
         ts_ms = int(node.value) * 1000
     else:
         ts_ms = parse_time_graphite(ctx, get_string(call, "ts", 0))
+    if ts_ms < ctx.start or ts_ms > ctx.end:
+        # the reference rejects markers outside the render window
+        raise GraphiteEvalError(
+            f"verticalLine: timestamp {ts_ms // 1000} is outside the "
+            f"render range [{ctx.start // 1000}, {ctx.end // 1000}]"
+        )
     label = get_string(call, "label", 1, "")
+    get_string(call, "color", 2, "")
     return ctx.spark.createDataFrame(
         [(label, ts_ms, 1.0), (label, ts_ms, 1.0)],
         "name string, ts long, value double",
