@@ -2983,11 +2983,14 @@ GROUP BY name, floor((i * {GRID_STEP} + 86_400_000) / 172_800_000)""",
 
 _reg(
     "gr_as_percent",
+    # total name = the single deduped pathExpression (the fetch glob) —
+    # formatAggrFuncForPercentSeriesNames wraps in sumSeries() only for
+    # MULTIPLE distinct paths (transform.go:4016-4022)
     _graphite("asPercent(events.*.*.value)"),
     _GR_DENSE_SQL
     + f"""
 , totals AS (SELECT i, sum(v) AS total FROM dense GROUP BY i)
-SELECT 'asPercent(' || d.name || ',sumSeries(events.*.*.value))' AS name,
+SELECT 'asPercent(' || d.name || ',events.*.*.value)' AS name,
        CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
        round(round(100.0 * d.v / nullif(t.total, 0.0), 9), 6) + 0.0 AS value
 FROM dense d JOIN totals t USING (i)""",
@@ -3007,6 +3010,45 @@ SELECT 'derivative(' || name || ')' AS name,
        round(round(v - lag(v) OVER (PARTITION BY name ORDER BY i), 9), 6) + 0.0
            AS value
 FROM grouped""",
+)
+
+_reg(
+    "gr_as_percent_nodes",
+    # round-10 session-3 surface: node-grouped asPercent totals
+    # (transformAsPercent None+nodes branch) — per event_type sums; the
+    # total name stays the single deduped fetch glob
+    _graphite("asPercent(events.*.*.value, None, 1)"),
+    _GR_DENSE_SQL
+    + f"""
+, totals AS (
+    SELECT split_part(name, '.', 2) AS k, i, sum(v) AS total
+    FROM dense GROUP BY 1, 2
+)
+SELECT 'asPercent(' || d.name || ',events.*.*.value)' AS name,
+       CAST({GRID_START} + d.i * {GRID_STEP} AS BIGINT) AS ts,
+       round(round(100.0 * d.v / nullif(t.total, 0.0), 9), 6) + 0.0 AS value
+FROM dense d
+JOIN totals t ON t.k = split_part(d.name, '.', 2) AND t.i = d.i""",
+)
+
+_reg(
+    "gr_stacked",
+    # round-10 session-3 surface: running stack across series in name
+    # order per timestamp (transformStacked totalStack), null points
+    # stay null and don't bump the stack
+    _graphite("stacked(events.*.*.value)"),
+    _GR_DENSE_SQL
+    + f"""
+SELECT 'stacked(' || name || ')' AS name,
+       CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
+       round(round(
+           CASE WHEN v IS NULL THEN NULL ELSE
+               sum(v) OVER (
+                   PARTITION BY i ORDER BY name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )
+           END, 9), 6) + 0.0 AS value
+FROM dense""",
 )
 
 
@@ -3458,6 +3500,14 @@ _DRIVER_PRIORITY = [
     # exceeds 50 entries; the overflow falls on the TAIL — the
     # least-stale r7 refreshes in (c) — which keeps every new gate and
     # the stalest refreshes inside the driver's first-50 window.
+    # (a2) new in round-10 session 3 (graphite fidelity drive) + the
+    # two gr gates whose SEMANTICS session 3 touched (as_percent total
+    # naming, group_movingavg through the normalized combine path)
+    "gr_as_percent_nodes",
+    "gr_stacked",
+    "gr_as_percent",
+    "gr_group_movingavg",
+    "gr_summarize",
     # (a) new in round 10
     "mq_subquery_maxavg",
     "op_doc_tfidf_terms",

@@ -1440,7 +1440,12 @@ def _bucketize(
     bgrid = series.withColumn(
         "__b",
         F.explode(
-            F.sequence(F.lit(0), F.lit(max(int(nb) - 1, -1)))
+            # longs: an int sequence would int-multiply with the
+            # interval downstream and overflow on epoch-scale anchors
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(max(int(nb) - 1, -1)).cast("long"),
+            )
             if nb > 0
             else F.array().cast("array<long>")
         ),
@@ -1448,7 +1453,10 @@ def _bucketize(
     out = bgrid.join(vals, ["name", _ORD, "__b"], "left").select(
         "name",
         F.col(_ORD),
-        (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
+        (
+            F.lit(int(anchor)).cast("long")
+            + F.col("__b") * F.lit(int(interval)).cast("long")
+        ).alias("ts"),
         "value",
     )
     return out.select(
