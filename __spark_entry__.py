@@ -2937,18 +2937,52 @@ _reg(
         "consolidateBy(events.*.*.value, 'sum'), 1, 'sum'), 4)",
         digits=5,
     ),
-    _GR_DENSE_SUM_SQL
-    + f"""
-, grouped AS (
+    # movingWindow evaluates the inner expression over the range
+    # EXTENDED back by the window and emits tsEnd through the range end
+    # INCLUSIVE (transform.go:2780-2811) — the oracle mirrors both: the
+    # dense grid spans i in [-4, npts) and output rows i in [0, npts]
+    f"""
+WITH gsamples AS (
+    SELECT 'events.' || event_type || '.bucket'
+               || CAST(user_id % 10 AS VARCHAR) || '.value' AS name,
+           CAST(floor((epoch_ms(ts) - {GRID_START}) / {GRID_STEP})
+                AS BIGINT) AS i,
+           value
+    FROM events
+    WHERE epoch_ms(ts) >= {GRID_START - 4 * GRID_STEP}
+      AND epoch_ms(ts) < {GRID_END}
+),
+cons AS (SELECT name, i, sum(value) AS v FROM gsamples GROUP BY 1, 2),
+grid AS (
+    SELECT CAST(r.range AS BIGINT) AS i FROM range(-4, {_GRID_NPTS}) r
+),
+names AS (SELECT DISTINCT name FROM cons),
+dense AS (
+    SELECT n.name, g.i, c.v
+    FROM names n CROSS JOIN grid g
+    LEFT JOIN cons c ON c.name = n.name AND c.i = g.i
+),
+grouped AS (
     SELECT split_part(name, '.', 2) AS name, i, sum(v) AS v
     FROM dense GROUP BY 1, 2
+),
+out_pad AS (
+    SELECT name, i, v FROM grouped
+    UNION ALL
+    SELECT DISTINCT name, CAST({_GRID_NPTS} AS BIGINT) AS i,
+           CAST(NULL AS DOUBLE) AS v
+    FROM grouped
+),
+winavg AS (
+    SELECT name, i,
+           avg(v) OVER (PARTITION BY name ORDER BY i
+                        ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS mv
+    FROM out_pad
 )
 SELECT 'movingAverage(' || name || ',4)' AS name,
        CAST({GRID_START} + i * {GRID_STEP} AS BIGINT) AS ts,
-       round(round(avg(v) OVER (PARTITION BY name ORDER BY i
-                          ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
-             8), 5) + 0.0 AS value
-FROM grouped""",
+       round(round(mv, 8), 5) + 0.0 AS value
+FROM winavg WHERE i >= 0""",
 )
 
 _reg(

@@ -276,7 +276,9 @@ def test_as_percent_and_divide(spark, samples):
     )
     s = next(iter(out.values()))
     assert s[30_000] == pytest.approx(2.0)
-    assert s[0] is None  # divisor 0 → None
+    # Go float division: 0/0 → NaN (transformDivideSeries never guards
+    # the divisor); a nonzero/0 would be ±Inf
+    assert s[0] is None or math.isnan(s[0])
 
     out = run(spark, samples, "asPercent(web.*.cpu, 10)")
     assert out["asPercent(web.srv1.cpu,10)"][50_000] == pytest.approx(50.0)

@@ -236,18 +236,23 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         # least/greatest would propagate the NaN instead
         # Spark orders NaN above every double (NaN > x is TRUE), so a
         # NaN value must short-circuit before the bound comparisons
+        # a NaN LOWER bound needs its own guard: Spark evaluates
+        # v < NaN as TRUE (NaN sorts above every double), which would
+        # rewrite every value to the NaN bound where Go compares false
         if name == "clamp":
             lo, hi = bound_col(1), bound_col(2)
             fn = lambda v, ts: (  # noqa: E731
                 F.when(F.isnan(v), v)
                 .when(v > hi(ts), hi(ts))
-                .when(v < lo(ts), lo(ts))
+                .when(~F.isnan(lo(ts)) & (v < lo(ts)), lo(ts))
                 .otherwise(v)
             )
         elif name == "clamp_min":
             lo = bound_col(1)
             fn = lambda v, ts: (  # noqa: E731
-                F.when(F.isnan(v), v).when(v < lo(ts), lo(ts)).otherwise(v)
+                F.when(F.isnan(v), v)
+                .when(~F.isnan(lo(ts)) & (v < lo(ts)), lo(ts))
+                .otherwise(v)
             )
         else:
             hi = bound_col(1)

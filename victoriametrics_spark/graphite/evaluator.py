@@ -113,32 +113,32 @@ def parse_interval(s: str) -> int:
         s = s[1:]
     if _re.fullmatch(r"\d+(\.\d+)?", s):
         return sign * int(float(s) * 1000)
-    total = 0
-    for m in _re.finditer(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)", s):
-        unit = m.group(2).lower()
-        ms = _UNIT_MS.get(unit)
-        if ms is None:
-            # reference prefix rules (render_api.go:229-248): ms, s,
-            # mi*/m* (minutes, unless mo*), h, d, w, mo* (30d months),
-            # y (365d years)
-            if unit.startswith("ms"):
-                ms = 1
-            elif unit.startswith("mo"):
-                ms = 30 * 86_400_000
-            elif unit.startswith("mi") or unit.startswith("m"):
-                ms = 60_000
-            elif unit.startswith("y"):
-                ms = 365 * 86_400_000
-            elif unit.startswith(("s", "h", "d", "w")):
-                ms = _UNIT_MS[unit[0]]
-            else:
-                raise GraphiteEvalError(
-                    f"unknown interval unit {unit!r} in {s!r}"
-                )
-        total += int(float(m.group(1)) * ms)
-    if total == 0 and s:
+    # the reference parses ONE numeric prefix and matches the suffix by
+    # CASE-SENSITIVE prefix, ignoring any trailing text ('1h30m' is 1h;
+    # '1H' errors) — render_api.go:208-252
+    m = _re.match(r"\s*(\d+(?:\.\d+)?)\s*(.*)$", s)
+    if not m or not m.group(2):
         raise GraphiteEvalError(f"cannot parse interval {s!r}")
-    return sign * total
+    n, suffix = float(m.group(1)), m.group(2)
+    if suffix.startswith("ms"):
+        ms = 1
+    elif suffix.startswith("s"):
+        ms = 1000
+    elif suffix.startswith("mo"):
+        ms = 30 * 86_400_000
+    elif suffix.startswith(("mi", "m")):
+        ms = 60_000
+    elif suffix.startswith("h"):
+        ms = 3_600_000
+    elif suffix.startswith("d"):
+        ms = 86_400_000
+    elif suffix.startswith("w"):
+        ms = 604_800_000
+    elif suffix.startswith("y"):
+        ms = 365 * 86_400_000
+    else:
+        raise GraphiteEvalError(f"unsupported interval {s!r}")
+    return sign * int(n * ms)
 
 
 def parse_time_graphite(ctx: "RenderContext", s: str) -> int:
@@ -376,7 +376,10 @@ def render(
     )
     out = None
     for t in targets:
-        df = evaluate_target(ctx, t)
+        # per-target frames carry heterogeneous passenger columns
+        # (__path/__step/__ord) — the render boundary keeps only the
+        # presentation schema so multi-target unions line up
+        df = evaluate_target(ctx, t).select("name", "ts", "value")
         out = df if out is None else out.unionByName(df)
     return out if out is not None else empty_series(ctx)
 

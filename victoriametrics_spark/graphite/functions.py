@@ -309,6 +309,22 @@ def normalize_series(ctx, df: DataFrame, step_ms: int | None = None) -> DataFram
     )
 
 
+def _go_div(v: Column, d: Column) -> Column:
+    """Go float division: d == 0 yields ±Inf (NaN for 0/0) instead of
+    SQL NULL — the reference never guards its divisions
+    (transform.go:741, 1310, 3404)."""
+    inf = float("inf")
+    return (
+        F.when(
+            d == 0,
+            F.when(v > 0, F.lit(inf))
+            .when(v < 0, F.lit(-inf))
+            .otherwise(F.lit(float("nan"))),
+        )
+        .otherwise(F.try_divide(v, d))
+    )
+
+
 def _with_path(df: DataFrame) -> DataFrame:
     """Ensure the pathExpression passenger column exists. Most reference
     transforms set pathExpression = Name after renaming; creation sites
@@ -431,6 +447,52 @@ def _path_of(c: Column) -> Column:
     rx = r"([A-Za-z0-9_\-*?:%#$~@{}\[\]]+(?:\.[A-Za-z0-9_\-*?:%#$~@{}\[\]]+)+)"
     ex = F.regexp_extract(c, rx, 1)
     return F.when(ex == "", c).otherwise(ex)
+
+
+def _align_time_unit(start_ms: int, s: str) -> int:
+    """alignTimeUnit (transform.go:5017-5049): truncate the start down
+    to the unit named by PREFIX (ms/s/min/h/d/w[N]/mon/y), weeks to the
+    ISO weekday N (default Monday); unknown units error. UTC."""
+    from datetime import datetime, timedelta, timezone
+
+    t = datetime.fromtimestamp(start_ms / 1000.0, tz=timezone.utc)
+    if s.startswith("ms"):
+        t = t.replace(microsecond=t.microsecond // 1000 * 1000)
+    elif s.startswith("s"):
+        t = t.replace(microsecond=0)
+    elif s.startswith("min"):
+        t = t.replace(second=0, microsecond=0)
+    elif s.startswith("h"):
+        t = t.replace(minute=0, second=0, microsecond=0)
+    elif s.startswith("d"):
+        t = t.replace(hour=0, minute=0, second=0, microsecond=0)
+    elif s.startswith("w"):
+        iso = 1
+        if s and s[-1].isdigit():
+            iso = int(s[-1])
+        # Go time.Weekday(): Sunday=0; daysToSubtract = weekday - iso
+        go_weekday = (t.weekday() + 1) % 7
+        days = go_weekday - iso
+        if days < 0:
+            days += 7
+        t = t.replace(
+            hour=0, minute=0, second=0, microsecond=0
+        ) - timedelta(days=days)
+    elif s.startswith("mon"):
+        # Go time.Date(y, m, 0, ...) is the LAST day of the previous
+        # month (day 0 normalizes backwards)
+        t = t.replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        ) - timedelta(days=1)
+    elif s.startswith("y"):
+        # day 0 of month 0 normalizes to Nov 30 of the previous year
+        t = t.replace(
+            month=1, day=1, hour=0, minute=0, second=0, microsecond=0
+        ) - timedelta(days=32)
+        t = t.replace(day=30)
+    else:
+        raise GraphiteEvalError(f"unsupported interval {s!r}")
+    return int(t.timestamp() * 1000)
 
 
 def _py_path_from_name(name: str) -> str:
@@ -562,13 +624,12 @@ def _f_range_series(ctx, call):
 def _f_count_series(ctx, call):
     """Number of series in the list, as a constant line
     (transform.go transformCountSeries: len of the list)."""
-    df = normalize_series(ctx, _series_args(ctx, call))
-    out = df.groupBy("ts").agg(
-        F.count_distinct("name").cast("double").alias("value")
-    )
-    named = _agg_series_name(df, "count")
-    return out.crossJoin(F.broadcast(named)).select(
-        F.col("__aggname").alias("name"), "ts", "value"
+    # aggrCount counts NON-NaN values per point (aggr.go:169-177), not
+    # distinct names — a series with a hole contributes nothing there,
+    # and duplicate same-named series each count
+    df = _series_args(ctx, call)
+    return _combine(
+        df, "count", None, ctx.xfiles_factor, fname="count", ctx=ctx
     )
 
 
@@ -582,7 +643,10 @@ def _f_aggregate(ctx, call):
     func = get_string(call, "func", 1)
     xff = get_number(call, "xFilesFactor", 2, ctx.xfiles_factor)
     df = _with_ord(eval_series(ctx, call, "seriesList", 0))
-    return _combine(df, func, None, xff, fname=func, ctx=ctx)
+    # transformAggregate trims a 'Series' suffix before formatting
+    # (transform.go:273) — aggregate(q,'sumSeries') names sumSeries(...)
+    fname = func[: -len("Series")] if func.endswith("Series") else func
+    return _combine(df, func, None, xff, fname=fname, ctx=ctx)
 
 
 @register("percentileOfSeries")
@@ -1170,13 +1234,16 @@ def _window_points(ctx: RenderContext, call: Call, name: str, pos: int):
     return int(pts)
 
 
-def _agg_over_window(agg: str, xff: float, win) -> Column:
+def _agg_over_window(agg: str, xff: float, win, n_all=None) -> Column:
     """Windowed flavor of _agg_expr: trailing-frame aggregate in TIME
     order (movingWindow, transform.go:2758-2824: values in
-    [tsEnd-W, tsEnd), output at tsEnd)."""
+    [tsEnd-W, tsEnd), output at tsEnd). `n_all` overrides the window
+    population count when the frame mixes data rows with synthetic
+    output-grid rows."""
     agg = _canon_agg(agg)
     v = F.col("value")
-    n_all = F.count(F.lit(1)).over(win)
+    if n_all is None:
+        n_all = F.count(F.lit(1)).over(win)
     n = F.count(v).over(win)
     gate = n >= n_all.cast("double") * F.lit(float(xff))
     arr = F.array_sort(
@@ -1250,11 +1317,45 @@ def _moving(ctx, call, agg: str, xff_pos: int = 2):
         window = int(n_pts * step)
         inner = ctx.with_range(start=ctx.start - window)
         df = eval_series(inner, call, "seriesList", 0)
-    k = max(1, int(window // step))
-    win = _series_window().rowsBetween(-k, -1)
-    out = df.withColumn("value", _agg_over_window(agg, xff, win)).filter(
-        (F.col("ts") >= F.lit(inner.start + window))
-        & (F.col("ts") <= F.lit(ctx.end))
+    # the reference emits at tsEnd = innerStart+window, +step, ...,
+    # INCLUSIVE of the range end, aggregating the half-open window
+    # [tsEnd-W, tsEnd) — tsEnd need not be a series point (interval
+    # windows that aren't step multiples). Build the output grid
+    # explicitly, union it with the data rows, and aggregate data rows
+    # within a RANGE frame anchored at each grid row.
+    grid_start = inner.start + window
+    n_out = (ctx.end - grid_start) // step + 1
+    if n_out <= 0:
+        return empty_series(ctx)
+    series = df.select("name").distinct()
+    ogrid = series.withColumn(
+        "__j",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(n_out - 1)).cast("long"))
+        ),
+    ).select(
+        "name",
+        (F.lit(int(grid_start)).cast("long")
+         + F.col("__j") * F.lit(int(step)).cast("long")).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("__is_out"),
+    )
+    data = df.select("name", "ts", "value").withColumn(
+        "__is_out", F.lit(0)
+    )
+    uni = data.unionByName(ogrid)
+    win = (
+        Window.partitionBy("name")
+        .orderBy("ts")
+        .rangeBetween(-int(window), -1)
+    )
+    n_all = F.count(F.when(F.col("__is_out") == 0, F.lit(1))).over(win)
+    out = (
+        uni.withColumn(
+            "value", _agg_over_window(agg, xff, win, n_all=n_all)
+        )
+        .filter(F.col("__is_out") == 1)
+        .drop("__is_out")
     )
     # reference: tagName = "moving" + strings.Title(funcName) of the
     # name as passed (transform.go:2788)
@@ -1350,19 +1451,19 @@ def _f_ema(ctx, call):
             ).alias("out"),
         ),
         lambda acc, x: F.struct(
-            F.when(
-                x["value"].isNotNull(),
-                F.lit(c) * x["value"] + F.lit(1.0 - c) * acc["ema"],
-            ).otherwise(acc["ema"]).alias("ema"),
+            # NO NaN guard: transform.go:1568-1571 blends every point,
+            # so one NaN hole poisons the EMA for the rest of the series
+            (F.lit(c) * x["value"] + F.lit(1.0 - c) * acc["ema"]).alias(
+                "ema"
+            ),
             F.concat(
                 acc["out"],
                 F.array(
                     F.struct(
                         x["ts"].alias("ts"),
-                        F.when(
-                            x["value"].isNotNull(),
+                        (
                             F.lit(c) * x["value"]
-                            + F.lit(1.0 - c) * acc["ema"],
+                            + F.lit(1.0 - c) * acc["ema"]
                         ).alias("value"),
                     )
                 ),
@@ -1507,19 +1608,11 @@ def _f_smart_summarize(ctx, call):
     align = get_arg(call, "alignTo", 3, None)
     start = ctx.start
     if align is not None:
-        unit = (
+        unit = str(
             align.value if isinstance(align, Literal) else align.pattern
         )
-        unit_ms = {
-            "seconds": 1000, "second": 1000, "sec": 1000, "s": 1000,
-            "minutes": 60_000, "minute": 60_000, "min": 60_000,
-            "hours": 3_600_000, "hour": 3_600_000, "h": 3_600_000,
-            "days": 86_400_000, "day": 86_400_000, "d": 86_400_000,
-            "weeks": 604_800_000, "week": 604_800_000,
-        }.get(str(unit).lower())
-        if unit_ms:
-            start -= start % unit_ms
-            ctx = ctx.with_range(start=start)
+        start = _align_time_unit(ctx.start, unit)
+        ctx = ctx.with_range(start=start)
     return _bucketize(
         ctx, call, interval, start, ctx.end, func,
         lambda n: F.concat(
@@ -1573,20 +1666,90 @@ def _f_hitcount(ctx, call):
     ).otherwise(
         F.col("value") * (F.col("ts") - lag_t).cast("double") / 1000.0
     )
-    out = (
+    sums = (
         df.withColumn("__b", b)
         .withColumn("__c", contrib)
         .groupBy("name", "__b")
-        .agg(F.sum("__c").alias("value"))
+        .agg(F.sum("__c").alias("__sum"))
+    )
+    # the reference emits EVERY bucket in [start, end) — an empty bucket
+    # with a later sample still earns the carry
+    # vPrev·(t_next − bucket_start)/1e3 (transform.go:2086-2091); no
+    # samples yet / no samples after → 0 → NaN
+    nbuckets = -(-(ctx.end - anchor) // interval)
+    series = df.select("name").distinct()
+    bgrid = series.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(int(max(nbuckets - 1, 0))).cast("long"),
+            )
+        ),
+    )
+    markers = bgrid.select(
+        "name",
+        (
+            F.lit(int(anchor)).cast("long")
+            + F.col("__b") * F.lit(int(interval)).cast("long")
+        ).alias("ts"),
+        F.col("__b"),
+        F.lit(1).alias("__m"),
+    )
+    pts = df.select(
+        "name", "ts", F.lit(None).cast("long").alias("__b"),
+        F.lit(0).alias("__m"), "value",
+    )
+    uni = markers.withColumn("value", F.lit(None).cast("double")).unionByName(
+        pts
+    )
+    # markers sort BEFORE data at the same ts: a sample AT the bucket
+    # start belongs to the bucket (non-empty), and counts as "next"
+    w_prev = (
+        Window.partitionBy("name")
+        .orderBy("ts", F.col("__m").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("name")
+        .orderBy("ts", F.col("__m").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_v = F.last(
+        F.when(F.col("__m") == 0, F.col("value")), ignorenulls=True
+    ).over(w_prev)
+    next_t = F.first(
+        F.when(F.col("__m") == 0, F.col("ts")), ignorenulls=True
+    ).over(w_next)
+    carries = (
+        uni.withColumn("__pv", prev_v)
+        .withColumn("__nt", next_t)
+        .filter(F.col("__m") == 1)
+        .select(
+            "name",
+            F.col("__b"),
+            F.when(
+                F.col("__pv").isNotNull() & F.col("__nt").isNotNull(),
+                F.col("__pv")
+                * (F.col("__nt") - F.col("ts")).cast("double")
+                / 1000.0,
+            ).alias("__carry"),
+        )
+    )
+    out = (
+        carries.join(sums, ["name", "__b"], "left")
+        .withColumn("value", F.coalesce(F.col("__sum"), F.col("__carry")))
         .withColumn(
             "value", F.when(F.col("value") != 0.0, F.col("value"))
         )
         .select(
             "name",
-            (F.lit(anchor) + F.col("__b") * F.lit(interval)).alias("ts"),
+            (
+                F.lit(int(anchor)).cast("long")
+                + F.col("__b") * F.lit(int(interval)).cast("long")
+            ).alias("ts"),
             "value",
         )
-        .filter(F.col("ts") < F.lit(ctx.end))
     )
     suffix = (
         f",'{interval_s}',true)" if align else f",'{interval_s}')"
@@ -2143,7 +2306,7 @@ def _f_as_percent(ctx, call):
     df = _with_ord(eval_series(ctx, call, "seriesList", 0))
     total_node = get_arg(call, "total", 1, None)
     nodes = _as_percent_nodes(call)
-    pct = lambda v, t: F.lit(100.0) * F.try_divide(v, t)  # noqa: E731
+    pct = lambda v, t: F.lit(100.0) * _go_div(v, t)  # noqa: E731
 
     total_is_none = total_node is None or (
         isinstance(total_node, Literal) and total_node.value is None
@@ -2390,7 +2553,7 @@ def _f_divide_series(ctx, call):
     )
     out = df.join(F.broadcast(div), df["ts"] == F.col("__dts"), "left")
     out = out.withColumn(
-        "value", F.try_divide(F.col("value"), F.nullif(F.col("__dv"), F.lit(0.0)))
+        "value", _go_div(F.col("value"), F.col("__dv"))
     )
     return _rename(
         out,
@@ -2510,7 +2673,7 @@ def _f_divide_series_lists(ctx, call):
         (F.col("__rk") == F.col("__rkb")) & (F.col("ts") == F.col("__tsb")),
     )
     out = out.withColumn(
-        "value", F.try_divide(F.col("value"), F.nullif(F.col("__dv"), F.lit(0.0)))
+        "value", _go_div(F.col("value"), F.col("__dv"))
     )
     return out.select(
         F.concat(
@@ -2603,7 +2766,7 @@ def _f_weighted_average(ctx, call):
     # (transform.go:3397-3401)
     den = w_df.groupBy("ts").agg(F.sum("value").alias("__den"))
     out = num.join(den, "ts").select(
-        "ts", F.try_divide(F.col("__num"), F.col("__den")).alias("value")
+        "ts", _go_div(F.col("__num"), F.col("__den")).alias("value")
     )
     a_paths = avg_df.agg(
         F.array_join(
