@@ -17,15 +17,18 @@ import sys
 
 SRC = "/root/reference/app/vmselect/graphite/eval_test.go"
 
-SUBS = {
-    "ec.startTime": "120000",
-    "ec.endTime": "210000",
-    "ec.storageStep": "30000",
-    "nan": "float('nan')",
-    "math.Inf(1)": "float('inf')",
-    "math.Inf(-1)": "float('-inf')",
-    "inf": "float('inf')",
-}
+# ordered: longer/specific forms first so a later bare-word replacement
+# can't corrupt an earlier expansion
+SUBS = [
+    ("ec.startTime", "120000"),
+    ("ec.endTime", "210000"),
+    ("ec.storageStep", "30000"),
+    ("math.Inf(1)", "(1e999)"),
+    ("math.Inf(-1)", "(-1e999)"),
+    ("float64", "float"),
+    ("nan", "(float('nan'))"),
+    ("inf", "(1e999)"),
+]
 
 
 def _find_blocks(text: str):
@@ -127,7 +130,7 @@ def _parse_series_list(rest: str):
             name = raw_name[1:-1].encode().decode("unicode_escape")
         ts_src = ts_m.group(1)
         v_src = v_m.group(1)
-        for k, v in SUBS.items():
+        for k, v in SUBS:
             ts_src = ts_src.replace(k, v)
             v_src = v_src.replace(k, v)
         try:

@@ -1,6 +1,6 @@
 """Frozen graphite render golden corpus — 242 cases machine-ported from
 the reference's TestExecExprSuccess (app/vmselect/graphite/eval_test.go)
-by scripts/port_graphite_golden.py, replayed through render() on the
+by scripts/port_graphite_golden.py — ALL 246 non-empty success blocks, replayed through render() on the
 reference evalConfig (start=120e3, end=210e3, storageStep=30e3).
 
 Comparison: exact series-name set, exact timestamps, values to 1e-9
