@@ -1,4 +1,4 @@
-"""Frozen graphite render golden corpus — 242 cases machine-ported from
+"""Frozen graphite render golden corpus — machine-ported from
 the reference's TestExecExprSuccess (app/vmselect/graphite/eval_test.go)
 by scripts/port_graphite_golden.py — ALL 246 non-empty success blocks, replayed through render() on the
 reference evalConfig (start=120e3, end=210e3, storageStep=30e3).
