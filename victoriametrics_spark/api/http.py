@@ -3192,6 +3192,10 @@ class IngestAPI:
         self.max_backfill_age_ms = int(max_backfill_age_ms)
         self._now_ms = now_ms_fn or (lambda: int(__import__("time").time() * 1000))
         self.rows_ignored_total = 0
+        # malformed-line drops per dialect (vm_rows_invalid_total
+        # analog, lib/protoparser/*/parser.go invalidLines counters) —
+        # a bad line is skipped-and-counted, never a batch failure
+        self.rows_invalid_total: dict[str, int] = {}
         # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
         # multitenant vminsert routing): every written row is tagged.
         # The special "multitenant" token routes each row by its
@@ -3437,7 +3441,11 @@ class IngestAPI:
             )
             df = P.parse_prometheus_text(lines, default_ts_ms)
         elif fmt == "influx":
-            df = P.parse_influx(lines)
+            df = P.parse_influx(
+                lines,
+                default_ts_ms=default_ts_ms or self._now_ms(),
+                keep_line_id=True,
+            )
         elif fmt == "graphite":
             df = P.parse_graphite(lines, default_ts_ms)
         elif fmt == "opentsdb":
@@ -3446,7 +3454,52 @@ class IngestAPI:
             df = P.parse_zabbix(lines)
         else:
             raise ValueError(f"unknown import format {fmt!r}")
+        df = self._count_invalid_lines(df, fmt, body)
         return self._write_samples(df, extra_labels=extra_labels)
+
+    # candidate-line predicates per text dialect: which body lines the
+    # parser is EXPECTED to turn into rows — the shortfall is the
+    # malformed-line count (parser.go errLogger-and-continue + the
+    # vm_rows_invalid_total counters)
+    _LINE_CANDIDATES = {
+        "prometheus": lambda ln: not ln.startswith("#"),
+        "influx": lambda ln: not ln.startswith("#"),
+        "graphite": lambda ln: True,
+        "opentsdb": lambda ln: ln.startswith("put "),
+        "zabbix": lambda ln: True,
+    }
+
+    def _count_invalid_lines(
+        self, df: DataFrame, fmt: str, body: str, counter_key: str | None = None
+    ) -> DataFrame:
+        """Checkpoint the parsed frame once (so the count and the write
+        share the same evaluation), count parsed lines against the
+        body's candidate lines (the body is already a driver string),
+        and record the difference into ``rows_invalid_total``."""
+        pred = self._LINE_CANDIDATES.get(fmt)
+        if pred is None:
+            return df
+        total = sum(
+            1
+            for ln in body.splitlines()
+            if ln.strip() and pred(ln.strip())
+        )
+        df = df.localCheckpoint(eager=True)
+        if fmt == "influx":
+            # multi-field lines explode to several rows; count LINES
+            valid = df.select(
+                F.count_distinct(F.col("__line_id"))
+            ).first()[0]
+            df = df.drop("__line_id")
+        else:
+            valid = df.count()
+        bad = max(0, total - int(valid or 0))
+        if bad:
+            key = counter_key or fmt
+            self.rows_invalid_total[key] = (
+                self.rows_invalid_total.get(key, 0) + bad
+            )
+        return df
 
     def ingest_scrape(
         self,
@@ -3480,6 +3533,11 @@ class IngestAPI:
             tenant=self._metadata_tenant(),
         )
         df = P.parse_prometheus_text(self._lines_df(body), ts_ms)
+        # a malformed exposition line in a scrape body drops that line
+        # only — never the whole scrape (scrapework.go keeps the rest)
+        df = self._count_invalid_lines(
+            df, "prometheus", body, counter_key="promscrape"
+        )
         df = df.withColumn(
             "labels", ingest_scrape_labels(target_labels, honor_labels)
         )
@@ -3541,25 +3599,51 @@ class IngestAPI:
                 raise ValueError(f"unknown column kind {kind!r}")
         if ts_col is None or not entries:
             raise ValueError("format needs a time column and ≥1 metric/label")
+        from victoriametrics_spark.streaming.parsers import (
+            _try_double,
+            parse_csv_lines,
+        )
+
         lines = self._lines_df(body)
-        split = F.split(F.col("value"), ",")
-        cols = [
-            F.element_at(split, i + 1).alias(f"c{i + 1}")
-            for i in range(max_pos)
-        ]
-        df = lines.select(*cols)
+        # quote-aware split (csvimport/scanner.go: "-/'-quoted fields,
+        # doubled-quote escapes); __bad marks scanner/column-count
+        # failures, which skip-and-count the LINE (parser.go:172-198)
+        df = parse_csv_lines(lines, max_pos)
         tc = F.col(f"c{ts_col}")
         if ts_kind == "unix_s":
-            ts_expr = (tc.cast("double") * 1000).cast("long")
+            ts_expr = (_try_double(tc) * 1000).try_cast("long")
         elif ts_kind == "unix_ms":
-            ts_expr = tc.cast("long")
+            ts_expr = tc.try_cast("long")
         elif ts_kind == "rfc3339":
-            ts_expr = F.unix_millis(F.to_timestamp(tc))
+            ts_expr = F.unix_millis(F.try_to_timestamp(tc))
         else:
             raise ValueError(f"unsupported time kind {ts_kind!r}")
-        df = df.withColumn(f"c{ts_col}", ts_expr)
+        line_bad = F.col("__bad") | ts_expr.isNull()
+        for pos, role in entries:
+            if role.startswith("metric:"):
+                c = F.col(f"c{pos}")
+                # empty column → column skipped, line kept; non-empty
+                # garbage → whole line invalid (parser.go:162-176)
+                line_bad = line_bad | (
+                    (F.trim(c) != "") & _try_double(c).isNull()
+                )
+        df = df.withColumn(f"c{ts_col}", ts_expr).withColumn(
+            "__line_bad", line_bad
+        )
+        df = df.localCheckpoint(eager=True)
+        bad = df.filter(F.col("__line_bad")).count()
+        if bad:
+            self.rows_invalid_total["csvimport"] = (
+                self.rows_invalid_total.get("csvimport", 0) + int(bad)
+            )
+        good = df.filter(~F.col("__line_bad"))
+        for pos, role in entries:
+            if role.startswith("metric:"):
+                good = good.withColumn(
+                    f"c{pos}", _try_double(F.col(f"c{pos}"))
+                )
         return self._write_samples(
-            parse_csv_import(df, entries, ts_col), extra_labels=extra_labels
+            parse_csv_import(good, entries, ts_col), extra_labels=extra_labels
         )
 
     def import_native(self, raw: bytes, extra_labels=None) -> int:
@@ -3802,6 +3886,16 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 lines.append(
                     f"vm_rows_ignored_total {ingest_api.rows_ignored_total}"
                 )
+                if ingest_api.rows_invalid_total:
+                    # per-dialect malformed-line counters
+                    # (prometheus/parser.go:284 invalidLines analog)
+                    lines.append("# TYPE vm_rows_invalid_total counter")
+                    for typ, n in sorted(
+                        ingest_api.rows_invalid_total.items()
+                    ):
+                        lines.append(
+                            f'vm_rows_invalid_total{{type="{typ}"}} {n}'
+                        )
                 for scope, sl in (
                     ("hourly", ingest_api.hourly_series_limiter),
                     ("daily", ingest_api.daily_series_limiter),

@@ -8,8 +8,17 @@ VM JSON-line import/export (lib/protoparser/vmimport/).
 Each parser is a pure column-expression transform over a one-column
 DataFrame of text lines (`value` column, as produced by
 ``spark.read.text`` / ``spark.readStream.text``), so the same code path
-serves batch backfill and streaming ingest. No Python UDFs — regex and
-map functions only, streaming-safe.
+serves batch backfill and streaming ingest. Influx lines that carry
+line-protocol escapes or quoted field strings take an Arrow-batched
+``mapInPandas`` slow path (the reference keeps the same fast/slow split
+via its ``noEscapes`` flag, influx/parser.go:400-447); everything else
+stays JVM-side.
+
+Robustness contract (round 11, mirroring
+lib/protoparser/prometheus/parser.go:21-49 errLogger-and-skip): a
+malformed line NEVER fails the batch — every numeric conversion is a
+``try_cast`` and rows that fail to parse are dropped (callers count
+them into the ``vm_rows_invalid_total`` analog).
 """
 
 from __future__ import annotations
@@ -20,85 +29,432 @@ from pyspark.sql import functions as F
 from victoriametrics_spark.schema import SAMPLE_SCHEMA
 
 
-def _finish(df: DataFrame) -> DataFrame:
-    """Normalize parsed columns into the canonical sample schema."""
+def _finish(df: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize parsed columns into the canonical sample schema.
+
+    try_cast everywhere: a value/timestamp that fails to parse nulls
+    the row out instead of raising under ANSI mode — one poison line
+    must not 500 a million-line import (parser.go errLogger + skip)."""
     return df.select(
         F.col("name").cast("string").alias("name"),
         F.coalesce(F.col("labels"), F.create_map().cast("map<string,string>")).alias(
             "labels"
         ),
-        F.col("ts").cast("long").alias("ts"),
-        F.col("value").cast("double").alias("value"),
+        F.col("ts").try_cast("long").alias("ts"),
+        F.col("value").try_cast("double").alias("value"),
         F.lit(False).alias("is_stale"),
-    ).filter(F.col("name").isNotNull() & F.col("value").isNotNull() & F.col("ts").isNotNull())
-
-
-def _tags_to_map(tags: Column, pair_sep: str, kv_sep: str) -> Column:
-    """'a=1,b=2' → map, tolerating the empty string."""
-    pairs = F.filter(F.split(tags, pair_sep), lambda p: p.contains(kv_sep))
-    return F.map_from_entries(
-        F.transform(
-            pairs,
-            lambda p: F.struct(
-                F.split_part(p, F.lit(kv_sep), F.lit(1)).alias("key"),
-                F.split_part(p, F.lit(kv_sep), F.lit(2)).alias("value"),
-            ),
-        )
+        *[F.col(c) for c in extra],
+    ).filter(
+        F.col("name").isNotNull()
+        & (F.col("name") != "")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
     )
+
+
+def _try_double(c: Column) -> Column:
+    """Best-effort float parse (fastfloat.ParseBestEffort analog):
+    accepts the +Inf/-Inf/inf/nan spellings Spark's cast does not,
+    returns NULL (never raises) on garbage."""
+    t = F.trim(c)
+    norm = (
+        F.when(t.rlike(r"^(?i)\+?(inf|infinity)$"), F.lit("Infinity"))
+        .when(t.rlike(r"^(?i)-(inf|infinity)$"), F.lit("-Infinity"))
+        .when(t.rlike(r"^(?i)[+-]?nan$"), F.lit("NaN"))
+        .otherwise(t)
+    )
+    return norm.try_cast("double")
+
+
+def _tags_to_map(
+    tags: Column, pair_sep: str, kv_sep: str, skip_empty: bool = False
+) -> Column:
+    """'a=1,b=2' → map, tolerating the empty string. The pair value is
+    everything after the FIRST kv_sep (graphite/parser.go:214
+    Tag.unmarshal: ``a=b=c`` → value ``b=c``); ``skip_empty`` drops
+    pairs with an empty key or value (graphite/parser.go:175-200)."""
+    pairs = F.filter(F.split(tags, pair_sep), lambda p: p.contains(kv_sep))
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.split_part(p, F.lit(kv_sep), F.lit(1)).alias("key"),
+            F.regexp_replace(
+                p, "^[^" + _re_cls(kv_sep) + "]*" + _re_cls(kv_sep), ""
+            ).alias("value"),
+        ),
+    )
+    if skip_empty:
+        entries = F.filter(
+            entries, lambda e: (e["key"] != "") & (e["value"] != "")
+        )
+    return F.map_from_entries(entries)
+
+
+def _re_cls(ch: str) -> str:
+    """Escape a single separator char for use inside a regex class."""
+    return "\\" + ch if ch in r"\^]-=" else ch
 
 
 def parse_graphite(lines: DataFrame, default_ts_ms: int | None = None) -> DataFrame:
     """Graphite plaintext: ``metric.path[;tag=val...] value [unix_ts]``
-    (lib/protoparser/graphite/)."""
-    l = F.col("value")
-    metric_full = F.split_part(l, F.lit(" "), F.lit(1))
+    (lib/protoparser/graphite/parser.go:93-133).
+
+    Reference semantics reproduced here: the line parses RIGHT to left
+    on space/tab runs (so metric paths may contain spaces), a missing
+    timestamp or a timestamp of 0 / -1 takes the ingest time
+    (stream/streamparser.go:166-177), seconds may be fractional
+    (truncated), and tags with an empty key or value are skipped."""
+    l = F.trim(F.col("value"))
+    three = F.regexp_extract(l, r"^(.*\S)[ \t]+(\S+)[ \t]+(\S+)$", 0) != ""
+    metric_full = F.when(
+        three, F.regexp_extract(l, r"^(.*\S)[ \t]+\S+[ \t]+\S+$", 1)
+    ).otherwise(F.regexp_extract(l, r"^(.*\S)[ \t]+\S+$", 1))
+    val = F.when(
+        three, F.regexp_extract(l, r"^.*\S[ \t]+(\S+)[ \t]+\S+$", 1)
+    ).otherwise(F.regexp_extract(l, r"^.*\S[ \t]+(\S+)$", 1))
+    ts_str = F.when(three, F.regexp_extract(l, r"(\S+)$", 1)).otherwise(F.lit(""))
     name = F.split_part(metric_full, F.lit(";"), F.lit(1))
     tags_str = F.regexp_replace(metric_full, r"^[^;]*;?", "")
-    val = F.split_part(l, F.lit(" "), F.lit(2))
-    ts_str = F.split_part(l, F.lit(" "), F.lit(3))
-    ts = F.when(ts_str != "", ts_str.cast("double") * 1000).otherwise(
-        F.lit(default_ts_ms).cast("double")
+    ts_sec = _try_double(ts_str).try_cast("long")
+    ts = (
+        F.when(
+            ts_str == "", F.lit(default_ts_ms).cast("long")
+        )
+        .when(ts_sec.isin(0, -1), F.lit(default_ts_ms).cast("long"))
+        .otherwise(ts_sec * 1000)
     )
     return _finish(
         lines.select(
             name.alias("name"),
-            _tags_to_map(tags_str, ";", "=").alias("labels"),
-            ts.cast("long").alias("ts"),
-            val.cast("double").alias("value"),
+            _tags_to_map(tags_str, ";", "=", skip_empty=True).alias("labels"),
+            ts.alias("ts"),
+            _try_double(val).alias("value"),
         )
     )
 
 
-def parse_influx(lines: DataFrame) -> DataFrame:
-    """Influx line protocol: ``meas[,tag=val...] field=val[,field2=val2] [ts_ns]``
-    (lib/protoparser/influx/). Metric name = ``measurement_field`` (VM's
-    default naming); one output row per field."""
+# ------------------------------------------------------------------ influx
+# Field-value typing (influx/parser.go:355-398 parseFieldValue): 123i
+# integer, 123u unsigned, booleans → 1/0, quoted strings best-effort,
+# bare floats incl. inf/nan spellings.
+_INFLUX_TRUE = ("t", "T", "true", "True", "TRUE")
+_INFLUX_FALSE = ("f", "F", "false", "False", "FALSE")
+
+
+def _influx_field_value(s: Column) -> Column:
+    return (
+        F.when(s.rlike(r"^-?\d+i$"), F.regexp_replace(s, "i$", "").try_cast("double"))
+        .when(s.rlike(r"^\d+u$"), F.regexp_replace(s, "u$", "").try_cast("double"))
+        .when(s.isin(*_INFLUX_TRUE), F.lit(1.0))
+        .when(s.isin(*_INFLUX_FALSE), F.lit(0.0))
+        .otherwise(_try_double(s))
+    )
+
+
+def _influx_unescape(s: str) -> str:
+    """Remove line-protocol escapes from a tag/measurement/field-key
+    token (influx/parser.go:322-353 unescapeTagValue): ``\\,`` ``\\ ``
+    ``\\=`` ``\\\\`` unescape; a backslash before any other char — or a
+    trailing backslash — stays literal."""
+    if "\\" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch != "\\" or i + 1 >= n:
+            out.append(ch)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt in (" ", ",", "=", "\\"):
+            out.append(nxt)
+            i += 2
+        else:
+            out.append("\\")
+            i += 1
+    return "".join(out)
+
+
+def _split_unescaped(s: str, sep: str) -> list[str]:
+    """Split on sep occurrences not preceded by an odd run of
+    backslashes (influx/parser.go:400-429 nextUnescapedChar)."""
+    parts, cur = [], []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            cur.append(ch)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if ch == sep:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _split_fields(s: str) -> list[str]:
+    """Split the field section on commas outside double quotes
+    (influx/parser.go:431-456 nextUnquotedChar)."""
+    parts, cur = [], []
+    in_q = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            cur.append(ch)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if ch == '"':
+            in_q = not in_q
+        if ch == "," and not in_q:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _influx_field_num(v: str) -> "float | None":
+    """parseFieldValue (influx/parser.go:355-398) in Python, for the
+    escaped-line slow path."""
+    if v == "":
+        return None
+    if v[0] == '"':
+        if len(v) < 2 or v[-1] != '"':
+            return None
+        inner = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        try:
+            return float(inner)
+        except ValueError:
+            return 0.0  # ParseBestEffort: non-numeric strings → 0
+    if v[-1] == "i" or v[-1] == "u":
+        try:
+            return float(int(v[:-1]))
+        except ValueError:
+            return None
+    if v in _INFLUX_TRUE:
+        return 1.0
+    if v in _INFLUX_FALSE:
+        return 0.0
+    try:
+        return float(v)
+    except ValueError:
+        lv = v.lower()
+        if lv in ("inf", "+inf", "infinity", "+infinity"):
+            return float("inf")
+        if lv in ("-inf", "-infinity"):
+            return float("-inf")
+        if lv in ("nan", "+nan", "-nan"):
+            return float("nan")
+        return None
+
+
+def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | None":
+    """Full escape-aware parse of ONE influx line → list of
+    (metric_name, labels, ts_ms | None, value); None = invalid line
+    (the reference rejects the whole line when any field fails,
+    influx/parser.go:110-173)."""
+    s = s.strip()
+    if not s or s.startswith("#"):
+        return []
+    # head = measurement[,tags...] up to the first unescaped space
+    head_split = None
+    in_q = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if ch == '"':
+            in_q = not in_q
+        elif ch == " " and not in_q and head_split is None:
+            head_split = i
+            break
+        i += 1
+    if head_split is None:
+        return None  # no field section
+    head, rest = s[:head_split], s[head_split + 1 :].lstrip(" ")
+    # fields [ts]: next unescaped space OUTSIDE quotes ends the fields
+    fields_end = None
+    in_q = False
+    i, n = 0, len(rest)
+    while i < n:
+        ch = rest[i]
+        if ch == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if ch == '"':
+            in_q = not in_q
+        elif ch == " " and not in_q:
+            fields_end = i
+            break
+        i += 1
+    if fields_end is None:
+        fields_str, ts_str = rest, ""
+    else:
+        fields_str = rest[:fields_end]
+        ts_str = rest[fields_end + 1 :].strip()
+    head_parts = _split_unescaped(head, ",")
+    meas = _influx_unescape(head_parts[0])
+    labels = {}
+    for t in head_parts[1:]:
+        kv = _split_unescaped(t, "=")
+        if len(kv) < 2:
+            return None  # missing tag value (parser.go:188)
+        k = _influx_unescape(kv[0])
+        v = _influx_unescape("=".join(kv[1:]))
+        labels[k] = v
+    ts_ms: "int | None" = None
+    if ts_str:
+        try:
+            ts_ns = int(ts_str)
+        except ValueError:
+            return None
+        q, r = divmod(abs(ts_ns), 1_000_000)
+        ts_ms = q if ts_ns >= 0 else -q  # truncate toward zero like div
+    out = []
+    for fv in _split_fields(fields_str):
+        kv = _split_unescaped(fv, "=")
+        if len(kv) < 2:
+            return None
+        fkey = _influx_unescape(kv[0])
+        num = _influx_field_num("=".join(kv[1:]))
+        if num is None or fkey == "":
+            return None
+        name = f"{meas}_{fkey}" if meas else fkey
+        out.append((name, labels, ts_ms, num))
+    return out or None
+
+
+def _influx_slow_batches(pdfs, with_line_id: bool):
+    """mapInPandas worker: escape-bearing influx lines → sample rows."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        names, labels, tss, vals, ids = [], [], [], [], []
+        for idx, line in enumerate(pdf["value"]):
+            rows = _influx_parse_line(line or "")
+            if not rows:
+                continue
+            lid = int(pdf["__line_id"].iloc[idx]) if with_line_id else 0
+            for name, lbl, ts_ms, v in rows:
+                names.append(name)
+                labels.append(lbl)
+                tss.append(ts_ms)
+                vals.append(float(v))
+                ids.append(lid)
+        data = {
+            "name": names,
+            "labels": labels,
+            "ts": pd.array(tss, dtype="Int64"),
+            "value": vals,
+        }
+        if with_line_id:
+            data["__line_id"] = pd.array(ids, dtype="Int64")
+        yield pd.DataFrame(data)
+
+
+def parse_influx(
+    lines: DataFrame,
+    default_ts_ms: int | None = None,
+    keep_line_id: bool = False,
+) -> DataFrame:
+    """Influx line protocol: ``meas[,tag=val...] field=val[,...] [ts_ns]``
+    (lib/protoparser/influx/parser.go). Metric name =
+    ``measurement_field`` (VM's default naming, -influxSkipSingleField
+    =false); one output row per field; a line whose ANY field fails to
+    parse is rejected whole (parser.go:110-173).
+
+    Fast/slow split like the reference's ``noEscapes`` flag
+    (parser.go:400-447): lines without backslash escapes or quoted
+    field strings parse entirely JVM-side; escape-bearing lines go
+    through an Arrow-batched ``mapInPandas`` that implements
+    nextUnescapedChar/unescapeTagValue semantics. ``keep_line_id``
+    threads a per-line id through for invalid-line accounting."""
+    src = lines
+    if keep_line_id:
+        src = src.withColumn("__line_id", F.monotonically_increasing_id())
+    extra = ("__line_id",) if keep_line_id else ()
     l = F.col("value")
+    has_slow = l.contains("\\") | l.contains('"')
+    nonblank = (F.trim(l) != "") & ~F.trim(l).startswith("#")
+
+    # ---- fast path: no escapes, no quoted fields (pure Catalyst)
+    plain = src.filter(nonblank & ~has_slow)
     head = F.split_part(l, F.lit(" "), F.lit(1))  # meas,tags
     fields_str = F.split_part(l, F.lit(" "), F.lit(2))
     ts_str = F.split_part(l, F.lit(" "), F.lit(3))
     meas = F.split_part(head, F.lit(","), F.lit(1))
     tags_str = F.regexp_replace(head, r"^[^,]*,?", "")
-    fields = F.filter(F.split(fields_str, ","), lambda p: p.contains("="))
-    parsed = lines.select(
+    fields = F.filter(F.split(fields_str, ","), lambda p: p != "")
+    parsed_fields = F.transform(
+        fields,
+        lambda p: F.struct(
+            F.split_part(p, F.lit("="), F.lit(1)).alias("fkey"),
+            _influx_field_value(
+                F.regexp_replace(p, r"^[^=]*=", "")
+            ).alias("fval"),
+        ),
+    )
+    # ns → ms (integral div: ns exceed double's exact range)
+    ts_ns = ts_str.try_cast("bigint")
+    ts_ms = F.expr(
+        "try_cast(split_part(value, ' ', 3) AS BIGINT) div 1000000"
+    )
+    line_ok = (
+        (F.size(fields) > 0)
+        & ~F.exists(
+            parsed_fields,
+            lambda x: x["fval"].isNull() | (x["fkey"] == ""),
+        )
+        & ((ts_str == "") | ts_ns.isNotNull())
+    )
+    fast = plain.filter(line_ok).select(
         meas.alias("meas"),
         _tags_to_map(tags_str, ",", "=").alias("labels"),
-        # ns → ms (integral: ns exceed double's exact range)
-        F.when(ts_str != "", F.expr("CAST(split_part(value, ' ', 3) AS BIGINT) div 1000000")).alias("ts"),
-        F.explode(fields).alias("fv"),
+        F.when(ts_str != "", ts_ms).alias("ts"),
+        F.explode(parsed_fields).alias("fv"),
+        *[F.col(c) for c in extra],
     )
-    fname = F.split_part(F.col("fv"), F.lit("="), F.lit(1))
-    fval = F.regexp_replace(
-        F.split_part(F.col("fv"), F.lit("="), F.lit(2)), r"i$", ""
-    )  # trailing i = influx integer suffix
-    return _finish(
-        parsed.select(
-            F.concat(F.col("meas"), F.lit("_"), fname).alias("name"),
-            F.col("labels"),
-            F.col("ts"),
-            fval.cast("double").alias("value"),
-        )
+    fast = fast.select(
+        F.when(F.col("meas") == "", F.col("fv.fkey"))
+        .otherwise(F.concat(F.col("meas"), F.lit("_"), F.col("fv.fkey")))
+        .alias("name"),
+        F.col("labels"),
+        F.col("ts"),
+        F.col("fv.fval").alias("value"),
+        *[F.col(c) for c in extra],
     )
+
+    # ---- slow path: escape/quote-bearing lines via Arrow batches
+    slow_in = src.filter(nonblank & has_slow)
+    out_schema = (
+        "name string, labels map<string,string>, ts long, value double"
+    )
+    if keep_line_id:
+        out_schema += ", __line_id long"
+    slow = slow_in.mapInPandas(
+        lambda it: _influx_slow_batches(it, keep_line_id), out_schema
+    )
+
+    both = fast.unionByName(slow)
+    default_ts = (
+        F.lit(default_ts_ms).cast("long")
+        if default_ts_ms is not None
+        else F.lit(None).cast("long")
+    )
+    both = both.withColumn("ts", F.coalesce(F.col("ts"), default_ts))
+    return _finish(both, extra=extra)
 
 
 def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
@@ -106,62 +462,97 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
     (federate/scrape format; comments and blank lines skipped), plus the
     UTF-8 names syntax ``{"any name", "any label"="v"} value [ts_ms]``
     (Prometheus 3.x / VM: quoted metric and label names inside the
-    braces)."""
+    braces).
+
+    Label tokenization is quoted-string-aware (parser.go:286-306
+    unmarshalQuotedString): a ``}`` or ``,`` inside a quoted label
+    value — routine in HTTP paths and error messages — does not
+    truncate the label block, and ``\\\"``/``\\\\``/``\\n`` escapes
+    unescape per parser.go:419-453 (an invalid escape like the
+    real-world ``domain\\somelogin`` stays literal). All in Catalyst:
+    the label block is matched with a quote-aware regex, pairs are
+    pulled with regexp_extract_all, and unescaping is a
+    split-on-``\\\\`` / replace / rejoin over array columns."""
     l = F.trim(F.col("value"))
-    data = lines.select(l.alias("value")).filter(
-        (l != "") & ~l.startswith("#")
-    )
-    utf8 = F.col("value").startswith("{")
-    classic_name = F.regexp_extract(
-        F.col("value"), r"^([a-zA-Z_:][a-zA-Z0-9_:.]*)", 1
-    )
-    labels_str = F.when(
-        utf8, F.regexp_extract(F.col("value"), r"^\{([^}]*)\}", 1)
-    ).otherwise(
-        F.regexp_extract(F.col("value"), r"^[^{\s]+\{([^}]*)\}", 1)
-    )
-    rest = F.trim(
-        F.when(
-            utf8, F.regexp_replace(F.col("value"), r"^\{[^}]*\}", "")
-        ).otherwise(
-            F.regexp_replace(F.col("value"), r"^[^{\s]+(\{[^}]*\})?", "")
-        )
-    )
-    elems = F.split(labels_str, r",\s*")
-    unq = lambda c: F.regexp_replace(c, r'^"|"$', "")  # noqa: E731
-    # UTF-8 form: the bare quoted element is the metric name
-    utf8_name = unq(
-        F.element_at(
-            F.concat(
-                F.filter(elems, lambda p: (p != "") & ~p.contains("=")),
-                F.array(F.lit('""')),
-            ),
-            1,
-        )
-    )
-    name = F.when(utf8, utf8_name).otherwise(classic_name)
-    val = F.split_part(rest, F.lit(" "), F.lit(1))
-    ts_str = F.split_part(rest, F.lit(" "), F.lit(2))
-    # label pairs: a="b" or "quoted name"="b" — strip quotes both sides
-    pairs = F.filter(elems, lambda p: p.contains("="))
-    labels = F.map_from_entries(
+    data = lines.select(l.alias("value")).filter((l != "") & ~l.startswith("#"))
+    v = F.col("value")
+
+    # quote-aware label block: "..." spans may contain } , and \" pairs
+    body_re = r'((?:[^"}]|"(?:[^"\\]|\\.)*")*)'
+    braced_pat = r"^([^{\s]*)\s*\{" + body_re + r"\}\s*(.*)$"
+    braced = v.rlike(r'^[^{\s]*\s*\{(?:[^"}]|"(?:[^"\\]|\\.)*")*\}')
+    name_classic = F.regexp_extract(v, braced_pat, 1)
+    body = F.regexp_extract(v, braced_pat, 2)
+    rest_braced = F.regexp_extract(v, braced_pat, 3)
+
+    # pairs: key="value" | "key"="value" (whitespace-tolerant)
+    pair_pat = r'("(?:[^"\\]|\\.)*"|[^=,\s"]+)\s*=\s*"((?:[^"\\]|\\.)*)"'
+    keys = F.regexp_extract_all(body, F.lit(pair_pat), F.lit(1))
+    vals = F.regexp_extract_all(body, F.lit(pair_pat), F.lit(2))
+    # UTF-8 form: a bare quoted element (not followed by =) is the name
+    qname_pat = r'(?:^|,)\s*"((?:[^"\\]|\\.)*)"\s*(?=,|$)'
+    name_quoted = _unescape_prom(F.regexp_extract(body, qname_pat, 1))
+
+    labels = F.map_from_arrays(
         F.transform(
-            pairs,
-            lambda p: F.struct(
-                unq(F.split_part(p, F.lit("="), F.lit(1))).alias("key"),
-                unq(F.split_part(p, F.lit("="), F.lit(2))).alias("value"),
-            ),
-        )
+            keys,
+            lambda k: _unescape_prom(F.regexp_replace(k, r'^"|"$', "")),
+        ),
+        F.transform(vals, _unescape_prom),
     )
-    ts = F.when(ts_str != "", ts_str.cast("long")).otherwise(F.lit(default_ts_ms))
+    name_b = F.when(name_classic != "", name_classic).otherwise(name_quoted)
+    toks_b = F.split(rest_braced, r"\s+")
+    # no-brace form: metric value [ts]
+    toks_p = F.split(v, r"\s+")
+    # a line containing { that does NOT match the quote-aware brace
+    # pattern is malformed (unterminated label block) — reference
+    # errors it (parser.go unmarshalTags "missing value for tag"),
+    # it must not fall back to the bare-metric form
+    name = (
+        F.when(braced, name_b)
+        .when(~v.contains("{"), F.try_element_at(toks_p, F.lit(1)))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    val = F.coalesce(
+        F.when(braced, F.try_element_at(toks_b, F.lit(1))).otherwise(
+            F.try_element_at(toks_p, F.lit(2))
+        ),
+        F.lit(""),
+    )
+    ts_str = F.coalesce(
+        F.when(braced, F.try_element_at(toks_b, F.lit(2))).otherwise(
+            F.try_element_at(toks_p, F.lit(3))
+        ),
+        F.lit(""),
+    )
+    ts = F.when(ts_str != "", ts_str.try_cast("long")).otherwise(
+        F.lit(default_ts_ms)
+    )
     return _finish(
         data.select(
             name.alias("name"),
-            labels.alias("labels"),
+            F.when(braced, labels)
+            .otherwise(F.create_map().cast("map<string,string>"))
+            .alias("labels"),
             ts.alias("ts"),
-            val.cast("double").alias("value"),
+            _try_double(val).alias("value"),
         )
     )
+
+
+def _unescape_prom(c: Column) -> Column:
+    """unescapeValue (prometheus/parser.go:419-453): ``\\\\``→``\\``,
+    ``\\\"``→``\"``, ``\\n``→newline, any other ``\\x`` stays literal.
+    Implemented as split-on-double-backslash → per-piece replace →
+    rejoin, which gets the 3-backslash edge cases right without a UDF."""
+    pieces = F.split(c, r"\\\\", -1)
+    pieces = F.transform(
+        pieces,
+        lambda p: F.regexp_replace(
+            F.regexp_replace(p, r'\\"', '"'), r"\\n", "\n"
+        ),
+    )
+    return F.array_join(pieces, "\\")
 
 
 def parse_vm_jsonl(lines: DataFrame) -> DataFrame:
@@ -217,6 +608,92 @@ def to_vm_jsonl(samples: DataFrame) -> DataFrame:
     return packed
 
 
+def _csv_fields(line: str) -> "list[str] | None":
+    """Split one CSV line per the reference scanner
+    (lib/protoparser/csvimport/scanner.go:68-146): fields may be
+    quoted with ``\"`` OR ``'``, a doubled quote inside a quoted field
+    escapes it, and a malformed quoted field (missing closing quote /
+    missing comma after it) invalidates the LINE (returns None)."""
+    fields: list[str] = []
+    s = line
+    while True:
+        if s[:1] in ('"', "'"):
+            quote = s[0]
+            buf = []
+            i = 1
+            while True:
+                n = s.find(quote, i)
+                if n < 0:
+                    return None  # missing closing quote
+                buf.append(s[i:n])
+                if s[n + 1 : n + 2] == quote:  # doubled quote = escape
+                    buf.append(quote)
+                    i = n + 2
+                    continue
+                i = n + 1
+                break
+            fields.append("".join(buf))
+            tail = s[i:]
+            if tail == "":
+                return fields
+            if tail[0] != ",":
+                return None  # missing comma after quoted field
+            s = tail[1:]
+            continue
+        n = s.find(",")
+        if n < 0:
+            fields.append(s)
+            return fields
+        fields.append(s[:n])
+        s = s[n + 1 :]
+
+
+def parse_csv_lines(lines: DataFrame, max_pos: int) -> DataFrame:
+    """CSV text lines → ``c1..cN`` string columns (+ ``__bad`` flag).
+
+    Quote-free lines split JVM-side; lines containing a quote char go
+    through an Arrow-batched ``mapInPandas`` implementing the
+    reference scanner's quoting rules. A line with a malformed quoted
+    field or fewer than ``max_pos`` columns sets ``__bad`` (the
+    reference skips-and-counts it, parser.go:172-198)."""
+    l = F.col("value")
+    quoted = l.contains('"') | l.contains("'")
+    nonblank = F.trim(l) != ""
+
+    plain = lines.filter(nonblank & ~quoted)
+    toks = F.split(l, ",", -1)
+    fast = plain.select(
+        *[
+            F.coalesce(F.try_element_at(toks, F.lit(i + 1)), F.lit("")).alias(
+                f"c{i + 1}"
+            )
+            for i in range(max_pos)
+        ],
+        (F.size(toks) < max_pos).alias("__bad"),
+    )
+
+    cols = [f"c{i + 1}" for i in range(max_pos)]
+    schema = ", ".join(f"{c} string" for c in cols) + ", __bad boolean"
+
+    def _slow(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            out: dict[str, list] = {c: [] for c in cols}
+            bad = []
+            for line in pdf["value"]:
+                fs = _csv_fields(line or "")
+                ok = fs is not None and len(fs) >= max_pos
+                bad.append(not ok)
+                for i, c in enumerate(cols):
+                    out[c].append(fs[i] if ok else "")
+            out["__bad"] = bad
+            yield pd.DataFrame(out)
+
+    slow = lines.filter(nonblank & quoted).mapInPandas(_slow, schema)
+    return fast.unionByName(slow)
+
+
 def parse_csv_import(
     df: DataFrame, format_spec: list[tuple[int, str]], ts_col: int, metric_prefix: str = ""
 ) -> DataFrame:
@@ -231,13 +708,13 @@ def parse_csv_import(
         if role.startswith("label:"):
             label_pairs += [F.lit(role[6:]), c.cast("string")]
         elif role.startswith("metric:"):
-            metrics.append((metric_prefix + role[7:], c.cast("double")))
+            metrics.append((metric_prefix + role[7:], c.try_cast("double")))
     labels = (
         F.create_map(*label_pairs)
         if label_pairs
         else F.create_map().cast("map<string,string>")
     )
-    ts = F.col(cols[ts_col - 1]).cast("long")
+    ts = F.col(cols[ts_col - 1]).try_cast("long")
     parts = []
     for mname, mval in metrics:
         parts.append(
@@ -271,7 +748,7 @@ def parse_opentsdb(lines: DataFrame) -> DataFrame:
     l = F.trim(F.col("value"))
     data = lines.select(l.alias("value")).filter(l.startswith("put "))
     name = F.split_part(l, F.lit(" "), F.lit(2))
-    ts = F.split_part(l, F.lit(" "), F.lit(3)).cast("long")
+    ts = F.split_part(l, F.lit(" "), F.lit(3)).try_cast("long")
     val = F.split_part(l, F.lit(" "), F.lit(4))
     # tags: everything after the 4th space-separated token
     tags_str = F.array_join(
@@ -287,7 +764,7 @@ def parse_opentsdb(lines: DataFrame) -> DataFrame:
             name.alias("name"),
             _tags_to_map(tags_str, ",", "=").alias("labels"),
             _sec_or_ms(ts).alias("ts"),
-            val.cast("double").alias("value"),
+            _try_double(val).alias("value"),
         )
     )
 
