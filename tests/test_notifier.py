@@ -141,3 +141,51 @@ def test_tracker_unit():
     # refiring starts a NEW startsAt
     p5 = tr.update(fire, 5_000)
     assert p5[0]["startsAt"] == "1970-01-01T00:00:05Z"
+
+
+def test_alerts_endpoint_serves_runner_state_without_spark(spark, am_sink):
+    """/api/v1/alerts default path reads the runner's in-memory state
+    (vmalert web.go APIv1 alerts) — no max(ts) probe, no rule
+    re-evaluation, no Spark job per request. Explicit time= keeps the
+    evaluate-at-instant path."""
+    url, _batches = am_sink
+    rows = [("cpu", {"host": "a"}, ts, 95.0, False) for ts in range(0, 1_100_000, 100_000)]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(
+        alert="HighCPU",
+        expr="last_over_time(cpu[400s]) > 90",
+        labels={"severity": "page"},
+    )
+    api = PromAPI(spark, df, rule_groups=[("g1", [rule])])
+    runner = RulesNotifierRunner(api, AlertmanagerNotifier([url]))
+    assert api.notifier_runner is runner
+
+    runner.tick(now_ms=1_000_000)
+
+    # poison the Spark surface: ANY touch of api.samples would raise —
+    # proving the default path runs zero Spark work
+    class _Poison:
+        def __getattr__(self, name):
+            raise AssertionError("alerts() default path touched Spark")
+
+    real = api.samples
+    api.samples = _Poison()
+    try:
+        out = api.alerts()
+        alerts = out["data"]["alerts"]
+        assert len(alerts) == 1
+        assert alerts[0]["labels"]["alertname"] == "HighCPU"
+        assert alerts[0]["state"] == "firing"
+    finally:
+        api.samples = real
+
+    # explicit time= still evaluates (fresh result, Spark path)
+    out2 = api.alerts(time="1000")
+    assert out2["data"]["alerts"][0]["labels"]["alertname"] == "HighCPU"
+
+    # before any tick, a fresh runner leaves the evaluation fallback
+    api2 = PromAPI(spark, df, rule_groups=[("g1", [rule])])
+    runner2 = RulesNotifierRunner(api2, AlertmanagerNotifier([url]))
+    assert runner2.last_alerts is None
+    out3 = api2.alerts()  # falls back to evaluation, must not crash
+    assert out3["status"] == "success"

@@ -2193,10 +2193,26 @@ class PromAPI:
         return {"status": "success", "data": {"groups": groups}}
 
     def alerts(self, time: str | None = None) -> dict:
-        """GET /api/v1/alerts — active (pending|firing) alerts at the
-        evaluation instant (vmalert web.go APIv1 alerts; state machine in
-        rules.py eval_alerting_rule)."""
+        """GET /api/v1/alerts — active (pending|firing) alerts.
+
+        Default path (no ``time=``): when a RulesNotifierRunner is
+        attached, serve its in-memory state map — vmalert's APIv1
+        alerts handler reads the state its background eval tick
+        maintains (app/vmalert/web.go), it does NOT evaluate rules per
+        request. No Spark job runs on this path: a dashboard polling
+        /api/v1/alerts at 100 TB must not trigger a full-table max(ts)
+        probe plus a rule re-evaluation per poll. Explicit ``time=``
+        keeps the evaluate-at-instant path (state machine in rules.py
+        eval_alerting_rule)."""
         from victoriametrics_spark.rules import AlertingRule, eval_alerting_rule
+
+        if time is None:
+            runner = getattr(self, "notifier_runner", None)
+            if runner is not None and runner.last_alerts is not None:
+                return {
+                    "status": "success",
+                    "data": {"alerts": list(runner.last_alerts)},
+                }
 
         if time is not None:
             now_ms = _parse_time(time, 0)

@@ -167,21 +167,28 @@ class RulesNotifierRunner:
         self.interval_s = interval_s
         self.now_ms = now_ms_fn or (lambda: int(time.time() * 1000))
         self.tracker = AlertStateTracker()
+        # latest full alert list (pending+firing) from the background
+        # tick — /api/v1/alerts serves THIS without a Spark job, like
+        # vmalert's web handler reading the group eval state
+        # (app/vmalert/web.go APIv1 alerts)
+        self.last_alerts: "list[dict] | None" = None
+        self.last_eval_ms = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # attach so PromAPI.alerts() can serve runner state by default
+        prom_api.notifier_runner = self
 
     def tick(self, now_ms: int | None = None) -> list[dict]:
         """One evaluation+notification pass; returns the payload sent
         (tests call this synchronously)."""
         now_ms = self.now_ms() if now_ms is None else now_ms
         out = self.api.alerts(time=str(now_ms / 1000.0))
-        firing = [
-            a
-            for a in out["data"]["alerts"]
-            if a.get("state") == "firing"
-        ]
+        alerts = out["data"]["alerts"]
+        firing = [a for a in alerts if a.get("state") == "firing"]
         payload = self.tracker.update(firing, now_ms)
         self.notifier.send(payload)
+        self.last_alerts = alerts
+        self.last_eval_ms = now_ms
         return payload
 
     def start(self) -> None:
