@@ -3783,7 +3783,7 @@ class IngestAPI:
 
 
 # ---------------------------------------------------------------- server
-def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None, max_concurrent_requests: int = 0, max_queue_duration_s: float = 10.0, scrape_configs: "list | None" = None, scraper=None, notifier_urls: "list[str] | None" = None, notifier_runner=None, notifier_interval_s: float = 30.0):
+def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "LogsAPI | None" = None, ingest_api: "IngestAPI | None" = None, browse_api: "GraphiteBrowseAPI | None" = None, tenant_table: str | None = None, multitenancy_via_headers: bool = False, auth_keys: "dict[str, str] | None" = None, max_concurrent_requests: int = 0, max_queue_duration_s: float = 10.0, scrape_configs: "list | None" = None, scraper=None, notifier_urls: "list[str] | None" = None, notifier_runner=None, notifier_interval_s: float = 30.0, graphite_listen_port: "int | None" = None, opentsdb_listen_port: "int | None" = None, influx_listen_port: "int | None" = None):
     """Dependency-free HTTP server over PromAPI. Returns the server
     object (call ``.serve_forever()`` or use it from a thread; tests use
     ``.handle_request()``).
@@ -4970,7 +4970,28 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
     srv.conc_sem = conc_sem
     srv.scraper = scraper
     srv.notifier_runner = notifier_runner
-    if scraper is not None or notifier_runner is not None:
+    # -graphiteListenAddr / -opentsdbListenAddr / -influxListenAddr:
+    # raw TCP+UDP line listeners sharing the HTTP routes' IngestAPI
+    # (lib/ingestserver/*/server.go)
+    ingest_servers = []
+    if ingest_api is not None and (
+        graphite_listen_port is not None
+        or opentsdb_listen_port is not None
+        or influx_listen_port is not None
+    ):
+        from victoriametrics_spark.streaming.ingestserver import (
+            start_ingest_servers,
+        )
+
+        ingest_servers = start_ingest_servers(
+            ingest_api,
+            graphite_port=graphite_listen_port,
+            opentsdb_port=opentsdb_listen_port,
+            influx_port=influx_listen_port,
+            host=host,
+        )
+    srv.ingest_servers = ingest_servers
+    if scraper is not None or notifier_runner is not None or ingest_servers:
         # stop the background loops with the server
         _orig_shutdown = srv.shutdown
 
@@ -4979,6 +5000,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 scraper.stop()
             if notifier_runner is not None:
                 notifier_runner.stop()
+            for s in ingest_servers:
+                s.stop()
             _orig_shutdown()
 
         srv.shutdown = _shutdown
