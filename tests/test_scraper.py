@@ -412,3 +412,196 @@ def test_global_config_section(spark, exposition_port):
     assert {r["labels"]["exported_foo"] for r in sm} == {"bar", "baz"}
     # config yaml dump keeps the global section
     assert "external_labels" in sc.config_yaml()
+
+
+def test_file_sd_configs_live_rotation(spark, exposition_port, tmp_path):
+    """file_sd_configs (config.go:438-444, getFileSDScrapeWork): targets
+    load from JSON files, carry __meta_filepath, and a file rewrite
+    swaps the target set on the next mtime check."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    sd = tmp_path / "targets.json"
+    sd.write_text(
+        json.dumps(
+            [{"targets": [f"127.0.0.1:{exposition_port}"],
+              "labels": {"env": "a"}}]
+        )
+    )
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        [
+            {
+                "job_name": "fsd",
+                "file_sd_configs": [{"files": [str(sd)]}],
+            }
+        ],
+    )
+    assert len(sc.targets) == 1
+    t = sc.targets[0]
+    assert t.discovered["__meta_filepath"] == str(sd)
+    assert t.labels["env"] == "a"
+    sc.scrape_once()
+    rows = [r for df in captured for r in df.collect()]
+    assert any(
+        r["name"] == "scraped_metric" and r["labels"].get("env") == "a"
+        for r in rows
+    )
+
+    # rotate the file: new label set + a second (dead) target
+    import os
+    import time as _time
+
+    _time.sleep(0.01)
+    sd.write_text(
+        json.dumps(
+            [
+                {"targets": [f"127.0.0.1:{exposition_port}"],
+                 "labels": {"env": "b"}},
+                {"targets": ["127.0.0.1:1"], "labels": {"env": "dead"}},
+            ]
+        )
+    )
+    os.utime(sd)
+    assert sc.check_file_sd() is True
+    assert t.removed is True
+    assert len(sc.targets) == 2
+    assert {x.labels["env"] for x in sc.targets} == {"b", "dead"}
+    # unchanged files do not reload
+    assert sc.check_file_sd() is False
+
+    # a YAML file_sd also loads (loadStaticConfigs accepts both)
+    sd_yaml = tmp_path / "more.yaml"
+    sd_yaml.write_text(
+        f"- targets: ['127.0.0.1:{exposition_port}']\n  labels: {{env: y}}\n"
+    )
+    sc2 = Scraper(
+        ingest,
+        [
+            {
+                "job_name": "fsdy",
+                "file_sd_configs": [{"files": [str(tmp_path / "*.yaml")]}],
+            }
+        ],
+    )
+    assert len(sc2.targets) == 1 and sc2.targets[0].labels["env"] == "y"
+
+
+def test_scrape_auth_headers(spark, tmp_path):
+    """basic_auth / bearer_token(_file) / authorization blocks send the
+    right Authorization header (lib/promauth HTTPClientConfig)."""
+    import base64
+
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    seen = []
+
+    class _AuthExpo(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            seen.append(self.headers.get("Authorization"))
+            body = b"authed_metric 1\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _AuthExpo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        tokf = tmp_path / "tok"
+        tokf.write_text("file-token\n")
+        captured = []
+        ingest = IngestAPI(
+            spark, sink=lambda df, kind: captured.append(df)
+        )
+        sc = Scraper(
+            ingest,
+            [
+                {
+                    "job_name": "ba",
+                    "basic_auth": {"username": "u", "password": "p"},
+                    "static_configs": [{"targets": [f"127.0.0.1:{port}"]}],
+                },
+                {
+                    "job_name": "bt",
+                    "bearer_token": "tok123",
+                    "static_configs": [{"targets": [f"127.0.0.1:{port}"]}],
+                },
+                {
+                    "job_name": "btf",
+                    "bearer_token_file": str(tokf),
+                    "static_configs": [{"targets": [f"127.0.0.1:{port}"]}],
+                },
+            ],
+        )
+        sc.scrape_once()
+        expect_basic = "Basic " + base64.b64encode(b"u:p").decode()
+        assert seen == [expect_basic, "Bearer tok123", "Bearer file-token"]
+    finally:
+        srv.shutdown()
+
+
+def test_honor_timestamps(spark):
+    """honor_timestamps defaults FALSE contrary to Prometheus
+    (config.go:299-302): body timestamps are replaced with the scrape
+    time; honor_timestamps: true keeps them (and a literal 0 still
+    takes scrape time, scrapework.go:1169)."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    class _TsExpo(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = b"ts_metric 5 1234\nzero_ts_metric 6 0\nno_ts_metric 7\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _TsExpo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        captured = []
+        ingest = IngestAPI(
+            spark, sink=lambda df, kind: captured.append(df)
+        )
+        scrape_ms = 9_999_000
+        sc = Scraper(
+            ingest,
+            [
+                {
+                    "job_name": "default",
+                    "static_configs": [{"targets": [f"127.0.0.1:{port}"]}],
+                },
+                {
+                    "job_name": "honored",
+                    "honor_timestamps": True,
+                    "static_configs": [{"targets": [f"127.0.0.1:{port}"]}],
+                },
+            ],
+            now_ms_fn=lambda: scrape_ms,
+        )
+        sc.scrape_once()
+        rows = [r for df in captured for r in df.collect()]
+        by = {
+            (r["labels"].get("job"), r["name"]): r["ts"]
+            for r in rows
+            if not r["name"].startswith(("up", "scrape_"))
+        }
+        # default: every body timestamp replaced with scrape time
+        assert by[("default", "ts_metric")] == scrape_ms
+        assert by[("default", "zero_ts_metric")] == scrape_ms
+        assert by[("default", "no_ts_metric")] == scrape_ms
+        # honored: body ts kept; 0 and missing take scrape time
+        assert by[("honored", "ts_metric")] == 1234
+        assert by[("honored", "zero_ts_metric")] == scrape_ms
+        assert by[("honored", "no_ts_metric")] == scrape_ms
+    finally:
+        srv.shutdown()

@@ -3527,6 +3527,7 @@ class IngestAPI:
         sample_limit: int = 0,
         scrape_url: str = "",
         external_labels: "dict | None" = None,
+        honor_timestamps: bool = False,
     ) -> int:
         """Scrape-body ingest (lib/promscrape/scrapework.go): the
         exposition parse of /api/v1/import/prometheus plus the target's
@@ -3554,6 +3555,19 @@ class IngestAPI:
         df = self._count_invalid_lines(
             df, "prometheus", body, counter_key="promscrape"
         )
+        # honor_timestamps is FALSE by default, contrary to Prometheus
+        # (config.go:299-302): body timestamps are replaced with the
+        # scrape timestamp; when honored, a literal 0 timestamp still
+        # takes the scrape time (scrapework.go:1169)
+        if not honor_timestamps:
+            df = df.withColumn("ts", F.lit(int(ts_ms)))
+        else:
+            df = df.withColumn(
+                "ts",
+                F.when(F.col("ts") == 0, F.lit(int(ts_ms))).otherwise(
+                    F.col("ts")
+                ),
+            )
         df = df.withColumn(
             "labels", ingest_scrape_labels(target_labels, honor_labels)
         )

@@ -45,6 +45,43 @@ def _parse_duration_s(v, default: float) -> float:
     return DurationExpr(str(v)).ms(0) / 1000.0
 
 
+def _auth_header(cfg: dict) -> "str | None":
+    """Authorization header from a scrape config's client-auth fields
+    (lib/promauth HTTPClientConfig, config.go:281-340): ``basic_auth``
+    (username + password or password_file), ``bearer_token``,
+    ``bearer_token_file``, or the generic ``authorization`` block
+    (type default Bearer, credentials or credentials_file)."""
+
+    def _read(path) -> str:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read().strip()
+
+    ba = cfg.get("basic_auth")
+    if ba:
+        import base64
+
+        user = str(ba.get("username") or "")
+        pwd = ba.get("password")
+        if pwd is None and ba.get("password_file"):
+            pwd = _read(ba["password_file"])
+        raw = f"{user}:{pwd or ''}".encode()
+        return "Basic " + base64.b64encode(raw).decode()
+    tok = cfg.get("bearer_token")
+    if not tok and cfg.get("bearer_token_file"):
+        tok = _read(cfg["bearer_token_file"])
+    if tok:
+        return "Bearer " + str(tok)
+    az = cfg.get("authorization")
+    if az:
+        typ = str(az.get("type") or "Bearer")
+        cred = az.get("credentials")
+        if cred is None and az.get("credentials_file"):
+            cred = _read(az["credentials_file"])
+        if cred:
+            return f"{typ} {cred}"
+    return None
+
+
 class ScrapeTarget:
     """One resolved static target: config identity + mutable scrape
     state (targetStatus, targetstatus.go:307-317)."""
@@ -62,8 +99,23 @@ class ScrapeTarget:
         relabeled: "dict[str, str] | None" = None,
         metric_relabel_configs: "list | None" = None,
         sample_limit: int = 0,
+        honor_timestamps: bool = False,
+        auth_header: "str | None" = None,
+        group: str = "static",
     ):
         self.job = job
+        # honor_timestamps defaults FALSE like the reference
+        # (config.go:299-302, contrary to Prometheus)
+        self.honor_timestamps = bool(honor_timestamps)
+        # Authorization header from basic_auth / bearer_token(_file) /
+        # authorization config (lib/promauth HTTPClientConfig)
+        self.auth_header = auth_header
+        # which discovery group owns this target ("static" or the
+        # file_sd group key) — file_sd reloads replace only their own
+        self.group = group
+        # set when a file_sd reload drops this target; its scrape loop
+        # exits on the next tick
+        self.removed = False
         # the scrape pool stays the CONFIG's job_name even when
         # relabel_configs rewrite the job label (jobNameOriginal,
         # targetstatus.go:262)
@@ -156,7 +208,18 @@ class Scraper:
         # /api/v1/targets droppedTargets (WriteDroppedTargetsJSON,
         # targetstatus.go:415-428: discoveredLabels only)
         self.dropped: list[dict] = []
-        for cfg in cfg_list:
+        # file-based service discovery groups (config.go:438-444 +
+        # getFileSDScrapeWork): re-read on mtime change, like
+        # -promscrape.fileSDCheckInterval (refresh_interval is ignored
+        # by the reference too)
+        self.file_sd_check_interval_s = float(
+            (g.get("file_sd_check_interval") or 30.0)
+            if isinstance(g, dict)
+            else 30.0
+        )
+        self._file_sd_groups: list[dict] = []
+        self._running = False
+        for ci, cfg in enumerate(cfg_list):
             job = cfg.get("job_name") or "unnamed"
             interval = _parse_duration_s(
                 cfg.get("scrape_interval"), g_interval
@@ -167,52 +230,174 @@ class Scraper:
                 _parse_duration_s(cfg.get("scrape_timeout"), g_timeout),
                 interval,
             )
-            scheme = cfg.get("scheme") or "http"
-            path = cfg.get("metrics_path") or DEFAULT_METRICS_PATH
-            honor = bool(cfg.get("honor_labels"))
-            relabel_rules = g_relabel + (cfg.get("relabel_configs") or [])
-            metric_rules = g_metric_relabel + (
-                cfg.get("metric_relabel_configs") or []
-            )
-            sample_limit = int(cfg.get("sample_limit") or g_sample_limit)
-            candidates = []
-            for sc in cfg.get("static_configs", ()):
-                lbls = {
-                    str(k): str(v)
-                    for k, v in (sc.get("labels") or {}).items()
-                }
-                for addr in sc.get("targets", ()):
-                    candidates.append(
-                        ScrapeTarget(
-                            job, str(addr), scheme, path, interval,
-                            timeout, honor, lbls,
-                            metric_relabel_configs=metric_rules,
-                            sample_limit=sample_limit,
-                        )
-                    )
-            if not relabel_rules:
-                self.targets.extend(candidates)
-                continue
-            # target relabeling over ALL of this config's candidates in
-            # one frame (the same DSL samples relabel with); a candidate
-            # relabeled away becomes a droppedTarget, survivors rebuild
-            # their scrape identity from the relabeled label set
-            relabeled = self._target_relabel(candidates, relabel_rules)
-            for cand, out in zip(candidates, relabeled):
-                if out is None:
-                    self.dropped.append(dict(cand.discovered))
-                    continue
-                t = ScrapeTarget(
-                    cand.job, cand.discovered["__address__"],
-                    scheme, path, interval, timeout, honor, {},
-                    relabeled=out,
-                    metric_relabel_configs=metric_rules,
-                    sample_limit=sample_limit,
+            ctx = {
+                "job": job,
+                "interval": interval,
+                "timeout": timeout,
+                "scheme": cfg.get("scheme") or "http",
+                "path": cfg.get("metrics_path") or DEFAULT_METRICS_PATH,
+                "honor": bool(cfg.get("honor_labels")),
+                # false by default, contrary to Prometheus
+                # (config.go:299-302)
+                "honor_timestamps": bool(cfg.get("honor_timestamps")),
+                "relabel_rules": g_relabel
+                + (cfg.get("relabel_configs") or []),
+                "metric_rules": g_metric_relabel
+                + (cfg.get("metric_relabel_configs") or []),
+                "sample_limit": int(
+                    cfg.get("sample_limit") or g_sample_limit
+                ),
+                "auth_header": _auth_header(cfg),
+            }
+            self.targets.extend(
+                self._finalize_candidates(
+                    self._make_candidates(
+                        ctx, cfg.get("static_configs", ()), {}
+                    ),
+                    ctx,
                 )
-                # discoveredLabels stay the PRE-relabel identity
-                # (Config.OriginalLabels in WriteActiveTargetsJSON)
-                t.discovered = dict(cand.discovered)
-                self.targets.append(t)
+            )
+            for fsd in cfg.get("file_sd_configs", ()) or ():
+                group = {
+                    "key": f"file_sd:{ci}:{job}",
+                    "ctx": ctx,
+                    "files": list(fsd.get("files") or ()),
+                    "sig": None,  # (path, mtime) snapshot
+                }
+                self._file_sd_groups.append(group)
+                self._reload_file_sd_group(group)
+
+    # ------------------------------------------------- target construction
+    def _make_candidates(self, ctx, static_configs, extra_labels):
+        candidates = []
+        for sc in static_configs:
+            lbls = {
+                str(k): str(v) for k, v in (sc.get("labels") or {}).items()
+            }
+            lbls.update(extra_labels)
+            for addr in sc.get("targets", ()) or ():
+                candidates.append(
+                    ScrapeTarget(
+                        ctx["job"], str(addr), ctx["scheme"], ctx["path"],
+                        ctx["interval"], ctx["timeout"], ctx["honor"],
+                        lbls,
+                        metric_relabel_configs=ctx["metric_rules"],
+                        sample_limit=ctx["sample_limit"],
+                        honor_timestamps=ctx["honor_timestamps"],
+                        auth_header=ctx["auth_header"],
+                    )
+                )
+        return candidates
+
+    def _finalize_candidates(self, candidates, ctx, group="static"):
+        """Apply the config's relabel_configs: a candidate relabeled
+        away becomes a droppedTarget, survivors rebuild their scrape
+        identity from the relabeled label set."""
+        for c in candidates:
+            c.group = group
+        if not ctx["relabel_rules"]:
+            return candidates
+        out_targets = []
+        relabeled = self._target_relabel(candidates, ctx["relabel_rules"])
+        for cand, out in zip(candidates, relabeled):
+            if out is None:
+                self.dropped.append(dict(cand.discovered))
+                continue
+            t = ScrapeTarget(
+                cand.job, cand.discovered["__address__"],
+                ctx["scheme"], ctx["path"], ctx["interval"],
+                ctx["timeout"], ctx["honor"], {},
+                relabeled=out,
+                metric_relabel_configs=ctx["metric_rules"],
+                sample_limit=ctx["sample_limit"],
+                honor_timestamps=ctx["honor_timestamps"],
+                auth_header=ctx["auth_header"],
+                group=group,
+            )
+            # discoveredLabels stay the PRE-relabel identity
+            # (Config.OriginalLabels in WriteActiveTargetsJSON)
+            t.discovered = dict(cand.discovered)
+            out_targets.append(t)
+        return out_targets
+
+    # ----------------------------------------------------------- file_sd
+    @staticmethod
+    def _file_sd_paths(group) -> list[str]:
+        import glob as _glob
+
+        paths = []
+        for pattern in group["files"]:
+            if any(ch in pattern for ch in "*?["):
+                paths.extend(sorted(_glob.glob(pattern)))
+            else:
+                paths.append(pattern)
+        return paths
+
+    def _file_sd_signature(self, group):
+        sig = []
+        import os as _os
+
+        for p in self._file_sd_paths(group):
+            try:
+                sig.append((p, _os.stat(p).st_mtime_ns))
+            except OSError:
+                sig.append((p, None))
+        return tuple(sig)
+
+    def _reload_file_sd_group(self, group) -> None:
+        """(Re)read the group's files and swap its targets in. JSON and
+        YAML static-config lists are accepted (loadStaticConfigs); a
+        broken file is skipped, the other files still load
+        (config.go:1110-1119). Each target gets the __meta_filepath
+        meta label (config.go:1129)."""
+        import json as _json
+
+        group["sig"] = self._file_sd_signature(group)
+        candidates = []
+        for p in self._file_sd_paths(group):
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    text = fh.read()
+                try:
+                    stcs = _json.loads(text)
+                except ValueError:
+                    import yaml as _yaml
+
+                    stcs = _yaml.safe_load(text)
+                if not isinstance(stcs, list):
+                    continue
+            except Exception:  # noqa: BLE001 — skip broken file
+                continue
+            candidates.extend(
+                self._make_candidates(
+                    group["ctx"], stcs, {"__meta_filepath": p}
+                )
+            )
+        fresh = self._finalize_candidates(
+            candidates, group["ctx"], group=group["key"]
+        )
+        with self._lock:
+            for t in self.targets:
+                if t.group == group["key"]:
+                    t.removed = True
+            self.targets = [
+                t for t in self.targets if t.group != group["key"]
+            ] + fresh
+        if self._running:
+            for t in fresh:
+                self._spawn(t)
+
+    def check_file_sd(self) -> bool:
+        """Re-read any file_sd group whose files changed on disk
+        (mtime/path-set signature); returns True when something
+        reloaded. The background watcher calls this every
+        ``file_sd_check_interval_s``; tests call it synchronously."""
+        changed = False
+        for group in self._file_sd_groups:
+            if self._file_sd_signature(group) != group["sig"]:
+                self._reload_file_sd_group(group)
+                changed = True
+        return changed
 
     def _target_relabel(self, candidates, rules) -> "list[dict | None]":
         """Apply relabel_configs to every candidate's discovered label
@@ -245,9 +430,10 @@ class Scraper:
 
     # ---------------------------------------------------------- scraping
     def _fetch(self, t: ScrapeTarget) -> str:
-        req = urllib.request.Request(
-            t.url, headers={"User-Agent": "vm_promscrape"}
-        )
+        headers = {"User-Agent": "vm_promscrape"}
+        if t.auth_header:
+            headers["Authorization"] = t.auth_header
+        req = urllib.request.Request(t.url, headers=headers)
         with urllib.request.urlopen(req, timeout=t.timeout_s) as resp:
             return resp.read().decode("utf-8", "replace")
 
@@ -266,6 +452,7 @@ class Scraper:
                 sample_limit=t.sample_limit,
                 scrape_url=t.url,
                 external_labels=self.external_labels,
+                honor_timestamps=t.honor_timestamps,
             )
             dur = time.monotonic() - t0
             up, err, samples = True, "", int(n)
@@ -309,38 +496,64 @@ class Scraper:
 
     def scrape_once(self) -> None:
         """Synchronously scrape every target once (tests + first tick)."""
-        for t in self.targets:
+        with self._lock:
+            targets = list(self.targets)
+        for t in targets:
             self.scrape_target(t)
 
     # ---------------------------------------------------------- lifecycle
-    def start(self) -> None:
-        """One thread per target (the reference runs one goroutine per
-        scrapeWork, scraper.go) — a dead target blocking in its fetch
-        up to scrape_timeout never delays any other target past its
-        own interval."""
-        if self._threads:
-            return
-        self._stop.clear()
-
-        def _loop(t: ScrapeTarget):
-            while not self._stop.is_set():
+    def _spawn(self, t: ScrapeTarget) -> None:
+        def _loop():
+            while not self._stop.is_set() and not t.removed:
                 started = time.monotonic()
                 self.scrape_target(t)
                 elapsed = time.monotonic() - started
                 self._stop.wait(max(0.05, t.interval_s - elapsed))
 
-        for t in self.targets:
+        th = threading.Thread(
+            target=_loop,
+            name=f"vm-promscrape-{t.job}-{t.address}",
+            daemon=True,
+        )
+        th.start()
+        self._threads.append(th)
+
+    def start(self) -> None:
+        """One thread per target (the reference runs one goroutine per
+        scrapeWork, scraper.go) — a dead target blocking in its fetch
+        up to scrape_timeout never delays any other target past its
+        own interval. With file_sd groups, a watcher thread re-reads
+        changed files every ``file_sd_check_interval_s`` and swaps the
+        affected targets (the -promscrape.fileSDCheckInterval loop)."""
+        if self._threads:
+            return
+        self._stop.clear()
+        self._running = True
+        with self._lock:
+            targets = list(self.targets)
+        for t in targets:
+            self._spawn(t)
+        if self._file_sd_groups:
+
+            def _watch():
+                while not self._stop.is_set():
+                    self._stop.wait(self.file_sd_check_interval_s)
+                    if self._stop.is_set():
+                        return
+                    try:
+                        self.check_file_sd()
+                    except Exception:  # noqa: BLE001 — keep watching
+                        pass
+
             th = threading.Thread(
-                target=_loop,
-                args=(t,),
-                name=f"vm-promscrape-{t.job}-{t.address}",
-                daemon=True,
+                target=_watch, name="vm-promscrape-filesd", daemon=True
             )
             th.start()
             self._threads.append(th)
 
     def stop(self) -> None:
         self._stop.set()
+        self._running = False
         for th in self._threads:
             th.join(timeout=5)
         self._threads = []
