@@ -1311,7 +1311,7 @@ def test_ingest_json_dialect_routes(spark):
     assert any(r["name"] == "dd.m2" for r in captured[-1][1])
 
     zb = ('{"host":{"host":"z1","name":"zn1"},"item_tags":[],'
-          '"name":"cpu.load","clock":10,"ns":0,"value":1.5}')
+          '"name":"cpu.load","clock":10,"ns":0,"value":1.5,"type":0}')
     post("/zabbixconnector/api/v1/history", zb, 204)
     assert any(r["labels"]["host"] == "z1" for r in captured[-1][1])
 

@@ -381,3 +381,47 @@ def test_metrics_page_exposes_invalid_counters(spark):
         assert 'vm_rows_invalid_total{type="prometheus"} 1' in text
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------------------------------ zabbix
+def test_zabbix_invalid_rows_skipped(spark):
+    """zabbixconnector/parser_test.go TestRowsUnmarshalFailure: text
+    value types (2/10), missing type, empty/missing name, string-typed
+    clock/ns, missing host fields — each line skipped without failing
+    the batch; the valid float (type 0) and unsigned (type 3) rows
+    land."""
+    from victoriametrics_spark.streaming.parsers import parse_zabbix
+
+    base = (
+        '{{"host":{{"host":"h1","name":"n1"}},"groups":["g1"],'
+        '"item_tags":[{{"tag":"t","value":"v"}}],"itemid":1,'
+        '"name":"{name}","clock":{clock},"ns":{ns},'
+        '"value":{value},"type":{type}}}'
+    )
+    lines = [
+        base.format(name="ok_f", clock=1712417868, ns=425677241, value=1, type=0),
+        base.format(name="ok_u", clock=1712417868, ns=425677241, value=2, type=3),
+        base.format(name="txt", clock=1712417868, ns=425677241, value=3, type=2),
+        base.format(name="log", clock=1712417868, ns=425677241, value=4, type=10),
+        base.format(name='""', clock=1712417868, ns=1, value=5, type=0).replace('"name":""""', '"name":""'),
+        base.format(name="sclock", clock='"1712417868"', ns=1, value=6, type=0),
+        base.format(name="fclock", clock=1.1, ns=1, value=7, type=0),
+        '{"foo":"bar"}',
+        "not json at all",
+        # missing type entirely
+        '{"host":{"host":"h1","name":"n1"},"name":"notype",'
+        '"clock":1712417868,"ns":1,"value":8}',
+        # missing host.name
+        '{"host":{"host":"h1"},"name":"nohn","clock":1712417868,'
+        '"ns":1,"value":9,"type":0}',
+    ]
+    out = parse_zabbix(_lines(spark, lines)).collect()
+    got = sorted((r["name"], r["value"]) for r in out)
+    assert got == [("ok_f", 1.0), ("ok_u", 2.0)]
+    (r,) = [x for x in out if x["name"] == "ok_f"]
+    assert r["ts"] == 1712417868425
+    assert dict(r["labels"]) == {
+        "host": "h1",
+        "hostname": "n1",
+        "tag_t": "v",
+    }

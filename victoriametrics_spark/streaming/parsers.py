@@ -954,17 +954,28 @@ def parse_zabbix(lines: DataFrame) -> DataFrame:
     line — ``host.host`` → ``host`` label, ``host.name`` →
     ``hostname`` label, ``name`` → metric name, ``item_tags``
     [{tag,value}] → ``tag_<k>`` labels (entries with an empty tag or
-    value are skipped, the -zabbixconnector.addEmptyTagsValue="" 
-    default), ts = clock·1e3 + ns/1e6."""
+    value are skipped, the -zabbixconnector.addEmptyTagsValue=""
+    default), ts = clock·1e3 + ns/1e6.
+
+    Validity rules per parser_test.go TestRowsUnmarshalFailure: the
+    item ``type`` must be numeric (0 = float, 3 = unsigned; text types
+    2/10 and a missing type are skipped), the item name non-empty, and
+    clock/ns integral; a JSON line whose field types mismatch
+    (string-valued clock, object-valued name, ...) nulls out of
+    from_json and is skipped without failing the batch."""
     schema = (
         "host STRUCT<host: STRING, name: STRING>, name STRING, "
-        "value DOUBLE, clock BIGINT, ns BIGINT, "
+        "value DOUBLE, clock BIGINT, ns BIGINT, type BIGINT, "
         "item_tags ARRAY<STRUCT<tag: STRING, value: STRING>>"
     )
     j = lines.select(F.from_json(F.col("value"), schema).alias("j")).filter(
         F.col("j.name").isNotNull()
+        & (F.col("j.name") != "")
         & F.col("j.host.host").isNotNull()
         & F.col("j.host.name").isNotNull()
+        & F.col("j.type").isin(0, 3)
+        & F.col("j.clock").isNotNull()
+        & F.col("j.ns").isNotNull()
     )
     tag_entries = F.filter(
         F.coalesce(
