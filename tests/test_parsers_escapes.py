@@ -119,11 +119,13 @@ def _influx(spark, rows, **kw):
 
 
 def test_influx_escaped_comma_in_tag(spark):
-    # judge repro: tag parsed as `a\` and `b` dropped before r11
+    # judge repro: tag parsed as `a\` and `b` dropped before r11;
+    # 1e9 < 1e11 → magnitude auto-detect reads it as SECONDS
+    # (streamparser.go:266-283 detectTimestamp)
     by, _ = _influx(spark, ["cpu,host=a\\,b usage=1.5 1000000000"])
     assert by["cpu_usage"]["labels"] == {"host": "a,b"}
     assert by["cpu_usage"]["value"] == 1.5
-    assert by["cpu_usage"]["ts"] == 1000
+    assert by["cpu_usage"]["ts"] == 1_000_000_000_000
 
 
 def test_influx_escaped_space_in_tag(spark):
@@ -181,7 +183,48 @@ def test_influx_bool_and_uint_fields(spark):
     assert by["m_b2"]["value"] == 0.0
     assert by["m_u"]["value"] == 7.0
     assert by["m_i"]["value"] == -3.0
-    assert by["m_b1"]["ts"] == 1
+    # 1e6 < 1e11 → auto-detected as seconds
+    assert by["m_b1"]["ts"] == 1_000_000_000
+
+
+def test_influx_precision_param(spark):
+    """?precision=ns|u|ms|s|m|h scaling + default-ts rounding to the
+    coarse unit (streamparser.go:95-112 getTimestampMultiplier,
+    294-323)."""
+    cases = [
+        ("ns", "1700000000123456789", 1700000000123),
+        ("u", "1700000000123456", 1700000000123),
+        ("ms", "1700000000123", 1700000000123),
+        ("s", "1700000000", 1700000000000),
+        ("m", "28333333", 28333333 * 60_000),
+        ("h", "472222", 472222 * 3_600_000),
+    ]
+    for prec, raw, want in cases:
+        by, _ = _influx(spark, [f"m f=1 {raw}"], precision=prec)
+        assert by["m_f"]["ts"] == want, prec
+    # precision=s with a MISSING ts: ingest time rounds down to seconds
+    by, _ = _influx(spark, ["m f=1"], precision="s", default_ts_ms=1234)
+    assert by["m_f"]["ts"] == 1000
+    # a raw 0 timestamp also takes the ingest time
+    by, _ = _influx(spark, ["m f=1 0"], default_ts_ms=777)
+    assert by["m_f"]["ts"] == 777
+
+
+def test_influx_ts_autodetect_magnitudes(spark):
+    """detectTimestamp (streamparser.go:266-283): ns ≥1e17, us ≥1e14,
+    ms ≥1e11, else seconds."""
+    cases = [
+        ("1700000000123456789", 1700000000123),  # ns
+        ("1700000000123456", 1700000000123),  # us
+        ("1700000000123", 1700000000123),  # ms
+        ("1700000000", 1700000000000),  # s
+    ]
+    for raw, want in cases:
+        by, _ = _influx(spark, [f"m f=1 {raw}"])
+        assert by["m_f"]["ts"] == want, raw
+        # and through the escaped slow path too
+        by2, _ = _influx(spark, [f"m,h=a\\ b f=1 {raw}"])
+        assert by2["m_f"]["ts"] == want, raw
 
 
 def test_influx_empty_measurement_uses_field_key(spark):

@@ -3440,6 +3440,7 @@ class IngestAPI:
         fmt: str,
         default_ts_ms: int = 0,
         extra_labels=None,
+        precision: "str | None" = None,
     ) -> int:
         """POST /api/v1/import[...] & friends — line dialects."""
         from victoriametrics_spark.streaming import parsers as P
@@ -3461,6 +3462,7 @@ class IngestAPI:
                 lines,
                 default_ts_ms=default_ts_ms or self._now_ms(),
                 keep_line_id=True,
+                precision=precision,
             )
         elif fmt == "graphite":
             df = P.parse_graphite(lines, default_ts_ms)
@@ -4863,7 +4865,13 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     "/api/v2/write",
                 ):
                     cnt = ingest_api.import_lines(
-                        raw.decode(), "influx", extra_labels=extra_labels
+                        raw.decode(),
+                        "influx",
+                        extra_labels=extra_labels,
+                        # ?precision=ns|u|ms|s|m|h scales timestamps;
+                        # absent → magnitude auto-detect
+                        # (streamparser.go:95-112,266-283)
+                        precision=(q.get("precision") or [None])[0],
                     )
                 elif u.path == "/newrelic/inventory/deltas":
                     # static ack (vminsert main.go:255-260)

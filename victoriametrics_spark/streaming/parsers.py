@@ -260,9 +260,10 @@ def _influx_field_num(v: str) -> "float | None":
 
 def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | None":
     """Full escape-aware parse of ONE influx line → list of
-    (metric_name, labels, ts_ms | None, value); None = invalid line
+    (metric_name, labels, raw_ts | None, value); None = invalid line
     (the reference rejects the whole line when any field fails,
-    influx/parser.go:110-173)."""
+    influx/parser.go:110-173). The raw timestamp is returned UNSCALED —
+    precision scaling / auto-detection happens in parse_influx."""
     s = s.strip()
     if not s or s.startswith("#"):
         return []
@@ -314,14 +315,12 @@ def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | N
         k = _influx_unescape(kv[0])
         v = _influx_unescape("=".join(kv[1:]))
         labels[k] = v
-    ts_ms: "int | None" = None
+    ts_raw: "int | None" = None
     if ts_str:
         try:
-            ts_ns = int(ts_str)
+            ts_raw = int(ts_str)
         except ValueError:
             return None
-        q, r = divmod(abs(ts_ns), 1_000_000)
-        ts_ms = q if ts_ns >= 0 else -q  # truncate toward zero like div
     out = []
     for fv in _split_fields(fields_str):
         kv = _split_unescaped(fv, "=")
@@ -332,7 +331,7 @@ def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | N
         if num is None or fkey == "":
             return None
         name = f"{meas}_{fkey}" if meas else fkey
-        out.append((name, labels, ts_ms, num))
+        out.append((name, labels, ts_raw, num))
     return out or None
 
 
@@ -364,10 +363,74 @@ def _influx_slow_batches(pdfs, with_line_id: bool):
         yield pd.DataFrame(data)
 
 
+def _influx_ts_to_ms(
+    raw: Column, precision: "str | None", default_ts_ms: "int | None"
+) -> Column:
+    """Timestamp scaling per the reference stream parser
+    (influx/stream/streamparser.go:95-112 getTimestampMultiplier +
+    266-283 detectTimestamp + 294-323): with no ``precision`` param the
+    magnitude decides (>=1e17 ns, >=1e14 us, >=1e11 ms, else seconds);
+    a named precision scales directly; a raw 0 or missing timestamp
+    takes the ingest time — rounded DOWN to the precision unit for the
+    coarse (s/m/h) precisions like the reference's
+    ``currentTs -= currentTs % tsMultiplier``.
+
+    ``raw`` must be a plain column reference (its name is used inside
+    an integral-``div`` SQL expression: nanosecond values exceed the
+    double mantissa, so any float division path corrupts low digits).
+    """
+    col_sql = f"`{_col_name(raw)}`"
+    mult = {
+        "ns": 1_000_000,
+        "u": 1_000,
+        "us": 1_000,
+        "µ": 1_000,
+        "ms": 1,
+        "s": -1_000,
+        "m": -60_000,
+        "h": -3_600_000,
+    }.get(precision or "", 0)
+    default = (
+        F.lit(int(default_ts_ms)).cast("long")
+        if default_ts_ms is not None
+        else F.lit(None).cast("long")
+    )
+    absent = raw.isNull() | (raw == 0)
+    if mult == 0:  # auto-detect by magnitude (detectTimestamp)
+        return (
+            F.when(absent, default)
+            .when(
+                raw >= 100_000_000_000_000_000,
+                F.expr(f"{col_sql} div 1000000"),
+            )
+            .when(raw >= 100_000_000_000_000, F.expr(f"{col_sql} div 1000"))
+            .when(raw >= 100_000_000_000, raw)
+            .otherwise(raw * 1000)
+        )
+    if mult >= 1:
+        scaled = raw if mult == 1 else F.expr(f"{col_sql} div {mult}")
+        return F.when(absent, default).otherwise(scaled)
+    m = -mult
+    rounded_default = (
+        F.lit((int(default_ts_ms) // m) * m).cast("long")
+        if default_ts_ms is not None
+        else F.lit(None).cast("long")
+    )
+    return F.when(absent, rounded_default).otherwise(raw * F.lit(m))
+
+
+def _col_name(c: Column) -> str:
+    """Best-effort name of a plain column reference."""
+    s = str(c)
+    # Column<'name'> repr
+    return s.split("'")[1] if "'" in s else s
+
+
 def parse_influx(
     lines: DataFrame,
     default_ts_ms: int | None = None,
     keep_line_id: bool = False,
+    precision: "str | None" = None,
 ) -> DataFrame:
     """Influx line protocol: ``meas[,tag=val...] field=val[,...] [ts_ns]``
     (lib/protoparser/influx/parser.go). Metric name =
@@ -406,23 +469,19 @@ def parse_influx(
             ).alias("fval"),
         ),
     )
-    # ns → ms (integral div: ns exceed double's exact range)
-    ts_ns = ts_str.try_cast("bigint")
-    ts_ms = F.expr(
-        "try_cast(split_part(value, ' ', 3) AS BIGINT) div 1000000"
-    )
+    ts_raw = ts_str.try_cast("bigint")
     line_ok = (
         (F.size(fields) > 0)
         & ~F.exists(
             parsed_fields,
             lambda x: x["fval"].isNull() | (x["fkey"] == ""),
         )
-        & ((ts_str == "") | ts_ns.isNotNull())
+        & ((ts_str == "") | ts_raw.isNotNull())
     )
     fast = plain.filter(line_ok).select(
         meas.alias("meas"),
         _tags_to_map(tags_str, ",", "=").alias("labels"),
-        F.when(ts_str != "", ts_ms).alias("ts"),
+        F.when(ts_str != "", ts_raw).alias("ts"),
         F.explode(parsed_fields).alias("fv"),
         *[F.col(c) for c in extra],
     )
@@ -448,12 +507,11 @@ def parse_influx(
     )
 
     both = fast.unionByName(slow)
-    default_ts = (
-        F.lit(default_ts_ms).cast("long")
-        if default_ts_ms is not None
-        else F.lit(None).cast("long")
+    # precision scaling / magnitude auto-detect over the RAW timestamp
+    # (streamparser.go:294-323; both paths emit unscaled ts)
+    both = both.withColumn(
+        "ts", _influx_ts_to_ms(F.col("ts"), precision, default_ts_ms)
     )
-    both = both.withColumn("ts", F.coalesce(F.col("ts"), default_ts))
     return _finish(both, extra=extra)
 
 
