@@ -3664,6 +3664,97 @@ FROM (
 )
 
 
+def _evt_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/events.py retention_cohorts):
+    first-active-day cohorts x day offsets, distinct users each."""
+    from victoriametrics_spark.operators.events import retention_cohorts
+    from victoriametrics_spark.sources.tables import load_table
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+_reg(
+    "op_evt_retention",
+    _evt_retention,
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS d
+    FROM events
+),
+f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+SELECT f.cohort AS cohort_day, ud.d - f.cohort AS day_offset,
+       count(DISTINCT ud.user_id) AS n_users
+FROM ud JOIN f USING (user_id)
+WHERE ud.d - f.cohort <= 14
+GROUP BY 1, 2""",
+)
+
+
+def _evt_rolling_active(spark, sf_dir):
+    """Rolling 7-day distinct active users (operators/events.py
+    rolling_active_users): exact WAU via bounded user-day explode."""
+    from victoriametrics_spark.operators.events import rolling_active_users
+    from victoriametrics_spark.sources.tables import load_table
+
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+_reg(
+    "op_evt_rolling_active",
+    _evt_rolling_active,
+    """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS d
+    FROM events
+),
+c AS (
+    SELECT user_id, d + r.range AS obs_day
+    FROM ud CROSS JOIN range(7) r
+)
+SELECT obs_day, count(DISTINCT user_id) AS active_users
+FROM c GROUP BY 1""",
+)
+
+
+def _doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS;
+    operators/text.py winnow_fingerprints): k=5-gram md5 hashes,
+    w=4 window minima, distinct set digested per doc. The oracle
+    reproduces the md5-hex minima bit-exactly."""
+    from victoriametrics_spark.operators.text import winnow_fingerprints
+    from victoriametrics_spark.sources.tables import load_table
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_reg(
+    "op_doc_winnow_fingerprint",
+    _doc_winnow,
+    f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+d AS (SELECT doc_id, w, len(w) - 4 AS n_grams FROM t WHERE len(w) >= 5),
+g AS (
+    SELECT doc_id, n_grams,
+           list_transform(range(1, n_grams + 1),
+               i -> md5(array_to_string(w[i:i+4], ' '))) AS g
+    FROM d
+),
+f AS (
+    SELECT doc_id, n_grams,
+           list_distinct(list_transform(
+               range(1, greatest(n_grams - 3, 1) + 1),
+               j -> list_min(g[j:j+least(4, n_grams)-1]))) AS fps
+    FROM g
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), '|')) AS fp_set_md5
+FROM f""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates per round. Round-9
 # rotation: (a) gates whose engine path changed this round — the
@@ -3689,8 +3780,12 @@ _DRIVER_PRIORITY = [
     # gates, then the r7 block. Everything else is also re-run by
     # scripts/check_oracle.py over the WHOLE registry each round.
     # (a) new in round 11 — end-to-end escape-aware ingest round-trips
+    # + the round's new pipeline operators
     "op_ingest_prom_escapes",
     "op_ingest_influx_escapes",
+    "op_evt_retention",
+    "op_evt_rolling_active",
+    "op_doc_winnow_fingerprint",
     # (b) verdict-named stale families
     "lql_word_stats",
     "lql_cmp_math",

@@ -1436,3 +1436,92 @@ def test_pq_knn_recall_on_clustered_corpus(spark):
     }
     approx = {r["vec_id"] for r in got}
     assert len(approx & exact) >= 5
+
+
+# ----------------------------------------------- round 11: events + winnowing
+def test_retention_cohorts(spark):
+    from victoriametrics_spark.operators.events import retention_cohorts
+
+    DAY = 86_400_000
+    rows = []
+    # user 1: days 0, 1, 3; user 2: days 0, 3; user 3: day 1 only
+    for uid, d in [(1, 0), (1, 1), (1, 3), (2, 0), (2, 3), (3, 1)]:
+        rows.append((uid, d * DAY + 5_000))
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long").select(
+        "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    out = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        (0, 0): 2,  # users 1, 2 cohort day 0
+        (0, 1): 1,  # user 1 back on day 1
+        (0, 3): 2,  # users 1, 2 back on day 3
+        (1, 0): 1,  # user 3 cohort day 1
+    }
+
+
+def test_rolling_active_users(spark):
+    from victoriametrics_spark.operators.events import rolling_active_users
+
+    DAY = 86_400_000
+    rows = [(1, 0), (2, 0), (1, 2), (3, 9)]
+    df = spark.createDataFrame(
+        [(u, d * DAY) for u, d in rows], "user_id long, ts_ms long"
+    ).select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+    out = {
+        r["obs_day"]: r["active_users"]
+        for r in rolling_active_users(df, window_days=3).collect()
+    }
+    # day-0 activity {u1,u2} covers obs days 0-2; u1's day-2 activity
+    # covers 2-4 (already counted on day 2); u3's day 9 covers 9-11
+    assert out == {
+        0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 9: 1, 10: 1, 11: 1,
+    }
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003 thm 1): two docs
+    sharing a token run of >= w+k-1 tokens share >= 1 fingerprint;
+    distinct texts fingerprint differently; short docs are excluded."""
+    from victoriametrics_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = [
+        (1, "intro words here " + shared + " trailing bits"),
+        (2, shared + " completely different ending material now"),
+        (3, "no overlap with anything else in this corpus at all"),
+        (4, "tiny doc"),  # < k tokens → excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, w=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # explicit fingerprint sets: recompute and intersect
+    from pyspark.sql import functions as SF
+    from victoriametrics_spark.operators.text import tokens
+
+    def fps(text):
+        toks = [t for t in text.split() if t]
+        import hashlib
+
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+            for i in range(len(toks) - 4)
+        ]
+        w = 4
+        n = len(grams)
+        wins = max(n - w + 1, 1)
+        return set(min(grams[j : j + min(w, n)]) for j in range(wins))
+
+    f1, f2, f3 = fps(docs[0][1]), fps(docs[1][1]), fps(docs[2][1])
+    assert f1 & f2, "shared 10-token run must share a fingerprint (w+k-1=8)"
+    assert not (f1 & f3)
+    # the Spark md5-set digest matches the reference python recompute
+    import hashlib
+
+    assert rows[1]["fp_set_md5"] == hashlib.md5(
+        "|".join(sorted(f1)).encode()
+    ).hexdigest()
+    assert rows[1]["n_fingerprints"] == len(f1)

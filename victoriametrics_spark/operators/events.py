@@ -169,3 +169,66 @@ def sessionize_window(
             (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
         )
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    max_offset_days: int = 14,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users cohort by their FIRST active day
+    (epoch days); for each (cohort_day, day_offset) count the distinct
+    cohort users active offset days later — the standard D1/D7/D30
+    retention triangle over interaction logs.
+
+    Scale posture: two user-keyed aggregations (distinct user-days,
+    then min-day per user) land on the SAME key so the second reuses
+    the first's partitioning; the join back is co-partitioned on
+    user_id; the final aggregate is keyed on the OUTPUT-sized
+    (cohort_day, day_offset)."""
+    day = F.expr(f"unix_millis(CAST(`{ts_col}` AS TIMESTAMP)) div 86400000")
+    user_days = df.select(
+        F.col(user_col).alias("user_id"), day.alias("d")
+    ).distinct()
+    first = user_days.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    joined = user_days.join(first, "user_id")
+    return (
+        joined.withColumn("day_offset", F.col("d") - F.col("cohort"))
+        .filter(F.col("day_offset") <= max_offset_days)
+        .groupBy(
+            F.col("cohort").alias("cohort_day"), F.col("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day active users: for every observation day, the
+    distinct users active in the trailing ``window_days`` window
+    (WAU/MAU-style). Exact, not sketched: each distinct (user, day)
+    contributes to the ``window_days`` observation days it covers via
+    a bounded explode — shuffle volume is
+    distinct(user, day) x window_days fixed-width rows, never raw
+    event volume, and the final count_distinct is a single keyed
+    aggregate."""
+    day = F.expr(f"unix_millis(CAST(`{ts_col}` AS TIMESTAMP)) div 86400000")
+    user_days = df.select(
+        F.col(user_col).alias("user_id"), day.alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.col("d") + F.lit(int(window_days) - 1)
+            )
+        ).alias("obs_day"),
+    )
+    return contrib.groupBy("obs_day").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )

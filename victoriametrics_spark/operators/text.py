@@ -1037,3 +1037,65 @@ def line_signals(
         F.round(punct / nl, 6).alias("frac_punct_lines"),
         F.round(uniq / nl, 6).alias("frac_unique_lines"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every k-token gram, slide a window of w
+    consecutive gram hashes, keep each window's minimum; the distinct
+    selected hashes are the document's fingerprint set. Guarantees any
+    shared run of >= w+k-1 tokens between two documents shares at
+    least one fingerprint, with a (~2/(w+1)) selection density.
+
+    Output: (doc_id, n_grams, n_fingerprints, fp_set_md5) where
+    fp_set_md5 digests the sorted fingerprint set (cheap equality
+    handle for downstream bucket-joins). Hashes are md5 hex strings
+    with lexicographic minima — portable across engines, so the DuckDB
+    oracle reproduces them bit-exactly.
+
+    Scale posture: zero shuffles — tokens/grams/windows are array
+    expressions per row inside codegen; a doc's fingerprint set is
+    bounded by its length. Docs shorter than k tokens have no grams
+    and are excluded (matching the reference algorithm's domain)."""
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("w")).filter(
+        F.size(F.col("w")) >= k
+    )
+    n_grams = F.size(F.col("w")) - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("w"), i, k), " ").cast("binary")
+        ),
+    )
+    d = d.select("doc_id", n_grams.alias("n_grams"), grams.alias("g"))
+    n_windows = F.greatest(
+        F.col("n_grams") - F.lit(w - 1), F.lit(1)
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(
+                F.slice(
+                    F.col("g"),
+                    j,
+                    F.least(F.lit(w), F.col("n_grams")),
+                )
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(fps), "|").cast("binary")).alias(
+            "fp_set_md5"
+        ),
+    )
