@@ -189,3 +189,43 @@ def test_alerts_endpoint_serves_runner_state_without_spark(spark, am_sink):
     assert runner2.last_alerts is None
     out3 = api2.alerts()  # falls back to evaluation, must not crash
     assert out3["status"] == "success"
+
+
+def test_alerts_api_shape(spark, am_sink):
+    """rule.ApiAlert shape (app/vmalert/rule/web.go:144-171): state,
+    name, value, labels, annotations, activeAt, id/rule_id/group_id,
+    expression, source — and activeAt points at the start of the
+    contiguous active run."""
+    url, _ = am_sink
+    rows = [
+        ("cpu", {"host": "a"}, ts, 95.0 if ts >= 600_000 else 10.0, False)
+        for ts in range(0, 1_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(
+        alert="HighCPU",
+        expr="last_over_time(cpu[400s]) > 90",
+        labels={"severity": "page"},
+        annotations={"summary": "s"},
+    )
+    api = PromAPI(spark, df, rule_groups=[("g1", [rule])])
+    out = api.alerts(time="1000")
+    (a,) = out["data"]["alerts"]
+    assert a["name"] == "HighCPU"
+    assert a["state"] == "firing"
+    assert a["labels"]["alertname"] == "HighCPU"
+    assert a["annotations"] == {"summary": "s"}
+    assert a["expression"] == rule.expr
+    assert a["id"].isdigit() and a["rule_id"].isdigit()
+    assert a["group_id"].isdigit()
+    assert a["source"].startswith("vmalert/alert?group_id=")
+    assert a["restored"] is False and a["stabilizing"] is False
+    # firing since ~600s (condition true from 600_000 on); activeAt is
+    # the start of the contiguous active run on the eval grid
+    assert a["activeAt"].endswith("Z")
+    from datetime import datetime
+
+    active_ms = datetime.fromisoformat(
+        a["activeAt"].replace("Z", "+00:00")
+    ).timestamp() * 1000
+    assert 400_000 <= active_ms <= 700_000

@@ -2219,8 +2219,24 @@ class PromAPI:
         else:
             row = self.samples.agg(F.max("ts")).first()
             now_ms = int(row[0]) if row and row[0] is not None else 0
+        import hashlib as _hl
+        from datetime import datetime as _dt, timezone as _tz
+
+        def _h(s: str) -> str:
+            # deterministic uint64-style ids like vmalert's hash ids
+            return str(
+                int.from_bytes(_hl.md5(s.encode()).digest()[:8], "big")
+            )
+
+        def _rfc(ms: int) -> str:
+            return (
+                _dt.fromtimestamp(ms / 1000.0, tz=_tz.utc)
+                .isoformat()
+                .replace("+00:00", "Z")
+            )
+
         alerts = []
-        for _g, rlist in self.rule_groups:
+        for gname, rlist in self.rule_groups:
             for r in rlist:
                 if not isinstance(r, AlertingRule):
                     continue
@@ -2237,24 +2253,60 @@ class PromAPI:
                     max_lookback=self.max_lookback_ms,
                 )
                 out = eval_alerting_rule(self.spark, self.samples, r, cfg)
-                rows = (
-                    out.filter(
-                        (F.col("name") == "ALERTS") & (F.col("ts") == now_ms)
-                    )
-                    .select("labels")
+                # one pass over the span: labels at every grid ts, so
+                # activeAt = start of the contiguous active run ending
+                # at now (clamped to the evaluated span; the background
+                # runner keeps the true cross-tick start in its tracker)
+                hist = (
+                    out.filter(F.col("name") == "ALERTS")
+                    .select("labels", "ts")
                     .collect()
                 )
-                for row in rows:
+                ts_by_key: dict[str, set] = {}
+                latest: dict[str, dict] = {}
+                for row in hist:
+                    labels = dict(row["labels"] or {})
+                    labels.pop("alertstate", None)
+                    key = json.dumps(sorted(labels.items()))
+                    ts_by_key.setdefault(key, set()).add(row["ts"])
+                for row in hist:
+                    if row["ts"] != now_ms:
+                        continue
                     labels = dict(row["labels"] or {})
                     state = labels.pop("alertstate", "pending")
-                    alerts.append(
-                        {
-                            "labels": {"alertname": r.alert, **labels},
-                            "annotations": r.annotations,
-                            "state": state,
-                            "value": "1",
-                        }
-                    )
+                    key = json.dumps(sorted(labels.items()))
+                    seen = ts_by_key.get(key, set())
+                    active_at = now_ms
+                    t = now_ms
+                    while (t - DEFAULT_STEP_MS) in seen:
+                        t -= DEFAULT_STEP_MS
+                    active_at = t
+                    full = {"alertname": r.alert, **labels}
+                    group_id = _h(gname)
+                    alert_id = _h(json.dumps(sorted(full.items())))
+                    latest[key] = {
+                        # rule.ApiAlert shape (app/vmalert/rule/
+                        # web.go:144-171): Grafana ng-alerting reads
+                        # these fields
+                        "state": state,
+                        "name": r.alert,
+                        "value": "1",
+                        "labels": full,
+                        "annotations": r.annotations,
+                        "activeAt": _rfc(active_at),
+                        "id": alert_id,
+                        "rule_id": _h(r.alert + "\x00" + r.expr),
+                        "group_id": group_id,
+                        "expression": r.expr,
+                        "source": (
+                            f"vmalert/alert?group_id={group_id}"
+                            f"&alert_id={alert_id}"
+                        ),
+                        "restored": False,
+                        "stabilizing": False,
+                    }
+                alerts.extend(latest.values())
+        alerts.sort(key=lambda a: a["id"])
         return {"status": "success", "data": {"alerts": alerts}}
 
     def tsdb_status(
