@@ -4,6 +4,7 @@ vmalert analog as batch jobs."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from victoriametrics_spark import EvalConfig, evaluate
 from victoriametrics_spark.rules import (
@@ -91,3 +92,86 @@ def test_run_rules_write_back_queryable(spark, samples):
     back = read_samples_table(spark, "t_rules")
     res = evaluate(spark, "last_over_time(ALERTS[200s])", back, CFG)
     assert res.count() > 0
+
+
+def test_keep_firing_for(spark):
+    """keep_firing_for (alerting.go:34,535,560-580): a FIRING alert
+    whose condition disappears keeps firing until keep_firing_for
+    elapses since the first absent tick; re-appearing keeps it firing
+    with no pending restart; a PENDING alert dies immediately."""
+    from victoriametrics_spark import EvalConfig
+    from victoriametrics_spark.rules import AlertingRule, eval_alerting_rule
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+    STEP = 100_000
+    # condition true at t=0..300k, absent 400k-500k, true again 600k,
+    # absent from 700k on
+    true_ts = [0, 100_000, 200_000, 300_000, 600_000]
+    rows = [("up", {"job": "x"}, t, 0.0, False) for t in true_ts]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(
+        alert="Down",
+        expr="up == 0",
+        for_ms=200_000,
+        keep_firing_for_ms=250_000,
+    )
+    cfg = EvalConfig(start=0, end=1_200_000, step=STEP, max_lookback=50_000)
+    out = eval_alerting_rule(spark, df, rule, cfg)
+    got = {
+        r["ts"]: dict(r["labels"])["alertstate"]
+        for r in out.filter(F.col("name") == "ALERTS").collect()
+    }
+    # the engine's staleness lookback keeps the condition present at
+    # 400k (sample at 300k) and 700k (sample at 600k); absent at
+    # 500k and from 800k on
+    assert got[0] == "pending" and got[100_000] == "pending"
+    assert got[200_000] == "firing" and got[400_000] == "firing"
+    # absent at 500k: kept firing (keep window 250k from 500k)
+    assert got[500_000] == "firing"
+    # back at 600k: STAYS firing, no pending restart (alerting.go:531)
+    assert got[600_000] == "firing" and got[700_000] == "firing"
+    # absent from 800k: kept at 800k, 900k, 1000k (<250k since 800k);
+    # inactive from 1050k → no rows
+    assert got[1_000_000] == "firing"
+    assert 1_100_000 not in got and 1_200_000 not in got
+    # FOR_STATE rows exist only where the condition holds
+    fs_ts = {
+        r["ts"]
+        for r in out.filter(F.col("name") == "ALERTS_FOR_STATE").collect()
+    }
+    assert fs_ts == {0, 100_000, 200_000, 300_000, 400_000, 600_000, 700_000}
+
+    # without keep_firing_for the same data resolves at the first gap
+    # and RESTARTS pending on return
+    rule0 = AlertingRule(alert="Down", expr="up == 0", for_ms=200_000)
+    out0 = eval_alerting_rule(spark, df, rule0, cfg)
+    got0 = {
+        r["ts"]: dict(r["labels"])["alertstate"]
+        for r in out0.filter(F.col("name") == "ALERTS").collect()
+    }
+    assert 500_000 not in got0
+    assert got0[600_000] == "pending"
+
+
+def test_keep_firing_stabilizing_in_alerts_api(spark):
+    from victoriametrics_spark.api.http import PromAPI
+    from victoriametrics_spark.rules import AlertingRule
+    from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+    rows = [
+        ("up", {"job": "x"}, t, 0.0, False)
+        for t in range(0, 700_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(
+        alert="Down",
+        expr="last_over_time(up[150s]) == 0",
+        keep_firing_for_ms=600_000,
+    )
+    api = PromAPI(spark, df, rule_groups=[("g", [rule])])
+    # at t=600s the condition holds → firing, not stabilizing
+    (a,) = api.alerts(time="600")["data"]["alerts"]
+    assert a["state"] == "firing" and a["stabilizing"] is False
+    # at t=1000s the condition is gone but keep_firing_for holds it
+    (a2,) = api.alerts(time="1000")["data"]["alerts"]
+    assert a2["state"] == "firing" and a2["stabilizing"] is True

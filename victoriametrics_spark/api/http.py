@@ -2257,11 +2257,23 @@ class PromAPI:
                 # activeAt = start of the contiguous active run ending
                 # at now (clamped to the evaluated span; the background
                 # runner keeps the true cross-tick start in its tracker)
-                hist = (
-                    out.filter(F.col("name") == "ALERTS")
-                    .select("labels", "ts")
+                hist_all = (
+                    out.filter(
+                        F.col("name").isin("ALERTS", "ALERTS_FOR_STATE")
+                    )
+                    .select("name", "labels", "ts")
                     .collect()
                 )
+                hist = [r for r in hist_all if r["name"] == "ALERTS"]
+                # condition actually holds at now ⇔ a FOR_STATE row
+                # exists at now; a firing alert without one is being
+                # kept by keep_firing_for (ApiAlert.Stabilizing)
+                cond_now: set = set()
+                for row in hist_all:
+                    if row["name"] == "ALERTS_FOR_STATE" and row["ts"] == now_ms:
+                        labels = dict(row["labels"] or {})
+                        labels.pop("alertstate", None)
+                        cond_now.add(json.dumps(sorted(labels.items())))
                 ts_by_key: dict[str, set] = {}
                 latest: dict[str, dict] = {}
                 for row in hist:
@@ -2303,7 +2315,11 @@ class PromAPI:
                             f"&alert_id={alert_id}"
                         ),
                         "restored": False,
-                        "stabilizing": False,
+                        "stabilizing": (
+                            state == "firing"
+                            and r.keep_firing_for_ms > 0
+                            and key not in cond_now
+                        ),
                     }
                 alerts.extend(latest.values())
         alerts.sort(key=lambda a: a["id"])

@@ -43,6 +43,11 @@ class AlertingRule:
     for_ms: int = 0
     labels: dict[str, str] = field(default_factory=dict)
     annotations: dict[str, str] = field(default_factory=dict)
+    # `keep_firing_for` (alerting.go:34,560-580): a FIRING alert whose
+    # condition disappears keeps firing until this elapses since the
+    # first absent tick; re-appearing resets the clock and the alert
+    # stays firing (no pending restart). 0 = off.
+    keep_firing_for_ms: int = 0
 
 
 def _with_extra_labels(df: DataFrame, extra: dict[str, str]) -> DataFrame:
@@ -78,8 +83,12 @@ def eval_alerting_rule(
     """ALERTS/ALERTS_FOR_STATE series for one alerting rule.
 
     pending → firing after the condition holds for ``for_ms``
-    continuously (alerting.go: activeAt + holdDuration)."""
+    continuously (alerting.go: activeAt + holdDuration); with
+    ``keep_firing_for`` set, the exact sequential state machine runs
+    per series (alerting.go:500-600) in an Arrow pass."""
     res = evaluate(spark, rule.expr, samples, cfg)
+    if rule.keep_firing_for_ms > 0:
+        return _eval_alerting_keep_firing(res, rule, cfg)
     step = cfg.step
     d = res.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
     w = Window.partitionBy("__sk").orderBy("ts")
@@ -108,6 +117,102 @@ def eval_alerting_rule(
         F.col("labels"),
         F.col("ts"),
         (F.col("__active_at") / 1000.0).alias("value"),
+    )
+    return alerts.unionByName(for_state)
+
+
+def _eval_alerting_keep_firing(
+    res: DataFrame, rule: AlertingRule, cfg: EvalConfig
+) -> DataFrame:
+    """The vmalert per-alert state machine with ``keep_firing_for``
+    (alerting.go exec, lines 500-600), run as ONE sequential Arrow pass
+    per series — the same shape the reference uses (its alerts map is
+    walked per rule tick):
+
+    - present & previously inactive → PENDING (activeAt = ts), then
+      FIRING once ts − activeAt ≥ for_ms;
+    - present while FIRING → stays FIRING, KeepFiringSince resets
+      (alerting.go:535) — no pending restart;
+    - absent while PENDING → inactive immediately;
+    - absent while FIRING → KeepFiringSince = first absent tick;
+      inactive once ts − KeepFiringSince ≥ keep_firing_for, kept
+      FIRING (stabilizing) before that (alerting.go:562-580).
+
+    ALERTS rows are emitted for pending/firing (incl. kept) points;
+    ALERTS_FOR_STATE only where the condition actually holds, so a
+    firing-at-now alert with no FOR_STATE row at now is stabilizing."""
+    import pandas as pd
+
+    step = int(cfg.step)
+    end = int(cfg.end)
+    for_ms = int(rule.for_ms)
+    keep_ms = int(rule.keep_firing_for_ms)
+
+    d = res.withColumn("__sk", series_key(F.col("name"), F.col("labels")))
+    alert_labels = dict(rule.labels)
+    alert_labels["alertname"] = rule.alert
+    base = _with_extra_labels(d, alert_labels).select(
+        "__sk", "labels", "ts"
+    )
+
+    out_schema = (
+        "labels map<string,string>, ts long, state string, "
+        "active_at long, present boolean"
+    )
+
+    def machine(key, pdf):
+        pdf = pdf.sort_values("ts")
+        present = set(int(t) for t in pdf["ts"])
+        labels = pdf["labels"].iloc[0]
+        t0 = min(present)
+        rows = []
+        state = "inactive"
+        active_at = 0
+        keep_since = None
+        t = t0
+        while t <= end:
+            if t in present:
+                keep_since = None
+                if state == "inactive":
+                    state, active_at = "pending", t
+                if state == "pending" and t - active_at >= for_ms:
+                    state = "firing"
+                rows.append((labels, t, state, active_at, True))
+            else:
+                if state == "firing":
+                    if keep_since is None:
+                        keep_since = t
+                    if t - keep_since >= keep_ms:
+                        state, keep_since = "inactive", None
+                    else:
+                        rows.append((labels, t, "firing", active_at, False))
+                elif state == "pending":
+                    state = "inactive"
+                t += step
+                continue
+            t += step
+        return pd.DataFrame(
+            rows,
+            columns=["labels", "ts", "state", "active_at", "present"],
+        )
+
+    st = base.groupBy("__sk").applyInPandas(machine, out_schema)
+    alerts = st.select(
+        F.lit("ALERTS").alias("name"),
+        F.map_concat(
+            F.map_filter(
+                F.col("labels"), lambda k, v: k != F.lit("alertstate")
+            ),
+            F.create_map(F.lit("alertstate"), F.col("state")),
+        ).alias("labels"),
+        F.col("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    for_state = st.filter(F.col("present")).select(
+        F.lit("ALERTS_FOR_STATE").alias("name"),
+        F.col("labels"),
+        F.col("ts"),
+        (F.col("active_at") / 1000.0).alias("value"),
     )
     return alerts.unionByName(for_state)
 

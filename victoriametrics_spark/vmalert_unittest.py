@@ -167,6 +167,9 @@ def load_rule_groups(doc: dict) -> list:
                         alert=r["alert"],
                         expr=str(r["expr"]),
                         for_ms=_parse_duration_ms(r.get("for")),
+                        keep_firing_for_ms=_parse_duration_ms(
+                            r.get("keep_firing_for")
+                        ),
                         labels={
                             k: str(v)
                             for k, v in (r.get("labels") or {}).items()
@@ -241,6 +244,7 @@ def _materialize_groups(
                         for_ms=r.for_ms,
                         labels=labels,
                         annotations=r.annotations,
+                        keep_firing_for_ms=r.keep_firing_for_ms,
                     )
                 alert_rules[(gname, r.alert)] = rr
                 out = eval_alerting_rule(spark, frame, rr, cfg)
