@@ -229,3 +229,36 @@ def test_alerts_api_shape(spark, am_sink):
         a["activeAt"].replace("Z", "+00:00")
     ).timestamp() * 1000
     assert 400_000 <= active_ms <= 700_000
+
+
+def test_alerts_match_filter_and_single_alert(spark, am_sink):
+    """match[] filtering on /api/v1/alerts (areLabelsMatch, OR across
+    selectors) and the /api/v1/alert single-alert lookup by
+    group_id/alert_id (web.go:268-282)."""
+    url, _ = am_sink
+    rows = [
+        ("cpu", {"host": h}, ts, 95.0, False)
+        for h in ("a", "b")
+        for ts in range(0, 1_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    rule = AlertingRule(alert="HighCPU", expr="last_over_time(cpu[400s]) > 90")
+    api = PromAPI(spark, df, rule_groups=[("g1", [rule])])
+    both = api.alerts(time="1000")["data"]["alerts"]
+    assert len(both) == 2
+    only_a = api.alerts(time="1000", match=['{host="a"}'])["data"]["alerts"]
+    assert len(only_a) == 1 and only_a[0]["labels"]["host"] == "a"
+    regex = api.alerts(time="1000", match=['{host=~"a|b"}'])["data"]["alerts"]
+    assert len(regex) == 2
+    none = api.alerts(time="1000", match=['{host="zzz"}'])["data"]["alerts"]
+    assert none == []
+    # OR across multiple match[] selectors
+    or_two = api.alerts(
+        time="1000", match=['{host="a"}', '{host="b"}']
+    )["data"]["alerts"]
+    assert len(or_two) == 2
+
+    a = both[0]
+    got = api.get_alert(a["group_id"], a["id"], time="1000")
+    assert got is not None and got["labels"] == a["labels"]
+    assert api.get_alert(a["group_id"], "0", time="1000") is None

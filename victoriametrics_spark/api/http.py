@@ -2192,7 +2192,58 @@ class PromAPI:
             groups.append({"name": gname, "rules": out})
         return {"status": "success", "data": {"groups": groups}}
 
-    def alerts(self, time: str | None = None) -> dict:
+    @staticmethod
+    def _labels_match(labels: dict, selectors: "list[str]") -> bool:
+        """areLabelsMatch (vmalert web.go): multiple match[] selectors
+        are OR'd; within one selector the label filters AND. Regex ops
+        are fully anchored like Prometheus matchers."""
+        import re as _re
+
+        from victoriametrics_spark.metricsql.ast import MetricExpr
+        from victoriametrics_spark.metricsql.parser import parse
+
+        def one(sel: str) -> bool:
+            e = parse(sel)
+            if not isinstance(e, MetricExpr):
+                raise ValueError(f"match[] must be a selector: {sel!r}")
+            for group in e.label_filterss or [[]]:
+                ok = True
+                for f in group:
+                    v = labels.get(f.label, "")
+                    if f.op == "=":
+                        ok = v == f.value
+                    elif f.op == "!=":
+                        ok = v != f.value
+                    elif f.op == "=~":
+                        ok = _re.fullmatch(f.value, v) is not None
+                    elif f.op == "!~":
+                        ok = _re.fullmatch(f.value, v) is None
+                    else:
+                        ok = False
+                    if not ok:
+                        break
+                if ok:
+                    return True
+            return False
+
+        return any(one(s) for s in selectors)
+
+    def get_alert(
+        self,
+        group_id: "str | None",
+        alert_id: "str | None",
+        time: str | None = None,
+    ) -> "dict | None":
+        """GET /api/v1/alert?group_id=&alert_id= — one alert in the
+        ApiAlert shape (vmalert web.go:268-282 getAlert), or None."""
+        for a in self.alerts(time)["data"]["alerts"]:
+            if a["group_id"] == str(group_id) and a["id"] == str(alert_id):
+                return a
+        return None
+
+    def alerts(
+        self, time: str | None = None, match: "list[str] | None" = None
+    ) -> dict:
         """GET /api/v1/alerts — active (pending|firing) alerts.
 
         Default path (no ``time=``): when a RulesNotifierRunner is
@@ -2209,10 +2260,14 @@ class PromAPI:
         if time is None:
             runner = getattr(self, "notifier_runner", None)
             if runner is not None and runner.last_alerts is not None:
-                return {
-                    "status": "success",
-                    "data": {"alerts": list(runner.last_alerts)},
-                }
+                snap = list(runner.last_alerts)
+                if match:
+                    snap = [
+                        a
+                        for a in snap
+                        if self._labels_match(a.get("labels") or {}, match)
+                    ]
+                return {"status": "success", "data": {"alerts": snap}}
 
         if time is not None:
             now_ms = _parse_time(time, 0)
@@ -2322,6 +2377,12 @@ class PromAPI:
                         ),
                     }
                 alerts.extend(latest.values())
+        if match:
+            alerts = [
+                a
+                for a in alerts
+                if self._labels_match(a.get("labels") or {}, match)
+            ]
         alerts.sort(key=lambda a: a["id"])
         return {"status": "success", "data": {"alerts": alerts}}
 
@@ -4389,8 +4450,24 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     # bare /rules and /alerts are served as aliases
                     # (vmselect main.go:563,576)
                     out = api.rules()
-                elif u.path in ("/api/v1/alerts", "/alerts"):
-                    out = api.alerts(p("time"))
+                elif u.path in (
+                    "/api/v1/alerts", "/alerts", "/vmalert/api/v1/alerts",
+                ):
+                    out = api.alerts(p("time"), match=matches or None)
+                elif u.path in ("/api/v1/alert", "/vmalert/api/v1/alert"):
+                    # single-alert lookup by the ids /api/v1/alerts
+                    # serves (vmalert web.go:180-193 getAlert)
+                    out = api.get_alert(
+                        p("group_id"), p("alert_id"), time=p("time")
+                    )
+                    if out is None:
+                        self._send(
+                            404,
+                            json.dumps(
+                                {"status": "error", "error": "alert not found"}
+                            ),
+                        )
+                        return
                 elif u.path in (
                     "/api/v1/notifiers", "/vmalert/api/v1/notifiers",
                 ):
