@@ -262,3 +262,37 @@ def test_alerts_match_filter_and_single_alert(spark, am_sink):
     got = api.get_alert(a["group_id"], a["id"], time="1000")
     assert got is not None and got["labels"] == a["labels"]
     assert api.get_alert(a["group_id"], "0", time="1000") is None
+
+
+def test_rules_api_embeds_runner_alerts(spark, am_sink):
+    """rule.ApiRule (web.go:77-122): with a runner attached, alerting
+    rules embed their current alerts from the state snapshot and
+    derive state firing > pending > inactive — no Spark work."""
+    url, _ = am_sink
+    rows = [
+        ("cpu", {"host": "a"}, ts, 95.0, False)
+        for ts in range(0, 1_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    r1 = AlertingRule(alert="HighCPU", expr="last_over_time(cpu[400s]) > 90")
+    r2 = AlertingRule(alert="Quiet", expr="last_over_time(cpu[400s]) > 999")
+    api = PromAPI(spark, df, rule_groups=[("g1", [r1, r2])])
+    runner = RulesNotifierRunner(api, AlertmanagerNotifier([url]))
+    runner.tick(now_ms=1_000_000)
+
+    real = api.samples
+
+    class _Poison:
+        def __getattr__(self, name):
+            raise AssertionError("rules() touched Spark")
+
+    api.samples = _Poison()
+    try:
+        groups = api.rules()["data"]["groups"]
+    finally:
+        api.samples = real
+    by = {r["name"]: r for r in groups[0]["rules"]}
+    assert by["HighCPU"]["state"] == "firing"
+    assert by["HighCPU"]["alerts"][0]["labels"]["alertname"] == "HighCPU"
+    assert by["Quiet"]["state"] == "inactive" and "alerts" not in by["Quiet"]
+    assert by["HighCPU"]["keep_firing_for"] == 0.0

@@ -2160,9 +2160,21 @@ class PromAPI:
 
     def rules(self) -> dict:
         """GET /api/v1/rules (vmalert's Prometheus-compatible rule
-        listing; app/vmalert/web.go APIv1 rules handler)."""
+        listing; rule.ApiRule shape, app/vmalert/rule/web.go:77-122).
+
+        When a RulesNotifierRunner is attached, each alerting rule
+        embeds its currently pending/firing alerts from the runner's
+        state snapshot and derives the rule state from them
+        (firing > pending > inactive) — no Spark work on the request
+        path, same as the /api/v1/alerts default path."""
         from victoriametrics_spark.rules import AlertingRule, RecordingRule
 
+        runner = getattr(self, "notifier_runner", None)
+        snap = (
+            list(runner.last_alerts)
+            if runner is not None and runner.last_alerts is not None
+            else None
+        )
         groups = []
         for gname, rlist in self.rule_groups:
             out = []
@@ -2171,24 +2183,41 @@ class PromAPI:
                     out.append(
                         {
                             "type": "recording",
+                            "state": "ok",
                             "name": r.record,
                             "query": r.expr,
                             "labels": r.labels,
                             "health": "ok",
+                            "lastError": "",
                         }
                     )
                 elif isinstance(r, AlertingRule):
-                    out.append(
-                        {
-                            "type": "alerting",
-                            "name": r.alert,
-                            "query": r.expr,
-                            "duration": r.for_ms / 1000.0,
-                            "labels": r.labels,
-                            "annotations": r.annotations,
-                            "health": "ok",
-                        }
-                    )
+                    mine = [
+                        a for a in (snap or []) if a.get("name") == r.alert
+                    ]
+                    if snap is None:
+                        state = "inactive"
+                    elif any(a["state"] == "firing" for a in mine):
+                        state = "firing"
+                    elif any(a["state"] == "pending" for a in mine):
+                        state = "pending"
+                    else:
+                        state = "inactive"
+                    entry = {
+                        "type": "alerting",
+                        "state": state,
+                        "name": r.alert,
+                        "query": r.expr,
+                        "duration": r.for_ms / 1000.0,
+                        "keep_firing_for": r.keep_firing_for_ms / 1000.0,
+                        "labels": r.labels,
+                        "annotations": r.annotations,
+                        "health": "ok",
+                        "lastError": "",
+                    }
+                    if mine:
+                        entry["alerts"] = mine
+                    out.append(entry)
             groups.append({"name": gname, "rules": out})
         return {"status": "success", "data": {"groups": groups}}
 
