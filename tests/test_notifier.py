@@ -296,3 +296,36 @@ def test_rules_api_embeds_runner_alerts(spark, am_sink):
     assert by["HighCPU"]["alerts"][0]["labels"]["alertname"] == "HighCPU"
     assert by["Quiet"]["state"] == "inactive" and "alerts" not in by["Quiet"]
     assert by["HighCPU"]["keep_firing_for"] == 0.0
+
+
+def test_rules_api_filters(spark, am_sink):
+    """Prometheus rules-API filters (web.go rulesFilter): type,
+    rule_name[], exclude_alerts."""
+    from victoriametrics_spark.rules import RecordingRule
+
+    url, _ = am_sink
+    rows = [
+        ("cpu", {"host": "a"}, ts, 95.0, False)
+        for ts in range(0, 1_100_000, 100_000)
+    ]
+    df = spark.createDataFrame(rows, SAMPLE_SCHEMA)
+    r1 = AlertingRule(alert="HighCPU", expr="last_over_time(cpu[400s]) > 90")
+    rec = RecordingRule(record="cpu:rec", expr="last_over_time(cpu[400s])")
+    api = PromAPI(spark, df, rule_groups=[("g1", [r1, rec])])
+    runner = RulesNotifierRunner(api, AlertmanagerNotifier([url]))
+    runner.tick(now_ms=1_000_000)
+
+    all_rules = api.rules()["data"]["groups"][0]["rules"]
+    assert {r["type"] for r in all_rules} == {"alerting", "recording"}
+    only_alert = api.rules(type="alert")["data"]["groups"][0]["rules"]
+    assert [r["type"] for r in only_alert] == ["alerting"]
+    only_rec = api.rules(type="record")["data"]["groups"][0]["rules"]
+    assert [r["type"] for r in only_rec] == ["recording"]
+    named = api.rules(rule_name=["cpu:rec"])["data"]["groups"][0]["rules"]
+    assert [r["name"] for r in named] == ["cpu:rec"]
+    bare = api.rules(type="alert", exclude_alerts=True)
+    assert "alerts" not in bare["data"]["groups"][0]["rules"][0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.rules(type="bogus")

@@ -2158,9 +2158,17 @@ class PromAPI:
             )
         return out
 
-    def rules(self) -> dict:
+    def rules(
+        self,
+        type: str | None = None,
+        rule_name: "list[str] | None" = None,
+        exclude_alerts: bool = False,
+    ) -> dict:
         """GET /api/v1/rules (vmalert's Prometheus-compatible rule
         listing; rule.ApiRule shape, app/vmalert/rule/web.go:77-122).
+        Filters per the Prometheus rules API (web.go rulesFilter):
+        ``type`` = alert|record, ``rule_name[]`` exact names,
+        ``exclude_alerts`` drops the embedded alert lists.
 
         When a RulesNotifierRunner is attached, each alerting rule
         embeds its currently pending/firing alerts from the runner's
@@ -2175,11 +2183,16 @@ class PromAPI:
             if runner is not None and runner.last_alerts is not None
             else None
         )
+        if type not in (None, "", "alert", "record"):
+            raise ValueError(f"invalid type parameter {type!r}")
+        names = set(rule_name or [])
         groups = []
         for gname, rlist in self.rule_groups:
             out = []
             for r in rlist:
                 if isinstance(r, RecordingRule):
+                    if type == "alert" or (names and r.record not in names):
+                        continue
                     out.append(
                         {
                             "type": "recording",
@@ -2192,6 +2205,8 @@ class PromAPI:
                         }
                     )
                 elif isinstance(r, AlertingRule):
+                    if type == "record" or (names and r.alert not in names):
+                        continue
                     mine = [
                         a for a in (snap or []) if a.get("name") == r.alert
                     ]
@@ -2215,7 +2230,7 @@ class PromAPI:
                         "health": "ok",
                         "lastError": "",
                     }
-                    if mine:
+                    if mine and not exclude_alerts:
                         entry["alerts"] = mine
                     out.append(entry)
             groups.append({"name": gname, "rules": out})
@@ -4478,7 +4493,13 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 elif u.path in ("/api/v1/rules", "/rules"):
                     # bare /rules and /alerts are served as aliases
                     # (vmselect main.go:563,576)
-                    out = api.rules()
+                    out = api.rules(
+                        type=p("type"),
+                        rule_name=q.get("rule_name[]") or None,
+                        exclude_alerts=(
+                            (p("exclude_alerts") or "").lower() == "true"
+                        ),
+                    )
                 elif u.path in (
                     "/api/v1/alerts", "/alerts", "/vmalert/api/v1/alerts",
                 ):
