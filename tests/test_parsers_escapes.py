@@ -36,7 +36,9 @@ def test_prom_brace_inside_quoted_value(spark):
     by, out = _prom(spark, ['m{msg="a}b"} 2 1000'])
     assert by["m"]["labels"] == {"msg": "a}b"}
     assert by["m"]["value"] == 2.0
-    assert by["m"]["ts"] == 1000
+    # 1000 < 2^31 → OpenMetrics Unix seconds, scaled to ms
+    # (parser.go:218-229)
+    assert by["m"]["ts"] == 1_000_000
 
 
 def test_prom_comma_inside_quoted_value(spark):
@@ -64,10 +66,11 @@ def test_prom_invalid_escape_stays_literal(spark):
 
 
 def test_prom_weird_key_and_space_value(spark):
-    # parser_test.go: foo{bar#2="#1 az"} 24 456 (456 is ms here)
+    # parser_test.go: foo{bar#2="#1 az"} 24 456 — the reference reads
+    # 456 as OpenMetrics seconds (parser_test.go expects 456000)
     by, _ = _prom(spark, ['foo{bar#2="#1 az"} 24 456'])
     assert by["foo"]["labels"] == {"bar#2": "#1 az"}
-    assert by["foo"]["ts"] == 456
+    assert by["foo"]["ts"] == 456_000
 
 
 def test_prom_utf8_names_with_adversarial_values(spark):
@@ -108,7 +111,7 @@ def test_prom_poison_lines_do_not_kill_batch(spark):
 def test_prom_multiple_spaces_and_default_ts(spark):
     by, _ = _prom(spark, ["m   7.5", 'n{a="b"}   8   1234'], default_ts=42)
     assert by["m"]["ts"] == 42 and by["m"]["value"] == 7.5
-    assert by["n"]["ts"] == 1234
+    assert by["n"]["ts"] == 1_234_000  # seconds → ms
 
 
 # ----------------------------------------------------------------- influx
@@ -468,3 +471,28 @@ def test_zabbix_invalid_rows_skipped(spark):
         "hostname": "n1",
         "tag_t": "v",
     }
+
+
+def test_prom_exemplars_and_seconds_ts(spark):
+    """Trailing-# comments (OpenMetrics exemplars) are stripped
+    (parser.go:117-123,191) and timestamps in [-2^31, 2^31) read as
+    OpenMetrics Unix seconds scaled to ms (parser.go:218-229); larger
+    values stay ms; fractional timestamps parse as floats."""
+    by, _ = _prom(
+        spark,
+        [
+            'with_exemplar_total{a="b"} 1 # {trace_id="x"} 0.67',
+            "bare_comment 2 # anything after the hash is ignored",
+            'exemplar_after_ts{a="b"} 3 1700000000123 # {t="z"}',
+            "secs 4 1700000000",
+            "ms_ts 5 1700000000123",
+            "frac 6 1.5",
+        ],
+        default_ts=9000,
+    )
+    assert by["with_exemplar_total"]["ts"] == 9000  # no ts, comment cut
+    assert by["bare_comment"]["ts"] == 9000 and by["bare_comment"]["value"] == 2.0
+    assert by["exemplar_after_ts"]["ts"] == 1700000000123
+    assert by["secs"]["ts"] == 1_700_000_000_000
+    assert by["ms_ts"]["ts"] == 1700000000123
+    assert by["frac"]["ts"] == 1500

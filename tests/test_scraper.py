@@ -599,8 +599,9 @@ def test_honor_timestamps(spark):
         assert by[("default", "ts_metric")] == scrape_ms
         assert by[("default", "zero_ts_metric")] == scrape_ms
         assert by[("default", "no_ts_metric")] == scrape_ms
-        # honored: body ts kept; 0 and missing take scrape time
-        assert by[("honored", "ts_metric")] == 1234
+        # honored: body ts kept (1234 reads as OpenMetrics seconds,
+        # parser.go:218-229); 0 and missing take scrape time
+        assert by[("honored", "ts_metric")] == 1_234_000
         assert by[("honored", "zero_ts_metric")] == scrape_ms
         assert by[("honored", "no_ts_metric")] == scrape_ms
     finally:

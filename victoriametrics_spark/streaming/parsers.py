@@ -559,32 +559,49 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
         F.transform(vals, _unescape_prom),
     )
     name_b = F.when(name_classic != "", name_classic).otherwise(name_quoted)
-    toks_b = F.split(rest_braced, r"\s+")
-    # no-brace form: metric value [ts]
-    toks_p = F.split(v, r"\s+")
+    # value/timestamp tail: everything after the first '#' is a
+    # trailing comment — OpenMetrics exemplars are tolerated this way
+    # (parser.go:117-123,191 skipTrailingComment)
+    rest_b = F.trim(F.regexp_replace(rest_braced, r"#.*$", ""))
+    rest_nb = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(v, r"^\S+\s*", ""), r"#.*$", ""
+        )
+    )
+    toks_b = F.split(rest_b, r"\s+")
+    toks_p = F.split(rest_nb, r"\s+")
     # a line containing { that does NOT match the quote-aware brace
     # pattern is malformed (unterminated label block) — reference
     # errors it (parser.go unmarshalTags "missing value for tag"),
     # it must not fall back to the bare-metric form
     name = (
         F.when(braced, name_b)
-        .when(~v.contains("{"), F.try_element_at(toks_p, F.lit(1)))
+        .when(~v.contains("{"), F.regexp_extract(v, r"^(\S+)", 1))
         .otherwise(F.lit(None).cast("string"))
     )
     val = F.coalesce(
         F.when(braced, F.try_element_at(toks_b, F.lit(1))).otherwise(
-            F.try_element_at(toks_p, F.lit(2))
+            F.try_element_at(toks_p, F.lit(1))
         ),
         F.lit(""),
     )
     ts_str = F.coalesce(
         F.when(braced, F.try_element_at(toks_b, F.lit(2))).otherwise(
-            F.try_element_at(toks_p, F.lit(3))
+            F.try_element_at(toks_p, F.lit(2))
         ),
         F.lit(""),
     )
-    ts = F.when(ts_str != "", ts_str.try_cast("long")).otherwise(
-        F.lit(default_ts_ms)
+    # timestamps parse as floats; values in [-2^31, 2^31) look like
+    # OpenMetrics Unix SECONDS and scale to ms (parser.go:218-229)
+    tsd = _try_double(ts_str)
+    ts = (
+        F.when(ts_str == "", F.lit(default_ts_ms).cast("long"))
+        .when(tsd.isNull(), F.lit(None).cast("long"))
+        .when(
+            (tsd >= -2147483648.0) & (tsd < 2147483648.0),
+            (tsd * 1000).try_cast("long"),
+        )
+        .otherwise(tsd.try_cast("long"))
     )
     return _finish(
         data.select(
