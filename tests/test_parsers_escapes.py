@@ -496,3 +496,31 @@ def test_prom_exemplars_and_seconds_ts(spark):
     assert by["secs"]["ts"] == 1_700_000_000_000
     assert by["ms_ts"]["ts"] == 1700000000123
     assert by["frac"]["ts"] == 1500
+
+
+def test_opentsdb_reference_semantics(spark):
+    """opentsdb/parser.go:60-185 + stream/streamparser.go:158-175:
+    float timestamps truncate, ts 0 takes ingest time, SECOND_MASK
+    decides seconds vs ms, a tag token without '=' kills its line,
+    empty-key/value tags are skipped."""
+    from victoriametrics_spark.streaming.parsers import parse_opentsdb
+
+    out = parse_opentsdb(
+        _lines(
+            spark,
+            [
+                "put frac 1700000000.9 1.5 h=a",
+                "put zero 0 2 h=a",
+                "put already_ms 1700000000123 3 h=a",
+                "put badtag 1700000000 4 h=a junktag",
+                "put emptytags 1700000000 5 h= =x ok=y",
+            ],
+        ),
+        default_ts_ms=4242,
+    ).collect()
+    by = {r["name"]: r for r in out}
+    assert set(by) == {"frac", "zero", "already_ms", "emptytags"}
+    assert by["frac"]["ts"] == 1_700_000_000_000  # float truncates
+    assert by["zero"]["ts"] == 4242
+    assert by["already_ms"]["ts"] == 1700000000123  # > 2^32 → ms
+    assert by["emptytags"]["labels"] == {"ok": "y"}

@@ -3640,7 +3640,9 @@ class IngestAPI:
         elif fmt == "graphite":
             df = P.parse_graphite(lines, default_ts_ms)
         elif fmt == "opentsdb":
-            df = P.parse_opentsdb(lines)
+            df = P.parse_opentsdb(
+                lines, default_ts_ms=default_ts_ms or self._now_ms()
+            )
         elif fmt == "zabbix":
             df = P.parse_zabbix(lines)
         else:

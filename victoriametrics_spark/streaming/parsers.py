@@ -817,28 +817,49 @@ def _sec_or_ms(ts: Column) -> Column:
     return F.when(ts < F.lit(1_000_000_000_000), ts * 1000).otherwise(ts)
 
 
-def parse_opentsdb(lines: DataFrame) -> DataFrame:
+def parse_opentsdb(
+    lines: DataFrame, default_ts_ms: int | None = None
+) -> DataFrame:
     """OpenTSDB telnet put: ``put <metric> <ts> <value> [tag=v ...]``
-    (lib/protoparser/opentsdb/)."""
+    (lib/protoparser/opentsdb/parser.go:60-185).
+
+    Reference semantics: the timestamp parses as a FLOAT (fractional
+    seconds truncate); ts 0 takes the ingest time; seconds vs ms
+    decided by the SECOND_MASK bit test (ts & 0x7FFFFFFF00000000 == 0
+    → seconds, stream/streamparser.go:167-174); a tag token without
+    ``=`` invalidates the whole line (unmarshalTags error) while tags
+    with an empty key or value are silently skipped; tags are optional
+    even though OpenTSDB proper requires one (VM issue 3290)."""
     l = F.trim(F.col("value"))
     data = lines.select(l.alias("value")).filter(l.startswith("put "))
-    name = F.split_part(l, F.lit(" "), F.lit(2))
-    ts = F.split_part(l, F.lit(" "), F.lit(3)).try_cast("long")
-    val = F.split_part(l, F.lit(" "), F.lit(4))
-    # tags: everything after the 4th space-separated token
-    tags_str = F.array_join(
-        F.slice(
-            F.split(l, r"\s+"),
-            5,
-            F.greatest(F.size(F.split(l, r"\s+")) - 4, F.lit(0)),
-        ),
-        ",",
+    toks = F.split(l, r"\s+")
+    name = F.try_element_at(toks, F.lit(2))
+    ts_raw = _try_double(
+        F.coalesce(F.try_element_at(toks, F.lit(3)), F.lit(""))
+    ).try_cast("long")
+    val = F.coalesce(F.try_element_at(toks, F.lit(4)), F.lit(""))
+    tag_toks = F.slice(
+        toks, 5, F.greatest(F.size(toks) - 4, F.lit(0))
+    )
+    # any tag token missing '=' → the reference errors the whole line
+    tags_ok = ~F.exists(tag_toks, lambda t: ~t.contains("="))
+    tags_str = F.array_join(tag_toks, ",")
+    ts = F.when(
+        ts_raw == 0,
+        F.lit(default_ts_ms).cast("long"),
+    ).otherwise(
+        F.when(
+            ts_raw.bitwiseAND(F.lit(0x7FFFFFFF00000000)) == 0,
+            ts_raw * 1000,
+        ).otherwise(ts_raw)
     )
     return _finish(
-        data.select(
+        data.filter(tags_ok).select(
             name.alias("name"),
-            _tags_to_map(tags_str, ",", "=").alias("labels"),
-            _sec_or_ms(ts).alias("ts"),
+            _tags_to_map(tags_str, ",", "=", skip_empty=True).alias(
+                "labels"
+            ),
+            ts.alias("ts"),
             _try_double(val).alias("value"),
         )
     )
