@@ -1,0 +1,170 @@
+"""Ingest-parser golden corpus — every TestRowsUnmarshal success and
+failure case from the reference's parser tests
+(lib/protoparser/{prometheus,graphite,influx,opentsdb}/parser_test.go),
+extracted by scripts/port_parser_golden.py into
+parser_golden_cases.json and replayed through the Spark parsers.
+
+Expected timestamps are normalized the way each dialect's STREAM layer
+does (the Row-level corpora carry raw values): prometheus rows are
+already ms post-OpenMetrics-scaling; graphite seconds x1000 with
+0/-1 → ingest time (stream/streamparser.go:166-177); influx raw →
+detectTimestamp magnitude rules; opentsdb SECOND_MASK."""
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+
+from victoriametrics_spark.streaming.parsers import (
+    parse_graphite,
+    parse_influx,
+    parse_opentsdb,
+    parse_prometheus_text,
+)
+
+CASES = json.load(
+    open(os.path.join(os.path.dirname(__file__), "parser_golden_cases.json"))
+)
+DEF_MS = 777_000_000  # sentinel ingest time (no corpus case collides)
+
+
+def _lines(spark, text):
+    rows = [(ln,) for ln in text.split("\n")]
+    return spark.createDataFrame(rows or [("",)], "value string")
+
+
+def _num(v):
+    if v == "NaN":
+        return float("nan")
+    if v == "Inf":
+        return float("inf")
+    if v == "-Inf":
+        return float("-inf")
+    return float(v)
+
+
+def _key(name, tags, ts, value):
+    v = _num(value) if not isinstance(value, float) else value
+    vrepr = "NaN" if isinstance(v, float) and math.isnan(v) else repr(v)
+    return (name, tuple(sorted(tags.items())), int(ts), vrepr)
+
+
+def _got_keys(df):
+    return sorted(
+        _key(r["name"], dict(r["labels"] or {}), r["ts"], r["value"])
+        for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------- expected
+def _exp_prometheus(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        ts = int(r.get("Timestamp") or 0) or DEF_MS
+        out.append(_key(r["Metric"], tags, ts, r.get("Value", 0)))
+    return sorted(out)
+
+
+def _exp_graphite(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        raw = int(r.get("Timestamp") or 0)
+        ts = DEF_MS if raw in (0, -1) else raw * 1000
+        out.append(_key(r["Metric"], tags, ts, r.get("Value", 0)))
+    return sorted(out)
+
+
+def _detect_influx(raw):
+    if raw == 0:
+        return DEF_MS
+    if raw >= 10**17:
+        return raw // 10**6
+    if raw >= 10**14:
+        return raw // 10**3
+    if raw >= 10**11:
+        return raw
+    return raw * 1000
+
+
+def _exp_influx(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        ts = _detect_influx(int(r.get("Timestamp") or 0))
+        meas = r.get("Measurement") or ""
+        for f in r.get("Fields") or []:
+            name = f"{meas}_{f['Key']}" if meas else f["Key"]
+            out.append(_key(name, tags, ts, f.get("Value", 0)))
+    return sorted(out)
+
+
+def _exp_opentsdb(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        raw = int(r.get("Timestamp") or 0)
+        if raw == 0:
+            ts = DEF_MS
+        elif raw & 0x7FFFFFFF00000000 == 0:
+            ts = raw * 1000
+        else:
+            ts = raw
+        out.append(_key(r["Metric"], tags, ts, r.get("Value", 0)))
+    return sorted(out)
+
+
+_DIALECTS = {
+    "prometheus": (
+        lambda spark, text: parse_prometheus_text(
+            _lines(spark, text), DEF_MS
+        ),
+        _exp_prometheus,
+    ),
+    "graphite": (
+        lambda spark, text: parse_graphite(_lines(spark, text), DEF_MS),
+        _exp_graphite,
+    ),
+    "influx": (
+        lambda spark, text: parse_influx(
+            _lines(spark, text), default_ts_ms=DEF_MS
+        ),
+        _exp_influx,
+    ),
+    "opentsdb": (
+        lambda spark, text: parse_opentsdb(
+            _lines(spark, text), default_ts_ms=DEF_MS
+        ),
+        _exp_opentsdb,
+    ),
+}
+
+
+def _success_params():
+    for d, (run, exp) in _DIALECTS.items():
+        for i, case in enumerate(CASES[d]["success"]):
+            yield pytest.param(d, case, id=f"{d}-ok-{i}")
+
+
+def _failure_params():
+    for d in _DIALECTS:
+        for i, inp in enumerate(CASES[d]["failure"]):
+            yield pytest.param(d, inp, id=f"{d}-err-{i}")
+
+
+@pytest.mark.parametrize("dialect,case", list(_success_params()))
+def test_parser_golden_success(spark, dialect, case):
+    run, exp = _DIALECTS[dialect]
+    got = _got_keys(run(spark, case["input"]))
+    want = exp(case["rows"])
+    assert got == want, f"\ninput={case['input']!r}\ngot={got}\nwant={want}"
+
+
+@pytest.mark.parametrize("dialect,inp", list(_failure_params()))
+def test_parser_golden_failure(spark, dialect, inp):
+    run, _ = _DIALECTS[dialect]
+    # a failure input produces ZERO rows and never raises
+    assert _got_keys(run(spark, inp)) == []

@@ -66,6 +66,14 @@ def _try_double(c: Column) -> Column:
     return norm.try_cast("double")
 
 
+def _wstrip(c: Column) -> Column:
+    """Trim ALL whitespace (space/tab/CR) from both ends — Spark's
+    trim() removes spaces only, but the line protocols arrive with
+    tabs and \\r\\n endings (the reference trims \\r per line and
+    skips space/tab runs)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def _tags_to_map(
     tags: Column, pair_sep: str, kv_sep: str, skip_empty: bool = False
 ) -> Column:
@@ -74,19 +82,23 @@ def _tags_to_map(
     Tag.unmarshal: ``a=b=c`` → value ``b=c``); ``skip_empty`` drops
     pairs with an empty key or value (graphite/parser.go:175-200)."""
     pairs = F.filter(F.split(tags, pair_sep), lambda p: p.contains(kv_sep))
+    val_re = "^[^" + _re_cls(kv_sep) + "]*" + _re_cls(kv_sep)
+    if skip_empty:
+        # filter at the STRING level (struct-field access inside
+        # nested higher-order filters loses field names in some plan
+        # contexts): drop pairs with an empty key or empty value
+        pairs = F.filter(
+            pairs,
+            lambda p: (F.split_part(p, F.lit(kv_sep), F.lit(1)) != "")
+            & (F.regexp_replace(p, val_re, "") != ""),
+        )
     entries = F.transform(
         pairs,
         lambda p: F.struct(
             F.split_part(p, F.lit(kv_sep), F.lit(1)).alias("key"),
-            F.regexp_replace(
-                p, "^[^" + _re_cls(kv_sep) + "]*" + _re_cls(kv_sep), ""
-            ).alias("value"),
+            F.regexp_replace(p, val_re, "").alias("value"),
         ),
     )
-    if skip_empty:
-        entries = F.filter(
-            entries, lambda e: (e["key"] != "") & (e["value"] != "")
-        )
     return F.map_from_entries(entries)
 
 
@@ -104,7 +116,7 @@ def parse_graphite(lines: DataFrame, default_ts_ms: int | None = None) -> DataFr
     timestamp or a timestamp of 0 / -1 takes the ingest time
     (stream/streamparser.go:166-177), seconds may be fractional
     (truncated), and tags with an empty key or value are skipped."""
-    l = F.trim(F.col("value"))
+    l = _wstrip(F.col("value"))
     three = F.regexp_extract(l, r"^(.*\S)[ \t]+(\S+)[ \t]+(\S+)$", 0) != ""
     metric_full = F.when(
         three, F.regexp_extract(l, r"^(.*\S)[ \t]+\S+[ \t]+\S+$", 1)
@@ -264,9 +276,11 @@ def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | N
     (the reference rejects the whole line when any field fails,
     influx/parser.go:110-173). The raw timestamp is returned UNSCALED —
     precision scaling / auto-detection happens in parse_influx."""
-    s = s.strip()
-    if not s or s.startswith("#"):
+    if not s.strip() or s.strip().startswith("#"):
         return []
+    # trailing whitespace only: a LEADING space is significant — it
+    # means an empty measurement (parser.go:112-131)
+    s = s.rstrip(" \r\n\t")
     # head = measurement[,tags...] up to the first unescaped space
     head_split = None
     in_q = False
@@ -314,6 +328,8 @@ def _influx_parse_line(s: str) -> "list[tuple[str, dict, int | None, float]] | N
             return None  # missing tag value (parser.go:188)
         k = _influx_unescape(kv[0])
         v = _influx_unescape("=".join(kv[1:]))
+        if k == "" or v == "":
+            continue  # empty-key/value tags are skipped
         labels[k] = v
     ts_raw: "int | None" = None
     if ts_str:
@@ -352,11 +368,14 @@ def _influx_slow_batches(pdfs, with_line_id: bool):
                 tss.append(ts_ms)
                 vals.append(float(v))
                 ids.append(lid)
+        # explicit object dtype: an ALL-invalid batch yields empty
+        # columns, and a bare empty list defaults to float64 which
+        # Arrow cannot convert to map<string,string>
         data = {
-            "name": names,
-            "labels": labels,
+            "name": pd.Series(names, dtype="object"),
+            "labels": pd.Series(labels, dtype="object"),
             "ts": pd.array(tss, dtype="Int64"),
-            "value": vals,
+            "value": pd.Series(vals, dtype="float64"),
         }
         if with_line_id:
             data["__line_id"] = pd.array(ids, dtype="Int64")
@@ -450,16 +469,34 @@ def parse_influx(
     extra = ("__line_id",) if keep_line_id else ()
     l = F.col("value")
     has_slow = l.contains("\\") | l.contains('"')
-    nonblank = (F.trim(l) != "") & ~F.trim(l).startswith("#")
+    nonblank = (_wstrip(l) != "") & ~_wstrip(l).startswith("#")
 
-    # ---- fast path: no escapes, no quoted fields (pure Catalyst)
+    # ---- fast path: no escapes, no quoted fields (pure Catalyst).
+    # Sections separate on SPACE RUNS (the reference strips leading
+    # whitespace between sections, parser.go:117,155) — safe here
+    # because escaped spaces route to the slow path.
     plain = src.filter(nonblank & ~has_slow)
-    head = F.split_part(l, F.lit(" "), F.lit(1))  # meas,tags
-    fields_str = F.split_part(l, F.lit(" "), F.lit(2))
-    ts_str = F.split_part(l, F.lit(" "), F.lit(3))
+    # a LEADING space means an empty measurement (parser.go:112-131
+    # allows it; the metric name then comes from field keys alone)
+    lead = l.startswith(" ")
+    toks3 = F.split(F.regexp_replace(l, r"^ +| +$", ""), r" +")
+
+    def _tok(i):
+        return F.coalesce(F.try_element_at(toks3, F.lit(i)), F.lit(""))
+
+    head = F.when(lead, F.lit("")).otherwise(_tok(1))
+    fields_str = F.when(lead, _tok(1)).otherwise(_tok(2))
+    ts_str = F.when(lead, _tok(2)).otherwise(_tok(3))
+    max_toks = F.when(lead, F.lit(2)).otherwise(F.lit(3))
     meas = F.split_part(head, F.lit(","), F.lit(1))
     tags_str = F.regexp_replace(head, r"^[^,]*,?", "")
-    fields = F.filter(F.split(fields_str, ","), lambda p: p != "")
+    # raw tokens, unfiltered: a field token that is empty or lacks '='
+    # rejects the WHOLE line (unmarshalInfluxFields error); same for a
+    # tag token (tag.unmarshal "missing tag value") — while tags with
+    # an empty key or value are silently skipped (parser_test.go:
+    # `foo,tag1=xyz,tagN=,tag2=43as,=xxx bar=123` keeps tag1/tag2)
+    fields = F.split(fields_str, ",")
+    tag_toks = F.split(tags_str, ",")
     parsed_fields = F.transform(
         fields,
         lambda p: F.struct(
@@ -471,16 +508,24 @@ def parse_influx(
     )
     ts_raw = ts_str.try_cast("bigint")
     line_ok = (
-        (F.size(fields) > 0)
+        (F.size(toks3) <= max_toks)  # junk after ts errors the line
+        & (fields_str != "")
+        & ~F.exists(
+            fields, lambda p: (p == "") | ~p.contains("=")
+        )
         & ~F.exists(
             parsed_fields,
             lambda x: x["fval"].isNull() | (x["fkey"] == ""),
+        )
+        & (
+            (tags_str == "")
+            | ~F.exists(tag_toks, lambda t: ~t.contains("="))
         )
         & ((ts_str == "") | ts_raw.isNotNull())
     )
     fast = plain.filter(line_ok).select(
         meas.alias("meas"),
-        _tags_to_map(tags_str, ",", "=").alias("labels"),
+        _tags_to_map(tags_str, ",", "=", skip_empty=True).alias("labels"),
         F.when(ts_str != "", ts_raw).alias("ts"),
         F.explode(parsed_fields).alias("fv"),
         *[F.col(c) for c in extra],
@@ -531,7 +576,7 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
     the label block is matched with a quote-aware regex, pairs are
     pulled with regexp_extract_all, and unescaping is a
     split-on-``\\\\`` / replace / rejoin over array columns."""
-    l = F.trim(F.col("value"))
+    l = _wstrip(F.col("value"))
     data = lines.select(l.alias("value")).filter((l != "") & ~l.startswith("#"))
     v = F.col("value")
 
@@ -550,6 +595,25 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
     # UTF-8 form: a bare quoted element (not followed by =) is the name
     qname_pat = r'(?:^|,)\s*"((?:[^"\\]|\\.)*)"\s*(?=,|$)'
     name_quoted = _unescape_prom(F.regexp_extract(body, qname_pat, 1))
+    # STRICT body validation (unmarshalTags, parser.go:309-392): the
+    # label block must be a comma-separated sequence of
+    # key="value" / "key"="value" / "metric name" elements — a bare
+    # word, an unquoted value, a colon separator, or a missing comma
+    # errors the line; a trailing comma is fine. At most ONE quoted
+    # metric name, and none when the classic name is set ("metric name
+    # already set" errors).
+    qs = r'"(?:[^"\\]|\\.)*"'
+    elem = rf'(?:{qs}\s*=\s*{qs}|[^=,"]*=\s*{qs}|{qs})'
+    body_ok = body.rlike(
+        rf"^\s*(?:{elem}\s*(?:,\s*{elem}\s*)*(?:,\s*)?)?$"
+    )
+    n_qnames = F.size(
+        F.regexp_extract_all(body, F.lit(qname_pat), F.lit(1))
+    )
+    name_ok = body_ok & (
+        (n_qnames == 0)
+        | ((n_qnames == 1) & (name_classic == ""))
+    )
 
     labels = F.map_from_arrays(
         F.transform(
@@ -575,7 +639,8 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
     # errors it (parser.go unmarshalTags "missing value for tag"),
     # it must not fall back to the bare-metric form
     name = (
-        F.when(braced, name_b)
+        F.when(braced & name_ok, name_b)
+        .when(braced, F.lit(None).cast("string"))
         .when(~v.contains("{"), F.regexp_extract(v, r"^(\S+)", 1))
         .otherwise(F.lit(None).cast("string"))
     )
@@ -830,7 +895,7 @@ def parse_opentsdb(
     ``=`` invalidates the whole line (unmarshalTags error) while tags
     with an empty key or value are silently skipped; tags are optional
     even though OpenTSDB proper requires one (VM issue 3290)."""
-    l = F.trim(F.col("value"))
+    l = _wstrip(F.col("value"))
     data = lines.select(l.alias("value")).filter(l.startswith("put "))
     toks = F.split(l, r"\s+")
     name = F.try_element_at(toks, F.lit(2))
