@@ -606,3 +606,57 @@ def test_honor_timestamps(spark):
         assert by[("honored", "no_ts_metric")] == scrape_ms
     finally:
         srv.shutdown()
+
+
+def test_scrape_request_headers(spark):
+    """Scrape requests carry the Prometheus header set
+    (promscrape/client.go:143-160): Accept, User-Agent, and
+    X-Prometheus-Scrape-Timeout-Seconds (PushProx-style exporters
+    read it)."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    seen = {}
+
+    class _HdrExpo(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            seen.update(
+                {
+                    "accept": self.headers.get("Accept"),
+                    "ua": self.headers.get("User-Agent"),
+                    "timeout": self.headers.get(
+                        "X-Prometheus-Scrape-Timeout-Seconds"
+                    ),
+                }
+            )
+            body = b"hdr_metric 1\n"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _HdrExpo)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ingest = IngestAPI(spark, sink=lambda df, kind: None)
+        sc = Scraper(
+            ingest,
+            [
+                {
+                    "job_name": "h",
+                    "scrape_timeout": "7s",
+                    "scrape_interval": "30s",
+                    "static_configs": [
+                        {"targets": [f"127.0.0.1:{srv.server_address[1]}"]}
+                    ],
+                }
+            ],
+        )
+        sc.scrape_once()
+        assert seen["ua"] == "vm_promscrape"
+        assert seen["accept"].startswith("text/plain;version=0.0.4")
+        assert seen["timeout"] == "7"
+    finally:
+        srv.shutdown()

@@ -430,7 +430,13 @@ class Scraper:
 
     # ---------------------------------------------------------- scraping
     def _fetch(self, t: ScrapeTarget) -> str:
-        headers = {"User-Agent": "vm_promscrape"}
+        # the header set Prometheus/vmagent send (promscrape/client.go:
+        # 143-160): exporters like PushProx read the timeout header
+        headers = {
+            "User-Agent": "vm_promscrape",
+            "Accept": "text/plain;version=0.0.4;q=1,*/*;q=0.1",
+            "X-Prometheus-Scrape-Timeout-Seconds": f"{t.timeout_s:g}",
+        }
         if t.auth_header:
             headers["Authorization"] = t.auth_header
         req = urllib.request.Request(t.url, headers=headers)
