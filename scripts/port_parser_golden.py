@@ -51,8 +51,9 @@ def _find_func(src: str, name: str) -> "str | None":
     return src[i : j - 1]
 
 
-def _iter_f_calls(body: str):
-    """Yield the full argument text of each top-level f(...) call."""
+def _iter_f_calls(body: str, with_pos: bool = False):
+    """Yield the full argument text of each top-level f(...) call
+    (optionally with the call's start offset)."""
     i = 0
     n = len(body)
     while True:
@@ -75,7 +76,10 @@ def _iter_f_calls(body: str):
             elif c == ")":
                 depth -= 1
             j += 1
-        yield body[start : j - 1]
+        if with_pos:
+            yield m.start(), body[start : j - 1]
+        else:
+            yield body[start : j - 1]
         i = j
 
 
@@ -157,6 +161,9 @@ def _go_string_expr(expr: str) -> "str | None":
 
 def _go_value(tok: str):
     tok = tok.strip()
+    bm = re.match(r"^\[\]byte\((.*)\)$", tok, re.S)
+    if bm:
+        return _go_string_expr(bm.group(1))
     if tok in ("math.NaN()",):
         return "NaN"
     if tok in ("math.Inf(1)", "math.Inf(+1)", "inf"):
@@ -304,6 +311,59 @@ def main() -> int:
             f"{d}: {len(succ)} success, {len(fail)} failure, "
             f"{skipped} skipped (non-literal)"
         )
+    # zabbixconnector: flags toggle MID-FUNCTION, so walk assignments
+    # and calls in order and attach the active flag state to each case
+    src = open(
+        f"{REF}/zabbixconnector/parser_test.go", encoding="utf-8"
+    ).read()
+    zb = {"success": [], "failure": [], "skipped": 0}
+    flag_re = re.compile(r"\*add(\w+)\s*=\s*\"([^\"]*)\"")
+    for kind, fname in (
+        ("success", "TestRowsUnmarshalSuccess"),
+        ("failure", "TestRowsUnmarshalFailure"),
+    ):
+        body = _find_func(src, fname)
+        if not body:
+            continue
+        events = [
+            ("flag", m.start(), (m.group(1), m.group(2)))
+            for m in flag_re.finditer(body)
+            if "original" not in body[max(0, m.start() - 40) : m.start()]
+        ] + [
+            ("call", p, a) for p, a in _iter_f_calls(body, with_pos=True)
+        ]
+        events.sort(key=lambda e: e[1])
+        flags = {
+            "GroupsValue": "",
+            "EmptyTagsValue": "",
+            "DuplicateTagsSeparator": "",
+        }
+        for ev, _p, payload in events:
+            if ev == "flag":
+                name, val = payload
+                if name in flags and "original" not in val:
+                    flags[name] = val
+                continue
+            parts = _split_top(payload)
+            inp = _go_string_expr(parts[0])
+            if inp is None:
+                zb["skipped"] += 1
+                continue
+            if kind == "failure":
+                zb["failure"].append({"input": inp, "flags": dict(flags)})
+                continue
+            rows = _rows_from_literal(_parse_struct(parts[1]))
+            if rows is None:
+                zb["skipped"] += 1
+                continue
+            zb["success"].append(
+                {"input": inp, "rows": rows, "flags": dict(flags)}
+            )
+    corpus["zabbix"] = zb
+    print(
+        f"zabbix: {len(zb['success'])} success, {len(zb['failure'])} "
+        f"failure, {zb['skipped']} skipped"
+    )
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(corpus, fh, indent=1)
     print(f"wrote {OUT}")

@@ -168,3 +168,50 @@ def test_parser_golden_failure(spark, dialect, inp):
     run, _ = _DIALECTS[dialect]
     # a failure input produces ZERO rows and never raises
     assert _got_keys(run(spark, inp)) == []
+
+
+# ---------------------------------------------------------------- zabbix
+from victoriametrics_spark.streaming.parsers import parse_zabbix  # noqa: E402
+
+
+def _exp_zabbix(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        name = tags.pop("__name__", "")
+        out.append(_key(name, tags, int(r.get("Timestamp") or 0), r.get("Value", 0)))
+    return sorted(out)
+
+
+def _run_zabbix(spark, case):
+    fl = case["flags"]
+    return parse_zabbix(
+        _lines(spark, case["input"]),
+        add_groups_value=fl["GroupsValue"],
+        add_empty_tags_value=fl["EmptyTagsValue"],
+        add_duplicate_tags_separator=fl["DuplicateTagsSeparator"],
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"zabbix-ok-{i}")
+        for i, c in enumerate(CASES["zabbix"]["success"])
+    ],
+)
+def test_zabbix_golden_success(spark, case):
+    got = _got_keys(_run_zabbix(spark, case))
+    want = _exp_zabbix(case["rows"])
+    assert got == want, f"\ninput={case['input']!r}\ngot={got}\nwant={want}"
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"zabbix-err-{i}")
+        for i, c in enumerate(CASES["zabbix"]["failure"])
+    ],
+)
+def test_zabbix_golden_failure(spark, case):
+    assert _got_keys(_run_zabbix(spark, case)) == []

@@ -1109,60 +1109,160 @@ def parse_otlp_json(docs: DataFrame) -> DataFrame:
     )
 
 
-def parse_zabbix(lines: DataFrame) -> DataFrame:
+def parse_zabbix(
+    lines: DataFrame,
+    add_groups_value: str = "",
+    add_empty_tags_value: str = "",
+    add_duplicate_tags_separator: str = "",
+) -> DataFrame:
     """Zabbix real-time-export connector lines
     (lib/protoparser/zabbixconnector/parser.go): one JSON object per
     line — ``host.host`` → ``host`` label, ``host.name`` →
     ``hostname`` label, ``name`` → metric name, ``item_tags``
-    [{tag,value}] → ``tag_<k>`` labels (entries with an empty tag or
-    value are skipped, the -zabbixconnector.addEmptyTagsValue=""
-    default), ts = clock·1e3 + ns/1e6.
+    [{tag,value}] → ``tag_<k>`` labels, ts = clock·1e3 + ns/1e6.
+
+    The three -zabbixconnector.* flags (parser.go:15-17) are keyword
+    params: ``add_groups_value`` adds ``group_<g>`` labels with that
+    value (and makes a missing ``groups`` array an error);
+    ``add_empty_tags_value`` keeps empty-value tags with that value
+    (default: skipped); ``add_duplicate_tags_separator`` merges
+    duplicate tag names joining their values in order (default:
+    first occurrence wins — the reference emits duplicate label
+    PAIRS there, which a map cannot represent).
 
     Validity rules per parser_test.go TestRowsUnmarshalFailure: the
     item ``type`` must be numeric (0 = float, 3 = unsigned; text types
-    2/10 and a missing type are skipped), the item name non-empty, and
-    clock/ns integral; a JSON line whose field types mismatch
-    (string-valued clock, object-valued name, ...) nulls out of
-    from_json and is skipped without failing the batch."""
+    2/10 and a missing type are skipped), the item name non-empty,
+    clock/ns integral, and ``item_tags`` present; a JSON line whose
+    field types mismatch (string-valued clock, object-valued name,
+    ...) nulls out of from_json and is skipped without failing the
+    batch."""
     schema = (
         "host STRUCT<host: STRING, name: STRING>, name STRING, "
         "value DOUBLE, clock BIGINT, ns BIGINT, type BIGINT, "
-        "item_tags ARRAY<STRUCT<tag: STRING, value: STRING>>"
+        "groups ARRAY<STRING>, "
+        "item_tags ARRAY<STRUCT<tag: VARIANT, value: VARIANT>>"
     )
-    j = lines.select(F.from_json(F.col("value"), schema).alias("j")).filter(
+
+    # from_json coerces JSON numbers into STRING fields ("name":1 →
+    # "1"), but the reference requires actual JSON strings
+    # (GetStringBytes); a VARIANT probe gives the exact type
+    def _is_str(path: str) -> Column:
+        return (
+            F.expr(
+                "schema_of_variant(try_variant_get("
+                f"try_parse_json(value), '{path}'))"
+            )
+            == "STRING"
+        )
+
+    cond = (
         F.col("j.name").isNotNull()
         & (F.col("j.name") != "")
+        & _is_str("$.name")
         & F.col("j.host.host").isNotNull()
+        & _is_str("$.host.host")
         & F.col("j.host.name").isNotNull()
+        & _is_str("$.host.name")
         & F.col("j.type").isin(0, 3)
         & F.col("j.clock").isNotNull()
         & F.col("j.ns").isNotNull()
+        & F.col("j.item_tags").isNotNull()
     )
-    tag_entries = F.filter(
-        F.coalesce(
-            F.col("j.item_tags"),
-            F.array().cast("array<struct<tag:string,value:string>>"),
+    if add_groups_value:
+        cond = cond & F.col("j.groups").isNotNull()
+    j = lines.select(
+        F.col("value"), F.from_json(F.col("value"), schema).alias("j")
+    ).filter(cond)
+    tags = F.col("j.item_tags")
+
+    def _idx(arr):
+        # guarded 1..n index array (sequence(1, 0) DESCENDS in Spark)
+        return F.when(
+            F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
+        ).otherwise(F.array().cast("array<int>"))
+
+    def _vstr(v):
+        # variant → string for actual JSON strings; anything else
+        # (object/number/missing) reads as empty like GetStringBytes
+        return F.coalesce(
+            F.when(
+                F.schema_of_variant(v) == "STRING", v.try_cast("string")
+            ),
+            F.lit(""),
+        )
+
+    # positions of the tags that survive: non-empty key, and non-empty
+    # value unless add_empty_tags_value keeps them (parser.go:147-160)
+    keep_empty = bool(add_empty_tags_value)
+    pos = F.filter(
+        _idx(tags),
+        lambda i: (_vstr(F.element_at(tags, i)["tag"]) != "")
+        & (
+            F.lit(keep_empty)
+            | (_vstr(F.element_at(tags, i)["value"]) != "")
         ),
-        lambda t: t["tag"].isNotNull()
-        & (t["tag"] != "")
-        & t["value"].isNotNull()
-        & (t["value"] != ""),
     )
-    labels = F.map_concat(
-        F.create_map(
-            F.lit("host"), F.col("j.host.host"),
-            F.lit("hostname"), F.col("j.host.name"),
+    tag_keys = F.transform(
+        pos,
+        lambda i: F.concat(
+            F.lit("tag_"), _vstr(F.element_at(tags, i)["tag"])
         ),
-        F.map_from_entries(
-            F.transform(
-                tag_entries,
-                lambda t: F.struct(
-                    F.concat(F.lit("tag_"), t["tag"]).alias("key"),
-                    t["value"].alias("value"),
+    )
+    tag_vals = F.transform(
+        pos,
+        lambda i: F.coalesce(
+            F.nullif(_vstr(F.element_at(tags, i)["value"]), F.lit("")),
+            F.lit(add_empty_tags_value),
+        ),
+    )
+    uniq_keys = F.array_distinct(tag_keys)
+    if add_duplicate_tags_separator:
+        # merge duplicates: join every value carried by the key, in
+        # order of appearance (parser.go:167-196)
+        merged = F.transform(
+            uniq_keys,
+            lambda k: F.array_join(
+                F.transform(
+                    F.filter(
+                        _idx(tag_keys),
+                        lambda i: F.element_at(tag_keys, i) == k,
+                    ),
+                    lambda i: F.element_at(tag_vals, i),
                 ),
-            )
+                add_duplicate_tags_separator,
+            ),
+        )
+    else:
+        merged = F.transform(
+            uniq_keys,
+            lambda k: F.element_at(
+                tag_vals, F.array_position(tag_keys, k).cast("int")
+            ),
+        )
+    base_keys = [F.lit("host"), F.lit("hostname")]
+    base_vals = [F.col("j.host.host"), F.col("j.host.name")]
+    if add_groups_value:
+        grp = F.filter(
+            F.coalesce(F.col("j.groups"), F.array().cast("array<string>")),
+            lambda g: g.isNotNull() & (g != ""),
+        )
+        grp_keys = F.transform(grp, lambda g: F.concat(F.lit("group_"), g))
+        grp_vals = F.transform(grp, lambda g: F.lit(add_groups_value))
+    else:
+        grp_keys = F.array().cast("array<string>")
+        grp_vals = F.array().cast("array<string>")
+    all_keys = F.concat(F.array(*base_keys), grp_keys, uniq_keys)
+    all_vals = F.concat(F.array(*base_vals), grp_vals, merged)
+    # global keep-first dedup so map construction can never collide
+    fk = F.array_distinct(all_keys)
+    fv = F.transform(
+        fk,
+        lambda k: F.element_at(
+            all_vals, F.array_position(all_keys, k).cast("int")
         ),
     )
+    labels = F.map_from_arrays(fk, fv)
     return _finish(
         j.select(
             F.col("j.name").alias("name"),
