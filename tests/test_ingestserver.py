@@ -152,3 +152,25 @@ def test_start_ingest_servers_end_to_end_query(spark):
         assert res[0]["value"][1] == "9.5"
     finally:
         srv.stop()
+
+
+def test_tcp_trickle_flushes_on_open_connection(ing):
+    """A long-lived connection trickling lines (collectd-style) must
+    flush on the time interval — not buffer until disconnect."""
+    api, captured = ing
+    srv = LineIngestServer(api, "graphite", port=0, flush_interval_s=0.3)
+    srv.start()
+    try:
+        with socket.create_connection(
+            ("127.0.0.1", srv.port), timeout=5
+        ) as s:
+            s.sendall(b"trickle.metric 1 1700000000\n")
+            # connection stays OPEN; the interval flush must land it
+            _wait(captured, 1, timeout=30.0)
+            rows = _rows(captured)
+            assert ("trickle.metric", {}, 1700000000000, 1.0) in rows
+            # a second batch over the same open connection
+            s.sendall(b"trickle.metric 2 1700000060\n")
+            _wait(captured, 2, timeout=30.0)
+    finally:
+        srv.stop()

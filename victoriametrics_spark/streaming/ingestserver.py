@@ -41,29 +41,57 @@ class LineIngestServer:
         host: str = "127.0.0.1",
         port: int = 0,
         flush_lines: int = 10_000,
+        flush_interval_s: float = 1.0,
     ):
         if fmt not in _DIALECTS:
             raise ValueError(f"unsupported ingest dialect {fmt!r}")
         self.ingest = ingest_api
         self.fmt = fmt
         self.flush_lines = int(flush_lines)
+        self.flush_interval_s = float(flush_interval_s)
         self._threads: list[threading.Thread] = []
         outer = self
 
         class _TCPHandler(socketserver.StreamRequestHandler):
             def handle(self):  # noqa: D401
+                """Chunked recv with a read timeout: long-lived
+                connections trickling lines (collectd keeps the socket
+                open) flush every ``flush_interval_s`` instead of
+                buffering until disconnect — the reference's stream
+                parsers likewise process per read chunk."""
                 buf: list[str] = []
+                tail = b""
                 first = True
+                self.connection.settimeout(outer.flush_interval_s)
                 while True:
                     try:
-                        raw = self.rfile.readline()
+                        chunk = self.connection.recv(65536)
+                    except (TimeoutError, socket.timeout):
+                        if buf:
+                            outer._flush(buf)
+                            buf = []
+                        continue
                     except (ConnectionError, OSError):
                         break
-                    if not raw:
+                    if not chunk:
                         break
-                    line = raw.decode("utf-8", "replace").rstrip("\r\n")
-                    if outer.fmt == "opentsdb":
-                        if line.strip() == "version":
+                    tail += chunk
+                    if first and outer.fmt == "opentsdb":
+                        head = tail.split(b"\n", 1)[0].decode(
+                            "latin-1", "replace"
+                        )
+                        if head.split(" ", 1)[0] in ("POST", "PUT"):
+                            # HTTP /api/put on the telnet port
+                            # (opentsdb/server.go demux): hand the
+                            # whole buffered request over
+                            outer._handle_opentsdb_http(
+                                tail, self.connection, self.wfile
+                            )
+                            return
+                    *complete, tail = tail.split(b"\n")
+                    for raw in complete:
+                        line = raw.decode("utf-8", "replace").rstrip("\r")
+                        if outer.fmt == "opentsdb" and line.strip() == "version":
                             # telnet `version` probe (OpenTSDB wire
                             # compat; agents use it as a liveness
                             # check before streaming puts)
@@ -71,21 +99,13 @@ class LineIngestServer:
                                 b"victoriametrics_spark opentsdb\n"
                             )
                             continue
-                        if first and line.split(" ", 1)[0] in (
-                            "POST",
-                            "PUT",
-                        ):
-                            # HTTP /api/put on the telnet port
-                            # (opentsdb/server.go demux)
-                            outer._handle_opentsdb_http(
-                                line, self.rfile, self.wfile
-                            )
-                            return
-                    first = False
-                    buf.append(line)
-                    if len(buf) >= outer.flush_lines:
-                        outer._flush(buf)
-                        buf = []
+                        first = False
+                        buf.append(line)
+                        if len(buf) >= outer.flush_lines:
+                            outer._flush(buf)
+                            buf = []
+                if tail:
+                    buf.append(tail.decode("utf-8", "replace").rstrip("\r"))
                 outer._flush(buf)
 
         class _UDPHandler(socketserver.BaseRequestHandler):
@@ -120,25 +140,48 @@ class LineIngestServer:
             # parse layer already skips-and-counts malformed lines
             pass
 
-    def _handle_opentsdb_http(self, request_line, rfile, wfile) -> None:
-        """Minimal HTTP /api/put on the telnet port: read headers +
-        body, ingest as OpenTSDB HTTP JSON, reply 204."""
+    def _handle_opentsdb_http(self, pending: bytes, conn, wfile) -> None:
+        """Minimal HTTP /api/put on the telnet port: ``pending`` holds
+        the bytes received so far (starting at the request line); read
+        until headers + Content-Length body arrive, ingest as OpenTSDB
+        HTTP JSON, reply 204."""
+        conn.settimeout(10.0)
+        while b"\r\n\r\n" not in pending and b"\n\n" not in pending:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                return
+            if not chunk:
+                return
+            pending += chunk
+        sep = b"\r\n\r\n" if b"\r\n\r\n" in pending else b"\n\n"
+        head, body = pending.split(sep, 1)
+        head_lines = head.decode("latin-1", "replace").splitlines()
+        request_line = head_lines[0] if head_lines else ""
         length = 0
-        while True:
-            raw = rfile.readline()
-            if not raw or raw in (b"\r\n", b"\n"):
-                break
-            k, _, v = raw.decode("latin-1").partition(":")
+        for h in head_lines[1:]:
+            k, _, v = h.partition(":")
             if k.strip().lower() == "content-length":
                 try:
                     length = int(v.strip())
                 except ValueError:
                     length = 0
-        body = rfile.read(length).decode("utf-8", "replace") if length else ""
+        while len(body) < length:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                return
+            if not chunk:
+                break
+            body += chunk
         status = b"204 No Content"
         try:
-            if "/api/put" in request_line.split(" ")[1]:
-                self.ingest.ingest_json(body, "opentsdb_http")
+            parts = request_line.split(" ")
+            if len(parts) > 1 and "/api/put" in parts[1]:
+                self.ingest.ingest_json(
+                    body[:length].decode("utf-8", "replace"),
+                    "opentsdb_http",
+                )
             else:
                 status = b"404 Not Found"
         except Exception:  # noqa: BLE001
