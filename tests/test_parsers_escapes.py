@@ -524,3 +524,30 @@ def test_opentsdb_reference_semantics(spark):
     assert by["zero"]["ts"] == 4242
     assert by["already_ms"]["ts"] == 1700000000123  # > 2^32 → ms
     assert by["emptytags"]["labels"] == {"ok": "y"}
+
+
+def test_graphite_sanitize_metric_names(spark):
+    """-graphite.sanitizeMetricName (parser.go:258-269 + the
+    TestRowsUnmarshal_SanitizeMetricNamesSuccess vectors): repeated
+    dots collapse, chars outside [a-zA-Z0-9:_.] become underscores in
+    the metric name and tag KEYS; tag values stay untouched."""
+    out = parse_graphite(
+        _lines(
+            spark,
+            [
+                "foo...b..a.r\\a--baz 123",
+                "s a;ta g..1=a-b..c;tag2 123 456",
+            ],
+        ),
+        default_ts_ms=9000,
+        sanitize_metric_name=True,
+    ).collect()
+    by = {r["name"]: r for r in out}
+    assert set(by) == {"foo.b.a.r_a__baz", "s_a"}
+    assert by["s_a"]["ts"] == 456_000
+    assert dict(by["s_a"]["labels"]) == {"ta_g.1": "a-b..c"}
+    # flag off: names pass through untouched
+    out2 = parse_graphite(
+        _lines(spark, ["foo...b 1 2"]), default_ts_ms=0
+    ).collect()
+    assert out2[0]["name"] == "foo...b"

@@ -107,7 +107,11 @@ def _re_cls(ch: str) -> str:
     return "\\" + ch if ch in r"\^]-=" else ch
 
 
-def parse_graphite(lines: DataFrame, default_ts_ms: int | None = None) -> DataFrame:
+def parse_graphite(
+    lines: DataFrame,
+    default_ts_ms: int | None = None,
+    sanitize_metric_name: bool = False,
+) -> DataFrame:
     """Graphite plaintext: ``metric.path[;tag=val...] value [unix_ts]``
     (lib/protoparser/graphite/parser.go:93-133).
 
@@ -115,7 +119,11 @@ def parse_graphite(lines: DataFrame, default_ts_ms: int | None = None) -> DataFr
     on space/tab runs (so metric paths may contain spaces), a missing
     timestamp or a timestamp of 0 / -1 takes the ingest time
     (stream/streamparser.go:166-177), seconds may be fractional
-    (truncated), and tags with an empty key or value are skipped."""
+    (truncated), and tags with an empty key or value are skipped.
+    ``sanitize_metric_name`` is the -graphite.sanitizeMetricName flag
+    (parser.go:258-269): repeated dots collapse and chars outside
+    [a-zA-Z0-9:_.] become underscores in the metric name and tag KEYS
+    (values untouched)."""
     l = _wstrip(F.col("value"))
     three = F.regexp_extract(l, r"^(.*\S)[ \t]+(\S+)[ \t]+(\S+)$", 0) != ""
     metric_full = F.when(
@@ -135,10 +143,32 @@ def parse_graphite(lines: DataFrame, default_ts_ms: int | None = None) -> DataFr
         .when(ts_sec.isin(0, -1), F.lit(default_ts_ms).cast("long"))
         .otherwise(ts_sec * 1000)
     )
+    labels = _tags_to_map(tags_str, ";", "=", skip_empty=True)
+    if sanitize_metric_name:
+
+        def _san(c):
+            return F.regexp_replace(
+                F.regexp_replace(c, r"\.+", "."), r"[^a-zA-Z0-9:_.]", "_"
+            )
+
+        name = _san(name)
+        # sanitize tag KEYS only; keep-first dedup in case two keys
+        # collide post-sanitization (the reference's tag list can hold
+        # duplicates, a map cannot)
+        ks, vs = F.map_keys(labels), F.map_values(labels)
+        sk = F.transform(ks, _san)
+        uk = F.array_distinct(sk)
+        uv = F.transform(
+            uk,
+            lambda k: F.element_at(
+                vs, F.array_position(sk, k).cast("int")
+            ),
+        )
+        labels = F.map_from_arrays(uk, uv)
     return _finish(
         lines.select(
             name.alias("name"),
-            _tags_to_map(tags_str, ";", "=", skip_empty=True).alias("labels"),
+            labels.alias("labels"),
             ts.alias("ts"),
             _try_double(val).alias("value"),
         )
