@@ -364,6 +364,42 @@ def main() -> int:
         f"zabbix: {len(zb['success'])} success, {len(zb['failure'])} "
         f"failure, {zb['skipped']} skipped"
     )
+
+    # csvimport: f(format, input[, []Row{...}]) — the format spec is
+    # part of each case
+    src = open(f"{REF}/csvimport/parser_test.go", encoding="utf-8").read()
+    cv = {"success": [], "failure": [], "skipped": 0}
+    for kind, fname in (
+        ("success", "TestRowsUnmarshalSuccess"),
+        ("failure", "TestRowsUnmarshalFailure"),
+    ):
+        body = _find_func(src, fname)
+        if not body:
+            continue
+        for call in _iter_f_calls(body):
+            parts = _split_top(call)
+            fmt_s = _go_string_expr(parts[0]) if parts else None
+            inp = _go_string_expr(parts[1]) if len(parts) > 1 else None
+            if fmt_s is None or inp is None:
+                cv["skipped"] += 1
+                continue
+            if kind == "failure":
+                cv["failure"].append({"format": fmt_s, "input": inp})
+                continue
+            rows = []
+            if len(parts) > 2 and parts[2].strip() != "nil":
+                rows = _rows_from_literal(_parse_struct(parts[2]))
+                if rows is None:
+                    cv["skipped"] += 1
+                    continue
+            cv["success"].append(
+                {"format": fmt_s, "input": inp, "rows": rows}
+            )
+    corpus["csvimport"] = cv
+    print(
+        f"csvimport: {len(cv['success'])} success, "
+        f"{len(cv['failure'])} failure, {cv['skipped']} skipped"
+    )
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(corpus, fh, indent=1)
     print(f"wrote {OUT}")

@@ -215,3 +215,57 @@ def test_zabbix_golden_success(spark, case):
 )
 def test_zabbix_golden_failure(spark, case):
     assert _got_keys(_run_zabbix(spark, case)) == []
+
+
+# -------------------------------------------------------------- csvimport
+from victoriametrics_spark.api.http import IngestAPI  # noqa: E402
+
+
+def _run_csv(spark, fmt, inp):
+    captured = []
+    ing = IngestAPI(
+        spark,
+        sink=lambda df, kind: captured.append(df),
+        now_ms_fn=lambda: DEF_MS,
+    )
+    ing.import_csv(inp, fmt)
+    out = []
+    for df in captured:
+        out += _got_keys(df)
+    return sorted(out)
+
+
+def _exp_csv(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        ts = int(r.get("Timestamp") or 0) or DEF_MS
+        out.append(_key(r["Metric"], tags, ts, r.get("Value", 0)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"csv-ok-{i}")
+        for i, c in enumerate(CASES["csvimport"]["success"])
+    ],
+)
+def test_csv_golden_success(spark, case):
+    got = _run_csv(spark, case["format"], case["input"])
+    want = _exp_csv(case["rows"])
+    assert got == want, (
+        f"\nformat={case['format']!r}\ninput={case['input']!r}"
+        f"\ngot={got}\nwant={want}"
+    )
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"csv-err-{i}")
+        for i, c in enumerate(CASES["csvimport"]["failure"])
+    ],
+)
+def test_csv_golden_failure(spark, case):
+    assert _run_csv(spark, case["format"], case["input"]) == []

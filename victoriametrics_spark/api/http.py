@@ -3300,6 +3300,68 @@ class SampleLimitError(ValueError):
         self.samples = int(samples)
 
 
+# Go reference-time layout tokens → Java datetime pattern (the
+# csvimport `time:custom:<layout>` kind uses Go's Mon Jan 2 15:04:05
+# 2006 syntax; Spark parses with DateTimeFormatter patterns)
+_GO_LAYOUT_TOKENS = [
+    ("2006", "yyyy"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    (".999999999", ".SSSSSSSSS"),
+    (".999999", ".SSSSSS"),
+    (".999", ".SSS"),
+    ("Z07:00", "XXX"),
+    ("Z0700", "XX"),
+    ("-07:00", "xxx"),
+    ("-0700", "xx"),
+    ("15", "HH"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("03", "hh"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("MST", "zzz"),
+    ("PM", "a"),
+    ("pm", "a"),
+]
+
+
+def _go_layout_to_java(layout: str) -> "str | None":
+    """Translate a Go time layout into a Java pattern, quoting every
+    unrecognized alphabetic run as a literal (a bare trailing Z in the
+    corpus layouts is a LITERAL, not a zone marker)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s):
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    i, n = 0, len(layout)
+    while i < n:
+        for go, java in _GO_LAYOUT_TOKENS:
+            if layout.startswith(go, i):
+                flush()
+                out.append(java)
+                i += len(go)
+                break
+        else:
+            lit.append(layout[i])
+            i += 1
+    flush()
+    return "".join(out) or None
+
+
 class IngestAPI:
     """Write-side API — the vminsert surface (app/vminsert/main.go
     request routing) over the existing streaming parsers, appending into
@@ -3774,7 +3836,7 @@ class IngestAPI:
                 )
         return self._write_samples(df)
 
-    def import_csv(
+    def import_csv(  # noqa: C901
         self, body: str, format_spec: str, extra_labels=None
     ) -> int:
         """POST /api/v1/import/csv?format=... — the csvimport column
@@ -3804,8 +3866,8 @@ class IngestAPI:
                 entries.append((pos, f"{kind}:{bits[2]}"))
             else:
                 raise ValueError(f"unknown column kind {kind!r}")
-        if ts_col is None or not entries:
-            raise ValueError("format needs a time column and ≥1 metric/label")
+        if not any(r.startswith("metric:") for _, r in entries):
+            raise ValueError("format needs at least one metric column")
         from victoriametrics_spark.streaming.parsers import (
             _try_double,
             parse_csv_lines,
@@ -3815,17 +3877,66 @@ class IngestAPI:
         # quote-aware split (csvimport/scanner.go: "-/'-quoted fields,
         # doubled-quote escapes); __bad marks scanner/column-count
         # failures, which skip-and-count the LINE (parser.go:172-198)
-        df = parse_csv_lines(lines, max_pos)
-        tc = F.col(f"c{ts_col}")
-        if ts_kind == "unix_s":
-            ts_expr = (_try_double(tc) * 1000).try_cast("long")
+        # checkpoint the raw parsed columns FIRST: try_to_timestamp
+        # fails to resolve over the fast/slow union plan (the same
+        # Spark analysis corner as the transform-struct field names),
+        # and the invalid-count below re-reads this frame anyway
+        df = parse_csv_lines(lines, max_pos).localCheckpoint(eager=True)
+        tc = F.col(f"c{ts_col}") if ts_col is not None else None
+        if ts_col is None:
+            # no time column: rows take the ingest time, like the
+            # stream layer's Timestamp==0 fill
+            ts_expr = F.lit(self._now_ms()).cast("long")
+        elif ts_kind == "unix_s":
+            # the reference rejects second-timestamps whose ms value
+            # would overflow int64 (template.go getTimestamp guard)
+            sec = tc.try_cast("bigint")
+            ts_expr = F.when(
+                F.abs(sec) <= (2**63 - 1) // 1000, sec * 1000
+            ).cast("long")
         elif ts_kind == "unix_ms":
             ts_expr = tc.try_cast("long")
+        elif ts_kind == "unix_ns":
+            ts_expr = F.expr(
+                f"try_cast(c{ts_col} AS BIGINT) div 1000000"
+            )
         elif ts_kind == "rfc3339":
             ts_expr = F.unix_millis(F.try_to_timestamp(tc))
+        elif ts_kind.startswith("custom:"):
+            # csvimport custom time layouts use Go's reference-time
+            # syntax (lib/protoparser/csvimport/column_descriptor.go);
+            # translate to a Java pattern and probe it once — an
+            # untranslatable layout makes every line invalid, like the
+            # reference's per-line parse errors
+            pattern = _go_layout_to_java(ts_kind[len("custom:"):])
+            ok = False
+            if pattern is not None:
+                try:
+                    self.spark.sql(
+                        "SELECT try_to_timestamp('x', '"
+                        + pattern.replace("'", "''")
+                        + "')"
+                    ).collect()
+                    ok = True
+                except Exception:  # noqa: BLE001 — invalid pattern
+                    ok = False
+            sql_pat = pattern.replace('"', '\\"') if pattern else ""
+            ts_expr = (
+                F.unix_millis(
+                    F.expr(
+                        f'try_to_timestamp(c{ts_col}, "{sql_pat}")'
+                    )
+                )
+                if ok
+                else F.lit(None).cast("long")
+            )
         else:
             raise ValueError(f"unsupported time kind {ts_kind!r}")
-        line_bad = F.col("__bad") | ts_expr.isNull()
+        # parse into a NEW column: replacing c<ts_col> with a
+        # RuntimeReplaceable expression referencing itself trips a
+        # Spark resolution bug ("gettimestamp ... unresolved")
+        df = df.withColumn("__ts_ms", ts_expr)
+        line_bad = F.col("__bad") | F.col("__ts_ms").isNull()
         for pos, role in entries:
             if role.startswith("metric:"):
                 c = F.col(f"c{pos}")
@@ -3834,10 +3945,8 @@ class IngestAPI:
                 line_bad = line_bad | (
                     (F.trim(c) != "") & _try_double(c).isNull()
                 )
-        df = df.withColumn(f"c{ts_col}", ts_expr).withColumn(
-            "__line_bad", line_bad
-        )
-        df = df.localCheckpoint(eager=True)
+        eff_ts_col = ts_col if ts_col is not None else max_pos + 1
+        df = df.withColumn("__line_bad", line_bad)
         bad = df.filter(F.col("__line_bad")).count()
         if bad:
             self.rows_invalid_total["csvimport"] = (
@@ -3849,8 +3958,20 @@ class IngestAPI:
                 good = good.withColumn(
                     f"c{pos}", _try_double(F.col(f"c{pos}"))
                 )
+        # positional frame for parse_csv_import: c1..cN with the
+        # parsed timestamp swapped in (or appended at N+1 when the
+        # format has no time column)
+        ordered = [
+            F.col("__ts_ms").alias(f"c{i}")
+            if i == eff_ts_col
+            else F.col(f"c{i}")
+            for i in range(1, max_pos + 1)
+        ]
+        if ts_col is None:
+            ordered.append(F.col("__ts_ms").alias(f"c{eff_ts_col}"))
         return self._write_samples(
-            parse_csv_import(good, entries, ts_col), extra_labels=extra_labels
+            parse_csv_import(good.select(*ordered), entries, eff_ts_col),
+            extra_labels=extra_labels,
         )
 
     def import_native(self, raw: bytes, extra_labels=None) -> int:

@@ -880,7 +880,12 @@ def parse_csv_import(
         elif role.startswith("metric:"):
             metrics.append((metric_prefix + role[7:], c.try_cast("double")))
     labels = (
-        F.create_map(*label_pairs)
+        # labels with EMPTY values are skipped — csvimport skips empty
+        # columns entirely (parser.go:138-141 isEmpty/empty-column)
+        F.map_filter(
+            F.create_map(*label_pairs),
+            lambda k, v: v.isNotNull() & (v != ""),
+        )
         if label_pairs
         else F.create_map().cast("map<string,string>")
     )
