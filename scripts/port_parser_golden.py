@@ -267,6 +267,20 @@ def _anon_list_fix(text: str):
     return text
 
 
+# Failure shapes the reference REJECTS but its own test corpus doesn't
+# include — kept here so a corpus regeneration preserves them.
+# prometheus: junk after the timestamp — the whole tail after the value
+# is ONE timestamp token, so `1 2 3` fails fastfloat.Parse("2 3")
+# (lib/protoparser/prometheus/parser.go:206-229).
+LOCAL_FAILURE_EXTRAS = {
+    "prometheus": [
+        'm{a="b"} 1 2 3',
+        "bare 4 5 6",
+        'm{a="b"} 1 1000 extra',
+    ],
+}
+
+
 def main() -> int:
     corpus = {}
     for d in DIALECTS:
@@ -306,6 +320,7 @@ def main() -> int:
                     skipped += 1
                     continue
                 fail.append(inp)
+        fail += LOCAL_FAILURE_EXTRAS.get(d, [])
         corpus[d] = {"success": succ, "failure": fail, "skipped": skipped}
         print(
             f"{d}: {len(succ)} success, {len(fail)} failure, "

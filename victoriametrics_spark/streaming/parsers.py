@@ -686,6 +686,13 @@ def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
         ),
         F.lit(""),
     )
+    # junk after the timestamp errors the line: the reference parses the
+    # ENTIRE tail after the value as one timestamp token, so
+    # `m{a="b"} 1 2 3` fails fastfloat.Parse("2 3")
+    # (parser.go:206-229); same rule as the influx fast path's
+    # max-token check
+    n_tail = F.when(braced, F.size(toks_b)).otherwise(F.size(toks_p))
+    ts_str = F.when(n_tail > 2, F.lit("junk")).otherwise(ts_str)
     # timestamps parse as floats; values in [-2^31, 2^31) look like
     # OpenMetrics Unix SECONDS and scale to ms (parser.go:218-229)
     tsd = _try_double(ts_str)
