@@ -3664,6 +3664,234 @@ FROM (
 )
 
 
+def _ingest_native_histogram(spark, sf_dir):
+    """Prometheus native-histogram remote write round-trip
+    (lib/prompb/write_request_unmarshaler.go:169-483): per event_type,
+    build an int native histogram from events (count, exact integer
+    sum of user_id%100, schema-0 buckets at index user_id%8 + 1),
+    encode it as a prompb WriteRequest (TimeSeries field 4), decode
+    through the Spark remote-write path, and return the classic
+    count/sum/vmrange series the reference emits. The driver-side
+    collect is one 8-bucket row per event_type — presentation-sized."""
+    from victoriametrics_spark.sources.tables import load_table
+    from victoriametrics_spark.streaming.remotewrite import (
+        encode_write_request,
+        remote_write_to_samples,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type", (F.col("user_id") % 8).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("user_id") % 100).alias("s"),
+        )
+        .collect()
+    )
+    per_et: dict = {}
+    for r in agg:
+        d = per_et.setdefault(
+            r["event_type"], {"n": 0, "s": 0, "buckets": [0] * 8}
+        )
+        d["n"] += r["c"]
+        d["s"] += int(r["s"])
+        d["buckets"][int(r["b"])] = r["c"]
+    series = []
+    for et in sorted(per_et):
+        d = per_et[et]
+        counts = d["buckets"]
+        deltas = [counts[0]] + [
+            counts[i] - counts[i - 1] for i in range(1, 8)
+        ]
+        h = {
+            "count_int": d["n"],
+            "sum": float(d["s"]),
+            "schema": 0,
+            "positive_spans": [(1, 8)],
+            "positive_deltas": deltas,
+            "timestamp": 1704067200000,
+        }
+        series.append(({"__name__": "nh_lat", "et": et}, [], [h]))
+    payload = encode_write_request(series)
+    df = remote_write_to_samples(
+        spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    )
+    return df.select(
+        F.col("name"),
+        F.col("labels")["et"].alias("et_lbl"),
+        F.coalesce(F.col("labels")["vmrange"], F.lit("")).alias("vmrange"),
+        (F.col("value") + F.lit(0.0)).alias("value"),
+        F.col("ts"),
+    )
+
+
+_reg(
+    "op_ingest_native_histogram",
+    _ingest_native_histogram,
+    """
+WITH base AS (
+    SELECT event_type, user_id % 8 AS b, user_id % 100 AS s FROM events
+),
+tot AS (
+    SELECT event_type, count(*) AS n, sum(s) AS sm FROM base GROUP BY 1
+),
+bk AS (SELECT event_type, b, count(*) AS c FROM base GROUP BY 1, 2)
+SELECT name, et_lbl, vmrange, value, ts FROM (
+    SELECT 'nh_lat_count' AS name, event_type AS et_lbl, '' AS vmrange,
+           CAST(n AS DOUBLE) + 0.0 AS value, 1704067200000 AS ts
+    FROM tot
+    UNION ALL
+    SELECT 'nh_lat_sum', event_type, '', CAST(sm AS DOUBLE) + 0.0,
+           1704067200000
+    FROM tot
+    UNION ALL
+    SELECT 'nh_lat_bucket', event_type,
+           printf('%.3e', pow(2, b)) || '...' || printf('%.3e', pow(2, b + 1)),
+           CAST(c AS DOUBLE) + 0.0, 1704067200000
+    FROM bk WHERE c > 0
+)""",
+)
+
+
+def _ingest_otlp_json(spark, sf_dir):
+    """OTLP-JSON gauge ingest round-trip (streaming/otlp.py): each
+    event becomes one ExportMetricsServiceRequest JSON document built
+    in Catalyst (to_json over nested structs) with a resource label, a
+    datapoint attribute, and a nanosecond timestamp; the Arrow-batched
+    decoder turns them back into samples."""
+    from victoriametrics_spark.sources.tables import load_table
+    from victoriametrics_spark.streaming.otlp import otlp_to_samples
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_ns = (
+        F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000)
+    ).cast("string")
+
+    def attr(k, v):
+        return F.struct(
+            F.lit(k).alias("key"),
+            F.struct(v.alias("stringValue")).alias("value"),
+        )
+
+    doc = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(attr("job", F.lit("events"))).alias(
+                            "attributes"
+                        )
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.array(
+                                F.struct(
+                                    F.lit("events_value").alias("name"),
+                                    F.struct(
+                                        F.array(
+                                            F.struct(
+                                                F.array(
+                                                    attr(
+                                                        "et",
+                                                        F.col("event_type"),
+                                                    )
+                                                ).alias("attributes"),
+                                                F.col("value").alias(
+                                                    "asDouble"
+                                                ),
+                                                ts_ns.alias("timeUnixNano"),
+                                            )
+                                        ).alias("dataPoints")
+                                    ).alias("gauge"),
+                                )
+                            ).alias("metrics")
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("resourceMetrics")
+        )
+    )
+    parsed = otlp_to_samples(ev.select(doc.alias("value")))
+    return parsed.groupBy(
+        F.col("name"),
+        F.col("labels")["job"].alias("job_lbl"),
+        F.col("labels")["et"].alias("et_lbl"),
+    ).agg(
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_reg(
+    "op_ingest_otlp_json",
+    _ingest_otlp_json,
+    """
+SELECT 'events_value' AS name, 'events' AS job_lbl,
+       event_type AS et_lbl,
+       round(sum(value), 6) + 0.0 AS sum_value,
+       count(*) AS n_rows,
+       max(CAST(epoch_ms(ts) AS BIGINT)) AS max_ts
+FROM events
+GROUP BY 3""",
+)
+
+
+def _ingest_newrelic(spark, sf_dir):
+    """NewRelic events ingest round-trip (streaming/parsers.py
+    parse_newrelic, reference semantics: numeric fields keep raw names
+    as metrics, string fields — eventType included — become labels,
+    seconds-vs-ms by the 2^32 rule)."""
+    from victoriametrics_spark.sources.tables import load_table
+    from victoriametrics_spark.streaming.parsers import parse_newrelic
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000.0)
+    doc = F.to_json(
+        F.array(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("event_type").alias("eventType"),
+                        ts_s.alias("timestamp"),
+                        F.col("value").alias("eventValue"),
+                        (F.col("user_id") % 10)
+                        .cast("double")
+                        .alias("userBucket"),
+                    )
+                ).alias("Events")
+            )
+        )
+    )
+    parsed = parse_newrelic(ev.select(doc.alias("value")))
+    return parsed.groupBy(
+        F.col("name"), F.col("labels")["eventType"].alias("et_lbl")
+    ).agg(
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_reg(
+    "op_ingest_newrelic",
+    _ingest_newrelic,
+    """
+SELECT name, et_lbl, round(sum_raw, 6) + 0.0 AS sum_value, n_rows, max_ts
+FROM (
+    SELECT 'eventValue' AS name, event_type AS et_lbl,
+           sum(value) AS sum_raw, count(*) AS n_rows,
+           max(CAST(epoch_ms(ts) AS BIGINT)) AS max_ts
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'userBucket', event_type,
+           sum(user_id % 10), count(*),
+           max(CAST(epoch_ms(ts) AS BIGINT))
+    FROM events GROUP BY 2
+)""",
+)
+
+
 def _evt_retention(spark, sf_dir):
     """Cohort retention matrix (operators/events.py retention_cohorts):
     first-active-day cohorts x day offsets, distinct users each."""
@@ -3771,76 +3999,73 @@ FROM f""",
 # regardless of the window.
 _DRIVER_PRIORITY = [
     # The first 50 registered gates get this round's driver verdicts.
-    # Rotation policy (r11, per the r10 verdict item 7): (a) the NEW
-    # parser-robustness gates first, (b) the verdict-named stale
-    # families — the lql_* set (last driver verdict r9),
-    # op_doc_exact_dedup / op_doc_jaccard_pairs / op_doc_quality
-    # (r8-r9), mq_histogram_quantile (r9) — then (c) the stalest
-    # remaining driver verdicts oldest-first: the six r5/r6 rel_*
-    # gates, then the r7 block. Everything else is also re-run by
-    # scripts/check_oracle.py over the WHOLE registry each round.
-    # (a) new in round 11 — end-to-end escape-aware ingest round-trips
-    # + the round's new pipeline operators
+    # Rotation policy (r12, per the r11 verdict item 6): (a) this
+    # round's NEW gates — the native-histogram remote-write round-trip
+    # and the JSON-dialect corpus round-trips (OTLP, NewRelic) — plus
+    # the r11 ingest escapes pair kept one more round since the prom
+    # parser was touched again (junk-after-timestamp); (b) the
+    # verdict-named stale families: the 8 gr_* gates (last driver
+    # verdict r10), the ANN block (r8-r9), the r8 streamaggr trio;
+    # (c) stalest remaining driver verdicts oldest-first.
+    # scripts/check_oracle.py still re-runs the WHOLE registry locally
+    # each round regardless of the window.
+    # (a) new in round 12
+    "op_ingest_native_histogram",
+    "op_ingest_otlp_json",
+    "op_ingest_newrelic",
     "op_ingest_prom_escapes",
     "op_ingest_influx_escapes",
-    "op_evt_retention",
-    "op_evt_rolling_active",
-    "op_doc_winnow_fingerprint",
-    # (b) verdict-named stale families
-    "lql_word_stats",
-    "lql_cmp_math",
-    "lql_time_in",
-    "lql_rel_time",
-    "lql_extract_format",
-    "lql_coalesce_pipe",
-    "lql_json_array_concat",
-    "lql_top",
-    "lql_first_partition",
-    "lql_unpack_replace",
-    "lql_sort_offset",
-    "lql_uniq_hits",
-    "lql_time_bucket_stats",
-    "lql_stats_if",
-    "lql_value_bucket_stats",
-    "op_doc_exact_dedup",
-    "op_doc_jaccard_pairs",
-    "op_doc_quality",
-    "mq_histogram_quantile",
-    # (c) stalest driver verdicts oldest-first — pre-r7
+    # (b) verdict-named stale families — graphite (r10)
+    "gr_as_percent",
+    "gr_as_percent_nodes",
+    "gr_derivative_grouped",
+    "gr_group_movingavg",
+    "gr_highest_current",
+    "gr_stacked",
+    "gr_sum_series",
+    "gr_summarize",
+    # ANN block (r8-r9)
+    "op_emb_lsh_knn",
+    "op_emb_ivf_knn",
+    "op_emb_cosine_dedup",
+    "op_emb_centroid_norm",
+    "op_emb_ivf_topk",
+    "op_emb_pq_knn",
+    "op_emb_quantized_knn",
+    "op_emb_semantic_dedup",
+    "op_emb_knn_threshold",
+    "op_emb_cluster_stats",
+    # streamaggr trio (r8)
+    "op_streamaggr_counters",
+    "op_streamaggr_dedup",
+    "op_streamaggr_outputs",
+    # (c) stalest remaining driver verdicts oldest-first (r5-r7)
     "rel_unpack_syslog",
     "rel_coalesce_json",
     "rel_field_names",
     "rel_stats_rate",
     "rel_unpack_words",
     "rel_time_filters",
-    # r7 block (fills the window to 50; overflow falls on the tail)
-    "op_emb_ivf_topk",
-    "mq_topk_max",
-    "mq_quantile_sumot_by",
-    "mq_stdvar_over_time",
-    "mq_range_over_time",
-    "mq_geomean_over_time",
-    "mq_last_over_time",
-    "mq_first_over_time",
-    "mq_median_over_time",
-    "mq_quantile_over_time",
-    "mq_present_over_time",
-    "mq_count_gt_over_time",
-    "mq_count_le_over_time",
-    "mq_sum_gt_over_time",
-    "mq_share_gt_over_time",
-    "mq_delta_prometheus",
-    "mq_increases_over_time",
-    "mq_ascent_over_time",
-    "mq_descent_over_time",
-    "mq_increase_prometheus",
-    "mq_integrate",
-    "mq_max_avgot_by",
-    "mq_min_avgot_by",
-    "mq_count_series_by",
-    "mq_stddev_sumot_by",
-    "mq_median_cntot_by",
+    "op_doc_minhash_lsh",
+    "op_doc_minhash_estimate",
+    "op_doc_simhash_pairs",
+    "op_doc_lang_id",
+    "op_doc_token_stats",
+    "op_doc_fingerprint",
+    "op_evt_sessions",
+    "op_evt_funnel",
+    "op_doc_chunks",
+    "op_doc_pack_chunks",
+    "op_doc_pii_redact",
+    "op_doc_decontaminate",
+    "op_doc_boilerplate_lines",
+    "op_doc_bigram_lm",
+    "op_doc_tfidf_terms",
+    "op_doc_dsir_weights",
+    "op_doc_temperature_sample",
+    "op_mm_metadata",
 ]
+
 
 
 def _reorder_registry() -> None:

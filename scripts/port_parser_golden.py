@@ -25,7 +25,7 @@ OUT = os.path.join(
     "parser_golden_cases.json",
 )
 
-DIALECTS = ["prometheus", "graphite", "influx", "opentsdb"]
+DIALECTS = ["prometheus", "graphite", "influx", "opentsdb", "opentsdbhttp"]
 
 
 def _find_func(src: str, name: str) -> "str | None":
@@ -198,14 +198,15 @@ def _parse_struct(text: str):
         open_idx = text.index("{") if m_anon else (m_named.end() - 1)
         inner = text[open_idx + 1 : _match_brace(text, open_idx)]
         fields = {}
-        for part in _split_top(inner):
-            if not part.strip():
-                continue
+        parts = [p for p in _split_top(inner) if p.strip()]
+        for part in parts:
             km = re.match(
                 r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*:\s*(.*)$", part, re.S
             )
             if not km:
-                return None
+                # positional composite literal (e.g. Point{ts, v}) —
+                # return the elements as a list
+                return [_parse_struct(p.strip()) for p in parts]
             k, v = km.group(1), km.group(2).strip()
             fields[k] = _parse_struct(v)
         return fields
@@ -414,6 +415,76 @@ def main() -> int:
     print(
         f"csvimport: {len(cv['success'])} success, "
         f"{len(cv['failure'])} failure, {cv['skipped']} skipped"
+    )
+
+    # datadogv1/v2: f(input, &Request{Series: [...]}) — keep the raw
+    # Request literal dict; the replay flattens it per the insert
+    # handler's mapping (request_handler.go)
+    for d, fnames in (
+        ("datadogv1",
+         [("success", "TestRequestUnmarshalSuccess"),
+          ("failure", "TestRequestUnmarshalFailure")]),
+        ("datadogv2",
+         [("success", "TestRequestUnmarshalJSONSuccess"),
+          ("failure", "TestRequestUnmarshalJSONFailure")]),
+    ):
+        src = open(f"{REF}/{d}/parser_test.go", encoding="utf-8").read()
+        dd = {"success": [], "failure": [], "skipped": 0}
+        for kind, fname in fnames:
+            body = _find_func(src, fname)
+            if not body:
+                continue
+            for call in _iter_f_calls(body):
+                parts = _split_top(call)
+                inp = _go_string_expr(parts[0]) if parts else None
+                if inp is None:
+                    dd["skipped"] += 1
+                    continue
+                if kind == "failure":
+                    dd["failure"].append(inp)
+                    continue
+                req = _parse_struct(parts[1])
+                if req is None:
+                    dd["skipped"] += 1
+                    continue
+                dd["success"].append({"input": inp, "request": req})
+        corpus[d] = dd
+        print(
+            f"{d}: {len(dd['success'])} success, "
+            f"{len(dd['failure'])} failure, {dd['skipped']} skipped"
+        )
+
+    # newrelic: f(input, []Row{Tags, Samples, Timestamp}) — Tag keys/
+    # values are []byte literals, handled by _go_value
+    src = open(f"{REF}/newrelic/parser_test.go", encoding="utf-8").read()
+    nr = {"success": [], "failure": [], "skipped": 0}
+    for kind, fname in (
+        ("success", "TestRowsUnmarshalSuccess"),
+        ("failure", "TestRowsUnmarshalFailure"),
+    ):
+        body = _find_func(src, fname)
+        if not body:
+            continue
+        for call in _iter_f_calls(body):
+            parts = _split_top(call)
+            inp = _go_string_expr(parts[0]) if parts else None
+            if inp is None:
+                nr["skipped"] += 1
+                continue
+            if kind == "failure":
+                nr["failure"].append(inp)
+                continue
+            rows = []
+            if len(parts) > 1 and parts[1].strip() != "nil":
+                rows = _parse_struct(parts[1])
+                if rows is None:
+                    nr["skipped"] += 1
+                    continue
+            nr["success"].append({"input": inp, "rows": rows})
+    corpus["newrelic"] = nr
+    print(
+        f"newrelic: {len(nr['success'])} success, "
+        f"{len(nr['failure'])} failure, {nr['skipped']} skipped"
     )
     with open(OUT, "w", encoding="utf-8") as fh:
         json.dump(corpus, fh, indent=1)

@@ -269,3 +269,195 @@ def test_csv_golden_success(spark, case):
 )
 def test_csv_golden_failure(spark, case):
     assert _run_csv(spark, case["format"], case["input"]) == []
+
+
+# ------------------------------------------------------------ opentsdbhttp
+from victoriametrics_spark.streaming.parsers import (  # noqa: E402
+    parse_opentsdb_http,
+)
+
+
+def _run_opentsdbhttp(spark, text):
+    docs = spark.createDataFrame([(text,)], "value string")
+    return parse_opentsdb_http(docs, default_ts_ms=DEF_MS)
+
+
+def _exp_opentsdbhttp(rows):
+    out = []
+    for r in rows:
+        tags = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        raw = int(r.get("Timestamp") or 0)
+        if raw == 0:
+            ts = DEF_MS
+        elif raw & 0x7FFFFFFF00000000 == 0:
+            ts = raw * 1000
+        else:
+            ts = raw
+        out.append(_key(r["Metric"], tags, ts, r.get("Value", 0)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"opentsdbhttp-ok-{i}")
+        for i, c in enumerate(CASES["opentsdbhttp"]["success"])
+    ],
+)
+def test_opentsdbhttp_golden_success(spark, case):
+    got = _got_keys(_run_opentsdbhttp(spark, case["input"]))
+    want = _exp_opentsdbhttp(case["rows"])
+    assert got == want, f"\ninput={case['input']!r}\ngot={got}\nwant={want}"
+
+
+@pytest.mark.parametrize(
+    "inp",
+    [
+        pytest.param(c, id=f"opentsdbhttp-err-{i}")
+        for i, c in enumerate(CASES["opentsdbhttp"]["failure"])
+    ],
+)
+def test_opentsdbhttp_golden_failure(spark, inp):
+    # row-level failures drop rows; request-level JSON errors produce
+    # zero rows through the parse fn (the HTTP layer 400s separately)
+    assert _got_keys(_run_opentsdbhttp(spark, inp)) == []
+
+
+# ------------------------------------------------------------ datadog v1/v2
+from victoriametrics_spark.streaming.parsers import (  # noqa: E402
+    parse_datadog_v1,
+    parse_datadog_v2,
+)
+
+
+def _dd_split_tag(tag):
+    # datadogutil.SplitTag + the host→exported_host rename
+    if ":" in tag:
+        name, value = tag.split(":", 1)
+    else:
+        name, value = tag, "no_label_value"
+    if name == "host":
+        name = "exported_host"
+    return name, value
+
+
+def _exp_datadogv1(req):
+    out = []
+    for s in req.get("Series") or []:
+        labels = {}
+        if s.get("Host"):
+            labels["host"] = s["Host"]
+        if s.get("Device"):
+            labels["device"] = s["Device"]
+        for tag in s.get("Tags") or []:
+            n, v = _dd_split_tag(tag)
+            if n:
+                labels[n] = v
+        for pt in s.get("Points") or []:
+            out.append(
+                _key(s["Metric"], labels, int(pt[0] * 1000), pt[1])
+            )
+    return sorted(out)
+
+
+def _exp_datadogv2(req):
+    out = []
+    for s in req.get("Series") or []:
+        labels = {}
+        for r in s.get("Resources") or []:
+            if r.get("Type") and r.get("Name"):
+                labels[r["Type"]] = r["Name"]
+        for tag in s.get("Tags") or []:
+            n, v = _dd_split_tag(tag)
+            if n:
+                labels[n] = v
+        if s.get("SourceTypeName"):
+            labels["source_type_name"] = s["SourceTypeName"]
+        for pt in s.get("Points") or []:
+            out.append(
+                _key(
+                    s["Metric"], labels,
+                    int(pt["Timestamp"]) * 1000, pt["Value"],
+                )
+            )
+    return sorted(out)
+
+
+_DD = {
+    "datadogv1": (parse_datadog_v1, _exp_datadogv1, "datadog_v1"),
+    "datadogv2": (parse_datadog_v2, _exp_datadogv2, "datadog_v2"),
+}
+
+
+@pytest.mark.parametrize(
+    "dialect,case",
+    [
+        pytest.param(d, c, id=f"{d}-ok-{i}")
+        for d in _DD
+        for i, c in enumerate(CASES[d]["success"])
+    ],
+)
+def test_datadog_golden_success(spark, dialect, case):
+    run, exp, _ = _DD[dialect]
+    docs = spark.createDataFrame([(case["input"],)], "value string")
+    got = _got_keys(run(docs))
+    want = exp(case["request"])
+    assert got == want, f"\ninput={case['input']!r}\ngot={got}\nwant={want}"
+
+
+@pytest.mark.parametrize(
+    "dialect,inp",
+    [
+        pytest.param(d, c, id=f"{d}-err-{i}")
+        for d in _DD
+        for i, c in enumerate(CASES[d]["failure"])
+    ],
+)
+def test_datadog_golden_failure(spark, dialect, inp):
+    # request-level errors: the reference's Unmarshal returns an error
+    # and the HTTP layer 400s — replay through ingest_json
+    _, _, api_dialect = _DD[dialect]
+    ing = IngestAPI(spark, sink=lambda df, kind: None)
+    with pytest.raises(ValueError):
+        ing.ingest_json(inp, api_dialect)
+
+
+# --------------------------------------------------------------- newrelic
+from victoriametrics_spark.streaming.parsers import parse_newrelic  # noqa: E402
+
+
+def _exp_newrelic(rows):
+    out = []
+    for r in rows:
+        labels = {t["Key"]: t["Value"] for t in r.get("Tags") or []}
+        ts = int(r.get("Timestamp") or 0) or DEF_MS
+        for s in r.get("Samples") or []:
+            out.append(_key(s["Name"], labels, ts, s["Value"]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        pytest.param(c, id=f"newrelic-ok-{i}")
+        for i, c in enumerate(CASES["newrelic"]["success"])
+    ],
+)
+def test_newrelic_golden_success(spark, case):
+    docs = spark.createDataFrame([(case["input"],)], "value string")
+    got = _got_keys(parse_newrelic(docs, default_ts_ms=DEF_MS))
+    want = _exp_newrelic(case["rows"])
+    assert got == want, f"\ninput={case['input']!r}\ngot={got}\nwant={want}"
+
+
+@pytest.mark.parametrize(
+    "inp",
+    [
+        pytest.param(c, id=f"newrelic-err-{i}")
+        for i, c in enumerate(CASES["newrelic"]["failure"])
+    ],
+)
+def test_newrelic_golden_failure(spark, inp):
+    ing = IngestAPI(spark, sink=lambda df, kind: None)
+    with pytest.raises(ValueError):
+        ing.ingest_json(inp, "newrelic")

@@ -488,6 +488,106 @@ def test_file_sd_configs_live_rotation(spark, exposition_port, tmp_path):
     assert len(sc2.targets) == 1 and sc2.targets[0].labels["env"] == "y"
 
 
+def test_http_sd_configs_live_swap(spark, exposition_port):
+    """http_sd_configs (lib/promscrape/discovery/http): targets come
+    from a GET returning [{targets, labels}], carry __meta_url, swap
+    only when the response bytes change, keep last-known-good on a
+    fetch error, and count fetch/parse errors."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    state = {"body": json.dumps(
+        [{"targets": [f"127.0.0.1:{exposition_port}"],
+          "labels": {"env": "a"}}]
+    ), "code": 200, "headers": []}
+
+    class _SD(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            state["headers"].append(dict(self.headers))
+            if state["code"] != 200:
+                self.send_error(state["code"])
+                return
+            body = state["body"].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    sd_srv = ThreadingHTTPServer(("127.0.0.1", 0), _SD)
+    threading.Thread(target=sd_srv.serve_forever, daemon=True).start()
+    sd_url = f"http://127.0.0.1:{sd_srv.server_address[1]}/sd"
+    try:
+        captured = []
+        ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+        sc = Scraper(
+            ingest,
+            [
+                {
+                    "job_name": "hsd",
+                    "http_sd_configs": [
+                        {"url": sd_url, "refresh_interval": "10s"}
+                    ],
+                }
+            ],
+        )
+        assert len(sc.targets) == 1
+        t = sc.targets[0]
+        assert t.discovered["__meta_url"] == sd_url
+        assert t.labels["env"] == "a"
+        # reference header set (api.go:126-135)
+        h = state["headers"][-1]
+        assert h.get("Accept") == "application/json"
+        assert "X-Prometheus-Refresh-Interval-Seconds" in h
+        sc.scrape_once()
+        rows = [r for df in captured for r in df.collect()]
+        assert any(
+            r["name"] == "scraped_metric" and r["labels"].get("env") == "a"
+            for r in rows
+        )
+
+        # unchanged response bytes → no swap (api.go:111-113)
+        assert sc.check_http_sd(force=True) is False
+        assert sc.targets[0] is t and t.removed is False
+
+        # mutate the endpoint: new label set + a second (dead) target
+        state["body"] = json.dumps([
+            {"targets": [f"127.0.0.1:{exposition_port}"],
+             "labels": {"env": "b"}},
+            {"targets": ["127.0.0.1:1"], "labels": {"env": "dead"}},
+        ])
+        assert sc.check_http_sd(force=True) is True
+        assert t.removed is True
+        assert len(sc.targets) == 2
+        assert {x.labels["env"] for x in sc.targets} == {"b", "dead"}
+
+        # fetch error: last-known-good targets stay, counter ticks
+        state["code"] = 500
+        assert sc.check_http_sd(force=True) is False
+        assert len(sc.targets) == 2
+        assert sc.http_sd_errors_total["fetch"] == 1
+
+        # parse error: same
+        state["code"] = 200
+        state["body"] = "{not json["
+        assert sc.check_http_sd(force=True) is False
+        assert len(sc.targets) == 2
+        assert sc.http_sd_errors_total["parse"] == 1
+
+        # recovery re-swaps even though the last GOOD bytes differ only
+        # via the error episodes (prev reset on error)
+        state["body"] = json.dumps(
+            [{"targets": [f"127.0.0.1:{exposition_port}"],
+              "labels": {"env": "c"}}]
+        )
+        assert sc.check_http_sd(force=True) is True
+        assert {x.labels["env"] for x in sc.targets} == {"c"}
+    finally:
+        sd_srv.shutdown()
+
+
 def test_scrape_auth_headers(spark, tmp_path):
     """basic_auth / bearer_token(_file) / authorization blocks send the
     right Authorization header (lib/promauth HTTPClientConfig)."""

@@ -433,10 +433,13 @@ def test_parse_newrelic(spark):
         '"cpuPercent":1.5,"memoryUsedBytes":1024,"hostname":"web"}]}]'
     )
     out = _collect(parse_newrelic(_lines(spark, [doc])))
-    # numeric fields only, camelCase → snake_case
+    # numeric fields keep their RAW names as metrics; every string
+    # field (eventType included) is a label on each sample
+    # (newrelic/parser.go:135-190 + request_handler.go:44-60)
+    lbls = (("eventType", "SystemSample"), ("hostname", "web"))
     assert out == [
-        ("system_sample_cpu_percent", (), 1704067200000, 1.5),
-        ("system_sample_memory_used_bytes", (), 1704067200000, 1024.0),
+        ("cpuPercent", lbls, 1704067200000, 1.5),
+        ("memoryUsedBytes", lbls, 1704067200000, 1024.0),
     ]
 
 

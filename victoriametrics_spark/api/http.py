@@ -3479,22 +3479,92 @@ class IngestAPI:
         from victoriametrics_spark.streaming import parsers as P
 
         try:
-            _json.loads(body)
+            doc = _json.loads(body)
         except Exception as e:
             raise ValueError(f"invalid JSON payload: {e}") from None
+
+        # request-level shape errors, as the reference parsers raise
+        # them: datadog v1/v2 need a top-level object (parser_test.go
+        # rejects `1234`/`[]`), newrelic a top-level array of objects
+        # whose Events are arrays of objects (parser.go:40-85), OTLP an
+        # object. opentsdb_http accepts any JSON — a wrong top-level
+        # type is a counted zero-row drop, not an error
+        # (opentsdbhttp/parser.go:125-137).
+        if dialect in ("datadog_v1", "datadog_v2", "otlp") and not isinstance(
+            doc, dict
+        ):
+            raise ValueError(f"{dialect}: top-level JSON object expected")
+        if dialect == "newrelic":
+            if not isinstance(doc, list):
+                raise ValueError(
+                    "newrelic: cannot find the top-level array of"
+                    " MetricPost objects"
+                )
+            for mp in doc:
+                if not isinstance(mp, dict):
+                    raise ValueError("newrelic: cannot find MetricPost object")
+                ev = mp.get("Events")
+                if ev is None:
+                    continue
+                if not isinstance(ev, list) or any(
+                    not isinstance(e, dict) for e in ev
+                ):
+                    raise ValueError(
+                        "newrelic: cannot find Events array in MetricPost"
+                        " object"
+                    )
 
         fns = {
             "datadog_v1": P.parse_datadog_v1,
             "datadog_v2": P.parse_datadog_v2,
-            "newrelic": P.parse_newrelic,
+            "newrelic": lambda docs: P.parse_newrelic(
+                docs, default_ts_ms=self._now_ms()
+            ),
             "otlp": P.parse_otlp_json,
-            "opentsdb_http": P.parse_opentsdb_http,
+            "opentsdb_http": lambda docs: P.parse_opentsdb_http(
+                docs, default_ts_ms=self._now_ms()
+            ),
         }
         if dialect not in fns:
             raise ValueError(f"unknown json ingest dialect {dialect!r}")
+        if dialect == "otlp":
+            # metric metadata rides in the same payload
+            # (PushMetricMetadata, streamparser.go:200-219)
+            from victoriametrics_spark.streaming.otlp import (
+                decode_otlp_json,
+            )
+
+            try:
+                _, mms = decode_otlp_json(doc)
+                self.metadata_store.add(mms, tenant=self._metadata_tenant())
+            except Exception:
+                pass  # metadata is best-effort; samples still land
         docs = self.spark.createDataFrame([(body,)], ["value"])
         return self._write_samples(
             fns[dialect](docs), extra_labels=extra_labels
+        )
+
+    def ingest_otlp_pb(self, body: bytes, extra_labels=None) -> int:
+        """OTLP/HTTP protobuf metrics (the default OTLP exporter wire
+        format — ExportMetricsServiceRequest; stream/streamparser.go)."""
+        from victoriametrics_spark.streaming.otlp import (
+            decode_otlp_pb,
+            otlp_to_samples,
+        )
+
+        try:
+            _, mms = decode_otlp_pb(body)
+            self.metadata_store.add(mms, tenant=self._metadata_tenant())
+        except Exception:
+            self.read_errors_total["opentelemetry"] = (
+                self.read_errors_total.get("opentelemetry", 0) + 1
+            )
+            raise ValueError("cannot decode OTLP protobuf payload") from None
+        docs = self.spark.createDataFrame(
+            [(bytearray(body),)], "value binary"
+        )
+        return self._write_samples(
+            otlp_to_samples(docs, fmt="pb"), extra_labels=extra_labels
         )
 
     def ingest_sketches(self, raw: bytes) -> int:
@@ -5271,9 +5341,17 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     "/opentelemetry/api/v1/push",
                     "/opentelemetry/v1/metrics",
                 ):
-                    cnt = ingest_api.ingest_json(
-                        raw.decode(), "otlp", extra_labels=extra_labels
-                    )
+                    # OTLP/HTTP ships protobuf by default; JSON by
+                    # content type (protoparserutil encoding switch)
+                    ctype = (self.headers.get("Content-Type") or "").lower()
+                    if "json" in ctype or raw[:1] in (b"{", b" "):
+                        cnt = ingest_api.ingest_json(
+                            raw.decode(), "otlp", extra_labels=extra_labels
+                        )
+                    else:
+                        cnt = ingest_api.ingest_otlp_pb(
+                            raw, extra_labels=extra_labels
+                        )
                 elif u.path == "/zabbixconnector/api/v1/history":
                     cnt = ingest_api.import_lines(
                         raw.decode(), "zabbix", extra_labels=extra_labels

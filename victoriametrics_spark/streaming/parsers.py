@@ -972,31 +972,128 @@ def parse_opentsdb(
     )
 
 
-def parse_opentsdb_http(docs: DataFrame) -> DataFrame:
+def parse_opentsdb_http(
+    docs: DataFrame, default_ts_ms: int | None = None
+) -> DataFrame:
     """OpenTSDB HTTP JSON (/api/put, lib/protoparser/opentsdbhttp/): one
-    JSON document per row — a single datapoint object or an array."""
-    item = "STRUCT<metric: STRING, timestamp: BIGINT, value: DOUBLE, tags: MAP<STRING,STRING>>"
+    JSON document per row — a single datapoint object or an array.
+
+    Reference row-validity rules (parser.go:58-123,160-186), enforced
+    with VARIANT type probes since from_json silently coerces types:
+    `metric` must be a non-empty JSON STRING; `value` is required and
+    must be a number or a float-parseable string (getFloat64); an
+    absent `timestamp` means ingest time but a present one must also
+    be number-or-parseable-string (truncated to int64); `tags` must be
+    an object whose values are ALL strings (one bad value invalidates
+    the whole row), with empty keys/values skipped. An invalid row is
+    dropped alone — the other rows of the array still land
+    (unmarshalRow pops and continues)."""
+    item = (
+        "STRUCT<metric: VARIANT, timestamp: VARIANT, value: VARIANT,"
+        " tags: VARIANT>"
+    )
     arr = F.from_json(F.col("value"), f"ARRAY<{item}>")
     one = F.from_json(F.col("value"), item)
     pts = F.coalesce(arr, F.array(one))
-    d = docs.select(F.explode(pts).alias("p")).filter(F.col("p.metric").isNotNull())
+    d = docs.select(F.explode(pts).alias("p"))
+    p = F.col("p")
+    sov = F.schema_of_variant
+
+    def _num(c: Column) -> Column:
+        # getFloat64: JSON number, or string parsed as float; any other
+        # type (bool/array/object/null) errors the row
+        return F.when(
+            sov(c).rlike(
+                "^(STRING|BIGINT|DOUBLE|DECIMAL|FLOAT|INT|SMALLINT|TINYINT)"
+            ),
+            c.try_cast("double"),
+        )
+
+    metric = p["metric"]
+    name = F.when(sov(metric) == "STRING", metric.try_cast("string"))
+    val = _num(p["value"])
+    tsd = _num(p["timestamp"])
+    tmap = p["tags"].try_cast("map<string,variant>")
+    tags_ok = p["tags"].isNull() | (
+        sov(p["tags"]).startswith("OBJECT")
+        & F.forall(
+            F.map_values(tmap), lambda x: sov(x) == F.lit("STRING")
+        )
+    )
+    valid = (
+        name.isNotNull()
+        & (name != "")
+        & p["value"].isNotNull()
+        & val.isNotNull()
+        & (p["timestamp"].isNull() | tsd.isNotNull())
+        & tags_ok
+    )
+    labels = F.map_filter(
+        F.transform_values(
+            F.coalesce(tmap, F.create_map().cast("map<string,variant>")),
+            lambda k, v: v.try_cast("string"),
+        ),
+        lambda k, v: (k != "") & (v != ""),  # skip empty tags
+    )
+    ts_raw = tsd.cast("long")  # int64(float) truncation
+    default_ts = (
+        F.lit(default_ts_ms).cast("long")
+        if default_ts_ms is not None
+        else F.lit(None).cast("long")
+    )
+    # ts 0/missing → ingest time; SECOND_MASK decides seconds vs ms
+    # (stream/streamparser.go:56-72, secondMask 0x7FFFFFFF00000000)
+    ts = F.when(ts_raw.isNull() | (ts_raw == 0), default_ts).otherwise(
+        F.when(
+            ts_raw.bitwiseAND(F.lit(0x7FFFFFFF00000000)) == 0,
+            ts_raw * 1000,
+        ).otherwise(ts_raw)
+    )
     return _finish(
-        d.select(
-            F.col("p.metric").alias("name"),
-            F.col("p.tags").alias("labels"),
-            _sec_or_ms(F.col("p.timestamp")).alias("ts"),
-            F.col("p.value").alias("value"),
+        d.filter(valid).select(
+            name.alias("name"),
+            labels.alias("labels"),
+            ts.alias("ts"),
+            val.alias("value"),
         )
     )
 
 
+def _dd_sanitize_name(name: Column) -> Column:
+    """datadogutil.SanitizeName (datadogutil.go:39-60, default-on
+    -datadog.sanitizeMetricName): unsupported chars → ``_``, collapse
+    consecutive ``_``, drop ``_`` adjacent to dots."""
+    s = F.regexp_replace(name, r"[^0-9a-zA-Z_.]+", "_")
+    s = F.regexp_replace(s, r"_+", "_")
+    return F.regexp_replace(s, r"_?\._?", ".")
+
+
 def _dd_tags_to_map(tags: Column, extra: list[tuple[str, Column]]) -> Column:
-    """Datadog ``["k:v", ...]`` tag lists → label map (+ extra pairs)."""
+    """Datadog ``["k:v", ...]`` tag lists → label map (+ extra pairs).
+
+    SplitTag (datadogutil.go:28-37): a tag without ``:`` keeps its whole
+    text as the name with value ``no_label_value``; a ``host`` tag is
+    renamed ``exported_host`` because the series' own host field wins
+    (request_handler.go:55-60). Tags with an empty name (``""`` or
+    ``:v``) are dropped — the reference would let them overwrite the
+    metric name slot, which is never intended."""
+    named = F.filter(
+        tags, lambda t: (t != "") & ~t.startswith(":")
+    )
     pairs = F.transform(
-        F.filter(tags, lambda t: t.contains(":")),
+        named,
         lambda t: F.struct(
-            F.split_part(t, F.lit(":"), F.lit(1)).alias("key"),
-            F.regexp_replace(t, r"^[^:]*:", "").alias("value"),
+            F.when(
+                F.split_part(t, F.lit(":"), F.lit(1)) == "host",
+                F.lit("exported_host"),
+            )
+            .otherwise(F.split_part(t, F.lit(":"), F.lit(1)))
+            .alias("key"),
+            F.when(
+                t.contains(":"), F.regexp_replace(t, r"^[^:]*:", "")
+            )
+            .otherwise(F.lit("no_label_value"))
+            .alias("value"),
         ),
     )
     def _neq(name: str):
@@ -1008,26 +1105,39 @@ def _dd_tags_to_map(tags: Column, extra: list[tuple[str, Column]]) -> Column:
     for k, v in extra:
         m = F.map_concat(
             F.map_filter(m, _neq(k)),
-            F.when(v.isNotNull(), F.create_map(F.lit(k), v)).otherwise(
-                F.create_map().cast("map<string,string>")
-            ),
+            F.when(
+                v.isNotNull() & (v != ""), F.create_map(F.lit(k), v)
+            ).otherwise(F.create_map().cast("map<string,string>")),
         )
     return m
 
 
-def parse_datadog_v1(docs: DataFrame) -> DataFrame:
+def parse_datadog_v1(
+    docs: DataFrame, sanitize_metric_name: bool = True
+) -> DataFrame:
     """Datadog v1 /api/v1/series (lib/protoparser/datadogv1/):
-    {"series":[{"metric","points":[[ts_s,v],...],"tags":["k:v"],"host"}]}"""
+    {"series":[{"metric","points":[[ts_s,v],...],"tags":["k:v"],"host",
+    "device"}]}.
+
+    Reference mapping (app/vminsert/datadogv1/request_handler.go:44-62):
+    non-empty host/device fields become labels; tag names ``host`` are
+    renamed ``exported_host``; point[0] is FLOAT SECONDS converted via
+    int64(ts*1000) (parser.go:88-98 Point.Timestamp — no magnitude
+    detection); metric names sanitized per datadogutil.SanitizeName
+    (-datadog.sanitizeMetricName, default true)."""
     schema = (
         "series ARRAY<STRUCT<metric: STRING, points: ARRAY<ARRAY<DOUBLE>>, "
-        "tags: ARRAY<STRING>, host: STRING>>"
+        "tags: ARRAY<STRING>, host: STRING, device: STRING>>"
     )
     d = docs.select(F.explode(F.from_json(F.col("value"), schema)["series"]).alias("s"))
+    name = F.col("s.metric")
+    if sanitize_metric_name:
+        name = _dd_sanitize_name(name)
     p = d.select(
-        F.col("s.metric").alias("name"),
+        name.alias("name"),
         _dd_tags_to_map(
             F.coalesce(F.col("s.tags"), F.array().cast("array<string>")),
-            [("host", F.col("s.host"))],
+            [("host", F.col("s.host")), ("device", F.col("s.device"))],
         ).alias("labels"),
         F.explode(F.col("s.points")).alias("pt"),
     )
@@ -1035,120 +1145,164 @@ def parse_datadog_v1(docs: DataFrame) -> DataFrame:
         p.select(
             "name",
             "labels",
-            _sec_or_ms(F.element_at(F.col("pt"), 1).cast("long")).alias("ts"),
+            (F.element_at(F.col("pt"), 1) * 1000)
+            .cast("long")
+            .alias("ts"),
             F.element_at(F.col("pt"), 2).alias("value"),
         )
     )
 
 
-def parse_datadog_v2(docs: DataFrame) -> DataFrame:
+def parse_datadog_v2(
+    docs: DataFrame, sanitize_metric_name: bool = True
+) -> DataFrame:
     """Datadog v2 /api/v2/series (lib/protoparser/datadogv2/): points are
-    {"timestamp","value"} structs; host comes from resources[]."""
+    {"timestamp","value"} structs.
+
+    Reference mapping (app/vminsert/datadogv2/request_handler.go:48-65):
+    EVERY resource becomes a ``type → name`` label (not just host);
+    non-empty source_type_name becomes a label; tag names ``host``
+    rename to ``exported_host``; timestamp is SECONDS * 1000 always;
+    metric names sanitized per datadogutil.SanitizeName."""
     schema = (
         "series ARRAY<STRUCT<metric: STRING, "
         "points: ARRAY<STRUCT<timestamp: BIGINT, value: DOUBLE>>, "
-        "tags: ARRAY<STRING>, "
+        "tags: ARRAY<STRING>, source_type_name: STRING, "
         "resources: ARRAY<STRUCT<name: STRING, type: STRING>>>>"
     )
     d = docs.select(F.explode(F.from_json(F.col("value"), schema)["series"]).alias("s"))
-    host = F.element_at(
-        F.filter(F.col("s.resources"), lambda r: r["type"] == "host"), 1
-    )["name"]
+    res = F.coalesce(
+        F.col("s.resources"),
+        F.array().cast("array<struct<name:string,type:string>>"),
+    )
+    res_map = F.map_from_entries(
+        F.transform(
+            F.filter(
+                res,
+                lambda r: r["type"].isNotNull()
+                & (r["type"] != "")
+                & r["name"].isNotNull()
+                & (r["name"] != ""),
+            ),
+            lambda r: F.struct(
+                r["type"].alias("key"), r["name"].alias("value")
+            ),
+        )
+    )
+    name = F.col("s.metric")
+    if sanitize_metric_name:
+        name = _dd_sanitize_name(name)
+    tag_map = _dd_tags_to_map(
+        F.coalesce(F.col("s.tags"), F.array().cast("array<string>")),
+        [("source_type_name", F.col("s.source_type_name"))],
+    )
+    # resources first, then tags/source_type_name (AddLabel order)
+    labels = F.map_concat(
+        F.map_filter(
+            res_map, lambda k, _v: ~F.array_contains(F.map_keys(tag_map), k)
+        ),
+        tag_map,
+    )
     p = d.select(
-        F.col("s.metric").alias("name"),
-        _dd_tags_to_map(
-            F.coalesce(F.col("s.tags"), F.array().cast("array<string>")),
-            [("host", host)],
-        ).alias("labels"),
+        name.alias("name"),
+        labels.alias("labels"),
         F.explode(F.col("s.points")).alias("pt"),
     )
     return _finish(
         p.select(
             "name",
             "labels",
-            _sec_or_ms(F.col("pt.timestamp")).alias("ts"),
+            (F.col("pt.timestamp") * 1000).alias("ts"),
             F.col("pt.value").alias("value"),
         )
     )
 
 
-def parse_newrelic(docs: DataFrame) -> DataFrame:
+def parse_newrelic(
+    docs: DataFrame, default_ts_ms: int | None = None
+) -> DataFrame:
     """NewRelic infra agent payload (lib/protoparser/newrelic/):
-    [{"Events":[{"eventType":"SystemSample","timestamp":ts_s,
-    <numeric fields>...}]}] — every numeric field becomes the metric
-    ``<eventType>_<field>`` (VM converts camelCase to snake_case; that
-    normalization is applied here too)."""
-    schema = "ARRAY<STRUCT<Events: ARRAY<MAP<STRING,STRING>>>>"
+    ``[{"Events":[{...}]}]``.
+
+    Reference event mapping (parser.go:135-190 Row.unmarshal +
+    app/vminsert/newrelic/request_handler.go:44-60): every NUMERIC
+    field except ``timestamp`` becomes its own raw sample whose metric
+    name is the RAW field name; every STRING field (``eventType``
+    included) becomes a label on all of the event's samples,
+    empty-string values skipped; a numeric ``timestamp`` below 2^32 is
+    seconds (× 1000), otherwise milliseconds, truncated to int64;
+    missing timestamp → ingest time. Booleans/nulls/nested values are
+    ignored. Field JSON types are probed via VARIANT — from_json's
+    string coercion would turn every number into a tag."""
+    schema = "ARRAY<STRUCT<Events: ARRAY<MAP<STRING, VARIANT>>>>"
     d = docs.select(F.explode(F.from_json(F.col("value"), schema)).alias("e"))
-    ev = d.select(F.explode(F.col("e.Events")).alias("m"))
-    ev = ev.withColumn("ts", F.element_at(F.col("m"), "timestamp").cast("long"))
-    ev = ev.withColumn("etype", F.element_at(F.col("m"), "eventType"))
+    ev = d.select(
+        F.explode(
+            F.coalesce(
+                F.col("e.Events"),
+                F.array().cast("array<map<string,variant>>"),
+            )
+        ).alias("m")
+    )
+    m = F.col("m")
+    sov = F.schema_of_variant
+    _NUM = "^(BIGINT|DOUBLE|DECIMAL|FLOAT|INT|SMALLINT|TINYINT)"
+    labels = F.transform_values(
+        F.map_filter(
+            m,
+            lambda k, v: (k != "")
+            & (sov(v) == "STRING")
+            & (v.try_cast("string") != ""),
+        ),
+        lambda _k, v: v.try_cast("string"),
+    )
+    # duplicate JSON keys: fastjson's Visit assigns the timestamp once
+    # per occurrence so the LAST wins; from_json keeps duplicate map
+    # entries in order, so take the last matching entry, not
+    # element_at (first-wins)
+    tsv = F.element_at(
+        F.filter(F.map_entries(m), lambda e: e["key"] == "timestamp"),
+        -1,
+    )["value"]
+    tsd = F.when(sov(tsv).rlike(_NUM), tsv.try_cast("double"))
+    ts_ms = (
+        F.when(tsd < F.lit(float(1 << 32)), tsd * 1000)
+        .otherwise(tsd)
+        .cast("long")
+    )
+    default_ts = (
+        F.lit(default_ts_ms).cast("long")
+        if default_ts_ms is not None
+        else F.lit(None).cast("long")
+    )
     kv = ev.select(
-        "ts", "etype", F.explode(F.col("m")).alias("k", "v")
-    ).filter(~F.col("k").isin("timestamp", "eventType"))
-    num = F.col("v").try_cast("double")
-    snake = lambda c: F.lower(  # noqa: E731  camelCase → snake_case
-        F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2")
+        labels.alias("labels"),
+        F.coalesce(ts_ms, default_ts).alias("ts"),
+        F.explode(m).alias("k", "v"),
+    ).filter(
+        (F.col("k") != "")
+        & (F.col("k") != "timestamp")
+        & sov(F.col("v")).rlike(_NUM)
     )
     return _finish(
-        kv.filter(num.isNotNull()).select(
-            F.concat(snake(F.col("etype")), F.lit("_"), snake(F.col("k"))).alias(
-                "name"
-            ),
-            F.create_map().cast("map<string,string>").alias("labels"),
-            _sec_or_ms(F.col("ts")).alias("ts"),
-            num.alias("value"),
+        kv.select(
+            F.col("k").alias("name"),
+            "labels",
+            "ts",
+            F.col("v").try_cast("double").alias("value"),
         )
     )
 
 
 def parse_otlp_json(docs: DataFrame) -> DataFrame:
-    """OTLP metrics JSON (lib/protoparser/opentelemetry/): gauge and sum
-    datapoints; attributes become labels; timeUnixNano → ms."""
-    dp = (
-        "ARRAY<STRUCT<timeUnixNano: STRING, asDouble: DOUBLE, asInt: STRING, "
-        "attributes: ARRAY<STRUCT<key: STRING, value: STRUCT<stringValue: STRING>>>>>"
-    )
-    schema = (
-        "resourceMetrics ARRAY<STRUCT<scopeMetrics: ARRAY<STRUCT<"
-        f"metrics: ARRAY<STRUCT<name: STRING, gauge: STRUCT<dataPoints: {dp}>, "
-        f"sum: STRUCT<dataPoints: {dp}>>>>>>>"
-    )
-    j = docs.select(F.from_json(F.col("value"), schema).alias("j"))
-    m = (
-        j.select(F.explode(F.col("j.resourceMetrics")).alias("rm"))
-        .select(F.explode(F.col("rm.scopeMetrics")).alias("sm"))
-        .select(F.explode(F.col("sm.metrics")).alias("m"))
-    )
-    pts = m.select(
-        F.col("m.name").alias("name"),
-        F.explode(
-            F.coalesce(
-                F.col("m.gauge.dataPoints"),
-                F.col("m.sum.dataPoints"),
-            )
-        ).alias("p"),
-    )
-    labels = F.map_from_entries(
-        F.transform(
-            F.coalesce(F.col("p.attributes"), F.expr("array()")),
-            lambda a: F.struct(
-                a["key"].alias("key"), a["value"]["stringValue"].alias("value")
-            ),
-        )
-    )
-    return _finish(
-        pts.select(
-            "name",
-            labels.alias("labels"),
-            (F.col("p.timeUnixNano").cast("long") / F.lit(1_000_000))
-            .cast("long")
-            .alias("ts"),
-            F.coalesce(
-                F.col("p.asDouble"), F.col("p.asInt").cast("double")
-            ).alias("value"),
-        )
-    )
+    """OTLP metrics JSON → samples. Full conversion (gauge/sum,
+    histogram → cumulative le buckets, exponential histogram → vmrange
+    buckets, summary → quantile series, resource + scope + datapoint
+    attribute labels, staleness flags) lives in streaming/otlp.py —
+    this is the JSON entry point."""
+    from victoriametrics_spark.streaming.otlp import otlp_to_samples
+
+    return otlp_to_samples(docs, fmt="json")
 
 
 def parse_zabbix(

@@ -218,6 +218,13 @@ class Scraper:
             else 30.0
         )
         self._file_sd_groups: list[dict] = []
+        # HTTP-based service discovery groups (discovery/http/api.go):
+        # GET url → JSON [{targets, labels}], swap on content change.
+        # Check cadence = max(SDCheckInterval/2, 1s) in the reference;
+        # here per-group refresh_interval (Prometheus key) with the
+        # same floor.
+        self._http_sd_groups: list[dict] = []
+        self.http_sd_errors_total: dict[str, int] = {}
         self._running = False
         for ci, cfg in enumerate(cfg_list):
             job = cfg.get("job_name") or "unnamed"
@@ -266,6 +273,26 @@ class Scraper:
                 }
                 self._file_sd_groups.append(group)
                 self._reload_file_sd_group(group)
+            for hi, hsd in enumerate(cfg.get("http_sd_configs", ()) or ()):
+                url = str(hsd.get("url") or "")
+                if not url:
+                    continue
+                group = {
+                    "key": f"http_sd:{ci}:{hi}:{job}",
+                    "ctx": ctx,
+                    "url": url,
+                    "refresh_s": max(
+                        _parse_duration_s(
+                            hsd.get("refresh_interval"), 60.0
+                        ) / 2,
+                        1.0,
+                    ),
+                    "auth_header": _auth_header(hsd),
+                    "prev": None,  # last response bytes (content sig)
+                    "due": 0.0,  # monotonic next-check time
+                }
+                self._http_sd_groups.append(group)
+                self._reload_http_sd_group(group)
 
     # ------------------------------------------------- target construction
     def _make_candidates(self, ctx, static_configs, extra_labels):
@@ -396,6 +423,93 @@ class Scraper:
         for group in self._file_sd_groups:
             if self._file_sd_signature(group) != group["sig"]:
                 self._reload_file_sd_group(group)
+                changed = True
+        return changed
+
+    # ----------------------------------------------------------- http_sd
+    def _http_sd_fetch(self, group) -> bytes:
+        """GET the http_sd url with the reference's header set
+        (discovery/http/api.go:126-135:
+        X-Prometheus-Refresh-Interval-Seconds + Accept json)."""
+        import urllib.request as _rq
+
+        req = _rq.Request(group["url"])
+        req.add_header(
+            "X-Prometheus-Refresh-Interval-Seconds",
+            f"{group['refresh_s']:.0f}",
+        )
+        req.add_header("Accept", "application/json")
+        if group.get("auth_header"):
+            req.add_header("Authorization", group["auth_header"])
+        with _rq.urlopen(req, timeout=group["ctx"]["timeout"]) as r:
+            return r.read()
+
+    def _reload_http_sd_group(self, group) -> bool:
+        """Fetch the target list; swap the group's targets only when
+        the response bytes changed (refreshTargetsIfNeeded,
+        api.go:104-124: bytes-equal short-circuit). Fetch/parse errors
+        count into promscrape_discovery_http_errors_total and KEEP the
+        last-known-good targets (promscrape keeps stale targets on SD
+        failure rather than scaling to zero)."""
+        import json as _json
+
+        try:
+            data = self._http_sd_fetch(group)
+        except Exception:  # noqa: BLE001 — fetch error: retry next tick
+            self.http_sd_errors_total["fetch"] = (
+                self.http_sd_errors_total.get("fetch", 0) + 1
+            )
+            group["prev"] = None
+            return False
+        if group["prev"] is not None and data == group["prev"]:
+            return False
+        try:
+            stcs = _json.loads(data)
+            if not isinstance(stcs, list):
+                raise ValueError("http_sd response is not a list")
+            for tg in stcs:
+                if not isinstance(tg, dict):
+                    raise ValueError("http_sd target group is not an object")
+        except Exception:  # noqa: BLE001 — parse error: count, keep old
+            self.http_sd_errors_total["parse"] = (
+                self.http_sd_errors_total.get("parse", 0) + 1
+            )
+            group["prev"] = None
+            return False
+        group["prev"] = data
+        # the [{targets, labels}] shape matches static_configs, so the
+        # same candidate builder applies; __meta_url per
+        # addHTTPTargetLabels (http.go:58-73)
+        candidates = self._make_candidates(
+            group["ctx"], stcs, {"__meta_url": group["url"]}
+        )
+        fresh = self._finalize_candidates(
+            candidates, group["ctx"], group=group["key"]
+        )
+        with self._lock:
+            for t in self.targets:
+                if t.group == group["key"]:
+                    t.removed = True
+            self.targets = [
+                t for t in self.targets if t.group != group["key"]
+            ] + fresh
+        if self._running:
+            for t in fresh:
+                self._spawn(t)
+        return True
+
+    def check_http_sd(self, force: bool = False) -> bool:
+        """Refresh http_sd groups whose refresh interval elapsed
+        (or all, with force=True — tests call this synchronously)."""
+        import time as _time
+
+        changed = False
+        now = _time.monotonic()
+        for group in self._http_sd_groups:
+            if not force and now < group["due"]:
+                continue
+            group["due"] = now + group["refresh_s"]
+            if self._reload_http_sd_group(group):
                 changed = True
         return changed
 
@@ -539,20 +653,28 @@ class Scraper:
             targets = list(self.targets)
         for t in targets:
             self._spawn(t)
-        if self._file_sd_groups:
+        if self._file_sd_groups or self._http_sd_groups:
+            wait_s = self.file_sd_check_interval_s
+            if self._http_sd_groups:
+                wait_s = min(
+                    wait_s,
+                    min(g["refresh_s"] for g in self._http_sd_groups),
+                )
 
             def _watch():
                 while not self._stop.is_set():
-                    self._stop.wait(self.file_sd_check_interval_s)
+                    self._stop.wait(wait_s)
                     if self._stop.is_set():
                         return
                     try:
-                        self.check_file_sd()
+                        if self._file_sd_groups:
+                            self.check_file_sd()
+                        self.check_http_sd()
                     except Exception:  # noqa: BLE001 — keep watching
                         pass
 
             th = threading.Thread(
-                target=_watch, name="vm-promscrape-filesd", daemon=True
+                target=_watch, name="vm-promscrape-sd", daemon=True
             )
             th.start()
             self._threads.append(th)
