@@ -381,6 +381,56 @@ def test_ingest_endpoints(spark, api):
             [({"__name__": "rw_metric", "job": "b"}, [(1704067200000, 42.0)])]
         )
         assert post("/api/v1/write", body, "application/x-protobuf") == 204
+        # OTLP via AWS Firehose envelope: protocol header switches the
+        # body processor, request-id header gets the JSON ack
+        # (request_handler.go:37-38, firehose/http.go ResponseWriter)
+        import base64 as _b64
+
+        def _ld(field, payload):
+            out = bytearray()
+            for x in (field << 3 | 2, len(payload)):
+                while True:
+                    b7 = x & 0x7F
+                    x >>= 7
+                    out.append(b7 | 0x80 if x else b7)
+                    if not x:
+                        break
+            return bytes(out) + payload
+
+        import struct as _struct
+
+        point = (
+            bytes([3 << 3 | 1]) + _struct.pack("<Q", 20 * 10**9)
+            + bytes([4 << 3 | 1]) + _struct.pack("<d", 7.0)
+        )
+        metric = _ld(1, b"fh_gauge") + _ld(5, _ld(1, point))
+        otlp_pb = _ld(1, _ld(2, _ld(2, metric)))
+        rec = len(otlp_pb).to_bytes(1, "little") + otlp_pb
+        envelope = json.dumps(
+            {"requestId": "req-1", "timestamp": 1,
+             "records": [{"data": _b64.b64encode(rec).decode()}]}
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/opentelemetry/v1/metrics",
+            data=envelope.encode(),
+            method="POST",
+            headers={
+                "Content-Type": "application/json",
+                "X-Amz-Firehose-Protocol-Version": "1.0",
+                "X-Amz-Firehose-Request-Id": "req-1",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            ack = json.loads(resp.read())
+            assert ack["requestId"] == "req-1" and "timestamp" in ack
+        fh_rows = [
+            r for r in collected.get("samples", [])
+            if r["name"] == "fh_gauge"
+        ]
+        assert len(fh_rows) == 1
+        assert fh_rows[0]["value"] == 7.0 and fh_rows[0]["ts"] == 20000
+
         # logs: jsonline + loki
         assert post(
             "/insert/jsonline",

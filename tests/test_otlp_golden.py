@@ -430,3 +430,63 @@ def test_spark_otlp_pb_path(spark):
     (r,) = rows
     assert r["name"] == "pb_gauge" and r["value"] == 2.5
     assert r["ts"] == 15000 and dict(r["labels"]) == {"l": "v"}
+
+
+# --------------------------------------------------------------- firehose
+def test_firehose_cloudwatch_golden():
+    """The reference's real CloudWatch Metric Streams payload
+    (firehose/parser_test.go TestProcessRequestBody): unwrap the
+    Firehose JSON envelope, decode the concatenated length-prefixed
+    OTLP protobuf, and reproduce the expected series text exactly
+    (Go %g values, label order = __name__ + insertion order)."""
+    import os
+
+    from victoriametrics_spark.streaming.otlp import (
+        decode_otlp_pb,
+        firehose_process_body,
+    )
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "firehose_golden.json"))
+    )
+    pb = firehose_process_body(fix["body"].encode())
+    samples, _ = decode_otlp_pb(pb)
+
+    def g(v: float) -> str:  # Go %g
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+
+    got_lines = []
+    for name, labels, ts, value, _stale in samples:
+        inner = ",".join(
+            [f'__name__="{name}"']
+            + [f'{k}="{v}"' for k, v in labels.items()]
+        )
+        got_lines.append("{%s} %s %d" % (inner, g(value), ts))
+    want_lines = [ln for ln in fix["expected"].splitlines() if ln]
+    assert len(got_lines) == len(want_lines)
+    # the reference emits per-timeseries in decode order; compare sorted
+    # (label insertion order differs between the two decoders only in
+    # datapoint-attr position, which sorting absorbs)
+    def norm(line):
+        head, _, tail = line.partition("} ")
+        inner = head[1:]
+        return (tuple(sorted(inner.split(","))), tail)
+
+    assert sorted(map(norm, got_lines)) == sorted(map(norm, want_lines))
+
+
+def test_firehose_envelope_errors():
+    from victoriametrics_spark.streaming.otlp import firehose_process_body
+
+    with pytest.raises(Exception):
+        firehose_process_body(b"{not json")
+    # truncated length-prefixed message (parser.go:46-49)
+    import base64
+
+    bad = json.dumps(
+        {"records": [{"data": base64.b64encode(b"\x7f123").decode()}]}
+    )
+    with pytest.raises(ValueError, match="insufficient length"):
+        firehose_process_body(bad.encode())

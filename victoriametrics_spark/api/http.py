@@ -5342,16 +5342,50 @@ def serve(api: PromAPI, port: int = 8428, host: str = "127.0.0.1", logs_api: "Lo
                     "/opentelemetry/v1/metrics",
                 ):
                     # OTLP/HTTP ships protobuf by default; JSON by
-                    # content type (protoparserutil encoding switch)
-                    ctype = (self.headers.get("Content-Type") or "").lower()
-                    if "json" in ctype or raw[:1] in (b"{", b" "):
-                        cnt = ingest_api.ingest_json(
-                            raw.decode(), "otlp", extra_labels=extra_labels
+                    # content type (protoparserutil encoding switch).
+                    # AWS Firehose wraps OTLP protobuf in a JSON
+                    # envelope, flagged by its protocol header
+                    # (request_handler.go:37-38 + firehose/parser.go)
+                    firehose_req = self.headers.get(
+                        "X-Amz-Firehose-Request-Id"
+                    )
+                    if self.headers.get("X-Amz-Firehose-Protocol-Version"):
+                        from victoriametrics_spark.streaming.otlp import (
+                            firehose_process_body,
+                        )
+
+                        cnt = ingest_api.ingest_otlp_pb(
+                            firehose_process_body(raw),
+                            extra_labels=extra_labels,
                         )
                     else:
-                        cnt = ingest_api.ingest_otlp_pb(
-                            raw, extra_labels=extra_labels
+                        ctype = (
+                            self.headers.get("Content-Type") or ""
+                        ).lower()
+                        if "json" in ctype or raw[:1] in (b"{", b" "):
+                            cnt = ingest_api.ingest_json(
+                                raw.decode(), "otlp",
+                                extra_labels=extra_labels,
+                            )
+                        else:
+                            cnt = ingest_api.ingest_otlp_pb(
+                                raw, extra_labels=extra_labels
+                            )
+                    if firehose_req:
+                        # Firehose HTTP endpoints require this ack
+                        # shape (firehose/http.go ResponseWriter)
+                        import time as _t
+
+                        self._send(
+                            200,
+                            json.dumps(
+                                {
+                                    "requestId": firehose_req,
+                                    "timestamp": int(_t.time() * 1000),
+                                }
+                            ),
                         )
+                        return
                 elif u.path == "/zabbixconnector/api/v1/history":
                     cnt = ingest_api.import_lines(
                         raw.decode(), "zabbix", extra_labels=extra_labels

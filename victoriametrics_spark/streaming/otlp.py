@@ -618,6 +618,36 @@ def decode_otlp_pb(body: bytes, **kw):
     return decode_otlp_json(_pb_to_json(body), **kw)
 
 
+def firehose_process_body(b: bytes) -> bytes:
+    """AWS Firehose envelope → raw OTLP protobuf
+    (lib/protoparser/opentelemetry/firehose/parser.go:27-55): the JSON
+    body carries base64 ``records[].data``, each a sequence of
+    uvarint-length-prefixed ExportMetricsServiceRequest messages;
+    concatenating the stripped messages yields one valid protobuf
+    (repeated fields append)."""
+    import base64
+
+    req = json.loads(b)
+    dst = bytearray()
+    for rec in req.get("records") or req.get("Records") or []:
+        data = base64.b64decode(rec.get("data") or rec.get("Data") or "")
+        while data:
+            msg_len, n = _uvarint(data, 0)
+            if n > 5:  # binary.MaxVarintLen32
+                raise ValueError(
+                    "failed to parse OpenTelemetry message: invalid variant"
+                )
+            total = n + msg_len
+            if total > len(data):
+                raise ValueError(
+                    "failed to parse OpenTelemetry message:"
+                    " insufficient length of buffer"
+                )
+            dst += data[n:total]
+            data = data[total:]
+    return bytes(dst)
+
+
 # --------------------------------------------------------------- Spark
 def otlp_to_samples(
     docs, col: str = "value", fmt: str = "json", **kw
