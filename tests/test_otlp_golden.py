@@ -490,3 +490,45 @@ def test_firehose_envelope_errors():
     )
     with pytest.raises(ValueError, match="insufficient length"):
         firehose_process_body(bad.encode())
+
+
+# ------------------------------------------------------- naming flags
+def test_ingest_api_naming_flags(spark):
+    """-datadog.sanitizeMetricName=false and
+    -opentelemetry.usePrometheusNaming=true analogs thread through the
+    IngestAPI config surface."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    dd = '{"series":[{"metric":"sys.load!!1","points":[[100,1.0]]}]}'
+    otlp = json.dumps(_wrap([_gauge("my-gauge", "ms")]))
+
+    rows = []
+    api = IngestAPI(spark, sink=lambda df, kind: rows.extend(df.collect()))
+    api.ingest_json(dd, "datadog_v1")
+    assert rows[-1]["name"] == "sys.load_1"  # sanitize default-on
+    api.ingest_json(otlp, "otlp")
+    assert rows[-1]["name"] == "my-gauge"  # prom naming default-off
+
+    rows2 = []
+    api2 = IngestAPI(
+        spark,
+        sink=lambda df, kind: rows2.extend(df.collect()),
+        datadog_sanitize_metric_name=False,
+        otlp_use_prometheus_naming=True,
+    )
+    api2.ingest_json(dd, "datadog_v1")
+    assert rows2[-1]["name"] == "sys.load!!1"  # raw when disabled
+    api2.ingest_json(otlp, "otlp")
+    assert rows2[-1]["name"] == "my_gauge_milliseconds"
+
+
+def test_sketches_sanitize(spark):
+    """DDSketch metric names sanitize like the stream parser
+    (datadogsketches/stream/streamparser.go:43)."""
+    from victoriametrics_spark.streaming.datadogsketches import (
+        dd_sanitize_name,
+    )
+
+    assert dd_sanitize_name("before.dot.metric!.name") == "before.dot.metric.name"
+    assert dd_sanitize_name("many.consecutive.met!!!!ric!!.!!name") == "many.consecutive.met_ric.name"
+    assert dd_sanitize_name("how.about.underscores_.!_metric!_!.__!!name") == "how.about.underscores.metric.name"

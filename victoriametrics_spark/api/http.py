@@ -3388,7 +3388,19 @@ class IngestAPI:
         names_tracker=None,
         max_hourly_series: int = 0,
         max_daily_series: int = 0,
+        datadog_sanitize_metric_name: bool = True,
+        otlp_use_prometheus_naming: bool = False,
+        otlp_convert_metric_names: bool = False,
     ):
+        # -datadog.sanitizeMetricName (datadogutil.go:16-24, default
+        # true) and -opentelemetry.usePrometheusNaming /
+        # -opentelemetry.convertMetricNamesToPrometheus
+        # (stream/sanitize.go:14-18, default false) analogs
+        self.datadog_sanitize_metric_name = bool(
+            datadog_sanitize_metric_name
+        )
+        self.otlp_use_prometheus_naming = bool(otlp_use_prometheus_naming)
+        self.otlp_convert_metric_names = bool(otlp_convert_metric_names)
         self.spark = spark
         # -storage.maxHourlySeries / -storage.maxDailySeries analogs
         # (storage.go:2151-2167): new-series rows beyond the window cap
@@ -3514,13 +3526,25 @@ class IngestAPI:
                         " object"
                     )
 
+        dd_san = self.datadog_sanitize_metric_name
+        otlp_kw = {
+            "prom_naming": self.otlp_use_prometheus_naming,
+            "convert_names": self.otlp_convert_metric_names,
+        }
         fns = {
-            "datadog_v1": P.parse_datadog_v1,
-            "datadog_v2": P.parse_datadog_v2,
+            "datadog_v1": lambda docs: P.parse_datadog_v1(
+                docs, sanitize_metric_name=dd_san
+            ),
+            "datadog_v2": lambda docs: P.parse_datadog_v2(
+                docs, sanitize_metric_name=dd_san
+            ),
             "newrelic": lambda docs: P.parse_newrelic(
                 docs, default_ts_ms=self._now_ms()
             ),
-            "otlp": P.parse_otlp_json,
+            "otlp": lambda docs: __import__(
+                "victoriametrics_spark.streaming.otlp",
+                fromlist=["otlp_to_samples"],
+            ).otlp_to_samples(docs, fmt="json", **otlp_kw),
             "opentsdb_http": lambda docs: P.parse_opentsdb_http(
                 docs, default_ts_ms=self._now_ms()
             ),
@@ -3535,7 +3559,7 @@ class IngestAPI:
             )
 
             try:
-                _, mms = decode_otlp_json(doc)
+                _, mms = decode_otlp_json(doc, **otlp_kw)
                 self.metadata_store.add(mms, tenant=self._metadata_tenant())
             except Exception:
                 pass  # metadata is best-effort; samples still land
@@ -3552,8 +3576,12 @@ class IngestAPI:
             otlp_to_samples,
         )
 
+        otlp_kw = {
+            "prom_naming": self.otlp_use_prometheus_naming,
+            "convert_names": self.otlp_convert_metric_names,
+        }
         try:
-            _, mms = decode_otlp_pb(body)
+            _, mms = decode_otlp_pb(body, **otlp_kw)
             self.metadata_store.add(mms, tenant=self._metadata_tenant())
         except Exception:
             self.read_errors_total["opentelemetry"] = (
@@ -3564,7 +3592,8 @@ class IngestAPI:
             [(bytearray(body),)], "value binary"
         )
         return self._write_samples(
-            otlp_to_samples(docs, fmt="pb"), extra_labels=extra_labels
+            otlp_to_samples(docs, fmt="pb", **otlp_kw),
+            extra_labels=extra_labels,
         )
 
     def ingest_sketches(self, raw: bytes) -> int:
@@ -3577,7 +3606,12 @@ class IngestAPI:
         payloads = self.spark.createDataFrame(
             [(bytearray(raw),)], "body binary"
         )
-        return self._write_samples(sketches_to_samples(payloads))
+        return self._write_samples(
+            sketches_to_samples(
+                payloads,
+                sanitize_metric_name=self.datadog_sanitize_metric_name,
+            )
+        )
 
     def _write_samples(self, df: DataFrame, extra_labels=None) -> int:
         if extra_labels:

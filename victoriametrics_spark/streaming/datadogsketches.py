@@ -228,7 +228,22 @@ def encode_sketch_payload(sketches: list[dict]) -> bytes:
     return bytes(out)
 
 
-def sketches_to_samples(payloads: DataFrame, col: str = "body") -> DataFrame:
+def dd_sanitize_name(name: str) -> str:
+    """datadogutil.SanitizeName (datadogutil.go:39-60), applied to
+    sketch metric names like the stream parser does
+    (datadogsketches/stream/streamparser.go:43)."""
+    import re
+
+    s = re.sub(r"[^0-9a-zA-Z_.]+", "_", name)
+    s = re.sub(r"_+", "_", s)
+    return re.sub(r"_?\._?", ".", s)
+
+
+def sketches_to_samples(
+    payloads: DataFrame,
+    col: str = "body",
+    sanitize_metric_name: bool = True,
+) -> DataFrame:
     """DataFrame with a binary payload column → canonical samples.
 
     Arrow-batched mapInPandas: one Python crossing per batch of
@@ -243,6 +258,10 @@ def sketches_to_samples(payloads: DataFrame, col: str = "body") -> DataFrame:
                 if body is None:
                     continue
                 for sk in decode_sketch_payload(bytes(body)):
+                    if sanitize_metric_name:
+                        sk["metric"] = dd_sanitize_name(
+                            sk.get("metric", "")
+                        )
                     for name, lbls, ts, val in sketch_to_summary(sk):
                         rows.append((name, lbls, ts, val, False))
             yield pd.DataFrame(
