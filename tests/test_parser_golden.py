@@ -461,3 +461,68 @@ def test_newrelic_golden_failure(spark, inp):
     ing = IngestAPI(spark, sink=lambda df, kind: None)
     with pytest.raises(ValueError):
         ing.ingest_json(inp, "newrelic")
+
+
+# --------------------------------------- round-12 review regressions
+def test_json_dialect_poison_rows_do_not_kill_batch(spark):
+    """ANSI-mode resilience (the r10 contract: one poison row must not
+    500 the request): oversized timestamps and missing timestamp keys
+    drop their own row, the valid rows still land."""
+    from victoriametrics_spark.streaming.parsers import (
+        parse_datadog_v1,
+        parse_datadog_v2,
+        parse_newrelic,
+        parse_opentsdb_http,
+    )
+
+    def one(fn, body, **kw):
+        docs = spark.createDataFrame([(body,)], "value string")
+        return _got_keys(fn(docs, **kw))
+
+    # opentsdbhttp: 1e300 timestamp overflows int64 → row drops alone
+    got = one(
+        parse_opentsdb_http,
+        '[{"metric":"m","value":1,"timestamp":1e300},'
+        '{"metric":"ok","value":2,"timestamp":5}]',
+        default_ts_ms=DEF_MS,
+    )
+    assert got == [_key("ok", {}, 5000, 2.0)]
+    # datadog v1: huge float-second point
+    got = one(
+        parse_datadog_v1,
+        '{"series":[{"metric":"m","points":[[1e300,1],[5,2]]}]}',
+    )
+    assert got == [_key("m", {}, 5000, 2.0)]
+    # datadog v2: int64 ts that overflows when multiplied by 1000
+    got = one(
+        parse_datadog_v2,
+        '{"series":[{"metric":"m","points":['
+        '{"timestamp":100000000000000000,"value":1},'
+        '{"timestamp":5,"value":2}]}]}',
+    )
+    assert got == [_key("m", {}, 5000, 2.0)]
+    # newrelic: event with NO timestamp key takes ingest time; a
+    # 1e300 timestamp drops its event's samples
+    got = one(
+        parse_newrelic,
+        '[{"Events":[{"eventType":"S","cpuPercent":1.5},'
+        '{"eventType":"S","timestamp":1e300,"v":1}]}]',
+        default_ts_ms=DEF_MS,
+    )
+    assert got == [
+        _key("cpuPercent", {"eventType": "S"}, DEF_MS, 1.5)
+    ]
+
+
+def test_datadog_tag_label_survives_absent_field(spark):
+    """A device:sda TAG must not be stripped when the top-level device
+    FIELD is absent (request_handler.go adds tags unconditionally)."""
+    from victoriametrics_spark.streaming.parsers import parse_datadog_v1
+
+    docs = spark.createDataFrame(
+        [('{"series":[{"metric":"m","points":[[1,1]],'
+          '"tags":["device:sda"]}]}',)],
+        "value string",
+    )
+    (row,) = parse_datadog_v1(docs).collect()
+    assert dict(row["labels"]) == {"device": "sda"}

@@ -51,11 +51,21 @@ def fake_zstandard(monkeypatch):
     payload — enough to prove the binding-present code path end-to-end."""
     mod = types.ModuleType("zstandard")
 
-    class ZstdDecompressor:
+    class _Obj:
         def decompress(self, data):
             if data[:4] != ZSTD_MAGIC:
                 raise ValueError("zstd: invalid frame")
             return data[4:]
+
+    class ZstdDecompressor:
+        # the production code uses decompressobj() (streaming API —
+        # one-shot decompress() rejects frames without an embedded
+        # content size); keep decompress() too for API fidelity
+        def decompressobj(self):
+            return _Obj()
+
+        def decompress(self, data):
+            return _Obj().decompress(data)
 
     mod.ZstdDecompressor = ZstdDecompressor
     monkeypatch.setitem(sys.modules, "zstandard", mod)

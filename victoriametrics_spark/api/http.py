@@ -3552,48 +3552,61 @@ class IngestAPI:
         if dialect not in fns:
             raise ValueError(f"unknown json ingest dialect {dialect!r}")
         if dialect == "otlp":
-            # metric metadata rides in the same payload
-            # (PushMetricMetadata, streamparser.go:200-219)
+            # the body is already a driver-side string, so decode ONCE
+            # on the driver (samples + metadata in one pass,
+            # PushMetricMetadata streamparser.go:200-219) instead of
+            # decoding again inside mapInPandas
             from victoriametrics_spark.streaming.otlp import (
                 decode_otlp_json,
             )
 
+            samples, mms = decode_otlp_json(doc, **otlp_kw)
             try:
-                _, mms = decode_otlp_json(doc, **otlp_kw)
                 self.metadata_store.add(mms, tenant=self._metadata_tenant())
             except Exception:
                 pass  # metadata is best-effort; samples still land
+            return self._write_samples(
+                self._samples_df(samples), extra_labels=extra_labels
+            )
         docs = self.spark.createDataFrame([(body,)], ["value"])
         return self._write_samples(
             fns[dialect](docs), extra_labels=extra_labels
         )
 
+    def _samples_df(self, samples) -> DataFrame:
+        """Driver-decoded (name, labels, ts, value, is_stale) rows →
+        canonical samples frame."""
+        from victoriametrics_spark.schema import SAMPLE_SCHEMA
+
+        return self.spark.createDataFrame(
+            [tuple(s) for s in samples], SAMPLE_SCHEMA
+        )
+
     def ingest_otlp_pb(self, body: bytes, extra_labels=None) -> int:
         """OTLP/HTTP protobuf metrics (the default OTLP exporter wire
-        format — ExportMetricsServiceRequest; stream/streamparser.go)."""
-        from victoriametrics_spark.streaming.otlp import (
-            decode_otlp_pb,
-            otlp_to_samples,
-        )
+        format — ExportMetricsServiceRequest; stream/streamparser.go).
+        One driver-side decode yields samples AND metadata (the body is
+        already in driver memory; streaming payload-frame ingest uses
+        otlp_to_samples instead)."""
+        from victoriametrics_spark.streaming.otlp import decode_otlp_pb
 
         otlp_kw = {
             "prom_naming": self.otlp_use_prometheus_naming,
             "convert_names": self.otlp_convert_metric_names,
         }
         try:
-            _, mms = decode_otlp_pb(body, **otlp_kw)
-            self.metadata_store.add(mms, tenant=self._metadata_tenant())
+            samples, mms = decode_otlp_pb(body, **otlp_kw)
         except Exception:
             self.read_errors_total["opentelemetry"] = (
                 self.read_errors_total.get("opentelemetry", 0) + 1
             )
             raise ValueError("cannot decode OTLP protobuf payload") from None
-        docs = self.spark.createDataFrame(
-            [(bytearray(body),)], "value binary"
-        )
+        try:
+            self.metadata_store.add(mms, tenant=self._metadata_tenant())
+        except Exception:
+            pass  # metadata is best-effort; samples still land
         return self._write_samples(
-            otlp_to_samples(docs, fmt="pb", **otlp_kw),
-            extra_labels=extra_labels,
+            self._samples_df(samples), extra_labels=extra_labels
         )
 
     def ingest_sketches(self, raw: bytes) -> int:

@@ -40,6 +40,7 @@ from victoriametrics_spark.streaming.remotewrite import (
     _fields,
     _to_i64,
     _uvarint,
+    _vmrange,
     _zigzag,
 )
 
@@ -68,16 +69,17 @@ _PER_UNIT_MAP = {
 
 def _fmt_float(v: float) -> str:
     """Go strconv.AppendFloat(v, 'f', -1, 64): shortest decimal that
-    round-trips, never scientific (pb/fmt_buffer.go:26-30)."""
-    if v != v or v in (float("inf"), float("-inf")):
-        return repr(v)
+    round-trips, never scientific (pb/fmt_buffer.go:26-30); non-finite
+    values spell Go's NaN/+Inf/-Inf, not Python's."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "+Inf"
+    if v == float("-inf"):
+        return "-Inf"
     if v == int(v) and abs(v) < 1e16:
         return str(int(v))
     return format(Decimal(repr(v)), "f")
-
-
-def _vmrange(lo: float, hi: float) -> str:
-    return f"{lo:.3e}...{hi:.3e}"
 
 
 def sanitize_prom_metric_name(name: str, unit: str, mtype: int) -> str:

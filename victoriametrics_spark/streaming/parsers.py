@@ -1020,12 +1020,15 @@ def parse_opentsdb_http(
             F.map_values(tmap), lambda x: sov(x) == F.lit("STRING")
         )
     )
+    # a PRESENT timestamp must parse AND fit int64 — overflow drops the
+    # row (absent stays the ingest-time default)
+    ts_fits = tsd.try_cast("long").isNotNull()
     valid = (
         name.isNotNull()
         & (name != "")
         & p["value"].isNotNull()
         & val.isNotNull()
-        & (p["timestamp"].isNull() | tsd.isNotNull())
+        & (p["timestamp"].isNull() | ts_fits)
         & tags_ok
     )
     labels = F.map_filter(
@@ -1035,7 +1038,7 @@ def parse_opentsdb_http(
         ),
         lambda k, v: (k != "") & (v != ""),  # skip empty tags
     )
-    ts_raw = tsd.cast("long")  # int64(float) truncation
+    ts_raw = tsd.try_cast("long")  # int64(float) truncation; ANSI-safe
     default_ts = (
         F.lit(default_ts_ms).cast("long")
         if default_ts_ms is not None
@@ -1103,12 +1106,15 @@ def _dd_tags_to_map(tags: Column, extra: list[tuple[str, Column]]) -> Column:
 
     m = F.map_from_entries(pairs)
     for k, v in extra:
-        m = F.map_concat(
-            F.map_filter(m, _neq(k)),
-            F.when(
-                v.isNotNull() & (v != ""), F.create_map(F.lit(k), v)
-            ).otherwise(F.create_map().cast("map<string,string>")),
-        )
+        # the field label replaces a same-named tag ONLY when the field
+        # is non-empty — an absent field leaves the tag's label intact
+        # (request_handler.go adds tags unconditionally and the field
+        # labels only when non-empty)
+        present = v.isNotNull() & (v != "")
+        m = F.when(
+            present,
+            F.map_concat(F.map_filter(m, _neq(k)), F.create_map(F.lit(k), v)),
+        ).otherwise(m)
     return m
 
 
@@ -1146,7 +1152,7 @@ def parse_datadog_v1(
             "name",
             "labels",
             (F.element_at(F.col("pt"), 1) * 1000)
-            .cast("long")
+            .try_cast("long")
             .alias("ts"),
             F.element_at(F.col("pt"), 2).alias("value"),
         )
@@ -1212,7 +1218,7 @@ def parse_datadog_v2(
         p.select(
             "name",
             "labels",
-            (F.col("pt.timestamp") * 1000).alias("ts"),
+            F.try_multiply(F.col("pt.timestamp"), F.lit(1000)).alias("ts"),
             F.col("pt.value").alias("value"),
         )
     )
@@ -1260,22 +1266,26 @@ def parse_newrelic(
     # per occurrence so the LAST wins; from_json keeps duplicate map
     # entries in order, so take the last matching entry, not
     # element_at (first-wins)
-    tsv = F.element_at(
+    tsv = F.try_element_at(
         F.filter(F.map_entries(m), lambda e: e["key"] == "timestamp"),
-        -1,
+        F.lit(-1),
     )["value"]
     tsd = F.when(sov(tsv).rlike(_NUM), tsv.try_cast("double"))
     ts_ms = (
         F.when(tsd < F.lit(float(1 << 32)), tsd * 1000)
         .otherwise(tsd)
-        .cast("long")
+        .try_cast("long")
     )
     default_ts = (
         F.lit(default_ts_ms).cast("long")
         if default_ts_ms is not None
         else F.lit(None).cast("long")
     )
-    kv = ev.select(
+    kv = ev.filter(
+        # absent timestamp → ingest time; a PRESENT numeric timestamp
+        # that overflows int64 drops the event (never silently re-dated)
+        tsd.isNull() | ts_ms.isNotNull()
+    ).select(
         labels.alias("labels"),
         F.coalesce(ts_ms, default_ts).alias("ts"),
         F.explode(m).alias("k", "v"),

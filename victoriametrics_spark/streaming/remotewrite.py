@@ -90,7 +90,10 @@ def zstd_decompress(data: bytes) -> bytes:
     try:
         import zstandard  # type: ignore
 
-        return zstandard.ZstdDecompressor().decompress(data)
+        # decompressobj, not one-shot decompress(): streaming
+        # compressors omit the frame-header content size, which the
+        # one-shot API refuses to decode
+        return zstandard.ZstdDecompressor().decompressobj().decompress(data)
     except ImportError:
         pass
     try:
