@@ -569,3 +569,22 @@ def test_graphite_sanitize_metric_names(spark):
         _lines(spark, ["foo...b 1 2"]), default_ts_ms=0
     ).collect()
     assert out2[0]["name"] == "foo...b"
+
+
+def test_graphite_sanitize_flag_via_ingest_api(spark):
+    """-graphite.sanitizeMetricName threads through IngestAPI (the
+    graphite TCP/HTTP ingest surface), default off."""
+    from victoriametrics_spark.api.http import IngestAPI
+
+    rows = []
+    api = IngestAPI(
+        spark,
+        sink=lambda df, kind: rows.extend(df.collect()),
+        graphite_sanitize_metric_name=True,
+    )
+    api.import_lines("foo..bar|baz 1 100", "graphite")
+    assert rows[-1]["name"] == "foo.bar_baz"
+    rows2 = []
+    api2 = IngestAPI(spark, sink=lambda df, kind: rows2.extend(df.collect()))
+    api2.import_lines("foo..bar|baz 1 100", "graphite")
+    assert rows2[-1]["name"] == "foo..bar|baz"

@@ -3391,6 +3391,7 @@ class IngestAPI:
         datadog_sanitize_metric_name: bool = True,
         otlp_use_prometheus_naming: bool = False,
         otlp_convert_metric_names: bool = False,
+        graphite_sanitize_metric_name: bool = False,
     ):
         # -datadog.sanitizeMetricName (datadogutil.go:16-24, default
         # true) and -opentelemetry.usePrometheusNaming /
@@ -3401,6 +3402,11 @@ class IngestAPI:
         )
         self.otlp_use_prometheus_naming = bool(otlp_use_prometheus_naming)
         self.otlp_convert_metric_names = bool(otlp_convert_metric_names)
+        # -graphite.sanitizeMetricName (graphite/parser.go:258-269,
+        # default false)
+        self.graphite_sanitize_metric_name = bool(
+            graphite_sanitize_metric_name
+        )
         self.spark = spark
         # -storage.maxHourlySeries / -storage.maxDailySeries analogs
         # (storage.go:2151-2167): new-series rows beyond the window cap
@@ -3560,7 +3566,15 @@ class IngestAPI:
                 decode_otlp_json,
             )
 
-            samples, mms = decode_otlp_json(doc, **otlp_kw)
+            try:
+                samples, mms = decode_otlp_json(doc, **otlp_kw)
+            except Exception as e:
+                self.read_errors_total["opentelemetry"] = (
+                    self.read_errors_total.get("opentelemetry", 0) + 1
+                )
+                raise ValueError(
+                    f"cannot decode OTLP JSON payload: {e}"
+                ) from None
             try:
                 self.metadata_store.add(mms, tenant=self._metadata_tenant())
             except Exception:
@@ -3835,7 +3849,11 @@ class IngestAPI:
                 precision=precision,
             )
         elif fmt == "graphite":
-            df = P.parse_graphite(lines, default_ts_ms)
+            df = P.parse_graphite(
+                lines,
+                default_ts_ms,
+                sanitize_metric_name=self.graphite_sanitize_metric_name,
+            )
         elif fmt == "opentsdb":
             df = P.parse_opentsdb(
                 lines, default_ts_ms=default_ts_ms or self._now_ms()
