@@ -760,3 +760,124 @@ def test_scrape_request_headers(spark):
         assert seen["timeout"] == "7"
     finally:
         srv.shutdown()
+
+
+def test_stale_markers_on_series_and_target_disappearance(spark):
+    """Prometheus staleness markers (scrapework.go:330-360,614-618):
+    a series missing from the next scrape gets a stale marker; a
+    failed scrape marks everything once (repeats stay silent); a
+    target dropped by SD discovery marks all its series + the auto
+    series; no_stale_markers disables the whole mechanism."""
+    import math
+
+    from victoriametrics_spark.streaming.scraper import (
+        Scraper,
+        scrape_rows_diff,
+    )
+
+    # --- diff identity unit checks (quote-aware, order-insensitive)
+    last = 'm{a="x,y",b="1"} 5\nm{b="2",a="z"} 6\nplain 7'
+    curr = 'm{b="1",a="x,y"} 50\nplain 70'
+    assert scrape_rows_diff(last, curr) == 'm{b="2",a="z"} 6'
+    assert scrape_rows_diff(last, "") == last.replace("\n", "\n")
+
+    state = {"body": 'g1{k="v"} 1\ng2 2\n', "fail": False}
+
+    class _Exp(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if state["fail"]:
+                self.send_error(500)
+                return
+            b = state["body"].encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Exp)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sd = {"body": json.dumps(
+        [{"targets": [f"127.0.0.1:{srv.server_address[1]}"]}]
+    )}
+
+    class _SD(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            b = sd["body"].encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def log_message(self, *a):
+            pass
+
+    sd_srv = ThreadingHTTPServer(("127.0.0.1", 0), _SD)
+    threading.Thread(target=sd_srv.serve_forever, daemon=True).start()
+    try:
+        rows = []
+        ingest = IngestAPI(spark, sink=lambda df, kind: rows.extend(df.collect()))
+        sc = Scraper(
+            ingest,
+            [{
+                "job_name": "st",
+                "http_sd_configs": [
+                    {"url": f"http://127.0.0.1:{sd_srv.server_address[1]}/sd"}
+                ],
+            }],
+        )
+
+        def stale_rows():
+            return [r for r in rows if r["is_stale"]]
+
+        sc.scrape_once()
+        assert stale_rows() == []
+        # g2 disappears → exactly one stale marker for g2
+        state["body"] = 'g1{k="v"} 1\n'
+        sc.scrape_once()
+        st = stale_rows()
+        assert [r["name"] for r in st] == ["g2"]
+        assert math.isnan(st[0]["value"])
+        rows.clear()
+        # scrape failure → marker for the remaining g1, ONCE
+        state["fail"] = True
+        sc.scrape_once()
+        assert [r["name"] for r in stale_rows()] == ["g1"]
+        rows.clear()
+        sc.scrape_once()  # repeated failure stays silent
+        assert stale_rows() == []
+        # recovery re-establishes, then target removal via SD swap
+        state["fail"] = False
+        sc.scrape_once()
+        rows.clear()
+        sd["body"] = json.dumps([])  # target gone
+        assert sc.check_http_sd(force=True) is True
+        names = sorted({r["name"] for r in stale_rows()})
+        assert "g1" in names and "up" in names
+        assert "scrape_duration_seconds" in names
+
+        # no_stale_markers silences everything
+        rows.clear()
+        sd2 = json.dumps(
+            [{"targets": [f"127.0.0.1:{srv.server_address[1]}"]}]
+        )
+        sd["body"] = sd2
+        sc2 = Scraper(
+            ingest,
+            [{
+                "job_name": "st2",
+                "no_stale_markers": True,
+                "http_sd_configs": [
+                    {"url": f"http://127.0.0.1:{sd_srv.server_address[1]}/sd"}
+                ],
+            }],
+        )
+        sc2.scrape_once()
+        state["body"] = ""
+        sc2.scrape_once()
+        assert stale_rows() == []
+    finally:
+        srv.shutdown()
+        sd_srv.shutdown()

@@ -3920,6 +3920,7 @@ class IngestAPI:
         scrape_url: str = "",
         external_labels: "dict | None" = None,
         honor_timestamps: bool = False,
+        stale_marker: bool = False,
     ) -> int:
         """Scrape-body ingest (lib/promscrape/scrapework.go): the
         exposition parse of /api/v1/import/prometheus plus the target's
@@ -3972,6 +3973,18 @@ class IngestAPI:
             df = df.withColumn(
                 "labels",
                 ingest_scrape_labels(external_labels, honor_labels),
+            )
+        if stale_marker:
+            # Prometheus staleness markers for disappeared series
+            # (scrapework.go sendStaleSeries + setStaleMarkersForRows):
+            # same identity pipeline as a live scrape, but every row's
+            # value becomes the stale marker at the REAL timestamp
+            df = df.select(
+                "name",
+                "labels",
+                F.lit(int(ts_ms)).alias("ts"),
+                F.lit(float("nan")).alias("value"),
+                F.lit(True).alias("is_stale"),
             )
         if sample_limit > 0:
             # materialize once — the limit check and the write share

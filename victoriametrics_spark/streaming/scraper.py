@@ -82,6 +82,65 @@ def _auth_header(cfg: dict) -> "str | None":
     return None
 
 
+def _series_key(line: str) -> "str | None":
+    """Canonical series identity of one exposition line: metric name +
+    SORTED label pairs (quote-aware — a ``}``/``,`` inside a quoted
+    value must not truncate the block). The GetRowsDiff analog's
+    identity function (lib/protoparser/prometheus GetRowsDiff): two
+    scrapes expose the same series iff these keys match."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    brace = line.find("{")
+    sp = line.find(" ")
+    if brace == -1 or (sp != -1 and sp < brace):
+        # bare metric
+        name = line.split(None, 1)[0]
+        return name if name else None
+    name = line[:brace].strip()
+    i, n = brace + 1, len(line)
+    labels = []
+    start = i
+    in_q = False
+    while i < n:
+        c = line[i]
+        if in_q:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_q = False
+        elif c == '"':
+            in_q = True
+        elif c == ",":
+            if line[start:i].strip():
+                labels.append(line[start:i].strip())
+            start = i + 1
+        elif c == "}":
+            if line[start:i].strip():
+                labels.append(line[start:i].strip())
+            return name + "{" + ",".join(sorted(labels)) + "}"
+        i += 1
+    return None  # unterminated block — not a series
+
+
+def scrape_rows_diff(last_body: str, curr_body: str) -> str:
+    """Lines of ``last_body`` whose series identity does NOT appear in
+    ``curr_body`` (parser.GetRowsDiff): the disappeared series that
+    need staleness markers. A failed scrape passes curr_body=''."""
+    curr_keys = {
+        k
+        for k in (_series_key(ln) for ln in curr_body.splitlines())
+        if k is not None
+    }
+    out = []
+    for ln in last_body.splitlines():
+        k = _series_key(ln)
+        if k is not None and k not in curr_keys:
+            out.append(ln.strip())
+    return "\n".join(out)
+
+
 class ScrapeTarget:
     """One resolved static target: config identity + mutable scrape
     state (targetStatus, targetstatus.go:307-317)."""
@@ -116,6 +175,13 @@ class ScrapeTarget:
         # set when a file_sd reload drops this target; its scrape loop
         # exits on the next tick
         self.removed = False
+        # staleness-marker state (scrapework.go lastScrape /
+        # lastScrapeSuccess): the last SUCCESSFUL scrape body and
+        # whether the previous scrape succeeded; no_stale_markers is
+        # set from the scrape config by the candidate builders
+        self.last_scrape_body: "str | None" = None
+        self.last_scrape_success = False
+        self.no_stale_markers = False
         # the scrape pool stays the CONFIG's job_name even when
         # relabel_configs rewrite the job label (jobNameOriginal,
         # targetstatus.go:262)
@@ -173,7 +239,10 @@ class Scraper:
     """Background scraper over an IngestAPI (the vmagent-in-vmsingle
     analog, app/victoria-metrics/main.go promscrape.Init)."""
 
-    def __init__(self, ingest_api, scrape_configs, now_ms_fn=None):
+    def __init__(
+        self, ingest_api, scrape_configs, now_ms_fn=None,
+        no_stale_markers: bool = False,
+    ):
         """``scrape_configs``: a list of scrape-config dicts, or a full
         Prometheus-shaped config dict with a ``global`` section
         (GlobalConfig, config.go:278-287): global
@@ -183,6 +252,8 @@ class Scraper:
         to every scraped sample at lowest precedence."""
         self.ingest = ingest_api
         self.now_ms = now_ms_fn or (lambda: int(time.time() * 1000))
+        # -promscrape.noStaleMarkers analog (config.go:55)
+        self.no_stale_markers = bool(no_stale_markers)
         self.targets: list[ScrapeTarget] = []
         self._configs = scrape_configs
         self._stop = threading.Event()
@@ -255,6 +326,13 @@ class Scraper:
                     cfg.get("sample_limit") or g_sample_limit
                 ),
                 "auth_header": _auth_header(cfg),
+                # per-config no_stale_markers overrides the global
+                # -promscrape.noStaleMarkers analog (config.go:982,1021)
+                "no_stale_markers": bool(
+                    cfg.get(
+                        "no_stale_markers", self.no_stale_markers
+                    )
+                ),
             }
             self.targets.extend(
                 self._finalize_candidates(
@@ -322,6 +400,7 @@ class Scraper:
         identity from the relabeled label set."""
         for c in candidates:
             c.group = group
+            c.no_stale_markers = bool(ctx.get("no_stale_markers"))
         if not ctx["relabel_rules"]:
             return candidates
         out_targets = []
@@ -344,6 +423,7 @@ class Scraper:
             # discoveredLabels stay the PRE-relabel identity
             # (Config.OriginalLabels in WriteActiveTargetsJSON)
             t.discovered = dict(cand.discovered)
+            t.no_stale_markers = bool(ctx.get("no_stale_markers"))
             out_targets.append(t)
         return out_targets
 
@@ -404,12 +484,14 @@ class Scraper:
             candidates, group["ctx"], group=group["key"]
         )
         with self._lock:
-            for t in self.targets:
-                if t.group == group["key"]:
-                    t.removed = True
+            dropped = [t for t in self.targets if t.group == group["key"]]
+            for t in dropped:
+                t.removed = True
             self.targets = [
                 t for t in self.targets if t.group != group["key"]
             ] + fresh
+        for t in dropped:
+            self.send_target_removed_markers(t)
         if self._running:
             for t in fresh:
                 self._spawn(t)
@@ -487,12 +569,16 @@ class Scraper:
             candidates, group["ctx"], group=group["key"]
         )
         with self._lock:
-            for t in self.targets:
-                if t.group == group["key"]:
-                    t.removed = True
+            dropped = [t for t in self.targets if t.group == group["key"]]
+            for t in dropped:
+                t.removed = True
             self.targets = [
                 t for t in self.targets if t.group != group["key"]
             ] + fresh
+        for t in dropped:
+            # staleness markers for the disappeared targets' series
+            # (scrapework.go:347-355)
+            self.send_target_removed_markers(t)
         if self._running:
             for t in fresh:
                 self._spawn(t)
@@ -613,6 +699,59 @@ class Scraper:
                 t.scrapes_failed += 1
             t.last_scrape_ms = ts_ms
             t.last_duration_s = dur
+        # Staleness markers for disappeared series (scrapework.go:614-618:
+        # send when the series set changed AND the previous scrape
+        # succeeded or this one did — so a failure sends markers for
+        # everything ONCE, and repeated failures stay silent)
+        curr_body = body if up else ""
+        if (
+            not t.no_stale_markers
+            and t.last_scrape_body is not None
+            and (t.last_scrape_success or up)
+        ):
+            diff = scrape_rows_diff(t.last_scrape_body, curr_body)
+            if diff:
+                self._send_stale_markers(t, diff, self.now_ms())
+        if up:
+            # only a successful scrape updates the last-scrape body
+            # (scrapework.go:620-624, issue 10653)
+            t.last_scrape_body = body
+        t.last_scrape_success = up
+
+    def _send_stale_markers(self, t: ScrapeTarget, lines: str, ts_ms: int) -> None:
+        """Ingest staleness markers through the SAME identity pipeline
+        as a live scrape (labels, honor semantics, metric relabeling),
+        value → stale marker at the real timestamp."""
+        try:
+            self.ingest.ingest_scrape(
+                lines, t.labels, t.honor_labels, ts_ms,
+                metric_relabel_configs=t.metric_relabel_configs,
+                external_labels=self.external_labels,
+                stale_marker=True,
+            )
+        except Exception:  # noqa: BLE001 — markers are best-effort
+            pass
+
+    _AUTO_SERIES = (
+        "scrape_duration_seconds",
+        "scrape_samples_scraped",
+        "scrape_timeout_seconds",
+        "up",
+    )
+
+    def send_target_removed_markers(self, t: ScrapeTarget) -> None:
+        """Target disappeared from discovery (SD swap): staleness
+        markers for every series of its last scrape PLUS the auto
+        series (scrapework.go:347-355, addAutoSeries=true). Graceful
+        scraper shutdown deliberately does NOT call this
+        (scrapework.go:337-340, issue 2013)."""
+        if t.no_stale_markers:
+            return
+        lines = [f"{name} 0" for name in self._AUTO_SERIES]
+        if t.sample_limit > 0:
+            lines.append("scrape_samples_limit 0")
+        body = (t.last_scrape_body or "") + "\n" + "\n".join(lines)
+        self._send_stale_markers(t, body, self.now_ms())
 
     def scrape_once(self) -> None:
         """Synchronously scrape every target once (tests + first tick)."""
