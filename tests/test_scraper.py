@@ -337,9 +337,13 @@ def test_metric_relabel_and_sample_limit(spark, exposition_port):
         t["scrapePool"]: t
         for t in sc.targets_status()["data"]["activeTargets"]
     }
-    # metric relabeling dropped the foo=baz series
+    # metric relabeling dropped the foo=baz series from the WRITE, but
+    # lastSamplesScraped reports the PARSED count like the reference
+    # (samplesScraped = len(wc.rows.Rows) BEFORE relabeling,
+    # scrapework.go:552; the post-relabel count is the separate
+    # scrape_samples_post_metric_relabeling auto metric)
     assert st["mr"]["health"] == "up"
-    assert st["mr"]["lastSamplesScraped"] == 1
+    assert st["mr"]["lastSamplesScraped"] == 2
     rows = [r for df in captured for r in df.collect()]
     mr = [r for r in rows if r["name"] == "scraped_metric"
           and r["labels"]["job"] == "mr"]
@@ -881,3 +885,41 @@ def test_stale_markers_on_series_and_target_disappearance(spark):
     finally:
         srv.shutdown()
         sd_srv.shutdown()
+
+
+def test_auto_metrics_full_set(spark, exposition_port):
+    """The full reference auto-metric family (addAutoMetrics,
+    scrapework.go:993-1016): response size, post-relabel count,
+    series_added (new-series diff vs last scrape, disabled by
+    no_stale_markers)."""
+    from victoriametrics_spark.streaming.scraper import Scraper
+
+    captured = []
+    ingest = IngestAPI(spark, sink=lambda df, kind: captured.append(df))
+    sc = Scraper(
+        ingest,
+        [{
+            "job_name": "am",
+            "static_configs": [
+                {"targets": [f"127.0.0.1:{exposition_port}"]}
+            ],
+            "metric_relabel_configs": [
+                {"action": "drop",
+                 "source_labels": ["foo"], "regex": "baz"}
+            ],
+        }],
+    )
+    sc.scrape_once()
+    rows = [r for df in captured for r in df.collect()]
+    by = {r["name"]: r["value"] for r in rows}
+    assert by["scrape_samples_scraped"] == 2.0       # parsed rows
+    assert by["scrape_samples_post_metric_relabeling"] == 1.0  # drop hit
+    assert by["scrape_response_size_bytes"] == float(
+        len(EXPOSITION.encode())
+    )
+    assert by["scrape_series_added"] == 2.0          # first scrape: all new
+    captured.clear()
+    sc.scrape_once()  # identical body → nothing new
+    rows = [r for df in captured for r in df.collect()]
+    by = {r["name"]: r["value"] for r in rows}
+    assert by["scrape_series_added"] == 0.0

@@ -3921,6 +3921,7 @@ class IngestAPI:
         external_labels: "dict | None" = None,
         honor_timestamps: bool = False,
         stale_marker: bool = False,
+        counts: "dict | None" = None,
     ) -> int:
         """Scrape-body ingest (lib/promscrape/scrapework.go): the
         exposition parse of /api/v1/import/prometheus plus the target's
@@ -3948,6 +3949,10 @@ class IngestAPI:
         df = self._count_invalid_lines(
             df, "prometheus", body, counter_key="promscrape"
         )
+        if counts is not None:
+            # parsed-row count for scrape_samples_scraped — the frame
+            # is checkpointed above, so this count is a cheap re-read
+            counts["parsed"] = df.count()
         # honor_timestamps is FALSE by default, contrary to Prometheus
         # (config.go:299-302): body timestamps are replaced with the
         # scrape timestamp; when honored, a literal 0 timestamp still
@@ -3969,6 +3974,8 @@ class IngestAPI:
 
             df = relabel(df, metric_relabel_configs)
             df = df.filter(F.coalesce(F.col("name"), F.lit("")) != "")
+            if counts is not None:
+                counts["post_relabel"] = df.count()
         if external_labels:
             df = df.withColumn(
                 "labels",

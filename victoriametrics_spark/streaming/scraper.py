@@ -650,6 +650,8 @@ class Scraper:
         ts_ms = self.now_ms()
         t0 = time.monotonic()
         t.scrapes_total += 1
+        counts: dict = {}
+        body = ""
         try:
             body = self._fetch(t)
             n = self.ingest.ingest_scrape(
@@ -659,26 +661,55 @@ class Scraper:
                 scrape_url=t.url,
                 external_labels=self.external_labels,
                 honor_timestamps=t.honor_timestamps,
+                counts=counts,
             )
             dur = time.monotonic() - t0
-            up, err, samples = True, "", int(n)
+            # samplesScraped = PARSED rows (pre-relabel), like the
+            # reference computes it before any drop (scrapework.go)
+            up, err = True, ""
+            samples = int(counts.get("parsed", n))
         except Exception as e:  # noqa: BLE001 — any failure = target down
             dur = time.monotonic() - t0
             # a sample_limit breach still reports the REAL parsed count
             # (the reference computes samplesScraped before the check)
             up, err = False, str(e)
-            samples = int(getattr(e, "samples", 0))
+            samples = int(getattr(e, "samples", counts.get("parsed", 0)))
         # auto-metrics ride the normal ingest path with the target's
         # identity labels (scrapework.go addAutoMetrics; the subset
         # that doesn't require relabel/series-limit state) — ingested
         # BEFORE the status publishes, so a /api/v1/targets reader that
         # sees health=up can already query this scrape's `up` series
+        post_relabel = counts.get(
+            "post_relabel", counts.get("parsed", samples)
+        )
         auto = [
             ("scrape_duration_seconds", dur),
+            ("scrape_response_size_bytes", float(len(body.encode()))),
+            ("scrape_samples_post_metric_relabeling", float(post_relabel)),
             ("scrape_samples_scraped", float(samples)),
             ("scrape_timeout_seconds", t.timeout_s),
             ("up", 1.0 if up else 0.0),
         ]
+        if not t.no_stale_markers:
+            # new-series count vs the last scrape, by the same identity
+            # diff staleness uses; -promscrape.noStaleMarkers disables
+            # populating it (config.go:55)
+            last_keys = {
+                k
+                for k in (
+                    _series_key(ln)
+                    for ln in (t.last_scrape_body or "").splitlines()
+                )
+                if k is not None
+            }
+            curr_keys = {
+                k
+                for k in (_series_key(ln) for ln in body.splitlines())
+                if k is not None
+            }
+            auto.append(
+                ("scrape_series_added", float(len(curr_keys - last_keys)))
+            )
         if t.sample_limit > 0:
             # scrape_samples_limit is exposed when sample_limit is set
             # (scrapework.go:1026-1029)
@@ -734,7 +765,10 @@ class Scraper:
 
     _AUTO_SERIES = (
         "scrape_duration_seconds",
+        "scrape_response_size_bytes",
+        "scrape_samples_post_metric_relabeling",
         "scrape_samples_scraped",
+        "scrape_series_added",
         "scrape_timeout_seconds",
         "up",
     )
