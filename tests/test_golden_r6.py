@@ -1355,11 +1355,11 @@ CASES = [
 
 # ------------------------------------------------------------------
 # Documented exclusions (not ported):
-# 1. rand()-family cases (quantile_over_time/sum_gt/sum_le/sort_by_label
-#    over rand(0), topk_max(histogram_over_time(rand))): VM seeds Go's
-#    math/rand; its exact bit sequence is not reproducible from SQL (our
-#    rand() is documented as a hash-based generator with the same
-#    distribution — see transform.py newTransformRand note).
+# 1. (closed in round 13) rand()-family cases: engine/gorand.py now
+#    reproduces Go's math/rand bit streams exactly (rngSource lagged
+#    Fibonacci + ziggurat; rngCooked reconstructed via jump-ahead by
+#    scripts/gen_gorand_cooked.py), so the rand(0) subquery cases run
+#    un-skipped below.
 # 2. (closed in round 7) rate()/deriv() over scalar expressions now
 #    match VM bit-for-bit: engine/span.py implements the per-series
 #    scrape-interval estimate, prev-sample anchor, implicit-window
@@ -1370,7 +1370,6 @@ CASES = [
 #    aggrPrepareSeries map iteration — order is not defined by the
 #    language, only by Go map internals plus input slice order.
 _EXCLUDED_SUBSTRINGS = [
-    "rand(0)",
     # all-NaN comparison-filtered series resurrected by `default`: the
     # row model represents all-NaN series as absent (VM's
     # drop_empty_series is our native behavior)

@@ -851,12 +851,27 @@ class Planner:
         # the child step (alignStartEnd, eval.go:103-112) — this is what
         # makes non-step-multiple offsets land on the documented VM values.
         sub_step = re_.step.ms(cfg.step) if re_.step else cfg.step
+        # the child fetch extends by the RAW window — 0 when empty
+        # (evalRollupFuncWithSubquery: ecSQ.Start -= window +
+        # maxSilenceInterval + step, with the step-default window
+        # substituted only inside the rollup, rollup.go:747-756); using
+        # the substituted default here would start the child grid one
+        # outer step early, which shifts index-dependent inner series
+        # (rand) by a full step
+        fetch_window = window_ms if window_ms is not None else 0
         if window_ms is None:
             window_ms = cfg.step
+        # rollup_candlestick evaluates on a one-step-shifted EvalConfig
+        # (the automatic `offset -step`, eval.go:970-979); the rollup
+        # window shift is baked into plan_multi_rollup, but the CHILD
+        # grid bounds must mirror VM's shifted config — index-dependent
+        # inner series (rand) key their draws off the child grid start
+        shift = cfg.step if func_name == "rollup_candlestick" else 0
         raw_start = (
-            cfg.start - offset_ms - window_ms - sub_step - cfg.max_lookback
+            cfg.start + shift - offset_ms - fetch_window - sub_step
+            - cfg.max_lookback
         )
-        raw_end = cfg.end - offset_ms + sub_step
+        raw_end = cfg.end + shift - offset_ms + sub_step
         start = raw_start - raw_start % sub_step  # floor to step multiple
         end = raw_end + (sub_step - raw_end % sub_step) % sub_step  # ceil
         child_cfg = EvalConfig(

@@ -265,32 +265,46 @@ def plan_transform(planner: "Planner", fe: FuncExpr, cfg: EvalConfig) -> "Plan":
         return Scalar.of(math.pi)
 
     if name in ("rand", "rand_normal", "rand_exponential"):
-        # Seeded per-grid-point pseudo-random series. VM seeds Go's
-        # math/rand (newTransformRand, transform.go:2670); bit-identical
-        # Go-RNG output is not reproducible in SQL, so the documented
-        # delta is a hash-based generator: deterministic in (seed, ts),
-        # uniform in [0,1), same distribution transforms.
-        seed = (
-            int(planner.const_value(fe.args[0], cfg)) if fe.args else 0
-        )
+        # Seeded per-grid-point pseudo-random series, bit-exact vs Go:
+        # VM draws sequentially over the eval grid from
+        # rand.New(rand.NewSource(seed)) (newTransformRand,
+        # transform.go:2670-2712).  engine/gorand.py reimplements Go's
+        # rngSource + ziggurat streams exactly (reference-pinned: the
+        # exec_test.go rand(0)/rand_normal(0)/rand_exponential(0)
+        # subtests), so draws happen driver-side in grid order — a
+        # grid-sized array, same materialization VM's evalNumber does —
+        # and the grid maps ts -> draw index via a literal-array lookup
+        # (codegen-friendly, no shuffle, no Python in the hot path).
+        from victoriametrics_spark.engine.gorand import GoRand
 
-        def uniform(ts, salt):
-            h = F.xxhash64(ts.cast("long"), F.lit(seed), F.lit(salt))
-            return (F.pmod(h, F.lit(1 << 52)).cast("double")) / float(1 << 52)
+        if fe.args:
+            seed = int(planner.const_value(fe.args[0], cfg))
+        else:
+            import time as _time
 
-        if name == "rand":
-            return Scalar(fn=lambda ts: uniform(ts, 0))
-        if name == "rand_exponential":
-            return Scalar(
-                fn=lambda ts: -F.log(F.lit(1.0) - uniform(ts, 0))
+            seed = _time.time_ns()
+        rng = GoRand(seed)
+        draw = {
+            "rand": rng.float64,
+            "rand_normal": rng.norm_float64,
+            "rand_exponential": rng.exp_float64,
+        }[name]
+        n = (cfg.end - cfg.start) // cfg.step + 1
+        values = [draw() for _ in range(n)]
+        arr = F.array(*[F.lit(v) for v in values])
+        start, step = cfg.start, cfg.step
+
+        def lookup(ts, arr=arr, start=start, step=step, n=n):
+            idx = ((ts.cast("long") - F.lit(start)) / F.lit(step)).cast(
+                "long"
+            ) + F.lit(1)
+            # clamp: stray off-grid ts snaps to the nearest edge draw
+            # (grid consumers always pass exact grid points)
+            return F.try_element_at(
+                arr, F.greatest(F.lit(1), F.least(F.lit(n), idx)).cast("int")
             )
-        # rand_normal: Box-Muller from two independent uniforms
-        return Scalar(
-            fn=lambda ts: F.sqrt(
-                F.lit(-2.0) * F.log(F.lit(1.0) - uniform(ts, 0))
-            )
-            * F.cos(F.lit(2.0 * math.pi) * uniform(ts, 1))
-        )
+
+        return Scalar(fn=lookup)
 
     if name in ("bitmap_and", "bitmap_or", "bitmap_xor"):
         # bitwise ops on the integer parts (transform.go bitmap funcs);
