@@ -3983,6 +3983,95 @@ FROM f""",
 )
 
 
+def _ingest_promtsdb(spark, sf_dir):
+    """Prometheus TSDB block-file migration round-trip (the vmctl
+    file-mode on-ramp, app/vmctl/prometheus/prometheus.go): aggregate
+    events into deterministic per-(event_type, day) series, write them
+    as a real TSDB block (index v2 + Gorilla XOR chunks per the public
+    tsdb format docs), then read the block back through the
+    distributed importer (sources/promtsdb.py block_samples_df:
+    driver-side index parse, executor-side mapInPandas chunk decode).
+    Integer-valued samples (count + sum of user_id%100) keep the
+    round-trip hash-exact vs the SQL oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from victoriametrics_spark.sources.promtsdb import (
+        block_samples_df,
+        write_tsdb_block,
+    )
+    from victoriametrics_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    day = (ms - ms % F.lit(86400000)).alias("day_ms")
+    agg = (
+        ev.groupBy(F.col("event_type"), day)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("user_id") % 100).alias("s"),
+        )
+        .collect()
+    )
+    per_et: dict = {}
+    for r in agg:
+        d = per_et.setdefault(r["event_type"], {"c": [], "s": []})
+        d["c"].append((r["day_ms"], float(r["c"])))
+        d["s"].append((r["day_ms"], float(r["s"])))
+    series = []
+    for et in sorted(per_et):
+        series.append(
+            (
+                {"__name__": "evt_daily_count", "et": et},
+                sorted(per_et[et]["c"]),
+            )
+        )
+        series.append(
+            (
+                {"__name__": "evt_daily_sum", "et": et},
+                sorted(per_et[et]["s"]),
+            )
+        )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"vm_spark_tsdb_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    bd = write_tsdb_block(series, out_dir)
+    df = block_samples_df(spark, bd)
+    return df.select(
+        F.col("name"),
+        F.col("labels")["et"].alias("et_lbl"),
+        F.col("ts"),
+        (F.col("value") + F.lit(0.0)).alias("value"),
+    )
+
+
+_reg(
+    "op_ingest_promtsdb",
+    _ingest_promtsdb,
+    """
+WITH base AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) AS BIGINT)
+             - CAST(epoch_ms(ts) AS BIGINT) % 86400000 AS day_ms,
+           user_id % 100 AS s
+    FROM events
+),
+agg AS (
+    SELECT event_type, day_ms, count(*) AS c, sum(s) AS sm
+    FROM base GROUP BY 1, 2
+)
+SELECT name, et_lbl, ts, value FROM (
+    SELECT 'evt_daily_count' AS name, event_type AS et_lbl,
+           day_ms AS ts, CAST(c AS DOUBLE) + 0.0 AS value
+    FROM agg
+    UNION ALL
+    SELECT 'evt_daily_sum', event_type, day_ms, CAST(sm AS DOUBLE) + 0.0
+    FROM agg
+)""",
+)
+
+
 # ---------------------------------------------------------------- order
 # The driver verifies the FIRST 50 registered gates per round. Round-9
 # rotation: (a) gates whose engine path changed this round — the
@@ -3999,71 +4088,72 @@ FROM f""",
 # regardless of the window.
 _DRIVER_PRIORITY = [
     # The first 50 registered gates get this round's driver verdicts.
-    # Rotation policy (r12, per the r11 verdict item 6): (a) this
-    # round's NEW gates — the native-histogram remote-write round-trip
-    # and the JSON-dialect corpus round-trips (OTLP, NewRelic) — plus
-    # the r11 ingest escapes pair kept one more round since the prom
-    # parser was touched again (junk-after-timestamp); (b) the
-    # verdict-named stale families: the 8 gr_* gates (last driver
-    # verdict r10), the ANN block (r8-r9), the r8 streamaggr trio;
-    # (c) stalest remaining driver verdicts oldest-first.
+    # Rotation policy (r13, per the r12 verdict item 4): (a) this
+    # round's NEW gate (the Prometheus TSDB block importer); (b) the
+    # stalest mq_* gates — the r12 window had zero plain mq_* gates,
+    # so lead with the 36 whose latest driver verdict is r7-r9 (incl.
+    # mq_rollup_candlestick, whose subquery child-grid path changed
+    # this round); (c) the verdict-named op_doc_*/op_evt_* stragglers
+    # absent from the r12 window; (d) the stalest lql_* gates (r11),
+    # first 7 alphabetically — the rest rotate in next round.
     # scripts/check_oracle.py still re-runs the WHOLE registry locally
     # each round regardless of the window.
-    # (a) new in round 12
-    "op_ingest_native_histogram",
-    "op_ingest_otlp_json",
-    "op_ingest_newrelic",
-    "op_ingest_prom_escapes",
-    "op_ingest_influx_escapes",
-    # (b) verdict-named stale families — graphite (r10)
-    "gr_as_percent",
-    "gr_as_percent_nodes",
-    "gr_derivative_grouped",
-    "gr_group_movingavg",
-    "gr_highest_current",
-    "gr_stacked",
-    "gr_sum_series",
-    "gr_summarize",
-    # ANN block (r8-r9)
-    "op_emb_lsh_knn",
-    "op_emb_ivf_knn",
-    "op_emb_cosine_dedup",
-    "op_emb_centroid_norm",
-    "op_emb_ivf_topk",
-    "op_emb_pq_knn",
-    "op_emb_quantized_knn",
-    "op_emb_semantic_dedup",
-    "op_emb_knn_threshold",
-    "op_emb_cluster_stats",
-    # streamaggr trio (r8)
-    "op_streamaggr_counters",
-    "op_streamaggr_dedup",
-    "op_streamaggr_outputs",
-    # (c) stalest remaining driver verdicts oldest-first (r5-r7)
-    "rel_unpack_syslog",
-    "rel_coalesce_json",
-    "rel_field_names",
-    "rel_stats_rate",
-    "rel_unpack_words",
-    "rel_time_filters",
-    "op_doc_minhash_lsh",
-    "op_doc_minhash_estimate",
-    "op_doc_simhash_pairs",
-    "op_doc_lang_id",
-    "op_doc_token_stats",
-    "op_doc_fingerprint",
-    "op_evt_sessions",
-    "op_evt_funnel",
-    "op_doc_chunks",
-    "op_doc_pack_chunks",
-    "op_doc_pii_redact",
-    "op_doc_decontaminate",
-    "op_doc_boilerplate_lines",
-    "op_doc_bigram_lm",
-    "op_doc_tfidf_terms",
-    "op_doc_dsir_weights",
-    "op_doc_temperature_sample",
-    "op_mm_metadata",
+    # (a) new in round 13
+    "op_ingest_promtsdb",
+    # (b) stalest mq_* — last driver verdict r7
+    "mq_integrate",
+    "mq_max_avgot_by",
+    "mq_min_avgot_by",
+    "mq_count_series_by",
+    "mq_stddev_sumot_by",
+    "mq_median_cntot_by",
+    # r8
+    "mq_lifetime",
+    "mq_lag",
+    "mq_scrape_interval",
+    "mq_deriv_fast",
+    "mq_increase",
+    "mq_delta",
+    "mq_idelta",
+    "mq_resets",
+    "mq_changes",
+    "mq_rate",
+    "mq_rate_over_sum",
+    "mq_sum_rate_by",
+    "mq_avg_rate_by",
+    "mq_sum_rate_total",
+    "mq_rate_bucketed",
+    "mq_rate_fine_step",
+    "mq_range_mad",
+    "mq_quantiles_over_time",
+    "mq_increase_pure",
+    "mq_irate",
+    "mq_ideriv",
+    # r9
+    "mq_sum_over_time",
+    "mq_avg_over_time",
+    "mq_min_over_time",
+    "mq_max_over_time",
+    "mq_count_over_time",
+    "mq_timestamp",
+    "mq_deriv",
+    "mq_rollup_candlestick",
+    "mq_dedup_on_read",
+    # (c) verdict-named stragglers absent from the r12 window (r11)
+    "op_doc_exact_dedup",
+    "op_doc_jaccard_pairs",
+    "op_doc_quality",
+    "op_doc_winnow_fingerprint",
+    "op_evt_retention",
+    "op_evt_rolling_active",
+    # (d) stalest lql_* (r11), first alphabetical half
+    "lql_cmp_math",
+    "lql_coalesce_pipe",
+    "lql_extract_format",
+    "lql_first_partition",
+    "lql_json_array_concat",
+    "lql_rel_time",
+    "lql_sort_offset",
 ]
 
 

@@ -31,6 +31,15 @@ BENCH_QUERIES = [
     "mq_rate_bucketed",
     # wide-window fine-step (1d window @ 15m step → two-level plan)
     "mq_rate_fine_step",
+    # ---- widened set (r13): non-MetricsQL paths so a LogsQL/Graphite/
+    # dedup plan regression shows up in the round bench, not just in
+    # correctness.  Baseline band recorded in BENCH_r13.json onward.
+    # LogsQL stats pipeline over documents (len_pipe + stats by)
+    "rel_len_stats",
+    # Graphite render (summarize() over the events-backed target set)
+    "gr_summarize",
+    # LLM-pipeline dedup flagship (MinHash + banded LSH over documents)
+    "op_doc_minhash_lsh",
 ]
 
 
