@@ -592,14 +592,15 @@ CASES = [
 # Exclusions (same rationale as test_golden_r6.py where shared):
 # - `/0 default 7`: an all-NaN series resurrected by `default` — the row
 #   model represents all-NaN series as absent.
-# - duration_over_time subquery-alignment edge (off by one sub-step at
-#   the window boundary) — tracked as a known delta.
+# - (closed in round 13) duration_over_time boundary: VM starts the
+#   gap accumulation at timestamps[0] (rollup.go:1151-1178), so the
+#   first in-window sample contributes no gap; engine/rollup.py now
+#   subtracts the earliest row's anchor gap and the case runs below.
 # - 'result sorting' case: the Go test assigns expected tags via a loop
 #   the extractor cannot capture; covered behaviorally by the sort
 #   cases in test_golden.py.
 _EXCLUDED = [
     'label_set(0, "foo", "bar")/0 default 7',
-    "duration_over_time((time()<1200)[600s:10s], 20s)",
     'label_set(1, "instance", "localhost:1001", "type", "free")',
 ]
 CASES = [c for c in CASES if not any(s in c[0] for s in _EXCLUDED)]

@@ -7,12 +7,11 @@ Comparison: exact series-name set, exact timestamps, values to 1e-9
 relative (reference NaN == engine NULL). Tags are not modeled
 separately (the engine carries graphite tags inline in names).
 
-Known cross-engine N/A (xfail):
-- case 20 aggregateLine(time('foo',10),"multiply"): the product of 10
-  doubles folds in a different order here than in Go, so the LAST DIGIT
-  of the %g-formatted value in the series NAME differs
-  (1.2799358207999999e+22 vs 1.2799358208e+22); the VALUES compare
-  equal within 1e-9.
+Round-13 closure: case 20 aggregateLine(...,"multiply") was never a
+fold-order delta — the product is bit-exact; JDK 17's
+Double.toString is not shortest-round-trip (JDK-4511638), so the
+%g-formatted NAME carried 1.2799358207999999e+22.  gofmt.go_g now
+formats names with Go's exact shortest-%g rules; 246/246 run.
 """
 
 from __future__ import annotations
@@ -31,7 +30,6 @@ CASES = json.load(
     open(os.path.join(os.path.dirname(__file__), "graphite_golden_cases.json"))
 )
 
-KNOWN_ULP_NAME_CASES = {20}
 
 
 def _norm(rows):
@@ -63,8 +61,6 @@ def empty(spark):
 )
 def test_graphite_golden(spark, empty, idx):
     case = CASES[idx]
-    if idx in KNOWN_ULP_NAME_CASES:
-        pytest.xfail("float fold-order ULP in the %g-formatted name")
     rows = [
         (r["name"], r["ts"], r["value"])
         for r in render(spark, case["query"], empty, S, E, ST).collect()

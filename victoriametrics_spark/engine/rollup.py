@@ -608,9 +608,16 @@ _simple("rate_over_sum", lambda a: F.sum(V()) / F.lit(a.window_s))
 
 def _duration_over_time(a: RollupArgs) -> Column:
     # total time the series existed within the window, counting only gaps
-    # shorter than max_interval (scalar arg, seconds)
+    # shorter than max_interval (scalar arg, seconds).  VM starts from
+    # tPrev = timestamps[0] (rollup.go:1151-1178): the FIRST in-window
+    # sample contributes no gap — so subtract the earliest in-window
+    # row's counted dt (its gap reaches back to the pre-window anchor).
     max_gap_ms = (a.scalars[0] if a.scalars else a.window_s) * 1000.0
-    return F.sum(F.when(DT().isNotNull() & (DT() <= F.lit(max_gap_ms)), DT())) / 1000.0
+    counted = F.when(DT().isNotNull() & (DT() <= F.lit(max_gap_ms)), DT())
+    return (
+        F.sum(counted)
+        - F.coalesce(F.min_by(counted, F.col("__sts")), F.lit(0.0))
+    ) / 1000.0
 
 
 _simple("duration_over_time", _duration_over_time, needs_prev=True)

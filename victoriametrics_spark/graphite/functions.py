@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from victoriametrics_spark.gofmt import go_g, go_g_column
 from victoriametrics_spark.graphite.evaluator import (
     GraphiteEvalError,
     RenderContext,
@@ -661,7 +662,7 @@ def _f_percentile_of_series(ctx, call):
         F.concat(
             F.lit("percentileOfSeries("),
             F.array_min(F.collect_set(F.col(_PATH))),
-            F.lit(f",{n:g})"),
+            F.lit(f",{go_g(n)})"),
         ).alias("__aggname")
     )
     out = df.groupBy("ts").agg(
@@ -804,7 +805,7 @@ def _f_offset(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit(f"{call.func}("), F.col("name"), F.lit(f",{factor:g})")
+            F.lit(f"{call.func}("), F.col("name"), F.lit(f",{go_g(factor)})")
         ),
     )
 
@@ -816,7 +817,7 @@ def _f_scale(ctx, call):
     out = df.withColumn("value", F.col("value") * F.lit(float(factor)))
     return _rename(
         out,
-        F.concat(F.lit("scale("), F.col("name"), F.lit(f",{factor:g})")),
+        F.concat(F.lit("scale("), F.col("name"), F.lit(f",{go_g(factor)})")),
     )
 
 
@@ -831,7 +832,7 @@ def _f_scale_to_seconds(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("scaleToSeconds("), F.col("name"), F.lit(f",{seconds:g})")
+            F.lit("scaleToSeconds("), F.col("name"), F.lit(f",{go_g(seconds)})")
         ),
     )
 
@@ -852,7 +853,7 @@ def _f_pow(ctx, call):
     out = df.withColumn("value", F.pow(F.col("value"), F.lit(float(factor))))
     return _rename(
         out,
-        F.concat(F.lit("pow("), F.col("name"), F.lit(f",{factor:g})")),
+        F.concat(F.lit("pow("), F.col("name"), F.lit(f",{go_g(factor)})")),
     )
 
 
@@ -889,7 +890,7 @@ def _f_log(ctx, call):
     )
     return _rename(
         out,
-        F.concat(F.lit("log("), F.col("name"), F.lit(f",{base:g})")),
+        F.concat(F.lit("log("), F.col("name"), F.lit(f",{go_g(base)})")),
     )
 
 
@@ -941,7 +942,7 @@ def _f_transform_null(ctx, call):
     ref_node = get_arg(call, "referenceSeries", 2, None)
     df = eval_series(ctx, call, "seriesList", 0)
     filled = F.coalesce(F.col("value"), F.lit(float(default)))
-    suffix = f",{default:g})"
+    suffix = f",{go_g(default)})"
     if ref_node is not None:
         # both sides consolidate to the reference's normalized step
         # (transformTransformNull:4211-4240); fill only at instants
@@ -962,7 +963,7 @@ def _f_transform_null(ctx, call):
             F.col("__rts").isNotNull(),
             F.coalesce(F.col("value"), F.lit(float(default))),
         ).otherwise(F.col("value"))
-        suffix = f",{default:g},referenceSeries)"
+        suffix = f",{go_g(default)},referenceSeries)"
     out = df.withColumn("value", filled).select("name", "ts", "value")
     return _rename(
         out,
@@ -1914,7 +1915,7 @@ def _f_remove_above_value(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("removeAboveValue("), F.col("name"), F.lit(f",{n:g})")
+            F.lit("removeAboveValue("), F.col("name"), F.lit(f",{go_g(n)})")
         ),
     )
 
@@ -1929,7 +1930,7 @@ def _f_remove_below_value(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("removeBelowValue("), F.col("name"), F.lit(f",{n:g})")
+            F.lit("removeBelowValue("), F.col("name"), F.lit(f",{go_g(n)})")
         ),
     )
 
@@ -1955,7 +1956,7 @@ def _f_remove_above_percentile(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("removeAbovePercentile("), F.col("name"), F.lit(f",{n:g})")
+            F.lit("removeAbovePercentile("), F.col("name"), F.lit(f",{go_g(n)})")
         ),
     )
 
@@ -1971,7 +1972,7 @@ def _f_remove_below_percentile(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("removeBelowPercentile("), F.col("name"), F.lit(f",{n:g})")
+            F.lit("removeBelowPercentile("), F.col("name"), F.lit(f",{go_g(n)})")
         ),
     )
 
@@ -2036,7 +2037,7 @@ def _f_n_percentile(ctx, call):
     return _rename(
         out,
         F.concat(
-            F.lit("nPercentile("), F.col("name"), F.lit(f",{n:g})")
+            F.lit("nPercentile("), F.col("name"), F.lit(f",{go_g(n)})")
         ),
     )
 
@@ -2361,7 +2362,7 @@ def _f_as_percent(ctx, call):
         return _rename(
             out,
             F.concat(
-                F.lit("asPercent("), F.col("name"), F.lit(f",{t:g})")
+                F.lit("asPercent("), F.col("name"), F.lit(f",{go_g(t)})")
             ),
         )
 
@@ -2901,18 +2902,18 @@ def _f_constant_line(ctx, call):
     v = get_number(call, "value", 0)
     # pathExpression = the expression text (constantLine:1137
     # safePathExpression) while the NAME is the bare value
-    return constant_series(ctx, f"{v:g}", v).withColumn(
-        _PATH, F.lit(f"constantLine({v:g})")
+    return constant_series(ctx, f"{go_g(v)}", v).withColumn(
+        _PATH, F.lit(f"constantLine({go_g(v)})")
     )
 
 
 @register("threshold")
 def _f_threshold(ctx, call):
     v = get_number(call, "value", 0)
-    label = get_string(call, "label", 1, f"{v:g}")
+    label = get_string(call, "label", 1, f"{go_g(v)}")
     get_string(call, "color", 2, "")
     return constant_series(ctx, label, v).withColumn(
-        _PATH, F.lit(call.text or f"threshold({v:g})")
+        _PATH, F.lit(call.text or f"threshold({go_g(v)})")
     )
 
 
@@ -3143,22 +3144,12 @@ def _f_aggregate_line(ctx, call):
     df = eval_series(ctx, call, "seriesList", 0)
     stats = _series_stats(df, func)
     # name carries the aggregated VALUE (%g, or None when NaN) —
-    # transform.go:380-384 aggregateLine(<name>,<v>)
-    # Go-%g shortest form: integral doubles print without a fraction
-    # (Java's %g would print 3.00000)
-    as_long = F.col("__stat").try_cast("long")
-    plain = F.regexp_replace(
-        F.regexp_replace(F.col("__stat").cast("string"), "E-", "e-"),
-        "E", "e+",
-    )
-    v_str = (
-        F.when(F.col("__stat").isNull() | F.isnan("__stat"), F.lit("None"))
-        .when(
-            F.col("__stat") == as_long.cast("double"),
-            as_long.cast("string"),
-        )
-        .otherwise(plain)
-    )
+    # transform.go:380-384 aggregateLine(<name>,<v>).  Go-%g is the
+    # SHORTEST round-trip form (gofmt.py); Java's Double.toString on
+    # JDK 17 is not shortest (JDK-4511638: 1.2799358207999999E22 for
+    # 1.2799358208e22), so the formatting runs through an Arrow-batched
+    # UDF on the render-sized per-series stats frame
+    v_str = go_g_column(F.col("__stat"))
     named = stats.select(
         F.col("name").alias("__n0"),
         F.concat(
@@ -3315,7 +3306,7 @@ def _f_dashed(ctx, call):
     df = eval_series(ctx, call, "seriesList", 0)
     return _rename_keep_path(
         df,
-        F.concat(F.lit("dashed("), F.col("name"), F.lit(f",{d:g})")),
+        F.concat(F.lit("dashed("), F.col("name"), F.lit(f",{go_g(d)})")),
     )
 
 
@@ -3686,7 +3677,7 @@ def _f_alias_query(ctx, call):
             # literal %d/%g/%f substitution, NOT printf
             # (transformAliasQuery:538-541)
             out = new_name.replace("%d", str(int(v)))
-            out = out.replace("%g", f"{v:g}")
+            out = out.replace("%g", f"{go_g(v)}")
             return out.replace("%f", f"{v:f}")
 
         mapping = {r["__src"]: _fmt(r["__last"]) for r in rows}
