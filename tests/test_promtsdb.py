@@ -150,3 +150,52 @@ def test_index_checksums_detect_corruption(tmp_path):
     open(path, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="TOC checksum"):
         read_block_index(bd)
+
+
+def test_snapshot_dir_multi_block(spark, tmp_path):
+    from victoriametrics_spark.sources.promtsdb import (
+        list_blocks,
+        snapshot_samples_df,
+    )
+
+    t0 = 1_700_000_000_000
+    day = 86_400_000
+    # three blocks covering consecutive days, distinct ULIDs
+    for d in range(3):
+        series = [
+            (
+                {"__name__": "m", "job": "a", "day": str(d)},
+                [(t0 + d * day + i * 60_000, float(d * 100 + i)) for i in range(30)],
+            ),
+            (
+                {"__name__": "m", "job": "b", "day": str(d)},
+                [(t0 + d * day + i * 60_000, float(i)) for i in range(30)],
+            ),
+        ]
+        write_tsdb_block(
+            series, str(tmp_path), ulid=f"01BLOCK{d:019d}"
+        )
+
+    # block-level meta.json pruning (vmctl Explore filter.inRange)
+    assert len(list_blocks(str(tmp_path))) == 3
+    assert len(list_blocks(str(tmp_path), min_ts=t0 + 2 * day)) == 1
+    assert len(list_blocks(str(tmp_path), max_ts=t0 + day - 1)) == 1
+
+    df = snapshot_samples_df(spark, str(tmp_path))
+    assert df.count() == 3 * 2 * 30
+
+    # time filter spanning blocks 1-2 only
+    df2 = snapshot_samples_df(
+        spark, str(tmp_path), min_ts=t0 + day, max_ts=t0 + 3 * day - 1
+    )
+    rows = df2.collect()
+    assert len(rows) == 2 * 2 * 30
+    assert all(r["ts"] >= t0 + day for r in rows)
+
+    # label filter (vmctl --prom-filter-label): series dropped pre-read
+    df3 = snapshot_samples_df(
+        spark, str(tmp_path), label="job", label_value="a"
+    )
+    rows3 = df3.collect()
+    assert len(rows3) == 3 * 30
+    assert all(r["labels"]["job"] == "a" for r in rows3)

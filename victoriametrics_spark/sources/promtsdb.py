@@ -631,3 +631,109 @@ def write_tsdb_block(
     with open(os.path.join(block_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return block_dir
+
+
+# ------------------------------------------------------- snapshot dir
+def list_blocks(
+    snapshot_dir: str,
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+) -> list[str]:
+    """Enumerate block dirs in a Prometheus snapshot/data directory,
+    pruned by meta.json time range — vmctl's Explore block filter
+    (app/vmctl/prometheus/prometheus.go:78-112, filter.inRange: a
+    block survives when [minTime, maxTime] overlaps the filter)."""
+    out = []
+    for name in sorted(os.listdir(snapshot_dir)):
+        bd = os.path.join(snapshot_dir, name)
+        if not os.path.isfile(os.path.join(bd, "meta.json")):
+            continue
+        meta = read_meta(bd)
+        lo, hi = meta.get("minTime", 0), meta.get("maxTime", 0)
+        if min_ts is not None and hi < min_ts:
+            continue
+        if max_ts is not None and lo > max_ts:
+            continue
+        out.append(bd)
+    return out
+
+
+def snapshot_samples_df(
+    spark,
+    snapshot_dir: str,
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+    label: str | None = None,
+    label_value: str | None = None,
+):
+    """Distributed read of a whole Prometheus snapshot directory — the
+    vmctl prometheus migration in one call.  Three pruning levels, each
+    BEFORE the next (cheaper) stage touches data: block meta.json time
+    range -> per-chunk [mint, maxt] from the index -> per-sample.  The
+    optional (label, label_value) filter (vmctl --prom-filter-label)
+    drops whole series at the index stage, driver-side, so filtered-out
+    series cost zero chunk reads."""
+    blocks = list_blocks(snapshot_dir, min_ts, max_ts)
+    df = block_samples_df_filtered(
+        spark, blocks, min_ts, max_ts, label, label_value
+    )
+    return df
+
+
+def block_samples_df_filtered(
+    spark,
+    block_dirs,
+    min_ts=None,
+    max_ts=None,
+    label=None,
+    label_value=None,
+):
+    """block_samples_df with an optional exact-match series label
+    filter applied on the index-derived refs (pre-chunk-read)."""
+    if label is None:
+        return block_samples_df(spark, block_dirs, min_ts, max_ts)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if isinstance(block_dirs, str):
+        block_dirs = [block_dirs]
+    refs = []
+    for bd in block_dirs:
+        for labels, chunks in read_block_index(bd):
+            if labels.get(label) != label_value:
+                continue
+            lj = json.dumps(labels, sort_keys=True)
+            for seg, off, mint, maxt in chunks:
+                if min_ts is not None and maxt < min_ts:
+                    continue
+                if max_ts is not None and mint > max_ts:
+                    continue
+                refs.append(
+                    (lj, os.path.join(bd, "chunks", f"{seg + 1:06d}"), off)
+                )
+    ref_df = spark.createDataFrame(
+        refs, "labels_json string, path string, offset long"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for lj, path, off in zip(
+                pdf["labels_json"], pdf["path"], pdf["offset"]
+            ):
+                labels = json.loads(lj)
+                name = labels.pop("__name__", "")
+                for t, v in read_chunk(path, int(off)):
+                    if min_ts is not None and t < min_ts:
+                        continue
+                    if max_ts is not None and t > max_ts:
+                        continue
+                    rows.append((name, labels, t, v))
+            yield pd.DataFrame(
+                rows, columns=["name", "labels", "ts", "value"]
+            )
+
+    out = ref_df.mapInPandas(
+        decode, "name string, labels map<string,string>, ts long, value double"
+    )
+    return out.filter(~F.isnan("value"))
