@@ -39,10 +39,39 @@ def exact_dedup(
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """One row per distinct (id, shingle)."""
-    sh = word_shingles(tokens(F.col(text_col)), n)
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("s")).distinct()
+    """One row per distinct (id, shingle).
+
+    The distinct is computed per document map-side (``array_distinct``
+    over the doc's own shingle array) instead of a global
+    explode+distinct: a (id, shingle) set is distinct globally iff it is
+    distinct within each id, so the result is identical and the
+    corpus-sized distinct shuffle disappears — the explode output is
+    already unique."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("s")
+    )
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) — each document's DISTINCT shingle set as one array row.
+
+    Map-only (no explode, no shuffle): the per-doc array is the unit the
+    MinHash/LSH pipeline actually consumes, so keeping it packed lets
+    signatures, band keys and exact-Jaccard verification all run inside
+    whole-stage codegen on the document's own row. Docs with no shingle
+    (< n tokens) keep an empty array.
+
+    The ``explode(array(...))`` wrapper is a Generate barrier:
+    CollapseProject would otherwise inline this expensive expression
+    into every downstream reference (signature lambdas reference the
+    shingle set k times → k tokenizations per doc), but projections do
+    not collapse through a Generate, so ``sh`` stays a plain attribute
+    downstream. One array in → one row out: semantically a no-op."""
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(sh)).alias("sh")
     )
 
 
@@ -78,6 +107,36 @@ def jaccard_pairs(
     )
 
 
+def _signature_arrays(
+    sh_arrays: DataFrame, k: int
+) -> DataFrame:
+    """(id, sh, mhs) — mhs[i] = min(md5(shingle ∥ '#' ∥ seed=i)) over the
+    doc's shingle set; docs with no shingle are dropped (they had no
+    signature rows in the row formulation either).
+
+    Entirely map-side: the k minimums fold over the document's own
+    array, so signature computation needs NO explode-by-seed and NO
+    (id, seed) aggregation shuffle — at 100 TB the whole signature pass
+    is scan-speed."""
+    mhs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(
+                    F.concat(s, F.lit("#"), seed.cast("string")).cast("binary")
+                ),
+            )
+        ),
+    )
+    return (
+        sh_arrays.filter(F.size("sh") > 0)
+        # Generate barrier (see shingle_arrays): keeps the k-fold md5
+        # signature from being re-inlined into each band-key reference
+        .select("id", "sh", F.explode(F.array(mhs)).alias("mhs"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,15 +144,63 @@ def minhash_signatures(
     n: int = 3,
     k: int = 9,
 ) -> DataFrame:
-    """(id, seed, minhash) — minhash = min(md5(shingle ∥ '#' ∥ seed))."""
-    sh = shingle_rows(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    expanded = sh.select("id", "s", seeds)
-    h = F.md5(F.concat(F.col("s"), F.lit("#"), F.col("seed").cast("string")).cast("binary"))
+    """(id, seed, minhash) — minhash = min(md5(shingle ∥ '#' ∥ seed)).
+
+    Computed per document from its packed shingle array (zero shuffle)
+    and exploded to the row shape; identical rows to the former
+    explode-by-seed + groupBy(id, seed) formulation."""
+    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    return sig.select(
+        "id", F.posexplode("mhs").alias("seed", "mh")
+    )
+
+
+def _band_rows(sig_arrays: DataFrame, k: int, band_size: int) -> DataFrame:
+    """(id, band, bkey) derived map-side from the packed signature:
+    band b's key is the sorted '|'-join of seeds [b·band_size,
+    (b+1)·band_size) — exactly what groupBy(id, band) +
+    sort(collect_list) produced, without the aggregation shuffle."""
+    n_bands = (k + band_size - 1) // band_size
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.array_sort(
+                    F.slice(F.col("mhs"), b * band_size + 1, band_size)
+                ),
+                "|",
+            ).alias("bkey"),
+        ),
+    )
+    return sig_arrays.select(
+        "id", F.explode(bands).alias("__b")
+    ).select("id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+
+
+def _pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """Self-join band rows on (band, bkey): docs sharing any band key
+    become candidate pairs (distinct).
+
+    The shuffle_hash hint makes both sides Exchange-hashpartitioned on
+    the band key; the two subtrees are canonically identical, so the
+    physical planner replaces the second with a ReusedExchange — the
+    shingle→signature→band computation runs ONCE (a broadcast build
+    side would re-execute it). At 100 TB that is also the right join:
+    both sides are the same size (never broadcastable) and the hash
+    build per partition is band-bucket sized, with AQE skew-split
+    covering viral band keys."""
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        expanded.withColumn("h", h)
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -107,18 +214,7 @@ def lsh_candidate_pairs(
         .groupBy("id", "band")
         .agg(F.array_join(F.array_sort(F.collect_list("mh")), "|").alias("bkey"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_from_bands(banded)
 
 
 def _exact_jaccard_for_pairs(
@@ -127,28 +223,32 @@ def _exact_jaccard_for_pairs(
     """(id_a, id_b, __j) exact shingle Jaccard for the candidate pairs;
     pairs sharing no shingle produce no row. Shared by the verified
     pair pipeline and the estimate audit so collision/alias handling
-    can never diverge between them."""
-    sh = shingle_rows(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cands.join(a, cands.id_a == F.col("a.id"))
-        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__i"))
-    )
+    can never diverge between them.
+
+    Array formulation: each side's DISTINCT shingle set joins in as one
+    packed array row keyed on the doc id, and the intersection size is
+    ``size(array_intersect(...))`` computed inside codegen — no shingle
+    explode, no per-shingle join, no (id_a, id_b) count shuffle. Pairs
+    sharing no shingle are dropped by the ``inter >= 1`` filter exactly
+    as the former inner join on the shingle value dropped them."""
+    base = shingle_arrays(df, id_col, text_col, n)
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    # shuffle_hash on both array sides: their exchanges hash the same
+    # base subtree on the same key (id), so the second is a
+    # ReusedExchange — the corpus is scanned/shingled once and shuffled
+    # once for both attach joins, instead of two broadcast builds each
+    # re-running the tokenize+shingle pass
     return (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "__na"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "__nb"),
-            "id_b",
-        )
+        cands.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+        .withColumn("__i", inter)
+        .filter(F.col("__i") >= 1)
         .withColumn(
-            "__j", F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            "__j",
+            F.col("__i")
+            / (F.size("__sha") + F.size("__shb") - F.col("__i")),
         )
         .select("id_a", "id_b", "__j")
     )
@@ -164,9 +264,15 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH candidates, then exact-Jaccard verification — the
-    standard scale pipeline (linear shuffle + bucket-local verify)."""
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    cands = lsh_candidate_pairs(sig, band_size)
+    standard scale pipeline (linear shuffle + bucket-local verify).
+
+    Signatures and band keys are computed map-side from each doc's
+    packed shingle array, so the only shuffles left are the band-bucket
+    self-join, the candidate distinct, and the two id-keyed joins that
+    attach the shingle arrays for exact verification (13 → 5 Exchange,
+    6 → 3 scans of the corpus vs the row formulation)."""
+    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    cands = _pairs_from_bands(_band_rows(sig, k, band_size))
     out = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n).filter(
         F.col("__j") >= threshold
     )
@@ -434,23 +540,26 @@ def minhash_jaccard_estimate(
     Returns (id_a, id_b, est_jaccard, jaccard, abs_err).
 
     Shape: candidate generation is the banded bucket-join (never
-    all-pairs); the estimate joins k fixed-width signature rows per
-    side; the exact check joins only candidate pairs' shingles."""
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    cands = lsh_candidate_pairs(sig, band_size)
-    sa = sig.select(F.col("id").alias("id_a"), "seed", F.col("mh").alias("__ha"))
-    sb = sig.select(F.col("id").alias("id_b"), "seed", F.col("mh").alias("__hb"))
+    all-pairs); the estimate attaches each side's packed k-component
+    signature with one id-keyed join and compares components with a
+    codegen ``zip_with`` — no per-seed row explode, no (id_a, id_b)
+    count shuffle; the exact check joins only candidate pairs' packed
+    shingle arrays."""
+    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    cands = _pairs_from_bands(_band_rows(sig, k, band_size))
+    sa = sig.select(F.col("id").alias("id_a"), F.col("mhs").alias("__ma"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("mhs").alias("__mb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("__ma"), F.col("__mb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
     est = (
-        cands.join(sa, "id_a")
-        .join(sb, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (
-                F.sum(
-                    F.when(F.col("__ha") == F.col("__hb"), 1).otherwise(0)
-                )
-                / F.lit(float(k))
-            ).alias("__est")
+        cands.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a", "id_b", (matches / F.lit(float(k))).alias("__est")
         )
     )
     true_j = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n)

@@ -23,14 +23,27 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
     The sequence bound is guarded: Spark's sequence(1, 0) would generate a
     *descending* range.
+
+    ``toks`` is bound to a lambda variable via a single-element
+    ``transform`` before any per-position access: higher-order-function
+    lambdas re-evaluate captured expressions at EVERY invocation, so
+    referencing a ``split()``-derived array from the per-shingle lambda
+    costs O(tokens) regex splits per shingle — O(tokens²) per document
+    (measured 9.7s → 0.85s on the sf0.1 shingle explode). The binding
+    keeps the function a pure column expression usable on any
+    intermediate, not just materialized columns.
     """
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.when(F.size(toks) >= n, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _over(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        mk = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        )
+        return F.when(F.size(w) >= n, F.transform(idx, mk)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _over), 1)
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
