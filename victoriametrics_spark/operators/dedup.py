@@ -107,33 +107,35 @@ def jaccard_pairs(
     )
 
 
-def _signature_arrays(
-    sh_arrays: DataFrame, k: int
+def _sig_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, k: int
 ) -> DataFrame:
-    """(id, sh, mhs) — mhs[i] = min(md5(shingle ∥ '#' ∥ seed=i)) over the
-    doc's shingle set; docs with no shingle are dropped (they had no
-    signature rows in the row formulation either).
+    """(id, mhs) — the signature table:
+    mhs[i] = min(md5(shingle ∥ '#' ∥ seed=i)) over the doc's DISTINCT
+    shingle set.
 
-    Entirely map-side: the k minimums fold over the document's own
-    array, so signature computation needs NO explode-by-seed and NO
-    (id, seed) aggregation shuffle — at 100 TB the whole signature pass
-    is scan-speed."""
-    mhs = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(
-                    F.concat(s, F.lit("#"), seed.cast("string")).cast("binary")
-                ),
-            )
-        ),
+    Shape: one corpus scan, one tokenize+shingle pass, the k md5s as
+    whole-stage-codegen expressions over exploded (id, shingle) rows
+    (a higher-order-function fold over the packed array would run them
+    interpreted — measured ~25% slower), then ONE doc-keyed aggregation
+    of the k minimums; the md5 work happens in the partial (map-side)
+    aggregate, so the exchange ships k hex strings per doc and every
+    downstream consumer replays it as ReusedExchange. Docs without
+    shingles (< n tokens) vanish in the explode, exactly as they had no
+    signature rows before."""
+    sh_rows = shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("s")
     )
-    return (
-        sh_arrays.filter(F.size("sh") > 0)
-        # Generate barrier (see shingle_arrays): keeps the k-fold md5
-        # signature from being re-inlined into each band-key reference
-        .select("id", "sh", F.explode(F.array(mhs)).alias("mhs"))
+    mins = [
+        F.min(
+            F.md5(F.concat(F.col("s"), F.lit(f"#{i}")).cast("binary"))
+        ).alias(f"__m{i}")
+        for i in range(k)
+    ]
+    g = sh_rows.groupBy("id").agg(*mins)
+    return g.select(
+        "id",
+        F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("mhs"),
     )
 
 
@@ -146,10 +148,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, minhash) — minhash = min(md5(shingle ∥ '#' ∥ seed)).
 
-    Computed per document from its packed shingle array (zero shuffle)
-    and exploded to the row shape; identical rows to the former
-    explode-by-seed + groupBy(id, seed) formulation."""
-    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    Derived from the packed one-pass signature table; identical rows to
+    the former explode-by-seed + groupBy(id, seed) formulation."""
+    sig = _sig_table(df, id_col, text_col, n, k)
     return sig.select(
         "id", F.posexplode("mhs").alias("seed", "mh")
     )
@@ -218,7 +219,7 @@ def lsh_candidate_pairs(
 
 
 def _exact_jaccard_for_pairs(
-    df: DataFrame, cands: DataFrame, id_col: str, text_col: str, n: int
+    base: DataFrame, cands: DataFrame
 ) -> DataFrame:
     """(id_a, id_b, __j) exact shingle Jaccard for the candidate pairs;
     pairs sharing no shingle produce no row. Shared by the verified
@@ -230,8 +231,13 @@ def _exact_jaccard_for_pairs(
     ``size(array_intersect(...))`` computed inside codegen — no shingle
     explode, no per-shingle join, no (id_a, id_b) count shuffle. Pairs
     sharing no shingle are dropped by the ``inter >= 1`` filter exactly
-    as the former inner join on the shingle value dropped them."""
-    base = shingle_arrays(df, id_col, text_col, n)
+    as the former inner join on the shingle value dropped them.
+
+    ``base`` is any (id, sh) frame; the minhash pipeline passes the
+    map-only ``shingle_arrays`` frame — the attach sides then shuffle
+    packed arrays straight off the scan with no aggregation, and the
+    second side reuses the first side's exchange (same subtree, same
+    key)."""
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
@@ -266,14 +272,19 @@ def minhash_near_dup_pairs(
     """MinHash+LSH candidates, then exact-Jaccard verification — the
     standard scale pipeline (linear shuffle + bucket-local verify).
 
-    Signatures and band keys are computed map-side from each doc's
-    packed shingle array, so the only shuffles left are the band-bucket
-    self-join, the candidate distinct, and the two id-keyed joins that
-    attach the shingle arrays for exact verification (13 → 5 Exchange,
-    6 → 3 scans of the corpus vs the row formulation)."""
-    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    Everything hangs off the one-pass signature table (_sig_table):
+    the corpus is scanned and shingled ONCE, aggregated once per doc,
+    and that exchange is replayed (ReusedExchange) by the band-bucket
+    self-join and both verification attach joins — the remaining
+    shuffles are the candidate distinct and the two id-keyed attach
+    joins, whose array side is the map-only shingle frame shuffled once
+    and reused (13 Exchange / 6 corpus scans in the row formulation →
+    2 scans, one md5 pass, one shingle-array exchange)."""
+    sig = _sig_table(df, id_col, text_col, n, k)
     cands = _pairs_from_bands(_band_rows(sig, k, band_size))
-    out = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n).filter(
+    out = _exact_jaccard_for_pairs(
+        shingle_arrays(df, id_col, text_col, n), cands
+    ).filter(
         F.col("__j") >= threshold
     )
     return out.select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
@@ -545,7 +556,7 @@ def minhash_jaccard_estimate(
     codegen ``zip_with`` — no per-seed row explode, no (id_a, id_b)
     count shuffle; the exact check joins only candidate pairs' packed
     shingle arrays."""
-    sig = _signature_arrays(shingle_arrays(df, id_col, text_col, n), k)
+    sig = _sig_table(df, id_col, text_col, n, k)
     cands = _pairs_from_bands(_band_rows(sig, k, band_size))
     sa = sig.select(F.col("id").alias("id_a"), F.col("mhs").alias("__ma"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("mhs").alias("__mb"))
@@ -562,7 +573,9 @@ def minhash_jaccard_estimate(
             "id_a", "id_b", (matches / F.lit(float(k))).alias("__est")
         )
     )
-    true_j = _exact_jaccard_for_pairs(df, cands, id_col, text_col, n)
+    true_j = _exact_jaccard_for_pairs(
+        shingle_arrays(df, id_col, text_col, n), cands
+    )
     return (
         est.join(true_j, ["id_a", "id_b"], "left")
         .select(
