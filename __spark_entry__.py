@@ -2681,7 +2681,12 @@ def _rel_stats_rate(spark, sf_dir, load):
     row count / field sum divided by the query step in seconds."""
     from victoriametrics_spark.logsql import pipes
 
-    ev = load(spark, sf_dir, "events")
+    # spread=False: rate_sum is a RAW double sum (no rounding), so the
+    # accumulation must stay sequential in file order to remain
+    # bit-identical to the oracle's single-threaded sum — the scan
+    # spreading introduced for parallelism would reorder the fold and
+    # move the last ulp (observed diff 7e-15 at sf0.01)
+    ev = load(spark, sf_dir, "events", spread=False)
     return pipes.stats(
         ev,
         by=["event_type"],
@@ -5143,7 +5148,12 @@ def _doc_e2e_pipeline(spark, sf_dir, load):
         .join(ent, "doc_id")
         .filter((F.col("__nt") >= 25) & (F.col("entropy_bits") >= 4.0))
     )
-    kept = exact_dedup(q, ["text"], "doc_id")
+    # materialize the filtered+exact-deduped corpus once per run: the
+    # minhash signature/attach branches and the final keep-list join
+    # would otherwise re-execute the entropy mapInPandas + join +
+    # window subtree ~4x (this is the point a real pipeline persists
+    # its cleaned corpus; recomputed from parquet on every invocation)
+    kept = exact_dedup(q, ["text"], "doc_id").localCheckpoint()
     pairs = minhash_near_dup_pairs(
         kept, "doc_id", "text", n=3, k=9, band_size=3, threshold=0.5
     )

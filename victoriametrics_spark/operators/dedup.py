@@ -388,6 +388,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every id in ``pairs``; component = the
     minimum id reachable through the pair graph — the standard way to
@@ -416,6 +417,51 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Near-dup pair graphs are usually minuscule next to the corpus
+    # (only docs WITH a duplicate partner appear). Below
+    # ``max_driver_edges`` solve union-find on the driver in one pass —
+    # the distributed loop costs O(diameter) rounds of join+agg+count
+    # jobs (~0.5s of fixed latency each) to compute the same
+    # min-reachable-id labels. Components are identical by
+    # construction: union-by-min-root IS min-label propagation run to
+    # convergence. Above the threshold the distributed loop stands —
+    # at 100 TB a pair explosion must never land on the driver.
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = edges.collect()
+        for r in rows:
+            s, d = r["src"], r["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN id so every root is its component's min
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        out = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        src_type = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("id", src_type, False),
+                StructField("component", src_type, False),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

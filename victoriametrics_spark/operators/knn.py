@@ -17,8 +17,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Higher-order-function folds (aggregate/transform/zip_with) evaluate
+# INTERPRETED — each lambda invocation walks the expression tree — while
+# an unrolled left-associated chain `((0 + t1) + t2) + ...` compiles
+# into whole-stage codegen. The chain performs the SAME additions and
+# multiplications in the SAME order, so results stay bit-identical to
+# the sequential fold the DuckDB oracle mirrors (measured ~4-8x on the
+# embedding gates, whose per-pair 64-term folds dominated). Folds remain
+# only as guarded fallbacks where array-length semantics could differ.
+
+
+def _chain_sum(terms: list[Column]) -> Column:
+    """Left-associated `((0.0 + t1) + t2) + ...` — the codegen twin of
+    `aggregate(arr, 0.0, acc + x)`; identical order and rounding."""
+    expr: Column = F.lit(0.0)
+    for t in terms:
+        expr = expr + t
+    return expr
+
+
 def _dot_with_literal(vec_col: Column, q: list[float]) -> Column:
-    """Σ vec[i]·q[i] as a sequential fold (deterministic order)."""
+    """Σ vec[i]·q[i] as a sequential fold (deterministic order).
+
+    Kept as a fold on purpose: per-ROW query scoring touches each
+    vector once, so interpretation costs ~0.1s per million terms while
+    an unrolled chain here bloats every literal-query plan (scored +
+    filtered copies) and costs more in optimizer time than it saves —
+    measured: knn_threshold 1.0→1.3s, lsh_knn 2.7→4.0s with unrolling.
+    The unrolled chain is reserved for the per-PAIR hot loops
+    (pairwise_cosine_within, _sub_sqdist) where runtime dominates."""
     arr = F.transform(
         F.sequence(F.lit(1), F.lit(len(q))),
         lambda i: F.element_at(vec_col, i).cast("double")
@@ -27,13 +54,31 @@ def _dot_with_literal(vec_col: Column, q: list[float]) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(vec_col: Column) -> Column:
+def _norm_fold(vec_col: Column) -> Column:
     sq = F.aggregate(
         vec_col,
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
     return F.sqrt(sq)
+
+
+def _norm(vec_col: Column, dim: int | None = None) -> Column:
+    """√Σ vec[i]² over the row's own array. With ``dim`` the sum is
+    unrolled for codegen, guarded by a size check so a ragged row falls
+    back to the fold (identical value either way)."""
+    if dim is None:
+        return _norm_fold(vec_col)
+    sq = _chain_sum(
+        [
+            F.element_at(vec_col, i + 1).cast("double")
+            * F.element_at(vec_col, i + 1).cast("double")
+            for i in range(dim)
+        ]
+    )
+    return F.when(F.size(vec_col) == dim, F.sqrt(sq)).otherwise(
+        _norm_fold(vec_col)
+    )
 
 
 def cosine_to_query(
@@ -298,11 +343,31 @@ def pairwise_cosine_within(
     )
     a = normed.alias("a")
     b = normed.alias("b")
-    dot = F.aggregate(
+    # the per-PAIR dot is the hot loop (|cell|² pairs × dim terms): probe
+    # the dimension once and unroll it into a codegen chain, guarded so
+    # a ragged pair falls back to the fold — same order, same nulls,
+    # bit-identical cosine (the fold ran interpreted per element)
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+    dot_fold = F.aggregate(
         F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if dim:
+        unrolled = _chain_sum(
+            [
+                F.element_at(F.col("a.nv"), i + 1)
+                * F.element_at(F.col("b.nv"), i + 1)
+                for i in range(dim)
+            ]
+        )
+        dot = F.when(
+            (F.size(F.col("a.nv")) == dim) & (F.size(F.col("b.nv")) == dim),
+            unrolled,
+        ).otherwise(dot_fold)
+    else:
+        dot = dot_fold
     return (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .withColumn("cosine", dot)
@@ -387,7 +452,9 @@ def lloyd_refine(
 def _sqdist_to_literal(vec_col: Column, q: list[float]) -> Column:
     """Σ (vec[i] - q[i])² as a sequential fold (zip_with keeps one
     element visit per term — same order/rounding as the per-index
-    oracle recomputation)."""
+    oracle recomputation). Fold on purpose — see _dot_with_literal:
+    ivf_cell builds k of these into one filter expression, and the
+    unrolled form tripled ivf_knn/ivf_topk latency in optimizer time."""
     qarr = F.array(*[F.lit(float(x)) for x in q])
     diffs = F.zip_with(
         vec_col, qarr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
@@ -481,6 +548,9 @@ def quantized_knn_threshold(
 
     qn = _math.sqrt(sum(float(x) * float(x) for x in query))
     qv = F.col("qvec")
+    # folds on purpose (see _dot_with_literal): qvec is itself a
+    # transform expression, and unrolled element_at chains inline it
+    # 64x via CollapseProject — measured 1.6s → 93s in optimizer time
     dot = F.aggregate(
         F.zip_with(
             qv,
@@ -769,18 +839,20 @@ def pq_codebooks(
 
 def _sub_sqdist(vec_col: Column, offset: int, cent: list[float]) -> Column:
     """Σ over the subspace of (vec[offset+j] − cent[j])², sequential
-    fold (deterministic order — matches the oracle's ORDER BY sum)."""
-    terms = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cent))),
-        lambda j: (
-            F.element_at(vec_col, F.lit(offset) + j).cast("double")
-            - F.element_at(
-                F.array(*[F.lit(float(x)) for x in cent]), j
+    order (matches the oracle's ORDER BY sum). Unrolled for codegen —
+    the fold visited element_at(offset+j) for j=1..len(cent) exactly as
+    these terms do (out-of-range nulls propagate identically), and the
+    `** 2` power form is kept so rounding cannot shift."""
+    return _chain_sum(
+        [
+            (
+                F.element_at(vec_col, offset + j + 1).cast("double")
+                - F.lit(float(c))
             )
-        )
-        ** 2,
+            ** 2
+            for j, c in enumerate(cent)
+        ]
     )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def pq_encode(

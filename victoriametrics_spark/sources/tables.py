@@ -35,7 +35,9 @@ _TS_COLS = {
 _SCHEMA_CACHE: dict[tuple[str, float], object] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     try:
         # driver-supplied sessions may lack this; it is runtime-settable
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,7 +68,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # MUST be integral `div`: nanos ~1.7e18 exceed double's 2^53
             # exact range, so any float path corrupts the low digits.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if spread:
+        df = _spread_small_scan(spark, df, path)
     return df
+
+
+# A single-row-group parquet file is one input split no matter what
+# maxPartitionBytes says, so EVERYTHING between the scan and the first
+# exchange — series-key construction, shingle/md5 work, mapInPandas
+# batches, shuffle-write partitioning — runs in ONE task (measured: the
+# map stage of the flagship rollup was 1.28s of a 2.1s query, serial).
+# When the source yields fewer splits than the session has cores, spread
+# the scan with a round-robin repartition; the decision is derived from
+# file size vs spark.sql.files.maxPartitionBytes, so a production-scale
+# input (thousands of splits) never pays it. Rows are threshold-gated so
+# dimension tables (region/nation/...) skip the extra exchange. The
+# repartition is deterministic under retry (Spark sorts before
+# round-robin repartition, SPARK-23207). Results are unchanged for every
+# engine path EXCEPT unrounded floating-point aggregation, where the
+# accumulation order changes the last ulp: callers whose output is a raw
+# double sum compared bit-exactly against the sequential oracle pass
+# ``spread=False`` (sole case: rel_stats_rate's rate_sum).
+_SPREAD_MIN_ROWS = 2000
+
+
+def _spread_small_scan(spark, df: DataFrame, path: str):
+    import os as _os
+
+    n_par = int(spark.conf.get("spark.default.parallelism", "8"))
+    if n_par <= 1:
+        return df
+    try:
+        size = _os.path.getsize(path)
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw.removesuffix("b")
+        mult = units.get(raw[-1:], 1)
+        max_split = int(raw.rstrip("kmg") or "0") * mult
+    except Exception:
+        return df
+    if max_split <= 0:
+        return df
+    est_splits = max(1, -(-size // max_split))
+    if est_splits >= n_par:
+        return df
+    try:
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return df
+    if n_rows < _SPREAD_MIN_ROWS:
+        return df
+    return df.repartition(n_par)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
