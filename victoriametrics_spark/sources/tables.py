@@ -68,7 +68,7 @@ def load_table(
             # MUST be integral `div`: nanos ~1.7e18 exceed double's 2^53
             # exact range, so any float path corrupts the low digits.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    if spread:
+    if spread and name in _SPREAD_TABLES:
         df = _spread_small_scan(spark, df, path)
     return df
 
@@ -89,12 +89,26 @@ def load_table(
 # accumulation order changes the last ulp: callers whose output is a raw
 # double sum compared bit-exactly against the sequential oracle pass
 # ``spread=False`` (sole case: rel_stats_rate's rate_sum).
+#
+# Scope (measured, repeated in-process A/B at sf0.1): spreading pays
+# only where per-row map work is heavy — the text/vector payload tables
+# (documents: tokenize+shingle+k·md5, mapInPandas entropy/repetition;
+# embeddings: per-vector folds) gained 0.9-1.6s per query, while
+# spreading the narrow sample tables (events/orders/lineitem) was a
+# wash: the extra AQE stage (~0.15s) canceled the parallel-map win on
+# light queries (mq_rate_fine_step +0.5s, gr_summarize +0.35s) and the
+# mq plans' audited shuffle floor (2 Exchange flagship, 0 Exchange
+# bucketed canary) would no longer hold. At production scale those
+# scans have real splits and none of this fires.
+_SPREAD_TABLES = {"documents", "embeddings"}
 _SPREAD_MIN_ROWS = 2000
 
 
 def _spread_small_scan(spark, df: DataFrame, path: str):
     import os as _os
 
+    if _os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
     n_par = int(spark.conf.get("spark.default.parallelism", "8"))
     if n_par <= 1:
         return df
@@ -122,7 +136,11 @@ def _spread_small_scan(spark, df: DataFrame, path: str):
         return df
     if n_rows < _SPREAD_MIN_ROWS:
         return df
-    return df.repartition(n_par)
+    # ~1000 rows per task: enough per-task work to amortize scheduling
+    # (~10ms/task locally), while a 100k-row table still fans out to
+    # every core. Capped at the session parallelism.
+    target = min(n_par, max(2, n_rows // 1000))
+    return df.repartition(target)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
