@@ -3553,6 +3553,19 @@ def _ingest_prom_escapes(spark, sf_dir):
             "value"
         )
     )
+    # real ingest parses per-payload batches in parallel; here the
+    # single-split events scan would run the quote-aware regex cascade
+    # serially (measured 16s in one task) — spread the synthesized
+    # lines like a batch of payloads would arrive (aggregates below
+    # are rounded/count/max, order-insensitive; full-registry sweep
+    # green under spreading at sf0.01 and sf0.001). The
+    # explode(array()) Generate barrier stops the optimizer from
+    # transposing the parse projection below the repartition, which
+    # put the whole regex cascade back into the one-task scan stage
+    # (measured: 10.4s single-task stage with the bare repartition).
+    lines = lines.repartition(spark.sparkContext.defaultParallelism).select(
+        F.explode(F.array(F.col("value"))).alias("value")
+    )
     parsed = parse_prometheus_text(lines.unionByName(poison), 0)
     return (
         parsed.groupBy(
@@ -3624,9 +3637,18 @@ def _ingest_influx_escapes(spark, sf_dir):
             "value"
         )
     )
-    parsed = parse_influx(
-        esc.unionByName(plain).unionByName(poison), default_ts_ms=0
+    # spread like the prometheus escape gate: the serial regex parse of
+    # the 1-split synthesized lines dominated (8s), aggregates are
+    # order-insensitive; explode(array()) barrier as there — without it
+    # the optimizer pushes the parse below the repartition and the
+    # regex work stays serial
+    all_lines = (
+        esc.unionByName(plain)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.array(F.col("value"))).alias("value"))
+        .unionByName(poison)
     )
+    parsed = parse_influx(all_lines, default_ts_ms=0)
     return (
         parsed.groupBy(
             F.col("name"),
