@@ -3838,7 +3838,15 @@ def _ingest_otlp_json(spark, sf_dir):
             ).alias("resourceMetrics")
         )
     )
-    parsed = otlp_to_samples(ev.select(doc.alias("value")))
+    # spread + Generate barrier (see the escape gates): keeps the
+    # per-row to_json build and the Arrow decode off the single-split
+    # scan task; aggregates downstream are rounded/count/max
+    docs = (
+        ev.select(doc.alias("value"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.array(F.col("value"))).alias("value"))
+    )
+    parsed = otlp_to_samples(docs)
     return parsed.groupBy(
         F.col("name"),
         F.col("labels")["job"].alias("job_lbl"),
@@ -3890,7 +3898,15 @@ def _ingest_newrelic(spark, sf_dir):
             )
         )
     )
-    parsed = parse_newrelic(ev.select(doc.alias("value")))
+    # spread + Generate barrier (see the escape gates): 100k JSON
+    # payloads would otherwise build AND parse in the single-split
+    # scan task (2.2s serial); aggregates are rounded/count/max
+    docs = (
+        ev.select(doc.alias("value"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.array(F.col("value"))).alias("value"))
+    )
+    parsed = parse_newrelic(docs)
     return parsed.groupBy(
         F.col("name"), F.col("labels")["eventType"].alias("et_lbl")
     ).agg(
