@@ -599,10 +599,15 @@ class Planner:
         # VM splits such queries per tenant, so the series limit binds
         # the per-tenant count (query_resource_limit_test.go:79-96); on
         # single-tenant frames both keys are null — one global group
+        probe_key = (
+            F.col("__series_key")
+            if "__series_key" in probe.columns
+            else series_key(F.col("name"), F.col("labels"))
+        )
         per_series = probe.groupBy(
             F.col("labels").getItem("vm_account_id").alias("__a"),
             F.col("labels").getItem("vm_project_id").alias("__p"),
-            series_key(F.col("name"), F.col("labels")).alias("__k"),
+            probe_key.alias("__k"),
         ).agg(F.count(F.lit(1)).alias("__c"))
         per_tenant = per_series.groupBy("__a", "__p").agg(
             F.count(F.lit(1)).alias("__series"),

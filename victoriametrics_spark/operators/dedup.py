@@ -278,8 +278,10 @@ def minhash_near_dup_pairs(
     self-join and both verification attach joins — the remaining
     shuffles are the candidate distinct and the two id-keyed attach
     joins, whose array side is the map-only shingle frame shuffled once
-    and reused (13 Exchange / 6 corpus scans in the row formulation →
-    2 scans, one md5 pass, one shingle-array exchange)."""
+    and reused. Executed-plan result (plans/r13): 13 Exchange / 6
+    corpus scans in the row formulation → ONE corpus scan (the spread
+    repartition exchange is itself replayed by the signature and
+    attach subtrees), 3 ReusedExchange, one md5 pass."""
     sig = _sig_table(df, id_col, text_col, n, k)
     cands = _pairs_from_bands(_band_rows(sig, k, band_size))
     out = _exact_jaccard_for_pairs(

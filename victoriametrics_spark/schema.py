@@ -77,6 +77,8 @@ def with_series_id(df: DataFrame) -> DataFrame:
     """Attach ``series_id`` (and keep a reusable ``__series_key`` string)."""
     if "series_id" in df.columns:
         return df
+    if "__series_key" in df.columns:
+        return df.withColumn("series_id", F.xxhash64(F.col("__series_key")))
     key = series_key(F.col("name"), F.col("labels"))
     return df.withColumn("__series_key", key).withColumn(
         "series_id", F.xxhash64(F.col("__series_key"))
@@ -118,10 +120,31 @@ def samples_from_columns(
     labels = F.map_from_arrays(
         F.array(*pairs[0::2]), F.array(*pairs[1::2])
     ) if pairs else F.create_map()
+    # Precompute the canonical series key from the STATICALLY known
+    # label set: byte-identical to series_key() — keys sorted
+    # lexicographically at plan-build time, empty/null values dropped
+    # (concat_ws skips the null branch exactly as map_filter drops the
+    # entry) — but pure whole-stage-codegen concat instead of the
+    # 5-HOF interpreted map fold, which cost ~0.66s per query on the
+    # single-split events scan (static form: 0.13s). The planner's
+    # fetch path reuses __series_key when the source carries it.
+    key_parts = []
+    for k in sorted(label_cols):
+        v = label_cols[k]
+        vcol = (F.col(v) if isinstance(v, str) else v).cast("string")
+        key_parts.append(
+            F.when(vcol != "", F.concat(F.lit(k), F.lit("\x01"), vcol))
+        )
+    skey = F.concat(
+        name_col.cast("string"),
+        F.lit("\x00"),
+        F.concat_ws("\x02", *key_parts) if key_parts else F.lit(""),
+    )
     return df.select(
         name_col.cast("string").alias("name"),
         labels.alias("labels"),
         ts_ms.alias("ts"),
         value_col.cast("double").alias("value"),
         F.lit(False).alias("is_stale"),
+        skey.alias("__series_key"),
     )
