@@ -161,3 +161,135 @@ def test_scan_spreading_scope(spark):
     a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in docs_off.select("doc_id").collect())
     assert a == b
+
+
+def test_duplicate_passage_pairs_single_shuffle_formulation(spark):
+    """The one-gram-shuffle formulation (per-doc array_distinct hashes +
+    shared gram-hash repartition + count(*)) must reproduce the
+    definitional explode+global-distinct+count_distinct rows exactly,
+    including the max_gram_docs viral-gram cap."""
+    from victoriametrics_spark.operators.dedup import (
+        duplicate_passage_pairs,
+    )
+    from victoriametrics_spark.operators.text import tokens, word_shingles
+
+    # docs 1/2 share passage X (two overlapping 4-gram windows); doc 3
+    # shares one window with them; "v v v v v" is a viral gram present
+    # in every doc and must be dropped by max_gram_docs=2
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base + " v v v v"),
+        (2, base + " extra tail v v v v"),
+        (3, "quick brown fox jumps elsewhere v v v v"),
+        (4, "completely different text with no overlap v v v v"),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in duplicate_passage_pairs(
+            df, n=4, min_shared=1, max_gram_docs=2
+        ).collect()
+    }
+
+    # definitional reference: global explode+distinct, count FIRST,
+    # band-filter, semi-join, count_distinct — the pre-restructure shape
+    grams = (
+        df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(word_shingles(tokens(F.col("text")), 4)).alias("__g"),
+        )
+        .select("id", F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    band = (
+        grams.groupBy("__gh")
+        .agg(F.count("*").alias("__d"))
+        .filter((F.col("__d") >= 2) & (F.col("__d") <= 2))
+        .select("__gh")
+    )
+    buckets = (
+        grams.join(band, "__gh", "left_semi")
+        .groupBy("__gh")
+        .agg(F.collect_set("id").alias("ids"))
+    )
+    pairs = (
+        buckets.select("__gh", F.explode("ids").alias("id_a"), "ids")
+        .select("__gh", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in pairs.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
+        .collect()
+    }
+    assert got == want
+    # the viral "v v v v" gram (4 docs) and "quick brown fox jumps"
+    # (3 docs) are capped away; only docs 1/2's genuine shared passage
+    # remains — 5 of its 6 grams survive the cap
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 5.0
+
+
+def test_source_ngram_overlap_single_shuffle_formulation(spark):
+    """The per-doc-distinct + gram-hash-repartition formulation must
+    reproduce the definitional global-distinct rows exactly (sizes,
+    shared counts and jaccard)."""
+    from victoriametrics_spark.operators.dedup import source_ngram_overlap
+    from victoriametrics_spark.operators.text import tokens, word_shingles
+
+    rows = [
+        (1, "s1", "alpha beta gamma delta epsilon"),
+        (2, "s1", "alpha beta gamma delta zeta"),  # within-source dupes
+        (3, "s2", "alpha beta gamma delta epsilon"),
+        (4, "s3", "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        tuple(r) for r in source_ngram_overlap(df, n=4, text_col="text").collect()
+    )
+
+    gs = (
+        df.select(
+            F.col("source").alias("g"),
+            F.explode(word_shingles(tokens(F.col("text")), 4)).alias("s"),
+        )
+        .select("g", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count("*").alias("n"))
+    a, b = gs.alias("a"), gs.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("grams_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("grams_b"))
+    want = sorted(
+        tuple(r)
+        for r in shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.round(
+                F.col("shared_grams")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+        .collect()
+    )
+    assert got == want
+    # s1 holds 3 distinct grams (docs 1+2 overlap within-source), s2
+    # holds 2, both of s2's appear in s1
+    assert any(
+        r[0] == "s1" and r[1] == "s2" and r[2] == 3 and r[3] == 2 and r[4] == 2
+        for r in got
+    )

@@ -537,35 +537,62 @@ def duplicate_passage_pairs(
     ``min_shared`` DISTINCT word n-grams of length ``n``.
 
     Shape for 100 TB: documents meet ONLY through gram-hash buckets —
-    (xxhash64(gram), doc_id) fixed-width rows are the single
-    corpus-sized shuffle; pair expansion happens per bucket.
+    (xxhash64(gram), doc_id) fixed-width rows are the SINGLE
+    corpus-sized shuffle, and the corpus is scanned/tokenized/shingled
+    ONCE: the per-gram document count rides a window aggregate over
+    the same partitioned rows the doc-set collection consumes, so
+    there is no second plan branch to recompute the grams (a count/
+    semi-join formulation re-scans the corpus: the count branch prunes
+    to the bare hash column, canonicalizes differently, and exchange
+    reuse never fires — measured 2 Scan parquet and ~40% slower at a
+    100k-doc corpus). Pair expansion happens per bucket.
     ``max_gram_docs`` drops grams present in MORE than that many docs
     (boilerplate/stop passages — Lee et al.'s same guard): a gram in k
     docs yields k² pairs, so one viral passage would otherwise produce
     a quadratic hot bucket. Dropped grams are boilerplate by
     definition; genuinely duplicated passages still pair through their
-    other grams."""
-    grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("__g"),
+    other grams. The window buffers one gram's rows per group — fixed
+    16-byte rows in a spilling buffer, filtered right after — which is
+    far cheaper than the full second tokenize+shingle pass it
+    replaces."""
+    # per-doc DISTINCT gram hashes computed map-side (array_distinct
+    # over the doc's own gram-hash array): an (id, gram) set is
+    # globally distinct iff distinct within each id — the shingle_rows
+    # proof — so the explode output IS the distinct (id, gh) set and
+    # the former corpus-wide explode+distinct shuffle disappears.
+    gh_arr = F.array_distinct(
+        F.transform(
+            word_shingles(tokens(F.col(text_col)), n),
+            lambda s: F.xxhash64(s),
         )
-        .select("id", F.xxhash64("__g").alias("__gh"))
-        .distinct()
     )
-    # count FIRST (map-side partial agg on a long key), band-filter,
-    # then semi-join back before collecting doc sets: collecting the
-    # full id set per gram and sizing it afterwards would make one
-    # reducer hold a viral gram's multi-million-doc array before
-    # discarding it — the exact hot-key skew the cap exists to prevent
-    band = (
-        grams.groupBy("__gh")
-        .agg(F.count("*").alias("__d"))
-        .filter((F.col("__d") >= 2) & (F.col("__d") <= max_gram_docs))
-        .select("__gh")
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(gh_arr).alias("__gh")
     )
+    # ONE corpus-sized shuffle: hash-partition by gram hash; the window
+    # count, the cap filter and the doc-set collection all run inside
+    # the stage that reads this exchange (hash(__gh) satisfies the
+    # window's and the aggregate's clustering requirement). The former
+    # shape shuffled the (id, gh) rows three times — global distinct,
+    # band-count partials, the semi-join's left side — and scanned the
+    # corpus twice (plans/r13/op_doc_duplicate_passages_mid.txt: 2
+    # Scan parquet / 5 Exchange executed).
+    g2 = grams.repartition("__gh")
+    # count FIRST via a whole-partition window (O(rows-per-gram)
+    # spill-safe buffer of 16-byte rows per group), cap-filter, THEN
+    # collect doc sets: collecting the full id set per gram and sizing
+    # it afterwards would make one reducer hold a viral gram's
+    # multi-million-doc ARRAY in aggregation state before discarding
+    # it — the hot-key blowup the cap exists to prevent. A count +
+    # semi-join formulation avoids even the window buffer but pays a
+    # full second corpus scan (its count branch prunes/canonicalizes
+    # differently, so the exchange is never reused) — measured ~40%
+    # slower at 100k docs and strictly worse at 100 TB where the
+    # tokenize+shingle pass dominates.
+    w = Window.partitionBy("__gh")
     buckets = (
-        grams.join(band, "__gh", "left_semi")
+        g2.withColumn("__d", F.count("*").over(w))
+        .filter((F.col("__d") >= 2) & (F.col("__d") <= max_gram_docs))
         .groupBy("__gh")
         .agg(F.collect_set("id").alias("ids"))
     )
@@ -574,9 +601,13 @@ def duplicate_passage_pairs(
         .select("__gh", "id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
     )
+    # (gh, id_a, id_b) rows are unique by construction (ids is a set,
+    # one row per gh), so count(*) == count_distinct(gh); the plain
+    # count keeps map-side partial aggregation and drops the two-phase
+    # distinct machinery.
     return (
         pairs.groupBy("id_a", "id_b")
-        .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
+        .agg(F.count("*").cast("double").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
 
@@ -652,23 +683,34 @@ def source_ngram_overlap(
     Returns (source_a, source_b, grams_a, grams_b, shared_grams,
     jaccard), source_a < source_b.
 
-    Shape for 100 TB: the corpus collapses to DISTINCT
-    (xxhash64(gram), source) fixed-width rows (one map + one
-    aggregation with map-side combine — gram text never shuffles);
-    the pair join is keyed on the hash, so a gram shared by k sources
-    expands to C(k,2) pairs, bounded by #sources² per gram; output is
-    #source-pairs rows."""
-    grams = word_shingles(tokens(F.col(text_col)), n)
+    Shape for 100 TB: the corpus collapses to (xxhash64(gram), source)
+    fixed-width rows — deduped per document map-side (array_distinct),
+    then hash-partitioned by gram ONCE; the cross-document distinct,
+    the self-join (both sides) and the per-source sizes all run on
+    that single exchange (hash(h) satisfies clustering on (g, h), so
+    the dedup aggregate needs no shuffle of its own and the join sides
+    are ReusedExchange). Gram text never shuffles; a gram shared by k
+    sources expands to C(k,2) pairs, bounded by #sources² per gram;
+    output is #source-pairs rows."""
+    gh_arr = F.array_distinct(
+        F.transform(
+            word_shingles(tokens(F.col(text_col)), n),
+            lambda s: F.xxhash64(s),
+        )
+    )
     gs = (
-        df.select(F.col(group_col).alias("g"), F.explode(grams).alias("s"))
-        .select("g", F.xxhash64("s").alias("h"))
-        .distinct()
+        df.select(F.col(group_col).alias("g"), F.explode(gh_arr).alias("h"))
+        .repartition("h")
+        .dropDuplicates(["g", "h"])
     )
     sizes = gs.groupBy("g").agg(F.count("*").alias("n"))
     a = gs.alias("a")
     b = gs.alias("b")
     shared = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.g") < F.col("b.g")),
+        )
         .groupBy(
             F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
         )
