@@ -341,6 +341,7 @@ def test_rules_and_alerts_endpoints(spark):
 
 
 # ------------------------------------------------------------ IngestAPI
+@pytest.mark.slow
 def test_ingest_endpoints(spark, api):
     from victoriametrics_spark.api.http import IngestAPI
     from victoriametrics_spark.streaming.remotewrite import (
@@ -458,6 +459,7 @@ def test_ingest_endpoints(spark, api):
     assert {r["_msg"] for r in logs} == {"hello", "line1"}
 
 
+@pytest.mark.slow
 def test_graphite_browse_api(spark):
     from victoriametrics_spark.api.http import GraphiteBrowseAPI
 

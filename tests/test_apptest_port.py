@@ -16,6 +16,11 @@ import urllib.request
 
 import pytest
 
+# reference apptest e2e port: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def server(spark, tmp_path_factory):

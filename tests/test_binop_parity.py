@@ -10,6 +10,11 @@ import pytest
 from victoriametrics_spark import EvalConfig, evaluate
 from victoriametrics_spark.schema import SAMPLE_SCHEMA
 
+# binop parity sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 CFG = EvalConfig(start=1_000_000, end=2_000_000, step=200_000)
 
 

@@ -21,6 +21,11 @@ from tests.test_golden import (  # reuse grid + normalizers
     _norm_result,
 )
 
+# golden sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 CASES = [
     # absent(scalar(multi-timeseries))
     ('\n\t\tabsent(label_set(scalar(1 or label_set(2, "xx", "foo")), "yy", "foo"))',

@@ -15,6 +15,11 @@ from victoriametrics_spark.schema import SAMPLE_SCHEMA
 
 from tests.test_golden import CFG, _norm_expected, _norm_result
 
+# r6b golden sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 CASES = [
     # (a, b) offset 0s
     ('sort((label_set(time(), "foo", "bar"), label_set(time()+10, "foo", "baz")) offset 0s)',

@@ -21,6 +21,11 @@ from tests.test_golden import (  # reuse grid + normalizers
     _norm_result,
 )
 
+# golden sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 CASES = [
     # tlast_change_over_time(miss)
     ('tlast_change_over_time(\n\t\t\t1[1h]\n\t\t)',

@@ -23,6 +23,11 @@ from victoriametrics_spark.schema import SAMPLE_SCHEMA
 
 from tests.test_golden import CFG, TSS, _norm_result
 
+# Go-rand parity sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 _CASES_PATH = os.path.join(os.path.dirname(__file__), "rand_golden_cases.json")
 with open(_CASES_PATH) as f:
     CASES = json.load(f)

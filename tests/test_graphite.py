@@ -252,6 +252,7 @@ def test_remove_empty_series(spark, samples):
 # ----------------------------------------------------------- renaming
 
 
+@pytest.mark.slow
 def test_alias_family(spark, samples):
     out = run(spark, samples, "alias(web.srv1.cpu, 'x')")
     assert set(out) == {"x"}
@@ -459,6 +460,7 @@ def test_unsupported_function_raises(spark, samples):
         run(spark, samples, "definitelyNotAFunction(web.srv1.cpu)")
 
 
+@pytest.mark.slow
 def test_apply_by_node_batched_jobs(spark, samples):
     """applyByNode with a pure-selector template collapses every prefix
     into ONE brace-glob evaluation: the job count must not grow with the

@@ -24,6 +24,11 @@ import pytest
 
 from victoriametrics_spark.graphite import render
 
+# graphite golden sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 S, E, ST = 120000, 210000, 30000
 
 CASES = json.load(

@@ -114,6 +114,7 @@ def test_buckets_limit(spark, empty):
     assert "100" in les and "+Inf" in les
 
 
+@pytest.mark.slow
 def test_vm_histogram_aggregate_roundtrip(spark, empty):
     # histogram() aggregate emits vmrange buckets that prometheus_buckets
     # can parse back into cumulative le buckets

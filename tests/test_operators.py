@@ -94,6 +94,7 @@ def test_simhash_properties(spark):
     assert any((p["id_a"], p["id_b"]) == (1, 2) for p in pairs)
 
 
+@pytest.mark.slow
 def test_simhash_blocking_recall_equals_brute_force(spark):
     """The chunk blocking must find EVERY pair within the radius — compare
     against brute-force all-pairs hamming at several radii (the round-1/2
@@ -755,6 +756,7 @@ def test_semantic_dedup_synthetic(spark):
     assert kept == [1, 4, 6]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_real_corpus(embs):
     """On the real embeddings table the keep-list is a subset of the
     corpus containing exactly one representative per component, and

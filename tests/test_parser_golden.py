@@ -425,6 +425,11 @@ def test_datadog_golden_failure(spark, dialect, inp):
 # --------------------------------------------------------------- newrelic
 from victoriametrics_spark.streaming.parsers import parse_newrelic  # noqa: E402
 
+# parser golden sweep: slow tier — excluded from the default (driver-window) run;
+# opt in with `pytest -m slow` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 
 def _exp_newrelic(rows):
     out = []

@@ -93,6 +93,7 @@ def test_cache_bypass_range_dependent(spark, counter_samples, tmp_path):
         "sum(c) by (job) limit 1",
     ],
 )
+@pytest.mark.slow
 def test_cache_bypass_range_dependent_aggregates(
     spark, counter_samples, tmp_path, q
 ):
@@ -272,6 +273,7 @@ def wide_samples(spark):
         "min_over_time(c[4h])",
     ],
 )
+@pytest.mark.slow
 def test_instant_delta_fast_path_equals_cold(spark, wide_samples, tmp_path, q):
     """evalInstantRollup analog (eval.go:1176-1536): an instant query at
     t+delta reuses the cached instant values at t adjusted by two

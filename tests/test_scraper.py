@@ -59,6 +59,7 @@ def _get(base, path, **q):
         return json.loads(r.read())
 
 
+@pytest.mark.slow
 def test_scrape_lands_samples_and_reports_targets(
     spark, exposition_port
 ):
@@ -302,6 +303,7 @@ def test_target_relabeling_and_dropped_targets(spark, exposition_port):
     assert all(r["labels"]["region"] == "eu" for r in sm)
 
 
+@pytest.mark.slow
 def test_metric_relabel_and_sample_limit(spark, exposition_port):
     """metric_relabel_configs apply after target labels attach;
     sample_limit fails the whole scrape with the reference's message
@@ -766,6 +768,7 @@ def test_scrape_request_headers(spark):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_stale_markers_on_series_and_target_disappearance(spark):
     """Prometheus staleness markers (scrapework.go:330-360,614-618):
     a series missing from the next scrape gets a stale marker; a

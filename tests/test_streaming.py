@@ -330,6 +330,7 @@ def test_dedup_last_wins(spark):
     assert got == [(9_000, 9.0), (12_000, 1.0)]
 
 
+@pytest.mark.slow
 def test_streamaggr_structured_streaming(spark, sa_samples, tmp_path):
     src = str(tmp_path / "stream_src")
     sa_samples.write.parquet(src)
@@ -641,6 +642,7 @@ _STATEFUL_CFG_KW = dict(
 )
 
 
+@pytest.mark.slow
 def test_streamaggr_microbatch_replay_equals_batch(spark, tmp_path):
     """The foreachBatch stateful engine replayed in 3 micro-batches must
     reproduce aggregate_batch exactly — counter resets, staleness reset

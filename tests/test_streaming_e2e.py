@@ -75,6 +75,7 @@ def cfg():
     )
 
 
+@pytest.mark.slow
 def test_stream_ingest_end_to_end(spark, tmp_path, cfg):
     src = str(tmp_path / "scrapes")
     os.makedirs(src)

@@ -61,6 +61,7 @@ RULES = {
 }
 
 
+@pytest.mark.slow
 def test_expr_and_alert_cases(spark):
     doc = {
         "evaluation_interval": "1m",

@@ -285,16 +285,33 @@ def fetch(ctx: RenderContext, pattern: str) -> DataFrame:
 
 
 def densify(ctx: RenderContext, cons: DataFrame) -> DataFrame:
-    """(name, __i, value) partial frame → dense (name, ts, value)."""
-    names = cons.select("name").distinct()
-    grid = ctx.spark.range(ctx.npts).select(F.col("id").alias("__i"))
-    dense = names.crossJoin(F.broadcast(grid)).join(
-        cons, ["name", "__i"], "left"
+    """(name, __i, value) partial frame → dense (name, ts, value).
+
+    Single-branch shape (r14): one per-series map aggregation + a grid
+    explode + ``try_element_at`` — a missing grid point is a null value
+    exactly like the old left join's. The former
+    ``names.distinct × broadcast-grid crossJoin + left join`` ran the
+    consolidated frame through a second exchange, a broadcast and two
+    joins per densification (and the pruned distinct branch never
+    reused the cons exchange), which multiplied AQE query stages —
+    the dominant cost of a warm render. The per-series map holds at
+    most npts entries: bounded by the RENDER grid, never by corpus
+    size."""
+    npts = int(ctx.npts)
+    grid = (
+        F.sequence(F.lit(0).cast("long"), F.lit(npts - 1).cast("long"))
+        if npts > 0
+        else F.array().cast("array<long>")
     )
-    return dense.select(
+    per = cons.groupBy("name").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__i", "value"))
+        ).alias("__m")
+    )
+    return per.select("name", "__m", F.explode(grid).alias("__i")).select(
         "name",
         (F.lit(ctx.start) + F.col("__i") * F.lit(ctx.step)).alias("ts"),
-        "value",
+        F.try_element_at("__m", F.col("__i")).alias("value"),
     )
 
 

@@ -236,6 +236,12 @@ def normalize_series(ctx, df: DataFrame, step_ms: int | None = None) -> DataFram
     the deterministic (arg position, name) order standing in for the
     reference's arrival order. Lazy: the common step broadcasts as a
     1-row frame."""
+    # peekStep short-circuit: a frame with NO step column gets
+    # lit(ctx.step) from _with_step, so the min_by pick is statically
+    # ctx.step — computing it through the 1-row crossJoin broadcast
+    # would re-execute the whole frame once more for a constant
+    if step_ms is None and _STEP not in df.columns:
+        step_ms = ctx.step
     df = _with_path(_with_ord(_with_step(df, ctx)))
     has_cf = _CF in df.columns
     cf = F.col(_CF) if has_cf else F.lit("avg")
@@ -286,20 +292,28 @@ def normalize_series(ctx, df: DataFrame, step_ms: int | None = None) -> DataFram
     npts_l = F.floor(
         (F.lit(ctx.end) - F.lit(ctx.start)) / F.col("__cstep")
     ).cast("long")
-    series = vals.select(
+    # single-branch densification (see evaluator.densify): the grid
+    # length depends on the per-row __cstep, so the explode argument
+    # stays a column expression
+    per = vals.groupBy(
         "name", F.col(_ORD), F.col(_PATH), F.col("__cstep")
-    ).distinct()
-    bgrid = series.withColumn(
-        "__b",
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "value"))
+        ).alias("__m")
+    )
+    dense = per.select(
+        "name",
+        F.col(_ORD),
+        F.col(_PATH),
+        F.col("__cstep"),
+        "__m",
         F.explode(
             F.when(npts_l > 0, F.sequence(F.lit(0), npts_l - 1)).otherwise(
                 F.array().cast("array<long>")
             )
-        ),
-    )
-    dense = bgrid.join(
-        vals, ["name", _ORD, _PATH, "__cstep", "__b"], "left"
-    )
+        ).alias("__b"),
+    ).withColumn("value", F.try_element_at("__m", F.col("__b")))
     return dense.select(
         "name",
         F.col(_ORD),
@@ -336,13 +350,11 @@ def _with_path(df: DataFrame) -> DataFrame:
     return df.withColumn(_PATH, F.col("name"))
 
 
-def _agg_series_name(df: DataFrame, fname: str) -> DataFrame:
-    """1-row frame with the reference aggregate series name:
+def _agg_name_expr(fname: str) -> Column:
+    """Aggregate expression for the reference aggregate series name:
     `<fname>Series(<paths>)`, paths deduped (order-preserving) and
     sorted unless fname is order-sensitive
-    (formatAggrFuncForSeriesNames, transform.go:4026-4051). Lazy —
-    no driver collect."""
-    df = _with_path(_with_ord(df))
+    (formatAggrFuncForSeriesNames, transform.go:4026-4051)."""
     if fname in _SERIAL_FUNCS:
         ordered = F.array_sort(
             F.collect_set(
@@ -356,11 +368,16 @@ def _agg_series_name(df: DataFrame, fname: str) -> DataFrame:
         paths = F.array_distinct(F.transform(ordered, lambda s: s["p"]))
     else:
         paths = F.array_sort(F.array_distinct(F.collect_set(F.col(_PATH))))
-    return df.agg(
-        F.concat(
-            F.lit(f"{fname}Series("), F.array_join(paths, ","), F.lit(")")
-        ).alias("__aggname")
+    return F.concat(
+        F.lit(f"{fname}Series("), F.array_join(paths, ","), F.lit(")")
     )
+
+
+def _agg_series_name(df: DataFrame, fname: str) -> DataFrame:
+    """1-row frame with the reference aggregate series name. Lazy —
+    no driver collect."""
+    df = _with_path(_with_ord(df))
+    return df.agg(_agg_name_expr(fname).alias("__aggname"))
 
 
 def _combine(
@@ -374,8 +391,21 @@ def _combine(
     inputs are normalized to the first series' step beforehand
     (aggregateSeries consolidates every series onto peekStep's grid)."""
     df = _with_ord(df)
-    if ctx is not None:
+    normalized = ctx is not None
+    if normalized:
         df = normalize_series(ctx, df)
+    if fname is not None and normalized:
+        # normalize_series output is DENSE (every series has a row at
+        # every grid ts), so the per-ts path set equals the whole-frame
+        # path set and the aggregate NAME can ride the same groupBy —
+        # the former 1-row crossJoin broadcast re-executed the entire
+        # normalized frame a second time just to format the name
+        df = _with_path(df)
+        out = df.groupBy("ts").agg(
+            _agg_expr(agg, xff, p).alias("value"),
+            _agg_name_expr(fname).alias("__aggname"),
+        )
+        return out.select(F.col("__aggname").alias("name"), "ts", "value")
     out = df.groupBy("ts").agg(_agg_expr(agg, xff, p).alias("value"))
     if fname is not None:
         named = _agg_series_name(df, fname)
@@ -1303,17 +1333,29 @@ def _moving(ctx, call, agg: str, xff_pos: int = 2):
     # a numeric windowSize counts INNER-SERIES steps: when the inner
     # expression changes the step (summarize et al), the window and the
     # extension are recomputed and the inner re-evaluated
-    # (movingWindow, transform.go:2754-2786 peekStep + re-eval)
-    step_row = (
-        _with_path(_with_ord(_with_step(df, ctx)))
-        .select(
-            F.min_by(
-                F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))
-            ).alias("__s")
+    # (movingWindow, transform.go:2754-2786 peekStep + re-eval).
+    # peekStep needs a JOB only when the frame actually carries a step
+    # column; a frame without one falls back to the render step by
+    # definition (_with_step), so collecting it would execute the whole
+    # inner plan just to read back ctx.step (r14: this was the single
+    # biggest driver-latency item in a grouped movingAverage render)
+    if _STEP in df.columns:
+        step_row = (
+            _with_path(_with_ord(df))
+            .select(
+                F.min_by(
+                    F.col(_STEP), F.struct(F.col(_ORD), F.col("name"))
+                ).alias("__s")
+            )
+            .collect()
         )
-        .collect()
-    )
-    step = int(step_row[0]["__s"]) if step_row and step_row[0]["__s"] else ctx.step
+        step = (
+            int(step_row[0]["__s"])
+            if step_row and step_row[0]["__s"]
+            else ctx.step
+        )
+    else:
+        step = ctx.step
     if interval is None and step != ctx.step:
         window = int(n_pts * step)
         inner = ctx.with_range(start=ctx.start - window)
@@ -1538,28 +1580,34 @@ def _bucketize(
         .groupBy("name", F.col(_ORD), "__b")
         .agg(_agg_expr(agg, ctx.xfiles_factor).alias("value"))
     )
-    series = vals.select("name", F.col(_ORD)).distinct()
-    bgrid = series.withColumn(
-        "__b",
-        F.explode(
-            # longs: an int sequence would int-multiply with the
-            # interval downstream and overflow on epoch-scale anchors
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.lit(max(int(nb) - 1, -1)).cast("long"),
-            )
-            if nb > 0
-            else F.array().cast("array<long>")
-        ),
+    # single-branch densification (see evaluator.densify): per-series
+    # bucket map + grid explode instead of distinct × join — the map
+    # holds at most nb entries (render-bounded)
+    bgrid = (
+        # longs: an int sequence would int-multiply with the
+        # interval downstream and overflow on epoch-scale anchors
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.lit(max(int(nb) - 1, -1)).cast("long"),
+        )
+        if nb > 0
+        else F.array().cast("array<long>")
     )
-    out = bgrid.join(vals, ["name", _ORD, "__b"], "left").select(
+    per = vals.groupBy("name", F.col(_ORD)).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "value"))
+        ).alias("__m")
+    )
+    out = per.select(
+        "name", F.col(_ORD), "__m", F.explode(bgrid).alias("__b")
+    ).select(
         "name",
         F.col(_ORD),
         (
             F.lit(int(anchor)).cast("long")
             + F.col("__b") * F.lit(int(interval)).cast("long")
         ).alias("ts"),
-        "value",
+        F.try_element_at("__m", F.col("__b")).alias("value"),
     )
     return out.select(
         name_fmt(F.col("name")).alias("name"),

@@ -428,8 +428,12 @@ def connected_components(
     # construction: union-by-min-root IS min-label propagation run to
     # convergence. Above the threshold the distributed loop stands —
     # at 100 TB a pair explosion must never land on the driver.
-    n_edges = edges.count()
-    if n_edges <= max_driver_edges:
+    # ONE probe job instead of count-then-collect: pull at most
+    # max_driver_edges+1 rows; an overflow row means "too big, go
+    # distributed" without ever collecting the full explosion (the
+    # checkpointed edge list is re-read, not recomputed, either way)
+    rows = edges.limit(max_driver_edges + 1).collect()
+    if len(rows) <= max_driver_edges:
         parent: dict = {}
 
         def find(x):
@@ -440,7 +444,6 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        rows = edges.collect()
         for r in rows:
             s, d = r["src"], r["dst"]
             parent.setdefault(s, s)
@@ -546,6 +549,14 @@ def duplicate_passage_pairs(
     to the bare hash column, canonicalizes differently, and exchange
     reuse never fires — measured 2 Scan parquet and ~40% slower at a
     100k-doc corpus). Pair expansion happens per bucket.
+    Precondition: ``id_col`` is unique per input row (one row per
+    document). The per-doc ``array_distinct`` makes (id, gram) pairs
+    globally distinct only under that invariant — duplicate-id rows
+    would inflate the per-gram document count (the old global
+    ``.distinct()`` collapsed them instead). Every corpus source in
+    this repo satisfies it; callers with repeated ids must
+    ``dropDuplicates([id_col])`` first.
+
     ``max_gram_docs`` drops grams present in MORE than that many docs
     (boilerplate/stop passages — Lee et al.'s same guard): a gram in k
     docs yields k² pairs, so one viral passage would otherwise produce
@@ -578,21 +589,39 @@ def duplicate_passage_pairs(
     # corpus twice (plans/r13/op_doc_duplicate_passages_mid.txt: 2
     # Scan parquet / 5 Exchange executed).
     g2 = grams.repartition("__gh")
-    # count FIRST via a whole-partition window (O(rows-per-gram)
-    # spill-safe buffer of 16-byte rows per group), cap-filter, THEN
-    # collect doc sets: collecting the full id set per gram and sizing
-    # it afterwards would make one reducer hold a viral gram's
-    # multi-million-doc ARRAY in aggregation state before discarding
-    # it — the hot-key blowup the cap exists to prevent. A count +
-    # semi-join formulation avoids even the window buffer but pays a
-    # full second corpus scan (its count branch prunes/canonicalizes
-    # differently, so the exchange is never reused) — measured ~40%
-    # slower at 100k docs and strictly worse at 100 TB where the
-    # tokenize+shingle pass dominates.
-    w = Window.partitionBy("__gh")
+    # count FIRST, cap-filter, THEN collect doc sets: collecting the
+    # full id set per gram and sizing it afterwards would make one
+    # reducer hold a viral gram's multi-million-doc ARRAY in
+    # aggregation state before discarding it — the hot-key blowup the
+    # cap exists to prevent. The count rides a hash aggregate over the
+    # SAME repartition exchange (hash(__gh) satisfies the aggregate's
+    # clustering requirement, so no exchange of its own) and joins
+    # back sort-merge, where the viral gram's rows STREAM past the
+    # one-row build side instead of being buffered: the r13 window
+    # formulation (count(*) over partition by __gh) was
+    # equivalent-and-fast but WindowExec materializes every row of the
+    # current group before emitting, so a boilerplate gram in 10⁸ docs
+    # meant one task buffering 10⁸ rows it was about to discard.
+    # ``max("id")`` + the always-true isNotNull filter keep the id
+    # column referenced in this branch: count(*) alone would let
+    # ColumnPruning narrow the branch's exchange input to (__gh), the
+    # two exchange subtrees would no longer canonicalize equal, and
+    # ReusedExchange would silently give way to a SECOND corpus
+    # tokenize+shingle scan (the r13-measured ~40% regression; id is
+    # non-nullable so the filter never drops a row, but the aggregate
+    # output is schema-nullable so the optimizer cannot fold it away).
+    counts = (
+        g2.groupBy("__gh")
+        .agg(F.count("*").alias("__d"), F.max("id").alias("__mx"))
+        .filter(
+            (F.col("__d") >= 2)
+            & (F.col("__d") <= max_gram_docs)
+            & F.col("__mx").isNotNull()
+        )
+        .select("__gh")
+    )
     buckets = (
-        g2.withColumn("__d", F.count("*").over(w))
-        .filter((F.col("__d") >= 2) & (F.col("__d") <= max_gram_docs))
+        g2.join(counts, "__gh")
         .groupBy("__gh")
         .agg(F.collect_set("id").alias("ids"))
     )

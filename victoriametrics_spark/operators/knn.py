@@ -321,9 +321,15 @@ def pairwise_cosine_within(
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ tau *within a group* (e.g. an LSH bucket or
-    a label): the bucket-local verify step of embedding dedup."""
+    a label): the bucket-local verify step of embedding dedup.
+
+    ``dim`` (when the caller already knows it — e.g. from fitted
+    centroids) skips the one-row probe job; any value is safe because
+    the unrolled dot is size-guarded per pair and the fold fallback is
+    bit-identical."""
     # hoist the norm into its own column first: referenced from inside
     # the transform lambda it would be inlined as a full 64-term fold
     # PER ELEMENT (a ~dim² expression tree that dominates plan
@@ -347,8 +353,11 @@ def pairwise_cosine_within(
     # the dimension once and unroll it into a codegen chain, guarded so
     # a ragged pair falls back to the fold — same order, same nulls,
     # bit-identical cosine (the fold ran interpreted per element)
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+    if dim is None:
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = (
+            int(dim_row["d"]) if dim_row and dim_row["d"] is not None else None
+        )
     dot_fold = F.aggregate(
         F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
         F.lit(0.0),
@@ -615,7 +624,15 @@ def semantic_dedup_pairs(
         ivf_cell(F.col(vec_col), centroids).alias("__sem_cell"),
     ).localCheckpoint()
     return pairwise_cosine_within(
-        with_cell, "__sem_cell", tau, vec_col, id_col
+        with_cell,
+        "__sem_cell",
+        tau,
+        vec_col,
+        id_col,
+        # the fitted centroids already carry the dimension — skip the
+        # one-row probe job (size-guarded per pair, so safe even if a
+        # ragged corpus row disagrees)
+        dim=len(centroids[0][1]) if centroids else None,
     ).withColumnRenamed("__sem_cell", "cell")
 
 

@@ -546,6 +546,15 @@ def gopher_quality_filter(
     )
 
 
+# InSet guards for the boilerplate-hash membership filter: the In list
+# lives in the plan (InSet keeps the runtime set as a reference object,
+# so the cost is plan/canonicalization size, not codegen) — element AND
+# total-byte caps, above which the broadcast left-anti join shape runs
+# instead. 32-char md5 hex × 50k ≈ 1.6 MB of plan literals at the cap.
+_BOILER_INSET_MAX_ELEMS = 50_000
+_BOILER_INSET_MAX_BYTES = 2_000_000
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 3,
@@ -562,12 +571,14 @@ def remove_boilerplate_lines(
     Shape for 100 TB: the distinct-doc count shuffles (md5(line),
     doc_id) — fixed 24-byte rows, never the line TEXT itself; the
     boilerplate hash SET — lines repeated across ≥ min_docs docs are a
-    tiny fraction of a real corpus — comes back as an explicit
-    ``F.broadcast`` to a left-anti hash join, so document text moves
-    only in the final per-doc re-assembly shuffle (volume = output
-    size). The per-doc line total rides the exploded rows as a
-    constant column, so there is no second corpus scan or corpus-sized
-    join to recover it."""
+    tiny fraction of a real corpus — is materialized once
+    (localCheckpoint) and, when it fits the InSet guards, comes back
+    into a MAP-SIDE array filter over each document's own line array,
+    so document text never shuffles AT ALL and the per-doc re-assembly
+    (posexplode → anti-join → collect_list/sort per doc) disappears.
+    Above the guards (a pathologically repetitive corpus) the r13
+    broadcast left-anti shape stands: text then moves only in the
+    final per-doc re-assembly shuffle (volume = output size)."""
     parts = F.split(F.col(text_col), "\n")
     lines = df.select(
         F.col(id_col),
@@ -579,7 +590,42 @@ def remove_boilerplate_lines(
         .agg(F.count_distinct(id_col).alias("__docs"))
         .filter(F.col("__docs") >= min_docs)
         .select("__h")
+        # one execution of the detection aggregation, shared by the
+        # size probe and whichever rebuild path runs
+        .localCheckpoint()
     )
+    hset = [
+        r["__h"] for r in boiler.limit(_BOILER_INSET_MAX_ELEMS + 1).collect()
+    ]
+    if (
+        len(hset) <= _BOILER_INSET_MAX_ELEMS
+        and sum(len(h) for h in hset) <= _BOILER_INSET_MAX_BYTES
+    ):
+        # map-side rebuild: membership is an InSet probe (one hash-set
+        # lookup per line inside codegen) over the doc's OWN line
+        # array — no explode, no join, no shuffle of text; a doc left
+        # with no lines is dropped exactly as the groupBy-over-kept-
+        # rows shape dropped it. Counts cast to long to keep the
+        # legacy count(*) output schema.
+        kept_arr = (
+            F.filter(
+                parts,
+                lambda l: ~F.md5(l.cast("binary")).isin(hset),
+            )
+            if hset
+            else parts
+        )
+        return (
+            df.select(
+                F.col(id_col),
+                F.array_join(kept_arr, "\n").alias(text_col),
+                (F.size(parts) - F.size(kept_arr))
+                .cast("long")
+                .alias("removed_lines"),
+                F.size(kept_arr).cast("long").alias("kept_lines"),
+            )
+            .filter(F.col("kept_lines") >= 1)
+        )
     kept = lines.join(F.broadcast(boiler), "__h", "left_anti")
     return (
         kept.groupBy(id_col)
@@ -986,11 +1032,13 @@ def bigram_logprob_score(
     # — Catalyst compiles a >10-element In to InSet, one hash-set probe
     # per row inside codegen, measured ~4x faster than the two
     # broadcast left-semi joins it replaces (3.2s -> 0.7s per 250k
-    # docs, identical rows). Guarded by size: a caller fitting a huge
-    # vocabulary falls back to the joins rather than embedding the
-    # whole list in the plan.
-    if v_sz <= 10_000:
-        vlist = [r["__t"] for r in vocab_rows]
+    # docs, identical rows). Guarded by size AND total literal bytes:
+    # the InSet embeds every token in the plan (twice — prev and cur
+    # sides), so a vocabulary of long tokens near the element cap
+    # would still bloat the plan/codegen; either bound falls back to
+    # the joins rather than embedding the list.
+    vlist = [r["__t"] for r in vocab_rows]
+    if v_sz <= 10_000 and sum(len(t) for t in vlist) <= 200_000:
         in_vocab_pairs = pairs.filter(
             F.col("__prev").isin(vlist) & F.col("__cur").isin(vlist)
         )
