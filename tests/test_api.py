@@ -26,6 +26,7 @@ def api(spark):
     return PromAPI(spark, df)
 
 
+@pytest.mark.slow
 def test_query_range_matrix_shape(api):
     out = api.query_range(
         'sum(rate(http_requests_total[400s])) by (job)',
@@ -1220,6 +1221,7 @@ def test_extra_label_and_filters_enforced(api):
         api.enforced_from_params([], ["sum(x)"])
 
 
+@pytest.mark.slow
 def test_enforced_on_export_and_federate(api):
     """The isolation params must also bind the raw-data egress routes —
     /api/v1/export{,/csv,/native} and /federate (VM applies

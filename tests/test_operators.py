@@ -37,6 +37,7 @@ def embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+@pytest.mark.slow
 def test_exact_dedup_synthetic(spark):
     df = spark.createDataFrame(
         [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"]
@@ -75,6 +76,7 @@ def test_minhash_recall_vs_exact(docs):
     assert len(exact) > 0
 
 
+@pytest.mark.slow
 def test_simhash_properties(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     other = " ".join(f"zzz{i}" for i in range(40))
@@ -189,6 +191,7 @@ def test_pairwise_within_label(embs):
         assert r["cosine"] >= 0.3
 
 
+@pytest.mark.slow
 def test_token_stats_and_lang(docs):
     stats = token_stats(docs).collect()
     assert all(r["n_distinct"] <= r["n_tokens"] for r in stats)

@@ -1,0 +1,120 @@
+"""Round-14 optimization pins: each rewritten operator is compared
+against its r13 definitional formulation on real testdata."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from victoriametrics_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _same_rows(a, b) -> None:
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_funnel_counts_matches_prefix_join_cascade(spark):
+    """New one-pass per-user greedy fold == the old per-prefix
+    min-join cascade (the definitional earliest-completion funnel)."""
+    from victoriametrics_spark.operators.events import funnel_counts
+
+    ev = load_table(spark, SF_DIR, "events")
+    steps = ["view", "click", "purchase"]
+    window_ms = 86_400_000
+
+    # definitional formulation (the r13 shape, verbatim)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    evf = ev.filter(F.col("event_type").isin(steps)).select(
+        F.col("user_id"), F.col("event_type").alias("__step"), ms.alias("__ms")
+    )
+    cur = (
+        evf.filter(F.col("__step") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("__ms").alias("__done"))
+    )
+    out_rows = [(1, steps[0], cur)]
+    for k, step in enumerate(steps[1:], start=2):
+        cur = (
+            evf.filter(F.col("__step") == step)
+            .join(cur, "user_id")
+            .filter(
+                (F.col("__ms") > F.col("__done"))
+                & (F.col("__ms") - F.col("__done") <= window_ms)
+            )
+            .groupBy("user_id")
+            .agg(F.min("__ms").alias("__done"))
+        )
+        out_rows.append((k, step, cur))
+    ref = None
+    for k, step, frame in out_rows:
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(k).cast("long").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long"),
+        )
+        ref = c if ref is None else ref.unionByName(c)
+
+    got = funnel_counts(ev, steps, window_ms)
+    _same_rows(got, ref)
+    # sanity: monotone non-increasing prefix counts
+    rows = {r["step_idx"]: r["n_users"] for r in got.collect()}
+    assert rows[1] >= rows[2] >= rows[3]
+
+
+def test_funnel_counts_single_scan_plan(spark):
+    """The executed funnel plan scans the event source once (the old
+    cascade re-executed every earlier prefix's subtree)."""
+    from victoriametrics_spark.operators.events import funnel_counts
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = funnel_counts(ev, ["view", "click", "purchase"], 86_400_000)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final
+
+
+def test_bigram_sql_in_list_matches_isin_semantics(spark):
+    """The single-string SQL IN list (one py4j call) must select the
+    same rows as Column.isin over the same values, including quote- and
+    backslash-bearing tokens."""
+    from victoriametrics_spark.operators.text import _sql_in_list
+
+    rows = [("a",), ("o'x",), ("b\\c",), ("plain",), ("miss",), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    vals = ["o'x", "b\\c", "plain", "zz"]
+    got = df.filter(F.expr(f"t IN ({_sql_in_list(vals)})"))
+    ref = df.filter(F.col("t").isin(vals))
+    _same_rows(got, ref)
+    assert got.count() == 3
+
+
+def test_duplicate_passage_pairs_reuses_gram_exchange(spark):
+    """The cap-count branch must consume the SAME gram-hash exchange
+    (ReusedExchange), not a second corpus scan — the r13-measured 40%
+    regression mode of count+join formulations."""
+    from victoriametrics_spark.operators.dedup import duplicate_passage_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = duplicate_passage_pairs(docs, n=8, min_shared=1)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from victoriametrics_spark.streaming.parsers import (
     parse_graphite,
     parse_influx,
@@ -364,6 +366,7 @@ def _ingest(spark):
     return ing, captured
 
 
+@pytest.mark.slow
 def test_import_lines_skips_and_counts_invalid(spark):
     ing, captured = _ingest(spark)
     # prometheus: adversarial labels land; the poison line is counted

@@ -947,6 +947,7 @@ def test_relabel_label_references_in_replacement(spark, sample_df):
     assert got == ["api@h1:9090", "db@h2:9090"]
 
 
+@pytest.mark.slow
 def test_streamaggr_pandas_state_replay_equals_batch(spark, tmp_path):
     """applyInPandasWithState counters (aggregate_stream_pandas_state —
     the stateful-streaming engine that runs WITHOUT the protobuf

@@ -54,6 +54,7 @@ def fine_samples(spark):
 
 
 @pytest.mark.parametrize("fn_name", DECOMPOSED)
+@pytest.mark.slow
 def test_two_level_matches_explode(spark, fine_samples, fn_name):
     q = _query(fn_name)
 

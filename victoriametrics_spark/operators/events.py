@@ -8,7 +8,7 @@ per-series rollup engine (engine/rollup.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -85,43 +85,78 @@ def funnel_counts(
     counted for every prefix). Returns (step_idx, step, n_users).
 
     Shape for 100 TB: events filter to the funnel's types at the scan
-    (pushed predicate), then ONE shuffle on the user key; the per-user
-    greedy walk is a min-aggregation per step — k passes over a frame
-    already partitioned by user, each pass shuffling only (user,
-    first_ts) fixed-width rows."""
+    (pushed predicate), then ONE shuffle on the user key and ONE pass:
+    the per-user greedy walk runs over the user's own sorted event
+    array (`__done_k` = min event time of step k after `__done_{k-1}`
+    within the window — order-independent, so the array sort's tie
+    order cannot matter), and all k prefix counts come out of a single
+    global aggregation. The former per-prefix join cascade re-executed
+    every earlier prefix's subtree — O(k²) scans of the event frame —
+    to compute the same mins (r14; measured plans: k+3 scans → 1)."""
     ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col), F.col(type_col).alias("__step"), ms.alias("__ms")
     )
-    # earliest completion time of each prefix, per user
-    cur = (
-        ev.filter(F.col("__step") == steps[0])
-        .groupBy(user_col)
-        .agg(F.min("__ms").alias("__done"))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct("__ms", "__step"))).alias(
+            "__evs"
+        )
     )
-    out_rows = [(1, steps[0], cur)]
-    for k, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.filter(F.col("__step") == step)
-            .join(cur, user_col)
-            .filter(
-                (F.col("__ms") > F.col("__done"))
-                & (F.col("__ms") - F.col("__done") <= int(window_ms))
+
+    def _earliest(step: str, prev: Column | None) -> Column:
+        evs = F.col("__evs")
+
+        def _walk(p: Column | None) -> Column:
+            cond = (
+                (lambda e: e["__step"] == F.lit(step))
+                if p is None
+                else (
+                    lambda e: (e["__step"] == F.lit(step))
+                    & (e["__ms"] > p)
+                    & (e["__ms"] - p <= F.lit(int(window_ms)))
+                )
             )
-            .groupBy(user_col)
-            .agg(F.min("__ms").alias("__done"))
+            return F.array_min(
+                F.transform(F.filter(evs, cond), lambda e: e["__ms"])
+            )
+
+        if prev is None:
+            return _walk(None)
+        # bind the previous completion time to a lambda variable so it
+        # is evaluated ONCE per row — referenced bare from inside the
+        # filter lambda, CollapseProject may inline its whole
+        # filter/min subtree per element (the word_shingles O(n²) trap)
+        return F.element_at(
+            F.transform(F.array(prev), lambda p: _walk(p)), 1
         )
-        cur = nxt
-        out_rows.append((k, step, cur))
-    counts = None
-    for k, step, frame in out_rows:
-        c = frame.agg(F.count("*").alias("n_users")).select(
-            F.lit(k).cast("long").alias("step_idx"),
-            F.lit(step).alias("step"),
-            F.col("n_users").cast("long"),
-        )
-        counts = c if counts is None else counts.unionByName(c)
-    return counts
+
+    done: Column | None = None
+    for k, step in enumerate(steps, start=1):
+        done = _earliest(step, done)
+        per_user = per_user.withColumn(f"__done{k}", done)
+        done = F.col(f"__done{k}")
+    row = per_user.agg(
+        *[
+            F.count(F.col(f"__done{k}")).cast("long").alias(f"__n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    # one explode, NOT a k-way union of selects over `row` — each union
+    # branch would re-execute the whole per-user aggregation
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"__n{k}").alias("n_users"),
+                    )
+                    for k, step in enumerate(steps, start=1)
+                ]
+            )
+        ).alias("__r")
+    ).select("__r.step_idx", "__r.step", "__r.n_users")
 
 
 def sessionize_window(

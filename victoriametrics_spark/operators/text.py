@@ -546,13 +546,21 @@ def gopher_quality_filter(
     )
 
 
-# InSet guards for the boilerplate-hash membership filter: the In list
-# lives in the plan (InSet keeps the runtime set as a reference object,
-# so the cost is plan/canonicalization size, not codegen) — element AND
-# total-byte caps, above which the broadcast left-anti join shape runs
-# instead. 32-char md5 hex × 50k ≈ 1.6 MB of plan literals at the cap.
-_BOILER_INSET_MAX_ELEMS = 50_000
-_BOILER_INSET_MAX_BYTES = 2_000_000
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (backslash-escape dialect)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_in_list(values: list[str]) -> str:
+    """Comma-joined SQL literals for an IN (...) list.
+
+    Column.isin() converts every element through its own py4j lit()
+    round trip — measured ~1 ms/element of DRIVER time per plan build,
+    i.e. tens of seconds for a 20k-hash membership set, dwarfing the
+    query itself. One parsed SQL string carries the whole list across
+    the gateway in a single call; OptimizeIn still compiles it to the
+    same InSet."""
+    return ",".join(_sql_str(v) for v in values)
 
 
 def remove_boilerplate_lines(
@@ -561,7 +569,15 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Cross-document line-level dedup — the boilerplate scrub of
+    """(r14 note: a map-side rebuild — boiler set collected to an InSet
+    and each doc's line array filtered in place, no text shuffle — was
+    built, proven row-identical, and MEASURED 1.75x SLOWER at 1M docs:
+    the per-line membership probe runs in an interpreted array-filter
+    lambda, which costs more than the posexplode + codegen broadcast
+    anti-join it replaced; local shuffles of the re-assembly are nearly
+    free. Rejected; this join shape stands.)
+
+    Cross-document line-level dedup — the boilerplate scrub of
     CCNet (Wenzek et al. 2020 §3.1, paragraph-hash dedup) and
     RefinedWeb: a line whose exact content appears in ≥ ``min_docs``
     DISTINCT documents (navigation chrome, cookie banners, footers) is
@@ -571,14 +587,12 @@ def remove_boilerplate_lines(
     Shape for 100 TB: the distinct-doc count shuffles (md5(line),
     doc_id) — fixed 24-byte rows, never the line TEXT itself; the
     boilerplate hash SET — lines repeated across ≥ min_docs docs are a
-    tiny fraction of a real corpus — is materialized once
-    (localCheckpoint) and, when it fits the InSet guards, comes back
-    into a MAP-SIDE array filter over each document's own line array,
-    so document text never shuffles AT ALL and the per-doc re-assembly
-    (posexplode → anti-join → collect_list/sort per doc) disappears.
-    Above the guards (a pathologically repetitive corpus) the r13
-    broadcast left-anti shape stands: text then moves only in the
-    final per-doc re-assembly shuffle (volume = output size)."""
+    tiny fraction of a real corpus — comes back as an explicit
+    ``F.broadcast`` to a left-anti hash join, so document text moves
+    only in the final per-doc re-assembly shuffle (volume = output
+    size). The per-doc line total rides the exploded rows as a
+    constant column, so there is no second corpus scan or corpus-sized
+    join to recover it."""
     parts = F.split(F.col(text_col), "\n")
     lines = df.select(
         F.col(id_col),
@@ -590,42 +604,7 @@ def remove_boilerplate_lines(
         .agg(F.count_distinct(id_col).alias("__docs"))
         .filter(F.col("__docs") >= min_docs)
         .select("__h")
-        # one execution of the detection aggregation, shared by the
-        # size probe and whichever rebuild path runs
-        .localCheckpoint()
     )
-    hset = [
-        r["__h"] for r in boiler.limit(_BOILER_INSET_MAX_ELEMS + 1).collect()
-    ]
-    if (
-        len(hset) <= _BOILER_INSET_MAX_ELEMS
-        and sum(len(h) for h in hset) <= _BOILER_INSET_MAX_BYTES
-    ):
-        # map-side rebuild: membership is an InSet probe (one hash-set
-        # lookup per line inside codegen) over the doc's OWN line
-        # array — no explode, no join, no shuffle of text; a doc left
-        # with no lines is dropped exactly as the groupBy-over-kept-
-        # rows shape dropped it. Counts cast to long to keep the
-        # legacy count(*) output schema.
-        kept_arr = (
-            F.filter(
-                parts,
-                lambda l: ~F.md5(l.cast("binary")).isin(hset),
-            )
-            if hset
-            else parts
-        )
-        return (
-            df.select(
-                F.col(id_col),
-                F.array_join(kept_arr, "\n").alias(text_col),
-                (F.size(parts) - F.size(kept_arr))
-                .cast("long")
-                .alias("removed_lines"),
-                F.size(kept_arr).cast("long").alias("kept_lines"),
-            )
-            .filter(F.col("kept_lines") >= 1)
-        )
     kept = lines.join(F.broadcast(boiler), "__h", "left_anti")
     return (
         kept.groupBy(id_col)
@@ -1039,8 +1018,11 @@ def bigram_logprob_score(
     # the joins rather than embedding the list.
     vlist = [r["__t"] for r in vocab_rows]
     if v_sz <= 10_000 and sum(len(t) for t in vlist) <= 200_000:
+        # one parsed SQL IN list (not Column.isin, whose per-element
+        # py4j lit() costs ~1 ms of driver time each — see _sql_in_list)
+        in_list = _sql_in_list(vlist)
         in_vocab_pairs = pairs.filter(
-            F.col("__prev").isin(vlist) & F.col("__cur").isin(vlist)
+            F.expr(f"__prev IN ({in_list}) AND __cur IN ({in_list})")
         )
     else:
         in_vocab_pairs = pairs.join(
