@@ -208,7 +208,12 @@ def main() -> None:
             row = df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(
-                    F.xxhash64("name", "labels", "ts", "value")
+                    F.xxhash64(
+                        "name",
+                        F.array_sort(F.map_entries("labels")).cast("string"),
+                        "ts",
+                        "value",
+                    )
                     % F.lit(1_000_003)
                 ).alias("h"),
             ).first()
@@ -220,8 +225,18 @@ def main() -> None:
             )
     for k, v in res.items():
         print(f"{k}: min={min(v):.2f}s all={[round(x, 2) for x in v]}")
-    a = parse_prometheus_text(big, 0)
-    b = parse_prometheus_text_arrow(big, 0)
+    def canon(df):
+        # set ops reject MAP columns — compare on sorted entries
+        return df.select(
+            "name",
+            F.array_sort(F.map_entries("labels")).cast("string").alias("l"),
+            "ts",
+            "value",
+            "is_stale",
+        )
+
+    a = canon(parse_prometheus_text(big, 0))
+    b = canon(parse_prometheus_text_arrow(big, 0))
     d1 = a.exceptAll(b).count()
     d2 = b.exceptAll(a).count()
     print(f"equivalence: exceptAll {d1}/{d2}")

