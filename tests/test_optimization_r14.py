@@ -86,6 +86,44 @@ def test_funnel_counts_single_scan_plan(spark):
     assert final.count("Scan parquet") == 1, final
 
 
+def test_unigram_longkey_join_matches_string_join(spark):
+    """The xxhash64-keyed vocabulary value-join must score identically
+    to the definitional string join (collision verification degrades
+    mismatched probes to the exact OOV treatment)."""
+    from victoriametrics_spark.operators.text import (
+        tokens,
+        unigram_logprob_score,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = unigram_logprob_score(docs, vocab_size=1000)
+
+    # definitional string-join formulation (r13 shape, verbatim)
+    tok = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("__t")
+    )
+    counts = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    vocab_rows = (
+        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(1000)
+        .collect()
+    )
+    denom = float(sum(r["__c"] for r in vocab_rows) + len(vocab_rows))
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c"]) for r in vocab_rows], "__t string, __c long"
+    )
+    lp = -F.log((F.coalesce(F.col("__c"), F.lit(0)) + 1) / F.lit(denom))
+    ref = (
+        tok.join(F.broadcast(vocab), "__t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("logprob_score"),
+        )
+    )
+    _same_rows(got, ref)
+
+
 def test_bigram_sql_in_list_matches_isin_semantics(spark):
     """The single-string SQL IN list (one py4j call) must select the
     same rows as Column.isin over the same values, including quote- and
