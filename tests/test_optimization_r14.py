@@ -124,6 +124,85 @@ def test_unigram_longkey_join_matches_string_join(spark):
     _same_rows(got, ref)
 
 
+def test_bigram_indexkey_count_join_matches_string_joins(spark):
+    """The vocab-index-pair bigram-count key (ip*V+ic, a bijection
+    with the token pair) plus the xxhash64 vocabulary value-joins must
+    score identically to the definitional all-string-join formulation
+    (r13 shape, verbatim)."""
+    from victoriametrics_spark.operators.text import (
+        bigram_logprob_score,
+        tokens,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = bigram_logprob_score(docs, vocab_size=1000, lam=0.9)
+
+    toks = tokens(F.col("text"))
+    d = docs.select(F.col("doc_id"), toks.alias("__w")).filter(
+        F.size("__w") >= 2
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__w"), 1, F.size("__w") - 1).alias("prev"),
+                F.slice(F.col("__w"), 2, F.size("__w") - 1).alias("cur"),
+            )
+        ).alias("__bg"),
+    ).select(
+        "doc_id",
+        F.col("__bg.prev").alias("__prev"),
+        F.col("__bg.cur").alias("__cur"),
+    )
+    tok = docs.select(F.col("doc_id"), F.explode(toks).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    vocab_rows = (
+        counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+        .limit(1000)
+        .collect()
+    )
+    n_total = sum(r["__c"] for r in vocab_rows)
+    v_sz = len(vocab_rows)
+    vocab = spark.createDataFrame(
+        [(r["__t"], r["__c"]) for r in vocab_rows], "__t string, __c long"
+    )
+    in_vocab_pairs = pairs.join(
+        F.broadcast(vocab.select(F.col("__t").alias("__prev"))),
+        "__prev",
+        "left_semi",
+    ).join(
+        F.broadcast(vocab.select(F.col("__t").alias("__cur"))),
+        "__cur",
+        "left_semi",
+    )
+    bi_counts = in_vocab_pairs.groupBy("__prev", "__cur").agg(
+        F.count("*").alias("__cbi")
+    )
+    j = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("__t").alias("__prev"),
+                                     F.col("__c").alias("__cprev"))),
+            "__prev", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("__t").alias("__cur"),
+                                     F.col("__c").alias("__ccur"))),
+            "__cur", "left")
+        .join(F.broadcast(bi_counts), ["__prev", "__cur"], "left")
+    )
+    p_bi = (F.coalesce(F.col("__cbi"), F.lit(0)) + 1) / (
+        F.coalesce(F.col("__cprev"), F.lit(0)) + F.lit(float(v_sz))
+    )
+    p_uni = (F.coalesce(F.col("__ccur"), F.lit(0)) + 1) / F.lit(
+        float(n_total + v_sz)
+    )
+    term = -F.log(F.lit(0.9) * p_bi + F.lit(0.1) * p_uni)
+    ref = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg(term), 6).alias("bigram_score"),
+    )
+    _same_rows(got, ref)
+
+
 def test_bigram_sql_in_list_matches_isin_semantics(spark):
     """The single-string SQL IN list (one py4j call) must select the
     same rows as Column.isin over the same values, including quote- and
@@ -137,6 +216,58 @@ def test_bigram_sql_in_list_matches_isin_semantics(spark):
     ref = df.filter(F.col("t").isin(vals))
     _same_rows(got, ref)
     assert got.count() == 3
+
+
+def test_boilerplate_xxhash_key_matches_md5_key(spark):
+    """The xxhash64 line key must produce the same scrub as the former
+    md5 hex key (both implement group-by-line up to hash collision)."""
+    from victoriametrics_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("footer line\n")).otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), " (data|value|table) ", "\n"),
+        ),
+    )
+    got = remove_boilerplate_lines(docs, min_docs=3)
+
+    parts = F.split(F.col("text"), "\n")
+    lines = docs.select(
+        "doc_id",
+        F.size(parts).alias("__total"),
+        F.posexplode(parts).alias("pos", "line"),
+    ).withColumn("__h", F.md5(F.col("line").cast("binary")))
+    boiler = (
+        lines.groupBy("__h")
+        .agg(F.count_distinct("doc_id").alias("__docs"))
+        .filter(F.col("__docs") >= 3)
+        .select("__h")
+    )
+    kept = lines.join(F.broadcast(boiler), "__h", "left_anti")
+    ref = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("kept_lines"),
+            F.first("__total").alias("__total"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            (F.col("__total") - F.col("kept_lines")).alias("removed_lines"),
+            "kept_lines",
+        )
+    )
+    _same_rows(got, ref)
 
 
 def test_duplicate_passage_pairs_reuses_gram_exchange(spark):

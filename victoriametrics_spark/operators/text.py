@@ -288,6 +288,13 @@ def decontaminate(
             .groupBy(id_col)
             .agg(F.count_distinct("__gh").cast("double").alias("n_shared"))
         )
+    # (r14: an xxhash64-keyed broadcast probe with equal-gram re-check
+    # — the long-key trick that took the corpus-LM scoring joins 3x —
+    # was proven row-identical here and measured a WASH at 1M docs
+    # (min-of-3 alternating 2.781s vs 2.779s): with a benchmark-sized
+    # eval set the broadcast relation is small enough that the string
+    # probe never dominates, and the extra hash+re-check costs back
+    # the probe win. Rejected; the plain string join stands.)
     return (
         sh_train.join(F.broadcast(sh_eval), "__g")
         .groupBy(id_col)
@@ -424,9 +431,11 @@ def repetition_stats(
                 m = len(toks) - n + 1
                 if m <= 0:
                     continue
-                c = Counter(
-                    " ".join(toks[j : j + n]) for j in range(m)
-                )
+                # n-grams counted as token TUPLES, not joined strings:
+                # tokens are whitespace-free, so ' '.join is injective
+                # and tuple equality == joined-string equality, without
+                # constructing m new strings per doc
+                c = Counter(zip(*(toks[j:] for j in range(n))))
                 ids.append(i)
                 tops.append(max(c.values()) / m)
                 dups.append(1.0 - len(c) / m)
@@ -584,13 +593,16 @@ def remove_boilerplate_lines(
     removed from every document; documents left with no lines are
     dropped. Returns (id, text, removed_lines, kept_lines).
 
-    Shape for 100 TB: the distinct-doc count shuffles (md5(line),
-    doc_id) — fixed 24-byte rows, never the line TEXT itself; the
-    boilerplate hash SET — lines repeated across ≥ min_docs docs are a
-    tiny fraction of a real corpus — comes back as an explicit
-    ``F.broadcast`` to a left-anti hash join, so document text moves
-    only in the final per-doc re-assembly shuffle (volume = output
-    size). The per-doc line total rides the exploded rows as a
+    Shape for 100 TB: the distinct-doc count shuffles (xxhash64(line),
+    doc_id) — fixed 16-byte rows, never the line TEXT itself (the
+    64-bit key replaced the md5 hex string: half the shuffle row and a
+    LONG-keyed anti probe — Spark's specialized long HashedRelation —
+    with grouping semantics unchanged up to hash collision exactly as
+    with md5); the boilerplate hash SET — lines repeated across ≥
+    min_docs docs are a tiny fraction of a real corpus — comes back as
+    an explicit ``F.broadcast`` to a left-anti hash join, so document
+    text moves only in the final per-doc re-assembly shuffle (volume =
+    output size). The per-doc line total rides the exploded rows as a
     constant column, so there is no second corpus scan or corpus-sized
     join to recover it."""
     parts = F.split(F.col(text_col), "\n")
@@ -598,7 +610,7 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.size(parts).alias("__total"),
         F.posexplode(parts).alias("pos", "line"),
-    ).withColumn("__h", F.md5(F.col("line").cast("binary")))
+    ).withColumn("__h", F.xxhash64("line"))
     boiler = (
         lines.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__docs"))
@@ -1034,20 +1046,34 @@ def bigram_logprob_score(
     vocab = spark.createDataFrame(
         [(r["__t"], r["__c"]) for r in vocab_rows], "__t string, __c long"
     )
-    # in-vocab prefilter: the vocabulary is already ON the driver (it
-    # was just collected to fit the LM), so membership is an ``isin``
-    # — Catalyst compiles a >10-element In to InSet, one hash-set probe
-    # per row inside codegen, measured ~4x faster than the two
-    # broadcast left-semi joins it replaces (3.2s -> 0.7s per 250k
-    # docs, identical rows). Guarded by size AND total literal bytes:
-    # the InSet embeds every token in the plan (twice — prev and cur
-    # sides), so a vocabulary of long tokens near the element cap
-    # would still bloat the plan/codegen; either bound falls back to
-    # the joins rather than embedding the list.
+    # All three joins probe on LONG keys — Spark's specialized
+    # LongHashedRelation, measured 3x over the UnsafeHashedRelation
+    # string probe at 1M docs (see unigram_logprob_score). The two
+    # vocabulary VALUE joins key on xxhash64(token) with the matched
+    # token re-checked so a probe-side collision degrades to the exact
+    # OOV treatment; vocab-hash distinctness came back with the fit
+    # collect. The bigram-COUNT join cannot use raw hashes (its build
+    # side is never collected, so hash distinctness there is not
+    # verifiable without a second corpus pass) — instead it keys on
+    # the vocab INDEX pair ``ip*V + ic``, a bijection with the token
+    # pair (both tokens are in the V-row vocabulary by construction),
+    # so it is collision-free with no re-check needed. bi_counts is
+    # built from the same two hash joins (membership ⟺ re-checked
+    # match, exactly the InSet semantics it replaces), which also
+    # narrows its aggregation key from two strings to one long.
+    # in-vocab prefilter for the COUNT pass: membership via one parsed
+    # SQL IN list (Catalyst compiles >10 elements to InSet, a hash-set
+    # probe inside codegen, ~4x over two broadcast left-semi string
+    # joins; a long-key join variant of this pass was measured — the
+    # equality re-check filter gets absorbed into the join as an extra
+    # equi-key, reverting the probe to composite string keys, so InSet
+    # stands). Guarded by size AND total literal bytes since the InSet
+    # embeds every token in the plan twice; either bound falls back to
+    # the joins. Built with one parsed SQL string, not Column.isin,
+    # whose per-element py4j lit() costs ~1 ms of driver time each —
+    # see _sql_in_list.
     vlist = [r["__t"] for r in vocab_rows]
     if v_sz <= 10_000 and sum(len(t) for t in vlist) <= 200_000:
-        # one parsed SQL IN list (not Column.isin, whose per-element
-        # py4j lit() costs ~1 ms of driver time each — see _sql_in_list)
         in_list = _sql_in_list(vlist)
         in_vocab_pairs = pairs.filter(
             F.expr(f"__prev IN ({in_list}) AND __cur IN ({in_list})")
@@ -1062,42 +1088,68 @@ def bigram_logprob_score(
             "__cur",
             "left_semi",
         )
-    bi_counts = in_vocab_pairs.groupBy("__prev", "__cur").agg(
+    bi_str = in_vocab_pairs.groupBy("__prev", "__cur").agg(
         F.count("*").alias("__cbi")
     )
-    # the two vocabulary VALUE joins probe on xxhash64(token) — the
-    # LongHashedRelation fast path, 3x over string probes at 1M docs
-    # (see unigram_logprob_score) — with the matched token re-checked
-    # so probe-side collisions degrade to the exact OOV treatment;
-    # vocab-hash distinctness came back with the fit collect. The
-    # bigram-count join keeps its string keys: its build side is not
-    # collected, so hash distinctness there cannot be verified without
-    # a second corpus pass.
     if len({r["__k"] for r in vocab_rows}) == v_sz:
         vp = spark.createDataFrame(
-            [(r["__k"], r["__t"], r["__c"]) for r in vocab_rows],
-            "__kp long, __vtp string, __cprev0 long",
+            [(r["__k"], i, r["__t"], r["__c"])
+             for i, r in enumerate(vocab_rows)],
+            "__kp long, __ip long, __vtp string, __cprev0 long",
         )
         vc = spark.createDataFrame(
-            [(r["__k"], r["__t"], r["__c"]) for r in vocab_rows],
-            "__kc long, __vtc string, __ccur0 long",
+            [(r["__k"], i, r["__t"], r["__c"])
+             for i, r in enumerate(vocab_rows)],
+            "__kc long, __ic long, __vtc string, __ccur0 long",
+        )
+        # key the V²-bounded bi-count frame by the vocab INDEX pair
+        # ``ip*V + ic`` — a bijection with the token pair (both tokens
+        # are in the V-row vocabulary by construction), so the key is
+        # collision-free with no re-check. The conversion joins probe
+        # the TINY aggregated frame against the 1000-row vocabulary
+        # (negligible); what matters is that the corpus-scale scoring
+        # join below then probes ONE long key instead of a composite
+        # (string, string).
+        bk = F.col("__ip") * F.lit(v_sz).cast("long") + F.col("__ic")
+        bi_counts = (
+            bi_str.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(r["__t"], i) for i, r in enumerate(vocab_rows)],
+                        "__prev string, __ip long",
+                    )
+                ),
+                "__prev",
+            )
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(r["__t"], i) for i, r in enumerate(vocab_rows)],
+                        "__cur string, __ic long",
+                    )
+                ),
+                "__cur",
+            )
+            .select(bk.alias("__bk"), "__cbi")
         )
         j = (
             pairs.withColumn("__kp", F.xxhash64("__prev"))
             .withColumn("__kc", F.xxhash64("__cur"))
             .join(F.broadcast(vp), "__kp", "left")
             .join(F.broadcast(vc), "__kc", "left")
+            .withColumn("__pm", F.col("__vtp") == F.col("__prev"))
+            .withColumn("__cm", F.col("__vtc") == F.col("__cur"))
             .withColumn(
-                "__cprev",
-                F.when(F.col("__vtp") == F.col("__prev"), F.col("__cprev0")),
+                "__cprev", F.when(F.col("__pm"), F.col("__cprev0"))
             )
+            .withColumn("__ccur", F.when(F.col("__cm"), F.col("__ccur0")))
             .withColumn(
-                "__ccur",
-                F.when(F.col("__vtc") == F.col("__cur"), F.col("__ccur0")),
+                "__bk", F.when(F.col("__pm") & F.col("__cm"), bk)
             )
-            .join(F.broadcast(bi_counts), ["__prev", "__cur"], "left")
+            .join(F.broadcast(bi_counts), "__bk", "left")
         )
     else:  # vocab-internal 64-bit collision: exact string joins
+        bi_counts = bi_str
         j = (
             pairs.join(
                 F.broadcast(vocab.select(F.col("__t").alias("__prev"),
