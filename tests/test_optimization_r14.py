@@ -270,6 +270,29 @@ def test_boilerplate_xxhash_key_matches_md5_key(spark):
     _same_rows(got, ref)
 
 
+def test_exact_dedup_xxhash_key_matches_md5_key(spark):
+    """The xxhash64 content key must keep the same rows as the former
+    md5 hex key (both implement group-by-content up to collision)."""
+    from pyspark.sql.window import Window
+
+    from victoriametrics_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit("dup body")).otherwise(F.col("text"))
+    )
+    got = exact_dedup(docs, ["text"], "doc_id")
+
+    key = F.md5(F.concat_ws("\x1f", F.col("text")).cast("binary"))
+    w = Window.partitionBy(key).orderBy(F.col("doc_id").asc())
+    ref = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    _same_rows(got, ref)
+    assert got.count() < docs.count()
+
+
 def test_duplicate_passage_pairs_reuses_gram_exchange(spark):
     """The cap-count branch must consume the SAME gram-hash exchange
     (ReusedExchange), not a second corpus scan — the r13-measured 40%

@@ -26,8 +26,14 @@ from victoriametrics_spark.operators.text import tokens, word_shingles
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per exact content key (hash-groupBy)."""
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]).cast("binary"))
+    """Keep the lowest-id row per exact content key (hash-groupBy).
+
+    The key is ``xxhash64`` of the \\x1f-joined content columns (r14:
+    replaced the md5 hex string — same group-by-content semantics up
+    to hash collision, but the window shuffle partitions on an 8-byte
+    long instead of a 32-char string and the (key, id) sort compares
+    longs)."""
+    key = F.xxhash64(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
     w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
